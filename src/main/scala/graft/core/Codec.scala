@@ -1,0 +1,87 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Encode/decode between a typed value and the wire bytes of a topic.
+  *
+  * Mirrors the reference's codec contract (`/root/reference/codec.go:4-7`).
+  * Shipped codecs follow `/root/reference/codec/codec.go`: Bytes, String,
+  * and Int64 — note Int64 is encoded as a *decimal string*
+  * (`codec/codec.go:56`), which we reproduce for wire compatibility.
+  *
+  * `null` bytes and `null` values round-trip as tombstones and never
+  * reach `encode`/`decode` — the executor short-circuits them.
+  */
+trait Codec[T] extends Serializable {
+  def encode(value: T): Array[Byte]
+  def decode(data: Array[Byte]): T
+}
+
+object Codecs {
+
+  object BytesCodec extends Codec[Array[Byte]] {
+    def encode(value: Array[Byte]): Array[Byte] = value
+    def decode(data: Array[Byte]): Array[Byte] = data
+  }
+
+  object StringCodec extends Codec[String] {
+    def encode(value: String): Array[Byte] = value.getBytes(UTF_8)
+    def decode(data: Array[Byte]): String = new String(data, UTF_8)
+  }
+
+  /** Decimal-string encoding per `/root/reference/codec/codec.go:47-66`. */
+  object Int64Codec extends Codec[Long] {
+    def encode(value: Long): Array[Byte] = value.toString.getBytes(UTF_8)
+    def decode(data: Array[Byte]): Long = new String(data, UTF_8).toLong
+  }
+
+  object DoubleCodec extends Codec[Double] {
+    def encode(value: Double): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putDouble(value).array()
+    def decode(data: Array[Byte]): Double =
+      java.nio.ByteBuffer.wrap(data).getDouble
+  }
+
+  /** Minimal deterministic "JSON-ish" codec for flat string maps — the
+    * reference's real apps use JSON struct codecs
+    * (`/root/reference/examples/2-clicks/main.go:41-59`); for typed
+    * application state prefer a case-class codec via [[kryoLike]] or a
+    * hand-rolled one. Keys are sorted so encoding is deterministic. */
+  object StringMapCodec extends Codec[Map[String, String]] {
+    def encode(value: Map[String, String]): Array[Byte] = {
+      val sb = new StringBuilder
+      value.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        if (sb.nonEmpty) sb.append('\u0001')
+        sb.append(esc(k)).append('\u0002').append(esc(v))
+      }
+      sb.toString.getBytes(UTF_8)
+    }
+    def decode(data: Array[Byte]): Map[String, String] = {
+      val s = new String(data, UTF_8)
+      if (s.isEmpty) Map.empty
+      else s.split('\u0001').iterator.map { kv =>
+        val Array(k, v) = kv.split('\u0002').padTo(2, "")
+        unesc(k) -> unesc(v)
+      }.toMap
+    }
+    private def esc(s: String) =
+      s.replace("\\", "\\\\").replace("\u0001", "\\1").replace("\u0002", "\\2")
+    private def unesc(s: String) =
+      s.replace("\\2", "\u0002").replace("\\1", "\u0001").replace("\\\\", "\\")
+  }
+
+  /** Java-serialization codec for arbitrary case classes — convenient in
+    * tests; real deployments should define an explicit codec. */
+  def javaSer[T <: Serializable]: Codec[T] = new Codec[T] {
+    def encode(value: T): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(value); oos.close(); bos.toByteArray
+    }
+    def decode(data: Array[Byte]): T = {
+      val ois = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(data))
+      ois.readObject().asInstanceOf[T]
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.core.{Codec, TableRow}
+
+/** Read-only materialized view over a group table — the reference's
+  * `View` (`/root/reference/view.go:42-52`).
+  *
+  * The reference replicates the whole table into a local LevelDB per
+  * instance and hash-routes point reads (`view.go:297-315`); here the
+  * table is a keyed `Dataset` and Catalyst does the routing: point reads
+  * become key-equality filters (partition-prunable when the table is
+  * persisted bucketed/partitioned by key), range/prefix scans become
+  * pushed-down range predicates, and the reference's k-way merged
+  * iteration in lexicographic key order (`storage/merge_iterator.go:45-124`)
+  * is a plain `orderBy(key)`.
+  */
+final class View(val rows: Dataset[TableRow]) extends Serializable {
+
+  /** Point read (`view.go:333-360`). Driver-side single-row action. */
+  def get(key: String): Option[Array[Byte]] =
+    rows.filter(col("key") === key).limit(1).collect()
+      .headOption.map(_.value)
+
+  /** Existence check (`view.go:362-371`). */
+  def has(key: String): Boolean =
+    !rows.filter(col("key") === key).isEmpty
+
+  /** Full scan in lexicographic key order (`view.go:373-394`). */
+  def iterator: Dataset[TableRow] = rows.orderBy(col("key"))
+
+  /** Range scan `[start, limit)`; empty limit = open end
+    * (`view.go:396-417`, `storage/storage.go:116-125`). */
+  def range(start: String, limit: String): Dataset[TableRow] = {
+    val lower = rows.filter(col("key") >= start)
+    val bounded = if (limit == null || limit.isEmpty) lower
+      else lower.filter(col("key") < limit)
+    bounded.orderBy(col("key"))
+  }
+
+  /** Prefix scan (reference: `IteratorWithRange(start, "")` with prefix
+    * semantics in `storage/memory.go:154-170`). */
+  def prefix(p: String): Dataset[TableRow] =
+    rows.filter(col("key").startsWith(p)).orderBy(col("key"))
+
+  /** Seek: iteration repositioned at the first key ≥ `key`
+    * (`iterator.go:66-68`). */
+  def seek(key: String): Dataset[TableRow] =
+    rows.filter(col("key") >= key).orderBy(col("key"))
+
+  /** Decode values through a codec into a two-column DataFrame. */
+  def decoded[T](codec: Codec[T], valueName: String = "value")(
+      implicit enc: org.apache.spark.sql.Encoder[(String, T)]): DataFrame = {
+    rows.map(r => (r.key, codec.decode(r.value)))(enc)
+      .toDF("key", valueName)
+  }
+
+  def toDF: DataFrame = rows.toDF()
+}
