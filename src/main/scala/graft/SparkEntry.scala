@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.GokaQueries
+import graft.queries.{GokaQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,6 +32,22 @@ object SparkEntry {
     "g12_view_point" -> (GokaQueries.viewPoint _),
     "g13_view_range" -> (GokaQueries.viewRange _),
     "g14_view_prefix" -> (GokaQueries.viewPrefix _),
+    "q01_pricing_summary" -> (Relational.pricingSummary _),
+    "q02_revenue_forecast" -> (Relational.revenueForecast _),
+    "q03_join_topk" -> (Relational.joinTopK _),
+    "q04_semi_join" -> (Relational.semiJoin _),
+    "q05_anti_join" -> (Relational.antiJoin _),
+    "q06_outer_join" -> (Relational.outerJoin _),
+    "q07_multi_join" -> (Relational.multiJoin _),
+    "q08_window_topk" -> (Relational.windowTopK _),
+    "q09_window_running" -> (Relational.windowRunning _),
+    "q10_event_tumble" -> (Relational.eventTumble _),
+    "q11_set_ops" -> (Relational.setOps _),
+    "q12_scalar_funcs" -> (Relational.scalarFuncs _),
+    "q13_asof_join" -> (Relational.asofJoin _),
+    "q14_rollup" -> (Relational.rollupAgg _),
+    "q15_distinct_agg" -> (Relational.distinctAgg _),
+    "q16_json_extract" -> (Relational.jsonExtract _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,5 +121,113 @@ object SparkEntry {
       """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
          FROM events GROUP BY user_id
          HAVING CAST(user_id AS VARCHAR) LIKE '1%'""",
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_revenue_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                          CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+    "q03_join_topk" ->
+      """SELECT o_orderkey, o_orderpriority,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey, o_orderpriority
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+         GROUP BY o_orderpriority""",
+    "q05_anti_join" ->
+      """SELECT s_nationkey, count(*) AS cnt FROM supplier
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_suppkey = s_suppkey
+                             AND l_quantity >= 49 AND l_discount >= 0.08
+                             AND l_shipdate >= TIMESTAMP '2000-01-01')
+         GROUP BY s_nationkey""",
+    "q06_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+    "q07_multi_join" ->
+      """SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
+    "q08_window_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) WHERE rk <= 3""",
+    "q09_window_running" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+         FROM orders""",
+    "q10_event_tumble" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*) AS cnt, count(DISTINCT user_id) AS users,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+    "q11_set_ops" ->
+      """SELECT k, 'both' AS tag FROM (
+           SELECT DISTINCT o_custkey AS k FROM orders
+           INTERSECT
+           SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+         UNION ALL
+         SELECT k, 'no_orders' AS tag FROM (
+           SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+           EXCEPT
+           SELECT DISTINCT o_custkey AS k FROM orders)""",
+    "q12_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname, substring(p_type, 1, 5) AS type5,
+           length(p_name) AS name_len, p_brand || '#' || p_type AS brand_type,
+           p_size % 7 AS size_mod,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           CASE WHEN p_size > 25 THEN 'L' ELSE 'S' END AS size_class
+         FROM part""",
+    "q13_asof_join" ->
+      """SELECT a.l_orderkey, a.l_linenumber,
+           strftime(b.l_shipdate, '%Y-%m-%d') AS prev_ship
+         FROM lineitem a ASOF LEFT JOIN lineitem b
+           ON a.l_suppkey = b.l_suppkey AND a.l_shipdate > b.l_shipdate""",
+    "q14_rollup" ->
+      """SELECT c_mktsegment, n_name, count(*) AS cnt,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP (c_mktsegment, n_name)""",
+    "q15_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+           count(*) AS cnt
+         FROM events GROUP BY event_type""",
+    "q16_json_extract" ->
+      """SELECT event_type,
+           CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+           max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k,
+           count(*) AS cnt
+         FROM events GROUP BY event_type""",
   )
 }

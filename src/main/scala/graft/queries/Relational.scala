@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.AsOfJoin
+import graft.sources.Sources.table
+
+/** Relational surface (SURVEY §2.5): everything the reference lacks and
+  * Spark gives for free — scans, filters, joins of all kinds, aggregates,
+  * windows, sorts, set ops, scalar functions — declared via the DataFrame
+  * API so Catalyst does pushdown/pruning/join-selection.
+  *
+  * Numeric discipline: money doubles are cast to small-precision decimals
+  * *before* arithmetic, so aggregation is exact, order-independent and
+  * bit-identical to the DuckDB oracle (double summation would be
+  * order-dependent). Raw untouched doubles are safe to output (both
+  * engines read the same parquet bits).
+  */
+object Relational {
+
+  private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
+    c.cast(DecimalType(p, s))
+
+  /** TPC-H Q1-style pricing summary: filter → groupBy → exact decimal
+    * aggregates. Predicate + column pruning reach the parquet scan. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"), 4, 2)))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q6-style: tight filter + single exact aggregate — the plan
+    * must show PushedFilters on the parquet scan. */
+  def revenueForecast(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"), 4, 2))
+        .cast("double").as("revenue"))
+
+  /** TPC-H Q3-style: 3-way join → agg → top-k with deterministic
+    * tie-break. Customer side is broadcast-eligible. */
+  def joinTopK(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = table(spark, dir, "orders")
+    val l = table(spark, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"), 4, 2)))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Semi join (EXISTS): orders having at least one heavy lineitem. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val heavy = table(spark, dir, "lineitem").filter(col("l_quantity") >= 48)
+    table(spark, dir, "orders")
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Anti join (NOT EXISTS): suppliers with no late-window shipments. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val late = table(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 49 && col("l_discount") >= 0.08 &&
+        col("l_shipdate") >= lit("2000-01-01"))
+    table(spark, dir, "supplier")
+      .join(late, col("s_suppkey") === col("l_suppkey"), "left_anti")
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Left outer join preserving zero-order customers. */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    table(spark, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+  }
+
+  /** TPC-H Q5-style 6-way join: revenue per nation in one region.
+    * Dimension chain (region→nation) broadcasts; fact joins shuffle on
+    * their keys with AQE free to re-plan. */
+  def multiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = table(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = table(spark, dir, "nation")
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+    val l = table(spark, dir, "lineitem")
+    val s = table(spark, dir, "supplier")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"), 4, 2)))
+        .cast("double").as("revenue"))
+  }
+
+  /** Analytic window: top-3 orders by totalprice per customer (raw
+    * doubles — no arithmetic, so bit-exact vs the oracle). */
+  def windowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    table(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** Running (cumulative) sum per customer in date order. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+  }
+
+  /** Event-time tumbling window (daily) over the event stream: the batch
+    * twin of a watermarked streaming window aggregation. */
+  def eventTumble(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("users"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+
+  /** Set operations: intersect / except / union over key sets. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val withOrders = table(spark, dir, "orders")
+      .select(col("o_custkey").as("k")).distinct()
+    val building = table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    withOrders.intersect(building).withColumn("tag", lit("both"))
+      .unionByName(building.except(withOrders).withColumn("tag", lit("no_orders")))
+  }
+
+  /** Scalar function sampler: string/date/math built-ins, one row per
+    * part (floor/ceil instead of round — round on binary doubles is
+    * engine-dependent at representation boundaries). */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("uname"),
+      substring(col("p_type"), 1, 5).as("type5"),
+      length(col("p_name")).as("name_len"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+      (col("p_size") % 7).as("size_mod"),
+      floor(col("p_retailprice")).as("price_floor"),
+      ceil(col("p_retailprice")).as("price_ceil"),
+      when(col("p_size") > 25, lit("L")).otherwise(lit("S")).as("size_class"))
+
+  /** As-of join (custom operator — Spark lacks it): for each lineitem,
+    * the most recent *earlier* shipment by the same supplier. Output only
+    * the matched time so tie-break among equal-time candidates is
+    * immaterial. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_shipdate"))
+    AsOfJoin.leftAsOf(
+      left = l, right = l.withColumnRenamed("l_shipdate", "prev_shipdate")
+        .select(col("l_suppkey"), col("prev_shipdate")),
+      leftKey = "l_suppkey", rightKey = "l_suppkey",
+      leftTime = unix_micros(col("l_shipdate").cast("timestamp_ltz")),
+      rightTime = unix_micros(col("prev_shipdate").cast("timestamp_ltz")),
+      tieBreak = "prev_shipdate", strict = true)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        date_format(col("prev_shipdate"), "yyyy-MM-dd").as("prev_ship"))
+  }
+
+  /** Rollup (hierarchical grouping sets). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val n = table(spark, dir, "nation")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("c_acctbal"))).cast("double").as("bal"))
+  }
+
+  /** Exact distinct aggregation. */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("distinct_users"),
+        count(lit(1)).as("cnt"))
+
+  /** Semi-structured extraction: pull the integer out of the JSON props
+    * column (regex form is portable to the oracle). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+        count(lit(1)).as("cnt"))
+}
