@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{GokaQueries, Relational}
+import graft.queries.{GokaQueries, PipelineQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,18 @@ object SparkEntry {
     "q14_rollup" -> (Relational.rollupAgg _),
     "q15_distinct_agg" -> (Relational.distinctAgg _),
     "q16_json_extract" -> (Relational.jsonExtract _),
+    "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
+    "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
+    "d03_simhash" -> (PipelineQueries.simhash _),
+    "d04_ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
+    "d05_embed_neardup" -> (PipelineQueries.embedNearDup _),
+    "s01_ann_topk" -> (PipelineQueries.annTopK _),
+    "s02_ann_lsh" -> (PipelineQueries.annLsh _),
+    "t01_langid" -> (PipelineQueries.langId _),
+    "t02_quality" -> (PipelineQueries.quality _),
+    "t03_token_stats" -> (PipelineQueries.tokenStats _),
+    "t04_fingerprint" -> (PipelineQueries.fingerprint _),
+    "m01_multimodal" -> (PipelineQueries.multimodal _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -229,5 +241,137 @@ object SparkEntry {
            max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k,
            count(*) AS cnt
          FROM events GROUP BY event_type""",
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS cnt
+         FROM documents GROUP BY md5(text)""",
+    "d02_minhash_lsh" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         h AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS hw FROM sh),
+         mh AS (SELECT doc_id, j, min(((2*j+1)*hw + j*12345) % 4294967311) AS mv
+                FROM h, generate_series(0,15) t(j) GROUP BY doc_id, j),
+         bands AS (SELECT doc_id, j//4 AS band,
+                     string_agg(mv, ',' ORDER BY j) AS sig
+                   FROM mh GROUP BY doc_id, j//4)
+         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""",
+    "d03_simhash" -> simhashOracleSql,
+    "d04_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+         SELECT da, db, jaccard FROM (
+           SELECT da, db, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard
+           FROM inter JOIN sizes sa ON da = sa.doc_id
+                      JOIN sizes sb ON db = sb.doc_id)
+         WHERE jaccard >= 0.8""",
+    "d05_embed_neardup" ->
+      s"""WITH pre AS ($embPreSql)
+         SELECT va, vb, cos FROM (
+           SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(a.v) x, unnest(b.v) y)) AS DOUBLE)
+               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+           FROM pre a JOIN pre b ON a.vec_id < b.vec_id)
+         WHERE cos >= 0.45""",
+    "s01_ann_topk" ->
+      s"""WITH pre AS ($embPreSql),
+         sims AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS DOUBLE)
+               / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+           FROM pre q JOIN pre c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10)
+         SELECT qid, nid, cos, rank FROM (
+           SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           FROM sims)
+         WHERE rank <= 10""",
+    "t01_langid" ->
+      s"""SELECT doc_id, lang, CASE
+           WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           WHEN s_fr >= s_zh THEN 'fr'
+           ELSE 'zh' END AS pred
+         FROM (SELECT doc_id, lang,
+           ${langScoreSql("en")} AS s_en, ${langScoreSql("es")} AS s_es,
+           ${langScoreSql("de")} AS s_de, ${langScoreSql("fr")} AS s_fr,
+           ${langScoreSql("zh")} AS s_zh
+           FROM (SELECT doc_id, lang, string_split(lower(text),' ') AS w
+                 FROM documents))""",
+    "t02_quality" ->
+      s"""SELECT doc_id, n_chars, n_words, avg_word_len, stopword_ratio,
+           digit_ratio, punct_ratio,
+           stopword_ratio*2.0 + avg_word_len*0.1 - digit_ratio*1.0
+             - punct_ratio*1.0 AS quality
+         FROM (SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+           CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+             / len(string_split(text,' ')) AS avg_word_len,
+           CAST(${langScoreSql("en", "string_split(lower(text),' ')")} AS DOUBLE)
+             / len(string_split(text,' ')) AS stopword_ratio,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / length(text) AS digit_ratio,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio
+           FROM documents)""",
+    "t03_token_stats" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+             AS bpeish_tokens
+         FROM documents""",
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+           substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
+         FROM documents""",
+    "m01_multimodal" ->
+      """SELECT doc_id AS id, 'raw' AS format,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+           CAST(ascii(text) AS BIGINT) AS feat0
+         FROM documents""",
   )
+
+  /** 60-term SimHash oracle, generated to mirror Dedup.simhash exactly. */
+  private def simhashOracleSql: String = {
+    val bitSums = (0 until 60)
+      .map(i => s"sum((hw >> $i) & 1) AS c$i").mkString(", ")
+    val simTerms = (0 until 60)
+      .map(i => s"CASE WHEN 2*c$i > n THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+                     FROM documents),
+       h AS (SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT AS hw FROM tok),
+       agg AS (SELECT doc_id, count(*) AS n, $bitSums FROM h GROUP BY doc_id)
+       SELECT doc_id, CAST($simTerms AS BIGINT) AS simhash FROM agg"""
+  }
+
+  /** Int-scaled embedding preprocessing shared by the vector oracles. */
+  private def embPreSql: String =
+    """SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v,
+         (SELECT sum(e*e) FROM unnest(
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT))) t(e)) AS n2
+       FROM embeddings"""
+
+  private def langScoreSql(lang: String, wordsExpr: String = "w"): String = {
+    val words = graft.ops.TextAnalysis.stopwords(lang)
+      .map(w => s"'$w'").mkString(",")
+    s"len(list_filter($wordsExpr, x -> x IN ($words)))"
+  }
 }

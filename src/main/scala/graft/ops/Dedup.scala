@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashes._
+
+/** Document deduplication for training-data pipelines, at 100 TB scale:
+  *
+  *  - exact: one hash-groupBy (single shuffle on the fingerprint);
+  *  - MinHash+LSH: shingle → k minhashes (conditional aggregation, NO
+  *    k-way row explosion) → banded signatures → bucket self-join. Only
+  *    bucket collisions are ever paired, so cost is O(candidates), not
+  *    O(n²);
+  *  - SimHash: 60-bit signature via one aggregation with 60 conditional
+  *    sums (again no bit-explosion), banded pairing exact for hamming ≤
+  *    bands-1;
+  *  - n-gram Jaccard: exact similarity via shared-shingle equi-join —
+  *    the verification stage downstream of LSH candidates.
+  *
+  * All hashing is md5-based ([[graft.functions.Hashes]]) so results are
+  * engine-portable and oracle-checkable.
+  */
+object Dedup {
+
+  /** Exact dedup groups: fingerprint → representative (min id) + size. */
+  def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(md5(text).as("fp"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("cnt"))
+
+  /** Distinct word n-gram shingles: (id, shingle). */
+  def shingles(df: DataFrame, text: Column, id: Column, n: Int): DataFrame = {
+    val w = split(text, " ")
+    df.select(id.as("doc_id"),
+      explode(transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+        i => concat_ws(" ", slice(w, i, lit(n))))).as("s"))
+      .distinct()
+  }
+
+  /** MinHash signatures: one row per doc with k minhash columns
+    * mh0..mh{k-1}. Single shuffle; the k permutations are evaluated as k
+    * conditional aggregates over the shingle hash — no explode. */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val h = sh.select(col("doc_id"), h32(col("s")).as("hw"))
+    h.groupBy(col("doc_id"))
+      .agg(min(minhashPerm(col("hw"), 0)).as("mh0"),
+        (1 until k).map(j => min(minhashPerm(col("hw"), j)).as(s"mh$j")): _*)
+  }
+
+  /** LSH candidate pairs: band the k signatures into `bands` groups of
+    * k/bands, bucket by (band, signature), pair within buckets. Exact
+    * replication of the signature string lets the oracle reproduce it. */
+  def minhashCandidates(df: DataFrame, text: Column, id: Column,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = bands
+    val perBand = k / bands
+    val sig = minhashSignatures(shingles(df, text, id, shingleN), k)
+    val banded = sig.select(col("doc_id"), explode(array(
+      (0 until rows).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until perBand).map(r => col(s"mh${b * perBand + r}")): _*)
+            .as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** 60-bit SimHash per doc over its distinct whitespace tokens: bit i is
+    * set iff more than half the tokens have bit i set in their 60-bit
+    * hash. One aggregation, 60 conditional sums. */
+  def simhash(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val tokens = df.select(id.as("doc_id"),
+      explode(split(text, " ")).as("w")).distinct()
+    val h = tokens.select(col("doc_id"), h60(col("w")).as("hw"))
+    val bitSums = (0 until 60).map(i =>
+      sum(shiftright(col("hw"), i).bitwiseAND(lit(1L))).as(s"c$i"))
+    val agg = h.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sim = (0 until 60).map(i =>
+      when(col(s"c$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist, found by
+    * banding the 60 bits into `bands` chunks — exact (pigeonhole) for
+    * maxDist < bands, so no brute-force n² pass. */
+  def simhashPairs(sims: DataFrame, maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxDist < bands, "banded pairing is exact only for maxDist < bands")
+    val chunkBits = 60 / bands
+    val banded = sims.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)).as("chunk"))
+      }: _*)).as("bc"))
+      .select(col("doc_id"), col("simhash"), col("bc.band").as("band"),
+        col("bc.chunk").as("chunk"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle. */
+  def jaccardPairs(df: DataFrame, text: Column, id: Column,
+      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(df, text, id, shingleN)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads ride through
+  * the engine as opaque `BINARY` columns with typed metadata, decoded /
+  * feature-extracted in distributed batches via `mapPartitions`.
+  *
+  * The Spark-side plumbing (schema, partitioning, batch iteration,
+  * decoder plug-point) is real and tested; the *decoder itself* is a
+  * STUB — this container has no image/audio codecs, so [[StubDecoder]]
+  * produces deterministic fake features from the raw bytes. Swap in a
+  * real decoder (JNI/javacpp ffmpeg, ImageIO, ...) behind the same
+  * trait for production.
+  */
+object Multimodal {
+
+  /** One decoded media record. `features` is the stand-in for the
+    * resize/frame-sample/embedding output of a real decoder. */
+  final case class Decoded(
+      format: String,
+      nBytes: Long,
+      width: Int,
+      height: Int,
+      feat0: Long)
+
+  /** Decoder plug-point. Implementations must be deterministic per byte
+    * array (Spark may re-execute partitions on retry). */
+  trait MediaDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): Decoded
+  }
+
+  /** STUB: deterministic pseudo-decode from the raw bytes only.
+    * Sniffs a few real magic numbers so the format column exercises the
+    * dispatch path, then fabricates dimensions/features. */
+  object StubDecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte]): Decoded = {
+      val fmt =
+        if (bytes.length >= 3 && bytes(0) == 0xFF.toByte &&
+          bytes(1) == 0xD8.toByte) "jpeg"
+        else if (bytes.length >= 4 && bytes(0) == 0x89.toByte &&
+          bytes(1) == 'P'.toByte) "png"
+        else "raw"
+      Decoded(
+        format = fmt,
+        nBytes = bytes.length.toLong,
+        width = (bytes.length % 640).toInt,
+        height = (bytes.length % 480).toInt,
+        feat0 = if (bytes.isEmpty) 0L else (bytes(0) & 0xFF).toLong)
+    }
+  }
+
+  /** Decode a binary column in distributed batches: one decoder instance
+    * per partition (decoders are usually expensive to initialize —
+    * mirror of the Pandas-UDF batch pattern), rows streamed through it.
+    * Output: (id, format, n_bytes, width, height, feat0). */
+  def decodeBatch(df: DataFrame, id: Column, blob: Column,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val in = df.select(id.cast("long").as("id"), blob.as("blob"))
+    val enc = Encoders.product[(Long, String, Long, Int, Int, Long)]
+    in.as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        // per-partition decoder init happens here (stub is stateless)
+        val d = decoder
+        rows.map { case (i, bytes) =>
+          val r = d.decode(if (bytes == null) Array.emptyByteArray else bytes)
+          (i, r.format, r.nBytes, r.width, r.height, r.feat0)
+        }
+      }(enc)
+      .toDF("id", "format", "n_bytes", "width", "height", "feat0")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashes._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting. Pure Catalyst
+  * expressions (split/filter/regexp) — codegen'd, no UDFs, and every
+  * computation is replicable in the SQL oracle. */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic
+    * language classifier. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "in", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+
+  private def stopCount(words: Column, lang: String): Column =
+    size(filter(words, w =>
+      w.isInCollection(stopwords(lang))))
+
+  /** Stopword-vote language ID: score each language by stopword hits;
+    * argmax with fixed priority order (en,es,de,fr,zh) for determinism. */
+  def langId(text: Column): Column = {
+    val words = split(lower(text), " ")
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    val scores = langs.map(l => l -> stopCount(words, l)).toMap
+    // en wins ties (priority order = declaration order)
+    langs.tail.foldLeft[(Column, Column)]((lit("en"), scores("en"))) {
+      case ((bestLang, bestScore), l) =>
+        (when(scores(l) > bestScore, lit(l)).otherwise(bestLang),
+          when(scores(l) > bestScore, scores(l)).otherwise(bestScore))
+    }._1
+  }
+
+  /** Heuristic quality metrics + composite score. All ratios are
+    * IEEE-deterministic given the same integer counts. */
+  def qualityMetrics(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val words = split(text, " ")
+    val nChars = length(text)
+    val nWords = size(words)
+    val stopHits = size(filter(split(lower(text), " "), w =>
+      w.isInCollection(stopwords("en"))))
+    val nDigits = length(regexp_replace(text, "[^0-9]", ""))
+    val nPunct = length(regexp_replace(text, "[A-Za-z0-9 ]", ""))
+    df.select(
+      id.as("doc_id"),
+      nChars.cast("long").as("n_chars"),
+      nWords.cast("long").as("n_words"),
+      ((nChars - nWords + 1).cast("double") / nWords.cast("double"))
+        .as("avg_word_len"),
+      (stopHits.cast("double") / nWords.cast("double")).as("stopword_ratio"),
+      (nDigits.cast("double") / nChars.cast("double")).as("digit_ratio"),
+      (nPunct.cast("double") / nChars.cast("double")).as("punct_ratio"))
+      .withColumn("quality",
+        col("stopword_ratio") * lit(2.0) +
+          col("avg_word_len") * lit(0.1) -
+          col("digit_ratio") * lit(1.0) -
+          col("punct_ratio") * lit(1.0))
+  }
+
+  /** Token counts: whitespace tokens + BPE-ish regex tokens
+    * (letter-runs / digit-runs / single non-alnum marks). */
+  def tokenStats(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      size(split(text, " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"),
+        lit(0))).cast("long").as("bpeish_tokens"))
+
+  /** 64-hex-char-free fingerprint: md5 of normalized text (16-hex prefix
+    * kept as the join/dedup key). */
+  def fingerprint(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"),
+      substring(contentFingerprint(text), 1, 16).as("fp"))
+}

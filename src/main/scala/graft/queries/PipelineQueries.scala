@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.sources.Sources.table
+
+/** Training-data pipeline operators over the `documents` and
+  * `embeddings` fixtures: deduplication (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard / embedding cosine), similarity search (brute-force +
+  * LSH ANN), text analysis, multimodal decode plumbing. */
+object PipelineQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(spark, dir), col("text"), col("doc_id"))
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(docs(spark, dir), col("text"), col("doc_id"))
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(spark, dir), col("text"), col("doc_id"))
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+      Dedup.simhash(docs(spark, dir), col("text"), col("doc_id")))
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docs(spark, dir), col("text"), col("doc_id"))
+
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Vectors.nearDupPairs(embs(spark, dir), col("vec_id"), col("embedding"),
+      threshold = 0.45)
+
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.annTopK(e, e.filter(col("vec_id") < 10), col("vec_id"),
+      col("embedding"), k = 10)
+  }
+
+  /** LSH-bucketed ANN — the 100 TB scale path. Approximate (bucket
+    * recall), so rows-only checked: no oracle entry. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.annLshTopK(e, e.filter(col("vec_id") < 10), col("vec_id"),
+      col("embedding"), k = 10)
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), col("lang"),
+      TextAnalysis.langId(col("text")).as("pred"))
+
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityMetrics(docs(spark, dir), col("text"), col("doc_id"))
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(docs(spark, dir), col("text"), col("doc_id"))
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(docs(spark, dir), col("text"), col("doc_id"))
+
+  /** Multimodal plumbing: text bytes stand in for media blobs; the
+    * decode stage runs the per-partition batch decoder (stub). */
+  def multimodal(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeBatch(
+      docs(spark, dir).withColumn("blob", col("text").cast("binary")),
+      col("doc_id"), col("blob"))
+}
