@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{GokaQueries, PipelineQueries, Relational}
+import graft.queries.{GokaQueries, PipelineQueries, Relational, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +60,8 @@ object SparkEntry {
     "t03_token_stats" -> (PipelineQueries.tokenStats _),
     "t04_fingerprint" -> (PipelineQueries.fingerprint _),
     "m01_multimodal" -> (PipelineQueries.multimodal _),
+    "st01_stream_count" -> (StreamingQueries.streamCount _),
+    "st02_stream_tumble" -> (StreamingQueries.streamTumble _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -343,6 +345,14 @@ object SparkEntry {
            CAST(octet_length(encode(text)) % 480 AS INT) AS height,
            CAST(ascii(text) AS BIGINT) AS feat0
          FROM documents""",
+    "st01_stream_count" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+         FROM events GROUP BY user_id""",
+    "st02_stream_tumble" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
   )
 
   /** 60-term SimHash oracle, generated to mirror Dedup.simhash exactly. */

@@ -42,32 +42,34 @@ object Codecs {
       java.nio.ByteBuffer.wrap(data).getDouble
   }
 
-  /** Minimal deterministic "JSON-ish" codec for flat string maps — the
-    * reference's real apps use JSON struct codecs
-    * (`/root/reference/examples/2-clicks/main.go:41-59`); for typed
-    * application state prefer a case-class codec via [[kryoLike]] or a
-    * hand-rolled one. Keys are sorted so encoding is deterministic. */
+  /** Deterministic codec for flat string maps — the reference's real
+    * apps use JSON struct codecs
+    * (`/root/reference/examples/2-clicks/main.go:41-59`). Length-prefixed
+    * (`<len>:<utf8>` per key and value, keys sorted) so arbitrary
+    * content round-trips without escaping ambiguity. */
   object StringMapCodec extends Codec[Map[String, String]] {
     def encode(value: Map[String, String]): Array[Byte] = {
       val sb = new StringBuilder
       value.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        if (sb.nonEmpty) sb.append('\u0001')
-        sb.append(esc(k)).append('\u0002').append(esc(v))
+        sb.append(k.length).append(':').append(k)
+        sb.append(v.length).append(':').append(v)
       }
       sb.toString.getBytes(UTF_8)
     }
     def decode(data: Array[Byte]): Map[String, String] = {
       val s = new String(data, UTF_8)
-      if (s.isEmpty) Map.empty
-      else s.split('\u0001').iterator.map { kv =>
-        val Array(k, v) = kv.split('\u0002').padTo(2, "")
-        unesc(k) -> unesc(v)
-      }.toMap
+      val out = Map.newBuilder[String, String]
+      var i = 0
+      def readOne(): String = {
+        val colon = s.indexOf(':', i)
+        val len = s.substring(i, colon).toInt
+        val v = s.substring(colon + 1, colon + 1 + len)
+        i = colon + 1 + len
+        v
+      }
+      while (i < s.length) out += (readOne() -> readOne())
+      out.result()
     }
-    private def esc(s: String) =
-      s.replace("\\", "\\\\").replace("\u0001", "\\1").replace("\u0002", "\\2")
-    private def unesc(s: String) =
-      s.replace("\\2", "\u0002").replace("\\1", "\u0001").replace("\\\\", "\\")
   }
 
   /** Java-serialization codec for arbitrary case classes — convenient in

@@ -222,8 +222,9 @@ object BatchExecutor {
 
   /** Streams key-clustered, ordered rows; runs callbacks; flushes one
     * state row per key on key change. Pull-based so emissions flow out
-    * without materializing a partition in memory. */
-  private final class FoldIterator(
+    * without materializing a partition in memory. Shared with
+    * [[graft.streaming.StreamExecutor]] (per key+batch) and the Tester. */
+  private[graft] final class FoldIterator(
       graph: GroupGraph,
       nilHandling: NilHandling,
       lookups: Map[String, Map[String, Array[Byte]]],

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.core.TableRow
+
+class ViewSpec extends AnyFunSuite with SparkFixture {
+
+  private def view = {
+    import spark.implicits._
+    new View(spark.createDataset(Seq(
+      TableRow("apple", "1".getBytes), TableRow("banana", "2".getBytes),
+      TableRow("apricot", "3".getBytes), TableRow("cherry", "4".getBytes))))
+  }
+
+  test("point get and has (view.go:333-371)") {
+    assert(view.get("banana").map(new String(_)) == Some("2"))
+    assert(view.get("nope").isEmpty)
+    assert(view.has("apple") && !view.has("zzz"))
+  }
+
+  test("full iteration in lex key order (merge_iterator.go:45-124)") {
+    assert(view.iterator.collect().map(_.key).toSeq ==
+      Seq("apple", "apricot", "banana", "cherry"))
+  }
+
+  test("range [start, limit) ordered (view.go:396-417)") {
+    assert(view.range("apple", "banana").collect().map(_.key).toSeq ==
+      Seq("apple", "apricot"))
+    assert(view.range("b", "").collect().map(_.key).toSeq ==
+      Seq("banana", "cherry"))
+  }
+
+  test("prefix scan (storage/memory.go:154-170)") {
+    assert(view.prefix("ap").collect().map(_.key).toSeq ==
+      Seq("apple", "apricot"))
+  }
+
+  test("seek repositions at >= key (iterator.go:66-68)") {
+    assert(view.seek("b").collect().map(_.key).toSeq ==
+      Seq("banana", "cherry"))
+  }
+}

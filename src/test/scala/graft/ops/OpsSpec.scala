@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+class OpsSpec extends AnyFunSuite with SparkFixture {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+      (4L, "completely different words entirely here now today friends"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups duplicates under one fingerprint") {
+    val g = Dedup.exactGroups(docs, col("text"), col("doc_id")).collect()
+    assert(g.length == 3)
+    val dup = g.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // keeps min doc_id
+  }
+
+  test("minhash LSH pairs exact + near duplicates, not distinct docs") {
+    val pairs = Dedup.minhashCandidates(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical docs always collide
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard: identical docs = 1.0; near dups high; distinct absent") {
+    val j = Dedup.jaccardPairs(docs, col("text"), col("doc_id"),
+      threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
+    assert(!j.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs share signature; pairs found at dist<=3") {
+    val sims = Dedup.simhash(docs, col("text"), col("doc_id"))
+    val m = sims.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m(1L) == m(2L))
+    val pairs = Dedup.simhashPairs(sims).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("cosine: identical vectors 1.0, orthogonal 0.0; topk excludes self") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Vectors.nearDupPairs(vecs, col("vec_id"), col("embedding"), 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    val topk = Vectors.annTopK(vecs, vecs.filter($"vec_id" === 1L),
+      col("vec_id"), col("embedding"), 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(topk.toSeq.sortBy(_._2) == Seq((2L, 1), (3L, 2)))
+  }
+
+  test("LSH ANN buckets identical vectors together") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)),
+      (3L, Array.fill(8)(-0.5f)))
+      .toDF("vec_id", "embedding")
+    val b = Vectors.annLshBuckets(vecs, col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(b(1L) == b(2L))
+    assert(b(1L) != b(3L))
+  }
+
+  test("language id votes stopwords; quality/token metrics sane") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "el gato que esta en la casa y el perro"))
+      .toDF("doc_id", "text")
+    val pred = d.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(pred(1L) == "en" && pred(2L) == "es")
+    val q = TextAnalysis.qualityMetrics(d, col("text"), col("doc_id"))
+      .filter(col("doc_id") === 1L).head()
+    assert(q.getAs[Long]("n_words") == 10L)
+    val t = TextAnalysis.tokenStats(d, col("text"), col("doc_id"))
+      .filter(col("doc_id") === 1L).head()
+    assert(t.getAs[Long]("ws_tokens") == 10L)
+    assert(t.getAs[Long]("bpeish_tokens") == 10L)
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    import spark.implicits._
+    val d = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(d, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("multimodal stub decode: magic sniffing + deterministic features") {
+    import spark.implicits._
+    val jpeg = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0x00.toByte)
+    val d = Seq((1L, jpeg), (2L, "plain".getBytes("UTF-8")))
+      .toDF("doc_id", "blob")
+    val rows = Multimodal.decodeBatch(d, col("doc_id"), col("blob"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(5))))
+      .toMap
+    assert(rows(1L) == (("jpeg", 4L, 255L)))
+    assert(rows(2L) == (("raw", 5L, 'p'.toLong)))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.core._
+import graft.core.Codecs._
+import graft.operators.BatchExecutor.SinkTable
+
+class StreamExecutorSpec extends AnyFunSuite with SparkFixture {
+
+  private def counterGraph = GroupGraph.define("scount")(
+    Input("in", StringCodec, ProcessCallback { (ctx, _) =>
+      val c = ctx.value match { case null => 0L; case n: Long => n }
+      ctx.setValue(c + 1L)
+    }),
+    Persist(Int64Codec))
+
+  private def msg(key: String, value: String, offset: Long): Message =
+    Message(key, value.getBytes("UTF-8"), "in", 0, offset,
+      new Timestamp(offset * 1000), Map.empty)
+
+  test("state carries across micro-batches; changelog upserts per batch") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Message]
+    val out = new StreamExecutor(counterGraph).run(spark, ms.toDS())
+    val q = out.filter(_.sink == SinkTable)
+      .map(e => (e.key, Int64Codec.decode(e.value)))
+      .toDF("key", "cnt")
+      .writeStream.format("memory").queryName("sspec1")
+      .outputMode("update").start()
+    try {
+      ms.addData(msg("a", "1", 1), msg("a", "2", 2), msg("b", "3", 3))
+      q.processAllAvailable()
+      ms.addData(msg("a", "4", 4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sspec1").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // batch1: a->2, b->1; batch2: a->3
+    assert(rows.toSet == Set(("a", 2L), ("b", 1L), ("a", 3L)))
+  }
+
+  test("tombstones remove streaming state") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val g = GroupGraph.define("stomb")(
+      Input("in", StringCodec, ProcessCallback { (c, m) =>
+        if (m == "DEL") c.delete() else c.setValue(m)
+      }),
+      Persist(StringCodec))
+    val ms = MemoryStream[Message]
+    val out = new StreamExecutor(g).run(spark, ms.toDS())
+    val q = out.filter(_.sink == SinkTable)
+      .map(e => (e.key, Option(e.value).map(new String(_, "UTF-8"))))
+      .toDF("key", "v")
+      .writeStream.format("memory").queryName("sspec2")
+      .outputMode("update").start()
+    try {
+      ms.addData(msg("k", "v1", 1)); q.processAllAvailable()
+      ms.addData(msg("k", "DEL", 2)); q.processAllAvailable()
+      ms.addData(msg("k", "v2", 3)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sspec2").collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(rows.toSeq.sortBy(_._2.getOrElse("")) ==
+      Seq(("k", None), ("k", Some("v1")), ("k", Some("v2"))))
+  }
+
+  test("loop edge is rejected in streaming mode") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val g = GroupGraph.define("sloop")(
+      Input("in", StringCodec, ProcessCallback { (c, m) => c.loopback("x", m) }),
+      Loop(StringCodec, ProcessCallback { (_, _) => () }))
+    val ms = MemoryStream[Message]
+    assertThrows[IllegalArgumentException] {
+      new StreamExecutor(g).run(spark, ms.toDS())
+    }
+  }
+
+  test("streaming and batch executors agree on final state") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val work = (1 to 40).map(i => msg(s"k${i % 7}", s"v$i", i.toLong))
+    val ms = MemoryStream[Message]
+    val out = new StreamExecutor(counterGraph).run(spark, ms.toDS())
+    val q = out.filter(_.sink == SinkTable)
+      .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "cnt")
+      .writeStream.format("memory").queryName("sspec3")
+      .outputMode("update").start()
+    try {
+      work.grouped(13).foreach { batch =>
+        ms.addData(batch); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamFinal = spark.table("sspec3").groupBy($"key")
+      .agg(org.apache.spark.sql.functions.max($"cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batchRes = new graft.operators.BatchExecutor(counterGraph)
+      .run(spark, Map("in" -> spark.createDataset(work)))
+    val batchFinal = batchRes.table.collect()
+      .map(r => (r.key, Int64Codec.decode(r.value))).toMap
+    assert(streamFinal == batchFinal)
+  }
+}
