@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.core.Codecs._
+import graft.core._
+import graft.operators.BatchExecutor
+
+/** Emitter lifecycle (emitter.go:28-130) + end-to-end into a processor:
+  * the reference's README flow — emit, process, read the table. */
+class EmitterSpec extends AnyFunSuite with SparkFixture {
+
+  test("emit buffers, finish resolves promises and yields the stream") {
+    val em = new Emitter[String]("clicks", StringCodec)
+    val f1 = em.emit("u1", "a")
+    em.emitSync("u2", "b")
+    em.emitSync("u1", "c")
+    assert(!f1.isCompleted)
+    val ds = em.finish(spark)
+    assert(f1.isCompleted)
+    val msgs = ds.collect()
+    assert(msgs.length == 3)
+    assert(msgs.map(_.topic).toSet == Set("clicks"))
+    // offsets are monotone per emitter => replay order is deterministic
+    assert(msgs.sortBy(_.offset).map(m => new String(m.value, "UTF-8")).toSeq
+      == Seq("a", "b", "c"))
+    assertThrows[IllegalArgumentException](em.emitSync("u1", "d"))
+  }
+
+  test("emitted stream drives a processor to the expected table") {
+    val em = new Emitter[String]("clicks", StringCodec)
+    (1 to 5).foreach(i => em.emitSync(s"u${i % 2}", s"c$i"))
+    val graph = GroupGraph.define("clickcount")(
+      Input("clicks", StringCodec, ProcessCallback { (ctx, _) =>
+        val c = ctx.value match { case null => 0L; case n: Long => n }
+        ctx.setValue(c + 1L)
+      }),
+      Persist(Int64Codec))
+    val res = new BatchExecutor(graph)
+      .run(spark, Map("clicks" -> em.finish(spark)))
+    val t = res.table.collect().map(r => r.key -> Int64Codec.decode(r.value)).toMap
+    assert(t == Map("u0" -> 2L, "u1" -> 3L))
+  }
+}
