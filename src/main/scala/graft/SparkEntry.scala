@@ -59,6 +59,7 @@ object SparkEntry {
     "t02_quality" -> (PipelineQueries.quality _),
     "t03_token_stats" -> (PipelineQueries.tokenStats _),
     "t04_fingerprint" -> (PipelineQueries.fingerprint _),
+    "t05_rolling_fp" -> (PipelineQueries.rollingFingerprint _),
     "m01_multimodal" -> (PipelineQueries.multimodal _),
     "st01_stream_count" -> (StreamingQueries.streamCount _),
     "st02_stream_tumble" -> (StreamingQueries.streamTumble _),
@@ -345,6 +346,33 @@ object SparkEntry {
            CAST(octet_length(encode(text)) % 480 AS INT) AS height,
            CAST(ascii(text) AS BIGINT) AS feat0
          FROM documents""",
+    "s02_ann_lsh" ->
+      s"""WITH pre AS ($embPreSql),
+         planes AS (
+           SELECT p, d,
+             ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR),1,8))::BIGINT
+               - 2147483648 AS coef
+           FROM generate_series(0,7) tp(p), generate_series(0,63) td(d)),
+         buckets AS (
+           SELECT vec_id,
+             sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           FROM (SELECT pr.vec_id, pl.p, sum(pr.v[pl.d+1] * pl.coef) AS dot
+                 FROM pre pr, planes pl GROUP BY pr.vec_id, pl.p)
+           GROUP BY vec_id),
+         sims AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(qp.v) x, unnest(cp.v) y)) AS DOUBLE)
+               / (sqrt(CAST(qp.n2 AS DOUBLE)) * sqrt(CAST(cp.n2 AS DOUBLE))) AS cos
+           FROM buckets q JOIN buckets c
+             ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+             JOIN pre qp ON qp.vec_id = q.vec_id
+             JOIN pre cp ON cp.vec_id = c.vec_id
+           WHERE q.vec_id < 10)
+         SELECT qid, nid, cos, rank FROM (
+           SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           FROM sims)
+         WHERE rank <= 10""",
     "st01_stream_count" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
          FROM events GROUP BY user_id""",

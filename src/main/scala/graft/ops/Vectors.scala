@@ -88,29 +88,34 @@ object Vectors {
       .filter(col("rank") <= k)
   }
 
+  /** md5-derived integer hyperplane coefficient for (plane, dim):
+    * first 8 hex chars of md5("p_d") minus 2^31 — centered, exact.
+    * Engine-portable: `('0x'||substr(md5(p||'_'||d),1,8))::BIGINT -
+    * 2147483648` in the oracle. */
+  def planeCoef(p: Int, d: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$d".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) - 2147483648L
+  }
+
   /** Random-hyperplane LSH bucket id per vector: `nPlanes` deterministic
-    * pseudo-random hyperplanes (md5-derived coefficients in [-0.5, 0.5)),
-    * bucket = sign-bit string. Vectors in the same bucket are ANN
-    * candidates; probe cost drops from O(N) to O(N / 2^nPlanes) per
-    * query. Recall is tunable via nPlanes / multi-probe. */
+    * md5-derived *integer* hyperplanes against the int-scaled vector, so
+    * the sign test is exact int64 arithmetic — order-independent and
+    * bit-identical in any engine (a float dot near zero would make the
+    * bucket bit nondeterministic across engines). Vectors in the same
+    * bucket are ANN candidates; probe cost drops from O(N) to
+    * O(N / 2^nPlanes) per query. Recall tunable via nPlanes/multi-probe.
+    * Overflow headroom: |coef| < 2^31, |iv| ≤ 2^20ish, dims ≤ ~1000 →
+    * |dot| < 2^62. */
   def annLshBuckets(df: DataFrame, id: Column, emb: Column,
       nPlanes: Int = 8): DataFrame = {
-    // plane p coefficient for dim d: h32(p || '_' || d)/2^32 - 0.5
     val dims = df.select(size(emb)).head().getInt(0)
-    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
-      (0 until dims).map { d =>
-        // same value the oracle would compute from md5(p || '_' || d)
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"${p}_$d".getBytes("UTF-8"))
-          .take(4).map("%02x".format(_)).mkString
-        java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
-      }
-    }
+    val iv = intScale(emb)
     val bucketBits = (0 until nPlanes).map { p =>
-      val coef = planes(p)
-      val dotP = aggregate(
-        zip_with(emb, typedLit(coef), (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, v) => acc + v)
+      val coef = typedLit((0 until dims).map(d => planeCoef(p, d)))
+      val dotP = aggregate(zip_with(iv, coef, (x, c) => x * c),
+        lit(0L), (acc, v) => acc + v)
       when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.select(id.as("vid"), emb.as("embedding"))

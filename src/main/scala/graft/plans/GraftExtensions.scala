@@ -1,0 +1,36 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.RollingHash
+
+/** Engine SQL surface: registers graft's native expressions so plain
+  * `spark.sql("SELECT graft_rolling_hash(text) ...")` works.
+  *
+  * Use either as a session extension
+  * (`--conf spark.sql.extensions=graft.plans.GraftExtensions`) or
+  * imperatively via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.rollingHashDescriptor)
+  }
+}
+
+object GraftExtensions {
+  private val rollingHashDescriptor = (
+    FunctionIdentifier("graft_rolling_hash"),
+    new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+    (exprs: Seq[Expression]) =>
+      if (exprs.length == 2)
+        RollingHash(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].longValue())
+      else new RollingHash(exprs.head))
+
+  /** Imperative registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling_hash", rollingHashDescriptor._3, "built-in")
+}

@@ -63,6 +63,16 @@ object PipelineQueries {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** Rolling-hash fingerprint via the native codegen expression — the
+    * throughput-path variant of t04 (no SQL oracle: a byte-loop hash is
+    * not expressible in DuckDB; rows-only check + RollingHashSpec). */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    docs(spark, dir).select(col("doc_id"),
+      call_function("graft_rolling_hash",
+        regexp_replace(lower(col("text")), "\\s+", " ")).as("rfp"))
+  }
+
   /** Multimodal plumbing: text bytes stand in for media blobs; the
     * decode stage runs the per-partition batch decoder (stub). */
   def multimodal(spark: SparkSession, dir: String): DataFrame =
