@@ -27,14 +27,21 @@ object Dedup {
     df.groupBy(md5(text).as("fp"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("cnt"))
 
-  /** Distinct word n-gram shingles: (id, shingle). */
-  def shingles(df: DataFrame, text: Column, id: Column, n: Int): DataFrame = {
+  /** Distinct word n-gram shingle array per doc — `array_distinct`
+    * dedupes *within the row*, so no shuffle is spent on `.distinct()`
+    * of the exploded form (at 100 TB that shuffle would move every
+    * shingle of every document). */
+  def shingleArray(text: Column, n: Int): Column = {
     val w = split(text, " ")
-    df.select(id.as("doc_id"),
-      explode(transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
-        i => concat_ws(" ", slice(w, i, lit(n))))).as("s"))
-      .distinct()
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(w, i, lit(n)))))
   }
+
+  /** Distinct word n-gram shingles: (id, shingle). Narrow — the distinct
+    * happens per-row in [[shingleArray]]. */
+  def shingles(df: DataFrame, text: Column, id: Column, n: Int): DataFrame =
+    df.select(id.as("doc_id"), explode(shingleArray(text, n)).as("s"))
 
   /** MinHash signatures: one row per doc with k minhash columns
     * mh0..mh{k-1}. Single shuffle; the k permutations are evaluated as k
@@ -74,7 +81,7 @@ object Dedup {
     * hash. One aggregation, 60 conditional sums. */
   def simhash(df: DataFrame, text: Column, id: Column): DataFrame = {
     val tokens = df.select(id.as("doc_id"),
-      explode(split(text, " ")).as("w")).distinct()
+      explode(array_distinct(split(text, " "))).as("w"))
     val h = tokens.select(col("doc_id"), h60(col("w")).as("hw"))
     val bitSums = (0 until 60).map(i =>
       sum(shiftright(col("hw"), i).bitwiseAND(lit(1L))).as(s"c$i"))
@@ -110,22 +117,27 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
-  /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle. */
+  /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+    * Each exploded shingle row carries its doc's set size (`n` is
+    * constant per doc, computed narrowly via `size(shingle array)`), so
+    * the pair aggregation yields |A∩B|, |A| and |B| in ONE pass — no
+    * per-doc sizes table, no post-join. Two shuffles total (the
+    * shingle equi-join and the pair groupBy), both unavoidable. */
   def jaccardPairs(df: DataFrame, text: Column, id: Column,
       shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(df, text, id, shingleN)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sh = df
+      .select(id.as("doc_id"), shingleArray(text, shingleN).as("sa"))
+      .select(col("doc_id"), size(col("sa")).as("n"),
+        explode(col("sa")).as("s"))
     val a = sh.as("a")
     val b = sh.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") &&
+    a.join(b, col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .agg(count(lit(1)).as("c"),
+        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
       .select(col("da"), col("db"),
-        (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")))
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

@@ -1,9 +1,7 @@
 package graft.queries
 
-import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core._
@@ -12,10 +10,10 @@ import graft.sources.Sources
 import graft.streaming.StreamExecutor
 
 /** Structured Streaming queries, oracle-checked: the events fixture is
-  * replayed through a MemoryStream, processed by the *streaming* engine
-  * (keyed state / watermarked windows), and the materialized result must
-  * hash-match the same DuckDB oracle as its batch twin — proving the two
-  * executors implement identical semantics. */
+  * replayed through the file stream source, processed by the *streaming*
+  * engine (keyed state / watermarked windows), and the materialized
+  * result must hash-match the same DuckDB oracle as its batch twin —
+  * proving the two executors implement identical semantics. */
 object StreamingQueries {
 
   private val nameSeq = new AtomicInteger(0)
@@ -30,49 +28,53 @@ object StreamingQueries {
 
   /** Count-per-key through the streaming executor (keyed state store).
     * Fed in TWO micro-batches so state genuinely carries across batches
-    * — the result still matches the single DuckDB GROUP BY. */
+    * — the result still matches the single DuckDB GROUP BY.
+    *
+    * The fixture is staged (distributed write, once) as two parquet
+    * files and streamed back with `maxFilesPerTrigger=1` — the classic
+    * files-arriving-in-a-directory incremental ingest. No driver-side
+    * collect/MemoryStream: that would serialize the whole fixture into
+    * one task binary, a non-starter at real scale. */
   def streamCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val graph = GroupGraph.define("stream-counter")(
       Input("events", StringCodec, ProcessCallback { (ctx, _) =>
         val cur = ctx.value match { case null => 0L; case n: Long => n }
         ctx.setValue(cur + 1L)
       }),
       Persist(Int64Codec))
-    val events = Sources.eventMessages(spark, dir).collect().toSeq
-    val (b1, b2) = events.splitAt(events.size / 2)
-    val ms = MemoryStream[Message]
-    val out = new StreamExecutor(graph).run(spark, ms.toDS())
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft_stream_src").toString
+    Sources.eventMessages(spark, dir).repartition(2)
+      .write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema(Sources.eventMessages(spark, dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged).as[Message]
+    val out = new StreamExecutor(graph).run(spark, stream)
     import graft.operators.BatchExecutor.SinkTable
     val table = out.filter(_.sink == SinkTable)
       .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "cnt")
-    val name = s"stream_result_${nameSeq.incrementAndGet()}"
-    val q = table.writeStream.format("memory").queryName(name)
-      .outputMode("update").start()
-    try {
-      ms.addData(b1); q.processAllAvailable()
-      ms.addData(b2); q.processAllAvailable()
-    } finally q.stop()
     // update-mode memory sink appends upserts; latest per key wins.
     // cnt only grows, so max(cnt) == last upsert.
-    spark.table(name).groupBy(col("key")).agg(max(col("cnt")).as("cnt"))
+    runToTable(spark, table).groupBy(col("key")).agg(max(col("cnt")).as("cnt"))
   }
 
-  private case class Ev(ts: Timestamp, event_type: String, user_id: Long,
-      value: Double)
-
-  /** Watermarked event-time tumbling window (daily) over the stream. */
+  /** Watermarked event-time tumbling window (daily) over the stream.
+    *
+    * Streams the fixture parquet through the file source — no driver-side
+    * collect / MemoryStream (which serializes the whole fixture into one
+    * task binary and breaks whole-stage codegen); scans stay parallel and
+    * the same pipeline swaps to `readStream.format("kafka")` unchanged. */
   def streamTumble(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = Sources.table(spark, dir, "events")
-      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
-      .as[Ev].collect().toSeq
-    val ms = MemoryStream[Ev]
-    ms.addData(rows)
-    val windowed = ms.toDS()
-      .withColumn("ts", col("ts").cast("timestamp"))
+    import org.apache.spark.sql.types._
+    // nanosAsLong=true: parquet TIMESTAMP(NANOS) arrives as LongType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val windowed = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
