@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   *
   * Cost: one shuffle of |L|+|R| rows, no intermediate blow-up — survives
   * skewed keys and 100 TB inputs where a range join would not. Ties on
-  * `rightTime` resolve to the greatest `tieBreak` value, giving
+  * `rightTime` resolve to the greatest `tieBreak` value in the column's
+  * NATIVE type ordering (numeric columns compare numerically), giving
   * deterministic output.
   */
 object AsOfJoin {
@@ -53,14 +54,14 @@ object AsOfJoin {
       col(leftKey).cast("string").as("_k"),
       leftTime.cast("long").as("_t"),
       lit(1).as("_tag"),
-      lit(null).cast("string").as("_tie"),
+      lit(null).cast(right.schema(tieBreak).dataType).as("_tie"),
       struct(leftCols.map(col): _*).as("_lpay"),
       lit(null).cast(structType(right, rightPayloadCols)).as("_rpay"))
     val r = right.select(
       col(rightKey).cast("string").as("_k"),
       rightTime.cast("long").as("_t"),
       lit(rightTag).as("_tag"),
-      col(tieBreak).cast("string").as("_tie"),
+      col(tieBreak).as("_tie"),
       lit(null).cast(structType(left, leftCols)).as("_lpay"),
       struct(rightPayloadCols.map(col): _*).as("_rpay"))
 

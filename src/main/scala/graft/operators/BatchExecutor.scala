@@ -106,9 +106,14 @@ class BatchExecutor(
       val stateTagged = state.filter(_.value != null)
         .map(r => Tagged(r.key, KindState, graph.tableTopic, r.value,
           0, 0L, 0L, 0, null))
+      // localCheckpoint, not persist(): it materializes the fold once AND
+      // its blocks are released by the ContextCleaner once unreferenced —
+      // persist() entries sit in the CacheManager forever, accumulating
+      // storage memory across fixpoint rounds and across queries on a
+      // long-lived session.
       val emitted = foldOnce(spark,
         pending.unionAll(stateTagged).unionAll(joinTagged), bcLookups)
-        .persist()
+        .localCheckpoint()
 
       val tableOut = emitted.filter(_.sink == SinkTable)
         .map(e => TableRow(e.key, e.value))
@@ -136,7 +141,7 @@ class BatchExecutor(
     val outputs = graph.outputs.keys.map { t =>
       t -> emittedAcc.filter(_.sink == t).map(e =>
         Message(e.key, e.value, t, e.partition, e.offset,
-          new java.sql.Timestamp(e.tsMicros / 1000L),
+          microsTimestamp(e.tsMicros),
           if (e.headers == null) Map.empty[String, Array[Byte]] else e.headers))
     }.toMap
     BatchResult(state, changelogAcc, outputs)
@@ -166,13 +171,13 @@ class BatchExecutor(
       Tagged(r.key, KindState, graph.tableTopic, r.value, 0, 0L, 0L, 0, null),
       Tagged(r.key, KindMessage, visitTopic, metaSer, 0, 0L, 0L, 0, null))
     }
-    val emitted = foldOnce(spark, tagged, bcLookups).persist()
+    val emitted = foldOnce(spark, tagged, bcLookups).localCheckpoint()
     val tableOut = emitted.filter(_.sink == SinkTable)
       .map(e => TableRow(e.key, e.value))
     val outputs = graph.outputs.keys.map { t =>
       t -> emitted.filter(_.sink == t).map(e =>
         Message(e.key, e.value, t, e.partition, e.offset,
-          new java.sql.Timestamp(e.tsMicros / 1000L),
+          microsTimestamp(e.tsMicros),
           if (e.headers == null) Map.empty[String, Array[Byte]] else e.headers))
     }.toMap
     BatchResult(tableOut.filter(_.value != null), tableOut, outputs)
@@ -209,6 +214,15 @@ object BatchExecutor {
 
   def tsMicros(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Inverse of [[tsMicros]] — restores the sub-millisecond part via
+    * setNanos so re-feeding outputs into another graph preserves
+    * microsecond ordering. */
+  def microsTimestamp(tsMicros: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(tsMicros / 1000L)
+    t.setNanos(((tsMicros % 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Internal shuffled row: state/join/message unified. */
   final case class Tagged(key: String, kind: Int, topic: String,
@@ -301,11 +315,7 @@ object BatchExecutor {
       def topic: String = row.topic
       def partition: Int = row.partition
       def offset: Long = row.offset
-      def timestamp: java.sql.Timestamp = {
-        val t = new java.sql.Timestamp(row.tsMicros / 1000L)
-        t.setNanos(((row.tsMicros % 1000000L) * 1000L).toInt)
-        t
-      }
+      def timestamp: java.sql.Timestamp = microsTimestamp(row.tsMicros)
       def headers: Map[String, Array[Byte]] =
         if (row.headers == null) Map.empty else row.headers
       def group: String = graph.group

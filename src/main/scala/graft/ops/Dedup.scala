@@ -33,9 +33,14 @@ object Dedup {
     * shingle of every document). */
   def shingleArray(text: Column, n: Int): Column = {
     val w = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(w, i, lit(n)))))
+    // Docs with fewer than n tokens have no shingles. The guard matters:
+    // sequence(1, 0) yields the DESCENDING array [1, 0] (default step -1),
+    // and slice(w, 0, n) then throws INVALID_PARAMETER_VALUE.START.
+    when(size(w) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Distinct word n-gram shingles: (id, shingle). Narrow — the distinct

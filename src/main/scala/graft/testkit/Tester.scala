@@ -19,7 +19,8 @@ import graft.operators.NilHandling
   */
 final class Tester(
     graph: GroupGraph,
-    nilHandling: NilHandling = NilHandling.Ignore) {
+    nilHandling: NilHandling = NilHandling.Ignore,
+    maxLoopCascade: Int = 1000) {
 
   graph.validate()
 
@@ -60,32 +61,43 @@ final class Tester(
     consumeBytes(topic, key, bytes, headers)
   }
 
+  /** Explicit work queue (not recursion) with a cascade cap mirroring
+    * BatchExecutor's maxLoopIterations: a non-converging loop callback
+    * fails with a clear diagnostic instead of a StackOverflow. */
   private def consumeBytes(topic: String, key: String, bytes: Array[Byte],
       headers: Map[String, Array[Byte]]): Unit = {
-    offset += 1
-    val stateRow = state.get(key).iterator.map(v =>
-      Tagged(key, KindState, graph.tableTopic, v, 0, 0L, 0L, 0, null))
-    val joinRows = joinTables.iterator.flatMap { case (t, m) =>
-      m.get(key).map(v => Tagged(key, KindJoin, t, v, 0, 0L, 0L, 0, null))
-    }
-    val msgRow = Iterator.single(Tagged(key, KindMessage, topic, bytes, 0,
-      offset, offset * 1000L, 0, headers))
-    val lookups = lookupTables.map { case (t, m) => t -> m.toMap }.toMap
-    val out = new FoldIterator(graph, nilHandling, lookups,
-      stateRow ++ joinRows ++ msgRow).toVector
-    out.foreach { e =>
-      e.sink match {
-        case SinkTable =>
-          if (e.value == null) state.remove(e.key) else state(e.key) = e.value
-        case SinkLoop => () // drained below
-        case t => queues.getOrElseUpdate(t, mutable.Buffer.empty) +=
-          Message(e.key, e.value, t, e.partition, offset,
-            new java.sql.Timestamp(e.tsMicros / 1000L),
-            if (e.headers == null) Map.empty else e.headers)
+    val work = mutable.Queue((topic, key, bytes, headers))
+    var cascades = 0
+    while (work.nonEmpty) {
+      cascades += 1
+      require(cascades <= maxLoopCascade,
+        s"loopback cascade exceeded $maxLoopCascade messages for group " +
+          s"${graph.group} — non-converging loop callback?")
+      val (t0, k0, b0, h0) = work.dequeue()
+      offset += 1
+      val stateRow = state.get(k0).iterator.map(v =>
+        Tagged(k0, KindState, graph.tableTopic, v, 0, 0L, 0L, 0, null))
+      val joinRows = joinTables.iterator.flatMap { case (t, m) =>
+        m.get(k0).map(v => Tagged(k0, KindJoin, t, v, 0, 0L, 0L, 0, null))
       }
-    }
-    out.filter(_.sink == SinkLoop).foreach { e =>
-      consumeBytes(graph.loopTopic, e.key, e.value, Map.empty)
+      val msgRow = Iterator.single(Tagged(k0, KindMessage, t0, b0, 0,
+        offset, offset * 1000L, 0, h0))
+      val lookups = lookupTables.map { case (t, m) => t -> m.toMap }.toMap
+      val out = new FoldIterator(graph, nilHandling, lookups,
+        stateRow ++ joinRows ++ msgRow).toVector
+      out.foreach { e =>
+        e.sink match {
+          case SinkTable =>
+            if (e.value == null) state.remove(e.key) else state(e.key) = e.value
+          case SinkLoop =>
+            work.enqueue((graph.loopTopic, e.key, e.value,
+              Map.empty[String, Array[Byte]]))
+          case t => queues.getOrElseUpdate(t, mutable.Buffer.empty) +=
+            Message(e.key, e.value, t, e.partition, offset,
+              graft.operators.BatchExecutor.microsTimestamp(e.tsMicros),
+              if (e.headers == null) Map.empty else e.headers)
+        }
+      }
     }
   }
 

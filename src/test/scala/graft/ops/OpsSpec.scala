@@ -39,6 +39,19 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(!j.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("shingles on short/empty docs yield empty arrays, not errors") {
+    import spark.implicits._
+    val d = Seq((1L, "one two"), (2L, ""), (3L, "a"),
+      (4L, "exactly three words"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(d, col("text"), col("doc_id"), 3).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(sh.toSeq == Seq((4L, "exactly three words")))
+    // and the whole candidate pipeline stays alive on short docs
+    assert(Dedup.minhashCandidates(d, col("text"), col("doc_id"))
+      .collect().isEmpty)
+  }
+
   test("simhash: identical docs share signature; pairs found at dist<=3") {
     val sims = Dedup.simhash(docs, col("text"), col("doc_id"))
     val m = sims.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
