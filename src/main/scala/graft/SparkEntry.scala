@@ -263,15 +263,20 @@ object SparkEntry {
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""",
     "d03_simhash" -> simhashOracleSql,
+    // Mirrors Dedup.jaccardPairs incl. the skew cap: shingles in > 100
+    // docs are dropped before pairing; sizes stay uncapped.
     "d04_ngram_jaccard" ->
       """WITH sh AS (
            SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+         shf AS (SELECT sh.doc_id, sh.s FROM sh
+                 JOIN df ON sh.s = df.s WHERE df.c <= 100),
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
                    GROUP BY a.doc_id, b.doc_id)
          SELECT da, db, jaccard FROM (
            SELECT da, db, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard
@@ -339,6 +344,27 @@ object SparkEntry {
       """SELECT doc_id,
            substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
          FROM documents""",
+    // Byte-exact polynomial rolling hash (h = h*1000003 + byte, mod 2^64):
+    // DuckDB has no byte indexing on BLOBs, so bytes are recovered from
+    // hex(encode(...)) 2-char pairs and folded under HUGEINT arithmetic,
+    // with the final value re-interpreted as a signed int64.
+    "t05_rolling_fp" ->
+      """WITH norm AS (
+           SELECT doc_id,
+             hex(encode(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS hx
+           FROM documents),
+         folded AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(0::HUGEINT,
+                 list_transform(generate_series(1, length(hx)//2),
+                   i -> ('0x' || substr(hx, 2*i-1, 2))::BIGINT)),
+               (acc, b) -> (acc * 1000003 + b) % 18446744073709551616::HUGEINT) AS h
+           FROM norm)
+         SELECT doc_id,
+           CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS rfp
+         FROM folded""",
     "m01_multimodal" ->
       """SELECT doc_id AS id, 'raw' AS format,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

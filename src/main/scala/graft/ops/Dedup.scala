@@ -122,22 +122,36 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
-  /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
-    * Each exploded shingle row carries its doc's set size (`n` is
-    * constant per doc, computed narrowly via `size(shingle array)`), so
-    * the pair aggregation yields |A∩B|, |A| and |B| in ONE pass — no
-    * per-doc sizes table, no post-join. Two shuffles total (the
-    * shingle equi-join and the pair groupBy), both unavoidable. */
+  /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle,
+    * skew-capped: shingles appearing in more than `maxDocFreq` documents
+    * are dropped before pairing (a shingle shared by m docs generates
+    * m²/2 pairs — at 100 TB a stop-phrase shingle is a cartesian bomb;
+    * the cap bounds per-shingle work at maxDocFreq²). Genuine near-dup
+    * clusters share *rare* shingles, so a cap comfortably above the
+    * expected cluster size (default 100) leaves results unchanged while
+    * making the worst case linear in the shingle count.
+    *
+    * Plan: ONE pass over the shingle pipeline (the old self-join
+    * computed it twice), grouped by shingle (shuffle 1), pairs expanded
+    * in-group via a double explode — bounded by the cap — then the pair
+    * aggregation (shuffle 2). Each shingle row carries its doc's full
+    * (uncapped) set size `n`, so |A|, |B| and |A∩B| come out of the one
+    * aggregation; the intersection counts capped shingles only, making
+    * the score a lower bound of true Jaccard when the cap bites. */
   def jaccardPairs(df: DataFrame, text: Column, id: Column,
-      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Int = 100): DataFrame = {
     val sh = df
       .select(id.as("doc_id"), shingleArray(text, shingleN).as("sa"))
       .select(col("doc_id"), size(col("sa")).as("n"),
         explode(col("sa")).as("s"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    a.join(b, col("a.s") === col("b.s") &&
-        col("a.doc_id") < col("b.doc_id"))
+    val grouped = sh.groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
+      .filter(size(col("docs")) <= maxDocFreq)
+    grouped
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("c"),
         min(col("a.n")).as("na"), min(col("b.n")).as("nb"))

@@ -40,37 +40,64 @@ object Vectors {
       .withColumn("n2", idot(col("iv"), col("iv")))
 
   /** All pairs with cosine ≥ threshold — embedding-space near-dup
-    * detection.
+    * detection. Exact, fully distributed, and NOTHING ever reaches the
+    * driver (no collect, no broadcast): the corpus is grouped into
+    * blocks of ≤ `rowsPerBlock` vectors executor-side, block pairs are
+    * formed with a shuffle-replicate nested-loop cross join (no
+    * driver-mediated broadcast), and each task runs a tight `while`
+    * loop over primitive long arrays for its block pair — the same
+    * exact int64 dot / IEEE double divide as before, ~100× faster than
+    * a row-expression cross join.
     *
-    * Executed as a block-broadcast nested loop over primitive long
-    * arrays: the corpus is broadcast once, each task streams its slice
-    * of vectors against it in a tight `while` loop — ~100× faster than
-    * a row-expression cross join (no per-pair codegen/row overhead), and
-    * arithmetically identical (exact int64 dot, IEEE double divide).
-    * At corpus sizes beyond broadcast limits, loop over broadcast
-    * *blocks* of the RHS, or gate behind [[annLshBuckets]] candidates —
-    * all-pairs at 100 TB is an LSH problem, not a cross-join problem. */
+    * Scale shape: work is inherently O(n²) dot products (exact all-pairs
+    * at a low threshold cannot be LSH-pruned — at cos 0.45 random
+    * hyperplanes collide for random pairs nearly as often as for
+    * qualifying ones). The block form distributes that work over
+    * (n/rowsPerBlock)²/2 tasks with bounded task memory (two blocks ≈
+    * 2·rowsPerBlock·dims·8 bytes). Tune `rowsPerBlock` upward for huge
+    * corpora to keep the task count sane; for high thresholds where
+    * pruning IS possible, use [[annLshTopK]] instead. */
   def nearDupPairs(df: DataFrame, id: Column, emb: Column,
-      threshold: Double): DataFrame = {
+      threshold: Double, rowsPerBlock: Int = 512): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val p = prepared(df, id, emb)
-      .as[(Long, Array[Long], Long)]
-    val corpus = p.collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(corpus)
-    p.mapPartitions { it =>
-      val all = bc.value
-      it.flatMap { case (va, iva, n2a) =>
-        val sqa = math.sqrt(n2a.toDouble)
-        all.iterator.filter(_._1 > va).flatMap { case (vb, ivb, n2b) =>
-          var dot = 0L
-          var i = 0
-          while (i < iva.length) { dot += iva(i) * ivb(i); i += 1 }
-          val cos = dot.toDouble / (sqa * math.sqrt(n2b.toDouble))
-          if (cos >= threshold) Some((va, vb, cos)) else None
+    val n = p.count()
+    val nBlocks = math.max(1L, (n + rowsPerBlock - 1) / rowsPerBlock)
+    val blocks = p
+      .withColumn("blk", pmod(col("vid"), lit(nBlocks)))
+      .groupBy(col("blk"))
+      .agg(collect_list(struct(col("vid"), col("iv"), col("n2"))).as("rows"))
+    val lhs = blocks.select(col("blk").as("ba"), col("rows").as("ra"))
+    val rhs = blocks.select(col("blk").as("bb"), col("rows").as("rb"))
+    lhs.hint("shuffle_replicate_nl").crossJoin(rhs)
+      .filter(col("ba") <= col("bb"))
+      .as[(Long, Array[(Long, Array[Long], Long)],
+           Long, Array[(Long, Array[Long], Long)])]
+      .flatMap { case (ba, ra, bb, rb) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        val self = ba == bb
+        var i = 0
+        while (i < ra.length) {
+          val (v1, iv1, n21) = ra(i)
+          val sq1 = math.sqrt(n21.toDouble)
+          var j = if (self) i + 1 else 0
+          while (j < rb.length) {
+            val (v2, iv2, n22) = rb(j)
+            var dot = 0L
+            var d = 0
+            while (d < iv1.length) { dot += iv1(d) * iv2(d); d += 1 }
+            val cos = dot.toDouble / (sq1 * math.sqrt(n22.toDouble))
+            if (cos >= threshold) {
+              if (v1 < v2) out += ((v1, v2, cos))
+              else if (v2 < v1) out += ((v2, v1, cos))
+            }
+            j += 1
+          }
+          i += 1
         }
-      }
-    }.toDF("va", "vb", "cos")
+        out
+      }.toDF("va", "vb", "cos")
   }
 
   /** Brute-force cosine top-k for a set of query vectors: exact ANN

@@ -64,8 +64,9 @@ object PipelineQueries {
     TextAnalysis.fingerprint(docs(spark, dir), col("text"), col("doc_id"))
 
   /** Rolling-hash fingerprint via the native codegen expression — the
-    * throughput-path variant of t04 (no SQL oracle: a byte-loop hash is
-    * not expressible in DuckDB; rows-only check + RollingHashSpec). */
+    * throughput-path variant of t04. Oracle-checked: DuckDB reproduces
+    * the byte loop from hex(encode(text)) pairs under HUGEINT mod-2^64
+    * arithmetic (see SparkEntry.oracleSql "t05_rolling_fp"). */
   def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
     docs(spark, dir).select(col("doc_id"),
