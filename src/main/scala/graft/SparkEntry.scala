@@ -63,6 +63,8 @@ object SparkEntry {
     "m01_multimodal" -> (PipelineQueries.multimodal _),
     "st01_stream_count" -> (StreamingQueries.streamCount _),
     "st02_stream_tumble" -> (StreamingQueries.streamTumble _),
+    "st03_stream_loopback" -> (StreamingQueries.streamLoopback _),
+    "st04_stream_join_refresh" -> (StreamingQueries.streamJoinRefresh _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -407,6 +409,22 @@ object SparkEntry {
            count(*) AS cnt,
            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    // Same oracle as batch g06 — the feedback-topic path must preserve
+    // the fixpoint semantics.
+    "st03_stream_loopback" ->
+      """SELECT CAST(user_id % 10 AS VARCHAR) AS key, count(*) AS cnt
+         FROM events GROUP BY user_id % 10""",
+    // As-of semantics of the continuously-updated join table: an event
+    // counts iff the key's flag (set at its first purchase) was on at
+    // the event's timestamp; table rows sort before stream rows at equal
+    // ts, hence >=.
+    "st04_stream_join_refresh" ->
+      """WITH p AS (SELECT user_id, min(ts) AS t0 FROM events
+                    WHERE event_type = 'purchase' GROUP BY user_id)
+         SELECT CAST(e.user_id AS VARCHAR) AS key, count(*) AS cnt
+         FROM events e JOIN p ON e.user_id = p.user_id
+         WHERE e.ts >= p.t0
+         GROUP BY e.user_id""",
   )
 
   /** 60-term SimHash oracle, generated to mirror Dedup.simhash exactly. */

@@ -126,9 +126,10 @@ object GokaQueries {
     * user_id%10 carrying a countdown user_id%3; the loop callback keeps
     * re-emitting until the countdown hits 0, then increments bucket
     * state — exercises multi-round fixpoint iteration. */
-  def loopback(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val graph = GroupGraph.define("pingpong")(
+  /** Shared by batch g06 and streaming st03 — the two executors must
+    * produce identical results on the same graph (same oracle). */
+  private[queries] def pingpongGraph: GroupGraph =
+    GroupGraph.define("pingpong")(
       Input("events", StringCodec, ProcessCallback { (ctx, _) =>
         val uid = ctx.key.toLong
         ctx.loopback((uid % 10L).toString, uid % 3L)
@@ -142,7 +143,10 @@ object GokaQueries {
         }
       }),
       Persist(Int64Codec))
-    val res = new BatchExecutor(graph).run(spark,
+
+  def loopback(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val res = new BatchExecutor(pingpongGraph).run(spark,
       Map("events" -> Sources.eventMessages(spark, dir)))
     res.table.map(r => (r.key, Int64Codec.decode(r.value))).toDF("key", "cnt")
   }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import java.util.concurrent.atomic.AtomicInteger
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core._
@@ -56,6 +56,90 @@ object StreamingQueries {
       .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "cnt")
     // update-mode memory sink appends upserts; latest per key wins.
     // cnt only grows, so max(cnt) == last upsert.
+    runToTable(spark, table).groupBy(col("key")).agg(max(col("cnt")).as("cnt"))
+  }
+
+  /** Streaming loopback through a real feedback topic: the same
+    * pingpong graph as batch g06, but `@loop` rows round-trip through
+    * the staged source directory (the streaming analogue of producing to
+    * `<group>-loop`, `/root/reference/graph.go:476-483`) and are
+    * consumed by trailing micro-batches of the SAME query. Must
+    * hash-match g06's oracle — proving the feedback path preserves the
+    * fixpoint semantics. */
+  def streamLoopback(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val graph = GokaQueries.pingpongGraph
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_stream_loop").toString
+    val results = java.nio.file.Files
+      .createTempDirectory("graft_stream_loop_out").toString
+    Sources.eventMessages(spark, dir).repartition(2)
+      .write.mode("overwrite").parquet(staging)
+    new StreamExecutor(graph).runWithLoopback(spark, staging, results)
+    // Update-mode upserts accumulate in resultDir; cnt only grows, so
+    // max(cnt) == the final table row per key.
+    spark.read.parquet(results)
+      .where(col("sink") === SinkTable)
+      .select(col("key"), expr("CAST(CAST(value AS STRING) AS BIGINT)").as("cnt"))
+      .groupBy(col("key")).agg(max(col("cnt")).as("cnt"))
+  }
+
+  /** Stream joined against a table that MUTATES mid-stream: the `flags`
+    * table (key → "on", set at the user's first purchase) is consumed as
+    * a changelog alongside the events — the reference's
+    * continuously-catching-up join table (`partition_table.go:119-126`),
+    * NOT a lifetime-static snapshot. Events are counted only while the
+    * key's flag reads "on"; rows are applied in (ts, table-before-stream)
+    * order, so the result is the deterministic as-of semantics the
+    * DuckDB oracle expresses — and the fixture is split into two
+    * micro-batches at the median timestamp, so flags set in batch 1 must
+    * survive in keyed state to gate batch-2 events. */
+  def streamJoinRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val graph = GroupGraph.define("flagged")(
+      Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+        if (ctx.join("flags") == "on") {
+          val cur = ctx.value match { case null => 0L; case n: Long => n }
+          ctx.setValue(cur + 1L)
+        }
+      }),
+      Join("flags", StringCodec),
+      Persist(Int64Codec))
+    val ev = Sources.table(spark, dir, "events")
+    val flagUpdates = Sources.messages(
+      ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0")),
+      "flags", col("user_id"), lit("on"), col("t0"), lit(0L))
+    val all = Sources.eventMessages(spark, dir).unionByName(flagUpdates)
+    // Split into two micro-batches at the median ts: batch 1 carries the
+    // early flags, batch 2 the events they must keep gating.
+    val mid = all.select(
+      ((unix_micros(min(col("timestamp"))) +
+        unix_micros(max(col("timestamp")))) / lit(2L)).cast("long").as("m"))
+      .head().getLong(0)
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_stream_join").toString
+    def stage(part: Dataset[Message], name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stage").toString
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(staging, name)
+      java.nio.file.Files.move(src.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+      ()
+    }
+    val now = System.currentTimeMillis()
+    stage(all.filter(unix_micros(col("timestamp")) <= mid), "b1.parquet", now - 120000)
+    stage(all.filter(unix_micros(col("timestamp")) > mid), "b2.parquet", now - 60000)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Message].schema)
+      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+    val out = new StreamExecutor(graph).run(spark, stream)
+    val table = out.filter(_.sink == SinkTable)
+      .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "cnt")
     runToTable(spark, table).groupBy(col("key")).agg(max(col("cnt")).as("cnt"))
   }
 

@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.core._
-import graft.operators.BatchExecutor.{Emitted, FoldIterator, KindJoin, KindMessage, KindState, SinkTable, Tagged, tsMicros}
+import graft.operators.BatchExecutor.{microsTimestamp, tsMicros, Emitted, FoldIterator, KindJoin, KindMessage, KindState, SinkLoop, SinkTable, Tagged}
 import graft.operators.NilHandling
 
 /** Structured Streaming executor of a [[GroupGraph]].
@@ -18,20 +18,36 @@ import graft.operators.NilHandling
   * changelog row (`sink = "@table"`, null value = tombstone) exactly like
   * the reference's table topic (`context.go:400-407`).
   *
-  * Within a micro-batch, a key's messages are processed in
-  * (ts, topic, offset) order — the same deterministic order as the batch
-  * executor, so both executors produce identical final state on the same
-  * bounded input (asserted by the oracle-checked `st*` queries).
+  * '''Continuously-updating join tables.''' The reference's join tables
+  * catch up forever (`partition_table.go:119-126`). Here, the joined
+  * table's changelog is simply part of the consumed stream: any
+  * [[Message]] whose topic is declared as a Join edge is treated as a
+  * table upsert (null value = tombstone), and the latest value per
+  * (key, table) is carried in the keyed state ([[StreamExecutor.KeyState]])
+  * alongside the user row — a second keyed state fed by the changelog,
+  * never a lifetime-static snapshot. Within a micro-batch, rows of a key
+  * are applied in (ts, kind, topic, offset) order with table upserts
+  * sorting BEFORE messages at equal timestamps, so `ctx.join` sees
+  * exactly the rows whose timestamp precedes the message — deterministic
+  * regardless of how the stream is chopped into batches (the reference
+  * gives no cross-topic ordering guarantee at all). Optional
+  * `joinSnapshots` seed the initial table content, like the reference's
+  * recover-to-HWM barrier before processing starts.
   *
-  * Join/Lookup tables are per-batch-stale broadcast snapshots — the
-  * documented divergence from the reference's continuously-catching-up
-  * views (SURVEY §7.4). Loopback requires a real feedback topic in
-  * streaming (cyclic plans are inexpressible); use the batch executor's
-  * fixpoint or wire `sink == "@loop"` rows back through a Kafka topic.
+  * Lookup tables are full-replica broadcast snapshots (the reference
+  * materializes a View per processor, `processor.go:105-120`); their
+  * per-query staleness is the documented divergence (SURVEY §7.4).
+  *
+  * '''Loopback''' (`graph.go:395-407`) is a real feedback topic in
+  * streaming: [[runWithLoopback]] appends `@loop` rows back into the
+  * staged source directory as `<group>-loop` messages consumed by the
+  * same query — the streaming twin of the batch executor's fixpoint.
   */
 class StreamExecutor(
     graph: GroupGraph,
     nilHandling: NilHandling = NilHandling.Ignore) extends Serializable {
+
+  import StreamExecutor.KeyState
 
   def run(
       spark: SparkSession,
@@ -39,39 +55,126 @@ class StreamExecutor(
       joinSnapshots: Map[String, Map[String, Array[Byte]]] = Map.empty,
       lookupSnapshots: Map[String, Map[String, Array[Byte]]] = Map.empty)
       : Dataset[Emitted] = {
-    import spark.implicits._
     graph.validate()
     require(graph.loop.isEmpty,
-      "streaming loopback needs a real feedback topic; use BatchExecutor " +
-        "for bounded fixpoint replay or route @loop rows via Kafka")
+      "streaming loopback needs a real feedback topic; use " +
+        "runWithLoopback(spark, stagingDir, resultDir) or the " +
+        "BatchExecutor's bounded fixpoint replay")
+    compile(spark, stream, joinSnapshots, lookupSnapshots)
+  }
+
+  /** Run a graph WITH a Loop edge over a staged `Dataset[Message]`
+    * parquet directory: `@loop` rows are appended back into `stagingDir`
+    * as `<group>-loop` messages and consumed by the same query — the
+    * reference's group-private feedback topic (`graph.go:476-483`). In a
+    * Kafka deployment the staging directory is replaced by the loop
+    * topic itself; the dataflow is identical.
+    *
+    * Blocks until the feedback drains (no pending files), then leaves
+    * every non-loop [[Emitted]] row in `resultDir` as parquet. */
+  def runWithLoopback(
+      spark: SparkSession,
+      stagingDir: String,
+      resultDir: String,
+      joinSnapshots: Map[String, Map[String, Array[Byte]]] = Map.empty,
+      lookupSnapshots: Map[String, Map[String, Array[Byte]]] = Map.empty): Unit = {
+    import spark.implicits._
+    graph.validate()
+    val stream = spark.readStream.schema(Encoders.product[Message].schema)
+      .parquet(stagingDir).as[Message]
+    val out = compile(spark, stream, joinSnapshots, lookupSnapshots)
+    val g = graph
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_loop_ckpt").toString
+    val q = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Emitted], _: Long) =>
+        // persist: every action below re-executes the stateful plan
+        // (and re-hits the state store) otherwise.
+        batch.persist()
+        try {
+          val loops = batch.filter(_.sink == SinkLoop)
+          if (!loops.isEmpty) {
+            // One file per feedback round: each round is one trailing
+            // micro-batch, mirroring one produce to the loop topic.
+            loops.map(e => Message(e.key, e.value, g.loopTopic, e.partition,
+              e.offset, microsTimestamp(e.tsMicros),
+              if (e.headers == null) Map.empty[String, Array[Byte]]
+              else e.headers))
+              .coalesce(1).write.mode("append").parquet(stagingDir)
+          }
+          val rest = batch.filter(_.sink != SinkLoop)
+          if (!rest.isEmpty)
+            rest.write.mode("append").parquet(resultDir)
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def compile(
+      spark: SparkSession,
+      stream: Dataset[Message],
+      joinSnapshots: Map[String, Map[String, Array[Byte]]],
+      lookupSnapshots: Map[String, Map[String, Array[Byte]]])
+      : Dataset[Emitted] = {
+    import spark.implicits._
     val g = graph
     val nil = nilHandling
+    val joinTopics = g.joins.keySet
     val bc = spark.sparkContext.broadcast((joinSnapshots, lookupSnapshots))
 
     stream.groupByKey(_.key)
-      .flatMapGroupsWithState[Array[Byte], Emitted](
+      .flatMapGroupsWithState[KeyState, Emitted](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (key: String, msgs: Iterator[Message], state: GroupState[Array[Byte]]) =>
-          val (joins, lookups) = bc.value
-          val sorted = msgs.toArray.sortBy(m =>
-            (tsMicros(m.timestamp), m.topic, m.offset))
+        (key: String, msgs: Iterator[Message], state: GroupState[KeyState]) =>
+          val (snaps, lookups) = bc.value
+          val prev = if (state.exists) state.get else KeyState(null, Map.empty)
+          // Join values visible at batch start: static snapshot overlaid
+          // by the persisted catchup state (which may hold tombstones).
+          val seedJoins: Map[String, Array[Byte]] =
+            joinTopics.iterator.flatMap { t =>
+              snaps.get(t).flatMap(_.get(key)).map(t -> _)
+            }.toMap ++ prev.joins
+          val sorted = msgs.toArray.sortBy { m =>
+            (tsMicros(m.timestamp),
+              if (joinTopics(m.topic)) KindJoin else KindMessage,
+              m.topic, m.offset)
+          }
           val stateRow: Iterator[Tagged] =
-            if (state.exists)
-              Iterator(Tagged(key, KindState, g.tableTopic, state.get,
+            if (prev.value != null)
+              Iterator(Tagged(key, KindState, g.tableTopic, prev.value,
                 0, 0L, 0L, 0, null))
             else Iterator.empty
-          val joinRows = joins.iterator.flatMap { case (t, m) =>
-            m.get(key).map(v => Tagged(key, KindJoin, t, v, 0, 0L, 0L, 0, null))
+          val seedRows = seedJoins.iterator.map { case (t, v) =>
+            Tagged(key, KindJoin, t, v, 0, 0L, Long.MinValue, 0, null)
           }
-          val msgRows = sorted.iterator.map(m =>
-            Tagged(m.key, KindMessage, m.topic, m.value, m.partition,
-              m.offset, tsMicros(m.timestamp), 0, m.headers))
+          val batchRows = sorted.iterator.map { m =>
+            val kind = if (joinTopics(m.topic)) KindJoin else KindMessage
+            Tagged(m.key, kind, m.topic, m.value, m.partition,
+              m.offset, tsMicros(m.timestamp), 0, m.headers)
+          }
           val out = new FoldIterator(g, nil, lookups,
-            stateRow ++ joinRows ++ msgRows).toVector
-          out.find(_.sink == SinkTable).foreach { t =>
-            if (t.value == null) state.remove() else state.update(t.value)
-          }
+            stateRow ++ seedRows ++ batchRows).toVector
+          val newValue = out.find(_.sink == SinkTable)
+            .map(_.value).getOrElse(prev.value)
+          val joinUpdates: Map[String, Array[Byte]] =
+            sorted.iterator.filter(m => joinTopics(m.topic))
+              .map(m => m.topic -> m.value).toMap // ts-sorted: last wins
+          val newJoins = prev.joins ++ joinUpdates
+          if (newValue == null && newJoins.isEmpty) {
+            if (state.exists) state.remove()
+          } else state.update(KeyState(newValue, newJoins))
           out.iterator
       }
   }
+}
+
+object StreamExecutor {
+  /** Keyed streaming state: the group-table row plus the latest
+    * join-table value per joined topic — the engine's equivalent of the
+    * reference's per-partition group storage + join partition tables
+    * (`partition_processor.go:210-247`). Null entries are tombstones. */
+  final case class KeyState(value: Array[Byte],
+      joins: Map[String, Array[Byte]])
 }

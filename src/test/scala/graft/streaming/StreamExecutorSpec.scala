@@ -81,6 +81,44 @@ class StreamExecutorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("join table updates consumed as changelog refresh mid-stream") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val g = GroupGraph.define("sjoin")(
+      Input("in", StringCodec, ProcessCallback { (c, _) =>
+        val seg = c.join("seg") match { case null => "-"; case s => s.toString }
+        val cur = c.value match { case null => ""; case s: String => s }
+        c.setValue(cur + seg)
+      }),
+      Join("seg", StringCodec),
+      Persist(StringCodec))
+    def seg(key: String, value: String, offset: Long): Message =
+      Message(key, if (value == null) null else value.getBytes("UTF-8"),
+        "seg", 0, offset, new Timestamp(offset * 1000), Map.empty)
+    val ms = MemoryStream[Message]
+    val out = new StreamExecutor(g).run(spark, ms.toDS(),
+      joinSnapshots = Map("seg" -> Map("k" -> "A".getBytes("UTF-8"))))
+    val q = out.filter(_.sink == SinkTable)
+      .map(e => (e.key, new String(e.value, "UTF-8"))).toDF("key", "v")
+      .writeStream.format("memory").queryName("sspecj")
+      .outputMode("update").start()
+    try {
+      // batch 1: snapshot value A gates msg@1; update to B at ts 2
+      // gates msg@3 within the SAME batch (ts-interleaved, not barrier)
+      ms.addData(msg("k", "m1", 1), seg("k", "B", 2), msg("k", "m2", 3))
+      q.processAllAvailable()
+      // batch 2: B persisted in keyed state, no seg rows at all
+      ms.addData(msg("k", "m3", 4))
+      q.processAllAvailable()
+      // batch 3: tombstone then message -> join reads null
+      ms.addData(seg("k", null, 5), msg("k", "m4", 6))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("sspecj").collect()
+      .map(r => (r.getString(0), r.getString(1))).last
+    assert(last == (("k", "ABB-")))
+  }
+
   test("streaming and batch executors agree on final state") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
