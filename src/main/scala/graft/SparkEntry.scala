@@ -32,6 +32,7 @@ object SparkEntry {
     "g12_view_point" -> (GokaQueries.viewPoint _),
     "g13_view_range" -> (GokaQueries.viewRange _),
     "g14_view_prefix" -> (GokaQueries.viewPrefix _),
+    "g15_json_state" -> (GokaQueries.jsonState _),
     "q01_pricing_summary" -> (Relational.pricingSummary _),
     "q02_revenue_forecast" -> (Relational.revenueForecast _),
     "q03_join_topk" -> (Relational.joinTopK _),
@@ -138,6 +139,14 @@ object SparkEntry {
       """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
          FROM events GROUP BY user_id
          HAVING CAST(user_id AS VARCHAR) LIKE '1%'""",
+    "g15_json_state" ->
+      """WITH ordered AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS cnt
+           FROM events)
+         SELECT CAST(user_id AS VARCHAR) AS key, cnt, event_type AS last_type
+         FROM ordered WHERE rn = cnt""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

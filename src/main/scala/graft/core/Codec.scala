@@ -72,6 +72,45 @@ object Codecs {
     }
   }
 
+  /** Typed JSON codec for (possibly nested) case classes — the engine's
+    * analogue of the reference's JSON struct codecs
+    * (`/root/reference/examples/2-clicks/main.go:41-59`,
+    * `examples/3-messaging/message.go:21-40`): goka's real apps marshal
+    * their state/messages as JSON, and so can ours. jackson-module-scala
+    * ships with Spark, so no extra dependency; the mapper is rebuilt
+    * lazily per executor (ObjectMapper is not serializable). Field order
+    * follows constructor declaration — deterministic bytes for
+    * hash-exact oracles. */
+  def json[T](implicit ct: scala.reflect.ClassTag[T]): Codec[T] =
+    new Codec[T] {
+      def encode(value: T): Array[Byte] =
+        JsonMapper.mapper.writeValueAsBytes(value)
+      def decode(data: Array[Byte]): T =
+        JsonMapper.mapper.readValue(data,
+          ct.runtimeClass.asInstanceOf[Class[T]])
+    }
+
+  /** Untyped JSON value codec (Long/Double/Boolean/String/Map/List,
+    * integers always decode as Long) — used for visitor meta payloads,
+    * which are schemaless by contract (`processor.go:954-996` passes an
+    * opaque `interface{}`). */
+  object JsonValueCodec extends Codec[Any] {
+    def encode(value: Any): Array[Byte] =
+      JsonMapper.mapper.writeValueAsBytes(value)
+    def decode(data: Array[Byte]): Any =
+      JsonMapper.mapper.readValue(data, classOf[Object])
+  }
+
+  private object JsonMapper {
+    @transient lazy val mapper: com.fasterxml.jackson.databind.ObjectMapper = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+      // ints -> Long, floats -> Double: stable types for callback matches
+      m.enable(com.fasterxml.jackson.databind.DeserializationFeature.USE_LONG_FOR_INTS)
+      m
+    }
+  }
+
   /** Java-serialization codec for arbitrary case classes — convenient in
     * tests; real deployments should define an explicit codec. */
   def javaSer[T <: Serializable]: Codec[T] = new Codec[T] {

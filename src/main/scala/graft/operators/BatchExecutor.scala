@@ -165,8 +165,7 @@ class BatchExecutor(
           .map(r => r.key -> r.value).toMap
       })
     val visitTopic = s"@visit:$name"
-    val metaSer = Codecs.javaSer[java.io.Serializable].encode(
-      meta.asInstanceOf[java.io.Serializable])
+    val metaSer = Codecs.JsonValueCodec.encode(meta)
     val tagged = table.filter(_.value != null).flatMap { r => Seq(
       Tagged(r.key, KindState, graph.tableTopic, r.value, 0, 0L, 0L, 0, null),
       Tagged(r.key, KindMessage, visitTopic, metaSer, 0, 0L, 0L, 0, null))
@@ -285,8 +284,7 @@ object BatchExecutor {
         else graph.callbackFor(row.topic)
       val decoded: Any =
         if (row.value == null) null
-        else if (isVisit)
-          Codecs.javaSer[java.io.Serializable].decode(row.value)
+        else if (isVisit) Codecs.JsonValueCodec.decode(row.value)
         else graph.inputCodec(row.topic).decode(row.value)
       val ctx = new FoldContext(row)
       cb(ctx, decoded)

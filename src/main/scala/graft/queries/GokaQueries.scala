@@ -16,6 +16,10 @@ import graft.sources.Sources
   * through [[BatchExecutor]] — the deterministic batch twin of the
   * streaming executor, so results can be hash-checked against DuckDB.
   */
+/** JSON-codec'd state for [[GokaQueries.jsonState]] — mirrors the
+  * reference's UserClicks struct codec (`examples/2-clicks/main.go:41-59`). */
+final case class UserStats(cnt: Long, lastType: String)
+
 object GokaQueries {
 
   private def countGraph(cbTopic: String = "events"): GroupGraph =
@@ -245,6 +249,30 @@ object GokaQueries {
       Map("events" -> Sources.eventMessages(spark, dir)))
     res.table.map(r => (r.key, StringCodec.decode(r.value)))
       .toDF("key", "last5")
+  }
+
+  /** JSON case-class state — the reference's real-app codec pattern
+    * (`examples/2-clicks/main.go:41-59` folds a JSON UserClicks struct).
+    * State is a nested case class persisted through [[Codecs.json]];
+    * the table bytes are actual JSON documents. */
+  def jsonState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val codec = Codecs.json[UserStats]
+    val graph = GroupGraph.define("jsonstate")(
+      Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+        val cur = ctx.value match {
+          case null => UserStats(0L, "")
+          case s: UserStats => s
+        }
+        ctx.setValue(UserStats(cur.cnt + 1L, msg.toString))
+      }),
+      Persist(codec))
+    val res = new BatchExecutor(graph).run(spark,
+      Map("events" -> Sources.eventMessages(spark, dir)))
+    res.table.map { r =>
+      val s = codec.decode(r.value)
+      (r.key, s.cnt, s.lastType)
+    }.toDF("key", "cnt", "last_type")
   }
 
   private def countTable(spark: SparkSession, dir: String) =

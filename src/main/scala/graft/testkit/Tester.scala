@@ -114,8 +114,7 @@ final class Tester(
   def visitAll(name: String, meta: Any = null): Long = {
     val cb = graph.visitors.getOrElse(name,
       throw new IllegalArgumentException(s"no visitor $name"))
-    val metaBytes = Codecs.javaSer[java.io.Serializable]
-      .encode(meta.asInstanceOf[java.io.Serializable])
+    val metaBytes = Codecs.JsonValueCodec.encode(meta)
     val keys = state.keys.toVector
     keys.foreach { k =>
       val rows = Iterator(

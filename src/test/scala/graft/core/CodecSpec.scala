@@ -3,6 +3,10 @@ package graft.core
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.Codecs._
 
+final case class Inner(tags: Seq[String], score: Double)
+final case class Outer(id: Long, name: String, inner: Inner,
+    attrs: Map[String, Long])
+
 class CodecSpec extends AnyFunSuite {
   test("Int64 is decimal-string encoded (codec/codec.go:56)") {
     assert(new String(Int64Codec.encode(42L), "UTF-8") == "42")
@@ -27,6 +31,33 @@ class CodecSpec extends AnyFunSuite {
   test("javaSer roundtrip for case classes") {
     val c = javaSer[SerProbe]
     assert(c.decode(c.encode(SerProbe(1, "x"))) == SerProbe(1, "x"))
+  }
+
+  test("json codec round-trips a nested case class") {
+    val codec = Codecs.json[Outer]
+    val v = Outer(42L, "abc", Inner(Seq("x", "y"), 1.5), Map("k" -> 7L))
+    val bytes = codec.encode(v)
+    // bytes are an actual JSON document with declaration field order
+    assert(new String(bytes, "UTF-8") ==
+      """{"id":42,"name":"abc","inner":{"tags":["x","y"],"score":1.5},"attrs":{"k":7}}""")
+    assert(codec.decode(bytes) == v)
+  }
+
+  test("json codec bytes are deterministic (oracle-hashable)") {
+    val codec = Codecs.json[Outer]
+    val v = Outer(1L, "n", Inner(Nil, 0.0), Map.empty)
+    assert(codec.encode(v).toSeq == codec.encode(v).toSeq)
+  }
+
+  test("json value codec decodes integers as Long and nests maps") {
+    val roundtrip = JsonValueCodec.decode(JsonValueCodec.encode(
+      Map("a" -> 2L, "b" -> List(1L, 2L), "c" -> "s")))
+    val m = roundtrip.asInstanceOf[Map[String, Any]]
+    assert(m("a") == 2L)
+    assert(m("a").isInstanceOf[Long])
+    assert(m("b") == List(1L, 2L))
+    assert(JsonValueCodec.decode(JsonValueCodec.encode(5L)) == 5L)
+    assert(JsonValueCodec.decode(JsonValueCodec.encode(null)) == null)
   }
 }
 
