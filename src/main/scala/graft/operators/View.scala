@@ -49,6 +49,32 @@ final class View(val rows: Dataset[TableRow]) extends Serializable {
   def seek(key: String): Dataset[TableRow] =
     rows.filter(col("key") >= key).orderBy(col("key"))
 
+  /** Persist this view's table bucketed + sorted by key and reopen it
+    * with bucket pruning: a point read then scans 1 bucket out of
+    * `numBuckets` instead of the whole table (Explain shows
+    * `SelectedBucketsCount: 1 out of N`) — the engine's analogue of the
+    * reference's FNV-hash key→partition routing on reads
+    * (`view.go:297-315`): same contract (key-hash addressed storage),
+    * Catalyst-owned mechanics. Range/prefix scans additionally benefit
+    * from the per-bucket sort (min/max row-group skipping). */
+  def persistBucketed(tableName: String, numBuckets: Int,
+      path: String): View = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.toDF().write.format("parquet")
+      .bucketBy(numBuckets, "key").sortBy("key")
+      .option("path", path)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(tableName)
+    // Filter-only plans have no exchange to elide, so the planner's
+    // DisableUnnecessaryBucketedScan would turn the bucketed scan (and
+    // with it, bucket PRUNING) off; a serving view wants the pruned
+    // 1-of-N read on every point lookup.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    new View(spark.table(tableName).as[TableRow])
+  }
+
   /** Decode values through a codec into a two-column DataFrame. */
   def decoded[T](codec: Codec[T], valueName: String = "value")(
       implicit enc: org.apache.spark.sql.Encoder[(String, T)]): DataFrame = {

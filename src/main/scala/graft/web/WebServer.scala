@@ -1,0 +1,127 @@
+package graft.web
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.concurrent.TrieMap
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.core.{Codec, Codecs}
+import graft.operators.View
+
+/** Thin HTTP serving layer over views and visitors — the reference's
+  * web query server (`/root/reference/web/query/query.go:56-75,166-210`:
+  * list sources, `GET /{table}/{key}` → getter → humanized JSON) and
+  * web actions server (`web/actions/actions.go:10-22`: trigger named
+  * actors remotely).
+  *
+  * Endpoints:
+  *   - `GET  /query`                  → JSON list of attached tables
+  *   - `GET  /query/{table}/{key}`    → `{"table":…,"key":…,"value":…}`
+  *                                      (404 when the key is absent)
+  *   - `GET  /actions`                → JSON list of registered actions
+  *   - `POST /actions/{name}`         → run the action with the JSON
+  *                                      request body as meta; returns
+  *                                      `{"action":…,"result":n}`
+  *
+  * Runs driver-side (the reference's handlers are equally in-process
+  * with the View). Point reads go through [[View.get]] — a key-equality
+  * filter, partition/bucket-prunable when the backing table is persisted
+  * bucketed ([[View.persistBucketed]]). JDK built-in `HttpServer`: no
+  * added dependency. */
+final class WebServer(port: Int = 0) {
+
+  private val tables = TrieMap.empty[String, (() => View, Codec[_])]
+  private val actions = TrieMap.empty[String, Any => Long]
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.createContext("/query", (ex: HttpExchange) => handleQuery(ex))
+  server.createContext("/actions", (ex: HttpExchange) => handleAction(ex))
+
+  /** Attach a view under a table name (`query.go:56-62` AttachSource).
+    * Evaluated per request, so a table that evolves (visitor rewrites,
+    * streaming refresh) serves its CURRENT content — the reference's
+    * views likewise keep catching up while serving. */
+  def attachTable(name: String, view: => View, codec: Codec[_]): WebServer = {
+    tables.put(name, (() => view, codec)); this
+  }
+
+  /** Register a named action; `meta` is the decoded JSON request body
+    * (`actions.go:10-22` — the canonical action is a visitor:
+    * `meta => executor.visitAll(spark, name, table, meta)`). */
+  def registerAction(name: String, run: Any => Long): WebServer = {
+    actions.put(name, run); this
+  }
+
+  /** Start listening; returns the bound port (ephemeral when 0). */
+  def start(): Int = { server.start(); server.getAddress.getPort }
+
+  def stop(): Unit = server.stop(0)
+
+  private def handleQuery(ex: HttpExchange): Unit = respond(ex) {
+    ex.getRequestURI.getPath.stripPrefix("/query").stripPrefix("/")
+      .split("/", 2) match {
+      case Array("") =>
+        200 -> jsonList(tables.keys.toSeq.sorted)
+      case Array(t) =>
+        tables.get(t) match {
+          case None => 404 -> s"""{"error":"no table $t"}"""
+          case Some(_) => 400 -> """{"error":"usage: /query/{table}/{key}"}"""
+        }
+      case Array(t, key) =>
+        tables.get(t) match {
+          case None => 404 -> s"""{"error":"no table $t"}"""
+          case Some((view, codec)) =>
+            view().get(key) match {
+              case None => 404 ->
+                s"""{"table":${q(t)},"key":${q(key)},"value":null}"""
+              case Some(bytes) =>
+                // humanize: decode through the table codec, re-encode as
+                // JSON (query.go:166-210's "humanizer")
+                val json = new String(Codecs.JsonValueCodec.encode(
+                  codec.decode(bytes)), UTF_8)
+                200 -> s"""{"table":${q(t)},"key":${q(key)},"value":$json}"""
+            }
+        }
+    }
+  }
+
+  private def handleAction(ex: HttpExchange): Unit = respond(ex) {
+    ex.getRequestURI.getPath.stripPrefix("/actions").stripPrefix("/") match {
+      case "" => 200 -> jsonList(actions.keys.toSeq.sorted)
+      case name =>
+        actions.get(name) match {
+          case None => 404 -> s"""{"error":"no action $name"}"""
+          case Some(run) =>
+            if (ex.getRequestMethod != "POST")
+              405 -> """{"error":"actions are POST-only"}"""
+            else {
+              val body = ex.getRequestBody.readAllBytes()
+              val meta: Any =
+                if (body.isEmpty) null else Codecs.JsonValueCodec.decode(body)
+              val n = run(meta)
+              200 -> s"""{"action":${q(name)},"result":$n}"""
+            }
+        }
+    }
+  }
+
+  private def respond(ex: HttpExchange)(f: => (Int, String)): Unit = {
+    val (code, body) =
+      try f
+      catch { case e: Exception => 500 -> s"""{"error":${q(String.valueOf(e.getMessage))}}""" }
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def jsonList(xs: Seq[String]): String =
+    xs.map(q).mkString("[", ",", "]")
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

@@ -1,0 +1,76 @@
+package graft.web
+
+import java.net.{HttpURLConnection, URI}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.core._
+import graft.core.Codecs._
+import graft.operators.{BatchExecutor, View}
+
+/** Drives the HTTP endpoints in-process: point reads against a real
+  * materialized view (`web/query/query.go:166-210` semantics) and a
+  * remote visitor trigger (`web/actions/actions.go:10-22`). */
+class WebServerSpec extends AnyFunSuite with SparkFixture {
+
+  private def http(method: String, url: String, body: String = null)
+      : (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (body != null) {
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes("UTF-8"))
+    }
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val out = new String(is.readAllBytes(), "UTF-8")
+    conn.disconnect()
+    (code, out)
+  }
+
+  test("query + actions endpoints over a live view") {
+    import spark.implicits._
+    val graph = GroupGraph.define("webcount")(
+      Input("in", StringCodec, ProcessCallback { (ctx, _) =>
+        val c = ctx.value match { case null => 0L; case n: Long => n }
+        ctx.setValue(c + 1L)
+      }),
+      Persist(Int64Codec),
+      VisitorEdge("scale", ProcessCallback { (ctx, meta) =>
+        val f = meta match { case null => 2L; case m: Long => m }
+        ctx.setValue(ctx.value.asInstanceOf[Long] * f)
+      }))
+    val msgs = Seq(("a", 1L), ("a", 2L), ("b", 3L)).map { case (k, o) =>
+      Message(k, "x".getBytes("UTF-8"), "in", 0, o,
+        new java.sql.Timestamp(o * 1000), Map.empty)
+    }
+    val exec = new BatchExecutor(graph)
+    var table = exec.run(spark,
+      Map("in" -> spark.createDataset(msgs))).table.cache()
+
+    val server = new WebServer()
+      .attachTable("webcount-table", new View(table), Int64Codec)
+      .registerAction("scale", meta => {
+        val res = exec.visitAll(spark, "scale", table, meta)
+        table = res.table.cache()
+        table.count()
+      })
+    val port = server.start()
+    try {
+      val base = s"http://localhost:$port"
+      assert(http("GET", s"$base/query") == ((200, """["webcount-table"]""")))
+      assert(http("GET", s"$base/query/webcount-table/a") ==
+        ((200, """{"table":"webcount-table","key":"a","value":2}""")))
+      val (missCode, missBody) = http("GET", s"$base/query/webcount-table/zz")
+      assert(missCode == 404 && missBody.contains("\"value\":null"))
+      assert(http("GET", s"$base/query/nope/k")._1 == 404)
+      assert(http("GET", s"$base/actions") == ((200, """["scale"]""")))
+      assert(http("GET", s"$base/actions/scale")._1 == 405)
+      // trigger the visitor with meta 3 -> counts triple
+      assert(http("POST", s"$base/actions/scale", "3") ==
+        ((200, """{"action":"scale","result":2}""")))
+      assert(http("GET", s"$base/query/webcount-table/a") ==
+        ((200, """{"table":"webcount-table","key":"a","value":6}""")))
+    } finally server.stop()
+  }
+}
