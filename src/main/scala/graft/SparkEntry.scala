@@ -54,6 +54,7 @@ object SparkEntry {
     "d03_simhash" -> (PipelineQueries.simhash _),
     "d04_ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
     "d05_embed_neardup" -> (PipelineQueries.embedNearDup _),
+    "d06_simhash_pairs" -> (PipelineQueries.simhashPairs _),
     "s01_ann_topk" -> (PipelineQueries.annTopK _),
     "s02_ann_lsh" -> (PipelineQueries.annLsh _),
     "t01_langid" -> (PipelineQueries.langId _),
@@ -274,6 +275,7 @@ object SparkEntry {
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""",
     "d03_simhash" -> simhashOracleSql,
+    "d06_simhash_pairs" -> simhashPairsOracleSql,
     // Mirrors Dedup.jaccardPairs incl. the skew cap: shingles in > 100
     // docs are dropped before pairing; sizes stay uncapped.
     "d04_ngram_jaccard" ->
@@ -448,6 +450,31 @@ object SparkEntry {
        h AS (SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT AS hw FROM tok),
        agg AS (SELECT doc_id, count(*) AS n, $bitSums FROM h GROUP BY doc_id)
        SELECT doc_id, CAST($simTerms AS BIGINT) AS simhash FROM agg"""
+  }
+
+  /** Banded SimHash pairing oracle: 4 bands of 15 bits, exact for
+    * hamming ≤ 3 by pigeonhole — mirrors Dedup.simhashPairs. */
+  private def simhashPairsOracleSql: String = {
+    val bitSums = (0 until 60)
+      .map(i => s"sum((hw >> $i) & 1) AS c$i").mkString(", ")
+    val simTerms = (0 until 60)
+      .map(i => s"CASE WHEN 2*c$i > n THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sims AS (
+         WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+                      FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT AS hw FROM tok),
+         agg AS (SELECT doc_id, count(*) AS n, $bitSums FROM h GROUP BY doc_id)
+         SELECT doc_id, CAST($simTerms AS BIGINT) AS simhash FROM agg),
+       banded AS (
+         SELECT doc_id, simhash, b AS band, (simhash >> (b*15)) & 32767 AS chunk
+         FROM sims, generate_series(0,3) t(b)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       SELECT da, db, dist FROM pairs WHERE dist <= 3"""
   }
 
   /** Int-scaled embedding preprocessing shared by the vector oracles. */

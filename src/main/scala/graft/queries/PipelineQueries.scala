@@ -25,6 +25,8 @@ object PipelineQueries {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** Banded SimHash pairing — exact (pigeonhole) for hamming ≤ bands-1,
+    * so no n² pass; oracle-checked as d06. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
       Dedup.simhash(docs(spark, dir), col("text"), col("doc_id")))

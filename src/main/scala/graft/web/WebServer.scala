@@ -31,9 +31,12 @@ final class WebServer(port: Int = 0) {
 
   private val tables = TrieMap.empty[String, (() => View, Codec[_])]
   private val actions = TrieMap.empty[String, Any => Long]
+  @volatile private var metrics: () => String = () => "{}"
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/query", (ex: HttpExchange) => handleQuery(ex))
   server.createContext("/actions", (ex: HttpExchange) => handleAction(ex))
+  server.createContext("/metrics",
+    (ex: HttpExchange) => respond(ex)(200 -> metrics()))
 
   /** Attach a view under a table name (`query.go:56-62` AttachSource).
     * Evaluated per request, so a table that evolves (visitor rewrites,
@@ -48,6 +51,13 @@ final class WebServer(port: Int = 0) {
     * `meta => executor.visitAll(spark, name, table, meta)`). */
   def registerAction(name: String, run: Any => Long): WebServer = {
     actions.put(name, run); this
+  }
+
+  /** Serve a JSON metrics document at `GET /metrics` — pair with
+    * [[graft.streaming.MetricsListener.json]] for the reference's
+    * monitoring UI payload (`web/monitor/monitoring.go:96-120`). */
+  def attachMetrics(supplier: () => String): WebServer = {
+    metrics = supplier; this
   }
 
   /** Start listening; returns the bound port (ephemeral when 0). */

@@ -44,6 +44,40 @@ class MetricsSpec extends AnyFunSuite with SparkFixture {
       assert(withRows.map(_.numInputRows).sum == 2L)
       assert(withRows.exists(_.stateRows > 0))
       assert(listener.toDF(spark).columns.contains("batchId"))
+      // per-source stats with raw offsets recorded (MemoryStream reports
+      // no latestOffset, so lag stays at the unknown sentinel there)
+      val src = listener.sourceSnapshot
+        .filter(s => s.queryName == "metrics_probe" && s.numInputRows > 0)
+      assert(src.nonEmpty)
+      assert(src.forall(_.endOffset != "null"))
+      // per-operator state stats
+      val st = listener.stateSnapshot.filter(_.queryName == "metrics_probe")
+      assert(st.exists(_.numRowsTotal > 0))
+      assert(st.exists(_.numRowsUpdated > 0))
+      // the monitoring payload serves over HTTP
+      val server = new graft.web.WebServer().attachMetrics(() => listener.json)
+      val p = server.start()
+      try {
+        val conn = java.net.URI.create(s"http://localhost:$p/metrics").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        assert(conn.getResponseCode == 200)
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        assert(body.contains("\"batches\"") && body.contains("\"sources\"")
+          && body.contains("\"state\""))
+        assert(body.contains("metrics_probe"))
+      } finally server.stop()
     } finally spark.streams.removeListener(listener)
+  }
+
+  test("offset lag parses plain, file-stream and kafka offset shapes") {
+    val l = new MetricsListener
+    assert(l.offsetLag("5", "9") == 4L)
+    assert(l.offsetLag("""{"logOffset":3}""", """{"logOffset":7}""") == 4L)
+    assert(l.offsetLag(
+      """{"events":{"0":100,"1":50}}""",
+      """{"events":{"0":120,"1":55}}""") == 25L)
+    assert(l.offsetLag("9", "5") == 0L)   // never negative
+    assert(l.offsetLag(null, "5") == -1L) // unknown
+    assert(l.offsetLag("abc", "5") == -1L)
   }
 }
