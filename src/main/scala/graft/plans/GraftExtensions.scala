@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.RollingHash
+import graft.functions.{RollingHash, ShingleArray}
 
 /** Engine SQL surface: registers graft's native expressions so plain
   * `spark.sql("SELECT graft_rolling_hash(text) ...")` works.
@@ -16,6 +16,7 @@ import graft.functions.RollingHash
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
+    ext.injectFunction(GraftExtensions.shinglesDescriptor)
   }
 }
 
@@ -29,8 +30,18 @@ object GraftExtensions {
           exprs(1).eval().asInstanceOf[Number].longValue())
       else new RollingHash(exprs.head))
 
+  private val shinglesDescriptor = (
+    FunctionIdentifier("graft_shingles"),
+    new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
+    (exprs: Seq[Expression]) =>
+      ShingleArray(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()))
+
   /** Imperative registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash", rollingHashDescriptor._3, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", shinglesDescriptor._3, "built-in")
+  }
 }

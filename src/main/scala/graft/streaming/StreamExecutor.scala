@@ -94,13 +94,15 @@ class StreamExecutor(
         try {
           val loops = batch.filter(_.sink == SinkLoop)
           if (!loops.isEmpty) {
-            // One file per feedback round: each round is one trailing
-            // micro-batch, mirroring one produce to the loop topic.
+            // A few files per feedback round (parallel write, bounded
+            // file count); with no maxFilesPerTrigger on the source the
+            // whole round still lands in ONE trailing micro-batch,
+            // mirroring one produce cycle to the loop topic.
             loops.map(e => Message(e.key, e.value, g.loopTopic, e.partition,
               e.offset, microsTimestamp(e.tsMicros),
               if (e.headers == null) Map.empty[String, Array[Byte]]
               else e.headers))
-              .coalesce(1).write.mode("append").parquet(stagingDir)
+              .coalesce(8).write.mode("append").parquet(stagingDir)
           }
           val rest = batch.filter(_.sink != SinkLoop)
           if (!rest.isEmpty)
