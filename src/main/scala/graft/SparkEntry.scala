@@ -49,6 +49,7 @@ object SparkEntry {
     "q14_rollup" -> (Relational.rollupAgg _),
     "q15_distinct_agg" -> (Relational.distinctAgg _),
     "q16_json_extract" -> (Relational.jsonExtract _),
+    "q17_session_window" -> (Relational.sessionWindow _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -256,6 +257,22 @@ object SparkEntry {
            max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k,
            count(*) AS cnt
          FROM events GROUP BY event_type""",
+    // Gap-based sessionization: new session at gap >= 1h (mirrors
+    // Spark's strict-overlap merge rule for [ts, ts+gap) intervals).
+    "q17_session_window" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         sess AS (
+           SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked)
+         SELECT CAST(user_id AS VARCHAR) AS key,
+           epoch_us(min(ts)) AS session_start, count(*) AS cnt
+         FROM sess GROUP BY user_id, sid""",
     "d01_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS cnt
          FROM documents GROUP BY md5(text)""",

@@ -217,4 +217,18 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
         count(lit(1)).as("cnt"))
+
+  /** Event-time SESSION windows (gap-based): Spark's `session_window`
+    * merges events closer than the gap; the oracle reproduces it with
+    * the classic lag + running-sum sessionization. A new session starts
+    * at gap >= 1 hour (Spark merges only strictly-overlapping
+    * [ts, ts+gap) intervals). Same operator runs under watermark in
+    * streaming mode unchanged. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id").cast("string").as("key"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        col("cnt"))
 }
