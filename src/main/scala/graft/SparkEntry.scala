@@ -64,6 +64,8 @@ object SparkEntry {
     "t04_fingerprint" -> (PipelineQueries.fingerprint _),
     "t05_rolling_fp" -> (PipelineQueries.rollingFingerprint _),
     "m01_multimodal" -> (PipelineQueries.multimodal _),
+    "m02_media_resize" -> (PipelineQueries.mediaResize _),
+    "m03_frame_sample" -> (PipelineQueries.frameSample _),
     "st01_stream_count" -> (StreamingQueries.streamCount _),
     "st02_stream_tumble" -> (StreamingQueries.streamTumble _),
     "st03_stream_loopback" -> (StreamingQueries.streamLoopback _),
@@ -402,6 +404,30 @@ object SparkEntry {
            CAST(octet_length(encode(text)) % 480 AS INT) AS height,
            CAST(ascii(text) AS BIGINT) AS feat0
          FROM documents""",
+    // Aspect-preserving integer resize of the stub-decoded dimensions.
+    "m02_media_resize" ->
+      """SELECT id, width, height,
+           CAST(CASE WHEN width <= 0 OR height <= 0 THEN 0
+                WHEN width*224 <= height*224 THEN (width*224)//height
+                ELSE 224 END AS INT) AS out_w,
+           CAST(CASE WHEN width <= 0 OR height <= 0 THEN 0
+                WHEN width*224 <= height*224 THEN 224
+                ELSE (height*224)//width END AS INT) AS out_h
+         FROM (SELECT doc_id AS id,
+                 CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+                 CAST(octet_length(encode(text)) % 480 AS INT) AS height
+               FROM documents)""",
+    // Frame sampling: 64-byte frames, every 2nd sampled; fingerprint =
+    // md5 of the frame's hex image (blobs are not sliceable in DuckDB,
+    // hex substrings are engine-portable).
+    "m03_frame_sample" ->
+      """WITH base AS (SELECT doc_id, hex(encode(text)) AS hx,
+                              octet_length(encode(text)) AS nb
+                       FROM documents)
+         SELECT doc_id AS id, frame_idx,
+           md5(substr(hx, CAST(frame_idx*128+1 AS INT), 128)) AS frame_fp
+         FROM (SELECT doc_id, hx, unnest(range(0, nb//64, 2)) AS frame_idx
+               FROM base WHERE nb >= 64)""",
     "s02_ann_lsh" ->
       s"""WITH pre AS ($embPreSql),
          planes AS (

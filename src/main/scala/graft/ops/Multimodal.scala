@@ -51,6 +51,47 @@ object Multimodal {
     }
   }
 
+  /** Aspect-preserving integer resize of decoded dimensions into a
+    * target box — the metadata half of a real resize stage (the pixel
+    * work belongs to the per-partition decoder; the dimension math is
+    * pure Catalyst integer arithmetic, codegen'd and oracle-exact).
+    * Degenerate inputs (w/h <= 0) map to (0, 0). */
+  def resizeStage(decoded: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val w = col("width")
+    val h = col("height")
+    decoded
+      .withColumn("out_w",
+        when(w <= 0 || h <= 0, lit(0))
+          .when(w * targetH <= h * targetW, expr(s"(width * $targetH) div height"))
+          .otherwise(lit(targetW)).cast("int"))
+      .withColumn("out_h",
+        when(w <= 0 || h <= 0, lit(0))
+          .when(w * targetH <= h * targetW, lit(targetH))
+          .otherwise(expr(s"(height * $targetW) div width")).cast("int"))
+  }
+
+  /** Frame sampling over a binary "video" column: the blob is treated as
+    * `floor(n_bytes / frameSize)` fixed-size frames, every `stride`-th
+    * frame is sampled, and each sampled frame gets a content
+    * fingerprint. One exploded row per sampled frame — the exact shape
+    * a real ffmpeg frame-sampler feeds downstream (the fingerprint is
+    * md5 over the frame's hex image, computable bit-identically by the
+    * oracle, which cannot slice raw blobs). Pure Catalyst: sequence +
+    * explode + substring, no UDF. */
+  def frameSample(df: DataFrame, id: Column, blob: Column,
+      frameSize: Int = 64, stride: Int = 2): DataFrame = {
+    val nFrames = (length(blob) / frameSize).cast("long")
+    val idxs = when(nFrames > 0,
+      sequence(lit(0L), nFrames - 1L, lit(stride.toLong)))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(id.cast("long").as("id"), hex(blob).as("hx"),
+        explode(idxs).as("frame_idx"))
+      .select(col("id"), col("frame_idx"),
+        md5(substring(col("hx"),
+          (col("frame_idx") * (frameSize * 2) + 1).cast("int"),
+          lit(frameSize * 2)).cast("binary")).as("frame_fp"))
+  }
+
   /** Decode a binary column in distributed batches: one decoder instance
     * per partition (decoders are usually expensive to initialize —
     * mirror of the Pandas-UDF batch pattern), rows streamed through it.

@@ -82,4 +82,18 @@ object PipelineQueries {
     Multimodal.decodeBatch(
       docs(spark, dir).withColumn("blob", col("text").cast("binary")),
       col("doc_id"), col("blob"))
+
+  /** Decode → aspect-preserving resize into a 224×224 box (the standard
+    * vision-model input). Dimension math is Catalyst integer arithmetic. */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeStage(multimodal(spark, dir), 224, 224)
+      .select(col("id"), col("width"), col("height"),
+        col("out_w"), col("out_h"))
+
+  /** Frame sampling: blob as fixed-size frames, every 2nd frame sampled
+    * and fingerprinted — one exploded row per sampled frame. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+      docs(spark, dir).withColumn("blob", col("text").cast("binary")),
+      col("doc_id"), col("blob"))
 }

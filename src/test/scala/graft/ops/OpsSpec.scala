@@ -117,6 +117,28 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(fps(1L) != fps(3L))
   }
 
+  test("resize keeps aspect ratio; degenerate dims map to zero") {
+    import spark.implicits._
+    val d = Seq((1L, 640, 480), (2L, 100, 400), (3L, 0, 7), (4L, 224, 224))
+      .toDF("id", "width", "height")
+    val r = Multimodal.resizeStage(d, 224, 224).collect()
+      .map(x => (x.getLong(0), (x.getInt(3), x.getInt(4)))).toMap
+    assert(r(1L) == ((224, 168)))  // landscape: fit width
+    assert(r(2L) == ((56, 224)))   // portrait: fit height
+    assert(r(3L) == ((0, 0)))      // degenerate
+    assert(r(4L) == ((224, 224)))  // exact fit
+  }
+
+  test("frame sampling: stride over fixed-size frames, short blobs empty") {
+    import spark.implicits._
+    val d = Seq((1L, Array.fill[Byte](300)('x')), (2L, Array.fill[Byte](10)('y')))
+      .toDF("id", "blob")
+    val f = Multimodal.frameSample(d, col("id"), col("blob"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 300 bytes = 4 full 64-byte frames -> sampled 0, 2; 10 bytes -> none
+    assert(f.toSeq.sorted == Seq((1L, 0L), (1L, 2L)))
+  }
+
   test("multimodal stub decode: magic sniffing + deterministic features") {
     import spark.implicits._
     val jpeg = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0x00.toByte)
