@@ -50,6 +50,7 @@ object SparkEntry {
     "q15_distinct_agg" -> (Relational.distinctAgg _),
     "q16_json_extract" -> (Relational.jsonExtract _),
     "q17_session_window" -> (Relational.sessionWindow _),
+    "q18_salted_join" -> (Relational.saltedJoin _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -275,6 +276,11 @@ object SparkEntry {
          SELECT CAST(user_id AS VARCHAR) AS key,
            epoch_us(min(ts)) AS session_start, count(*) AS cnt
          FROM sess GROUP BY user_id, sid""",
+    // The plain join — salting on the Spark side must be invisible.
+    "q18_salted_join" ->
+      """SELECT n_name, count(*) AS cnt
+         FROM events JOIN nation ON user_id % 3 = n_nationkey
+         GROUP BY n_name""",
     "d01_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS cnt
          FROM documents GROUP BY md5(text)""",

@@ -231,4 +231,17 @@ object Relational {
       .select(col("user_id").cast("string").as("key"),
         unix_micros(col("session_window.start")).as("session_start"),
         col("cnt"))
+
+  /** Skew-salted join: every event lands on one of THREE hot keys (the
+    * worst shuffle-join shape — 3 straggler tasks would carry the whole
+    * join), spread over 16 salts by [[graft.operators.SaltedJoin]]. The
+    * oracle is the PLAIN join — the salt must never change a row. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("event_id"), (col("user_id") % 3).as("hot"))
+    val nat = table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    graft.operators.SaltedJoin.inner(ev, nat, col("hot"), "n_nationkey", 16)
+      .groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+  }
 }
