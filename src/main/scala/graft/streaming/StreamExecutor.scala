@@ -53,14 +53,15 @@ class StreamExecutor(
       spark: SparkSession,
       stream: Dataset[Message],
       joinSnapshots: Map[String, Map[String, Array[Byte]]] = Map.empty,
-      lookupSnapshots: Map[String, Map[String, Array[Byte]]] = Map.empty)
+      lookupSnapshots: Map[String, Map[String, Array[Byte]]] = Map.empty,
+      initialState: Option[Dataset[TableRow]] = None)
       : Dataset[Emitted] = {
     graph.validate()
     require(graph.loop.isEmpty,
       "streaming loopback needs a real feedback topic; use " +
         "runWithLoopback(spark, stagingDir, resultDir) or the " +
         "BatchExecutor's bounded fixpoint replay")
-    compile(spark, stream, joinSnapshots, lookupSnapshots)
+    compile(spark, stream, joinSnapshots, lookupSnapshots, initialState)
   }
 
   /** Run a graph WITH a Loop edge over a staged `Dataset[Message]`
@@ -118,7 +119,8 @@ class StreamExecutor(
       spark: SparkSession,
       stream: Dataset[Message],
       joinSnapshots: Map[String, Map[String, Array[Byte]]],
-      lookupSnapshots: Map[String, Map[String, Array[Byte]]])
+      lookupSnapshots: Map[String, Map[String, Array[Byte]]],
+      initialState: Option[Dataset[TableRow]] = None)
       : Dataset[Emitted] = {
     import spark.implicits._
     val g = graph
@@ -126,9 +128,19 @@ class StreamExecutor(
     val joinTopics = g.joins.keySet
     val bc = spark.sparkContext.broadcast((joinSnapshots, lookupSnapshots))
 
+    // Seed the keyed state from an existing group table — the
+    // reference's recover-from-table-topic on first start
+    // (`partition_table.go:98-117`); on restart Spark's checkpoint wins
+    // and the seed is ignored, exactly like goka preferring local state.
+    val init = initialState.getOrElse(spark.emptyDataset[TableRow])
+      .filter(_.value != null)
+      .groupByKey(_.key).reduceGroups((_, b) => b).map(_._2) // dedupe keys
+      .groupByKey(_.key)
+      .mapValues(r => KeyState(r.value, Map.empty[String, Array[Byte]]))
+
     stream.groupByKey(_.key)
       .flatMapGroupsWithState[KeyState, Emitted](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.NoTimeout, init) {
         (key: String, msgs: Iterator[Message], state: GroupState[KeyState]) =>
           val (snaps, lookups) = bc.value
           val prev = if (state.exists) state.get else KeyState(null, Map.empty)

@@ -119,6 +119,28 @@ class StreamExecutorSpec extends AnyFunSuite with SparkFixture {
     assert(last == (("k", "ABB-")))
   }
 
+  test("initial state seeds the keyed store (recover-from-table-topic)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val seed = spark.createDataset(Seq(
+      TableRow("a", Int64Codec.encode(10L)),
+      TableRow("gone", null))) // tombstone in the compacted table: no row
+    val ms = MemoryStream[Message]
+    val out = new StreamExecutor(counterGraph).run(spark, ms.toDS(),
+      initialState = Some(seed))
+    val q = out.filter(_.sink == SinkTable)
+      .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "cnt")
+      .writeStream.format("memory").queryName("sspec_init")
+      .outputMode("update").start()
+    try {
+      ms.addData(msg("a", "x", 1), msg("b", "y", 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sspec_init").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows == Map("a" -> 11L, "b" -> 1L)) // a continues from the seed
+  }
+
   test("streaming and batch executors agree on final state") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
