@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   * `salts` tasks. Result is row-identical to the plain join — the salt
   * never escapes.
   *
+  * When the small side fits the broadcast threshold Catalyst will
+  * broadcast the replicated side and the salt costs nothing (a
+  * broadcast join has no skew problem to begin with); the salt pays off
+  * exactly when both sides must shuffle.
+  *
   * Complements AQE's runtime skew-join splitting
   * (`spark.sql.adaptive.skewJoin.enabled`, on in our sessions): AQE
   * splits oversized SORT-MERGE partitions after the map stage; explicit

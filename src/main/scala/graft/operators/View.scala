@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import graft.core.{Codec, TableRow}
+import graft.core.{Codec, Message, TableRow}
 
 /** Read-only materialized view over a group table — the reference's
   * `View` (`/root/reference/view.go:42-52`).
@@ -83,4 +83,24 @@ final class View(val rows: Dataset[TableRow]) extends Serializable {
   }
 
   def toDF: DataFrame = rows.toDF()
+}
+
+object View {
+  /** Compact a message changelog to the live table: last write per key
+    * wins by (timestamp, offset), null values are tombstones that drop
+    * the row — Kafka log compaction (`cleanup.policy=compact`,
+    * `/root/reference/topic_manager.go:317-326`), the mechanism by which
+    * the reference materializes table topics into views
+    * (`view.go:230-282`). One `max_by` aggregation: single shuffle,
+    * map-side partials, no window sort. */
+  def compact(changelog: Dataset[Message]): Dataset[TableRow] = {
+    val spark = changelog.sparkSession
+    import spark.implicits._
+    changelog.toDF()
+      .groupBy(col("key"))
+      .agg(max_by(col("value"),
+        struct(col("timestamp"), col("offset"))).as("value"))
+      .filter(col("value").isNotNull)
+      .as[TableRow]
+  }
 }

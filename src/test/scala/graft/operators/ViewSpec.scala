@@ -41,6 +41,21 @@ class ViewSpec extends AnyFunSuite with SparkFixture {
       Seq("banana", "cherry"))
   }
 
+  test("changelog compaction: last write wins, tombstones drop rows") {
+    import spark.implicits._
+    import graft.core.Message
+    def m(k: String, v: String, off: Long) =
+      Message(k, if (v == null) null else v.getBytes("UTF-8"), "t", 0, off,
+        new java.sql.Timestamp(1000L), Map.empty)
+    val log = spark.createDataset(Seq(
+      m("a", "v1", 1), m("a", "v2", 5), m("a", "v3", 3), // out of order
+      m("b", "x", 1), m("b", null, 2),                   // tombstoned
+      m("c", null, 1), m("c", "alive", 2)))              // re-created
+    val t = View.compact(log).collect()
+      .map(r => r.key -> new String(r.value, "UTF-8")).toMap
+    assert(t == Map("a" -> "v2", "c" -> "alive"))
+  }
+
   test("bucketed persistence prunes point reads to one bucket") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_vbuck").toString
