@@ -59,6 +59,7 @@ object SparkEntry {
     "d06_simhash_pairs" -> (PipelineQueries.simhashPairs _),
     "s01_ann_topk" -> (PipelineQueries.annTopK _),
     "s02_ann_lsh" -> (PipelineQueries.annLsh _),
+    "s03_ann_ivf" -> (PipelineQueries.annIvf _),
     "t01_langid" -> (PipelineQueries.langId _),
     "t02_quality" -> (PipelineQueries.quality _),
     "t03_token_stats" -> (PipelineQueries.tokenStats _),
@@ -456,6 +457,34 @@ object SparkEntry {
              JOIN pre qp ON qp.vec_id = q.vec_id
              JOIN pre cp ON cp.vec_id = c.vec_id
            WHERE q.vec_id < 10)
+         SELECT qid, nid, cos, rank FROM (
+           SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           FROM sims)
+         WHERE rank <= 10""",
+    // IVF: centroids = 16 lowest-id vectors; cell = argmax cosine
+    // (ties -> smaller centroid id); probe own cell, exact rerank.
+    "s03_ann_ivf" ->
+      s"""WITH pre AS ($embPreSql),
+         cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
+                   FROM pre WHERE vec_id < 16),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
+                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.cid) AS rn
+             FROM pre p, cents c) WHERE rn = 1),
+         sims AS (
+           SELECT qa.vec_id AS qid, ca.vec_id AS nid,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(qp.v) x, unnest(cp.v) y)) AS DOUBLE)
+               / (sqrt(CAST(qp.n2 AS DOUBLE)) * sqrt(CAST(cp.n2 AS DOUBLE))) AS cos
+           FROM assign qa JOIN assign ca
+             ON qa.cid = ca.cid AND ca.vec_id <> qa.vec_id
+             JOIN pre qp ON qp.vec_id = qa.vec_id
+             JOIN pre cp ON cp.vec_id = ca.vec_id
+           WHERE qa.vec_id < 10)
          SELECT qid, nid, cos, rank FROM (
            SELECT qid, nid, cos,
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank

@@ -149,6 +149,43 @@ object Vectors {
       .withColumn("bucket", bucketBits)
   }
 
+  /** IVF-flat ANN: a coarse quantizer of `nCells` centroids partitions
+    * the corpus into cells; each query probes only its own cell and
+    * reranks exactly inside — probe cost O(N/nCells) per query, the
+    * other classic ANN scale path next to LSH ([[annLshTopK]]).
+    *
+    * Centroids here are the `nCells` lowest-id vectors — a
+    * deterministic sample standing in for k-means means (production
+    * plugs trained centroids into the same plan; the assignment,
+    * probing and rerank machinery is identical and the determinism
+    * makes the whole operator oracle-checkable). Assignment is an exact
+    * argmax of int64-cosine against broadcast centroids via ONE
+    * `max_by` aggregation — map-side partials, no N×K window sort; ties
+    * resolve to the smaller centroid id. */
+  def annIvfTopK(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, k: Int, nCells: Int = 16): DataFrame = {
+    val p = prepared(corpus, id, emb)
+    val cents = p.filter(col("vid") < nCells)
+      .select(col("vid").as("cid"), col("iv").as("civ"), col("n2").as("cn2"))
+    def assignCells(side: DataFrame): DataFrame =
+      side.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosineFromInts(idot(col("iv"), col("civ")),
+          col("n2"), col("cn2")))
+        .groupBy(col("vid"))
+        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+          first(col("iv")).as("iv"), first(col("n2")).as("n2"))
+    val cellC = assignCells(p).as("c")
+    val cellQ = assignCells(prepared(queries, id, emb)).as("q")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    cellQ.join(cellC, col("q.cid") === col("c.cid") &&
+        col("q.vid") =!= col("c.vid"))
+      .select(col("q.vid").as("qid"), col("c.vid").as("nid"),
+        cosineFromInts(idot(col("q.iv"), col("c.iv")), col("q.n2"), col("c.n2"))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-accelerated top-k: probe only the query's bucket, exact rerank
     * inside. Returns (qid, rank, nid, cos). */
   def annLshTopK(corpus: DataFrame, queries: DataFrame, id: Column,

@@ -52,6 +52,13 @@ object PipelineQueries {
       col("embedding"), k = 10)
   }
 
+  /** IVF-flat ANN — probe one centroid cell, exact rerank inside. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.annIvfTopK(e, e.filter(col("vec_id") < 10), col("vec_id"),
+      col("embedding"), k = 10)
+  }
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"), col("lang"),
       TextAnalysis.langId(col("text")).as("pred"))
