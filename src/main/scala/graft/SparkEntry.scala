@@ -33,6 +33,7 @@ object SparkEntry {
     "g13_view_range" -> (GokaQueries.viewRange _),
     "g14_view_prefix" -> (GokaQueries.viewPrefix _),
     "g15_json_state" -> (GokaQueries.jsonState _),
+    "g16_chained" -> (GokaQueries.chained _),
     "q01_pricing_summary" -> (Relational.pricingSummary _),
     "q02_revenue_forecast" -> (Relational.revenueForecast _),
     "q03_join_topk" -> (Relational.joinTopK _),
@@ -153,6 +154,12 @@ object SparkEntry {
            FROM events)
          SELECT CAST(user_id AS VARCHAR) AS key, cnt, event_type AS last_type
          FROM ordered WHERE rn = cnt""",
+    // Chained processors: blocker table = one row per user with >= 10
+    // events, counting the detector's every-10th-event block commands.
+    "g16_chained" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+                count(*) // 10 AS n_blocks
+         FROM events GROUP BY user_id HAVING count(*) >= 10""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -275,6 +275,40 @@ object GokaQueries {
     }.toDF("key", "cnt", "last_type")
   }
 
+  /** Chained processors — the reference's flagship messaging topology
+    * (`examples/3-messaging`): a detector counts per-user traffic and
+    * emits a block command every 10th event
+    * (`detector/detector.go:60-77`); a second processor group consumes
+    * the block stream into its own table (`blocker/blocker.go:30-60`).
+    * Output messages of graph 1 are the input topic of graph 2 — the
+    * composition every real goka deployment is built from (timestamps
+    * and offsets survive the hop, so graph 2's fold order is graph 1's
+    * emit order). */
+  def chained(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val detector = GroupGraph.define("detector")(
+      Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+        val cur = ctx.value match { case null => 0L; case n: Long => n }
+        val next = cur + 1L
+        ctx.setValue(next)
+        if (next % 10L == 0L) ctx.emit("blocks", ctx.key, next)
+      }),
+      Persist(Int64Codec),
+      Output("blocks", Int64Codec))
+    val blocker = GroupGraph.define("blocker")(
+      Input("blocks", Int64Codec, ProcessCallback { (ctx, _) =>
+        val cur = ctx.value match { case null => 0L; case n: Long => n }
+        ctx.setValue(cur + 1L)
+      }),
+      Persist(Int64Codec))
+    val stage1 = graft.Processor(spark, detector)
+      .runBatch(Map("events" -> Sources.eventMessages(spark, dir)))
+    val stage2 = graft.Processor(spark, blocker)
+      .runBatch(Map("blocks" -> stage1.outputs("blocks")))
+    stage2.table.map(r => (r.key, Int64Codec.decode(r.value)))
+      .toDF("key", "n_blocks")
+  }
+
   private def countTable(spark: SparkSession, dir: String) =
     new BatchExecutor(countGraph()).run(spark,
       Map("events" -> Sources.eventMessages(spark, dir))).table

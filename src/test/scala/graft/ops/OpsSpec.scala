@@ -76,6 +76,19 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(topk.toSeq.sortBy(_._2) == Seq((2L, 1), (3L, 2)))
   }
 
+  test("IVF cells: identical vectors share a cell; topk finds the twin") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),     // centroids
+      (5L, Array(0.9f, 0.1f)), (6L, Array(0.9f, 0.1f)))     // twins near c0
+      .toDF("vec_id", "embedding")
+    val topk = Vectors.annIvfTopK(vecs, vecs.filter($"vec_id" === 5L),
+      col("vec_id"), col("embedding"), k = 2, nCells = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // rank 1 must be the identical twin (cos 1.0), from the same cell
+    assert(topk.toSeq.sortBy(_._2).head == ((6L, 1)))
+  }
+
   test("LSH ANN buckets identical vectors together") {
     import spark.implicits._
     val vecs = Seq(
