@@ -9,7 +9,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q01_pricing_summary", "q02_revenue_forecast",
-        "q03_join_topk", "q07_multi_join", "q13_asof_join")
+        "q03_join_topk", "q07_multi_join", "q13_asof_join",
+        "q17_session_window", "q18_salted_join",
+        "d04_ngram_jaccard", "d05_embed_neardup", "s03_ann_ivf")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -141,6 +141,33 @@ class StreamExecutorSpec extends AnyFunSuite with SparkFixture {
     assert(rows == Map("a" -> 11L, "b" -> 1L)) // a continues from the seed
   }
 
+  test("feedback loopback composes with join snapshots") {
+    import spark.implicits._
+    val g = GroupGraph.define("loopjoin")(
+      Input("in", StringCodec, ProcessCallback { (c, m) =>
+        c.loopback(c.key, m) // re-key through the feedback topic
+      }),
+      Loop(StringCodec, ProcessCallback { (c, _) =>
+        val seg = c.join("seg") match { case null => "-"; case s => s.toString }
+        c.setValue(seg)
+      }),
+      Join("seg", StringCodec),
+      Persist(StringCodec))
+    val staging = java.nio.file.Files.createTempDirectory("graft_lj").toString
+    val results = java.nio.file.Files.createTempDirectory("graft_lj_out").toString
+    spark.createDataset(Seq(
+      msg("a", "x", 1), msg("b", "y", 2)))
+      .write.mode("overwrite").parquet(staging)
+    new StreamExecutor(g).runWithLoopback(spark, staging, results,
+      joinSnapshots = Map("seg" -> Map("a" -> "SEG".getBytes("UTF-8"))))
+    val table = spark.read.parquet(results)
+      .where(org.apache.spark.sql.functions.col("sink") === SinkTable)
+      .collect()
+      .map(r => r.getAs[String]("key") ->
+        new String(r.getAs[Array[Byte]]("value"), "UTF-8")).toMap
+    assert(table == Map("a" -> "SEG", "b" -> "-"))
+  }
+
   test("streaming and batch executors agree on final state") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
