@@ -34,6 +34,7 @@ object SparkEntry {
     "g14_view_prefix" -> (GokaQueries.viewPrefix _),
     "g15_json_state" -> (GokaQueries.jsonState _),
     "g16_chained" -> (GokaQueries.chained _),
+    "g17_json_relational" -> (GokaQueries.jsonRelational _),
     "q01_pricing_summary" -> (Relational.pricingSummary _),
     "q02_revenue_forecast" -> (Relational.revenueForecast _),
     "q03_join_topk" -> (Relational.joinTopK _),
@@ -147,6 +148,16 @@ object SparkEntry {
          FROM events GROUP BY user_id
          HAVING CAST(user_id AS VARCHAR) LIKE '1%'""",
     "g15_json_state" ->
+      """WITH ordered AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS cnt
+           FROM events)
+         SELECT CAST(user_id AS VARCHAR) AS key, cnt, event_type AS last_type
+         FROM ordered WHERE rn = cnt""",
+    // Same oracle as g15: the from_json columnar read must equal the
+    // jackson per-row decode.
+    "g17_json_relational" ->
       """WITH ordered AS (
            SELECT user_id, event_type,
                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,

@@ -111,6 +111,16 @@ object Codecs {
     }
   }
 
+  /** Columnar twin of [[json]]: decode a JSON-codec'd BINARY value
+    * column into a typed struct column with Catalyst `from_json` — the
+    * relational fast path for reading a goka table as a DataFrame
+    * (codegen'd, no per-row codec object). `CodecSpec`/`g17` assert it
+    * decodes exactly what [[json]] encodes. */
+  def fromJsonValue[T](value: org.apache.spark.sql.Column)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.from_json(
+      value.cast("string"), enc.schema)
+
   /** Java-serialization codec for arbitrary case classes — convenient in
     * tests; real deployments should define an explicit codec. */
   def javaSer[T <: Serializable]: Codec[T] = new Codec[T] {

@@ -275,6 +275,32 @@ object GokaQueries {
     }.toDF("key", "cnt", "last_type")
   }
 
+  /** The RELATIONAL read of a JSON-codec'd group table: the same fold
+    * as g15, but the result table's bytes are decoded with Catalyst
+    * `from_json` into struct columns (codegen'd columnar path) instead
+    * of the per-row jackson codec — both paths must hash-match the same
+    * oracle. This is how a goka table becomes a DataFrame for the §2.5
+    * relational surface. */
+  def jsonRelational(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val codec = Codecs.json[UserStats]
+    val graph = GroupGraph.define("jsonrel")(
+      Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+        val cur = ctx.value match {
+          case null => UserStats(0L, "")
+          case s: UserStats => s
+        }
+        ctx.setValue(UserStats(cur.cnt + 1L, msg.toString))
+      }),
+      Persist(codec))
+    val res = new BatchExecutor(graph).run(spark,
+      Map("events" -> Sources.eventMessages(spark, dir)))
+    res.table.toDF()
+      .withColumn("s", Codecs.fromJsonValue[UserStats](col("value")))
+      .select(col("key"), col("s.cnt").as("cnt"),
+        col("s.lastType").as("last_type"))
+  }
+
   /** Chained processors — the reference's flagship messaging topology
     * (`examples/3-messaging`): a detector counts per-user traffic and
     * emits a block command every 10th event
