@@ -467,11 +467,13 @@ object SparkEntry {
                  FROM pre pr, planes pl GROUP BY pr.vec_id, pl.p)
            GROUP BY vec_id),
          sims AS (
+           -- multi-probe: own bucket plus all 1-bit neighbors
            SELECT q.vec_id AS qid, c.vec_id AS nid,
              CAST((SELECT sum(x*y) FROM (SELECT unnest(qp.v) x, unnest(cp.v) y)) AS DOUBLE)
                / (sqrt(CAST(qp.n2 AS DOUBLE)) * sqrt(CAST(cp.n2 AS DOUBLE))) AS cos
            FROM buckets q JOIN buckets c
-             ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+             ON bit_count(xor(q.bucket, c.bucket)) <= 1
+               AND c.vec_id <> q.vec_id
              JOIN pre qp ON qp.vec_id = q.vec_id
              JOIN pre cp ON cp.vec_id = c.vec_id
            WHERE q.vec_id < 10)

@@ -136,11 +136,13 @@ object Vectors {
     * Overflow headroom: |coef| < 2^31, |iv| ≤ 2^20ish, dims ≤ ~1000 →
     * |dot| < 2^62. */
   def annLshBuckets(df: DataFrame, id: Column, emb: Column,
-      nPlanes: Int = 8): DataFrame = {
-    val dims = df.select(size(emb)).head().getInt(0)
+      nPlanes: Int = 8, dims: Int = -1): DataFrame = {
+    // dims is a schema-level constant in any real pipeline; the head()
+    // probe is only the convenience fallback.
+    val d0 = if (dims > 0) dims else df.select(size(emb)).head().getInt(0)
     val iv = intScale(emb)
     val bucketBits = (0 until nPlanes).map { p =>
-      val coef = typedLit((0 until dims).map(d => planeCoef(p, d)))
+      val coef = typedLit((0 until d0).map(d => planeCoef(p, d)))
       val dotP = aggregate(zip_with(iv, coef, (x, c) => x * c),
         lit(0L), (acc, v) => acc + v)
       when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -186,20 +188,34 @@ object Vectors {
       .filter(col("rank") <= k)
   }
 
-  /** LSH-accelerated top-k: probe only the query's bucket, exact rerank
-    * inside. Returns (qid, rank, nid, cos). */
+  /** LSH-accelerated top-k with MULTI-PROBE: each query probes its own
+    * bucket plus every bucket within hamming distance `probeHamming` of
+    * it (a near-miss on one hyperplane is the dominant recall-loss mode,
+    * so probing 1-bit neighbors recovers most of it at (nPlanes+1)×
+    * probe cost instead of 2× planes). The probe set is generated by
+    * exploding the query's bucket into its flipped variants, keeping the
+    * corpus-side join a plain equi-join on bucket — shuffle-friendly,
+    * no bucket-pair enumeration. Exact rerank inside the probed set.
+    * Returns (qid, rank, nid, cos). */
   def annLshTopK(corpus: DataFrame, queries: DataFrame, id: Column,
-      emb: Column, k: Int, nPlanes: Int = 8): DataFrame = {
-    val cb = annLshBuckets(corpus, id, emb, nPlanes)
-    val qb = annLshBuckets(queries, id, emb, nPlanes)
+      emb: Column, k: Int, nPlanes: Int = 8, dims: Int = -1,
+      probeHamming: Int = 1): DataFrame = {
+    require(probeHamming <= 1, "probe set generation covers hamming <= 1")
+    val cb = annLshBuckets(corpus, id, emb, nPlanes, dims)
+    val qb = annLshBuckets(queries, id, emb, nPlanes, dims)
     val c = cb.select(col("vid"), col("bucket"),
       intScale(col("embedding")).as("iv"))
       .withColumn("n2", idot(col("iv"), col("iv"))).as("c")
+    val probes =
+      if (probeHamming == 0) array(col("bucket"))
+      else array(col("bucket") +:
+        (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val q = qb.select(col("vid"), col("bucket"),
       intScale(col("embedding")).as("iv"))
-      .withColumn("n2", idot(col("iv"), col("iv"))).as("q")
+      .withColumn("n2", idot(col("iv"), col("iv")))
+      .withColumn("probe", explode(probes)).as("q")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    q.join(c, col("q.bucket") === col("c.bucket") &&
+    q.join(c, col("q.probe") === col("c.bucket") &&
         col("q.vid") =!= col("c.vid"))
       .select(col("q.vid").as("qid"), col("c.vid").as("nid"),
         cosineFromInts(idot(col("q.iv"), col("c.iv")), col("q.n2"), col("c.n2"))

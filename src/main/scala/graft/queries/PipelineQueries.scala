@@ -44,12 +44,12 @@ object PipelineQueries {
       col("embedding"), k = 10)
   }
 
-  /** LSH-bucketed ANN — the 100 TB scale path. Approximate (bucket
-    * recall), so rows-only checked: no oracle entry. */
+  /** LSH-bucketed ANN with 1-bit multi-probe — the 100 TB scale path.
+    * Deterministic buckets + probe set make it fully oracle-checked. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Vectors.annLshTopK(e, e.filter(col("vec_id") < 10), col("vec_id"),
-      col("embedding"), k = 10)
+      col("embedding"), k = 10, dims = 64)
   }
 
   /** IVF-flat ANN — probe one centroid cell, exact rerank inside. */
