@@ -44,13 +44,23 @@ object Kafka {
     * UTF-8 string (keys are always strings in the reference,
     * `context.go:45-46`), header entry array → map. Null key → empty
     * string (the reference treats keys as possibly-empty strings, never
-    * nil). */
+    * nil).
+    *
+    * Kafka headers may REPEAT keys; a plain `map_from_entries` throws on
+    * duplicates, so entries fold last-wins — the reference's merged
+    * header semantics (`headers.go:22-44`). */
   def fromKafka(df: DataFrame): Dataset[Message] = {
     val spark = df.sparkSession
     import spark.implicits._
     val headers =
       if (df.columns.contains("headers"))
-        coalesce(map_from_entries(col("headers")),
+        coalesce(
+          aggregate(col("headers"),
+            typedLit(Map.empty[String, Array[Byte]]),
+            (acc, e) => map_concat(
+              map_filter(acc, (k, _) => k =!= e.getField("key")),
+              map_from_arrays(array(e.getField("key")),
+                array(e.getField("value"))))),
           typedLit(Map.empty[String, Array[Byte]]))
       else typedLit(Map.empty[String, Array[Byte]])
     df.select(

@@ -45,6 +45,19 @@ class KafkaSpec extends AnyFunSuite with SparkFixture {
     assert(msgs(1).headers.isEmpty)
   }
 
+  test("duplicate header keys fold last-wins (headers.go:22-44)") {
+    val ts = new Timestamp(1714557600000L)
+    val rows = java.util.Arrays.asList(
+      Row("k".getBytes("UTF-8"), "v".getBytes("UTF-8"), "t", 0, 1L, ts, 0,
+        Seq(Row("h", "old".getBytes("UTF-8")),
+          Row("other", "x".getBytes("UTF-8")),
+          Row("h", "new".getBytes("UTF-8")))))
+    val msgs = Kafka.fromKafka(spark.createDataFrame(rows, kafkaSourceSchema))
+      .collect()
+    assert(msgs.head.headers.keySet == Set("h", "other"))
+    assert(new String(msgs.head.headers("h"), "UTF-8") == "new")
+  }
+
   test("Messages map to kafka sink rows and back (inverse)") {
     import spark.implicits._
     val ts = new Timestamp(1714557600000L)
