@@ -75,7 +75,8 @@ final class WebServer(port: Int = 0) {
           case None => 404 -> s"""{"error":"no table $t"}"""
           case Some(_) => 400 -> """{"error":"usage: /query/{table}/{key}"}"""
         }
-      case Array(t, key) =>
+      case Array(t, rawKey) =>
+        val key = java.net.URLDecoder.decode(rawKey, UTF_8)
         tables.get(t) match {
           case None => 404 -> s"""{"error":"no table $t"}"""
           case Some((view, codec)) =>

@@ -64,6 +64,9 @@ class WebServerSpec extends AnyFunSuite with SparkFixture {
       val (missCode, missBody) = http("GET", s"$base/query/webcount-table/zz")
       assert(missCode == 404 && missBody.contains("\"value\":null"))
       assert(http("GET", s"$base/query/nope/k")._1 == 404)
+      // URL-encoded keys decode before the point read
+      assert(http("GET", s"$base/query/webcount-table/%61") ==
+        ((200, """{"table":"webcount-table","key":"a","value":2}""")))
       assert(http("GET", s"$base/actions") == ((200, """["scale"]""")))
       assert(http("GET", s"$base/actions/scale")._1 == 405)
       // trigger the visitor with meta 3 -> counts triple
