@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression guards: the properties the engine is designed
+  * around — pushdown reaching the parquet scan, broadcast of dimension
+  * tables, NO driver-side collect in distributed operators — asserted on
+  * the actual physical plans, so a refactor that silently degrades a
+  * plan fails the suite, not just the benchmark. */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q01: filter + column pruning reach the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // projection pruned to the 5 used columns, not the full lineitem row
+    assert(!p.contains("l_orderkey"), "scan reads unneeded columns")
+  }
+
+  test("q03: dimension side is broadcast, not shuffled") {
+    val p = plan("q03_join_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("d05: all-pairs cosine has no driver collect and no broadcast of the corpus") {
+    val p = plan("d05_embed_neardup")
+    assert(!p.contains("CollectLimit"), p)
+    assert(!p.contains("BroadcastExchange"), "corpus must not be broadcast")
+    assert(p.contains("CartesianProduct"), // the block-pair NL join
+      "expected the shuffle-replicate block-pair join")
+  }
+
+  test("d04: single shingle pipeline, pairs expand in-group (no self-join of the scan)") {
+    val p = plan("d04_ngram_jaccard")
+    // exactly one parquet scan of documents
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
+    assert(p.contains("graft_shingles"), "native shingle kernel not in plan")
+  }
+
+  test("g01: the stateful fold is one exchange + in-partition sort") {
+    val p = plan("g01_count_per_key")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"fold should need at most its keying exchange\n$p")
+  }
+}
