@@ -103,7 +103,11 @@ final case class Persist(codec: Codec[_]) extends Edge {
 }
 
 /** Named callback runnable over every key of the live state
-  * (`graph.go:370-393`). */
+  * (`graph.go:370-393`). The visitor `meta` payload is JSON
+  * round-tripped ([[Codecs.JsonValueCodec]]): callbacks receive
+  * Long/Double/Boolean/String/Map/List — integers always as Long, case
+  * classes as Maps (the reference's `interface{}` meta is equally
+  * schemaless, `processor.go:954-996`). */
 final case class VisitorEdge(name: String, cb: ProcessCallback) extends Edge {
   def topics: Seq[String] = Seq.empty
 }

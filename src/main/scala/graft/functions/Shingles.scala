@@ -13,6 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * directly (the same pattern Spark's own string expressions use for
   * their runtime helpers). */
 object ShingleOps {
+  /** Shared empty result (null text, short docs). */
+  def empty(): ArrayData = new GenericArrayData(Array.empty[Any])
+
   /** Distinct word n-grams of `text` split on single spaces. Exactly
     * mirrors the declarative form
     * `array_distinct(transform(sequence(...), i -> concat_ws(' ',
@@ -58,14 +61,33 @@ case class ShingleArray(child: Expression, n: Int)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects STRING, got ${child.dataType.catalogString}")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
   override def prettyName: String = "graft_shingles"
 
-  override protected def nullSafeEval(input: Any): Any =
-    ShingleOps.compute(input.asInstanceOf[UTF8String], n)
+  // NULL text -> empty shingle set (not NULL), matching the declarative
+  // form's `.otherwise(array())` fallback so the two stay row-identical
+  // on every input — hence eval/doGenCode handle null explicitly instead
+  // of the default null propagation.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) ShingleOps.empty
+    else ShingleOps.compute(v.asInstanceOf[UTF8String], n)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.ShingleOps.compute($c, $n)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        |${childGen.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  ${childGen.isNull}
+        |    ? graft.functions.ShingleOps.empty()
+        |    : graft.functions.ShingleOps.compute(${childGen.value}, $n);
+      """.stripMargin,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleArray =
     copy(child = newChild)

@@ -110,7 +110,13 @@ class BatchExecutor(
       // its blocks are released by the ContextCleaner once unreferenced —
       // persist() entries sit in the CacheManager forever, accumulating
       // storage memory across fixpoint rounds and across queries on a
-      // long-lived session.
+      // long-lived session. Trade-off, deliberate: lineage is truncated,
+      // so losing an executor that held checkpoint blocks fails actions
+      // on the returned BatchResult instead of recomputing. A bounded
+      // replay is deterministic and idempotent, so the job-level retry
+      // re-runs cleanly; callers needing executor-loss resilience should
+      // write results to storage (which every query here does via the
+      // driver) rather than hold long-lived references.
       val emitted = foldOnce(spark,
         pending.unionAll(stateTagged).unionAll(joinTagged), bcLookups)
         .localCheckpoint()

@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Skew-busting salted equi-join: when a handful of hot keys dominate a
   * shuffle join, the hot key's partition becomes the straggler that
   * determines job wall-clock (at 100 TB, one 10%-hot key means one task
-  * doing 10% of ALL the work). Salting splits each big-side key across
-  * `salts` sub-partitions (deterministic hash of the full row, so
-  * retries re-salt identically) and replicates the small side once per
-  * salt; the join key becomes (key, salt), spreading every hot key over
-  * `salts` tasks. Result is row-identical to the plain join — the salt
-  * never escapes.
+  * doing 10% of ALL the work). Salting assigns big-side rows
+  * round-robin to `salts` sub-partitions and replicates the small side
+  * once per salt; the join key becomes (key, salt), spreading every hot
+  * key over `salts` tasks — even when the hot rows are bit-identical (a
+  * row-hash salt would send all duplicates to one salt and keep the
+  * straggler). The salt only routes rows — every salt joins the same
+  * replicated small side — so the result is row-identical to the plain
+  * join regardless of task retries re-salting differently.
   *
   * When the small side fits the broadcast threshold Catalyst will
   * broadcast the replicated side and the salt costs nothing (a
@@ -34,7 +36,7 @@ object SaltedJoin {
       smallKey: String, salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     val salted = big.withColumn("_gsalt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val replicated = small.withColumn("_gsalt",
       explode(sequence(lit(0L), lit(salts.toLong - 1L))))
     salted.join(replicated,

@@ -16,7 +16,7 @@ import graft.core.{Codec, Message, TableRow}
   * iteration in lexicographic key order (`storage/merge_iterator.go:45-124`)
   * is a plain `orderBy(key)`.
   */
-final class View(val rows: Dataset[TableRow]) extends Serializable {
+class View(val rows: Dataset[TableRow]) extends Serializable {
 
   /** Point read (`view.go:333-360`). Driver-side single-row action. */
   def get(key: String): Option[Array[Byte]] =
@@ -58,7 +58,7 @@ final class View(val rows: Dataset[TableRow]) extends Serializable {
     * Catalyst-owned mechanics. Range/prefix scans additionally benefit
     * from the per-bucket sort (min/max row-group skipping). */
   def persistBucketed(tableName: String, numBuckets: Int,
-      path: String): View = {
+      path: String): View.BucketedView = {
     val spark = rows.sparkSession
     import spark.implicits._
     rows.toDF().write.format("parquet")
@@ -66,13 +66,7 @@ final class View(val rows: Dataset[TableRow]) extends Serializable {
       .option("path", path)
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(tableName)
-    // Filter-only plans have no exchange to elide, so the planner's
-    // DisableUnnecessaryBucketedScan would turn the bucketed scan (and
-    // with it, bucket PRUNING) off; a serving view wants the pruned
-    // 1-of-N read on every point lookup.
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-      "false")
-    new View(spark.table(tableName).as[TableRow])
+    new View.BucketedView(spark.table(tableName).as[TableRow])
   }
 
   /** Decode values through a codec into a two-column DataFrame. */
@@ -86,6 +80,31 @@ final class View(val rows: Dataset[TableRow]) extends Serializable {
 }
 
 object View {
+
+  /** View over a key-bucketed table. Filter-only plans have no exchange
+    * to elide, so the planner's DisableUnnecessaryBucketedScan rule
+    * would silently turn the bucketed scan — and with it bucket
+    * PRUNING — off for point reads; this view scopes
+    * `autoBucketedScan.enabled=false` around its own point-read actions
+    * only, leaving the session conf (and every other query) untouched. */
+  final class BucketedView(rows: Dataset[TableRow]) extends View(rows) {
+    private def withBucketedScan[T](f: => T): T = {
+      val conf = rows.sparkSession.conf
+      val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prev = conf.get(k)
+      conf.set(k, "false")
+      try f finally conf.set(k, prev)
+    }
+    override def get(key: String): Option[Array[Byte]] =
+      withBucketedScan(super.get(key))
+    override def has(key: String): Boolean =
+      withBucketedScan(super.has(key))
+    /** Executed point-read plan, as served (tests assert 1-of-N here). */
+    def pointReadPlan(key: String): String = withBucketedScan(
+      rows.filter(col("key") === key)
+        .queryExecution.executedPlan.toString)
+  }
+
   /** Compact a message changelog to the live table: last write per key
     * wins by (timestamp, offset), null values are tombstones that drop
     * the row — Kafka log compaction (`cleanup.policy=compact`,

@@ -156,9 +156,20 @@ object Dedup {
       .select(id.as("doc_id"), nativeShingles(df, text, shingleN).as("sa"))
       .select(col("doc_id"), size(col("sa")).as("n"),
         explode(col("sa")).as("s"))
-    val grouped = sh.groupBy(col("s"))
+    // The cap must apply BEFORE any per-shingle list materializes: a
+    // stop-shingle in 10M docs would otherwise build a 10M-element
+    // collect_list buffer (in-memory, unspillable) just to be thrown
+    // away. A window count over the shingle partition is spill-safe
+    // (WindowExec buffers rows in an external, disk-backed array),
+    // filters the hot shingles out, and leaves the data partitioned by
+    // `s` so the following collect_list — now bounded by the cap —
+    // needs no second exchange. One scan, one shuffle to here.
+    val shf = sh
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("df") <= maxDocFreq)
+    val grouped = shf.groupBy(col("s"))
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
-      .filter(size(col("docs")) <= maxDocFreq)
     grouped
       .select(explode(col("docs")).as("a"), col("docs"))
       .select(col("a"), explode(col("docs")).as("b"))

@@ -64,8 +64,11 @@ object Vectors {
     val p = prepared(df, id, emb)
     val n = p.count()
     val nBlocks = math.max(1L, (n + rowsPerBlock - 1) / rowsPerBlock)
+    // Block by HASH of the id, not id modulo: a structured id set (all
+    // even, strided, offset) must not collapse into few blocks, or one
+    // task inherits the whole O(n²) and the block memory bound is gone.
     val blocks = p
-      .withColumn("blk", pmod(col("vid"), lit(nBlocks)))
+      .withColumn("blk", pmod(xxhash64(col("vid")), lit(nBlocks)))
       .groupBy(col("blk"))
       .agg(collect_list(struct(col("vid"), col("iv"), col("n2"))).as("rows"))
     val lhs = blocks.select(col("blk").as("ba"), col("rows").as("ra"))

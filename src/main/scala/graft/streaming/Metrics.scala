@@ -93,10 +93,15 @@ final class MetricsListener extends StreamingQueryListener {
     * (`{"logOffset":3}` file-stream or bare numbers) and Kafka's
     * `{"topic":{"partition":offset}}` shape; -1 when unparseable or
     * unknown. */
+  // One configured mapper for the listener hot path (thread-safe after
+  // construction); building one per progress event is needless GC churn.
+  @transient private lazy val offsetMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
   private[streaming] def offsetLag(end: AnyRef, latest: AnyRef): Long = {
     if (end == null || latest == null) return -1L
     try {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val m = offsetMapper
       def total(node: com.fasterxml.jackson.databind.JsonNode): Option[Long] =
         if (node.isNumber) Some(node.asLong())
         else if (node.isObject) {

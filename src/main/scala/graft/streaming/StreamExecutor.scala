@@ -175,7 +175,14 @@ class StreamExecutor(
           val joinUpdates: Map[String, Array[Byte]] =
             sorted.iterator.filter(m => joinTopics(m.topic))
               .map(m => m.topic -> m.value).toMap // ts-sorted: last wins
-          val newJoins = prev.joins ++ joinUpdates
+          // A null (tombstone) entry only needs to persist while it
+          // masks a static snapshot value; otherwise dropping it keeps
+          // the state removable — a key whose table row AND join rows
+          // are all deleted must not pin a KeyState forever.
+          val newJoins = (prev.joins ++ joinUpdates).filter {
+            case (t, v) => v != null ||
+              snaps.get(t).exists(_.contains(key))
+          }
           if (newValue == null && newJoins.isEmpty) {
             if (state.exists) state.remove()
           } else state.update(KeyState(newValue, newJoins))

@@ -27,12 +27,15 @@ import graft.operators.View
   * filter, partition/bucket-prunable when the backing table is persisted
   * bucketed ([[View.persistBucketed]]). JDK built-in `HttpServer`: no
   * added dependency. */
-final class WebServer(port: Int = 0) {
+final class WebServer(port: Int = 0, bindAddress: String = "127.0.0.1") {
 
   private val tables = TrieMap.empty[String, (() => View, Codec[_])]
   private val actions = TrieMap.empty[String, Any => Long]
   @volatile private var metrics: () => String = () => "{}"
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // Loopback by default: /actions mutates state and there is no auth
+  // layer; exposing beyond localhost is an explicit deployment choice.
+  private val server = HttpServer.create(
+    new InetSocketAddress(bindAddress, port), 0)
   server.createContext("/query", (ex: HttpExchange) => handleQuery(ex))
   server.createContext("/actions", (ex: HttpExchange) => handleAction(ex))
   server.createContext("/metrics",

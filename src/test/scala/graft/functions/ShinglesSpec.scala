@@ -23,9 +23,10 @@ class ShinglesSpec extends AnyFunSuite with SparkFixture {
     "double  space here now",         // empty middle token
     "héllo wörld ünïcode tokens")
 
-  test("native kernel matches declarative form on all edge cases") {
+  test("native kernel matches declarative form on all edge cases incl. NULL") {
     import spark.implicits._
-    val df = cases.zipWithIndex.map(_.swap).toDF("id", "text")
+    val df = (cases.zipWithIndex.map(_.swap) :+
+      ((cases.length, null.asInstanceOf[String]))).toDF("id", "text")
     for (n <- Seq(1, 2, 3, 5)) {
       val declarative = df.select(col("id"),
         Dedup.shingleArray(col("text"), n).as("sa"))

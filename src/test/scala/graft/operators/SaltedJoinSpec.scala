@@ -22,12 +22,14 @@ class SaltedJoinSpec extends AnyFunSuite with SparkFixture {
     assert(salted.toSeq == plain.toSeq)
   }
 
-  test("salt spreads a hot key over multiple partitions") {
+  test("salt spreads a hot key even when its rows are bit-identical") {
     import spark.implicits._
-    val big = (1 to 1000).map(i => (42L, s"p$i")).toDF("k", "payload")
+    // 1000 IDENTICAL rows on the hot key — a row-hash salt would send
+    // them all to one salt and keep the straggler
+    val big = (1 to 1000).map(_ => (42L, "same")).toDF("k", "payload")
     val salts = big.withColumn("_gsalt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(8L)))
+      pmod(monotonically_increasing_id(), lit(8L)))
       .select("_gsalt").distinct().count()
-    assert(salts > 4, s"expected the hot key spread over >4 salts, got $salts")
+    assert(salts == 8, s"expected the hot key spread over all 8 salts, got $salts")
   }
 }

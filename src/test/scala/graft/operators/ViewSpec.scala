@@ -57,14 +57,15 @@ class ViewSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("bucketed persistence prunes point reads to one bucket") {
-    import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_vbuck").toString
     val bucketed = view.persistBucketed("viewspec_bucketed", 8, dir)
-    val plan = bucketed.rows.filter(col("key") === "banana")
-      .queryExecution.executedPlan.toString
+    val plan = bucketed.pointReadPlan("banana")
     assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
     assert(bucketed.get("banana").map(new String(_)) == Some("2"))
     assert(bucketed.iterator.collect().map(_.key).toSeq ==
       Seq("apple", "apricot", "banana", "cherry"))
+    // the conf scoping leaves the session untouched
+    assert(spark.conf.get(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled") == "true")
   }
 }
