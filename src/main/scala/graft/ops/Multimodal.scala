@@ -31,6 +31,15 @@ object Multimodal {
     def decode(bytes: Array[Byte]): Decoded
   }
 
+  /** Batched decoder plug-point — the Scala analogue of a Pandas UDF's
+    * `mapInPandas` contract: the engine hands the decoder whole batches
+    * (amortizing per-call overhead for codecs that vectorize — GPU
+    * decoders, JNI ffmpeg calls) and streams batches per partition.
+    * Must return exactly one [[Decoded]] per input, in order. */
+  trait BatchMediaDecoder extends Serializable {
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Decoded]
+  }
+
   /** STUB: deterministic pseudo-decode from the raw bytes only.
     * Sniffs a few real magic numbers so the format column exercises the
     * dispatch path, then fabricates dimensions/features. */
@@ -107,6 +116,32 @@ object Multimodal {
         rows.map { case (i, bytes) =>
           val r = d.decode(if (bytes == null) Array.emptyByteArray else bytes)
           (i, r.format, r.nBytes, r.width, r.height, r.feat0)
+        }
+      }(enc)
+      .toDF("id", "format", "n_bytes", "width", "height", "feat0")
+  }
+
+  /** Batched variant: rows grouped into `batchSize` chunks per
+    * partition, each chunk handed to the decoder whole — the
+    * `mapInPandas` batch shape. Output schema identical to
+    * [[decodeBatch]]. */
+  def decodeBatched(df: DataFrame, id: Column, blob: Column,
+      decoder: BatchMediaDecoder, batchSize: Int = 64): DataFrame = {
+    require(batchSize >= 1)
+    val in = df.select(id.cast("long").as("id"), blob.as("blob"))
+    val enc = Encoders.product[(Long, String, Long, Int, Int, Long)]
+    in.as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        val d = decoder
+        rows.grouped(batchSize).flatMap { chunk =>
+          val decoded = d.decodeBatch(chunk.map { case (_, b) =>
+            if (b == null) Array.emptyByteArray else b
+          })
+          require(decoded.length == chunk.length,
+            s"decoder returned ${decoded.length} results for ${chunk.length} inputs")
+          chunk.iterator.zip(decoded.iterator).map { case ((i, _), r) =>
+            (i, r.format, r.nBytes, r.width, r.height, r.feat0)
+          }
         }
       }(enc)
       .toDF("id", "format", "n_bytes", "width", "height", "feat0")

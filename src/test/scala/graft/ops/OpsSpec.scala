@@ -152,6 +152,28 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(f.toSeq.sorted == Seq((1L, 0L), (1L, 2L)))
   }
 
+  test("batched decode: chunks reach the decoder whole, output matches row path") {
+    import spark.implicits._
+    val d = (1L to 10L).map(i => (i, s"blob$i".getBytes("UTF-8")))
+      .toDF("doc_id", "blob")
+    val seenBatches = spark.sparkContext.collectionAccumulator[Int]("batches")
+    val batched = new Multimodal.BatchMediaDecoder {
+      def decodeBatch(batch: Seq[Array[Byte]]): Seq[Multimodal.Decoded] = {
+        seenBatches.add(batch.length)
+        batch.map(Multimodal.StubDecoder.decode)
+      }
+    }
+    val viaBatch = Multimodal.decodeBatched(
+        d.repartition(2), col("doc_id"), col("blob"), batched, batchSize = 3)
+      .collect().map(_.toString).sorted
+    val viaRow = Multimodal.decodeBatch(d, col("doc_id"), col("blob"))
+      .collect().map(_.toString).sorted
+    assert(viaBatch.toSeq == viaRow.toSeq)
+    import scala.jdk.CollectionConverters._
+    val sizes = seenBatches.value.asScala
+    assert(sizes.sum == 10 && sizes.forall(_ <= 3))
+  }
+
   test("multimodal stub decode: magic sniffing + deterministic features") {
     import spark.implicits._
     val jpeg = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0x00.toByte)
