@@ -121,6 +121,32 @@ class BatchExecutorSpec extends AnyFunSuite with SparkFixture {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("one group's table topic is another group's Join edge") {
+    import spark.implicits._
+    // group A counts per key; group B consumes A's TABLE as a Join —
+    // the reference's multi-processor deployment shape (blocker table
+    // joined by the filter processor, examples/3-messaging).
+    val a = new BatchExecutor(counterGraph).run(spark,
+      Map("in" -> spark.createDataset(Seq(
+        msg("x", "1", offset = 1), msg("x", "2", offset = 2),
+        msg("y", "3", offset = 3)))))
+    val b = GroupGraph.define("reader")(
+      Input("in", StringCodec, ProcessCallback { (ctx, m) =>
+        val upstream = ctx.join("count-table") match {
+          case null => 0L
+          case n: Long => n
+        }
+        ctx.setValue(s"$m@$upstream")
+      }),
+      Join("count-table", Int64Codec),
+      Persist(StringCodec))
+    val res = new BatchExecutor(b).run(spark,
+      Map("in" -> spark.createDataset(Seq(
+        msg("x", "mx", offset = 9), msg("z", "mz", offset = 10)))),
+      joinTables = Map("count-table" -> a.table))
+    assert(tableMap(res.table) == Map("x" -> "mx@2", "z" -> "mz@0"))
+  }
+
   test("executor and Tester agree on a mixed workload") {
     import spark.implicits._
     val mkGraph = () => GroupGraph.define("mix")(
