@@ -53,6 +53,7 @@ object SparkEntry {
     "q16_json_extract" -> (Relational.jsonExtract _),
     "q17_session_window" -> (Relational.sessionWindow _),
     "q18_salted_join" -> (Relational.saltedJoin _),
+    "q19_cube" -> (Relational.cubeAgg _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -295,6 +296,11 @@ object SparkEntry {
          SELECT CAST(user_id AS VARCHAR) AS key,
            epoch_us(min(ts)) AS session_start, count(*) AS cnt
          FROM sess GROUP BY user_id, sid""",
+    "q19_cube" ->
+      """SELECT c_mktsegment, n_regionkey, count(*) AS cnt,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY CUBE (c_mktsegment, n_regionkey)""",
     // The plain join — salting on the Spark side must be invisible.
     "q18_salted_join" ->
       """SELECT n_name, count(*) AS cnt

@@ -232,6 +232,17 @@ object Relational {
         unix_micros(col("session_window.start")).as("session_start"),
         col("cnt"))
 
+  /** CUBE: all 2^2 grouping sets over (segment, nation-region) — the
+    * remaining grouping construct next to q14's ROLLUP. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val n = table(spark, dir, "nation")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("c_mktsegment"), col("n_regionkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("c_acctbal"))).cast("double").as("bal"))
+  }
+
   /** Skew-salted join: every event lands on one of THREE hot keys (the
     * worst shuffle-join shape — 3 straggler tasks would carry the whole
     * join), spread over 16 salts by [[graft.operators.SaltedJoin]]. The
