@@ -206,6 +206,12 @@ class BatchExecutor(
 }
 
 object BatchExecutor {
+  /** Callback/decode failure carrying the message coordinates — the
+    * engine's version of the reference's contextualized processing
+    * errors (`partition_processor.go:344-400`). */
+  final class CallbackException(msg: String, cause: Throwable)
+      extends RuntimeException(msg, cause)
+
   // kind drives the secondary-sort order within a key: state first, then
   // join rows, then messages in (ts, topic, offset, seq) order — the
   // batch analogue of the reference's recover-joins-then-process barrier
@@ -288,12 +294,24 @@ object BatchExecutor {
       val cb =
         if (isVisit) graph.visitors(row.topic.stripPrefix("@visit:"))
         else graph.callbackFor(row.topic)
-      val decoded: Any =
-        if (row.value == null) null
-        else if (isVisit) Codecs.JsonValueCodec.decode(row.value)
-        else graph.inputCodec(row.topic).decode(row.value)
-      val ctx = new FoldContext(row)
-      cb(ctx, decoded)
+      try {
+        val decoded: Any =
+          if (row.value == null) null
+          else if (isVisit) Codecs.JsonValueCodec.decode(row.value)
+          else graph.inputCodec(row.topic).decode(row.value)
+        val ctx = new FoldContext(row)
+        cb(ctx, decoded)
+      } catch {
+        // Identify the poison-pill message: at scale, "task failed" with
+        // no key/offset means replaying terabytes to find one bad row.
+        // The reference wraps the same context into its error
+        // (`partition_processor.go:344-400`).
+        case e: CallbackException => throw e
+        case e: Exception => throw new CallbackException(
+          s"callback failed: group=${graph.group} topic=${row.topic} " +
+            s"key=${row.key} partition=${row.partition} " +
+            s"offset=${row.offset}", e)
+      }
     }
 
     private def flushKey(): Unit = {

@@ -121,6 +121,26 @@ class BatchExecutorSpec extends AnyFunSuite with SparkFixture {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("a throwing callback reports group/topic/key/offset of the poison pill") {
+    import spark.implicits._
+    val g = GroupGraph.define("boom")(
+      Input("in", StringCodec, ProcessCallback { (ctx, m) =>
+        if (m == "bad") ctx.fail(new IllegalStateException("kaboom"))
+        else ctx.setValue(m)
+      }),
+      Persist(StringCodec))
+    // the fold materializes eagerly inside run() (localCheckpoint)
+    val e = intercept[org.apache.spark.SparkException] {
+      new BatchExecutor(g).run(spark, Map("in" -> spark.createDataset(
+        Seq(msg("ok", "fine", offset = 1), msg("evil", "bad", offset = 7)))))
+        .table.collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain.contains("key=evil") && chain.contains("offset=7") &&
+      chain.contains("group=boom"), chain)
+  }
+
   test("one group's table topic is another group's Join edge") {
     import spark.implicits._
     // group A counts per key; group B consumes A's TABLE as a Join —

@@ -49,7 +49,11 @@ class TesterSpec extends AnyFunSuite {
         ctx.emit("undeclared", ctx.key, "x")
       }))
     val tt = new Tester(g)
-    assertThrows[IllegalArgumentException](tt.consume("in", "k", "v"))
+    // surfaced wrapped with the message coordinates, cause preserved
+    val e = intercept[graft.operators.BatchExecutor.CallbackException](
+      tt.consume("in", "k", "v"))
+    assert(e.getMessage.contains("key=k"))
+    assert(e.getCause.isInstanceOf[IllegalArgumentException])
   }
 
   test("join reads co-partitioned table at current key (ctx.Join)") {
