@@ -1,7 +1,8 @@
 package graft.streaming
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.core._
 import graft.operators.BatchExecutor.{microsTimestamp, tsMicros, Emitted, FoldIterator, KindJoin, KindMessage, KindState, SinkLoop, SinkTable, Tagged}
 import graft.operators.NilHandling
@@ -11,12 +12,16 @@ import graft.operators.NilHandling
   * The reference's processor loop — per-partition goroutine, serial
   * per-key callbacks, LevelDB state, changelog topic
   * (`/root/reference/partition_processor.go:405-444`) — maps onto
-  * `flatMapGroupsWithState`: Spark's keyed state store holds the group
-  * table (checkpoint = the reference's recovery machinery,
-  * `partition_table.go:98-167`), per-key serial execution is the state
-  * operator's contract, and every state change is emitted as a
+  * `transformWithState` (Spark 4.x `StatefulProcessor`): the keyed state
+  * store holds the group table (checkpoint = the reference's recovery
+  * machinery, `partition_table.go:98-167`), per-key serial execution is
+  * the state operator's contract, and every state change is emitted as a
   * changelog row (`sink = "@table"`, null value = tombstone) exactly like
-  * the reference's table topic (`context.go:400-407`).
+  * the reference's table topic (`context.go:400-407`). The operator
+  * requires the RocksDB state store provider
+  * (`spark.sql.streaming.stateStore.providerClass`), which is also the
+  * right store at scale: state lives off-heap on local disk with
+  * incremental (changelog) checkpointing, like the reference's LevelDB.
   *
   * '''Continuously-updating join tables.''' The reference's join tables
   * catch up forever (`partition_table.go:119-126`). Here, the joined
@@ -34,9 +39,22 @@ import graft.operators.NilHandling
   * `joinSnapshots` seed the initial table content, like the reference's
   * recover-to-HWM barrier before processing starts.
   *
-  * Lookup tables are full-replica broadcast snapshots (the reference
-  * materializes a View per processor, `processor.go:105-120`); their
-  * per-query staleness is the documented divergence (SURVEY §7.4).
+  * '''Continuously-updating lookup tables.''' Lookup views in the
+  * reference also catch up forever (view-per-processor,
+  * `processor.go:105-120`). `ctx.lookup` reads arbitrary keys, so the
+  * table cannot live in keyed state; instead the executor re-resolves
+  * the replicated snapshot through a [[LookupProvider]] whenever the
+  * micro-batch id advances — [[FileLookups]] re-reads a compacted
+  * snapshot file per batch (CatchupForever at batch granularity), while
+  * [[StaticLookups]] keeps the old immutable-broadcast behavior for
+  * genuinely static reference data.
+  *
+  * '''State TTL.''' `stateTtl` arms RocksDB value-state TTL
+  * ([[TTLConfig]], processing-time): a key not updated within the TTL is
+  * dropped from the store and re-seeds from null — the guard that keeps
+  * a 100×-cardinality key space from pinning the store forever. The
+  * reference relies on tombstones for the same hygiene; TTL is the
+  * engine's addition for keys that never see an explicit delete.
   *
   * '''Loopback''' (`graph.go:395-407`) is a real feedback topic in
   * streaming: [[runWithLoopback]] appends `@loop` rows back into the
@@ -45,7 +63,9 @@ import graft.operators.NilHandling
   */
 class StreamExecutor(
     graph: GroupGraph,
-    nilHandling: NilHandling = NilHandling.Ignore) extends Serializable {
+    nilHandling: NilHandling = NilHandling.Ignore,
+    stateTtl: Option[java.time.Duration] = None,
+    maxLoopRounds: Int = 50) extends Serializable {
 
   import StreamExecutor.KeyState
 
@@ -55,13 +75,25 @@ class StreamExecutor(
       joinSnapshots: Map[String, Map[String, Array[Byte]]] = Map.empty,
       lookupSnapshots: Map[String, Map[String, Array[Byte]]] = Map.empty,
       initialState: Option[Dataset[TableRow]] = None)
+      : Dataset[Emitted] =
+    runWith(spark, stream, joinSnapshots, StaticLookups(lookupSnapshots),
+      initialState)
+
+  /** [[run]] with a pluggable lookup resolution strategy — pass
+    * [[FileLookups]] for tables that mutate while the query runs. */
+  def runWith(
+      spark: SparkSession,
+      stream: Dataset[Message],
+      joinSnapshots: Map[String, Map[String, Array[Byte]]],
+      lookups: LookupProvider,
+      initialState: Option[Dataset[TableRow]] = None)
       : Dataset[Emitted] = {
     graph.validate()
     require(graph.loop.isEmpty,
       "streaming loopback needs a real feedback topic; use " +
         "runWithLoopback(spark, stagingDir, resultDir) or the " +
         "BatchExecutor's bounded fixpoint replay")
-    compile(spark, stream, joinSnapshots, lookupSnapshots, initialState)
+    compile(spark, stream, joinSnapshots, lookups, initialState)
   }
 
   /** Run a graph WITH a Loop edge over a staged `Dataset[Message]`
@@ -71,6 +103,13 @@ class StreamExecutor(
     * Kafka deployment the staging directory is replaced by the loop
     * topic itself; the dataflow is identical.
     *
+    * Consumed staging files are deleted once committed
+    * (`cleanSource=delete`) so a long-running loop topology pays O(1
+    * round) directory-listing per trigger, not O(total rounds). Rounds
+    * are capped at `maxLoopRounds`, mirroring the batch executor's
+    * `maxLoopIterations` — a non-converging callback fails loudly
+    * instead of appending feedback files forever.
+    *
     * Blocks until the feedback drains (no pending files), then leaves
     * every non-loop [[Emitted]] row in `resultDir` as parquet. */
   def runWithLoopback(
@@ -78,14 +117,17 @@ class StreamExecutor(
       stagingDir: String,
       resultDir: String,
       joinSnapshots: Map[String, Map[String, Array[Byte]]] = Map.empty,
-      lookupSnapshots: Map[String, Map[String, Array[Byte]]] = Map.empty): Unit = {
+      lookups: LookupProvider = StaticLookups(Map.empty)): Unit = {
     import spark.implicits._
     graph.validate()
     val stream = spark.readStream.schema(Encoders.product[Message].schema)
+      .option("cleanSource", "delete")
       .parquet(stagingDir).as[Message]
-    val out = compile(spark, stream, joinSnapshots, lookupSnapshots)
+    val out = compile(spark, stream, joinSnapshots, lookups)
     val g = graph
+    val maxRounds = maxLoopRounds
     val ckpt = java.nio.file.Files.createTempDirectory("graft_loop_ckpt").toString
+    var rounds = 0
     val q = out.writeStream.outputMode("update")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: Dataset[Emitted], _: Long) =>
@@ -95,6 +137,11 @@ class StreamExecutor(
         try {
           val loops = batch.filter(_.sink == SinkLoop)
           if (!loops.isEmpty) {
+            rounds += 1
+            if (rounds > maxRounds) throw new IllegalStateException(
+              s"streaming loopback did not converge after $maxRounds rounds " +
+                s"(group=${g.group}); raise maxLoopRounds if the topology " +
+                "legitimately needs more feedback hops")
             // A few files per feedback round (parallel write, bounded
             // file count); with no maxFilesPerTrigger on the source the
             // whole round still lands in ONE trailing micro-batch,
@@ -119,14 +166,11 @@ class StreamExecutor(
       spark: SparkSession,
       stream: Dataset[Message],
       joinSnapshots: Map[String, Map[String, Array[Byte]]],
-      lookupSnapshots: Map[String, Map[String, Array[Byte]]],
+      lookups: LookupProvider,
       initialState: Option[Dataset[TableRow]] = None)
       : Dataset[Emitted] = {
     import spark.implicits._
-    val g = graph
-    val nil = nilHandling
-    val joinTopics = g.joins.keySet
-    val bc = spark.sparkContext.broadcast((joinSnapshots, lookupSnapshots))
+    val bcJoinSnaps = spark.sparkContext.broadcast(joinSnapshots)
 
     // Seed the keyed state from an existing group table — the
     // reference's recover-from-table-topic on first start
@@ -138,56 +182,14 @@ class StreamExecutor(
       .groupByKey(_.key)
       .mapValues(r => KeyState(r.value, Map.empty[String, Array[Byte]]))
 
+    val proc = new StreamExecutor.GraftStatefulProcessor(
+      graph, nilHandling, bcJoinSnaps, lookups, stateTtl)
+    // TTL needs the processing-time clock; without it the operator is
+    // time-agnostic.
+    val timeMode =
+      if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     stream.groupByKey(_.key)
-      .flatMapGroupsWithState[KeyState, Emitted](
-        OutputMode.Update, GroupStateTimeout.NoTimeout, init) {
-        (key: String, msgs: Iterator[Message], state: GroupState[KeyState]) =>
-          val (snaps, lookups) = bc.value
-          val prev = if (state.exists) state.get else KeyState(null, Map.empty)
-          // Join values visible at batch start: static snapshot overlaid
-          // by the persisted catchup state (which may hold tombstones).
-          val seedJoins: Map[String, Array[Byte]] =
-            joinTopics.iterator.flatMap { t =>
-              snaps.get(t).flatMap(_.get(key)).map(t -> _)
-            }.toMap ++ prev.joins
-          val sorted = msgs.toArray.sortBy { m =>
-            (tsMicros(m.timestamp),
-              if (joinTopics(m.topic)) KindJoin else KindMessage,
-              m.topic, m.offset)
-          }
-          val stateRow: Iterator[Tagged] =
-            if (prev.value != null)
-              Iterator(Tagged(key, KindState, g.tableTopic, prev.value,
-                0, 0L, 0L, 0, null))
-            else Iterator.empty
-          val seedRows = seedJoins.iterator.map { case (t, v) =>
-            Tagged(key, KindJoin, t, v, 0, 0L, Long.MinValue, 0, null)
-          }
-          val batchRows = sorted.iterator.map { m =>
-            val kind = if (joinTopics(m.topic)) KindJoin else KindMessage
-            Tagged(m.key, kind, m.topic, m.value, m.partition,
-              m.offset, tsMicros(m.timestamp), 0, m.headers)
-          }
-          val out = new FoldIterator(g, nil, lookups,
-            stateRow ++ seedRows ++ batchRows).toVector
-          val newValue = out.find(_.sink == SinkTable)
-            .map(_.value).getOrElse(prev.value)
-          val joinUpdates: Map[String, Array[Byte]] =
-            sorted.iterator.filter(m => joinTopics(m.topic))
-              .map(m => m.topic -> m.value).toMap // ts-sorted: last wins
-          // A null (tombstone) entry only needs to persist while it
-          // masks a static snapshot value; otherwise dropping it keeps
-          // the state removable — a key whose table row AND join rows
-          // are all deleted must not pin a KeyState forever.
-          val newJoins = (prev.joins ++ joinUpdates).filter {
-            case (t, v) => v != null ||
-              snaps.get(t).exists(_.contains(key))
-          }
-          if (newValue == null && newJoins.isEmpty) {
-            if (state.exists) state.remove()
-          } else state.update(KeyState(newValue, newJoins))
-          out.iterator
-      }
+      .transformWithState(proc, timeMode, OutputMode.Update(), init)
   }
 }
 
@@ -198,4 +200,88 @@ object StreamExecutor {
     * (`partition_processor.go:210-247`). Null entries are tombstones. */
   final case class KeyState(value: Array[Byte],
       joins: Map[String, Array[Byte]])
+
+  /** Name of the operator's state variable — also the `stateVarName` to
+    * pass to the `statestore` data source when reading live state. */
+  final val StateVarName = "keyState"
+
+  /** The per-key fold as a Spark 4.x [[StatefulProcessorWithInitialState]].
+    * One typed value-state variable holds [[KeyState]]; the shared
+    * [[FoldIterator]] kernel (also used by the batch executor and the
+    * Tester) applies state → join seeds → ordered batch rows and yields
+    * the emissions. */
+  private[streaming] final class GraftStatefulProcessor(
+      g: GroupGraph,
+      nil: NilHandling,
+      bcJoinSnaps: Broadcast[Map[String, Map[String, Array[Byte]]]],
+      lookups: LookupProvider,
+      ttl: Option[java.time.Duration])
+      extends StatefulProcessorWithInitialState[String, Message, Emitted, KeyState] {
+
+    private val joinTopics = g.joins.keySet
+
+    @transient private var keyState: ValueState[KeyState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttlConf = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+      keyState = getHandle.getValueState[KeyState](
+        StateVarName, Encoders.product[KeyState], ttlConf)
+    }
+
+    override def handleInitialState(
+        key: String, s: KeyState, timerValues: TimerValues): Unit =
+      keyState.update(s)
+
+    override def handleInputRows(
+        key: String,
+        msgs: Iterator[Message],
+        timerValues: TimerValues): Iterator[Emitted] = {
+      val snaps = bcJoinSnaps.value
+      val lookupSnap = lookups.resolve(getHandle.getQueryInfo.getBatchId)
+      val prev = if (keyState.exists()) keyState.get() else KeyState(null, Map.empty)
+      // Join values visible at batch start: static snapshot overlaid
+      // by the persisted catchup state (which may hold tombstones).
+      val seedJoins: Map[String, Array[Byte]] =
+        joinTopics.iterator.flatMap { t =>
+          snaps.get(t).flatMap(_.get(key)).map(t -> _)
+        }.toMap ++ prev.joins
+      val sorted = msgs.toArray.sortBy { m =>
+        (tsMicros(m.timestamp),
+          if (joinTopics(m.topic)) KindJoin else KindMessage,
+          m.topic, m.offset)
+      }
+      val stateRow: Iterator[Tagged] =
+        if (prev.value != null)
+          Iterator(Tagged(key, KindState, g.tableTopic, prev.value,
+            0, 0L, 0L, 0, null))
+        else Iterator.empty
+      val seedRows = seedJoins.iterator.map { case (t, v) =>
+        Tagged(key, KindJoin, t, v, 0, 0L, Long.MinValue, 0, null)
+      }
+      val batchRows = sorted.iterator.map { m =>
+        val kind = if (joinTopics(m.topic)) KindJoin else KindMessage
+        Tagged(m.key, kind, m.topic, m.value, m.partition,
+          m.offset, tsMicros(m.timestamp), 0, m.headers)
+      }
+      val out = new FoldIterator(g, nil, lookupSnap,
+        stateRow ++ seedRows ++ batchRows).toVector
+      val newValue = out.find(_.sink == SinkTable)
+        .map(_.value).getOrElse(prev.value)
+      val joinUpdates: Map[String, Array[Byte]] =
+        sorted.iterator.filter(m => joinTopics(m.topic))
+          .map(m => m.topic -> m.value).toMap // ts-sorted: last wins
+      // A null (tombstone) entry only needs to persist while it
+      // masks a static snapshot value; otherwise dropping it keeps
+      // the state removable — a key whose table row AND join rows
+      // are all deleted must not pin a KeyState forever.
+      val newJoins = (prev.joins ++ joinUpdates).filter {
+        case (t, v) => v != null ||
+          snaps.get(t).exists(_.contains(key))
+      }
+      if (newValue == null && newJoins.isEmpty) {
+        if (keyState.exists()) keyState.clear()
+      } else keyState.update(KeyState(newValue, newJoins))
+      out.iterator
+    }
+  }
 }

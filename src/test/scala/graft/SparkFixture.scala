@@ -15,6 +15,11 @@ object SparkFixture {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // transformWithState requires RocksDB; also the right store at scale
+    // (off-heap state, incremental changelog checkpointing).
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
