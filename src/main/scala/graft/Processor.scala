@@ -27,12 +27,13 @@ import graft.streaming.StreamExecutor
 final case class Processor(
     spark: SparkSession,
     graph: GroupGraph,
-    nilHandling: NilHandling = NilHandling.Ignore) {
+    nilHandling: NilHandling = NilHandling.Ignore,
+    stateTtl: Option[java.time.Duration] = None) {
 
   graph.validate()
 
   private lazy val batch = new BatchExecutor(graph, nilHandling)
-  private lazy val stream = new StreamExecutor(graph, nilHandling)
+  private lazy val stream = new StreamExecutor(graph, nilHandling, stateTtl)
 
   /** Bounded replay of the graph over per-topic message datasets. */
   def runBatch(
@@ -51,6 +52,16 @@ final case class Processor(
       initialState: Option[Dataset[TableRow]] = None): Dataset[Emitted] =
     stream.run(spark, messages, joinSnapshots, lookupSnapshots, initialState)
 
+  /** [[runStream]] with continuously-refreshing lookup tables — the
+    * reference's CatchupForever views; see
+    * [[graft.streaming.FileLookups]]. */
+  def runStreamWith(
+      messages: Dataset[Message],
+      joinSnapshots: Map[String, Map[String, Array[Byte]]],
+      lookups: graft.streaming.LookupProvider,
+      initialState: Option[Dataset[TableRow]] = None): Dataset[Emitted] =
+    stream.runWith(spark, messages, joinSnapshots, lookups, initialState)
+
   /** Unbounded run of a Loop graph through a staged feedback topic. */
   def runWithLoopback(stagingDir: String, resultDir: String): Unit =
     stream.runWithLoopback(spark, stagingDir, resultDir)
@@ -59,6 +70,14 @@ final case class Processor(
   def visitAll(name: String, table: Dataset[TableRow],
       meta: Any = null): BatchResult =
     batch.visitAll(spark, name, table, meta)
+
+  /** VisitAll against a RUNNING streaming query of this graph: schedules
+    * one visit message per live key into the query's staged source
+    * (`partition_processor.go:625-716` semantics). */
+  def visitLive(ckptDir: String, stagingDir: String, name: String,
+      meta: Any = null): Long =
+    graft.streaming.StreamVisitor.visitLive(
+      spark, graph, ckptDir, stagingDir, name, meta)
 
   /** Serve a result table (`view.go:42-52`). */
   def view(table: Dataset[TableRow]): View = new View(table)

@@ -75,6 +75,8 @@ object SparkEntry {
     "st02_stream_tumble" -> (StreamingQueries.streamTumble _),
     "st03_stream_loopback" -> (StreamingQueries.streamLoopback _),
     "st04_stream_join_refresh" -> (StreamingQueries.streamJoinRefresh _),
+    "st05_stream_lookup_refresh" -> (StreamingQueries.streamLookupRefresh _),
+    "st06_stream_session" -> (StreamingQueries.streamSession _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -540,6 +542,32 @@ object SparkEntry {
          FROM events e JOIN p ON e.user_id = p.user_id
          WHERE e.ts >= p.t0
          GROUP BY e.user_id""",
+    // The lookup table mutates between the two micro-batches: rate 1
+    // while ts <= mid (batch 1), rate 2 after (batch 2). mid is the
+    // integer midpoint of min/max event time in micros — exactly
+    // StreamingQueries.stageTwoBatches' split point.
+    "st05_stream_lookup_refresh" ->
+      """WITH m AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+                    FROM events)
+         SELECT CAST(user_id AS VARCHAR) AS key,
+           SUM(CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 2 END) AS cnt
+         FROM events, m GROUP BY user_id""",
+    // Same oracle as batch q17 — append-mode watermark close-out must
+    // preserve session semantics across the micro-batch split.
+    "st06_stream_session" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         sess AS (
+           SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked)
+         SELECT CAST(user_id AS VARCHAR) AS key,
+           epoch_us(min(ts)) AS session_start, count(*) AS cnt
+         FROM sess GROUP BY user_id, sid""",
   )
 
   /** 60-term SimHash oracle, generated to mirror Dedup.simhash exactly. */

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.core.Codecs._
+import graft.sources.Sources
+import graft.streaming.{MetricsListener, StreamExecutor}
+
+/** Measures streaming throughput for the count-per-key processor — the
+  * number BASELINE.md promises (msgs/s per core; the reference publishes
+  * none). The whole events fixture is staged and consumed in ONE
+  * micro-batch so the figure reflects steady-state keyed-state fold
+  * throughput, not per-trigger fixed costs. Prints one JSON line. */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val listener = new MetricsListener()
+    spark.streams.addListener(listener)
+
+    val graph = GroupGraph.define("bench-counter")(
+      Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+        val cur = ctx.value match { case null => 0L; case n: Long => n }
+        ctx.setValue(cur + 1L)
+      }),
+      Persist(Int64Codec))
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft_stream_bench").toString
+    Sources.eventMessages(spark, sfDir).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema(Sources.eventMessages(spark, sfDir).schema)
+      .parquet(staged).as[Message]
+    import graft.operators.BatchExecutor.SinkTable
+    val out = new StreamExecutor(graph).run(spark, stream)
+    val table = out.filter(_.sink == SinkTable)
+      .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "cnt")
+    val q = table.writeStream.format("memory").queryName("stream_bench")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val dataBatches = listener.snapshot.filter(_.numInputRows > 0)
+    val rows = dataBatches.map(_.numInputRows).sum
+    val ms = dataBatches.map(_.batchDurationMs).sum
+    val msgsPerSec = if (ms > 0) rows * 1000.0 / ms else 0.0
+    val perCore = msgsPerSec / cpus.toInt
+    println(s"""{"metric":"stream_count_msgs_per_sec","value":$msgsPerSec,""" +
+      s""""per_core":$perCore,"rows":$rows,"batch_ms":$ms,"cores":$cpus,""" +
+      s""""sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

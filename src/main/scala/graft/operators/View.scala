@@ -88,13 +88,22 @@ object View {
     * `autoBucketedScan.enabled=false` around its own point-read actions
     * only, leaving the session conf (and every other query) untouched. */
   final class BucketedView(rows: Dataset[TableRow]) extends View(rows) {
-    private def withBucketedScan[T](f: => T): T = {
-      val conf = rows.sparkSession.conf
-      val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-      val prev = conf.get(k)
-      conf.set(k, "false")
-      try f finally conf.set(k, prev)
-    }
+    // Synchronized on the session: concurrent point reads (e.g. several
+    // WebServer requests) would otherwise race the get/set/restore
+    // window. Queries on OTHER threads of the same session can still
+    // observe the flipped conf for the duration of one point read — at
+    // worst they lose the auto-bucketed-scan ELISION (a planner
+    // optimization), never correctness; serving deployments wanting full
+    // isolation should give the view its own SparkSession via
+    // `newSession()`.
+    private def withBucketedScan[T](f: => T): T =
+      rows.sparkSession.synchronized {
+        val conf = rows.sparkSession.conf
+        val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        val prev = conf.get(k)
+        conf.set(k, "false")
+        try f finally conf.set(k, prev)
+      }
     override def get(key: String): Option[Array[Byte]] =
       withBucketedScan(super.get(key))
     override def has(key: String): Boolean =

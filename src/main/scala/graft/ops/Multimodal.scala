@@ -60,6 +60,39 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for the formats the JDK ships codecs for (PNG, JPEG,
+    * GIF, BMP) — `javax.imageio`, no external dependency. Proves the
+    * [[MediaDecoder]]/[[BatchMediaDecoder]] plug-point against an actual
+    * codec: images decode to their true pixel dimensions and `feat0` is
+    * the top-left pixel's ARGB value (a stand-in for real feature
+    * extraction). Bytes no installed reader accepts decode to
+    * `("raw", 0, 0)` — a production pipeline routes those to an
+    * ffmpeg-class decoder behind the same trait. Deterministic per byte
+    * array, as the trait requires (ImageIO decoding is pure). */
+  object ImageIoDecoder extends MediaDecoder with BatchMediaDecoder {
+    def decode(bytes: Array[Byte]): Decoded = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) Decoded("raw", bytes.length.toLong, 0, 0, 0L)
+      else {
+        val fmt =
+          if (bytes.length >= 2 && bytes(0) == 0xFF.toByte &&
+            bytes(1) == 0xD8.toByte) "jpeg"
+          else if (bytes.length >= 2 && bytes(0) == 0x89.toByte &&
+            bytes(1) == 'P'.toByte) "png"
+          else if (bytes.length >= 2 && bytes(0) == 'G'.toByte &&
+            bytes(1) == 'I'.toByte) "gif"
+          else if (bytes.length >= 2 && bytes(0) == 'B'.toByte &&
+            bytes(1) == 'M'.toByte) "bmp"
+          else "image"
+        Decoded(fmt, bytes.length.toLong, img.getWidth, img.getHeight,
+          img.getRGB(0, 0) & 0xFFFFFFFFL)
+      }
+    }
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Decoded] = batch.map(decode)
+  }
+
   /** Aspect-preserving integer resize of decoded dimensions into a
     * target box — the metadata half of a real resize stage (the pixel
     * work belongs to the per-partition decoder; the dimension math is

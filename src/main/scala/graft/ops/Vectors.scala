@@ -170,7 +170,11 @@ object Vectors {
   def annIvfTopK(corpus: DataFrame, queries: DataFrame, id: Column,
       emb: Column, k: Int, nCells: Int = 16): DataFrame = {
     val p = prepared(corpus, id, emb)
-    val cents = p.filter(col("vid") < nCells)
+    // The nCells lowest ids, NOT `vid < nCells`: a corpus whose id space
+    // is sparse (or 1-based) would silently yield too few centroids and
+    // partial results; orderBy+limit always produces nCells centroids
+    // (or the whole corpus, when it is smaller).
+    val cents = p.orderBy(col("vid")).limit(nCells)
       .select(col("vid").as("cid"), col("iv").as("civ"), col("n2").as("cn2"))
     def assignCells(side: DataFrame): DataFrame =
       side.crossJoin(broadcast(cents))

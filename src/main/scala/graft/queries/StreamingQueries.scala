@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core._
 import graft.core.Codecs._
 import graft.sources.Sources
-import graft.streaming.StreamExecutor
+import graft.streaming.{FileLookups, LookupFile, StreamExecutor}
 
 /** Structured Streaming queries, oracle-checked: the events fixture is
   * replayed through the file stream source, processed by the *streaming*
@@ -40,12 +40,46 @@ object StreamingQueries {
           java.nio.file.Paths.get(to, f.getName))
       }
 
-  private def runToTable(spark: SparkSession, df: DataFrame): DataFrame = {
+  private def runToTable(spark: SparkSession, df: DataFrame,
+      mode: String = "update"): DataFrame = {
     val name = s"stream_result_${nameSeq.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name)
-      .outputMode("update").start()
+      .outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
+  }
+
+  /** Write one dataset as a single parquet file `staging/<name>` with a
+    * chosen modification time — the file stream source picks files
+    * oldest-mtime-first, so mtimes define micro-batch order. */
+  private def stageFile[T](ds: Dataset[T], staging: String, name: String,
+      mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    ds.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val src = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = java.nio.file.Paths.get(staging, name)
+    java.nio.file.Files.move(src.toPath, dst)
+    dst.toFile.setLastModified(mtime)
+    ()
+  }
+
+  /** Split messages into two micro-batch files at the median timestamp
+    * (micros, integer midpoint of min/max) — early rows in batch 1, late
+    * rows in batch 2. Returns the split point so oracles can reproduce
+    * the same classification with `epoch_us(ts) <= mid`. */
+  private def stageTwoBatches(spark: SparkSession, all: Dataset[Message],
+      staging: String): Long = {
+    val mid = all.agg(
+      unix_micros(min(col("timestamp"))).as("mn"),
+      unix_micros(max(col("timestamp"))).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid")).head().getLong(0)
+    val now = System.currentTimeMillis()
+    stageFile(all.filter(unix_micros(col("timestamp")) <= mid),
+      staging, "b1.parquet", now - 120000)
+    stageFile(all.filter(unix_micros(col("timestamp")) > mid),
+      staging, "b2.parquet", now - 60000)
+    mid
   }
 
   /** Count-per-key through the streaming executor (keyed state store).
@@ -133,25 +167,9 @@ object StreamingQueries {
     val all = Sources.eventMessages(spark, dir).unionByName(flagUpdates)
     // Split into two micro-batches at the median ts: batch 1 carries the
     // early flags, batch 2 the events they must keep gating.
-    val mid = all.select(
-      ((unix_micros(min(col("timestamp"))) +
-        unix_micros(max(col("timestamp")))) / lit(2L)).cast("long").as("m"))
-      .head().getLong(0)
     val staging = java.nio.file.Files
       .createTempDirectory("graft_stream_join").toString
-    def stage(part: Dataset[Message], name: String, mtime: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stage").toString
-      part.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val src = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = java.nio.file.Paths.get(staging, name)
-      java.nio.file.Files.move(src.toPath, dst)
-      dst.toFile.setLastModified(mtime)
-      ()
-    }
-    val now = System.currentTimeMillis()
-    stage(all.filter(unix_micros(col("timestamp")) <= mid), "b1.parquet", now - 120000)
-    stage(all.filter(unix_micros(col("timestamp")) > mid), "b2.parquet", now - 60000)
+    stageTwoBatches(spark, all, staging)
     val stream = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Message].schema)
       .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
@@ -161,7 +179,130 @@ object StreamingQueries {
     runToTable(spark, table).groupBy(col("key")).agg(max(col("cnt")).as("cnt"))
   }
 
-  /** Watermarked event-time tumbling window (daily) over the stream.
+  /** Stream doing `ctx.lookup` against a table that MUTATES mid-stream —
+    * the reference's forever-catching-up lookup view
+    * (`/root/reference/partition_table.go:119-126`, view-per-processor
+    * `processor.go:105-120`), e.g. the translator table of
+    * `examples/3-messaging`. The `rates` table holds one row
+    * (`multiplier`); v1 = 1 while batch 1 processes, then the driver
+    * republishes v2 = 2 between micro-batches (an external publisher in
+    * production). [[FileLookups]] re-resolves the snapshot when the batch
+    * id advances, so batch-2 events add 2 per event — the DuckDB oracle
+    * reproduces the same classification from the median-ts split. A
+    * lifetime-static broadcast (the pre-round-3 behavior) would
+    * hash-mismatch: every event would add 1. */
+  def streamLookupRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val graph = GroupGraph.define("rated")(
+      Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+        val rate = ctx.lookup("rates", "multiplier") match {
+          case null => 0L; case n: Long => n
+        }
+        val cur = ctx.value match { case null => 0L; case n: Long => n }
+        ctx.setValue(cur + rate)
+      }),
+      Lookup("rates", Int64Codec),
+      Persist(Int64Codec))
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_stream_lookup").toString
+    stageTwoBatches(spark, Sources.eventMessages(spark, dir), staging)
+    val ratesFile = java.nio.file.Paths
+      .get(staging, "rates.lkp").toString
+    LookupFile.write(ratesFile, Map("multiplier" -> Int64Codec.encode(1L)))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Message].schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(staging).as[Message]
+    val out = new StreamExecutor(graph).runWith(spark, stream,
+      Map.empty, FileLookups(Map("rates" -> ratesFile)))
+    val table = out.filter(_.sink == SinkTable)
+      .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "cnt")
+    val resultDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_lookup_out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_lookup_ckpt").toString
+    val q = table.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(resultDir)
+        // The mid-stream mutation: after batch 1 commits its output, the
+        // "external publisher" doubles the rate. Batch 2's lookup
+        // resolution (batchId 2's FileLookups read) sees v2.
+        if (batchId == 0)
+          LookupFile.write(ratesFile,
+            Map("multiplier" -> Int64Codec.encode(2L)))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // cnt only grows; max(cnt) collapses update-mode upserts.
+    spark.read.parquet(resultDir)
+      .groupBy(col("key")).agg(max(col("cnt")).as("cnt"))
+  }
+
+  /** Streaming session windows — q17's twin through
+    * `session_window` + watermark in APPEND mode (the only mode Spark
+    * allows for session aggregates): a window is emitted exactly once,
+    * when the watermark passes its close. The fixture is split at the
+    * median ts, so sessions spanning the split must MERGE across
+    * micro-batches inside the state store. TWO far-future sentinel
+    * events (user_id -1, +2 and +4 days) in trailing micro-batches
+    * advance the watermark past every real session's end: the watermark
+    * from batch N's data only takes effect in batch N+1, so sentinel #2
+    * makes batch 4 a real data batch that deterministically flushes all
+    * real sessions — relying on the trailing no-data micro-batch instead
+    * races with `processAllAvailable()` (observed: the max-ts session
+    * intermittently unemitted). Sentinel sessions themselves are never
+    * closed and are filtered out. Hash-matches q17's batch oracle. */
+  def streamSession(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val ev = spark.read.schema(schema)
+      .parquet(s"$dir/events.parquet") // ts = raw nanos long
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_stream_sess").toString
+    val Array(mnNs, mxNs) = ev.agg(min(col("ts")), max(col("ts")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val midNs = mnNs / 2 + mxNs / 2
+    val now = System.currentTimeMillis()
+    stageFile(ev.filter(col("ts") <= midNs), staging, "b1.parquet", now - 180000)
+    stageFile(ev.filter(col("ts") > midNs), staging, "b2.parquet", now - 120000)
+    def sentinel(days: Long) = ev.sparkSession.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(mxNs + days * 24 * 3600 * 1000000000L).as("ts"),
+      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+    stageFile(sentinel(2), staging, "b3.parquet", now - 60000)
+    stageFile(sentinel(4), staging, "b4.parquet", now - 30000)
+    val sessions = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staging)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 second")
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id").cast("string").as("key"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        col("cnt"))
+    // The sentinel user is filtered AFTER materialization: a filter on
+    // the grouping column inside the streaming plan gets pushed below
+    // the watermark node by the optimizer, silently dropping the
+    // sentinel rows before they can advance the watermark (observed:
+    // rows=0 per sentinel batch, final session never flushed).
+    runToTable(spark, sessions, mode = "append")
+      .filter(col("key") =!= "-1")
+  }
+
+  /** Watermarked event-time tumbling window (daily) over the stream,
+    * fed in TWO micro-batches split at the median ts (time-ordered, so
+    * the 1-hour watermark never drops a batch-2 row). Windows straddling
+    * the split are upserted twice by the update-mode sink; `max_by(·,
+    * cnt)` keeps each window's LAST upsert (cnt grows monotonically), so
+    * the result is multi-batch-safe instead of silently relying on the
+    * whole fixture landing in one trigger.
     *
     * Streams the fixture parquet through the file source — no driver-side
     * collect / MemoryStream (which serializes the whole fixture into one
@@ -174,8 +315,17 @@ object StreamingQueries {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
+    val ev = spark.read.schema(schema).parquet(s"$dir/events.parquet")
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_stream_tumble").toString
+    val Array(mnNs, mxNs) = ev.agg(min(col("ts")), max(col("ts")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val midNs = (mnNs + mxNs) / 2
+    val now = System.currentTimeMillis()
+    stageFile(ev.filter(col("ts") <= midNs), staging, "b1.parquet", now - 120000)
+    stageFile(ev.filter(col("ts") > midNs), staging, "b2.parquet", now - 60000)
     val windowed = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .option("maxFilesPerTrigger", 1).parquet(staging)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -185,5 +335,8 @@ object StreamingQueries {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("cnt"), col("total_value"))
     runToTable(spark, windowed)
+      .groupBy(col("day"), col("event_type"))
+      .agg(max(col("cnt")).as("cnt"),
+        max_by(col("total_value"), col("cnt")).as("total_value"))
   }
 }

@@ -81,7 +81,13 @@ object Kafka {
     * (`context.go:198-200`). */
   def toSinkRows(ds: Dataset[Message]): DataFrame =
     ds.toDF().select(
-      col("key").cast("binary").as("key"),
+      // fromKafka maps a null Kafka key to "" (Message.key is non-null);
+      // emit it back as null so re-produced messages keep Kafka's
+      // null-key partitioning/compaction semantics. Asymmetry: a genuine
+      // zero-length key also round-trips to null — goka keys are
+      // non-empty strings, so the collapse is unobservable there.
+      when(col("key") === "", lit(null))
+        .otherwise(col("key")).cast("binary").as("key"),
       col("value").as("value"),
       col("topic").as("topic"),
       transform(map_entries(col("headers")),

@@ -51,11 +51,21 @@ final case class StateStat(
     memoryUsedBytes: Long,
     commitTimeMs: Long)
 
-final class MetricsListener extends StreamingQueryListener {
+/** @param maxEntries retention bound per stat table (ring-buffer
+  *   semantics: oldest entries drop first). A long-running deployment
+  *   emits one BatchStat + one SourceStat per source + one StateStat per
+  *   operator EVERY micro-batch; unbounded buffers would grow the driver
+  *   heap and the `/metrics` payload forever — the reference's gauges
+  *   are equally fixed-size (`stats.go`). */
+final class MetricsListener(maxEntries: Int = 1024)
+    extends StreamingQueryListener {
 
   private val stats = mutable.Buffer.empty[BatchStat]
   private val sources = mutable.Buffer.empty[SourceStat]
   private val states = mutable.Buffer.empty[StateStat]
+
+  private def trim(b: mutable.Buffer[_]): Unit =
+    if (b.size > maxEntries) b.remove(0, b.size - maxEntries)
 
   override def onQueryStarted(
       e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -82,6 +92,7 @@ final class MetricsListener extends StreamingQueryListener {
         s.numRowsTotal, s.numRowsUpdated, s.memoryUsedBytes,
         s.commitTimeMs)
     }
+    trim(stats); trim(sources); trim(states)
   }
 
   override def onQueryTerminated(

@@ -32,6 +32,7 @@ final class WebServer(port: Int = 0, bindAddress: String = "127.0.0.1") {
   private val tables = TrieMap.empty[String, (() => View, Codec[_])]
   private val actions = TrieMap.empty[String, Any => Long]
   @volatile private var metrics: () => String = () => "{}"
+  @volatile private var monitor: Option[graft.streaming.MetricsListener] = None
   // Loopback by default: /actions mutates state and there is no auth
   // layer; exposing beyond localhost is an explicit deployment choice.
   private val server = HttpServer.create(
@@ -40,6 +41,8 @@ final class WebServer(port: Int = 0, bindAddress: String = "127.0.0.1") {
   server.createContext("/actions", (ex: HttpExchange) => handleAction(ex))
   server.createContext("/metrics",
     (ex: HttpExchange) => respond(ex)(200 -> metrics()))
+  server.createContext("/monitor",
+    (ex: HttpExchange) => respondHtml(ex)(200 -> renderMonitor()))
 
   /** Attach a view under a table name (`query.go:56-62` AttachSource).
     * Evaluated per request, so a table that evolves (visitor rewrites,
@@ -61,6 +64,16 @@ final class WebServer(port: Int = 0, bindAddress: String = "127.0.0.1") {
     * monitoring UI payload (`web/monitor/monitoring.go:96-120`). */
   def attachMetrics(supplier: () => String): WebServer = {
     metrics = supplier; this
+  }
+
+  /** Serve the monitoring dashboard at `GET /monitor` — the reference's
+    * HTML monitoring page (`web/monitor/monitoring.go:96-120` +
+    * templates), rendered server-side from the listener's stat tables:
+    * latest batch per query, per-source offsets + lag, per-state-operator
+    * rows/memory. Also wires `/metrics` to the listener's JSON. */
+  def attachMonitor(listener: graft.streaming.MetricsListener): WebServer = {
+    monitor = Some(listener)
+    attachMetrics(() => listener.json)
   }
 
   /** Start listening; returns the bound port (ephemeral when 0). */
@@ -115,6 +128,60 @@ final class WebServer(port: Int = 0, bindAddress: String = "127.0.0.1") {
             }
         }
     }
+  }
+
+  /** Latest-per-group dashboard tables (like the reference's per-page
+    * refresh of current gauges; history stays available on /metrics). */
+  private def renderMonitor(): String = {
+    def esc(s: String): String = s.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
+    def tbl(title: String, headers: Seq[String], rows: Seq[Seq[String]]): String =
+      s"<h2>${esc(title)}</h2><table border='1' cellpadding='4'>" +
+        headers.map(h => s"<th>${esc(h)}</th>").mkString("<tr>", "", "</tr>") +
+        rows.map(_.map(c => s"<td>${esc(c)}</td>")
+          .mkString("<tr>", "", "</tr>")).mkString +
+        "</table>"
+    val body = monitor match {
+      case None => "<p>no metrics listener attached</p>"
+      case Some(m) =>
+        val batches = m.snapshot.groupBy(_.queryName).toSeq.sortBy(_._1)
+          .map { case (_, xs) => xs.maxBy(_.batchId) }
+          .map(b => Seq(b.queryName, b.batchId.toString,
+            b.numInputRows.toString, f"${b.processedRowsPerSecond}%.1f",
+            b.stateRows.toString, b.batchDurationMs.toString))
+        val srcs = m.sourceSnapshot
+          .groupBy(s => (s.queryName, s.source)).toSeq.sortBy(_._1)
+          .map { case (_, xs) => xs.maxBy(_.batchId) }
+          .map(s => Seq(s.queryName, s.source, s.endOffset, s.latestOffset,
+            if (s.lag < 0) "n/a" else s.lag.toString, s.numInputRows.toString))
+        val states = m.stateSnapshot
+          .groupBy(s => (s.queryName, s.operatorName)).toSeq.sortBy(_._1)
+          .map { case (_, xs) => xs.maxBy(_.batchId) }
+          .map(s => Seq(s.queryName, s.operatorName, s.numRowsTotal.toString,
+            s.numRowsUpdated.toString, s.memoryUsedBytes.toString,
+            s.commitTimeMs.toString))
+        tbl("Queries", Seq("query", "batch", "input rows", "rows/s",
+          "state rows", "batch ms"), batches) +
+          tbl("Sources", Seq("query", "source", "end offset", "latest offset",
+            "lag", "input rows"), srcs) +
+          tbl("State operators", Seq("query", "operator", "rows total",
+            "rows updated", "memory bytes", "commit ms"), states)
+    }
+    "<!DOCTYPE html><html><head><title>graft monitor</title></head><body>" +
+      "<h1>graft monitor</h1>" + body +
+      "<p><a href='/metrics'>raw JSON</a></p></body></html>"
+  }
+
+  private def respondHtml(ex: HttpExchange)(f: => (Int, String)): Unit = {
+    val (code, body) =
+      try f
+      catch { case e: Exception =>
+        500 -> s"<html><body>error: ${String.valueOf(e.getMessage)}</body></html>" }
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
   }
 
   private def respond(ex: HttpExchange)(f: => (Int, String)): Unit = {

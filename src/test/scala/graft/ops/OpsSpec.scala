@@ -174,6 +174,28 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(sizes.sum == 10 && sizes.forall(_ <= 3))
   }
 
+  test("ImageIO decoder: real PNG decodes to true dimensions through decodeBatched") {
+    import spark.implicits._
+    // A real 2x3 PNG rendered by the JDK itself — the decoder must
+    // recover the true pixel dimensions, not a byte-length heuristic.
+    val img = new java.awt.image.BufferedImage(
+      2, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x123456)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val d = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "blob")
+    val rows = Multimodal.decodeBatched(
+        d, col("doc_id"), col("blob"), Multimodal.ImageIoDecoder)
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getString(1), r.getInt(3), r.getInt(4), r.getLong(5))))
+      .toMap
+    assert(rows(1L) == (("png", 2, 3, 0xFF123456L)))
+    assert(rows(2L) == (("raw", 0, 0, 0L)))
+  }
+
   test("multimodal stub decode: magic sniffing + deterministic features") {
     import spark.implicits._
     val jpeg = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0x00.toByte)

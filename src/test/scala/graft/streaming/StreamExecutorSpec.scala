@@ -168,6 +168,50 @@ class StreamExecutorSpec extends AnyFunSuite with SparkFixture {
     assert(table == Map("a" -> "SEG", "b" -> "-"))
   }
 
+  test("idle state expires past the configured TTL and re-seeds from null") {
+    // TTL queries run under TimeMode.ProcessingTime, where the operator
+    // requests a batch EVERY trigger to evaluate timers — a drain-based
+    // wait (processAllAvailable / AvailableNow) never settles. That is
+    // the production shape: a periodic trigger and an explicit stop; the
+    // spec polls the sink instead of waiting for quiescence.
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.Trigger
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_ttl_src").toString
+    def feed(ms: Message*): Unit =
+      spark.createDataset(ms).coalesce(1)
+        .write.mode("append").parquet(staging)
+    feed(msg("a", "1", 1), msg("a", "2", 2))
+    val stream = spark.readStream
+      .schema(Encoders.product[Message].schema).parquet(staging).as[Message]
+    val out = new StreamExecutor(counterGraph,
+      stateTtl = Some(java.time.Duration.ofMillis(300))).run(spark, stream)
+    val q = out.filter(_.sink == SinkTable)
+      .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "cnt")
+      .writeStream.format("memory").queryName("sspec_ttl")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    def pollFor(expect: (String, Long)): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!spark.table("sspec_ttl").collect()
+          .exists(r => (r.getString(0), r.getLong(1)) == expect)) {
+        assert(System.currentTimeMillis() < deadline,
+          s"timed out waiting for $expect in sink")
+        Thread.sleep(200)
+      }
+    }
+    try {
+      pollFor(("a", 2L))   // batch 1 lands: two messages counted
+      Thread.sleep(1500)   // idle well past the 300ms TTL
+      feed(msg("a", "3", 3))
+      pollFor(("a", 1L))   // expired: the count re-seeds from null
+    } finally q.stop()
+    val rows = spark.table("sspec_ttl").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSet == Set(("a", 2L), ("a", 1L)))
+  }
+
   test("streaming and batch executors agree on final state") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -76,4 +76,35 @@ class WebServerSpec extends AnyFunSuite with SparkFixture {
         ((200, """{"table":"webcount-table","key":"a","value":6}""")))
     } finally server.stop()
   }
+
+  test("monitor page renders per-source lag from a real streaming run") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val listener = new graft.streaming.MetricsListener()
+    spark.streams.addListener(listener)
+    val server = new WebServer().attachMonitor(listener)
+    val port = server.start()
+    try {
+      // Drive one real micro-batch so the listener captures progress.
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Int]
+      val q = ms.toDS().groupBy().count()
+        .writeStream.format("memory").queryName("webmon")
+        .outputMode("complete").start()
+      try { ms.addData(1, 2, 3); q.processAllAvailable() } finally q.stop()
+      val (code, html) = http("GET", s"http://localhost:$port/monitor")
+      assert(code == 200)
+      assert(html.contains("<h1>graft monitor</h1>"))
+      assert(html.contains("webmon"))          // per-query row
+      assert(html.contains("MemoryStream"))    // per-source row
+      assert(html.contains("<th>lag</th>"))    // lag column rendered
+      assert(html.contains("<th>rows total</th>")) // state operator table
+      // /metrics serves the same listener's JSON
+      val (mc, mjson) = http("GET", s"http://localhost:$port/metrics")
+      assert(mc == 200 && mjson.contains("\"batches\""))
+    } finally {
+      server.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
 }
