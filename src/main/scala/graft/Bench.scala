@@ -13,6 +13,10 @@ object Bench {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      // Production throughput knob: skip per-commit row accounting in
+      // the write-heavy state stores (metrics-only effect; Verify and
+      // the test fixture keep it on to exercise numRowsTotal).
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -24,6 +24,8 @@ object StreamBench {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      // Same production knob as Bench: row accounting off in the hot path.
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

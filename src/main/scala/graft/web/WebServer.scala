@@ -37,6 +37,10 @@ final class WebServer(port: Int = 0, bindAddress: String = "127.0.0.1") {
   // layer; exposing beyond localhost is an explicit deployment choice.
   private val server = HttpServer.create(
     new InetSocketAddress(bindAddress, port), 0)
+  // Small pool instead of the JDK default serial executor: a slow
+  // View.get (unbucketed full scan) must not block /metrics.
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
+    r => { val t = new Thread(r, "graft-web"); t.setDaemon(true); t }))
   server.createContext("/query", (ex: HttpExchange) => handleQuery(ex))
   server.createContext("/actions", (ex: HttpExchange) => handleAction(ex))
   server.createContext("/metrics",
