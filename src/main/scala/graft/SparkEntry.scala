@@ -60,6 +60,7 @@ object SparkEntry {
     "d04_ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
     "d05_embed_neardup" -> (PipelineQueries.embedNearDup _),
     "d06_simhash_pairs" -> (PipelineQueries.simhashPairs _),
+    "d07_dedup_clusters" -> (PipelineQueries.dedupClusters _),
     "s01_ann_topk" -> (PipelineQueries.annTopK _),
     "s02_ann_lsh" -> (PipelineQueries.annLsh _),
     "s03_ann_ivf" -> (PipelineQueries.annIvf _),
@@ -68,6 +69,8 @@ object SparkEntry {
     "t03_token_stats" -> (PipelineQueries.tokenStats _),
     "t04_fingerprint" -> (PipelineQueries.fingerprint _),
     "t05_rolling_fp" -> (PipelineQueries.rollingFingerprint _),
+    "t06_top_terms" -> (PipelineQueries.topTerms _),
+    "t07_hash_split" -> (PipelineQueries.hashSplit _),
     "m01_multimodal" -> (PipelineQueries.multimodal _),
     "m02_media_resize" -> (PipelineQueries.mediaResize _),
     "m03_frame_sample" -> (PipelineQueries.frameSample _),
@@ -326,6 +329,31 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""",
+    // Connected components over d02's candidate pairs via transitive
+    // closure: walk(x, l) = "l reaches x"; cluster = min reachable id.
+    // Docs in no pair keep their own id (singleton clusters).
+    "d07_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         h AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS hw FROM sh),
+         mh AS (SELECT doc_id, j, min(((2*j+1)*hw + j*12345) % 4294967311) AS mv
+                FROM h, generate_series(0,15) t(j) GROUP BY doc_id, j),
+         bands AS (SELECT doc_id, j//4 AS band,
+                     string_agg(mv, ',' ORDER BY j) AS sig
+                   FROM mh GROUP BY doc_id, j//4),
+         pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         edges AS (SELECT da AS src, db AS dst FROM pairs
+                   UNION ALL SELECT db, da FROM pairs),
+         walk(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src)
+         SELECT id AS doc_id, min(lbl) AS cluster FROM walk GROUP BY id""",
     "d03_simhash" -> simhashOracleSql,
     "d06_simhash_pairs" -> simhashPairsOracleSql,
     // Mirrors Dedup.jaccardPairs incl. the skew cap: shingles in > 100
@@ -542,6 +570,29 @@ object SparkEntry {
          FROM events e JOIN p ON e.user_id = p.user_id
          WHERE e.ts >= p.t0
          GROUP BY e.user_id""",
+    // Integer-exact TF-IDF ordering: df ascending replaces the idf log
+    // (log is monotone in df) so the rank is float-free.
+    "t06_top_terms" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE len(term) > 0 GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT doc_id, term, tf, df, rank FROM (
+           SELECT t.doc_id, t.term, t.tf, d.df,
+             row_number() OVER (PARTITION BY t.doc_id
+               ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rank
+           FROM tf t JOIN dfreq d ON t.term = d.term)
+         WHERE rank <= 3""",
+    "t07_hash_split" ->
+      """SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 100
+             AS bucket,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 100 < 90 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents""",
     // The lookup table mutates between the two micro-batches: rate 1
     // while ts <= mid (batch 1), rate 2 after (batch 2). mid is the
     // integer midpoint of min/max event time in micros — exactly

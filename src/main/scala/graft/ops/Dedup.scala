@@ -182,4 +182,49 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Connected-component dedup clusters: near-duplicate PAIRS (from any
+    * of the pair generators above) are only half the job — training-data
+    * dedup keeps ONE representative per transitive group (a~b, b~c ⇒
+    * {a,b,c} even when a,c never paired). Output: (doc_id, cluster)
+    * for EVERY id in `allIds`, cluster = min doc_id of the component;
+    * singletons map to themselves.
+    *
+    * Iterative min-label propagation: each round joins labels to the
+    * symmetric edge list and takes the per-node min — the standard
+    * distributed CC loop (the alternating large-star/small-star variant
+    * of Kiveris et al. drops in here for adversarially-deep graphs; dedup
+    * graphs are near-cliques from bucket co-membership, so diameter and
+    * round count stay tiny). Per-round `localCheckpoint` truncates the
+    * growing lineage; labels only decrease, so a stable checksum ==
+    * fixpoint. */
+  def connectedComponents(pairs: DataFrame, allIds: DataFrame,
+      id: Column, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .localCheckpoint()
+    var labels = allIds.select(id.cast("long").as("id"))
+      .distinct().withColumn("lbl", col("id")).localCheckpoint()
+    // Overflow-safe convergence checksum (labels are non-increasing).
+    def checksum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prev = checksum(labels)
+    var iter = 0
+    var done = false
+    while (!done) {
+      iter += 1
+      require(iter <= maxIter,
+        s"connected components did not converge in $maxIter rounds")
+      val propagated = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.select(col("id"), col("lbl")).union(propagated)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val cur = checksum(next)
+      labels = next
+      if (cur.compareTo(prev) == 0) done = true else prev = cur
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+  }
 }

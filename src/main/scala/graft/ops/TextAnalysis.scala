@@ -77,4 +77,44 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, text: Column, id: Column): DataFrame =
     df.select(id.as("doc_id"),
       substring(contentFingerprint(text), 1, 16).as("fp"))
+
+  /** Top-k salient terms per document by (tf DESC, df ASC, term ASC) —
+    * integer-exact TF-IDF ordering (df replaces the idf log: log is
+    * monotone-decreasing in df, so ranking by ascending df at equal tf
+    * is the same order without float determinism risk). Two shuffles:
+    * per-(doc, term) counts, then the document-frequency join on term —
+    * vocabulary scales with corpus, so df stays a shuffled join, never a
+    * broadcast. Per-doc window is bounded by document length. */
+  def topTerms(df: DataFrame, text: Column, id: Column, k: Int = 3)
+      : DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(split(text, " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(docFreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
+  /** Deterministic train/val/test split by content-free key hash —
+    * the reproducible sharding every training pipeline needs (same doc
+    * lands in the same split on every run, every engine, any partition
+    * count). Bucket = first 4 md5 hex digits of the id, mod 100:
+    * train < 90, val < 95, else test. Pure Catalyst, no sampling RNG. */
+  def hashSplit(df: DataFrame, id: Column,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val bucket = (conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100).as("bucket")
+    df.select(id.as("doc_id"), bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
 }

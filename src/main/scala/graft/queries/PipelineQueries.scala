@@ -34,6 +34,15 @@ object PipelineQueries {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** Transitive dedup clusters over the MinHash-LSH candidate pairs —
+    * the keep-one-representative step downstream of pair generation. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.connectedComponents(
+      Dedup.minhashCandidates(d, col("text"), col("doc_id")),
+      d, col("doc_id"))
+  }
+
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Vectors.nearDupPairs(embs(spark, dir), col("vec_id"), col("embedding"),
       threshold = 0.45)
@@ -68,6 +77,12 @@ object PipelineQueries {
 
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(spark, dir), col("text"), col("doc_id"))
+
+  def topTerms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTerms(docs(spark, dir), col("text"), col("doc_id"))
+
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashSplit(docs(spark, dir), col("doc_id"))
 
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(spark, dir), col("text"), col("doc_id"))

@@ -174,6 +174,56 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(sizes.sum == 10 && sizes.forall(_ <= 3))
   }
 
+  test("connected components: transitive clusters, singletons keep own id") {
+    import spark.implicits._
+    // a~b, b~c (a,c never paired) => one cluster {a,b,c}; d~e separate;
+    // f untouched.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 42L).toDF("doc_id")
+    val cc = Dedup.connectedComponents(pairs, ids, col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 42L -> 42L))
+  }
+
+  test("connected components: long chain converges within the round bound") {
+    import spark.implicits._
+    // a path graph 0-1-2-...-9 needs several min-propagation rounds
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("da", "db")
+    val ids = (0L to 9L).toDF("doc_id")
+    val cc = Dedup.connectedComponents(pairs, ids, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.forall(_._2 == 0L) && cc.length == 10)
+  }
+
+  test("top terms rank by (tf desc, df asc, term asc), integer-exact") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple apple banana cherry"),   // tf: apple 2; banana/cherry 1
+      (2L, "banana banana cherry date")    // cherry appears in both docs
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.topTerms(d, col("text"), col("doc_id"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4), r.getString(1))).sorted
+    // doc1: apple (tf 2) then banana (tf 1, df 2... wait banana df=2, cherry df=2, banana < cherry)
+    assert(top.toSeq == Seq((1L, 1, "apple"), (1L, 2, "banana"),
+      (2L, 1, "banana"), (2L, 2, "date")))
+  }
+
+  test("hash split is deterministic and content-free") {
+    import spark.implicits._
+    val d = (1L to 200L).toDF("doc_id")
+    val s1 = TextAnalysis.hashSplit(d, col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val s2 = TextAnalysis.hashSplit(d.orderBy(rand(7)), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(s1.sorted.toSeq == s2.sorted.toSeq) // order/partitioning-free
+    assert(s1.forall { case (_, b, s) =>
+      (b < 90 && s == "train") || (b >= 90 && b < 95 && s == "val") ||
+        (b >= 95 && s == "test") })
+    // all three splits non-empty over 200 ids
+    assert(s1.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
+  }
+
   test("ImageIO decoder: real PNG decodes to true dimensions through decodeBatched") {
     import spark.implicits._
     // A real 2x3 PNG rendered by the JDK itself — the decoder must
