@@ -61,6 +61,7 @@ object SparkEntry {
     "d05_embed_neardup" -> (PipelineQueries.embedNearDup _),
     "d06_simhash_pairs" -> (PipelineQueries.simhashPairs _),
     "d07_dedup_clusters" -> (PipelineQueries.dedupClusters _),
+    "d08_embed_neardup_lsh" -> (PipelineQueries.embedNearDupLsh _),
     "s01_ann_topk" -> (PipelineQueries.annTopK _),
     "s02_ann_lsh" -> (PipelineQueries.annLsh _),
     "s03_ann_ivf" -> (PipelineQueries.annIvf _),
@@ -383,6 +384,30 @@ object SparkEntry {
              CAST((SELECT sum(x*y) FROM (SELECT unnest(a.v) x, unnest(b.v) y)) AS DOUBLE)
                / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
            FROM pre a JOIN pre b ON a.vec_id < b.vec_id)
+         WHERE cos >= 0.45""",
+    // d05 pruned to same-LSH-bucket pairs (2 md5 hyperplanes): the
+    // bucketing is the recall/cost dial and is itself deterministic.
+    "d08_embed_neardup_lsh" ->
+      s"""WITH pre AS ($embPreSql),
+         planes AS (
+           SELECT p, d,
+             ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR),1,8))::BIGINT
+               - 2147483648 AS coef
+           FROM generate_series(0,1) tp(p), generate_series(0,63) td(d)),
+         buckets AS (
+           SELECT vec_id,
+             sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           FROM (SELECT pr.vec_id, pl.p, sum(pr.v[pl.d+1] * pl.coef) AS dot
+                 FROM pre pr, planes pl GROUP BY pr.vec_id, pl.p)
+           GROUP BY vec_id)
+         SELECT va, vb, cos FROM (
+           SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(ap.v) x, unnest(bp.v) y)) AS DOUBLE)
+               / (sqrt(CAST(ap.n2 AS DOUBLE)) * sqrt(CAST(bp.n2 AS DOUBLE))) AS cos
+           FROM buckets a JOIN buckets b
+             ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             JOIN pre ap ON ap.vec_id = a.vec_id
+             JOIN pre bp ON bp.vec_id = b.vec_id)
          WHERE cos >= 0.45""",
     "s01_ann_topk" ->
       s"""WITH pre AS ($embPreSql),

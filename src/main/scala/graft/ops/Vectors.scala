@@ -103,6 +103,32 @@ object Vectors {
       }.toDF("va", "vb", "cos")
   }
 
+  /** LSH-bucketed near-dup pairs — the pruned path next to
+    * [[nearDupPairs]]'s exact all-pairs: vectors are bucketed by
+    * deterministic random-hyperplane LSH ([[annLshBuckets]]) and cosine
+    * is verified exactly only WITHIN buckets — one equi-join shuffle on
+    * the bucket id, O(Σ bucket²) dot products instead of O(n²).
+    * Approximate by contract: a qualifying pair split across buckets is
+    * missed; `nPlanes` is the recall/cost dial (fewer planes → bigger
+    * buckets → higher recall; multi-probe à la [[annLshTopK]] is the
+    * other lever). Bucketing AND verification are bit-deterministic
+    * (md5 hyperplanes, int64 dots), so even the approximation is
+    * oracle-checkable. */
+  def nearDupPairsLsh(df: DataFrame, id: Column, emb: Column,
+      threshold: Double, nPlanes: Int = 2, dims: Int = -1): DataFrame = {
+    val p = annLshBuckets(df, id, emb, nPlanes, dims)
+      .select(col("vid"), col("bucket"), intScale(col("embedding")).as("iv"))
+      .withColumn("n2", idot(col("iv"), col("iv")))
+    val a = p.as("a")
+    val b = p.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("va"), col("b.vid").as("vb"),
+        cosineFromInts(idot(col("a.iv"), col("b.iv")),
+          col("a.n2"), col("b.n2")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Brute-force cosine top-k for a set of query vectors: exact ANN
     * baseline. Deterministic tie-break on neighbor id. */
   def annTopK(corpus: DataFrame, queries: DataFrame, id: Column,

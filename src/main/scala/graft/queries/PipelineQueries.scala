@@ -47,6 +47,12 @@ object PipelineQueries {
     Vectors.nearDupPairs(embs(spark, dir), col("vec_id"), col("embedding"),
       threshold = 0.45)
 
+  /** LSH-bucketed variant of d05 — same threshold, verified only within
+    * hyperplane buckets (2 planes = 4 buckets on this corpus). */
+  def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame =
+    Vectors.nearDupPairsLsh(embs(spark, dir), col("vec_id"),
+      col("embedding"), threshold = 0.45)
+
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Vectors.annTopK(e, e.filter(col("vec_id") < 10), col("vec_id"),

@@ -101,6 +101,19 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(b(1L) != b(3L))
   }
 
+  test("LSH near-dup: identical vectors pair within a bucket, orthogonal don't") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f)),
+      (2L, Array(1.0f, 0.0f, 0.5f)),   // identical to 1 -> same bucket, cos 1
+      (3L, Array(0.0f, 1.0f, 0.0f)))   // orthogonal to both
+      .toDF("vec_id", "embedding")
+    val pairs = Vectors.nearDupPairsLsh(d, col("vec_id"), col("embedding"),
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("language id votes stopwords; quality/token metrics sane") {
     import spark.implicits._
     val d = Seq(
