@@ -81,22 +81,23 @@ object TextAnalysis {
   /** Top-k salient terms per document by (tf DESC, df ASC, term ASC) —
     * integer-exact TF-IDF ordering (df replaces the idf log: log is
     * monotone-decreasing in df, so ranking by ascending df at equal tf
-    * is the same order without float determinism risk). Two shuffles:
-    * per-(doc, term) counts, then the document-frequency join on term —
-    * vocabulary scales with corpus, so df stays a shuffled join, never a
-    * broadcast. Per-doc window is bounded by document length. */
+    * is the same order without float determinism risk). ONE scan, one
+    * linear pipeline: per-(doc, term) counts, document frequency as a
+    * window count over the term partition (a df-from-tf self-join would
+    * rescan the corpus — same trick as the Jaccard df cap), then the
+    * bounded per-doc rank window. */
   def topTerms(df: DataFrame, text: Column, id: Column, k: Int = 3)
       : DataFrame = {
     val tok = df.select(id.as("doc_id"), explode(split(text, " ")).as("term"))
       .filter(length(col("term")) > 0)
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val docFreq = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
+    val wTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(docFreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))

@@ -43,6 +43,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("graft_shingles"), "native shingle kernel not in plan")
   }
 
+  test("t07: content-free split reads ONLY the id column") {
+    val p = plan("t07_hash_split")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"split must not read the text column\n$p")
+  }
+
+  test("t06: one documents scan — df comes from a window, not a self-join") {
+    val p = plan("t06_top_terms")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
+  }
+
   test("g01: the stateful fold is one exchange + in-partition sort") {
     val p = plan("g01_count_per_key")
     val exchanges = "Exchange".r.findAllIn(p).length
