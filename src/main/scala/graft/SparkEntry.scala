@@ -548,7 +548,7 @@ object SparkEntry {
     "s03_ann_ivf" ->
       s"""WITH pre AS ($embPreSql),
          cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
-                   FROM pre WHERE vec_id < 16),
+                   FROM pre ORDER BY vec_id LIMIT 16),
          assign AS (
            SELECT vec_id, cid FROM (
              SELECT p.vec_id, c.cid,

@@ -54,6 +54,12 @@ object StreamBench {
       .outputMode("update").start()
     try q.processAllAvailable() finally q.stop()
 
+    // Listener events are delivered async; wait for the data batch's
+    // progress to arrive before reading the stats.
+    val deadline = System.currentTimeMillis() + 15000
+    while (listener.snapshot.forall(_.numInputRows == 0) &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
     val dataBatches = listener.snapshot.filter(_.numInputRows > 0)
     val rows = dataBatches.map(_.numInputRows).sum
     val ms = dataBatches.map(_.batchDurationMs).sum

@@ -211,7 +211,7 @@ object Dedup {
       .agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
     var prev = checksum(labels)
     var iter = 0
-    var done = false
+    var done = prev == null // empty id set: sum() is null, nothing to do
     while (!done) {
       iter += 1
       require(iter <= maxIter,

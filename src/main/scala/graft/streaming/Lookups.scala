@@ -3,7 +3,7 @@ package graft.streaming
 import java.io.{DataInputStream, DataOutputStream}
 import scala.collection.concurrent.TrieMap
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 
 /** How the streaming executor resolves Lookup-table snapshots.
   *
@@ -20,16 +20,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 trait LookupProvider extends Serializable {
   /** Current value of all lookup tables, keyed by topic. Called on
-    * executors; `batchId` is the streaming micro-batch id (monotonic per
-    * query run), letting implementations cache within a batch. */
-  def resolve(batchId: Long): Map[String, Map[String, Array[Byte]]]
+    * executors; `runId` identifies one query execution and `batchId` is
+    * the micro-batch id (monotonic per run — it RESTARTS at the
+    * checkpointed position on a new run, so caches must key on both),
+    * letting implementations cache within a batch. */
+  def resolve(runId: java.util.UUID, batchId: Long)
+      : Map[String, Map[String, Array[Byte]]]
 }
 
 /** Lifetime-static snapshot — the pre-round-3 behavior, still right for
   * genuinely immutable reference data (currency names, country codes). */
 final case class StaticLookups(
     snapshot: Map[String, Map[String, Array[Byte]]]) extends LookupProvider {
-  def resolve(batchId: Long): Map[String, Map[String, Array[Byte]]] = snapshot
+  def resolve(runId: java.util.UUID, batchId: Long)
+      : Map[String, Map[String, Array[Byte]]] = snapshot
 }
 
 /** Lookup tables backed by compacted snapshot files on a shared
@@ -43,22 +47,34 @@ final case class StaticLookups(
   * torn snapshot. */
 final case class FileLookups(tableFiles: Map[String, String])
     extends LookupProvider {
-  def resolve(batchId: Long): Map[String, Map[String, Array[Byte]]] =
-    FileLookups.cached(tableFiles, batchId)
+  def resolve(runId: java.util.UUID, batchId: Long)
+      : Map[String, Map[String, Array[Byte]]] =
+    FileLookups.cached(tableFiles, runId, batchId)
 }
 
 object FileLookups {
-  // (paths, batchId) → snapshot; one read per JVM per batch. Old batches
-  // are evicted on insert so a long-running query holds at most the
+  // (paths, runId, batchId) → snapshot; one read per JVM per batch. The
+  // runId is part of the key because batch ids restart on query
+  // restart — a cache keyed on batch id alone would serve the PREVIOUS
+  // run's snapshot to the new run's early batches. Old entries are
+  // evicted on insert so a long-running query holds at most the
   // in-flight batch plus its predecessor (speculative/retried tasks of
   // batch N-1 may still resolve while batch N starts).
-  private val cache =
-    TrieMap.empty[(Map[String, String], Long), Map[String, Map[String, Array[Byte]]]]
+  private val cache = TrieMap.empty[(Map[String, String], java.util.UUID, Long),
+    Map[String, Map[String, Array[Byte]]]]
 
-  private def cached(paths: Map[String, String], batchId: Long)
-      : Map[String, Map[String, Array[Byte]]] =
-    cache.getOrElseUpdate((paths, batchId), {
-      cache.filterInPlace { case ((p, b), _) => p != paths || b >= batchId - 1 }
+  private def cached(paths: Map[String, String], runId: java.util.UUID,
+      batchId: Long): Map[String, Map[String, Array[Byte]]] =
+    cache.getOrElseUpdate((paths, runId, batchId), {
+      // Evict only THIS run's older batches — a concurrent query on the
+      // same files (different runId) must keep its own entry, or the two
+      // would mutually evict and re-read per key group, losing the
+      // within-batch snapshot consistency. Dead runs' entries are
+      // reclaimed by the size cap below.
+      cache.filterInPlace { case ((p, r, b), _) =>
+        p != paths || r != runId || b >= batchId - 1 }
+      if (cache.size > 64)
+        cache.filterInPlace { case ((_, r, _), _) => r == runId }
       paths.map { case (t, f) => t -> LookupFile.read(f) }
     })
 }
@@ -72,8 +88,11 @@ object LookupFile {
 
   private def fs(p: Path): FileSystem = FileSystem.get(p.toUri, new Configuration())
 
-  /** Atomically (re)publish a snapshot: write `<path>.tmp`, then rename
-    * over `path`. Call from the driver or any external publisher. */
+  /** Atomically (re)publish a snapshot: write `<path>.tmp`, then
+    * rename-with-overwrite onto `path` (`FileContext` rename, the same
+    * primitive Spark's checkpoint managers use) — readers see either the
+    * old or the new file, never a missing or torn one. Call from the
+    * driver or any external publisher. */
   def write(path: String, entries: Map[String, Array[Byte]]): Unit = {
     val target = new Path(path)
     val tmp = new Path(path + ".tmp")
@@ -88,8 +107,8 @@ object LookupFile {
         else { out.writeInt(v.length); out.write(v) }
       }
     } finally out.close()
-    if (f.exists(target)) f.delete(target, false)
-    require(f.rename(tmp, target), s"atomic rename to $path failed")
+    FileContext.getFileContext(target.toUri, new Configuration())
+      .rename(tmp, target, Options.Rename.OVERWRITE)
   }
 
   def read(path: String): Map[String, Array[Byte]] = {

@@ -237,7 +237,8 @@ object StreamExecutor {
         msgs: Iterator[Message],
         timerValues: TimerValues): Iterator[Emitted] = {
       val snaps = bcJoinSnaps.value
-      val lookupSnap = lookups.resolve(getHandle.getQueryInfo.getBatchId)
+      val qi = getHandle.getQueryInfo
+      val lookupSnap = lookups.resolve(qi.getRunId, qi.getBatchId)
       val prev = if (keyState.exists()) keyState.get() else KeyState(null, Map.empty)
       // Join values visible at batch start: static snapshot overlaid
       // by the persisted catchup state (which may hold tombstones).

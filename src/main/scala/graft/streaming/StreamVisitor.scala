@@ -59,8 +59,14 @@ object StreamVisitor {
       .select(col(s"key.$keyField").cast("string").as("k")).distinct()
       .map(r => Message(r.getString(0), metaBytes, topic, 0, 0L, nowTs,
         Map.empty[String, Array[Byte]]))
-    val n = msgs.count()
-    if (n > 0) msgs.write.mode("append").parquet(stagingDir)
-    n
+      // Pin ONE snapshot: the query is live, so separate count and write
+      // actions could each load a different committed state version and
+      // the returned count would disagree with the staged messages.
+      .persist()
+    try {
+      val n = msgs.count()
+      if (n > 0) msgs.write.mode("append").parquet(stagingDir)
+      n
+    } finally { msgs.unpersist(); () }
   }
 }

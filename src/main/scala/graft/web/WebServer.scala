@@ -39,8 +39,9 @@ final class WebServer(port: Int = 0, bindAddress: String = "127.0.0.1") {
     new InetSocketAddress(bindAddress, port), 0)
   // Small pool instead of the JDK default serial executor: a slow
   // View.get (unbucketed full scan) must not block /metrics.
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
-    r => { val t = new Thread(r, "graft-web"); t.setDaemon(true); t }))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+    r => { val t = new Thread(r, "graft-web"); t.setDaemon(true); t })
+  server.setExecutor(pool)
   server.createContext("/query", (ex: HttpExchange) => handleQuery(ex))
   server.createContext("/actions", (ex: HttpExchange) => handleAction(ex))
   server.createContext("/metrics",
@@ -83,7 +84,7 @@ final class WebServer(port: Int = 0, bindAddress: String = "127.0.0.1") {
   /** Start listening; returns the bound port (ephemeral when 0). */
   def start(): Int = { server.start(); server.getAddress.getPort }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private def handleQuery(ex: HttpExchange): Unit = respond(ex) {
     ex.getRequestURI.getPath.stripPrefix("/query").stripPrefix("/")
@@ -176,24 +177,21 @@ final class WebServer(port: Int = 0, bindAddress: String = "127.0.0.1") {
       "<p><a href='/metrics'>raw JSON</a></p></body></html>"
   }
 
-  private def respondHtml(ex: HttpExchange)(f: => (Int, String)): Unit = {
-    val (code, body) =
-      try f
-      catch { case e: Exception =>
-        500 -> s"<html><body>error: ${String.valueOf(e.getMessage)}</body></html>" }
-    val bytes = body.getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
-    ex.sendResponseHeaders(code, bytes.length.toLong)
-    ex.getResponseBody.write(bytes)
-    ex.close()
-  }
+  private def respondHtml(ex: HttpExchange)(f: => (Int, String)): Unit =
+    respondAs(ex, "text/html; charset=utf-8",
+      e => s"<html><body>error: ${String.valueOf(e.getMessage)}</body></html>")(f)
 
-  private def respond(ex: HttpExchange)(f: => (Int, String)): Unit = {
+  private def respond(ex: HttpExchange)(f: => (Int, String)): Unit =
+    respondAs(ex, "application/json",
+      e => s"""{"error":${q(String.valueOf(e.getMessage))}}""")(f)
+
+  private def respondAs(ex: HttpExchange, contentType: String,
+      errorBody: Exception => String)(f: => (Int, String)): Unit = {
     val (code, body) =
       try f
-      catch { case e: Exception => 500 -> s"""{"error":${q(String.valueOf(e.getMessage))}}""" }
+      catch { case e: Exception => 500 -> errorBody(e) }
     val bytes = body.getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
     ex.close()

@@ -35,19 +35,26 @@ class LookupsSpec extends AnyFunSuite {
 
   test("FileLookups re-reads when the batch id advances, caches within it") {
     val f = tmpFile()
+    val run = java.util.UUID.randomUUID()
     LookupFile.write(f, Map("k" -> "v1".getBytes("UTF-8")))
     val lk = FileLookups(Map("t" -> f))
-    assert(new String(lk.resolve(0L)("t")("k"), "UTF-8") == "v1")
+    assert(new String(lk.resolve(run, 0L)("t")("k"), "UTF-8") == "v1")
     LookupFile.write(f, Map("k" -> "v2".getBytes("UTF-8")))
     // same batch id: cached snapshot (consistent within a micro-batch)
-    assert(new String(lk.resolve(0L)("t")("k"), "UTF-8") == "v1")
+    assert(new String(lk.resolve(run, 0L)("t")("k"), "UTF-8") == "v1")
     // next batch id: fresh read sees the republished value
-    assert(new String(lk.resolve(1L)("t")("k"), "UTF-8") == "v2")
+    assert(new String(lk.resolve(run, 1L)("t")("k"), "UTF-8") == "v2")
+    // a RESTARTED query (new run id, batch ids reset) must not be served
+    // the old run's cache
+    LookupFile.write(f, Map("k" -> "v3".getBytes("UTF-8")))
+    val run2 = java.util.UUID.randomUUID()
+    assert(new String(lk.resolve(run2, 0L)("t")("k"), "UTF-8") == "v3")
   }
 
   test("StaticLookups never refreshes") {
+    val run = java.util.UUID.randomUUID()
     val s = StaticLookups(Map("t" -> Map("k" -> Array[Byte](9))))
-    assert(s.resolve(0L)("t")("k").toSeq == Seq[Byte](9))
-    assert(s.resolve(99L)("t")("k").toSeq == Seq[Byte](9))
+    assert(s.resolve(run, 0L)("t")("k").toSeq == Seq[Byte](9))
+    assert(s.resolve(run, 99L)("t")("k").toSeq == Seq[Byte](9))
   }
 }
