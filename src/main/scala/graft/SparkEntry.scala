@@ -385,7 +385,7 @@ object SparkEntry {
                / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
            FROM pre a JOIN pre b ON a.vec_id < b.vec_id)
          WHERE cos >= 0.45""",
-    // d05 pruned to same-LSH-bucket pairs (2 md5 hyperplanes): the
+    // d05 pruned to same-LSH-bucket pairs (4 md5 hyperplanes): the
     // bucketing is the recall/cost dial and is itself deterministic.
     "d08_embed_neardup_lsh" ->
       s"""WITH pre AS ($embPreSql),
@@ -393,7 +393,7 @@ object SparkEntry {
            SELECT p, d,
              ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR),1,8))::BIGINT
                - 2147483648 AS coef
-           FROM generate_series(0,1) tp(p), generate_series(0,63) td(d)),
+           FROM generate_series(0,3) tp(p), generate_series(0,63) td(d)),
          buckets AS (
            SELECT vec_id,
              sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket

@@ -48,10 +48,11 @@ object PipelineQueries {
       threshold = 0.45)
 
   /** LSH-bucketed variant of d05 — same threshold, verified only within
-    * hyperplane buckets (2 planes = 4 buckets on this corpus). */
+    * hyperplane buckets (4 planes = 16 buckets: ~16× fewer dot products
+    * than all-pairs at sf0.1, still non-empty at the oracle SF). */
   def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame =
     Vectors.nearDupPairsLsh(embs(spark, dir), col("vec_id"),
-      col("embedding"), threshold = 0.45)
+      col("embedding"), threshold = 0.45, nPlanes = 4)
 
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
