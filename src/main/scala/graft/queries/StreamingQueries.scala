@@ -65,22 +65,26 @@ object StreamingQueries {
   }
 
   /** Split messages into two micro-batch files at the median timestamp
-    * (micros, integer midpoint of min/max) — early rows in batch 1, late
-    * rows in batch 2. Returns the split point so oracles can reproduce
-    * the same classification with `epoch_us(ts) <= mid`. */
-  private def stageTwoBatches(spark: SparkSession, all: Dataset[Message],
-      staging: String): Long = {
+    * (micros, integer midpoint of min/max) — early rows in `earlyDir` as
+    * `b1.parquet`, late rows in `lateDir` as `b2.parquet`. Returns the
+    * split point so oracles can reproduce the same classification with
+    * `epoch_us(ts) <= mid`. */
+  private def stageSplit(spark: SparkSession, all: Dataset[Message],
+      earlyDir: String, lateDir: String): Long = {
     val mid = all.agg(
       unix_micros(min(col("timestamp"))).as("mn"),
       unix_micros(max(col("timestamp"))).as("mx"))
       .select(expr("(mn + mx) div 2").as("mid")).head().getLong(0)
     val now = System.currentTimeMillis()
     stageFile(all.filter(unix_micros(col("timestamp")) <= mid),
-      staging, "b1.parquet", now - 120000)
+      earlyDir, "b1.parquet", now - 120000)
     stageFile(all.filter(unix_micros(col("timestamp")) > mid),
-      staging, "b2.parquet", now - 60000)
+      lateDir, "b2.parquet", now - 60000)
     mid
   }
+
+  private def stageTwoBatches(spark: SparkSession, all: Dataset[Message],
+      staging: String): Long = stageSplit(spark, all, staging, staging)
 
   /** Count-per-key through the streaming executor (keyed state store).
     * Fed in TWO micro-batches so state genuinely carries across batches
@@ -184,13 +188,21 @@ object StreamingQueries {
     * (`/root/reference/partition_table.go:119-126`, view-per-processor
     * `processor.go:105-120`), e.g. the translator table of
     * `examples/3-messaging`. The `rates` table holds one row
-    * (`multiplier`); v1 = 1 while batch 1 processes, then the driver
-    * republishes v2 = 2 between micro-batches (an external publisher in
-    * production). [[FileLookups]] re-resolves the snapshot when the batch
-    * id advances, so batch-2 events add 2 per event — the DuckDB oracle
-    * reproduces the same classification from the median-ts split. A
-    * lifetime-static broadcast (the pre-round-3 behavior) would
-    * hash-mismatch: every event would add 1. */
+    * (`multiplier`); v1 = 1 while the early half processes, then the
+    * driver republishes v2 = 2 and only THEN reveals the late half (an
+    * external publisher in production). [[FileLookups]] re-resolves the
+    * snapshot when the batch id advances, so late events add 2 per event
+    * — the DuckDB oracle reproduces the same classification from the
+    * median-ts split. A lifetime-static broadcast (the pre-round-3
+    * behavior) would hash-mismatch: every event would add 1.
+    *
+    * The sequencing is a hard barrier, not a timing assumption: the late
+    * file sits in a pending dir OUTSIDE the source path until
+    * `processAllAvailable()` has fully drained the early file under v1 —
+    * a `foreachBatch(batchId == 0)` republish (the pre-round-4 shape)
+    * intermittently fired around the wrong batch under full-run load.
+    * [[FileLookups.recentResolutions]] records which snapshot each batch
+    * actually resolved, so LookupsSpec can assert the v1→v2 handover. */
   def streamLookupRefresh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.BatchExecutor.SinkTable
@@ -206,7 +218,9 @@ object StreamingQueries {
       Persist(Int64Codec))
     val staging = java.nio.file.Files
       .createTempDirectory("graft_stream_lookup").toString
-    stageTwoBatches(spark, Sources.eventMessages(spark, dir), staging)
+    val pending = java.nio.file.Files
+      .createTempDirectory("graft_stream_lookup_pending").toString
+    stageSplit(spark, Sources.eventMessages(spark, dir), staging, pending)
     val ratesFile = java.nio.file.Paths
       .get(staging, "rates.lkp").toString
     LookupFile.write(ratesFile, Map("multiplier" -> Int64Codec.encode(1L)))
@@ -226,16 +240,15 @@ object StreamingQueries {
     val q = table.writeStream.outputMode("update")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(resultDir)
-        // The mid-stream mutation: after batch 1 commits its output, the
-        // "external publisher" doubles the rate. Batch 2's lookup
-        // resolution (batchId 2's FileLookups read) sees v2.
-        if (batchId == 0)
-          LookupFile.write(ratesFile,
-            Map("multiplier" -> Int64Codec.encode(2L)))
-        ()
+        batch.write.mode("append").parquet(resultDir); ()
       }.start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable() // early half fully drained under v1
+      LookupFile.write(ratesFile,
+        Map("multiplier" -> Int64Codec.encode(2L)))
+      copyParquetFiles(pending, staging) // reveal the late half
+      q.processAllAvailable() // late half drained under v2
+    } finally q.stop()
     // cnt only grows; max(cnt) collapses update-mode upserts.
     spark.read.parquet(resultDir)
       .groupBy(col("key")).agg(max(col("cnt")).as("cnt"))

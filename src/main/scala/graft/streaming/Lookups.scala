@@ -53,30 +53,77 @@ final case class FileLookups(tableFiles: Map[String, String])
 }
 
 object FileLookups {
-  // (paths, runId, batchId) → snapshot; one read per JVM per batch. The
-  // runId is part of the key because batch ids restart on query
-  // restart — a cache keyed on batch id alone would serve the PREVIOUS
-  // run's snapshot to the new run's early batches. Old entries are
-  // evicted on insert so a long-running query holds at most the
-  // in-flight batch plus its predecessor (speculative/retried tasks of
-  // batch N-1 may still resolve while batch N starts).
-  private val cache = TrieMap.empty[(Map[String, String], java.util.UUID, Long),
-    Map[String, Map[String, Array[Byte]]]]
+  /** One actual snapshot read: which (run, batch) resolved which content
+    * — per table, the entry count and an order-independent content hash.
+    * Exactly one Resolution is recorded per (paths, run, batch) — the
+    * read that won the cache insert, i.e. the snapshot every task of
+    * that batch uses. Ring-buffered evidence so a test (or an operator
+    * debugging a mutating-lookup topology) can assert exactly which
+    * snapshot version each micro-batch saw. */
+  final case class Resolution(runId: java.util.UUID, batchId: Long,
+      tables: Map[String, (Int, Long)])
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[FileLookups])
+  private val ring = new java.util.concurrent.ConcurrentLinkedQueue[Resolution]
+
+  /** The most recent snapshot reads (bounded at 256), oldest first. */
+  def recentResolutions: Seq[Resolution] = {
+    import scala.jdk.CollectionConverters._
+    ring.iterator().asScala.toSeq
+  }
+
+  private def contentHash(m: Map[String, Array[Byte]]): Long =
+    m.iterator.map { case (k, v) =>
+      31L * k.hashCode + java.util.Arrays.hashCode(v) }.sum
+
+  private type Key = (Map[String, String], java.util.UUID, Long)
+  private type Snap = Map[String, Map[String, Array[Byte]]]
+
+  // (paths, runId, batchId) → (insertion stamp, snapshot); one read per
+  // JVM per batch. The runId is part of the key because batch ids
+  // restart on query restart — a cache keyed on batch id alone would
+  // serve the PREVIOUS run's snapshot to the new run's early batches.
+  private val stamp = new java.util.concurrent.atomic.AtomicLong()
+  private val cache = TrieMap.empty[Key, (Long, Snap)]
 
   private def cached(paths: Map[String, String], runId: java.util.UUID,
-      batchId: Long): Map[String, Map[String, Array[Byte]]] =
-    cache.getOrElseUpdate((paths, runId, batchId), {
-      // Evict only THIS run's older batches — a concurrent query on the
-      // same files (different runId) must keep its own entry, or the two
-      // would mutually evict and re-read per key group, losing the
-      // within-batch snapshot consistency. Dead runs' entries are
-      // reclaimed by the size cap below.
-      cache.filterInPlace { case ((p, r, b), _) =>
-        p != paths || r != runId || b >= batchId - 1 }
-      if (cache.size > 64)
-        cache.filterInPlace { case ((_, r, _), _) => r == runId }
-      paths.map { case (t, f) => t -> LookupFile.read(f) }
-    })
+      batchId: Long): Snap = {
+    val key = (paths, runId, batchId)
+    cache.get(key) match {
+      case Some((_, snap)) => snap
+      case None =>
+        val read: Snap = paths.map { case (t, f) => t -> LookupFile.read(f) }
+        // If two tasks race the first read (and an external publisher
+        // replaces the file between their reads), exactly one insert
+        // wins and BOTH use the winning snapshot — within-batch
+        // consistency does not depend on read timing.
+        cache.putIfAbsent(key, (stamp.incrementAndGet(), read)) match {
+          case Some((_, prior)) => prior
+          case None =>
+            val tables = read.map { case (t, m) => t -> (m.size, contentHash(m)) }
+            ring.add(Resolution(runId, batchId, tables))
+            while (ring.size > 256) ring.poll()
+            if (log.isInfoEnabled) log.info(
+              s"lookup snapshot run=$runId batch=$batchId " + tables.map {
+                case (t, (n, h)) => s"$t[n=$n,h=$h]" }.mkString(" "))
+            // This run no longer needs batches before batchId-1
+            // (speculative/retried tasks of batch N-1 may still resolve
+            // while batch N starts). Other runs' entries are untouched
+            // here — concurrent queries on the same files must not evict
+            // each other's in-flight batch, or a mid-batch re-read could
+            // observe a republish and tear the snapshot.
+            cache.filterInPlace { case ((p, r, b), _) =>
+              p != paths || r != runId || b >= batchId - 1 }
+            // Global cap: drop the OLDEST-inserted entries (dead runs age
+            // out first); a live run's newest entries are by construction
+            // the youngest stamps and survive.
+            if (cache.size > 64)
+              cache.toSeq.sortBy(_._2._1).dropRight(64)
+                .foreach { case (k, v) => cache.remove(k, v); () }
+            read
+        }
+    }
+  }
 }
 
 /** One compacted lookup table as a single binary file: `[n][len key

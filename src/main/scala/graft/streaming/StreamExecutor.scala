@@ -54,7 +54,12 @@ import graft.operators.NilHandling
   * dropped from the store and re-seeds from null — the guard that keeps
   * a 100×-cardinality key space from pinning the store forever. The
   * reference relies on tombstones for the same hygiene; TTL is the
-  * engine's addition for keys that never see an explicit delete.
+  * engine's addition for keys that never see an explicit delete. TTL
+  * applies ONLY to the group-table value: join-catchup state lives in a
+  * separate, never-expiring state variable, because the reference's
+  * join tables never expire (`partition_table.go:119-126`) — expiring a
+  * join tombstone would silently resurrect the static snapshot value it
+  * masks, and expiring a catchup value would lose changelog updates.
   *
   * '''Loopback''' (`graph.go:395-407`) is a real feedback topic in
   * streaming: [[runWithLoopback]] appends `@loop` rows back into the
@@ -136,7 +141,13 @@ class StreamExecutor(
         batch.persist()
         try {
           val loops = batch.filter(_.sink == SinkLoop)
-          if (!loops.isEmpty) {
+          if (loops.isEmpty) {
+            // Feedback drained: the cap bounds CONSECUTIVE feedback hops
+            // (one fixpoint's depth), not lifetime loop batches — a
+            // deployment repeatedly staging new input into the same
+            // running query starts each fixpoint from zero.
+            rounds = 0
+          } else {
             rounds += 1
             if (rounds > maxRounds) throw new IllegalStateException(
               s"streaming loopback did not converge after $maxRounds rounds " +
@@ -194,19 +205,33 @@ class StreamExecutor(
 }
 
 object StreamExecutor {
-  /** Keyed streaming state: the group-table row plus the latest
-    * join-table value per joined topic — the engine's equivalent of the
-    * reference's per-partition group storage + join partition tables
-    * (`partition_processor.go:210-247`). Null entries are tombstones. */
+  /** Keyed streaming state as seeded at query start: the group-table row
+    * plus the latest join-table value per joined topic — the engine's
+    * equivalent of the reference's per-partition group storage + join
+    * partition tables (`partition_processor.go:210-247`). Null entries
+    * are tombstones. Inside the operator the two halves live in SEPARATE
+    * state variables ([[StateVarName]] / [[JoinStateVarName]]) so state
+    * TTL can expire the group value without touching join catchup. */
   final case class KeyState(value: Array[Byte],
       joins: Map[String, Array[Byte]])
 
-  /** Name of the operator's state variable — also the `stateVarName` to
-    * pass to the `statestore` data source when reading live state. */
+  /** Catchup join-table values per joined topic, as their own state
+    * variable: the reference's join tables never expire
+    * (`partition_table.go:119-126`), so this state is exempt from
+    * `stateTtl` — only the group-table value ([[StateVarName]]) is. */
+  final case class JoinsState(joins: Map[String, Array[Byte]])
+
+  /** Name of the group-table value state variable (raw value bytes) —
+    * also the `stateVarName` to pass to the `statestore` data source
+    * when reading live state. */
   final val StateVarName = "keyState"
 
+  /** Name of the join-catchup state variable ([[JoinsState]]). */
+  final val JoinStateVarName = "joinState"
+
   /** The per-key fold as a Spark 4.x [[StatefulProcessorWithInitialState]].
-    * One typed value-state variable holds [[KeyState]]; the shared
+    * Two typed value-state variables — the group-table value bytes
+    * (TTL-eligible) and the join catchup map (never expires); the shared
     * [[FoldIterator]] kernel (also used by the batch executor and the
     * Tester) applies state → join seeds → ordered batch rows and yields
     * the emissions. */
@@ -220,17 +245,22 @@ object StreamExecutor {
 
     private val joinTopics = g.joins.keySet
 
-    @transient private var keyState: ValueState[KeyState] = _
+    @transient private var valueState: ValueState[Array[Byte]] = _
+    @transient private var joinState: ValueState[JoinsState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       val ttlConf = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
-      keyState = getHandle.getValueState[KeyState](
-        StateVarName, Encoders.product[KeyState], ttlConf)
+      valueState = getHandle.getValueState[Array[Byte]](
+        StateVarName, Encoders.BINARY, ttlConf)
+      joinState = getHandle.getValueState[JoinsState](
+        JoinStateVarName, Encoders.product[JoinsState], TTLConfig.NONE)
     }
 
     override def handleInitialState(
-        key: String, s: KeyState, timerValues: TimerValues): Unit =
-      keyState.update(s)
+        key: String, s: KeyState, timerValues: TimerValues): Unit = {
+      if (s.value != null) valueState.update(s.value)
+      if (s.joins.nonEmpty) joinState.update(JoinsState(s.joins))
+    }
 
     override def handleInputRows(
         key: String,
@@ -239,21 +269,24 @@ object StreamExecutor {
       val snaps = bcJoinSnaps.value
       val qi = getHandle.getQueryInfo
       val lookupSnap = lookups.resolve(qi.getRunId, qi.getBatchId)
-      val prev = if (keyState.exists()) keyState.get() else KeyState(null, Map.empty)
+      val prevValue = if (valueState.exists()) valueState.get() else null
+      val prevJoins: Map[String, Array[Byte]] =
+        if (joinState.exists()) joinState.get().joins
+        else Map.empty[String, Array[Byte]]
       // Join values visible at batch start: static snapshot overlaid
       // by the persisted catchup state (which may hold tombstones).
       val seedJoins: Map[String, Array[Byte]] =
         joinTopics.iterator.flatMap { t =>
           snaps.get(t).flatMap(_.get(key)).map(t -> _)
-        }.toMap ++ prev.joins
+        }.toMap ++ prevJoins
       val sorted = msgs.toArray.sortBy { m =>
         (tsMicros(m.timestamp),
           if (joinTopics(m.topic)) KindJoin else KindMessage,
           m.topic, m.offset)
       }
       val stateRow: Iterator[Tagged] =
-        if (prev.value != null)
-          Iterator(Tagged(key, KindState, g.tableTopic, prev.value,
+        if (prevValue != null)
+          Iterator(Tagged(key, KindState, g.tableTopic, prevValue,
             0, 0L, 0L, 0, null))
         else Iterator.empty
       val seedRows = seedJoins.iterator.map { case (t, v) =>
@@ -267,21 +300,22 @@ object StreamExecutor {
       val out = new FoldIterator(g, nil, lookupSnap,
         stateRow ++ seedRows ++ batchRows).toVector
       val newValue = out.find(_.sink == SinkTable)
-        .map(_.value).getOrElse(prev.value)
+        .map(_.value).getOrElse(prevValue)
       val joinUpdates: Map[String, Array[Byte]] =
         sorted.iterator.filter(m => joinTopics(m.topic))
           .map(m => m.topic -> m.value).toMap // ts-sorted: last wins
       // A null (tombstone) entry only needs to persist while it
       // masks a static snapshot value; otherwise dropping it keeps
       // the state removable — a key whose table row AND join rows
-      // are all deleted must not pin a KeyState forever.
-      val newJoins = (prev.joins ++ joinUpdates).filter {
+      // are all deleted must not pin state forever.
+      val newJoins = (prevJoins ++ joinUpdates).filter {
         case (t, v) => v != null ||
           snaps.get(t).exists(_.contains(key))
       }
-      if (newValue == null && newJoins.isEmpty) {
-        if (keyState.exists()) keyState.clear()
-      } else keyState.update(KeyState(newValue, newJoins))
+      if (newValue == null) { if (valueState.exists()) valueState.clear() }
+      else valueState.update(newValue)
+      if (newJoins.isEmpty) { if (joinState.exists()) joinState.clear() }
+      else joinState.update(JoinsState(newJoins))
       out.iterator
     }
   }

@@ -51,6 +51,38 @@ class LookupsSpec extends AnyFunSuite {
     assert(new String(lk.resolve(run2, 0L)("t")("k"), "UTF-8") == "v3")
   }
 
+  test("recentResolutions records exactly one snapshot read per (run, batch)") {
+    val f = tmpFile()
+    val run = java.util.UUID.randomUUID()
+    LookupFile.write(f, Map("k" -> "v1".getBytes("UTF-8")))
+    val lk = FileLookups(Map("t" -> f))
+    lk.resolve(run, 0L); lk.resolve(run, 0L) // second hit is cached
+    LookupFile.write(f, Map("k" -> "v2".getBytes("UTF-8")))
+    lk.resolve(run, 1L)
+    val mine = FileLookups.recentResolutions.filter(_.runId == run)
+    assert(mine.map(_.batchId) == Seq(0L, 1L)) // one entry per batch, ordered
+    // the recorded content hash proves WHICH snapshot version the batch saw
+    val Seq(h0, h1) = mine.map(_.tables("t"))
+    assert(h0._1 == 1 && h1._1 == 1 && h0._2 != h1._2)
+  }
+
+  test("cache cap evicts oldest-first, not every run but the current one") {
+    val f = tmpFile()
+    LookupFile.write(f, Map("k" -> "v".getBytes("UTF-8")))
+    val lk = FileLookups(Map("t" -> f))
+    // 66 concurrent runs insert one entry each — the cap (64) evicts the
+    // 2 OLDEST entries. The pre-round-4 behavior kept only the CURRENT
+    // runId on overflow, wiping every other live run's in-flight batch.
+    val runs = (1 to 66).map(_ => java.util.UUID.randomUUID())
+    runs.foreach(r => lk.resolve(r, 0L))
+    LookupFile.write(f, Map("k" -> "CHANGED".getBytes("UTF-8")))
+    // a recent (but not newest) run is still cached — within-batch
+    // snapshot consistency survives other runs' inserts...
+    assert(new String(lk.resolve(runs(60), 0L)("t")("k"), "UTF-8") == "v")
+    // ...while the genuinely oldest entry was aged out (re-read)
+    assert(new String(lk.resolve(runs.head, 0L)("t")("k"), "UTF-8") == "CHANGED")
+  }
+
   test("StaticLookups never refreshes") {
     val run = java.util.UUID.randomUUID()
     val s = StaticLookups(Map("t" -> Map("k" -> Array[Byte](9))))
