@@ -81,6 +81,7 @@ object SparkEntry {
     "st04_stream_join_refresh" -> (StreamingQueries.streamJoinRefresh _),
     "st05_stream_lookup_refresh" -> (StreamingQueries.streamLookupRefresh _),
     "st06_stream_session" -> (StreamingQueries.streamSession _),
+    "st07_stream_chained" -> (StreamingQueries.streamChained _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -644,6 +645,13 @@ object SparkEntry {
          SELECT CAST(user_id AS VARCHAR) AS key,
            epoch_us(min(ts)) AS session_start, count(*) AS cnt
          FROM sess GROUP BY user_id, sid""",
+    // Same oracle as batch g16 — the stream-to-stream topic hop
+    // (detector's blocks output feeding the live blocker query) must
+    // preserve the chained-topology semantics.
+    "st07_stream_chained" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+                count(*) // 10 AS n_blocks
+         FROM events GROUP BY user_id HAVING count(*) >= 10""",
   )
 
   /** 60-term SimHash oracle, generated to mirror Dedup.simhash exactly. */

@@ -310,23 +310,32 @@ object GokaQueries {
     * composition every real goka deployment is built from (timestamps
     * and offsets survive the hop, so graph 2's fold order is graph 1's
     * emit order). */
+  /** Detector half of the messaging topology: counts per-user traffic,
+    * emits a block command every 10th event (`detector/detector.go:60-77`).
+    * Shared with the streaming twin st07. */
+  private[queries] def detectorGraph = GroupGraph.define("detector")(
+    Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+      val cur = ctx.value match { case null => 0L; case n: Long => n }
+      val next = cur + 1L
+      ctx.setValue(next)
+      if (next % 10L == 0L) ctx.emit("blocks", ctx.key, next)
+    }),
+    Persist(Int64Codec),
+    Output("blocks", Int64Codec))
+
+  /** Blocker half: consumes the block stream into its own table
+    * (`blocker/blocker.go:30-60`). Shared with st07. */
+  private[queries] def blockerGraph = GroupGraph.define("blocker")(
+    Input("blocks", Int64Codec, ProcessCallback { (ctx, _) =>
+      val cur = ctx.value match { case null => 0L; case n: Long => n }
+      ctx.setValue(cur + 1L)
+    }),
+    Persist(Int64Codec))
+
   def chained(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val detector = GroupGraph.define("detector")(
-      Input("events", StringCodec, ProcessCallback { (ctx, _) =>
-        val cur = ctx.value match { case null => 0L; case n: Long => n }
-        val next = cur + 1L
-        ctx.setValue(next)
-        if (next % 10L == 0L) ctx.emit("blocks", ctx.key, next)
-      }),
-      Persist(Int64Codec),
-      Output("blocks", Int64Codec))
-    val blocker = GroupGraph.define("blocker")(
-      Input("blocks", Int64Codec, ProcessCallback { (ctx, _) =>
-        val cur = ctx.value match { case null => 0L; case n: Long => n }
-        ctx.setValue(cur + 1L)
-      }),
-      Persist(Int64Codec))
+    val detector = detectorGraph
+    val blocker = blockerGraph
     val stage1 = graft.Processor(spark, detector)
       .runBatch(Map("events" -> Sources.eventMessages(spark, dir)))
     val stage2 = graft.Processor(spark, blocker)

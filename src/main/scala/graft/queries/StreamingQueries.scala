@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core._
 import graft.core.Codecs._
 import graft.sources.Sources
-import graft.streaming.{FileLookups, LookupFile, StreamExecutor}
+import graft.streaming.{FileLookups, LookupFile, StreamExecutor, StreamSinks}
 
 /** Structured Streaming queries, oracle-checked: the events fixture is
   * replayed through the file stream source, processed by the *streaming*
@@ -252,6 +252,49 @@ object StreamingQueries {
     // cnt only grows; max(cnt) collapses update-mode upserts.
     spark.read.parquet(resultDir)
       .groupBy(col("key")).agg(max(col("cnt")).as("cnt"))
+  }
+
+  /** Chained STREAMING topologies — g16's twin and the reference's
+    * flagship deployment shape (`examples/3-messaging`): the detector
+    * query counts per-user traffic and emits a block command every 10th
+    * event; its `blocks` output topic (a parquet relay directory here,
+    * the `blocks` Kafka topic in production) is consumed by a SECOND
+    * live streaming query, the blocker, folding into its own table.
+    * Both queries run keyed state through [[StreamExecutor]]; events are
+    * split into two micro-batches, so detector counts carry across
+    * batches AND the relay grows incrementally while the blocker is
+    * already running — the hop is stream-to-stream, not batch handoff.
+    * Must hash-match g16's oracle. */
+  def streamChained(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_stream_chain").toString
+    val relayDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_chain_relay").toString
+    stageTwoBatches(spark, Sources.eventMessages(spark, dir), staging)
+    val msgSchema = org.apache.spark.sql.Encoders.product[Message].schema
+    val stream1 = spark.readStream.schema(msgSchema)
+      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+    val q1 = StreamSinks.routeOutputs(
+      new StreamExecutor(GokaQueries.detectorGraph).run(spark, stream1),
+      Map("blocks" -> relayDir))
+    val stream2 = spark.readStream.schema(msgSchema)
+      .parquet(relayDir).as[Message]
+    val table = new StreamExecutor(GokaQueries.blockerGraph)
+      .run(spark, stream2)
+      .filter(_.sink == SinkTable)
+      .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "n_blocks")
+    val name = s"stream_result_${nameSeq.incrementAndGet()}"
+    val q2 = table.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      q1.processAllAvailable() // detector drains both event batches
+      q2.processAllAvailable() // blocker drains the relay it produced
+    } finally { q1.stop(); q2.stop() }
+    // n_blocks only grows; max collapses update-mode upserts.
+    spark.table(name).groupBy(col("key"))
+      .agg(max(col("n_blocks")).as("n_blocks"))
   }
 
   /** Streaming session windows — q17's twin through
