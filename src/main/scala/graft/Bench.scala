@@ -13,6 +13,15 @@ object Bench {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      // Checkpoint-file checksums (new in Spark 4.1, default on) convoy
+      // in one-JVM local mode: every state-store commit's zip close
+      // awaits a checksum future, measured +2.2 s on st01 at sf0.1/32
+      // partitions (thread dumps: 32 tasks parked in
+      // ChecksumCancellableFSDataOutputStream.close). Checkpoints here
+      // are ephemeral local-fs dirs; re-enable for durable object-store
+      // checkpoints in cluster deployments, where the cost spreads
+      // across executors.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       // Production throughput knob: skip per-commit row accounting in
       // the write-heavy state stores (metrics-only effect; Verify and
       // the test fixture keep it on to exercise numRowsTotal).

@@ -7,7 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Seq(sfDir, outDir, only @ _*) = args.toSeq: @unchecked
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -15,16 +15,33 @@ object Verify {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      // Checkpoint-file checksums (new in Spark 4.1, default on) convoy
+      // in one-JVM local mode: every state-store commit's zip close
+      // awaits a checksum future, measured +2.2 s on st01 at sf0.1/32
+      // partitions (thread dumps: 32 tasks parked in
+      // ChecksumCancellableFSDataOutputStream.close). Checkpoints here
+      // are ephemeral local-fs dirs; re-enable for durable object-store
+      // checkpoints in cluster deployments, where the cost spreads
+      // across executors.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Ad-hoc conf overrides for local experiments, e.g.
+    // GRAFT_SPARK_EXTRA="spark.x=1;spark.y=2".
+    sys.env.get("GRAFT_SPARK_EXTRA").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(
+          f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
