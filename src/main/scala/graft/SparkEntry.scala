@@ -72,6 +72,7 @@ object SparkEntry {
     "t05_rolling_fp" -> (PipelineQueries.rollingFingerprint _),
     "t06_top_terms" -> (PipelineQueries.topTerms _),
     "t07_hash_split" -> (PipelineQueries.hashSplit _),
+    "t08_repetition" -> (PipelineQueries.repetition _),
     "m01_multimodal" -> (PipelineQueries.multimodal _),
     "m02_media_resize" -> (PipelineQueries.mediaResize _),
     "m03_frame_sample" -> (PipelineQueries.frameSample _),
@@ -619,6 +620,43 @@ object SparkEntry {
                 WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 100 < 95 THEN 'val'
                 ELSE 'test' END AS split
          FROM documents""",
+    // Gopher-style repetition filters: exact integer counts per doc,
+    // each ratio a single IEEE divide — bit-identical across engines.
+    "t08_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents),
+         wc AS (SELECT doc_id, t, count(*) AS c FROM w
+                WHERE len(t) > 0 GROUP BY doc_id, t),
+         wagg AS (SELECT doc_id, sum(c) AS n_words,
+                         count(*) AS n_distinct, max(c) AS top_word
+                  FROM wc GROUP BY doc_id),
+         d AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                 x -> len(x) > 0) AS ws FROM documents),
+         bg AS (SELECT doc_id,
+                  unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+                    AS b
+                FROM d WHERE len(ws) >= 2),
+         bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+         bagg AS (SELECT doc_id, sum(c) AS n_bg, count(*) AS n_dist,
+                         max(c) AS top_bg FROM bc GROUP BY doc_id)
+         SELECT w.doc_id,
+           CAST(w.n_words AS BIGINT) AS n_words,
+           CAST(w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE)
+             AS distinct_word_ratio,
+           CAST(w.top_word AS DOUBLE) / CAST(w.n_words AS DOUBLE)
+             AS top_word_frac,
+           CASE WHEN b.n_bg IS NULL THEN 0.0
+                ELSE CAST(b.top_bg AS DOUBLE) / CAST(b.n_bg AS DOUBLE) END
+             AS top_bigram_frac,
+           CASE WHEN b.n_bg IS NULL THEN 0.0
+                ELSE CAST(b.n_bg - b.n_dist AS DOUBLE) / CAST(b.n_bg AS DOUBLE) END
+             AS dup_bigram_frac,
+           (CAST(w.top_word AS DOUBLE) / CAST(w.n_words AS DOUBLE) <= 0.12
+            AND CAST(w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE) >= 0.35
+            AND (CASE WHEN b.n_bg IS NULL THEN 0.0
+                 ELSE CAST(b.n_bg - b.n_dist AS DOUBLE) / CAST(b.n_bg AS DOUBLE) END)
+                <= 0.05) AS keep
+         FROM wagg w LEFT JOIN bagg b ON w.doc_id = b.doc_id""",
     // The lookup table mutates between the two micro-batches: rate 1
     // while ts <= mid (batch 1), rate 2 after (batch 2). mid is the
     // integer midpoint of min/max event time in micros — exactly

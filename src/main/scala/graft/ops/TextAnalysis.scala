@@ -103,6 +103,58 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
   }
 
+  /** Max multiplicity of any element in a string array, computed
+    * per-row with NO shuffle: sort the array, then a linear fold over
+    * the sorted runs (aggregate HOF). O(n log n) per row vs the
+    * explode→groupBy→max alternative's two shuffles — for bounded-length
+    * documents the map-only form is the 100 TB shape (each row's work is
+    * independent; nothing leaves the task). */
+  private def maxMultiplicity(arr: Column): Column = {
+    val init = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"))
+    aggregate(
+      array_sort(arr),
+      init,
+      (acc, w) => {
+        val run = when(w === acc("prev"), acc("run") + 1).otherwise(1)
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+  }
+
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, adapted to
+    * single-line space-tokenized docs): fraction of occurrences taken by
+    * the most frequent word / bigram, distinct-word ratio, duplicate-
+    * bigram fraction, and a composite keep flag. All counts are exact
+    * integers; each ratio is one IEEE divide, so the SQL oracle
+    * reproduces them bit-for-bit. Map-only: no explode, no shuffle. */
+  def repetitionMetrics(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val ws = filter(split(text, " "), w => w =!= "")
+    val n = size(ws)
+    // bigrams of adjacent words; sequence() guarded (n<2 would yield a
+    // DESCENDING range — default step -1)
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(0), n - 2), i =>
+        concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val nBg = size(bigrams)
+    val out = df.select(
+      id.as("doc_id"),
+      n.cast("long").as("n_words"),
+      (size(array_distinct(ws)).cast("double") / n.cast("double"))
+        .as("distinct_word_ratio"),
+      (maxMultiplicity(ws).cast("double") / n.cast("double"))
+        .as("top_word_frac"),
+      when(nBg > 0, maxMultiplicity(bigrams).cast("double") / nBg.cast("double"))
+        .otherwise(lit(0.0)).as("top_bigram_frac"),
+      when(nBg > 0, (nBg - size(array_distinct(bigrams))).cast("double")
+        / nBg.cast("double")).otherwise(lit(0.0)).as("dup_bigram_frac"))
+    out.withColumn("keep",
+      col("top_word_frac") <= 0.12 &&
+        col("distinct_word_ratio") >= 0.35 &&
+        col("dup_bigram_frac") <= 0.05)
+  }
+
   /** Deterministic train/val/test split by content-free key hash —
     * the reproducible sharding every training pipeline needs (same doc
     * lands in the same split on every run, every engine, any partition

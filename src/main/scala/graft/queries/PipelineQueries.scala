@@ -91,6 +91,9 @@ object PipelineQueries {
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.hashSplit(docs(spark, dir), col("doc_id"))
 
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(docs(spark, dir), col("text"), col("doc_id"))
+
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(spark, dir), col("text"), col("doc_id"))
 

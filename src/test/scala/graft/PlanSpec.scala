@@ -49,6 +49,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"split must not read the text column\n$p")
   }
 
+  test("t08: repetition metrics are map-only — no shuffle, no explode") {
+    val p = plan("t08_repetition")
+    assert(!p.contains("Exchange"),
+      s"per-doc fold must not shuffle\n$p")
+    assert(!p.contains("Generate"),
+      s"metrics come from array HOFs, not explode+regroup\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
+  }
+
   test("t06: one documents scan — df comes from a window, not a self-join") {
     val p = plan("t06_top_terms")
     val scans = "FileScan parquet".r.findAllIn(p).length

@@ -133,6 +133,27 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(t.getAs[Long]("bpeish_tokens") == 10L)
   }
 
+  test("repetition metrics: known-frequency doc, degenerate docs, keep flag") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a b"),          // top word 4/5, bigram "a a" 3/4
+      (2L, "x"),                  // single word: no bigrams
+      (3L, "a b c d e f g h i j k l m n o p q r s t")) // all distinct
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(d, col("text"), col("doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_words") == 5)
+    assert(m(1L).getAs[Double]("top_word_frac") == 0.8)
+    assert(m(1L).getAs[Double]("top_bigram_frac") == 0.75)
+    assert(m(1L).getAs[Double]("dup_bigram_frac") == 0.5) // 4 bigrams, 2 distinct
+    assert(!m(1L).getAs[Boolean]("keep"))
+    assert(m(2L).getAs[Double]("top_bigram_frac") == 0.0) // guarded, not NaN
+    assert(m(2L).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(m(3L).getAs[Double]("distinct_word_ratio") == 1.0)
+    assert(m(3L).getAs[Double]("top_word_frac") == 0.05)
+    assert(m(3L).getAs[Boolean]("keep"))
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     import spark.implicits._
     val d = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other"))
