@@ -73,6 +73,7 @@ object SparkEntry {
     "t06_top_terms" -> (PipelineQueries.topTerms _),
     "t07_hash_split" -> (PipelineQueries.hashSplit _),
     "t08_repetition" -> (PipelineQueries.repetition _),
+    "t09_stratified" -> (PipelineQueries.stratified _),
     "m01_multimodal" -> (PipelineQueries.multimodal _),
     "m02_media_resize" -> (PipelineQueries.mediaResize _),
     "m03_frame_sample" -> (PipelineQueries.frameSample _),
@@ -657,6 +658,17 @@ object SparkEntry {
                  ELSE CAST(b.n_bg - b.n_dist AS DOUBLE) / CAST(b.n_bg AS DOUBLE) END)
                 <= 0.05) AS keep
          FROM wagg w LEFT JOIN bagg b ON w.doc_id = b.doc_id""",
+    // Same content-free md5 bucket as t07, integer basis-point compare —
+    // no RNG, so the sample is identical across engines and runs.
+    "t09_stratified" ->
+      """SELECT doc_id, lang AS stratum, bucket, rate_bp FROM (
+           SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 10000
+               AS bucket,
+             CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 7500
+                       WHEN 'fr' THEN 7500 ELSE 10000 END AS rate_bp
+           FROM documents)
+         WHERE bucket < rate_bp""",
     // The lookup table mutates between the two micro-batches: rate 1
     // while ts <= mid (batch 1), rate 2 after (batch 2). mid is the
     // integer midpoint of min/max event time in micros — exactly

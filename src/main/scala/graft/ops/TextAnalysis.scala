@@ -155,6 +155,27 @@ object TextAnalysis {
         col("dup_bigram_frac") <= 0.05)
   }
 
+  /** Deterministic per-stratum downsampling — the domain/language
+    * rebalancing step of every training-data mix (e.g. cap English at
+    * 50% while keeping low-resource languages whole). Rates are basis
+    * points per 10,000 so membership is an INTEGER compare on the same
+    * content-free hash bucket as [[hashSplit]]: no RNG, no floats, the
+    * same doc survives on every run, engine, and partition count, and
+    * re-running with a larger rate strictly grows the sample (nested
+    * samples — the property reproducible data ablations need).
+    * Map-only; reads only the id + stratum columns. */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
+      ratesBp: Map[String, Int], defaultBp: Int = 10000): DataFrame = {
+    val bucket = (conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10000)
+    val rate = ratesBp.foldLeft(lit(defaultBp)) { case (acc, (s, bp)) =>
+      when(stratum === s, lit(bp)).otherwise(acc)
+    }
+    df.select(id.as("doc_id"), stratum.as("stratum"),
+        bucket.as("bucket"), rate.as("rate_bp"))
+      .filter(col("bucket") < col("rate_bp"))
+  }
+
   /** Deterministic train/val/test split by content-free key hash —
     * the reproducible sharding every training pipeline needs (same doc
     * lands in the same split on every run, every engine, any partition

@@ -94,6 +94,12 @@ object PipelineQueries {
   def repetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionMetrics(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** Language-rebalanced sample: cap en at 50%, es/fr at 75%, keep the
+    * rest whole — the canonical training-mix shape. */
+  def stratified(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stratifiedSample(docs(spark, dir), col("doc_id"),
+      col("lang"), Map("en" -> 5000, "es" -> 7500, "fr" -> 7500))
+
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(spark, dir), col("text"), col("doc_id"))
 

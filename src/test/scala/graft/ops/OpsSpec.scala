@@ -154,6 +154,27 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(m(3L).getAs[Boolean]("keep"))
   }
 
+  test("stratified sample: per-stratum rates, nested, deterministic") {
+    import spark.implicits._
+    val d = (1L to 400L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    def ids(rates: Map[String, Int]) =
+      TextAnalysis.stratifiedSample(d, col("doc_id"), col("lang"), rates)
+        .select("doc_id").as[Long].collect().toSet
+    val half = ids(Map("en" -> 5000))
+    val threeQ = ids(Map("en" -> 7500))
+    val all = ids(Map.empty)
+    assert(all.size == 400) // default keeps everything
+    // en is downsampled, de untouched
+    val en = d.filter($"lang" === "en").select("doc_id").as[Long].collect().toSet
+    assert((all -- en) subsetOf half)
+    assert(half.intersect(en).size < en.size)
+    // nested: raising the rate only ADDS docs — ablation reproducibility
+    assert(half subsetOf threeQ)
+    // deterministic across evaluations
+    assert(ids(Map("en" -> 5000)) == half)
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     import spark.implicits._
     val d = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other"))
