@@ -65,6 +65,7 @@ object SparkEntry {
     "s01_ann_topk" -> (PipelineQueries.annTopK _),
     "s02_ann_lsh" -> (PipelineQueries.annLsh _),
     "s03_ann_ivf" -> (PipelineQueries.annIvf _),
+    "s04_quantize" -> (PipelineQueries.quantize _),
     "t01_langid" -> (PipelineQueries.langId _),
     "t02_quality" -> (PipelineQueries.quality _),
     "t03_token_stats" -> (PipelineQueries.tokenStats _),
@@ -574,6 +575,36 @@ object SparkEntry {
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
            FROM sims)
          WHERE rank <= 10""",
+    // Int8 quantization: q_i = floor((iv_i*127)/amax) — one exact int64
+    // product + one IEEE divide + floor, reproduced code-for-code. Sums
+    // cast back to BIGINT (DuckDB sums BIGINT into HUGEINT).
+    "s04_quantize" ->
+      s"""WITH pre AS ($embPreSql),
+         qt AS (
+           SELECT vec_id, v, n2,
+             (SELECT max(abs(e)) FROM unnest(v) t(e)) AS amax
+           FROM pre),
+         qq AS (
+           SELECT vec_id, v, n2, amax,
+             CASE WHEN amax > 0 THEN list_transform(v,
+                 x -> CAST(floor(CAST(x*127 AS DOUBLE)/CAST(amax AS DOUBLE)) AS BIGINT))
+               ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+           FROM qt),
+         agg AS (
+           SELECT vec_id, amax, n2,
+             CAST((SELECT sum(e) FROM unnest(q) t(e)) AS BIGINT) AS qsum,
+             CAST((SELECT sum(e*e) FROM unnest(q) t(e)) AS BIGINT) AS qnorm2,
+             CAST((SELECT sum((x*127 - y*amax)*(x*127 - y*amax))
+                   FROM (SELECT unnest(v) x, unnest(q) y)) AS BIGINT) AS err2,
+             CAST((SELECT sum(x*y)
+                   FROM (SELECT unnest(q) x, unnest(v) y)) AS BIGINT) AS qdot
+           FROM qq)
+         SELECT vec_id, amax, qsum, qnorm2, err2,
+           CASE WHEN qnorm2 > 0 AND n2 > 0
+             THEN CAST(qdot AS DOUBLE)
+               / (sqrt(CAST(qnorm2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
+             ELSE NULL END AS cos_qf
+         FROM agg""",
     "st01_stream_count" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
          FROM events GROUP BY user_id""",

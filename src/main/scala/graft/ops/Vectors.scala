@@ -256,4 +256,39 @@ object Vectors {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Per-vector symmetric int8 quantization — the compression step of a
+    * large-scale ANN index (127/amax scale per vector, the FAISS
+    * `SQ8`-style layout). Stays inside the exact-integer discipline:
+    * quantization runs on the int64-scaled vector, `q_i =
+    * floor((iv_i·127)/amax)` with ONE exact int64 product and one IEEE
+    * divide+floor, so the oracle reproduces every code bit-for-bit.
+    * Emitted per vector: the scale (`amax`), integer digests of the code
+    * vector (sum / squared norm — any code mismatch shifts these), the
+    * exact integer squared quantization error in the 127·amax-scaled
+    * space, and the float-vs-code cosine (how much geometry the codes
+    * preserve — the number an index designer actually tunes against).
+    * Map-only: no shuffle, each vector quantizes inside its task. */
+  def quantizeInt8(df: DataFrame, id: Column, emb: Column): DataFrame = {
+    val base = df.select(id.as("vec_id"), intScale(emb).as("iv"))
+      .withColumn("n2", idot(col("iv"), col("iv")))
+      .withColumn("amax",
+        aggregate(col("iv"), lit(0L), (a, x) => greatest(a, abs(x))))
+      .withColumn("q", when(col("amax") > 0,
+        transform(col("iv"), x =>
+          floor((x * lit(127L)).cast("double") / col("amax").cast("double"))
+            .cast("long")))
+        .otherwise(transform(col("iv"), _ => lit(0L))))
+      .withColumn("qnorm2", idot(col("q"), col("q")))
+    base.select(
+      col("vec_id"), col("amax"),
+      aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"),
+      col("qnorm2"),
+      aggregate(zip_with(col("iv"), col("q"), (x, y) =>
+        (x * lit(127L) - y * col("amax")) * (x * lit(127L) - y * col("amax"))),
+        lit(0L), (a, e) => a + e).as("err2"),
+      when(col("qnorm2") > 0 && col("n2") > 0,
+        cosineFromInts(idot(col("q"), col("iv")), col("qnorm2"), col("n2")))
+        .as("cos_qf"))
+  }
 }

@@ -75,6 +75,11 @@ object PipelineQueries {
       col("embedding"), k = 10)
   }
 
+  /** Symmetric int8 quantization of the embedding corpus — the ANN
+    * index compression step, with exact-integer code digests. */
+  def quantize(spark: SparkSession, dir: String): DataFrame =
+    Vectors.quantizeInt8(embs(spark, dir), col("vec_id"), col("embedding"))
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"), col("lang"),
       TextAnalysis.langId(col("text")).as("pred"))

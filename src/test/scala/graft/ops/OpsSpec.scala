@@ -114,6 +114,30 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("int8 quantization: exact codes, zero-vector guard, geometry preserved") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),       // amax=0 → all-zero codes
+      (3L, Array(0.001f, 0.001f, 0.001f))) // uniform → codes equal
+      .toDF("vec_id", "embedding")
+    val q = Vectors.quantizeInt8(d, col("vec_id"), col("embedding"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // v1: iv = (500000, -250000, 125000), amax = 500000
+    // codes floor(iv*127/amax) = (127, -64, 31) → qsum 94, qnorm2 21314
+    assert(q(1L).getAs[Long]("amax") == 500000L)
+    assert(q(1L).getAs[Long]("qsum") == 94L)
+    assert(q(1L).getAs[Long]("qnorm2") == 127L * 127 + 64L * 64 + 31L * 31)
+    assert(q(1L).getAs[Double]("cos_qf") > 0.999)
+    // zero vector: no NaN, null cosine, zero error
+    assert(q(2L).getAs[Long]("qnorm2") == 0L)
+    assert(q(2L).getAs[Long]("err2") == 0L)
+    assert(q(2L).isNullAt(q(2L).fieldIndex("cos_qf")))
+    // uniform vector quantizes exactly: all codes 127, zero error
+    assert(q(3L).getAs[Long]("err2") == 0L)
+    assert(q(3L).getAs[Double]("cos_qf") == 1.0)
+  }
+
   test("language id votes stopwords; quality/token metrics sane") {
     import spark.implicits._
     val d = Seq(
