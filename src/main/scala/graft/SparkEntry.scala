@@ -703,12 +703,16 @@ object SparkEntry {
     // The lookup table mutates between the two micro-batches: rate 1
     // while ts <= mid (batch 1), rate 2 after (batch 2). mid is the
     // integer midpoint of min/max event time in micros — exactly
-    // StreamingQueries.stageTwoBatches' split point.
+    // StreamingQueries.stageTwoBatches' split point. The SUM is cast:
+    // DuckDB SUM(INTEGER) returns HUGEINT (int128), which the driver's
+    // pandas bridge renders as float64 — hashing 150.0 against Spark's
+    // int64 150 fails every row even though the values are equal (the
+    // r03/r04 "st05 flake" was exactly this, never a timing race).
     "st05_stream_lookup_refresh" ->
       """WITH m AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
                     FROM events)
          SELECT CAST(user_id AS VARCHAR) AS key,
-           SUM(CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 2 END) AS cnt
+           CAST(SUM(CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 2 END) AS BIGINT) AS cnt
          FROM events, m GROUP BY user_id""",
     // Same oracle as batch q17 — append-mode watermark close-out must
     // preserve session semantics across the micro-batch split.

@@ -62,6 +62,18 @@ def main():
             print(f"FAIL {name}: columns {list(spark_df.columns)} != {list(duck_df.columns)}")
             n_fail += 1
             continue
+        # The driver hashes VALUES as rendered, so an int64 column on one
+        # side vs float64 on the other (e.g. DuckDB SUM(int) -> HUGEINT
+        # -> pandas float64) fails its gate even when numerically equal.
+        # Mirror that strictness here or the local gate silently passes
+        # what the driver rejects (the st05 r03/r04 lesson).
+        dt = [(c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+              for c in spark_df.columns
+              if str(spark_df[c].dtype) != str(duck_df[c].dtype)]
+        if dt:
+            print(f"FAIL {name}: dtype mismatch {dt}")
+            n_fail += 1
+            continue
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows {len(spark_df)} != {len(duck_df)}")
             n_fail += 1
