@@ -62,6 +62,8 @@ object SparkEntry {
     "d06_simhash_pairs" -> (PipelineQueries.simhashPairs _),
     "d07_dedup_clusters" -> (PipelineQueries.dedupClusters _),
     "d08_embed_neardup_lsh" -> (PipelineQueries.embedNearDupLsh _),
+    "d09_decontaminate" -> (PipelineQueries.decontaminate _),
+    "d10_window_dedup" -> (PipelineQueries.windowDup _),
     "s01_ann_topk" -> (PipelineQueries.annTopK _),
     "s02_ann_lsh" -> (PipelineQueries.annLsh _),
     "s03_ann_ivf" -> (PipelineQueries.annIvf _),
@@ -75,6 +77,8 @@ object SparkEntry {
     "t07_hash_split" -> (PipelineQueries.hashSplit _),
     "t08_repetition" -> (PipelineQueries.repetition _),
     "t09_stratified" -> (PipelineQueries.stratified _),
+    "t10_rarity" -> (PipelineQueries.rarity _),
+    "t11_shuffle_shard" -> (PipelineQueries.shuffleShard _),
     "m01_multimodal" -> (PipelineQueries.multimodal _),
     "m02_media_resize" -> (PipelineQueries.mediaResize _),
     "m03_frame_sample" -> (PipelineQueries.frameSample _),
@@ -700,6 +704,73 @@ object SparkEntry {
                        WHEN 'fr' THEN 7500 ELSE 10000 END AS rate_bp
            FROM documents)
          WHERE bucket < rate_bp""",
+    // Mirrors Dedup.decontaminate: distinct 3-gram shingles, docs from
+    // source 'src0' are the held-out benchmark; counts are exact ints,
+    // the ratio one IEEE divide.
+    "d09_decontaminate" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, source,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+                 FROM documents)),
+         bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+         tr AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY doc_id),
+         hits AS (SELECT tr.doc_id, count(*) AS c FROM tr
+                  JOIN bench ON tr.s = bench.s GROUP BY tr.doc_id)
+         SELECT sz.doc_id, CAST(sz.n AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS n_shared,
+           CAST(coalesce(h.c, 0) AS DOUBLE) / CAST(sz.n AS DOUBLE)
+             AS contam_ratio,
+           CAST(coalesce(h.c, 0) AS DOUBLE) / CAST(sz.n AS DOUBLE) >= 0.5
+             AS contaminated
+         FROM sizes sz LEFT JOIN hits h ON sz.doc_id = h.doc_id""",
+    // Mirrors Dedup.windowDupStats: positional (non-distinct) 8-word
+    // windows, duplicated iff the same gram occurs in a smaller doc_id.
+    "d10_window_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(w)-7, 0)),
+                   i -> array_to_string(list_slice(w, i, i+7), ' '))) AS g
+               FROM d),
+         m AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS owner
+               FROM g)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           CAST(sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_frac
+         FROM m GROUP BY doc_id""",
+    // Mirrors TextAnalysis.rarityScore: the float fold runs in sorted
+    // word order on BOTH engines (list(... ORDER BY w) + list_reduce ≡
+    // sort_array(collect_list) + aggregate), so the double sum is
+    // bit-identical — no ln/log anywhere (libm ulp risk).
+    "t10_rarity" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+         dfc AS (SELECT doc_id, w,
+                   count(*) OVER (PARTITION BY w) AS df FROM tok2),
+         lst AS (SELECT doc_id, list(df ORDER BY w) AS l FROM dfc
+                 GROUP BY doc_id)
+         SELECT doc_id, CAST(len(l) AS BIGINT) AS n_terms,
+           list_reduce(
+             list_prepend(0.0, list_transform(l, x -> 1.0 / CAST(x AS DOUBLE))),
+             (acc, v) -> acc + v) / CAST(len(l) AS DOUBLE) AS rarity
+         FROM lst""",
+    // Mirrors TextAnalysis.shuffleShard: md5-bucket shard, position =
+    // rank of the full md5 hex within the shard.
+    "t11_shuffle_shard" ->
+      """SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 8
+             AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 8
+             ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS pos
+         FROM documents""",
     // The lookup table mutates between the two micro-batches: rate 1
     // while ts <= mid (batch 1), rate 2 after (batch 2). mid is the
     // integer midpoint of min/max event time in micros — exactly

@@ -183,6 +183,77 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: for every training document, how much of
+    * its shingle set also appears in a held-out benchmark/eval corpus
+    * (the n-gram-overlap decontamination step every LLM training pipeline
+    * runs before training — cf. GPT-3 App. C / PaLM §6-style 8-gram
+    * collision checks; 3-gram here to match the corpus fixtures).
+    *
+    * Scale shape: ONE scan of the corpus produces both sides (train +
+    * benchmark split on `isBench`); the benchmark's distinct shingle set
+    * is broadcast — eval suites are KBs-to-MBs against a 100 TB training
+    * corpus, the textbook broadcast side — so the per-doc hit count is a
+    * map-side join + one aggregation on doc_id. No shuffle touches the
+    * full shingle stream except the final per-doc groupBy.
+    *
+    * Output: (doc_id, n_shingles, n_shared, contam_ratio, contaminated)
+    * for every training doc with ≥1 shingle; ratio is one IEEE divide of
+    * two exact integers, so the oracle matches bit-for-bit. */
+  def decontaminate(df: DataFrame, text: Column, id: Column,
+      isBench: Column, shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = df
+      .select(id.as("doc_id"), isBench.as("is_bench"),
+        nativeShingles(df, text, shingleN).as("sa"))
+      .select(col("doc_id"), col("is_bench"),
+        size(col("sa")).cast("long").as("n"), explode(col("sa")).as("s"))
+    val bench = sh.filter(col("is_bench")).select(col("s")).distinct()
+    sh.filter(!col("is_bench"))
+      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("s"), "left")
+      .groupBy(col("doc_id"), col("n").as("n_shingles"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles").cast("double"))
+          .as("contam_ratio"))
+      .withColumn("contaminated", col("contam_ratio") >= threshold)
+  }
+
+  /** Duplicate-passage statistics — the positional window variant of
+    * exact substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": suffix-array 50-token windows;
+    * here n-word sliding windows, the same signal at fixture scale).
+    * Unlike [[jaccardPairs]] this is NOT set-based: every window
+    * occurrence counts, so a doc that repeats a passage taken from an
+    * earlier doc scores on every occurrence.
+    *
+    * A window in doc D is *duplicated* iff the identical n-gram occurs
+    * in some document with a smaller doc_id (first-writer-keeps, the
+    * deterministic tie-break a re-runnable pipeline needs). min(doc_id)
+    * per gram comes from a window-function count over the gram partition
+    * — spill-safe (WindowExec external buffer), no per-gram list ever
+    * materializes, same shape as the d04 df-cap — followed by the
+    * per-doc aggregation. Two shuffles total, both on bounded rows. */
+  def windowDupStats(df: DataFrame, text: Column, id: Column,
+      windowN: Int = 8): DataFrame = {
+    val w = split(text, " ")
+    // positional (non-distinct) windows — occurrences matter here
+    val wins = when(size(w) >= windowN,
+      transform(sequence(lit(1), size(w) - (windowN - 1)),
+        i => concat_ws(" ", slice(w, i, lit(windowN)))))
+      .otherwise(array().cast("array<string>"))
+    val grams = df.select(id.as("doc_id"), explode(wins).as("g"))
+    val owner = min(col("doc_id"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("g")))
+    grams.withColumn("owner", owner)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+          .as("dup_frac"))
+  }
+
   /** Connected-component dedup clusters: near-duplicate PAIRS (from any
     * of the pair generators above) are only half the job — training-data
     * dedup keeps ONE representative per transitive group (a~b, b~c ⇒

@@ -176,6 +176,57 @@ object TextAnalysis {
       .filter(col("bucket") < col("rate_bp"))
   }
 
+  /** Per-document rarity score — mean inverse document frequency over the
+    * doc's distinct words: rare-vocabulary documents score high, boiler-
+    * plate scores low. The data-selection signal behind "select for
+    * novelty" mixes (a DSIR/cross-entropy stand-in that needs no model —
+    * and no transcendentals, see below).
+    *
+    * Float determinism: a plain `sum(1/df)` would depend on aggregation
+    * order, which Spark does not fix. Instead the per-doc terms are
+    * collected, sorted (each (doc, word) is unique, so the sort order is
+    * total), and folded left with `aggregate` — IEEE divide and add in a
+    * deterministic order that the SQL oracle reproduces exactly with
+    * `list(... ORDER BY w)` + `list_reduce`. No `ln`/`log` on purpose:
+    * libm implementations differ across engines in the last ulp; `/` and
+    * `+` are IEEE-exact everywhere.
+    *
+    * Scale shape: document frequency is a window count over the word
+    * partition (one shuffle, spill-safe); the per-doc collect_list is
+    * bounded by the doc's distinct-word count (thousands, not corpus-
+    * sized). */
+  def rarityScore(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val tok = df.select(id.as("doc_id"),
+        explode(array_distinct(split(text, " "))).as("w"))
+      .filter(col("w") =!= "")
+    val wWord = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+    val terms = tok.withColumn("df", count(lit(1)).over(wWord))
+    terms.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("w"), col("df")))).as("lst"))
+      .select(col("doc_id"), size(col("lst")).cast("long").as("n_terms"),
+        (aggregate(col("lst"), lit(0.0),
+          (acc, x) => acc + lit(1.0) / x("df").cast("double"))
+          / size(col("lst")).cast("double")).as("rarity"))
+  }
+
+  /** Deterministic global shuffle + sharding — the "shuffle once, shard
+    * for N trainers" write path of every training-data pipeline. Shard =
+    * md5 bucket of the id (mod `shards`), position = dense order of the
+    * full md5 within the shard: content-free, so the permutation is
+    * identical on every run, engine, and partition count, and adding
+    * docs never reorders surviving ones relative to each other.
+    * One shuffle (the window by shard) — at scale this is exactly the
+    * `repartition(shard).sortWithinPartitions(hash)` parquet write. */
+  def shuffleShard(df: DataFrame, id: Column, shards: Int = 8): DataFrame = {
+    val hx = md5(id.cast("string"))
+    val shard = (conv(substring(hx, 1, 4), 16, 10).cast("long") % shards)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("hx"))
+    df.select(id.as("doc_id"), hx.as("hx"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Deterministic train/val/test split by content-free key hash —
     * the reproducible sharding every training pipeline needs (same doc
     * lands in the same split on every run, every engine, any partition

@@ -54,6 +54,19 @@ object PipelineQueries {
     Vectors.nearDupPairsLsh(embs(spark, dir), col("vec_id"),
       col("embedding"), threshold = 0.45, nPlanes = 4)
 
+  /** Benchmark decontamination: docs from source 'src0' stand in for the
+    * held-out eval suite; every other doc is scored by 3-gram overlap
+    * against it. The bench shingle set is broadcast (eval suites are
+    * tiny next to a 100 TB corpus). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminate(docs(spark, dir), col("text"), col("doc_id"),
+      col("source") === "src0")
+
+  /** Positional 8-word-window duplicate-passage stats (exact substring
+    * dedup signal, first-writer-keeps). */
+  def windowDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.windowDupStats(docs(spark, dir), col("text"), col("doc_id"))
+
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Vectors.annTopK(e, e.filter(col("vec_id") < 10), col("vec_id"),
@@ -104,6 +117,15 @@ object PipelineQueries {
   def stratified(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.stratifiedSample(docs(spark, dir), col("doc_id"),
       col("lang"), Map("en" -> 5000, "es" -> 7500, "fr" -> 7500))
+
+  /** Mean inverse-document-frequency rarity score (order-deterministic
+    * float fold — see [[TextAnalysis.rarityScore]]). */
+  def rarity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rarityScore(docs(spark, dir), col("text"), col("doc_id"))
+
+  /** Deterministic global shuffle into 8 training shards. */
+  def shuffleShard(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.shuffleShard(docs(spark, dir), col("doc_id"))
 
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(spark, dir), col("text"), col("doc_id"))

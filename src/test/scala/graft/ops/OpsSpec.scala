@@ -325,6 +325,74 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows(2L) == (("raw", 0, 0, 0L)))
   }
 
+  test("decontaminate: overlap counted against bench shingle set only") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e", true),   // bench: shingles {a b c, b c d, c d e}
+      (2L, "a b c x y", false),  // shares exactly 1 of its 3 shingles
+      (3L, "a b c d e", false),  // identical to bench: 3/3
+      (4L, "p q r s t", false))  // disjoint: 0/3
+      .toDF("doc_id", "text", "is_bench")
+    val r = Dedup.decontaminate(d, col("text"), col("doc_id"),
+        col("is_bench")).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getBoolean(4))))
+      .toMap
+    assert(!r.contains(1L)) // bench docs are not scored
+    assert(r(2L) == ((3L, 1L, false)))
+    assert(r(3L) == ((3L, 3L, true)))
+    assert(r(4L) == ((3L, 0L, false)))
+  }
+
+  test("window dedup: occurrences count, first writer keeps") {
+    import spark.implicits._
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val d = Seq(
+      (1L, s"$eight t1"),          // windows: [w1..w8], [w2..t1]
+      (2L, s"$eight $eight"),      // repeats doc 1's passage twice + bridges
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")) // unique, 1 window, 0 dups
+      .toDF("doc_id", "text")
+    val r = Dedup.windowDupStats(d, col("text"), col("doc_id")).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((2L, 0L)))     // doc 1 owns its grams
+    // doc 2: 9 windows; the two full [w1..w8] occurrences are owned by
+    // doc 1; the 7 bridge windows (w2..w1 etc.) are doc-2-only
+    assert(r(2L) == ((9L, 2L)))
+    assert(r(3L) == ((1L, 0L)))
+  }
+
+  test("rarity: corpus-unique words score 1.0; shared vocab scores lower") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "shared common aa"), // aa unique (df 1), others df 3
+      (2L, "shared common bb"),
+      (3L, "shared common cc"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.rarityScore(d, col("text"), col("doc_id")).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getDouble(2)))).toMap
+    // each doc: 3 distinct terms, fold = 1/3 + 1/3 + 1/1 over sorted
+    // (aa|bb|cc, common, shared) order → (1.0 + 1/3 + 1/3) / 3
+    val expect = ((1.0 + 1.0 / 3) + 1.0 / 3) / 3
+    assert(r.values.forall(_ == ((3L, expect))))
+  }
+
+  test("shuffle shard: total, deterministic, contiguous positions per shard") {
+    import spark.implicits._
+    val d = (0L until 100L).map(i => Tuple1(i)).toDF("doc_id")
+    val r1 = TextAnalysis.shuffleShard(d, col("doc_id")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r1.length == 100) // every doc lands in exactly one shard slot
+    val byShard = r1.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    byShard.values.foreach { rows => // positions are 1..n, no gaps
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // content-free determinism: a second run (different partitioning)
+    // produces the identical permutation
+    val r2 = TextAnalysis.shuffleShard(d.repartition(7), col("doc_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r1.sortBy(_._1).toSeq == r2.sortBy(_._1).toSeq)
+  }
+
   test("multimodal stub decode: magic sniffing + deterministic features") {
     import spark.implicits._
     val jpeg = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0x00.toByte)
