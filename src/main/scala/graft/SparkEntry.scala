@@ -79,6 +79,7 @@ object SparkEntry {
     "t09_stratified" -> (PipelineQueries.stratified _),
     "t10_rarity" -> (PipelineQueries.rarity _),
     "t11_shuffle_shard" -> (PipelineQueries.shuffleShard _),
+    "t12_pack_sequences" -> (PipelineQueries.packSequences _),
     "m01_multimodal" -> (PipelineQueries.multimodal _),
     "m02_media_resize" -> (PipelineQueries.mediaResize _),
     "m03_frame_sample" -> (PipelineQueries.frameSample _),
@@ -761,6 +762,32 @@ object SparkEntry {
              list_prepend(0.0, list_transform(l, x -> 1.0 / CAST(x AS DOUBLE))),
              (acc, v) -> acc + v) / CAST(len(l) AS DOUBLE) AS rarity
          FROM lst""",
+    // Mirrors TextAnalysis.packSequences: the greedy walk (sequential by
+    // construction) is a recursive CTE stepping through each shard's
+    // md5-ordered docs; budget 256. First doc of a shard opens bin 0
+    // whatever its size — same rule as the Spark fold.
+    "t12_pack_sequences" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 8
+               AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         seq AS (SELECT shard, doc_id, n_tokens,
+                   row_number() OVER (PARTITION BY shard ORDER BY hx) AS pos
+                 FROM t),
+         walk(shard, pos, doc_id, n_tokens, bin, fill) AS (
+           SELECT shard, pos, doc_id, n_tokens, CAST(0 AS BIGINT),
+             n_tokens FROM seq WHERE pos = 1
+           UNION ALL
+           SELECT s.shard, s.pos, s.doc_id, s.n_tokens,
+             CASE WHEN w.fill + s.n_tokens > 256 THEN w.bin + 1
+                  ELSE w.bin END,
+             CASE WHEN w.fill + s.n_tokens > 256 THEN s.n_tokens
+                  ELSE w.fill + s.n_tokens END
+           FROM walk w JOIN seq s
+             ON s.shard = w.shard AND s.pos = w.pos + 1)
+         SELECT doc_id, shard, n_tokens, bin FROM walk""",
     // Mirrors TextAnalysis.shuffleShard: md5-bucket shard, position =
     // rank of the full md5 hex within the shard.
     "t11_shuffle_shard" ->

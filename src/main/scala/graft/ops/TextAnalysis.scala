@@ -227,6 +227,49 @@ object TextAnalysis {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Greedy sequence packing — fill fixed-size context windows (token
+    * budget B) with consecutive documents, the batch-assembly step of
+    * every LLM training run (docs are concatenated until the next one
+    * would overflow, then a new pack starts; an oversized doc gets a
+    * pack of its own). Packing is inherently sequential, so it runs
+    * *per shard*: docs are hash-sharded exactly like [[shuffleShard]]
+    * (same md5 order, so "shuffle then pack" compose into one
+    * partitioning), and each shard's walk is an O(shard) streaming fold.
+    *
+    * Scale shape: `repartition(shard)` + `sortWithinPartitions` + a
+    * `mapPartitions` carry-along fold — the same secondary-sort pattern
+    * as the goka state fold (BatchExecutor): nothing is ever collected,
+    * per-task memory is O(1), shards parallelize across the cluster.
+    * Spark's query planner cannot express the sequential carry; this is
+    * the documented (d)-tier mapPartitions case. */
+  def packSequences(df: DataFrame, id: Column, tokens: Column,
+      budget: Long = 256, shards: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .select(id.cast("long").as("doc_id"), tokens.cast("long").as("n_tokens"))
+      .withColumn("hx", md5(col("doc_id").cast("string")))
+      .withColumn("shard",
+        conv(substring(col("hx"), 1, 4), 16, 10).cast("long") % shards)
+    base.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("hx"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // several shards may share a task; reset the walk on shard change
+        var curShard = Long.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (docId, shard, nTok) =>
+          if (shard != curShard) { curShard = shard; bin = 0L; fill = 0L }
+          if (fill > 0 && fill + nTok > budget) { bin += 1; fill = nTok }
+          else fill += nTok
+          (docId, shard, nTok, bin)
+        }
+      }
+      .toDF("doc_id", "shard", "n_tokens", "bin")
+  }
+
   /** Deterministic train/val/test split by content-free key hash —
     * the reproducible sharding every training pipeline needs (same doc
     * lands in the same split on every run, every engine, any partition

@@ -127,6 +127,14 @@ object PipelineQueries {
   def shuffleShard(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.shuffleShard(docs(spark, dir), col("doc_id"))
 
+  /** Greedy context-window packing (budget 256 whitespace tokens) in the
+    * shuffle-shard order — "shuffle then pack" as one partitioning. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextAnalysis.packSequences(d, col("doc_id"),
+      size(split(col("text"), " ")))
+  }
+
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(spark, dir), col("text"), col("doc_id"))
 

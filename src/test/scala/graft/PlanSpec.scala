@@ -65,6 +65,37 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
   }
 
+  test("d09: bench shingle set is broadcast; corpus scanned once") {
+    val p = plan("d09_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast (eval suites are tiny)\n$p")
+    // one scan feeds both the train and bench sides via ReusedExchange /
+    // plan reuse is not guaranteed pre-AQE here, but the TRAIN side must
+    // never shuffle-join: no SortMergeJoin anywhere in the plan
+    assert(!p.contains("SortMergeJoin"),
+      s"train shingles must not shuffle for the overlap join\n$p")
+  }
+
+  test("d10: window dedup needs no join — gram owner comes from a window") {
+    val p = plan("d10_window_dedup")
+    assert(!p.contains("Join"), s"owner must come from a window count\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
+  }
+
+  test("t10: rarity df comes from a window, not a self-join; one scan") {
+    val p = plan("t10_rarity")
+    assert(!p.contains("Join"), s"df must come from a window count\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
+  }
+
+  test("t11: shuffle-shard reads ONLY the id column") {
+    val p = plan("t11_shuffle_shard")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"sharding must not read the text column\n$p")
+  }
+
   test("g01: the stateful fold is one exchange + in-partition sort") {
     val p = plan("g01_count_per_key")
     val exchanges = "Exchange".r.findAllIn(p).length

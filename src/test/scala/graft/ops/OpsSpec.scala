@@ -393,6 +393,36 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r1.sortBy(_._1).toSeq == r2.sortBy(_._1).toSeq)
   }
 
+  test("pack sequences: greedy fill, oversize isolation, per-shard reset") {
+    import spark.implicits._
+    // single shard so the walk order is fully controlled by the hash
+    val d = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 999L), (5L, 10L))
+      .toDF("doc_id", "toks")
+    val r = TextAnalysis.packSequences(d, col("doc_id"), col("toks"),
+        budget = 256, shards = 1).collect()
+      .map(x => (x.getLong(0), (x.getLong(2), x.getLong(3)))).toMap
+    // replay the greedy walk on the driver in the same md5 order
+    val order = Seq(1L, 2L, 3L, 4L, 5L).sortBy(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    var bin = 0L; var fill = 0L
+    val expect = order.map { i =>
+      val n = Map(1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 999L, 5L -> 10L)(i)
+      if (fill > 0 && fill + n > 256) { bin += 1; fill = n } else fill += n
+      i -> ((n, bin))
+    }.toMap
+    assert(r == expect)
+    // the oversize doc (999 > 256) sits alone in its bin
+    val binOf4 = r(4L)._2
+    assert(r.count(_._2._2 == binOf4) == 1)
+    // bins restart at 0 per shard when sharding is on
+    val sharded = TextAnalysis.packSequences(d, col("doc_id"), col("toks"),
+        budget = 256, shards = 4).collect()
+      .map(x => (x.getLong(1), x.getLong(3)))
+    assert(sharded.groupBy(_._1).values.forall(_.map(_._2).min == 0L))
+  }
+
   test("multimodal stub decode: magic sniffing + deterministic features") {
     import spark.implicits._
     val jpeg = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0x00.toByte)
