@@ -90,6 +90,7 @@ object SparkEntry {
     "st05_stream_lookup_refresh" -> (StreamingQueries.streamLookupRefresh _),
     "st06_stream_session" -> (StreamingQueries.streamSession _),
     "st07_stream_chained" -> (StreamingQueries.streamChained _),
+    "st08_stream_dedup" -> (StreamingQueries.streamDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -322,6 +323,11 @@ object SparkEntry {
          FROM events JOIN nation ON user_id % 3 = n_nationkey
          GROUP BY n_name""",
     "d01_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS cnt
+         FROM documents GROUP BY md5(text)""",
+    // Streaming twin of d01: first-seen == min(doc_id) because messages
+    // are timestamped by doc_id and applied in timestamp order.
+    "st08_stream_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS cnt
          FROM documents GROUP BY md5(text)""",
     "d02_minhash_lsh" ->

@@ -14,6 +14,10 @@ import graft.streaming.{FileLookups, LookupFile, StreamExecutor, StreamSinks}
   * engine (keyed state / watermarked windows), and the materialized
   * result must hash-match the same DuckDB oracle as its batch twin —
   * proving the two executors implement identical semantics. */
+/** JSON-codec'd state for [[StreamingQueries.streamDedup]]: first doc_id
+  * seen for a fingerprint + how many carried it. */
+final case class DedupState(keep: Long, cnt: Long)
+
 object StreamingQueries {
 
   private val nameSeq = new AtomicInteger(0)
@@ -114,6 +118,52 @@ object StreamingQueries {
     // update-mode memory sink appends upserts; latest per key wins.
     // cnt only grows, so max(cnt) == last upsert.
     runToTable(spark, table).groupBy(col("key")).agg(max(col("cnt")).as("cnt"))
+  }
+
+  /** Streaming ingest-time exact dedup — d01's online twin and the point
+    * where the goka machinery meets the curation pipeline: documents
+    * arrive as a keyed stream (key = content fingerprint, value =
+    * doc_id), and per-fingerprint state keeps the FIRST doc seen plus an
+    * occurrence count. In goka terms it is the 1-simplest fold with a
+    * JSON struct codec; at 100 TB it is dedup-on-ingest — no global
+    * batch re-scan, state sharded by fingerprint across the cluster.
+    *
+    * Messages are timestamped by doc_id (ingest order) and split into
+    * two micro-batches at the median, so "first seen" must survive in
+    * the state store across batches; within a batch the executor applies
+    * rows in timestamp order. First-seen therefore equals min(doc_id)
+    * and the result hash-matches d01's batch oracle. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val codec = Codecs.json[DedupState]
+    val graph = GroupGraph.define("stream-dedup")(
+      Input("docs", Int64Codec, ProcessCallback { (ctx, msg) =>
+        val id = msg.asInstanceOf[Long]
+        ctx.value match {
+          case null => ctx.setValue(DedupState(id, 1L))
+          case s: DedupState => ctx.setValue(DedupState(s.keep, s.cnt + 1L))
+        }
+      }),
+      Persist(codec))
+    val msgs = Sources.messages(Sources.table(spark, dir, "documents"),
+      "docs", md5(col("text")), col("doc_id"),
+      expr("timestamp_micros(doc_id)"), col("doc_id"))
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_stream_dedup").toString
+    stageTwoBatches(spark, msgs, staging)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Message].schema)
+      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+    val out = new StreamExecutor(graph).run(spark, stream)
+    val table = out.filter(_.sink == SinkTable)
+      .map { e =>
+        val s = codec.decode(e.value); (e.key, s.keep, s.cnt)
+      }.toDF("fp", "keep_id", "cnt")
+    // keep_id is immutable after first write; cnt only grows — collapse
+    // the update-mode upserts accordingly.
+    runToTable(spark, table).groupBy(col("fp"))
+      .agg(min(col("keep_id")).as("keep_id"), max(col("cnt")).as("cnt"))
   }
 
   /** Streaming loopback through a real feedback topic: the same
