@@ -189,27 +189,39 @@ object Dedup {
     * runs before training — cf. GPT-3 App. C / PaLM §6-style 8-gram
     * collision checks; 3-gram here to match the corpus fixtures).
     *
-    * Scale shape: ONE scan of the corpus produces both sides (train +
-    * benchmark split on `isBench`); the benchmark's distinct shingle set
-    * is broadcast — eval suites are KBs-to-MBs against a 100 TB training
-    * corpus, the textbook broadcast side — so the per-doc hit count is a
-    * map-side join + one aggregation on doc_id. No shuffle touches the
-    * full shingle stream except the final per-doc groupBy.
+    * Scale shape: the two sides come from two *filtered* scans — the
+    * `isBench` predicate is applied before shingling on each branch, so
+    * the bench-side scan reads only the (KBs-to-MBs) eval split under
+    * predicate pushdown while the train side scans the corpus once. The
+    * benchmark's distinct shingle set is broadcast when small — the
+    * textbook broadcast side — so the per-doc hit count is a map-side
+    * join + one aggregation on doc_id; an oversized bench split falls
+    * back to a shuffle join instead of OOMing the driver
+    * (`maxBroadcastShingles`). No shuffle touches the full train shingle
+    * stream except the final per-doc groupBy.
     *
     * Output: (doc_id, n_shingles, n_shared, contam_ratio, contaminated)
     * for every training doc with ≥1 shingle; ratio is one IEEE divide of
     * two exact integers, so the oracle matches bit-for-bit. */
   def decontaminate(df: DataFrame, text: Column, id: Column,
       isBench: Column, shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val sh = df
-      .select(id.as("doc_id"), isBench.as("is_bench"),
-        nativeShingles(df, text, shingleN).as("sa"))
-      .select(col("doc_id"), col("is_bench"),
+      threshold: Double = 0.5,
+      maxBroadcastShingles: Long = 10_000_000L): DataFrame = {
+    def shingleStream(side: DataFrame) = side
+      .select(id.as("doc_id"), nativeShingles(side, text, shingleN).as("sa"))
+      .select(col("doc_id"),
         size(col("sa")).cast("long").as("n"), explode(col("sa")).as("s"))
-    val bench = sh.filter(col("is_bench")).select(col("s")).distinct()
-    sh.filter(!col("is_bench"))
-      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("s"), "left")
+    val bench = shingleStream(df.filter(isBench)).select(col("s")).distinct()
+    // Broadcast only within a sanity bound: the bench split is small by
+    // contract, but its size is data-dependent on the caller's predicate
+    // — counting it first costs one job over the (filtered, tiny) bench
+    // scan and buys a guaranteed-safe fallback to a shuffle join.
+    val benchSide = bench.withColumn("hit", lit(1))
+    val joinSide =
+      if (bench.count() <= maxBroadcastShingles) broadcast(benchSide)
+      else benchSide
+    shingleStream(df.filter(!isBench))
+      .join(joinSide, Seq("s"), "left")
       .groupBy(col("doc_id"), col("n").as("n_shingles"))
       .agg(sum(coalesce(col("hit"), lit(0))).as("n_shared"))
       .select(col("doc_id"), col("n_shingles"), col("n_shared"),

@@ -22,6 +22,29 @@ object StreamingQueries {
 
   private val nameSeq = new AtomicInteger(0)
 
+  /** Staging/checkpoint dirs created by the st* queries, deleted on JVM
+    * exit by one shared shutdown hook — repeated invocations (sbt test,
+    * Verify, Bench in one JVM) must not accumulate disk. */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  locally {
+    sys.addShutdownHook {
+      tempDirs.forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          val children = f.listFiles()
+          if (children != null) children.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }
+    }
+    ()
+  }
+  private def tempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempDirs.add(d)
+    d
+  }
+
   /** Events staged once per (JVM, fixture dir) as 2 parquet files —
     * st01/st03 replay identical content; re-staging per query would just
     * re-run the same distributed write. st03 copies the files into its
@@ -30,8 +53,7 @@ object StreamingQueries {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def stagedEvents(spark: SparkSession, dir: String): String =
     stagedEventsCache.getOrElseUpdate(dir, {
-      val staged = java.nio.file.Files
-        .createTempDirectory("graft_stream_src").toString
+      val staged = tempDir("graft_stream_src")
       Sources.eventMessages(spark, dir).repartition(2)
         .write.mode("overwrite").parquet(staged)
       staged
@@ -58,7 +80,7 @@ object StreamingQueries {
     * oldest-mtime-first, so mtimes define micro-batch order. */
   private def stageFile[T](ds: Dataset[T], staging: String, name: String,
       mtime: Long): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    val tmp = tempDir("graft_stage")
     ds.coalesce(1).write.mode("overwrite").parquet(tmp)
     val src = new java.io.File(tmp).listFiles()
       .filter(_.getName.endsWith(".parquet")).head
@@ -149,8 +171,7 @@ object StreamingQueries {
     val msgs = Sources.messages(Sources.table(spark, dir, "documents"),
       "docs", md5(col("text")), col("doc_id"),
       expr("timestamp_micros(doc_id)"), col("doc_id"))
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft_stream_dedup").toString
+    val staging = tempDir("graft_stream_dedup")
     stageTwoBatches(spark, msgs, staging)
     val stream = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Message].schema)
@@ -160,10 +181,15 @@ object StreamingQueries {
       .map { e =>
         val s = codec.decode(e.value); (e.key, s.keep, s.cnt)
       }.toDF("fp", "keep_id", "cnt")
-    // keep_id is immutable after first write; cnt only grows — collapse
-    // the update-mode upserts accordingly.
+    // cnt grows strictly per fp, so the max-cnt row IS the last upsert;
+    // take keep_id from it (last-upsert-wins) rather than min() over all
+    // upserts — if keyed state were lost between micro-batches, batch 2
+    // would re-seed keep with its own first doc_id and the final upsert
+    // would carry it, so this collapse genuinely exercises first-seen
+    // state carry where a min() could mask the regression.
     runToTable(spark, table).groupBy(col("fp"))
-      .agg(min(col("keep_id")).as("keep_id"), max(col("cnt")).as("cnt"))
+      .agg(max_by(col("keep_id"), col("cnt")).as("keep_id"),
+        max(col("cnt")).as("cnt"))
   }
 
   /** Streaming loopback through a real feedback topic: the same
@@ -177,10 +203,8 @@ object StreamingQueries {
     import spark.implicits._
     import graft.operators.BatchExecutor.SinkTable
     val graph = GokaQueries.pingpongGraph
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft_stream_loop").toString
-    val results = java.nio.file.Files
-      .createTempDirectory("graft_stream_loop_out").toString
+    val staging = tempDir("graft_stream_loop")
+    val results = tempDir("graft_stream_loop_out")
     copyParquetFiles(stagedEvents(spark, dir), staging)
     new StreamExecutor(graph).runWithLoopback(spark, staging, results)
     // Update-mode upserts accumulate in resultDir; cnt only grows, so
@@ -221,8 +245,7 @@ object StreamingQueries {
     val all = Sources.eventMessages(spark, dir).unionByName(flagUpdates)
     // Split into two micro-batches at the median ts: batch 1 carries the
     // early flags, batch 2 the events they must keep gating.
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft_stream_join").toString
+    val staging = tempDir("graft_stream_join")
     stageTwoBatches(spark, all, staging)
     val stream = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Message].schema)
@@ -266,10 +289,8 @@ object StreamingQueries {
       }),
       Lookup("rates", Int64Codec),
       Persist(Int64Codec))
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft_stream_lookup").toString
-    val pending = java.nio.file.Files
-      .createTempDirectory("graft_stream_lookup_pending").toString
+    val staging = tempDir("graft_stream_lookup")
+    val pending = tempDir("graft_stream_lookup_pending")
     stageSplit(spark, Sources.eventMessages(spark, dir), staging, pending)
     val ratesFile = java.nio.file.Paths
       .get(staging, "rates.lkp").toString
@@ -283,10 +304,8 @@ object StreamingQueries {
       Map.empty, FileLookups(Map("rates" -> ratesFile)))
     val table = out.filter(_.sink == SinkTable)
       .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "cnt")
-    val resultDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_lookup_out").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_lookup_ckpt").toString
+    val resultDir = tempDir("graft_stream_lookup_out")
+    val ckpt = tempDir("graft_stream_lookup_ckpt")
     val q = table.writeStream.outputMode("update")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -318,10 +337,8 @@ object StreamingQueries {
   def streamChained(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.BatchExecutor.SinkTable
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft_stream_chain").toString
-    val relayDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_chain_relay").toString
+    val staging = tempDir("graft_stream_chain")
+    val relayDir = tempDir("graft_stream_chain_relay")
     stageTwoBatches(spark, Sources.eventMessages(spark, dir), staging)
     val msgSchema = org.apache.spark.sql.Encoders.product[Message].schema
     val stream1 = spark.readStream.schema(msgSchema)
@@ -369,8 +386,7 @@ object StreamingQueries {
       StructField("value", DoubleType), StructField("props", StringType)))
     val ev = spark.read.schema(schema)
       .parquet(s"$dir/events.parquet") // ts = raw nanos long
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft_stream_sess").toString
+    val staging = tempDir("graft_stream_sess")
     val Array(mnNs, mxNs) = ev.agg(min(col("ts")), max(col("ts")))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val midNs = mnNs / 2 + mxNs / 2
@@ -422,8 +438,7 @@ object StreamingQueries {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val ev = spark.read.schema(schema).parquet(s"$dir/events.parquet")
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft_stream_tumble").toString
+    val staging = tempDir("graft_stream_tumble")
     val Array(mnNs, mxNs) = ev.agg(min(col("ts")), max(col("ts")))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val midNs = (mnNs + mxNs) / 2
