@@ -54,6 +54,8 @@ object SparkEntry {
     "q17_session_window" -> (Relational.sessionWindow _),
     "q18_salted_join" -> (Relational.saltedJoin _),
     "q19_cube" -> (Relational.cubeAgg _),
+    "q20_grouping_sets" -> (Relational.groupingSetsAgg _),
+    "q21_percentiles" -> (Relational.percentiles _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -68,6 +70,8 @@ object SparkEntry {
     "s02_ann_lsh" -> (PipelineQueries.annLsh _),
     "s03_ann_ivf" -> (PipelineQueries.annIvf _),
     "s04_quantize" -> (PipelineQueries.quantize _),
+    "s05_embed_stats" -> (PipelineQueries.embedDimStats _),
+    "c01_curate_pipeline" -> (PipelineQueries.curate _),
     "t01_langid" -> (PipelineQueries.langId _),
     "t02_quality" -> (PipelineQueries.quality _),
     "t03_token_stats" -> (PipelineQueries.tokenStats _),
@@ -317,6 +321,25 @@ object SparkEntry {
            CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY CUBE (c_mktsegment, n_regionkey)""",
+    "q20_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS cnt
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())""",
+    // Exact interpolated quartiles: quantities are integer-valued doubles
+    // and the 2^-k fractions keep lo + (hi-lo)*frac exact IEEE in both
+    // engines (same type-7 linear interpolation definition).
+    "q21_percentiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag""",
     // The plain join — salting on the Spark side must be invisible.
     "q18_salted_join" ->
       """SELECT n_name, count(*) AS cnt
@@ -616,6 +639,48 @@ object SparkEntry {
                / (sqrt(CAST(qnorm2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
              ELSE NULL END AS cos_qf
          FROM agg""",
+    // Per-dimension min/max carry no arithmetic — float bits match.
+    "s05_embed_stats" ->
+      """SELECT CAST(i - 1 AS BIGINT) AS dim, count(*) AS cnt,
+           min(embedding[i]) AS mn, max(embedding[i]) AS mx
+         FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+         GROUP BY i""",
+    // Composite of the d01/d09/t03/t07 oracles: survivors of exact dedup
+    // among non-bench docs, gated at >=10 ws tokens, minus contaminated
+    // docs (>=0.5 3-gram overlap vs src0), with the md5 split assignment.
+    "c01_curate_pipeline" ->
+      """WITH train AS (SELECT doc_id, text FROM documents
+                        WHERE source <> 'src0'),
+         keep AS (SELECT min(doc_id) AS doc_id FROM train
+                  GROUP BY md5(text)),
+         sh AS (
+           SELECT DISTINCT doc_id, source,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+                 FROM documents)),
+         bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+         tr AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY doc_id),
+         hits AS (SELECT tr.doc_id, count(*) AS c FROM tr
+                  JOIN bench ON tr.s = bench.s GROUP BY tr.doc_id),
+         contaminated AS (
+           SELECT sz.doc_id FROM sizes sz LEFT JOIN hits h
+             ON sz.doc_id = h.doc_id
+           WHERE CAST(coalesce(h.c, 0) AS DOUBLE)
+                 / CAST(sz.n AS DOUBLE) >= 0.5)
+         SELECT t.doc_id,
+           CAST(len(string_split(t.text, ' ')) AS BIGINT) AS ws_tokens,
+           ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)),1,4))::BIGINT % 100
+             AS bucket,
+           CASE WHEN ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)),1,4))::BIGINT % 100 < 90 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)),1,4))::BIGINT % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM train t
+         JOIN keep k ON t.doc_id = k.doc_id
+         WHERE len(string_split(t.text, ' ')) >= 10
+           AND t.doc_id NOT IN (SELECT doc_id FROM contaminated)""",
     "st01_stream_count" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
          FROM events GROUP BY user_id""",

@@ -277,12 +277,20 @@ object TextAnalysis {
     * train < 90, val < 95, else test. Pure Catalyst, no sampling RNG. */
   def hashSplit(df: DataFrame, id: Column,
       trainPct: Int = 90, valPct: Int = 5): DataFrame = {
-    val bucket = (conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
-      .cast("long") % 100).as("bucket")
-    df.select(id.as("doc_id"), bucket)
-      .withColumn("split",
-        when(col("bucket") < trainPct, "train")
-          .when(col("bucket") < trainPct + valPct, "val")
-          .otherwise("test"))
+    val (bucket, split) = splitCols(id, trainPct, valPct)
+    df.select(id.as("doc_id"), bucket.as("bucket"), split.as("split"))
+  }
+
+  /** The (bucket, split) expressions of [[hashSplit]], exposed so wider
+    * plans (the curation composite) can embed the assignment without a
+    * join. */
+  def splitCols(id: Column,
+      trainPct: Int = 90, valPct: Int = 5): (Column, Column) = {
+    val bucket = conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    val split = when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+    (bucket, split)
   }
 }

@@ -291,4 +291,19 @@ object Vectors {
         cosineFromInts(idot(col("q"), col("iv")), col("qnorm2"), col("n2")))
         .as("cos_qf"))
   }
+
+  /** Per-dimension corpus statistics — the feature-normalization /
+    * scaler-fitting pass (min-max bounds + coverage count per embedding
+    * position) run before quantization or whitening. min/max involve no
+    * arithmetic, so float results are exact and order-independent.
+    *
+    * Scale shape: posexplode fans each vector into `dims` rows, but the
+    * aggregation combines partially map-side — the shuffle carries at
+    * most dims × partitions pre-aggregated rows, never the corpus.
+    * Output cardinality = dims (64 here), independent of corpus size. */
+  def dimStats(df: DataFrame, emb: Column): DataFrame =
+    df.select(posexplode(emb).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"))
 }

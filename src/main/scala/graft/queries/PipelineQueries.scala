@@ -93,6 +93,40 @@ object PipelineQueries {
   def quantize(spark: SparkSession, dir: String): DataFrame =
     Vectors.quantizeInt8(embs(spark, dir), col("vec_id"), col("embedding"))
 
+  /** Per-dimension embedding stats (normalization bounds) — s05. */
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame =
+    Vectors.dimStats(embs(spark, dir), col("embedding"))
+
+  /** End-to-end curation composite — the whole pre-training data path as
+    * ONE declarative plan: quality gate (≥10 whitespace tokens) →
+    * exact-dedup first-writer survivors → benchmark decontamination
+    * (drop ≥0.5 3-gram overlap against the src0 eval split) →
+    * deterministic train/val/test assignment. Every stage is an
+    * already-oracle-checked operator (t03 / d01 / d09 / t07); this
+    * query proves they COMPOSE inside one Catalyst plan — survivor and
+    * clean sets reach the gated stream as semi joins on doc_id, the
+    * split assignment is an inline expression, and nothing materializes
+    * between stages. The quality gate guarantees ≥8 shingles per doc,
+    * so every gated doc carries a decontamination verdict. */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isBench = col("source") === "src0"
+    val train = d.filter(!isBench)
+    val keep = Dedup.exactGroups(train, col("text"), col("doc_id"))
+      .select(col("keep_id").as("doc_id"))
+    val clean = Dedup.decontaminate(d, col("text"), col("doc_id"), isBench)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    val (bucket, splitCol) = TextAnalysis.splitCols(col("doc_id"))
+    train
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"))
+      .filter(col("ws_tokens") >= 10)
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(clean, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("ws_tokens"),
+        bucket.as("bucket"), splitCol.as("split"))
+  }
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"), col("lang"),
       TextAnalysis.langId(col("text")).as("pred"))

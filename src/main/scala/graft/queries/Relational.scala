@@ -247,6 +247,40 @@ object Relational {
     * worst shuffle-join shape — 3 straggler tasks would carry the whole
     * join), spread over 16 salts by [[graft.operators.SaltedJoin]]. The
     * oracle is the PLAIN join — the salt must never change a row. */
+  /** GROUPING SETS — the generalized rollup/cube form with an arbitrary
+    * set list: per (returnflag, linestatus), per returnflag, and the
+    * grand total in ONE pass. Spark expands the sets via a single Expand
+    * node feeding one hash aggregation — one scan, one shuffle, not one
+    * per set. grouping() flags distinguish set-level NULLs from data
+    * NULLs, exactly as in the oracle. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+
+  /** Exact linear-interpolation percentiles (quartiles of l_quantity per
+    * return flag) — `percentile`, not `approx_percentile`, so the result
+    * is bit-identical to the oracle's quantile_cont: quantities are
+    * integer-valued doubles and the 2^-k quantile fractions make the
+    * interpolation arithmetic exact IEEE. Scale note: exact percentile
+    * buffers a value→count map per group; l_quantity's domain is the 50
+    * TPC-H integer quantities, so the map stays O(50) per group at any
+    * corpus size. For unbounded-domain columns the approx_percentile
+    * sketch is the 100 TB path. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("cnt"))
+
   def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
       .select(col("event_id"), (col("user_id") % 3).as("hot"))

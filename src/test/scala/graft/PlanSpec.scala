@@ -65,15 +65,38 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
   }
 
-  test("d09: bench shingle set is broadcast; corpus scanned once") {
+  test("d09: bench shingle set is broadcast; train side never shuffle-joins") {
     val p = plan("d09_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
       s"benchmark side must broadcast (eval suites are tiny)\n$p")
-    // one scan feeds both the train and bench sides via ReusedExchange /
-    // plan reuse is not guaranteed pre-AQE here, but the TRAIN side must
-    // never shuffle-join: no SortMergeJoin anywhere in the plan
+    // each side scans with its own isBench filter pushed down; the TRAIN
+    // side must never shuffle-join: no SortMergeJoin anywhere
     assert(!p.contains("SortMergeJoin"),
       s"train shingles must not shuffle for the overlap join\n$p")
+  }
+
+  test("q20: grouping sets expand once over one scan — not one pass per set") {
+    val p = plan("q20_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets must use Expand\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"one lineitem scan must feed all three grouping sets\n$p")
+  }
+
+  test("s05: dim stats pre-aggregate map-side — shuffle carries partials, not the corpus") {
+    val p = plan("s05_embed_stats")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"partial + final aggregate expected around the exchange\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"exactly one shuffle (to the 64 dim groups)\n$p")
+  }
+
+  test("c01: curation composite joins by semi-join hash, never nested-loop") {
+    val p = plan("c01_curate_pipeline")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"composite must stay on equi-joins\n$p")
+    assert(p.contains("LeftSemi"),
+      s"survivor/clean sets must reach the gated stream as semi joins\n$p")
   }
 
   test("d10: window dedup needs no join — gram owner comes from a window") {

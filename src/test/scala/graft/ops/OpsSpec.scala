@@ -343,6 +343,36 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r(4L) == ((3L, 0L, false)))
   }
 
+  test("decontaminate: shuffle-join fallback matches the broadcast path") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e", true), (2L, "a b c x y", false),
+      (3L, "a b c d e", false), (4L, "p q r s t", false))
+      .toDF("doc_id", "text", "is_bench")
+    def run(cap: Long) = Dedup.decontaminate(d, col("text"), col("doc_id"),
+        col("is_bench"), maxBroadcastShingles = cap).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getBoolean(4))))
+      .toSet
+    // cap 0 forces the fallback (every bench set exceeds it)
+    assert(run(0L) == run(10_000_000L))
+  }
+
+  test("dimStats: per-dimension min/max/count, no arithmetic drift") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),
+      (2L, Array(-3.0f, 4.0f, 0.5f)),
+      (3L, Array(2.0f, 0.0f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val r = Vectors.dimStats(d, col("embedding")).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getFloat(2), x.getFloat(3))))
+      .toMap
+    assert(r == Map(
+      0L -> ((3L, -3.0f, 2.0f)),
+      1L -> ((3L, -2.0f, 4.0f)),
+      2L -> ((3L, -0.5f, 0.5f))))
+  }
+
   test("window dedup: occurrences count, first writer keeps") {
     import spark.implicits._
     val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
