@@ -95,6 +95,7 @@ object SparkEntry {
     "st06_stream_session" -> (StreamingQueries.streamSession _),
     "st07_stream_chained" -> (StreamingQueries.streamChained _),
     "st08_stream_dedup" -> (StreamingQueries.streamDedup _),
+    "st09_stream_visitor" -> (StreamingQueries.streamVisitor _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -882,6 +883,15 @@ object SparkEntry {
                     FROM events)
          SELECT CAST(user_id AS VARCHAR) AS key,
            CAST(SUM(CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 2 END) AS BIGINT) AS cnt
+         FROM events, m GROUP BY user_id""",
+    // Live visitor doubles every key present after the early half, then
+    // the late half increments on the visited state: 2*early + late.
+    "st09_stream_visitor" ->
+      """WITH m AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+                    FROM events)
+         SELECT CAST(user_id AS VARCHAR) AS key,
+           CAST(2 * count(*) FILTER (WHERE epoch_us(ts) <= mid)
+              + count(*) FILTER (WHERE epoch_us(ts) > mid) AS BIGINT) AS cnt
          FROM events, m GROUP BY user_id""",
     // Same oracle as batch q17 — append-mode watermark close-out must
     // preserve session semantics across the micro-batch split.

@@ -7,7 +7,8 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core._
 import graft.core.Codecs._
 import graft.sources.Sources
-import graft.streaming.{FileLookups, LookupFile, StreamExecutor, StreamSinks}
+import graft.streaming.{FileLookups, LookupFile, StreamExecutor,
+  StreamSinks, StreamVisitor}
 
 /** Structured Streaming queries, oracle-checked: the events fixture is
   * replayed through the file stream source, processed by the *streaming*
@@ -321,6 +322,59 @@ object StreamingQueries {
     // cnt only grows; max(cnt) collapses update-mode upserts.
     spark.read.parquet(resultDir)
       .groupBy(col("key")).agg(max(col("cnt")).as("cnt"))
+  }
+
+  /** VisitAll against a LIVE streaming query, oracle-checked — the
+    * reference's experimental live visitor
+    * (`/root/reference/partition_processor.go:625-716`), where visits
+    * interleave with message processing on a running processor. The
+    * early half of the events processes into per-key counts; then
+    * [[StreamVisitor.visitLive]] enumerates the query's OWN state store
+    * (statestore data source on the live checkpoint — no stop-the-world)
+    * and injects one `@visit:double` message per live key, doubling its
+    * count in the next micro-batch; then the late half is revealed and
+    * builds on the visited state. Final table: cnt = 2·early + late per
+    * key — exactly the oracle's median-split arithmetic, with keys that
+    * first appear late getting no doubling (they were not in the state
+    * when the visit ran). The pending-dir barrier makes the sequencing
+    * deterministic, as in st05. */
+  def streamVisitor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val graph = GroupGraph.define("visited")(
+      Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+        val cur = ctx.value match { case null => 0L; case n: Long => n }
+        ctx.setValue(cur + 1L)
+      }),
+      VisitorEdge("double", ProcessCallback { (ctx, _) =>
+        ctx.value match {
+          case null => (); case n: Long => ctx.setValue(n * 2L)
+        }
+      }),
+      Persist(Int64Codec))
+    val staging = tempDir("graft_stream_visit")
+    val pending = tempDir("graft_stream_visit_pending")
+    stageSplit(spark, Sources.eventMessages(spark, dir), staging, pending)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Message].schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(staging).as[Message]
+    val table = new StreamExecutor(graph).run(spark, stream)
+      .filter(_.sink == SinkTable)
+      .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "cnt")
+    val ckpt = tempDir("graft_stream_visit_ckpt")
+    val name = s"stream_result_${nameSeq.incrementAndGet()}"
+    val q = table.writeStream.format("memory").queryName(name)
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable() // early half → per-key counts
+      StreamVisitor.visitLive(spark, graph, ckpt, staging, "double")
+      q.processAllAvailable() // visit batch doubles every live key
+      copyParquetFiles(pending, staging) // reveal the late half
+      q.processAllAvailable() // late events build on visited state
+    } finally q.stop()
+    // per-key upserts only grow (doubling + increments): max = final.
+    spark.table(name).groupBy(col("key")).agg(max(col("cnt")).as("cnt"))
   }
 
   /** Chained STREAMING topologies — g16's twin and the reference's
