@@ -94,8 +94,22 @@ object Dedup {
 
   /** 60-bit SimHash per doc over its distinct whitespace tokens: bit i is
     * set iff more than half the tokens have bit i set in their 60-bit
-    * hash. One aggregation, 60 conditional sums. */
+    * hash. Computed by the native [[graft.functions.SimHash60]] kernel —
+    * MAP-ONLY: no token row-explosion, no aggregation, no shuffle. The
+    * signature stage of SimHash dedup at 100 TB is embarrassingly
+    * parallel and this shape keeps it that way (the declarative
+    * explode+60-conditional-sums form shuffled a row per document and
+    * materialized a row per token first — [[simhashDeclarative]], kept
+    * as the semantic reference, parity-asserted in SimHashSpec). */
   def simhash(df: DataFrame, text: Column, id: Column): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df.filter(text.isNotNull) // exploded form dropped null docs implicitly
+      .select(id.as("doc_id"), call_function("graft_simhash", text).as("simhash"))
+  }
+
+  /** Declarative SimHash (the pre-native reference semantics): explode
+    * distinct tokens, 60 conditional bit sums, majority vote. */
+  def simhashDeclarative(df: DataFrame, text: Column, id: Column): DataFrame = {
     val tokens = df.select(id.as("doc_id"),
       explode(array_distinct(split(text, " "))).as("w"))
     val h = tokens.select(col("doc_id"), h60(col("w")).as("hw"))

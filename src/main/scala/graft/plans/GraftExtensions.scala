@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{RollingHash, ShingleArray}
+import graft.functions.{RollingHash, ShingleArray, SimHash60}
 
 /** Engine SQL surface: registers graft's native expressions so plain
   * `spark.sql("SELECT graft_rolling_hash(text) ...")` works.
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
     ext.injectFunction(GraftExtensions.shinglesDescriptor)
+    ext.injectFunction(GraftExtensions.simhashDescriptor)
   }
 }
 
@@ -37,11 +38,18 @@ object GraftExtensions {
       ShingleArray(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()))
 
+  private val simhashDescriptor = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash"),
+    (exprs: Seq[Expression]) => SimHash60(exprs.head))
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash", rollingHashDescriptor._3, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", shinglesDescriptor._3, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", simhashDescriptor._3, "built-in")
   }
 }

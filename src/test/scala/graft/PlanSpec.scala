@@ -75,6 +75,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"train shingles must not shuffle for the overlap join\n$p")
   }
 
+  test("d03: native simhash is map-only — no explode, no aggregation, no shuffle") {
+    val p = plan("d03_simhash")
+    assert(!p.contains("Exchange") && !p.contains("Generate") &&
+      !p.contains("HashAggregate"),
+      s"signature stage must stay embarrassingly parallel\n$p")
+  }
+
   test("q20: grouping sets expand once over one scan — not one pass per set") {
     val p = plan("q20_grouping_sets")
     assert(p.contains("Expand"), s"grouping sets must use Expand\n$p")
