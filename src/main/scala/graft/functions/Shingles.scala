@@ -23,10 +23,19 @@ object ShingleOps {
     * (regex semantics with limit -1), distinct keeps first occurrence —
     * but in ONE pass over the row instead of five nested array
     * expressions, each of which re-materializes an array per row. */
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  def compute(text: UTF8String, n: Int): ArrayData =
+    compute(text, n, true)
+
+  /** As [[compute]], with `distinct = false` yielding POSITIONAL
+    * n-grams (every occurrence, in order) — the exact-substring-dedup
+    * window form, mirroring the plain `transform(sequence(...))`
+    * pipeline without `array_distinct`. */
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val w = text.toString.split(" ", -1)
     if (w.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]
+    val out: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]
+      else new java.util.ArrayList[UTF8String](w.length - n + 1)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i <= w.length - n) {
@@ -37,10 +46,10 @@ object ShingleOps {
         sb.append(w(i + j))
         j += 1
       }
-      seen.add(UTF8String.fromString(sb.toString))
+      out.add(UTF8String.fromString(sb.toString))
       i += 1
     }
-    new GenericArrayData(seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
+    new GenericArrayData(out.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
   }
 }
 
@@ -51,7 +60,8 @@ object ShingleOps {
   * lambda, slice copies, per-shingle concat); this kernel is one pass,
   * ~5× faster, and stays inside whole-stage codegen. Parity with the
   * declarative form is asserted in ShinglesSpec. */
-case class ShingleArray(child: Expression, n: Int)
+case class ShingleArray(child: Expression, n: Int,
+    distinct: Boolean = true)
     extends UnaryExpression {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
@@ -71,7 +81,7 @@ case class ShingleArray(child: Expression, n: Int)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) ShingleOps.empty
-    else ShingleOps.compute(v.asInstanceOf[UTF8String], n)
+    else ShingleOps.compute(v.asInstanceOf[UTF8String], n, distinct)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -84,7 +94,7 @@ case class ShingleArray(child: Expression, n: Int)
         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
         |  ${childGen.isNull}
         |    ? graft.functions.ShingleOps.empty()
-        |    : graft.functions.ShingleOps.compute(${childGen.value}, $n);
+        |    : graft.functions.ShingleOps.compute(${childGen.value}, $n, $distinct);
       """.stripMargin,
       isNull = FalseLiteral)
   }

@@ -261,12 +261,10 @@ object Dedup {
     * per-doc aggregation. Two shuffles total, both on bounded rows. */
   def windowDupStats(df: DataFrame, text: Column, id: Column,
       windowN: Int = 8): DataFrame = {
-    val w = split(text, " ")
-    // positional (non-distinct) windows — occurrences matter here
-    val wins = when(size(w) >= windowN,
-      transform(sequence(lit(1), size(w) - (windowN - 1)),
-        i => concat_ws(" ", slice(w, i, lit(windowN)))))
-      .otherwise(array().cast("array<string>"))
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    // positional (non-distinct) windows — occurrences matter here; the
+    // native kernel's distinct=false mode, one pass per row
+    val wins = call_function("graft_shingles", text, lit(windowN), lit(false))
     val grams = df.select(id.as("doc_id"), explode(wins).as("g"))
     val owner = min(col("doc_id"))
       .over(org.apache.spark.sql.expressions.Window.partitionBy(col("g")))

@@ -36,7 +36,9 @@ object GraftExtensions {
     new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
     (exprs: Seq[Expression]) =>
       ShingleArray(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()))
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        if (exprs.length >= 3) exprs(2).eval().asInstanceOf[Boolean]
+        else true))
 
   private val simhashDescriptor = (
     FunctionIdentifier("graft_simhash"),

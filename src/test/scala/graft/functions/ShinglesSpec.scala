@@ -38,6 +38,26 @@ class ShinglesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("positional mode matches the plain transform(sequence(...)) form") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val df = (cases.zipWithIndex.map(_.swap) :+
+      ((cases.length, null.asInstanceOf[String]))).toDF("id", "text")
+    for (n <- Seq(1, 3, 8)) {
+      val w = split(col("text"), " ")
+      val declarative = df.select(col("id"),
+        when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - (n - 1)),
+            i => concat_ws(" ", slice(w, i, lit(n)))))
+          .otherwise(array().cast("array<string>")).as("sa"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+      val native = df.select(col("id"),
+        call_function("graft_shingles", col("text"), lit(n), lit(false)).as("sa"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+      assert(native == declarative, s"mismatch at n=$n")
+    }
+  }
+
   test("interpreted eval matches codegen output") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.unsafe.types.UTF8String
