@@ -66,11 +66,14 @@ object SparkEntry {
     "d08_embed_neardup_lsh" -> (PipelineQueries.embedNearDupLsh _),
     "d09_decontaminate" -> (PipelineQueries.decontaminate _),
     "d10_window_dedup" -> (PipelineQueries.windowDup _),
+    "d11_lsh_verify" -> (PipelineQueries.lshVerify _),
     "s01_ann_topk" -> (PipelineQueries.annTopK _),
     "s02_ann_lsh" -> (PipelineQueries.annLsh _),
     "s03_ann_ivf" -> (PipelineQueries.annIvf _),
     "s04_quantize" -> (PipelineQueries.quantize _),
     "s05_embed_stats" -> (PipelineQueries.embedDimStats _),
+    "s06_pq_codes" -> (PipelineQueries.pqCodes _),
+    "s07_ann_pq_adc" -> (PipelineQueries.pqAdc _),
     "c01_curate_pipeline" -> (PipelineQueries.curate _),
     "t01_langid" -> (PipelineQueries.langId _),
     "t02_quality" -> (PipelineQueries.quality _),
@@ -84,6 +87,7 @@ object SparkEntry {
     "t10_rarity" -> (PipelineQueries.rarity _),
     "t11_shuffle_shard" -> (PipelineQueries.shuffleShard _),
     "t12_pack_sequences" -> (PipelineQueries.packSequences _),
+    "t13_bigram_lm" -> (PipelineQueries.bigramLm _),
     "m01_multimodal" -> (PipelineQueries.multimodal _),
     "m02_media_resize" -> (PipelineQueries.mediaResize _),
     "m03_frame_sample" -> (PipelineQueries.frameSample _),
@@ -647,6 +651,48 @@ object SparkEntry {
          FROM embeddings,
            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
          GROUP BY i""",
+    // Mirrors Vectors.pqEncode: 4 subspaces x 16 lowest-id centroids,
+    // exact int64 squared-L2 argmin (ties to smaller cid) on the
+    // 10^6-scaled vectors; err2 = sum of the 4 chosen distances.
+    "s06_pq_codes" ->
+      s"""WITH $pqPreSql
+         SELECT vec_id,
+           max(CASE WHEN sub = 0 THEN cid END) AS code0,
+           max(CASE WHEN sub = 1 THEN cid END) AS code1,
+           max(CASE WHEN sub = 2 THEN cid END) AS code2,
+           max(CASE WHEN sub = 3 THEN cid END) AS code3,
+           CAST(sum(dist) AS BIGINT) AS err2
+         FROM (SELECT vec_id, sub, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY dist, cid) AS rn
+               FROM d)
+         WHERE rn = 1 GROUP BY vec_id""",
+    // Mirrors Vectors.pqAdcTopK: per-query LUT of exact centroid
+    // distances, doc distance = sum of 4 LUT lookups via its codes,
+    // integer ranking with ties to the smaller nid.
+    "s07_ann_pq_adc" ->
+      s"""WITH $pqPreSql,
+         codes AS (SELECT vec_id, sub, cid AS code FROM
+                     (SELECT vec_id, sub, cid,
+                        row_number() OVER (PARTITION BY vec_id, sub
+                                           ORDER BY dist, cid) AS rn
+                      FROM d)
+                   WHERE rn = 1),
+         lut AS (SELECT v.vec_id AS qid, v.sub, c.cid,
+                   (SELECT sum((x-y)*(x-y))
+                    FROM (SELECT unnest(v.sv) AS x, unnest(c.civ) AS y))
+                     AS qdist
+                 FROM vsub v JOIN csub c ON v.sub = c.sub
+                 WHERE v.vec_id < 10),
+         adc AS (SELECT l.qid, c.vec_id AS nid,
+                   CAST(sum(l.qdist) AS BIGINT) AS adc
+                 FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.code
+                 GROUP BY l.qid, c.vec_id)
+         SELECT qid, nid, adc, rank FROM
+           (SELECT qid, nid, adc,
+              row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
+            FROM adc WHERE qid <> nid)
+         WHERE rank <= 10""",
     // Composite of the d01/d09/t03/t07 oracles: survivors of exact dedup
     // among non-bench docs, gated at >=10 ws tokens, minus contaminated
     // docs (>=0.5 3-gram overlap vs src0), with the md5 split assignment.
@@ -816,6 +862,41 @@ object SparkEntry {
            CAST(sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS dup_frac
          FROM m GROUP BY doc_id""",
+    // Mirrors Dedup.lshVerifiedPairs: d02's candidate CTEs verbatim,
+    // then exact Jaccard for candidate pairs ONLY via a shared-shingle
+    // count. LEFT JOIN keeps a (theoretical) zero-intersection h32
+    // collision pair as jaccard 0 / dup false, matching the Spark
+    // array_intersect path.
+    "d11_lsh_verify" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         h AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS hw FROM sh),
+         mh AS (SELECT doc_id, j, min(((2*j+1)*hw + j*12345) % 4294967311) AS mv
+                FROM h, generate_series(0,15) t(j) GROUP BY doc_id, j),
+         bands AS (SELECT doc_id, j//4 AS band,
+                     string_agg(mv, ',' ORDER BY j) AS sig
+                   FROM mh GROUP BY doc_id, j//4),
+         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.sig = b.sig
+                       AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.da, c.db, count(*) AS c
+                   FROM cand c JOIN sh a ON a.doc_id = c.da
+                               JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+                   GROUP BY c.da, c.db),
+         sel AS (SELECT c.da, c.db, coalesce(i.c, 0) AS c,
+                   sa.n AS na, sb.n AS nb
+                 FROM cand c
+                 LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+                 JOIN sizes sa ON sa.doc_id = c.da
+                 JOIN sizes sb ON sb.doc_id = c.db)
+         SELECT da, db, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard,
+           (CAST(c AS DOUBLE) / (na + nb - c)) >= 0.8 AS dup
+         FROM sel""",
     // Mirrors TextAnalysis.rarityScore: the float fold runs in sorted
     // word order on BOTH engines (list(... ORDER BY w) + list_reduce ≡
     // sort_array(collect_list) + aggregate), so the double sum is
@@ -860,6 +941,36 @@ object SparkEntry {
            FROM walk w JOIN seq s
              ON s.shard = w.shard AND s.pos = w.pos + 1)
          SELECT doc_id, shard, n_tokens, bin FROM walk""",
+    // Mirrors TextAnalysis.bigramLmScore: corpus-fitted add-one bigram
+    // LM, per-doc mean conditional probability. No ln/log (libm ulp
+    // risk) — every count is exact int64, each p is one IEEE divide,
+    // and the per-doc sum folds in sorted bigram order on BOTH engines
+    // (list(... ORDER BY g) + list_reduce ≡ sort_array(collect_list) +
+    // aggregate), so the double is bit-identical.
+    "t13_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                   i -> w[i] || ' ' || w[i+1])) AS g
+               FROM w),
+         cb AS (SELECT g, count(*) AS cb FROM g GROUP BY g),
+         c1 AS (SELECT split_part(g, ' ', 1) AS w1, sum(cb) AS c1
+                FROM cb GROUP BY 1),
+         v AS (SELECT count(DISTINCT w) AS v FROM
+                 (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents) t
+               WHERE w <> ''),
+         p AS (SELECT doc_id, g.g AS g,
+                 CAST(cb.cb + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) AS p
+               FROM g JOIN cb ON g.g = cb.g
+                      JOIN c1 ON split_part(g.g, ' ', 1) = c1.w1, v),
+         lst AS (SELECT doc_id, list(p ORDER BY g) AS l FROM p
+                 GROUP BY doc_id)
+         SELECT doc_id, CAST(len(l) AS BIGINT) AS n_bigrams,
+           list_reduce(list_prepend(0.0, l), (acc, x) -> acc + x)
+             / CAST(len(l) AS DOUBLE) AS lm_score
+         FROM lst""",
     // Mirrors TextAnalysis.shuffleShard: md5-bucket shard, position =
     // rank of the full md5 hex within the shard.
     "t11_shuffle_shard" ->
@@ -956,6 +1067,25 @@ object SparkEntry {
            ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
        SELECT da, db, dist FROM pairs WHERE dist <= 3"""
   }
+
+  /** Shared PQ oracle CTEs (no leading WITH): int-scaled vectors, the
+    * 16-lowest-id centroid codebook cut into 4 subspaces (1-based
+    * inclusive list slices = Spark's slice()), and the exact int64
+    * squared-L2 distance of every (vector, subspace, centroid). */
+  private def pqPreSql: String =
+    """iv AS (SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS iv
+         FROM embeddings),
+       cents AS (SELECT vec_id AS cid, iv FROM iv ORDER BY vec_id LIMIT 16),
+       csub AS (SELECT s.s AS sub, cid, iv[s.s*16+1 : s.s*16+16] AS civ
+                FROM cents, generate_series(0,3) s(s)),
+       vsub AS (SELECT vec_id, s.s AS sub, iv[s.s*16+1 : s.s*16+16] AS sv
+                FROM iv, generate_series(0,3) s(s)),
+       d AS (SELECT vec_id, v.sub, cid,
+               (SELECT sum((x-y)*(x-y))
+                FROM (SELECT unnest(sv) AS x, unnest(civ) AS y)) AS dist
+             FROM vsub v JOIN csub c ON v.sub = c.sub)"""
 
   /** Int-scaled embedding preprocessing shared by the vector oracles. */
   private def embPreSql: String =

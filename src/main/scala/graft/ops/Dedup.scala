@@ -197,6 +197,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash-LSH candidates VERIFIED by exact Jaccard — the two-stage
+    * production dedup pipeline (the shape MinHashLSH is for): stage 1
+    * prunes the O(n²) pair space to bucket collisions
+    * ([[minhashCandidates]]), stage 2 computes exact n-gram Jaccard for
+    * candidates ONLY, so the expensive set intersection runs on
+    * O(candidates) pairs instead of every pair sharing any shingle
+    * (compare [[jaccardPairs]], which is exact-but-exhaustive and needs
+    * the document-frequency cap to stay linear).
+    *
+    * Stage 2 is two equi-joins of the candidate list against the per-doc
+    * shingle ARRAY (bounded by document length, not corpus size) and a
+    * per-row `array_intersect` — map-side work after the joins; no
+    * per-shingle fan-out ever happens for the verify stage. A pair's
+    * exact score decides `dup` (≥ threshold); LSH false positives
+    * survive as rows with `dup = false`, which is the observability a
+    * recall/precision-tuned dedup wants (drop them with a filter).
+    *
+    * At 100 TB: candidates ≪ n², both joins shuffle only (candidate ×
+    * doc-array) rows, and the intersect cost is per-pair O(|doc|). */
+  def lshVerifiedPairs(df: DataFrame, text: Column, id: Column,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val cand = minhashCandidates(df, text, id, shingleN, k, bands)
+    val sets = df.select(id.as("doc_id"),
+      nativeShingles(df, text, shingleN).as("sa"))
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("sa").as("seta")),
+        Seq("da"))
+      .join(sets.select(col("doc_id").as("db"), col("sa").as("setb")),
+        Seq("db"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("seta"), col("setb"))).as("c"),
+        size(col("seta")).as("na"), size(col("setb")).as("nb"))
+      .select(col("da"), col("db"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .as("jaccard"))
+      .withColumn("dup", col("jaccard") >= threshold)
+  }
+
   /** Benchmark decontamination: for every training document, how much of
     * its shingle set also appears in a held-out benchmark/eval corpus
     * (the n-gram-overlap decontamination step every LLM training pipeline

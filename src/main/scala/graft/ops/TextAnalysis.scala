@@ -270,6 +270,60 @@ object TextAnalysis {
       .toDF("doc_id", "shard", "n_tokens", "bin")
   }
 
+  /** Self-trained bigram language-model quality score — the model-based
+    * fluency signal of a CCNet/KenLM-style curation stage, with the model
+    * fitted on the corpus itself (no external artifact): per document,
+    * the mean add-one-smoothed conditional bigram probability
+    * `p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)` over the doc's
+    * positional bigrams. High score = the doc's word transitions are
+    * common corpus-wide (fluent boilerplate scores high, word salad
+    * scores near 1/V); the usual LM filter keeps a middle band.
+    *
+    * Numeric discipline: NO logarithms on purpose — libm `ln` differs
+    * across engines in the last ulp, while every quantity here is an
+    * exact int64 count and the probabilities are single IEEE divides.
+    * The arithmetic mean replaces log-perplexity's geometric mean; it
+    * induces a monotone-equivalent enough ranking for gating and keeps
+    * the operator bit-reproducible (the per-doc sum folds over the
+    * bigram list in sorted order, same as [[rarityScore]]).
+    *
+    * Scale shape: the "model" (bigram counts `cb`, left-context totals
+    * `c1`, vocab size V) is the classic small side — Zipf-truncated
+    * count tables, MBs even for web-scale corpora after the usual
+    * min-count pruning — so scoring is two broadcast joins + one
+    * per-doc aggregation; the corpus is scanned twice (fit, score),
+    * exactly like every fit-then-transform pass. An unpruned web-scale
+    * bigram table would exceed broadcast: drop `broadcast()` and the
+    * same plan runs as shuffle joins on `g`/`w1`. */
+  def bigramLmScore(df: DataFrame, text: Column, id: Column): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    // positional bigrams (occurrences matter for an LM) — the native
+    // one-pass kernel, distinct=false
+    val grams = df.select(id.as("doc_id"),
+      explode(call_function("graft_shingles", text, lit(2), lit(false)))
+        .as("g"))
+    val cb = grams.groupBy(col("g")).agg(count(lit(1)).as("cb"))
+    val c1 = cb.groupBy(split_part(col("g"), lit(" "), lit(1)).as("w1"))
+      .agg(sum(col("cb")).as("c1"))
+    val vocab = df.select(explode(split(text, " ")).as("w"))
+      .filter(col("w") =!= "")
+      .agg(count_distinct(col("w")).as("v"))
+    val scored = grams
+      .join(broadcast(cb), Seq("g"))
+      .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("g"),
+        ((col("cb") + lit(1)).cast("double")
+          / (col("c1") + col("v")).cast("double")).as("p"))
+    scored.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("g"), col("p")))).as("lst"))
+      .select(col("doc_id"),
+        size(col("lst")).cast("long").as("n_bigrams"),
+        (aggregate(col("lst"), lit(0.0), (acc, x) => acc + x("p"))
+          / size(col("lst")).cast("double")).as("lm_score"))
+  }
+
   /** Deterministic train/val/test split by content-free key hash —
     * the reproducible sharding every training pipeline needs (same doc
     * lands in the same split on every run, every engine, any partition

@@ -292,6 +292,109 @@ object Vectors {
         .as("cos_qf"))
   }
 
+  /** The m per-subspace slices of an int-scaled vector, as an array of
+    * (sub, sv) structs ready to explode. slice() is 1-based. */
+  private def subspaces(iv: Column, m: Int, subDim: Int): Column =
+    array((0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(iv, s * subDim + 1, subDim).as("sv"))): _*)
+
+  /** Exact int64 squared L2 distance between two int-scaled arrays. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Per-subspace PQ codebook: the `k` lowest-id vectors' subvector
+    * slices (deterministic stand-in for k-means centroids, same contract
+    * as [[annIvfTopK]]'s coarse quantizer — production plugs trained
+    * codebooks into the identical plan). (sub, cid, civ), cid = the
+    * source vector's id. */
+  def pqCodebook(p: DataFrame, m: Int, k: Int, subDim: Int): DataFrame =
+    p.orderBy(col("vid")).limit(k)
+      .select(col("vid").as("cid"),
+        explode(subspaces(col("iv"), m, subDim)).as("cs"))
+      .select(col("cs.sub").as("sub"), col("cid"), col("cs.sv").as("civ"))
+
+  /** Product-quantization encode — the index-compression step of
+    * billion-scale ANN (Jégou et al. 2011): the vector is cut into `m`
+    * subspaces and each subvector is replaced by the id of its nearest
+    * codebook centroid, storing m small codes instead of `dims` floats
+    * (here 4 codes for 64 dims — a 64× compression at float32).
+    *
+    * All distances are exact int64 squared L2 on the 10^6-scaled vector
+    * ([[intScale]] discipline): argmin is an integer compare with ties
+    * to the smaller centroid id, so every code — and the residual `err2`
+    * (sum of the m chosen distances, the quantization-error number an
+    * index designer tunes m/k against) — is bit-identical in any engine.
+    *
+    * Scale shape: the codebook (m·k subvectors) is broadcast; encoding
+    * is ONE map-side join of the m-exploded corpus against it plus two
+    * keyed aggregations on (vid) — no shuffle ever carries more than
+    * m rows per vector, and nothing is corpus-quadratic. */
+  def pqEncode(df: DataFrame, id: Column, emb: Column,
+      m: Int = 4, k: Int = 16, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val subDim = dims / m
+    val p = df.select(id.as("vid"), intScale(emb).as("iv"))
+    val cents = pqCodebook(p, m, k, subDim)
+    val assigned = p
+      .select(col("vid"), explode(subspaces(col("iv"), m, subDim)).as("vs"))
+      .select(col("vid"), col("vs.sub").as("sub"), col("vs.sv").as("sv"))
+      .join(broadcast(cents), Seq("sub"))
+      .withColumn("dist", sqDist(col("sv"), col("civ")))
+      .groupBy(col("vid"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("code"),
+        min(col("dist")).as("dist"))
+    assigned.groupBy(col("vid"))
+      .agg(max(when(col("sub") === 0, col("code"))).as("code0"),
+        ((1 until m).map(s =>
+          max(when(col("sub") === s, col("code"))).as(s"code$s"))
+          :+ sum(col("dist")).as("err2")): _*)
+      .withColumnRenamed("vid", "vec_id")
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search — the query path over a
+    * [[pqEncode]]d index: each query computes its exact distance to
+    * every codebook centroid ONCE (the m·k-entry lookup table), and a
+    * document's approximate distance is the sum of m table lookups
+    * addressed by its codes — never touching the document's floats.
+    * This is why PQ scales: the corpus side of the join carries only
+    * (vid, sub, code), bytes per document, and the LUT side is
+    * queries × m · k rows, broadcast.
+    *
+    * Exactness discipline: LUT entries are exact int64 squared L2, the
+    * per-doc sum is m integer adds (order-independent), ranking is an
+    * integer sort with ties to the smaller neighbor id — the whole
+    * search result is oracle-checkable despite being an approximation
+    * of the true distance. Returns (qid, nid, adc, rank), self-matches
+    * excluded. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, kNeighbors: Int = 10,
+      m: Int = 4, k: Int = 16, dims: Int = 64): DataFrame = {
+    val subDim = dims / m
+    val codes = pqEncode(corpus, id, emb, m, k, dims)
+    val docCodes = codes.select(col("vec_id").as("nid"), explode(array(
+      (0 until m).map(s =>
+        struct(lit(s).as("sub"), col(s"code$s").as("code"))): _*)).as("sc"))
+      .select(col("nid"), col("sc.sub").as("sub"), col("sc.code").as("code"))
+    val p = corpus.select(id.as("vid"), intScale(emb).as("iv"))
+    val cents = pqCodebook(p, m, k, subDim)
+    val lut = queries.select(id.as("qid"), intScale(emb).as("iv"))
+      .select(col("qid"), explode(subspaces(col("iv"), m, subDim)).as("qs"))
+      .select(col("qid"), col("qs.sub").as("sub"), col("qs.sv").as("sv"))
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("qid"), col("sub"), col("cid"),
+        sqDist(col("sv"), col("civ")).as("qdist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    docCodes
+      .join(broadcast(lut),
+        docCodes("sub") === lut("sub") && docCodes("code") === lut("cid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("qdist")).as("adc"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+  }
+
   /** Per-dimension corpus statistics — the feature-normalization /
     * scaler-fitting pass (min-max bounds + coverage count per embedding
     * position) run before quantization or whitening. min/max involve no

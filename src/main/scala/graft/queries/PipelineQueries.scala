@@ -54,6 +54,11 @@ object PipelineQueries {
     Vectors.nearDupPairsLsh(embs(spark, dir), col("vec_id"),
       col("embedding"), threshold = 0.45, nPlanes = 4)
 
+  /** Two-stage dedup: MinHash-LSH candidate pairs verified by exact
+    * 3-gram Jaccard — LSH false positives surface as dup=false rows. */
+  def lshVerify(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshVerifiedPairs(docs(spark, dir), col("text"), col("doc_id"))
+
   /** Benchmark decontamination: docs from source 'src0' stand in for the
     * held-out eval suite; every other doc is scored by 3-gram overlap
     * against it. The bench shingle set is broadcast (eval suites are
@@ -96,6 +101,19 @@ object PipelineQueries {
   /** Per-dimension embedding stats (normalization bounds) — s05. */
   def embedDimStats(spark: SparkSession, dir: String): DataFrame =
     Vectors.dimStats(embs(spark, dir), col("embedding"))
+
+  /** Product-quantization encode: 64 dims → 4 codes from 16-centroid
+    * per-subspace codebooks, exact int64 distances — s06. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    Vectors.pqEncode(embs(spark, dir), col("vec_id"), col("embedding"))
+
+  /** PQ asymmetric-distance top-10 for the first 10 vectors as queries
+    * — the compressed-index ANN search path — s07. */
+  def pqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.pqAdcTopK(e, e.filter(col("vec_id") < 10), col("vec_id"),
+      col("embedding"))
+  }
 
   /** End-to-end curation composite — the whole pre-training data path as
     * ONE declarative plan: quality gate (≥10 whitespace tokens) →
@@ -156,6 +174,10 @@ object PipelineQueries {
     * float fold — see [[TextAnalysis.rarityScore]]). */
   def rarity(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.rarityScore(docs(spark, dir), col("text"), col("doc_id"))
+
+  /** Corpus-fitted add-one bigram LM fluency score per doc — t13. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(docs(spark, dir), col("text"), col("doc_id"))
 
   /** Deterministic global shuffle into 8 training shards. */
   def shuffleShard(spark: SparkSession, dir: String): DataFrame =

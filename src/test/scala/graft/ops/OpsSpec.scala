@@ -453,6 +453,76 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(sharded.groupBy(_._1).values.forall(_.map(_._2).min == 0L))
   }
 
+  test("bigram LM: exact add-one probabilities, common transitions score high") {
+    import spark.implicits._
+    // corpus: cb("a b")=3, cb("b a")=1, cb("c d")=1; c1(a)=3, c1(b)=1,
+    // c1(c)=1; V=4 → p(a b)=4/7, p(b a)=2/5, p(c d)=2/5
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLmScore(d, col("text"), col("doc_id"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2))))
+      .toMap
+    assert(r(1L)._1 == 3L)
+    assert(math.abs(r(1L)._2 - (4.0 / 7 + 2.0 / 5 + 4.0 / 7) / 3) < 1e-15)
+    assert(math.abs(r(2L)._2 - 4.0 / 7) < 1e-15)
+    assert(math.abs(r(3L)._2 - 2.0 / 5) < 1e-15)
+    assert(r(2L)._2 > r(3L)._2) // the common transition outscores the rare one
+  }
+
+  test("LSH verify: exact jaccard on candidates only, dup flag at 0.8") {
+    val r = Dedup.lshVerifiedPairs(docs, col("text"), col("doc_id"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getDouble(2), x.getBoolean(3))))
+      .toMap
+    // identical docs 1,2: jaccard exactly 1.0, verified dup
+    assert(r((1L, 2L)) == ((1.0, true)))
+    // doc 4 shares no shingles with anything: never a candidate
+    assert(!r.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // every exact jaccard is in [0,1]
+    assert(r.values.forall(v => v._1 >= 0.0 && v._1 <= 1.0))
+  }
+
+  test("PQ encode: exact codes with deterministic tie-break, exact err2") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // centroid 0
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)), // centroid 1
+      (2L, Array(1.0f, 0.0f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Vectors.pqEncode(d, col("vec_id"), col("embedding"),
+        m = 2, k = 2, dims = 4)
+      .collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        ((x.getAs[Long]("code0"), x.getAs[Long]("code1"),
+          x.getAs[Long]("err2"))))
+      .toMap
+    assert(r(0L) == ((0L, 0L, 0L)))     // centroids encode to themselves...
+    assert(r(1L)._1 == 1L && r(1L)._3 == 0L) // (sub1 ties break to cid 0)
+    // v2 sub0 = [1e6, 0] → c0 exactly (dist 0); sub1 = [1e5, 0] → both
+    // centroids are [0,0] there → tie → smaller cid 0, dist = 1e10
+    assert(r(2L) == ((0L, 0L, 10_000_000_000L)))
+  }
+
+  test("PQ ADC: codes-only search ranks the same-cell doc first") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Vectors.pqAdcTopK(d, d.filter($"vec_id" === 0L),
+        col("vec_id"), col("embedding"), kNeighbors = 2, m = 2, k = 2,
+        dims = 4)
+      .collect().map(x => (x.getAs[Long]("nid"), x.getAs[Int]("rank"),
+        x.getAs[Long]("adc")))
+    // doc2's codes are (0,0) → adc(q0) = 0; doc1's (1,1) → 2e12 + 0
+    assert(r.sortBy(_._2).map(n => (n._1, n._2)).toSeq ==
+      Seq((2L, 1), (1L, 2)))
+    assert(r.find(_._1 == 2L).get._3 == 0L)
+    assert(!r.exists(_._1 == 0L)) // self excluded
+  }
+
   test("multimodal stub decode: magic sniffing + deterministic features") {
     import spark.implicits._
     val jpeg = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0x00.toByte)
