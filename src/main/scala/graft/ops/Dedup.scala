@@ -59,14 +59,30 @@ object Dedup {
   def shingles(df: DataFrame, text: Column, id: Column, n: Int): DataFrame =
     df.select(id.as("doc_id"), explode(nativeShingles(df, text, n)).as("s"))
 
-  /** MinHash signatures: one row per doc with k minhash columns
-    * mh0..mh{k-1}. Single shuffle; the k permutations are evaluated as k
-    * conditional aggregates over the shingle hash — no explode. */
+  /** MinHash signatures, declarative reference semantics: one row per
+    * doc with k minhash columns mh0..mh{k-1}. Single shuffle; the k
+    * permutations are evaluated as k conditional aggregates over the
+    * shingle hash — no explode. The query paths use
+    * [[minhashSignaturesNative]], the same values from ONE map-only
+    * kernel (MinHashSpec asserts parity). */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
     val h = sh.select(col("doc_id"), h32(col("s")).as("hw"))
     h.groupBy(col("doc_id"))
       .agg(min(minhashPerm(col("hw"), 0)).as("mh0"),
         (1 until k).map(j => min(minhashPerm(col("hw"), j)).as(s"mh$j")): _*)
+  }
+
+  /** MinHash signatures via the native [[graft.functions.MinHashSig]]
+    * kernel — (doc_id, sig ARRAY<LONG> of k values), docs with no
+    * shingles dropped (the aggregation form produced no row for them).
+    * MAP-ONLY: at 100 TB the signature stage shuffles nothing; the
+    * first exchange of the dedup pipeline is the banded self-join. */
+  def minhashSignaturesNative(df: DataFrame, text: Column, id: Column,
+      shingleN: Int, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df.select(id.as("doc_id"),
+        call_function("graft_minhash", text, lit(shingleN), lit(k)).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** LSH candidate pairs: band the k signatures into `bands` groups of
@@ -76,11 +92,12 @@ object Dedup {
       shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = bands
     val perBand = k / bands
-    val sig = minhashSignatures(shingles(df, text, id, shingleN), k)
+    val sig = minhashSignaturesNative(df, text, id, shingleN, k)
     val banded = sig.select(col("doc_id"), explode(array(
       (0 until rows).map { b =>
         struct(lit(b).as("band"),
-          concat_ws(",", (0 until perBand).map(r => col(s"mh${b * perBand + r}")): _*)
+          concat_ws(",", (0 until perBand).map(r =>
+            element_at(col("sig"), b * perBand + r + 1)): _*)
             .as("sig"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))

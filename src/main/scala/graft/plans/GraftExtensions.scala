@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{RollingHash, ShingleArray, SimHash60}
+import graft.functions.{MinHashSig, RollingHash, ShingleArray, SimHash60}
 
 /** Engine SQL surface: registers graft's native expressions so plain
   * `spark.sql("SELECT graft_rolling_hash(text) ...")` works.
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
     ext.injectFunction(GraftExtensions.shinglesDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
+    ext.injectFunction(GraftExtensions.minhashDescriptor)
   }
 }
 
@@ -45,6 +46,14 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash"),
     (exprs: Seq[Expression]) => SimHash60(exprs.head))
 
+  private val minhashDescriptor = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+    (exprs: Seq[Expression]) =>
+      MinHashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -53,5 +62,7 @@ object GraftExtensions {
       "graft_shingles", shinglesDescriptor._3, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", simhashDescriptor._3, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", minhashDescriptor._3, "built-in")
   }
 }
