@@ -1,33 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Dev utility: dump formatted physical plans of selected queries so
-  * pushdown / broadcast / whole-stage-codegen can be inspected.
-  * Usage: runMain graft.Explain <sfDir> [query ...] */
+/** Dev utility: print the formatted physical plan of registered queries.
+  * `sbt "runMain graft.Explain sfDir q1 q2 ..."` (no names = all).
+  * The plan-shape review loop: after a query goes oracle-green, read its
+  * plan here and iterate until it is the plan you'd want at 100 TB
+  * (broadcasts where intended, pushed filters, no stray exchanges). */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.tail.toSeq
-      else Seq("q01_pricing_summary", "q02_revenue_forecast",
-        "q03_join_topk", "q07_multi_join", "q13_asof_join",
-        "q17_session_window", "q18_salted_join",
-        "d04_ngram_jaccard", "d05_embed_neardup", "s03_ann_ivf")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val Seq(sfDir, names @ _*) = args.toSeq: @unchecked
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-    }
+    SparkEntry.queries
+      .filter { case (n, _) => names.isEmpty || names.contains(n) }
+      .toSeq.sortBy(_._1)
+      .foreach { case (name, fn) =>
+        println(s"==== $name ====")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"(failed to plan: $e)") }
+      }
     spark.stop()
   }
 }

@@ -957,10 +957,7 @@ object SparkEntry {
          cb AS (SELECT g, count(*) AS cb FROM g GROUP BY g),
          c1 AS (SELECT split_part(g, ' ', 1) AS w1, sum(cb) AS c1
                 FROM cb GROUP BY 1),
-         v AS (SELECT count(DISTINCT w) AS v FROM
-                 (SELECT unnest(string_split(text, ' ')) AS w
-                  FROM documents) t
-               WHERE w <> ''),
+         v AS (SELECT count(*) AS v FROM c1),
          p AS (SELECT doc_id, g.g AS g,
                  CAST(cb.cb + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) AS p
                FROM g JOIN cb ON g.g = cb.g

@@ -290,11 +290,15 @@ object TextAnalysis {
     * Scale shape: the "model" (bigram counts `cb`, left-context totals
     * `c1`, vocab size V) is the classic small side — Zipf-truncated
     * count tables, MBs even for web-scale corpora after the usual
-    * min-count pruning — so scoring is two broadcast joins + one
-    * per-doc aggregation; the corpus is scanned twice (fit, score),
-    * exactly like every fit-then-transform pass. An unpruned web-scale
-    * bigram table would exceed broadcast: drop `broadcast()` and the
-    * same plan runs as shuffle joins on `g`/`w1`. */
+    * min-count pruning. The fitted `cb` table is `localCheckpoint`ed so
+    * the corpus is scanned exactly TWICE (once to fit, once to score —
+    * the canonical fit-then-transform shape); `c1` and V are derived
+    * from the materialized model, not from fresh corpus scans
+    * (V = |distinct left contexts| = |c1|, the smoothing alphabet).
+    * Scoring is two broadcast joins + one per-doc aggregation; an
+    * unpruned web-scale bigram table would exceed broadcast: drop
+    * `broadcast()` and the same plan runs as shuffle joins on
+    * `g`/`w1`. */
   def bigramLmScore(df: DataFrame, text: Column, id: Column): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
     // positional bigrams (occurrences matter for an LM) — the native
@@ -302,12 +306,13 @@ object TextAnalysis {
     val grams = df.select(id.as("doc_id"),
       explode(call_function("graft_shingles", text, lit(2), lit(false)))
         .as("g"))
+    // fit: materialize the model once; everything downstream reads the
+    // checkpointed table instead of re-scanning the corpus
     val cb = grams.groupBy(col("g")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
     val c1 = cb.groupBy(split_part(col("g"), lit(" "), lit(1)).as("w1"))
       .agg(sum(col("cb")).as("c1"))
-    val vocab = df.select(explode(split(text, " ")).as("w"))
-      .filter(col("w") =!= "")
-      .agg(count_distinct(col("w")).as("v"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
     val scored = grams
       .join(broadcast(cb), Seq("g"))
       .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))

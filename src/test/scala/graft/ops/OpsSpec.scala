@@ -456,16 +456,16 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
   test("bigram LM: exact add-one probabilities, common transitions score high") {
     import spark.implicits._
     // corpus: cb("a b")=3, cb("b a")=1, cb("c d")=1; c1(a)=3, c1(b)=1,
-    // c1(c)=1; V=4 → p(a b)=4/7, p(b a)=2/5, p(c d)=2/5
+    // c1(c)=1; V=|{a,b,c}|=3 → p(a b)=4/6, p(b a)=2/4, p(c d)=2/4
     val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c d"))
       .toDF("doc_id", "text")
     val r = TextAnalysis.bigramLmScore(d, col("text"), col("doc_id"))
       .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2))))
       .toMap
     assert(r(1L)._1 == 3L)
-    assert(math.abs(r(1L)._2 - (4.0 / 7 + 2.0 / 5 + 4.0 / 7) / 3) < 1e-15)
-    assert(math.abs(r(2L)._2 - 4.0 / 7) < 1e-15)
-    assert(math.abs(r(3L)._2 - 2.0 / 5) < 1e-15)
+    assert(math.abs(r(1L)._2 - (4.0 / 6 + 2.0 / 4 + 4.0 / 6) / 3) < 1e-15)
+    assert(math.abs(r(2L)._2 - 4.0 / 6) < 1e-15)
+    assert(math.abs(r(3L)._2 - 2.0 / 4) < 1e-15)
     assert(r(2L)._2 > r(3L)._2) // the common transition outscores the rare one
   }
 
