@@ -74,7 +74,11 @@ object SparkEntry {
     "s05_embed_stats" -> (PipelineQueries.embedDimStats _),
     "s06_pq_codes" -> (PipelineQueries.pqCodes _),
     "s07_ann_pq_adc" -> (PipelineQueries.pqAdc _),
+    "s08_kmeans" -> (PipelineQueries.kmeans _),
+    "d12_semdedup" -> (PipelineQueries.semDedup _),
+    "d13_minhash_est" -> (PipelineQueries.minhashEstimate _),
     "c01_curate_pipeline" -> (PipelineQueries.curate _),
+    "c02_train_mix" -> (PipelineQueries.trainMix _),
     "t01_langid" -> (PipelineQueries.langId _),
     "t02_quality" -> (PipelineQueries.quality _),
     "t03_token_stats" -> (PipelineQueries.tokenStats _),
@@ -728,6 +732,156 @@ object SparkEntry {
          JOIN keep k ON t.doc_id = k.doc_id
          WHERE len(string_split(t.text, ' ')) >= 10
            AND t.doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+    // Mirrors Vectors.kmeansCells: 2 Lloyd rounds, seeds = 16 lowest-id
+    // vectors, assignment = argmax int64-cosine (ties -> smaller cid),
+    // update = per-dim floor(sum/count) back onto the integer grid.
+    // csum/cnorm2 digest the final centroids; dotsum is the exact
+    // integer cohesion sum.
+    "s08_kmeans" ->
+      s"""WITH pre AS ($embPreSql),
+         cents0 AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
+                    FROM pre ORDER BY vec_id LIMIT 16),
+         asg1 AS (
+           SELECT vec_id, cid FROM (
+             SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
+                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.cid) AS rn
+             FROM pre p, cents0 c) WHERE rn = 1),
+         cd1 AS (
+           SELECT a.cid, t.i AS d,
+             CAST(floor(CAST(sum(p.v[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+           FROM asg1 a JOIN pre p ON p.vec_id = a.vec_id,
+             LATERAL (SELECT unnest(generate_series(1, len(p.v))) AS i) t
+           GROUP BY a.cid, t.i),
+         cents1 AS (
+           SELECT cid, cv,
+             CAST((SELECT sum(e*e) FROM unnest(cv) t(e)) AS BIGINT) AS cn2
+           FROM (SELECT cid, list(cval ORDER BY d) AS cv FROM cd1 GROUP BY cid)),
+         asg2 AS (
+           SELECT vec_id, cid FROM (
+             SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
+                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.cid) AS rn
+             FROM pre p, cents1 c) WHERE rn = 1),
+         cd2 AS (
+           SELECT a.cid, t.i AS d,
+             CAST(floor(CAST(sum(p.v[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+           FROM asg2 a JOIN pre p ON p.vec_id = a.vec_id,
+             LATERAL (SELECT unnest(generate_series(1, len(p.v))) AS i) t
+           GROUP BY a.cid, t.i),
+         cents2 AS (
+           SELECT cid, cv,
+             CAST((SELECT sum(e) FROM unnest(cv) t(e)) AS BIGINT) AS csum,
+             CAST((SELECT sum(e*e) FROM unnest(cv) t(e)) AS BIGINT) AS cnorm2
+           FROM (SELECT cid, list(cval ORDER BY d) AS cv FROM cd2 GROUP BY cid)),
+         md AS (
+           SELECT a.cid,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS BIGINT) AS dot
+           FROM asg2 a JOIN pre p ON p.vec_id = a.vec_id
+                       JOIN cents2 c ON c.cid = a.cid)
+         SELECT m.cid AS cell_id, count(*) AS n_members,
+           max(c.csum) AS csum, max(c.cnorm2) AS cnorm2,
+           CAST(sum(m.dot) AS BIGINT) AS dotsum
+         FROM md m JOIN cents2 c ON c.cid = m.cid
+         GROUP BY m.cid""",
+    // Mirrors Vectors.semDedup: sampled-centroid cell assignment (the
+    // s03 coarse quantizer), then within-cell cosine >= 0.3 against a
+    // smaller vec_id => dropped, dup_of = smallest such neighbor.
+    "d12_semdedup" ->
+      s"""WITH pre AS ($embPreSql),
+         cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
+                   FROM pre ORDER BY vec_id LIMIT 16),
+         asg AS (
+           SELECT vec_id, cid FROM (
+             SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
+                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.cid) AS rn
+             FROM pre p, cents c) WHERE rn = 1),
+         dups AS (
+           SELECT a.vec_id, min(b.vec_id) AS dup_of
+           FROM asg a JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
+             JOIN pre pa ON pa.vec_id = a.vec_id
+             JOIN pre pb ON pb.vec_id = b.vec_id
+           WHERE CAST((SELECT sum(x*y) FROM (SELECT unnest(pa.v) x, unnest(pb.v) y)) AS DOUBLE)
+               / (sqrt(CAST(pa.n2 AS DOUBLE)) * sqrt(CAST(pb.n2 AS DOUBLE))) >= 0.3
+           GROUP BY a.vec_id)
+         SELECT a.vec_id, a.cid AS cell, d.dup_of,
+           d.dup_of IS NOT NULL AS dropped
+         FROM asg a LEFT JOIN dups d ON d.vec_id = a.vec_id""",
+    // d11's candidate + exact-Jaccard CTEs, plus the signature-agreement
+    // MinHash estimate (n_eq of 16 permutations) for each pair.
+    "d13_minhash_est" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         h AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS hw FROM sh),
+         mh AS (SELECT doc_id, j, min(((2*j+1)*hw + j*12345) % 4294967311) AS mv
+                FROM h, generate_series(0,15) t(j) GROUP BY doc_id, j),
+         bands AS (SELECT doc_id, j//4 AS band,
+                     string_agg(mv, ',' ORDER BY j) AS sig
+                   FROM mh GROUP BY doc_id, j//4),
+         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.sig = b.sig
+                       AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.da, c.db, count(*) AS c
+                   FROM cand c JOIN sh a ON a.doc_id = c.da
+                               JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+                   GROUP BY c.da, c.db),
+         neq AS (SELECT c.da, c.db, count(*) AS n_eq
+                 FROM cand c JOIN mh ma ON ma.doc_id = c.da
+                             JOIN mh mb ON mb.doc_id = c.db
+                               AND mb.j = ma.j AND mb.mv = ma.mv
+                 GROUP BY c.da, c.db)
+         SELECT c.da, c.db,
+           CAST(coalesce(n.n_eq, 0) AS BIGINT) AS n_eq,
+           CAST(coalesce(n.n_eq, 0) AS DOUBLE) / 16.0 AS est_jaccard,
+           CAST(coalesce(i.c, 0) AS DOUBLE)
+             / (sa.n + sb.n - coalesce(i.c, 0)) AS jaccard
+         FROM cand c
+         LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+         LEFT JOIN neq n ON n.da = c.da AND n.db = c.db
+         JOIN sizes sa ON sa.doc_id = c.da
+         JOIN sizes sb ON sb.doc_id = c.db""",
+    // t09's stratified keep-set feeding t12's greedy packing walk — the
+    // Spark side runs both stages as one plan.
+    "c02_train_mix" ->
+      """WITH RECURSIVE kept AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 10000
+                 < CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 7500
+                             WHEN 'fr' THEN 7500 ELSE 10000 END),
+         t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 8
+                   AS shard,
+                 n_tokens
+               FROM kept),
+         seq AS (SELECT shard, doc_id, n_tokens,
+                   row_number() OVER (PARTITION BY shard ORDER BY hx) AS pos
+                 FROM t),
+         walk(shard, pos, doc_id, n_tokens, bin, fill) AS (
+           SELECT shard, pos, doc_id, n_tokens, CAST(0 AS BIGINT),
+             n_tokens FROM seq WHERE pos = 1
+           UNION ALL
+           SELECT s.shard, s.pos, s.doc_id, s.n_tokens,
+             CASE WHEN w.fill + s.n_tokens > 256 THEN w.bin + 1
+                  ELSE w.bin END,
+             CASE WHEN w.fill + s.n_tokens > 256 THEN s.n_tokens
+                  ELSE w.fill + s.n_tokens END
+           FROM walk w JOIN seq s
+             ON s.shard = w.shard AND s.pos = w.pos + 1)
+         SELECT doc_id, shard, n_tokens, bin FROM walk""",
     "st01_stream_count" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
          FROM events GROUP BY user_id""",

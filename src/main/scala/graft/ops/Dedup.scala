@@ -253,6 +253,49 @@ object Dedup {
       .withColumn("dup", col("jaccard") >= threshold)
   }
 
+  /** MinHash-estimator audit over the LSH candidate pairs — the
+    * tuning-loop observability for a banded dedup: per candidate pair,
+    * the signature-agreement estimate of Jaccard (`n_eq/k`, the
+    * textbook MinHash estimator) NEXT TO the exact n-gram Jaccard, so
+    * the band/row configuration can be tuned against measured
+    * estimator error instead of folklore (est ≫ exact ⇒ too few
+    * permutations; systematic est < threshold on true dups ⇒ band
+    * shape too strict).
+    *
+    * Cost shape: everything is already paid for by the dedup itself —
+    * signatures come from the map-only native kernel, candidates from
+    * the banded self-join, and the exact side is the same two
+    * candidate×doc-array equi-joins as [[lshVerifiedPairs]]. `n_eq` is
+    * a per-row zip_with fold over two k-arrays; no new shuffle beyond
+    * the verify joins. */
+  def minhashEstimatePairs(df: DataFrame, text: Column, id: Column,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val cand = minhashCandidates(df, text, id, shingleN, k, bands)
+    val sig = minhashSignaturesNative(df, text, id, shingleN, k)
+    val sets = df.select(id.as("doc_id"),
+      nativeShingles(df, text, shingleN).as("sa"))
+    val nEq = aggregate(
+      zip_with(col("siga"), col("sigb"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    cand
+      .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")),
+        Seq("da"))
+      .join(sig.select(col("doc_id").as("db"), col("sig").as("sigb")),
+        Seq("db"))
+      .join(sets.select(col("doc_id").as("da"), col("sa").as("seta")),
+        Seq("da"))
+      .join(sets.select(col("doc_id").as("db"), col("sa").as("setb")),
+        Seq("db"))
+      .select(col("da"), col("db"), nEq.as("n_eq"),
+        size(array_intersect(col("seta"), col("setb"))).as("c"),
+        size(col("seta")).as("na"), size(col("setb")).as("nb"))
+      .select(col("da"), col("db"), col("n_eq"),
+        (col("n_eq").cast("double") / lit(k.toDouble)).as("est_jaccard"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .as("jaccard"))
+  }
+
   /** Benchmark decontamination: for every training document, how much of
     * its shingle set also appears in a held-out benchmark/eval corpus
     * (the n-gram-overlap decontamination step every LLM training pipeline

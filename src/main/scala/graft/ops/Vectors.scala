@@ -395,6 +395,130 @@ object Vectors {
       .filter(col("rank") <= kNeighbors)
   }
 
+  /** Exact-integer k-means (Lloyd) over the embedding corpus — the
+    * centroid TRAINER that [[annIvfTopK]] / [[pqEncode]] document as
+    * "production plugs trained centroids in": `iters` rounds of
+    * assign-to-argmax-cosine + recompute-centroid-as-mean, entirely in
+    * the int64 [[intScale]] discipline so every round — and therefore
+    * the final model — is bit-identical in any engine:
+    *
+    *  - seeding: the `k` lowest-id vectors (k-means++ would trade
+    *    determinism for convergence speed; seeding strategy is
+    *    orthogonal to the iteration machinery);
+    *  - assignment: argmax int64-cosine against the broadcast centroid
+    *    set via one `max_by` aggregation (ties → smaller centroid id),
+    *    exactly the [[annIvfTopK]] shape;
+    *  - update: per-dimension `floor(sum/count)` — the sum is exact
+    *    int64, < 2^53 so the IEEE divide's operands are exactly
+    *    representable, and floor pins the result back to an integer
+    *    grid. Cells that lose every member drop out (k shrinks).
+    *
+    * Scale shape: each round is one corpus pass — a map-side broadcast
+    * cross join + two keyed aggregations (vid, then (cid,dim) where the
+    * shuffle carries dims × cells pre-aggregated rows, never the
+    * corpus). The model (k·dims longs) is `localCheckpoint`ed between
+    * rounds to truncate lineage; the corpus-sized assignment is
+    * checkpointed once per round for reuse by the update AND the final
+    * stats pass — at 100 TB that is the same per-iteration
+    * materialization every distributed k-means (e.g. MLlib's) pays.
+    *
+    * Output, one row per surviving cell: `cell_id` (seed vid), member
+    * count, centroid digests (`csum`, `cnorm2` — any coordinate
+    * mismatch shifts these), and `dotsum` = Σ members idot(iv, civ), an
+    * exact-integer cohesion signal (the inertia analogue that needs no
+    * float fold). */
+  def kmeansCells(df: DataFrame, id: Column, emb: Column,
+      k: Int = 16, iters: Int = 2): DataFrame = {
+    val p = prepared(df, id, emb)
+    var cents = p.orderBy(col("vid")).limit(k)
+      .select(col("vid").as("cid"), col("iv").as("civ"), col("n2").as("cn2"))
+      .localCheckpoint()
+    var members: DataFrame = null
+    for (_ <- 1 to iters) {
+      members = p.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosineFromInts(idot(col("iv"), col("civ")),
+          col("n2"), col("cn2")))
+        .groupBy(col("vid"))
+        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+          first(col("iv")).as("iv"))
+        .localCheckpoint()
+      cents = members
+        .select(col("cid"), posexplode(col("iv")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
+          .cast("long").as("cv"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
+          s => s.getField("cv")).as("civ"))
+        .withColumn("cn2", idot(col("civ"), col("civ")))
+        .localCheckpoint()
+    }
+    members.join(broadcast(cents), Seq("cid"))
+      .withColumn("dot", idot(col("iv"), col("civ")))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dot")).as("dotsum"),
+        first(col("civ")).as("civ"))
+      .select(col("cid").as("cell_id"), col("n_members"),
+        aggregate(col("civ"), lit(0L), (a, x) => a + x).as("csum"),
+        idot(col("civ"), col("civ")).as("cnorm2"), col("dotsum"))
+  }
+
+  /** Sampled-centroid cell assignment — the coarse quantizer shared by
+    * [[annIvfTopK]] and [[semDedup]]: centroids are the `nCells`
+    * lowest-id vectors, each corpus vector goes to its argmax
+    * int64-cosine cell via ONE `max_by` aggregation over the broadcast
+    * model (ties → smaller centroid id). Returns (vid, cid, iv, n2). */
+  def assignSampledCells(df: DataFrame, id: Column, emb: Column,
+      nCells: Int): DataFrame = {
+    val p = prepared(df, id, emb)
+    val cents = p.orderBy(col("vid")).limit(nCells)
+      .select(col("vid").as("cid"), col("iv").as("civ"), col("n2").as("cn2"))
+    p.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosineFromInts(idot(col("iv"), col("civ")),
+        col("n2"), col("cn2")))
+      .groupBy(col("vid"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+        first(col("iv")).as("iv"), first(col("n2")).as("n2"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus, then drop documents that
+    * sit within cosine `threshold` of an earlier-id document IN THE
+    * SAME CLUSTER — the cluster partition turns O(n²) semantic pairing
+    * into O(Σ cell²), the whole point of the method at 100 TB.
+    *
+    * Clustering here is the deterministic sampled-centroid assignment
+    * ([[annIvfTopK]]'s coarse quantizer; swap in [[kmeansCells]]
+    * centroids for trained cells — the verdict machinery is identical).
+    * Verdicts are deterministic: `dup_of` = the SMALLEST earlier vid
+    * within threshold (first-writer-keeps, same tie-break as every
+    * dedup op here), exact int64 dots, one IEEE divide.
+    *
+    * Output, one row per vector: (vec_id, cell, dup_of NULL-able,
+    * dropped). Survivors = `NOT dropped` — the keep-set a curation
+    * pipeline semi-joins against. */
+  def semDedup(df: DataFrame, id: Column, emb: Column,
+      threshold: Double = 0.3, nCells: Int = 16): DataFrame = {
+    // The assignment feeds BOTH pair-join sides and the output spine;
+    // checkpoint it once instead of paying the broadcast-assign corpus
+    // pass three times (the d12 PlanSpec pins the assignment subplan's
+    // broadcast shape separately).
+    val assigned = assignSampledCells(df, id, emb, nCells).localCheckpoint()
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    val dups = a.join(b, col("a.cid") === col("b.cid") &&
+        col("b.vid") < col("a.vid"))
+      .withColumn("cos", cosineFromInts(idot(col("a.iv"), col("b.iv")),
+        col("a.n2"), col("b.n2")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("a.vid").as("vid"))
+      .agg(min(col("b.vid")).as("dup_of"))
+    assigned.select(col("vid"), col("cid"))
+      .join(dups, Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cid").as("cell"),
+        col("dup_of"), col("dup_of").isNotNull.as("dropped"))
+  }
+
   /** Per-dimension corpus statistics — the feature-normalization /
     * scaler-fitting pass (min-max bounds + coverage count per embedding
     * position) run before quantization or whitening. min/max involve no

@@ -115,6 +115,36 @@ object PipelineQueries {
       col("embedding"))
   }
 
+  /** Two-round exact-integer Lloyd k-means over the embedding corpus —
+    * the centroid trainer for the IVF/PQ quantizers — s08. */
+  def kmeans(spark: SparkSession, dir: String): DataFrame =
+    Vectors.kmeansCells(embs(spark, dir), col("vec_id"), col("embedding"))
+
+  /** SemDeDup-style cluster-then-dedup over embeddings: within-cell
+    * cosine ≥ 0.3 against an earlier id ⇒ dropped — d12. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    Vectors.semDedup(embs(spark, dir), col("vec_id"), col("embedding"))
+
+  /** MinHash-estimator audit: signature-agreement Jaccard estimate vs
+    * exact Jaccard for every LSH candidate pair — d13. */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashEstimatePairs(docs(spark, dir), col("text"), col("doc_id"))
+
+  /** Training-mix assembly composite — stratified language rebalance
+    * (t09's caps) feeding greedy context-window packing (t12's walk)
+    * as ONE plan: the sampled doc set hash-shards and packs without
+    * materializing between stages — c02. */
+  def trainMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sampled = TextAnalysis.stratifiedSample(d, col("doc_id"),
+      col("lang"), Map("en" -> 5000, "es" -> 7500, "fr" -> 7500))
+      .select(col("doc_id"))
+    val toks = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    TextAnalysis.packSequences(sampled.join(toks, Seq("doc_id")),
+      col("doc_id"), col("n_tokens"))
+  }
+
   /** End-to-end curation composite — the whole pre-training data path as
     * ONE declarative plan: quality gate (≥10 whitespace tokens) →
     * exact-dedup first-writer survivors → benchmark decontamination

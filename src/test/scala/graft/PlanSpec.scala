@@ -126,6 +126,43 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"sharding must not read the text column\n$p")
   }
 
+  test("d12: semdedup assigns via broadcast centroids, pairs via equi-join") {
+    // assignment subplan: tiny centroid model broadcast against the
+    // corpus (the full d12 plan hides it behind the reuse checkpoint)
+    import org.apache.spark.sql.functions.col
+    val asg = graft.ops.Vectors.assignSampledCells(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      col("vec_id"), col("embedding"), 16)
+      .queryExecution.executedPlan.toString
+    assert(asg.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast for assignment\n$asg")
+    assert(!asg.contains("CartesianProduct"), asg)
+    // full plan: ONE materialized assignment feeds both pair sides and
+    // the spine; pairing is an equi-join on cell id, never cartesian
+    val p = plan("d12_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cell pairing must stay an equi-join on cell id\n$p")
+    assert(!p.contains("Scan parquet") || !p.contains("FileScan"),
+      s"pair sides must reuse the checkpointed assignment, not rescan\n$p")
+  }
+
+  test("s08: kmeans final stats join broadcasts the model, not the corpus") {
+    val p = plan("s08_kmeans")
+    // after the (checkpointed) assignment, the k-row centroid model is
+    // the broadcast side of the stats join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c02: train-mix composite stays on equi-joins over two pruned scans") {
+    val p = plan("c02_train_mix")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"sample->pack composite must stay on equi-joins\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 pruned documents scans, got $scans\n$p")
+  }
+
   test("g01: the stateful fold is one exchange + in-partition sort") {
     val p = plan("g01_count_per_key")
     val exchanges = "Exchange".r.findAllIn(p).length

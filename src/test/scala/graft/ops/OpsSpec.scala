@@ -523,6 +523,86 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(!r.exists(_._1 == 0L)) // self excluded
   }
 
+  test("kmeans: centroid moves to the exact floor-mean, cells partition") {
+    import spark.implicits._
+    // Two tight groups around the two seeds (vec 0, vec 1). With k=2 the
+    // trained centroid of each cell is the per-dim floor-mean of its
+    // members, hand-computable in int space (x scaled by 1e6).
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),   // seeds
+      (2L, Array(0.8f, 0.2f)),                            // joins cell 0
+      (3L, Array(0.1f, 0.9f)))                            // joins cell 1
+      .toDF("vec_id", "embedding")
+    val r = Vectors.kmeansCells(d, col("vec_id"), col("embedding"),
+        k = 2, iters = 2)
+      .collect().map(x => (x.getAs[Long]("cell_id"),
+        (x.getAs[Long]("n_members"), x.getAs[Long]("csum"),
+         x.getAs[Long]("cnorm2")))).toMap
+    assert(r.keySet == Set(0L, 1L))
+    assert(r(0L)._1 == 2L && r(1L)._1 == 2L)
+    // Exact int arithmetic incl. the float32 artifacts: 0.8f scales to
+    // 800000 (0.80000001..), but 0.9f scales to 899999 (0.89999997..).
+    // cell 0 members {0,2}: iv sums (1800000, 200000) → floor-mean
+    // (900000, 100000)
+    assert(r(0L)._2 == 1000000L)
+    assert(r(0L)._3 == 810000000000L + 10000000000L)
+    // cell 1 members {1,3}: iv sums (100000, 1899999) → floor-mean
+    // (50000, 949999) — the .5 floors down
+    assert(r(1L)._2 == 999999L)
+    assert(r(1L)._3 == 2500000000L + 902498100001L)
+  }
+
+  test("kmeans: cells that lose every member drop out") {
+    import spark.implicits._
+    // Seed 1 is strictly worse than seed 0 for EVERY vector (vec 1
+    // equals vec 0, ties break to the smaller cid), so after round 1
+    // cell 1 is empty and the model shrinks to one cell.
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val r = Vectors.kmeansCells(d, col("vec_id"), col("embedding"),
+        k = 2, iters = 2).collect()
+    assert(r.map(_.getAs[Long]("cell_id")).toSeq == Seq(0L))
+    assert(r.head.getAs[Long]("n_members") == 3L)
+  }
+
+  test("semdedup: within-cell near-dup drops to the earliest id") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),   // centroids
+      (2L, Array(0.99f, 0.01f)),  // cell 0, near-dup of 0
+      (3L, Array(0.98f, 0.02f)),  // cell 0, near-dup of 0 and 2
+      (4L, Array(0.01f, 0.99f)))  // cell 1, near-dup of 1
+      .toDF("vec_id", "embedding")
+    val r = Vectors.semDedup(d, col("vec_id"), col("embedding"),
+        threshold = 0.9, nCells = 2)
+      .collect().map(x => (x.getAs[Long]("vec_id"),
+        (x.getAs[Boolean]("dropped"),
+         Option(x.getAs[java.lang.Long]("dup_of")).map(_.toLong)))).toMap
+    assert(r(0L) == ((false, None)))          // first writer keeps
+    assert(r(1L) == ((false, None)))
+    assert(r(2L) == ((true, Some(0L))))
+    assert(r(3L) == ((true, Some(0L))))       // smallest neighbor, not 2
+    assert(r(4L) == ((true, Some(1L))))
+    // cross-cell near-misses are never compared: orthogonal cells here
+    assert(r.values.count(_._1) == 3)
+  }
+
+  test("minhash estimate: identical docs agree on all 16 permutations") {
+    val r = Dedup.minhashEstimatePairs(docs, col("text"), col("doc_id"))
+      .collect().map(x => ((x.getAs[Long]("da"), x.getAs[Long]("db")),
+        (x.getAs[Long]("n_eq"), x.getAs[Double]("est_jaccard"),
+         x.getAs[Double]("jaccard")))).toMap
+    val (nEq, est, exact) = r((1L, 2L))
+    assert(nEq == 16L && est == 1.0 && exact == 1.0)
+    // near-dup pair (if banded in): estimate stays a valid fraction and
+    // the exact side matches jaccardPairs' value
+    r.get((1L, 3L)).foreach { case (n, e, x) =>
+      assert(n < 16L && e == n / 16.0 && x > 0.5 && x < 1.0)
+    }
+  }
+
   test("multimodal stub decode: magic sniffing + deterministic features") {
     import spark.implicits._
     val jpeg = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0x00.toByte)
