@@ -26,5 +26,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Shuffle spill, streaming checkpoints and fixture staging are all
+  // ephemeral here; tmpfs keeps them off the VM's block device, whose
+  // fsync latency is erratic (measured 3-16 s for 512 MB) and was
+  // dominating streaming micro-batch times. A real deployment puts
+  // these on fast local disks; object-store checkpoints for dura-
+  // bility are a cluster concern, not a local[32] one.
+  "-Djava.io.tmpdir=/dev/shm",
+  "-Dspark.local.dir=/dev/shm",
+  // Single-JVM local[32] with 128 GiB on the box: 8g starved the
+  // 86-query Bench/Verify mains near the end of a run (accumulated
+  // localCheckpoint blocks + RocksDB state + broadcasts -> GC thrash;
+  // the lexically-last query paid up to 20x). 28g leaves ample head-
+  // room for the driver-side tooling while staying far under the box.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

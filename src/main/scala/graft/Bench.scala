@@ -46,7 +46,14 @@ object Bench {
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Measurements must be independent: drop blocks a query pinned
+      // (localCheckpoint RDDs, cached relations) so a lexically-later
+      // query never pays an earlier query's storage-memory pressure.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(
+        _.unpersist(blocking = false))
+      name -> dt
     }
     // Millisecond precision keeps the whole line under ~1.8 KB for 67
     // queries: the harness that launches this main captures only the

@@ -37,7 +37,13 @@ object Verify {
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): coalesce propagates the
+        // 1-partition constraint up through the final stage, so a
+        // query whose last stage does real per-row work (t13's
+        // collect_list+sort fold) would execute it on ONE task.
+        // repartition adds a tiny shuffle of the (small) result and
+        // keeps the computation at full parallelism.
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2f s")
