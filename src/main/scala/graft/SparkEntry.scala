@@ -104,6 +104,7 @@ object SparkEntry {
     "st07_stream_chained" -> (StreamingQueries.streamChained _),
     "st08_stream_dedup" -> (StreamingQueries.streamDedup _),
     "st09_stream_visitor" -> (StreamingQueries.streamVisitor _),
+    "st10_stream_neardup" -> (StreamingQueries.streamNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -402,6 +403,32 @@ object SparkEntry {
            UNION
            SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src)
          SELECT id AS doc_id, min(lbl) AS cluster FROM walk GROUP BY id""",
+    // Streaming twin of the LSH bucket-membership verdict: owner of a
+    // bucket = min(doc_id) (first-seen in doc_id-timestamped order);
+    // a doc is a near-dup candidate iff any of its 4 band buckets has
+    // an earlier owner, dup_of = the smallest such owner.
+    "st10_stream_neardup" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         h AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS hw FROM sh),
+         mh AS (SELECT doc_id, j, min(((2*j+1)*hw + j*12345) % 4294967311) AS mv
+                FROM h, generate_series(0,15) t(j) GROUP BY doc_id, j),
+         bands AS (SELECT doc_id, j//4 AS band,
+                     string_agg(mv, ',' ORDER BY j) AS sig
+                   FROM mh GROUP BY doc_id, j//4),
+         own AS (SELECT band, sig, min(doc_id) AS owner
+                 FROM bands GROUP BY band, sig),
+         mo AS (SELECT b.doc_id, min(o.owner) AS own
+                FROM bands b JOIN own o
+                  ON b.band = o.band AND b.sig = o.sig
+                GROUP BY b.doc_id)
+         SELECT doc_id,
+           CASE WHEN own < doc_id THEN own END AS dup_of,
+           own < doc_id AS dup
+         FROM mo""",
     "d03_simhash" -> simhashOracleSql,
     "d06_simhash_pairs" -> simhashPairsOracleSql,
     // Mirrors Dedup.jaccardPairs incl. the skew cap: shingles in > 100

@@ -85,22 +85,33 @@ object Dedup {
       .filter(col("sig").isNotNull)
   }
 
-  /** LSH candidate pairs: band the k signatures into `bands` groups of
-    * k/bands, bucket by (band, signature), pair within buckets. Exact
-    * replication of the signature string lets the oracle reproduce it. */
-  def minhashCandidates(df: DataFrame, text: Column, id: Column,
+  /** Banded MinHash signatures: (doc_id, band, sig) — one row per
+    * (doc, band), sig = the band's k/bands minhash values joined with
+    * commas. The LSH bucket id is (band, sig); docs sharing any bucket
+    * are near-dup candidates. Map-only (native signature kernel + a
+    * per-row explode) — the shared front half of [[minhashCandidates]]
+    * and the streaming ingest-time near-dup (st10), which keys its
+    * messages by the bucket. */
+  def minhashBands(df: DataFrame, text: Column, id: Column,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
-    val rows = bands
     val perBand = k / bands
     val sig = minhashSignaturesNative(df, text, id, shingleN, k)
-    val banded = sig.select(col("doc_id"), explode(array(
-      (0 until rows).map { b =>
+    sig.select(col("doc_id"), explode(array(
+      (0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws(",", (0 until perBand).map(r =>
             element_at(col("sig"), b * perBand + r + 1)): _*)
             .as("sig"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** LSH candidate pairs: band the k signatures into `bands` groups of
+    * k/bands, bucket by (band, signature), pair within buckets. Exact
+    * replication of the signature string lets the oracle reproduce it. */
+  def minhashCandidates(df: DataFrame, text: Column, id: Column,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val banded = minhashBands(df, text, id, shingleN, k, bands)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&

@@ -19,6 +19,11 @@ import graft.streaming.{FileLookups, LookupFile, StreamExecutor,
   * seen for a fingerprint + how many carried it. */
 final case class DedupState(keep: Long, cnt: Long)
 
+/** JSON-codec'd state for [[StreamingQueries.streamNearDup]]'s collector:
+  * smallest bucket-owner reported for the doc + messages folded (the
+  * monotone counter that makes last-upsert-wins collapse possible). */
+final case class NearDupState(own: Long, n: Long)
+
 object StreamingQueries {
 
   private val nameSeq = new AtomicInteger(0)
@@ -191,6 +196,94 @@ object StreamingQueries {
     runToTable(spark, table).groupBy(col("fp"))
       .agg(max_by(col("keep_id"), col("cnt")).as("keep_id"),
         max(col("cnt")).as("cnt"))
+  }
+
+  /** Streaming ingest-time NEAR-dup detection — d02's online twin and
+    * st08's harder sibling: exact dedup keys the stream by one content
+    * fingerprint, but near-dup needs a doc to match on ANY of its LSH
+    * bucket memberships. The classic streaming decomposition is a
+    * two-processor topology (the st07 relay shape):
+    *
+    *  1. `bucket-owner`: input keyed by LSH bucket `(band, sig)` — one
+    *     message per (doc, band) from the map-only [[graft.ops.Dedup
+    *     .minhashBands]] kernel; per-bucket state = first doc seen
+    *     (the owner); every message emits `(doc → owner)` onto the
+    *     `owners` topic.
+    *  2. `neardup-collect`: input keyed by doc; folds the min owner
+    *     over the doc's band messages. min(owner) < doc_id ⇔ some
+    *     bucket had an earlier member ⇔ LSH candidate — the same
+    *     verdict d02's banded self-join reaches in batch.
+    *
+    * At 100 TB this is dedup-on-ingest for near-dups: state is sharded
+    * by bucket across the cluster, no global re-scan, and the per-doc
+    * fan-out is `bands` messages (4), constant. Messages are
+    * timestamped by doc_id and split into two micro-batches at the
+    * median, so bucket ownership established in batch 1 must gate
+    * batch-2 docs from the state store; within a batch the executor
+    * folds in timestamp order, so first-seen = min(doc_id) and the
+    * result matches the batch oracle. The collector's `n` counter only
+    * grows, so max_by(own, n) keeps the LAST upsert per doc — a state
+    * regression that re-seeded `own` mid-stream would surface, not be
+    * masked by a min() collapse. */
+  def streamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val bucketGraph = GroupGraph.define("bucket-owner")(
+      Input("buckets", Int64Codec, ProcessCallback { (ctx, msg) =>
+        val id = msg.asInstanceOf[Long]
+        val owner = ctx.value match {
+          case null => ctx.setValue(id); id
+          case o: Long => o
+        }
+        ctx.emit("owners", id.toString, owner)
+      }),
+      Persist(Int64Codec),
+      Output("owners", Int64Codec))
+    val codec = Codecs.json[NearDupState]
+    val collectGraph = GroupGraph.define("neardup-collect")(
+      Input("owners", Int64Codec, ProcessCallback { (ctx, msg) =>
+        val o = msg.asInstanceOf[Long]
+        ctx.value match {
+          case null => ctx.setValue(NearDupState(o, 1L))
+          case s: NearDupState =>
+            ctx.setValue(NearDupState(math.min(s.own, o), s.n + 1L))
+        }
+      }),
+      Persist(codec))
+    val banded = graft.ops.Dedup.minhashBands(
+      Sources.table(spark, dir, "documents"), col("text"), col("doc_id"))
+    val msgs = Sources.messages(banded, "buckets",
+      concat_ws("|", col("band"), col("sig")), col("doc_id"),
+      expr("timestamp_micros(doc_id)"), col("doc_id"))
+    val staging = tempDir("graft_stream_neardup")
+    val relayDir = tempDir("graft_stream_neardup_relay")
+    stageTwoBatches(spark, msgs, staging)
+    val msgSchema = org.apache.spark.sql.Encoders.product[Message].schema
+    val stream1 = spark.readStream.schema(msgSchema)
+      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+    val q1 = StreamSinks.routeOutputs(
+      new StreamExecutor(bucketGraph).run(spark, stream1),
+      Map("owners" -> relayDir))
+    val stream2 = spark.readStream.schema(msgSchema)
+      .parquet(relayDir).as[Message]
+    val table = new StreamExecutor(collectGraph).run(spark, stream2)
+      .filter(_.sink == SinkTable)
+      .map { e =>
+        val s = codec.decode(e.value); (e.key, s.own, s.n)
+      }.toDF("doc_key", "own", "n")
+    val name = s"stream_result_${nameSeq.incrementAndGet()}"
+    val q2 = table.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      q1.processAllAvailable() // bucket owners drain both batches
+      q2.processAllAvailable() // collector drains the relay it fed
+    } finally { q1.stop(); q2.stop() }
+    spark.table(name).groupBy(col("doc_key"))
+      .agg(max_by(col("own"), col("n")).as("own"))
+      .select(col("doc_key").cast("long").as("doc_id"),
+        when(col("own") < col("doc_key").cast("long"), col("own"))
+          .as("dup_of"),
+        (col("own") < col("doc_key").cast("long")).as("dup"))
   }
 
   /** Streaming loopback through a real feedback topic: the same
