@@ -75,6 +75,7 @@ object SparkEntry {
     "s06_pq_codes" -> (PipelineQueries.pqCodes _),
     "s07_ann_pq_adc" -> (PipelineQueries.pqAdc _),
     "s08_kmeans" -> (PipelineQueries.kmeans _),
+    "s09_ann_recall" -> (PipelineQueries.annRecall _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
     "d13_minhash_est" -> (PipelineQueries.minhashEstimate _),
     "c01_curate_pipeline" -> (PipelineQueries.curate _),
@@ -759,6 +760,84 @@ object SparkEntry {
          JOIN keep k ON t.doc_id = k.doc_id
          WHERE len(string_split(t.text, ' ')) >= 10
            AND t.doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+    // Recall@10 audit: the s01 (exact), s02 (LSH multi-probe) and s03
+    // (IVF) result sets as CTEs, hit counts by (qid, nid) equi-join.
+    "s09_ann_recall" ->
+      s"""WITH pre AS ($embPreSql),
+         exact AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM (
+               SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS DOUBLE)
+                   / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+               FROM pre q JOIN pre c ON c.vec_id <> q.vec_id
+               WHERE q.vec_id < 10))
+           WHERE rank <= 10),
+         planes AS (
+           SELECT p, d,
+             ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR),1,8))::BIGINT
+               - 2147483648 AS coef
+           FROM generate_series(0,7) tp(p), generate_series(0,63) td(d)),
+         buckets AS (
+           SELECT vec_id,
+             sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           FROM (SELECT pr.vec_id, pl.p, sum(pr.v[pl.d+1] * pl.coef) AS dot
+                 FROM pre pr, planes pl GROUP BY pr.vec_id, pl.p)
+           GROUP BY vec_id),
+         lshk AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM (
+               SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(qp.v) x, unnest(cp.v) y)) AS DOUBLE)
+                   / (sqrt(CAST(qp.n2 AS DOUBLE)) * sqrt(CAST(cp.n2 AS DOUBLE))) AS cos
+               FROM buckets q JOIN buckets c
+                 ON bit_count(xor(q.bucket, c.bucket)) <= 1
+                   AND c.vec_id <> q.vec_id
+                 JOIN pre qp ON qp.vec_id = q.vec_id
+                 JOIN pre cp ON cp.vec_id = c.vec_id
+               WHERE q.vec_id < 10))
+           WHERE rank <= 10),
+         cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
+                   FROM pre ORDER BY vec_id LIMIT 16),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
+                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.cid) AS rn
+             FROM pre p, cents c) WHERE rn = 1),
+         ivfk AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM (
+               SELECT qa.vec_id AS qid, ca.vec_id AS nid,
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(qp.v) x, unnest(cp.v) y)) AS DOUBLE)
+                   / (sqrt(CAST(qp.n2 AS DOUBLE)) * sqrt(CAST(cp.n2 AS DOUBLE))) AS cos
+               FROM assign qa JOIN assign ca
+                 ON qa.cid = ca.cid AND ca.vec_id <> qa.vec_id
+                 JOIN pre qp ON qp.vec_id = qa.vec_id
+                 JOIN pre cp ON cp.vec_id = ca.vec_id
+               WHERE qa.vec_id < 10))
+           WHERE rank <= 10)
+         SELECT e.qid, count(*) AS n_exact,
+           CAST(sum(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS lsh_hits,
+           CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS ivf_hits,
+           CAST(sum(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / 10.0 AS lsh_recall,
+           CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / 10.0 AS ivf_recall
+         FROM exact e
+         LEFT JOIN lshk l ON l.qid = e.qid AND l.nid = e.nid
+         LEFT JOIN ivfk i ON i.qid = e.qid AND i.nid = e.nid
+         GROUP BY e.qid""",
     // Mirrors Vectors.kmeansCells: 2 Lloyd rounds, seeds = 16 lowest-id
     // vectors, assignment = argmax int64-cosine (ties -> smaller cid),
     // update = per-dim floor(sum/count) back onto the integer grid.

@@ -519,6 +519,37 @@ object Vectors {
         col("dup_of"), col("dup_of").isNotNull.as("dropped"))
   }
 
+  /** ANN recall audit — recall@k of the two approximate paths
+    * ([[annLshTopK]] multi-probe, [[annIvfTopK]]) against the exact
+    * [[annTopK]] baseline, per query: the number an ANN deployment
+    * actually tunes nPlanes / nCells / probe width against, measured
+    * instead of assumed. Everything reuses the three searches' own
+    * plans; the audit adds two (qid, nid) equi-joins and one
+    * aggregation — output cardinality = |queries|.
+    *
+    * Exactness: hit counts are integers, recalls one IEEE divide by k
+    * — the whole audit is oracle-checkable like every other op here. */
+  def annRecallAudit(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, k: Int = 10, nPlanes: Int = 8, dims: Int = -1,
+      nCells: Int = 16): DataFrame = {
+    val exact = annTopK(corpus, queries, id, emb, k)
+      .select(col("qid"), col("nid"))
+    val lsh = annLshTopK(corpus, queries, id, emb, k, nPlanes, dims)
+      .select(col("qid"), col("nid"), lit(1L).as("in_lsh"))
+    val ivf = annIvfTopK(corpus, queries, id, emb, k, nCells)
+      .select(col("qid"), col("nid"), lit(1L).as("in_ivf"))
+    exact
+      .join(lsh, Seq("qid", "nid"), "left")
+      .join(ivf, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("in_lsh"), lit(0L))).as("lsh_hits"),
+        sum(coalesce(col("in_ivf"), lit(0L))).as("ivf_hits"))
+      .select(col("qid"), col("n_exact"), col("lsh_hits"), col("ivf_hits"),
+        (col("lsh_hits").cast("double") / lit(k.toDouble)).as("lsh_recall"),
+        (col("ivf_hits").cast("double") / lit(k.toDouble)).as("ivf_recall"))
+  }
+
   /** Per-dimension corpus statistics — the feature-normalization /
     * scaler-fitting pass (min-max bounds + coverage count per embedding
     * position) run before quantization or whitening. min/max involve no

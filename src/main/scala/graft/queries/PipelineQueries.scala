@@ -115,6 +115,14 @@ object PipelineQueries {
       col("embedding"))
   }
 
+  /** Recall@10 of the LSH and IVF ANN paths vs the exact baseline for
+    * the first-10-vector query set — s09. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.annRecallAudit(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 10, dims = 64)
+  }
+
   /** Two-round exact-integer Lloyd k-means over the embedding corpus —
     * the centroid trainer for the IVF/PQ quantizers — s08. */
   def kmeans(spark: SparkSession, dir: String): DataFrame =

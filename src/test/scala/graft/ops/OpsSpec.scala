@@ -603,6 +603,28 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ann recall audit: identical-vector neighbor is found by every path") {
+    import spark.implicits._
+    // 2 centroids + a twin pair near c0: for query 5 the exact top-2 is
+    // {6 (cos 1), then a centroid}; the twin lands in the same LSH
+    // bucket AND the same IVF cell, so both hit counts are >= 1 and
+    // recall is hits/k by construction.
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (5L, Array(0.9f, 0.1f)), (6L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val r = Vectors.annRecallAudit(d, d.filter($"vec_id" === 5L),
+        col("vec_id"), col("embedding"), k = 2, nPlanes = 2, dims = 2,
+        nCells = 2)
+      .collect().map(x => (x.getAs[Long]("qid"),
+        (x.getAs[Long]("n_exact"), x.getAs[Long]("lsh_hits"),
+         x.getAs[Long]("ivf_hits"), x.getAs[Double]("lsh_recall")))).toMap
+    val (n, lsh, ivf, lr) = r(5L)
+    assert(n == 2L)
+    assert(lsh >= 1L && ivf >= 1L)
+    assert(lr == lsh / 2.0)
+  }
+
   test("multimodal stub decode: magic sniffing + deterministic features") {
     import spark.implicits._
     val jpeg = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0x00.toByte)
