@@ -202,6 +202,16 @@ object Vectors {
     // (or the whole corpus, when it is smaller).
     val cents = p.orderBy(col("vid")).limit(nCells)
       .select(col("vid").as("cid"), col("iv").as("civ"), col("n2").as("cn2"))
+    annIvfTopKWith(corpus, queries, id, emb, k, cents)
+  }
+
+  /** [[annIvfTopK]] with a CALLER-SUPPLIED centroid model `(cid, civ,
+    * cn2)` — e.g. [[kmeansFit]]'s trained output. The assignment,
+    * probing and rerank machinery is byte-identical to the sampled
+    * path; only the model changes. */
+  def annIvfTopKWith(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, k: Int, cents: DataFrame): DataFrame = {
+    val p = prepared(corpus, id, emb)
     def assignCells(side: DataFrame): DataFrame =
       side.crossJoin(broadcast(cents))
         .withColumn("ccos", cosineFromInts(idot(col("iv"), col("civ")),
@@ -429,6 +439,24 @@ object Vectors {
     * float fold). */
   def kmeansCells(df: DataFrame, id: Column, emb: Column,
       k: Int = 16, iters: Int = 2): DataFrame = {
+    val (cents, members) = kmeansFit(df, id, emb, k, iters)
+    members.join(broadcast(cents), Seq("cid"))
+      .withColumn("dot", idot(col("iv"), col("civ")))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dot")).as("dotsum"),
+        first(col("civ")).as("civ"))
+      .select(col("cid").as("cell_id"), col("n_members"),
+        aggregate(col("civ"), lit(0L), (a, x) => a + x).as("csum"),
+        idot(col("civ"), col("civ")).as("cnorm2"), col("dotsum"))
+  }
+
+  /** The Lloyd loop behind [[kmeansCells]], returning the raw model:
+    * (final centroids (cid, civ, cn2), final assignment (vid, cid,
+    * iv)). Exposed so downstream quantizers ([[annIvfTopKWith]]) can
+    * consume TRAINED centroids through the identical machinery the
+    * sampled ones use. Both sides are checkpointed. */
+  def kmeansFit(df: DataFrame, id: Column, emb: Column,
+      k: Int, iters: Int): (DataFrame, DataFrame) = {
     val p = prepared(df, id, emb)
     var cents = p.orderBy(col("vid")).limit(k)
       .select(col("vid").as("cid"), col("iv").as("civ"), col("n2").as("cn2"))
@@ -453,14 +481,7 @@ object Vectors {
         .withColumn("cn2", idot(col("civ"), col("civ")))
         .localCheckpoint()
     }
-    members.join(broadcast(cents), Seq("cid"))
-      .withColumn("dot", idot(col("iv"), col("civ")))
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_members"), sum(col("dot")).as("dotsum"),
-        first(col("civ")).as("civ"))
-      .select(col("cid").as("cell_id"), col("n_members"),
-        aggregate(col("civ"), lit(0L), (a, x) => a + x).as("csum"),
-        idot(col("civ"), col("civ")).as("cnorm2"), col("dotsum"))
+    (cents, members)
   }
 
   /** Sampled-centroid cell assignment — the coarse quantizer shared by

@@ -128,6 +128,18 @@ object PipelineQueries {
   def kmeans(spark: SparkSession, dir: String): DataFrame =
     Vectors.kmeansCells(embs(spark, dir), col("vec_id"), col("embedding"))
 
+  /** IVF search over the TRAINED k-means centroids — the end-to-end
+    * train-then-search pipeline (s08's model consumed by s03's
+    * machinery), proving trained centroids plug into the identical
+    * quantizer plan — s10. */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val (cents, _) = Vectors.kmeansFit(e, col("vec_id"), col("embedding"),
+      k = 16, iters = 2)
+    Vectors.annIvfTopKWith(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 10, cents)
+  }
+
   /** SemDeDup-style cluster-then-dedup over embeddings: within-cell
     * cosine ≥ 0.3 against an earlier id ⇒ dropped — d12. */
   def semDedup(spark: SparkSession, dir: String): DataFrame =
