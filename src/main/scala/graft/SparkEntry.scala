@@ -56,6 +56,7 @@ object SparkEntry {
     "q19_cube" -> (Relational.cubeAgg _),
     "q20_grouping_sets" -> (Relational.groupingSetsAgg _),
     "q21_percentiles" -> (Relational.percentiles _),
+    "q22_pivot" -> (Relational.pivotAgg _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "t11_shuffle_shard" -> (PipelineQueries.shuffleShard _),
     "t12_pack_sequences" -> (PipelineQueries.packSequences _),
     "t13_bigram_lm" -> (PipelineQueries.bigramLm _),
+    "t14_kmv_distinct" -> (PipelineQueries.kmvTokens _),
     "m01_multimodal" -> (PipelineQueries.multimodal _),
     "m02_media_resize" -> (PipelineQueries.mediaResize _),
     "m03_frame_sample" -> (PipelineQueries.frameSample _),
@@ -328,6 +330,41 @@ object SparkEntry {
          SELECT CAST(user_id AS VARCHAR) AS key,
            epoch_us(min(ts)) AS session_start, count(*) AS cnt
          FROM sess GROUP BY user_id, sid""",
+    // Pivot = conditional aggregation with an explicit value list;
+    // absent cells are 0 (count FILTER), matching the coalesce.
+    "q22_pivot" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY 1""",
+    // Mirrors TextAnalysis.kmvDistinct: k=16 minimum distinct 32-bit
+    // md5 hashes per language; estimate (k-1)*2^32/x_k, exact below
+    // capacity; the true distinct count rides along as the audit.
+    "t14_kmv_distinct" ->
+      """WITH tok AS (
+           SELECT DISTINCT lang AS stratum, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         tok2 AS (SELECT stratum, w FROM tok WHERE w <> ''),
+         hs AS (SELECT DISTINCT stratum,
+                  ('0x' || substr(md5(w),1,8))::BIGINT AS hw
+                FROM tok2),
+         ranked AS (SELECT stratum, hw,
+                      row_number() OVER (PARTITION BY stratum ORDER BY hw) AS rn
+                    FROM hs),
+         agg AS (SELECT stratum, count(*) AS n_hashes,
+                   max(CASE WHEN rn <= 16 THEN hw END) AS kth
+                 FROM ranked GROUP BY stratum),
+         ex AS (SELECT stratum, count(*) AS n_exact FROM tok2
+                GROUP BY stratum)
+         SELECT e.stratum, e.n_exact, a.n_hashes,
+           CASE WHEN a.n_hashes >= 16 THEN a.kth END AS kth_hash,
+           CASE WHEN a.n_hashes >= 16
+             THEN CAST(64424509440 AS DOUBLE) / CAST(a.kth AS DOUBLE)
+             ELSE CAST(e.n_exact AS DOUBLE) END AS est_distinct
+         FROM ex e JOIN agg a ON a.stratum = e.stratum""",
     "q19_cube" ->
       """SELECT c_mktsegment, n_regionkey, count(*) AS cnt,
            CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal

@@ -209,6 +209,47 @@ object TextAnalysis {
           / size(col("lst")).cast("double")).as("rarity"))
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch per stratum — the
+    * mergeable cardinality sketch of the theta/KMV family (Bar-Yossef
+    * et al. 2002), here with a DETERMINISTIC md5 hash so, unlike HLL
+    * implementations, every sketch register — and therefore the
+    * estimate itself — is bit-identical in any engine and
+    * oracle-checkable. Estimate: with x_k = the k-th smallest distinct
+    * 32-bit hash value, distinct ≈ (k-1)·2^32 / x_k; strata with fewer
+    * than k distinct hashes report their exact count (the sketch is
+    * exact below its capacity). The exact distinct count rides along,
+    * so the output doubles as the sketch's own error audit.
+    *
+    * Scale shape: the candidate set prunes to the per-partition k
+    * minima before the shuffle (the window+filter keeps only rank ≤ k
+    * per stratum — Spark computes it after one exchange of the
+    * DISTINCT hashes, which the preceding distinct already paid for);
+    * a production deployment keeps only the k-row sketch per stratum,
+    * merge = union + re-take-k-min, exactly this plan re-run. */
+  def kmvDistinct(df: DataFrame, text: Column, stratum: Column,
+      k: Int = 64): DataFrame = {
+    val tok = df.select(stratum.as("stratum"),
+        explode(array_distinct(split(text, " "))).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+    val hs = tok.select(col("stratum"), h32(col("w")).as("hw")).distinct()
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("hw"))
+    val exact = tok.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_exact"))
+    hs.withColumn("rn", row_number().over(wS))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_hashes"),
+        max(when(col("rn") <= k, col("hw"))).as("kth"))
+      .join(exact, Seq("stratum"))
+      .select(col("stratum"), col("n_exact"), col("n_hashes"),
+        when(col("n_hashes") >= k, col("kth")).as("kth_hash"),
+        when(col("n_hashes") >= k,
+          lit((k - 1L) * 4294967296L).cast("double")
+            / col("kth").cast("double"))
+          .otherwise(col("n_exact").cast("double")).as("est_distinct"))
+  }
+
   /** Deterministic global shuffle + sharding — the "shuffle once, shard
     * for N trainers" write path of every training-data pipeline. Shard =
     * md5 bucket of the id (mod `shards`), position = dense order of the

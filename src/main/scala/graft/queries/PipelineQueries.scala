@@ -225,6 +225,15 @@ object PipelineQueries {
   def rarity(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.rarityScore(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** Per-language KMV distinct-token sketch next to the exact count —
+    * deterministic cardinality estimation with its own error audit —
+    * t14. */
+  def kmvTokens(spark: SparkSession, dir: String): DataFrame =
+    // k=16 < the fixture's per-lang vocabulary, so the ESTIMATOR arm
+    // (not just the exact-below-capacity fallback) is oracle-checked
+    TextAnalysis.kmvDistinct(docs(spark, dir), col("text"), col("lang"),
+      k = 16)
+
   /** Corpus-fitted add-one bigram LM fluency score per doc — t13. */
   def bigramLm(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLmScore(docs(spark, dir), col("text"), col("doc_id"))

@@ -281,6 +281,24 @@ object Relational {
         expr("percentile(l_quantity, 0.75)").as("p75"),
         count(lit(1)).as("cnt"))
 
+  /** Pivot / wide aggregation: one row per day, one column per event
+    * type — the long→wide reshape analytics surfaces expect. The value
+    * list is EXPLICIT (`pivot(col, values)`), which at 100 TB is the
+    * difference between a single pass and a blocking distinct-scan of
+    * the pivot column to discover it; absent cells coalesce to 0 so
+    * the result is total. Physically this is the same conditional
+    * aggregation the oracle spells out — one shuffle on the day key. */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    table(spark, dir, "events")
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
   def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
       .select(col("event_id"), (col("user_id") % 3).as("hot"))

@@ -625,6 +625,26 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(lr == lsh / 2.0)
   }
 
+  test("kmv sketch: exact below capacity, estimator above, deterministic") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c", "small"),                       // 3 distinct < k
+      (2L, "a b c d e f g h i j k l", "big"),       // 12 distinct >= k
+      (3L, "m n o p q r", "big"))                   // big: 18 distinct
+      .toDF("doc_id", "text", "grp")
+    val r = TextAnalysis.kmvDistinct(d, col("text"), col("grp"), k = 4)
+      .collect().map(x => (x.getAs[String]("stratum"),
+        (x.getAs[Long]("n_exact"), Option(x.getAs[java.lang.Long]("kth_hash")),
+         x.getAs[Double]("est_distinct")))).toMap
+    // below capacity: kth_hash null, estimate IS the exact count
+    assert(r("small") == ((3L, None, 3.0)))
+    // above capacity: estimate = 3*2^32 / kth, in a sane band around 18
+    val (n, kth, est) = r("big")
+    assert(n == 18L && kth.isDefined)
+    assert(est == 3.0 * 4294967296.0 / kth.get.toDouble)
+    assert(est > 4.0 && est < 100.0)
+  }
+
   test("multimodal stub decode: magic sniffing + deterministic features") {
     import spark.implicits._
     val jpeg = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0x00.toByte)
