@@ -55,17 +55,24 @@ object Bench {
         _.unpersist(blocking = false))
       name -> dt
     }
-    // Millisecond precision keeps the whole line under ~1.8 KB for 67
-    // queries: the harness that launches this main captures only the
-    // LAST 2000 chars of output, and full-double formatting pushed the
-    // line past that window — the JSON's head was cut off and no round's
-    // bench ever parsed (BENCH_r01..r04 all have "parsed": null).
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    // The harness that launches this main captures only the LAST 2000
+    // chars of output. At 92 queries even 2-decimal formatting can push
+    // the line past that window, clipping its HEAD — so the headline
+    // fields (total, failed) go at the END of the line, where the tail
+    // window always keeps them, and the COMPLETE json is also written
+    // to BENCH_FULL.json in the working directory as the durable
+    // artifact.
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"queries":$qs,"sf":"$sfDir","failed":$failedJson,"metric":"total","unit":"sec","value":${f2(total)}}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -57,6 +57,7 @@ object SparkEntry {
     "q20_grouping_sets" -> (Relational.groupingSetsAgg _),
     "q21_percentiles" -> (Relational.percentiles _),
     "q22_pivot" -> (Relational.pivotAgg _),
+    "q23_unpivot" -> (Relational.unpivotAgg _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -340,6 +341,26 @@ object SparkEntry {
            count(*) FILTER (WHERE event_type = 'signup') AS signup,
            count(*) FILTER (WHERE event_type = 'view') AS view
          FROM events GROUP BY 1""",
+    // q22's wide matrix melted back to long — UNION ALL arm per value
+    // column, the engine-portable spelling of UNPIVOT.
+    "q23_unpivot" ->
+      """WITH wide AS (
+           SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             count(*) FILTER (WHERE event_type = 'click') AS click,
+             count(*) FILTER (WHERE event_type = 'error') AS error,
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             count(*) FILTER (WHERE event_type = 'view') AS view
+           FROM events GROUP BY 1)
+         SELECT day, 'click' AS event_type, click AS cnt FROM wide
+         UNION ALL
+         SELECT day, 'error', error FROM wide
+         UNION ALL
+         SELECT day, 'purchase', purchase FROM wide
+         UNION ALL
+         SELECT day, 'signup', signup FROM wide
+         UNION ALL
+         SELECT day, 'view', view FROM wide""",
     // Mirrors TextAnalysis.kmvDistinct: k=16 minimum distinct 32-bit
     // md5 hashes per language; estimate (k-1)*2^32/x_k, exact below
     // capacity; the true distinct count rides along as the audit.

@@ -299,6 +299,18 @@ object Relational {
         coalesce(col(t), lit(0L)).as(t)): _*)
   }
 
+  /** Unpivot / melt — the wide→long inverse of [[pivotAgg]]: the daily
+    * event-type matrix back to (day, event_type, cnt) rows. Physically
+    * an Expand (each input row emits one row per value column) — narrow,
+    * no shuffle beyond what produced the wide input; the oracle spells
+    * the same thing as UNION ALL arms. Round-tripping q22's pivot
+    * proves the two reshapes are mutual inverses on this corpus. */
+  def unpivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    pivotAgg(spark, dir)
+      .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "cnt")
+  }
+
   def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
       .select(col("event_id"), (col("user_id") % 3).as("hot"))
