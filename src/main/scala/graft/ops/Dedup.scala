@@ -85,17 +85,12 @@ object Dedup {
       .filter(col("sig").isNotNull)
   }
 
-  /** Banded MinHash signatures: (doc_id, band, sig) — one row per
-    * (doc, band), sig = the band's k/bands minhash values joined with
-    * commas. The LSH bucket id is (band, sig); docs sharing any bucket
-    * are near-dup candidates. Map-only (native signature kernel + a
-    * per-row explode) — the shared front half of [[minhashCandidates]]
-    * and the streaming ingest-time near-dup (st10), which keys its
-    * messages by the bucket. */
-  def minhashBands(df: DataFrame, text: Column, id: Column,
-      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+  /** Band-explode of a signature table (doc_id, sig ARRAY<LONG>, ...):
+    * (doc_id, band, sig) with sig = the band's k/bands values joined
+    * with commas — shared by [[minhashBands]] and the single-pass
+    * verified/audited pipelines. */
+  private def bandsOf(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val perBand = k / bands
-    val sig = minhashSignaturesNative(df, text, id, shingleN, k)
     sig.select(col("doc_id"), explode(array(
       (0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -106,18 +101,49 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** LSH candidate pairs: band the k signatures into `bands` groups of
-    * k/bands, bucket by (band, signature), pair within buckets. Exact
-    * replication of the signature string lets the oracle reproduce it. */
-  def minhashCandidates(df: DataFrame, text: Column, id: Column,
-      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
-    val banded = minhashBands(df, text, id, shingleN, k, bands)
+  /** Candidate pairs from a banded table: bucket equi-join on
+    * (band, sig), smaller id first, distinct. */
+  private def candidatesOf(banded: DataFrame): DataFrame = {
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+  }
+
+  /** Banded MinHash signatures: (doc_id, band, sig) — one row per
+    * (doc, band), sig = the band's k/bands minhash values joined with
+    * commas. The LSH bucket id is (band, sig); docs sharing any bucket
+    * are near-dup candidates. Map-only (native signature kernel + a
+    * per-row explode) — the shared front half of [[minhashCandidates]]
+    * and the streaming ingest-time near-dup (st10), which keys its
+    * messages by the bucket. */
+  def minhashBands(df: DataFrame, text: Column, id: Column,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame =
+    bandsOf(minhashSignaturesNative(df, text, id, shingleN, k), k, bands)
+
+  /** LSH candidate pairs: band the k signatures into `bands` groups of
+    * k/bands, bucket by (band, signature), pair within buckets. Exact
+    * replication of the signature string lets the oracle reproduce it. */
+  def minhashCandidates(df: DataFrame, text: Column, id: Column,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame =
+    candidatesOf(minhashBands(df, text, id, shingleN, k, bands))
+
+  /** ONE corpus pass for the verified/audited LSH pipelines: per doc,
+    * the k-value minhash signature AND the distinct shingle set from
+    * the two native kernels, checkpointed — candidate generation and
+    * both sides of the verify joins read the materialization instead
+    * of re-scanning the corpus (the naive composition paid 3-6 corpus
+    * passes; at 100 TB the re-scans dwarf the tiny candidate joins). */
+  private def sigAndShingles(df: DataFrame, text: Column, id: Column,
+      shingleN: Int, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df.select(id.as("doc_id"),
+        call_function("graft_minhash", text, lit(shingleN), lit(k)).as("sig"),
+        call_function("graft_shingles", text, lit(shingleN)).as("sa"))
+      .filter(col("sig").isNotNull)
+      .localCheckpoint()
   }
 
   /** 60-bit SimHash per doc over its distinct whitespace tokens: bit i is
@@ -247,13 +273,12 @@ object Dedup {
   def lshVerifiedPairs(df: DataFrame, text: Column, id: Column,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    val cand = minhashCandidates(df, text, id, shingleN, k, bands)
-    val sets = df.select(id.as("doc_id"),
-      nativeShingles(df, text, shingleN).as("sa"))
+    val perDoc = sigAndShingles(df, text, id, shingleN, k)
+    val cand = candidatesOf(bandsOf(perDoc, k, bands))
     cand
-      .join(sets.select(col("doc_id").as("da"), col("sa").as("seta")),
+      .join(perDoc.select(col("doc_id").as("da"), col("sa").as("seta")),
         Seq("da"))
-      .join(sets.select(col("doc_id").as("db"), col("sa").as("setb")),
+      .join(perDoc.select(col("doc_id").as("db"), col("sa").as("setb")),
         Seq("db"))
       .select(col("da"), col("db"),
         size(array_intersect(col("seta"), col("setb"))).as("c"),
@@ -281,23 +306,17 @@ object Dedup {
     * the verify joins. */
   def minhashEstimatePairs(df: DataFrame, text: Column, id: Column,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
-    val cand = minhashCandidates(df, text, id, shingleN, k, bands)
-    val sig = minhashSignaturesNative(df, text, id, shingleN, k)
-    val sets = df.select(id.as("doc_id"),
-      nativeShingles(df, text, shingleN).as("sa"))
+    val perDoc = sigAndShingles(df, text, id, shingleN, k)
+    val cand = candidatesOf(bandsOf(perDoc, k, bands))
     val nEq = aggregate(
       zip_with(col("siga"), col("sigb"),
         (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L), (acc, v) => acc + v)
     cand
-      .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")),
-        Seq("da"))
-      .join(sig.select(col("doc_id").as("db"), col("sig").as("sigb")),
-        Seq("db"))
-      .join(sets.select(col("doc_id").as("da"), col("sa").as("seta")),
-        Seq("da"))
-      .join(sets.select(col("doc_id").as("db"), col("sa").as("setb")),
-        Seq("db"))
+      .join(perDoc.select(col("doc_id").as("da"), col("sig").as("siga"),
+        col("sa").as("seta")), Seq("da"))
+      .join(perDoc.select(col("doc_id").as("db"), col("sig").as("sigb"),
+        col("sa").as("setb")), Seq("db"))
       .select(col("da"), col("db"), nEq.as("n_eq"),
         size(array_intersect(col("seta"), col("setb"))).as("c"),
         size(col("seta")).as("na"), size(col("setb")).as("nb"))

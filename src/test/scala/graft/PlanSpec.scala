@@ -163,6 +163,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(scans == 2, s"expected 2 pruned documents scans, got $scans\n$p")
   }
 
+  test("d11/d13: verify joins reuse the ONE materialized corpus pass") {
+    // signature + shingle set come from a single checkpointed scan;
+    // candidate generation and both verify-join sides read the
+    // materialization — the final plan must not touch parquet again
+    for (q <- Seq("d11_lsh_verify", "d13_minhash_est")) {
+      val p = plan(q)
+      assert(!p.contains("Scan parquet"),
+        s"$q must reuse the checkpointed per-doc table, not rescan\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("g01: the stateful fold is one exchange + in-partition sort") {
     val p = plan("g01_count_per_key")
     val exchanges = "Exchange".r.findAllIn(p).length
