@@ -81,6 +81,7 @@ object SparkEntry {
     "s10_ann_ivf_trained" -> (PipelineQueries.annIvfTrained _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
     "d13_minhash_est" -> (PipelineQueries.minhashEstimate _),
+    "d14_semdedup_trained" -> (PipelineQueries.semDedupTrained _),
     "c01_curate_pipeline" -> (PipelineQueries.curate _),
     "c02_train_mix" -> (PipelineQueries.trainMix _),
     "t01_langid" -> (PipelineQueries.langId _),
@@ -1018,6 +1019,69 @@ object SparkEntry {
            CAST(sum(m.dot) AS BIGINT) AS dotsum
          FROM md m JOIN cents2 c ON c.cid = m.cid
          GROUP BY m.cid""",
+    // d12's verdict machinery over s10's TRAINED cells: the two-round
+    // Lloyd chain, assignment against cents2, then within-cell
+    // cosine >= 0.3 vs a smaller vec_id => dropped.
+    "d14_semdedup_trained" ->
+      s"""WITH pre AS ($embPreSql),
+         cents0 AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
+                    FROM pre ORDER BY vec_id LIMIT 16),
+         asg1 AS (
+           SELECT vec_id, cid FROM (
+             SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
+                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.cid) AS rn
+             FROM pre p, cents0 c) WHERE rn = 1),
+         cd1 AS (
+           SELECT a.cid, t.i AS d,
+             CAST(floor(CAST(sum(p.v[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+           FROM asg1 a JOIN pre p ON p.vec_id = a.vec_id,
+             LATERAL (SELECT unnest(generate_series(1, len(p.v))) AS i) t
+           GROUP BY a.cid, t.i),
+         cents1 AS (
+           SELECT cid, cv,
+             CAST((SELECT sum(e*e) FROM unnest(cv) t(e)) AS BIGINT) AS cn2
+           FROM (SELECT cid, list(cval ORDER BY d) AS cv FROM cd1 GROUP BY cid)),
+         asg2 AS (
+           SELECT vec_id, cid FROM (
+             SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
+                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.cid) AS rn
+             FROM pre p, cents1 c) WHERE rn = 1),
+         cd2 AS (
+           SELECT a.cid, t.i AS d,
+             CAST(floor(CAST(sum(p.v[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+           FROM asg2 a JOIN pre p ON p.vec_id = a.vec_id,
+             LATERAL (SELECT unnest(generate_series(1, len(p.v))) AS i) t
+           GROUP BY a.cid, t.i),
+         cents2 AS (
+           SELECT cid, cv,
+             CAST((SELECT sum(e*e) FROM unnest(cv) t(e)) AS BIGINT) AS cn2
+           FROM (SELECT cid, list(cval ORDER BY d) AS cv FROM cd2 GROUP BY cid)),
+         assignT AS (
+           SELECT vec_id, cid FROM (
+             SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
+                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.cid) AS rn
+             FROM pre p, cents2 c) WHERE rn = 1),
+         dups AS (
+           SELECT a.vec_id, min(b.vec_id) AS dup_of
+           FROM assignT a JOIN assignT b
+             ON a.cid = b.cid AND b.vec_id < a.vec_id
+             JOIN pre pa ON pa.vec_id = a.vec_id
+             JOIN pre pb ON pb.vec_id = b.vec_id
+           WHERE CAST((SELECT sum(x*y) FROM (SELECT unnest(pa.v) x, unnest(pb.v) y)) AS DOUBLE)
+               / (sqrt(CAST(pa.n2 AS DOUBLE)) * sqrt(CAST(pb.n2 AS DOUBLE))) >= 0.3
+           GROUP BY a.vec_id)
+         SELECT a.vec_id, a.cid AS cell, d.dup_of,
+           d.dup_of IS NOT NULL AS dropped
+         FROM assignT a LEFT JOIN dups d ON d.vec_id = a.vec_id""",
     // Mirrors Vectors.semDedup: sampled-centroid cell assignment (the
     // s03 coarse quantizer), then within-cell cosine >= 0.3 against a
     // smaller vec_id => dropped, dup_of = smallest such neighbor.

@@ -494,13 +494,18 @@ object Vectors {
     val p = prepared(df, id, emb)
     val cents = p.orderBy(col("vid")).limit(nCells)
       .select(col("vid").as("cid"), col("iv").as("civ"), col("n2").as("cn2"))
+    assignCellsWith(p, cents)
+  }
+
+  /** Argmax-cosine cell assignment of a prepared table against an
+    * arbitrary centroid model (cid, civ, cn2) — sampled or trained. */
+  private def assignCellsWith(p: DataFrame, cents: DataFrame): DataFrame =
     p.crossJoin(broadcast(cents))
       .withColumn("ccos", cosineFromInts(idot(col("iv"), col("civ")),
         col("n2"), col("cn2")))
       .groupBy(col("vid"))
       .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
         first(col("iv")).as("iv"), first(col("n2")).as("n2"))
-  }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus, then drop documents that
@@ -519,12 +524,24 @@ object Vectors {
     * dropped). Survivors = `NOT dropped` — the keep-set a curation
     * pipeline semi-joins against. */
   def semDedup(df: DataFrame, id: Column, emb: Column,
-      threshold: Double = 0.3, nCells: Int = 16): DataFrame = {
+      threshold: Double = 0.3, nCells: Int = 16): DataFrame =
+    semDedupAssigned(assignSampledCells(df, id, emb, nCells), threshold)
+
+  /** [[semDedup]] with a CALLER-SUPPLIED centroid model — e.g.
+    * [[kmeansFit]]'s trained output; the verdict machinery is
+    * byte-identical to the sampled path. */
+  def semDedupWith(df: DataFrame, id: Column, emb: Column,
+      threshold: Double, cents: DataFrame): DataFrame =
+    semDedupAssigned(assignCellsWith(prepared(df, id, emb), cents),
+      threshold)
+
+  private def semDedupAssigned(assignment: DataFrame,
+      threshold: Double): DataFrame = {
     // The assignment feeds BOTH pair-join sides and the output spine;
     // checkpoint it once instead of paying the broadcast-assign corpus
     // pass three times (the d12 PlanSpec pins the assignment subplan's
     // broadcast shape separately).
-    val assigned = assignSampledCells(df, id, emb, nCells).localCheckpoint()
+    val assigned = assignment.localCheckpoint()
     val a = assigned.as("a")
     val b = assigned.as("b")
     val dups = a.join(b, col("a.cid") === col("b.cid") &&

@@ -145,6 +145,17 @@ object PipelineQueries {
   def semDedup(spark: SparkSession, dir: String): DataFrame =
     Vectors.semDedup(embs(spark, dir), col("vec_id"), col("embedding"))
 
+  /** SemDeDup over the TRAINED k-means cells — the full
+    * cluster-then-dedup pipeline of the paper (train the clustering,
+    * partition by it, drop within-cell near-dups) — d14. */
+  def semDedupTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val (cents, _) = Vectors.kmeansFit(e, col("vec_id"), col("embedding"),
+      k = 16, iters = 2)
+    Vectors.semDedupWith(e, col("vec_id"), col("embedding"),
+      threshold = 0.3, cents)
+  }
+
   /** MinHash-estimator audit: signature-agreement Jaccard estimate vs
     * exact Jaccard for every LSH candidate pair — d13. */
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame =
