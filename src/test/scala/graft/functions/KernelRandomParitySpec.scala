@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.ops.Dedup
+
+/** Randomized parity sweep for the native codegen kernels — the
+  * highest-risk code in the repo (hand-written eval + doGenCode) gets
+  * hammered with a seeded corpus far beyond the hand-picked parity
+  * cases: multi-byte UTF-8, repeated tokens, double spaces,
+  * empty/short docs, long docs. Every doc must produce EXACTLY the
+  * declarative (pure-Catalyst) result the kernel replaced, which is
+  * also what the DuckDB oracles mirror. Seeded Random = reproducible
+  * failures. */
+class KernelRandomParitySpec extends AnyFunSuite with SparkFixture {
+
+  private val vocab = Array(
+    "a", "b", "cat", "dog", "the", "Zebra", "héllo", "wörld", "日本語",
+    "x1", "", "punct.", "comma,", "UPPER", "mIxEd", "0", "42",
+    "tab\tinside", "quote'q", "longtokenlongtokenlongtoken")
+
+  private def randomDocs(seed: Long, n: Int): Seq[(Int, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val len = rnd.nextInt(31) // 0..30 tokens
+      val sep = if (rnd.nextInt(5) == 0) "  " else " " // double spaces too
+      i -> (0 until len).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(sep)
+    }
+  }
+
+  private def df = {
+    val spark0 = spark
+    import spark0.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    randomDocs(seed = 0xCAFE, n = 200).toDF("id", "text")
+  }
+
+  test("graft_shingles distinct mode ≡ declarative array pipeline, n=2,3,8") {
+    for (n <- Seq(2, 3, 8)) {
+      val cmp = df.select(
+        call_function("graft_shingles", col("text"), lit(n)).as("nat"),
+        Dedup.shingleArray(col("text"), n).as("dec"))
+        .filter(not(col("nat") <=> col("dec")))
+      assert(cmp.count() == 0, s"n=$n: ${cmp.take(3).mkString("; ")}")
+    }
+  }
+
+  test("graft_shingles positional mode ≡ declarative sliding windows, n=2,8") {
+    for (n <- Seq(2, 8)) {
+      val w = split(col("text"), " ")
+      val dec = when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      val cmp = df.select(
+        call_function("graft_shingles", col("text"), lit(n), lit(false))
+          .as("nat"),
+        dec.as("dec"))
+        .filter(not(col("nat") <=> col("dec")))
+      assert(cmp.count() == 0, s"n=$n: ${cmp.take(3).mkString("; ")}")
+    }
+  }
+
+  test("graft_minhash ≡ declarative k-conditional-min aggregation") {
+    val declarative = Dedup.minhashSignatures(
+        Dedup.shingles(df, col("text"), col("id"), 3), 16)
+      .collect()
+      .map(r => r.getInt(0) -> (0 until 16).map(j => r.getLong(j + 1)))
+      .toMap
+    val native = Dedup.minhashSignaturesNative(df, col("text"), col("id"),
+        3, 16)
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toIndexedSeq)
+      .toMap
+    assert(native == declarative)
+  }
+
+  test("graft_simhash ≡ declarative majority-vote aggregation") {
+    val declarative = Dedup.simhashDeclarative(df, col("text"), col("id"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val native = Dedup.simhash(df, col("text"), col("id"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // split("") = [""], so even zero-token docs yield one (empty-string)
+    // token on both sides — the row sets must match exactly
+    assert(native.keySet == declarative.keySet)
+    assert(declarative.forall { case (id, s) => native(id) == s })
+  }
+
+  test("graft_rolling_hash ≡ byte-loop reference on random docs") {
+    val rows = df.select(col("id"), col("text"),
+        call_function("graft_rolling_hash", col("text")).as("rfp"))
+      .collect()
+    def ref(s: String): Long = {
+      var h = 0L // h_{i+1} = h_i * B + byte_i, B = RollingHash.DefaultBase
+      s.getBytes("UTF-8").foreach { b =>
+        h = h * RollingHash.DefaultBase + (b.toLong & 0xffL)
+      }
+      h
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) == ref(r.getString(1)),
+        s"doc ${r.getInt(0)}: '${r.getString(1).take(40)}'")
+    }
+  }
+}
