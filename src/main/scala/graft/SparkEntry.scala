@@ -58,6 +58,7 @@ object SparkEntry {
     "q21_percentiles" -> (Relational.percentiles _),
     "q22_pivot" -> (Relational.pivotAgg _),
     "q23_unpivot" -> (Relational.unpivotAgg _),
+    "q24_bucketed_join" -> (Relational.bucketedJoin _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -342,6 +343,14 @@ object SparkEntry {
            count(*) FILTER (WHERE event_type = 'signup') AS signup,
            count(*) FILTER (WHERE event_type = 'view') AS view
          FROM events GROUP BY 1""",
+    // The bucketing is invisible to the result: the plain join is the
+    // oracle (sum through DECIMAL like q01, cast to double at the end).
+    "q24_bucketed_join" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F'
+         GROUP BY l_returnflag""",
     // q22's wide matrix melted back to long — UNION ALL arm per value
     // column, the engine-portable spelling of UNPIVOT.
     "q23_unpivot" ->

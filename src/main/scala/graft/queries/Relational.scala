@@ -311,6 +311,55 @@ object Relational {
       .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "cnt")
   }
 
+  /** Bucketed co-located join — the "pre-partition once, join free
+    * forever" scale pattern: lineitem and orders are persisted as
+    * bucketed tables (8 buckets on the order key, sorted within
+    * buckets), so the join consumes the bucketing and needs NO
+    * exchange on either side — the only shuffle in the plan is the
+    * final small aggregation (PlanSpec pins exactly that). At 100 TB
+    * this is the difference between re-shuffling the fact table on
+    * every join and paying the partitioning once at ingest; the same
+    * declaration drives Spark's bucketed scans on a real warehouse.
+    * Bucket count is 8 here to keep the fixture write cheap; the
+    * result is bucketing-independent and oracle-checked. */
+  /** Drop `tbl` from the catalog AND its warehouse directory: a fresh
+    * session's in-memory catalog forgets managed tables, but their
+    * directories survive on disk and block the next CREATE
+    * (LOCATION_ALREADY_EXISTS). */
+  private def dropManaged(spark: SparkSession, tbl: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    scala.util.Try {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = new java.net.URI(wh).getPath
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      val d = new java.io.File(path, tbl)
+      if (d.exists) rm(d)
+    }
+    ()
+  }
+
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    dropManaged(spark, "graft_li_bucketed")
+    dropManaged(spark, "graft_ord_bucketed")
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_li_bucketed")
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_ord_bucketed")
+    spark.table("graft_li_bucketed")
+      .join(spark.table("graft_ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+  }
+
   def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
       .select(col("event_id"), (col("user_id") % 3).as("hot"))

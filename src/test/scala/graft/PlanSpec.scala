@@ -175,6 +175,24 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q24: bucketed join consumes the bucketing — no exchange feeds the join") {
+    // at fixture scale the optimizer correctly broadcasts the tiny
+    // orders side; the bucketing pays off when BOTH sides are big, so
+    // force the sort-merge path to observe the shuffle-free join
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q24_bucketed_join")
+      assert(p.contains("SortMergeJoin"), p)
+      // the ONLY exchange allowed is the final aggregation's; the join
+      // itself must read both bucketed tables shuffle-free
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges <= 1,
+        s"bucketed join must not re-shuffle its inputs ($exchanges exchanges)\n$p")
+      assert(p.contains("Bucketed: true"), s"scan must be bucket-aware\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("g01: the stateful fold is one exchange + in-partition sort") {
     val p = plan("g01_count_per_key")
     val exchanges = "Exchange".r.findAllIn(p).length
