@@ -1,7 +1,177 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Benchmark main. Prints ONE JSON line with per-query seconds.
+  *
+  * Round-9 harness fix: query groups run in FORKED, SEQUENTIAL JVMs.
+  * Round 8's headline was a judge-verified 3.8x phantom — running the
+  * streaming block (st*) immediately before the text block (t*) in one
+  * JVM inflated t01 from 2.8 s (isolated) to 23.6 s (recorded): after
+  * ~40 streaming micro-batch queries the JVM carries RocksDB native
+  * memory, 28 g of heap pressure and tmpfs pages that displace the
+  * parquet page cache, and `clearCache()` + unpersist cannot undo any
+  * of that. Per-group fork is the same discipline a cluster gives for
+  * free (fresh executors per job); here it makes the single-box numbers
+  * mean what they say.
+  *
+  * Protocol: with SPARK_GRAFT_GROUP set, this main is a CHILD — it runs
+  * only that group's queries in-process and writes its partial result
+  * JSON to SPARK_GRAFT_OUT. Otherwise it is the ORCHESTRATOR — it forks
+  * one child per group (inheriting this JVM's own classpath and args,
+  * which sbt's `run / fork := true` makes real), sequentially so no two
+  * Spark workloads ever time against each other (BASELINE.md:
+  * measurement conditions), merges the partials, and emits the same
+  * single-line JSON contract as always. If forking fails (no classpath,
+  * exec error) it falls back to the legacy single-JVM run rather than
+  * report nothing.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
+
+  /** Query group = leading letters of the name: c/d/g/m/q/s/st/t. */
+  private def groupOf(name: String): String = name.takeWhile(!_.isDigit)
+
+  def main(args: Array[String]): Unit =
+    sys.env.get("SPARK_GRAFT_GROUP") match {
+      case Some(g) => runChild(g)
+      case None    => orchestrate()
+    }
+
+  // ---------------------------------------------------------------- //
+  //  Orchestrator: one forked JVM per group, sequential, merged.      //
+  // ---------------------------------------------------------------- //
+
+  private def orchestrate(): Unit = {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // st last: streaming leaves the most residue on the host (tmpfs
+    // checkpoint pages, RocksDB temp dirs) — even across processes the
+    // page cache is shared, so the dirtiest group must not precede
+    // anything. The rest alphabetical.
+    val groups = names.map(groupOf).distinct.sortBy(g => (g == "st", g))
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.Buffer.empty[String]
+
+    val forkable = new java.io.File("target/scala-2.13/classes").isDirectory ||
+      System.getProperty("java.class.path", "").contains("classes")
+    if (!forkable) { runInProcess(names, merged, failed) }
+    else {
+      var fellBack = false
+      groups.foreach { g =>
+        if (!fellBack) {
+          val gNames = names.filter(n => groupOf(n) == g)
+          forkGroup(g) match {
+            case Some(partial) =>
+              val qs = partial._1
+              gNames.foreach { n =>
+                merged(n) = qs.getOrElse(n, 0.0)
+                if (!qs.contains(n) && !partial._2.contains(n)) failed += n
+              }
+              failed ++= partial._2
+            case None =>
+              // First fork failure → legacy whole-run fallback for the
+              // remaining (unmeasured) queries, so the driver always
+              // gets a complete line.
+              System.err.println(s"[bench] fork failed for group $g; " +
+                "falling back to in-process for remaining groups")
+              val remaining = names.filterNot(merged.contains)
+              runInProcess(remaining, merged, failed)
+              fellBack = true
+          }
+        }
+      }
+    }
+    emit(merged.toSeq, failed.distinct.toSeq)
+  }
+
+  /** Fork one child JVM for `group`; returns (perQuerySeconds, failed)
+    * parsed from the child's partial file, or None on exec/parse error.
+    */
+  private def forkGroup(group: String): Option[(Map[String, Double], Seq[String])] =
+    try {
+      val javaBin = new java.io.File(
+        new java.io.File(System.getProperty("java.home"), "bin"), "java")
+        .getAbsolutePath
+      // Inherit this JVM's own args (add-opens, -Xmx, tmpdir→/dev/shm…)
+      // minus anything positional; append -cp last so it wins even if
+      // the MXBean echoed one.
+      val inherited = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val dropNext = Set("-cp", "-classpath", "--class-path")
+      val jvmArgs = inherited.foldLeft((Seq.empty[String], false)) {
+        case ((acc, true), _)                      => (acc, false)
+        case ((acc, _), a) if dropNext(a)          => (acc, true)
+        case ((acc, _), a)                         => (acc :+ a, false)
+      }._1
+      val out = java.nio.file.Files.createTempFile(s"bench_$group", ".json")
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_GROUP", group)
+      pb.environment().put("SPARK_GRAFT_OUT", out.toString)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+      val t0 = System.nanoTime()
+      val proc = pb.start()
+      val rc = proc.waitFor()
+      System.err.println(f"[bench] group $group: rc=$rc " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val text = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+      java.nio.file.Files.deleteIfExists(out)
+      if (text.isEmpty) None else Some(parsePartial(text))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] fork error for $group: ${e.getMessage}")
+      None
+    }
+
+  /** Parse {"queries":{"n":1.23,...},"failed":["n",...]} without a JSON
+    * lib (none on the runtime classpath by design).
+    */
+  private def parsePartial(text: String): (Map[String, Double], Seq[String]) = {
+    val q = """"([a-z0-9_]+)":([0-9.]+)""".r
+    val inQueries = text.substring(
+      text.indexOf("{", text.indexOf("\"queries\"")),
+      text.indexOf("}", text.indexOf("\"queries\"")) + 1)
+    val qs = q.findAllMatchIn(inQueries)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val fStart = text.indexOf("[", text.indexOf("\"failed\""))
+    val fEnd = text.indexOf("]", fStart)
+    val failed = """"([a-z0-9_]+)"""".r
+      .findAllMatchIn(text.substring(fStart, fEnd + 1))
+      .map(_.group(1)).toSeq
+    (qs, failed)
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Child: run one group in-process, write the partial, exit.        //
+  // ---------------------------------------------------------------- //
+
+  private def runChild(group: String): Unit = {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => groupOf(n) == group)
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.Buffer.empty[String]
+    runInProcess(names, merged, failed)
+    val qs = merged.map { case (k, v) => "\"" + k + "\":" + f2(v) }
+      .mkString("{", ",", "}")
+    val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val partial = s"""{"queries":$qs,"failed":$fj}"""
+    sys.env.get("SPARK_GRAFT_OUT") match {
+      case Some(p) => java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p), partial)
+      case None => println(partial)
+    }
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Shared: measure a list of queries in THIS JVM.                   //
+  // ---------------------------------------------------------------- //
+
+  private def runInProcess(
+      names: Seq[String],
+      merged: scala.collection.mutable.LinkedHashMap[String, Double],
+      failed: scala.collection.mutable.Buffer[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -38,8 +208,8 @@ object Bench {
     }
     // A broken query must NOT masquerade as a fast timing: failures are
     // recorded by name in a separate "failed" key.
-    val failed = scala.collection.mutable.Buffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
@@ -53,17 +223,21 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(
         _.unpersist(blocking = false))
-      name -> dt
+      merged(name) = dt
     }
-    // The harness that launches this main captures only the LAST 2000
-    // chars of output. At 92 queries even 2-decimal formatting can push
-    // the line past that window, clipping its HEAD — so the headline
-    // fields (total, failed) go at the END of the line, where the tail
-    // window always keeps them, and the COMPLETE json is also written
-    // to BENCH_FULL.json in the working directory as the durable
-    // artifact.
-    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
+    spark.stop()
+  }
+
+  private def f2(v: Double): String =
+    "%.2f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Final single-line contract (headline fields LAST — the launching
+    * harness tail-captures only 2000 chars); full copy to
+    * BENCH_FULL.json as the durable artifact.
+    */
+  private def emit(results: Seq[(String, Double)], failed: Seq[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -73,6 +247,5 @@ object Bench {
       java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
     catch { case _: Throwable => () }
     println(line)
-    spark.stop()
   }
 }

@@ -90,6 +90,25 @@ object Codecs {
           ct.runtimeClass.asInstanceOf[Class[T]])
     }
 
+  /** Fixed-width binary codec for two-long state records: 16 bytes
+    * big-endian, no parse or allocation churn beyond the output array.
+    * Built for per-message hot state folds (streaming dedup st08/st10)
+    * where a JSON struct codec's ser/de dominated the micro-batch cost
+    * — the reference makes the same move when a topic gets hot: swap
+    * the convenience JSON codec for a hand-rolled binary one behind the
+    * identical interface (`/root/reference/codec.go:4-7`). */
+  def twoLongs[T](pack: T => (Long, Long))(unpack: (Long, Long) => T): Codec[T] =
+    new Codec[T] {
+      def encode(value: T): Array[Byte] = {
+        val (a, b) = pack(value)
+        java.nio.ByteBuffer.allocate(16).putLong(a).putLong(b).array()
+      }
+      def decode(data: Array[Byte]): T = {
+        val buf = java.nio.ByteBuffer.wrap(data)
+        unpack(buf.getLong, buf.getLong)
+      }
+    }
+
   /** Untyped JSON value codec (Long/Double/Boolean/String/Map/List,
     * integers always decode as Long) — used for visitor meta payloads,
     * which are schemaless by contract (`processor.go:954-996` passes an

@@ -220,27 +220,41 @@ object TextAnalysis {
     * exact below its capacity). The exact distinct count rides along,
     * so the output doubles as the sketch's own error audit.
     *
-    * Scale shape: the candidate set prunes to the per-partition k
-    * minima before the shuffle (the window+filter keeps only rank ≤ k
-    * per stratum — Spark computes it after one exchange of the
-    * DISTINCT hashes, which the preceding distinct already paid for);
-    * a production deployment keeps only the k-row sketch per stratum,
-    * merge = union + re-take-k-min, exactly this plan re-run. */
+    * Scale shape — two-level k-minimum, so parallelism never collapses
+    * to #strata: level 1 takes the k smallest hashes per (stratum,
+    * salt-bucket) where salt = hash mod `nSalts` (deterministic — the
+    * same hash always lands in the same bucket, so the global k minima
+    * are guaranteed to survive level 1); level 2 merges the ≤ k·nSalts
+    * survivors per stratum and re-takes k — a bounded 2048-row-per-
+    * stratum aggregation, not a sort of the stratum's full distinct
+    * hash set in one task. n_hashes comes from a plain partial-agg
+    * count, never a window. A production deployment keeps only the
+    * k-row sketch per stratum; merge = union + re-take-k-min, exactly
+    * level 2 re-run. */
   def kmvDistinct(df: DataFrame, text: Column, stratum: Column,
-      k: Int = 64): DataFrame = {
+      k: Int = 64, nSalts: Int = 32): DataFrame = {
     val tok = df.select(stratum.as("stratum"),
         explode(array_distinct(split(text, " "))).as("w"))
       .filter(col("w") =!= "")
       .distinct()
     val hs = tok.select(col("stratum"), h32(col("w")).as("hw")).distinct()
-    val wS = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum")).orderBy(col("hw"))
     val exact = tok.groupBy(col("stratum"))
       .agg(count(lit(1)).as("n_exact"))
-    hs.withColumn("rn", row_number().over(wS))
+    // level 1: k minima per (stratum, salt) — #strata × nSalts tasks
+    val wSalt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"), col("salt")).orderBy(col("hw"))
+    val cand = hs.withColumn("salt", pmod(col("hw"), lit(nSalts)))
+      .withColumn("rn", row_number().over(wSalt))
+      .filter(col("rn") <= k)
+      .select(col("stratum"), col("hw"))
+    // level 2: merge the ≤ k·nSalts survivors, re-take k
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("hw"))
+    val counts = hs.groupBy(col("stratum")).agg(count(lit(1)).as("n_hashes"))
+    cand.withColumn("rn", row_number().over(wS))
       .groupBy(col("stratum"))
-      .agg(count(lit(1)).as("n_hashes"),
-        max(when(col("rn") <= k, col("hw"))).as("kth"))
+      .agg(max(when(col("rn") <= k, col("hw"))).as("kth"))
+      .join(counts, Seq("stratum"))
       .join(exact, Seq("stratum"))
       .select(col("stratum"), col("n_exact"), col("n_hashes"),
         when(col("n_hashes") >= k, col("kth")).as("kth_hash"),
@@ -330,17 +344,22 @@ object TextAnalysis {
     *
     * Scale shape: the "model" (bigram counts `cb`, left-context totals
     * `c1`, vocab size V) is the classic small side — Zipf-truncated
-    * count tables, MBs even for web-scale corpora after the usual
-    * min-count pruning. The fitted `cb` table is `localCheckpoint`ed so
-    * the corpus is scanned exactly TWICE (once to fit, once to score —
-    * the canonical fit-then-transform shape); `c1` and V are derived
-    * from the materialized model, not from fresh corpus scans
-    * (V = |distinct left contexts| = |c1|, the smoothing alphabet).
-    * Scoring is two broadcast joins + one per-doc aggregation; an
-    * unpruned web-scale bigram table would exceed broadcast: drop
-    * `broadcast()` and the same plan runs as shuffle joins on
-    * `g`/`w1`. */
-  def bigramLmScore(df: DataFrame, text: Column, id: Column): DataFrame = {
+    * count tables, MBs for web-scale corpora after `minCount` pruning
+    * (a pruned-away bigram scores as unseen: c=0, the add-one floor).
+    * The fitted `cb` table is `localCheckpoint`ed so the corpus is
+    * scanned exactly TWICE (once to fit, once to score — the canonical
+    * fit-then-transform shape); `c1` and V are derived from the
+    * materialized model, not from fresh corpus scans (V = |distinct
+    * left contexts| = |c1|, the smoothing alphabet). Scoring is two
+    * model joins + one per-doc aggregation; the model is broadcast only
+    * within a counted bound — the model size is data-dependent, and
+    * counting the already-checkpointed table costs one metadata-cheap
+    * job and buys a guaranteed-safe fallback to shuffle joins on
+    * `g`/`w1` instead of OOMing the driver (same guard as
+    * [[Dedup.decontaminate]]'s `maxBroadcastShingles`). */
+  def bigramLmScore(df: DataFrame, text: Column, id: Column,
+      minCount: Long = 1L,
+      maxBroadcastBigrams: Long = 10_000_000L): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
     // positional bigrams (occurrences matter for an LM) — the native
     // one-pass kernel, distinct=false
@@ -350,18 +369,27 @@ object TextAnalysis {
     // fit: materialize the model once; everything downstream reads the
     // checkpointed table instead of re-scanning the corpus
     val cb = grams.groupBy(col("g")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
       .localCheckpoint()
     val c1 = cb.groupBy(split_part(col("g"), lit(" "), lit(1)).as("w1"))
       .agg(sum(col("cb")).as("c1"))
     val vocab = c1.agg(count(lit(1)).as("v"))
+    // Broadcast guard: counts the checkpointed MODEL (not the corpus).
+    val (cbSide, c1Side) =
+      if (cb.count() <= maxBroadcastBigrams) (broadcast(cb), broadcast(c1))
+      else (cb, c1)
+    // Left joins + coalesce-to-0: with minCount=1 every corpus bigram is
+    // in the model and this is exactly the inner-join plan; with pruning
+    // a dropped bigram/context scores as unseen rather than dropping the
+    // doc's bigram from the mean.
     val scored = grams
-      .join(broadcast(cb), Seq("g"))
+      .join(cbSide, Seq("g"), "left")
       .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
-      .join(broadcast(c1), Seq("w1"))
+      .join(c1Side, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("g"),
-        ((col("cb") + lit(1)).cast("double")
-          / (col("c1") + col("v")).cast("double")).as("p"))
+        ((coalesce(col("cb"), lit(0L)) + lit(1)).cast("double")
+          / (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")).as("p"))
     scored.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("g"), col("p")))).as("lst"))
       .select(col("doc_id"),

@@ -522,14 +522,28 @@ object Vectors {
     *
     * Output, one row per vector: (vec_id, cell, dup_of NULL-able,
     * dropped). Survivors = `NOT dropped` — the keep-set a curation
-    * pipeline semi-joins against. */
+    * pipeline semi-joins against.
+    *
+    * `nCells` MUST grow with the corpus: the within-cell self-join is
+    * O(Σ cell²), so a FIXED cell count degenerates back toward all-pairs
+    * as n grows (SemDeDup itself uses tens of thousands of clusters at
+    * web scale). Default `nCells = 0` means auto-size to
+    * `max(16, ⌊√n⌋)` — expected cell size √n, total pair work O(n·√n) —
+    * at the cost of one corpus count job; pass an explicit value (the
+    * fixtures pin 16) to skip the count and fix the model size. */
   def semDedup(df: DataFrame, id: Column, emb: Column,
-      threshold: Double = 0.3, nCells: Int = 16): DataFrame =
-    semDedupAssigned(assignSampledCells(df, id, emb, nCells), threshold)
+      threshold: Double = 0.3, nCells: Int = 0): DataFrame = {
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(16L, math.sqrt(df.count().toDouble).toLong).toInt
+    semDedupAssigned(assignSampledCells(df, id, emb, cells), threshold)
+  }
 
   /** [[semDedup]] with a CALLER-SUPPLIED centroid model — e.g.
     * [[kmeansFit]]'s trained output; the verdict machinery is
-    * byte-identical to the sampled path. */
+    * byte-identical to the sampled path. The same O(Σ cell²) scaling
+    * contract applies: train the model with k ≈ √n or larger (SemDeDup's
+    * own web-scale regime), not a fixed small k. */
   def semDedupWith(df: DataFrame, id: Column, emb: Column,
       threshold: Double, cents: DataFrame): DataFrame =
     semDedupAssigned(assignCellsWith(prepared(df, id, emb), cents),

@@ -141,13 +141,18 @@ object PipelineQueries {
   }
 
   /** SemDeDup-style cluster-then-dedup over embeddings: within-cell
-    * cosine ≥ 0.3 against an earlier id ⇒ dropped — d12. */
+    * cosine ≥ 0.3 against an earlier id ⇒ dropped — d12. nCells pinned
+    * to 16 so the fixture oracle is stable; production uses the
+    * auto-√n default (see [[Vectors.semDedup]]'s scaling contract). */
   def semDedup(spark: SparkSession, dir: String): DataFrame =
-    Vectors.semDedup(embs(spark, dir), col("vec_id"), col("embedding"))
+    Vectors.semDedup(embs(spark, dir), col("vec_id"), col("embedding"),
+      nCells = 16)
 
   /** SemDeDup over the TRAINED k-means cells — the full
     * cluster-then-dedup pipeline of the paper (train the clustering,
-    * partition by it, drop within-cell near-dups) — d14. */
+    * partition by it, drop within-cell near-dups) — d14. k pinned to 16
+    * for the fixture oracle; at corpus scale train with k ≈ √n or more
+    * (SemDeDup's own regime — see [[Vectors.semDedupWith]]). */
   def semDedupTrained(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     val (cents, _) = Vectors.kmeansFit(e, col("vec_id"), col("embedding"),

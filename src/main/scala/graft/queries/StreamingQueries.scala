@@ -15,13 +15,17 @@ import graft.streaming.{FileLookups, LookupFile, StreamExecutor,
   * engine (keyed state / watermarked windows), and the materialized
   * result must hash-match the same DuckDB oracle as its batch twin —
   * proving the two executors implement identical semantics. */
-/** JSON-codec'd state for [[StreamingQueries.streamDedup]]: first doc_id
-  * seen for a fingerprint + how many carried it. */
+/** State for [[StreamingQueries.streamDedup]]: first doc_id seen for a
+  * fingerprint + how many carried it. Codec'd as 16 fixed bytes
+  * ([[Codecs.twoLongs]]) — this en/decodes once per message in the hot
+  * fold, where the earlier JSON struct codec was the measured cost
+  * hot-spot. */
 final case class DedupState(keep: Long, cnt: Long)
 
-/** JSON-codec'd state for [[StreamingQueries.streamNearDup]]'s collector:
-  * smallest bucket-owner reported for the doc + messages folded (the
-  * monotone counter that makes last-upsert-wins collapse possible). */
+/** State for [[StreamingQueries.streamNearDup]]'s collector: smallest
+  * bucket-owner reported for the doc + messages folded (the monotone
+  * counter that makes last-upsert-wins collapse possible). Fixed-width
+  * binary codec for the same hot-fold reason as [[DedupState]]. */
 final case class NearDupState(own: Long, n: Long)
 
 object StreamingQueries {
@@ -152,8 +156,9 @@ object StreamingQueries {
     * where the goka machinery meets the curation pipeline: documents
     * arrive as a keyed stream (key = content fingerprint, value =
     * doc_id), and per-fingerprint state keeps the FIRST doc seen plus an
-    * occurrence count. In goka terms it is the 1-simplest fold with a
-    * JSON struct codec; at 100 TB it is dedup-on-ingest — no global
+    * occurrence count. In goka terms it is the simplest keyed fold, with
+    * a fixed-width binary struct codec so the per-message en/decode is
+    * allocation-cheap; at 100 TB it is dedup-on-ingest — no global
     * batch re-scan, state sharded by fingerprint across the cluster.
     *
     * Messages are timestamped by doc_id (ingest order) and split into
@@ -164,7 +169,7 @@ object StreamingQueries {
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.BatchExecutor.SinkTable
-    val codec = Codecs.json[DedupState]
+    val codec = Codecs.twoLongs[DedupState](s => (s.keep, s.cnt))(DedupState.apply)
     val graph = GroupGraph.define("stream-dedup")(
       Input("docs", Int64Codec, ProcessCallback { (ctx, msg) =>
         val id = msg.asInstanceOf[Long]
@@ -239,7 +244,7 @@ object StreamingQueries {
       }),
       Persist(Int64Codec),
       Output("owners", Int64Codec))
-    val codec = Codecs.json[NearDupState]
+    val codec = Codecs.twoLongs[NearDupState](s => (s.own, s.n))(NearDupState.apply)
     val collectGraph = GroupGraph.define("neardup-collect")(
       Input("owners", Int64Codec, ProcessCallback { (ctx, msg) =>
         val o = msg.asInstanceOf[Long]

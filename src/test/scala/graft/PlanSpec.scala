@@ -193,6 +193,40 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("t13: bigram model broadcasts under the guard; oversized model falls back to shuffle join") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // threshold -1: only the EXPLICIT guard-granted hint may broadcast,
+    // so the assertion tests the guard, not the optimizer's size stats
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val guarded = graft.ops.TextAnalysis
+        .bigramLmScore(docs, col("text"), col("doc_id"))
+        .queryExecution.executedPlan.toString
+      assert(guarded.contains("BroadcastHashJoin"),
+        s"in-bound model must broadcast for scoring\n$guarded")
+      val fallback = graft.ops.TextAnalysis
+        .bigramLmScore(docs, col("text"), col("doc_id"),
+          maxBroadcastBigrams = 0L)
+        .queryExecution.executedPlan.toString
+      assert(!fallback.contains("BroadcastHashJoin"),
+        s"over-bound model must NOT broadcast (driver OOM guard)\n$fallback")
+      assert(fallback.contains("SortMergeJoin"),
+        s"fallback scores via shuffle joins\n$fallback")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("t14: k-min is two-level — level 1 is salt-bucketed, never one task per stratum") {
+    val p = plan("t14_kmv_distinct")
+    assert("windowspecdefinition\\(stratum#\\d+, salt#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"level-1 k-minima must window over (stratum, salt)\n$p")
+    // exactly two rank windows: salted level 1 + bounded level-2 merge
+    val windows = "row_number".r.findAllIn(p).length
+    assert(windows >= 2, s"expected the two-level rank structure\n$p")
+  }
+
   test("g01: the stateful fold is one exchange + in-partition sort") {
     val p = plan("g01_count_per_key")
     val exchanges = "Exchange".r.findAllIn(p).length

@@ -49,6 +49,18 @@ class CodecSpec extends AnyFunSuite {
     assert(codec.encode(v).toSeq == codec.encode(v).toSeq)
   }
 
+  test("twoLongs codec is 16 fixed bytes and round-trips the extremes") {
+    val codec = Codecs.twoLongs[(Long, Long)](identity)(Tuple2.apply)
+    for (v <- Seq((0L, 0L), (Long.MinValue, Long.MaxValue), (-1L, 42L))) {
+      val bytes = codec.encode(v)
+      assert(bytes.length == 16)
+      assert(codec.decode(bytes) == v)
+    }
+    // deterministic bytes — the streaming last-upsert-wins collapse
+    // and any changelog hashing rely on encode being a pure function
+    assert(codec.encode((7L, 9L)).toSeq == codec.encode((7L, 9L)).toSeq)
+  }
+
   test("json value codec decodes integers as Long and nests maps") {
     val roundtrip = JsonValueCodec.decode(JsonValueCodec.encode(
       Map("a" -> 2L, "b" -> List(1L, 2L), "c" -> "s")))
