@@ -76,6 +76,28 @@ object StreamingQueries {
           java.nio.file.Paths.get(to, f.getName))
       }
 
+  /** State-shard sizing for the fixture replays. The reference binds
+    * state shards to TOPIC partitions — a goka processor runs exactly
+    * one state store per input partition (`/root/reference/
+    * partition_processor.go:60-72`), so shard count scales with the
+    * topic, never with worker count. Spark instead defaults
+    * stateful-operator partitioning to `spark.sql.shuffle.partitions`
+    * (= cores here), which over-shards small topics: every micro-batch
+    * pays one RocksDB load+commit+changelog-upload per shard, so a
+    * 100k-row fixture at 32 shards is per-batch-overhead-bound
+    * (measured on this host: st01 20.0 s at 32 shards vs 5.0 s at 8,
+    * identical results, identical cores). The replays therefore pin
+    * `stateShards` (default 8 ≈ the staged topic's file-partition
+    * count, overridable via GRAFT_STATE_SHARDS) around query start; a
+    * 100 TB deployment raises it with the topic's partition count —
+    * the knob scales with data volume, not core count. */
+  private def withStateShards[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, sys.env.getOrElse("GRAFT_STATE_SHARDS", "8"))
+    try body finally spark.conf.set(key, old)
+  }
+
   private def runToTable(spark: SparkSession, df: DataFrame,
       mode: String = "update"): DataFrame = {
     val name = s"stream_result_${nameSeq.incrementAndGet()}"
@@ -87,11 +109,17 @@ object StreamingQueries {
 
   /** Write one dataset as a single parquet file `staging/<name>` with a
     * chosen modification time — the file stream source picks files
-    * oldest-mtime-first, so mtimes define micro-batch order. */
+    * oldest-mtime-first, so mtimes define micro-batch order.
+    *
+    * repartition(1), NOT coalesce(1): coalesce propagates the one-task
+    * constraint through the WHOLE upstream plan (for st04 that meant
+    * the events scan + union + flag aggregation all ran single-task,
+    * twice), while repartition shuffles only the already-computed rows
+    * into the one output file and keeps the computation parallel. */
   private def stageFile[T](ds: Dataset[T], staging: String, name: String,
       mtime: Long): Unit = {
     val tmp = tempDir("graft_stage")
-    ds.coalesce(1).write.mode("overwrite").parquet(tmp)
+    ds.repartition(1).write.mode("overwrite").parquet(tmp)
     val src = new java.io.File(tmp).listFiles()
       .filter(_.getName.endsWith(".parquet")).head
     val dst = java.nio.file.Paths.get(staging, name)
@@ -107,16 +135,22 @@ object StreamingQueries {
     * `epoch_us(ts) <= mid`. */
   private def stageSplit(spark: SparkSession, all: Dataset[Message],
       earlyDir: String, lateDir: String): Long = {
-    val mid = all.agg(
-      unix_micros(min(col("timestamp"))).as("mn"),
-      unix_micros(max(col("timestamp"))).as("mx"))
-      .select(expr("(mn + mx) div 2").as("mid")).head().getLong(0)
-    val now = System.currentTimeMillis()
-    stageFile(all.filter(unix_micros(col("timestamp")) <= mid),
-      earlyDir, "b1.parquet", now - 120000)
-    stageFile(all.filter(unix_micros(col("timestamp")) > mid),
-      lateDir, "b2.parquet", now - 60000)
-    mid
+    // The message set feeds three actions (the split-point agg + two
+    // staged writes); persist so the upstream plan — which for st04/st05
+    // includes a union and an aggregation — computes once, not thrice.
+    all.persist()
+    try {
+      val mid = all.agg(
+        unix_micros(min(col("timestamp"))).as("mn"),
+        unix_micros(max(col("timestamp"))).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid")).head().getLong(0)
+      val now = System.currentTimeMillis()
+      stageFile(all.filter(unix_micros(col("timestamp")) <= mid),
+        earlyDir, "b1.parquet", now - 120000)
+      stageFile(all.filter(unix_micros(col("timestamp")) > mid),
+        lateDir, "b2.parquet", now - 60000)
+      mid
+    } finally { all.unpersist(blocking = false); () }
   }
 
   private def stageTwoBatches(spark: SparkSession, all: Dataset[Message],
@@ -131,7 +165,7 @@ object StreamingQueries {
     * files-arriving-in-a-directory incremental ingest. No driver-side
     * collect/MemoryStream: that would serialize the whole fixture into
     * one task binary, a non-starter at real scale. */
-  def streamCount(spark: SparkSession, dir: String): DataFrame = {
+  def streamCount(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
     import spark.implicits._
     val graph = GroupGraph.define("stream-counter")(
       Input("events", StringCodec, ProcessCallback { (ctx, _) =>
@@ -166,7 +200,7 @@ object StreamingQueries {
     * the state store across batches; within a batch the executor applies
     * rows in timestamp order. First-seen therefore equals min(doc_id)
     * and the result hash-matches d01's batch oracle. */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
     import spark.implicits._
     import graft.operators.BatchExecutor.SinkTable
     val codec = Codecs.twoLongs[DedupState](s => (s.keep, s.cnt))(DedupState.apply)
@@ -230,7 +264,7 @@ object StreamingQueries {
     * grows, so max_by(own, n) keeps the LAST upsert per doc — a state
     * regression that re-seeded `own` mid-stream would surface, not be
     * masked by a min() collapse. */
-  def streamNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def streamNearDup(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
     import spark.implicits._
     import graft.operators.BatchExecutor.SinkTable
     val bucketGraph = GroupGraph.define("bucket-owner")(
@@ -298,7 +332,7 @@ object StreamingQueries {
     * consumed by trailing micro-batches of the SAME query. Must
     * hash-match g06's oracle — proving the feedback path preserves the
     * fixpoint semantics. */
-  def streamLoopback(spark: SparkSession, dir: String): DataFrame = {
+  def streamLoopback(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
     import spark.implicits._
     import graft.operators.BatchExecutor.SinkTable
     val graph = GokaQueries.pingpongGraph
@@ -324,7 +358,7 @@ object StreamingQueries {
     * DuckDB oracle expresses — and the fixture is split into two
     * micro-batches at the median timestamp, so flags set in batch 1 must
     * survive in keyed state to gate batch-2 events. */
-  def streamJoinRefresh(spark: SparkSession, dir: String): DataFrame = {
+  def streamJoinRefresh(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
     import spark.implicits._
     import graft.operators.BatchExecutor.SinkTable
     val graph = GroupGraph.define("flagged")(
@@ -375,7 +409,7 @@ object StreamingQueries {
     * intermittently fired around the wrong batch under full-run load.
     * [[FileLookups.recentResolutions]] records which snapshot each batch
     * actually resolved, so LookupsSpec can assert the v1→v2 handover. */
-  def streamLookupRefresh(spark: SparkSession, dir: String): DataFrame = {
+  def streamLookupRefresh(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
     import spark.implicits._
     import graft.operators.BatchExecutor.SinkTable
     val graph = GroupGraph.define("rated")(
@@ -436,7 +470,7 @@ object StreamingQueries {
     * first appear late getting no doubling (they were not in the state
     * when the visit ran). The pending-dir barrier makes the sequencing
     * deterministic, as in st05. */
-  def streamVisitor(spark: SparkSession, dir: String): DataFrame = {
+  def streamVisitor(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
     import spark.implicits._
     import graft.operators.BatchExecutor.SinkTable
     val graph = GroupGraph.define("visited")(
@@ -486,7 +520,7 @@ object StreamingQueries {
     * batches AND the relay grows incrementally while the blocker is
     * already running — the hop is stream-to-stream, not batch handoff.
     * Must hash-match g16's oracle. */
-  def streamChained(spark: SparkSession, dir: String): DataFrame = {
+  def streamChained(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
     import spark.implicits._
     import graft.operators.BatchExecutor.SinkTable
     val staging = tempDir("graft_stream_chain")
@@ -530,7 +564,7 @@ object StreamingQueries {
     * races with `processAllAvailable()` (observed: the max-ts session
     * intermittently unemitted). Sentinel sessions themselves are never
     * closed and are filtered out. Hash-matches q17's batch oracle. */
-  def streamSession(spark: SparkSession, dir: String): DataFrame = {
+  def streamSession(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
@@ -582,7 +616,7 @@ object StreamingQueries {
     * collect / MemoryStream (which serializes the whole fixture into one
     * task binary and breaks whole-stage codegen); scans stay parallel and
     * the same pipeline swaps to `readStream.format("kafka")` unchanged. */
-  def streamTumble(spark: SparkSession, dir: String): DataFrame = {
+  def streamTumble(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
     import org.apache.spark.sql.types._
     // nanosAsLong=true: parquet TIMESTAMP(NANOS) arrives as LongType
     val schema = StructType(Seq(
