@@ -112,6 +112,7 @@ object SparkEntry {
     "st08_stream_dedup" -> (StreamingQueries.streamDedup _),
     "st09_stream_visitor" -> (StreamingQueries.streamVisitor _),
     "st10_stream_neardup" -> (StreamingQueries.streamNearDup _),
+    "st11_stream_decontam" -> (StreamingQueries.streamDecontaminate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -499,6 +500,28 @@ object SparkEntry {
            CASE WHEN own < doc_id THEN own END AS dup_of,
            own < doc_id AS dup
          FROM mo""",
+    // Streaming twin of d09: identical decontamination arithmetic —
+    // the stream folds per-doc (n, hits) against the replicated bench
+    // shingle set, so the final state equals the batch join's counts.
+    "st11_stream_decontam" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, source,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+                 FROM documents)),
+         bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+         tr AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY doc_id),
+         hits AS (SELECT tr.doc_id, count(*) AS c FROM tr
+                  JOIN bench ON tr.s = bench.s GROUP BY tr.doc_id)
+         SELECT sz.doc_id, CAST(sz.n AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS n_shared,
+           CAST(coalesce(h.c, 0) AS DOUBLE) / CAST(sz.n AS DOUBLE)
+             AS contam_ratio,
+           CAST(coalesce(h.c, 0) AS DOUBLE) / CAST(sz.n AS DOUBLE) >= 0.5
+             AS contaminated
+         FROM sizes sz LEFT JOIN hits h ON sz.doc_id = h.doc_id""",
     "d03_simhash" -> simhashOracleSql,
     "d06_simhash_pairs" -> simhashPairsOracleSql,
     // Mirrors Dedup.jaccardPairs incl. the skew cap: shingles in > 100

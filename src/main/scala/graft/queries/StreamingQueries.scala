@@ -28,6 +28,11 @@ final case class DedupState(keep: Long, cnt: Long)
   * binary codec for the same hot-fold reason as [[DedupState]]. */
 final case class NearDupState(own: Long, n: Long)
 
+/** State for [[StreamingQueries.streamDecontaminate]]: shingle messages
+  * folded for the doc + how many hit the benchmark set. Fixed-width
+  * binary codec ([[Codecs.twoLongs]]) like the other ingest folds. */
+final case class DecontamState(n: Long, hits: Long)
+
 object StreamingQueries {
 
   private val nameSeq = new AtomicInteger(0)
@@ -323,6 +328,82 @@ object StreamingQueries {
         when(col("own") < col("doc_key").cast("long"), col("own"))
           .as("dup_of"),
         (col("own") < col("doc_key").cast("long")).as("dup"))
+  }
+
+  /** Streaming ingest-time DECONTAMINATION — d09's online twin and the
+    * third ingest-gate of the streaming curation story (exact dedup
+    * st08, near-dup st10, eval-overlap here): training documents arrive
+    * as a shingle stream (key = doc, one message per DISTINCT 3-gram
+    * shingle from the map-only [[graft.ops.Dedup.nativeShingles]]
+    * kernel), and each shingle is checked against the held-out
+    * benchmark's shingle set served as a goka LOOKUP table — the
+    * replicated view (`/root/reference/view.go:30-48`), which is the
+    * right table kind here exactly as in batch d09: eval suites are
+    * KBs-to-MBs by contract, so every executor holds the full replica
+    * and the check is a map-side probe, never a shuffle.
+    *
+    * Per-doc state folds (n_shingles, n_shared) as two longs; messages
+    * are timestamped by doc_id and split into two micro-batches at the
+    * median, so counts genuinely accumulate across batches in the state
+    * store. `n` grows monotonically, so max/max_by collapse the
+    * update-mode upserts to the final row, and the result hash-matches
+    * d09's batch oracle (same distinct-shingle multiplicity, same
+    * 0.5 threshold).
+    *
+    * At 100 TB: state is sharded by doc, the bench replica is static
+    * and bounded, per-doc fan-out = the doc's distinct shingle count —
+    * the same per-message cost the reference's lookup processors pay
+    * (`examples/3-messaging`'s translator), and no batch re-scan of the
+    * corpus is ever needed to admit a new document. */
+  def streamDecontaminate(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val codec = Codecs.twoLongs[DecontamState](s => (s.n, s.hits))(DecontamState.apply)
+    val graph = GroupGraph.define("stream-decontam")(
+      Input("shingles", StringCodec, ProcessCallback { (ctx, msg) =>
+        val hit =
+          if (ctx.lookup("bench", msg.asInstanceOf[String]) != null) 1L else 0L
+        ctx.value match {
+          case null => ctx.setValue(DecontamState(1L, hit))
+          case s: DecontamState =>
+            ctx.setValue(DecontamState(s.n + 1L, s.hits + hit))
+        }
+      }),
+      Lookup("bench", StringCodec),
+      Persist(codec))
+    val docs = Sources.table(spark, dir, "documents")
+    // The replicated eval-set view: distinct src0 shingles → full
+    // replica, the lookup-table contract (bounded by the eval suite's
+    // size, not the corpus's).
+    val benchSet = docs.filter(col("source") === "src0")
+      .select(explode(
+        graft.ops.Dedup.nativeShingles(docs, col("text"), 3)).as("s"))
+      .distinct().as[String].collect()
+      .map(s => s -> StringCodec.encode("1")).toMap
+    val trainShingles = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(
+        graft.ops.Dedup.nativeShingles(docs, col("text"), 3)).as("s"))
+    val msgs = Sources.messages(trainShingles, "shingles", col("doc_id"),
+      col("s"), expr("timestamp_micros(doc_id)"), col("doc_id"))
+    val staging = tempDir("graft_stream_decontam")
+    stageTwoBatches(spark, msgs, staging)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Message].schema)
+      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+    val out = new StreamExecutor(graph).run(spark, stream,
+      lookupSnapshots = Map("bench" -> benchSet))
+    val table = out.filter(_.sink == SinkTable)
+      .map { e =>
+        val s = codec.decode(e.value); (e.key, s.n, s.hits)
+      }.toDF("doc_key", "n", "hits")
+    runToTable(spark, table).groupBy(col("doc_key"))
+      .agg(max(col("n")).as("n_shingles"),
+        max_by(col("hits"), col("n")).as("n_shared"))
+      .select(col("doc_key").cast("long").as("doc_id"),
+        col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles").cast("double"))
+          .as("contam_ratio"))
+      .withColumn("contaminated", col("contam_ratio") >= 0.5)
   }
 
   /** Streaming loopback through a real feedback topic: the same
