@@ -11,9 +11,10 @@ import graft.functions.Hashes._
   * so dot products and norms are *exact int64 arithmetic* —
   * order-independent, overflow-safe for dim ≤ ~1000, and bit-identical
   * in any engine. Only the final divide runs in IEEE doubles (and both
-  * operands are < 2^53, hence exactly representable). All vector math is
-  * Catalyst higher-order functions (`transform`/`zip_with`/`aggregate`)
-  * — no UDFs, fully codegen'd.
+  * operands are < 2^53, hence exactly representable). Per-pair dot
+  * products run in the native [[graft.functions.IDot]] codegen kernel;
+  * the remaining vector math is Catalyst higher-order functions
+  * (`transform`/`zip_with`/`aggregate`) — no UDFs, fully codegen'd.
   *
   * Scale paths: brute-force top-k is the correctness baseline (O(Q·N));
   * [[annLshBuckets]] is the 100 TB path — random-hyperplane LSH bucketing
@@ -25,8 +26,23 @@ object Vectors {
   def intScale(v: Column): Column =
     transform(v, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
 
-  /** Exact integer dot product of two int64 arrays. */
-  def idot(a: Column, b: Column): Column =
+  /** Exact integer dot product of two int64 arrays — the native
+    * [[graft.functions.IDot]] codegen kernel (one fused loop, no
+    * per-pair intermediate array). Null semantics match
+    * [[idotDeclarative]] exactly; parity is swept in
+    * KernelRandomParitySpec. */
+  def idot(a: Column, b: Column): Column = {
+    // Idempotent: every Column is built driver-side under an active
+    // session; registering here keeps every Vectors entry point (and
+    // any future one) covered without per-method boilerplate.
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftExtensions.register)
+    call_function("graft_idot", a, b)
+  }
+
+  /** The pure-Catalyst fold [[idot]]'s kernel replaced — kept as the
+    * parity reference (and what the DuckDB oracles mirror). */
+  def idotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Cosine similarity from pre-scaled int vectors + pre-computed
@@ -172,8 +188,7 @@ object Vectors {
     val iv = intScale(emb)
     val bucketBits = (0 until nPlanes).map { p =>
       val coef = typedLit((0 until d0).map(d => planeCoef(p, d)))
-      val dotP = aggregate(zip_with(iv, coef, (x, c) => x * c),
-        lit(0L), (acc, v) => acc + v)
+      val dotP = idot(iv, coef)
       when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.select(id.as("vid"), emb.as("embedding"))
@@ -263,6 +278,73 @@ object Vectors {
       .select(col("q.vid").as("qid"), col("c.vid").as("nid"),
         cosineFromInts(idot(col("q.iv"), col("c.iv")), col("q.n2"), col("c.n2"))
           .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Brute-force exact maximum-inner-product top-k (MIPS) — the
+    * recommendation-scoring variant of ANN: rank by the raw dot
+    * product, NOT cosine (a long vector with the right direction beats
+    * a unit vector; no normalization). Exact int64 dots via the native
+    * [[graft.functions.IDot]] kernel; deterministic tie-break on
+    * neighbor id. O(Q·N) correctness baseline — [[mipsLshTopK]] is the
+    * scale path. */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, k: Int): DataFrame = {
+    val c = prepared(corpus, id, emb).as("c")
+    val q = prepared(queries, id, emb).as("q")
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))
+    q.join(c, col("q.vid") =!= col("c.vid"))
+      .select(col("q.vid").as("qid"), col("c.vid").as("nid"),
+        idot(col("q.iv"), col("c.iv")).as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** MIPS at scale via the Neyshabur–Srebro reduction (Neyshabur &
+    * Srebro, "On Symmetric and Asymmetric LSHs for Inner Product
+    * Search", ICML 2015 — public): append one coordinate
+    * `sqrt(M² − ‖x‖²)` to every corpus vector (M = corpus max norm)
+    * and `0` to every query; inner-product order under the augmented
+    * COSINE then matches inner-product order, so the existing
+    * random-hyperplane bucketing applies unchanged. Candidates come
+    * from one equi-join on the augmented bucket (multi-probe hamming
+    * ≤ 1, as [[annLshTopK]]); rerank is the EXACT original int64 dot —
+    * approximation lives only in candidate generation.
+    *
+    * Determinism: the augmented coordinate is `floor(sqrt(M²−‖x‖²))`
+    * in int64 — M²−n2 < 2^53 (dims ≤ ~1000 at 10^6 scaling), so the
+    * double conversion is exact, IEEE sqrt is correctly rounded in any
+    * engine, and the whole operator stays oracle-checkable. The corpus
+    * max M² is one scalar aggregate broadcast to the scan — no second
+    * corpus pass at scale (AQE folds it into the same stage chain). */
+  def mipsLshTopK(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, k: Int, nPlanes: Int = 8, dims: Int = -1): DataFrame = {
+    val d0 = if (dims > 0) dims else corpus.select(size(emb)).head().getInt(0)
+    val p = prepared(corpus, id, emb)
+    val m2 = p.agg(max(col("n2")).as("m2"))
+    val caug = p.crossJoin(broadcast(m2))
+      .withColumn("av", concat(col("iv"), array(
+        floor(sqrt((col("m2") - col("n2")).cast("double"))).cast("long"))))
+    val qaug = prepared(queries, id, emb)
+      .withColumn("av", concat(col("iv"), array(lit(0L))))
+    def bucketBits(df: DataFrame): DataFrame = df.withColumn("bucket",
+      (0 until nPlanes).map { pl =>
+        val coef = typedLit((0 to d0).map(d => planeCoef(pl, d)))
+        when(idot(col("av"), coef) >= 0, lit(1L << pl)).otherwise(lit(0L))
+      }.reduce(_ + _))
+    val c = bucketBits(caug)
+      .select(col("vid"), col("bucket"), col("iv")).as("c")
+    val probes = array(col("bucket") +:
+      (0 until nPlanes).map(pl => col("bucket").bitwiseXOR(lit(1L << pl))): _*)
+    val q = bucketBits(qaug)
+      .withColumn("probe", explode(probes))
+      .select(col("vid"), col("probe"), col("iv")).as("q")
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))
+    q.join(c, col("q.probe") === col("c.bucket") &&
+        col("q.vid") =!= col("c.vid"))
+      .select(col("q.vid").as("qid"), col("c.vid").as("nid"),
+        idot(col("q.iv"), col("c.iv")).as("dot"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSig, RollingHash, ShingleArray, SimHash60}
+import graft.functions.{IDot, MinHashSig, RollingHash, ShingleArray, SimHash60}
 
 /** Engine SQL surface: registers graft's native expressions so plain
   * `spark.sql("SELECT graft_rolling_hash(text) ...")` works.
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shinglesDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.minhashDescriptor)
+    ext.injectFunction(GraftExtensions.idotDescriptor)
   }
 }
 
@@ -54,6 +55,11 @@ object GraftExtensions {
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()))
 
+  private val idotDescriptor = (
+    FunctionIdentifier("graft_idot"),
+    new ExpressionInfo(classOf[IDot].getName, "graft_idot"),
+    (exprs: Seq[Expression]) => IDot(exprs.head, exprs(1)))
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -64,5 +70,7 @@ object GraftExtensions {
       "graft_simhash", simhashDescriptor._3, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", minhashDescriptor._3, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_idot", idotDescriptor._3, "built-in")
   }
 }

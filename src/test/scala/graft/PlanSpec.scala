@@ -227,6 +227,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(windows >= 2, s"expected the two-level rank structure\n$p")
   }
 
+  test("s01/s03: the per-pair dot product is the native graft_idot kernel") {
+    // The rerank hot loop must run the fused-loop kernel, not the
+    // aggregate(zip_with(...)) fold it replaced (one intermediate array
+    // allocation per candidate pair at ANN scale).
+    for (q <- Seq("s01_ann_topk", "s03_ann_ivf")) {
+      val p = plan(q)
+      assert(p.contains("graft_idot"), s"$q: expected the native kernel\n$p")
+      assert(!p.contains("zip_with"),
+        s"$q: declarative fold leaked back into the plan\n$p")
+    }
+  }
+
   test("g01: the stateful fold is one exchange + in-partition sort") {
     val p = plan("g01_count_per_key")
     val exchanges = "Exchange".r.findAllIn(p).length

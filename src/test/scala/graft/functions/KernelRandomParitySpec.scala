@@ -88,6 +88,40 @@ class KernelRandomParitySpec extends AnyFunSuite with SparkFixture {
     assert(declarative.forall { case (id, s) => native(id) == s })
   }
 
+  test("graft_idot ≡ declarative zip_with/aggregate fold, incl. null semantics") {
+    val spark0 = spark
+    import spark0.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(0xD07)
+    def vec(len: Int): Seq[java.lang.Long] =
+      Seq.fill(len)(java.lang.Long.valueOf(rnd.nextInt(2000001) - 1000000L))
+    // Random same-length pairs (the real shape), plus the degenerate
+    // shapes the declarative fold defines semantics for: length
+    // mismatch (→ null), a null element (→ null), empty arrays (→ 0).
+    val pairs: Seq[(Seq[java.lang.Long], Seq[java.lang.Long])] =
+      (0 until 100).map { _ => val n = rnd.nextInt(65); (vec(n), vec(n)) } ++
+      Seq(
+        (vec(8), vec(5)),
+        (vec(3).updated(1, null: java.lang.Long), vec(3)),
+        (Seq.empty, Seq.empty))
+    val cmp = pairs.toDF("a", "b")
+      .select(
+        graft.ops.Vectors.idot(col("a"), col("b")).as("nat"),
+        graft.ops.Vectors.idotDeclarative(col("a"), col("b")).as("dec"),
+        call_function("graft_idot", col("a"), col("b")).as("sql"))
+      .filter(not(col("nat") <=> col("dec")) || not(col("sql") <=> col("dec")))
+    assert(cmp.count() == 0, cmp.take(3).mkString("; "))
+    // ANSI fold throws on int64 overflow — the kernel must too, not
+    // silently wrap (asserted on the static helper both codegen and
+    // interpreted paths call).
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    intercept[ArithmeticException] {
+      VectorOps.idot(
+        new GenericArrayData(Array(Long.MaxValue, 7L)),
+        new GenericArrayData(Array(3L, Long.MinValue)))
+    }
+  }
+
   test("graft_rolling_hash ≡ byte-loop reference on random docs") {
     val rows = df.select(col("id"), col("text"),
         call_function("graft_rolling_hash", col("text")).as("rfp"))
