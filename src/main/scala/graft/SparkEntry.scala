@@ -80,6 +80,8 @@ object SparkEntry {
     "s08_kmeans" -> (PipelineQueries.kmeans _),
     "s09_ann_recall" -> (PipelineQueries.annRecall _),
     "s10_ann_ivf_trained" -> (PipelineQueries.annIvfTrained _),
+    "s11_mips" -> (PipelineQueries.mips _),
+    "s12_mips_lsh" -> (PipelineQueries.mipsLsh _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
     "d13_minhash_est" -> (PipelineQueries.minhashEstimate _),
     "d14_semdedup_trained" -> (PipelineQueries.semDedupTrained _),
@@ -587,6 +589,60 @@ object SparkEntry {
          SELECT qid, nid, cos, rank FROM (
            SELECT qid, nid, cos,
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           FROM sims)
+         WHERE rank <= 10""",
+    "s11_mips" ->
+      s"""WITH pre AS ($embPreSql),
+         sims AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS BIGINT) AS dot
+           FROM pre q JOIN pre c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10)
+         SELECT qid, nid, dot, rank FROM (
+           SELECT qid, nid, dot,
+             row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+           FROM sims)
+         WHERE rank <= 10""",
+    "s12_mips_lsh" ->
+      s"""WITH pre AS ($embPreSql),
+         m AS (SELECT max(n2) AS m2 FROM pre),
+         caug AS (
+           SELECT vec_id, v,
+             list_append(v, CAST(floor(sqrt(CAST(m2 - n2 AS DOUBLE))) AS BIGINT)) AS av
+           FROM pre, m),
+         qaug AS (
+           SELECT vec_id, v, list_append(v, 0::BIGINT) AS av
+           FROM pre WHERE vec_id < 10),
+         planes AS (
+           SELECT p, d,
+             ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR),1,8))::BIGINT
+               - 2147483648 AS coef
+           FROM generate_series(0,7) tp(p), generate_series(0,64) td(d)),
+         cbuckets AS (
+           SELECT vec_id,
+             sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           FROM (SELECT ca.vec_id, pl.p, sum(ca.av[pl.d+1] * pl.coef) AS dot
+                 FROM caug ca, planes pl GROUP BY ca.vec_id, pl.p)
+           GROUP BY vec_id),
+         qbuckets AS (
+           SELECT vec_id,
+             sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           FROM (SELECT qa.vec_id, pl.p, sum(qa.av[pl.d+1] * pl.coef) AS dot
+                 FROM qaug qa, planes pl GROUP BY qa.vec_id, pl.p)
+           GROUP BY vec_id),
+         sims AS (
+           -- multi-probe: own bucket plus all 1-bit neighbors; rerank
+           -- on the EXACT original inner product
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(qp.v) x, unnest(cp.v) y)) AS BIGINT) AS dot
+           FROM qbuckets q JOIN cbuckets c
+             ON bit_count(xor(q.bucket, c.bucket)) <= 1
+               AND c.vec_id <> q.vec_id
+             JOIN pre qp ON qp.vec_id = q.vec_id
+             JOIN pre cp ON cp.vec_id = c.vec_id)
+         SELECT qid, nid, dot, rank FROM (
+           SELECT qid, nid, dot,
+             row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
            FROM sims)
          WHERE rank <= 10""",
     "t01_langid" ->

@@ -86,6 +86,20 @@ object PipelineQueries {
       col("embedding"), k = 10, dims = 64)
   }
 
+  /** Exact MIPS top-k — rank by raw inner product, not cosine. */
+  def mips(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.mipsTopK(e, e.filter(col("vec_id") < 10), col("vec_id"),
+      col("embedding"), k = 10)
+  }
+
+  /** MIPS via the Neyshabur–Srebro augmented-cosine LSH reduction. */
+  def mipsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.mipsLshTopK(e, e.filter(col("vec_id") < 10), col("vec_id"),
+      col("embedding"), k = 10, dims = 64)
+  }
+
   /** IVF-flat ANN — probe one centroid cell, exact rerank inside. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)

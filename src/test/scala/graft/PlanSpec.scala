@@ -239,6 +239,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("s12: MIPS-LSH candidates come from an equi-join; no corpus cartesian") {
+    val p = plan("s12_mips_lsh")
+    // the only nested loop allowed is the 1-row max-norm scalar
+    // broadcast; candidate generation must be the bucket equi-join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graft_idot"), "rerank must use the native kernel")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(p).isDefined, s"expected an equi-join on bucket\n$p")
+  }
+
   test("g01: the stateful fold is one exchange + in-partition sort") {
     val p = plan("g01_count_per_key")
     val exchanges = "Exchange".r.findAllIn(p).length

@@ -76,6 +76,32 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(topk.toSeq.sortBy(_._2) == Seq((2L, 1), (3L, 2)))
   }
 
+  test("MIPS ranks by raw inner product, not cosine; LSH path agrees") {
+    import spark.implicits._
+    // v3 points the same way as the query but is LONGER than v2:
+    // cosine prefers neither (both 1.0, tie), MIPS must prefer v3.
+    // v4 is orthogonal (dot 0) and must rank last.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),   // query
+      (2L, Array(0.5f, 0.0f)),
+      (3L, Array(0.9f, 0.0f)),
+      (4L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 1L)
+    val exact = Vectors.mipsTopK(vecs, q, col("vec_id"), col("embedding"), 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSeq.sortBy(_._2)
+    assert(exact == Seq((3L, 1), (2L, 2), (4L, 3)))
+    // Augmented-LSH path: candidate generation may prune, but whatever
+    // it returns must rank in the same exact-dot order — and the
+    // identical-direction longer vector must survive bucketing (its
+    // augmented angle is closest to the augmented query).
+    val lsh = Vectors.mipsLshTopK(vecs, q, col("vec_id"), col("embedding"),
+        k = 3, nPlanes = 2, dims = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSeq.sortBy(_._2)
+    assert(lsh.nonEmpty && lsh.head._1 == 3L)
+    assert(lsh.map(_._1) == exact.map(_._1).filter(lsh.map(_._1).contains))
+  }
+
   test("IVF cells: identical vectors share a cell; topk finds the twin") {
     import spark.implicits._
     val vecs = Seq(
