@@ -81,6 +81,7 @@ object SparkEntry {
     "s09_ann_recall" -> (PipelineQueries.annRecall _),
     "s10_ann_ivf_trained" -> (PipelineQueries.annIvfTrained _),
     "s11_mips" -> (PipelineQueries.mips _),
+    "t15_gopher_gates" -> (PipelineQueries.gopher _),
     "s12_mips_lsh" -> (PipelineQueries.mipsLsh _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
     "d13_minhash_est" -> (PipelineQueries.minhashEstimate _),
@@ -645,6 +646,34 @@ object SparkEntry {
              row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
            FROM sims)
          WHERE rank <= 10""",
+    "t15_gopher_gates" ->
+      s"""WITH m AS (
+           SELECT doc_id,
+             len(string_split(text, ' ')) AS nw,
+             length(text) AS nc,
+             len(list_filter(string_split(text, ' '),
+               w -> regexp_matches(w, '[A-Za-z]'))) AS aw,
+             len(list_filter(string_split(lower(text), ' '),
+               w -> w IN ('the','be','to','of','and','that','have','with')))
+               AS sh
+           FROM documents)
+         SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           CAST(nc - nw + 1 AS DOUBLE) / CAST(nw AS DOUBLE) AS mean_word_len,
+           CAST(aw AS DOUBLE) / CAST(nw AS DOUBLE) AS alpha_ratio,
+           CAST(sh AS BIGINT) AS stop_hits,
+           (nw >= 50 AND nw <= 100000) AS pass_words,
+           (CAST(nc - nw + 1 AS DOUBLE) / CAST(nw AS DOUBLE) >= 3.0
+             AND CAST(nc - nw + 1 AS DOUBLE) / CAST(nw AS DOUBLE) <= 10.0)
+             AS pass_mean_len,
+           (CAST(aw AS DOUBLE) >= CAST(nw AS DOUBLE) * 0.8) AS pass_alpha,
+           (sh >= 2) AS pass_stops,
+           ((nw >= 50 AND nw <= 100000)
+             AND (CAST(nc - nw + 1 AS DOUBLE) / CAST(nw AS DOUBLE) >= 3.0
+               AND CAST(nc - nw + 1 AS DOUBLE) / CAST(nw AS DOUBLE) <= 10.0)
+             AND (CAST(aw AS DOUBLE) >= CAST(nw AS DOUBLE) * 0.8)
+             AND (sh >= 2)) AS keep
+         FROM m""",
     "t01_langid" ->
       s"""SELECT doc_id, lang, CASE
            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'

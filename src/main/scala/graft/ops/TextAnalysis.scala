@@ -63,6 +63,52 @@ object TextAnalysis {
           col("punct_ratio") * lit(1.0))
   }
 
+  /** The 8-word "essential English" set of Gopher's stopword gate
+    * (Rae et al. 2021, public): a document must contain at least two. */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style rule gates (Rae et al., "Scaling Language Models:
+    * ... Gopher", 2021 — the doc-level subset; the line-level rules
+    * need multi-line docs): hard keep/drop RULES next to
+    * [[qualityMetrics]]'s soft score. Per doc: the measured quantity,
+    * one boolean per rule, and the composite `keep` (AND of all).
+    * Thresholds are the paper's: word count in [minWords, maxWords],
+    * mean word length in [minMeanLen, maxMeanLen], ≥ minAlphaRatio of
+    * words containing an alphabetic char, ≥ minStopHits of the
+    * essential-English stops. All counts are exact integers; the two
+    * ratios are single IEEE divides of exact ints — deterministic in
+    * any engine. Map-only: one projection, no shuffle, scales as a
+    * pure scan stage. */
+  def gopherGates(df: DataFrame, text: Column, id: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaRatio: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val words = split(text, " ")
+    val nWords = size(words)
+    val nChars = length(text)
+    // single-space docs: total word chars = chars - (words-1) separators
+    val meanLen = (nChars - nWords + 1).cast("double") / nWords.cast("double")
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val alphaRatio = alphaWords.cast("double") / nWords.cast("double")
+    val stopHits = size(filter(split(lower(text), " "),
+      w => w.isInCollection(gopherStops)))
+    df.select(
+      id.as("doc_id"),
+      nWords.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      alphaRatio.as("alpha_ratio"),
+      stopHits.cast("long").as("stop_hits"),
+      (nWords >= minWords && nWords <= maxWords).as("pass_words"),
+      (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("pass_mean_len"),
+      (alphaWords.cast("double") >= nWords.cast("double") * minAlphaRatio)
+        .as("pass_alpha"),
+      (stopHits >= minStopHits).as("pass_stops"))
+      .withColumn("keep",
+        col("pass_words") && col("pass_mean_len") &&
+          col("pass_alpha") && col("pass_stops"))
+  }
+
   /** Token counts: whitespace tokens + BPE-ish regex tokens
     * (letter-runs / digit-runs / single non-alnum marks). */
   def tokenStats(df: DataFrame, text: Column, id: Column): DataFrame =

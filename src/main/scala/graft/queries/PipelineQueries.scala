@@ -232,6 +232,10 @@ object PipelineQueries {
   def quality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityMetrics(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** Gopher-rule hard gates (doc-level subset) — t15. */
+  def gopher(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherGates(docs(spark, dir), col("text"), col("doc_id"))
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(spark, dir), col("text"), col("doc_id"))
 

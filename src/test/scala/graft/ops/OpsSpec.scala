@@ -76,6 +76,26 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(topk.toSeq.sortBy(_._2) == Seq((2L, 1), (3L, 2)))
   }
 
+  test("gopher gates: each rule trips on its own violation") {
+    import spark.implicits._
+    val good = Seq.fill(5)("the cat sat with the dog and that bird have fun")
+      .mkString(" ") // 55 words, mean len ~3.4, stops galore
+    val short = "the cat with dog" // 4 words < 50
+    val tiny = Seq.fill(60)("a").mkString(" ") // mean len 1 < 3, no stops
+    val nums = Seq.fill(60)("42").mkString(" ") // alpha ratio 0 < 0.8
+    val out = TextAnalysis.gopherGates(
+        Seq((1L, good), (2L, short), (3L, tiny), (4L, nums))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9))).toMap
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(out(2L)._1 == false && out(2L)._5 == false) // words gate
+    assert(out(3L)._2 == false && out(3L)._4 == false) // mean-len + stops
+    assert(out(4L)._3 == false)                        // alpha gate
+  }
+
   test("MIPS ranks by raw inner product, not cosine; LSH path agrees") {
     import spark.implicits._
     // v3 points the same way as the query but is LONGER than v2:
