@@ -33,6 +33,22 @@ object VectorOps {
     }
     java.lang.Long.valueOf(acc)
   }
+  /** Exact int64 squared L2 distance, fold-identical to
+    * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0L, _+_)` —
+    * same null semantics and ANSI overflow behavior as [[idot]]. */
+  def isqdist(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = Math.subtractExact(a.getLong(i), b.getLong(i))
+      acc = Math.addExact(acc, Math.multiplyExact(d, d))
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
 }
 
 /** Native Catalyst expression for the exact-int64 dot product at the
@@ -78,5 +94,43 @@ case class IDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): IDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native Catalyst expression for the exact-int64 squared L2 distance —
+  * the PQ encode/ADC and k-means assignment hot loop, with the same
+  * fused-loop rationale (and null/overflow semantics) as [[IDot]].
+  * Parity-swept in KernelRandomParitySpec. */
+case class ISqDist(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (ARRAY<BIGINT>, ARRAY<BIGINT>), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_isqdist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.isqdist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Long ${ev.value}_r = graft.functions.VectorOps.isqdist($a, $b);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ISqDist =
     copy(left = newLeft, right = newRight)
 }

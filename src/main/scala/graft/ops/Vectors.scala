@@ -390,8 +390,18 @@ object Vectors {
     array((0 until m).map(s =>
       struct(lit(s).as("sub"), slice(iv, s * subDim + 1, subDim).as("sv"))): _*)
 
-  /** Exact int64 squared L2 distance between two int-scaled arrays. */
-  private def sqDist(a: Column, b: Column): Column =
+  /** Exact int64 squared L2 distance between two int-scaled arrays —
+    * the native [[graft.functions.ISqDist]] kernel (same fused-loop
+    * rationale as [[idot]]). */
+  def sqDist(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftExtensions.register)
+    call_function("graft_isqdist", a, b)
+  }
+
+  /** The pure-Catalyst fold [[sqDist]]'s kernel replaced — kept as the
+    * parity reference (and what the DuckDB oracles mirror). */
+  def sqDistDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 

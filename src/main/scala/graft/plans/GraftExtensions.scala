@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{IDot, MinHashSig, RollingHash, ShingleArray, SimHash60}
+import graft.functions.{IDot, ISqDist, MinHashSig, RollingHash, ShingleArray, SimHash60}
 
 /** Engine SQL surface: registers graft's native expressions so plain
   * `spark.sql("SELECT graft_rolling_hash(text) ...")` works.
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.minhashDescriptor)
     ext.injectFunction(GraftExtensions.idotDescriptor)
+    ext.injectFunction(GraftExtensions.isqdistDescriptor)
   }
 }
 
@@ -60,6 +61,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[IDot].getName, "graft_idot"),
     (exprs: Seq[Expression]) => IDot(exprs.head, exprs(1)))
 
+  private val isqdistDescriptor = (
+    FunctionIdentifier("graft_isqdist"),
+    new ExpressionInfo(classOf[ISqDist].getName, "graft_isqdist"),
+    (exprs: Seq[Expression]) => ISqDist(exprs.head, exprs(1)))
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -72,5 +78,7 @@ object GraftExtensions {
       "graft_minhash", minhashDescriptor._3, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_idot", idotDescriptor._3, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_isqdist", isqdistDescriptor._3, "built-in")
   }
 }

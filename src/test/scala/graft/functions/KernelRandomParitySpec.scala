@@ -108,17 +108,25 @@ class KernelRandomParitySpec extends AnyFunSuite with SparkFixture {
       .select(
         graft.ops.Vectors.idot(col("a"), col("b")).as("nat"),
         graft.ops.Vectors.idotDeclarative(col("a"), col("b")).as("dec"),
-        call_function("graft_idot", col("a"), col("b")).as("sql"))
-      .filter(not(col("nat") <=> col("dec")) || not(col("sql") <=> col("dec")))
+        call_function("graft_idot", col("a"), col("b")).as("sql"),
+        graft.ops.Vectors.sqDist(col("a"), col("b")).as("natd"),
+        graft.ops.Vectors.sqDistDeclarative(col("a"), col("b")).as("decd"))
+      .filter(not(col("nat") <=> col("dec")) || not(col("sql") <=> col("dec"))
+        || not(col("natd") <=> col("decd")))
     assert(cmp.count() == 0, cmp.take(3).mkString("; "))
-    // ANSI fold throws on int64 overflow — the kernel must too, not
-    // silently wrap (asserted on the static helper both codegen and
+    // ANSI fold throws on int64 overflow — the kernels must too, not
+    // silently wrap (asserted on the static helpers both codegen and
     // interpreted paths call).
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     intercept[ArithmeticException] {
       VectorOps.idot(
         new GenericArrayData(Array(Long.MaxValue, 7L)),
         new GenericArrayData(Array(3L, Long.MinValue)))
+    }
+    intercept[ArithmeticException] {
+      VectorOps.isqdist(
+        new GenericArrayData(Array(Long.MaxValue)),
+        new GenericArrayData(Array(Long.MinValue)))
     }
   }
 
