@@ -116,6 +116,7 @@ object SparkEntry {
     "st09_stream_visitor" -> (StreamingQueries.streamVisitor _),
     "st10_stream_neardup" -> (StreamingQueries.streamNearDup _),
     "st11_stream_decontam" -> (StreamingQueries.streamDecontaminate _),
+    "st12_stream_curate" -> (StreamingQueries.streamCurate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -506,6 +507,43 @@ object SparkEntry {
     // Streaming twin of d09: identical decontamination arithmetic —
     // the stream folds per-doc (n, hits) against the replicated bench
     // shingle set, so the final state equals the batch join's counts.
+    "st12_stream_curate" ->
+      """WITH gated AS (
+           SELECT doc_id, text FROM documents
+           WHERE source <> 'src0'
+             AND len(string_split(text, ' ')) >= 50
+             AND len(string_split(text, ' ')) <= 100000
+             AND CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3.0
+             AND CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10.0
+             AND CAST(len(list_filter(string_split(text, ' '),
+                 w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+               >= CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.8
+             AND len(list_filter(string_split(lower(text), ' '),
+                 w -> w IN ('the','be','to','of','and','that','have','with')))
+               >= 2),
+         kept AS (
+           SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+         sh AS (
+           SELECT DISTINCT doc_id, source,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+                 FROM documents)),
+         bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+         tr AS (SELECT sh.doc_id, s FROM sh
+                JOIN kept k ON sh.doc_id = k.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY doc_id),
+         hits AS (SELECT tr.doc_id, count(*) AS c FROM tr
+                  JOIN bench ON tr.s = bench.s GROUP BY tr.doc_id)
+         SELECT sz.doc_id, CAST(sz.n AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS n_shared,
+           CAST(coalesce(h.c, 0) AS DOUBLE) / CAST(sz.n AS DOUBLE)
+             AS contam_ratio,
+           CAST(coalesce(h.c, 0) AS DOUBLE) / CAST(sz.n AS DOUBLE) >= 0.5
+             AS contaminated
+         FROM sizes sz LEFT JOIN hits h ON sz.doc_id = h.doc_id""",
     "st11_stream_decontam" ->
       """WITH sh AS (
            SELECT DISTINCT doc_id, source,

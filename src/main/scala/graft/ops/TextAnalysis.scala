@@ -93,20 +93,50 @@ object TextAnalysis {
     val alphaRatio = alphaWords.cast("double") / nWords.cast("double")
     val stopHits = size(filter(split(lower(text), " "),
       w => w.isInCollection(gopherStops)))
+    val (pw, pm, pa, ps) = gopherFlagCols(text, minWords, maxWords,
+      minMeanLen, maxMeanLen, minAlphaRatio, minStopHits)
     df.select(
       id.as("doc_id"),
       nWords.cast("long").as("n_words"),
       meanLen.as("mean_word_len"),
       alphaRatio.as("alpha_ratio"),
       stopHits.cast("long").as("stop_hits"),
-      (nWords >= minWords && nWords <= maxWords).as("pass_words"),
-      (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("pass_mean_len"),
-      (alphaWords.cast("double") >= nWords.cast("double") * minAlphaRatio)
-        .as("pass_alpha"),
-      (stopHits >= minStopHits).as("pass_stops"))
+      pw.as("pass_words"), pm.as("pass_mean_len"),
+      pa.as("pass_alpha"), ps.as("pass_stops"))
       .withColumn("keep",
         col("pass_words") && col("pass_mean_len") &&
           col("pass_alpha") && col("pass_stops"))
+  }
+
+  /** The four Gopher rule flags as raw Columns (Catalyst dedups the
+    * shared sub-expressions with the metric columns). */
+  private def gopherFlagCols(text: Column, minWords: Int, maxWords: Int,
+      minMeanLen: Double, maxMeanLen: Double, minAlphaRatio: Double,
+      minStopHits: Int): (Column, Column, Column, Column) = {
+    val words = split(text, " ")
+    val nWords = size(words)
+    val meanLen = (length(text) - nWords + 1).cast("double") /
+      nWords.cast("double")
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val stopHits = size(filter(split(lower(text), " "),
+      w => w.isInCollection(gopherStops)))
+    (nWords >= minWords && nWords <= maxWords,
+      meanLen >= minMeanLen && meanLen <= maxMeanLen,
+      alphaWords.cast("double") >= nWords.cast("double") * minAlphaRatio,
+      stopHits >= minStopHits)
+  }
+
+  /** The composite Gopher keep decision as ONE reusable Column — the
+    * same expression whether it gates a batch table ([[gopherGates]])
+    * or a live ingest stream (st12's stateless pre-filter), so the two
+    * paths can share one oracle. */
+  def gopherKeep(text: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaRatio: Double = 0.8, minStopHits: Int = 2): Column = {
+    val (pw, pm, pa, ps) = gopherFlagCols(text, minWords, maxWords,
+      minMeanLen, maxMeanLen, minAlphaRatio, minStopHits)
+    pw && pm && pa && ps
   }
 
   /** Token counts: whitespace tokens + BPE-ish regex tokens

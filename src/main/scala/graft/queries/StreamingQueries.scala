@@ -406,6 +406,140 @@ object StreamingQueries {
       .withColumn("contaminated", col("contam_ratio") >= 0.5)
   }
 
+  /** Streaming INGEST-TIME CURATION — the three ingest gates composed
+    * as one live topology, the capstone of the streaming curation story
+    * (st08 exact dedup, st10 near-dup, st11 decontamination were each
+    * proven alone; a real training-data ingest runs them as a chain):
+    *
+    *  1. **Quality gate** (stateless): arriving documents are filtered
+    *     by the SAME Catalyst expression the batch gate table uses
+    *     ([[graft.ops.TextAnalysis.gopherKeep]]) — a map-only predicate
+    *     on the stream, then re-keyed by content fingerprint
+    *     (`md5(text)`) streaming-side: the map→re-key stage every
+    *     keyed-ingest topology starts with.
+    *  2. **`curate-dedup`** (keyed state): per-fingerprint first-seen
+    *     fold (st08's graph) — and the DECISION HAPPENS AT INGEST: the
+    *     first document of a fingerprint is admitted the moment it
+    *     arrives (`ctx.emit` onto the `kept` topic, carrying the text);
+    *     later duplicates only bump the count. No batch re-scan ever
+    *     readmits or revokes a document.
+    *  3. **`curate-decontam`** (keyed state + replicated lookup):
+    *     admitted documents explode into their distinct 3-gram shingles
+    *     (stateless, the native kernel) and fold (n, hits) against the
+    *     held-out benchmark's shingle set served as a goka lookup table
+    *     — st11's graph, now fed by the dedup stage's live output
+    *     instead of a staged corpus.
+    *
+    * Result: per surviving (gated, first-of-fingerprint) document, its
+    * decontamination verdict — which must hash-match the BATCH
+    * composition of the same three operators in DuckDB (gates → min
+    * doc_id per md5 → d09 arithmetic). Two micro-batches per stage, so
+    * fingerprint ownership and shingle counts both carry across batch
+    * boundaries in the state store.
+    *
+    * At 100 TB: gate is a scan predicate, dedup state shards by
+    * fingerprint, decontam state by doc, the bench replica is bounded
+    * by the eval suite — every stage is the proven st08/st11 shape and
+    * the chain adds no new shuffle beyond the two keyed exchanges. */
+  def streamCurate(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val dedupCodec =
+      Codecs.twoLongs[DedupState](s => (s.keep, s.cnt))(DedupState.apply)
+    val dedupGraph = GroupGraph.define("curate-dedup")(
+      Input("gated", StringCodec, ProcessCallback { (ctx, msg) =>
+        ctx.value match {
+          case null =>
+            // offset carries the doc_id (staged below) — admit NOW
+            ctx.setValue(DedupState(ctx.offset, 1L))
+            ctx.emit("kept", ctx.offset.toString, msg.asInstanceOf[String])
+          case s: DedupState => ctx.setValue(DedupState(s.keep, s.cnt + 1L))
+        }
+      }),
+      Persist(dedupCodec),
+      Output("kept", StringCodec))
+    val decontamCodec =
+      Codecs.twoLongs[DecontamState](s => (s.n, s.hits))(DecontamState.apply)
+    val decontamGraph = GroupGraph.define("curate-decontam")(
+      Input("shingles", StringCodec, ProcessCallback { (ctx, msg) =>
+        val hit =
+          if (ctx.lookup("bench", msg.asInstanceOf[String]) != null) 1L else 0L
+        ctx.value match {
+          case null => ctx.setValue(DecontamState(1L, hit))
+          case s: DecontamState =>
+            ctx.setValue(DecontamState(s.n + 1L, s.hits + hit))
+        }
+      }),
+      Lookup("bench", StringCodec),
+      Persist(decontamCodec))
+
+    val docs = Sources.table(spark, dir, "documents")
+    val benchSet = docs.filter(col("source") === "src0")
+      .select(explode(
+        graft.ops.Dedup.nativeShingles(docs, col("text"), 3)).as("s"))
+      .distinct().as[String].collect()
+      .map(s => s -> StringCodec.encode("1")).toMap
+    val train = docs.filter(col("source") =!= "src0")
+    val msgs = Sources.messages(train, "docs", col("doc_id"), col("text"),
+      expr("timestamp_micros(doc_id)"), col("doc_id"))
+    val staging = tempDir("graft_stream_curate")
+    val relayDir = tempDir("graft_stream_curate_relay")
+    stageTwoBatches(spark, msgs, staging)
+    val msgSchema = org.apache.spark.sql.Encoders.product[Message].schema
+
+    // Stage 1+2: stateless gate + re-key by fingerprint, then the keyed
+    // first-seen fold; admitted docs relay onto the `kept` topic.
+    val stream1 = spark.readStream.schema(msgSchema)
+      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+    val gated = stream1.toDF()
+      .withColumn("text", col("value").cast("string"))
+      .where(graft.ops.TextAnalysis.gopherKeep(col("text")))
+      .select(md5(col("text")).as("key"), col("value"),
+        lit("gated").as("topic"), col("partition"), col("offset"),
+        col("timestamp"), col("headers"))
+      .as[Message]
+    val q1 = StreamSinks.routeOutputs(
+      new StreamExecutor(dedupGraph).run(spark, gated),
+      Map("kept" -> relayDir))
+
+    // Stage 3: admitted docs explode into distinct shingle messages
+    // (stateless, native kernel), then the lookup-probe fold.
+    val stream2 = spark.readStream.schema(msgSchema)
+      .parquet(relayDir).as[Message]
+    val shingleDf = stream2.toDF()
+      .withColumn("text", col("value").cast("string"))
+    val shingleMsgs = shingleDf
+      .select(col("key"), col("offset"), col("timestamp"),
+        explode(graft.ops.Dedup.nativeShingles(
+          shingleDf, col("text"), 3)).as("s"))
+      .select(col("key"), col("s").cast("string").cast("binary").as("value"),
+        lit("shingles").as("topic"), lit(0).as("partition"), col("offset"),
+        col("timestamp"),
+        typedLit(Map.empty[String, Array[Byte]]).as("headers"))
+      .as[Message]
+    val table = new StreamExecutor(decontamGraph)
+      .run(spark, shingleMsgs, lookupSnapshots = Map("bench" -> benchSet))
+      .filter(_.sink == SinkTable)
+      .map { e =>
+        val s = decontamCodec.decode(e.value); (e.key, s.n, s.hits)
+      }.toDF("doc_key", "n", "hits")
+    val name = s"stream_result_${nameSeq.incrementAndGet()}"
+    val q2 = table.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      q1.processAllAvailable() // gate + dedup drain both batches
+      q2.processAllAvailable() // decontam drains the relay it fed
+    } finally { q1.stop(); q2.stop() }
+    spark.table(name).groupBy(col("doc_key"))
+      .agg(max(col("n")).as("n_shingles"),
+        max_by(col("hits"), col("n")).as("n_shared"))
+      .select(col("doc_key").cast("long").as("doc_id"),
+        col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles").cast("double"))
+          .as("contam_ratio"))
+      .withColumn("contaminated", col("contam_ratio") >= 0.5)
+  }
+
   /** Streaming loopback through a real feedback topic: the same
     * pingpong graph as batch g06, but `@loop` rows round-trip through
     * the staged source directory (the streaming analogue of producing to
