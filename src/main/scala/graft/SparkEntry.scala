@@ -83,6 +83,7 @@ object SparkEntry {
     "s11_mips" -> (PipelineQueries.mips _),
     "t15_gopher_gates" -> (PipelineQueries.gopher _),
     "s12_mips_lsh" -> (PipelineQueries.mipsLsh _),
+    "s13_ann_ivf_probe" -> (PipelineQueries.annIvfProbed _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
     "d13_minhash_est" -> (PipelineQueries.minhashEstimate _),
     "d14_semdedup_trained" -> (PipelineQueries.semDedupTrained _),
@@ -682,6 +683,33 @@ object SparkEntry {
          SELECT qid, nid, dot, rank FROM (
            SELECT qid, nid, dot,
              row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+           FROM sims)
+         WHERE rank <= 10""",
+    "s13_ann_ivf_probe" ->
+      s"""WITH pre AS ($embPreSql),
+         cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
+                   FROM pre ORDER BY vec_id LIMIT 16),
+         scored AS (
+           SELECT p.vec_id, c.cid,
+             row_number() OVER (PARTITION BY p.vec_id ORDER BY
+               CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
+                 / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+               c.cid) AS rn
+           FROM pre p, cents c),
+         assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+         qprobe AS (SELECT vec_id, cid FROM scored
+                    WHERE rn <= 2 AND vec_id < 10),
+         sims AS (
+           SELECT qa.vec_id AS qid, ca.vec_id AS nid,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(qp.v) x, unnest(cp.v) y)) AS DOUBLE)
+               / (sqrt(CAST(qp.n2 AS DOUBLE)) * sqrt(CAST(cp.n2 AS DOUBLE))) AS cos
+           FROM qprobe qa JOIN assign ca
+             ON qa.cid = ca.cid AND ca.vec_id <> qa.vec_id
+             JOIN pre qp ON qp.vec_id = qa.vec_id
+             JOIN pre cp ON cp.vec_id = ca.vec_id)
+         SELECT qid, nid, cos, rank FROM (
+           SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
            FROM sims)
          WHERE rank <= 10""",
     "t15_gopher_gates" ->

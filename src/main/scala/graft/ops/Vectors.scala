@@ -246,6 +246,48 @@ object Vectors {
       .filter(col("rank") <= k)
   }
 
+  /** IVF with MULTI-PROBE (FAISS's `nprobe`): the corpus stays in its
+    * ONE nearest cell, but each query probes its `nProbe` nearest cells
+    * — the standard IVF recall lever. A query near a cell boundary has
+    * its true neighbors split across adjacent cells; probing the
+    * runner-up cells recovers them at nProbe× probe cost with NO index
+    * change (same cells, same assignment). Complements [[annLshTopK]]'s
+    * hamming-1 multi-probe on the LSH side; s09's recall audit is the
+    * dial this knob turns.
+    *
+    * Scale shape: centroids broadcast (model-sized); the query-side
+    * top-nProbe is a window partitioned BY QUERY over the Q×K scored
+    * rows (parallelism = #queries, never the t14 stratum collapse);
+    * candidates come from the same cell-id equi-join as single-probe —
+    * the fan-out is nProbe rows per query, and cells are disjoint so no
+    * candidate dedup is ever needed. Exact int64-cosine rerank inside
+    * the probed set. */
+  def annIvfTopKProbed(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, k: Int, cents: DataFrame, nProbe: Int = 2): DataFrame = {
+    val p = prepared(corpus, id, emb)
+    def scored(side: DataFrame): DataFrame =
+      side.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosineFromInts(idot(col("iv"), col("civ")),
+          col("n2"), col("cn2")))
+    val cellC = scored(p)
+      .groupBy(col("vid"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+        first(col("iv")).as("iv"), first(col("n2")).as("n2")).as("c")
+    val wq = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid"))
+    val cellQ = scored(prepared(queries, id, emb))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nProbe)
+      .select(col("vid"), col("cid"), col("iv"), col("n2")).as("q")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    cellQ.join(cellC, col("q.cid") === col("c.cid") &&
+        col("q.vid") =!= col("c.vid"))
+      .select(col("q.vid").as("qid"), col("c.vid").as("nid"),
+        cosineFromInts(idot(col("q.iv"), col("c.iv")), col("q.n2"), col("c.n2"))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-accelerated top-k with MULTI-PROBE: each query probes its own
     * bucket plus every bucket within hamming distance `probeHamming` of
     * it (a near-miss on one hyperplane is the dominant recall-loss mode,

@@ -107,6 +107,17 @@ object PipelineQueries {
       col("embedding"), k = 10)
   }
 
+  /** IVF multi-probe (nProbe = 2) over the same sampled centroid model
+    * as s03 — the recall lever, s13. */
+  def annIvfProbed(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val p = Vectors.prepared(e, col("vec_id"), col("embedding"))
+    val cents = p.orderBy(col("vid")).limit(16)
+      .select(col("vid").as("cid"), col("iv").as("civ"), col("n2").as("cn2"))
+    Vectors.annIvfTopKProbed(e, e.filter(col("vec_id") < 10), col("vec_id"),
+      col("embedding"), k = 10, cents, nProbe = 2)
+  }
+
   /** Symmetric int8 quantization of the embedding corpus — the ANN
     * index compression step, with exact-integer code digests. */
   def quantize(spark: SparkSession, dir: String): DataFrame =

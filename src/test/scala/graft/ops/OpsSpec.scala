@@ -135,6 +135,34 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(topk.toSeq.sortBy(_._2).head == ((6L, 1)))
   }
 
+  test("IVF multi-probe: nProbe=1 ≡ single-probe; probing ALL cells ≡ exact") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),   // centroids
+      (5L, Array(0.9f, 0.1f)), (6L, Array(0.1f, 0.9f)),
+      (7L, Array(0.6f, 0.5f)))                            // near the boundary
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 7L)
+    val p = Vectors.prepared(vecs, col("vec_id"), col("embedding"))
+    val cents = p.orderBy(col("vid")).limit(2)
+      .select(col("vid").as("cid"), col("iv").as("civ"), col("n2").as("cn2"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val single = rows(Vectors.annIvfTopKWith(vecs, q, col("vec_id"),
+      col("embedding"), k = 4, cents))
+    val probe1 = rows(Vectors.annIvfTopKProbed(vecs, q, col("vec_id"),
+      col("embedding"), k = 4, cents, nProbe = 1))
+    assert(probe1 == single)
+    // all cells probed -> candidate set = whole corpus minus self = exact
+    val all = rows(Vectors.annIvfTopKProbed(vecs, q, col("vec_id"),
+      col("embedding"), k = 4, cents, nProbe = 2))
+    val exact = rows(Vectors.annTopK(vecs, q, col("vec_id"),
+      col("embedding"), k = 4))
+    assert(all == exact)
+    // and on this fixture the boundary query really does gain recall
+    assert(all.size > single.size)
+  }
+
   test("LSH ANN buckets identical vectors together") {
     import spark.implicits._
     val vecs = Seq(
