@@ -249,6 +249,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       .findFirstIn(p).isDefined, s"expected an equi-join on bucket\n$p")
   }
 
+  test("s13: multi-probe IVF — centroids broadcast, candidates equi-joined") {
+    val p = plan("s13_ann_ivf_probe")
+    assert(!p.contains("CartesianProduct"), p)
+    // centroid scoring joins against the broadcast model on BOTH sides
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroid model must broadcast\n$p")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(p).isDefined, s"expected the cell-id equi-join\n$p")
+    assert(p.contains("graft_idot"), "scoring must use the native kernel")
+  }
+
   test("g01: the stateful fold is one exchange + in-partition sort") {
     val p = plan("g01_count_per_key")
     val exchanges = "Exchange".r.findAllIn(p).length
