@@ -70,6 +70,7 @@ object SparkEntry {
     "d09_decontaminate" -> (PipelineQueries.decontaminate _),
     "d10_window_dedup" -> (PipelineQueries.windowDup _),
     "d11_lsh_verify" -> (PipelineQueries.lshVerify _),
+    "d15_dup_spans" -> (PipelineQueries.dupSpans _),
     "s01_ann_topk" -> (PipelineQueries.annTopK _),
     "s02_ann_lsh" -> (PipelineQueries.annLsh _),
     "s03_ann_ivf" -> (PipelineQueries.annIvf _),
@@ -1493,6 +1494,28 @@ object SparkEntry {
            CAST(sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS dup_frac
          FROM m GROUP BY doc_id""",
+    // Mirrors Dedup.dupSpans: d10's positional windows with their word
+    // offsets (zipped unnests), first-writer ownership, then the
+    // pos - row_number() islands merge into maximal spans.
+    "d15_dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(generate_series(1, greatest(len(w)-7, 0))) - 1 AS pos,
+                 unnest(list_transform(generate_series(1, greatest(len(w)-7, 0)),
+                   i -> array_to_string(list_slice(w, i, i+7), ' '))) AS g
+               FROM d),
+         m AS (SELECT doc_id, pos, min(doc_id) OVER (PARTITION BY g) AS owner
+               FROM g),
+         dup AS (SELECT doc_id, pos FROM m WHERE owner < doc_id),
+         isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS island
+                 FROM dup)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_words,
+           CAST(count(*) AS BIGINT) AS n_windows
+         FROM isl GROUP BY doc_id, island HAVING count(*) >= 2""",
     // Mirrors Dedup.lshVerifiedPairs: d02's candidate CTEs verbatim,
     // then exact Jaccard for candidate pairs ONLY via a shared-shingle
     // count. LEFT JOIN keeps a (theoretical) zero-intersection h32

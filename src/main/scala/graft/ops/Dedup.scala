@@ -407,6 +407,49 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Maximal duplicated-substring spans — the span-granular half of
+    * exact substring dedup (Lee et al. 2022's ExactSubstr removes the
+    * duplicated BYTES, not the whole doc; `/root/reference` has no
+    * analogue — this is the additive pipeline surface). Where
+    * [[windowDupStats]] (d10) reports per-doc ratios, this returns the
+    * actual spans: for every run of consecutive duplicated windows in a
+    * doc, the word offset and length, ready for span excision.
+    *
+    * A window at word offset p (length `windowN`) is *duplicated* iff
+    * the identical n-gram occurs in a smaller doc_id (first-writer-keeps,
+    * d10's tie-break). Consecutive duplicated offsets merge by the
+    * classic islands trick: `pos - row_number()` is constant within a
+    * run, so one per-doc window + one groupBy recovers maximal spans —
+    * no self-join, no per-gram list. `minWindows` drops short islands
+    * (a span of w windows covers w + windowN - 1 words).
+    *
+    * Scale shape: the gram-ownership window is d10's spill-safe
+    * WindowExec (partition by gram — keys are near-unique, the skewed
+    * boilerplate grams are exactly the df-cap story documented there);
+    * the island window partitions by doc_id over DUPLICATED windows
+    * only — bounded by doc length, no corpus-wide sort anywhere. */
+  def dupSpans(df: DataFrame, text: Column, id: Column,
+      windowN: Int = 8, minWindows: Int = 2): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val wins = call_function("graft_shingles", text, lit(windowN), lit(false))
+    val grams = df.select(id.as("doc_id"), posexplode(wins).as(Seq("pos", "g")))
+    val owner = min(col("doc_id"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("g")))
+    val dup = grams.withColumn("owner", owner)
+      .where(col("owner") < col("doc_id"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val rn = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos")))
+    dup.withColumn("island", col("pos") - rn)
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + windowN).as("span_words"),
+        count(lit(1)).as("n_windows"))
+      .where(col("n_windows") >= minWindows)
+      .select(col("doc_id"), col("span_start"), col("span_words"),
+        col("n_windows"))
+  }
+
   /** Connected-component dedup clusters: near-duplicate PAIRS (from any
     * of the pair generators above) are only half the job — training-data
     * dedup keeps ONE representative per transitive group (a~b, b~c ⇒

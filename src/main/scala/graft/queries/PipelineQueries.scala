@@ -72,6 +72,11 @@ object PipelineQueries {
   def windowDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.windowDupStats(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** Maximal duplicated spans (≥ 2 consecutive duplicated 8-word
+    * windows) — the excisable-span output of exact substring dedup. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(docs(spark, dir), col("text"), col("doc_id"))
+
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Vectors.annTopK(e, e.filter(col("vec_id") < 10), col("vec_id"),

@@ -113,6 +113,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
   }
 
+  test("d15: dup spans — no join anywhere, native kernel windows, one scan") {
+    val p = plan("d15_dup_spans")
+    assert(!p.contains("Join"),
+      s"ownership is a window fn, islands a per-doc window — no join\n$p")
+    assert(p.contains("graft_shingles"),
+      s"positional windows must come from the native kernel\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
+  }
+
   test("t10: rarity df comes from a window, not a self-join; one scan") {
     val p = plan("t10_rarity")
     assert(!p.contains("Join"), s"df must come from a window count\n$p")

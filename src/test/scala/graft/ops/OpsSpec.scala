@@ -464,6 +464,29 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r(3L) == ((1L, 0L)))
   }
 
+  test("dup spans: consecutive duplicated windows merge into maximal spans") {
+    import spark.implicits._
+    // doc 1 owns a 12-word passage; doc 2 embeds it verbatim between
+    // unique prefix/suffix words → its 8-word windows at offsets 1..5
+    // are duplicated (5 consecutive windows = one span of 12 words);
+    // doc 3 repeats only doc 1's first 8 words → 1 window, below
+    // minWindows, no span row.
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    val d = Seq(
+      (1L, passage),
+      (2L, s"u0 $passage u1"),
+      (3L, "v0 p1 p2 p3 p4 p5 p6 p7 p8 v1"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dupSpans(d, col("text"), col("doc_id")).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getLong(3))))
+    assert(r.toSeq == Seq((2L, (1L, 12L, 5L))))
+    // minWindows = 1 admits doc 3's single-window span of exactly 8 words
+    val r1 = Dedup.dupSpans(d, col("text"), col("doc_id"), minWindows = 1)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2),
+        x.getLong(3)))).sortBy(_._1)
+    assert(r1.toSeq == Seq((2L, (1L, 12L, 5L)), (3L, (1L, 8L, 1L))))
+  }
+
   test("rarity: corpus-unique words score 1.0; shared vocab scores lower") {
     import spark.implicits._
     val d = Seq(
