@@ -83,6 +83,7 @@ object SparkEntry {
     "s10_ann_ivf_trained" -> (PipelineQueries.annIvfTrained _),
     "s11_mips" -> (PipelineQueries.mips _),
     "t15_gopher_gates" -> (PipelineQueries.gopher _),
+    "t16_pii_redact" -> (PipelineQueries.piiRedact _),
     "s12_mips_lsh" -> (PipelineQueries.mipsLsh _),
     "s13_ann_ivf_probe" -> (PipelineQueries.annIvfProbed _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
@@ -741,6 +742,41 @@ object SparkEntry {
              AND (CAST(aw AS DOUBLE) >= CAST(nw AS DOUBLE) * 0.8)
              AND (sh >= 2)) AS keep
          FROM m""",
+    // Mirrors PipelineQueries.piiRedact: the same deterministic contact
+    // line planted in 2-of-3 docs, counts on the raw text, redaction
+    // email → IPv4 → phone. Patterns are RE2/Java-regex-identical (no
+    // backrefs/lookaround); DuckDB needs the explicit 'g' flag where
+    // Spark's regexp_replace is global by default.
+    "t16_pii_redact" ->
+      """WITH seeded AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 <> 0 THEN
+               text || ' contact u' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example node 10.'
+                 || CAST(doc_id % 250 AS VARCHAR) || '.'
+                 || CAST((doc_id * 7) % 250 AS VARCHAR) || '.'
+                 || CAST(doc_id % 10 AS VARCHAR) || ' tel 555-'
+                 || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+             ELSE text END AS t
+           FROM documents),
+         c AS (SELECT doc_id, t,
+             len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+             len(regexp_extract_all(t,
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS ni,
+             len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS np
+           FROM seeded)
+         SELECT doc_id,
+           CAST(ne AS BIGINT) AS n_emails,
+           CAST(ni AS BIGINT) AS n_ips,
+           CAST(np AS BIGINT) AS n_phones,
+           substr(md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')), 1, 16)
+             AS redacted_fp,
+           (ne + ni + np > 0) AS has_pii
+         FROM c""",
     "t01_langid" ->
       s"""SELECT doc_id, lang, CASE
            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'

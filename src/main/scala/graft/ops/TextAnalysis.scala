@@ -139,6 +139,40 @@ object TextAnalysis {
     pw && pm && pa && ps
   }
 
+  /** PII detection + redaction — the privacy-scrub stage a training
+    * pipeline runs before any text persists downstream (the reference
+    * has no text layer; additive pipeline surface, cf. the email/IP/
+    * phone scrubbers in public web-corpus recipes).
+    *
+    * Three pattern families are COUNTED on the raw text, then redacted
+    * in a fixed order (email → IPv4 → phone; the families are disjoint
+    * on any input, the fixed order just makes the composed rewrite
+    * deterministic). The patterns use no backreferences or lookaround,
+    * so they mean the same thing under Java's regex (Spark) and RE2
+    * (the DuckDB oracle), and Java's backtracking engine stays linear
+    * on them. Map-only — one projection, no shuffle, a pure scan stage
+    * at 100 TB; the 16-hex fingerprint keeps the verified result
+    * narrow (a real pipeline writes `redacted` itself to the next
+    * stage instead). */
+  def piiRedact(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(email), lit("<EMAIL>")),
+        lit(ipv4), lit("<IP>")),
+      lit(phone), lit("<PHONE>"))
+    df.select(
+      id.as("doc_id"),
+      regexp_count(text, lit(email)).cast("long").as("n_emails"),
+      regexp_count(text, lit(ipv4)).cast("long").as("n_ips"),
+      regexp_count(text, lit(phone)).cast("long").as("n_phones"),
+      substring(md5(redacted), 1, 16).as("redacted_fp"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ips") + col("n_phones") > 0)
+  }
+
   /** Token counts: whitespace tokens + BPE-ish regex tokens
     * (letter-runs / digit-runs / single non-alnum marks). */
   def tokenStats(df: DataFrame, text: Column, id: Column): DataFrame =

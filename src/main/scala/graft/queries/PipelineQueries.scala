@@ -255,6 +255,26 @@ object PipelineQueries {
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** t16: PII scrub. The synthetic corpus contains no digits at all,
+    * so the wrapper first plants a deterministic contact line
+    * (id-derived email / IPv4 / phone) in two of every three docs —
+    * the planting is part of the query, mirrored verbatim in the
+    * oracle, so the detect/redact path is verified against real hits
+    * AND untouched zero-hit rows. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val contact = concat(col("text"),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@mail.example node 10."),
+      (col("doc_id") % 250).cast("string"), lit("."),
+      ((col("doc_id") * 7) % 250).cast("string"), lit("."),
+      (col("doc_id") % 10).cast("string"), lit(" tel 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-0199"))
+    val seeded = d.withColumn("pii_text",
+      when(col("doc_id") % 3 =!= 0, contact).otherwise(col("text")))
+    TextAnalysis.piiRedact(seeded, col("pii_text"), col("doc_id"))
+  }
+
   def topTerms(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTerms(docs(spark, dir), col("text"), col("doc_id"))
 

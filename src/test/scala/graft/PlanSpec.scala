@@ -123,6 +123,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
   }
 
+  test("t16: pii scrub is map-only — no shuffle, no join, one scan") {
+    val p = plan("t16_pii_redact")
+    assert(!p.contains("Exchange"), s"redaction must not shuffle\n$p")
+    assert(!p.contains("Join"), s"redaction must not join\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
+  }
+
   test("t10: rarity df comes from a window, not a self-join; one scan") {
     val p = plan("t10_rarity")
     assert(!p.contains("Join"), s"df must come from a window count\n$p")

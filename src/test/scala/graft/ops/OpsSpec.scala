@@ -487,6 +487,25 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r1.toSeq == Seq((2L, (1L, 12L, 5L)), (3L, (1L, 8L, 1L))))
   }
 
+  test("pii redact: counts on raw text, fixed-order redaction, clean rows untouched") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail a@b.co and c.d@e.org ip 10.0.0.1 tel 555-123-4567"),
+      (2L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(d, col("text"), col("doc_id")).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getString(4), x.getBoolean(5)))).toMap
+    val cleanFp = d.select(substring(md5(col("text")), 1, 16))
+      .where(col("doc_id") === 2L).head().getString(0)
+    val redactedFp = spark.range(1)
+      .select(substring(md5(
+        lit("mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE>")), 1, 16))
+      .head().getString(0)
+    assert(r(1L) == ((2L, 1L, 1L, redactedFp, true)))
+    assert(r(2L) == ((0L, 0L, 0L, cleanFp, false)))
+  }
+
   test("rarity: corpus-unique words score 1.0; shared vocab scores lower") {
     import spark.implicits._
     val d = Seq(
