@@ -59,6 +59,7 @@ object SparkEntry {
     "q22_pivot" -> (Relational.pivotAgg _),
     "q23_unpivot" -> (Relational.unpivotAgg _),
     "q24_bucketed_join" -> (Relational.bucketedJoin _),
+    "q25_range_join" -> (Relational.rangeJoinActivity _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -351,6 +352,22 @@ object SparkEntry {
            count(*) FILTER (WHERE event_type = 'signup') AS signup,
            count(*) FILTER (WHERE event_type = 'view') AS view
          FROM events GROUP BY 1""",
+    // The granule bucketing is semantics-preserving, so the oracle is
+    // the PLAIN interval join — a stronger check than mirroring the
+    // granule construction would be. Anchors with an empty ±60 s window
+    // survive with zero counts via the left join.
+    "q25_range_join" ->
+      """WITH a AS (SELECT event_id, epoch_us(ts) AS ats FROM events
+                    WHERE event_type = 'purchase'),
+         b AS (SELECT event_id, epoch_us(ts) AS bts, value FROM events)
+         SELECT a.event_id,
+           CAST(count(b.event_id) AS BIGINT) AS n_nearby,
+           coalesce(CAST(sum(CAST(b.value AS DECIMAL(18,6))) AS DOUBLE), 0.0)
+             AS sum_value
+         FROM a LEFT JOIN b
+           ON b.bts >= a.ats - 60000000 AND b.bts <= a.ats + 60000000
+              AND b.event_id <> a.event_id
+         GROUP BY a.event_id""",
     // The bucketing is invisible to the result: the plain join is the
     // oracle (sum through DECIMAL like q01, cast to double at the end).
     "q24_bucketed_join" ->

@@ -368,4 +368,28 @@ object Relational {
     graft.operators.SaltedJoin.inner(ev, nat, col("hot"), "n_nationkey", 16)
       .groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
   }
+
+  /** q25: pure time-range join (no equi-key) — per purchase event, the
+    * count and exact-decimal value sum of ALL other events corpus-wide
+    * within ±60 s. [[graft.operators.RangeJoin]] turns it into a
+    * granule equi-join; anchors with an empty window survive via the
+    * left join with zero counts. */
+  def rangeJoinActivity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+    val anchors = table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val w = 60L * 1000000L
+    val pairs = graft.operators.RangeJoin
+      .timeRange(anchors, ev, col("ts_us"), col("ts_us"), w, w)
+      .where(col("r.event_id") =!= col("l.event_id"))
+    anchors.as("a")
+      .join(pairs, col("a.event_id") === col("l.event_id"), "left")
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(col("r.event_id")).as("n_nearby"),
+        coalesce(sum(dec(col("r.value"), 18, 6)).cast("double"), lit(0.0))
+          .as("sum_value"))
+  }
 }

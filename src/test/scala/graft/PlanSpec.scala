@@ -113,6 +113,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
   }
 
+  test("q25: range join is a granule equi-join — never a nested loop or cartesian") {
+    val p = plan("q25_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the granule key must make this a standard equi-join\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a shuffled equi-join on the granule key\n$p")
+  }
+
   test("d15: dup spans — no join anywhere, native kernel windows, one scan") {
     val p = plan("d15_dup_spans")
     assert(!p.contains("Join"),
