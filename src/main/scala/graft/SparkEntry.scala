@@ -85,6 +85,7 @@ object SparkEntry {
     "s11_mips" -> (PipelineQueries.mips _),
     "t15_gopher_gates" -> (PipelineQueries.gopher _),
     "t16_pii_redact" -> (PipelineQueries.piiRedact _),
+    "t17_dsir_weights" -> (PipelineQueries.dsirWeights _),
     "s12_mips_lsh" -> (PipelineQueries.mipsLsh _),
     "s13_ann_ivf_probe" -> (PipelineQueries.annIvfProbed _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
@@ -794,6 +795,33 @@ object SparkEntry {
              AS redacted_fp,
            (ne + ni + np > 0) AS has_pii
          FROM c""",
+    // Mirrors TextAnalysis.dsirWeights: md5-bucketed bigrams, add-one
+    // smoothed target/raw ratio as one divide of two exact integer
+    // products, per-doc fold in sorted bucket order (t13's discipline).
+    "t17_dsir_weights" ->
+      """WITH g AS (
+           SELECT doc_id, lang = 'en' AS tgt,
+             unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+               i -> w[i] || ' ' || w[i+1])) AS g
+           FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+                 FROM documents)),
+         bk AS (SELECT doc_id, tgt,
+                  ('0x' || substr(md5(g),1,8))::BIGINT % 64 AS b
+                FROM g),
+         m AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                 count(*) AS cr
+               FROM bk GROUP BY b),
+         t AS (SELECT sum(ct) AS st, sum(cr) AS sr FROM m),
+         r AS (SELECT doc_id, bk.b AS b,
+                 CAST((m.ct + 1) * (t.sr + 64) AS DOUBLE)
+                   / CAST((m.cr + 1) * (t.st + 64) AS DOUBLE) AS r
+               FROM bk JOIN m ON bk.b = m.b, t),
+         lst AS (SELECT doc_id, list(r ORDER BY b, r) AS l FROM r
+                 GROUP BY doc_id)
+         SELECT doc_id, CAST(len(l) AS BIGINT) AS n_bigrams,
+           list_reduce(list_prepend(0.0, l), (acc, x) -> acc + x)
+             / CAST(len(l) AS DOUBLE) AS dsir_weight
+         FROM lst""",
     "t01_langid" ->
       s"""SELECT doc_id, lang, CASE
            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'

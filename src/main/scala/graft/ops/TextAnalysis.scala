@@ -139,6 +139,55 @@ object TextAnalysis {
     pw && pm && pa && ps
   }
 
+  /** DSIR-style hashed-bigram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * per doc, the mean target/raw probability ratio of its hashed
+    * bigram features — the weight an importance resampler feeds a
+    * Gumbel top-k draw to tilt a raw crawl toward a target domain.
+    *
+    * Feature space is `nBuckets` md5-hashed bigram buckets (DSIR's
+    * hashed n-grams; md5 keeps the bucketing engine-portable). Both
+    * bucket distributions get add-one smoothing, so a bucket unseen in
+    * the target still yields a finite ratio. DSIR's weight is the
+    * log-PRODUCT of per-feature ratios; the mean-ratio form here is
+    * the same per-feature evidence folded without libm (no ln — each
+    * ratio is ONE IEEE divide of two exact int64 products, and the
+    * per-doc fold runs in sorted bucket order on both engines, t13's
+    * discipline), keeping the oracle bit-exact. The products stay
+    * exactly representable while each side's total bigram count is
+    * < ~2^26; past that, move the ratio to ln-space — ordering is
+    * preserved, only oracle bit-equality is given up.
+    *
+    * Fit-then-transform like t13, but the model here is bounded by
+    * CONSTRUCTION at `nBuckets` rows + one totals row — broadcast
+    * needs no count guard, and the transform is one broadcast-join
+    * pass over the corpus (two scans total, no shuffle of the text). */
+  def dsirWeights(df: DataFrame, text: Column, id: Column,
+      inTarget: Column, nBuckets: Int = 64): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val grams = df.select(id.as("doc_id"), inTarget.as("tgt"),
+      explode(call_function("graft_shingles", text, lit(2), lit(false)))
+        .as("g"))
+      .withColumn("b", graft.functions.Hashes.h32(col("g")) % nBuckets)
+    val model = grams.groupBy(col("b"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .localCheckpoint()
+    val totals = model.agg(sum(col("ct")).as("st"), sum(col("cr")).as("sr"))
+    val scored = grams.join(broadcast(model), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("b"),
+        (((col("ct") + 1L) * (col("sr") + nBuckets)).cast("double")
+          / ((col("cr") + 1L) * (col("st") + nBuckets)).cast("double"))
+          .as("r"))
+    scored.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("b"), col("r")))).as("lst"))
+      .select(col("doc_id"),
+        size(col("lst")).cast("long").as("n_bigrams"),
+        (aggregate(col("lst"), lit(0.0), (acc, x) => acc + x("r"))
+          / size(col("lst")).cast("double")).as("dsir_weight"))
+  }
+
   /** PII detection + redaction — the privacy-scrub stage a training
     * pipeline runs before any text persists downstream (the reference
     * has no text layer; additive pipeline surface, cf. the email/IP/

@@ -255,6 +255,12 @@ object PipelineQueries {
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** t17: DSIR importance weights toward the English slice — `lang =
+    * 'en'` plays the target domain, the whole corpus the raw crawl. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirWeights(docs(spark, dir), col("text"), col("doc_id"),
+      col("lang") === "en")
+
   /** t16: PII scrub. The synthetic corpus contains no digits at all,
     * so the wrapper first plants a deterministic contact line
     * (id-derived email / IPv4 / phone) in two of every three docs —

@@ -131,6 +131,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
   }
 
+  test("t17: dsir model is broadcast by construction — no shuffle join of the corpus") {
+    val p = plan("t17_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=nBuckets model must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus-side grams must never shuffle into a join\n$p")
+  }
+
   test("t16: pii scrub is map-only — no shuffle, no join, one scan") {
     val p = plan("t16_pii_redact")
     assert(!p.contains("Exchange"), s"redaction must not shuffle\n$p")

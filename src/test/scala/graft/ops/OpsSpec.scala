@@ -487,6 +487,29 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r1.toSeq == Seq((2L, (1L, 12L, 5L)), (3L, (1L, 8L, 1L))))
   }
 
+  test("dsir weights: target==raw gives exactly 1.0; target vocab scores above") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta alpha beta alpha beta", true),
+      (2L, "alpha beta alpha beta", true),
+      (3L, "gamma delta gamma delta gamma delta", false))
+      .toDF("doc_id", "text", "tgt")
+    // degenerate target: every doc in-target → ct == cr, st == sr →
+    // every smoothed ratio is exactly 1.0, so the mean is bit-exactly 1.0
+    val all = TextAnalysis.dsirWeights(d, col("text"), col("doc_id"),
+      lit(true)).collect().map(x => (x.getLong(0), x.getLong(1),
+        x.getDouble(2)))
+    assert(all.forall(_._3 == 1.0))
+    assert(all.map(x => x._1 -> x._2).toMap ==
+      Map(1L -> 5L, 2L -> 3L, 3L -> 5L))
+    // real target: docs built from target-only bigrams must outweigh
+    // docs built from raw-only bigrams
+    val r = TextAnalysis.dsirWeights(d, col("text"), col("doc_id"),
+      col("tgt")).collect()
+      .map(x => (x.getLong(0), x.getDouble(2))).toMap
+    assert(r(1L) > r(3L) && r(2L) > r(3L))
+  }
+
   test("pii redact: counts on raw text, fixed-order redaction, clean rows untouched") {
     import spark.implicits._
     val d = Seq(
