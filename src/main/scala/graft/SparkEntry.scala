@@ -88,6 +88,7 @@ object SparkEntry {
     "t17_dsir_weights" -> (PipelineQueries.dsirWeights _),
     "s12_mips_lsh" -> (PipelineQueries.mipsLsh _),
     "s13_ann_ivf_probe" -> (PipelineQueries.annIvfProbed _),
+    "s14_ivfadc" -> (PipelineQueries.ivfAdc _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
     "d13_minhash_est" -> (PipelineQueries.minhashEstimate _),
     "d14_semdedup_trained" -> (PipelineQueries.semDedupTrained _),
@@ -1001,6 +1002,59 @@ object SparkEntry {
                / (sqrt(CAST(qnorm2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
              ELSE NULL END AS cos_qf
          FROM agg""",
+    // Mirrors Vectors.ivfAdcTopK: 8 coarse cells (squared-L2 argmin,
+    // ties to smaller id), exact integer residuals, residual codebook
+    // from the 16 lowest-id residuals, ADC restricted to the query's
+    // cell. The query LUT rows are exactly the d rows of the query
+    // vectors, so one distance CTE serves both codes and LUT.
+    "s14_ivfadc" ->
+      """WITH iv AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS iv
+           FROM embeddings),
+         cc AS (SELECT vec_id AS ccid, iv AS cciv FROM iv
+                ORDER BY vec_id LIMIT 8),
+         asg AS (SELECT vec_id, ccid, cciv, iv FROM (
+             SELECT i.vec_id, c.ccid, c.cciv, i.iv,
+               row_number() OVER (PARTITION BY i.vec_id ORDER BY
+                 (SELECT sum((x-y)*(x-y))
+                  FROM (SELECT unnest(i.iv) x, unnest(c.cciv) y)),
+                 c.ccid) AS rn
+             FROM iv i, cc c) WHERE rn = 1),
+         res AS (SELECT vec_id, ccid AS cell,
+                   list_transform(generate_series(1, len(iv)),
+                     j -> iv[j] - cciv[j]) AS rv
+                 FROM asg),
+         rcb AS (SELECT s.s AS sub, r.vec_id AS cid,
+                   r.rv[s.s*16+1 : s.s*16+16] AS civ
+                 FROM (SELECT * FROM res ORDER BY vec_id LIMIT 16) r,
+                   generate_series(0,3) s(s)),
+         rsub AS (SELECT vec_id, cell, s.s AS sub,
+                    rv[s.s*16+1 : s.s*16+16] AS sv
+                  FROM res, generate_series(0,3) s(s)),
+         d AS (SELECT vec_id, cell, v.sub, cid,
+                 (SELECT sum((x-y)*(x-y))
+                  FROM (SELECT unnest(sv) x, unnest(civ) y)) AS dist
+               FROM rsub v JOIN rcb c ON v.sub = c.sub),
+         codes AS (SELECT vec_id, cell, sub, cid AS code FROM
+                     (SELECT vec_id, cell, sub, cid,
+                        row_number() OVER (PARTITION BY vec_id, sub
+                                           ORDER BY dist, cid) AS rn
+                      FROM d)
+                   WHERE rn = 1),
+         lut AS (SELECT vec_id AS qid, cell AS qcell, sub, cid,
+                   dist AS qdist
+                 FROM d WHERE vec_id < 10),
+         adc AS (SELECT l.qid, c.vec_id AS nid,
+                   CAST(sum(l.qdist) AS BIGINT) AS adc
+                 FROM codes c JOIN lut l
+                   ON l.sub = c.sub AND l.cid = c.code AND l.qcell = c.cell
+                 GROUP BY l.qid, c.vec_id)
+         SELECT qid, nid, adc, rank FROM
+           (SELECT qid, nid, adc,
+              row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
+            FROM adc WHERE qid <> nid)
+         WHERE rank <= 10""",
     // Per-dimension min/max carry no arithmetic — float bits match.
     "s05_embed_stats" ->
       """SELECT CAST(i - 1 AS BIGINT) AS dim, count(*) AS cnt,

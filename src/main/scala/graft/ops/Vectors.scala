@@ -539,6 +539,81 @@ object Vectors {
       .filter(col("rank") <= kNeighbors)
   }
 
+  /** IVFADC — the full billion-scale arrangement of Jégou et al. 2011
+    * (FAISS's `IndexIVFPQ`): a coarse quantizer of `nCells` centroids
+    * partitions the corpus (the IVF of [[annIvfTopK]], but with the
+    * paper's squared-L2 assignment), each vector stores only its cell
+    * id plus the PQ codes of its RESIDUAL (vector − cell centroid —
+    * residuals concentrate near 0, which is why PQ on residuals beats
+    * PQ on raw vectors), and a query scans ONLY its own cell with the
+    * ADC lookup table built from its own residual.
+    *
+    * Everything stays exact int64: the residual is an integer subtract
+    * of 10^6-scaled vectors, all distances are integer squared L2
+    * ([[sqDist]] kernel), ranking is an integer sort with ties to the
+    * smaller id — oracle-checkable end to end. Both quantizers use the
+    * deterministic lowest-id sample ([[pqCodebook]]'s contract);
+    * production plugs [[kmeansFit]] output into the identical plan.
+    *
+    * Scale shape: ONE checkpointed assignment pass produces (vid, cell,
+    * residual); the residual codebook (m·k subvectors) and the query
+    * LUT (queries × m·k rows) broadcast; the corpus side of the ADC
+    * join carries only (nid, cell, sub, code) — bytes per doc; the
+    * cell-id equality in the join is what makes this IVF: candidates
+    * are O(N/nCells) per query, not N. */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, kNeighbors: Int = 10, nCells: Int = 8,
+      m: Int = 4, k: Int = 16, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val subDim = dims / m
+    val p = corpus.select(id.as("vid"), intScale(emb).as("iv"))
+    val coarse = p.orderBy(col("vid")).limit(nCells)
+      .select(col("vid").as("ccid"), col("iv").as("cciv"))
+    def assignResidual(side: DataFrame): DataFrame =
+      side.crossJoin(broadcast(coarse))
+        .withColumn("cdist", sqDist(col("iv"), col("cciv")))
+        .groupBy(col("vid"))
+        .agg(min_by(struct(col("ccid"), col("cciv")),
+          struct(col("cdist"), col("ccid"))).as("cc"),
+          first(col("iv")).as("iv"))
+        .select(col("vid"), col("cc.ccid").as("cell"),
+          zip_with(col("iv"), col("cc.cciv"), (a, b) => a - b).as("rv"))
+    val res = assignResidual(p).localCheckpoint()
+    val rcb = res.orderBy(col("vid")).limit(k)
+      .select(col("vid").as("cid"),
+        explode(subspaces(col("rv"), m, subDim)).as("cs"))
+      .select(col("cs.sub").as("sub"), col("cid"), col("cs.sv").as("civ"))
+    val codes = res
+      .select(col("vid").as("nid"), col("cell"),
+        explode(subspaces(col("rv"), m, subDim)).as("vs"))
+      .select(col("nid"), col("cell"), col("vs.sub").as("sub"),
+        col("vs.sv").as("sv"))
+      .join(broadcast(rcb), Seq("sub"))
+      .withColumn("dist", sqDist(col("sv"), col("civ")))
+      .groupBy(col("nid"), col("cell"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("code"))
+    val lut = assignResidual(
+      queries.select(id.as("vid"), intScale(emb).as("iv")))
+      .select(col("vid").as("qid"), col("cell").as("qcell"),
+        explode(subspaces(col("rv"), m, subDim)).as("qs"))
+      .select(col("qid"), col("qcell"), col("qs.sub").as("sub"),
+        col("qs.sv").as("sv"))
+      .join(broadcast(rcb), Seq("sub"))
+      .select(col("qid"), col("qcell"), col("sub"), col("cid"),
+        sqDist(col("sv"), col("civ")).as("qdist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    codes
+      .join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid") &&
+          codes("cell") === lut("qcell"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("qdist")).as("adc"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+      .select(col("qid"), col("nid"), col("adc"), col("rank"))
+  }
+
   /** Exact-integer k-means (Lloyd) over the embedding corpus — the
     * centroid TRAINER that [[annIvfTopK]] / [[pqEncode]] document as
     * "production plugs trained centroids in": `iters` rounds of

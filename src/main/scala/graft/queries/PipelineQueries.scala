@@ -145,6 +145,14 @@ object PipelineQueries {
       col("embedding"))
   }
 
+  /** IVFADC (coarse cells + PQ-coded residuals + cell-local ADC scan)
+    * for the first 10 vectors as queries — s14. */
+  def ivfAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.ivfAdcTopK(e, e.filter(col("vec_id") < 10), col("vec_id"),
+      col("embedding"))
+  }
+
   /** Recall@10 of the LSH and IVF ANN paths vs the exact baseline for
     * the first-10-vector query set — s09. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {

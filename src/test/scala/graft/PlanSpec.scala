@@ -261,6 +261,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(windows >= 2, s"expected the two-level rank structure\n$p")
   }
 
+  test("s14: IVFADC — models broadcast, corpus side never shuffle-joins, native kernel") {
+    val p = plan("s14_ivfadc")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"coarse centroids / residual codebook / LUT must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"every join side that isn't the corpus must be model-sized and broadcast\n$p")
+    assert(p.contains("graft_isqdist"), "distances must use the native kernel")
+  }
+
   test("s01/s03: the per-pair dot product is the native graft_idot kernel") {
     // The rerank hot loop must run the fused-loop kernel, not the
     // aggregate(zip_with(...)) fold it replaced (one intermediate array

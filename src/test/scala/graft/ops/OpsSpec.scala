@@ -487,6 +487,25 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r1.toSeq == Seq((2L, (1L, 12L, 5L)), (3L, (1L, 8L, 1L))))
   }
 
+  test("ivfadc: one cell + full codebook degenerates to exact scaled L2 ranking") {
+    import spark.implicits._
+    // n <= k: every residual is its own codebook entry (dist 0), and
+    // nCells = 1 puts everything in one cell — so ADC collapses to the
+    // EXACT squared L2 of the 10^6-scaled vectors, a closed-form check
+    // of the whole cell/residual/code/LUT plumbing.
+    val z = Array.fill(6)(0f)
+    val d = Seq(
+      (0L, 0f +: 0f +: z), (1L, 1f +: 0f +: z),
+      (2L, 2f +: 0f +: z), (3L, 0f +: 3f +: z))
+      .toDF("vec_id", "embedding")
+    val r = Vectors.ivfAdcTopK(d, d.filter(col("vec_id") === 0L),
+      col("vec_id"), col("embedding"), kNeighbors = 3,
+      nCells = 1, m = 4, k = 16, dims = 8).collect()
+      .map(x => (x.getLong(1), (x.getLong(2), x.getInt(3)))).toMap
+    val u = 1000000L * 1000000L // (10^6)² per unit of squared distance
+    assert(r == Map(1L -> ((u, 1)), 2L -> ((4 * u, 2)), 3L -> ((9 * u, 3))))
+  }
+
   test("dsir weights: target==raw gives exactly 1.0; target vocab scores above") {
     import spark.implicits._
     val d = Seq(
