@@ -60,6 +60,8 @@ object SparkEntry {
     "q23_unpivot" -> (Relational.unpivotAgg _),
     "q24_bucketed_join" -> (Relational.bucketedJoin _),
     "q25_range_join" -> (Relational.rangeJoinActivity _),
+    "q26_funnel" -> (Relational.funnel _),
+    "q27_retention" -> (Relational.retentionCohorts _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -89,6 +91,7 @@ object SparkEntry {
     "s12_mips_lsh" -> (PipelineQueries.mipsLsh _),
     "s13_ann_ivf_probe" -> (PipelineQueries.annIvfProbed _),
     "s14_ivfadc" -> (PipelineQueries.ivfAdc _),
+    "s15_ann_sq8" -> (PipelineQueries.annSq8 _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
     "d13_minhash_est" -> (PipelineQueries.minhashEstimate _),
     "d14_semdedup_trained" -> (PipelineQueries.semDedupTrained _),
@@ -370,6 +373,42 @@ object SparkEntry {
            ON b.bts >= a.ats - 60000000 AND b.bts <= a.ats + 60000000
               AND b.event_id <> a.event_id
          GROUP BY a.event_id""",
+    // Step k+1 counts users with an event of that type STRICTLY after
+    // the earliest completion of step k — the oracle expresses the same
+    // min-chaining as explicit per-step CTEs (a stronger check than
+    // mirroring the window-chain construction would be).
+    "q26_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                    FROM events),
+         s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e
+                JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+                GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e
+                JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+                GROUP BY 1)
+         SELECT 'step1_view' AS step,
+                (SELECT count(*) FROM s1) AS users
+         UNION ALL SELECT 'step2_click', (SELECT count(*) FROM s2)
+         UNION ALL SELECT 'step3_purchase', (SELECT count(*) FROM s3)""",
+    // Both engines truncate weeks to Monday; the day-diff of two
+    // week-truncated dates is a multiple of 7, so // 7 is exact.
+    "q27_retention" ->
+      """WITH e AS (SELECT user_id,
+                      CAST(date_trunc('week', ts) AS DATE) AS wk
+                    FROM events),
+         u AS (SELECT user_id, wk,
+                 min(wk) OVER (PARTITION BY user_id) AS cohort
+               FROM e),
+         d AS (SELECT DISTINCT user_id, cohort, wk FROM u)
+         SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort, wk) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+         FROM d GROUP BY 1, 2""",
     // The bucketing is invisible to the result: the plain join is the
     // oracle (sum through DECIMAL like q01, cast to double at the end).
     "q24_bucketed_join" ->
@@ -650,6 +689,38 @@ object SparkEntry {
          SELECT qid, nid, cos, rank FROM (
            SELECT qid, nid, cos,
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           FROM sims)
+         WHERE rank <= 10""",
+    // SQ8 search: codes per s04's construction; amax cancels in the
+    // reconstructed cosine so the score is the code dot over the code
+    // norms — integer folds + one IEEE divide, like s01 over q not v.
+    "s15_ann_sq8" ->
+      s"""WITH pre AS ($embPreSql),
+         qt AS (SELECT vec_id, v,
+                  (SELECT max(abs(e)) FROM unnest(v) t(e)) AS amax
+                FROM pre),
+         qq AS (SELECT vec_id,
+                  CASE WHEN amax > 0 THEN list_transform(v,
+                      x -> CAST(floor(CAST(x*127 AS DOUBLE)
+                             / CAST(amax AS DOUBLE)) AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+                FROM qt),
+         qn AS (SELECT vec_id, q,
+                  CAST((SELECT sum(e*e) FROM unnest(q) t(e)) AS BIGINT)
+                    AS qn2
+                FROM qq),
+         sims AS (
+           SELECT a.vec_id AS qid, b.vec_id AS nid,
+             CAST((SELECT sum(x*y)
+                   FROM (SELECT unnest(a.q) x, unnest(b.q) y)) AS DOUBLE)
+               / (sqrt(CAST(a.qn2 AS DOUBLE)) * sqrt(CAST(b.qn2 AS DOUBLE)))
+               AS cos
+           FROM qn a JOIN qn b ON b.vec_id <> a.vec_id
+           WHERE a.vec_id < 10)
+         SELECT qid, nid, cos, rank FROM (
+           SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+               AS rank
            FROM sims)
          WHERE rank <= 10""",
     "s11_mips" ->

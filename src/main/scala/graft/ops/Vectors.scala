@@ -426,6 +426,42 @@ object Vectors {
         .as("cos_qf"))
   }
 
+  /** SQ8 ANN: brute-force top-k over the int8 codes of
+    * [[quantizeInt8]]'s construction (q_i = floor(iv_i·127 / amax)) —
+    * the memory-bandwidth play of FAISS's `IndexScalarQuantizer`. The
+    * per-vector scale amax/127 cancels in the cosine of the
+    * reconstructed vectors, so the score is exactly
+    * idot(q_a,q_b) / (√qn2_a·√qn2_b): an int64 fold over 8-bit values
+    * (|dot| ≤ 127²·d — no overflow at any realistic dim) + one IEEE
+    * divide. Same plan shape as [[annTopK]] — queries broadcast, one
+    * corpus scan, per-query window top-k — but the corpus side carries
+    * ~4× less than the 10^6-scaled vectors, which at 100 TB is the
+    * difference between spilling and not. */
+  def annSq8TopK(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, k: Int): DataFrame = {
+    def coded(df: DataFrame): DataFrame =
+      df.select(id.as("vid"), intScale(emb).as("iv"))
+        .withColumn("amax",
+          aggregate(col("iv"), lit(0L), (a, x) => greatest(a, abs(x))))
+        .withColumn("q", when(col("amax") > 0,
+          transform(col("iv"), x =>
+            floor((x * lit(127L)).cast("double") / col("amax").cast("double"))
+              .cast("long")))
+          .otherwise(transform(col("iv"), _ => lit(0L))))
+        .select(col("vid"), col("q"), idot(col("q"), col("q")).as("qn2"))
+    val c = coded(corpus).as("c")
+    // the query set is the small side by contract — broadcast it
+    // explicitly so the corpus streams regardless of stats
+    val q = broadcast(coded(queries)).as("q")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    q.join(c, col("q.vid") =!= col("c.vid"))
+      .select(col("q.vid").as("qid"), col("c.vid").as("nid"),
+        cosineFromInts(idot(col("q.q"), col("c.q")), col("q.qn2"), col("c.qn2"))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** The m per-subspace slices of an int-scaled vector, as an array of
     * (sub, sv) structs ready to explode. slice() is 1-based. */
   private def subspaces(iv: Column, m: Int, subDim: Int): Column =

@@ -128,6 +128,14 @@ object PipelineQueries {
   def quantize(spark: SparkSession, dir: String): DataFrame =
     Vectors.quantizeInt8(embs(spark, dir), col("vec_id"), col("embedding"))
 
+  /** SQ8 quantized brute-force ANN — search over the int8 codes; the
+    * per-vector scale cancels in the reconstructed cosine. s15. */
+  def annSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.annSq8TopK(e, e.filter(col("vec_id") < 10), col("vec_id"),
+      col("embedding"), k = 10)
+  }
+
   /** Per-dimension embedding stats (normalization bounds) — s05. */
   def embedDimStats(spark: SparkSession, dir: String): DataFrame =
     Vectors.dimStats(embs(spark, dir), col("embedding"))

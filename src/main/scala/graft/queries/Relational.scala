@@ -392,4 +392,72 @@ object Relational {
         coalesce(sum(dec(col("r.value"), 18, 6)).cast("double"), lit(0.0))
           .as("sum_value"))
   }
+
+  /** q26: ordered three-step funnel (view → click → purchase) by
+    * timestamp min-chaining — a user reaches step k+1 iff an event of
+    * that step's type occurs STRICTLY after the user's earliest
+    * completion of step k. The canonical user-journey query of the
+    * reference's event-processing domain (goka's own example is a
+    * per-user click counter: `/root/reference/examples/1-simplest`),
+    * here as one declarative plan instead of a keyed processor.
+    *
+    * Scale shape: ONE scan of events and ONE hash exchange on user_id —
+    * the three step timestamps are chained `min(CASE …) OVER (PARTITION
+    * BY user_id)` windows that all reuse the same partitioning (no sort
+    * needed: frames are whole-partition), the per-user collapse groups
+    * on the window's own key (no new exchange), and only the 3-row
+    * stack ever leaves the executors. No joins, no per-step rescans;
+    * at 100 TB the cost is a single shuffle of (user_id, type, ts).
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val byUser = Window.partitionBy(col("user_id"))
+    val stepped = e
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts_us"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" &&
+          col("ts_us") > col("t1"), col("ts_us"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("t2"), col("ts_us"))).over(byUser))
+    stepped
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+        min(col("t3")).as("t3"))
+      .agg(count(col("t1")).as("u1"), count(col("t2")).as("u2"),
+        count(col("t3")).as("u3"))
+      .select(expr(
+        """stack(3, 'step1_view', u1, 'step2_click', u2,
+                    'step3_purchase', u3) AS (step, users)"""))
+  }
+
+  /** q27: weekly retention cohorts — users bucketed by the week of
+    * their first event; a cohort cell (cohort_week, week_offset) counts
+    * the cohort's users active in that later week. The companion
+    * analytics query to [[funnel]] on the reference's user-event
+    * domain.
+    *
+    * Scale shape: one scan; the cohort week is a whole-partition min
+    * window on user_id (one hash exchange), the user-week distinct
+    * groups on (user_id, wk) — a superset of the window's key, and
+    * Catalyst provably reuses the exchange (PlanSpec pins 2 total:
+    * that one plus the final small (cohort, offset) rollup whose
+    * cardinality is O(weeks²), not O(users)). Week arithmetic is exact
+    * integer day-diff — both engines truncate weeks to Monday.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+    val byUser = Window.partitionBy(col("user_id"))
+    e.withColumn("cohort", min(col("wk")).over(byUser))
+      .select(col("user_id"), col("cohort"), col("wk")).distinct()
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        floor(datediff(col("wk"), col("cohort")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
 }

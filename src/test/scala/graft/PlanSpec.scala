@@ -304,6 +304,36 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("graft_idot"), "scoring must use the native kernel")
   }
 
+  test("q26: funnel — one user_id exchange, chained windows, no joins") {
+    val p = plan("q26_funnel")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"funnel must shuffle exactly once on user_id, saw $hashEx\n$p")
+    assert(!p.contains("Join"), s"funnel must not join\n$p")
+  }
+
+  test("q27: retention — window exchange reused by the user-week distinct") {
+    val p = plan("q27_retention")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    // one on user_id (window + distinct reuse it), one for the final
+    // (cohort, offset) rollup whose cardinality is O(weeks^2)
+    assert(hashEx == 2,
+      s"retention should need exactly two hash exchanges, saw $hashEx\n$p")
+    assert(!p.contains("Join"), s"retention must not join\n$p")
+  }
+
+  test("s15: SQ8 search — queries broadcast, corpus never shuffled, native kernel") {
+    val p = plan("s15_ann_sq8")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast against the streamed corpus\n$p")
+    // the only shuffle is the top-k merge, and WindowGroupLimit prunes
+    // each partition to k rows per query BEFORE it — at 100 TB the
+    // exchange carries O(k·queries·partitions), not the corpus
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"top-k must prune per-partition before the merge\n$p")
+    assert(p.contains("graft_idot"), "code dot must use the native kernel")
+  }
+
   test("g01: the stateful fold is one exchange + in-partition sort") {
     val p = plan("g01_count_per_key")
     val exchanges = "Exchange".r.findAllIn(p).length

@@ -803,6 +803,23 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(est > 4.0 && est < 100.0)
   }
 
+  test("sq8 ann: positively-scaled copies share codes — cos exactly 1.0, rank 1") {
+    import spark.implicits._
+    // components exact in float32 (dyadic rationals) so 2x scaling is
+    // exact end-to-end: iv doubles, amax doubles, codes are identical
+    val vecs = Seq(
+      (0L, Array(0.25f, 0.5f, 0.75f, 0.125f)),
+      (1L, Array(0.5f, 1.0f, 1.5f, 0.25f)), // exactly 2x vec 0
+      (2L, Array(0.5f, -0.25f, 0.125f, 0.75f)))
+      .toDF("vec_id", "embedding")
+    val r = Vectors.annSq8TopK(vecs, vecs.filter($"vec_id" === 0L),
+      col("vec_id"), col("embedding"), k = 2)
+      .collect().map(x => (x.getLong(1), x.getDouble(2), x.getInt(3)))
+    assert(r.length == 2)
+    val first = r.find(_._3 == 1).get
+    assert(first._1 == 1L && first._2 == 1.0)
+  }
+
   test("multimodal stub decode: magic sniffing + deterministic features") {
     import spark.implicits._
     val jpeg = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0x00.toByte)
