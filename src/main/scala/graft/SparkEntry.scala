@@ -126,6 +126,7 @@ object SparkEntry {
     "st10_stream_neardup" -> (StreamingQueries.streamNearDup _),
     "st11_stream_decontam" -> (StreamingQueries.streamDecontaminate _),
     "st12_stream_curate" -> (StreamingQueries.streamCurate _),
+    "st13_stream_funnel" -> (StreamingQueries.streamFunnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -377,23 +378,10 @@ object SparkEntry {
     // the earliest completion of step k — the oracle expresses the same
     // min-chaining as explicit per-step CTEs (a stronger check than
     // mirroring the window-chain construction would be).
-    "q26_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
-                    FROM events),
-         s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
-                WHERE event_type = 'view' GROUP BY 1),
-         s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e
-                JOIN s1 USING (user_id)
-                WHERE e.event_type = 'click' AND e.ts_us > s1.t1
-                GROUP BY 1),
-         s3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e
-                JOIN s2 USING (user_id)
-                WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
-                GROUP BY 1)
-         SELECT 'step1_view' AS step,
-                (SELECT count(*) FROM s1) AS users
-         UNION ALL SELECT 'step2_click', (SELECT count(*) FROM s2)
-         UNION ALL SELECT 'step3_purchase', (SELECT count(*) FROM s3)""",
+    "q26_funnel" -> funnelOracleSql,
+    // The streaming state machine must land on the identical funnel —
+    // same oracle as q26.
+    "st13_stream_funnel" -> funnelOracleSql,
     // Both engines truncate weeks to Monday; the day-diff of two
     // week-truncated dates is a multiple of 7, so // 7 is exact.
     "q27_retention" ->
@@ -1945,6 +1933,26 @@ object SparkEntry {
              FROM vsub v JOIN csub c ON v.sub = c.sub)"""
 
   /** Int-scaled embedding preprocessing shared by the vector oracles. */
+  /** Shared by q26 (batch window chain) and st13 (streaming state
+    * machine): both must land on this exact funnel. */
+  private def funnelOracleSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                  FROM events),
+       s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY 1),
+       s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e
+              JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+              GROUP BY 1),
+       s3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e
+              JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+              GROUP BY 1)
+       SELECT 'step1_view' AS step,
+              (SELECT count(*) FROM s1) AS users
+       UNION ALL SELECT 'step2_click', (SELECT count(*) FROM s2)
+       UNION ALL SELECT 'step3_purchase', (SELECT count(*) FROM s3)"""
+
   private def embPreSql: String =
     """SELECT vec_id,
          list_transform(embedding,

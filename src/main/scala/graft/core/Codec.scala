@@ -109,6 +109,22 @@ object Codecs {
       }
     }
 
+  /** Fixed-width 24-byte codec for three-long states — same hot-fold
+    * rationale as [[twoLongs]]. */
+  def threeLongs[T](pack: T => (Long, Long, Long))(
+      unpack: (Long, Long, Long) => T): Codec[T] =
+    new Codec[T] {
+      def encode(value: T): Array[Byte] = {
+        val (a, b, c) = pack(value)
+        java.nio.ByteBuffer.allocate(24).putLong(a).putLong(b).putLong(c)
+          .array()
+      }
+      def decode(data: Array[Byte]): T = {
+        val buf = java.nio.ByteBuffer.wrap(data)
+        unpack(buf.getLong, buf.getLong, buf.getLong)
+      }
+    }
+
   /** Untyped JSON value codec (Long/Double/Boolean/String/Map/List,
     * integers always decode as Long) — used for visitor meta payloads,
     * which are schemaless by contract (`processor.go:954-996` passes an

@@ -33,6 +33,13 @@ final case class NearDupState(own: Long, n: Long)
   * binary codec ([[Codecs.twoLongs]]) like the other ingest folds. */
 final case class DecontamState(n: Long, hits: Long)
 
+/** State for [[StreamingQueries.streamFunnel]]: the user's three funnel
+  * step timestamps in µs (0 = step not reached). Monotone — each field
+  * is set at most once and never unset, which is what makes the sink
+  * collapse a plain max per field. Fixed-width 24-byte codec
+  * ([[Codecs.threeLongs]]). */
+final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
 object StreamingQueries {
 
   private val nameSeq = new AtomicInteger(0)
@@ -860,5 +867,73 @@ object StreamingQueries {
       .groupBy(col("day"), col("event_type"))
       .agg(max(col("cnt")).as("cnt"),
         max_by(col("total_value"), col("cnt")).as("total_value"))
+  }
+
+  /** Streaming funnel — q26's online twin and the most goka-shaped
+    * construct in the suite: a per-user keyed state machine advancing
+    * view → click → purchase at ingest time, exactly the per-user
+    * processor the reference's examples build
+    * (`/root/reference/examples/1-simplest/main.go:28-42`).
+    *
+    * Event-time ordering makes the one-pass fold equal q26's
+    * min-chaining: per key, each micro-batch is sorted by (ts, offset)
+    * by the fold kernel, and the staged batches split at the median
+    * timestamp, so every user's events are processed in ts order. The
+    * first view then sets t1 = min view ts; the first click with
+    * ts > t1 IS the min click after t1 (any earlier click was already
+    * processed and failed the guard); likewise purchase. Equal-ts
+    * events can't advance a step in either engine (strict >), whatever
+    * their offset order.
+    *
+    * At 100 TB this is the reference's own deployment shape: state
+    * sharded by user across the cluster, one 24-byte row per user,
+    * O(1) work per event, no rescans. The sink collapse is per-field
+    * max — valid because the state machine is monotone (fields set
+    * once, never unset). */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val codec = Codecs.threeLongs[FunnelState](
+      s => (s.t1, s.t2, s.t3))(FunnelState.apply)
+    val graph = GroupGraph.define("stream-funnel")(
+      Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+        val ts = graft.operators.BatchExecutor.tsMicros(ctx.timestamp)
+        val s = ctx.value match {
+          case null => FunnelState(0L, 0L, 0L)
+          case st: FunnelState => st
+        }
+        val next = msg.asInstanceOf[String] match {
+          case "view" if s.t1 == 0L => s.copy(t1 = ts)
+          case "click" if s.t1 != 0L && s.t2 == 0L && ts > s.t1 =>
+            s.copy(t2 = ts)
+          case "purchase" if s.t2 != 0L && s.t3 == 0L && ts > s.t2 =>
+            s.copy(t3 = ts)
+          case _ => s
+        }
+        if (next != s) ctx.setValue(next)
+      }),
+      Persist(codec))
+    // NOT the shared hash-split stagedEvents: the fold is order-
+    // sensitive across batches, so the split must be BY TIME (early
+    // batch ≤ median ts < late batch) for per-key ts order to hold
+    // globally — hash-split staging loses 3 purchases at sf0.01.
+    val staging = tempDir("graft_stream_funnel")
+    stageTwoBatches(spark, Sources.eventMessages(spark, dir), staging)
+    val stream = spark.readStream
+      .schema(Sources.eventMessages(spark, dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+    val out = new StreamExecutor(graph).run(spark, stream)
+    val table = out.filter(_.sink == SinkTable).map { e =>
+      val s = codec.decode(e.value); (e.key, s.t1, s.t2, s.t3)
+    }.toDF("user_id", "t1", "t2", "t3")
+    runToTable(spark, table).groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+      .agg(count(when(col("t1") > 0, 1)).as("u1"),
+        count(when(col("t2") > 0, 1)).as("u2"),
+        count(when(col("t3") > 0, 1)).as("u3"))
+      .select(expr(
+        """stack(3, 'step1_view', u1, 'step2_click', u2,
+                    'step3_purchase', u3) AS (step, users)"""))
   }
 }

@@ -61,6 +61,16 @@ class CodecSpec extends AnyFunSuite {
     assert(codec.encode((7L, 9L)).toSeq == codec.encode((7L, 9L)).toSeq)
   }
 
+  test("threeLongs codec is 24 fixed bytes and round-trips the extremes") {
+    val codec = Codecs.threeLongs[(Long, Long, Long)](identity)(Tuple3.apply)
+    for (v <- Seq((0L, 0L, 0L), (Long.MinValue, 0L, Long.MaxValue),
+        (-1L, 42L, 7L))) {
+      val bytes = codec.encode(v)
+      assert(bytes.length == 24)
+      assert(codec.decode(bytes) == v)
+    }
+  }
+
   test("json value codec decodes integers as Long and nests maps") {
     val roundtrip = JsonValueCodec.decode(JsonValueCodec.encode(
       Map("a" -> 2L, "b" -> List(1L, 2L), "c" -> "s")))
