@@ -62,6 +62,8 @@ object SparkEntry {
     "q25_range_join" -> (Relational.rangeJoinActivity _),
     "q26_funnel" -> (Relational.funnel _),
     "q27_retention" -> (Relational.retentionCohorts _),
+    "q28_sliding_window" -> (Relational.slidingActivity _),
+    "t18_vocab_stats" -> (PipelineQueries.vocabStats _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -382,6 +384,44 @@ object SparkEntry {
     // The streaming state machine must land on the identical funnel —
     // same oracle as q26.
     "st13_stream_funnel" -> funnelOracleSql,
+    // Equal-ts events are RANGE-frame peers in both engines, so the
+    // frame contents are order-independent; decimal summation makes
+    // the sum exact before the one double cast.
+    "q28_sliding_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                      value
+                    FROM events)
+         SELECT event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_hour,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS sum_hour
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                      RANGE BETWEEN 3600000000 PRECEDING
+                            AND CURRENT ROW)""",
+    // Tokenizer identical to t06 (split on ' ', drop empties); counts
+    // exact integers, ties in the Zipf head broken by binary term
+    // order in both engines; sums cast back from HUGEINT.
+    "t18_vocab_stats" ->
+      """WITH tok AS (SELECT source,
+                        unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+         c AS (SELECT source, term, count(*) AS cnt FROM tok
+               WHERE len(term) > 0 GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT)
+                     AS hapax
+                 FROM c GROUP BY 1),
+         top AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS topk FROM (
+                   SELECT source, cnt,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY cnt DESC, term) AS rn
+                   FROM c) WHERE rn <= 10 GROUP BY 1)
+         SELECT tot.source, total_tokens, vocab, hapax,
+           CAST(topk AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+             AS topk_mass
+         FROM tot JOIN top USING (source)""",
     // Both engines truncate weeks to Monday; the day-diff of two
     // week-truncated dates is a multiple of 7, so // 7 is exact.
     "q27_retention" ->

@@ -580,4 +580,41 @@ object TextAnalysis {
       .otherwise("test")
     (bucket, split)
   }
+
+  /** Per-source vocabulary statistics — the corpus-health numbers a
+    * curation run reads before and after filtering: token volume,
+    * vocabulary size, hapax count (Heaps-law tail) and the mass share
+    * of the top-k terms (the Zipf head; a near-1 share flags templated
+    * or boilerplate sources). All counts are exact integers; the only
+    * float is the final mass ratio, one IEEE divide.
+    *
+    * Scale shape: tokens shuffle ONCE into the (source, term) count —
+    * the vocabulary-sized table both readers consume via a reused
+    * exchange. The totals are a plain per-source rollup; the top-k
+    * side ranks with a row_number window whose WindowGroupLimit prunes
+    * every partition to k rows per source BEFORE the source-keyed
+    * shuffle — no per-source global sort materializes (the t14
+    * lesson). The closing join is per-source rows only. */
+  def vocabStats(df: DataFrame, text: Column, source: Column,
+      topK: Int = 10): DataFrame = {
+    val tok = df.select(source.as("source"),
+      explode(split(text, " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val c = tok.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = c.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("total_tokens"),
+        count(lit(1)).as("vocab"),
+        count(when(col("cnt") === 1, 1)).as("hapax"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("cnt").desc, col("term"))
+    val top = c.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .groupBy(col("source")).agg(sum(col("cnt")).as("topk_tokens"))
+    totals.join(top, Seq("source"))
+      .select(col("source"), col("total_tokens"), col("vocab"),
+        col("hapax"),
+        (col("topk_tokens").cast("double")
+          / col("total_tokens").cast("double")).as("topk_mass"))
+  }
 }

@@ -257,6 +257,10 @@ object PipelineQueries {
         bucket.as("bucket"), splitCol.as("split"))
   }
 
+  /** Per-source vocabulary / Zipf-head statistics — t18. */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabStats(docs(spark, dir), col("text"), col("source"))
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"), col("lang"),
       TextAnalysis.langId(col("text")).as("pred"))

@@ -434,6 +434,28 @@ object Relational {
                     'step3_purchase', u3) AS (step, users)"""))
   }
 
+  /** q28: per-event trailing-hour activity — the sliding event-time
+    * aggregate (moving count + exact decimal sum over the preceding
+    * hour, per user) every monitoring pipeline wants next to q17's
+    * sessions. Declared as a RANGE frame over µs ordinals, so Catalyst
+    * runs it as one hash exchange on user_id + one in-partition sort;
+    * the frame then STREAMS each partition (two pointers, no
+    * per-row rescan). Equal-timestamp events are frame peers — included
+    * together regardless of intra-ts order, which is what makes the
+    * result deterministic. Decimal summation keeps it exact and
+    * order-independent, as everywhere else in this file.
+    */
+  def slidingActivity(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    e.select(col("event_id"),
+      count(lit(1)).over(w).as("n_hour"),
+      sum(dec(col("value"), 18, 6)).over(w).cast("double").as("sum_hour"))
+  }
+
   /** q27: weekly retention cohorts — users bucketed by the week of
     * their first event; a cohort cell (cohort_week, week_offset) counts
     * the cohort's users active in that later week. The companion

@@ -334,6 +334,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("graft_idot"), "code dot must use the native kernel")
   }
 
+  test("q28: sliding window — one user_id exchange, streaming range frame, no joins") {
+    val p = plan("q28_sliding_window")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"sliding aggregate must shuffle exactly once on user_id, saw $hashEx\n$p")
+    assert(!p.contains("Join"), s"sliding aggregate must not join\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("t18: vocab stats — token count reused by both readers, top-k pruned per partition") {
+    // reuse is an AQE runtime decision: execute, then read the final plan
+    val df = SparkEntry.queries("t18_vocab_stats")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      "Scan parquet".r.findAllIn(p).length == 1,
+      s"the (source, term) count exchange must be computed once\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"Zipf-head ranking must prune per-partition before the source shuffle\n$p")
+  }
+
   test("g01: the stateful fold is one exchange + in-partition sort") {
     val p = plan("g01_count_per_key")
     val exchanges = "Exchange".r.findAllIn(p).length

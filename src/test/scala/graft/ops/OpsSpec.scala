@@ -820,6 +820,21 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(first._1 == 1L && first._2 == 1.0)
   }
 
+  test("vocab stats: exact counts, hapax tail, Zipf-head mass with k=1") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a b", "A"), (2L, "a c", "A"),
+      (3L, "x y x y x", "B"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.vocabStats(d, col("text"), col("source"), topK = 1)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    // A: a=3 b=1 c=1 -> total 5, vocab 3, hapax 2, top1 mass 3/5
+    // B: x=3 y=2     -> total 5, vocab 2, hapax 0, top1 mass 3/5
+    assert(r("A") == ((5L, 3L, 2L, 0.6)))
+    assert(r("B") == ((5L, 2L, 0L, 0.6)))
+  }
+
   test("multimodal stub decode: magic sniffing + deterministic features") {
     import spark.implicits._
     val jpeg = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0x00.toByte)
