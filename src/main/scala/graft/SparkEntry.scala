@@ -94,6 +94,8 @@ object SparkEntry {
     "s13_ann_ivf_probe" -> (PipelineQueries.annIvfProbed _),
     "s14_ivfadc" -> (PipelineQueries.ivfAdc _),
     "s15_ann_sq8" -> (PipelineQueries.annSq8 _),
+    "s16_ann_hamming" -> (PipelineQueries.annHamming _),
+    "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
     "d13_minhash_est" -> (PipelineQueries.minhashEstimate _),
     "d14_semdedup_trained" -> (PipelineQueries.semDedupTrained _),
@@ -719,6 +721,61 @@ object SparkEntry {
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
            FROM sims)
          WHERE rank <= 10""",
+    // Binary signatures: s02's 48-plane sign construction packed into
+    // one BIGINT; ranking by bit_count(xor), ties (dist, nid) asc.
+    "s16_ann_hamming" ->
+      s"""WITH pre AS ($embPreSql),
+         planes AS (
+           SELECT p, d,
+             ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR),1,8))::BIGINT
+               - 2147483648 AS coef
+           FROM generate_series(0,47) tp(p), generate_series(0,63) td(d)),
+         sigs AS (
+           SELECT vec_id,
+             sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS sig
+           FROM (SELECT pr.vec_id, pl.p, sum(pr.v[pl.d+1] * pl.coef) AS dot
+                 FROM pre pr, planes pl GROUP BY pr.vec_id, pl.p)
+           GROUP BY vec_id),
+         dists AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             CAST(bit_count(xor(q.sig, c.sig)) AS INTEGER) AS dist
+           FROM sigs q JOIN sigs c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10)
+         SELECT qid, nid, dist, rank FROM (
+           SELECT qid, nid, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+           FROM dists)
+         WHERE rank <= 10""",
+    // Bloom semantics: a probe shingle hits iff ALL k=3 md5-position
+    // bits are set in the benchmark's 4096-bit filter; the exact join
+    // runs alongside so n_false_pos is the measured FP count.
+    "d16_bloom_decontam" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, source,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+                 FROM documents)),
+         bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+         bpos AS (SELECT DISTINCT
+             ('0x' || substr(md5(j::VARCHAR || '_' || s),1,8))::BIGINT % 4096
+               AS pos
+           FROM bench, generate_series(0,2) tj(j)),
+         tr AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+         ps AS (SELECT tr.doc_id, tr.s,
+             CASE WHEN EXISTS (SELECT 1 FROM bench b WHERE b.s = tr.s)
+               THEN 1 ELSE 0 END AS exact_hit,
+             CASE WHEN (SELECT count(*)
+                 FROM generate_series(0,2) tj(j)
+                 WHERE ('0x' || substr(md5(j::VARCHAR || '_' || tr.s),1,8))::BIGINT
+                         % 4096 IN (SELECT pos FROM bpos)) = 3
+               THEN 1 ELSE 0 END AS bloom_hit
+           FROM tr)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(exact_hit) AS BIGINT) AS n_exact,
+           CAST(sum(bloom_hit) AS BIGINT) AS n_bloom,
+           CAST(sum(bloom_hit) - sum(exact_hit) AS BIGINT) AS n_false_pos
+         FROM ps GROUP BY doc_id""",
     // SQ8 search: codes per s04's construction; amax cancels in the
     // reconstructed cosine so the score is the code dot over the code
     // norms — integer folds + one IEEE divide, like s01 over q not v.

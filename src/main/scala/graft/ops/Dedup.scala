@@ -373,6 +373,62 @@ object Dedup {
       .withColumn("contaminated", col("contam_ratio") >= threshold)
   }
 
+  /** Bloom-filter decontamination + measured false-positive audit —
+    * the O(m)-state variant of [[decontaminate]] (Bloom 1970). The
+    * benchmark's shingles are folded into an m-bit filter (k
+    * deterministic md5-derived positions per shingle; the bit set is
+    * modeled as the ≤ m distinct positions, so the broadcast side is
+    * BOUNDED BY CONSTRUCTION — at 100 TB the filter stays m bits while
+    * [[decontaminate]]'s bench set grows with the benchmark). A probe
+    * shingle "bloom-hits" iff ALL k positions are set — which admits
+    * exactly the false-positive semantics a real deployment has, so
+    * the operator ALSO carries the exact join and reports the measured
+    * FP count per doc, the d13/s09/t14 estimator-audit pattern.
+    * Everything is exact integer arithmetic on md5 prefixes — both
+    * engines compute the identical filter, hence identical false
+    * positives. */
+  def bloomDecontaminate(df: DataFrame, text: Column, id: Column,
+      isBench: Column, shingleN: Int = 3, mBits: Int = 4096,
+      kHash: Int = 3,
+      maxBroadcastShingles: Long = 10_000_000L): DataFrame = {
+    def shingleStream(side: DataFrame) = side
+      .select(id.as("doc_id"), nativeShingles(side, text, shingleN).as("sa"))
+      .select(col("doc_id"),
+        size(col("sa")).cast("long").as("n"), explode(col("sa")).as("s"))
+    def positions(s: Column): Column = array((0 until kHash).map { j =>
+      conv(substring(md5(concat_ws("_", lit(j.toString), s)), 1, 8), 16, 10)
+        .cast("long") % mBits }: _*)
+    val bench = shingleStream(df.filter(isBench)).select(col("s")).distinct()
+    val filterBits = bench
+      .select(explode(positions(col("s"))).as("pos")).distinct()
+    val benchSide = bench.withColumn("hit", lit(1))
+    val joinSide =
+      if (bench.count() <= maxBroadcastShingles) broadcast(benchSide)
+      else benchSide
+    probeStreamWithAudit(shingleStream(df.filter(!isBench)), joinSide,
+      filterBits, positions, kHash)
+  }
+
+  private def probeStreamWithAudit(probe: DataFrame, joinSide: DataFrame,
+      filterBits: DataFrame, positions: Column => Column,
+      kHash: Int): DataFrame = {
+    val perShingle = probe
+      .join(joinSide, Seq("s"), "left")
+      .select(col("doc_id"), col("n"), col("s"),
+        coalesce(col("hit"), lit(0)).cast("long").as("exact_hit"),
+        explode(positions(col("s"))).as("pos"))
+      // the filter is ≤ mBits rows — broadcast unconditionally
+      .join(broadcast(filterBits.withColumn("inb", lit(1))),
+        Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("n"), col("s"), col("exact_hit"))
+      .agg(min(coalesce(col("inb"), lit(0))).cast("long").as("bloom_hit"))
+    perShingle.groupBy(col("doc_id"), col("n").as("n_shingles"))
+      .agg(sum(col("exact_hit")).as("n_exact"),
+        sum(col("bloom_hit")).as("n_bloom"))
+      .select(col("doc_id"), col("n_shingles"), col("n_exact"),
+        col("n_bloom"), (col("n_bloom") - col("n_exact")).as("n_false_pos"))
+  }
+
   /** Duplicate-passage statistics — the positional window variant of
     * exact substring dedup (Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better": suffix-array 50-token windows;

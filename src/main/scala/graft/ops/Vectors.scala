@@ -462,6 +462,30 @@ object Vectors {
       .filter(col("rank") <= k)
   }
 
+  /** Binary-signature ANN: each vector compressed to ONE long of
+    * [[annLshBuckets]]' md5-derived hyperplane sign bits, searched by
+    * Hamming distance (`bit_count(xor)`) — the 1-bit end of the
+    * quantized-search ladder (float [[annTopK]] → int8 [[annSq8TopK]]
+    * → this), per Charikar 2002: E[hamming] ∝ angle. All-integer and
+    * engine-portable, so the oracle reproduces the exact signatures.
+    * Scale: the corpus side is 8 BYTES per vector — a billion vectors
+    * fit in 8 GB of scan — and the distance is one xor+popcount;
+    * queries broadcast, per-partition top-k prunes before the merge,
+    * ties break (dist, nid) ascending. */
+  def annHammingTopK(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, k: Int, nBits: Int = 48, dims: Int = -1): DataFrame = {
+    val c = annLshBuckets(corpus, id, emb, nBits, dims)
+      .select(col("vid"), col("bucket").as("sig")).as("c")
+    val q = broadcast(annLshBuckets(queries, id, emb, nBits, dims)
+      .select(col("vid"), col("bucket").as("sig"))).as("q")
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    q.join(c, col("q.vid") =!= col("c.vid"))
+      .select(col("q.vid").as("qid"), col("c.vid").as("nid"),
+        bit_count(col("q.sig").bitwiseXOR(col("c.sig"))).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** The m per-subspace slices of an int-scaled vector, as an array of
     * (sub, sv) structs ready to explode. slice() is 1-based. */
   private def subspaces(iv: Column, m: Int, subDim: Int): Column =

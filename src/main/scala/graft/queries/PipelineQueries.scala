@@ -67,6 +67,13 @@ object PipelineQueries {
     Dedup.decontaminate(docs(spark, dir), col("text"), col("doc_id"),
       col("source") === "src0")
 
+  /** Bloom-filter decontamination with the measured false-positive
+    * audit — d16. mBits=4096 deliberately small so real FPs appear at
+    * fixture scale and the audit has something to count. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    Dedup.bloomDecontaminate(docs(spark, dir), col("text"), col("doc_id"),
+      col("source") === "src0")
+
   /** Positional 8-word-window duplicate-passage stats (exact substring
     * dedup signal, first-writer-keeps). */
   def windowDup(spark: SparkSession, dir: String): DataFrame =
@@ -127,6 +134,14 @@ object PipelineQueries {
     * index compression step, with exact-integer code digests. */
   def quantize(spark: SparkSession, dir: String): DataFrame =
     Vectors.quantizeInt8(embs(spark, dir), col("vec_id"), col("embedding"))
+
+  /** Binary-signature Hamming ANN — 48 sign bits per vector, one
+    * xor+popcount per candidate. s16. */
+  def annHamming(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.annHammingTopK(e, e.filter(col("vec_id") < 10), col("vec_id"),
+      col("embedding"), k = 10, nBits = 48, dims = 64)
+  }
 
   /** SQ8 quantized brute-force ANN — search over the int8 codes; the
     * per-vector scale cancels in the reconstructed cosine. s15. */

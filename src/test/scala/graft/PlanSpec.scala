@@ -355,6 +355,24 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"Zipf-head ranking must prune per-partition before the source shuffle\n$p")
   }
 
+  test("s16: hamming search — queries broadcast, top-k pruned, native dot in signatures") {
+    val p = plan("s16_ann_hamming")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query signatures must broadcast against the streamed corpus\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must prune per-partition before the merge\n$p")
+    assert(p.contains("graft_idot"),
+      "hyperplane dots must use the native kernel")
+  }
+
+  test("d16: bloom decontam — filter and bench sides broadcast, probe never shuffle-joins") {
+    val p = plan("d16_bloom_decontam")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+      s"both the bench set and the bounded position filter must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the probe side must not shuffle for a join\n$p")
+  }
+
   test("g01: the stateful fold is one exchange + in-partition sort") {
     val p = plan("g01_count_per_key")
     val exchanges = "Exchange".r.findAllIn(p).length

@@ -820,6 +820,37 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(first._1 == 1L && first._2 == 1.0)
   }
 
+  test("bloom decontam: bloom is a superset of exact; roomy filter has zero FPs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps", true), // bench
+      (2L, "the quick brown fox jumps", false), // fully contaminated
+      (3L, "completely different words here now", false))
+      .toDF("doc_id", "text", "bench")
+    val r = Dedup.bloomDecontaminate(d, col("text"), col("doc_id"),
+      col("bench"), shingleN = 3, mBits = 1 << 20, kHash = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // doc 2: 3 shingles, all in bench — bloom must agree exactly
+    assert(r(2L) == ((3L, 3L, 3L, 0L)))
+    // doc 3: nothing shared; 2^20 bits vs 9 set positions -> no FPs
+    assert(r(3L) == ((3L, 0L, 0L, 0L)))
+  }
+
+  test("hamming ann: identical vectors at distance 0 rank first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(0.25f, 0.5f, -0.75f, 0.125f)),
+      (1L, Array(0.25f, 0.5f, -0.75f, 0.125f)), // identical -> dist 0
+      (2L, Array(-0.5f, 0.25f, 0.125f, -0.75f)))
+      .toDF("vec_id", "embedding")
+    val r = Vectors.annHammingTopK(vecs, vecs.filter($"vec_id" === 0L),
+      col("vec_id"), col("embedding"), k = 2, nBits = 16, dims = 4)
+      .collect().map(x => (x.getLong(1), x.getInt(2), x.getInt(3)))
+    val first = r.find(_._3 == 1).get
+    assert(first._1 == 1L && first._2 == 0)
+  }
+
   test("vocab stats: exact counts, hapax tail, Zipf-head mass with k=1") {
     import spark.implicits._
     val d = Seq(
