@@ -95,12 +95,14 @@ object SparkEntry {
     "s14_ivfadc" -> (PipelineQueries.ivfAdc _),
     "s15_ann_sq8" -> (PipelineQueries.annSq8 _),
     "s16_ann_hamming" -> (PipelineQueries.annHamming _),
+    "s17_knn_graph" -> (PipelineQueries.knnGraph _),
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
     "d13_minhash_est" -> (PipelineQueries.minhashEstimate _),
     "d14_semdedup_trained" -> (PipelineQueries.semDedupTrained _),
     "c01_curate_pipeline" -> (PipelineQueries.curate _),
     "c02_train_mix" -> (PipelineQueries.trainMix _),
+    "c03_leakage_audit" -> (PipelineQueries.leakageAudit _),
     "t01_langid" -> (PipelineQueries.langId _),
     "t02_quality" -> (PipelineQueries.quality _),
     "t03_token_stats" -> (PipelineQueries.tokenStats _),
@@ -721,6 +723,35 @@ object SparkEntry {
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
            FROM sims)
          WHERE rank <= 10""",
+    // The k-NN graph: s02's bucket construction + 1-bit probe set,
+    // every vector a query, 5 best-effort edges per node.
+    "s17_knn_graph" ->
+      s"""WITH pre AS ($embPreSql),
+         planes AS (
+           SELECT p, d,
+             ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR),1,8))::BIGINT
+               - 2147483648 AS coef
+           FROM generate_series(0,7) tp(p), generate_series(0,63) td(d)),
+         buckets AS (
+           SELECT vec_id,
+             sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           FROM (SELECT pr.vec_id, pl.p, sum(pr.v[pl.d+1] * pl.coef) AS dot
+                 FROM pre pr, planes pl GROUP BY pr.vec_id, pl.p)
+           GROUP BY vec_id),
+         sims AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(qp.v) x, unnest(cp.v) y)) AS DOUBLE)
+               / (sqrt(CAST(qp.n2 AS DOUBLE)) * sqrt(CAST(cp.n2 AS DOUBLE))) AS cos
+           FROM buckets q JOIN buckets c
+             ON bit_count(xor(q.bucket, c.bucket)) <= 1
+               AND c.vec_id <> q.vec_id
+             JOIN pre qp ON qp.vec_id = q.vec_id
+             JOIN pre cp ON cp.vec_id = c.vec_id)
+         SELECT qid, nid, cos, rank FROM (
+           SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           FROM sims)
+         WHERE rank <= 5""",
     // Binary signatures: s02's 48-plane sign construction packed into
     // one BIGINT; ranking by bit_count(xor), ties (dist, nid) asc.
     "s16_ann_hamming" ->
@@ -1698,6 +1729,22 @@ object SparkEntry {
                 WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 100 < 95 THEN 'val'
                 ELSE 'test' END AS split
          FROM documents""",
+    // An eval doc leaks iff its exact md5(text) fingerprint also
+    // appears somewhere in train; split per t07's content-free hash.
+    "c03_leakage_audit" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS fp,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 100 < 90 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents),
+         t AS (SELECT DISTINCT fp FROM d WHERE split = 'train')
+         SELECT d.split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(t.fp) AS BIGINT) AS n_leaked,
+           CAST(count(t.fp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS leak_ratio
+         FROM d LEFT JOIN t ON d.fp = t.fp
+         WHERE d.split <> 'train'
+         GROUP BY 1""",
     // Gopher-style repetition filters: exact integer counts per doc,
     // each ratio a single IEEE divide — bit-identical across engines.
     "t08_repetition" ->

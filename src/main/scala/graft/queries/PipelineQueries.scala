@@ -143,6 +143,22 @@ object PipelineQueries {
       col("embedding"), k = 10, nBits = 48, dims = 64)
   }
 
+  /** k-NN graph construction — s17: EVERY corpus vector is a query
+    * (the offline step NN-descent/HNSW builds refine; also the input
+    * graph of graph-based SemDeDup variants). Same multi-probe LSH
+    * machinery as s02, but the query side is the corpus itself, so
+    * nothing broadcasts: candidates come from a symmetric shuffle
+    * equi-join on the bucket id — each side carries O(N·probes) rows
+    * sharded by bucket, the 100 TB shape for all-pairs-ish work. The
+    * graph is best-effort per LSH contract: vectors whose probe set
+    * finds < k candidates emit fewer edges (NN-descent's refinement
+    * feeds on exactly this). */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.annLshTopK(e, e, col("vec_id"), col("embedding"),
+      k = 5, nPlanes = 8, dims = 64)
+  }
+
   /** SQ8 quantized brute-force ANN — search over the int8 codes; the
     * per-vector scale cancels in the reconstructed cosine. s15. */
   def annSq8(spark: SparkSession, dir: String): DataFrame = {
@@ -270,6 +286,34 @@ object PipelineQueries {
       .join(clean, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("ws_tokens"),
         bucket.as("bucket"), splitCol.as("split"))
+  }
+
+  /** c03: train/eval leakage audit — did the content-hash dedup miss
+    * anything that the hash SPLIT then scattered across the boundary?
+    * Composes t07's content-free split with d01's fingerprints: an
+    * eval doc "leaks" iff its exact text fingerprint also appears in
+    * train. The check every training run should ship with — split
+    * assignment is keyed on doc_id, so byte-identical duplicates land
+    * on BOTH sides unless dedup ran first.
+    *
+    * Scale shape: one scan; fingerprints + split are map-side
+    * expressions; the only shuffle is the fp equi-join of the ~5%
+    * eval slice against the train fingerprint set (NOT broadcast — the
+    * train side grows with the corpus), then a 2-row rollup. */
+  def leakageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val (_, splitCol) = TextAnalysis.splitCols(col("doc_id"))
+    val d = docs(spark, dir).select(col("doc_id"),
+      md5(col("text")).as("fp"), splitCol.as("split"))
+    val trainFps = d.filter(col("split") === "train")
+      .select(col("fp")).distinct().withColumn("in_train", lit(1))
+    d.filter(col("split") =!= "train")
+      .join(trainFps, Seq("fp"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("in_train"), lit(0))).cast("long").as("n_leaked"))
+      .select(col("split"), col("n_docs"), col("n_leaked"),
+        (col("n_leaked").cast("double") / col("n_docs").cast("double"))
+          .as("leak_ratio"))
   }
 
   /** Per-source vocabulary / Zipf-head statistics — t18. */

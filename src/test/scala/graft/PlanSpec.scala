@@ -373,6 +373,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"the probe side must not shuffle for a join\n$p")
   }
 
+  test("s17: knn graph — symmetric bucket equi-join, nothing broadcast-NL, no cartesian") {
+    val p = plan("s17_knn_graph")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus-as-queries must candidate via the bucket equi-join\n$p")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(p).isDefined, s"expected the bucket equi-join\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-node top-k must prune per-partition\n$p")
+  }
+
+  test("c03: leakage audit — fp equi-join only, no cartesian, map-side split/fingerprint") {
+    val p = plan("c03_leakage_audit")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // split + fingerprint are expressions on the scan, not a join
+    assert("Scan parquet".r.findAllIn(p).length <= 2, p)
+  }
+
   test("g01: the stateful fold is one exchange + in-partition sort") {
     val p = plan("g01_count_per_key")
     val exchanges = "Exchange".r.findAllIn(p).length
