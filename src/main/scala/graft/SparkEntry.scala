@@ -133,6 +133,7 @@ object SparkEntry {
     "st11_stream_decontam" -> (StreamingQueries.streamDecontaminate _),
     "st12_stream_curate" -> (StreamingQueries.streamCurate _),
     "st13_stream_funnel" -> (StreamingQueries.streamFunnel _),
+    "st14_stream_retention" -> (StreamingQueries.streamRetention _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -428,19 +429,10 @@ object SparkEntry {
          FROM tot JOIN top USING (source)""",
     // Both engines truncate weeks to Monday; the day-diff of two
     // week-truncated dates is a multiple of 7, so // 7 is exact.
-    "q27_retention" ->
-      """WITH e AS (SELECT user_id,
-                      CAST(date_trunc('week', ts) AS DATE) AS wk
-                    FROM events),
-         u AS (SELECT user_id, wk,
-                 min(wk) OVER (PARTITION BY user_id) AS cohort
-               FROM e),
-         d AS (SELECT DISTINCT user_id, cohort, wk FROM u)
-         SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
-           CAST(date_diff('day', cohort, wk) // 7 AS BIGINT)
-             AS week_offset,
-           CAST(count(*) AS BIGINT) AS active_users
-         FROM d GROUP BY 1, 2""",
+    "q27_retention" -> retentionOracleSql,
+    // The streaming bitmask state machine must land on the identical
+    // cohort table — same oracle as q27.
+    "st14_stream_retention" -> retentionOracleSql,
     // The bucketing is invisible to the result: the plain join is the
     // oracle (sum through DECIMAL like q01, cast to double at the end).
     "q24_bucketed_join" ->
@@ -2077,6 +2069,22 @@ object SparkEntry {
              FROM vsub v JOIN csub c ON v.sub = c.sub)"""
 
   /** Int-scaled embedding preprocessing shared by the vector oracles. */
+  /** Shared by q27 (batch window + distinct) and st14 (streaming
+    * bitmask state machine): both must land on this cohort table. */
+  private def retentionOracleSql: String =
+    """WITH e AS (SELECT user_id,
+                    CAST(date_trunc('week', ts) AS DATE) AS wk
+                  FROM events),
+       u AS (SELECT user_id, wk,
+               min(wk) OVER (PARTITION BY user_id) AS cohort
+             FROM e),
+       d AS (SELECT DISTINCT user_id, cohort, wk FROM u)
+       SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+         CAST(date_diff('day', cohort, wk) // 7 AS BIGINT)
+           AS week_offset,
+         CAST(count(*) AS BIGINT) AS active_users
+       FROM d GROUP BY 1, 2"""
+
   /** Shared by q26 (batch window chain) and st13 (streaming state
     * machine): both must land on this exact funnel. */
   private def funnelOracleSql: String =

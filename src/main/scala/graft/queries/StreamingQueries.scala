@@ -40,6 +40,13 @@ final case class DecontamState(n: Long, hits: Long)
   * ([[Codecs.threeLongs]]). */
 final case class FunnelState(t1: Long, t2: Long, t3: Long)
 
+/** State for [[StreamingQueries.streamRetention]]: the user's cohort
+  * week (epoch-day of its Monday, fixed by the first event under
+  * ts-ordered ingest) + a 64-week activity bitmask relative to it.
+  * cohortDay is set once; the mask only gains bits, so the long value
+  * never decreases — max-collapse safe. 16 bytes. */
+final case class RetentionState(cohortDay: Long, mask: Long)
+
 object StreamingQueries {
 
   private val nameSeq = new AtomicInteger(0)
@@ -935,5 +942,59 @@ object StreamingQueries {
       .select(expr(
         """stack(3, 'step1_view', u1, 'step2_click', u2,
                     'step3_purchase', u3) AS (step, users)"""))
+  }
+
+  /** Streaming retention cohorts — q27's online twin. Per-user state is
+    * 16 bytes: the cohort week (Monday epoch-day of the FIRST event —
+    * fixed once, valid because ingest is ts-ordered like [[streamFunnel]])
+    * plus a 64-week activity bitmask relative to it. Each event is one
+    * integer week computation + one OR; the mask is monotone under OR
+    * (bits only appear), so cohortDay·2^64 + mask never decreases and
+    * the sink collapse is a plain max per field. The explode of set
+    * bits and the (cohort, offset) rollup happen on the collapsed
+    * user-level table — O(users·weeks), never on the event stream. */
+  def streamRetention(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val codec = Codecs.twoLongs[RetentionState](
+      s => (s.cohortDay, s.mask))(RetentionState.apply)
+    // epoch day 0 = Thursday; Monday-of-week = d - ((d + 3) mod 7)
+    def mondayOf(tsMicros: Long): Long = {
+      val d = Math.floorDiv(tsMicros, 86400000000L)
+      d - Math.floorMod(d + 3, 7)
+    }
+    val graph = GroupGraph.define("stream-retention")(
+      Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+        val wk = mondayOf(
+          graft.operators.BatchExecutor.tsMicros(ctx.timestamp))
+        val next = ctx.value match {
+          case null => RetentionState(wk, 1L)
+          case s: RetentionState =>
+            val off = (wk - s.cohortDay) / 7
+            if (off >= 0 && off < 64) s.copy(mask = s.mask | (1L << off))
+            else s
+        }
+        if (ctx.value != next) ctx.setValue(next)
+      }),
+      Persist(codec))
+    val staging = tempDir("graft_stream_retention")
+    stageTwoBatches(spark, Sources.eventMessages(spark, dir), staging)
+    val stream = spark.readStream
+      .schema(Sources.eventMessages(spark, dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+    val out = new StreamExecutor(graph).run(spark, stream)
+    val table = out.filter(_.sink == SinkTable).map { e =>
+      val s = codec.decode(e.value); (e.key, s.cohortDay, s.mask)
+    }.toDF("user_id", "cohort_day", "mask")
+    runToTable(spark, table).groupBy(col("user_id"))
+      .agg(max(col("cohort_day")).as("cohort_day"), max(col("mask")).as("mask"))
+      .select(col("cohort_day"), explode(sequence(lit(0), lit(63))).as("off"),
+        col("mask"))
+      .filter(expr("(shiftright(mask, CAST(off AS INT)) & 1) = 1"))
+      .groupBy(
+        date_format(date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          col("cohort_day").cast("int")), "yyyy-MM-dd").as("cohort_week"),
+        col("off").cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
   }
 }
