@@ -64,6 +64,7 @@ object SparkEntry {
     "q27_retention" -> (Relational.retentionCohorts _),
     "q28_sliding_window" -> (Relational.slidingActivity _),
     "t18_vocab_stats" -> (PipelineQueries.vocabStats _),
+    "t19_temperature_mix" -> (PipelineQueries.temperatureSample _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -97,6 +98,7 @@ object SparkEntry {
     "s16_ann_hamming" -> (PipelineQueries.annHamming _),
     "s17_knn_graph" -> (PipelineQueries.knnGraph _),
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
+    "d17_dedup_agreement" -> (PipelineQueries.dedupAgreement _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
     "d13_minhash_est" -> (PipelineQueries.minhashEstimate _),
     "d14_semdedup_trained" -> (PipelineQueries.semDedupTrained _),
@@ -404,6 +406,21 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
                       RANGE BETWEEN 3600000000 PRECEDING
                             AND CURRENT ROW)""",
+    // Rates from exact counts + IEEE sqrt (correctly rounded — same
+    // doubles in both engines); selection = md5 fraction < rate.
+    "t19_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+                    GROUP BY 1),
+         w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
+         r AS (SELECT source,
+                 least(1.0, 200.0 * w
+                   / ((SELECT sum(w) FROM w) * CAST(n AS DOUBLE)))
+                   AS rate
+               FROM w)
+         SELECT d.source, d.doc_id
+         FROM documents d JOIN r ON d.source = r.source
+         WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT
+                 AS DOUBLE) / 4294967296.0 < r.rate""",
     // Tokenizer identical to t06 (split on ' ', drop empties); counts
     // exact integers, ties in the Zipf head broken by binary term
     // order in both engines; sums cast back from HUGEINT.
@@ -538,6 +555,37 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""",
+    // Pair-set overlap of the two independent near-dup detectors; the
+    // MinHash branch is d02's oracle, the SimHash branch d06's.
+    "d17_dedup_agreement" ->
+      s"""WITH mpairs AS (
+           WITH sh AS (
+             SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+           h AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS hw FROM sh),
+           mh AS (SELECT doc_id, j, min(((2*j+1)*hw + j*12345) % 4294967311) AS mv
+                  FROM h, generate_series(0,15) t(j) GROUP BY doc_id, j),
+           bands AS (SELECT doc_id, j//4 AS band,
+                       string_agg(mv, ',' ORDER BY j) AS sig
+                     FROM mh GROUP BY doc_id, j//4)
+           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         spairs AS (SELECT da, db FROM ($simhashPairsOracleSql)),
+         j AS (SELECT
+             CASE WHEN m.da IS NOT NULL THEN 1 ELSE 0 END AS mh,
+             CASE WHEN s.da IS NOT NULL THEN 1 ELSE 0 END AS sh
+           FROM mpairs m FULL JOIN spairs s
+             ON m.da = s.da AND m.db = s.db)
+         SELECT CAST(sum(mh) AS BIGINT) AS n_minhash,
+           CAST(sum(sh) AS BIGINT) AS n_simhash,
+           CAST(sum(mh*sh) AS BIGINT) AS n_both,
+           CAST(sum(mh*sh) AS DOUBLE)
+             / CAST(sum(mh) + sum(sh) - sum(mh*sh) AS DOUBLE)
+             AS pair_jaccard
+         FROM j""",
     // Connected components over d02's candidate pairs via transitive
     // closure: walk(x, l) = "l reaches x"; cluster = min reachable id.
     // Docs in no pair keep their own id (singleton clusters).

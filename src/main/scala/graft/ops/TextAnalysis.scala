@@ -581,6 +581,36 @@ object TextAnalysis {
     (bucket, split)
   }
 
+  /** Temperature-based corpus mixture sampling (α = 1/2): source k is
+    * sampled at rate ∝ √n_k — the standard multilingual/multi-corpus
+    * rebalancing (Conneau & Lample 2019's exponentiated sampling;
+    * flattens the head without drowning the tail). Selection is
+    * HASH-THRESHOLDED, not ranked: doc d survives iff its content-free
+    * md5 fraction < rate(source) — one map-side comparison against a
+    * broadcast table of ≤ #sources rows, which is the 100 TB shape (an
+    * exact-count variant would rank every doc within its source: one
+    * task per source, the t14 window collapse). Rates are IEEE doubles
+    * built from exact integer counts + sqrt (correctly rounded by IEEE
+    * 754), so both engines compute bit-identical thresholds and the
+    * sample is reproducible anywhere. */
+  def temperatureSample(df: DataFrame, id: Column, source: Column,
+      totalTarget: Long): DataFrame = {
+    val counts = df.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", sqrt(col("n").cast("double")))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(sum(col("w")).as("tot"))))
+      .select(col("source"),
+        least(lit(1.0), lit(totalTarget.toDouble) * col("w")
+          / (col("tot") * col("n").cast("double"))).as("rate"))
+    val frac = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    df.select(id.as("doc_id"), source.as("source"), frac.as("frac"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("frac") < col("rate"))
+      .select(col("source"), col("doc_id"))
+  }
+
   /** Per-source vocabulary statistics — the corpus-health numbers a
     * curation run reads before and after filtering: token volume,
     * vocabulary size, hapax count (Heaps-law tail) and the mass share

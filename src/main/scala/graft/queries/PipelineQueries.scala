@@ -316,6 +316,37 @@ object PipelineQueries {
           .as("leak_ratio"))
   }
 
+  /** d17: near-dup METHOD-AGREEMENT audit — MinHash-LSH candidates vs
+    * banded SimHash pairs over the same corpus, as pair-set overlap
+    * counts + Jaccard. The two detectors see different similarity
+    * (set-resemblance vs weighted-token angle), so their agreement is
+    * the practical dial for "do we trust one method alone at this
+    * threshold" — the d13/s09/t14 audit pattern applied across
+    * methods. One full-outer join of two already-bucketed pair sets;
+    * both pipelines keep their own scale shapes. */
+  def dedupAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val m = Dedup.minhashCandidates(d, col("text"), col("doc_id"))
+      .select(col("da"), col("db")).withColumn("mh", lit(1L))
+    val s = Dedup.simhashPairs(Dedup.simhash(d, col("text"), col("doc_id")))
+      .select(col("da"), col("db")).withColumn("sh", lit(1L))
+    m.join(s, Seq("da", "db"), "full")
+      .agg(sum(coalesce(col("mh"), lit(0L))).as("n_minhash"),
+        sum(coalesce(col("sh"), lit(0L))).as("n_simhash"),
+        sum(coalesce(col("mh"), lit(0L)) * coalesce(col("sh"), lit(0L)))
+          .as("n_both"))
+      .select(col("n_minhash"), col("n_simhash"), col("n_both"),
+        (col("n_both").cast("double") /
+          (col("n_minhash") + col("n_simhash") - col("n_both"))
+            .cast("double")).as("pair_jaccard"))
+  }
+
+  /** Temperature-based (α=1/2) mixture sampling toward ~200 docs —
+    * t19. */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.temperatureSample(docs(spark, dir), col("doc_id"),
+      col("source"), totalTarget = 200L)
+
   /** Per-source vocabulary / Zipf-head statistics — t18. */
   def vocabStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabStats(docs(spark, dir), col("text"), col("source"))

@@ -392,6 +392,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert("Scan parquet".r.findAllIn(p).length <= 2, p)
   }
 
+  test("t19: temperature sampling — rate table broadcast, corpus side map-only") {
+    val p = plan("t19_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-source rate table must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must not shuffle for the rate join\n$p")
+  }
+
   test("g01: the stateful fold is one exchange + in-partition sort") {
     val p = plan("g01_count_per_key")
     val exchanges = "Exchange".r.findAllIn(p).length

@@ -851,6 +851,20 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(first._1 == 1L && first._2 == 0)
   }
 
+  test("temperature sampling: rate caps at 1 (all kept), rate 0 keeps none") {
+    import spark.implicits._
+    val d = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"), (5L, "B"))
+      .toDF("doc_id", "source")
+    // target >= corpus: every rate = min(1, .) = 1 -> all docs survive
+    val all = TextAnalysis.temperatureSample(d, col("doc_id"),
+      col("source"), totalTarget = 1000L).collect()
+    assert(all.length == 5)
+    // target 0 -> rate 0 -> nothing survives
+    val none = TextAnalysis.temperatureSample(d, col("doc_id"),
+      col("source"), totalTarget = 0L).collect()
+    assert(none.isEmpty)
+  }
+
   test("vocab stats: exact counts, hapax tail, Zipf-head mass with k=1") {
     import spark.implicits._
     val d = Seq(
