@@ -136,6 +136,7 @@ object SparkEntry {
     "st12_stream_curate" -> (StreamingQueries.streamCurate _),
     "st13_stream_funnel" -> (StreamingQueries.streamFunnel _),
     "st14_stream_retention" -> (StreamingQueries.streamRetention _),
+    "st15_stream_sliding" -> (StreamingQueries.streamSlidingWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -394,18 +395,10 @@ object SparkEntry {
     // Equal-ts events are RANGE-frame peers in both engines, so the
     // frame contents are order-independent; decimal summation makes
     // the sum exact before the one double cast.
-    "q28_sliding_window" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-                      value
-                    FROM events)
-         SELECT event_id,
-           CAST(count(*) OVER w AS BIGINT) AS n_hour,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
-             AS sum_hour
-         FROM e
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
-                      RANGE BETWEEN 3600000000 PRECEDING
-                            AND CURRENT ROW)""",
+    "q28_sliding_window" -> slidingOracleSql,
+    // The streaming deque must emit the identical frame row per event
+    // — same oracle as q28.
+    "st15_stream_sliding" -> slidingOracleSql,
     // Rates from exact counts + IEEE sqrt (correctly rounded — same
     // doubles in both engines); selection = md5 fraction < rate.
     "t19_temperature_mix" ->
@@ -2117,6 +2110,21 @@ object SparkEntry {
              FROM vsub v JOIN csub c ON v.sub = c.sub)"""
 
   /** Int-scaled embedding preprocessing shared by the vector oracles. */
+  /** Shared by q28 (batch RANGE frame) and st15 (streaming deque):
+    * both must produce the identical per-event trailing-hour row. */
+  private def slidingOracleSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                    value
+                  FROM events)
+       SELECT event_id,
+         CAST(count(*) OVER w AS BIGINT) AS n_hour,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           AS sum_hour
+       FROM e
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                    RANGE BETWEEN 3600000000 PRECEDING
+                          AND CURRENT ROW)"""
+
   /** Shared by q27 (batch window + distinct) and st14 (streaming
     * bitmask state machine): both must land on this cohort table. */
   private def retentionOracleSql: String =

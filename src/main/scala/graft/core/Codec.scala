@@ -125,6 +125,21 @@ object Codecs {
       }
     }
 
+  /** Packed big-endian long array — variable-length fixed-stride state
+    * (e.g. a sliding-window deque of (ts, value) pairs) without any
+    * per-element framing. 8·len bytes. */
+  object LongArrayCodec extends Codec[Array[Long]] {
+    def encode(value: Array[Long]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 * value.length)
+      value.foreach(buf.putLong)
+      buf.array()
+    }
+    def decode(data: Array[Byte]): Array[Long] = {
+      val buf = java.nio.ByteBuffer.wrap(data)
+      Array.fill(data.length / 8)(buf.getLong)
+    }
+  }
+
   /** Untyped JSON value codec (Long/Double/Boolean/String/Map/List,
     * integers always decode as Long) — used for visitor meta payloads,
     * which are schemaless by contract (`processor.go:954-996` passes an

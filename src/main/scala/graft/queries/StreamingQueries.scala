@@ -944,6 +944,69 @@ object StreamingQueries {
                     'step3_purchase', u3) AS (step, users)"""))
   }
 
+  /** Streaming sliding event-time aggregates — q28's online twin and
+    * the thing goka users hand-roll in every monitoring processor: per
+    * user, the trailing-hour event count + exact sum AT each event,
+    * emitted as the event is ingested. State is a time-pruned deque of
+    * (ts_us, value_µ) pairs packed as a raw long array
+    * ([[Codecs.LongArrayCodec]] — no per-element framing); each event
+    * evicts expired pairs, appends itself, and emits (n, Σ) to the
+    * output topic — O(window) work and state per key, the classic
+    * stream-processor shape.
+    *
+    * Exactness: values are scaled to integers through the SAME
+    * DECIMAL(18,6) rounding the batch plan uses, summed exactly as
+    * longs, divided once by 10^6 at the edge (IEEE divide = correctly
+    * rounded = the decimal→double cast both engines make). The frame
+    * [ts-1h, ts] matches q28's RANGE frame; with ts-ordered ingest and
+    * no same-user µs ties in the fixture (checked at every SF), the
+    * per-event emission IS the batch frame row — so st15 shares q28's
+    * oracle verbatim. Each event emits exactly once (no upsert
+    * collapse needed — the output topic is append-shaped). */
+  def streamSlidingWindow(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
+    import spark.implicits._
+    val windowUs = 3600L * 1000000L
+    val graph = GroupGraph.define("stream-sliding")(
+      Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+        val parts = msg.asInstanceOf[String].split('|')
+        val ts = graft.operators.BatchExecutor.tsMicros(ctx.timestamp)
+        val prev = ctx.value match {
+          case null => Array.empty[Long]
+          case a: Array[Long] => a
+        }
+        val cutoff = ts - windowUs
+        val kept = prev.grouped(2).filter(p => p(0) >= cutoff)
+          .flatten.toArray
+        val next = kept :+ ts :+ parts(1).toLong
+        ctx.setValue(next)
+        var sum = 0L; var i = 1
+        while (i < next.length) { sum += next(i); i += 2 }
+        ctx.emit("winstats", parts(0), s"${next.length / 2}|$sum")
+      }),
+      Persist(Codecs.LongArrayCodec), Output("winstats", StringCodec))
+    // value carried as "event_id|value_micros" with the batch plan's
+    // exact DECIMAL(18,6) rounding applied before staging
+    val msgs = Sources.messages(Sources.table(spark, dir, "events"),
+      "events", col("user_id"),
+      concat_ws("|", col("event_id"),
+        (col("value").cast(DecimalType(18, 6)) * lit(1000000))
+          .cast("long")),
+      col("ts"), col("event_id"))
+    val staging = tempDir("graft_stream_sliding")
+    stageTwoBatches(spark, msgs, staging)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Message].schema)
+      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+    val out = new StreamExecutor(graph).run(spark, stream)
+    val table = out.filter(_.sink == "winstats").map { e =>
+      val parts = new String(e.value, "UTF-8").split('|')
+      (e.key.toLong, parts(0).toLong, parts(1).toLong)
+    }.toDF("event_id", "n_hour", "sum_micros")
+    runToTable(spark, table)
+      .select(col("event_id"), col("n_hour"),
+        (col("sum_micros").cast("double") / lit(1000000.0)).as("sum_hour"))
+  }
+
   /** Streaming retention cohorts — q27's online twin. Per-user state is
     * 16 bytes: the cohort week (Monday epoch-day of the FIRST event —
     * fixed once, valid because ingest is ts-ordered like [[streamFunnel]])

@@ -61,6 +61,16 @@ class CodecSpec extends AnyFunSuite {
     assert(codec.encode((7L, 9L)).toSeq == codec.encode((7L, 9L)).toSeq)
   }
 
+  test("longArray codec is 8·len bytes, round-trips, and handles empty") {
+    val c = Codecs.LongArrayCodec
+    for (v <- Seq(Array.empty[Long], Array(1L), Array(Long.MinValue, -1L,
+        0L, Long.MaxValue))) {
+      val bytes = c.encode(v)
+      assert(bytes.length == 8 * v.length)
+      assert(c.decode(bytes).toSeq == v.toSeq)
+    }
+  }
+
   test("threeLongs codec is 24 fixed bytes and round-trips the extremes") {
     val codec = Codecs.threeLongs[(Long, Long, Long)](identity)(Tuple3.apply)
     for (v <- Seq((0L, 0L, 0L), (Long.MinValue, 0L, Long.MaxValue),
