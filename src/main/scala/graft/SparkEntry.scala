@@ -97,6 +97,7 @@ object SparkEntry {
     "s15_ann_sq8" -> (PipelineQueries.annSq8 _),
     "s16_ann_hamming" -> (PipelineQueries.annHamming _),
     "s17_knn_graph" -> (PipelineQueries.knnGraph _),
+    "s18_quant_recall" -> (PipelineQueries.quantRecall _),
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
     "d17_dedup_agreement" -> (PipelineQueries.dedupAgreement _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
@@ -756,6 +757,77 @@ object SparkEntry {
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
            FROM sims)
          WHERE rank <= 10""",
+    // Recall of the quantized paths vs exact top-10: the three branch
+    // CTEs are s01's, s15's and s16's pair sets verbatim.
+    "s18_quant_recall" ->
+      s"""WITH pre AS ($embPreSql),
+         exd AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS DOUBLE)
+               / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+           FROM pre q JOIN pre c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         ex AS (SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+             FROM exd) WHERE rk <= 10),
+         qt AS (SELECT vec_id, v,
+                  (SELECT max(abs(e)) FROM unnest(v) t(e)) AS amax
+                FROM pre),
+         qq AS (SELECT vec_id,
+                  CASE WHEN amax > 0 THEN list_transform(v,
+                      x -> CAST(floor(CAST(x*127 AS DOUBLE)
+                             / CAST(amax AS DOUBLE)) AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+                FROM qt),
+         qn AS (SELECT vec_id, q,
+                  CAST((SELECT sum(e*e) FROM unnest(q) t(e)) AS BIGINT)
+                    AS qn2
+                FROM qq),
+         sqd AS (
+           SELECT a.vec_id AS qid, b.vec_id AS nid,
+             CAST((SELECT sum(x*y)
+                   FROM (SELECT unnest(a.q) x, unnest(b.q) y)) AS DOUBLE)
+               / (sqrt(CAST(a.qn2 AS DOUBLE)) * sqrt(CAST(b.qn2 AS DOUBLE)))
+               AS cos
+           FROM qn a JOIN qn b ON b.vec_id <> a.vec_id
+           WHERE a.vec_id < 10),
+         sq AS (SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+             FROM sqd) WHERE rk <= 10),
+         planes AS (
+           SELECT p, d,
+             ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR),1,8))::BIGINT
+               - 2147483648 AS coef
+           FROM generate_series(0,47) tp(p), generate_series(0,63) td(d)),
+         sigs AS (
+           SELECT vec_id,
+             sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS sig
+           FROM (SELECT pr.vec_id, pl.p, sum(pr.v[pl.d+1] * pl.coef) AS dot
+                 FROM pre pr, planes pl GROUP BY pr.vec_id, pl.p)
+           GROUP BY vec_id),
+         hmd AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             bit_count(xor(q.sig, c.sig)) AS dist
+           FROM sigs q JOIN sigs c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         hm AS (SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rk
+             FROM hmd) WHERE rk <= 10)
+         SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN sq.nid IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS sq8_hits,
+           CAST(sum(CASE WHEN hm.nid IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS ham_hits,
+           CAST(sum(CASE WHEN sq.nid IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / 10.0 AS sq8_recall,
+           CAST(sum(CASE WHEN hm.nid IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / 10.0 AS ham_recall
+         FROM ex LEFT JOIN sq ON ex.qid = sq.qid AND ex.nid = sq.nid
+                 LEFT JOIN hm ON ex.qid = hm.qid AND ex.nid = hm.nid
+         GROUP BY ex.qid""",
     // The k-NN graph: s02's bucket construction + 1-bit probe set,
     // every vector a query, 5 best-effort edges per node.
     "s17_knn_graph" ->

@@ -871,6 +871,36 @@ object Vectors {
         (col("ivf_hits").cast("double") / lit(k.toDouble)).as("ivf_recall"))
   }
 
+  /** Recall@k audit of the QUANTIZED search paths — [[annSq8TopK]]
+    * (8-bit codes) and [[annHammingTopK]] (1-bit signatures) measured
+    * against the exact [[annTopK]] baseline, per query. The
+    * compression ladder's governing question is "how much recall does
+    * each bit cost"; this makes the answer a first-class, oracle-
+    * checked table (same pattern as [[annRecallAudit]] for the
+    * bucketed paths). All three searches keep their own plan shapes;
+    * the audit itself is two tiny left joins on the k·queries result
+    * sets. */
+  def quantRecallAudit(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, k: Int = 10, nBits: Int = 48, dims: Int = -1)
+      : DataFrame = {
+    val exact = annTopK(corpus, queries, id, emb, k)
+      .select(col("qid"), col("nid"))
+    val sq8 = annSq8TopK(corpus, queries, id, emb, k)
+      .select(col("qid"), col("nid"), lit(1L).as("in_sq8"))
+    val ham = annHammingTopK(corpus, queries, id, emb, k, nBits, dims)
+      .select(col("qid"), col("nid"), lit(1L).as("in_ham"))
+    exact
+      .join(sq8, Seq("qid", "nid"), "left")
+      .join(ham, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("in_sq8"), lit(0L))).as("sq8_hits"),
+        sum(coalesce(col("in_ham"), lit(0L))).as("ham_hits"))
+      .select(col("qid"), col("n_exact"), col("sq8_hits"), col("ham_hits"),
+        (col("sq8_hits").cast("double") / lit(k.toDouble)).as("sq8_recall"),
+        (col("ham_hits").cast("double") / lit(k.toDouble)).as("ham_recall"))
+  }
+
   /** Per-dimension corpus statistics — the feature-normalization /
     * scaler-fitting pass (min-max bounds + coverage count per embedding
     * position) run before quantization or whitening. min/max involve no

@@ -135,6 +135,14 @@ object PipelineQueries {
   def quantize(spark: SparkSession, dir: String): DataFrame =
     Vectors.quantizeInt8(embs(spark, dir), col("vec_id"), col("embedding"))
 
+  /** Recall@10 of the quantized search paths (SQ8, 1-bit Hamming) vs
+    * the exact baseline — s18: what each compression step costs. */
+  def quantRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.quantRecallAudit(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 10, nBits = 48, dims = 64)
+  }
+
   /** Binary-signature Hamming ANN — 48 sign bits per vector, one
     * xor+popcount per candidate. s16. */
   def annHamming(spark: SparkSession, dir: String): DataFrame = {
