@@ -100,6 +100,7 @@ object SparkEntry {
     "s18_quant_recall" -> (PipelineQueries.quantRecall _),
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
     "d17_dedup_agreement" -> (PipelineQueries.dedupAgreement _),
+    "d18_keep_best" -> (PipelineQueries.clusterKeepBest _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
     "d13_minhash_est" -> (PipelineQueries.minhashEstimate _),
     "d14_semdedup_trained" -> (PipelineQueries.semDedupTrained _),
@@ -549,6 +550,39 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""",
+    // Keep policy over d07's clusters: longest member wins, ties to
+    // the smaller doc_id — d07's recursive CTE + an arg-max window.
+    "d18_keep_best" ->
+      """WITH RECURSIVE sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         h AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS hw FROM sh),
+         mh AS (SELECT doc_id, j, min(((2*j+1)*hw + j*12345) % 4294967311) AS mv
+                FROM h, generate_series(0,15) t(j) GROUP BY doc_id, j),
+         bands AS (SELECT doc_id, j//4 AS band,
+                     string_agg(mv, ',' ORDER BY j) AS sig
+                   FROM mh GROUP BY doc_id, j//4),
+         pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         edges AS (SELECT da AS src, db AS dst FROM pairs
+                   UNION ALL SELECT db, da FROM pairs),
+         walk(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src),
+         cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM walk GROUP BY id),
+         j AS (SELECT cl.cluster, cl.doc_id, d.n_chars
+               FROM cl JOIN documents d USING (doc_id))
+         SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS keep_id, n_chars AS keep_chars FROM (
+           SELECT cluster, doc_id, n_chars,
+             count(*) OVER (PARTITION BY cluster) AS n_members,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY n_chars DESC, doc_id) AS rn
+           FROM j) WHERE rn = 1""",
     // Pair-set overlap of the two independent near-dup detectors; the
     // MinHash branch is d02's oracle, the SimHash branch d06's.
     "d17_dedup_agreement" ->

@@ -43,6 +43,26 @@ object PipelineQueries {
       d, col("doc_id"))
   }
 
+  /** d18: cluster-representative selection — the keep policy that runs
+    * AFTER near-dup clustering (CCNet/RefinedWeb keep the best member,
+    * not the first seen): per d07 connected component, keep the
+    * LONGEST doc, ties to the smaller doc_id. One broadcast-size
+    * rollup over the cluster table; the clustering itself keeps d07's
+    * checkpointed label-propagation shape. */
+  def clusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashCandidates(d, col("text"), col("doc_id")),
+      d, col("doc_id"))
+    clusters
+      .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("negid"))).as("keep_id"),
+        max(col("n_chars")).as("keep_chars"))
+  }
+
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Vectors.nearDupPairs(embs(spark, dir), col("vec_id"), col("embedding"),
       threshold = 0.45)
