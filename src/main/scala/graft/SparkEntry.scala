@@ -681,9 +681,9 @@ object SparkEntry {
              AND CAST(len(list_filter(string_split(text, ' '),
                  w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
                >= CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.8
-             AND len(list_filter(string_split(lower(text), ' '),
-                 w -> w IN ('the','be','to','of','and','that','have','with')))
-               >= 2),
+             AND len(list_distinct(list_filter(string_split(lower(text), ' '),
+                 w -> w IN ('the','be','to','of','and','that','have','with'))))
+               >= 1),
          kept AS (
            SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
          sh AS (
@@ -1066,8 +1066,8 @@ object SparkEntry {
              length(text) AS nc,
              len(list_filter(string_split(text, ' '),
                w -> regexp_matches(w, '[A-Za-z]'))) AS aw,
-             len(list_filter(string_split(lower(text), ' '),
-               w -> w IN ('the','be','to','of','and','that','have','with')))
+             len(list_distinct(list_filter(string_split(lower(text), ' '),
+               w -> w IN ('the','be','to','of','and','that','have','with'))))
                AS sh
            FROM documents)
          SELECT doc_id,
@@ -1080,12 +1080,12 @@ object SparkEntry {
              AND CAST(nc - nw + 1 AS DOUBLE) / CAST(nw AS DOUBLE) <= 10.0)
              AS pass_mean_len,
            (CAST(aw AS DOUBLE) >= CAST(nw AS DOUBLE) * 0.8) AS pass_alpha,
-           (sh >= 2) AS pass_stops,
+           (sh >= 1) AS pass_stops,
            ((nw >= 50 AND nw <= 100000)
              AND (CAST(nc - nw + 1 AS DOUBLE) / CAST(nw AS DOUBLE) >= 3.0
                AND CAST(nc - nw + 1 AS DOUBLE) / CAST(nw AS DOUBLE) <= 10.0)
              AND (CAST(aw AS DOUBLE) >= CAST(nw AS DOUBLE) * 0.8)
-             AND (sh >= 2)) AS keep
+             AND (sh >= 1)) AS keep
          FROM m""",
     // Mirrors PipelineQueries.piiRedact: the same deterministic contact
     // line planted in 2-of-3 docs, counts on the raw text, redaction

@@ -57,7 +57,9 @@ final case class BatchResult(
 class BatchExecutor(
     graph: GroupGraph,
     nilHandling: NilHandling = NilHandling.Ignore,
-    maxLoopIterations: Int = 50) extends Serializable {
+    maxLoopIterations: Int = 50,
+    maxLookupRows: Long = BatchExecutor.DefaultMaxLookupRows)
+    extends Serializable {
 
   import BatchExecutor._
 
@@ -78,11 +80,11 @@ class BatchExecutor(
       s"lookup tables ${lookupTables.keySet} != declared ${graph.lookups.keySet}")
 
     // Replicated lookup views -> broadcast (small by contract, like the
-    // reference's fully-copied Views).
+    // reference's fully-copied Views); guarded so a mis-declared
+    // corpus-sized Lookup fails loudly instead of OOMing the driver.
     val lookupMaps: Map[String, Map[String, Array[Byte]]] =
       lookupTables.map { case (t, ds) =>
-        t -> ds.filter(_.value != null).collect()
-          .map(r => r.key -> r.value).toMap
+        t -> replicateLookup(t, ds, maxLookupRows)
       }
     val bcLookups = spark.sparkContext.broadcast(lookupMaps)
 
@@ -167,8 +169,7 @@ class BatchExecutor(
     require(graph.visitors.contains(name), s"no visitor named $name")
     val bcLookups = spark.sparkContext.broadcast(
       lookupTables.map { case (t, ds) =>
-        t -> ds.filter(_.value != null).collect()
-          .map(r => r.key -> r.value).toMap
+        t -> replicateLookup(t, ds, maxLookupRows)
       })
     val visitTopic = s"@visit:$name"
     val metaSer = Codecs.JsonValueCodec.encode(meta)
@@ -222,6 +223,33 @@ object BatchExecutor {
 
   final val SinkTable = "@table"
   final val SinkLoop = "@loop"
+
+  /** Default cap on rows replicated for one Lookup table (see
+    * [[replicateLookup]]). */
+  final val DefaultMaxLookupRows: Long = 10_000_000L
+
+  /** Driver-side full replica of one Lookup table, with a loud size
+    * guard. A Lookup IS a complete local copy by contract — the
+    * reference materializes the whole view on every processor instance
+    * (`/root/reference/view.go:42-52`) — so there is no shuffle
+    * fallback: a table above the cap means the topology is
+    * mis-declared (a corpus-sized table belongs on a co-partitioned
+    * Join edge) and the only correct behavior is failing with the
+    * table's name, not silently OOMing the driver. `limit(max+1)`
+    * makes the check one Spark action AND bounds driver memory by the
+    * declared cap even on a huge table. */
+  def replicateLookup(name: String, ds: Dataset[TableRow],
+      maxRows: Long = DefaultMaxLookupRows): Map[String, Array[Byte]] = {
+    val cap = math.min(maxRows, Int.MaxValue - 1L).toInt
+    val rows = ds.filter(_.value != null).limit(cap + 1).collect()
+    if (rows.length > cap) throw new IllegalArgumentException(
+      s"Lookup table '$name' exceeds maxLookupRows=$maxRows. A Lookup is " +
+        "fully replicated to every task (reference view.go:42-52) and " +
+        "cannot fall back to a shuffle — declare corpus-sized tables as " +
+        "a co-partitioned Join, or raise maxLookupRows if the replica " +
+        "genuinely fits.")
+    rows.map(r => r.key -> r.value).toMap
+  }
 
   def tsMicros(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L

@@ -398,7 +398,12 @@ object Dedup {
     def positions(s: Column): Column = array((0 until kHash).map { j =>
       conv(substring(md5(concat_ws("_", lit(j.toString), s)), 1, 8), 16, 10)
         .cast("long") % mBits }: _*)
+    // One materialization of the bench distinct-shingle set — the count
+    // guard, the filter-bit derivation, and the exact-probe join are
+    // three separate actions that would otherwise each re-run the
+    // shingle explode + distinct shuffle (the sigAndShingles pattern).
     val bench = shingleStream(df.filter(isBench)).select(col("s")).distinct()
+      .localCheckpoint()
     val filterBits = bench
       .select(explode(positions(col("s"))).as("pos")).distinct()
     val benchSide = bench.withColumn("hit", lit(1))

@@ -75,8 +75,10 @@ object TextAnalysis {
     * one boolean per rule, and the composite `keep` (AND of all).
     * Thresholds are the paper's: word count in [minWords, maxWords],
     * mean word length in [minMeanLen, maxMeanLen], ≥ minAlphaRatio of
-    * words containing an alphabetic char, ≥ minStopHits of the
-    * essential-English stops. All counts are exact integers; the two
+    * words containing an alphabetic char, ≥ minStopHits DISTINCT words
+    * from the essential-English set (the paper's "at least 2 of the
+    * following" — a doc repeating one stopword does not pass).
+    * All counts are exact integers; the two
     * ratios are single IEEE divides of exact ints — deterministic in
     * any engine. Map-only: one projection, no shuffle, scales as a
     * pure scan stage. */
@@ -91,8 +93,8 @@ object TextAnalysis {
     val meanLen = (nChars - nWords + 1).cast("double") / nWords.cast("double")
     val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
     val alphaRatio = alphaWords.cast("double") / nWords.cast("double")
-    val stopHits = size(filter(split(lower(text), " "),
-      w => w.isInCollection(gopherStops)))
+    val stopHits = size(array_distinct(filter(split(lower(text), " "),
+      w => w.isInCollection(gopherStops))))
     val (pw, pm, pa, ps) = gopherFlagCols(text, minWords, maxWords,
       minMeanLen, maxMeanLen, minAlphaRatio, minStopHits)
     df.select(
@@ -118,8 +120,8 @@ object TextAnalysis {
     val meanLen = (length(text) - nWords + 1).cast("double") /
       nWords.cast("double")
     val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
-    val stopHits = size(filter(split(lower(text), " "),
-      w => w.isInCollection(gopherStops)))
+    val stopHits = size(array_distinct(filter(split(lower(text), " "),
+      w => w.isInCollection(gopherStops))))
     (nWords >= minWords && nWords <= maxWords,
       meanLen >= minMeanLen && meanLen <= maxMeanLen,
       alphaWords.cast("double") >= nWords.cast("double") * minAlphaRatio,

@@ -386,9 +386,14 @@ object PipelineQueries {
   def quality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityMetrics(docs(spark, dir), col("text"), col("doc_id"))
 
-  /** Gopher-rule hard gates (doc-level subset) — t15. */
+  /** Gopher-rule hard gates (doc-level subset) — t15. minStopHits is
+    * calibrated to 1 for the synthetic fixture (its docs contain at
+    * most one DISTINCT essential-English stopword, so the paper's
+    * threshold of 2 would make pass_stops vacuously false and stop
+    * exercising the gate); the API default stays at the paper's 2. */
   def gopher(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.gopherGates(docs(spark, dir), col("text"), col("doc_id"))
+    TextAnalysis.gopherGates(docs(spark, dir), col("text"), col("doc_id"),
+      minStopHits = 1)
 
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(spark, dir), col("text"), col("doc_id"))

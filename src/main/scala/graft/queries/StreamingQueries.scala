@@ -40,12 +40,6 @@ final case class DecontamState(n: Long, hits: Long)
   * ([[Codecs.threeLongs]]). */
 final case class FunnelState(t1: Long, t2: Long, t3: Long)
 
-/** State for [[StreamingQueries.streamRetention]]: the user's cohort
-  * week (epoch-day of its Monday, fixed by the first event under
-  * ts-ordered ingest) + a 64-week activity bitmask relative to it.
-  * cohortDay is set once; the mask only gains bits, so the long value
-  * never decreases — max-collapse safe. 16 bytes. */
-final case class RetentionState(cohortDay: Long, mask: Long)
 
 object StreamingQueries {
 
@@ -94,6 +88,26 @@ object StreamingQueries {
         java.nio.file.Files.copy(f.toPath,
           java.nio.file.Paths.get(to, f.getName))
       }
+
+  /** Driver-collected key set for a replicated Lookup snapshot, with
+    * the same loud size guard as
+    * [[graft.operators.BatchExecutor.replicateLookup]]: full
+    * replication is the Lookup contract (reference view.go:42-52), so
+    * an oversize table is a topology error, not a fallback case.
+    * `limit(cap+1)` bounds driver memory by the cap even when the
+    * underlying table is corpus-sized. */
+  private def lookupReplicaKeys(name: String, keys: Dataset[String],
+      maxRows: Long =
+        graft.operators.BatchExecutor.DefaultMaxLookupRows): Array[String] = {
+    val cap = math.min(maxRows, Int.MaxValue - 1L).toInt
+    val arr = keys.limit(cap + 1).collect()
+    if (arr.length > cap) throw new IllegalArgumentException(
+      s"Lookup table '$name' exceeds maxLookupRows=$maxRows. A Lookup is " +
+        "fully replicated to every task and cannot fall back to a " +
+        "shuffle — feed it through a keyed Join stage instead, or raise " +
+        "maxLookupRows if the replica genuinely fits.")
+    arr
+  }
 
   /** State-shard sizing for the fixture replays. The reference binds
     * state shards to TOPIC partitions — a goka processor runs exactly
@@ -389,10 +403,11 @@ object StreamingQueries {
     // The replicated eval-set view: distinct src0 shingles → full
     // replica, the lookup-table contract (bounded by the eval suite's
     // size, not the corpus's).
-    val benchSet = docs.filter(col("source") === "src0")
-      .select(explode(
-        graft.ops.Dedup.nativeShingles(docs, col("text"), 3)).as("s"))
-      .distinct().as[String].collect()
+    val benchSet = lookupReplicaKeys("bench",
+      docs.filter(col("source") === "src0")
+        .select(explode(
+          graft.ops.Dedup.nativeShingles(docs, col("text"), 3)).as("s"))
+        .distinct().as[String])
       .map(s => s -> StringCodec.encode("1")).toMap
     val trainShingles = docs.filter(col("source") =!= "src0")
       .select(col("doc_id"), explode(
@@ -488,10 +503,11 @@ object StreamingQueries {
       Persist(decontamCodec))
 
     val docs = Sources.table(spark, dir, "documents")
-    val benchSet = docs.filter(col("source") === "src0")
-      .select(explode(
-        graft.ops.Dedup.nativeShingles(docs, col("text"), 3)).as("s"))
-      .distinct().as[String].collect()
+    val benchSet = lookupReplicaKeys("bench",
+      docs.filter(col("source") === "src0")
+        .select(explode(
+          graft.ops.Dedup.nativeShingles(docs, col("text"), 3)).as("s"))
+        .distinct().as[String])
       .map(s => s -> StringCodec.encode("1")).toMap
     val train = docs.filter(col("source") =!= "src0")
     val msgs = Sources.messages(train, "docs", col("doc_id"), col("text"),
@@ -507,7 +523,8 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
     val gated = stream1.toDF()
       .withColumn("text", col("value").cast("string"))
-      .where(graft.ops.TextAnalysis.gopherKeep(col("text")))
+      // minStopHits = 1: fixture calibration, see PipelineQueries.gopher
+      .where(graft.ops.TextAnalysis.gopherKeep(col("text"), minStopHits = 1))
       .select(md5(col("text")).as("key"), col("value"),
         lit("gated").as("topic"), col("partition"), col("offset"),
         col("timestamp"), col("headers"))
@@ -1008,19 +1025,24 @@ object StreamingQueries {
   }
 
   /** Streaming retention cohorts — q27's online twin. Per-user state is
-    * 16 bytes: the cohort week (Monday epoch-day of the FIRST event —
-    * fixed once, valid because ingest is ts-ordered like [[streamFunnel]])
-    * plus a 64-week activity bitmask relative to it. Each event is one
-    * integer week computation + one OR; the mask is monotone under OR
-    * (bits only appear), so cohortDay·2^64 + mask never decreases and
-    * the sink collapse is a plain max per field. The explode of set
-    * bits and the (cohort, offset) rollup happen on the collapsed
-    * user-level table — O(users·weeks), never on the event stream. */
+    * a variable-length long array ([[Codecs.LongArrayCodec]]):
+    * `[cohortDay, off1, off2, ...]` — the cohort week (Monday epoch-day
+    * of the FIRST event, fixed once under ts-ordered ingest like
+    * [[streamFunnel]]) followed by the DISTINCT active week offsets in
+    * increasing order. Unlike a fixed bitmask there is no horizon cap:
+    * a user active 64+ weeks after its cohort week stays byte-exact
+    * with the q27 batch oracle. Ts-ordered ingest makes offsets arrive
+    * non-decreasing, so the state only ever APPENDS — an append with an
+    * equal prefix is lexicographically greater, so the array is
+    * monotone and the sink collapse is a plain per-key max. A regressing
+    * offset (out-of-order delivery) fails loudly instead of corrupting
+    * state. O(active-weeks) bytes per user; the (cohort, offset) rollup
+    * happens on the collapsed user-level table — never on the event
+    * stream. */
   def streamRetention(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
     import spark.implicits._
     import graft.operators.BatchExecutor.SinkTable
-    val codec = Codecs.twoLongs[RetentionState](
-      s => (s.cohortDay, s.mask))(RetentionState.apply)
+    val codec = Codecs.LongArrayCodec
     // epoch day 0 = Thursday; Monday-of-week = d - ((d + 3) mod 7)
     def mondayOf(tsMicros: Long): Long = {
       val d = Math.floorDiv(tsMicros, 86400000000L)
@@ -1030,14 +1052,17 @@ object StreamingQueries {
       Input("events", StringCodec, ProcessCallback { (ctx, _) =>
         val wk = mondayOf(
           graft.operators.BatchExecutor.tsMicros(ctx.timestamp))
-        val next = ctx.value match {
-          case null => RetentionState(wk, 1L)
-          case s: RetentionState =>
-            val off = (wk - s.cohortDay) / 7
-            if (off >= 0 && off < 64) s.copy(mask = s.mask | (1L << off))
-            else s
+        ctx.value match {
+          case null => ctx.setValue(Array(wk, 0L))
+          case a: Array[Long] =>
+            val off = (wk - a(0)) / 7
+            val last = a(a.length - 1)
+            if (off < last) throw new IllegalStateException(
+              s"stream-retention: out-of-order event for key ${ctx.key} " +
+                s"(week offset $off after $last) — this fold requires " +
+                "ts-ordered ingest per key")
+            if (off > last) ctx.setValue(a :+ off)
         }
-        if (ctx.value != next) ctx.setValue(next)
       }),
       Persist(codec))
     val staging = tempDir("graft_stream_retention")
@@ -1047,17 +1072,16 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
     val out = new StreamExecutor(graph).run(spark, stream)
     val table = out.filter(_.sink == SinkTable).map { e =>
-      val s = codec.decode(e.value); (e.key, s.cohortDay, s.mask)
-    }.toDF("user_id", "cohort_day", "mask")
+      (e.key, codec.decode(e.value))
+    }.toDF("user_id", "state")
     runToTable(spark, table).groupBy(col("user_id"))
-      .agg(max(col("cohort_day")).as("cohort_day"), max(col("mask")).as("mask"))
-      .select(col("cohort_day"), explode(sequence(lit(0), lit(63))).as("off"),
-        col("mask"))
-      .filter(expr("(shiftright(mask, CAST(off AS INT)) & 1) = 1"))
+      .agg(max(col("state")).as("state"))
+      .select(element_at(col("state"), 1).as("cohort_day"),
+        explode(expr("slice(state, 2, size(state) - 1)")).as("off"))
       .groupBy(
         date_format(date_add(lit(java.sql.Date.valueOf("1970-01-01")),
           col("cohort_day").cast("int")), "yyyy-MM-dd").as("cohort_week"),
-        col("off").cast("long").as("week_offset"))
+        col("off").as("week_offset"))
       .agg(count(lit(1)).as("active_users"))
   }
 }

@@ -114,20 +114,29 @@ class KernelRandomParitySpec extends AnyFunSuite with SparkFixture {
       .filter(not(col("nat") <=> col("dec")) || not(col("sql") <=> col("dec"))
         || not(col("natd") <=> col("decd")))
     assert(cmp.count() == 0, cmp.take(3).mkString("; "))
-    // ANSI fold throws on int64 overflow — the kernels must too, not
-    // silently wrap (asserted on the static helpers both codegen and
-    // interpreted paths call).
+    // Overflow mirrors the fold's ANSI dependence (asserted on the
+    // static helpers both codegen and interpreted paths call): ANSI on
+    // (Spark 4 default) throws; ANSI off wraps two's-complement exactly
+    // like the non-ANSI fold.
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     intercept[ArithmeticException] {
       VectorOps.idot(
         new GenericArrayData(Array(Long.MaxValue, 7L)),
-        new GenericArrayData(Array(3L, Long.MinValue)))
+        new GenericArrayData(Array(3L, Long.MinValue)), ansi = true)
     }
     intercept[ArithmeticException] {
       VectorOps.isqdist(
         new GenericArrayData(Array(Long.MaxValue)),
-        new GenericArrayData(Array(Long.MinValue)))
+        new GenericArrayData(Array(Long.MinValue)), ansi = true)
     }
+    assert(VectorOps.idot(
+      new GenericArrayData(Array(Long.MaxValue, 7L)),
+      new GenericArrayData(Array(3L, Long.MinValue)), ansi = false)
+      == Long.MaxValue * 3L + 7L * Long.MinValue)
+    assert(VectorOps.isqdist(
+      new GenericArrayData(Array(Long.MaxValue)),
+      new GenericArrayData(Array(Long.MinValue)), ansi = false)
+      == { val d = Long.MaxValue - Long.MinValue; d * d })
   }
 
   test("graft_rolling_hash ≡ byte-loop reference on random docs") {

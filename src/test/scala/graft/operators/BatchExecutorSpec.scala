@@ -54,6 +54,31 @@ class BatchExecutorSpec extends AnyFunSuite with SparkFixture {
     assert(tableMap(res.table) == Map("k" -> "b"))
   }
 
+  test("oversize Lookup table fails loudly with the table name") {
+    import spark.implicits._
+    val g = GroupGraph.define("lk")(
+      Input("in", StringCodec, ProcessCallback { (ctx, m) =>
+        ctx.setValue(m.toString)
+      }),
+      Lookup("dim", StringCodec),
+      Persist(StringCodec))
+    val dim = spark.createDataset((1 to 10).map(i =>
+      TableRow(s"k$i", Array[Byte]('x'))))
+    val in = spark.createDataset(Seq(msg("k1", "v")))
+    // A Lookup is a full replica by contract — above the cap the
+    // executor must fail naming the table, never silently collect.
+    val ex = intercept[IllegalArgumentException] {
+      new BatchExecutor(g, maxLookupRows = 3L)
+        .run(spark, Map("in" -> in), lookupTables = Map("dim" -> dim))
+    }
+    assert(ex.getMessage.contains("'dim'"))
+    assert(ex.getMessage.contains("maxLookupRows=3"))
+    // at the cap it replicates normally
+    val ok = new BatchExecutor(g, maxLookupRows = 10L)
+      .run(spark, Map("in" -> in), lookupTables = Map("dim" -> dim))
+    assert(tableMap(ok.table) == Map("k1" -> "v"))
+  }
+
   test("initial state is overlaid and untouched keys survive") {
     import spark.implicits._
     val init = spark.createDataset(Seq(
