@@ -119,16 +119,37 @@ object StreamingQueries {
     * pays one RocksDB load+commit+changelog-upload per shard, so a
     * 100k-row fixture at 32 shards is per-batch-overhead-bound
     * (measured on this host: st01 20.0 s at 32 shards vs 5.0 s at 8,
-    * identical results, identical cores). The replays therefore pin
-    * `stateShards` (default 8 ≈ the staged topic's file-partition
-    * count, overridable via GRAFT_STATE_SHARDS) around query start; a
-    * 100 TB deployment raises it with the topic's partition count —
+    * identical results, identical cores). The shard count is DERIVED
+    * from the staged topic by [[bindShardsToTopic]] at source
+    * declaration; this wrapper only scopes the conf change so the
+    * session's batch queries keep their own partitioning. A 100 TB
+    * deployment's shard count rises with the topic's partition count —
     * the knob scales with data volume, not core count. */
   private def withStateShards[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
-    spark.conf.set(key, sys.env.getOrElse("GRAFT_STATE_SHARDS", "8"))
     try body finally spark.conf.set(key, old)
+  }
+
+  /** Bind the session's state-shard count to a staged topic's partition
+    * count — the reference's shards-follow-topic-partitions rule
+    * (`/root/reference/partition_processor.go:60-72`: one partition
+    * processor per TOPIC partition, never per worker). A staged
+    * directory models one topic; its parquet files are its partitions.
+    * Called exactly where the topic is declared as a stream source:
+    * staging is complete by then, the query has not started, and the
+    * value of `spark.sql.shuffle.partitions` at `.start()` is what
+    * fixes the state store's shard count. GRAFT_STATE_SHARDS remains
+    * as an explicit override for topic layouts that are not
+    * file-per-partition; the floor of 2 keeps a single-file replay
+    * from collapsing the fold to one task. Returns the path so call
+    * sites stay one-expression: `.parquet(bindShardsToTopic(spark, staging))`. */
+  private def bindShardsToTopic(spark: SparkSession, staging: String): String = {
+    val ls = new java.io.File(staging).listFiles()
+    val files = if (ls == null) 0 else ls.count(_.getName.endsWith(".parquet"))
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_STATE_SHARDS", math.max(2, files).toString))
+    staging
   }
 
   private def runToTable(spark: SparkSession, df: DataFrame,
@@ -209,7 +230,8 @@ object StreamingQueries {
     val staged = stagedEvents(spark, dir)
     val stream = spark.readStream
       .schema(Sources.eventMessages(spark, dir).schema)
-      .option("maxFilesPerTrigger", 1).parquet(staged).as[Message]
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staged)).as[Message]
     val out = new StreamExecutor(graph).run(spark, stream)
     import graft.operators.BatchExecutor.SinkTable
     val table = out.filter(_.sink == SinkTable)
@@ -253,7 +275,8 @@ object StreamingQueries {
     stageTwoBatches(spark, msgs, staging)
     val stream = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Message].schema)
-      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
     val out = new StreamExecutor(graph).run(spark, stream)
     val table = out.filter(_.sink == SinkTable)
       .map { e =>
@@ -332,7 +355,8 @@ object StreamingQueries {
     stageTwoBatches(spark, msgs, staging)
     val msgSchema = org.apache.spark.sql.Encoders.product[Message].schema
     val stream1 = spark.readStream.schema(msgSchema)
-      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
     val q1 = StreamSinks.routeOutputs(
       new StreamExecutor(bucketGraph).run(spark, stream1),
       Map("owners" -> relayDir))
@@ -418,7 +442,8 @@ object StreamingQueries {
     stageTwoBatches(spark, msgs, staging)
     val stream = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Message].schema)
-      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
     val out = new StreamExecutor(graph).run(spark, stream,
       lookupSnapshots = Map("bench" -> benchSet))
     val table = out.filter(_.sink == SinkTable)
@@ -520,7 +545,8 @@ object StreamingQueries {
     // Stage 1+2: stateless gate + re-key by fingerprint, then the keyed
     // first-seen fold; admitted docs relay onto the `kept` topic.
     val stream1 = spark.readStream.schema(msgSchema)
-      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
     val gated = stream1.toDF()
       .withColumn("text", col("value").cast("string"))
       // minStopHits = 1: fixture calibration, see PipelineQueries.gopher
@@ -628,7 +654,8 @@ object StreamingQueries {
     stageTwoBatches(spark, all, staging)
     val stream = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Message].schema)
-      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
     val out = new StreamExecutor(graph).run(spark, stream)
     val table = out.filter(_.sink == SinkTable)
       .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "cnt")
@@ -678,7 +705,7 @@ object StreamingQueries {
       .schema(org.apache.spark.sql.Encoders.product[Message].schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "*.parquet")
-      .parquet(staging).as[Message]
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
     val out = new StreamExecutor(graph).runWith(spark, stream,
       Map.empty, FileLookups(Map("rates" -> ratesFile)))
     val table = out.filter(_.sink == SinkTable)
@@ -736,7 +763,7 @@ object StreamingQueries {
     val stream = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Message].schema)
       .option("pathGlobFilter", "*.parquet")
-      .parquet(staging).as[Message]
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
     val table = new StreamExecutor(graph).run(spark, stream)
       .filter(_.sink == SinkTable)
       .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "cnt")
@@ -774,7 +801,8 @@ object StreamingQueries {
     stageTwoBatches(spark, Sources.eventMessages(spark, dir), staging)
     val msgSchema = org.apache.spark.sql.Encoders.product[Message].schema
     val stream1 = spark.readStream.schema(msgSchema)
-      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
     val q1 = StreamSinks.routeOutputs(
       new StreamExecutor(GokaQueries.detectorGraph).run(spark, stream1),
       Map("blocks" -> relayDir))
@@ -833,7 +861,8 @@ object StreamingQueries {
     stageFile(sentinel(2), staging, "b3.parquet", now - 60000)
     stageFile(sentinel(4), staging, "b4.parquet", now - 30000)
     val sessions = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(staging)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 second")
       .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
@@ -878,7 +907,8 @@ object StreamingQueries {
     stageFile(ev.filter(col("ts") <= midNs), staging, "b1.parquet", now - 120000)
     stageFile(ev.filter(col("ts") > midNs), staging, "b2.parquet", now - 60000)
     val windowed = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(staging)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -945,7 +975,8 @@ object StreamingQueries {
     stageTwoBatches(spark, Sources.eventMessages(spark, dir), staging)
     val stream = spark.readStream
       .schema(Sources.eventMessages(spark, dir).schema)
-      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
     val out = new StreamExecutor(graph).run(spark, stream)
     val table = out.filter(_.sink == SinkTable).map { e =>
       val s = codec.decode(e.value); (e.key, s.t1, s.t2, s.t3)
@@ -1013,7 +1044,8 @@ object StreamingQueries {
     stageTwoBatches(spark, msgs, staging)
     val stream = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Message].schema)
-      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
     val out = new StreamExecutor(graph).run(spark, stream)
     val table = out.filter(_.sink == "winstats").map { e =>
       val parts = new String(e.value, "UTF-8").split('|')
@@ -1069,7 +1101,8 @@ object StreamingQueries {
     stageTwoBatches(spark, Sources.eventMessages(spark, dir), staging)
     val stream = spark.readStream
       .schema(Sources.eventMessages(spark, dir).schema)
-      .option("maxFilesPerTrigger", 1).parquet(staging).as[Message]
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
     val out = new StreamExecutor(graph).run(spark, stream)
     val table = out.filter(_.sink == SinkTable).map { e =>
       (e.key, codec.decode(e.value))
