@@ -139,6 +139,7 @@ object SparkEntry {
     "st13_stream_funnel" -> (StreamingQueries.streamFunnel _),
     "st14_stream_retention" -> (StreamingQueries.streamRetention _),
     "st15_stream_sliding" -> (StreamingQueries.streamSlidingWindow _),
+    "st16_stream_recover" -> (StreamingQueries.streamRecover _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -401,6 +402,11 @@ object SparkEntry {
     // The streaming deque must emit the identical frame row per event
     // — same oracle as q28.
     "st15_stream_sliding" -> slidingOracleSql,
+    // Deliberately st01's oracle: the stop/cold-restart cycle must
+    // reconstruct exactly the table an uninterrupted run produces.
+    "st16_stream_recover" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+         FROM events GROUP BY user_id""",
     // Rates from exact counts + IEEE sqrt (correctly rounded — same
     // doubles in both engines); selection = md5 fraction < rate.
     "t19_temperature_mix" ->

@@ -1117,4 +1117,73 @@ object StreamingQueries {
         col("off").as("week_offset"))
       .agg(count(lit(1)).as("active_users"))
   }
+
+  /** Checkpoint crash-recovery proof — the reference's core recovery
+    * loop (`/root/reference/partition_table.go:98-167`: restore local
+    * state from the changelog to the high-water mark, then resume
+    * consuming) exercised for real, not just mapped onto "Spark
+    * checkpointing". st01's count topology runs with an explicit
+    * checkpoint over a staging dir that initially holds only the EARLY
+    * half of the stream; that query is stopped cold and its object
+    * discarded (the crash), the late half is delivered, and a
+    * brand-new query — fresh plan, fresh StreamExecutor, same
+    * checkpoint dir — drains the rest. File availability, not trigger
+    * timing, places the crash point, so the replay is deterministic.
+    * Counts are monotone, so the per-key max over the two phases'
+    * update-mode sinks is the final table — and the shared st01
+    * oracle convicts BOTH recovery failure modes: state lost across
+    * the restart makes post-restart counts too LOW; source offsets
+    * lost (the early half re-consumed) makes them too HIGH. */
+  def streamRecover(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val graph = GroupGraph.define("stream-recover")(
+      Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+        val cur = ctx.value match { case null => 0L; case n: Long => n }
+        ctx.setValue(cur + 1L)
+      }),
+      Persist(Int64Codec))
+    val staging = tempDir("graft_stream_recover")
+    val lateDir = tempDir("graft_stream_recover_late")
+    stageSplit(spark, Sources.eventMessages(spark, dir), staging, lateDir)
+    val ckpt = tempDir("graft_stream_recover_ckpt")
+    val resultDir = tempDir("graft_stream_recover_out") + "/table"
+    // The memory sink refuses checkpoint recovery (it is not
+    // fault-tolerant), so the upserts land in an append-parquet
+    // foreachBatch sink — the recoverable sink shape a real
+    // deployment uses, and the surviving record of BOTH phases.
+    def phase(): Long = {
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val table = new StreamExecutor(graph).run(spark, stream)
+        .filter(_.sink == SinkTable)
+        .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "cnt")
+      val q = table.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(resultDir); ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        q.recentProgress.iterator.map(_.numInputRows).sum
+      } finally q.stop()
+    }
+    val earlyRows = phase() // consumes the early half, then "crashes"
+    copyParquetFiles(lateDir, staging)
+    val lateRows = phase() // cold restart: fresh plan, same checkpoint
+    // A query that silently started FRESH (discarded offsets + state)
+    // would re-read the early file and still produce oracle-correct
+    // totals — the oracle alone cannot convict that failure mode, but
+    // the source progress counters can: the restarted query must have
+    // consumed ONLY the late half.
+    val total = spark.read.parquet(staging).count()
+    require(earlyRows > 0 && earlyRows < total && lateRows == total - earlyRows,
+      s"cold restart did not resume from the checkpoint: " +
+        s"phase1=$earlyRows phase2=$lateRows staged=$total")
+    spark.read.parquet(resultDir)
+      .groupBy(col("key")).agg(max(col("cnt")).as("cnt"))
+  }
 }
