@@ -140,6 +140,7 @@ object SparkEntry {
     "st14_stream_retention" -> (StreamingQueries.streamRetention _),
     "st15_stream_sliding" -> (StreamingQueries.streamSlidingWindow _),
     "st16_stream_recover" -> (StreamingQueries.streamRecover _),
+    "st17_stream_funnel_ooo" -> (StreamingQueries.streamFunnelUnordered _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -395,6 +396,9 @@ object SparkEntry {
     // The streaming state machine must land on the identical funnel —
     // same oracle as q26.
     "st13_stream_funnel" -> funnelOracleSql,
+    // Same oracle again under HASH-split (out-of-order) delivery —
+    // the buffering state machine must resolve the identical chain.
+    "st17_stream_funnel_ooo" -> funnelOracleSql,
     // Equal-ts events are RANGE-frame peers in both engines, so the
     // frame contents are order-independent; decimal summation makes
     // the sum exact before the one double cast.

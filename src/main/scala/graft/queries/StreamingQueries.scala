@@ -33,6 +33,77 @@ final case class NearDupState(own: Long, n: Long)
   * binary codec ([[Codecs.twoLongs]]) like the other ingest folds. */
 final case class DecontamState(n: Long, hits: Long)
 
+/** Buffering funnel state for [[StreamingQueries.streamFunnelUnordered]]
+  * — the out-of-order-tolerant variant of [[FunnelState]]. Packed long
+  * array `[nUpd, minView, nClicks, clicks…, purchases…]` (both lists
+  * sorted ascending, distinct). The buffers are PRUNED, not complete
+  * event logs: the final view threshold can only end at or below the
+  * current min view, so among clicks above it only the FIRST can ever
+  * be the min-qualifying click — everything later is dominated and
+  * dropped; purchases prune the same way against the min qualifying
+  * click. State is O(out-of-order straddlers) per key — O(1) for an
+  * in-order stream, never O(events). nUpd makes each update strictly
+  * greater, so the sink collapse is last-writer-wins via max_by. */
+private[queries] object FunnelBuffer {
+  val Empty: Array[Long] = Array(0L, 0L, 0L)
+
+  def update(a: Array[Long], eventType: String, ts: Long): Array[Long] = {
+    var v = a(1)
+    val k = a(2).toInt
+    var clicks = a.slice(3, 3 + k)
+    var purchases = a.drop(3 + k)
+    eventType match {
+      case "view" => if (v == 0L || ts < v) v = ts
+      case "click" => clicks = insert(clicks, ts)
+      case "purchase" => purchases = insert(purchases, ts)
+      case _ => ()
+    }
+    if (v != 0L) {
+      clicks = keepThrough(clicks, v)
+      val i = firstAbove(clicks, v)
+      if (i < clicks.length) purchases = keepThrough(purchases, clicks(i))
+    }
+    Array(a(0) + 1L, v, clicks.length.toLong) ++ clicks ++ purchases
+  }
+
+  /** Resolve the chain exactly as q26 does: t1 = min view,
+    * t2 = min click > t1, t3 = min purchase > t2 (0 = absent). */
+  def resolve(a: Array[Long]): (Long, Long, Long) = {
+    val v = a(1)
+    val k = a(2).toInt
+    val clicks = a.slice(3, 3 + k)
+    val purchases = a.drop(3 + k)
+    val t2 = if (v == 0L) 0L
+      else { val i = firstAbove(clicks, v)
+             if (i < clicks.length) clicks(i) else 0L }
+    val t3 = if (t2 == 0L) 0L
+      else { val i = firstAbove(purchases, t2)
+             if (i < purchases.length) purchases(i) else 0L }
+    (v, t2, t3)
+  }
+
+  private def insert(arr: Array[Long], ts: Long): Array[Long] = {
+    val i = java.util.Arrays.binarySearch(arr, ts)
+    if (i >= 0) arr
+    else {
+      val at = -i - 1
+      val out = new Array[Long](arr.length + 1)
+      System.arraycopy(arr, 0, out, 0, at)
+      out(at) = ts
+      System.arraycopy(arr, at, out, at + 1, arr.length - at)
+      out
+    }
+  }
+  private def firstAbove(arr: Array[Long], t: Long): Int = {
+    var i = 0
+    while (i < arr.length && arr(i) <= t) i += 1
+    i
+  }
+  /** Everything ≤ t plus the single smallest element above it. */
+  private def keepThrough(arr: Array[Long], t: Long): Array[Long] =
+    arr.take(firstAbove(arr, t) + 1)
+}
+
 /** State for [[StreamingQueries.streamFunnel]]: the user's three funnel
   * step timestamps in µs (0 = step not reached). Monotone — each field
   * is set at most once and never unset, which is what makes the sink
@@ -987,6 +1058,58 @@ object StreamingQueries {
       .agg(count(when(col("t1") > 0, 1)).as("u1"),
         count(when(col("t2") > 0, 1)).as("u2"),
         count(when(col("t3") > 0, 1)).as("u3"))
+      .select(expr(
+        """stack(3, 'step1_view', u1, 'step2_click', u2,
+                    'step3_purchase', u3) AS (step, users)"""))
+  }
+
+  /** Out-of-order-tolerant streaming funnel — q26's oracle under
+    * HASH-split staging, the delivery order [[streamFunnel]] cannot
+    * survive (its comment documents losing 3 purchases at sf0.01 on
+    * this exact staging). Instead of fixing chain steps at first
+    * sight, per-user state BUFFERS the minimal evidence
+    * ([[FunnelBuffer]]: min view + the dominance-pruned click/purchase
+    * straddler lists) and the chain resolves at emission — the gap
+    * between goka parity (arrival-order folds, no cross-topic
+    * guarantees) and what an event-time engine should actually
+    * promise. The buffers stay O(straddlers), not O(events): an
+    * in-order prefix collapses to the same 24 bytes st13 carries.
+    * Unlike the monotone st13 state, buffered state can shrink, so
+    * the sink collapse is last-writer-wins (max_by on the strictly
+    * increasing update counter), and the q26 min-chain runs
+    * declaratively on the resolved (t1, clicks, purchases) row. */
+  def streamFunnelUnordered(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val graph = GroupGraph.define("stream-funnel-ooo")(
+      Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+        val ts = graft.operators.BatchExecutor.tsMicros(ctx.timestamp)
+        val prev = ctx.value match {
+          case null => FunnelBuffer.Empty
+          case a: Array[Long] => a
+        }
+        ctx.setValue(FunnelBuffer.update(prev, msg.asInstanceOf[String], ts))
+      }),
+      Persist(Codecs.LongArrayCodec))
+    // The shared hash-split staging st13 must avoid: each user's
+    // events land in BOTH files, so the second micro-batch delivers
+    // events that precede already-processed ones.
+    val staged = stagedEvents(spark, dir)
+    val stream = spark.readStream
+      .schema(Sources.eventMessages(spark, dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staged)).as[Message]
+    val out = new StreamExecutor(graph).run(spark, stream)
+    val table = out.filter(_.sink == SinkTable).map { e =>
+      val a = Codecs.LongArrayCodec.decode(e.value)
+      val (t1, t2, t3) = FunnelBuffer.resolve(a)
+      (e.key, a(0), t1, t2, t3)
+    }.toDF("user_id", "n", "t1", "t2", "t3")
+    runToTable(spark, table).groupBy(col("user_id"))
+      .agg(max_by(struct(col("t1"), col("t2"), col("t3")), col("n")).as("s"))
+      .agg(count(when(col("s.t1") > 0, 1)).as("u1"),
+        count(when(col("s.t2") > 0, 1)).as("u2"),
+        count(when(col("s.t3") > 0, 1)).as("u3"))
       .select(expr(
         """stack(3, 'step1_view', u1, 'step2_click', u2,
                     'step3_purchase', u3) AS (step, users)"""))
