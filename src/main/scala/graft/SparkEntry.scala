@@ -98,6 +98,7 @@ object SparkEntry {
     "s16_ann_hamming" -> (PipelineQueries.annHamming _),
     "s17_knn_graph" -> (PipelineQueries.knnGraph _),
     "s18_quant_recall" -> (PipelineQueries.quantRecall _),
+    "s19_knn_refine" -> (PipelineQueries.knnRefine _),
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
     "d17_dedup_agreement" -> (PipelineQueries.dedupAgreement _),
     "d18_keep_best" -> (PipelineQueries.clusterKeepBest _),
@@ -901,6 +902,84 @@ object SparkEntry {
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
            FROM sims)
          WHERE rank <= 5""",
+    // NN-descent round over s17's graph: symmetrize (forward+reverse
+    // lists), neighbor-of-neighbor expansion, exact rerank to top-5;
+    // recall of raw vs refined against the exact top-5 on 25 sampled
+    // query nodes. UNION (not UNION ALL) mirrors Spark's distinct().
+    "s19_knn_refine" ->
+      s"""WITH pre AS ($embPreSql),
+         planes AS (
+           SELECT p, d,
+             ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR),1,8))::BIGINT
+               - 2147483648 AS coef
+           FROM generate_series(0,7) tp(p), generate_series(0,63) td(d)),
+         buckets AS (
+           SELECT vec_id,
+             sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           FROM (SELECT pr.vec_id, pl.p, sum(pr.v[pl.d+1] * pl.coef) AS dot
+                 FROM pre pr, planes pl GROUP BY pr.vec_id, pl.p)
+           GROUP BY vec_id),
+         sims AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(qp.v) x, unnest(cp.v) y)) AS DOUBLE)
+               / (sqrt(CAST(qp.n2 AS DOUBLE)) * sqrt(CAST(cp.n2 AS DOUBLE))) AS cos
+           FROM buckets q JOIN buckets c
+             ON bit_count(xor(q.bucket, c.bucket)) <= 1
+               AND c.vec_id <> q.vec_id
+             JOIN pre qp ON qp.vec_id = q.vec_id
+             JOIN pre cp ON cp.vec_id = c.vec_id),
+         raw AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM sims)
+           WHERE rank <= 5),
+         sym AS (
+           SELECT qid, nid FROM raw
+           UNION
+           SELECT nid AS qid, qid AS nid FROM raw),
+         cand AS (
+           SELECT qid, nid FROM sym
+           UNION
+           SELECT a.qid AS qid, b.nid AS nid
+           FROM sym a JOIN sym b ON a.nid = b.qid
+           WHERE a.qid <> b.nid),
+         scored AS (
+           SELECT c.qid, c.nid,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(qp.v) x, unnest(np.v) y)) AS DOUBLE)
+               / (sqrt(CAST(qp.n2 AS DOUBLE)) * sqrt(CAST(np.n2 AS DOUBLE))) AS cos
+           FROM cand c JOIN pre qp ON qp.vec_id = c.qid
+             JOIN pre np ON np.vec_id = c.nid),
+         refined AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM scored)
+           WHERE rank <= 5),
+         exd AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS DOUBLE)
+               / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+           FROM pre q JOIN pre c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 25),
+         ex AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM exd)
+           WHERE rank <= 5)
+         SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN r.nid IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS raw_hits,
+           CAST(sum(CASE WHEN f.nid IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS refined_hits,
+           CAST(sum(CASE WHEN r.nid IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / 5.0 AS raw_recall,
+           CAST(sum(CASE WHEN f.nid IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / 5.0 AS refined_recall
+         FROM ex LEFT JOIN raw r ON ex.qid = r.qid AND ex.nid = r.nid
+                 LEFT JOIN refined f ON ex.qid = f.qid AND ex.nid = f.nid
+         GROUP BY ex.qid""",
     // Binary signatures: s02's 48-plane sign construction packed into
     // one BIGINT; ranking by bit_count(xor), ties (dist, nid) asc.
     "s16_ann_hamming" ->

@@ -901,6 +901,44 @@ object Vectors {
         (col("ham_hits").cast("double") / lit(k.toDouble)).as("ham_recall"))
   }
 
+  /** One NN-descent refinement round (Dong et al. 2011, "Efficient
+    * k-nearest neighbor graph construction for generic similarity
+    * measures"): each node's candidate set is its current neighbors
+    * plus neighbors-of-neighbors over the SYMMETRIZED graph (in- and
+    * out-edges — Dong's forward + reverse lists), exact-int64-reranked
+    * to top-k. This is the standard refinement that turns a cheap LSH
+    * seed graph into a usable ANN graph; iterate to converge, one
+    * round is what s19's audit measures.
+    *
+    * Scale shape: bounded BY CONSTRUCTION, never corpus-quadratic —
+    * ≤ k out-edges per node → ≤ 2k symmetric edges → ≤ (2k)² expansion
+    * candidates per node, independent of corpus size. All joins are
+    * equi-joins on node id (shuffle-sharded); the rerank reuses the
+    * [[prepared]] int vectors and the native [[idot]] kernel. */
+  def nnDescentRound(corpus: DataFrame, id: Column, emb: Column,
+      graph: DataFrame, k: Int): DataFrame = {
+    val edges = graph.select(col("qid"), col("nid"))
+    val sym = edges.unionByName(
+      edges.select(col("nid").as("qid"), col("qid").as("nid"))).distinct()
+    val expansion = sym.toDF("qid", "mid").as("a")
+      .join(sym.toDF("mid", "nid").as("b"), Seq("mid"))
+      .select(col("qid"), col("nid"))
+      .filter(col("qid") =!= col("nid"))
+    val cands = sym.unionByName(expansion).distinct()
+    val p = prepared(corpus, id, emb)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    cands
+      .join(p.select(col("vid").as("qid"), col("iv").as("qiv"),
+        col("n2").as("qn2")), Seq("qid"))
+      .join(p.select(col("vid").as("nid"), col("iv").as("niv"),
+        col("n2").as("nn2")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        cosineFromInts(idot(col("qiv"), col("niv")),
+          col("qn2"), col("nn2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-dimension corpus statistics — the feature-normalization /
     * scaler-fitting pass (min-max bounds + coverage count per embedding
     * position) run before quantization or whitening. min/max involve no

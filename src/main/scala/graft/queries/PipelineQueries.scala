@@ -187,6 +187,37 @@ object PipelineQueries {
       k = 5, nPlanes = 8, dims = 64)
   }
 
+  /** s19: one NN-descent round over the s17 LSH seed graph, with the
+    * recall gain measured against the exact baseline in the s09/s18
+    * audit pattern. The seed graph is computed ONCE (localCheckpoint —
+    * it feeds the symmetrize/expand joins AND the audit) and the audit
+    * samples 25 query nodes, so the only exact-scoring stage is
+    * sample-sized; the refinement itself is k-bounded per node
+    * ([[graft.ops.Vectors.nnDescentRound]]), never corpus-quadratic. */
+  def knnRefine(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val raw = Vectors.annLshTopK(e, e, col("vec_id"), col("embedding"),
+        k = 5, nPlanes = 8, dims = 64)
+      .select(col("qid"), col("nid")).localCheckpoint()
+    val refined = Vectors.nnDescentRound(e, col("vec_id"), col("embedding"),
+      raw, k = 5)
+    val exact = Vectors.annTopK(e, e.filter(col("vec_id") < 25),
+        col("vec_id"), col("embedding"), 5)
+      .select(col("qid"), col("nid"))
+    exact
+      .join(raw.withColumn("in_raw", lit(1L)), Seq("qid", "nid"), "left")
+      .join(refined.select(col("qid"), col("nid"), lit(1L).as("in_ref")),
+        Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("in_raw"), lit(0L))).as("raw_hits"),
+        sum(coalesce(col("in_ref"), lit(0L))).as("refined_hits"))
+      .select(col("qid"), col("n_exact"), col("raw_hits"),
+        col("refined_hits"),
+        (col("raw_hits").cast("double") / lit(5.0)).as("raw_recall"),
+        (col("refined_hits").cast("double") / lit(5.0)).as("refined_recall"))
+  }
+
   /** SQ8 quantized brute-force ANN — search over the int8 codes; the
     * per-vector scale cancels in the reconstructed cosine. s15. */
   def annSq8(spark: SparkSession, dir: String): DataFrame = {
