@@ -56,6 +56,7 @@ object SparkEntry {
     "q19_cube" -> (Relational.cubeAgg _),
     "q20_grouping_sets" -> (Relational.groupingSetsAgg _),
     "q21_percentiles" -> (Relational.percentiles _),
+    "q29_approx_percentiles" -> (Relational.approxPercentiles _),
     "q22_pivot" -> (Relational.pivotAgg _),
     "q23_unpivot" -> (Relational.unpivotAgg _),
     "q24_bucketed_join" -> (Relational.bucketedJoin _),
@@ -533,6 +534,24 @@ object SparkEntry {
            quantile_cont(l_quantity, 0.75) AS p75,
            count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag""",
+    // The exact columns are DISCRETE (rank-selected elements — the
+    // value at rank ceil(q·n) is tie-order-independent); the booleans
+    // restate the sketch's guarantee, which Spark's side MEASURES
+    // against its actual approx_percentile output.
+    "q29_approx_percentiles" ->
+      """WITH ranked AS (
+           SELECT l_returnflag, l_extendedprice AS x,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rk,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT l_returnflag, CAST(max(n) AS BIGINT) AS cnt,
+           max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN x END)
+             AS exact_p50,
+           max(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT) THEN x END)
+             AS exact_p95,
+           TRUE AS p50_ok, TRUE AS p95_ok
+         FROM ranked GROUP BY l_returnflag""",
     // The plain join — salting on the Spark side must be invisible.
     "q18_salted_join" ->
       """SELECT n_name, count(*) AS cnt

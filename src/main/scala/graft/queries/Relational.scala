@@ -281,6 +281,59 @@ object Relational {
         expr("percentile(l_quantity, 0.75)").as("p75"),
         count(lit(1)).as("cnt"))
 
+  /** q29: approx-percentile twin of [[percentiles]] for
+    * unbounded-domain columns. q21's exact percentile is safe only
+    * because l_quantity has a 50-value domain (documented there);
+    * l_extendedprice has no such bound, so at 100 TB the deployed path
+    * is a mergeable quantile sketch (`approx_percentile`, map-side
+    * partials, O(accuracy) state per group).
+    *
+    * A Greenwald-Khanna sketch output cannot be compared across
+    * engines bit-for-bit, so the oracle-checkable surface is the
+    * d13/s09 estimator-audit shape: (a) the DISCRETE exact percentiles
+    * — rank-selected data elements via row_number, no interpolation
+    * arithmetic to diverge on — and (b) per-group booleans asserting
+    * the sketch value's MEASURED rank error stays within its
+    * 1/accuracy guarantee (+2 ranks of definitional slack). The
+    * booleans are deterministically true whenever the sketch honors
+    * its published contract; the oracle pins exactly that. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val ranked = li
+      .withColumn("rk", row_number().over(byFlag.orderBy(col("x"))))
+      .withColumn("n", count(lit(1)).over(byFlag))
+    val exact = ranked.groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("cnt"),
+        max(when(col("rk") === expr("ceil(0.5 * n)"), col("x")))
+          .as("exact_p50"),
+        max(when(col("rk") === expr("ceil(0.95 * n)"), col("x")))
+          .as("exact_p95"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(x, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(x, 0.95, 1000)").as("ap95"))
+    def ok(q: Double, lt: String, le: String): Column = {
+      val target = ceil(lit(q) * col("n"))
+      val tol = col("n").cast("double") / lit(1000.0) + lit(2.0)
+      ((col(lt) + lit(1)).cast("double") <= target + tol) &&
+        (col(le).cast("double") >= target - tol)
+    }
+    val audit = li.join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("x") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("x") < col("ap95"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col("x") <= col("ap95"), 1L).otherwise(0L)).as("le95"))
+      .select(col("l_returnflag"),
+        ok(0.5, "lt50", "le50").as("p50_ok"),
+        ok(0.95, "lt95", "le95").as("p95_ok"))
+    exact.join(audit, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("cnt"), col("exact_p50"),
+        col("exact_p95"), col("p50_ok"), col("p95_ok"))
+  }
+
   /** Pivot / wide aggregation: one row per day, one column per event
     * type — the long→wide reshape analytics surfaces expect. The value
     * list is EXPLICIT (`pivot(col, values)`), which at 100 TB is the
