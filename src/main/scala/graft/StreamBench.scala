@@ -11,8 +11,23 @@ import graft.streaming.{MetricsListener, StreamExecutor}
   * number BASELINE.md promises (msgs/s per core; the reference publishes
   * none). The whole events fixture is staged and consumed in ONE
   * micro-batch so the figure reflects steady-state keyed-state fold
-  * throughput, not per-trigger fixed costs. Prints one JSON line. */
+  * throughput, not per-trigger fixed costs.
+  *
+  * Beyond the headline run, the main SWEEPS KEY CARDINALITY at 1×, 10×
+  * and 100× the fixture's user count (synthetic subkeys salted from the
+  * message offset — deterministic, uniform). The 1× figure measures a
+  * warm tiny-state fold; the 100× figure is the one that predicts
+  * 100 TB behavior, because the state store becomes large relative to
+  * the micro-batch and every state row is a genuine RocksDB key. State
+  * rows + memory bytes come from the query's own state-operator
+  * metrics. One untimed warmup run absorbs the RocksDB native load +
+  * transformWithState codegen that otherwise lands on the first timed
+  * run. Prints one JSON line. */
 object StreamBench {
+
+  private final case class SweepRow(mult: Int, rows: Long, batchMs: Long,
+      msgsPerSec: Double, stateRows: Long, stateBytes: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,9 +55,6 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val listener = new MetricsListener()
-    spark.streams.addListener(listener)
-
     val graph = GroupGraph.define("bench-counter")(
       Input("events", StringCodec, ProcessCallback { (ctx, _) =>
         val cur = ctx.value match { case null => 0L; case n: Long => n }
@@ -52,31 +64,62 @@ object StreamBench {
     val staged = java.nio.file.Files
       .createTempDirectory("graft_stream_bench").toString
     Sources.eventMessages(spark, sfDir).write.mode("overwrite").parquet(staged)
-    val stream = spark.readStream
-      .schema(Sources.eventMessages(spark, sfDir).schema)
-      .parquet(staged).as[Message]
-    import graft.operators.BatchExecutor.SinkTable
-    val out = new StreamExecutor(graph).run(spark, stream)
-    val table = out.filter(_.sink == SinkTable)
-      .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "cnt")
-    val q = table.writeStream.format("memory").queryName("stream_bench")
-      .outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
+    val schema = Sources.eventMessages(spark, sfDir).schema
 
-    // Listener events are delivered async; wait for the data batch's
-    // progress to arrive before reading the stats.
-    val deadline = System.currentTimeMillis() + 15000
-    while (listener.snapshot.forall(_.numInputRows == 0) &&
-        System.currentTimeMillis() < deadline)
-      Thread.sleep(100)
-    val dataBatches = listener.snapshot.filter(_.numInputRows > 0)
-    val rows = dataBatches.map(_.numInputRows).sum
-    val ms = dataBatches.map(_.batchDurationMs).sum
-    val msgsPerSec = if (ms > 0) rows * 1000.0 / ms else 0.0
-    val perCore = msgsPerSec / cpus.toInt
-    println(s"""{"metric":"stream_count_msgs_per_sec","value":$msgsPerSec,""" +
-      s""""per_core":$perCore,"rows":$rows,"batch_ms":$ms,"cores":$cpus,""" +
-      s""""sf":"$sfDir"}""")
+    def run(mult: Int, name: String): SweepRow = {
+      val listener = new MetricsListener()
+      spark.streams.addListener(listener)
+      try {
+        val stream0 = spark.readStream.schema(schema)
+          .parquet(staged).as[Message]
+        // Salt the key from the offset (event id): deterministic,
+        // uniform, and inside the Message BEFORE the executor keys the
+        // stream — cardinality scales without changing the topology.
+        val stream = if (mult == 1) stream0 else stream0.map(m =>
+          m.copy(key = m.key + "_" +
+            java.lang.Long.remainderUnsigned(m.offset, mult.toLong)))
+        import graft.operators.BatchExecutor.SinkTable
+        val out = new StreamExecutor(graph).run(spark, stream)
+        val table = out.filter(_.sink == SinkTable)
+          .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "cnt")
+        val q = table.writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+        // Listener events are delivered async; wait for the data
+        // batch's progress to arrive before reading the stats.
+        val deadline = System.currentTimeMillis() + 15000
+        while (listener.snapshot.forall(_.numInputRows == 0) &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        val dataBatches = listener.snapshot.filter(_.numInputRows > 0)
+        val rows = dataBatches.map(_.numInputRows).sum
+        val ms = dataBatches.map(_.batchDurationMs).sum
+        val st = listener.stateSnapshot.filter(_.queryName == name)
+        // State row count from the sink itself (one upsert per key in
+        // the single data batch) — trackTotalNumberOfRows is off in
+        // this main (the production hot-path knob), so the operator
+        // metric reads 0; memoryUsedBytes still reports.
+        val stateRows = spark.table(name).select(col("key")).distinct().count()
+        SweepRow(mult, rows, ms,
+          if (ms > 0) rows * 1000.0 / ms else 0.0,
+          stateRows,
+          if (st.isEmpty) 0L else st.map(_.memoryUsedBytes).max)
+      } finally spark.streams.removeListener(listener)
+    }
+
+    run(1, "stream_bench_warmup") // untimed: native load + codegen
+    // 1× ≈ 1.5k keys (warm tiny state) … 1000× ≈ the batch's own row
+    // count — state as large as the data, the 100 TB-predictive point.
+    val sweep = Seq(1, 10, 100, 1000).map(m => run(m, s"stream_bench_x$m"))
+    val head = sweep.head
+    val perCore = head.msgsPerSec / cpus.toInt
+    val sweepJson = sweep.map(r =>
+      s"""{"mult":${r.mult},"rows":${r.rows},"batch_ms":${r.batchMs},""" +
+        s""""msgs_per_sec":${r.msgsPerSec},"state_rows":${r.stateRows},""" +
+        s""""state_bytes":${r.stateBytes}}""").mkString("[", ",", "]")
+    println(s"""{"metric":"stream_count_msgs_per_sec","value":${head.msgsPerSec},""" +
+      s""""per_core":$perCore,"rows":${head.rows},"batch_ms":${head.batchMs},""" +
+      s""""cores":$cpus,"cardinality_sweep":$sweepJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
