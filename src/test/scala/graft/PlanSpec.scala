@@ -384,6 +384,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"per-node top-k must prune per-partition\n$p")
   }
 
+  test("s19: knn refinement — checkpointed seed consumed, equi-join expansion, no cartesian") {
+    val p = plan("s19_knn_refine")
+    assert(!p.contains("CartesianProduct"),
+      s"the neighbor-of-neighbor expansion must be an equi-join on node id\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the seed graph must be consumed from its localCheckpoint, not recomputed\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the refined top-k must prune per-partition\n$p")
+  }
+
+  test("q29: approx percentiles — sketch table broadcast back, no cartesian") {
+    val p = plan("q29_approx_percentiles")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 3-row approx table must broadcast against the rank audit scan\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("c03: leakage audit — fp equi-join only, no cartesian, map-side split/fingerprint") {
     val p = plan("c03_leakage_audit")
     assert(!p.contains("CartesianProduct") &&
