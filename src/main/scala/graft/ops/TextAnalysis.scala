@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Hashes._
 
@@ -557,6 +558,49 @@ object TextAnalysis {
         size(col("lst")).cast("long").as("n_bigrams"),
         (aggregate(col("lst"), lit(0.0), (acc, x) => acc + x("p"))
           / size(col("lst")).cast("double")).as("lm_score"))
+  }
+
+  /** CCNet-style per-language quality bucketing (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data", public): documents split head/middle/tail WITHIN
+    * each language at the terciles of the LM-score distribution —
+    * CCNet's central device for turning a raw crawl into
+    * quality-stratified training slices. The LM is [[bigramLmScore]]'s
+    * corpus-fitted bigram model (its lm_score rises with fluency, so
+    * head = top tercile); the tercile boundaries are DISCRETE
+    * (rank-selected score values, the q29 machinery — no
+    * interpolation arithmetic), making the whole operator exact and
+    * oracle-checkable. Docs tied at a boundary value land on one
+    * deterministic side.
+    *
+    * Scale shape: ranking windows partition BY LANGUAGE (distributed
+    * — no global sort); the boundary table is 2 values per language
+    * and broadcasts back; the bucketing itself is a map-only CASE.
+    * At 100 TB the only supra-linear stage is the per-language sort
+    * the window needs, the same cost CCNet's own percentile pass pays. */
+  def ccnetBuckets(df: DataFrame, text: Column, id: Column,
+      lang: Column): DataFrame = {
+    // One materialization: the scored table feeds BOTH the boundary
+    // derivation and the final bucketing join (the sigAndShingles
+    // lesson — without this the whole LM scoring plan runs twice).
+    val scored = bigramLmScore(df, text, id)
+      .join(df.select(id.as("doc_id"), lang.as("lang")), Seq("doc_id"))
+      .localCheckpoint()
+    val byLang = Window.partitionBy(col("lang"))
+    val ranked = scored
+      .withColumn("rk",
+        row_number().over(byLang.orderBy(col("lm_score"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(byLang))
+    val bounds = ranked.groupBy(col("lang")).agg(
+      max(when(col("rk") === expr("ceil(n / 3.0)"), col("lm_score")))
+        .as("b1"),
+      max(when(col("rk") === expr("ceil(2 * n / 3.0)"), col("lm_score")))
+        .as("b2"))
+    scored.join(broadcast(bounds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        when(col("lm_score") <= col("b1"), lit("tail"))
+          .when(col("lm_score") <= col("b2"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
   }
 
   /** Deterministic train/val/test split by content-free key hash —

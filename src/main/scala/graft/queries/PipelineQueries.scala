@@ -429,6 +429,11 @@ object PipelineQueries {
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** t20: CCNet per-language quality terciles over the t13 bigram LM. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ccnetBuckets(docs(spark, dir), col("text"), col("doc_id"),
+      col("lang"))
+
   /** t17: DSIR importance weights toward the English slice — `lang =
     * 'en'` plays the target domain, the whole corpus the raw crawl. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =

@@ -76,6 +76,32 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(topk.toSeq.sortBy(_._2) == Seq((2L, 1), (3L, 2)))
   }
 
+  test("ccnet buckets: per-language terciles are ordered and exhaustive") {
+    import spark.implicits._
+    // Per language: six docs from very repetitive (common bigrams →
+    // high lm_score) to all-unique-bigrams (low). Exact scores don't
+    // matter; the tercile INVARIANTS do.
+    def corpus(lang: String, salt: String) = (1 to 6).map { i =>
+      val common = Seq.fill(7 - i)(s"the$salt cat$salt").mkString(" ")
+      val rare = (1 to i * 3).map(j => s"w$salt$i$j").mkString(" ")
+      (s"$lang $common $rare".trim, lang)
+    }
+    val df = (corpus("en", "a") ++ corpus("de", "b")).zipWithIndex
+      .map { case ((t, l), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.ccnetBuckets(df, col("text"), col("doc_id"),
+        col("lang"))
+      .collect().map(r => (r.getString(1), r.getString(3), r.getDouble(2)))
+    for (lang <- Seq("en", "de")) {
+      val byBucket = out.filter(_._1 == lang).groupBy(_._2)
+        .view.mapValues(_.map(_._3)).toMap
+      assert(byBucket.keySet == Set("tail", "middle", "head"), byBucket)
+      // tail holds scores <= b1 and middle starts strictly above it
+      assert(byBucket("tail").max <= byBucket("middle").min)
+      assert(byBucket("middle").max <= byBucket("head").min)
+    }
+  }
+
   test("gopher gates: each rule trips on its own violation") {
     import spark.implicits._
     val good = Seq.fill(5)("the cat sat with the dog and that bird have fun")
