@@ -101,6 +101,7 @@ object SparkEntry {
     "s17_knn_graph" -> (PipelineQueries.knnGraph _),
     "s18_quant_recall" -> (PipelineQueries.quantRecall _),
     "s19_knn_refine" -> (PipelineQueries.knnRefine _),
+    "s20_ivfadc_rerank" -> (PipelineQueries.ivfAdcRerank _),
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
     "d17_dedup_agreement" -> (PipelineQueries.dedupAgreement _),
     "d18_keep_best" -> (PipelineQueries.clusterKeepBest _),
@@ -1489,6 +1490,68 @@ object SparkEntry {
            (SELECT qid, nid, adc,
               row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
             FROM adc WHERE qid <> nid)
+         WHERE rank <= 10""",
+    // s14's ADC chain widened to a 50-candidate shortlist, then the
+    // exact int64-cosine rerank over ONLY those candidates — the
+    // two-stage serving arrangement.
+    "s20_ivfadc_rerank" ->
+      s"""WITH iv AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS iv
+           FROM embeddings),
+         cc AS (SELECT vec_id AS ccid, iv AS cciv FROM iv
+                ORDER BY vec_id LIMIT 8),
+         asg AS (SELECT vec_id, ccid, cciv, iv FROM (
+             SELECT i.vec_id, c.ccid, c.cciv, i.iv,
+               row_number() OVER (PARTITION BY i.vec_id ORDER BY
+                 (SELECT sum((x-y)*(x-y))
+                  FROM (SELECT unnest(i.iv) x, unnest(c.cciv) y)),
+                 c.ccid) AS rn
+             FROM iv i, cc c) WHERE rn = 1),
+         res AS (SELECT vec_id, ccid AS cell,
+                   list_transform(generate_series(1, len(iv)),
+                     j -> iv[j] - cciv[j]) AS rv
+                 FROM asg),
+         rcb AS (SELECT s.s AS sub, r.vec_id AS cid,
+                   r.rv[s.s*16+1 : s.s*16+16] AS civ
+                 FROM (SELECT * FROM res ORDER BY vec_id LIMIT 16) r,
+                   generate_series(0,3) s(s)),
+         rsub AS (SELECT vec_id, cell, s.s AS sub,
+                    rv[s.s*16+1 : s.s*16+16] AS sv
+                  FROM res, generate_series(0,3) s(s)),
+         d AS (SELECT vec_id, cell, v.sub, cid,
+                 (SELECT sum((x-y)*(x-y))
+                  FROM (SELECT unnest(sv) x, unnest(civ) y)) AS dist
+               FROM rsub v JOIN rcb c ON v.sub = c.sub),
+         codes AS (SELECT vec_id, cell, sub, cid AS code FROM
+                     (SELECT vec_id, cell, sub, cid,
+                        row_number() OVER (PARTITION BY vec_id, sub
+                                           ORDER BY dist, cid) AS rn
+                      FROM d)
+                   WHERE rn = 1),
+         lut AS (SELECT vec_id AS qid, cell AS qcell, sub, cid,
+                   dist AS qdist
+                 FROM d WHERE vec_id < 10),
+         adc AS (SELECT l.qid, c.vec_id AS nid,
+                   CAST(sum(l.qdist) AS BIGINT) AS adc
+                 FROM codes c JOIN lut l
+                   ON l.sub = c.sub AND l.cid = c.code AND l.qcell = c.cell
+                 GROUP BY l.qid, c.vec_id),
+         short AS (SELECT qid, nid FROM
+             (SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
+              FROM adc WHERE qid <> nid)
+           WHERE rank <= 50),
+         pre AS ($embPreSql),
+         rr AS (SELECT s.qid, s.nid,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(qp.v) x, unnest(np.v) y)) AS DOUBLE)
+               / (sqrt(CAST(qp.n2 AS DOUBLE)) * sqrt(CAST(np.n2 AS DOUBLE))) AS cos
+           FROM short s JOIN pre qp ON qp.vec_id = s.qid
+             JOIN pre np ON np.vec_id = s.nid)
+         SELECT qid, nid, cos, rank FROM (
+           SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           FROM rr)
          WHERE rank <= 10""",
     // Per-dimension min/max carry no arithmetic — float bits match.
     "s05_embed_stats" ->

@@ -674,6 +674,39 @@ object Vectors {
       .select(col("qid"), col("nid"), col("adc"), col("rank"))
   }
 
+  /** Two-stage compressed search: IVFADC shortlist + exact rerank —
+    * the arrangement a production PQ index actually serves with
+    * (Jégou et al. 2011 §V: compressed-domain scan to a candidate
+    * list, re-ranking with the original vectors). [[ivfAdcTopK]]'s
+    * cell-local ADC scan ranks bytes-per-doc compressed distances to
+    * a `shortlist`-sized candidate set per query; ONLY those
+    * candidates then fetch their full vectors for the exact
+    * int64-cosine rerank. At 100 TB the full-precision side is
+    * touched `shortlist`·|queries| times total — never a corpus scan
+    * — so the rerank costs two equi-joins on id regardless of corpus
+    * size, and the recall lever is the shortlist width instead of the
+    * code budget. */
+  def ivfAdcRerankTopK(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, kNeighbors: Int = 10, shortlist: Int = 50,
+      nCells: Int = 8, m: Int = 4, k: Int = 16, dims: Int = 64)
+      : DataFrame = {
+    val short = ivfAdcTopK(corpus, queries, id, emb,
+        kNeighbors = shortlist, nCells, m, k, dims)
+      .select(col("qid"), col("nid"))
+    val p = prepared(corpus, id, emb)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    short
+      .join(p.select(col("vid").as("qid"), col("iv").as("qiv"),
+        col("n2").as("qn2")), Seq("qid"))
+      .join(p.select(col("vid").as("nid"), col("iv").as("niv"),
+        col("n2").as("nn2")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        cosineFromInts(idot(col("qiv"), col("niv")),
+          col("qn2"), col("nn2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+  }
+
   /** Exact-integer k-means (Lloyd) over the embedding corpus — the
     * centroid TRAINER that [[annIvfTopK]] / [[pqEncode]] document as
     * "production plugs trained centroids in": `iters` rounds of

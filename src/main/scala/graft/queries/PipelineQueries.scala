@@ -251,6 +251,15 @@ object PipelineQueries {
       col("embedding"))
   }
 
+  /** s20: IVFADC shortlist-50 + exact rerank — the two-stage serving
+    * arrangement (compressed scan, then full vectors for the
+    * survivors only). */
+  def ivfAdcRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.ivfAdcRerankTopK(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"))
+  }
+
   /** Recall@10 of the LSH and IVF ANN paths vs the exact baseline for
     * the first-10-vector query set — s09. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
