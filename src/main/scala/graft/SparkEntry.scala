@@ -35,6 +35,7 @@ object SparkEntry {
     "g15_json_state" -> (GokaQueries.jsonState _),
     "g16_chained" -> (GokaQueries.chained _),
     "g17_json_relational" -> (GokaQueries.jsonRelational _),
+    "g18_compact_changelog" -> (GokaQueries.compactChangelog _),
     "q01_pricing_summary" -> (Relational.pricingSummary _),
     "q02_revenue_forecast" -> (Relational.revenueForecast _),
     "q03_join_topk" -> (Relational.joinTopK _),
@@ -187,6 +188,16 @@ object SparkEntry {
          FROM ordered o LEFT JOIN lastp p ON o.user_id = p.user_id
          WHERE o.event_type <> 'purchase' AND (p.mrn IS NULL OR o.rn > p.mrn)
          GROUP BY o.user_id""",
+    // Log compaction: last write per key by (ts, event_id); a final
+    // 'purchase' is a tombstone that drops the key.
+    "g18_compact_changelog" ->
+      """WITH ordered AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT CAST(user_id AS VARCHAR) AS key, event_type AS last_event
+         FROM ordered WHERE rn = 1 AND event_type <> 'purchase'""",
     "g08_emit_headers" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, event_id,
                 event_type AS val, 'events' AS hdr_src

@@ -301,6 +301,26 @@ object GokaQueries {
         col("s.lastType").as("last_type"))
   }
 
+  /** g18: changelog compaction as an oracle-checked table op — the
+    * Kafka log-compaction semantics (`cleanup.policy=compact`,
+    * `/root/reference/topic_manager.go:317-326`) by which the
+    * reference materializes table topics into views
+    * (`view.go:230-282`). The events stream is read as a keyed
+    * changelog where 'purchase' writes a TOMBSTONE (null value) and
+    * every other event upserts its type; [[View.compact]] keeps the
+    * last write per key by (timestamp, offset) and drops keys whose
+    * last write is a tombstone — one max_by shuffle, no window sort. */
+  def compactChangelog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val changelog = Sources.eventMessages(spark, dir).map { m =>
+      if (StringCodec.decode(m.value) == "purchase") m.copy(value = null)
+      else m
+    }
+    View.compact(changelog)
+      .map(r => (r.key, StringCodec.decode(r.value)))
+      .toDF("key", "last_event")
+  }
+
   /** Chained processors — the reference's flagship messaging topology
     * (`examples/3-messaging`): a detector counts per-user traffic and
     * emits a block command every 10th event
