@@ -80,6 +80,7 @@ object SparkEntry {
     "d10_window_dedup" -> (PipelineQueries.windowDup _),
     "d11_lsh_verify" -> (PipelineQueries.lshVerify _),
     "d15_dup_spans" -> (PipelineQueries.dupSpans _),
+    "d19_span_removal" -> (PipelineQueries.removeDupSpans _),
     "s01_ann_topk" -> (PipelineQueries.annTopK _),
     "s02_ann_lsh" -> (PipelineQueries.annLsh _),
     "s03_ann_ivf" -> (PipelineQueries.annIvf _),
@@ -2176,6 +2177,47 @@ object SparkEntry {
            CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_words,
            CAST(count(*) AS BIGINT) AS n_windows
          FROM isl GROUP BY doc_id, island HAVING count(*) >= 2""",
+    // d15's span chain + the excision: span word positions (distinct —
+    // islands closer than the window width overlap in coverage) are
+    // anti-joined from the doc's words, survivors re-join in position
+    // order; fully-excised docs keep an empty clean_text.
+    "d19_span_removal" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(generate_series(1, greatest(len(w)-7, 0))) - 1 AS pos,
+                 unnest(list_transform(generate_series(1, greatest(len(w)-7, 0)),
+                   i -> array_to_string(list_slice(w, i, i+7), ' '))) AS g
+               FROM d),
+         m AS (SELECT doc_id, pos, min(doc_id) OVER (PARTITION BY g) AS owner
+               FROM g),
+         dup AS (SELECT doc_id, pos FROM m WHERE owner < doc_id),
+         isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS island
+                 FROM dup),
+         spans AS (SELECT doc_id, min(pos) AS span_start,
+                     max(pos) - min(pos) + 8 AS span_words
+                   FROM isl GROUP BY doc_id, island HAVING count(*) >= 2),
+         rm AS (SELECT DISTINCT doc_id,
+                  unnest(generate_series(span_start,
+                    span_start + span_words - 1)) AS pos
+                FROM spans),
+         words AS (SELECT doc_id,
+                     unnest(generate_series(1, len(w))) - 1 AS pos,
+                     unnest(w) AS wd
+                   FROM d),
+         kept AS (SELECT wo.doc_id, count(*) AS n_kept,
+                    array_to_string(list(wo.wd ORDER BY wo.pos), ' ')
+                      AS clean_text
+                  FROM words wo LEFT JOIN rm
+                    ON wo.doc_id = rm.doc_id AND wo.pos = rm.pos
+                  WHERE rm.doc_id IS NULL GROUP BY wo.doc_id)
+         SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(d.w) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(k.clean_text, '') AS clean_text
+         FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id""",
     // Mirrors Dedup.lshVerifiedPairs: d02's candidate CTEs verbatim,
     // then exact Jaccard for candidate pairs ONLY via a shared-shingle
     // count. LEFT JOIN keeps a (theoretical) zero-intersection h32

@@ -511,6 +511,46 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** Duplicated-span REMOVAL — the actionable cleaning step on top of
+    * [[dupSpans]]: Lee et al. 2022 apply exactly this surgery (cut
+    * the repeated span from every non-owning document, keep the rest
+    * of the doc — dropping whole documents for one repeated paragraph
+    * throws away good text). Non-owning spans' word positions explode
+    * into a removal set (spans from DIFFERENT islands can overlap
+    * when their window runs sit closer than windowN — hence the
+    * distinct), the doc's words anti-join it, and survivors
+    * re-assemble in position order. A doc losing every word survives
+    * with empty text (left join from the corpus), so the operator is
+    * total.
+    *
+    * Scale shape: after dupSpans' own window, everything is keyed by
+    * doc_id — the word explode fans out to O(words) rows but both the
+    * anti-join and the rebuild aggregate on doc_id with map-side
+    * partials; no self-join, no cross-doc shuffle. */
+  def removeDupSpans(df: DataFrame, text: Column, id: Column,
+      windowN: Int = 8, minWindows: Int = 2): DataFrame = {
+    val rm = dupSpans(df, text, id, windowN, minWindows)
+      .select(col("doc_id"), explode(sequence(col("span_start"),
+        col("span_start") + col("span_words") - lit(1L))).as("pos"))
+      .distinct()
+    val words = df.select(id.as("doc_id"),
+        posexplode(split(text, " ")).as(Seq("pos", "w")))
+      .withColumn("pos", col("pos").cast("long"))
+    val kept = words.join(rm, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("w")))),
+          s => s("w")), " ").as("clean_text"))
+    df.select(id.as("doc_id"),
+        size(split(text, " ")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Connected-component dedup clusters: near-duplicate PAIRS (from any
     * of the pair generators above) are only half the job — training-data
     * dedup keeps ONE representative per transitive group (a~b, b~c ⇒

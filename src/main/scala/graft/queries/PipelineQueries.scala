@@ -104,6 +104,10 @@ object PipelineQueries {
   def dupSpans(spark: SparkSession, dir: String): DataFrame =
     Dedup.dupSpans(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** d19: the spans actually EXCISED — cleaned text + removal stats. */
+  def removeDupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeDupSpans(docs(spark, dir), col("text"), col("doc_id"))
+
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Vectors.annTopK(e, e.filter(col("vec_id") < 10), col("vec_id"),
