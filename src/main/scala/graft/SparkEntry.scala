@@ -130,6 +130,7 @@ object SparkEntry {
     "m01_multimodal" -> (PipelineQueries.multimodal _),
     "m02_media_resize" -> (PipelineQueries.mediaResize _),
     "m03_frame_sample" -> (PipelineQueries.frameSample _),
+    "m04_phash_pairs" -> (PipelineQueries.phashPairs _),
     "st01_stream_count" -> (StreamingQueries.streamCount _),
     "st02_stream_tumble" -> (StreamingQueries.streamTumble _),
     "st03_stream_loopback" -> (StreamingQueries.streamLoopback _),
@@ -1363,6 +1364,35 @@ object SparkEntry {
            md5(substr(hx, CAST(frame_idx*128+1 AS INT), 128)) AS frame_fp
          FROM (SELECT doc_id, hx, unnest(range(0, nb//64, 2)) AS frame_idx
                FROM base WHERE nb >= 64)""",
+    // Block-mean perceptual hash: 48 equal codepoint blocks, bit =
+    // exact integer cross-multiplied mean compare; 8x6-bit bands give
+    // pigeonhole-exact candidates for hamming <= 7, then xor+popcount.
+    "m04_phash_pairs" ->
+      """WITH cp AS (SELECT doc_id AS mid, length(text) AS n,
+             unnest(generate_series(1, length(text))) - 1 AS p0,
+             unnest(list_transform(generate_series(1, length(text)),
+               i -> ascii(substr(text, i, 1)))) AS c
+           FROM documents),
+         bs AS (SELECT mid, (p0 * 48) // n AS b,
+                  count(*) AS cnt, CAST(sum(c) AS BIGINT) AS s
+                FROM cp GROUP BY mid, (p0 * 48) // n),
+         tot AS (SELECT mid, CAST(sum(s) AS BIGINT) AS ts,
+                   CAST(sum(cnt) AS BIGINT) AS tn
+                 FROM bs GROUP BY mid),
+         ph AS (SELECT bs.mid,
+             CAST(sum(CASE WHEN bs.s * tot.tn >= tot.ts * bs.cnt
+               THEN (1::BIGINT << CAST(bs.b AS INT)) ELSE 0 END) AS BIGINT)
+               AS h
+           FROM bs JOIN tot ON bs.mid = tot.mid GROUP BY bs.mid),
+         banded AS (SELECT mid, h, band,
+             (h >> CAST(band * 6 AS INT)) & 63 AS bv
+           FROM ph, (SELECT unnest(generate_series(0, 7)) AS band)),
+         cand AS (SELECT DISTINCT a.mid AS da, b.mid AS db,
+             a.h AS ha, b.h AS hb
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bv = b.bv AND a.mid < b.mid)
+         SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(ha, hb)) <= 7""",
     "s02_ann_lsh" ->
       s"""WITH pre AS ($embPreSql),
          planes AS (

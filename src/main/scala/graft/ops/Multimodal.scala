@@ -134,6 +134,68 @@ object Multimodal {
           lit(frameSize * 2)).cast("binary")).as("frame_fp"))
   }
 
+  /** Perceptual-hash near-dup pairing over media blobs — block-mean
+    * hashing (Yang et al., "Block Mean Value Based Image Perceptual
+    * Hashing", public; the aHash family): the signal is cut into
+    * `nBits` equal blocks, bit b = (block-b mean >= global mean), and
+    * blobs whose hashes sit within `maxHamming` are near-duplicate
+    * media. The mean comparison is an exact integer cross-multiply
+    * (`sum_b · n >= total · cnt_b` — no float division), so the hash
+    * is bit-identical in any engine; 48 bits keeps every `1 << b`
+    * positive in int64 on both engines (the s16 discipline).
+    *
+    * Pairing reuses the SimHash discipline (d06): 8 bands of 6 bits,
+    * candidates from a band equi-join — with maxHamming <= 7, ANY
+    * true pair has an untouched band (pigeonhole), so banding is
+    * EXACT, never a recall trade — then the exact xor+popcount
+    * verify. At fixture scale the "pixels" are the blob's codepoints;
+    * a production pipeline computes the same blocks from decoded
+    * pixels inside the [[BatchMediaDecoder]] plug-point and feeds the
+    * identical banding/pairing plan. Scale shape: the hash is one
+    * explode + two keyed aggregations per blob (map-side partials);
+    * candidates come from the band equi-join, never an all-pairs
+    * scan. */
+  def phashPairs(df: DataFrame, text: Column, id: Column,
+      nBits: Int = 48, bands: Int = 8, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming < bands, "pigeonhole-exact banding needs maxHamming < bands")
+    require(nBits % bands == 0 && nBits < 63, s"nBits=$nBits")
+    val bandBits = nBits / bands
+    val mask = (1L << bandBits) - 1L
+    val cps = df.select(id.cast("long").as("mid"), text.as("t"))
+      .select(col("mid"), length(col("t")).as("n"),
+        posexplode(expr(
+          "transform(sequence(1, length(t)), i -> ascii(substr(t, i, 1)))"))
+          .as(Seq("p0", "c")))
+    val blocks = cps
+      .select(col("mid"), col("n"),
+        expr(s"(p0 * $nBits) div n").as("b"), col("c"))
+      .groupBy(col("mid"), col("b"))
+      .agg(first(col("n")).as("n"), count(lit(1)).as("cnt"),
+        sum(col("c")).as("s"))
+    val totals = blocks.groupBy(col("mid"))
+      .agg(sum(col("s")).as("ts"), sum(col("cnt")).as("tn"))
+    val ph = blocks.join(totals, Seq("mid"))
+      .groupBy(col("mid"))
+      .agg(sum(when(col("s") * col("tn") >= col("ts") * col("cnt"),
+        expr("CAST(1 AS BIGINT) << CAST(b AS INT)")).otherwise(lit(0L)))
+        .as("h"))
+    val banded = ph.select(col("mid"), col("h"),
+      explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .withColumn("bv",
+        expr(s"(h >> CAST(band * $bandBits AS INT)) & $mask"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.mid") < col("b.mid"))
+      .select(col("a.mid").as("da"), col("b.mid").as("db"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct()
+    cand
+      .select(col("da"), col("db"),
+        expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Decode a binary column in distributed batches: one decoder instance
     * per partition (decoders are usually expensive to initialize —
     * mirror of the Pandas-UDF batch pattern), rows streamed through it.

@@ -552,4 +552,8 @@ object PipelineQueries {
     Multimodal.frameSample(
       docs(spark, dir).withColumn("blob", col("text").cast("binary")),
       col("doc_id"), col("blob"))
+
+  /** m04: block-mean perceptual-hash near-dup media pairs. */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.phashPairs(docs(spark, dir), col("text"), col("doc_id"))
 }

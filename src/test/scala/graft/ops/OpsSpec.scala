@@ -76,6 +76,18 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(topk.toSeq.sortBy(_._2) == Seq((2L, 1), (3L, 2)))
   }
 
+  test("phash pairs: identical blobs pair at hamming 0") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog " * 4
+    val df = Seq((1L, a), (2L, a),
+      (3L, "completely different content with other words entirely " * 3))
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.Multimodal.phashPairs(df, col("text"),
+        col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)), pairs.toSeq)
+  }
+
   test("ccnet buckets: per-language terciles are ordered and exhaustive") {
     import spark.implicits._
     // Per language: six docs from very repetitive (common bigrams →
