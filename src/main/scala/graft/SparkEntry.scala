@@ -58,6 +58,7 @@ object SparkEntry {
     "q20_grouping_sets" -> (Relational.groupingSetsAgg _),
     "q21_percentiles" -> (Relational.percentiles _),
     "q29_approx_percentiles" -> (Relational.approxPercentiles _),
+    "q30_hll_distinct" -> (Relational.hllAudit _),
     "q22_pivot" -> (Relational.pivotAgg _),
     "q23_unpivot" -> (Relational.unpivotAgg _),
     "q24_bucketed_join" -> (Relational.bucketedJoin _),
@@ -567,6 +568,15 @@ object SparkEntry {
              AS exact_p95,
            TRUE AS p50_ok, TRUE AS p95_ok
          FROM ranked GROUP BY l_returnflag""",
+    // Sketch registers aren't cross-engine comparable; the oracle pins
+    // the exact count, the merged-partial count, and the accuracy
+    // contract Spark measures (q29's estimator-audit shape).
+    "q30_hll_distinct" ->
+      """SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           CAST(count(DISTINCT user_id % 8) AS BIGINT) AS n_partials,
+           TRUE AS hll_ok
+         FROM events GROUP BY event_type""",
     // The plain join — salting on the Spark side must be invisible.
     "q18_salted_join" ->
       """SELECT n_name, count(*) AS cnt

@@ -334,6 +334,45 @@ object Relational {
         col("exact_p95"), col("p50_ok"), col("p95_ok"))
   }
 
+  /** q30: mergeable HyperLogLog distinct-count with a measured error
+    * audit — the 100 TB counterpart of `count(DISTINCT ...)`. An exact
+    * distinct is a full shuffle of every key occurrence; the deployed
+    * form at scale is a DataSketches HLL sketch (`hll_sketch_agg`,
+    * lgK=12 ⇒ 4 KiB of state per group) built as partition-local
+    * partials and merged associatively (`hll_union_agg`) — sketch once
+    * near the data, union anywhere, never re-scan. The plan stages
+    * that shape explicitly: partial sketches per (event_type, shard)
+    * — the per-executor partials of a 1000-node plan — then a
+    * second-level union per event_type, proving re-aggregatability
+    * rather than assuming it.
+    *
+    * Sketch registers aren't comparable across engines, so the
+    * oracle-checkable surface is the q29/d13/s09 estimator-audit
+    * shape: the exact distinct count (both engines), the partial
+    * count actually merged (both engines: distinct shards), and a
+    * boolean Spark MEASURES — |estimate − exact| within 3× the
+    * published relative standard error 1.04/√2^lgK (≈4.9%). At these
+    * cardinalities (n ≪ 2^lgK) the sketch is still in exact coupon
+    * mode, so the bound holds deterministically, and the oracle pins
+    * exactly that contract. */
+  def hllAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("event_type"), col("user_id"))
+    val partials = ev
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(8)).as("shard"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val merged = partials.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_partials"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(broadcast(merged), Seq("event_type"))
+      .select(col("event_type"), col("exact_users"), col("n_partials"),
+        (abs(col("est").cast("double") - col("exact_users").cast("double"))
+          <= lit(3.0 * 1.04 / math.sqrt(4096.0)) *
+             col("exact_users").cast("double")).as("hll_ok"))
+  }
+
   /** Pivot / wide aggregation: one row per day, one column per event
     * type — the long→wide reshape analytics surfaces expect. The value
     * list is EXPLICIT (`pivot(col, values)`), which at 100 TB is the

@@ -401,6 +401,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q30: hll audit — two sketch levels, 5-row union table broadcast back") {
+    val p = plan("q30_hll_distinct")
+    assert(p.contains("hll_sketch_agg") && p.contains("hll_union_agg"),
+      s"expected partial sketches re-aggregated by a second-level union\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row estimate table must broadcast against the exact side\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("c03: leakage audit — fp equi-join only, no cartesian, map-side split/fingerprint") {
     val p = plan("c03_leakage_audit")
     assert(!p.contains("CartesianProduct") &&
