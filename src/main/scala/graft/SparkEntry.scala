@@ -114,6 +114,7 @@ object SparkEntry {
     "c01_curate_pipeline" -> (PipelineQueries.curate _),
     "c02_train_mix" -> (PipelineQueries.trainMix _),
     "c03_leakage_audit" -> (PipelineQueries.leakageAudit _),
+    "c04_dataset_card" -> (PipelineQueries.datasetCard _),
     "t01_langid" -> (PipelineQueries.langId _),
     "t02_quality" -> (PipelineQueries.quality _),
     "t03_token_stats" -> (PipelineQueries.tokenStats _),
@@ -2092,6 +2093,44 @@ object SparkEntry {
                 WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 100 < 95 THEN 'val'
                 ELSE 'test' END AS split
          FROM documents""",
+    // The card composes t03 tokens + d01 fingerprints + t15's Gopher
+    // keep (minStopHits=1, the fixture calibration documented there);
+    // dup attribution via a window count over the content hash.
+    "c04_dataset_card" ->
+      """WITH m AS (
+           SELECT lang, source,
+             len(string_split(text, ' ')) AS nw,
+             length(text) AS nc,
+             count(*) OVER (PARTITION BY md5(text)) AS fp_cnt,
+             ((len(string_split(text, ' ')) >= 50
+                 AND len(string_split(text, ' ')) <= 100000)
+               AND (CAST(length(text) - len(string_split(text, ' ')) + 1
+                      AS DOUBLE) / CAST(len(string_split(text, ' '))
+                      AS DOUBLE) >= 3.0
+                 AND CAST(length(text) - len(string_split(text, ' ')) + 1
+                      AS DOUBLE) / CAST(len(string_split(text, ' '))
+                      AS DOUBLE) <= 10.0)
+               AND (CAST(len(list_filter(string_split(text, ' '),
+                      w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                 >= CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.8)
+               AND (len(list_distinct(list_filter(
+                      string_split(lower(text), ' '),
+                      w -> w IN ('the','be','to','of','and','that',
+                                 'have','with')))) >= 1)) AS keep
+           FROM documents)
+         SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(nw) AS BIGINT) AS total_tokens,
+           CAST(sum(nc) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN fp_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS gate_pass,
+           CAST(sum(CASE WHEN fp_cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_rate,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS pass_rate
+         FROM m GROUP BY lang, source""",
     // An eval doc leaks iff its exact md5(text) fingerprint also
     // appears somewhere in train; split per t07's content-free hash.
     "c03_leakage_audit" ->

@@ -388,6 +388,44 @@ object PipelineQueries {
           .as("leak_ratio"))
   }
 
+  /** c04: dataset card — the per-(lang, source) corpus report every
+    * released training set ships with (docs, tokens, chars, exact-dup
+    * rate, quality-gate pass rate), computed as ONE Catalyst plan over
+    * ONE scan of the corpus. Composes t03's token counts, d01's
+    * fingerprints and t15's Gopher keep column — the same expressions,
+    * so the card's numbers are definitionally consistent with the
+    * pipeline stages they summarize.
+    *
+    * Scale shape: dup attribution needs occurrence counts of each
+    * content hash ACROSS the whole corpus credited back to each doc's
+    * own (lang, source) cell — a window count over the fp partition
+    * (shuffle 1, by fp), then the card rollup (shuffle 2, by the
+    * ~|langs|×|sources| cell key). No self-join, no second scan, and
+    * the final table is card-sized regardless of corpus size. Rates
+    * are single divisions of exact longs — bit-deterministic. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+    docs(spark, dir).select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextAnalysis.gopherKeep(col("text"), minStopHits = 1).as("keep"),
+        count(lit(1)).over(byFp).as("fp_cnt"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("fp_cnt") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("gate_pass"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("total_tokens"), col("total_chars"), col("dup_docs"),
+        col("gate_pass"),
+        (col("dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"),
+        (col("gate_pass").cast("double") / col("n_docs").cast("double"))
+          .as("pass_rate"))
+  }
+
   /** d17: near-dup METHOD-AGREEMENT audit — MinHash-LSH candidates vs
     * banded SimHash pairs over the same corpus, as pair-set overlap
     * counts + Jaccard. The two detectors see different similarity

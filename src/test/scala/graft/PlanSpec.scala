@@ -418,6 +418,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert("Scan parquet".r.findAllIn(p).length <= 2, p)
   }
 
+  test("c04: dataset card — one corpus scan, window dup-attribution, no self-join") {
+    val p = plan("c04_dataset_card")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"the card must be one pass over one scan\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"dup attribution must be the fp window, not a self-join\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("t19: temperature sampling — rate table broadcast, corpus side map-only") {
     val p = plan("t19_temperature_mix")
     assert(p.contains("BroadcastHashJoin"),
