@@ -105,6 +105,7 @@ object SparkEntry {
     "s18_quant_recall" -> (PipelineQueries.quantRecall _),
     "s19_knn_refine" -> (PipelineQueries.knnRefine _),
     "s20_ivfadc_rerank" -> (PipelineQueries.ivfAdcRerank _),
+    "s21_range_search" -> (PipelineQueries.rangeSearch _),
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
     "d17_dedup_agreement" -> (PipelineQueries.dedupAgreement _),
     "d18_keep_best" -> (PipelineQueries.clusterKeepBest _),
@@ -1544,6 +1545,19 @@ object SparkEntry {
               row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
             FROM adc WHERE qid <> nid)
          WHERE rank <= 10""",
+    // Radius search is EXACT (the cell pruning is lossless by
+    // construction), so the oracle is the brute-force distance filter
+    // — a wrongly pruned pair would surface as a missing row.
+    "s21_range_search" ->
+      s"""WITH pre AS ($embPreSql),
+         d AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             CAST((SELECT sum((x-y)*(x-y))
+                   FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS BIGINT)
+               AS d2
+           FROM pre q JOIN pre c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10)
+         SELECT qid, nid, d2 FROM d WHERE d2 <= 1400000000000""",
     // s14's ADC chain widened to a 50-candidate shortlist, then the
     // exact int64-cosine rerank over ONLY those candidates — the
     // two-stage serving arrangement.

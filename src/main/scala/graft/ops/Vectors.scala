@@ -288,6 +288,59 @@ object Vectors {
       .filter(col("rank") <= k)
   }
 
+  /** Radius (range) search: ALL corpus vectors within squared L2
+    * distance ≤ `r2` of each query — the ANN query type top-k cannot
+    * emulate (dedup wants "everything this close", not "the 10
+    * closest"). EXACT result set, yet never brute-force: corpus
+    * vectors live in IVF cells, each cell carries its exact int64
+    * radius r²max = max member distance² to its centroid, and a
+    * (query, cell) pair survives only if the triangle-inequality lower
+    * bound allows a member within range:
+    *
+    *   d(q,x) ≥ d(q,c) − d(c,x)  ⇒  prune cell when
+    *   d²(q,c) > r²max + r² + 2·√(r²max·r²)
+    *
+    * The cross term is irrational, so it is overestimated with
+    * ceil(double-sqrt)+1 — double rounding error is ≪ 1 at int64
+    * magnitudes, so the bound only ever widens and pruning is LOSSLESS
+    * by construction (the brute-force oracle checks exactly that: one
+    * wrongly pruned pair is a missing row). Distances inside surviving
+    * cells are the exact [[sqDist]] kernel.
+    *
+    * Scale shape: centroids and per-cell radii are model-sized
+    * (broadcast); the corpus is scanned once into its cells; the
+    * candidate join is a cid equi-join whose fan-in is only the
+    * surviving cells — at 100 TB the radius bound prunes the far
+    * cells and the plan never forms the Q×N product. */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, r2: Long, nCells: Int = 16): DataFrame = {
+    val p = prepared(corpus, id, emb)
+    val cents = p.orderBy(col("vid")).limit(nCells)
+      .select(col("vid").as("cid"), col("iv").as("civ"))
+    val assigned = p.crossJoin(broadcast(cents))
+      .withColumn("d2c", sqDist(col("iv"), col("civ")))
+      .groupBy(col("vid"))
+      .agg(min_by(col("cid"), struct(col("d2c"), col("cid"))).as("cid"),
+        min(col("d2c")).as("d2c"), first(col("iv")).as("iv"))
+    val radii = assigned.groupBy(col("cid"))
+      .agg(max(col("d2c")).as("r2max"))
+      .join(cents, Seq("cid"))
+    // conservative integer upper bound on the irrational cross term
+    val cross = (ceil(lit(2.0) * sqrt(col("r2max").cast("double") *
+      lit(r2.toDouble))).cast("long") + lit(1L))
+    val probed = prepared(queries, id, emb)
+      .select(col("vid").as("qid"), col("iv").as("qiv"))
+      .crossJoin(broadcast(radii))
+      .withColumn("d2qc", sqDist(col("qiv"), col("civ")))
+      .filter(col("d2qc") <= col("r2max") + lit(r2) + cross)
+      .select(col("qid"), col("qiv"), col("cid"))
+    probed.join(assigned, Seq("cid"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("d2", sqDist(col("qiv"), col("iv")))
+      .filter(col("d2") <= r2)
+      .select(col("qid"), col("vid").as("nid"), col("d2"))
+  }
+
   /** LSH-accelerated top-k with MULTI-PROBE: each query probes its own
     * bucket plus every bucket within hamming distance `probeHamming` of
     * it (a near-miss on one hyperplane is the dominant recall-loss mode,

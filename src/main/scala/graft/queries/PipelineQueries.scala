@@ -264,6 +264,16 @@ object PipelineQueries {
       col("vec_id"), col("embedding"))
   }
 
+  /** s21: radius search — every corpus vector within squared distance
+    * r² of each query, exact via lossless IVF cell pruning (the ANN
+    * query type top-k cannot emulate). r² ≈ the 1st percentile of the
+    * pairwise distance² distribution at this int scale. */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.rangeSearch(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), r2 = 1400000000000L)
+  }
+
   /** Recall@10 of the LSH and IVF ANN paths vs the exact baseline for
     * the first-10-vector query set — s09. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {

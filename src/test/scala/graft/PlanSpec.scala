@@ -394,6 +394,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"the refined top-k must prune per-partition\n$p")
   }
 
+  test("s21: range search — model-sized broadcasts only, candidates via cid equi-join") {
+    val p = plan("s21_range_search")
+    assert(!p.contains("CartesianProduct"),
+      s"the Q×N product must never form — candidates come from cells\n$p")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(p).isDefined, s"expected the cid equi-join\n$p")
+    // the only nested-loop joins are against the broadcast centroid /
+    // radius model (corpus assign, query probe, radius build), never
+    // corpus×corpus
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 3, p)
+  }
+
   test("q29: approx percentiles — sketch table broadcast back, no cartesian") {
     val p = plan("q29_approx_percentiles")
     assert(p.contains("BroadcastHashJoin"),
