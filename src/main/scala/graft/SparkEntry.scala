@@ -151,6 +151,7 @@ object SparkEntry {
     "st15_stream_sliding" -> (StreamingQueries.streamSlidingWindow _),
     "st16_stream_recover" -> (StreamingQueries.streamRecover _),
     "st17_stream_funnel_ooo" -> (StreamingQueries.streamFunnelUnordered _),
+    "st18_stream_kmv" -> (StreamingQueries.streamKmv _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -506,28 +507,10 @@ object SparkEntry {
     // Mirrors TextAnalysis.kmvDistinct: k=16 minimum distinct 32-bit
     // md5 hashes per language; estimate (k-1)*2^32/x_k, exact below
     // capacity; the true distinct count rides along as the audit.
-    "t14_kmv_distinct" ->
-      """WITH tok AS (
-           SELECT DISTINCT lang AS stratum, unnest(string_split(text, ' ')) AS w
-           FROM documents),
-         tok2 AS (SELECT stratum, w FROM tok WHERE w <> ''),
-         hs AS (SELECT DISTINCT stratum,
-                  ('0x' || substr(md5(w),1,8))::BIGINT AS hw
-                FROM tok2),
-         ranked AS (SELECT stratum, hw,
-                      row_number() OVER (PARTITION BY stratum ORDER BY hw) AS rn
-                    FROM hs),
-         agg AS (SELECT stratum, count(*) AS n_hashes,
-                   max(CASE WHEN rn <= 16 THEN hw END) AS kth
-                 FROM ranked GROUP BY stratum),
-         ex AS (SELECT stratum, count(*) AS n_exact FROM tok2
-                GROUP BY stratum)
-         SELECT e.stratum, e.n_exact, a.n_hashes,
-           CASE WHEN a.n_hashes >= 16 THEN a.kth END AS kth_hash,
-           CASE WHEN a.n_hashes >= 16
-             THEN CAST(64424509440 AS DOUBLE) / CAST(a.kth AS DOUBLE)
-             ELSE CAST(e.n_exact AS DOUBLE) END AS est_distinct
-         FROM ex e JOIN agg a ON a.stratum = e.stratum""",
+    "t14_kmv_distinct" -> kmvOracleSql,
+    // st18 maintains the SAME sketch online (first-seen word / hash
+    // folds + an O(k) minima array) — one oracle for both.
+    "st18_stream_kmv" -> kmvOracleSql,
     "q19_cube" ->
       """SELECT c_mktsegment, n_regionkey, count(*) AS cnt,
            CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
@@ -2605,6 +2588,32 @@ object SparkEntry {
            AS week_offset,
          CAST(count(*) AS BIGINT) AS active_users
        FROM d GROUP BY 1, 2"""
+
+  /** Shared by t14 (two-level batch k-min) and st18 (streaming
+    * first-seen folds + O(k) minima state): one KMV sketch, two
+    * execution models, one oracle. */
+  private def kmvOracleSql: String =
+    """WITH tok AS (
+         SELECT DISTINCT lang AS stratum, unnest(string_split(text, ' ')) AS w
+         FROM documents),
+       tok2 AS (SELECT stratum, w FROM tok WHERE w <> ''),
+       hs AS (SELECT DISTINCT stratum,
+                ('0x' || substr(md5(w),1,8))::BIGINT AS hw
+              FROM tok2),
+       ranked AS (SELECT stratum, hw,
+                    row_number() OVER (PARTITION BY stratum ORDER BY hw) AS rn
+                  FROM hs),
+       agg AS (SELECT stratum, count(*) AS n_hashes,
+                 max(CASE WHEN rn <= 16 THEN hw END) AS kth
+               FROM ranked GROUP BY stratum),
+       ex AS (SELECT stratum, count(*) AS n_exact FROM tok2
+              GROUP BY stratum)
+       SELECT e.stratum, e.n_exact, a.n_hashes,
+         CASE WHEN a.n_hashes >= 16 THEN a.kth END AS kth_hash,
+         CASE WHEN a.n_hashes >= 16
+           THEN CAST(64424509440 AS DOUBLE) / CAST(a.kth AS DOUBLE)
+           ELSE CAST(e.n_exact AS DOUBLE) END AS est_distinct
+       FROM ex e JOIN agg a ON a.stratum = e.stratum"""
 
   /** Shared by q26 (batch window chain) and st13 (streaming state
     * machine): both must land on this exact funnel. */

@@ -1241,6 +1241,146 @@ object StreamingQueries {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  /** st18: streaming KMV distinct-count sketch — t14's online twin.
+    * The KMV invariant makes this the sketch that streams perfectly:
+    * the k smallest DISTINCT hashes are maintainable in O(k) state
+    * with NO memory of dropped hashes (a duplicate of a dropped hash
+    * is ≥ the current k-th minimum, so it is re-dropped for free), and
+    * insertion is commutative — no ordering constraint on delivery,
+    * unlike st13/st14's ts-ordered folds.
+    *
+    * Topology, three chained live queries, each the scalable shape:
+    *  1. **`kmv-words`** keyed by (stratum|word): streaming DISTINCT
+    *     (st08's first-seen fold, state O(1) per key sharded by key —
+    *     never a per-stratum word set in one state object); first
+    *     occurrences relay onto `firstwords`.
+    *  2. **`kmv-hashes`** keyed by (stratum|h32): the same fold over
+    *     the 32-bit hashes (distinct words can collide), relaying
+    *     first-seen hashes onto `firsthashes`.
+    *  3. **`kmv-sketch`** keyed by stratum, consuming BOTH relay
+    *     topics via per-topic Input edges (the multi-topic group,
+    *     g03's streaming form): `firstwords` bumps the exact count,
+    *     `firsthashes` bumps the hash count and inserts into the
+    *     sorted O(k) minima array ([[Codecs.LongArrayCodec]],
+    *     layout [nExact, nHashes, kmv…]).
+    *
+    * Every transition adds exactly 1 to nExact+nHashes, so the sink
+    * collapse is max_by that monotone total; the estimate arithmetic
+    * is t14's, and the result hash-matches t14's batch oracle. At
+    * 100 TB stages 1-2 shard by (stratum, token) across the cluster
+    * and stage 3's state is the k-row sketch per stratum — the
+    * mergeable-sketch serving layer, maintained at ingest. */
+  def streamKmv(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val k = 16
+    def firstSeen(group: String, in: String, outT: String) =
+      GroupGraph.define(group)(
+        Input(in, StringCodec, ProcessCallback { (ctx, msg) =>
+          if (ctx.value == null) {
+            ctx.setValue(1L)
+            ctx.emit(outT, ctx.key, msg.asInstanceOf[String])
+          }
+        }),
+        Persist(Int64Codec), Output(outT, StringCodec))
+    val sketchGraph = GroupGraph.define("kmv-sketch")(
+      Input("firstwords", StringCodec, ProcessCallback { (ctx, _) =>
+        ctx.value match {
+          case null => ctx.setValue(Array(1L, 0L))
+          case a: Array[Long] => ctx.setValue(Array(a(0) + 1L, a(1)) ++ a.drop(2))
+        }
+      }),
+      Input("firsthashes", StringCodec, ProcessCallback { (ctx, msg) =>
+        val hw = java.lang.Long.parseLong(msg.asInstanceOf[String])
+        ctx.value match {
+          case null => ctx.setValue(Array(0L, 1L, hw))
+          case a: Array[Long] =>
+            val arr = a.drop(2)
+            // every arriving hash is DISTINCT (stage 2 guarantees it):
+            // count unconditionally, keep the k smallest
+            val kept =
+              if (arr.length < k) (arr :+ hw).sorted
+              else if (hw < arr(arr.length - 1))
+                (arr.take(arr.length - 1) :+ hw).sorted
+              else arr
+            ctx.setValue(Array(a(0), a(1) + 1L) ++ kept)
+        }
+      }),
+      Persist(Codecs.LongArrayCodec))
+
+    val docs = Sources.table(spark, dir, "documents")
+    val tokens = docs.select(col("lang"), col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .filter(col("w") =!= "")
+    val msgs = Sources.messages(tokens, "tokens",
+      concat_ws("|", col("lang"), col("w")), col("w"),
+      expr("timestamp_micros(doc_id)"), col("doc_id"))
+    val staging = tempDir("graft_stream_kmv")
+    val relayW = tempDir("graft_stream_kmv_words")
+    val relayH = tempDir("graft_stream_kmv_hashes")
+    stageTwoBatches(spark, msgs, staging)
+    val msgSchema = org.apache.spark.sql.Encoders.product[Message].schema
+
+    val stream1 = spark.readStream.schema(msgSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
+    val q1 = StreamSinks.routeOutputs(
+      new StreamExecutor(firstSeen("kmv-words", "tokens", "firstwords"))
+        .run(spark, stream1),
+      Map("firstwords" -> relayW))
+
+    // stateless re-key between stages: (stratum|word) → (stratum|h32)
+    val words2 = spark.readStream.schema(msgSchema).parquet(relayW)
+    val stratum2 = substring_index(col("key"), "|", 1)
+    val hw2 = graft.functions.Hashes.h32(col("value").cast("string"))
+    val hashMsgs = words2
+      .select(concat_ws("|", stratum2, hw2).as("key"),
+        hw2.cast("string").cast("binary").as("value"),
+        lit("hashes").as("topic"), col("partition"), col("offset"),
+        col("timestamp"), col("headers"))
+      .as[Message]
+    val q2 = StreamSinks.routeOutputs(
+      new StreamExecutor(firstSeen("kmv-hashes", "hashes", "firsthashes"))
+        .run(spark, hashMsgs),
+      Map("firsthashes" -> relayH))
+
+    // stage 3 consumes both relays, re-keyed to the bare stratum
+    def rekeyed(dirIn: String, topic: String) =
+      spark.readStream.schema(msgSchema).parquet(dirIn)
+        .select(substring_index(col("key"), "|", 1).as("key"), col("value"),
+          lit(topic).as("topic"), col("partition"), col("offset"),
+          col("timestamp"), col("headers"))
+    val both = rekeyed(relayW, "firstwords")
+      .union(rekeyed(relayH, "firsthashes")).as[Message]
+    val table = new StreamExecutor(sketchGraph).run(spark, both)
+      .filter(_.sink == SinkTable)
+      .map { e => (e.key, Codecs.LongArrayCodec.decode(e.value)) }
+      .toDF("stratum", "state")
+    val name = s"stream_result_${nameSeq.incrementAndGet()}"
+    val q3 = table.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+      q3.processAllAvailable()
+    } finally { q1.stop(); q2.stop(); q3.stop() }
+    spark.table(name).groupBy(col("stratum"))
+      .agg(max_by(col("state"),
+        element_at(col("state"), 1) + element_at(col("state"), 2))
+        .as("state"))
+      .select(col("stratum"),
+        element_at(col("state"), 1).as("n_exact"),
+        element_at(col("state"), 2).as("n_hashes"),
+        col("state"))
+      .select(col("stratum"), col("n_exact"), col("n_hashes"),
+        when(col("n_hashes") >= k, element_at(col("state"), 2 + k))
+          .as("kth_hash"),
+        when(col("n_hashes") >= k,
+          lit((k - 1L) * 4294967296L).cast("double") /
+            element_at(col("state"), 2 + k).cast("double"))
+          .otherwise(col("n_exact").cast("double")).as("est_distinct"))
+  }
+
   /** Checkpoint crash-recovery proof — the reference's core recovery
     * loop (`/root/reference/partition_table.go:98-167`: restore local
     * state from the changelog to the high-water mark, then resume
