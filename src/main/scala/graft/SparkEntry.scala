@@ -69,6 +69,7 @@ object SparkEntry {
     "t18_vocab_stats" -> (PipelineQueries.vocabStats _),
     "t19_temperature_mix" -> (PipelineQueries.temperatureSample _),
     "t20_ccnet_buckets" -> (PipelineQueries.ccnetBuckets _),
+    "t21_novelty" -> (PipelineQueries.noveltyRatio _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -511,6 +512,23 @@ object SparkEntry {
     // st18 maintains the SAME sketch online (first-seen word / hash
     // folds + an O(k) minima array) — one oracle for both.
     "st18_stream_kmv" -> kmvOracleSql,
+    // Novel-ngram ratio: d02's distinct-shingle shape, ownership =
+    // min(doc_id) over the shingle partition (d15's owner window).
+    "t21_novelty" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+               FROM d),
+         m AS (SELECT doc_id, s, min(doc_id) OVER (PARTITION BY s) AS owner
+               FROM g)
+         SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel_grams,
+           CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS novelty_ratio
+         FROM m GROUP BY doc_id""",
     "q19_cube" ->
       """SELECT c_mktsegment, n_regionkey, count(*) AS cnt,
            CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal

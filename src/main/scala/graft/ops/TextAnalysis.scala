@@ -426,6 +426,34 @@ object TextAnalysis {
           .otherwise(col("n_exact").cast("double")).as("est_distinct"))
   }
 
+  /** Per-document novel n-gram ratio — the share of a doc's distinct
+    * n-grams whose GLOBAL first occurrence (min doc_id = ingest order)
+    * is this doc. The memorization/novelty dial of a training corpus:
+    * boilerplate-heavy docs score near 0, fresh content near 1 — the
+    * aggregate view of what d15 extracts span-by-span, and the
+    * standard pre-training curation signal between exact dedup (whole
+    * doc) and span excision (8-gram islands).
+    *
+    * Scale shape: per-doc distinct shingles from the native kernel
+    * (map-only), ownership = a min window over the shingle partition
+    * (shuffle 1, by shingle — same key d15 uses), then the per-doc
+    * rollup (shuffle 2, by doc). No self-join, no broadcast; both
+    * exchanges key on unbounded-cardinality columns and scale
+    * horizontally. */
+  def noveltyRatio(df: DataFrame, text: Column, id: Column,
+      n: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(df, text, id, n)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    sh.withColumn("owner", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel_grams"))
+      .select(col("doc_id"), col("n_grams"), col("novel_grams"),
+        (col("novel_grams").cast("double") / col("n_grams").cast("double"))
+          .as("novelty_ratio"))
+  }
+
   /** Deterministic global shuffle + sharding — the "shuffle once, shard
     * for N trainers" write path of every training-data pipeline. Shard =
     * md5 bucket of the id (mod `shards`), position = dense order of the

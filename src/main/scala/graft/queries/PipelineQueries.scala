@@ -495,6 +495,10 @@ object PipelineQueries {
     TextAnalysis.ccnetBuckets(docs(spark, dir), col("text"), col("doc_id"),
       col("lang"))
 
+  /** t21: per-doc novel 3-gram ratio vs global first occurrence. */
+  def noveltyRatio(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.noveltyRatio(docs(spark, dir), col("text"), col("doc_id"))
+
   /** t17: DSIR importance weights toward the English slice — `lang =
     * 'en'` plays the target domain, the whole corpus the raw crawl. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =

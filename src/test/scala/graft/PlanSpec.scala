@@ -394,6 +394,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"the refined top-k must prune per-partition\n$p")
   }
 
+  test("t21: novelty — one scan, shingle-window ownership, no self-join") {
+    val p = plan("t21_novelty")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"ownership must be the min window\n$p")
+  }
+
   test("s21: range search — model-sized broadcasts only, candidates via cid equi-join") {
     val p = plan("s21_range_search")
     assert(!p.contains("CartesianProduct"),
