@@ -59,6 +59,7 @@ object SparkEntry {
     "q21_percentiles" -> (Relational.percentiles _),
     "q29_approx_percentiles" -> (Relational.approxPercentiles _),
     "q30_hll_distinct" -> (Relational.hllAudit _),
+    "q31_sliding_distinct" -> (Relational.slidingDistinct _),
     "q22_pivot" -> (Relational.pivotAgg _),
     "q23_unpivot" -> (Relational.unpivotAgg _),
     "q24_bucketed_join" -> (Relational.bucketedJoin _),
@@ -580,6 +581,21 @@ object SparkEntry {
            CAST(count(DISTINCT user_id % 8) AS BIGINT) AS n_partials,
            TRUE AS hll_ok
          FROM events GROUP BY event_type""",
+    // The oracle spells the range join whose bounded fan-out form the
+    // Spark plan deliberately uses instead.
+    "q31_sliding_distinct" ->
+      """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                     FROM events),
+         dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                 FROM du GROUP BY day),
+         w AS (SELECT DISTINCT d.day AS day, u.user_id
+               FROM (SELECT DISTINCT day FROM du) d
+               JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day),
+         wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau7
+                 FROM w GROUP BY day)
+         SELECT strftime(a.day, '%Y-%m-%d') AS day, a.dau, w.wau7,
+           CAST(a.dau AS DOUBLE) / CAST(w.wau7 AS DOUBLE) AS stickiness
+         FROM dau a JOIN wau w ON a.day = w.day""",
     // The plain join — salting on the Spark side must be invisible.
     "q18_salted_join" ->
       """SELECT n_name, count(*) AS cnt

@@ -373,6 +373,36 @@ object Relational {
              col("exact_users").cast("double")).as("hll_ok"))
   }
 
+  /** q31: sliding-window DISTINCT count — trailing-7-day active users
+    * per day (WAU) beside the daily count (DAU) and their ratio, the
+    * stickiness metric. Distinct-over-sliding-window has no native
+    * window-frame form (COUNT(DISTINCT) OVER RANGE is unsupported and
+    * would be quadratic anyway); the scalable shape is BOUNDED FAN-OUT:
+    * each (user, active-day) pair explodes into the ≤7 report days it
+    * contributes to (map-side, 7× a pre-deduped input), then one
+    * distinct + count per report day. No range join, no per-day
+    * re-scan; the oracle spells the same semantics as the range join
+    * Spark deliberately avoids. The inner join on day keeps windows
+    * anchored on days that actually have activity (and drops the
+    * phantom days the fan-out projects past the corpus end). */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val du = table(spark, dir, "events")
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = du.select(col("user_id"),
+        explode(sequence(col("day"),
+          col("day") + expr("INTERVAL 6 DAYS"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau7"))
+    dau.join(wau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau7"),
+        (col("dau").cast("double") / col("wau7").cast("double"))
+          .as("stickiness"))
+  }
+
   /** Pivot / wide aggregation: one row per day, one column per event
     * type — the long→wide reshape analytics surfaces expect. The value
     * list is EXPLICIT (`pivot(col, values)`), which at 100 TB is the

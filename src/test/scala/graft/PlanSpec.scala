@@ -394,6 +394,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"the refined top-k must prune per-partition\n$p")
   }
 
+  test("q31: sliding distinct — fan-out explode, day equi-join, no range join") {
+    val p = plan("q31_sliding_distinct")
+    assert(p.contains("Generate explode"),
+      s"the window membership must come from the bounded fan-out\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no range join — the fan-out replaces it\n$p")
+  }
+
   test("t21: novelty — one scan, shingle-window ownership, no self-join") {
     val p = plan("t21_novelty")
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
