@@ -109,6 +109,7 @@ object SparkEntry {
     "s20_ivfadc_rerank" -> (PipelineQueries.ivfAdcRerank _),
     "s21_range_search" -> (PipelineQueries.rangeSearch _),
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
+    "d20_fuzzy_decontam" -> (PipelineQueries.fuzzyDecontaminate _),
     "d17_dedup_agreement" -> (PipelineQueries.dedupAgreement _),
     "d18_keep_best" -> (PipelineQueries.clusterKeepBest _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
@@ -513,6 +514,49 @@ object SparkEntry {
     // st18 maintains the SAME sketch online (first-seen word / hash
     // folds + an O(k) minima array) — one oracle for both.
     "st18_stream_kmv" -> kmvOracleSql,
+    // Bipartite d02 bands (train×bench collisions only) + d11's exact
+    // Jaccard verify + a per-train-doc left-join rollup.
+    "d20_fuzzy_decontam" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         h AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS hw FROM sh),
+         mh AS (SELECT doc_id, j, min(((2*j+1)*hw + j*12345) % 4294967311) AS mv
+                FROM h, generate_series(0,15) t(j) GROUP BY doc_id, j),
+         bands AS (SELECT doc_id, j//4 AS band,
+                     string_agg(mv, ',' ORDER BY j) AS sig
+                   FROM mh GROUP BY doc_id, j//4),
+         lbl AS (SELECT doc_id, source = 'src0' AS is_bench FROM documents),
+         cand AS (SELECT DISTINCT a.doc_id AS tid, b.doc_id AS bid
+                  FROM bands a
+                  JOIN lbl la ON la.doc_id = a.doc_id AND NOT la.is_bench
+                  JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                  JOIN lbl lb ON lb.doc_id = b.doc_id AND lb.is_bench),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.tid, c.bid, count(*) AS c
+                   FROM cand c
+                   JOIN sh x ON x.doc_id = c.tid
+                   JOIN sh y ON y.doc_id = c.bid AND y.s = x.s
+                   GROUP BY c.tid, c.bid),
+         ver AS (SELECT c.tid,
+                   CAST(coalesce(i.c, 0) AS DOUBLE)
+                     / (sa.n + sb.n - coalesce(i.c, 0)) AS j
+                 FROM cand c
+                 LEFT JOIN inter i ON i.tid = c.tid AND i.bid = c.bid
+                 JOIN sizes sa ON sa.doc_id = c.tid
+                 JOIN sizes sb ON sb.doc_id = c.bid),
+         agg AS (SELECT tid, CAST(count(*) AS BIGINT) AS n_matches,
+                   max(j) AS max_jaccard
+                 FROM ver WHERE j >= 0.5 GROUP BY tid)
+         SELECT d.doc_id,
+           coalesce(a.n_matches, 0) AS n_matches,
+           a.max_jaccard,
+           coalesce(a.n_matches, 0) > 0 AS fuzzy_contaminated
+         FROM (SELECT DISTINCT s.doc_id FROM sh s
+               JOIN lbl l ON l.doc_id = s.doc_id AND NOT l.is_bench) d
+         LEFT JOIN agg a ON a.tid = d.doc_id""",
     // Novel-ngram ratio: d02's distinct-shingle shape, ownership =
     // min(doc_id) over the shingle partition (d15's owner window).
     "t21_novelty" ->

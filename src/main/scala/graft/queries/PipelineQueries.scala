@@ -94,6 +94,12 @@ object PipelineQueries {
     Dedup.bloomDecontaminate(docs(spark, dir), col("text"), col("doc_id"),
       col("source") === "src0")
 
+  /** d20: fuzzy (near-dup) decontamination — bipartite MinHash-LSH
+    * candidates train×bench, exact-Jaccard verified at 0.5. */
+  def fuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyDecontaminate(docs(spark, dir), col("text"), col("doc_id"),
+      col("source") === "src0")
+
   /** Positional 8-word-window duplicate-passage stats (exact substring
     * dedup signal, first-writer-keeps). */
   def windowDup(spark: SparkSession, dir: String): DataFrame =

@@ -394,6 +394,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"the refined top-k must prune per-partition\n$p")
   }
 
+  test("d20: fuzzy decontam — checkpointed single pass, bucket equi-join, no cartesian") {
+    val p = plan("d20_fuzzy_decontam")
+    assert(p.contains("Scan ExistingRDD"),
+      s"both splits must reuse the one checkpointed kernel pass\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"no re-scan of the corpus beyond the checkpoint\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q31: sliding distinct — fan-out explode, day equi-join, no range join") {
     val p = plan("q31_sliding_distinct")
     assert(p.contains("Generate explode"),
