@@ -155,6 +155,7 @@ object SparkEntry {
     "st16_stream_recover" -> (StreamingQueries.streamRecover _),
     "st17_stream_funnel_ooo" -> (StreamingQueries.streamFunnelUnordered _),
     "st18_stream_kmv" -> (StreamingQueries.streamKmv _),
+    "st19_stream_card" -> (StreamingQueries.streamCard _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2171,41 +2172,10 @@ object SparkEntry {
     // The card composes t03 tokens + d01 fingerprints + t15's Gopher
     // keep (minStopHits=1, the fixture calibration documented there);
     // dup attribution via a window count over the content hash.
-    "c04_dataset_card" ->
-      """WITH m AS (
-           SELECT lang, source,
-             len(string_split(text, ' ')) AS nw,
-             length(text) AS nc,
-             count(*) OVER (PARTITION BY md5(text)) AS fp_cnt,
-             ((len(string_split(text, ' ')) >= 50
-                 AND len(string_split(text, ' ')) <= 100000)
-               AND (CAST(length(text) - len(string_split(text, ' ')) + 1
-                      AS DOUBLE) / CAST(len(string_split(text, ' '))
-                      AS DOUBLE) >= 3.0
-                 AND CAST(length(text) - len(string_split(text, ' ')) + 1
-                      AS DOUBLE) / CAST(len(string_split(text, ' '))
-                      AS DOUBLE) <= 10.0)
-               AND (CAST(len(list_filter(string_split(text, ' '),
-                      w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-                 >= CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.8)
-               AND (len(list_distinct(list_filter(
-                      string_split(lower(text), ' '),
-                      w -> w IN ('the','be','to','of','and','that',
-                                 'have','with')))) >= 1)) AS keep
-           FROM documents)
-         SELECT lang, source,
-           count(*) AS n_docs,
-           CAST(sum(nw) AS BIGINT) AS total_tokens,
-           CAST(sum(nc) AS BIGINT) AS total_chars,
-           CAST(sum(CASE WHEN fp_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS dup_docs,
-           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-             AS gate_pass,
-           CAST(sum(CASE WHEN fp_cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE) AS dup_rate,
-           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE) AS pass_rate
-         FROM m GROUP BY lang, source""",
+    "c04_dataset_card" -> cardOracleSql,
+    // st19 maintains the SAME card online (fingerprint stage with
+    // retroactive dup credits + per-cell counters) — one oracle.
+    "st19_stream_card" -> cardOracleSql,
     // An eval doc leaks iff its exact md5(text) fingerprint also
     // appears somewhere in train; split per t07's content-free hash.
     "c03_leakage_audit" ->
@@ -2666,6 +2636,45 @@ object SparkEntry {
            AS week_offset,
          CAST(count(*) AS BIGINT) AS active_users
        FROM d GROUP BY 1, 2"""
+
+  /** Shared by c04 (batch fp-window card) and st19 (streaming
+    * fingerprint stage + per-cell counters): one card, two execution
+    * models, one oracle. */
+  private def cardOracleSql: String =
+    """WITH m AS (
+         SELECT lang, source,
+           len(string_split(text, ' ')) AS nw,
+           length(text) AS nc,
+           count(*) OVER (PARTITION BY md5(text)) AS fp_cnt,
+           ((len(string_split(text, ' ')) >= 50
+               AND len(string_split(text, ' ')) <= 100000)
+             AND (CAST(length(text) - len(string_split(text, ' ')) + 1
+                    AS DOUBLE) / CAST(len(string_split(text, ' '))
+                    AS DOUBLE) >= 3.0
+               AND CAST(length(text) - len(string_split(text, ' ')) + 1
+                    AS DOUBLE) / CAST(len(string_split(text, ' '))
+                    AS DOUBLE) <= 10.0)
+             AND (CAST(len(list_filter(string_split(text, ' '),
+                    w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+               >= CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.8)
+             AND (len(list_distinct(list_filter(
+                    string_split(lower(text), ' '),
+                    w -> w IN ('the','be','to','of','and','that',
+                               'have','with')))) >= 1)) AS keep
+         FROM documents)
+       SELECT lang, source,
+         count(*) AS n_docs,
+         CAST(sum(nw) AS BIGINT) AS total_tokens,
+         CAST(sum(nc) AS BIGINT) AS total_chars,
+         CAST(sum(CASE WHEN fp_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_docs,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS gate_pass,
+         CAST(sum(CASE WHEN fp_cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS dup_rate,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS pass_rate
+       FROM m GROUP BY lang, source"""
 
   /** Shared by t14 (two-level batch k-min) and st18 (streaming
     * first-seen folds + O(k) minima state): one KMV sketch, two

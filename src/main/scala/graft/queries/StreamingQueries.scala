@@ -33,6 +33,13 @@ final case class NearDupState(own: Long, n: Long)
   * binary codec ([[Codecs.twoLongs]]) like the other ingest folds. */
 final case class DecontamState(n: Long, hits: Long)
 
+/** State for [[StreamingQueries.streamCard]]'s fingerprint stage: how
+  * many docs of this content hash have arrived, and which (lang,source)
+  * cell the FIRST one belonged to — kept so the 1→2 transition can
+  * credit the first owner's cell retroactively. JSON codec: the cell is
+  * a string and this stage touches each doc once, not per-token. */
+final case class CardFpState(cnt: Long, firstCell: String)
+
 /** Buffering funnel state for [[StreamingQueries.streamFunnelUnordered]]
   * — the out-of-order-tolerant variant of [[FunnelState]]. Packed long
   * array `[nUpd, minView, nClicks, clicks…, purchases…]` (both lists
@@ -1239,6 +1246,121 @@ object StreamingQueries {
           col("cohort_day").cast("int")), "yyyy-MM-dd").as("cohort_week"),
         col("off").as("week_offset"))
       .agg(count(lit(1)).as("active_users"))
+  }
+
+  /** st19: streaming dataset card — c04's online twin: the corpus
+    * report maintained AT INGEST instead of recomputed by a batch
+    * sweep. The interesting part is dup attribution, which in batch is
+    * a window over the content-hash partition: online, a doc is not
+    * known to be a duplicate when it arrives — the verdict lands when
+    * its SECOND copy shows up. Stage 1 (keyed by fingerprint) stores
+    * the first owner's (lang, source) cell in state; on the 1→2
+    * transition it credits BOTH cells (the retroactive credit for the
+    * first copy, the immediate one for the second), and each later
+    * copy credits its own cell — every member of an m-copy group gets
+    * exactly one credit, so per-cell totals are delivery-order-free.
+    * Stage 2 (keyed by cell) folds arrival metrics (docs, tokens,
+    * chars, gate passes) and dup credits into five monotone counters;
+    * every message adds exactly 1 to nDocs+dupDocs, so the sink
+    * collapse is max_by that total. Result hash-matches c04's batch
+    * oracle. At 100 TB stage 1 shards by fingerprint, stage 2's state
+    * is card-sized — the live dashboard form of the dataset card. */
+  def streamCard(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val fpCodec = Codecs.json[CardFpState]
+    val fpGraph = GroupGraph.define("card-fps")(
+      Input("docs", StringCodec, ProcessCallback { (ctx, msg) =>
+        // value: lang|source|tokens|chars|keep
+        val v = msg.asInstanceOf[String]
+        val cell = v.substring(0, v.indexOf('|', v.indexOf('|') + 1))
+        val rest = v.substring(cell.length + 1)
+        ctx.value match {
+          case null =>
+            ctx.setValue(CardFpState(1L, cell))
+            ctx.emit("arrivals", cell, rest)
+          case s: CardFpState =>
+            ctx.setValue(CardFpState(s.cnt + 1L, s.firstCell))
+            ctx.emit("arrivals", cell, rest)
+            if (s.cnt == 1L) ctx.emit("dups", s.firstCell, "1")
+            ctx.emit("dups", cell, "1")
+        }
+      }),
+      Persist(fpCodec),
+      Output("arrivals", StringCodec), Output("dups", StringCodec))
+    // state: [nDocs, tokens, chars, gatePass, dupDocs]
+    val cellGraph = GroupGraph.define("card-cells")(
+      Input("arrivals", StringCodec, ProcessCallback { (ctx, msg) =>
+        val Array(tok, ch, keep) = msg.asInstanceOf[String].split('|')
+        val a = ctx.value match {
+          case null => Array(0L, 0L, 0L, 0L, 0L)
+          case x: Array[Long] => x
+        }
+        ctx.setValue(Array(a(0) + 1L, a(1) + tok.toLong, a(2) + ch.toLong,
+          a(3) + keep.toLong, a(4)))
+      }),
+      Input("dups", StringCodec, ProcessCallback { (ctx, _) =>
+        val a = ctx.value match {
+          case null => Array(0L, 0L, 0L, 0L, 0L)
+          case x: Array[Long] => x
+        }
+        ctx.setValue(Array(a(0), a(1), a(2), a(3), a(4) + 1L))
+      }),
+      Persist(Codecs.LongArrayCodec))
+
+    val d = Sources.table(spark, dir, "documents")
+    val msgs = Sources.messages(d, "docs", md5(col("text")),
+      concat_ws("|", col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long"),
+        length(col("text")).cast("long"),
+        graft.ops.TextAnalysis.gopherKeep(col("text"), minStopHits = 1)
+          .cast("int")),
+      expr("timestamp_micros(doc_id)"), col("doc_id"))
+    val staging = tempDir("graft_stream_card")
+    val relayA = tempDir("graft_stream_card_arrivals")
+    val relayD = tempDir("graft_stream_card_dups")
+    stageTwoBatches(spark, msgs, staging)
+    val msgSchema = org.apache.spark.sql.Encoders.product[Message].schema
+
+    val stream1 = spark.readStream.schema(msgSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
+    val q1 = StreamSinks.routeOutputs(
+      new StreamExecutor(fpGraph).run(spark, stream1),
+      Map("arrivals" -> relayA, "dups" -> relayD))
+
+    def relay(dirIn: String, topic: String) =
+      spark.readStream.schema(msgSchema).parquet(dirIn)
+        .select(col("key"), col("value"), lit(topic).as("topic"),
+          col("partition"), col("offset"), col("timestamp"), col("headers"))
+    val both = relay(relayA, "arrivals").union(relay(relayD, "dups"))
+      .as[Message]
+    val table = new StreamExecutor(cellGraph).run(spark, both)
+      .filter(_.sink == SinkTable)
+      .map { e => (e.key, Codecs.LongArrayCodec.decode(e.value)) }
+      .toDF("cell", "state")
+    val name = s"stream_result_${nameSeq.incrementAndGet()}"
+    val q2 = table.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    spark.table(name).groupBy(col("cell"))
+      .agg(max_by(col("state"),
+        element_at(col("state"), 1) + element_at(col("state"), 5))
+        .as("state"))
+      .select(substring_index(col("cell"), "|", 1).as("lang"),
+        substring_index(col("cell"), "|", -1).as("source"),
+        element_at(col("state"), 1).as("n_docs"),
+        element_at(col("state"), 2).as("total_tokens"),
+        element_at(col("state"), 3).as("total_chars"),
+        element_at(col("state"), 5).as("dup_docs"),
+        element_at(col("state"), 4).as("gate_pass"))
+      .withColumn("dup_rate",
+        col("dup_docs").cast("double") / col("n_docs").cast("double"))
+      .withColumn("pass_rate",
+        col("gate_pass").cast("double") / col("n_docs").cast("double"))
   }
 
   /** st18: streaming KMV distinct-count sketch — t14's online twin.
