@@ -71,6 +71,8 @@ object SparkEntry {
     "t19_temperature_mix" -> (PipelineQueries.temperatureSample _),
     "t20_ccnet_buckets" -> (PipelineQueries.ccnetBuckets _),
     "t21_novelty" -> (PipelineQueries.noveltyRatio _),
+    "t22_bm25" -> (PipelineQueries.bm25 _),
+    "t23_bool_search" -> (PipelineQueries.boolSearch _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -575,6 +577,33 @@ object SparkEntry {
            CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS novelty_ratio
          FROM m GROUP BY doc_id""",
+    // t22: same literal expression tree as Retrieval.bm25 — integer
+    // tf/df/dl, exactly-representable k1=1.5 b=0.75, and the
+    // portable-ln idf rendered by the SAME PortableMath constants the
+    // Spark plan uses (see bm25OracleSql).
+    "t22_bm25" -> bm25OracleSql,
+    // t23: conjunctive boolean search — a doc matches iff its count of
+    // distinct matched terms equals the query's term count.
+    "t23_bool_search" ->
+      """WITH qt(qid, term) AS (VALUES
+           ('s1','spark'),('s1','join'),('s1','window'),
+           ('s2','dup'),('s2','batch'),
+           ('s3','the'),('s3','fast'),('s3','key'),('s3','sort')),
+         nq AS (SELECT qid, count(DISTINCT term) AS q_n_terms
+                FROM qt GROUP BY 1),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+                WHERE w != '' AND w IN ('spark','join','window','dup',
+                                        'batch','the','fast','key','sort')
+                GROUP BY 1, 2),
+         m AS (SELECT qt.qid, tf.doc_id, count(*) AS n_matched,
+                 sum(tf.tf) AS tf_sum
+               FROM tf JOIN qt ON tf.w = qt.term GROUP BY 1, 2)
+         SELECT m.qid, m.doc_id, m.n_matched,
+           CAST(m.tf_sum AS BIGINT) AS tf_sum
+         FROM m JOIN nq ON m.qid = nq.qid
+         WHERE m.n_matched = nq.q_n_terms""",
     "q19_cube" ->
       """SELECT c_mktsegment, n_regionkey, count(*) AS cnt,
            CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
@@ -2620,6 +2649,64 @@ object SparkEntry {
        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
                     RANGE BETWEEN 3600000000 PRECEDING
                           AND CURRENT ROW)"""
+
+  /** t22's oracle: the BM25 pipeline with the idf's `ln` rendered by
+    * the SAME PortableMath ladder/series constants the Spark plan
+    * evaluates — the two expression trees are generated from one
+    * source and cannot drift. Flat CTE stages name each intermediate
+    * once (k, m, z, z2), mirroring withLn's single-use projections. */
+  private def bm25OracleSql: String = {
+    import graft.functions.PortableMath
+    s"""WITH qt(qid, term) AS (VALUES
+       |     ('b1','spark'),('b1','join'),
+       |     ('b2','dup'),('b2','scan'),('b2','merge'),
+       |     ('b3','vector')),
+       |   d AS (SELECT doc_id,
+       |           list_filter(string_split(text, ' '), x -> x != '') AS ws
+       |         FROM documents),
+       |   dz AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+       |   st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dz),
+       |   tok AS (SELECT doc_id, dl, unnest(ws) AS w FROM dz),
+       |   tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM tok
+       |          WHERE w IN ('spark','join','dup','scan','merge','vector')
+       |          GROUP BY 1, 2, 3),
+       |   dft AS (SELECT w, count(*) AS dft FROM tf GROUP BY 1),
+       |   odds AS (SELECT w,
+       |       (CAST(st.n_docs AS DOUBLE) - CAST(dft.dft AS DOUBLE) + 0.5)
+       |         / (CAST(dft.dft AS DOUBLE) + 0.5) AS odds
+       |     FROM dft, st),
+       |   lkm AS (SELECT w, odds,
+       |       ${PortableMath.kLadderSql("odds")} AS k,
+       |       ${PortableMath.mLadderSql("odds")} AS m
+       |     FROM odds),
+       |   lz AS (SELECT w, k, (m - 1.0) / (m + 1.0) AS z FROM lkm),
+       |   lz2 AS (SELECT w, k, z, z * z AS z2 FROM lz),
+       |   idf AS (SELECT w,
+       |       ${PortableMath.recombineSql("k", "z", "z2")} AS idf
+       |     FROM lz2),
+       |   contrib AS (SELECT qt.qid, tf.doc_id, tf.w,
+       |       idf.idf
+       |       * ((CAST(tf.tf AS DOUBLE) * (1.5 + 1.0))
+       |          / (CAST(tf.tf AS DOUBLE) + 1.5 * (1.0 - 0.75 + 0.75 *
+       |              (CAST(tf.dl AS DOUBLE)
+       |               / (CAST(st.sum_dl AS DOUBLE)
+       |                  / CAST(st.n_docs AS DOUBLE)))))) AS c
+       |     FROM tf JOIN idf ON tf.w = idf.w
+       |             JOIN qt ON tf.w = qt.term, st),
+       |   agg AS (SELECT qid, doc_id, count(*) AS n_hit_terms,
+       |             list(c ORDER BY w) AS l
+       |           FROM contrib GROUP BY 1, 2),
+       |   scored AS (SELECT qid, doc_id, n_hit_terms,
+       |                list_reduce(list_prepend(0.0, l), (a, x) -> a + x)
+       |                  AS bm25
+       |              FROM agg),
+       |   ranked AS (SELECT *, row_number() OVER
+       |                (PARTITION BY qid
+       |                 ORDER BY bm25 DESC, doc_id) AS rank
+       |              FROM scored)
+       |   SELECT qid, doc_id, n_hit_terms, bm25, rank
+       |   FROM ranked WHERE rank <= 10""".stripMargin
+  }
 
   /** Shared by q27 (batch window + distinct) and st14 (streaming
     * bitmask state machine): both must land on this cohort table. */

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Engine-portable transcendentals. `Math.log` and DuckDB `ln` disagree
+  * in the last ulp on ~0.07% of inputs (measured on this host: 35 of
+  * 50 000 BM25-idf-shaped arguments), so a score that passes through a
+  * library `ln` can never be hash-checked against a SQL oracle. This
+  * `ln` is instead a PINNED expression tree of plain IEEE `+ - * /`
+  * and comparisons — operations every engine rounds identically — so
+  * its result is bit-identical wherever the same tree is evaluated:
+  *
+  *   1. range-reduce by the exact binary exponent: a CASE ladder over
+  *      exact power-of-two literals finds k with 2^k <= x < 2^(k+1);
+  *      m = x / 2^k is EXACT (scaling by a power of two perturbs no
+  *      mantissa bit), so m lands in [1, 2) with zero rounding error;
+  *   2. atanh series on z = (m-1)/(m+1), |z| <= 1/3:
+  *      ln(m) = 2(z + z^3/3 + ... + z^19/19), truncation error
+  *      bounded by 2*(1/3)^21/21 < 1e-11;
+  *   3. ln(x) = k*LN2 + 2p, LN2 the correctly-rounded double literal —
+  *      both engines parse the same decimal to the same bits.
+  *
+  * Accuracy vs `Math.log` is ~1e-11 absolute (PortableMathSpec sweeps
+  * and pins the measured max error); determinism is exact by
+  * construction. The Column pipeline and the SQL fragments are
+  * generated from the same ladder/coefficient constants so the two
+  * trees cannot drift.
+  *
+  * Cost note: the ladder is a 61-way CASE, so callers should evaluate
+  * it on ALREADY-AGGREGATED tiny frames (e.g. one row per query term
+  * for an idf), never per corpus row — [[graft.ops.Retrieval.bm25]]
+  * computes it on the per-term df table, cardinality = |query
+  * vocabulary|. Supported domain: x in [2^-20, 2^40] — corpus-count
+  * ratios sit well inside it even at 10^12 documents. */
+object PortableMath {
+
+  private val kMin = -20
+  private val kMax = 40
+
+  /** ln 2, correctly rounded; Double.toString round-trips exactly and
+    * DuckDB parses the same decimal to the same bits. */
+  private val Ln2 = 0.6931471805599453
+
+  /** Odd denominators of the atanh series, 1/3 .. 1/19, kept as
+    * divisions so both engines perform the identical rounded divide. */
+  private val coefDenoms = Seq(3, 5, 7, 9, 11, 13, 15, 17, 19)
+
+  /** floor(log2(x)) as a double Column — the exact binary exponent via
+    * the descending power-of-two ladder. */
+  def kLadder(x: Column): Column = coalesce(
+    (kMax to kMin by -1).map { e =>
+      when(x >= lit(math.pow(2.0, e)), lit(e.toDouble))
+    } :+ lit(kMin.toDouble - 1.0): _*)
+
+  /** x scaled into [1, 2) by its exact binary exponent — one ladder,
+    * each branch dividing by an exact power of two. */
+  def mLadder(x: Column): Column = coalesce(
+    (kMax to kMin by -1).map { e =>
+      when(x >= lit(math.pow(2.0, e)), x / lit(math.pow(2.0, e)))
+    } :+ x / lit(math.pow(2.0, kMin - 1)): _*)
+
+  /** Append column `out` = portable ln of `x` to `df` through a chain
+    * of named single-use projections (no tree duplication, each
+    * intermediate computed once per row). */
+  def withLn(df: DataFrame, x: Column, out: String): DataFrame = {
+    val horner = coefDenoms.reverse.foldLeft(lit(0.0): Column) {
+      (acc, d) => lit(1.0) / lit(d.toDouble) + col("__ln_z2") * acc
+    }
+    df.withColumn("__ln_k", kLadder(x))
+      .withColumn("__ln_m", mLadder(x))
+      .withColumn("__ln_z",
+        (col("__ln_m") - lit(1.0)) / (col("__ln_m") + lit(1.0)))
+      .withColumn("__ln_z2", col("__ln_z") * col("__ln_z"))
+      .withColumn(out, col("__ln_k") * lit(Ln2) +
+        lit(2.0) * (col("__ln_z") * (lit(1.0) + col("__ln_z2") * horner)))
+      .drop("__ln_k", "__ln_m", "__ln_z", "__ln_z2")
+  }
+
+  // ---- SQL renderings of the identical tree ---------------------------
+
+  /** SQL for [[kLadder]] over SQL expression `x`. */
+  def kLadderSql(x: String): String =
+    (kMax to kMin by -1).map { e =>
+      s"WHEN ($x) >= ${lit2(e)} THEN ${e.toDouble}"
+    }.mkString("CASE ", " ", s" ELSE ${kMin.toDouble - 1.0} END")
+
+  /** SQL for [[mLadder]] over SQL expression `x`. */
+  def mLadderSql(x: String): String =
+    (kMax to kMin by -1).map { e =>
+      s"WHEN ($x) >= ${lit2(e)} THEN ($x) / ${lit2(e)}"
+    }.mkString("CASE ", " ",
+      s" ELSE ($x) / ${lit2(kMin - 1)} END")
+
+  /** SQL for the final recombination over named columns `k`, `z`,
+    * `z2` (as produced by the ladder/z stages — mirror of withLn's
+    * last projection). */
+  def recombineSql(k: String, z: String, z2: String): String = {
+    val horner = coefDenoms.reverse.foldLeft("0.0") { (acc, d) =>
+      s"(1.0 / ${d.toDouble} + ($z2) * $acc)"
+    }
+    s"($k) * $Ln2 + 2.0 * (($z) * (1.0 + ($z2) * $horner))"
+  }
+
+  /** Exact power-of-two double literal; Double.toString round-trips so
+    * both engines parse identical bits. */
+  private def lit2(e: Int): String = math.pow(2.0, e).toString
+}

@@ -614,4 +614,33 @@ object PipelineQueries {
   /** m04: block-mean perceptual-hash near-dup media pairs. */
   def phashPairs(spark: SparkSession, dir: String): DataFrame =
     Multimodal.phashPairs(docs(spark, dir), col("text"), col("doc_id"))
+
+  /** The fixed retrieval workload shared by t22's ranked and t23's
+    * boolean search — includes the corpus's one rare term (`dup`,
+    * df≈26 vs ≈900 for everything else) so the idf arm is exercised
+    * with real contrast, and a single-term query (`b3`) whose odds-idf
+    * ranking is PROVABLY identical to log-idf BM25 (monotone
+    * transform). */
+  val bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "b1" -> Seq("spark", "join"),
+    "b2" -> Seq("dup", "scan", "merge"),
+    "b3" -> Seq("vector"))
+
+  val boolQueries: Seq[(String, Seq[String])] = Seq(
+    "s1" -> Seq("spark", "join", "window"),
+    "s2" -> Seq("dup", "batch"),
+    "s3" -> Seq("the", "fast", "key", "sort"))
+
+  /** t22: BM25 ranked retrieval (odds-form idf — see
+    * [[graft.ops.Retrieval.bm25]] for the documented ln deviation and
+    * its measured fidelity audit in RetrievalSpec). */
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25(docs(spark, dir), col("text"), col("doc_id"),
+      bm25Queries)
+
+  /** t23: conjunctive boolean search over the lazily-built inverted
+    * index. */
+  def boolSearch(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.booleanSearch(docs(spark, dir), col("text"),
+      col("doc_id"), boolQueries)
 }
