@@ -73,6 +73,7 @@ object SparkEntry {
     "t21_novelty" -> (PipelineQueries.noveltyRatio _),
     "t22_bm25" -> (PipelineQueries.bm25 _),
     "t23_bool_search" -> (PipelineQueries.boolSearch _),
+    "st20_stream_interval_join" -> (StreamingQueries.streamIntervalJoin _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -582,6 +583,17 @@ object SparkEntry {
     // portable-ln idf rendered by the SAME PortableMath constants the
     // Spark plan uses (see bm25OracleSql).
     "t22_bm25" -> bm25OracleSql,
+    // st20: the streaming symmetric-hash interval join must equal the
+    // batch self-join on (user, 1-hour window) bit-for-bit.
+    "st20_stream_interval_join" ->
+      """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS t
+                    FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, event_id, epoch_us(ts) AS t
+               FROM events WHERE event_type = 'purchase')
+         SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           p.t - v.t AS lag_us
+         FROM v JOIN p ON v.user_id = p.user_id
+          AND p.t > v.t AND p.t <= v.t + 3600000000""",
     // t23: conjunctive boolean search — a doc matches iff its count of
     // distinct matched terms equals the query's term count.
     "t23_bool_search" ->

@@ -1571,4 +1571,57 @@ object StreamingQueries {
     spark.read.parquet(resultDir)
       .groupBy(col("key")).agg(max(col("cnt")).as("cnt"))
   }
+
+  /** st20: native stream-STREAM event-time interval join — every view
+    * paired with each purchase by the same user within the following
+    * hour. Unlike st01-st19 (which route through the goka executor's
+    * keyed state), this is Spark's own symmetric hash join: two
+    * logical subscriptions of the staged topic, each watermarked, the
+    * interval condition bounding both buffers so state is EVICTABLE —
+    * the unbounded-buffer failure mode of an unconstrained
+    * stream-stream join is structurally impossible here.
+    *
+    * Eviction-safety argument for the two-batch replay (delay = 2h,
+    * interval = 1h, time-split at the median ts `mid`): after the
+    * early batch the watermark is at most `mid − 2h`; a view is
+    * evicted only once the watermark passes `ts_v + 1h`, i.e. views
+    * with `ts_v < mid − 3h` — but purchases in the late batch (ts >
+    * mid) only need views with `ts_v > mid − 1h`. No needed row is
+    * ever evicted, so the append-mode result equals the batch join
+    * bit-for-bit, which is exactly what the oracle checks. The staging
+    * MUST be the time-split (not hash-split) layout for this bound to
+    * hold — with random halves the first batch can carry the global
+    * max timestamp and flush live state (st13's lesson, same cause).
+    *
+    * At 100 TB: state per side is bounded by (join window + delay) of
+    * arrivals per user shard; the equi-key (`user_id`) shuffles both
+    * streams to the same state shard, so matching is local and the
+    * interval probe is an in-shard range lookup, never a cross-shard
+    * broadcast. */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      val staging = tempDir("graft_stream_ssj")
+      stageTwoBatches(spark, Sources.eventMessages(spark, dir), staging)
+      val src = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging))
+      val views = src.filter(col("value").cast("string") === "view")
+        .select(col("key").cast("long").as("user_id"),
+          col("offset").as("view_id"), col("timestamp").as("ts_v"))
+        .withWatermark("ts_v", "2 hours")
+      val purchases = src.filter(col("value").cast("string") === "purchase")
+        .select(col("key").cast("long").as("p_user"),
+          col("offset").as("purchase_id"), col("timestamp").as("ts_p"))
+        .withWatermark("ts_p", "2 hours")
+      val joined = views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("ts_p") > col("ts_v") &&
+          col("ts_p") <= col("ts_v") + expr("INTERVAL 1 HOUR"))
+      runToTable(spark, joined.select(col("user_id"), col("view_id"),
+          col("purchase_id"),
+          (unix_micros(col("ts_p")) - unix_micros(col("ts_v")))
+            .as("lag_us")),
+        mode = "append")
+    }
 }

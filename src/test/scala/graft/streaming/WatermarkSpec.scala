@@ -43,4 +43,44 @@ class WatermarkSpec extends AnyFunSuite with SparkFixture {
     // the 10:05 window saw both on-time rows
     assert(counts.filter(_._1 == "10:05").map(_._2).max == 2L)
   }
+
+  test("stream-stream interval join: in-window pairs only, via the " +
+    "symmetric hash join operator") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vs = MemoryStream[(Long, Long, Timestamp)]
+    val ps = MemoryStream[(Long, Long, Timestamp)]
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val views = vs.toDS().toDF("user_id", "view_id", "ts_v")
+      .withWatermark("ts_v", "2 hours")
+    val purchases = ps.toDS().toDF("p_user", "purchase_id", "ts_p")
+      .withWatermark("ts_p", "2 hours")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("ts_p") > col("ts_v") &&
+        col("ts_p") <= col("ts_v") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName("ssjspec")
+      .outputMode("append").start()
+    try {
+      // views arrive first; matching purchases land in a LATER batch —
+      // the view must be served from join state, not the same batch
+      vs.addData((1L, 10L, t("10:00:00")), (2L, 11L, t("10:00:00")))
+      q.processAllAvailable()
+      ps.addData(
+        (1L, 20L, t("10:30:00")),  // in window -> pair
+        (1L, 21L, t("11:30:00")),  // past 1h   -> no pair
+        (2L, 22L, t("10:00:00")),  // not strictly after -> no pair
+        (3L, 23L, t("10:15:00")))  // no view at all -> no pair
+      q.processAllAvailable()
+      assert(q.lastProgress.sources.length == 2)
+      val plan = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("StreamingSymmetricHashJoin"), plan.take(1500))
+    } finally q.stop()
+    val got = spark.table("ssjspec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 10L, 20L)))
+  }
 }
