@@ -111,6 +111,7 @@ object SparkEntry {
     "s19_knn_refine" -> (PipelineQueries.knnRefine _),
     "s20_ivfadc_rerank" -> (PipelineQueries.ivfAdcRerank _),
     "s21_range_search" -> (PipelineQueries.rangeSearch _),
+    "s22_filtered_ann" -> (PipelineQueries.annFiltered _),
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
     "d20_fuzzy_decontam" -> (PipelineQueries.fuzzyDecontaminate _),
     "d17_dedup_agreement" -> (PipelineQueries.dedupAgreement _),
@@ -948,6 +949,30 @@ object SparkEntry {
            WHERE q.vec_id < 10)
          SELECT qid, nid, cos, rank FROM (
            SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           FROM sims)
+         WHERE rank <= 10""",
+    // s22: s01 restricted to neighbors sharing the query's label — the
+    // filtered-search mode; equality on label joins pre to itself.
+    "s22_filtered_ann" ->
+      """WITH pre AS (
+           SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v,
+             (SELECT sum(e*e) FROM unnest(
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT))) t(e))
+               AS n2
+           FROM embeddings),
+         sims AS (
+           SELECT q.vec_id AS qid, q.label AS lbl, c.vec_id AS nid,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS DOUBLE)
+               / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+           FROM pre q JOIN pre c
+             ON c.label = q.label AND c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10)
+         SELECT qid, lbl, nid, cos, rank FROM (
+           SELECT qid, lbl, nid, cos,
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
            FROM sims)
          WHERE rank <= 10""",

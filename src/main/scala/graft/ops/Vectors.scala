@@ -160,6 +160,44 @@ object Vectors {
       .filter(col("rank") <= k)
   }
 
+  /** Attribute-filtered exact kNN: top-k cosine neighbors restricted
+    * to corpus vectors sharing the query's `label` — the metadata-
+    * filtered search mode of every serving stack (FAISS `IDSelector`,
+    * vector-DB metadata filters; here: same-language / same-shard
+    * retrieval). The filter is applied as PRE-filtering, not post-:
+    * the label is the JOIN KEY, so the physical plan is a hash
+    * equi-join on `lbl` — each query only ever meets its own label's
+    * partition of the corpus — where [[annTopK]] is necessarily a
+    * nested-loop over everything. Post-filtering (top-k first, discard
+    * non-matching) would return < k results whenever the unfiltered
+    * top-k is dominated by other labels; pre-filtering is exact for
+    * any k by construction.
+    *
+    * At 100 TB: selectivity is the whole game — a label filter that
+    * keeps 1% of the corpus cuts the probe work 100×, and because the
+    * filter is an equi-key the shuffle co-locates each label's corpus
+    * shard with its queries (skew in label popularity is the one
+    * hazard; a hot label degrades to [[annTopK]] within that label and
+    * can be salted like any skewed join). Composes with the IVF path:
+    * cells are built per label by keying [[annIvfTopK]]'s training on
+    * the filtered subset. */
+  def annTopKFiltered(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, label: Column, k: Int): DataFrame = {
+    def prep(df: DataFrame) =
+      df.select(id.as("vid"), label.as("lbl"), intScale(emb).as("iv"))
+        .withColumn("n2", idot(col("iv"), col("iv")))
+    val c = prep(corpus).as("c")
+    val q = prep(queries).as("q")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    q.join(c, col("q.lbl") === col("c.lbl") && col("q.vid") =!= col("c.vid"))
+      .select(col("q.vid").as("qid"), col("q.lbl").as("lbl"),
+        col("c.vid").as("nid"),
+        cosineFromInts(idot(col("q.iv"), col("c.iv")), col("q.n2"), col("c.n2"))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** md5-derived integer hyperplane coefficient for (plane, dim):
     * first 8 hex chars of md5("p_d") minus 2^31 — centered, exact.
     * Engine-portable: `('0x'||substr(md5(p||'_'||d),1,8))::BIGINT -

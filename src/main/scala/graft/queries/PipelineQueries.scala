@@ -120,6 +120,14 @@ object PipelineQueries {
       col("embedding"), k = 10)
   }
 
+  /** s22: label-filtered exact kNN — metadata-filtered vector search,
+    * where the filter is the equi-join key rather than a post-pass. */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.annTopKFiltered(e, e.filter(col("vec_id") < 10), col("vec_id"),
+      col("embedding"), col("label"), k = 10)
+  }
+
   /** LSH-bucketed ANN with 1-bit multi-probe — the 100 TB scale path.
     * Deterministic buckets + probe set make it fully oracle-checked. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {

@@ -384,6 +384,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"per-node top-k must prune per-partition\n$p")
   }
 
+  test("s22: filtered ann — label is the equi-join key, never a filtered nested loop") {
+    val p = plan("s22_filtered_ann")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the label filter must join, not post-filter a cross product\n$p")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(p).isDefined, s"expected the label equi-join\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must prune per-partition\n$p")
+  }
+
   test("s19: knn refinement — checkpointed seed consumed, equi-join expansion, no cartesian") {
     val p = plan("s19_knn_refine")
     assert(!p.contains("CartesianProduct"),

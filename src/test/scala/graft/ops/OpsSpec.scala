@@ -76,6 +76,28 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(topk.toSeq.sortBy(_._2) == Seq((2L, 1), (3L, 2)))
   }
 
+  test("filtered ann: neighbors share the query's label; pre-filter " +
+    "finds in-label matches a post-filter of global topk would miss") {
+    import spark.implicits._
+    // Query 1 (label 0): globally its nearest are 2,3 (label 1, same
+    // direction) — a top-2-then-filter returns NOTHING for label 0.
+    // Pre-filtered search must still return 4 and 5 (label 0, farther).
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.1f), 1),
+      (3L, Array(1.0f, -0.1f), 1), (4L, Array(0.5f, 0.5f), 0),
+      (5L, Array(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Vectors.annTopKFiltered(vecs, vecs.filter($"vec_id" === 1L),
+        col("vec_id"), col("embedding"), col("label"), 2)
+      .collect().map(r => (r.getLong(2), r.getInt(4)))
+    assert(got.toSeq.sortBy(_._2) == Seq((4L, 1), (5L, 2)))
+    // every row carries the query's label
+    val lbls = Vectors.annTopKFiltered(vecs, vecs, col("vec_id"),
+        col("embedding"), col("label"), 2)
+      .select(col("lbl")).distinct().collect().map(_.getInt(0)).toSet
+    assert(lbls == Set(0, 1))
+  }
+
   test("phash pairs: identical blobs pair at hamming 0") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog " * 4
