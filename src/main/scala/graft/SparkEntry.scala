@@ -60,6 +60,7 @@ object SparkEntry {
     "q29_approx_percentiles" -> (Relational.approxPercentiles _),
     "q30_hll_distinct" -> (Relational.hllAudit _),
     "q31_sliding_distinct" -> (Relational.slidingDistinct _),
+    "q32_scd2" -> (Relational.scd2 _),
     "q22_pivot" -> (Relational.pivotAgg _),
     "q23_unpivot" -> (Relational.unpivotAgg _),
     "q24_bucketed_join" -> (Relational.bucketedJoin _),
@@ -683,6 +684,33 @@ object SparkEntry {
          SELECT strftime(a.day, '%Y-%m-%d') AS day, a.dau, w.wau7,
            CAST(a.dau AS DOUBLE) / CAST(w.wau7 AS DOUBLE) AS stickiness
          FROM dau a JOIN wau w ON a.day = w.day""",
+    // q32: gaps-and-islands SCD2 — lag flags tier changes, a running
+    // sum numbers runs, runs roll up to validity intervals.
+    "q32_scd2" ->
+      """WITH t AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(floor(value/100) AS BIGINT) AS tier
+           FROM events),
+         f AS (
+           SELECT user_id, ts_us, event_id, tier,
+             CASE WHEN lag(tier) OVER w IS NULL
+                    OR lag(tier) OVER w <> tier
+               THEN 1 ELSE 0 END AS chg
+           FROM t
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         v AS (
+           SELECT user_id, tier, ts_us,
+             CAST(sum(chg) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS BIGINT) AS version
+           FROM f),
+         runs AS (
+           SELECT user_id, version, min(tier) AS tier,
+             min(ts_us) AS valid_from
+           FROM v GROUP BY user_id, version)
+         SELECT user_id, version, tier, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to
+         FROM runs""",
     // The plain join — salting on the Spark side must be invisible.
     "q18_salted_join" ->
       """SELECT n_name, count(*) AS cnt

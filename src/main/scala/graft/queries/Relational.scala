@@ -604,4 +604,41 @@ object Relational {
           .as("week_offset"))
       .agg(count(lit(1)).as("active_users"))
   }
+
+  /** q32: changelog → SCD2 temporal dimension (gaps-and-islands). Each
+    * user's event stream is read as a changelog of a derived attribute
+    * (the value tier, `floor(value/100)`); consecutive equal tiers
+    * collapse into ONE version row with a validity interval
+    * `[valid_from, valid_to)`, the current version open-ended (NULL) —
+    * the standard lakehouse "apply a CDC feed into a slowly-changing
+    * dimension type 2" materialization.
+    *
+    * Islands are found without a self-join: lag() flags tier changes,
+    * a running sum over the flags numbers the runs, and the (user,
+    * version) rollup + the valid_to lead both cluster on user_id —
+    * `HashPartitioning(user_id)` satisfies every downstream clustering
+    * requirement (subset-of-grouping-keys rule), so Catalyst plans
+    * exactly ONE exchange for the whole query (PlanSpec-pinned). At
+    * 100 TB the cost is that one shuffle of the changelog plus
+    * in-partition sorts; per-user history length bounds window memory,
+    * never corpus size. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") / 100.0d).cast("long").as("tier"))
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val byStart = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    e.withColumn("prev", lag(col("tier"), 1).over(byTime))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("tier"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(byTime))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("tier")).as("tier"), min(col("ts_us")).as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byStart))
+      .select(col("user_id"), col("version"), col("tier"),
+        col("valid_from"), col("valid_to"))
+  }
 }

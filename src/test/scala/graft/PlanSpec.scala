@@ -312,6 +312,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"), s"funnel must not join\n$p")
   }
 
+  test("q32: scd2 — one user_id exchange serves both windows, the rollup, and the lead") {
+    val p = plan("q32_scd2")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"gaps-and-islands must shuffle exactly once on user_id, saw $hashEx\n$p")
+    assert(!p.contains("Join"), s"islands must not self-join\n$p")
+  }
+
   test("q27: retention — window exchange reused by the user-week distinct") {
     val p = plan("q27_retention")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
