@@ -75,6 +75,7 @@ object SparkEntry {
     "t22_bm25" -> (PipelineQueries.bm25 _),
     "t23_bool_search" -> (PipelineQueries.boolSearch _),
     "st20_stream_interval_join" -> (StreamingQueries.streamIntervalJoin _),
+    "st21_stream_dedup_ttl" -> (StreamingQueries.streamDedupWatermark _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -596,6 +597,12 @@ object SparkEntry {
            p.t - v.t AS lag_us
          FROM v JOIN p ON v.user_id = p.user_id
           AND p.t > v.t AND p.t <= v.t + 3600000000""",
+    // st21: native TTL'd streaming dedup — emitted columns ARE the
+    // dedup key, so first-arrival-wins equals batch DISTINCT.
+    "st21_stream_dedup_ttl" ->
+      """SELECT DISTINCT user_id, event_type,
+           epoch_us(date_trunc('hour', ts)) AS hour_us
+         FROM events""",
     // t23: conjunctive boolean search — a doc matches iff its count of
     // distinct matched terms equals the query's term count.
     "t23_bool_search" ->

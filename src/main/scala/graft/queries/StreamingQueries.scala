@@ -1598,6 +1598,45 @@ object StreamingQueries {
     * streams to the same state shard, so matching is local and the
     * interval probe is an in-shard range lookup, never a cross-shard
     * broadcast. */
+  /** st21: Spark's NATIVE bounded-state streaming dedup —
+    * `dropDuplicatesWithinWatermark` — next to st08's goka-state exact
+    * dedup. The operator contract: duplicates are dropped as long as
+    * they arrive within the watermark delay of the key's first
+    * occurrence, and per-key state is EVICTED once the watermark
+    * passes — the unbounded-state problem of a plain streaming
+    * `dropDuplicates` solved by a time bound instead of by hand-rolled
+    * keyed state.
+    *
+    * Oracle-exactness is by key construction: the dedup key includes
+    * the event's HOUR bucket, so all occurrences of one key span < 1h
+    * of event time, strictly inside the 2h delay — no duplicate can
+    * outlive its key's state. The emitted columns are exactly the key
+    * columns (first-arrival wins, but every survivor projects
+    * identically), so the append-mode output equals batch DISTINCT
+    * bit-for-bit under ANY delivery order the time-split staging can
+    * produce. At 100 TB: state is one entry per live key hashed across
+    * shards, TTL'd by the watermark — dedup-on-ingest with O(keys in
+    * window) memory, the streaming face of d01/d10's batch passes. */
+  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      val staging = tempDir("graft_stream_ddw")
+      stageTwoBatches(spark, Sources.eventMessages(spark, dir), staging)
+      val keyed = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging))
+        .select(col("key").cast("long").as("user_id"),
+          col("value").cast("string").as("event_type"),
+          col("timestamp").as("ts"))
+        .withColumn("hour_start", date_trunc("hour", col("ts")))
+        .withWatermark("ts", "2 hours")
+      val dedup = keyed
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "hour_start")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("hour_start")).as("hour_us"))
+      runToTable(spark, dedup, mode = "append")
+    }
+
   def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame =
     withStateShards(spark) {
       val staging = tempDir("graft_stream_ssj")

@@ -44,6 +44,41 @@ class WatermarkSpec extends AnyFunSuite with SparkFixture {
     assert(counts.filter(_._1 == "10:05").map(_._2).max == 2L)
   }
 
+  test("dropDuplicatesWithinWatermark: cross-batch duplicate dropped " +
+    "from state, TTL-expired key re-admits") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = MemoryStream[(Long, Timestamp)]
+    def t(h: String) = Timestamp.valueOf(s"2024-01-01 $h")
+    val dedup = s.toDS().toDF("k", "ts")
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("k")
+      .select(col("k"))
+    val q = dedup.writeStream.format("memory").queryName("ddwspec")
+      .outputMode("append").start()
+    try {
+      s.addData((1L, t("10:00:00")))
+      q.processAllAvailable()
+      // duplicate arrives in a LATER batch — must be served from state
+      s.addData((1L, t("10:30:00")), (2L, t("10:30:00")))
+      q.processAllAvailable()
+      // watermark -> 18:00; k=1's state (expiry 12:00) is evicted
+      s.addData((9L, t("20:00:00")))
+      q.processAllAvailable()
+      // beyond the TTL the same key is a NEW observation by contract
+      s.addData((1L, t("19:00:00")))
+      q.processAllAvailable()
+      val plan = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("StreamingDeduplicateWithinWatermark"),
+        plan.take(1500))
+    } finally q.stop()
+    val ks = spark.table("ddwspec").collect().map(_.getLong(0)).toSeq
+    assert(ks.count(_ == 1L) == 2, ks)   // once per state lifetime
+    assert(ks.count(_ == 2L) == 1, ks)
+  }
+
   test("stream-stream interval join: in-window pairs only, via the " +
     "symmetric hash join operator") {
     import spark.implicits._
