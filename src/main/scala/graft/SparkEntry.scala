@@ -116,6 +116,7 @@ object SparkEntry {
     "s22_filtered_ann" -> (PipelineQueries.annFiltered _),
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
     "d20_fuzzy_decontam" -> (PipelineQueries.fuzzyDecontaminate _),
+    "d21_snapshot_diff" -> (PipelineQueries.snapshotDiff _),
     "d17_dedup_agreement" -> (PipelineQueries.dedupAgreement _),
     "d18_keep_best" -> (PipelineQueries.clusterKeepBest _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
@@ -726,6 +727,23 @@ object SparkEntry {
     "d01_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS cnt
          FROM documents GROUP BY md5(text)""",
+    // d21: snapshot CDF — same deterministic old/new carving as the
+    // Spark side; status from the fingerprint full outer join.
+    "d21_snapshot_diff" ->
+      """WITH old AS (
+           SELECT doc_id, md5(text) AS fp
+           FROM documents WHERE doc_id % 5 <> 0),
+         nw AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN md5(text || ' v2')
+                  ELSE md5(text) END AS fp
+           FROM documents WHERE doc_id % 7 <> 0)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN n.fp IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM old o FULL OUTER JOIN nw n ON n.doc_id = o.doc_id""",
     // Streaming twin of d01: first-seen == min(doc_id) because messages
     // are timestamped by doc_id and applied in timestamp order.
     "st08_stream_dedup" ->

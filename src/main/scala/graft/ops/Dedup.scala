@@ -27,6 +27,30 @@ object Dedup {
     df.groupBy(md5(text).as("fp"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("cnt"))
 
+  /** Corpus snapshot diff — the change-data-feed between two versions
+    * of a document set: per id, `added` (new only), `removed` (old
+    * only), `changed` (both, content fingerprint differs), `unchanged`.
+    * The incremental-curation primitive: downstream stages (dedup,
+    * gates, decontamination) re-run on `status <> 'unchanged'` rows
+    * only, instead of re-scanning the corpus per snapshot.
+    *
+    * Scale shape: fingerprints are computed MAP-SIDE, so the full-outer
+    * equi-join on id shuffles (id, 16-byte fp) pairs — never document
+    * bodies. With both snapshots bucketed by id (the layout a snapshot
+    * store would keep anyway), even that shuffle disappears into a
+    * co-located join; there is no sort, window, or driver action. */
+  def snapshotDiff(old: DataFrame, nw: DataFrame, text: Column,
+      id: Column): DataFrame = {
+    val o = old.select(id.as("old_id"), md5(text).as("fp_old"))
+    val n = nw.select(id.as("new_id"), md5(text).as("fp_new"))
+    o.join(n, col("old_id") === col("new_id"), "full_outer")
+      .select(coalesce(col("old_id"), col("new_id")).as("doc_id"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Distinct word n-gram shingle array per doc, declarative form —
     * `array_distinct` dedupes *within the row*, so no shuffle is spent
     * on `.distinct()` of the exploded form (at 100 TB that shuffle would

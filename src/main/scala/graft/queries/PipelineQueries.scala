@@ -120,6 +120,21 @@ object PipelineQueries {
       col("embedding"), k = 10)
   }
 
+  /** d21: snapshot change-data-feed. The "old" and "new" corpus
+    * versions are carved deterministically from the fixture (old drops
+    * ids ≡ 0 mod 5, new drops ids ≡ 0 mod 7 and edits ids ≡ 0 mod 3)
+    * so every status class is populated and the oracle reproduces the
+    * same carving. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val old = d.filter(col("doc_id") % 5 =!= 0)
+    val nw = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    Dedup.snapshotDiff(old, nw, col("text"), col("doc_id"))
+  }
+
   /** s22: label-filtered exact kNN — metadata-filtered vector search,
     * where the filter is the equi-join key rather than a post-pass. */
   def annFiltered(spark: SparkSession, dir: String): DataFrame = {

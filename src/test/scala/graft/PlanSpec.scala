@@ -413,6 +413,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"the refined top-k must prune per-partition\n$p")
   }
 
+  test("d21: snapshot diff — fingerprints map-side, id equi-join only, no document bodies shuffled") {
+    val p = plan("d21_snapshot_diff")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the diff must be an id equi-join\n$p")
+    assert("FullOuter".r.findFirstIn(p).isDefined,
+      s"expected the full outer join\n$p")
+    // md5 must be computed under the join (in the scans' projections),
+    // so only (id, fp) pairs reach the exchange — never text.
+    val joinIdx = p.indexOfSlice("FullOuter")
+    assert(p.lastIndexOf("md5") > joinIdx,
+      s"fingerprints must be computed map-side below the join\n$p")
+  }
+
   test("d20: fuzzy decontam — checkpointed single pass, bucket equi-join, no cartesian") {
     val p = plan("d20_fuzzy_decontam")
     assert(p.contains("Scan ExistingRDD"),

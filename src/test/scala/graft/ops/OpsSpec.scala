@@ -76,6 +76,19 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(topk.toSeq.sortBy(_._2) == Seq((2L, 1), (3L, 2)))
   }
 
+  test("snapshot diff: all four status classes from a fingerprint " +
+    "full outer join") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "a"), (2L, "B2"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(old, nw, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("filtered ann: neighbors share the query's label; pre-filter " +
     "finds in-label matches a post-filter of global topk would miss") {
     import spark.implicits._
