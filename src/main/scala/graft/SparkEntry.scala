@@ -76,6 +76,7 @@ object SparkEntry {
     "t23_bool_search" -> (PipelineQueries.boolSearch _),
     "st20_stream_interval_join" -> (StreamingQueries.streamIntervalJoin _),
     "st21_stream_dedup_ttl" -> (StreamingQueries.streamDedupWatermark _),
+    "st22_stream_scd2" -> (StreamingQueries.streamScd2 _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -693,32 +694,10 @@ object SparkEntry {
            CAST(a.dau AS DOUBLE) / CAST(w.wau7 AS DOUBLE) AS stickiness
          FROM dau a JOIN wau w ON a.day = w.day""",
     // q32: gaps-and-islands SCD2 — lag flags tier changes, a running
-    // sum numbers runs, runs roll up to validity intervals.
-    "q32_scd2" ->
-      """WITH t AS (
-           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-             CAST(floor(value/100) AS BIGINT) AS tier
-           FROM events),
-         f AS (
-           SELECT user_id, ts_us, event_id, tier,
-             CASE WHEN lag(tier) OVER w IS NULL
-                    OR lag(tier) OVER w <> tier
-               THEN 1 ELSE 0 END AS chg
-           FROM t
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         v AS (
-           SELECT user_id, tier, ts_us,
-             CAST(sum(chg) OVER (PARTITION BY user_id
-               ORDER BY ts_us, event_id) AS BIGINT) AS version
-           FROM f),
-         runs AS (
-           SELECT user_id, version, min(tier) AS tier,
-             min(ts_us) AS valid_from
-           FROM v GROUP BY user_id, version)
-         SELECT user_id, version, tier, valid_from,
-           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-             AS valid_to
-         FROM runs""",
+    // sum numbers runs, runs roll up to validity intervals. st22 is
+    // the keyed-state CDC-apply twin and shares the oracle verbatim.
+    "q32_scd2" -> scd2OracleSql,
+    "st22_stream_scd2" -> scd2OracleSql,
     // The plain join — salting on the Spark side must be invisible.
     "q18_salted_join" ->
       """SELECT n_name, count(*) AS cnt
@@ -2800,6 +2779,32 @@ object SparkEntry {
 
   /** Shared by q27 (batch window + distinct) and st14 (streaming
     * bitmask state machine): both must land on this cohort table. */
+  private def scd2OracleSql: String =
+    """WITH t AS (
+         SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(floor(value/100) AS BIGINT) AS tier
+         FROM events),
+       f AS (
+         SELECT user_id, ts_us, event_id, tier,
+           CASE WHEN lag(tier) OVER w IS NULL
+                  OR lag(tier) OVER w <> tier
+             THEN 1 ELSE 0 END AS chg
+         FROM t
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       v AS (
+         SELECT user_id, tier, ts_us,
+           CAST(sum(chg) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id) AS BIGINT) AS version
+         FROM f),
+       runs AS (
+         SELECT user_id, version, min(tier) AS tier,
+           min(ts_us) AS valid_from
+         FROM v GROUP BY user_id, version)
+       SELECT user_id, version, tier, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to
+       FROM runs"""
+
   private def retentionOracleSql: String =
     """WITH e AS (SELECT user_id,
                     CAST(date_trunc('week', ts) AS DATE) AS wk

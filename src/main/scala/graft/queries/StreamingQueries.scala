@@ -1598,6 +1598,70 @@ object StreamingQueries {
     * streams to the same state shard, so matching is local and the
     * interval probe is an in-shard range lookup, never a cross-shard
     * broadcast. */
+  /** st22: q32's online twin — the CDC feed applied into an SCD2
+    * temporal dimension AT INGEST, per-user keyed state instead of the
+    * batch gaps-and-islands window. State per user is the flat run
+    * array `[tier_1, from_1, tier_2, from_2, …]`, APPENDED only when
+    * the incoming tier differs from the open run's — so state is
+    * O(version count), arrays are prefix-ordered (append-only), and
+    * the update-mode sink collapse is a plain `max(state)`. Validity
+    * intervals are derived at read time: version i's `valid_to` is
+    * version i+1's `valid_from` (the same lead() the batch side uses),
+    * so the emitted rows hash-match q32's oracle verbatim.
+    *
+    * Like st14 the fold is ts-order-sensitive per key — it requires
+    * the time-split staging and FAILS LOUDLY on out-of-order ingest
+    * rather than silently mis-versioning. At 100 TB this is the
+    * "maintain the dimension table live" mode: per-key state is the
+    * user's version history, sharded by key across the cluster. */
+  def streamScd2(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val codec = Codecs.LongArrayCodec
+    val graph = GroupGraph.define("stream-scd2")(
+      Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+        val tier = msg.asInstanceOf[String].toLong
+        val ts = graft.operators.BatchExecutor.tsMicros(ctx.timestamp)
+        ctx.value match {
+          case null => ctx.setValue(Array(tier, ts))
+          case a: Array[Long] =>
+            if (ts < a(a.length - 1)) throw new IllegalStateException(
+              s"stream-scd2: out-of-order event for key ${ctx.key} " +
+                s"($ts before ${a(a.length - 1)}) — this fold requires " +
+                "ts-ordered ingest per key")
+            if (a(a.length - 2) != tier) ctx.setValue(a :+ tier :+ ts)
+        }
+      }),
+      Persist(codec))
+    val staging = tempDir("graft_stream_scd2")
+    stageTwoBatches(spark,
+      Sources.eventMessages(spark, dir,
+        value = floor(col("value") / 100.0d).cast("long").cast("string")),
+      staging)
+    val stream = spark.readStream
+      .schema(Sources.eventMessages(spark, dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
+    val out = new StreamExecutor(graph).run(spark, stream)
+    val table = out.filter(_.sink == SinkTable).map { e =>
+      (e.key, codec.decode(e.value))
+    }.toDF("user_id", "state")
+    val byVersion = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("version"))
+    runToTable(spark, table).groupBy(col("user_id"))
+      .agg(max(col("state")).as("state"))
+      .select(col("user_id").cast("long").as("user_id"),
+        explode(expr(
+          """transform(sequence(0, size(state) div 2 - 1),
+               i -> struct(cast(i + 1 AS bigint) AS version,
+                 element_at(state, int(2*i + 1)) AS tier,
+                 element_at(state, int(2*i + 2)) AS valid_from))"""))
+          .as("r"))
+      .select(col("user_id"), col("r.version"), col("r.tier"),
+        col("r.valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+  }
+
   /** st21: Spark's NATIVE bounded-state streaming dedup —
     * `dropDuplicatesWithinWatermark` — next to st08's goka-state exact
     * dedup. The operator contract: duplicates are dropped as long as
