@@ -115,6 +115,7 @@ object SparkEntry {
     "s20_ivfadc_rerank" -> (PipelineQueries.ivfAdcRerank _),
     "s21_range_search" -> (PipelineQueries.rangeSearch _),
     "s22_filtered_ann" -> (PipelineQueries.annFiltered _),
+    "s23_maxsim" -> (PipelineQueries.maxSim _),
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
     "d20_fuzzy_decontam" -> (PipelineQueries.fuzzyDecontaminate _),
     "d21_snapshot_diff" -> (PipelineQueries.snapshotDiff _),
@@ -1008,6 +1009,29 @@ object SparkEntry {
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
            FROM sims)
          WHERE rank <= 10""",
+    // s23: integer MaxSim — per (doc-bag, query-vector) best inner
+    // product, summed per bag; all int64, so ranking is exact.
+    "s23_maxsim" ->
+      """WITH pre AS (
+           SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id, v FROM pre WHERE vec_id < 5),
+         best AS (
+           SELECT c.label AS lbl, q.vec_id AS qid,
+             max(CAST((SELECT sum(x*y)
+               FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS BIGINT))
+               AS best
+           FROM q, pre c GROUP BY 1, 2),
+         scores AS (
+           SELECT lbl, CAST(sum(best) AS BIGINT) AS score
+           FROM best GROUP BY lbl)
+         SELECT lbl, score, rank FROM (
+           SELECT lbl, score,
+             row_number() OVER (ORDER BY score DESC, lbl) AS rank
+           FROM scores)
+         WHERE rank <= 5""",
     // Recall of the quantized paths vs exact top-10: the three branch
     // CTEs are s01's, s15's and s16's pair sets verbatim.
     "s18_quant_recall" ->

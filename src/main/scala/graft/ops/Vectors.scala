@@ -198,6 +198,37 @@ object Vectors {
       .filter(col("rank") <= k)
   }
 
+  /** Late-interaction (ColBERT-style) MaxSim retrieval: documents are
+    * BAGS of vectors (`group` = the bag id), the query is a small bag
+    * of vectors, and a document's score is
+    * `Σ_{q ∈ query} max_{v ∈ doc} ⟨q, v⟩` — each query token is matched
+    * against the document's best token, then contributions add. The
+    * mode single-vector search (s01-s21) cannot express: a document
+    * ranks high by covering ALL query aspects with different vectors.
+    *
+    * Scoring is integer MaxSim (int64 inner products on the scaled
+    * vectors, as MIPS s11): max and sum are then exact and
+    * order-independent, so the ranking is bit-reproducible in any
+    * engine — no float-summation-order hazard.
+    *
+    * Scale shape: the query bag is broadcast (a ColBERT query is ≤ 32
+    * vectors); the corpus is scanned ONCE with per-partition partial
+    * max into (doc, qvec) cells — the only shuffle carries |docs|·|Q|
+    * aggregated cells, never corpus vectors; the final top-k is a
+    * window over doc scores, WindowGroupLimit-pruned. */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, group: Column, k: Int): DataFrame = {
+    val c = corpus.select(group.as("lbl"), intScale(emb).as("civ"))
+    val q = queries.select(id.as("qid"), intScale(emb).as("qiv"))
+    val w = Window.orderBy(col("score").desc, col("lbl"))
+    c.join(broadcast(q))
+      .select(col("lbl"), col("qid"), idot(col("qiv"), col("civ")).as("dot"))
+      .groupBy(col("lbl"), col("qid")).agg(max(col("dot")).as("best"))
+      .groupBy(col("lbl")).agg(sum(col("best")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** md5-derived integer hyperplane coefficient for (plane, dim):
     * first 8 hex chars of md5("p_d") minus 2^31 — centered, exact.
     * Engine-portable: `('0x'||substr(md5(p||'_'||d),1,8))::BIGINT -

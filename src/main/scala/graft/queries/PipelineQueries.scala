@@ -135,6 +135,14 @@ object PipelineQueries {
     Dedup.snapshotDiff(old, nw, col("text"), col("doc_id"))
   }
 
+  /** s23: late-interaction MaxSim — labels are multi-vector "documents",
+    * vec_id < 5 is the query bag; integer MaxSim, exact ranking. */
+  def maxSim(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.maxSimTopK(e, e.filter(col("vec_id") < 5), col("vec_id"),
+      col("embedding"), col("label"), k = 5)
+  }
+
   /** s22: label-filtered exact kNN — metadata-filtered vector search,
     * where the filter is the equi-join key rather than a post-pass. */
   def annFiltered(spark: SparkSession, dir: String): DataFrame = {

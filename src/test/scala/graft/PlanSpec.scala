@@ -403,6 +403,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"per-query top-k must prune per-partition\n$p")
   }
 
+  test("s23: maxsim — query bag broadcast, partial max map-side, top-k pruned") {
+    val p = plan("s23_maxsim")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the query bag must broadcast — the corpus never shuffles raw\n$p")
+    assert(p.contains("partial_max"),
+      s"per-partition partial max expected before the exchange\n$p")
+    assert(p.contains("TakeOrderedAndProject") ||
+      p.contains("WindowGroupLimit"),
+      s"final top-k must be limit-pruned, not a full sort\n$p")
+  }
+
   test("s19: knn refinement — checkpointed seed consumed, equi-join expansion, no cartesian") {
     val p = plan("s19_knn_refine")
     assert(!p.contains("CartesianProduct"),

@@ -76,6 +76,25 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(topk.toSeq.sortBy(_._2) == Seq((2L, 1), (3L, 2)))
   }
 
+  test("maxsim: aspect-covering bag beats a one-aspect bag that " +
+    "single-vector search would rank first") {
+    import spark.implicits._
+    // Query = two orthogonal aspects. Doc 1 covers BOTH with different
+    // vectors (maxsim 2.0-ish); doc 2 has the single globally-nearest
+    // vector to aspect x but nothing for y (maxsim ~1.1).
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), 1), (11L, Array(0.0f, 1.0f), 1),
+      (20L, Array(1.1f, 0.0f), 2), (21L, Array(0.9f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Vectors.maxSimTopK(corpus, queries, col("vec_id"),
+        col("embedding"), col("label"), 2)
+      .collect().map(r => (r.getInt(0), r.getInt(2)))
+    assert(got.toSeq.sortBy(_._2) == Seq((1, 1), (2, 2)))
+  }
+
   test("snapshot diff: all four status classes from a fingerprint " +
     "full outer join") {
     import spark.implicits._
