@@ -116,6 +116,7 @@ object SparkEntry {
     "s21_range_search" -> (PipelineQueries.rangeSearch _),
     "s22_filtered_ann" -> (PipelineQueries.annFiltered _),
     "s23_maxsim" -> (PipelineQueries.maxSim _),
+    "s24_hybrid_rrf" -> (PipelineQueries.hybridRrf _),
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
     "d20_fuzzy_decontam" -> (PipelineQueries.fuzzyDecontaminate _),
     "d21_snapshot_diff" -> (PipelineQueries.snapshotDiff _),
@@ -1008,6 +1009,42 @@ object SparkEntry {
            SELECT qid, lbl, nid, cos,
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
            FROM sims)
+         WHERE rank <= 10""",
+    // s24: RRF hybrid — t22's BM25 list (nested CTE, verbatim) full-
+    // outer-joined with the pinned-vector MIPS list; fixed-order
+    // two-term reciprocal sum, re-ranked.
+    "s24_hybrid_rrf" ->
+      s"""WITH sparse AS (${bm25OracleSql}),
+         pre AS ($embPreSql),
+         qmap(bqid, vid) AS (VALUES ('b1', 1), ('b2', 2), ('b3', 3)),
+         dd AS (
+           SELECT qmap.bqid AS qid, c.vec_id AS doc_id,
+             CAST((SELECT sum(x*y)
+               FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS BIGINT)
+               AS dot
+           FROM qmap JOIN pre q ON q.vec_id = qmap.vid, pre c
+           WHERE c.vec_id <> qmap.vid),
+         dense AS (
+           SELECT qid, doc_id, rank FROM (
+             SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY dot DESC, doc_id) AS rank
+             FROM dd)
+           WHERE rank <= 10),
+         fused AS (
+           SELECT coalesce(s.qid, d.qid) AS qid,
+             coalesce(s.doc_id, d.doc_id) AS doc_id,
+             coalesce(1.0/(60.0 + CAST(s.rank AS DOUBLE)), 0.0)
+               + coalesce(1.0/(60.0 + CAST(d.rank AS DOUBLE)), 0.0)
+               AS rrf
+           FROM (SELECT qid, doc_id, rank FROM sparse) s
+           FULL OUTER JOIN dense d
+             ON d.qid = s.qid AND d.doc_id = s.doc_id)
+         SELECT qid, doc_id, rrf, rank FROM (
+           SELECT qid, doc_id, rrf,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY rrf DESC, doc_id) AS rank
+           FROM fused)
          WHERE rank <= 10""",
     // s23: integer MaxSim — per (doc-bag, query-vector) best inner
     // product, summed per bag; all int64, so ranking is exact.
@@ -2801,8 +2838,8 @@ object SparkEntry {
        |   FROM ranked WHERE rank <= 10""".stripMargin
   }
 
-  /** Shared by q27 (batch window + distinct) and st14 (streaming
-    * bitmask state machine): both must land on this cohort table. */
+  /** Shared by q32 (batch gaps-and-islands) and st22 (streaming keyed
+    * CDC apply): both must land on this SCD2 version table. */
   private def scd2OracleSql: String =
     """WITH t AS (
          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
@@ -2829,6 +2866,9 @@ object SparkEntry {
            AS valid_to
        FROM runs"""
 
+  /** Shared by q27 (batch window + distinct) and st14 (streaming
+    * variable-length offset-array state machine): both must land on
+    * this cohort table. */
   private def retentionOracleSql: String =
     """WITH e AS (SELECT user_id,
                     CAST(date_trunc('week', ts) AS DATE) AS wk

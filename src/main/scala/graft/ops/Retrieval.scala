@@ -157,4 +157,36 @@ object Retrieval {
       .select(col("qid"), col("doc_id"), col("n_matched"),
         col("tf_sum"))
   }
+
+  /** Reciprocal-rank fusion of two per-query rankings — the standard
+    * hybrid-search combiner (sparse BM25 + dense vector, Cormack et
+    * al. 2009): `score(d) = Σ_r 1/(k + rank_r(d))` over the rankings
+    * that contain d. Rank-based, so the two retrievers' incomparable
+    * score scales never meet; a document missing from one list simply
+    * contributes nothing (coalesce-to-0, the standard convention).
+    *
+    * Both inputs are (qid, doc_id, rank) top-k lists — k·|queries|
+    * rows each, so the full-outer equi-join on (qid, doc_id) and the
+    * re-rank window are candidate-list-sized, never corpus-sized: at
+    * 100 TB the expensive part is the upstream retrievers, and fusion
+    * adds one map-side-trivial join. The RRF terms are fixed-order
+    * two-operand IEEE sums of exact reciprocals, so fused scores and
+    * the re-rank are bit-deterministic cross-engine. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int,
+      kRrf: Double = 60.0): DataFrame = {
+    val sa = a.select(col("qid"), col("doc_id"), col("rank").as("r_a"))
+    val sb = b.select(col("qid").as("qid_b"), col("doc_id").as("doc_b"),
+      col("rank").as("r_b"))
+    def term(r: Column) =
+      coalesce(lit(1.0) / (lit(kRrf) + r.cast("double")), lit(0.0))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc,
+      col("doc_id"))
+    sa.join(sb, col("qid") === col("qid_b") &&
+        col("doc_id") === col("doc_b"), "full_outer")
+      .select(coalesce(col("qid"), col("qid_b")).as("qid"),
+        coalesce(col("doc_id"), col("doc_b")).as("doc_id"),
+        (term(col("r_a")) + term(col("r_b"))).as("rrf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -135,6 +135,24 @@ object PipelineQueries {
     Dedup.snapshotDiff(old, nw, col("text"), col("doc_id"))
   }
 
+  /** s24: hybrid search — t22's BM25 top-10 fused with a dense MIPS
+    * top-10 by reciprocal-rank fusion. Each BM25 qid is pinned to a
+    * query vector (b1→vec 1, b2→2, b3→3); the embedding id space is
+    * the doc id space, so both retrievers rank the same documents. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sparse = Retrieval.bm25(docs(spark, dir), col("text"),
+        col("doc_id"), bm25Queries)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val e = embs(spark, dir)
+    val qmap = Seq(("b1", 1L), ("b2", 2L), ("b3", 3L)).toDF("bqid", "vid")
+    val dense = Vectors.mipsTopK(e, e.filter(col("vec_id").isin(1L, 2L, 3L)),
+        col("vec_id"), col("embedding"), k = 10)
+      .join(broadcast(qmap), col("qid") === col("vid"))
+      .select(col("bqid").as("qid"), col("nid").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(sparse, dense, k = 10)
+  }
+
   /** s23: late-interaction MaxSim — labels are multi-vector "documents",
     * vec_id < 5 is the query bag; integer MaxSim, exact ranking. */
   def maxSim(spark: SparkSession, dir: String): DataFrame = {

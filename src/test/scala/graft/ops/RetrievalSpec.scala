@@ -86,6 +86,22 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     // no doc has both apple and dates — query c matches nothing
   }
 
+  test("rrf fusion: both-list docs outrank single-list docs; " +
+    "missing side contributes zero") {
+    import spark.implicits._
+    // doc 5 is rank 3 in BOTH lists: 2/(60+3) ≈ 0.0317 beats either
+    // list's rank-1 alone (1/61 ≈ 0.0164). doc 9 is dense-only.
+    val sparse = Seq(("q", 1L, 1), ("q", 2L, 2), ("q", 5L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val dense = Seq(("q", 9L, 1), ("q", 3L, 2), ("q", 5L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(sparse, dense, k = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toMap
+    assert(got(5L) == 1, got)                  // fused winner
+    assert(Set(1L, 9L).map(got) == Set(2, 3))  // the two rank-1s next
+    assert(got.keySet == Set(1L, 2L, 3L, 5L, 9L))
+  }
+
   test("bm25 plan: query set and per-term idf are broadcast; no " +
     "corpus-side window before the per-query rank") {
     val df = Retrieval.bm25(
