@@ -61,6 +61,7 @@ object SparkEntry {
     "q30_hll_distinct" -> (Relational.hllAudit _),
     "q31_sliding_distinct" -> (Relational.slidingDistinct _),
     "q32_scd2" -> (Relational.scd2 _),
+    "q33_mv_merge" -> (Relational.mvMerge _),
     "q22_pivot" -> (Relational.pivotAgg _),
     "q23_unpivot" -> (Relational.unpivotAgg _),
     "q24_bucketed_join" -> (Relational.bucketedJoin _),
@@ -700,6 +701,21 @@ object SparkEntry {
     // the keyed-state CDC-apply twin and shares the oracle verbatim.
     "q32_scd2" -> scd2OracleSql,
     "st22_stream_scd2" -> scd2OracleSql,
+    // q33: the oracle is the FULL recompute — hash-equality proves the
+    // partial-aggregate merge is exactly refresh-from-delta ≡ rescan.
+    "q33_mv_merge" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_price,
+           min(l_shipdate) AS min_ship,
+           max(l_shipdate) AS max_ship,
+           count(*) AS count_order
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus""",
     // The plain join — salting on the Spark side must be invisible.
     "q18_salted_join" ->
       """SELECT n_name, count(*) AS cnt

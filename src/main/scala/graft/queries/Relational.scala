@@ -605,6 +605,46 @@ object Relational {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  /** q33: incremental materialized-view maintenance — the algebraic-
+    * aggregate merge that makes an MV refreshable from a DELTA instead
+    * of a rescan. The view is a pricing summary per (returnflag,
+    * linestatus); the fact table is split into a "stored" base and an
+    * arriving delta, each reduced to PARTIAL aggregates (decimal sums,
+    * min/max, counts — all algebraic, so partials compose), and the
+    * refresh is a merge of the two partial tables: sums add, mins min,
+    * maxes max, avg derives from merged sum/count at read. The oracle
+    * is the FULL recompute over the unsplit table — hash-equality is
+    * the proof that merge ≡ recompute.
+    *
+    * At 100 TB the base partials are a stored MV-state table (|groups|
+    * rows); a refresh scans ONLY the delta and merges two group-sized
+    * tables — O(delta) instead of O(fact). Same two-level shape as
+    * q30's mergeable HLL, for the plain algebraic aggregates. Exact
+    * decimal arithmetic keeps the merge bit-equal to the recompute
+    * regardless of how rows are split or ordered; avg goes through a
+    * single double divide of the exact sums. */
+  def mvMerge(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    def partials(side: DataFrame) = side
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).as("p_qty"),
+        sum(dec(col("l_extendedprice"))).as("p_price"),
+        min(col("l_shipdate")).as("p_min_ship"),
+        max(col("l_shipdate")).as("p_max_ship"),
+        count(lit(1)).as("p_n"))
+    val base = partials(li.filter(col("l_orderkey") % 10 =!= 0))
+    val delta = partials(li.filter(col("l_orderkey") % 10 === 0))
+    base.unionByName(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("p_qty")).cast("double").as("sum_qty"),
+        sum(col("p_price")).cast("double").as("sum_price"),
+        (sum(col("p_price")).cast("double")
+          / sum(col("p_n")).cast("double")).as("avg_price"),
+        min(col("p_min_ship")).as("min_ship"),
+        max(col("p_max_ship")).as("max_ship"),
+        sum(col("p_n")).as("count_order"))
+  }
+
   /** q32: changelog → SCD2 temporal dimension (gaps-and-islands). Each
     * user's event stream is read as a changelog of a derived attribute
     * (the value tier, `floor(value/100)`); consecutive equal tiers

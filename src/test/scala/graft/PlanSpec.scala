@@ -312,6 +312,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"), s"funnel must not join\n$p")
   }
 
+  test("q33: mv merge — two partial-aggregate branches union into one group-sized merge, no joins") {
+    val p = plan("q33_mv_merge")
+    assert(p.contains("Union"), s"base and delta partials must union\n$p")
+    assert("partial_sum".r.findAllIn(p).length >= 2,
+      s"both branches must pre-aggregate map-side before the merge\n$p")
+    assert(!p.contains("Join"), s"the merge is an aggregate, not a join\n$p")
+  }
+
   test("q32: scd2 — one user_id exchange serves both windows, the rollup, and the lead") {
     val p = plan("q32_scd2")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
