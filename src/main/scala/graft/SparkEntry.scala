@@ -78,6 +78,7 @@ object SparkEntry {
     "st20_stream_interval_join" -> (StreamingQueries.streamIntervalJoin _),
     "st21_stream_dedup_ttl" -> (StreamingQueries.streamDedupWatermark _),
     "st22_stream_scd2" -> (StreamingQueries.streamScd2 _),
+    "st23_stream_mv" -> (StreamingQueries.streamMv _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -602,6 +603,17 @@ object SparkEntry {
            p.t - v.t AS lag_us
          FROM v JOIN p ON v.user_id = p.user_id
           AND p.t > v.t AND p.t <= v.t + 3600000000""",
+    // st23: the MV maintained by native streaming aggregation — the
+    // oracle is the batch view over the whole topic.
+    "st23_stream_mv" ->
+      """SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
+           CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_value
+         FROM events GROUP BY event_type""",
     // st21: native TTL'd streaming dedup — emitted columns ARE the
     // dedup key, so first-arrival-wins equals batch DISTINCT.
     "st21_stream_dedup_ttl" ->

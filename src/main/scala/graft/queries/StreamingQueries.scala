@@ -288,6 +288,22 @@ object StreamingQueries {
   private def stageTwoBatches(spark: SparkSession, all: Dataset[Message],
       staging: String): Long = stageSplit(spark, all, staging, staging)
 
+  /** Time-split staging of the DEFAULT event messages, cached per
+    * (JVM, fixture dir) like [[stagedEvents]]: st13-style replays that
+    * only READ the staged topic (no feedback appends, no custom value
+    * column) all replay identical content, so re-staging per query
+    * would just repeat the same two distributed writes. Queries that
+    * stage a transformed value (st22's tier) or append (st03) keep
+    * their own directories. */
+  private val stagedSplitCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedEventsSplit(spark: SparkSession, dir: String): String =
+    stagedSplitCache.getOrElseUpdate(dir, {
+      val staged = tempDir("graft_stream_split")
+      stageTwoBatches(spark, Sources.eventMessages(spark, dir), staged)
+      staged
+    })
+
   /** Count-per-key through the streaming executor (keyed state store).
     * Fed in TWO micro-batches so state genuinely carries across batches
     * — the result still matches the single DuckDB GROUP BY.
@@ -874,9 +890,8 @@ object StreamingQueries {
   def streamChained(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
     import spark.implicits._
     import graft.operators.BatchExecutor.SinkTable
-    val staging = tempDir("graft_stream_chain")
+    val staging = stagedEventsSplit(spark, dir)
     val relayDir = tempDir("graft_stream_chain_relay")
-    stageTwoBatches(spark, Sources.eventMessages(spark, dir), staging)
     val msgSchema = org.apache.spark.sql.Encoders.product[Message].schema
     val stream1 = spark.readStream.schema(msgSchema)
       .option("maxFilesPerTrigger", 1)
@@ -1049,8 +1064,7 @@ object StreamingQueries {
     // sensitive across batches, so the split must be BY TIME (early
     // batch ≤ median ts < late batch) for per-key ts order to hold
     // globally — hash-split staging loses 3 purchases at sf0.01.
-    val staging = tempDir("graft_stream_funnel")
-    stageTwoBatches(spark, Sources.eventMessages(spark, dir), staging)
+    val staging = stagedEventsSplit(spark, dir)
     val stream = spark.readStream
       .schema(Sources.eventMessages(spark, dir).schema)
       .option("maxFilesPerTrigger", 1)
@@ -1227,8 +1241,7 @@ object StreamingQueries {
         }
       }),
       Persist(codec))
-    val staging = tempDir("graft_stream_retention")
-    stageTwoBatches(spark, Sources.eventMessages(spark, dir), staging)
+    val staging = stagedEventsSplit(spark, dir)
     val stream = spark.readStream
       .schema(Sources.eventMessages(spark, dir).schema)
       .option("maxFilesPerTrigger", 1)
@@ -1598,6 +1611,50 @@ object StreamingQueries {
     * streams to the same state shard, so matching is local and the
     * interval probe is an in-shard range lookup, never a cross-shard
     * broadcast. */
+  /** st23: the MATERIALIZED VIEW maintained by Spark's native
+    * streaming aggregation — q33's online face. q33 merges stored
+    * partials with a delta batch; here the SAME algebraic partials
+    * (count, exact decimal sum, min, max) live in the streaming
+    * aggregation's keyed state and every micro-batch IS the delta
+    * merge, update mode emitting the refreshed groups. No watermark by
+    * design: an MV's groups never expire, and state is O(|groups|) —
+    * group-sized, not stream-sized, which is why this is safe at
+    * 100 TB where a per-event state would not be.
+    *
+    * Sink collapse exploits per-field monotonicity across upserts
+    * (count/sum/max only grow — values are positive, min only falls),
+    * so latest-state recovery is field-wise max/min, order-free.
+    * avg derives from the final sum/count, exactly as q33 derives it
+    * from merged partials. */
+  def streamMv(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      val staging = tempDir("graft_stream_mv")
+      stageTwoBatches(spark,
+        Sources.messages(Sources.table(spark, dir, "events"), "events",
+          col("event_type"), col("value").cast("string"), col("ts"),
+          col("event_id")),
+        staging)
+      val src = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging))
+      val mv = src
+        .select(col("key").as("event_type"),
+          col("value").cast("string")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          min(col("v")).as("minv"), max(col("v")).as("maxv"))
+      runToTable(spark, mv, mode = "update")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_events"),
+          max(col("sv")).cast("double").as("sum_value"),
+          min(col("minv")).cast("double").as("min_value"),
+          max(col("maxv")).cast("double").as("max_value"))
+        .withColumn("avg_value",
+          col("sum_value") / col("n_events").cast("double"))
+    }
+
   /** st22: q32's online twin — the CDC feed applied into an SCD2
     * temporal dimension AT INGEST, per-user keyed state instead of the
     * batch gaps-and-islands window. State per user is the flat run
@@ -1683,8 +1740,7 @@ object StreamingQueries {
     * window) memory, the streaming face of d01/d10's batch passes. */
   def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame =
     withStateShards(spark) {
-      val staging = tempDir("graft_stream_ddw")
-      stageTwoBatches(spark, Sources.eventMessages(spark, dir), staging)
+      val staging = stagedEventsSplit(spark, dir)
       val keyed = spark.readStream
         .schema(Sources.eventMessages(spark, dir).schema)
         .option("maxFilesPerTrigger", 1)
@@ -1703,8 +1759,7 @@ object StreamingQueries {
 
   def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame =
     withStateShards(spark) {
-      val staging = tempDir("graft_stream_ssj")
-      stageTwoBatches(spark, Sources.eventMessages(spark, dir), staging)
+      val staging = stagedEventsSplit(spark, dir)
       val src = spark.readStream
         .schema(Sources.eventMessages(spark, dir).schema)
         .option("maxFilesPerTrigger", 1)
