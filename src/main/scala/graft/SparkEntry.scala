@@ -119,6 +119,7 @@ object SparkEntry {
     "s22_filtered_ann" -> (PipelineQueries.annFiltered _),
     "s23_maxsim" -> (PipelineQueries.maxSim _),
     "s24_hybrid_rrf" -> (PipelineQueries.hybridRrf _),
+    "s25_ann_index_store" -> (PipelineQueries.annIvfPersisted _),
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
     "d20_fuzzy_decontam" -> (PipelineQueries.fuzzyDecontaminate _),
     "d21_snapshot_diff" -> (PipelineQueries.snapshotDiff _),
@@ -2034,68 +2035,9 @@ object SparkEntry {
     // s08's trained centroids (cents2) consumed by s03's IVF search:
     // assign corpus + queries to argmax-cosine cells of the TRAINED
     // model, probe own cell, exact rerank.
-    "s10_ann_ivf_trained" ->
-      s"""WITH pre AS ($embPreSql),
-         cents0 AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
-                    FROM pre ORDER BY vec_id LIMIT 16),
-         asg1 AS (
-           SELECT vec_id, cid FROM (
-             SELECT p.vec_id, c.cid,
-               row_number() OVER (PARTITION BY p.vec_id ORDER BY
-                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
-                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
-                 c.cid) AS rn
-             FROM pre p, cents0 c) WHERE rn = 1),
-         cd1 AS (
-           SELECT a.cid, t.i AS d,
-             CAST(floor(CAST(sum(p.v[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cval
-           FROM asg1 a JOIN pre p ON p.vec_id = a.vec_id,
-             LATERAL (SELECT unnest(generate_series(1, len(p.v))) AS i) t
-           GROUP BY a.cid, t.i),
-         cents1 AS (
-           SELECT cid, cv,
-             CAST((SELECT sum(e*e) FROM unnest(cv) t(e)) AS BIGINT) AS cn2
-           FROM (SELECT cid, list(cval ORDER BY d) AS cv FROM cd1 GROUP BY cid)),
-         asg2 AS (
-           SELECT vec_id, cid FROM (
-             SELECT p.vec_id, c.cid,
-               row_number() OVER (PARTITION BY p.vec_id ORDER BY
-                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
-                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
-                 c.cid) AS rn
-             FROM pre p, cents1 c) WHERE rn = 1),
-         cd2 AS (
-           SELECT a.cid, t.i AS d,
-             CAST(floor(CAST(sum(p.v[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cval
-           FROM asg2 a JOIN pre p ON p.vec_id = a.vec_id,
-             LATERAL (SELECT unnest(generate_series(1, len(p.v))) AS i) t
-           GROUP BY a.cid, t.i),
-         cents2 AS (
-           SELECT cid, cv,
-             CAST((SELECT sum(e*e) FROM unnest(cv) t(e)) AS BIGINT) AS cn2
-           FROM (SELECT cid, list(cval ORDER BY d) AS cv FROM cd2 GROUP BY cid)),
-         assignT AS (
-           SELECT vec_id, cid FROM (
-             SELECT p.vec_id, c.cid,
-               row_number() OVER (PARTITION BY p.vec_id ORDER BY
-                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
-                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
-                 c.cid) AS rn
-             FROM pre p, cents2 c) WHERE rn = 1),
-         sims AS (
-           SELECT qa.vec_id AS qid, ca.vec_id AS nid,
-             CAST((SELECT sum(x*y) FROM (SELECT unnest(qp.v) x, unnest(cp.v) y)) AS DOUBLE)
-               / (sqrt(CAST(qp.n2 AS DOUBLE)) * sqrt(CAST(cp.n2 AS DOUBLE))) AS cos
-           FROM assignT qa JOIN assignT ca
-             ON qa.cid = ca.cid AND ca.vec_id <> qa.vec_id
-             JOIN pre qp ON qp.vec_id = qa.vec_id
-             JOIN pre cp ON cp.vec_id = ca.vec_id
-           WHERE qa.vec_id < 10)
-         SELECT qid, nid, cos, rank FROM (
-           SELECT qid, nid, cos,
-             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-           FROM sims)
-         WHERE rank <= 10""",
+    "s10_ann_ivf_trained" -> ivfTrainedOracleSql,
+    // s25: search FROM THE STORED index artifact — must equal s10.
+    "s25_ann_index_store" -> ivfTrainedOracleSql,
     // Mirrors Vectors.kmeansCells: 2 Lloyd rounds, seeds = 16 lowest-id
     // vectors, assignment = argmax int64-cosine (ties -> smaller cid),
     // update = per-dim floor(sum/count) back onto the integer grid.
@@ -2865,6 +2807,72 @@ object SparkEntry {
        |   SELECT qid, doc_id, n_hit_terms, bm25, rank
        |   FROM ranked WHERE rank <= 10""".stripMargin
   }
+
+  /** Shared by s10 (train-then-search in one plan) and s25 (search
+    * from the persisted index artifact): both must produce the same
+    * trained-IVF result table. */
+  private def ivfTrainedOracleSql: String =
+    s"""WITH pre AS ($embPreSql),
+         cents0 AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
+                    FROM pre ORDER BY vec_id LIMIT 16),
+         asg1 AS (
+           SELECT vec_id, cid FROM (
+             SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
+                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.cid) AS rn
+             FROM pre p, cents0 c) WHERE rn = 1),
+         cd1 AS (
+           SELECT a.cid, t.i AS d,
+             CAST(floor(CAST(sum(p.v[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+           FROM asg1 a JOIN pre p ON p.vec_id = a.vec_id,
+             LATERAL (SELECT unnest(generate_series(1, len(p.v))) AS i) t
+           GROUP BY a.cid, t.i),
+         cents1 AS (
+           SELECT cid, cv,
+             CAST((SELECT sum(e*e) FROM unnest(cv) t(e)) AS BIGINT) AS cn2
+           FROM (SELECT cid, list(cval ORDER BY d) AS cv FROM cd1 GROUP BY cid)),
+         asg2 AS (
+           SELECT vec_id, cid FROM (
+             SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
+                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.cid) AS rn
+             FROM pre p, cents1 c) WHERE rn = 1),
+         cd2 AS (
+           SELECT a.cid, t.i AS d,
+             CAST(floor(CAST(sum(p.v[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+           FROM asg2 a JOIN pre p ON p.vec_id = a.vec_id,
+             LATERAL (SELECT unnest(generate_series(1, len(p.v))) AS i) t
+           GROUP BY a.cid, t.i),
+         cents2 AS (
+           SELECT cid, cv,
+             CAST((SELECT sum(e*e) FROM unnest(cv) t(e)) AS BIGINT) AS cn2
+           FROM (SELECT cid, list(cval ORDER BY d) AS cv FROM cd2 GROUP BY cid)),
+         assignT AS (
+           SELECT vec_id, cid FROM (
+             SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
+                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.cid) AS rn
+             FROM pre p, cents2 c) WHERE rn = 1),
+         sims AS (
+           SELECT qa.vec_id AS qid, ca.vec_id AS nid,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(qp.v) x, unnest(cp.v) y)) AS DOUBLE)
+               / (sqrt(CAST(qp.n2 AS DOUBLE)) * sqrt(CAST(cp.n2 AS DOUBLE))) AS cos
+           FROM assignT qa JOIN assignT ca
+             ON qa.cid = ca.cid AND ca.vec_id <> qa.vec_id
+             JOIN pre qp ON qp.vec_id = qa.vec_id
+             JOIN pre cp ON cp.vec_id = ca.vec_id
+           WHERE qa.vec_id < 10)
+         SELECT qid, nid, cos, rank FROM (
+           SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           FROM sims)
+         WHERE rank <= 10"""
 
   /** Shared by q32 (batch gaps-and-islands) and st22 (streaming keyed
     * CDC apply): both must land on this SCD2 version table. */

@@ -354,6 +354,29 @@ object PipelineQueries {
       col("vec_id"), col("embedding"), k = 10, cents)
   }
 
+  /** s25: ANN index persistence — the trained IVF model written as a
+    * parquet ARTIFACT and the search run from the stored artifact, not
+    * the in-plan model (the FAISS write_index/read_index lifecycle:
+    * train once, serve many). The index for an IVF is just a table —
+    * (cid, centroid ints, norm) rows — so persistence is a plain
+    * columnar write and the serving job's plan starts from a scan of
+    * the index + a scan of the corpus, with NO training stages. Must
+    * hash-match s10 (same model, in-plan) — proving the artifact
+    * round-trips losslessly. At 100 TB this is the only sane shape:
+    * training reads the corpus once offline; query jobs broadcast the
+    * stored group-sized index. */
+  def annIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val (cents, _) = Vectors.kmeansFit(e, col("vec_id"), col("embedding"),
+      k = 16, iters = 2)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_index").toString
+    cents.write.mode("overwrite").parquet(idxDir)
+    val stored = spark.read.parquet(idxDir)
+    Vectors.annIvfTopKWith(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 10, stored)
+  }
+
   /** SemDeDup-style cluster-then-dedup over embeddings: within-cell
     * cosine ≥ 0.3 against an earlier id ⇒ dropped — d12. nCells pinned
     * to 16 so the fixture oracle is stable; production uses the

@@ -411,6 +411,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"per-query top-k must prune per-partition\n$p")
   }
 
+  test("s25: index persistence — the serving plan scans the stored artifact, no training stages") {
+    val p = plan("s25_ann_index_store")
+    assert(p.contains("graft_ivf_index"),
+      s"the search must consume the persisted index parquet\n$p")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"no in-plan (checkpointed) training model may leak into serving\n$p")
+  }
+
   test("s23: maxsim — query bag broadcast, partial max map-side, top-k pruned") {
     val p = plan("s23_maxsim")
     assert(p.contains("BroadcastNestedLoopJoin") ||
