@@ -932,31 +932,30 @@ object StreamingQueries {
     * intermittently unemitted). Sentinel sessions themselves are never
     * closed and are filtered out. Hash-matches q17's batch oracle. */
   def streamSession(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val ev = spark.read.schema(schema)
-      .parquet(s"$dir/events.parquet") // ts = raw nanos long
+    // Staged from the normalized Sources.table path (ts = TIMESTAMP,
+    // whatever the fixture's physical encoding) — never a pinned raw
+    // schema, which silently corrupts when the writer changes.
+    val ev = Sources.table(spark, dir, "events")
     val staging = tempDir("graft_stream_sess")
-    val Array(mnNs, mxNs) = ev.agg(min(col("ts")), max(col("ts")))
+    val Array(mnUs, mxUs) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val midNs = mnNs / 2 + mxNs / 2
+    val midUs = mnUs / 2 + mxUs / 2
     val now = System.currentTimeMillis()
-    stageFile(ev.filter(col("ts") <= midNs), staging, "b1.parquet", now - 180000)
-    stageFile(ev.filter(col("ts") > midNs), staging, "b2.parquet", now - 120000)
+    stageFile(ev.filter(unix_micros(col("ts")) <= midUs), staging,
+      "b1.parquet", now - 180000)
+    stageFile(ev.filter(unix_micros(col("ts")) > midUs), staging,
+      "b2.parquet", now - 120000)
     def sentinel(days: Long) = ev.sparkSession.range(1).select(
       lit(-1L).as("event_id"),
-      lit(mxNs + days * 24 * 3600 * 1000000000L).as("ts"),
+      timestamp_micros(lit(mxUs + days * 24 * 3600 * 1000000L)).as("ts"),
       lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
       lit(0.0).as("value"), lit("{}").as("props"))
     stageFile(sentinel(2), staging, "b3.parquet", now - 60000)
     stageFile(sentinel(4), staging, "b4.parquet", now - 30000)
-    val sessions = spark.readStream.schema(schema)
+    val sessions = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(bindShardsToTopic(spark, staging))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 second")
       .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("cnt"))
@@ -986,23 +985,23 @@ object StreamingQueries {
     * the same pipeline swaps to `readStream.format("kafka")` unchanged. */
   def streamTumble(spark: SparkSession, dir: String): DataFrame = withStateShards(spark) {
     import org.apache.spark.sql.types._
-    // nanosAsLong=true: parquet TIMESTAMP(NANOS) arrives as LongType
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val ev = spark.read.schema(schema).parquet(s"$dir/events.parquet")
+    // Staged from the normalized Sources.table path (ts = TIMESTAMP,
+    // whatever the fixture's physical encoding) — never a pinned raw
+    // schema, which silently corrupts when the writer changes.
+    val ev = Sources.table(spark, dir, "events")
     val staging = tempDir("graft_stream_tumble")
-    val Array(mnNs, mxNs) = ev.agg(min(col("ts")), max(col("ts")))
+    val Array(mnUs, mxUs) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val midNs = (mnNs + mxNs) / 2
+    val midUs = (mnUs + mxUs) / 2
     val now = System.currentTimeMillis()
-    stageFile(ev.filter(col("ts") <= midNs), staging, "b1.parquet", now - 120000)
-    stageFile(ev.filter(col("ts") > midNs), staging, "b2.parquet", now - 60000)
-    val windowed = spark.readStream.schema(schema)
+    stageFile(ev.filter(unix_micros(col("ts")) <= midUs), staging,
+      "b1.parquet", now - 120000)
+    stageFile(ev.filter(unix_micros(col("ts")) > midUs), staging,
+      "b2.parquet", now - 60000)
+    val windowed = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(bindShardsToTopic(spark, staging))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),

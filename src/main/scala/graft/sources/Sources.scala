@@ -14,17 +14,42 @@ import graft.core.{Message, TableRow}
   */
 object Sources {
 
-  /** Read one fixture table. `events.ts` is written as parquet
-    * TIMESTAMP(NANOS), which Spark only reads as a long (with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` — set in all our
-    * sessions); we truncate to microseconds, which is exactly what
-    * DuckDB's µs-resolution TIMESTAMP does, so ordering ties agree with
-    * the oracle. */
+  /** Read one fixture table, normalizing `ts` to a session-TZ TIMESTAMP
+    * regardless of the parquet writer's physical encoding. This is the
+    * codec-boundary lesson from the reference
+    * (`/root/reference/codec/codec.go:4-7`): input physical type is
+    * normalized ONCE at the source, never assumed per query. Handled
+    * encodings:
+    *   - `TIMESTAMP(NANOS)` → read as `LongType` under
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (set in all our
+    *     sessions) → truncated to µs, matching DuckDB's µs resolution so
+    *     ordering ties agree with the oracle;
+    *   - `TIMESTAMP(MICROS, isAdjustedToUTC=false)` → Spark
+    *     `TIMESTAMP_NTZ` → value-preserving cast to TIMESTAMP, which
+    *     requires a UTC session (asserted loudly — under any other zone
+    *     the cast would silently shift every value);
+    *   - `TIMESTAMP(MICROS, isAdjustedToUTC=true)` → Spark `TIMESTAMP` →
+    *     passed through.
+    * Any other physical type fails loudly instead of computing garbage. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    df.schema.find(_.name == "ts") match {
+      case Some(f) => f.dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          val tz = spark.conf.get("spark.sql.session.timeZone")
+          require(tz == "UTC",
+            s"$name.ts is TIMESTAMP_NTZ; casting to TIMESTAMP is only " +
+            s"value-preserving under a UTC session, but session timeZone is $tz")
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case org.apache.spark.sql.types.TimestampType =>
+          df
+        case other =>
+          throw new IllegalStateException(
+            s"$name.ts has unsupported physical type $other — expected " +
+            "nanos-as-long, TIMESTAMP_NTZ(us) or TIMESTAMP(us)")
+      }
       case None => df
     }
   }
