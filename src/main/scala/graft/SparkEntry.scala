@@ -62,6 +62,7 @@ object SparkEntry {
     "q31_sliding_distinct" -> (Relational.slidingDistinct _),
     "q32_scd2" -> (Relational.scd2 _),
     "q33_mv_merge" -> (Relational.mvMerge _),
+    "q34_profile" -> (Relational.profileTable _),
     "q22_pivot" -> (Relational.pivotAgg _),
     "q23_unpivot" -> (Relational.unpivotAgg _),
     "q24_bucketed_join" -> (Relational.bucketedJoin _),
@@ -75,10 +76,12 @@ object SparkEntry {
     "t21_novelty" -> (PipelineQueries.noveltyRatio _),
     "t22_bm25" -> (PipelineQueries.bm25 _),
     "t23_bool_search" -> (PipelineQueries.boolSearch _),
+    "t24_chunk" -> (PipelineQueries.chunkDocs _),
     "st20_stream_interval_join" -> (StreamingQueries.streamIntervalJoin _),
     "st21_stream_dedup_ttl" -> (StreamingQueries.streamDedupWatermark _),
     "st22_stream_scd2" -> (StreamingQueries.streamScd2 _),
     "st23_stream_mv" -> (StreamingQueries.streamMv _),
+    "st24_stream_ann_serve" -> (StreamingQueries.streamAnnServe _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -643,6 +646,51 @@ object SparkEntry {
            CAST(m.tf_sum AS BIGINT) AS tf_sum
          FROM m JOIN nq ON m.qid = nq.qid
          WHERE m.n_matched = nq.q_n_terms""",
+    // t24: overlapping 64-token windows every 48 tokens; DuckDB's
+    // 1-based inclusive list slice toks[s+1 : s+64] = Spark's
+    // slice(toks, s+1, 64); range(0, n, 48) = sequence(0, n-1, 48).
+    "t24_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+           s AS (SELECT doc_id, toks,
+                   unnest(range(0, len(toks), 48)) AS start FROM d)
+         SELECT doc_id,
+           CAST(start // 48 AS BIGINT) AS chunk_id,
+           CAST(len(toks[start + 1 : start + 64]) AS BIGINT) AS n_tokens,
+           array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+         FROM s""",
+    // q34: ANALYZE-class profile; min/max canonicalized to VARCHAR on
+    // both engines so every column type shares one output schema.
+    "q34_profile" ->
+      """WITH p AS (SELECT count(*) AS n_rows FROM lineitem),
+         v AS (
+           SELECT 'l_orderkey' AS col_name, count(l_orderkey) AS n_nonnull,
+             count(DISTINCT l_orderkey) AS ndv,
+             CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+             CAST(max(l_orderkey) AS VARCHAR) AS max_val FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity', count(l_quantity),
+             count(DISTINCT l_quantity),
+             CAST(min(l_quantity) AS VARCHAR),
+             CAST(max(l_quantity) AS VARCHAR) FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', count(l_extendedprice),
+             count(DISTINCT l_extendedprice),
+             CAST(min(l_extendedprice) AS VARCHAR),
+             CAST(max(l_extendedprice) AS VARCHAR) FROM lineitem
+           UNION ALL
+           SELECT 'l_returnflag', count(l_returnflag),
+             count(DISTINCT l_returnflag),
+             CAST(min(l_returnflag) AS VARCHAR),
+             CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+           UNION ALL
+           SELECT 'l_linestatus', count(l_linestatus),
+             count(DISTINCT l_linestatus),
+             CAST(min(l_linestatus) AS VARCHAR),
+             CAST(max(l_linestatus) AS VARCHAR) FROM lineitem)
+         SELECT v.col_name, v.n_nonnull, v.ndv, v.min_val, v.max_val,
+           p.n_rows
+         FROM v, p""",
     "q19_cube" ->
       """SELECT c_mktsegment, n_regionkey, count(*) AS cnt,
            CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
@@ -2036,6 +2084,9 @@ object SparkEntry {
     // assign corpus + queries to argmax-cosine cells of the TRAINED
     // model, probe own cell, exact rerank.
     "s10_ann_ivf_trained" -> ivfTrainedOracleSql,
+    // st24: streaming serving from the stored IVF index — per-micro-batch
+    // stream-static top-k must union to exactly the batch answer.
+    "st24_stream_ann_serve" -> ivfTrainedOracleSql,
     // s25: search FROM THE STORED index artifact — must equal s10.
     "s25_ann_index_store" -> ivfTrainedOracleSql,
     // Mirrors Vectors.kmeansCells: 2 Lloyd rounds, seeds = 16 lowest-id

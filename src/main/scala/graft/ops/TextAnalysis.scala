@@ -234,6 +234,31 @@ object TextAnalysis {
       size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"),
         lit(0))).cast("long").as("bpeish_tokens"))
 
+  /** Overlapping context-window chunking — the RAG / training-sequence
+    * preparation step: each document's whitespace tokens are emitted as
+    * windows of `window` tokens starting every `stride` tokens
+    * (overlap = window − stride; the trailing windows may be short).
+    * Complements [[PipelineQueries.packSequences]]' greedy whole-doc
+    * packing (t12): packing fills fixed budgets with whole documents,
+    * chunking splits ONE long document into retrievable/trainable
+    * pieces.
+    *
+    * Scale shape: map-only — `split`/`sequence`/`explode`/`slice`/
+    * `array_join` are all codegen'd builtins; no shuffle, no state,
+    * output is ≤ ⌈window/stride⌉ × input tokens, embarrassingly
+    * parallel at any corpus size. */
+  def chunkDocs(df: DataFrame, text: Column, id: Column,
+      window: Int = 64, stride: Int = 48): DataFrame =
+    df.select(id.as("doc_id"), split(text, " ").as("toks"))
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        size(slice(col("toks"), col("start") + 1, lit(window)))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(window)), " ")
+          .as("chunk_text"))
+
   /** 64-hex-char-free fingerprint: md5 of normalized text (16-hex prefix
     * kept as the join/dedup key). */
   def fingerprint(df: DataFrame, text: Column, id: Column): DataFrame =

@@ -294,17 +294,42 @@ object Vectors {
     * probing and rerank machinery is byte-identical to the sampled
     * path; only the model changes. */
   def annIvfTopKWith(corpus: DataFrame, queries: DataFrame, id: Column,
-      emb: Column, k: Int, cents: DataFrame): DataFrame = {
-    val p = prepared(corpus, id, emb)
-    def assignCells(side: DataFrame): DataFrame =
-      side.crossJoin(broadcast(cents))
-        .withColumn("ccos", cosineFromInts(idot(col("iv"), col("civ")),
-          col("n2"), col("cn2")))
-        .groupBy(col("vid"))
-        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
-          first(col("iv")).as("iv"), first(col("n2")).as("n2"))
-    val cellC = assignCells(p).as("c")
-    val cellQ = assignCells(prepared(queries, id, emb)).as("q")
+      emb: Column, k: Int, cents: DataFrame): DataFrame =
+    ivfServeTopK(ivfInvertedLists(corpus, id, emb, cents), cents,
+      queries, id, emb, k)
+
+  /** Nearest-cell assignment of a prepared `(vid, iv, n2)` side against
+    * a broadcast centroid model — ONE `max_by` aggregation (map-side
+    * partials, no N×K window sort); ties resolve to the smaller cid. */
+  private def assignCells(side: DataFrame, cents: DataFrame): DataFrame =
+    side.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosineFromInts(idot(col("iv"), col("civ")),
+        col("n2"), col("cn2")))
+      .groupBy(col("vid"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+        first(col("iv")).as("iv"), first(col("n2")).as("n2"))
+
+  /** The servable IVF index — the INVERTED LISTS: every corpus vector
+    * with its nearest-cell assignment, int-scaled vector and squared
+    * norm. This table plus the centroids IS the index (FAISS's IVF
+    * layout expressed relationally), and both are plain parquet
+    * writes, so train-once/serve-many (s25) and streaming serving
+    * (st24) start from artifact scans with NO training or
+    * corpus-assignment stage in the serving plan. */
+  def ivfInvertedLists(corpus: DataFrame, id: Column, emb: Column,
+      cents: DataFrame): DataFrame =
+    assignCells(prepared(corpus, id, emb), cents)
+
+  /** Serve exact-reranked top-k from a prebuilt index: queries assign
+    * to cells against the broadcast centroids, candidates come from the
+    * cell's inverted list by equi-join, int64-cosine reranks them.
+    * Per-query cost is O(|cell|) — the index does not need re-reading
+    * or re-assignment between calls, which is what makes per-micro-batch
+    * serving viable. */
+  def ivfServeTopK(lists: DataFrame, cents: DataFrame, queries: DataFrame,
+      id: Column, emb: Column, k: Int): DataFrame = {
+    val cellC = lists.as("c")
+    val cellQ = assignCells(prepared(queries, id, emb), cents).as("q")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     cellQ.join(cellC, col("q.cid") === col("c.cid") &&
         col("q.vid") =!= col("c.vid"))

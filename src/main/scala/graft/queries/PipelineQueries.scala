@@ -568,6 +568,12 @@ object PipelineQueries {
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** t24: overlapping context-window chunking (64-token windows every
+    * 48 tokens) — the RAG / long-doc training-prep step. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocs(docs(spark, dir), col("text"), col("doc_id"),
+      window = 64, stride = 48)
+
   /** t20: CCNet per-language quality terciles over the t13 bigram LM. */
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.ccnetBuckets(docs(spark, dir), col("text"), col("doc_id"),

@@ -681,4 +681,13 @@ object Relational {
       .select(col("user_id"), col("version"), col("tier"),
         col("valid_from"), col("valid_to"))
   }
+
+  /** q34: table profile — the ANALYZE-class per-column stats pass
+    * (non-null count, exact ndv, min/max, row count) over lineitem in
+    * ONE scan; see [[graft.ops.Profiling.profile]] for the scale
+    * contract. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.profile(table(spark, dir, "lineitem"),
+      Seq("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus"))
 }

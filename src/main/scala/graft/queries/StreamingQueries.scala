@@ -1781,4 +1781,56 @@ object StreamingQueries {
             .as("lag_us")),
         mode = "append")
     }
+
+  /** st24: streaming ANN serving — the ONLINE half of s25's
+    * train-once/serve-many lifecycle. The IVF index (centroids +
+    * inverted lists, both parquet artifacts) is built once BEFORE the
+    * stream starts; queries then arrive as a stream, and each
+    * micro-batch is answered in `foreachBatch`: assign the batch's
+    * queries to cells against the broadcast centroids, equi-join the
+    * cells' inverted lists, exact int64-cosine rerank, append to the
+    * result sink — the standard stream-static serving shape (same sink
+    * pattern as st16's recoverable parquet sink). Every query's
+    * candidate set lies entirely within its own micro-batch because the
+    * static side is complete, so the union of per-batch top-k IS the
+    * batch answer: hash-matches s10/s25's trained-IVF oracle.
+    *
+    * At 100 TB: centroids are model-sized (broadcast), inverted lists
+    * are corpus-sized but reached ONLY by cell-id equi-join — a query
+    * batch touches its probed cells, never the corpus; per-batch cost
+    * is O(queries × cell size) + fixed micro-batch overhead. */
+  def streamAnnServe(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import graft.ops.Vectors
+      val e = Sources.table(spark, dir, "embeddings")
+      val (cents, _) = Vectors.kmeansFit(e, col("vec_id"), col("embedding"),
+        k = 16, iters = 2)
+      val idxDir = tempDir("graft_ann_serve_idx")
+      cents.write.mode("overwrite").parquet(s"$idxDir/centroids")
+      Vectors.ivfInvertedLists(e, col("vec_id"), col("embedding"), cents)
+        .write.mode("overwrite").parquet(s"$idxDir/lists")
+      val storedCents = spark.read.parquet(s"$idxDir/centroids")
+      val lists = spark.read.parquet(s"$idxDir/lists")
+      val q = e.filter(col("vec_id") < 10)
+      val staging = tempDir("graft_ann_serve")
+      val now = System.currentTimeMillis()
+      stageFile(q.filter(col("vec_id") < 5), staging, "b1.parquet",
+        now - 120000)
+      stageFile(q.filter(col("vec_id") >= 5), staging, "b2.parquet",
+        now - 60000)
+      val resultDir = tempDir("graft_ann_serve_out") + "/table"
+      val stream = spark.readStream.schema(q.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging))
+      val sq = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Vectors.ivfServeTopK(lists, storedCents, batch.toDF(),
+            col("vec_id"), col("embedding"), k = 10)
+            .write.mode("append").parquet(resultDir)
+          ()
+        }
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+      spark.read.parquet(resultDir)
+    }
 }

@@ -539,4 +539,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val exchanges = "Exchange".r.findAllIn(p).length
     assert(exchanges <= 2, s"fold should need at most its keying exchange\n$p")
   }
+
+  test("t24: chunking is map-only — one scan, no shuffle, no state") {
+    val p = plan("t24_chunk")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
+    assert(!p.contains("Exchange"),
+      s"chunk windows derive per-row; nothing may shuffle\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to the two used columns\n$p")
+  }
+
+  test("q34: profile is one scan + one Expand-style multi-distinct aggregation") {
+    val p = plan("q34_profile")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"per-column stats must share ONE lineitem scan, got $scans\n$p")
+    assert(p.contains("Expand"),
+      s"exact multi-column ndv should plan as Catalyst Expand\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"profiling must not join; got\n$p")
+  }
 }

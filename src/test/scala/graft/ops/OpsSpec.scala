@@ -983,4 +983,46 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows(1L) == (("jpeg", 4L, 255L)))
     assert(rows(2L) == (("raw", 5L, 'p'.toLong)))
   }
+
+  test("chunking: stride walk, overlap content, short-doc and exact-multiple edges") {
+    import spark.implicits._
+    // window=4, stride=3: doc 1 has 7 tokens -> starts 0,3,6; doc 2 has
+    // 2 tokens (< window) -> one short chunk; doc 3 has 6 tokens (a
+    // multiple of stride) -> starts 0,3 with the last chunk short.
+    val d = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"),
+      (2L, "a b"),
+      (3L, "x0 x1 x2 x3 x4 x5"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(d, col("text"), col("doc_id"),
+        window = 4, stride = 3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got.size == 6)
+    assert(got((1L, 0L)) == ((4L, "t0 t1 t2 t3")))
+    assert(got((1L, 1L)) == ((4L, "t3 t4 t5 t6"))) // t3 shared: overlap 1
+    assert(got((1L, 2L)) == ((1L, "t6")))          // trailing suffix
+    assert(got((2L, 0L)) == ((2L, "a b")))         // doc shorter than window
+    assert(got((3L, 0L)) == ((4L, "x0 x1 x2 x3")))
+    assert(got((3L, 1L)) == ((3L, "x3 x4 x5")))    // no phantom start at 6
+  }
+
+  test("profile: exact ndv/min/max per column, nulls excluded from n_nonnull") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Some("a"), 10.0),
+      (2L, None, 20.0),
+      (3L, Some("c"), 20.0))
+      .toDF("id", "s", "v")
+    val r = Profiling.profile(d, Seq("id", "s", "v"))
+      .collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3), x.getString(4),
+          x.getLong(5))))
+      .toMap
+    assert(r("id") == ((3L, 3L, "1", "3", 3L)))
+    assert(r("s") == ((2L, 2L, "a", "c", 3L))) // null excluded, n_rows not
+    assert(r("v") == ((3L, 2L, "10.0", "20.0", 3L)))
+  }
 }
