@@ -123,6 +123,7 @@ object SparkEntry {
     "s23_maxsim" -> (PipelineQueries.maxSim _),
     "s24_hybrid_rrf" -> (PipelineQueries.hybridRrf _),
     "s25_ann_index_store" -> (PipelineQueries.annIvfPersisted _),
+    "s26_ann_index_add" -> (PipelineQueries.annIndexAdd _),
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
     "d20_fuzzy_decontam" -> (PipelineQueries.fuzzyDecontaminate _),
     "d21_snapshot_diff" -> (PipelineQueries.snapshotDiff _),
@@ -135,6 +136,7 @@ object SparkEntry {
     "c02_train_mix" -> (PipelineQueries.trainMix _),
     "c03_leakage_audit" -> (PipelineQueries.leakageAudit _),
     "c04_dataset_card" -> (PipelineQueries.datasetCard _),
+    "c05_incremental_curate" -> (PipelineQueries.incrementalCurate _),
     "t01_langid" -> (PipelineQueries.langId _),
     "t02_quality" -> (PipelineQueries.quality _),
     "t03_token_stats" -> (PipelineQueries.tokenStats _),
@@ -2089,6 +2091,9 @@ object SparkEntry {
     "st24_stream_ann_serve" -> ivfTrainedOracleSql,
     // s25: search FROM THE STORED index artifact — must equal s10.
     "s25_ann_index_store" -> ivfTrainedOracleSql,
+    // s26: append ≡ rebuild — training restricted to the base slice,
+    // serving assignment over the full corpus with the frozen model.
+    "s26_ann_index_add" -> ivfTrainedOracleSqlOver("vec_id % 10 <> 7"),
     // Mirrors Vectors.kmeansCells: 2 Lloyd rounds, seeds = 16 lowest-id
     // vectors, assignment = argmax int64-cosine (ties -> smaller cid),
     // update = per-dim floor(sum/count) back onto the integer grid.
@@ -2353,6 +2358,46 @@ object SparkEntry {
     // keep (minStopHits=1, the fixture calibration documented there);
     // dup attribution via a window count over the content hash.
     "c04_dataset_card" -> cardOracleSql,
+    // c05: incremental refresh must equal the FULL recompute on the new
+    // snapshot (new = %7 filter with ' v2' appended to %3 ids; bench =
+    // all src0 docs, fixed across snapshots).
+    "c05_incremental_curate" ->
+      """WITH newtrain AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE source <> 'src0' AND doc_id % 7 <> 0),
+         keep AS (SELECT min(doc_id) AS doc_id FROM newtrain
+                  GROUP BY md5(text)),
+         bsh AS (
+           SELECT DISTINCT
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT string_split(text, ' ') AS w FROM documents
+                 WHERE source = 'src0')),
+         tsh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM newtrain)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY doc_id),
+         hits AS (SELECT tsh.doc_id, count(*) AS c FROM tsh
+                  JOIN bsh ON tsh.s = bsh.s GROUP BY tsh.doc_id),
+         contaminated AS (
+           SELECT sz.doc_id FROM sizes sz LEFT JOIN hits h
+             ON sz.doc_id = h.doc_id
+           WHERE CAST(coalesce(h.c, 0) AS DOUBLE)
+                 / CAST(sz.n AS DOUBLE) >= 0.5)
+         SELECT t.doc_id,
+           CAST(len(string_split(t.text, ' ')) AS BIGINT) AS ws_tokens,
+           ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)),1,4))::BIGINT % 100
+             AS bucket,
+           CASE WHEN ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)),1,4))::BIGINT % 100 < 90 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)),1,4))::BIGINT % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM newtrain t
+         JOIN keep k ON t.doc_id = k.doc_id
+         WHERE len(string_split(t.text, ' ')) >= 10
+           AND t.doc_id NOT IN (SELECT doc_id FROM contaminated)""",
     // st19 maintains the SAME card online (fingerprint stage with
     // retroactive dup credits + per-cell counters) — one oracle.
     "st19_stream_card" -> cardOracleSql,
@@ -2862,10 +2907,16 @@ object SparkEntry {
   /** Shared by s10 (train-then-search in one plan) and s25 (search
     * from the persisted index artifact): both must produce the same
     * trained-IVF result table. */
-  private def ivfTrainedOracleSql: String =
+  private def ivfTrainedOracleSql: String = ivfTrainedOracleSqlOver("TRUE")
+
+  /** The two-round-Lloyd + assign + cell-probe top-k oracle chain, with
+    * TRAINING restricted to `baseWhere` (the serving assignment and the
+    * query scan always cover the full corpus). `TRUE` = s10/s25/st24's
+    * everything-trains form; s26 trains on the base slice only. */
+  private def ivfTrainedOracleSqlOver(baseWhere: String): String =
     s"""WITH pre AS ($embPreSql),
          cents0 AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
-                    FROM pre ORDER BY vec_id LIMIT 16),
+                    FROM pre WHERE $baseWhere ORDER BY vec_id LIMIT 16),
          asg1 AS (
            SELECT vec_id, cid FROM (
              SELECT p.vec_id, c.cid,
@@ -2873,7 +2924,7 @@ object SparkEntry {
                  CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
                    / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
                  c.cid) AS rn
-             FROM pre p, cents0 c) WHERE rn = 1),
+             FROM (SELECT * FROM pre WHERE $baseWhere) p, cents0 c) WHERE rn = 1),
          cd1 AS (
            SELECT a.cid, t.i AS d,
              CAST(floor(CAST(sum(p.v[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cval
@@ -2891,7 +2942,7 @@ object SparkEntry {
                  CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
                    / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
                  c.cid) AS rn
-             FROM pre p, cents1 c) WHERE rn = 1),
+             FROM (SELECT * FROM pre WHERE $baseWhere) p, cents1 c) WHERE rn = 1),
          cd2 AS (
            SELECT a.cid, t.i AS d,
              CAST(floor(CAST(sum(p.v[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cval

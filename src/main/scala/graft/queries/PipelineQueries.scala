@@ -377,6 +377,43 @@ object PipelineQueries {
       col("vec_id"), col("embedding"), k = 10, stored)
   }
 
+  /** s26: incremental index ADD — the FAISS `add()` lifecycle on top of
+    * s25's persistence: the index is trained ONCE on the base corpus
+    * (centroids frozen, inverted lists stored); newly-arriving vectors
+    * are then assigned against the FROZEN stored centroids and
+    * APPENDED to the lists — no retraining, no rewrite of existing
+    * lists — and serving runs over the merged lists. The oracle builds
+    * the same-centroid index over the full corpus from scratch, so
+    * hash-equality proves append ≡ rebuild (true because per-vector
+    * assignment depends only on the frozen centroids — exactly the
+    * invariant that makes IVF add() sound in FAISS).
+    *
+    * At 100 TB this is the index-maintenance mode that matters: the
+    * nightly arrivals batch is assigned (map-side vs broadcast
+    * centroids) and appended as new parquet files in the lists
+    * partition layout; the base corpus is never re-read. Quantizer
+    * drift under sustained adds is the documented trade-off — FAISS
+    * answers with periodic retrain, which here is just re-running the
+    * s25 training job. */
+  def annIndexAdd(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val base = e.filter(col("vec_id") % 10 =!= 7)
+    val arrivals = e.filter(col("vec_id") % 10 === 7)
+    val (cents, _) = Vectors.kmeansFit(base, col("vec_id"),
+      col("embedding"), k = 16, iters = 2)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_add").toString
+    cents.write.mode("overwrite").parquet(s"$idxDir/centroids")
+    Vectors.ivfInvertedLists(base, col("vec_id"), col("embedding"), cents)
+      .write.mode("overwrite").parquet(s"$idxDir/lists")
+    val storedCents = spark.read.parquet(s"$idxDir/centroids")
+    Vectors.ivfInvertedLists(arrivals, col("vec_id"), col("embedding"),
+        storedCents)
+      .write.mode("append").parquet(s"$idxDir/lists")
+    Vectors.ivfServeTopK(spark.read.parquet(s"$idxDir/lists"), storedCents,
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), k = 10)
+  }
+
   /** SemDeDup-style cluster-then-dedup over embeddings: within-cell
     * cosine ≥ 0.3 against an earlier id ⇒ dropped — d12. nCells pinned
     * to 16 so the fixture oracle is stable; production uses the
@@ -444,6 +481,83 @@ object PipelineQueries {
       .filter(col("ws_tokens") >= 10)
       .join(keep, Seq("doc_id"), "left_semi")
       .join(clean, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("ws_tokens"),
+        bucket.as("bucket"), splitCol.as("split"))
+  }
+
+  /** c05: INCREMENTAL curation refresh — d21's snapshot-diff primitive
+    * driving c01's curation as a delta computation, the q33
+    * incremental-MV idea applied to the whole curation pipeline. The
+    * previous run's per-doc feature artifact (fingerprint, token count,
+    * contamination verdict) is stored; when the next snapshot arrives,
+    * per-doc features are recomputed ONLY for docs whose fingerprint
+    * changed or that are new — unchanged docs reuse their stored row —
+    * and the group-level reductions (dedup keep selection, gates,
+    * split) then run over the artifact table, which carries no text.
+    * The oracle is the FULL recompute on the new snapshot, so
+    * hash-equality PROVES refresh ≡ recompute.
+    *
+    * Valid-reuse argument: every per-doc feature is a function of
+    * (doc text, bench shingle set) only; the bench suite is a fixed
+    * external artifact (all src0 docs, unmodified in both snapshots),
+    * so an unchanged fingerprint implies unchanged features. Group
+    * membership (keep = min id per fp group) is NOT carried forward —
+    * an added doc can join an existing group — so it is recomputed,
+    * but over the fingerprint-sized artifact, never the corpus.
+    *
+    * Scale shape at 100 TB: the refresh reads text only for the delta
+    * (shingling + the bench join are delta-sized); the carried-forward
+    * side is an artifact scan of (id, fp, small ints); the only
+    * corpus-wide pass is one md5 to detect change — the minimum any
+    * content-addressed diff needs. */
+  def incrementalCurate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val bench = d.filter(col("source") === "src0")
+      .select(col("doc_id"), col("text"))
+    def withBench(train: DataFrame) =
+      train.select(col("doc_id"), col("text"), lit(false).as("is_bench"))
+        .unionByName(bench.select(col("doc_id"), col("text"),
+          lit(true).as("is_bench")))
+    def features(train: DataFrame): DataFrame = {
+      val contam = Dedup.decontaminate(withBench(train), col("text"),
+          col("doc_id"), col("is_bench"))
+        .select(col("doc_id"), col("contaminated"))
+      train.select(col("doc_id"), md5(col("text")).as("fp"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"))
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("fp"), col("ws_tokens"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+    }
+    val oldTrain = d.filter(col("source") =!= "src0" &&
+      col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text"))
+    val newTrain = d.filter(col("source") =!= "src0" &&
+        col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    // Previous run: features on the OLD snapshot, stored as the artifact.
+    val artDir = java.nio.file.Files
+      .createTempDirectory("graft_curate_artifact").toString
+    features(oldTrain).write.mode("overwrite").parquet(artDir)
+    val stored = spark.read.parquet(artDir)
+    // Refresh: one cheap md5 pass detects change; (doc_id, fp) matches
+    // reuse the stored row, the rest (added/changed) compute fresh.
+    val newFps = newTrain.select(col("doc_id"), md5(col("text")).as("fp"))
+    val reused = newFps.join(stored, Seq("doc_id", "fp"), "inner")
+    val delta = newTrain.join(
+      newFps.join(stored, Seq("doc_id", "fp"), "left_anti")
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val artNew = reused
+      .select(col("doc_id"), col("fp"), col("ws_tokens"),
+        col("contaminated"))
+      .unionByName(features(delta))
+    // Group-level reductions over the text-free artifact.
+    val keep = artNew.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val (bucket, splitCol) = TextAnalysis.splitCols(col("doc_id"))
+    artNew.filter(col("ws_tokens") >= 10 && !col("contaminated"))
+      .join(keep, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("ws_tokens"),
         bucket.as("bucket"), splitCol.as("split"))
   }

@@ -550,6 +550,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"scan must prune to the two used columns\n$p")
   }
 
+  test("s26: incremental add serves from the merged stored lists, no training stage") {
+    val p = plan("s26_ann_index_add")
+    assert(p.contains("graft_ivf_add"),
+      s"serving must consume the stored index artifacts\n$p")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"no in-plan training model may leak into serving\n$p")
+  }
+
+  test("c05: incremental refresh consumes the stored feature artifact") {
+    val p = plan("c05_incremental_curate")
+    assert(p.contains("graft_curate_artifact"),
+      s"unchanged docs' features must come from the stored artifact\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"refresh joins are keyed (doc_id/fp/shingle), never cartesian\n$p")
+  }
+
   test("q34: profile is one scan + one Expand-style multi-distinct aggregation") {
     val p = plan("q34_profile")
     val scans = "FileScan parquet".r.findAllIn(p).length

@@ -60,6 +60,22 @@ class VectorServeSpec extends AnyFunSuite with SparkFixture {
       .findFirstIn(p).isDefined, s"expected the cell-id equi-join\n$p")
   }
 
+  test("incremental add: appended lists serve identically to a rebuild (s26's invariant)") {
+    val c = cents
+    val base = vecs.filter(col("vec_id") % 5 =!= 2)
+    val arrivals = vecs.filter(col("vec_id") % 5 === 2)
+    val appended = Vectors.ivfInvertedLists(base, col("vec_id"),
+        col("embedding"), c)
+      .unionByName(Vectors.ivfInvertedLists(arrivals, col("vec_id"),
+        col("embedding"), c))
+    val rebuilt = Vectors.ivfInvertedLists(vecs, col("vec_id"),
+      col("embedding"), c)
+    def serve(lists: org.apache.spark.sql.DataFrame) =
+      Vectors.ivfServeTopK(lists, c, vecs.filter(col("vec_id") < 6),
+        col("vec_id"), col("embedding"), k = 3).collect().toSet
+    assert(serve(appended) === serve(rebuilt))
+  }
+
   test("slice-and-union serving equals whole-set serving (st24's micro-batch property)") {
     val c = cents
     val lists = Vectors.ivfInvertedLists(vecs, col("vec_id"),
