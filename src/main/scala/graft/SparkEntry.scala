@@ -82,6 +82,7 @@ object SparkEntry {
     "st22_stream_scd2" -> (StreamingQueries.streamScd2 _),
     "st23_stream_mv" -> (StreamingQueries.streamMv _),
     "st24_stream_ann_serve" -> (StreamingQueries.streamAnnServe _),
+    "st25_stream_ann_index_add" -> (StreamingQueries.streamAnnIndexAdd _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -2094,6 +2095,10 @@ object SparkEntry {
     // s26: append ≡ rebuild — training restricted to the base slice,
     // serving assignment over the full corpus with the frozen model.
     "s26_ann_index_add" -> ivfTrainedOracleSqlOver("vec_id % 10 <> 7"),
+    // st25: the arrivals feed applied per-micro-batch must land on the
+    // same rebuilt-index answer as s26's one-shot append.
+    "st25_stream_ann_index_add" ->
+      ivfTrainedOracleSqlOver("vec_id % 10 <> 7"),
     // Mirrors Vectors.kmeansCells: 2 Lloyd rounds, seeds = 16 lowest-id
     // vectors, assignment = argmax int64-cosine (ties -> smaller cid),
     // update = per-dim floor(sum/count) back onto the integer grid.

@@ -1833,4 +1833,55 @@ object StreamingQueries {
       try sq.processAllAvailable() finally sq.stop()
       spark.read.parquet(resultDir)
     }
+
+  /** st25: streaming index ADD — s26's online twin and st24's write-side
+    * complement: the index is trained once on the base corpus, then the
+    * ARRIVALS feed streams in and each micro-batch is assigned against
+    * the FROZEN stored centroids and APPENDED to the stored inverted
+    * lists in `foreachBatch` — the index stays servable and fresh under
+    * a live ingest, with no retrain and no base re-read (FAISS add(),
+    * micro-batched). Serving after the feed drains must equal the
+    * from-scratch same-centroid rebuild: s26's oracle, because
+    * per-vector assignment depends only on the frozen centroids and
+    * parquet-append on the lists dir is order-independent.
+    *
+    * At 100 TB: each arrivals batch is a map-side assignment vs
+    * broadcast centroids + an append of new files into the lists
+    * layout — O(batch) work regardless of index size; compaction of
+    * small appended files is ordinary parquet housekeeping. */
+  def streamAnnIndexAdd(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import graft.ops.Vectors
+      val e = Sources.table(spark, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 10 =!= 7)
+      val arrivals = e.filter(col("vec_id") % 10 === 7)
+      val (cents, _) = Vectors.kmeansFit(base, col("vec_id"),
+        col("embedding"), k = 16, iters = 2)
+      val idxDir = tempDir("graft_ivf_stream_add")
+      cents.write.mode("overwrite").parquet(s"$idxDir/centroids")
+      Vectors.ivfInvertedLists(base, col("vec_id"), col("embedding"), cents)
+        .write.mode("overwrite").parquet(s"$idxDir/lists")
+      val storedCents = spark.read.parquet(s"$idxDir/centroids")
+      val staging = tempDir("graft_ann_add_stage")
+      val now = System.currentTimeMillis()
+      stageFile(arrivals.filter(col("vec_id") % 20 === 7), staging,
+        "b1.parquet", now - 120000)
+      stageFile(arrivals.filter(col("vec_id") % 20 === 17), staging,
+        "b2.parquet", now - 60000)
+      val stream = spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging))
+      val sq = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Vectors.ivfInvertedLists(batch.toDF(), col("vec_id"),
+              col("embedding"), storedCents)
+            .write.mode("append").parquet(s"$idxDir/lists")
+          ()
+        }
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+      Vectors.ivfServeTopK(spark.read.parquet(s"$idxDir/lists"),
+        storedCents, e.filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), k = 10)
+    }
 }

@@ -566,13 +566,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"refresh joins are keyed (doc_id/fp/shingle), never cartesian\n$p")
   }
 
-  test("q34: profile is one scan + one Expand-style multi-distinct aggregation") {
+  test("q34: profile = per-column pruned scans + two-phase dedup aggs, no Expand") {
     val p = plan("q34_profile")
     val scans = "FileScan parquet".r.findAllIn(p).length
-    assert(scans == 1,
-      s"per-column stats must share ONE lineitem scan, got $scans\n$p")
-    assert(p.contains("Expand"),
-      s"exact multi-column ndv should plan as Catalyst Expand\n$p")
+    assert(scans == 5,
+      s"expected one single-column pruned scan per profiled column\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      s"each branch must prune to its one column\n$p")
+    assert(!p.contains("Expand"),
+      s"the Expand multi-distinct shape is 10x slower here — branches\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("Join"),
       s"profiling must not join; got\n$p")
   }
