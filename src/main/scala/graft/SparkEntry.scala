@@ -125,6 +125,7 @@ object SparkEntry {
     "s24_hybrid_rrf" -> (PipelineQueries.hybridRrf _),
     "s25_ann_index_store" -> (PipelineQueries.annIvfPersisted _),
     "s26_ann_index_add" -> (PipelineQueries.annIndexAdd _),
+    "s27_graph_ann" -> (PipelineQueries.graphAnn _),
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
     "d20_fuzzy_decontam" -> (PipelineQueries.fuzzyDecontaminate _),
     "d21_snapshot_diff" -> (PipelineQueries.snapshotDiff _),
@@ -2095,6 +2096,50 @@ object SparkEntry {
     // s26: append ≡ rebuild — training restricted to the base slice,
     // serving assignment over the full corpus with the frozen model.
     "s26_ann_index_add" -> ivfTrainedOracleSqlOver("vec_id % 10 <> 7"),
+    // s27: fixed-depth beam search over the exact degree-8 kNN graph —
+    // entry = min corpus id, hop 1 = its adjacency, beam-4 by exact
+    // cosine (ties by node id), hop 2 = the beam's adjacency, exact
+    // rerank of the visited set. The oracle replays the identical
+    // deterministic traversal, so hash-equality proves the graph build
+    // AND the walk, not just the rerank.
+    "s27_graph_ann" ->
+      s"""WITH pre AS ($embPreSql),
+         sims AS (
+           SELECT a.vec_id AS src, b.vec_id AS dst,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(a.v) x, unnest(b.v) y)) AS DOUBLE)
+               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+           FROM pre a JOIN pre b ON a.vec_id <> b.vec_id),
+         graph AS (
+           SELECT src, dst FROM (
+             SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS r
+             FROM sims) WHERE r <= 8),
+         entry AS (SELECT min(vec_id) AS e FROM pre),
+         qs AS (SELECT vec_id AS qid FROM pre WHERE vec_id < 10),
+         hop1 AS (SELECT q.qid, g.dst AS nid
+                  FROM qs q, entry, graph g WHERE g.src = entry.e),
+         beam1 AS (
+           SELECT qid, nid FROM (
+             SELECT h.qid, h.nid,
+               row_number() OVER (PARTITION BY h.qid
+                 ORDER BY s.cos DESC, h.nid) AS r
+             FROM hop1 h
+             JOIN sims s ON s.src = h.qid AND s.dst = h.nid) WHERE r <= 4),
+         hop2 AS (SELECT b.qid, g.dst AS nid
+                  FROM beam1 b JOIN graph g ON g.src = b.nid),
+         visited AS (
+           SELECT qid, e AS nid FROM qs, entry
+           UNION SELECT qid, nid FROM hop1
+           UNION SELECT qid, nid FROM hop2),
+         rer AS (
+           SELECT v.qid, v.nid, s.cos
+           FROM (SELECT DISTINCT qid, nid FROM visited) v
+           JOIN sims s ON s.src = v.qid AND s.dst = v.nid)
+         SELECT qid, nid, cos, rank FROM (
+           SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, nid) AS rank
+           FROM rer) WHERE rank <= 5""",
     // st25: the arrivals feed applied per-micro-batch must land on the
     // same rebuilt-index answer as s26's one-shot append.
     "st25_stream_ann_index_add" ->

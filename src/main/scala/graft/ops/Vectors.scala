@@ -1119,6 +1119,80 @@ object Vectors {
       .filter(col("rank") <= k)
   }
 
+  /** Exact kNN graph as an edge list `(src, dst)` — the BUILD stage of
+    * graph-traversal ANN (the HNSW/NSG family's layer-0 structure). The
+    * fixture build is the exact all-pairs top-`degree`; at corpus scale
+    * the same edge shape comes from [[annLshTopK]] seeding +
+    * [[nnDescentRound]] refinement (the s17→s19 path) — the SEARCH
+    * below only ever sees `(src, dst)` and is agnostic to how the graph
+    * was built, which is exactly the build/serve split of s25's
+    * stored-index lifecycle applied to a graph index. */
+  def knnGraphEdges(corpus: DataFrame, id: Column, emb: Column,
+      degree: Int): DataFrame =
+    annTopK(corpus, corpus, id, emb, degree)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+
+  /** Graph-traversal ANN serving — a fixed-depth beam search over a
+    * stored kNN graph (the greedy-routing idea of HNSW/NSG, Malkov &
+    * Yashunin 2018, made deterministic and fixed-step so the whole
+    * search is relational algebra): start at a deterministic entry
+    * point (min corpus id — production graphs store a medoid), take the
+    * entry's adjacency list as hop 1, keep the `beam` best hop-1 nodes
+    * by exact cosine to the query (int64 dots, ties by node id), expand
+    * their adjacency as hop 2, then exact-rerank every visited node and
+    * return the top `k`. Two hops with beam pruning = the b-bounded
+    * best-first frontier of graph ANN, unrolled to a fixed depth so
+    * both engines (and the DuckDB oracle) compute the identical visit
+    * set with no iteration-order nondeterminism.
+    *
+    * Why this exists next to IVF (s03/s10) and PQ (s07/s14): per-query
+    * serving cost is `1 + degree + beam·degree` score evaluations —
+    * INDEPENDENT of corpus size and of any cell-size skew, the
+    * economics that made graph indexes the default serving structure.
+    * The trade is build cost (the graph) and recall bounded by graph
+    * connectivity — both measured on the fixture by the s09-pattern
+    * audit in the spec.
+    *
+    * Scale shape: each hop is an equi-join of the (query-count × beam)
+    * frontier against the graph on `src` — frontier-sized shuffles,
+    * never corpus-sized; the graph artifact is hash-sharded by `src`
+    * exactly like the s25 inverted lists; rerank touches only the
+    * ≤ `1 + degree + beam·degree` visited rows per query. */
+  def graphSearchTopK(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, graph: DataFrame, beam: Int, k: Int): DataFrame = {
+    val c = prepared(corpus, id, emb)
+    val q = prepared(queries, id, emb).select(col("vid").as("qid"),
+      col("iv").as("qiv"), col("n2").as("qn2"))
+    // Exact query→node cosine for a (qid, nid) candidate set; self
+    // pairs are dropped (a query is never its own neighbor), matching
+    // the all-pairs sims relation the oracle ranks over.
+    def scored(cand: DataFrame): DataFrame = cand
+      .join(c.select(col("vid").as("nid"), col("iv"), col("n2")), Seq("nid"))
+      .join(q, Seq("qid"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        cosineFromInts(idot(col("qiv"), col("iv")), col("qn2"), col("n2"))
+          .as("cos"))
+    val entry = broadcast(c.agg(min(col("vid")).as("entry_id")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val hop1 = q.select(col("qid")).crossJoin(entry)
+      .join(graph, col("entry_id") === col("src"))
+      .select(col("qid"), col("dst").as("nid"))
+    val beam1 = scored(hop1)
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= beam)
+      .select(col("qid"), col("nid"))
+    val hop2 = beam1.join(graph, beam1("nid") === graph("src"))
+      .select(col("qid"), col("dst").as("nid"))
+    val visited = q.select(col("qid")).crossJoin(entry)
+      .select(col("qid"), col("entry_id").as("nid"))
+      .unionByName(hop1).unionByName(hop2)
+      .distinct()
+    scored(visited)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-dimension corpus statistics — the feature-normalization /
     * scaler-fitting pass (min-max bounds + coverage count per embedding
     * position) run before quantization or whitening. min/max involve no

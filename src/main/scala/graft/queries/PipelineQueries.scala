@@ -414,6 +414,24 @@ object PipelineQueries {
       e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), k = 10)
   }
 
+  /** s27: graph-traversal ANN — the stored kNN graph served by a
+    * fixed-depth beam search ([[graft.ops.Vectors.graphSearchTopK]]).
+    * The graph is built ONCE (exact degree-8 here; the s17→s19 LSH +
+    * NN-descent path at corpus scale), persisted as a parquet artifact
+    * like s25's inverted lists, and each query costs
+    * `1 + degree + beam·degree` exact scores — corpus-size-independent
+    * serving, the HNSW economics next to IVF's cell-sized probes. */
+  def graphAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_graph_ann").toString
+    Vectors.knnGraphEdges(e, col("vec_id"), col("embedding"), degree = 8)
+      .write.mode("overwrite").parquet(s"$idxDir/graph")
+    Vectors.graphSearchTopK(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"),
+      spark.read.parquet(s"$idxDir/graph"), beam = 4, k = 5)
+  }
+
   /** SemDeDup-style cluster-then-dedup over embeddings: within-cell
     * cosine ≥ 0.3 against an earlier id ⇒ dropped — d12. nCells pinned
     * to 16 so the fixture oracle is stable; production uses the

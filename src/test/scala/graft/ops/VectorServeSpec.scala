@@ -88,4 +88,43 @@ class VectorServeSpec extends AnyFunSuite with SparkFixture {
       serve(vecs.filter(col("vec_id") >= 3 && col("vec_id") < 6))
     assert(whole === sliced)
   }
+
+  test("graph ANN: full-connectivity graph + wide beam reduces to exact " +
+      "top-k, served from the stored artifact (s27)") {
+    val dir = Files.createTempDirectory("graft_graph_spec").toString
+    Vectors.knnGraphEdges(vecs, col("vec_id"), col("embedding"),
+        degree = 29)
+      .write.parquet(s"$dir/graph")
+    val g = spark.read.parquet(s"$dir/graph")
+    val q = vecs.filter(col("vec_id") < 5)
+    val served = Vectors.graphSearchTopK(vecs, q, col("vec_id"),
+      col("embedding"), g, beam = 29, k = 3)
+    val got = served.select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Vectors.annTopK(vecs, q, col("vec_id"), col("embedding"), 3)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === exact)
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("graft_graph_spec"),
+      s"search must walk the stored graph artifact\n$p")
+  }
+
+  test("graph ANN: narrow search visits only entry + adjacency + " +
+      "beam-expansion nodes (s27's bounded-cost invariant)") {
+    val g = Vectors.knnGraphEdges(vecs, col("vec_id"), col("embedding"),
+      degree = 2).localCheckpoint()
+    val adj = g.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val entry = 0L // min vec_id of the 0-29 fixture
+    val q = vecs.filter(col("vec_id") === 7L)
+    val res = Vectors.graphSearchTopK(vecs, q, col("vec_id"),
+        col("embedding"), g, beam = 1, k = 10)
+      .select("nid").collect().map(_.getLong(0)).toSet
+    // reachable in <= 2 hops from the entry under ANY beam-1 choice
+    val hop1 = adj(entry)
+    val reachable = Set(entry) ++ hop1 ++ hop1.flatMap(adj.getOrElse(_, Set.empty[Long]))
+    assert(res.subsetOf(reachable - 7L))
+    assert(res.nonEmpty)
+  }
 }
