@@ -63,6 +63,7 @@ object SparkEntry {
     "q32_scd2" -> (Relational.scd2 _),
     "q33_mv_merge" -> (Relational.mvMerge _),
     "q34_profile" -> (Relational.profileTable _),
+    "q35_kmv_setops" -> (Relational.kmvSetAlgebra _),
     "q22_pivot" -> (Relational.pivotAgg _),
     "q23_unpivot" -> (Relational.unpivotAgg _),
     "q24_bucketed_join" -> (Relational.bucketedJoin _),
@@ -695,6 +696,67 @@ object SparkEntry {
          SELECT v.col_name, v.n_nonnull, v.ndv, v.min_val, v.max_val,
            p.n_rows
          FROM v, p""",
+    // q35: theta/KMV set algebra — the oracle rebuilds the identical
+    // md5-hash sketches, takes theta = min of the pair's thresholds,
+    // and computes every estimate as sample-count * 2^32 / theta, so
+    // hash-equality proves the sketch REGISTERS and the set-algebra
+    // arithmetic, not just the exact ride-along counts.
+    "q35_kmv_setops" ->
+      """WITH el AS (SELECT DISTINCT event_type AS s,
+                       CAST(user_id AS VARCHAR) AS e FROM events),
+         hs AS (SELECT DISTINCT s,
+                  ('0x' || substr(md5(e),1,8))::BIGINT AS hw FROM el),
+         nh AS (SELECT s, count(*) AS n_hashes FROM hs GROUP BY s),
+         ranked AS (SELECT s, hw,
+                      row_number() OVER (PARTITION BY s ORDER BY hw) AS rn
+                    FROM hs),
+         mins AS (SELECT s, hw FROM ranked WHERE rn <= 64),
+         meta AS (SELECT k.s,
+                    CASE WHEN n.n_hashes >= 64 THEN k.kth
+                         ELSE 4294967296 END AS theta
+                  FROM (SELECT s, max(hw) AS kth FROM mins GROUP BY s) k
+                  JOIN nh n ON n.s = k.s),
+         ex AS (SELECT s, count(*) AS n_exact FROM el GROUP BY s),
+         pairs AS (SELECT a.s AS sa, b.s AS sb,
+                     least(a.theta, b.theta) AS theta
+                   FROM meta a JOIN meta b ON a.s < b.s),
+         asamp AS (SELECT p.sa, p.sb, count(*) AS a_sample
+                   FROM pairs p JOIN mins m
+                     ON m.s = p.sa AND m.hw < p.theta GROUP BY 1, 2),
+         bsamp AS (SELECT p.sa, p.sb, count(*) AS b_sample
+                   FROM pairs p JOIN mins m
+                     ON m.s = p.sb AND m.hw < p.theta GROUP BY 1, 2),
+         isamp AS (SELECT p.sa, p.sb, count(*) AS inter_sample
+                   FROM pairs p
+                   JOIN mins x ON x.s = p.sa AND x.hw < p.theta
+                   JOIN mins y ON y.s = p.sb AND y.hw = x.hw
+                   GROUP BY 1, 2),
+         iex AS (SELECT a.s AS sa, b.s AS sb, count(*) AS inter_exact
+                 FROM el a JOIN el b ON b.e = a.e AND a.s < b.s
+                 GROUP BY 1, 2)
+         SELECT p.sa AS type_a, p.sb AS type_b,
+           ea.n_exact AS n_a_exact, eb.n_exact AS n_b_exact,
+           COALESCE(ie.inter_exact, 0) AS inter_exact, p.theta,
+           a.a_sample, b.b_sample,
+           COALESCE(i.inter_sample, 0) AS inter_sample,
+           CAST(a.a_sample AS DOUBLE) * 4294967296.0
+             / CAST(p.theta AS DOUBLE) AS est_a,
+           CAST(b.b_sample AS DOUBLE) * 4294967296.0
+             / CAST(p.theta AS DOUBLE) AS est_b,
+           CAST(COALESCE(i.inter_sample, 0) AS DOUBLE) * 4294967296.0
+             / CAST(p.theta AS DOUBLE) AS est_inter,
+           CAST(a.a_sample + b.b_sample - COALESCE(i.inter_sample, 0)
+             AS DOUBLE) * 4294967296.0
+             / CAST(p.theta AS DOUBLE) AS est_union,
+           CAST(a.a_sample - COALESCE(i.inter_sample, 0) AS DOUBLE)
+             * 4294967296.0 / CAST(p.theta AS DOUBLE) AS est_diff_ab
+         FROM pairs p
+         JOIN ex ea ON ea.s = p.sa
+         JOIN ex eb ON eb.s = p.sb
+         LEFT JOIN iex ie ON ie.sa = p.sa AND ie.sb = p.sb
+         JOIN asamp a ON a.sa = p.sa AND a.sb = p.sb
+         JOIN bsamp b ON b.sa = p.sa AND b.sb = p.sb
+         LEFT JOIN isamp i ON i.sa = p.sa AND i.sb = p.sb""",
     "q19_cube" ->
       """SELECT c_mktsegment, n_regionkey, count(*) AS cnt,
            CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal

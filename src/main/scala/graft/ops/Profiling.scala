@@ -2,6 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Hashes
 
 /** Table profiling — the `ANALYZE`-class data-quality pass a pipeline
   * runs before trusting an input drop: per-column non-null count,
@@ -43,4 +45,92 @@ object Profiling {
         .select(lit(c).as("col_name"), col("n_nonnull"), col("ndv"),
           col("min_val"), col("max_val"), col("n_rows"))
     }.reduce(_ unionByName _)
+
+  /** KMV/theta-sketch SET ALGEBRA — per-segment-pair distinct-element
+    * intersection / union / difference estimates computed from the two
+    * segments' k-minimum-values sketches alone (Dasgupta et al. 2016,
+    * "Theta-Sketch Framework", public; t14 is the single-set
+    * cardinality special case). This is the capability HLL
+    * fundamentally lacks: HLL unions losslessly but cannot intersect;
+    * a theta/KMV sketch supports the full algebra because it carries a
+    * uniform SAMPLE of the hash space below a threshold. Per pair:
+    * θ = min(θ_a, θ_b) (a segment's θ is its k-th smallest hash, or
+    * 2^32 while unsaturated), every estimate is
+    * `|sample ∩ [0,θ)| · 2^32 / θ`, and the exact per-segment and
+    * intersection counts ride along as the fixture-scale error audit
+    * (the t14 pattern). All hashing is the portable md5-derived
+    * [[Hashes.h32]], so every register and estimate is bit-identical
+    * in the DuckDB oracle.
+    *
+    * Scale shape: the sketches are the ONLY thing the pairwise stage
+    * touches — ≤ k rows per segment (the two-level k-minima selection
+    * of [[TextAnalysis.kmvDistinct]] applies verbatim when a segment's
+    * distinct set is huge), so the pair joins are (#segments² · k)-
+    * sized regardless of corpus size. The exact ride-alongs are the
+    * one corpus-sized stage; a 100 TB deployment drops them and keeps
+    * the sketch algebra, which is the entire point — set overlap
+    * across segment pairs without ever co-shuffling the segments'
+    * raw element sets. */
+  def kmvSetOps(df: DataFrame, segment: Column, element: Column,
+      k: Int = 64): DataFrame = {
+    val el = df.select(segment.as("s"), element.cast("string").as("e"))
+      .distinct()
+    val hs = el.select(col("s"), Hashes.h32(col("e")).as("hw")).distinct()
+    val nh = hs.groupBy(col("s")).agg(count(lit(1)).as("n_hashes"))
+    val wS = Window.partitionBy(col("s")).orderBy(col("hw"))
+    val mins = hs.withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= k).select(col("s"), col("hw"))
+      .localCheckpoint() // the sketch artifact: <= k rows per segment
+    val meta = mins.groupBy(col("s")).agg(max(col("hw")).as("kth"))
+      .join(nh, Seq("s"))
+      .select(col("s"),
+        when(col("n_hashes") >= k, col("kth"))
+          .otherwise(lit(4294967296L)).as("theta"))
+    val exact = el.groupBy(col("s")).agg(count(lit(1)).as("n_exact"))
+    val interExact = el.as("a")
+      .join(el.as("b"),
+        col("a.e") === col("b.e") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("sa"), col("b.s").as("sb"))
+      .agg(count(lit(1)).as("inter_exact"))
+    val pairs = meta.as("ma")
+      .join(meta.as("mb"), col("ma.s") < col("mb.s"))
+      .select(col("ma.s").as("sa"), col("mb.s").as("sb"),
+        least(col("ma.theta"), col("mb.theta")).as("theta"))
+    def sideSample(side: String, out: String) = pairs
+      .join(mins, col("s") === col(side) && col("hw") < col("theta"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as(out))
+    val aS = sideSample("sa", "a_sample")
+    val bS = sideSample("sb", "b_sample")
+    val iS = pairs
+      .join(mins.as("x"),
+        col("x.s") === col("sa") && col("x.hw") < col("theta"))
+      .join(mins.as("y"),
+        col("y.s") === col("sb") && col("y.hw") === col("x.hw"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter_sample"))
+    def est(sample: Column) =
+      sample.cast("double") * lit(4294967296.0) / col("theta").cast("double")
+    pairs
+      .join(exact.select(col("s").as("sa"), col("n_exact").as("n_a_exact")),
+        Seq("sa"))
+      .join(exact.select(col("s").as("sb"), col("n_exact").as("n_b_exact")),
+        Seq("sb"))
+      .join(interExact, Seq("sa", "sb"), "left")
+      .join(aS, Seq("sa", "sb"))
+      .join(bS, Seq("sa", "sb"))
+      .join(iS, Seq("sa", "sb"), "left")
+      .select(col("sa").as("type_a"), col("sb").as("type_b"),
+        col("n_a_exact"), col("n_b_exact"),
+        coalesce(col("inter_exact"), lit(0L)).as("inter_exact"),
+        col("theta"), col("a_sample"), col("b_sample"),
+        coalesce(col("inter_sample"), lit(0L)).as("inter_sample"),
+        est(col("a_sample")).as("est_a"),
+        est(col("b_sample")).as("est_b"),
+        est(coalesce(col("inter_sample"), lit(0L))).as("est_inter"),
+        est(col("a_sample") + col("b_sample")
+          - coalesce(col("inter_sample"), lit(0L))).as("est_union"),
+        est(col("a_sample")
+          - coalesce(col("inter_sample"), lit(0L))).as("est_diff_ab"))
+  }
 }

@@ -690,4 +690,13 @@ object Relational {
     graft.ops.Profiling.profile(table(spark, dir, "lineitem"),
       Seq("l_orderkey", "l_quantity", "l_extendedprice",
         "l_returnflag", "l_linestatus"))
+
+  /** q35: theta-sketch set algebra — distinct-user overlap between
+    * every pair of event-type segments, estimated from k=64 KMV
+    * sketches with the exact counts riding along as the audit; see
+    * [[graft.ops.Profiling.kmvSetOps]] for why this (and not HLL) is
+    * the 100 TB answer to "how many users did both X and Y". */
+  def kmvSetAlgebra(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.kmvSetOps(table(spark, dir, "events"),
+      col("event_type"), col("user_id"), k = 64)
 }

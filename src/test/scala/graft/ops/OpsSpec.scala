@@ -1025,4 +1025,43 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r("s") == ((2L, 2L, "a", "c", 3L))) // null excluded, n_rows not
     assert(r("v") == ((3L, 2L, "10.0", "20.0", 3L)))
   }
+
+  test("kmv set algebra: unsaturated sketches are exact; estimates " +
+      "match the known overlap") {
+    import spark.implicits._
+    val d = (Seq("A" -> 1, "A" -> 2, "A" -> 3, "A" -> 4) ++
+      Seq("B" -> 3, "B" -> 4, "B" -> 5) ++ Seq("C" -> 9))
+      .map { case (s, e) => (s, e.toLong) }.toDF("seg", "uid")
+    val r = Profiling.kmvSetOps(d, col("seg"), col("uid"), k = 64)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    val ab = r(("A", "B"))
+    assert(ab.getLong(2) == 4L && ab.getLong(3) == 3L) // exact cards
+    assert(ab.getLong(4) == 2L)                        // exact overlap
+    assert(ab.getLong(5) == 4294967296L)               // unsaturated theta
+    assert(ab.getDouble(9) == 4.0 && ab.getDouble(10) == 3.0)
+    assert(ab.getDouble(11) == 2.0)  // est_inter exact below capacity
+    assert(ab.getDouble(12) == 5.0)  // est_union
+    assert(ab.getDouble(13) == 2.0)  // est_diff_ab
+    val ac = r(("A", "C"))
+    assert(ac.getLong(4) == 0L && ac.getDouble(11) == 0.0) // disjoint
+  }
+
+  test("kmv set algebra: saturated sketches obey the theta invariants") {
+    import spark.implicits._
+    val d = ((1 to 100).map("A" -> _) ++ (50 to 150).map("B" -> _))
+      .map { case (s, e) => (s, e.toLong) }.toDF("seg", "uid")
+    val k = 8
+    val r = Profiling.kmvSetOps(d, col("seg"), col("uid"), k = k)
+      .collect()
+    assert(r.length == 1)
+    val ab = r.head
+    assert(ab.getLong(5) < 4294967296L) // both sides saturated
+    val (aS, bS, iS) = (ab.getLong(6), ab.getLong(7), ab.getLong(8))
+    assert(aS <= k - 1 && bS <= k - 1) // only hashes strictly below theta
+    assert(iS <= math.min(aS, bS))
+    // the side whose kth IS theta contributes exactly k-1 samples
+    assert(aS == k - 1 || bS == k - 1)
+    assert(ab.getDouble(11) >= 0.0 &&
+      ab.getDouble(12) >= math.max(ab.getDouble(9), ab.getDouble(10)))
+  }
 }
