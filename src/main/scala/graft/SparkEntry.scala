@@ -140,6 +140,7 @@ object SparkEntry {
     "c03_leakage_audit" -> (PipelineQueries.leakageAudit _),
     "c04_dataset_card" -> (PipelineQueries.datasetCard _),
     "c05_incremental_curate" -> (PipelineQueries.incrementalCurate _),
+    "c06_profile_drift" -> (PipelineQueries.profileDrift _),
     "t01_langid" -> (PipelineQueries.langId _),
     "t02_quality" -> (PipelineQueries.quality _),
     "t03_token_stats" -> (PipelineQueries.tokenStats _),
@@ -2473,6 +2474,30 @@ object SparkEntry {
     // c05: incremental refresh must equal the FULL recompute on the new
     // snapshot (new = %7 filter with ' v2' appended to %3 ids; bench =
     // all src0 docs, fixed across snapshots).
+    // c06: per-column profile of the d21-carved old vs new snapshot,
+    // joined with ratio + min/max-identity drift signals. min/max are
+    // compared as their VARCHAR canonical forms (q34's convention).
+    "c06_profile_drift" ->
+      s"""WITH old_t AS (
+           SELECT doc_id, text, lang, source, n_chars FROM documents
+           WHERE doc_id % 5 <> 0),
+         new_t AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text,
+             lang, source, n_chars FROM documents
+           WHERE doc_id % 7 <> 0),
+         po AS (${profileSqlOver("old_t")}),
+         pn AS (${profileSqlOver("new_t")})
+         SELECT po.col_name,
+           po.n_rows AS n_rows_old, pn.n_rows AS n_rows_new,
+           po.n_nonnull AS n_nonnull_old, pn.n_nonnull AS n_nonnull_new,
+           po.ndv AS ndv_old, pn.ndv AS ndv_new,
+           CAST(pn.ndv AS DOUBLE) / CAST(po.ndv AS DOUBLE) AS ndv_ratio,
+           CAST(pn.n_rows AS DOUBLE) / CAST(po.n_rows AS DOUBLE)
+             AS rowcount_ratio,
+           po.min_val <> pn.min_val AS min_changed,
+           po.max_val <> pn.max_val AS max_changed
+         FROM po JOIN pn ON pn.col_name = po.col_name""",
     "c05_incremental_curate" ->
       """WITH newtrain AS (
            SELECT doc_id,
@@ -3217,6 +3242,22 @@ object SparkEntry {
               (SELECT count(*) FROM s1) AS users
        UNION ALL SELECT 'step2_click', (SELECT count(*) FROM s2)
        UNION ALL SELECT 'step3_purchase', (SELECT count(*) FROM s3)"""
+
+  /** q34-shape profile SQL over a CTE-bound relation — one branch per
+    * documents column, min/max canonicalized to VARCHAR. Shared by the
+    * c06 drift compare's two sides. */
+  private def profileSqlOver(rel: String): String = {
+    val branches = Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+           count(DISTINCT $c) AS ndv,
+           CAST(min($c) AS VARCHAR) AS min_val,
+           CAST(max($c) AS VARCHAR) AS max_val FROM $rel""")
+      .mkString(" UNION ALL ")
+    s"""SELECT v.col_name, v.n_nonnull, v.ndv, v.min_val, v.max_val,
+       p.n_rows FROM ($branches) v,
+       (SELECT count(*) AS n_rows FROM $rel) p"""
+  }
 
   private def embPreSql: String =
     """SELECT vec_id,

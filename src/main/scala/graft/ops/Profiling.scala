@@ -46,6 +46,41 @@ object Profiling {
           col("min_val"), col("max_val"), col("n_rows"))
     }.reduce(_ unionByName _)
 
+  /** Profile DRIFT between two snapshots of the same table — the
+    * data-quality regression gate (the Deequ / Great-Expectations
+    * check class, public) every recurring 100 TB ingest runs before
+    * promoting a new drop: [[profile]] computed on both versions,
+    * joined per column, with the drift signals a gate thresholds on —
+    * row-count and ndv ratios (a cardinality explosion or collapse),
+    * and min/max identity flags (a domain shift: new enum value, a
+    * timestamp from 1970, an id range restart). Ratios are emitted
+    * rather than pass/fail verdicts so the GATE's thresholds stay
+    * policy, not engine, semantics — c01's keep-rules pattern.
+    *
+    * Scale shape: two independent [[profile]] passes (each one scan of
+    * its snapshot, per-column two-phase aggs) joined on the
+    * #columns-sized profile rows — the compare itself is free; nothing
+    * about the snapshots is ever co-shuffled. */
+  def profileDrift(old: DataFrame, nw: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, sfx: String) =
+      profile(df, cols).select(col("col_name"),
+        col("n_nonnull").as(s"n_nonnull_$sfx"), col("ndv").as(s"ndv_$sfx"),
+        col("min_val").as(s"min_$sfx"), col("max_val").as(s"max_$sfx"),
+        col("n_rows").as(s"n_rows_$sfx"))
+    side(old, "old").join(side(nw, "new"), Seq("col_name"))
+      .select(col("col_name"),
+        col("n_rows_old"), col("n_rows_new"),
+        col("n_nonnull_old"), col("n_nonnull_new"),
+        col("ndv_old"), col("ndv_new"),
+        (col("ndv_new").cast("double") / col("ndv_old").cast("double"))
+          .as("ndv_ratio"),
+        (col("n_rows_new").cast("double") / col("n_rows_old").cast("double"))
+          .as("rowcount_ratio"),
+        (col("min_old") =!= col("min_new")).as("min_changed"),
+        (col("max_old") =!= col("max_new")).as("max_changed"))
+  }
+
   /** KMV/theta-sketch SET ALGEBRA — per-segment-pair distinct-element
     * intersection / union / difference estimates computed from the two
     * segments' k-minimum-values sketches alone (Dasgupta et al. 2016,

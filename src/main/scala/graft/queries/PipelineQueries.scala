@@ -853,4 +853,21 @@ object PipelineQueries {
   def boolSearch(spark: SparkSession, dir: String): DataFrame =
     Retrieval.booleanSearch(docs(spark, dir), col("text"),
       col("doc_id"), boolQueries)
+
+  /** c06: profile drift between corpus snapshots — the data-quality
+    * regression gate run before promoting a new drop
+    * ([[graft.ops.Profiling.profileDrift]]). Snapshots are d21's
+    * deterministic carving (old drops ids ≡ 0 mod 5; new drops ids ≡ 0
+    * mod 7 and edits ids ≡ 0 mod 3), so removed rows, added rows and
+    * edited text all leave visible drift signals. */
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val old = d.filter(col("doc_id") % 5 =!= 0)
+    val nw = d.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    graft.ops.Profiling.profileDrift(old, nw,
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+  }
 }

@@ -1026,6 +1026,24 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r("v") == ((3L, 2L, "10.0", "20.0", 3L)))
   }
 
+  test("profile drift: removed rows, ndv collapse and range shift all " +
+      "surface as signals") {
+    import spark.implicits._
+    val old = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0))
+      .toDF("id", "s", "v")
+    val nw = Seq((1L, "x", 10.0), (2L, "x", 10.0))
+      .toDF("id", "s", "v")
+    val r = Profiling.profileDrift(old, nw, Seq("id", "s", "v"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("id").getLong(1) == 3L && r("id").getLong(2) == 2L)
+    assert(r("id").getDouble(8) == 2.0 / 3.0)   // rowcount_ratio
+    assert(!r("id").getBoolean(9))              // min id unchanged
+    assert(r("id").getBoolean(10))              // max id shifted
+    assert(r("s").getLong(5) == 3L && r("s").getLong(6) == 1L)
+    assert(r("s").getDouble(7) == 1.0 / 3.0)    // ndv collapse
+    assert(r("v").getBoolean(10))               // max 30.0 -> 10.0
+  }
+
   test("kmv set algebra: unsaturated sketches are exact; estimates " +
       "match the known overlap") {
     import spark.implicits._
