@@ -84,6 +84,7 @@ object SparkEntry {
     "st23_stream_mv" -> (StreamingQueries.streamMv _),
     "st24_stream_ann_serve" -> (StreamingQueries.streamAnnServe _),
     "st25_stream_ann_index_add" -> (StreamingQueries.streamAnnIndexAdd _),
+    "st26_stream_lm_gate" -> (StreamingQueries.streamLmGate _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -2814,43 +2815,11 @@ object SparkEntry {
     // (rank-selected boundary values, q29's machinery) + map-side
     // CASE bucketing. head = top tercile (lm_score rises with
     // fluency, CCNet's low-perplexity side).
-    "t20_ccnet_buckets" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
-                    FROM documents),
-         g AS (SELECT doc_id,
-                 unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
-                   i -> w[i] || ' ' || w[i+1])) AS g
-               FROM w),
-         cb AS (SELECT g, count(*) AS cb FROM g GROUP BY g),
-         c1 AS (SELECT split_part(g, ' ', 1) AS w1, sum(cb) AS c1
-                FROM cb GROUP BY 1),
-         v AS (SELECT count(*) AS v FROM c1),
-         p AS (SELECT doc_id, g.g AS g,
-                 CAST(cb.cb + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) AS p
-               FROM g JOIN cb ON g.g = cb.g
-                      JOIN c1 ON split_part(g.g, ' ', 1) = c1.w1, v),
-         lst AS (SELECT doc_id, list(p ORDER BY g) AS l FROM p
-                 GROUP BY doc_id),
-         sc AS (SELECT lst.doc_id, d.lang,
-                  list_reduce(list_prepend(0.0, l), (acc, x) -> acc + x)
-                    / CAST(len(l) AS DOUBLE) AS lm_score
-                FROM lst JOIN documents d ON lst.doc_id = d.doc_id),
-         ranked AS (SELECT doc_id, lang, lm_score,
-                  row_number() OVER (PARTITION BY lang
-                                     ORDER BY lm_score, doc_id) AS rk,
-                  count(*) OVER (PARTITION BY lang) AS n
-                FROM sc),
-         bounds AS (SELECT lang,
-                  max(CASE WHEN rk = CAST(ceil(n / 3.0) AS BIGINT)
-                      THEN lm_score END) AS b1,
-                  max(CASE WHEN rk = CAST(ceil(2 * n / 3.0) AS BIGINT)
-                      THEN lm_score END) AS b2
-                FROM ranked GROUP BY lang)
-         SELECT sc.doc_id, sc.lang, sc.lm_score,
-           CASE WHEN sc.lm_score <= b.b1 THEN 'tail'
-                WHEN sc.lm_score <= b.b2 THEN 'middle'
-                ELSE 'head' END AS bucket
-         FROM sc JOIN bounds b ON sc.lang = b.lang""",
+    "t20_ccnet_buckets" -> ccnetOracleSql,
+    // st26 scores each arriving micro-batch against the STORED bigram
+    // model + tercile boundaries; the frozen-model slice-union property
+    // makes it land on t20's whole-corpus answer exactly.
+    "st26_stream_lm_gate" -> ccnetOracleSql,
     // Mirrors TextAnalysis.shuffleShard: md5-bucket shard, position =
     // rank of the full md5 hex within the shard.
     "t11_shuffle_shard" ->
@@ -3242,6 +3211,48 @@ object SparkEntry {
               (SELECT count(*) FROM s1) AS users
        UNION ALL SELECT 'step2_click', (SELECT count(*) FROM s2)
        UNION ALL SELECT 'step3_purchase', (SELECT count(*) FROM s3)"""
+
+  /** Shared by t20 (batch CCNet gate) and st26 (the same gate applied
+    * per micro-batch against the stored model + boundaries): the
+    * frozen-model slice-union property means both must land on exactly
+    * this whole-corpus answer. */
+  private def ccnetOracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                   i -> w[i] || ' ' || w[i+1])) AS g
+               FROM w),
+         cb AS (SELECT g, count(*) AS cb FROM g GROUP BY g),
+         c1 AS (SELECT split_part(g, ' ', 1) AS w1, sum(cb) AS c1
+                FROM cb GROUP BY 1),
+         v AS (SELECT count(*) AS v FROM c1),
+         p AS (SELECT doc_id, g.g AS g,
+                 CAST(cb.cb + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) AS p
+               FROM g JOIN cb ON g.g = cb.g
+                      JOIN c1 ON split_part(g.g, ' ', 1) = c1.w1, v),
+         lst AS (SELECT doc_id, list(p ORDER BY g) AS l FROM p
+                 GROUP BY doc_id),
+         sc AS (SELECT lst.doc_id, d.lang,
+                  list_reduce(list_prepend(0.0, l), (acc, x) -> acc + x)
+                    / CAST(len(l) AS DOUBLE) AS lm_score
+                FROM lst JOIN documents d ON lst.doc_id = d.doc_id),
+         ranked AS (SELECT doc_id, lang, lm_score,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY lm_score, doc_id) AS rk,
+                  count(*) OVER (PARTITION BY lang) AS n
+                FROM sc),
+         bounds AS (SELECT lang,
+                  max(CASE WHEN rk = CAST(ceil(n / 3.0) AS BIGINT)
+                      THEN lm_score END) AS b1,
+                  max(CASE WHEN rk = CAST(ceil(2 * n / 3.0) AS BIGINT)
+                      THEN lm_score END) AS b2
+                FROM ranked GROUP BY lang)
+         SELECT sc.doc_id, sc.lang, sc.lm_score,
+           CASE WHEN sc.lm_score <= b.b1 THEN 'tail'
+                WHEN sc.lm_score <= b.b2 THEN 'middle'
+                ELSE 'head' END AS bucket
+         FROM sc JOIN bounds b ON sc.lang = b.lang"""
 
   /** q34-shape profile SQL over a CTE-bound relation — one branch per
     * documents column, min/max canonicalized to VARCHAR. Shared by the

@@ -574,18 +574,42 @@ object TextAnalysis {
     * [[Dedup.decontaminate]]'s `maxBroadcastShingles`). */
   def bigramLmScore(df: DataFrame, text: Column, id: Column,
       minCount: Long = 1L,
-      maxBroadcastBigrams: Long = 10_000_000L): DataFrame = {
+      maxBroadcastBigrams: Long = 10_000_000L): DataFrame =
+    bigramLmScoreWith(df, text, id,
+      bigramLmFit(df, text, minCount), maxBroadcastBigrams)
+
+  /** FIT side of the bigram LM: the pruned bigram-count table — the
+    * model artifact. `localCheckpoint`ed so the corpus is scanned
+    * exactly once per fit; persist it to parquet for the
+    * train-once/score-forever lifecycle (st26 serves from exactly that
+    * stored artifact, the s25/st24 split applied to the text model). */
+  def bigramLmFit(df: DataFrame, text: Column,
+      minCount: Long = 1L): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
     // positional bigrams (occurrences matter for an LM) — the native
     // one-pass kernel, distinct=false
+    df.select(
+        explode(call_function("graft_shingles", text, lit(2), lit(false)))
+          .as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+      .localCheckpoint()
+  }
+
+  /** SCORE side: per-doc mean smoothed bigram probability under a
+    * FROZEN model `cb` (from [[bigramLmFit]] or a stored parquet
+    * artifact). The smoothing alphabet (`c1`, V) is derived from the
+    * model itself, never from the scored corpus, so scoring a slice —
+    * or one streaming micro-batch — yields bit-identical rows to
+    * scoring the whole corpus, the slice-union property st26 rests
+    * on. */
+  def bigramLmScoreWith(df: DataFrame, text: Column, id: Column,
+      cb: DataFrame,
+      maxBroadcastBigrams: Long = 10_000_000L): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
     val grams = df.select(id.as("doc_id"),
       explode(call_function("graft_shingles", text, lit(2), lit(false)))
         .as("g"))
-    // fit: materialize the model once; everything downstream reads the
-    // checkpointed table instead of re-scanning the corpus
-    val cb = grams.groupBy(col("g")).agg(count(lit(1)).as("cb"))
-      .filter(col("cb") >= minCount)
-      .localCheckpoint()
     val c1 = cb.groupBy(split_part(col("g"), lit(" "), lit(1)).as("w1"))
       .agg(sum(col("cb")).as("c1"))
     val vocab = c1.agg(count(lit(1)).as("v"))
@@ -639,22 +663,34 @@ object TextAnalysis {
     val scored = bigramLmScore(df, text, id)
       .join(df.select(id.as("doc_id"), lang.as("lang")), Seq("doc_id"))
       .localCheckpoint()
+    ccnetBucketed(scored, ccnetBounds(scored))
+  }
+
+  /** Per-language tercile boundaries of a scored table
+    * `(doc_id, lang, lm_score)` — the trained half of the CCNet gate,
+    * 2 values per language; persist alongside [[bigramLmFit]]'s model
+    * for online bucketing (st26). */
+  def ccnetBounds(scored: DataFrame): DataFrame = {
     val byLang = Window.partitionBy(col("lang"))
-    val ranked = scored
+    scored
       .withColumn("rk",
         row_number().over(byLang.orderBy(col("lm_score"), col("doc_id"))))
       .withColumn("n", count(lit(1)).over(byLang))
-    val bounds = ranked.groupBy(col("lang")).agg(
-      max(when(col("rk") === expr("ceil(n / 3.0)"), col("lm_score")))
-        .as("b1"),
-      max(when(col("rk") === expr("ceil(2 * n / 3.0)"), col("lm_score")))
-        .as("b2"))
+      .groupBy(col("lang")).agg(
+        max(when(col("rk") === expr("ceil(n / 3.0)"), col("lm_score")))
+          .as("b1"),
+        max(when(col("rk") === expr("ceil(2 * n / 3.0)"), col("lm_score")))
+          .as("b2"))
+  }
+
+  /** Bucket a scored table against FROZEN boundaries — a broadcast
+    * join + map-only CASE, the serve half usable per micro-batch. */
+  def ccnetBucketed(scored: DataFrame, bounds: DataFrame): DataFrame =
     scored.join(broadcast(bounds), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("lm_score"),
         when(col("lm_score") <= col("b1"), lit("tail"))
           .when(col("lm_score") <= col("b2"), lit("middle"))
           .otherwise(lit("head")).as("bucket"))
-  }
 
   /** Deterministic train/val/test split by content-free key hash —
     * the reproducible sharding every training pipeline needs (same doc

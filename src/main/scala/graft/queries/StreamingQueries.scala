@@ -1884,4 +1884,65 @@ object StreamingQueries {
         storedCents, e.filter(col("vec_id") < 10),
         col("vec_id"), col("embedding"), k = 10)
     }
+
+  /** st26: streaming LM quality gate — the CCNet head/middle/tail gate
+    * (t20) applied AT INGEST, st24's train-once/serve-online lifecycle
+    * for the text model: the bigram LM
+    * ([[graft.ops.TextAnalysis.bigramLmFit]]) and the per-language
+    * tercile boundaries ([[TextAnalysis.ccnetBounds]]) are trained
+    * offline and persisted as parquet artifacts; documents then arrive
+    * as a stream and every micro-batch is scored against the STORED
+    * model and bucketed against the STORED boundaries in
+    * `foreachBatch` — the quality verdict exists the moment the
+    * document lands, no nightly batch re-pass. Hash-matches t20's
+    * whole-corpus oracle because a doc's score depends only on (its
+    * own text, the frozen model) and its bucket only on (score, lang,
+    * frozen bounds) — [[TextAnalysis.bigramLmScoreWith]]'s slice-union
+    * property, proven in the spec.
+    *
+    * At 100 TB: the model is the classic Zipf-truncated MBs-sized
+    * small side (broadcast within [[TextAnalysis.bigramLmScoreWith]]'s
+    * counted guard); each micro-batch costs two model joins + one
+    * per-doc fold — O(batch), independent of corpus size; refreshing
+    * the gate is re-running the offline fit, exactly CCNet's own
+    * retrain cadence. */
+  def streamLmGate(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import graft.ops.TextAnalysis
+      val d = Sources.table(spark, dir, "documents")
+      val modelDir = tempDir("graft_lm_gate_model")
+      TextAnalysis.bigramLmFit(d, col("text"))
+        .write.mode("overwrite").parquet(s"$modelDir/bigrams")
+      val cb = spark.read.parquet(s"$modelDir/bigrams")
+      val scoredFull = TextAnalysis
+        .bigramLmScoreWith(d, col("text"), col("doc_id"), cb)
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      TextAnalysis.ccnetBounds(scoredFull)
+        .write.mode("overwrite").parquet(s"$modelDir/bounds")
+      val bounds = spark.read.parquet(s"$modelDir/bounds")
+      val docsIn = d.select(col("doc_id"), col("text"), col("lang"))
+      val staging = tempDir("graft_lm_gate_stage")
+      val now = System.currentTimeMillis()
+      stageFile(docsIn.filter(col("doc_id") % 2 === 0), staging,
+        "b1.parquet", now - 120000)
+      stageFile(docsIn.filter(col("doc_id") % 2 === 1), staging,
+        "b2.parquet", now - 60000)
+      val resultDir = tempDir("graft_lm_gate_out") + "/table"
+      val stream = spark.readStream.schema(docsIn.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging))
+      val sq = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val b = batch.toDF()
+          val scored = TextAnalysis
+            .bigramLmScoreWith(b, col("text"), col("doc_id"), cb)
+            .join(b.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          TextAnalysis.ccnetBucketed(scored, bounds)
+            .write.mode("append").parquet(resultDir)
+          ()
+        }
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+      spark.read.parquet(resultDir)
+    }
 }

@@ -168,6 +168,43 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bigram LM fit/serve split: frozen-model slice scoring unions to " +
+      "the whole-corpus answer (st26's invariant)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat ran to the mat", "en"),
+      (3L, "der hund und der ball", "de"),
+      (4L, "completely novel words here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val cb = TextAnalysis.bigramLmFit(df, col("text"))
+    def score(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bigramLmScoreWith(d, col("text"), col("doc_id"), cb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val whole = score(df)
+    val sliced = score(df.filter(col("doc_id") <= 2)) ++
+      score(df.filter(col("doc_id") > 2))
+    assert(whole === sliced)
+    // and the one-shot API is exactly fit-then-serve
+    val oneShot = TextAnalysis.bigramLmScore(df, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(oneShot === whole)
+    // frozen-bounds bucketing is a pure function of (score, lang)
+    val scored = TextAnalysis
+      .bigramLmScoreWith(df, col("text"), col("doc_id"), cb)
+      .join(df.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val bounds = TextAnalysis.ccnetBounds(scored)
+    val batch = TextAnalysis.ccnetBucketed(scored, bounds).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    val perSlice = Seq(col("doc_id") <= 2, col("doc_id") > 2).map { f =>
+      TextAnalysis.ccnetBucketed(scored.filter(f), bounds).collect()
+        .map(r => (r.getLong(0), r.getString(3))).toSet
+    }.reduce(_ ++ _)
+    assert(batch === perSlice)
+  }
+
   test("gopher gates: each rule trips on its own violation") {
     import spark.implicits._
     val good = Seq.fill(5)("the cat sat with the dog and that bird have fun")
