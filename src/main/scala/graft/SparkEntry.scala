@@ -85,6 +85,7 @@ object SparkEntry {
     "st24_stream_ann_serve" -> (StreamingQueries.streamAnnServe _),
     "st25_stream_ann_index_add" -> (StreamingQueries.streamAnnIndexAdd _),
     "st26_stream_lm_gate" -> (StreamingQueries.streamLmGate _),
+    "st27_stream_profile" -> (StreamingQueries.streamProfile _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -2820,6 +2821,15 @@ object SparkEntry {
     // model + tercile boundaries; the frozen-model slice-union property
     // makes it land on t20's whole-corpus answer exactly.
     "st26_stream_lm_gate" -> ccnetOracleSql,
+    // st27: the per-micro-batch partial profiles merged on read must
+    // equal the whole-feed sketch profile — counts add, typed min/max
+    // combine, global k-minima survive per-batch truncation. The
+    // oracle computes the same KMV profile from scratch per column.
+    "st27_stream_profile" ->
+      Seq(("event_id", true), ("user_id", true),
+        ("event_type", false), ("props", false))
+        .map { case (c, isLong) => kmvProfileOracleBranch(c, isLong) }
+        .mkString(" UNION ALL "),
     // Mirrors TextAnalysis.shuffleShard: md5-bucket shard, position =
     // rank of the full md5 hex within the shard.
     "t11_shuffle_shard" ->
@@ -3253,6 +3263,30 @@ object SparkEntry {
                 WHEN sc.lm_score <= b.b2 THEN 'middle'
                 ELSE 'head' END AS bucket
          FROM sc JOIN bounds b ON sc.lang = b.lang"""
+
+  /** One st27 oracle branch: the KMV sketch profile of one events
+    * column — counts, VARCHAR-canonical min/max, k-minima count and
+    * the t14 estimator ((k-1)·2^32 / kth when saturated, the minima
+    * count itself below capacity; k = 512). */
+  private def kmvProfileOracleBranch(c: String, isLong: Boolean): String = {
+    val asStr = if (isLong) s"CAST($c AS VARCHAR)" else c
+    s"""SELECT col_name, n_rows, n_nonnull, min_val, max_val, n_mins,
+         CASE WHEN n_mins >= 512
+              THEN CAST(2194728288256 AS DOUBLE) / CAST(kth AS DOUBLE)
+              ELSE CAST(n_mins AS DOUBLE) END AS est_ndv
+       FROM (
+         SELECT '$c' AS col_name,
+           (SELECT count(*) FROM events) AS n_rows,
+           (SELECT count($c) FROM events) AS n_nonnull,
+           (SELECT CAST(min($c) AS VARCHAR) FROM events) AS min_val,
+           (SELECT CAST(max($c) AS VARCHAR) FROM events) AS max_val,
+           count(*) AS n_mins, max(hw) AS kth
+         FROM (
+           SELECT hw FROM (
+             SELECT DISTINCT ('0x' || substr(md5($asStr),1,8))::BIGINT AS hw
+             FROM events WHERE $c IS NOT NULL)
+           ORDER BY hw LIMIT 512))"""
+  }
 
   /** q34-shape profile SQL over a CTE-bound relation — one branch per
     * documents column, min/max canonicalized to VARCHAR. Shared by the

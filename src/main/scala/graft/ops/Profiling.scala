@@ -46,6 +46,78 @@ object Profiling {
           col("min_val"), col("max_val"), col("n_rows"))
     }.reduce(_ unionByName _)
 
+  /** PARTIAL (mergeable) profile of one slice — the streaming-DQ twin
+    * of [[profile]]: per column, the algebraic stats (row/non-null
+    * counts, typed min/max slots) plus a k-minimum-values ndv sketch
+    * (sorted k smallest md5 hashes of the column's distinct values).
+    * Every field is MERGEABLE: counts add, min/max combine, and the
+    * global k-minima are a subset of the union of per-slice k-minima —
+    * so a profile maintained as "append one partial per micro-batch,
+    * merge on read" ([[kmvProfileMerge]]) is exactly the profile of
+    * the whole stream. This is q33's partial-aggregate-merge lifecycle
+    * applied to data-quality monitoring, with the KMV sketch standing
+    * in for exact ndv precisely because exact distinct does NOT merge
+    * (q34's two-phase dedup needs all values co-shuffled) and a
+    * sketch does.
+    *
+    * min/max live in per-type slots (long / string) because the
+    * canonical-string form [[profile]] outputs does not ORDER like the
+    * native type ("10" < "9" lexically); canonicalization happens once
+    * at merge time, after the typed combine.
+    *
+    * Scale shape: one scan of the slice; the sketch is
+    * `slice(array_sort(collect_set(h32)))` per column — per-slice
+    * distinct sets here (fixture-sized); a huge-cardinality deployment
+    * swaps in [[TextAnalysis.kmvDistinct]]'s two-level salted
+    * k-minima, same artifact schema. The artifact itself is
+    * #columns × (k+6) values regardless of slice size. */
+  def kmvProfilePartial(df: DataFrame, longCols: Seq[String],
+      strCols: Seq[String], k: Int = 512): DataFrame = {
+    def one(c: String, isLong: Boolean) = {
+      val v = col(c)
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        count(v).as("n_nonnull"),
+        (if (isLong) min(v) else lit(null).cast("long")).as("min_l"),
+        (if (isLong) max(v) else lit(null).cast("long")).as("max_l"),
+        (if (isLong) lit(null).cast("string") else min(v)).as("min_s"),
+        (if (isLong) lit(null).cast("string") else max(v)).as("max_s"),
+        slice(array_sort(collect_set(
+          when(v.isNotNull, Hashes.h32(v.cast("string"))))), 1, k)
+          .as("mins"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
+          col("min_l"), col("max_l"), col("min_s"), col("max_s"),
+          col("mins"))
+    }
+    (longCols.map(one(_, isLong = true)) ++
+      strCols.map(one(_, isLong = false))).reduce(_ unionByName _)
+  }
+
+  /** Merge any number of [[kmvProfilePartial]] rows into the final
+    * profile: counts add, typed min/max combine then canonicalize to
+    * strings ([[profile]]'s convention), per-column k-minima union →
+    * re-take-k, and the t14 KMV estimator gives `est_ndv` (exact in
+    * the hash-distinct sense while a column is below sketch
+    * capacity). The merge is #columns×#partials-sized — free — and
+    * associative, so partials can themselves be pre-merged in any
+    * grouping (micro-batch → hourly → daily rollups). */
+  def kmvProfileMerge(partials: DataFrame, k: Int = 512): DataFrame =
+    partials.groupBy(col("col_name"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_nonnull")).as("n_nonnull"),
+        min(col("min_l")).as("min_l"), max(col("max_l")).as("max_l"),
+        min(col("min_s")).as("min_s"), max(col("max_s")).as("max_s"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))),
+          1, k).as("mins"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        coalesce(col("min_l").cast("string"), col("min_s")).as("min_val"),
+        coalesce(col("max_l").cast("string"), col("max_s")).as("max_val"),
+        size(col("mins")).cast("long").as("n_mins"),
+        when(size(col("mins")) >= k,
+          lit((k - 1L) * 4294967296L).cast("double")
+            / element_at(col("mins"), k).cast("double"))
+          .otherwise(size(col("mins")).cast("double")).as("est_ndv"))
+
   /** Profile DRIFT between two snapshots of the same table — the
     * data-quality regression gate (the Deequ / Great-Expectations
     * check class, public) every recurring 100 TB ingest runs before

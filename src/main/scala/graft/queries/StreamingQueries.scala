@@ -1945,4 +1945,56 @@ object StreamingQueries {
       try sq.processAllAvailable() finally sq.stop()
       spark.read.parquet(resultDir)
     }
+
+  /** st27: streaming table profile — data-quality MONITORING of a live
+    * feed: every micro-batch computes its mergeable partial profile
+    * ([[graft.ops.Profiling.kmvProfilePartial]]: counts, typed
+    * min/max, a KMV ndv sketch per column) and APPENDS it to a stored
+    * profile artifact; the current table profile is the
+    * #columns×#partials-sized merge of the artifact
+    * ([[graft.ops.Profiling.kmvProfileMerge]]), available at any
+    * moment without ever re-scanning the stream's history. This is
+    * q33's partial-aggregate-merge lifecycle applied to DQ — the
+    * sketch (not exact ndv) is what makes the profile mergeable at
+    * all — and the online half of the q34→c06 profiling story:
+    * c06-style drift gates can run against this continuously
+    * maintained profile instead of a nightly full pass.
+    *
+    * Hash-matches the batch sketch-profile of the whole feed because
+    * every field is associative-merge-exact: counts add, min/max
+    * combine, and the global k-minima survive per-batch truncation
+    * (the KMV mergeability invariant, proven in the spec).
+    *
+    * At 100 TB/day of events: per-batch cost is one slice scan; the
+    * artifact grows by #columns rows per batch and compacts by
+    * pre-merging (the merge is associative — micro-batch → hourly →
+    * daily); nothing downstream ever touches raw history. */
+  def streamProfile(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import graft.ops.Profiling
+      val e = Sources.table(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("props"))
+      val staging = tempDir("graft_stream_profile_stage")
+      val now = System.currentTimeMillis()
+      stageFile(e.filter(col("event_id") % 2 === 0), staging,
+        "b1.parquet", now - 120000)
+      stageFile(e.filter(col("event_id") % 2 === 1), staging,
+        "b2.parquet", now - 60000)
+      val artifactDir = tempDir("graft_stream_profile_art") + "/partials"
+      val stream = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging))
+      val sq = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Profiling.kmvProfilePartial(batch.toDF(),
+              longCols = Seq("event_id", "user_id"),
+              strCols = Seq("event_type", "props"))
+            .write.mode("append").parquet(artifactDir)
+          ()
+        }
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+      Profiling.kmvProfileMerge(spark.read.parquet(artifactDir))
+    }
 }

@@ -1081,6 +1081,33 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r("v").getBoolean(10))               // max 30.0 -> 10.0
   }
 
+  test("kmv profile: sliced partials merge to the whole-table profile " +
+      "(st27's invariant), saturation engages the estimator") {
+    import spark.implicits._
+    val d = (1 to 40).map(i => (i.toLong, s"u${i % 7}"))
+      .toDF("id", "tag")
+    val k = 8
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      Profiling.kmvProfilePartial(df, Seq("id"), Seq("tag"), k)
+    val whole = Profiling.kmvProfileMerge(partial(d), k)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sliced = Profiling.kmvProfileMerge(
+      partial(d.filter(col("id") <= 13))
+        .unionByName(partial(d.filter(col("id") > 13 && col("id") <= 29)))
+        .unionByName(partial(d.filter(col("id") > 29))), k)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("id", "tag"); i <- 1 to 6)
+      assert(whole(c).get(i) == sliced(c).get(i),
+        s"$c field $i: ${whole(c)} vs ${sliced(c)}")
+    assert(whole("id").getLong(1) == 40L)              // n_rows
+    assert(whole("id").getString(3) == "1" &&
+      whole("id").getString(4) == "40")                // typed min/max
+    assert(whole("id").getLong(5) == k)                // saturated
+    assert(whole("id").getDouble(6) != k.toDouble)     // estimator engaged
+    assert(whole("tag").getLong(5) == 7L &&
+      whole("tag").getDouble(6) == 7.0)                // exact below k
+  }
+
   test("kmv set algebra: unsaturated sketches are exact; estimates " +
       "match the known overlap") {
     import spark.implicits._
