@@ -161,6 +161,7 @@ object SparkEntry {
     "m02_media_resize" -> (PipelineQueries.mediaResize _),
     "m03_frame_sample" -> (PipelineQueries.frameSample _),
     "m04_phash_pairs" -> (PipelineQueries.phashPairs _),
+    "m05_clip_filter" -> (PipelineQueries.clipFilter _),
     "st01_stream_count" -> (StreamingQueries.streamCount _),
     "st02_stream_tumble" -> (StreamingQueries.streamTumble _),
     "st03_stream_loopback" -> (StreamingQueries.streamLoopback _),
@@ -1746,6 +1747,29 @@ object SparkEntry {
     // Block-mean perceptual hash: 48 equal codepoint blocks, bit =
     // exact integer cross-multiplied mean compare; 8x6-bit bands give
     // pigeonhole-exact candidates for hamming <= 7, then xor+popcount.
+    // m05: the oracle re-derives the deterministic stub vision vector
+    // (64 md5-derived centered int16s from the blob fingerprint) and
+    // the exact int64-dot cosine against the caption embedding.
+    "m05_clip_filter" ->
+      s"""WITH pre AS ($embPreSql),
+         m AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         mv AS (SELECT doc_id,
+                  list_transform(generate_series(0, 63), d ->
+                    ('0x' || substr(md5(fp || '_' || CAST(d AS VARCHAR)),
+                       1, 4))::BIGINT - 32768) AS v
+                FROM m),
+         mn AS (SELECT doc_id, v,
+                  (SELECT sum(x*x) FROM unnest(v) t(x)) AS n2 FROM mv)
+         SELECT mn.doc_id,
+           CAST((SELECT sum(x*y)
+                 FROM (SELECT unnest(mn.v) x, unnest(c.v) y)) AS DOUBLE)
+             / (sqrt(CAST(mn.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+             AS clip_score,
+           CAST((SELECT sum(x*y)
+                 FROM (SELECT unnest(mn.v) x, unnest(c.v) y)) AS DOUBLE)
+             / (sqrt(CAST(mn.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+             >= 0.0 AS keep
+         FROM mn JOIN pre c ON c.vec_id = mn.doc_id""",
     "m04_phash_pairs" ->
       """WITH cp AS (SELECT doc_id AS mid, length(text) AS n,
              unnest(generate_series(1, length(text))) - 1 AS p0,

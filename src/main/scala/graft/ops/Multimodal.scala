@@ -196,6 +196,45 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** m05: cross-modal alignment scoring + filtering — the CLIP-score
+    * curation step of multimodal training data (Schuhmann et al. 2021,
+    * LAION, public): each media blob is paired with its caption's
+    * embedding, an alignment score is computed between the media's
+    * feature vector and the caption vector, and pairs below threshold
+    * are flagged for drop. The VISION ENCODER IS A STUB — a
+    * deterministic md5-derived 64-dim vector of centered int16s from
+    * the blob's content fingerprint (the
+    * [[graft.ops.Vectors.planeCoef]] convention per-row, 16-bit so the
+    * 64-term int64 dot against a µ-scaled caption vector cannot
+    * overflow), standing where a GPU encoder (batched Pandas-UDF /
+    * `mapInPandas`, one model instance per partition as
+    * [[decodeBatched]] does for decoders) would emit real features.
+    * Everything AROUND the stub is the real pipeline: pairing is an
+    * id equi-join (media and captions co-shard by the join key — no
+    * broadcast needed at any corpus size since both sides scale
+    * together), scoring is map-side exact int64-dot cosine, and the
+    * keep flag is an ordinary pushdown-able predicate downstream
+    * stages filter on.
+    *
+    * Output: (doc_id, clip_score, keep). */
+  def clipScoreFilter(media: DataFrame, captions: DataFrame, id: Column,
+      blob: Column, capId: Column, capEmb: Column, dims: Int = 64,
+      minScore: Double = 0.0): DataFrame = {
+    import graft.ops.Vectors
+    val m = media.select(id.cast("long").as("mid"), md5(blob).as("fp"))
+      .withColumn("miv", transform(sequence(lit(0), lit(dims - 1)),
+        d => conv(substring(md5(concat(col("fp"), lit("_"),
+          d.cast("string"))), 1, 4), 16, 10).cast("long")
+          - lit(32768L)))
+      .withColumn("mn2", Vectors.idot(col("miv"), col("miv")))
+    val c = Vectors.prepared(captions, capId, capEmb)
+    m.join(c, col("mid") === col("vid"))
+      .select(col("mid").as("doc_id"),
+        Vectors.cosineFromInts(Vectors.idot(col("miv"), col("iv")),
+          col("mn2"), col("n2")).as("clip_score"))
+      .withColumn("keep", col("clip_score") >= lit(minScore))
+  }
+
   /** Decode a binary column in distributed batches: one decoder instance
     * per partition (decoders are usually expensive to initialize —
     * mirror of the Pandas-UDF batch pattern), rows streamed through it.

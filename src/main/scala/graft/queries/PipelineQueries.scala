@@ -825,6 +825,17 @@ object PipelineQueries {
   def phashPairs(spark: SparkSession, dir: String): DataFrame =
     Multimodal.phashPairs(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** m05: CLIP-score cross-modal filtering — media blobs paired with
+    * their caption embeddings (the embedding id space IS the doc id
+    * space, as s24), alignment-scored, drop-flagged below 0. The
+    * vision encoder is the documented deterministic stub; the
+    * join/score/filter plumbing is the real curation stage. */
+  def clipFilter(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.clipScoreFilter(
+      docs(spark, dir).withColumn("blob", col("text").cast("binary")),
+      embs(spark, dir), col("doc_id"), col("blob"),
+      col("vec_id"), col("embedding"))
+
   /** The fixed retrieval workload shared by t22's ranked and t23's
     * boolean search — includes the corpus's one rare term (`dup`,
     * df≈26 vs ≈900 for everything else) so the idf arm is exercised

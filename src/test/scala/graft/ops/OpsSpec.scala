@@ -1063,6 +1063,27 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r("v") == ((3L, 2L, "10.0", "20.0", 3L)))
   }
 
+  test("clip-score filter: id-paired only, bounded scores, keep flag " +
+      "consistent, deterministic stub") {
+    import spark.implicits._
+    val media = Seq((1L, "a cat photo"), (2L, "a dog photo"), (9L, "orphan"))
+      .toDF("doc_id", "text")
+      .withColumn("blob", col("text").cast("binary"))
+    val caps = Seq(
+      (1L, Array.tabulate(64)(d => ((d * 7 + 3) % 13 - 6).toFloat / 7f)),
+      (2L, Array.tabulate(64)(d => ((d * 5 + 1) % 11 - 5).toFloat / 6f)),
+      (7L, Array.tabulate(64)(_ => 0.5f)))
+      .toDF("vec_id", "embedding")
+    def run() = Multimodal.clipScoreFilter(media, caps, col("doc_id"),
+        col("blob"), col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val r1 = run()
+    assert(r1.map(_._1).toSet == Set(1L, 2L)) // equi-join: both sides only
+    assert(r1.forall(x => x._2 >= -1.0 && x._2 <= 1.0))
+    assert(r1.forall(x => x._3 == (x._2 >= 0.0)))
+    assert(r1.toSet == run().toSet) // stub encoder is deterministic
+  }
+
   test("profile drift: removed rows, ndv collapse and range shift all " +
       "surface as signals") {
     import spark.implicits._
