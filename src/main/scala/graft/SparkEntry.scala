@@ -86,6 +86,7 @@ object SparkEntry {
     "st25_stream_ann_index_add" -> (StreamingQueries.streamAnnIndexAdd _),
     "st26_stream_lm_gate" -> (StreamingQueries.streamLmGate _),
     "st27_stream_profile" -> (StreamingQueries.streamProfile _),
+    "st28_stream_quarantine" -> (StreamingQueries.streamQuarantine _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -2854,6 +2855,26 @@ object SparkEntry {
         ("event_type", false), ("props", false))
         .map { case (c, isLong) => kmvProfileOracleBranch(c, isLong) }
         .mkString(" UNION ALL "),
+    // st28: the oracle replays the deterministic two-batch split and
+    // the explicit watermark rule (wm for batch 2 = max b1 event time
+    // minus 30 min): per hour window, on-time count + quarantined
+    // late count.
+    "st28_stream_quarantine" ->
+      """WITH e AS (SELECT event_id, ts, epoch_us(ts) AS us FROM events),
+         b1 AS (SELECT * FROM e WHERE event_id % 5 <> 0),
+         b2 AS (SELECT * FROM e WHERE event_id % 5 = 0),
+         wm AS (SELECT max(us) - 1800000000 AS w FROM b1),
+         lt AS (SELECT b2.ts FROM b2, wm WHERE b2.us < wm.w),
+         ot AS (SELECT ts FROM b1
+                UNION ALL SELECT b2.ts FROM b2, wm WHERE b2.us >= wm.w),
+         oc AS (SELECT date_trunc('hour', ts) AS window_start,
+                  count(*) AS ontime_cnt FROM ot GROUP BY 1),
+         lc AS (SELECT date_trunc('hour', ts) AS window_start,
+                  count(*) AS late_cnt FROM lt GROUP BY 1)
+         SELECT COALESCE(oc.window_start, lc.window_start) AS window_start,
+           COALESCE(ontime_cnt, 0) AS ontime_cnt,
+           COALESCE(late_cnt, 0) AS late_cnt
+         FROM oc FULL OUTER JOIN lc ON lc.window_start = oc.window_start""",
     // Mirrors TextAnalysis.shuffleShard: md5-bucket shard, position =
     // rank of the full md5 hex within the shard.
     "t11_shuffle_shard" ->

@@ -1997,4 +1997,74 @@ object StreamingQueries {
       try sq.processAllAvailable() finally sq.stop()
       Profiling.kmvProfileMerge(spark.read.parquet(artifactDir))
     }
+
+  /** st28: late-data QUARANTINE — the dead-letter accounting Spark's
+    * own watermark does not give you: `withWatermark` silently DROPS
+    * rows older than the watermark, which at 100 TB/day is an unaudited
+    * data loss channel (Beam surfaces it as `droppedDueToLateness`,
+    * Flink as the late-data side output; Spark has no side output).
+    * Here the watermark rule is applied EXPLICITLY per micro-batch —
+    * watermark visible to batch N = max event time over batches < N
+    * minus the 30-min delay, exactly Spark's update cadence — and each
+    * batch SPLITS: on-time rows feed per-hour partial counts (the
+    * q33/st23 merge lifecycle), late rows are routed to a quarantine
+    * sink WITH their window, so every dropped row is accounted for.
+    * Output per hour window: on-time count + quarantined-late count;
+    * the staged replay (batch 1 = 80% of events, batch 2 = the
+    * event_id ≡ 0 mod 5 stragglers, which include events far older
+    * than batch 1's frontier) makes both classes non-empty and the
+    * whole split deterministic, so the oracle replays the identical
+    * watermark arithmetic.
+    *
+    * At scale: the split is a map-only predicate against a broadcast
+    * scalar; both sinks are append-only partials merged on read —
+    * nothing here adds state beyond what the windowed aggregate
+    * already keeps, and the quarantine table is exactly as queryable
+    * as the main one (reprocessing late data = reading it back). */
+  def streamQuarantine(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      val ev = Sources.table(spark, dir, "events")
+        .select(col("event_id"), col("ts"))
+      val staging = tempDir("graft_stream_quar_stage")
+      val now = System.currentTimeMillis()
+      stageFile(ev.filter(col("event_id") % 5 =!= 0), staging,
+        "b1.parquet", now - 120000)
+      stageFile(ev.filter(col("event_id") % 5 === 0), staging,
+        "b2.parquet", now - 60000)
+      val outDir = tempDir("graft_stream_quar_out")
+      val ontimeDir = outDir + "/ontime"
+      val lateDir = outDir + "/late"
+      val delayUs = 30L * 60 * 1000000
+      @volatile var wmUs = Long.MinValue
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging))
+      val sq = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val b = batch.toDF().localCheckpoint()
+          val wm = wmUs
+          b.filter(unix_micros(col("ts")) >= wm)
+            .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+            .agg(count(lit(1)).as("cnt"))
+            .write.mode("append").parquet(ontimeDir)
+          b.filter(unix_micros(col("ts")) < wm)
+            .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+            .agg(count(lit(1)).as("cnt"))
+            .write.mode("append").parquet(lateDir)
+          val mx = b.agg(max(unix_micros(col("ts")))).head()
+          if (!mx.isNullAt(0))
+            wmUs = math.max(wmUs, mx.getLong(0) - delayUs)
+          ()
+        }
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+      val ontime = spark.read.parquet(ontimeDir)
+        .groupBy(col("window_start")).agg(sum(col("cnt")).as("ontime_cnt"))
+      val late = spark.read.parquet(lateDir)
+        .groupBy(col("window_start")).agg(sum(col("cnt")).as("late_cnt"))
+      ontime.join(late, Seq("window_start"), "full_outer")
+        .select(col("window_start"),
+          coalesce(col("ontime_cnt"), lit(0L)).as("ontime_cnt"),
+          coalesce(col("late_cnt"), lit(0L)).as("late_cnt"))
+    }
 }

@@ -12,6 +12,17 @@ import graft.SparkFixture
   * silently aggregated. */
 class WatermarkSpec extends AnyFunSuite with SparkFixture {
 
+  test("late-data quarantine conserves every row: ontime + late = feed, " +
+      "stragglers land in quarantine (st28)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.StreamingQueries.streamQuarantine(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(out.map(x => x._1 + x._2).sum == total) // nothing silently lost
+    assert(out.map(_._2).sum > 0)  // the OOO staging produces late rows
+    assert(out.map(_._1).sum > 0)
+  }
+
   test("rows behind the watermark are dropped from windowed aggregates") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
