@@ -64,6 +64,7 @@ object SparkEntry {
     "q33_mv_merge" -> (Relational.mvMerge _),
     "q34_profile" -> (Relational.profileTable _),
     "q35_kmv_setops" -> (Relational.kmvSetAlgebra _),
+    "q36_heavy_hitters" -> (Relational.heavyHitters _),
     "q22_pivot" -> (Relational.pivotAgg _),
     "q23_unpivot" -> (Relational.unpivotAgg _),
     "q24_bucketed_join" -> (Relational.bucketedJoin _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "st26_stream_lm_gate" -> (StreamingQueries.streamLmGate _),
     "st27_stream_profile" -> (StreamingQueries.streamProfile _),
     "st28_stream_quarantine" -> (StreamingQueries.streamQuarantine _),
+    "st29_stream_heavy_hitters" -> (StreamingQueries.streamHeavyHitters _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -2855,6 +2857,11 @@ object SparkEntry {
         ("event_type", false), ("props", false))
         .map { case (c, isLong) => kmvProfileOracleBranch(c, isLong) }
         .mkString(" UNION ALL "),
+    // q36/st29: in the Misra-Gries exact regime (capacity never
+    // exceeded — the exact flag pins it) the summary merge IS the
+    // exact count map, batch and online alike: one oracle for both.
+    "q36_heavy_hitters" -> heavyHittersOracleSql,
+    "st29_stream_heavy_hitters" -> heavyHittersOracleSql,
     // st28: the oracle replays the deterministic two-batch split and
     // the explicit watermark rule (wm for batch 2 = max b1 event time
     // minus 30 min): per hour window, on-time count + quarantined
@@ -3308,6 +3315,17 @@ object SparkEntry {
                 WHEN sc.lm_score <= b.b2 THEN 'middle'
                 ELSE 'head' END AS bucket
          FROM sc JOIN bounds b ON sc.lang = b.lang"""
+
+  /** q36 + st29: exact top-20 users by event count, (cnt desc, key)
+    * tiebreak; `exact` TRUE because m = 2^17 keeps every partition's
+    * distinct-user count below Misra-Gries capacity. */
+  private def heavyHittersOracleSql: String =
+    """SELECT k, cnt, TRUE AS exact, rank FROM (
+         SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS cnt,
+           row_number() OVER (ORDER BY count(*) DESC,
+             CAST(user_id AS VARCHAR)) AS rank
+         FROM events GROUP BY user_id)
+       WHERE rank <= 20"""
 
   /** One st27 oracle branch: the KMV sketch profile of one events
     * column — counts, VARCHAR-canonical min/max, k-minima count and

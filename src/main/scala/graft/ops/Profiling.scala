@@ -118,6 +118,62 @@ object Profiling {
             / element_at(col("mins"), k).cast("double"))
           .otherwise(size(col("mins")).cast("double")).as("est_ndv"))
 
+  /** Per-partition Misra-Gries heavy-hitters summary (Misra & Gries
+    * 1982; the "space-saving"/frequent-items sketch family) — the
+    * bounded-memory ONE-PASS answer to "top users by volume" that
+    * never shuffles raw values: each task folds its partition into a
+    * ≤ `m`-entry (key, count) map (new key on a full map decrements
+    * every counter and evicts zeros — the MG step), and only those
+    * ≤ m·#partitions summary rows ever reach the wire, vs a
+    * `groupBy(key)` whose exchange carries every distinct key. The
+    * `exact` flag reports whether the MG decrement ever fired in that
+    * partition: while a partition's distinct-key count stays ≤ m the
+    * summary IS its exact count map (the regime the oracle checks);
+    * past capacity the counts become lower bounds with total error
+    * ≤ n/m — the documented 100 TB trade, tuned by m.
+    *
+    * [[heavyHittersTopK]] merges partials (counts add; in the exact
+    * regime the merge is exact) and ranks the global top k. */
+  def heavyHittersPartial(df: DataFrame, key: Column, m: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(key.cast("string").as("k")).as[String]
+      .mapPartitions { it =>
+        val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+        var exact = true
+        it.foreach { x =>
+          cnt.get(x) match {
+            case Some(c) => cnt(x) = c + 1
+            case None if cnt.size < m => cnt(x) = 1L
+            case None =>
+              exact = false
+              val dead = scala.collection.mutable.Buffer.empty[String]
+              cnt.mapValuesInPlace((_, c) => c - 1)
+              cnt.foreach { case (k, c) => if (c == 0L) dead += k }
+              dead.foreach(cnt.remove)
+          }
+        }
+        cnt.iterator.map { case (k, c) => (k, c, exact) }
+      }
+      .toDF("k", "cnt", "exact")
+  }
+
+  /** Global top-k heavy hitters from [[heavyHittersPartial]] rows:
+    * counts add per key, ranked by (count desc, key). `exact` is the
+    * GLOBAL AND of every partial's flag — a decrement in ANY partition
+    * can have evicted counts of any key, so exactness is a whole-run
+    * property, not per-key. The rank window sees only the
+    * ≤ m·#partitions summary keys, never the corpus. */
+  def heavyHittersTopK(partials: DataFrame, k: Int): DataFrame =
+    partials.groupBy(col("k"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .crossJoin(broadcast(
+        partials.agg(coalesce(min(col("exact")), lit(true)).as("exact"))))
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("cnt").desc, col("k"))))
+      .filter(col("rank") <= k)
+      .select(col("k"), col("cnt"), col("exact"), col("rank"))
+
   /** Profile DRIFT between two snapshots of the same table — the
     * data-quality regression gate (the Deequ / Great-Expectations
     * check class, public) every recurring 100 TB ingest runs before

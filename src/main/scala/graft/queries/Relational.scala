@@ -699,4 +699,18 @@ object Relational {
   def kmvSetAlgebra(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Profiling.kmvSetOps(table(spark, dir, "events"),
       col("event_type"), col("user_id"), k = 64)
+
+  /** q36: Misra-Gries heavy hitters — top-20 users by event volume via
+    * bounded-memory per-partition summaries
+    * ([[graft.ops.Profiling.heavyHittersPartial]]); the shuffle
+    * carries ≤ m·#partitions summary rows, never the raw key stream.
+    * m = 2^17 keeps the fixture (and any reasonable user count) in
+    * the sketch's exact regime — the `exact` flag would go false, and
+    * the oracle compare would fail loudly, if capacity were ever
+    * exceeded. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val p = graft.ops.Profiling.heavyHittersPartial(
+      table(spark, dir, "events"), col("user_id"), m = 131072)
+    graft.ops.Profiling.heavyHittersTopK(p, k = 20)
+  }
 }

@@ -2067,4 +2067,41 @@ object StreamingQueries {
           coalesce(col("ontime_cnt"), lit(0L)).as("ontime_cnt"),
           coalesce(col("late_cnt"), lit(0L)).as("late_cnt"))
     }
+
+  /** st29: streaming heavy hitters — q36's Misra-Gries summaries
+    * maintained ONLINE: each micro-batch folds into its own
+    * bounded-memory partials ([[graft.ops.Profiling
+    * .heavyHittersPartial]]) appended to the artifact; the current
+    * top-k is the merge ([[graft.ops.Profiling.heavyHittersTopK]]) of
+    * ≤ m·#partials summary rows — the who-is-hammering-the-feed
+    * monitor, available at any moment with no history re-scan (the
+    * st27 lifecycle for frequency instead of profile). Counts add
+    * across batches, so in the exact regime the merged answer equals
+    * q36's batch answer — one oracle for both. */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import graft.ops.Profiling
+      val ev = Sources.table(spark, dir, "events")
+        .select(col("event_id"), col("user_id"))
+      val staging = tempDir("graft_stream_hh_stage")
+      val now = System.currentTimeMillis()
+      stageFile(ev.filter(col("event_id") % 2 === 0), staging,
+        "b1.parquet", now - 120000)
+      stageFile(ev.filter(col("event_id") % 2 === 1), staging,
+        "b2.parquet", now - 60000)
+      val artifactDir = tempDir("graft_stream_hh_art") + "/partials"
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging))
+      val sq = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Profiling.heavyHittersPartial(batch.toDF(), col("user_id"),
+              m = 131072)
+            .write.mode("append").parquet(artifactDir)
+          ()
+        }
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+      Profiling.heavyHittersTopK(spark.read.parquet(artifactDir), k = 20)
+    }
 }

@@ -1063,6 +1063,28 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r("v") == ((3L, 2L, "10.0", "20.0", 3L)))
   }
 
+  test("misra-gries heavy hitters: exact regime matches groupBy counts; " +
+      "over capacity the flag drops and counts stay lower bounds") {
+    import spark.implicits._
+    val keys = (1 to 50).flatMap(i => Seq.fill(i)(s"u$i"))
+    val d = keys.toDF("k2").repartition(4)
+    val wide = Profiling.heavyHittersTopK(
+      Profiling.heavyHittersPartial(d, col("k2"), m = 1000), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getInt(3)))
+    assert(wide.forall(_._3), "m >= ndv must stay exact")
+    assert(wide.sortBy(_._4).map(x => (x._1, x._2)).toSeq ==
+      Seq(("u50", 50L), ("u49", 49L), ("u48", 48L), ("u47", 47L),
+        ("u46", 46L)))
+    val tight = Profiling.heavyHittersTopK(
+      Profiling.heavyHittersPartial(d, col("k2"), m = 8), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(tight.forall(!_._3), "decrement must clear the exact flag")
+    val trueCounts = keys.groupBy(identity).view.mapValues(_.size.toLong)
+    assert(tight.forall(x => x._2 <= trueCounts(x._1)),
+      "MG counts are lower bounds")
+  }
+
   test("clip-score filter: id-paired only, bounded scores, keep flag " +
       "consistent, deterministic stub") {
     import spark.implicits._
