@@ -146,6 +146,8 @@ object SparkEntry {
     "c04_dataset_card" -> (PipelineQueries.datasetCard _),
     "c05_incremental_curate" -> (PipelineQueries.incrementalCurate _),
     "c06_profile_drift" -> (PipelineQueries.profileDrift _),
+    "c07_dataset_seal" -> (PipelineQueries.datasetSeal _),
+    "t25_mask_corrupt" -> (PipelineQueries.maskCorrupt _),
     "t01_langid" -> (PipelineQueries.langId _),
     "t02_quality" -> (PipelineQueries.quality _),
     "t03_token_stats" -> (PipelineQueries.tokenStats _),
@@ -2503,6 +2505,41 @@ object SparkEntry {
     // c05: incremental refresh must equal the FULL recompute on the new
     // snapshot (new = %7 filter with ' v2' appended to %3 ids; bench =
     // all src0 docs, fixed across snapshots).
+    // t25: the oracle replays the identical content-free hash mask
+    // (DuckDB's single-arg lambdas index via generate_series; position
+    // i-1 aligns with Spark's 0-based transform index).
+    "t25_mask_corrupt" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+         f AS (SELECT doc_id, w,
+                 list_filter(generate_series(1, len(w)), i ->
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_'
+                      || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT % 7 = 0)
+                   AS m
+               FROM d)
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(m) AS BIGINT) AS n_masked,
+           array_to_string(list_transform(generate_series(1, len(w)), i ->
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_'
+                    || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT % 7 = 0
+                  THEN '<mask>' ELSE w[i] END), ' ') AS input_text,
+           COALESCE(array_to_string(list_transform(m, i -> w[i]), ' '), '')
+             AS target_text
+         FROM f""",
+    // c07: per-split counts + the commutative bit_xor digest — any
+    // engine, any partitioning, same three numbers per split.
+    "c07_dataset_seal" ->
+      """SELECT CASE WHEN b < 90 THEN 'train'
+                     WHEN b < 95 THEN 'val'
+                     ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS digest
+         FROM (SELECT text,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                   % 100 AS b
+               FROM documents)
+         GROUP BY 1""",
     // c06: per-column profile of the d21-carved old vs new snapshot,
     // joined with ratio + min/max-identity drift signals. min/max are
     // compared as their VARCHAR canonical forms (q34's convention).

@@ -716,6 +716,63 @@ object TextAnalysis {
     (bucket, split)
   }
 
+  /** t25: deterministic mask corruption — the denoising-objective
+    * construction step (BERT's masked-LM / the per-token limit of
+    * T5-style span corruption, Devlin et al. 2018 / Raffel et al.
+    * 2020, public) run as a data-prep pass: token position i of doc d
+    * is masked iff `h32(d ∥ '_' ∥ i) mod modulo == 0` (≈1/modulo of
+    * positions, content-free and reproducible — the same doc always
+    * yields the same example, the property a resumable training run
+    * needs), producing per doc the corrupted `input_text`, the
+    * `target_text` of masked tokens in order, and the counts.
+    *
+    * Scale shape: map-only — two indexed higher-order functions
+    * (`transform`/`filter` with the (element, index) lambda) per row,
+    * all codegen'd Catalyst, no explode, no shuffle, no state; the
+    * output is exactly one row per input row, so this composes with
+    * t09/t12 downstream at any corpus size. */
+  def maskCorruption(df: DataFrame, text: Column, id: Column,
+      modulo: Int = 7): DataFrame = {
+    def masked(i: Column, idc: Column) =
+      conv(substring(md5(concat(idc.cast("string"), lit("_"),
+        i.cast("string"))), 1, 8), 16, 10).cast("long") % modulo === 0
+    df.select(id.as("doc_id"), split(text, " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(filter(col("w"), (_, i) => masked(i, col("doc_id"))))
+          .cast("long").as("n_masked"),
+        array_join(transform(col("w"), (x, i) =>
+          when(masked(i, col("doc_id")), lit("<mask>")).otherwise(x)), " ")
+          .as("input_text"),
+        array_join(filter(col("w"), (_, i) => masked(i, col("doc_id"))), " ")
+          .as("target_text"))
+  }
+
+  /** c07: dataset SEAL — the reproducibility manifest a training run
+    * pins before touching data: per t07 hash-split, the doc count,
+    * token count, and an ORDER-INDEPENDENT content digest (bit_xor of
+    * each doc's 60-bit text hash — XOR commutes and never overflows,
+    * so the digest is identical whatever partitioning, task order or
+    * file layout produced it, and any added / removed / edited doc
+    * flips it). Verifying a dataset copy = recomputing three numbers
+    * per split; this is the content-address the c04 dataset card and
+    * d21 snapshot diff both implicitly assume exists.
+    *
+    * Scale shape: one scan, map-side split assignment + per-doc hash,
+    * a 3-group aggregation; bit_xor combines partially map-side like
+    * any algebraic agg. */
+  def datasetSeal(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val (_, split) = splitCols(id)
+    df.select(split.as("split"),
+        size(org.apache.spark.sql.functions.split(text, " ")).cast("long")
+          .as("toks"),
+        h60(text).as("digest0"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        expr("bit_xor(digest0)").as("digest"))
+  }
+
   /** Temperature-based corpus mixture sampling (α = 1/2): source k is
     * sampled at rate ∝ √n_k — the standard multilingual/multi-corpus
     * rebalancing (Conneau & Lample 2019's exponentiated sampling;

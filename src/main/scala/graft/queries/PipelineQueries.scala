@@ -865,6 +865,19 @@ object PipelineQueries {
     Retrieval.booleanSearch(docs(spark, dir), col("text"),
       col("doc_id"), boolQueries)
 
+  /** t25: deterministic mask corruption — the denoising-objective
+    * example construction over every document (1-in-7 positions,
+    * content-free hash selection). */
+  def maskCorrupt(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.maskCorruption(docs(spark, dir), col("text"),
+      col("doc_id"))
+
+  /** c07: dataset seal — per-split doc/token counts + the
+    * order-independent bit_xor content digest, the manifest a
+    * reproducible training run pins. */
+  def datasetSeal(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.datasetSeal(docs(spark, dir), col("text"), col("doc_id"))
+
   /** c06: profile drift between corpus snapshots — the data-quality
     * regression gate run before promoting a new drop
     * ([[graft.ops.Profiling.profileDrift]]). Snapshots are d21's

@@ -1063,6 +1063,47 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r("v") == ((3L, 2L, "10.0", "20.0", 3L)))
   }
 
+  test("mask corruption: deterministic, reconstructible, ~1/modulo rate") {
+    import spark.implicits._
+    val d = Seq((1L, (1 to 200).map(i => s"w$i").mkString(" ")),
+      (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    def run() = TextAnalysis.maskCorruption(d, col("text"), col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4)))
+    val r1 = run()
+    assert(r1.toSet == run().toSet)  // content-free hash = reproducible
+    val big = r1.find(_._1 == 1L).get
+    assert(big._2 == 200L)
+    assert(big._3 > 10 && big._3 < 60)  // ~1/7 of 200, loose band
+    // masked positions in input align 1:1 with target tokens, in order
+    val inToks = big._4.split(" ")
+    val masked = inToks.zipWithIndex.filter(_._1 == "<mask>").map(_._2)
+    val orig = (1 to 200).map(i => s"w$i")
+    assert(big._5.split(" ").toSeq == masked.map(orig(_)).toSeq)
+    assert(inToks.zipWithIndex.filter(_._1 != "<mask>")
+      .forall { case (t, i) => t == orig(i) })
+  }
+
+  test("dataset seal: digest is order-independent and flips on any edit") {
+    import spark.implicits._
+    val d = (1 to 30).map(i => (i.toLong, s"doc $i body")).toDF("id", "t")
+    def seal(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.datasetSeal(df, col("t"), col("id"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val a = seal(d)
+    val b = seal(d.repartition(7).sortWithinPartitions(col("t").desc))
+    assert(a == b)  // partitioning/order cannot change the manifest
+    assert(a.values.map(_._1).sum == 30)
+    val edited = seal(d.withColumn("t",
+      when(col("id") === 17L, lit("doc 17 EDITED")).otherwise(col("t"))))
+    val editedSplit = a.keys.find(s => a(s) != edited(s))
+    assert(editedSplit.isDefined)  // exactly the edited doc's split flips
+    assert(a.count { case (k, v) => edited(k) != v } == 1)
+  }
+
   test("misra-gries heavy hitters: exact regime matches groupBy counts; " +
       "over capacity the flag drops and counts stay lower bounds") {
     import spark.implicits._
