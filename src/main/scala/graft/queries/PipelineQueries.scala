@@ -425,7 +425,8 @@ object PipelineQueries {
     val e = embs(spark, dir)
     val idxDir = java.nio.file.Files
       .createTempDirectory("graft_graph_ann").toString
-    Vectors.knnGraphEdges(e, col("vec_id"), col("embedding"), degree = 8)
+    Vectors.knnGraphEdgesBlocked(e, col("vec_id"), col("embedding"),
+        degree = 8)
       .write.mode("overwrite").parquet(s"$idxDir/graph")
     Vectors.graphSearchTopK(e, e.filter(col("vec_id") < 10),
       col("vec_id"), col("embedding"),

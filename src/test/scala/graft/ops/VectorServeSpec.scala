@@ -110,6 +110,18 @@ class VectorServeSpec extends AnyFunSuite with SparkFixture {
       s"search must walk the stored graph artifact\n$p")
   }
 
+  test("blocked kNN-graph build is edge-identical to the expression " +
+      "path, at any blocking") {
+    val a = Vectors.knnGraphEdges(vecs, col("vec_id"), col("embedding"),
+      degree = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (rpb <- Seq(4, 7, 512)) {
+      val b = Vectors.knnGraphEdgesBlocked(vecs, col("vec_id"),
+          col("embedding"), degree = 4, rowsPerBlock = rpb)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a === b, s"rowsPerBlock=$rpb")
+    }
+  }
+
   test("graph ANN: narrow search visits only entry + adjacency + " +
       "beam-expansion nodes (s27's bounded-cost invariant)") {
     val g = Vectors.knnGraphEdges(vecs, col("vec_id"), col("embedding"),
