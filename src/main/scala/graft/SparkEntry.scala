@@ -65,6 +65,7 @@ object SparkEntry {
     "q34_profile" -> (Relational.profileTable _),
     "q35_kmv_setops" -> (Relational.kmvSetAlgebra _),
     "q36_heavy_hitters" -> (Relational.heavyHitters _),
+    "q37_cep_match" -> (Relational.cepMatch _),
     "q22_pivot" -> (Relational.pivotAgg _),
     "q23_unpivot" -> (Relational.unpivotAgg _),
     "q24_bucketed_join" -> (Relational.bucketedJoin _),
@@ -2894,6 +2895,36 @@ object SparkEntry {
         ("event_type", false), ("props", false))
         .map { case (c, isLong) => kmvProfileOracleBranch(c, isLong) }
         .mkString(" UNION ALL "),
+    // q37: the identical integer-encoded greedy state machine —
+    // acc = 10*completed + stage — replayed over the (ts, event_id)-
+    // sorted type codes. NOT list_reduce: DuckDB 1.0.0's list_reduce
+    // mis-folds when evaluated over many grouped rows at once (correct
+    // on a single row — a vectorization bug, reproduced in-session);
+    // the recursive CTE steps the same machine, and since every
+    // transition is non-decreasing, max(acc) is the final state.
+    "q37_cep_match" ->
+      """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS c
+           FROM events),
+         l AS (SELECT user_id,
+                 list(CAST(c AS BIGINT) ORDER BY us, event_id) AS codes
+               FROM e GROUP BY user_id),
+         r AS (
+           SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS acc FROM l
+           UNION ALL
+           SELECT r.user_id, r.i + 1,
+             CASE WHEN r.acc % 10 = 0 AND l.codes[r.i + 1] = 1
+                    THEN r.acc + 1
+                  WHEN r.acc % 10 = 1 AND l.codes[r.i + 1] = 2
+                    THEN r.acc + 1
+                  WHEN r.acc % 10 = 2 AND l.codes[r.i + 1] = 3
+                    THEN r.acc + 8
+                  ELSE r.acc END
+           FROM r JOIN l ON l.user_id = r.user_id
+           WHERE r.i < len(l.codes))
+         SELECT user_id, max(acc) // 10 AS n_matches
+         FROM r GROUP BY user_id""",
     // q36/st29: in the Misra-Gries exact regime (capacity never
     // exceeded — the exact flag pins it) the summary merge IS the
     // exact count map, batch and online alike: one oracle for both.

@@ -700,6 +700,46 @@ object Relational {
     graft.ops.Profiling.kmvSetOps(table(spark, dir, "events"),
       col("event_type"), col("user_id"), k = 64)
 
+  /** q37: complex-event-processing pattern match — the
+    * MATCH_RECOGNIZE capability class (SQL:2016; Flink CEP): count
+    * NON-OVERLAPPING completed `view → click → purchase` sequences per
+    * user under the greedy after-match-skip-past-last-row semantics,
+    * which q26's first-occurrence funnel cannot express (a user who
+    * completes the journey twice counts twice here, once there). The
+    * state machine is INTEGER-ENCODED (acc = 10·completed + stage;
+    * events as type codes) so the per-user fold is one arithmetic
+    * CASE over the (ts, event_id)-sorted code list — the identical
+    * fold runs in the DuckDB oracle, making a sequential-pattern
+    * operator hash-checkable.
+    *
+    * Scale shape: ONE exchange on user_id; per-user work is a sorted
+    * fold over that user's events (the q26/st13 bound); output is one
+    * row per user. A pattern with k steps changes the CASE arms, not
+    * the plan. */
+  def cepMatch(spark: SparkSession, dir: String): DataFrame =
+    cepMatchOver(table(spark, dir, "events"))
+
+  /** The q37 operator over any (user_id, event_id, ts, event_type)
+    * relation — split out so the spec can drive hand-built sequences
+    * through the exact production fold. */
+  def cepMatchOver(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          when(col("event_type") === "view", 1L)
+            .when(col("event_type") === "click", 2L)
+            .when(col("event_type") === "purchase", 3L)
+            .otherwise(0L).as("c")).as("ev"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .select(col("user_id"),
+        (aggregate(transform(col("evs"), x => x.getField("c")), lit(0L),
+          (acc, x) =>
+            when(acc % 10 === 0 && x === 1, acc + 1)
+              .when(acc % 10 === 1 && x === 2, acc + 1)
+              .when(acc % 10 === 2 && x === 3, acc + 8)
+              .otherwise(acc)) / 10).cast("long").as("n_matches"))
+
   /** q36: Misra-Gries heavy hitters — top-20 users by event volume via
     * bounded-memory per-partition summaries
     * ([[graft.ops.Profiling.heavyHittersPartial]]); the shuffle
