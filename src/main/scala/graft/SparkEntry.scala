@@ -90,6 +90,7 @@ object SparkEntry {
     "st27_stream_profile" -> (StreamingQueries.streamProfile _),
     "st28_stream_quarantine" -> (StreamingQueries.streamQuarantine _),
     "st29_stream_heavy_hitters" -> (StreamingQueries.streamHeavyHitters _),
+    "st30_stream_cep" -> (StreamingQueries.streamCep _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -2902,29 +2903,10 @@ object SparkEntry {
     // on a single row — a vectorization bug, reproduced in-session);
     // the recursive CTE steps the same machine, and since every
     // transition is non-decreasing, max(acc) is the final state.
-    "q37_cep_match" ->
-      """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
-             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
-                  WHEN 'purchase' THEN 3 ELSE 0 END AS c
-           FROM events),
-         l AS (SELECT user_id,
-                 list(CAST(c AS BIGINT) ORDER BY us, event_id) AS codes
-               FROM e GROUP BY user_id),
-         r AS (
-           SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS acc FROM l
-           UNION ALL
-           SELECT r.user_id, r.i + 1,
-             CASE WHEN r.acc % 10 = 0 AND l.codes[r.i + 1] = 1
-                    THEN r.acc + 1
-                  WHEN r.acc % 10 = 1 AND l.codes[r.i + 1] = 2
-                    THEN r.acc + 1
-                  WHEN r.acc % 10 = 2 AND l.codes[r.i + 1] = 3
-                    THEN r.acc + 8
-                  ELSE r.acc END
-           FROM r JOIN l ON l.user_id = r.user_id
-           WHERE r.i < len(l.codes))
-         SELECT user_id, max(acc) // 10 AS n_matches
-         FROM r GROUP BY user_id""",
+    "q37_cep_match" -> cepOracleSql,
+    // st30 runs the same machine in keyed state at ingest; monotone acc
+    // + time-split replay land it on the identical batch answer.
+    "st30_stream_cep" -> cepOracleSql,
     // q36/st29: in the Misra-Gries exact regime (capacity never
     // exceeded — the exact flag pins it) the summary merge IS the
     // exact count map, batch and online alike: one oracle for both.
@@ -3383,6 +3365,36 @@ object SparkEntry {
                 WHEN sc.lm_score <= b.b2 THEN 'middle'
                 ELSE 'head' END AS bucket
          FROM sc JOIN bounds b ON sc.lang = b.lang"""
+
+  /** q37 + st30: the integer-encoded greedy state machine
+    * (acc = 10·completed + stage) stepped by a recursive CTE — NOT
+    * list_reduce: DuckDB 1.0.0 mis-folds list_reduce evaluated over
+    * many grouped rows at once (correct on a single row — a
+    * vectorization bug, reproduced in-session). Every transition is
+    * non-decreasing, so max(acc) is the final state. */
+  private def cepOracleSql: String =
+    """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS c
+           FROM events),
+         l AS (SELECT user_id,
+                 list(CAST(c AS BIGINT) ORDER BY us, event_id) AS codes
+               FROM e GROUP BY user_id),
+         r AS (
+           SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS acc FROM l
+           UNION ALL
+           SELECT r.user_id, r.i + 1,
+             CASE WHEN r.acc % 10 = 0 AND l.codes[r.i + 1] = 1
+                    THEN r.acc + 1
+                  WHEN r.acc % 10 = 1 AND l.codes[r.i + 1] = 2
+                    THEN r.acc + 1
+                  WHEN r.acc % 10 = 2 AND l.codes[r.i + 1] = 3
+                    THEN r.acc + 8
+                  ELSE r.acc END
+           FROM r JOIN l ON l.user_id = r.user_id
+           WHERE r.i < len(l.codes))
+         SELECT user_id, max(acc) // 10 AS n_matches
+         FROM r GROUP BY user_id"""
 
   /** q36 + st29: exact top-20 users by event count, (cnt desc, key)
     * tiebreak; `exact` TRUE because m = 2^17 keeps every partition's

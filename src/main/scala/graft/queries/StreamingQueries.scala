@@ -2104,4 +2104,59 @@ object StreamingQueries {
       try sq.processAllAvailable() finally sq.stop()
       Profiling.heavyHittersTopK(spark.read.parquet(artifactDir), k = 20)
     }
+
+  /** st30: streaming CEP — q37's greedy non-overlapping
+    * view→click→purchase counter run AT INGEST as a per-user keyed
+    * fold (the Flink-CEP deployment shape): state is the same
+    * integer-encoded machine (acc = 10·completed + stage, one Long per
+    * user), each event advances it in O(1), and the count is live the
+    * moment the pattern completes — where q37 needs the sorted
+    * per-user event list. Time-split staging + the fold kernel's
+    * per-batch (ts, offset) ordering give the same global per-user
+    * event order q37 sorts by, and the acc is MONOTONE, so the
+    * changelog max is the final state and the batch oracle is shared
+    * verbatim. State is written on every message (not only on
+    * transitions) so pattern-free users still emit their 0 row, as the
+    * batch side does. */
+  def streamCep(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-cep")(
+        Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+          val acc = ctx.value match {
+            case null => 0L
+            case a: Long => a
+            case a: java.lang.Long => a.longValue
+          }
+          val c = msg.asInstanceOf[String] match {
+            case "view" => 1L
+            case "click" => 2L
+            case "purchase" => 3L
+            case _ => 0L
+          }
+          val next = (acc % 10, c) match {
+            case (0L, 1L) => acc + 1
+            case (1L, 2L) => acc + 1
+            case (2L, 3L) => acc + 8
+            case _ => acc
+          }
+          ctx.setValue(next)
+        }),
+        Persist(Int64Codec))
+      val staging = stagedEventsSplit(spark, dir)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, Int64Codec.decode(e.value)))
+        .toDF("user_id", "acc")
+      runToTable(spark, table)
+        .groupBy(col("user_id"))
+        .agg((max(col("acc")) / 10).cast("long").as("n_matches"))
+        .select(col("user_id").cast("long").as("user_id"),
+          col("n_matches"))
+    }
 }
