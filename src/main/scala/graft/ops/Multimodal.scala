@@ -159,26 +159,18 @@ object Multimodal {
       nBits: Int = 48, bands: Int = 8, maxHamming: Int = 7): DataFrame = {
     require(maxHamming < bands, "pigeonhole-exact banding needs maxHamming < bands")
     require(nBits % bands == 0 && nBits < 63, s"nBits=$nBits")
+    require(nBits == 48, "the graft_phash kernel is fixed at 48 bits")
     val bandBits = nBits / bands
     val mask = (1L << bandBits) - 1L
-    val cps = df.select(id.cast("long").as("mid"), text.as("t"))
-      .select(col("mid"), length(col("t")).as("n"),
-        posexplode(expr(
-          "transform(sequence(1, length(t)), i -> ascii(substr(t, i, 1)))"))
-          .as(Seq("p0", "c")))
-    val blocks = cps
-      .select(col("mid"), col("n"),
-        expr(s"(p0 * $nBits) div n").as("b"), col("c"))
-      .groupBy(col("mid"), col("b"))
-      .agg(first(col("n")).as("n"), count(lit(1)).as("cnt"),
-        sum(col("c")).as("s"))
-    val totals = blocks.groupBy(col("mid"))
-      .agg(sum(col("s")).as("ts"), sum(col("cnt")).as("tn"))
-    val ph = blocks.join(totals, Seq("mid"))
-      .groupBy(col("mid"))
-      .agg(sum(when(col("s") * col("tn") >= col("ts") * col("cnt"),
-        expr("CAST(1 AS BIGINT) << CAST(b AS INT)")).otherwise(lit(0L)))
-        .as("h"))
+    // Signature stage: the native one-pass kernel (map-only inside
+    // whole-stage codegen) instead of a per-character posexplode
+    // through two aggregations — bit-identical to [[phashDeclarative]]
+    // (spec-pinned); empty media dropped exactly as the exploded form
+    // did implicitly (no block rows -> no signature row).
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val ph = df.select(id.cast("long").as("mid"), text.as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("mid"), call_function("graft_phash", col("t")).as("h"))
     val banded = ph.select(col("mid"), col("h"),
       explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
       .withColumn("bv",
@@ -194,6 +186,31 @@ object Multimodal {
       .select(col("da"), col("db"),
         expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The pre-kernel relational block-mean hash — kept as the parity
+    * reference [[graft.functions.PHashOps.compute]] is spec-checked
+    * against (and what the DuckDB oracle mirrors). */
+  private[graft] def phashDeclarative(df: DataFrame, text: Column,
+      id: Column): DataFrame = {
+    val cps = df.select(id.cast("long").as("mid"), text.as("t"))
+      .select(col("mid"), length(col("t")).as("n"),
+        posexplode(expr(
+          "transform(sequence(1, length(t)), i -> ascii(substr(t, i, 1)))"))
+          .as(Seq("p0", "c")))
+    val blocks = cps
+      .select(col("mid"), col("n"), expr("(p0 * 48) div n").as("b"),
+        col("c"))
+      .groupBy(col("mid"), col("b"))
+      .agg(first(col("n")).as("n"), count(lit(1)).as("cnt"),
+        sum(col("c")).as("s"))
+    val totals = blocks.groupBy(col("mid"))
+      .agg(sum(col("s")).as("ts"), sum(col("cnt")).as("tn"))
+    blocks.join(totals, Seq("mid"))
+      .groupBy(col("mid"))
+      .agg(sum(when(col("s") * col("tn") >= col("ts") * col("cnt"),
+        expr("CAST(1 AS BIGINT) << CAST(b AS INT)")).otherwise(lit(0L)))
+        .as("h"))
   }
 
   /** m05: cross-modal alignment scoring + filtering — the CLIP-score

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{IDot, ISqDist, MinHashSig, RollingHash, ShingleArray, SimHash60}
+import graft.functions.{IDot, ISqDist, MinHashSig, PHash48, RollingHash, ShingleArray, SimHash60}
 
 /** Engine SQL surface: registers graft's native expressions so plain
   * `spark.sql("SELECT graft_rolling_hash(text) ...")` works.
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashDescriptor)
     ext.injectFunction(GraftExtensions.idotDescriptor)
     ext.injectFunction(GraftExtensions.isqdistDescriptor)
+    ext.injectFunction(GraftExtensions.phashDescriptor)
   }
 }
 
@@ -66,6 +67,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[ISqDist].getName, "graft_isqdist"),
     (exprs: Seq[Expression]) => ISqDist(exprs.head, exprs(1)))
 
+  private val phashDescriptor = (
+    FunctionIdentifier("graft_phash"),
+    new ExpressionInfo(classOf[PHash48].getName, "graft_phash"),
+    (exprs: Seq[Expression]) => PHash48(exprs.head))
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -80,5 +86,7 @@ object GraftExtensions {
       "graft_idot", idotDescriptor._3, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_isqdist", isqdistDescriptor._3, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_phash", phashDescriptor._3, "built-in")
   }
 }

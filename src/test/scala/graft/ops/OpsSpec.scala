@@ -1063,6 +1063,20 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r("v") == ((3L, 2L, "10.0", "20.0", 3L)))
   }
 
+  test("graft_phash kernel is bit-identical to the declarative " +
+      "block-mean stages on the fixture corpus") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    graft.plans.GraftExtensions.register(spark)
+    val kernel = d.filter(length(col("text")) > 0)
+      .select(col("doc_id").cast("long").as("mid"),
+        call_function("graft_phash", col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val decl = Multimodal.phashDeclarative(d, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kernel === decl)
+    assert(kernel.nonEmpty)
+  }
+
   test("mask corruption: deterministic, reconstructible, ~1/modulo rate") {
     import spark.implicits._
     val d = Seq((1L, (1 to 200).map(i => s"w$i").mkString(" ")),
