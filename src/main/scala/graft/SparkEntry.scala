@@ -66,6 +66,7 @@ object SparkEntry {
     "q35_kmv_setops" -> (Relational.kmvSetAlgebra _),
     "q36_heavy_hitters" -> (Relational.heavyHitters _),
     "q37_cep_match" -> (Relational.cepMatch _),
+    "q38_histogram" -> (Relational.histogram _),
     "q22_pivot" -> (Relational.pivotAgg _),
     "q23_unpivot" -> (Relational.unpivotAgg _),
     "q24_bucketed_join" -> (Relational.bucketedJoin _),
@@ -2904,6 +2905,33 @@ object SparkEntry {
     // the recursive CTE steps the same machine, and since every
     // transition is non-decreasing, max(acc) is the final state.
     "q37_cep_match" -> cepOracleSql,
+    // q38: discrete rank-selected quartile boundaries + exact
+    // value-range bucket populations — tie-order-independent.
+    "q38_histogram" ->
+      """WITH r AS (SELECT l_returnflag AS g, l_extendedprice AS x
+                    FROM lineitem),
+         ranked AS (SELECT g, x,
+                      row_number() OVER (PARTITION BY g ORDER BY x) AS rk,
+                      count(*) OVER (PARTITION BY g) AS n
+                    FROM r),
+         b AS (SELECT g,
+                 max(CASE WHEN rk = CAST(ceil(1 * n / 4.0) AS BIGINT)
+                     THEN x END) AS b1,
+                 max(CASE WHEN rk = CAST(ceil(2 * n / 4.0) AS BIGINT)
+                     THEN x END) AS b2,
+                 max(CASE WHEN rk = CAST(ceil(3 * n / 4.0) AS BIGINT)
+                     THEN x END) AS b3,
+                 max(CASE WHEN rk = CAST(ceil(4 * n / 4.0) AS BIGINT)
+                     THEN x END) AS b4
+               FROM ranked GROUP BY g)
+         SELECT r.g AS l_returnflag,
+           CASE WHEN r.x <= b.b1 THEN 1 WHEN r.x <= b.b2 THEN 2
+                WHEN r.x <= b.b3 THEN 3 ELSE 4 END AS bucket,
+           CAST(CASE WHEN r.x <= b.b1 THEN b.b1 WHEN r.x <= b.b2 THEN b.b2
+                WHEN r.x <= b.b3 THEN b.b3 ELSE b.b4 END AS DOUBLE) AS hi,
+           count(*) AS cnt
+         FROM r JOIN b ON b.g = r.g
+         GROUP BY 1, 2, 3""",
     // st30 runs the same machine in keyed state at ingest; monotone acc
     // + time-split replay land it on the identical batch answer.
     "st30_stream_cep" -> cepOracleSql,

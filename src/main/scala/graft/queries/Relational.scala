@@ -700,6 +700,47 @@ object Relational {
     graft.ops.Profiling.kmvSetOps(table(spark, dir, "events"),
       col("event_type"), col("user_id"), k = 64)
 
+  /** q38: exact equi-depth histogram — the ANALYZE statistics artifact
+    * between q34's profile (counts/bounds) and q29's percentiles (two
+    * points): per group, quartile-boundary values (discrete
+    * rank-selected, the q29 machinery — no interpolation float risk)
+    * plus the EXACT population of each (b_{k-1}, b_k] range, the
+    * histogram a cost-based optimizer or drift monitor actually
+    * consumes. Duplicate-heavy columns make equi-depth buckets
+    * legitimately unequal — counts come from value-range predicates,
+    * so they are deterministic whatever the tie order.
+    *
+    * Scale shape: ranking partitions BY GROUP (distributed, the q29
+    * contract); the 4-value-per-group boundary table broadcasts back;
+    * bucket assignment is a map-only CASE feeding one (group, bucket)
+    * aggregation. At 100 TB swap the boundary derivation for
+    * approx_percentile and keep everything else. */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+    val byG = Window.partitionBy(col("g"))
+    val ranked = li
+      .withColumn("rk", row_number().over(byG.orderBy(col("x"))))
+      .withColumn("n", count(lit(1)).over(byG))
+    val bounds = ranked.groupBy(col("g")).agg(
+      max(when(col("rk") === expr("ceil(1 * n / 4.0)"), col("x"))).as("b1"),
+      max(when(col("rk") === expr("ceil(2 * n / 4.0)"), col("x"))).as("b2"),
+      max(when(col("rk") === expr("ceil(3 * n / 4.0)"), col("x"))).as("b3"),
+      max(when(col("rk") === expr("ceil(4 * n / 4.0)"), col("x"))).as("b4"))
+    li.join(broadcast(bounds), Seq("g"))
+      .select(col("g"),
+        when(col("x") <= col("b1"), 1)
+          .when(col("x") <= col("b2"), 2)
+          .when(col("x") <= col("b3"), 3)
+          .otherwise(4).as("bucket"),
+        when(col("x") <= col("b1"), col("b1"))
+          .when(col("x") <= col("b2"), col("b2"))
+          .when(col("x") <= col("b3"), col("b3"))
+          .otherwise(col("b4")).cast("double").as("hi"))
+      .groupBy(col("g").as("l_returnflag"), col("bucket"), col("hi"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** q37: complex-event-processing pattern match — the
     * MATCH_RECOGNIZE capability class (SQL:2016; Flink CEP): count
     * NON-OVERLAPPING completed `view → click → purchase` sequences per

@@ -1063,6 +1063,23 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r("v") == ((3L, 2L, "10.0", "20.0", 3L)))
   }
 
+  test("equi-depth histogram: buckets partition every row, boundaries " +
+      "non-decreasing (q38)") {
+    val dir = "/root/testdata/sf0.001"
+    val h = graft.queries.Relational.histogram(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val totals = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((flag, n) <- totals) {
+      val bs = h.filter(_._1 == flag).sortBy(_._2)
+      assert(bs.map(_._4).sum == n, s"$flag rows must all land in a bucket")
+      assert(bs.map(_._3).toSeq == bs.map(_._3).sorted.toSeq)
+      assert(bs.forall(b => b._2 >= 1 && b._2 <= 4))
+    }
+  }
+
   test("graft_phash kernel is bit-identical to the declarative " +
       "block-mean stages on the fixture corpus") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
