@@ -138,6 +138,7 @@ object SparkEntry {
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
     "d20_fuzzy_decontam" -> (PipelineQueries.fuzzyDecontaminate _),
     "d21_snapshot_diff" -> (PipelineQueries.snapshotDiff _),
+    "d22_medoid_keep" -> (PipelineQueries.medoidKeep _),
     "d17_dedup_agreement" -> (PipelineQueries.dedupAgreement _),
     "d18_keep_best" -> (PipelineQueries.clusterKeepBest _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
@@ -2300,54 +2301,38 @@ object SparkEntry {
     // d12's verdict machinery over s10's TRAINED cells: the two-round
     // Lloyd chain, assignment against cents2, then within-cell
     // cosine >= 0.3 vs a smaller vec_id => dropped.
+    // d22: the same trained-cell assignment, then the integer medoid —
+    // per cell, argmin over members of Σ‖a−b‖² on the scaled vectors
+    // (integer sums: order-independent, bit-deterministic), ties to
+    // the smaller id; singleton cells keep their member at total 0.
+    "d22_medoid_keep" ->
+      s"""WITH pre AS ($embPreSql),
+         $lloydAssignSql,
+         sums AS (
+           SELECT a.cid, a.vec_id AS avid,
+             CAST(sum((SELECT sum((x - y) * (x - y))
+                       FROM (SELECT unnest(pa.v) x, unnest(pb.v) y)))
+               AS BIGINT) AS total_d2
+           FROM assignT a
+           JOIN assignT b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+           JOIN pre pa ON pa.vec_id = a.vec_id
+           JOIN pre pb ON pb.vec_id = b.vec_id
+           GROUP BY 1, 2),
+         mem AS (SELECT cid, count(*) AS n_members FROM assignT
+                 GROUP BY cid),
+         ranked AS (
+           SELECT t.cid, t.vec_id, COALESCE(s.total_d2, 0) AS total_d2,
+             row_number() OVER (PARTITION BY t.cid
+               ORDER BY COALESCE(s.total_d2, 0), t.vec_id) AS rn
+           FROM assignT t
+           LEFT JOIN sums s ON s.cid = t.cid AND s.avid = t.vec_id)
+         SELECT r.cid AS cell, r.vec_id AS medoid_id, m.n_members,
+           r.total_d2
+         FROM ranked r JOIN mem m ON m.cid = r.cid
+         WHERE r.rn = 1""",
     "d14_semdedup_trained" ->
       s"""WITH pre AS ($embPreSql),
-         cents0 AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
-                    FROM pre ORDER BY vec_id LIMIT 16),
-         asg1 AS (
-           SELECT vec_id, cid FROM (
-             SELECT p.vec_id, c.cid,
-               row_number() OVER (PARTITION BY p.vec_id ORDER BY
-                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
-                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
-                 c.cid) AS rn
-             FROM pre p, cents0 c) WHERE rn = 1),
-         cd1 AS (
-           SELECT a.cid, t.i AS d,
-             CAST(floor(CAST(sum(p.v[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cval
-           FROM asg1 a JOIN pre p ON p.vec_id = a.vec_id,
-             LATERAL (SELECT unnest(generate_series(1, len(p.v))) AS i) t
-           GROUP BY a.cid, t.i),
-         cents1 AS (
-           SELECT cid, cv,
-             CAST((SELECT sum(e*e) FROM unnest(cv) t(e)) AS BIGINT) AS cn2
-           FROM (SELECT cid, list(cval ORDER BY d) AS cv FROM cd1 GROUP BY cid)),
-         asg2 AS (
-           SELECT vec_id, cid FROM (
-             SELECT p.vec_id, c.cid,
-               row_number() OVER (PARTITION BY p.vec_id ORDER BY
-                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
-                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
-                 c.cid) AS rn
-             FROM pre p, cents1 c) WHERE rn = 1),
-         cd2 AS (
-           SELECT a.cid, t.i AS d,
-             CAST(floor(CAST(sum(p.v[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cval
-           FROM asg2 a JOIN pre p ON p.vec_id = a.vec_id,
-             LATERAL (SELECT unnest(generate_series(1, len(p.v))) AS i) t
-           GROUP BY a.cid, t.i),
-         cents2 AS (
-           SELECT cid, cv,
-             CAST((SELECT sum(e*e) FROM unnest(cv) t(e)) AS BIGINT) AS cn2
-           FROM (SELECT cid, list(cval ORDER BY d) AS cv FROM cd2 GROUP BY cid)),
-         assignT AS (
-           SELECT vec_id, cid FROM (
-             SELECT p.vec_id, c.cid,
-               row_number() OVER (PARTITION BY p.vec_id ORDER BY
-                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
-                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
-                 c.cid) AS rn
-             FROM pre p, cents2 c) WHERE rn = 1),
+         $lloydAssignSql,
          dups AS (
            SELECT a.vec_id, min(b.vec_id) AS dup_of
            FROM assignT a JOIN assignT b
@@ -3393,6 +3378,58 @@ object SparkEntry {
                 WHEN sc.lm_score <= b.b2 THEN 'middle'
                 ELSE 'head' END AS bucket
          FROM sc JOIN bounds b ON sc.lang = b.lang"""
+
+  /** The d14 two-round Lloyd chain: sampled seeds → assign → exact
+    * floor-mean update ×2 → final assignment `assignT (vec_id, cid)`.
+    * Shared by d14 (semantic dedup over trained cells) and d22 (medoid
+    * per trained cell). Expects a `pre` CTE in scope. */
+  private def lloydAssignSql: String =
+    """cents0 AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
+                    FROM pre ORDER BY vec_id LIMIT 16),
+         asg1 AS (
+           SELECT vec_id, cid FROM (
+             SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
+                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.cid) AS rn
+             FROM pre p, cents0 c) WHERE rn = 1),
+         cd1 AS (
+           SELECT a.cid, t.i AS d,
+             CAST(floor(CAST(sum(p.v[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+           FROM asg1 a JOIN pre p ON p.vec_id = a.vec_id,
+             LATERAL (SELECT unnest(generate_series(1, len(p.v))) AS i) t
+           GROUP BY a.cid, t.i),
+         cents1 AS (
+           SELECT cid, cv,
+             CAST((SELECT sum(e*e) FROM unnest(cv) t(e)) AS BIGINT) AS cn2
+           FROM (SELECT cid, list(cval ORDER BY d) AS cv FROM cd1 GROUP BY cid)),
+         asg2 AS (
+           SELECT vec_id, cid FROM (
+             SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
+                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.cid) AS rn
+             FROM pre p, cents1 c) WHERE rn = 1),
+         cd2 AS (
+           SELECT a.cid, t.i AS d,
+             CAST(floor(CAST(sum(p.v[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+           FROM asg2 a JOIN pre p ON p.vec_id = a.vec_id,
+             LATERAL (SELECT unnest(generate_series(1, len(p.v))) AS i) t
+           GROUP BY a.cid, t.i),
+         cents2 AS (
+           SELECT cid, cv,
+             CAST((SELECT sum(e*e) FROM unnest(cv) t(e)) AS BIGINT) AS cn2
+           FROM (SELECT cid, list(cval ORDER BY d) AS cv FROM cd2 GROUP BY cid)),
+         assignT AS (
+           SELECT vec_id, cid FROM (
+             SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
+                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.cid) AS rn
+             FROM pre p, cents2 c) WHERE rn = 1)"""
 
   /** q37 + st30: the integer-encoded greedy state machine
     * (acc = 10·completed + stage) stepped by a recursive CTE — NOT

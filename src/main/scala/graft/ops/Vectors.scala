@@ -1274,6 +1274,49 @@ object Vectors {
       .filter(col("rank") <= k)
   }
 
+  /** d22: medoid selection per trained cell — the SEMANTIC
+    * cluster-representative policy (SemDeDup/SemDeDup-style pipelines
+    * keep the member closest to the cluster's center of mass; d18's
+    * keep-best is the TEXT-side length policy): per k-means cell, keep
+    * the member minimizing the total squared distance to every other
+    * member (the classic medoid), ties to the smaller id. The metric
+    * is the INTEGER Σ‖a−b‖² on the µ-scaled vectors ([[sqDist]]'s
+    * native kernel) — integer sums are order-independent, so unlike a
+    * float cosine-sum medoid the selection is bit-deterministic and
+    * oracle-checkable.
+    *
+    * Scale shape: the pair stage is the same O(Σ cell²) within-cell
+    * self-join SemDeDup already pays ([[semDedupWith]]) — cells from
+    * the trained model keep it O(n·√n) with √n cells; the argmin is a
+    * cell-partitioned window over member-count-sized rows. Singleton
+    * cells keep their only member with total 0. */
+  def medoidPerCell(corpus: DataFrame, id: Column, emb: Column,
+      cents: DataFrame): DataFrame = {
+    val asg = assignCellsWith(prepared(corpus, id, emb), cents)
+    val a = asg.select(col("cid"), col("vid").as("avid"),
+      col("iv").as("aiv"))
+    val b = asg.select(col("cid"), col("vid").as("bvid"),
+      col("iv").as("biv"))
+    val sums = a.join(b, Seq("cid"))
+      .filter(col("avid") =!= col("bvid"))
+      .select(col("cid"), col("avid"),
+        sqDist(col("aiv"), col("biv")).as("d2"))
+      .groupBy(col("cid"), col("avid"))
+      .agg(sum(col("d2")).as("total_d2"))
+    val members = asg.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("total_d2").asc, col("avid").asc)
+    asg.select(col("cid"), col("vid").as("avid"))
+      .join(sums, Seq("cid", "avid"), "left")
+      .withColumn("total_d2", coalesce(col("total_d2"), lit(0L)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(members, Seq("cid"))
+      .select(col("cid").as("cell"), col("avid").as("medoid_id"),
+        col("n_members"), col("total_d2"))
+  }
+
   /** Per-dimension corpus statistics — the feature-normalization /
     * scaler-fitting pass (min-max bounds + coverage count per embedding
     * position) run before quantization or whitening. min/max involve no

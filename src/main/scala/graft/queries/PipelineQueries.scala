@@ -866,6 +866,18 @@ object PipelineQueries {
     Retrieval.booleanSearch(docs(spark, dir), col("text"),
       col("doc_id"), boolQueries)
 
+  /** d22: semantic medoid keep — the embedding-space
+    * cluster-representative policy next to d18's length policy: per
+    * d14-trained k-means cell, keep the integer-exact medoid
+    * ([[graft.ops.Vectors.medoidPerCell]]). k pinned to 16 for the
+    * fixture oracle, as d14. */
+  def medoidKeep(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val (cents, _) = Vectors.kmeansFit(e, col("vec_id"), col("embedding"),
+      k = 16, iters = 2)
+    Vectors.medoidPerCell(e, col("vec_id"), col("embedding"), cents)
+  }
+
   /** t25: deterministic mask corruption — the denoising-objective
     * example construction over every document (1-in-7 positions,
     * content-free hash selection). */

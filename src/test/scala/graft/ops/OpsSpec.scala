@@ -1063,6 +1063,36 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r("v") == ((3L, 2L, "10.0", "20.0", 3L)))
   }
 
+  test("medoid keep: the geometrically central member wins its cell; " +
+      "a singleton cell keeps itself (d22)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // centroid seeds: cells around x / y
+      (1L, Array(0.0f, 1.0f)),
+      (5L, Array(0.8f, 0.0f)),   // cell x: 5 sits between 0 and 6
+      (6L, Array(0.6f, 0.0f)),
+      (9L, Array(0.0f, 0.9f)))   // cell y: 1 and 9 -> 1 is medoid by id?
+      .toDF("vec_id", "embedding")
+    val p = Vectors.prepared(vecs, col("vec_id"), col("embedding"))
+    val cents = p.orderBy(col("vid")).limit(2)
+      .select(col("vid").as("cid"), col("iv").as("civ"),
+        col("n2").as("cn2"))
+    val m = Vectors.medoidPerCell(vecs, col("vec_id"), col("embedding"),
+        cents)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // cell x members {0, 5, 6} on a line: 5 (0.8) minimizes total d2
+    assert(m(0L)._1 == 5L && m(0L)._2 == 3L)
+    // cell y members {1, 9}: equal pair distance both ways -> smaller id
+    assert(m(1L)._1 == 1L && m(1L)._2 == 2L && m(1L)._3 > 0L)
+    val one = Vectors.medoidPerCell(
+      vecs.filter(col("vec_id") === 0L), col("vec_id"), col("embedding"),
+      cents).collect()
+    assert(one.length == 1 && one.head.getLong(1) == 0L &&
+      one.head.getLong(3) == 0L) // singleton: itself, total 0
+  }
+
   test("equi-depth histogram: buckets partition every row, boundaries " +
       "non-decreasing (q38)") {
     val dir = "/root/testdata/sf0.001"
