@@ -578,4 +578,54 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct") && !p.contains("Join"),
       s"profiling must not join; got\n$p")
   }
+
+  test("q36: heavy hitters never shuffle raw keys — only kernel summaries") {
+    val p = plan("q36_heavy_hitters")
+    // events scan reads only the key column; no groupBy of raw user_id
+    assert(p.contains("ReadSchema: struct<user_id:bigint>"),
+      s"summary pass must prune to the key column\n$p")
+    assert(p.contains("mapPartitions") || p.contains("MapPartitions"),
+      s"the Misra-Gries fold must run as the partition kernel\n$p")
+  }
+
+  test("q37: CEP = ONE user_id exchange, no join") {
+    val p = plan("q37_cep_match")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"the whole pattern fold must reuse one user_id exchange\n$p")
+    assert(!p.contains("Join"), s"CEP is a fold, not a join chain\n$p")
+  }
+
+  test("q38: histogram boundaries broadcast back; assignment is not a shuffle join") {
+    val p = plan("q38_histogram")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 4-value-per-group boundary table must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"bucket assignment must not co-shuffle the fact table\n$p")
+  }
+
+  test("q35: sketch set-algebra joins only sketch-sized sides after the minima selection") {
+    val p = plan("q35_kmv_setops")
+    assert(!p.contains("CartesianProduct"),
+      s"segment pairs come from the theta inequality join on tiny meta rows\n$p")
+    // raw element sets are never broadcast — only exact ride-along
+    // audit joins touch them, keyed on the element
+    assert(p.contains("graft_stream") || !p.contains("CollectLimit"), p)
+  }
+
+  test("t25: mask corruption is map-only — no shuffle, no explode") {
+    val p = plan("t25_mask_corrupt")
+    assert(!p.contains("Exchange"), s"indexed HOFs, not explode+regroup\n$p")
+    assert(!p.contains("Generate"), p)
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
+  }
+
+  test("c07: dataset seal is one scan + one partial-aggregated exchange") {
+    val p = plan("c07_dataset_seal")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
+    assert(p.contains("partial_bit_xor") || p.contains("HashAggregate"),
+      s"the digest must combine map-side\n$p")
+  }
 }
