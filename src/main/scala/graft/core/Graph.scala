@@ -58,6 +58,18 @@ trait Context {
 
   /** Abort processing with an error (`context.go:464-467`). */
   def fail(err: Throwable): Unit = throw err
+
+  /** Defer the commit of the current message (`context.go:128-134`,
+    * semantics pinned by `context_test.go:72-130`): the message does
+    * NOT count as processed when the callback returns; the returned
+    * function MUST eventually be called — `None` commits, `Some(err)`
+    * refuses the commit and routes the error to the processor's
+    * failure path. Callable multiple times; every returned function
+    * must then be called. In the batch executor, a defer left
+    * unresolved when the fold drains fails the job loudly — the batch
+    * analogue of the reference's "the processor might reprocess the
+    * message": surfaced, never silently committed. */
+  def deferCommit(): Option[Throwable] => Unit
 }
 
 /** Typed link of the dataflow graph to a topic — the reference's `Edge`

@@ -291,11 +291,29 @@ object BatchExecutor {
     private var stateTouched = false
     private val joinRows = scala.collection.mutable.HashMap.empty[String, Array[Byte]]
     private val out = scala.collection.mutable.Queue.empty[Emitted]
+    private var pendingDefers = 0L
+    private val deferErrors = scala.collection.mutable.Buffer.empty[Throwable]
+    private var defersChecked = false
 
     override def hasNext: Boolean = {
       while (out.isEmpty && rows.hasNext) consume(rows.next())
       if (out.isEmpty && hadKey) flushKey()
+      if (out.isEmpty && !rows.hasNext) checkDefers()
       out.nonEmpty
+    }
+
+    /** Terminal deferCommit accounting (`context.go:128-134`): a
+      * deferred-then-failed commit fails the fold with the deferred
+      * error; a defer whose done-function was never called fails
+      * loudly instead of being silently committed — the batch
+      * analogue of the reference's redelivery. */
+    private def checkDefers(): Unit = if (!defersChecked) {
+      defersChecked = true
+      if (deferErrors.nonEmpty) throw deferErrors.head
+      if (pendingDefers > 0) throw new IllegalStateException(
+        s"$pendingDefers deferred commit(s) never resolved in " +
+          s"group=${graph.group}; the reference would redeliver these " +
+          "messages — the batch executor fails loudly instead")
     }
     override def next(): Emitted = { if (!hasNext) throw new NoSuchElementException; out.dequeue() }
 
@@ -413,6 +431,21 @@ object BatchExecutor {
           row.tsMicros, nextSeq(), null))
       }
       private def nextSeq(): Int = { emitSeq += 1; emitSeq }
+
+      def deferCommit(): Option[Throwable] => Unit = {
+        pendingDefers += 1
+        val at = s"group=${graph.group} topic=${row.topic} " +
+          s"key=${row.key} offset=${row.offset}"
+        var called = false
+        (err: Option[Throwable]) => {
+          if (called) throw new IllegalStateException(
+            s"deferCommit done-function called twice: $at")
+          called = true
+          pendingDefers -= 1
+          err.foreach(e => deferErrors +=
+            new CallbackException(s"deferred commit failed: $at", e))
+        }
+      }
 
       def join(table: String): Any = {
         val codec = graph.joins.getOrElse(table,

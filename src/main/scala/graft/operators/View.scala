@@ -18,22 +18,48 @@ import graft.core.{Codec, Message, TableRow}
   */
 class View(val rows: Dataset[TableRow]) extends Serializable {
 
+  // Local-replica evictions (`view.go:419-427`): keys removed from
+  // THIS view instance only. Thread-safe for concurrent WebServer
+  // reads; the set is instance state, exactly like the reference's
+  // per-instance local storage.
+  private val evictedKeys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Evict removes the key only from this view's LOCAL replica
+    * (`view.go:419-427`): subsequent reads through this instance miss
+    * it; the underlying group table — and every other View of it — is
+    * untouched. Deleting for real is `ctx.delete()` on a processor,
+    * as the reference's doc says. The local-hygiene operation a
+    * serving deployment uses to drop poisoned or oversized cache
+    * entries without a write to the source of truth. */
+  def evict(key: String): Unit = { evictedKeys.add(key); () }
+
+  /** The local replica as served: rows minus local evictions. The
+    * filter is a Catalyst predicate, so bucket pruning and pushdown
+    * still apply to the underlying scan. */
+  protected def live: Dataset[TableRow] =
+    if (evictedKeys.isEmpty) rows
+    else {
+      val ks = evictedKeys.toArray(Array.empty[String]).toSeq
+      rows.filter(!col("key").isin(ks: _*))
+    }
+
   /** Point read (`view.go:333-360`). Driver-side single-row action. */
   def get(key: String): Option[Array[Byte]] =
-    rows.filter(col("key") === key).limit(1).collect()
+    live.filter(col("key") === key).limit(1).collect()
       .headOption.map(_.value)
 
   /** Existence check (`view.go:362-371`). */
   def has(key: String): Boolean =
-    !rows.filter(col("key") === key).isEmpty
+    !live.filter(col("key") === key).isEmpty
 
   /** Full scan in lexicographic key order (`view.go:373-394`). */
-  def iterator: Dataset[TableRow] = rows.orderBy(col("key"))
+  def iterator: Dataset[TableRow] = live.orderBy(col("key"))
 
   /** Range scan `[start, limit)`; empty limit = open end
     * (`view.go:396-417`, `storage/storage.go:116-125`). */
   def range(start: String, limit: String): Dataset[TableRow] = {
-    val lower = rows.filter(col("key") >= start)
+    val lower = live.filter(col("key") >= start)
     val bounded = if (limit == null || limit.isEmpty) lower
       else lower.filter(col("key") < limit)
     bounded.orderBy(col("key"))
@@ -42,12 +68,12 @@ class View(val rows: Dataset[TableRow]) extends Serializable {
   /** Prefix scan (reference: `IteratorWithRange(start, "")` with prefix
     * semantics in `storage/memory.go:154-170`). */
   def prefix(p: String): Dataset[TableRow] =
-    rows.filter(col("key").startsWith(p)).orderBy(col("key"))
+    live.filter(col("key").startsWith(p)).orderBy(col("key"))
 
   /** Seek: iteration repositioned at the first key ≥ `key`
     * (`iterator.go:66-68`). */
   def seek(key: String): Dataset[TableRow] =
-    rows.filter(col("key") >= key).orderBy(col("key"))
+    live.filter(col("key") >= key).orderBy(col("key"))
 
   /** Persist this view's table bucketed + sorted by key and reopen it
     * with bucket pruning: a point read then scans 1 bucket out of

@@ -192,6 +192,63 @@ class BatchExecutorSpec extends AnyFunSuite with SparkFixture {
     assert(tableMap(res.table) == Map("x" -> "mx@2", "z" -> "mz@0"))
   }
 
+  test("deferCommit: resolved defers commit; a deferred error fails " +
+      "the fold (context_test.go:72-130)") {
+    import spark.implicits._
+    // happy path: defer then resolve inside the callback — state lands
+    val ok = GroupGraph.define("defer-ok")(
+      Input("in", StringCodec, ProcessCallback { (ctx, m) =>
+        val done = ctx.deferCommit()
+        ctx.setValue(m.toString)
+        done(None)
+      }),
+      Persist(StringCodec))
+    val res = new BatchExecutor(ok).run(spark,
+      Map("in" -> spark.createDataset(Seq(msg("k", "v")))))
+    assert(tableMap(res.table) == Map("k" -> "v"))
+    // deferred ERROR: no silent commit — the fold fails with the error
+    val bad = GroupGraph.define("defer-bad")(
+      Input("in", StringCodec, ProcessCallback { (ctx, _) =>
+        ctx.deferCommit()(Some(new RuntimeException("async error")))
+      }),
+      Persist(StringCodec))
+    val e = intercept[org.apache.spark.SparkException] {
+      new BatchExecutor(bad).run(spark,
+        Map("in" -> spark.createDataset(Seq(msg("k", "v"))))).table.collect()
+    }
+    assert(e.getMessage.contains("async error") ||
+      Option(e.getCause).exists(_.getMessage.contains("deferred commit")))
+  }
+
+  test("deferCommit: an unresolved defer fails loudly; the done-function " +
+      "rejects a double call") {
+    import spark.implicits._
+    val dangling = GroupGraph.define("defer-dangling")(
+      Input("in", StringCodec, ProcessCallback { (ctx, _) =>
+        ctx.deferCommit(); () // never resolved
+      }),
+      Persist(StringCodec))
+    val e = intercept[org.apache.spark.SparkException] {
+      new BatchExecutor(dangling).run(spark,
+        Map("in" -> spark.createDataset(Seq(msg("k", "v"))))).table.collect()
+    }
+    assert(e.getMessage.contains("never resolved") ||
+      Option(e.getCause).exists(_.getMessage.contains("never resolved")))
+    val doubleCall = GroupGraph.define("defer-double")(
+      Input("in", StringCodec, ProcessCallback { (ctx, _) =>
+        val done = ctx.deferCommit()
+        done(None)
+        done(None) // must throw
+      }),
+      Persist(StringCodec))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      new BatchExecutor(doubleCall).run(spark,
+        Map("in" -> spark.createDataset(Seq(msg("k", "v"))))).table.collect()
+    }
+    assert(e2.getMessage.contains("called twice") ||
+      Option(e2.getCause).exists(_.getMessage.contains("called twice")))
+  }
+
   test("executor and Tester agree on a mixed workload") {
     import spark.implicits._
     val mkGraph = () => GroupGraph.define("mix")(

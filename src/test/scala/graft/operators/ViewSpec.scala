@@ -19,6 +19,19 @@ class ViewSpec extends AnyFunSuite with SparkFixture {
     assert(view.has("apple") && !view.has("zzz"))
   }
 
+  test("evict removes the key from THIS replica only (view.go:419-427)") {
+    val v = view
+    assert(v.get("banana").isDefined)
+    v.evict("banana")
+    assert(v.get("banana").isEmpty && !v.has("banana"))
+    assert(v.iterator.collect().map(_.key).toSeq ==
+      Seq("apple", "apricot", "cherry")) // scans skip it too
+    assert(v.get("apple").isDefined)     // other keys untouched
+    val fresh = new View(v.rows)         // another replica of the table
+    assert(fresh.get("banana").isDefined,
+      "eviction must not touch the underlying table or other views")
+  }
+
   test("full iteration in lex key order (merge_iterator.go:45-124)") {
     assert(view.iterator.collect().map(_.key).toSeq ==
       Seq("apple", "apricot", "banana", "cherry"))
