@@ -139,6 +139,7 @@ object SparkEntry {
     "d20_fuzzy_decontam" -> (PipelineQueries.fuzzyDecontaminate _),
     "d21_snapshot_diff" -> (PipelineQueries.snapshotDiff _),
     "d22_medoid_keep" -> (PipelineQueries.medoidKeep _),
+    "d23_incremental_neardup" -> (PipelineQueries.incrementalNearDup _),
     "d17_dedup_agreement" -> (PipelineQueries.dedupAgreement _),
     "d18_keep_best" -> (PipelineQueries.clusterKeepBest _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
@@ -592,6 +593,48 @@ object SparkEntry {
          FROM (SELECT DISTINCT s.doc_id FROM sh s
                JOIN lbl l ON l.doc_id = s.doc_id AND NOT l.is_bench) d
          LEFT JOIN agg a ON a.tid = d.doc_id""",
+    // d23: d20's bipartite band collisions with the arrivals/base
+    // carving where its train/bench labels were — the stored index
+    // holds exactly the base side's bands, so probing it equals this
+    // from-scratch bipartite banding.
+    "d23_incremental_neardup" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         h AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS hw FROM sh),
+         mh AS (SELECT doc_id, j, min(((2*j+1)*hw + j*12345) % 4294967311) AS mv
+                FROM h, generate_series(0,15) t(j) GROUP BY doc_id, j),
+         bands AS (SELECT doc_id, j//4 AS band,
+                     string_agg(mv, ',' ORDER BY j) AS sig
+                   FROM mh GROUP BY doc_id, j//4),
+         cand AS (SELECT DISTINCT a.doc_id AS aid, b.doc_id AS bid
+                  FROM bands a
+                  JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.aid, c.bid, count(*) AS c
+                   FROM cand c
+                   JOIN sh x ON x.doc_id = c.aid
+                   JOIN sh y ON y.doc_id = c.bid AND y.s = x.s
+                   GROUP BY c.aid, c.bid),
+         ver AS (SELECT c.aid,
+                   CAST(coalesce(i.c, 0) AS DOUBLE)
+                     / (sa.n + sb.n - coalesce(i.c, 0)) AS j
+                 FROM cand c
+                 LEFT JOIN inter i ON i.aid = c.aid AND i.bid = c.bid
+                 JOIN sizes sa ON sa.doc_id = c.aid
+                 JOIN sizes sb ON sb.doc_id = c.bid),
+         agg AS (SELECT aid, CAST(count(*) AS BIGINT) AS n_matches,
+                   max(j) AS max_jaccard
+                 FROM ver WHERE j >= 0.5 GROUP BY aid)
+         SELECT d.doc_id,
+           coalesce(a.n_matches, 0) AS n_matches,
+           a.max_jaccard,
+           coalesce(a.n_matches, 0) > 0 AS is_dup
+         FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id % 10 = 7) d
+         LEFT JOIN agg a ON a.aid = d.doc_id""",
     // Novel-ngram ratio: d02's distinct-shingle shape, ownership =
     // min(doc_id) over the shingle partition (d15's owner window).
     "t21_novelty" ->

@@ -170,6 +170,77 @@ object Dedup {
       .localCheckpoint()
   }
 
+  /** d23 BUILD: the persistable MinHash-LSH band index of a corpus —
+    * one `(doc_id, band, sig)` row per doc×band, `bands`·(k/bands)
+    * small values per document regardless of its size. Written once
+    * as a parquet artifact, this is the text-side analogue of s25's
+    * inverted lists: the corpus is LSH'd exactly once, and every
+    * future arrival probes the stored bands instead of re-hashing
+    * history ([[probeNearDupIndex]]). */
+  def lshBandIndex(df: DataFrame, text: Column, id: Column,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    bandsOf(df.select(id.as("doc_id"),
+        call_function("graft_minhash", text, lit(shingleN), lit(k))
+          .as("sig"))
+      .filter(col("sig").isNotNull), k, bands)
+  }
+
+  /** d23 PROBE: arrivals near-dup-checked against the STORED band
+    * index — incremental MinHash dedup, the c05 idea applied to the
+    * NEAR-dup detector: only the arrivals are shingled and banded; the
+    * band equi-join against the artifact yields candidate pairs; and
+    * the exact-Jaccard verify re-reads BASE TEXT ONLY FOR CANDIDATES
+    * (a doc_id semi-join — candidate-sized, never a base re-scan).
+    * Per arrival: match count, best Jaccard, verdict — the
+    * [[fuzzyDecontaminate]] output shape with the stored index where
+    * its bench side was.
+    *
+    * At 100 TB: nightly arrivals cost O(batch) hashing + a
+    * candidate-sized verify; the index grows by appending the
+    * arrivals' own bands (the s26 add() move, same parquet-append). */
+  def probeNearDupIndex(arrivals: DataFrame, base: DataFrame,
+      text: Column, id: Column, index: DataFrame, shingleN: Int = 3,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    graft.plans.GraftExtensions.register(arrivals.sparkSession)
+    val perArr = arrivals.select(id.as("doc_id"),
+        call_function("graft_minhash", text, lit(shingleN), lit(k))
+          .as("sig"),
+        call_function("graft_shingles", text, lit(shingleN)).as("sa"))
+      .filter(col("sig").isNotNull)
+      .localCheckpoint()
+    val cand = bandsOf(perArr.select(col("doc_id"), col("sig")), k, bands)
+      .as("a")
+      .join(index.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("aid"), col("b.doc_id").as("bid"))
+      .distinct()
+    val baseSh = base.select(id.as("bid"), text.as("t"))
+      .join(cand.select(col("bid")).distinct(), Seq("bid"))
+      .select(col("bid"),
+        call_function("graft_shingles", col("t"), lit(shingleN))
+          .as("setb"))
+    val verified = cand
+      .join(perArr.select(col("doc_id").as("aid"), col("sa").as("seta")),
+        Seq("aid"))
+      .join(baseSh, Seq("bid"))
+      .select(col("aid"),
+        size(array_intersect(col("seta"), col("setb"))).as("c"),
+        size(col("seta")).as("na"), size(col("setb")).as("nb"))
+      .select(col("aid"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .as("j"))
+    val roll = verified.filter(col("j") >= threshold)
+      .groupBy(col("aid").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("j")).as("max_jaccard"))
+    perArr.select(col("doc_id"))
+      .join(roll, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("max_jaccard"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
+  }
+
   /** 60-bit SimHash per doc over its distinct whitespace tokens: bit i is
     * set iff more than half the tokens have bit i set in their 60-bit
     * hash. Computed by the native [[graft.functions.SimHash60]] kernel —

@@ -866,6 +866,22 @@ object PipelineQueries {
     Retrieval.booleanSearch(docs(spark, dir), col("text"),
       col("doc_id"), boolQueries)
 
+  /** d23: incremental near-dup via the stored LSH index — the corpus
+    * is banded ONCE into a parquet artifact; arrivals (ids ≡ 7 mod 10,
+    * the s26 carving) probe the stored bands and the exact verify
+    * touches base text only for candidates. */
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val base = d.filter(col("doc_id") % 10 =!= 7)
+    val arrivals = d.filter(col("doc_id") % 10 === 7)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_index").toString
+    Dedup.lshBandIndex(base, col("text"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$idxDir/bands")
+    Dedup.probeNearDupIndex(arrivals, base, col("text"), col("doc_id"),
+      spark.read.parquet(s"$idxDir/bands"))
+  }
+
   /** d22: semantic medoid keep — the embedding-space
     * cluster-representative policy next to d18's length policy: per
     * d14-trained k-means cell, keep the integer-exact medoid

@@ -1063,6 +1063,28 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r("v") == ((3L, 2L, "10.0", "20.0", 3L)))
   }
 
+  test("incremental near-dup: probing the stored index equals the " +
+      "bipartite recompute (d23)") {
+    val base = docs.filter(col("doc_id").isin(1L, 4L))
+    val arrivals = docs.filter(col("doc_id").isin(2L, 3L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_d23_spec").toString
+    Dedup.lshBandIndex(base, col("text"), col("doc_id"))
+      .write.parquet(s"$dir/bands")
+    val probed = Dedup.probeNearDupIndex(arrivals, base, col("text"),
+        col("doc_id"), spark.read.parquet(s"$dir/bands"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(probed(2L)._2, "exact dup of base doc 1 must match")
+    assert(probed(3L)._2, "near dup of base doc 1 must match")
+    // equivalence with the from-scratch bipartite pipeline
+    val full = Dedup.fuzzyDecontaminate(docs, col("text"), col("doc_id"),
+        isBench = col("doc_id").isin(1L, 4L))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(probed === full.filter(kv => Set(2L, 3L)(kv._1)))
+  }
+
   test("medoid keep: the geometrically central member wins its cell; " +
       "a singleton cell keeps itself (d22)") {
     import spark.implicits._
