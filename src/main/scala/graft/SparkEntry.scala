@@ -92,6 +92,7 @@ object SparkEntry {
     "st28_stream_quarantine" -> (StreamingQueries.streamQuarantine _),
     "st29_stream_heavy_hitters" -> (StreamingQueries.streamHeavyHitters _),
     "st30_stream_cep" -> (StreamingQueries.streamCep _),
+    "st31_stream_neardup_probe" -> (StreamingQueries.streamNearDupProbe _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -613,6 +614,52 @@ object SparkEntry {
                   FROM bands a
                   JOIN bands b ON a.band = b.band AND a.sig = b.sig
                   WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.aid, c.bid, count(*) AS c
+                   FROM cand c
+                   JOIN sh x ON x.doc_id = c.aid
+                   JOIN sh y ON y.doc_id = c.bid AND y.s = x.s
+                   GROUP BY c.aid, c.bid),
+         ver AS (SELECT c.aid,
+                   CAST(coalesce(i.c, 0) AS DOUBLE)
+                     / (sa.n + sb.n - coalesce(i.c, 0)) AS j
+                 FROM cand c
+                 LEFT JOIN inter i ON i.aid = c.aid AND i.bid = c.bid
+                 JOIN sizes sa ON sa.doc_id = c.aid
+                 JOIN sizes sb ON sb.doc_id = c.bid),
+         agg AS (SELECT aid, CAST(count(*) AS BIGINT) AS n_matches,
+                   max(j) AS max_jaccard
+                 FROM ver WHERE j >= 0.5 GROUP BY aid)
+         SELECT d.doc_id,
+           coalesce(a.n_matches, 0) AS n_matches,
+           a.max_jaccard,
+           coalesce(a.n_matches, 0) > 0 AS is_dup
+         FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id % 10 = 7) d
+         LEFT JOIN agg a ON a.aid = d.doc_id""",
+    // st31: probe-then-append ingest — a doc matches everything
+    // strictly BEFORE it (base=0, batch1=1, batch2=2; ord_b < ord_a),
+    // never its own batch.
+    "st31_stream_neardup_probe" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         h AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS hw FROM sh),
+         mh AS (SELECT doc_id, j, min(((2*j+1)*hw + j*12345) % 4294967311) AS mv
+                FROM h, generate_series(0,15) t(j) GROUP BY doc_id, j),
+         bands AS (SELECT doc_id, j//4 AS band,
+                     string_agg(mv, ',' ORDER BY j) AS sig
+                   FROM mh GROUP BY doc_id, j//4),
+         ord AS (SELECT doc_id,
+                   CASE WHEN doc_id % 10 <> 7 THEN 0
+                        WHEN doc_id % 20 = 7 THEN 1 ELSE 2 END AS o
+                 FROM documents),
+         cand AS (SELECT DISTINCT a.doc_id AS aid, b.doc_id AS bid
+                  FROM bands a
+                  JOIN ord oa ON oa.doc_id = a.doc_id AND oa.o > 0
+                  JOIN bands b ON b.band = a.band AND b.sig = a.sig
+                  JOIN ord ob ON ob.doc_id = b.doc_id AND ob.o < oa.o),
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          inter AS (SELECT c.aid, c.bid, count(*) AS c
                    FROM cand c

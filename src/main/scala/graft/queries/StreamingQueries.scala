@@ -2105,6 +2105,61 @@ object StreamingQueries {
       Profiling.heavyHittersTopK(spark.read.parquet(artifactDir), k = 20)
     }
 
+  /** st31: streaming incremental near-dup ingest — d23's stored band
+    * index under LIVE arrivals, the full CDC-dedup lifecycle: every
+    * micro-batch (1) PROBES the index as it stands — so a document is
+    * checked against the base corpus AND every earlier-batch arrival —
+    * and (2) APPENDS its own bands (the s26/st25 add() move on the
+    * text side), keeping the index fresh for the next batch with no
+    * history re-hash. Within-batch pairs are deliberately invisible
+    * (probe precedes append), giving the deterministic "matches
+    * everything strictly before me" semantics the oracle replays via
+    * an ordinal (base=0, batch1=1, batch2=2; a pair counts iff
+    * ord_b < ord_a). Exact verification re-reads text only for
+    * candidate ids, from the full corpus table since a match may now
+    * be an earlier arrival.
+    *
+    * At 100 TB: per batch = O(batch) hashing + candidate-sized verify
+    * + a parquet append of (doc, band, sig) rows; the probe is an
+    * equi-join against an index that only ever GROWS by band rows,
+    * never gets re-built. */
+  def streamNearDupProbe(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import graft.ops.Dedup
+      val d = Sources.table(spark, dir, "documents")
+      val base = d.filter(col("doc_id") % 10 =!= 7)
+      val arrivals = d.select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 10 === 7)
+      val idxDir = tempDir("graft_lsh_stream_idx")
+      Dedup.lshBandIndex(base, col("text"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$idxDir/bands")
+      val staging = tempDir("graft_lsh_stream_stage")
+      val now = System.currentTimeMillis()
+      stageFile(arrivals.filter(col("doc_id") % 20 === 7), staging,
+        "b1.parquet", now - 120000)
+      stageFile(arrivals.filter(col("doc_id") % 20 === 17), staging,
+        "b2.parquet", now - 60000)
+      val resultDir = tempDir("graft_lsh_stream_out") + "/table"
+      val stream = spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging))
+      val sq = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val b = batch.toDF().localCheckpoint()
+          // probe the index AS IT STANDS (fresh read per batch)...
+          Dedup.probeNearDupIndex(b, d, col("text"), col("doc_id"),
+              spark.read.parquet(s"$idxDir/bands"))
+            .write.mode("append").parquet(resultDir)
+          // ...then admit this batch's bands for the batches after it
+          Dedup.lshBandIndex(b, col("text"), col("doc_id"))
+            .write.mode("append").parquet(s"$idxDir/bands")
+          ()
+        }
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+      spark.read.parquet(resultDir)
+    }
+
   /** st30: streaming CEP — q37's greedy non-overlapping
     * view→click→purchase counter run AT INGEST as a per-user keyed
     * fold (the Flink-CEP deployment shape): state is the same

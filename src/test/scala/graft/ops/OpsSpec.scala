@@ -1085,6 +1085,34 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(probed === full.filter(kv => Set(2L, 3L)(kv._1)))
   }
 
+  test("probe-then-append: a later batch matches an earlier batch's " +
+      "arrival through the appended bands (st31's cross-batch arm)") {
+    import spark.implicits._
+    val all = Seq(
+      (4L, "completely different words entirely here now today friends"),
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (20L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val base = all.filter(col("doc_id") === 4L)
+    val b1 = all.filter(col("doc_id") === 10L)
+    val b2 = all.filter(col("doc_id") === 20L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_st31_spec").toString
+    Dedup.lshBandIndex(base, col("text"), col("doc_id"))
+      .write.parquet(s"$dir/bands")
+    def probe(b: org.apache.spark.sql.DataFrame) =
+      Dedup.probeNearDupIndex(b, all, col("text"), col("doc_id"),
+          spark.read.parquet(s"$dir/bands"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val r1 = probe(b1)
+    assert(!r1(10L), "first arrival matches nothing in base")
+    Dedup.lshBandIndex(b1, col("text"), col("doc_id"))
+      .write.mode("append").parquet(s"$dir/bands")
+    val r2 = probe(b2)
+    assert(r2(20L),
+      "second batch must find the first batch's arrival via the index append")
+  }
+
   test("medoid keep: the geometrically central member wins its cell; " +
       "a singleton cell keeps itself (d22)") {
     import spark.implicits._
