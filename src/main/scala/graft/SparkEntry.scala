@@ -153,6 +153,7 @@ object SparkEntry {
     "c05_incremental_curate" -> (PipelineQueries.incrementalCurate _),
     "c06_profile_drift" -> (PipelineQueries.profileDrift _),
     "c07_dataset_seal" -> (PipelineQueries.datasetSeal _),
+    "c08_schema_merge" -> (PipelineQueries.schemaMergeReport _),
     "t25_mask_corrupt" -> (PipelineQueries.maskCorrupt _),
     "t01_langid" -> (PipelineQueries.langId _),
     "t02_quality" -> (PipelineQueries.quality _),
@@ -2618,6 +2619,17 @@ object SparkEntry {
                    % 100 AS b
                FROM documents)
          GROUP BY 1""",
+    // c08: mergeSchema null-fills the pre-migration drop's missing
+    // column; the oracle states that contract directly.
+    "c08_schema_merge" ->
+      """SELECT CAST(1 AS BIGINT) AS ver, count(*) AS n_rows,
+           CAST(0 AS BIGINT) AS lang_nonnull,
+           CAST(0 AS BIGINT) AS lang_ndv
+         FROM documents WHERE doc_id % 5 <> 0
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), count(*), count(lang),
+           count(DISTINCT lang)
+         FROM documents WHERE doc_id % 7 <> 0""",
     // c06: per-column profile of the d21-carved old vs new snapshot,
     // joined with ratio + min/max-identity drift signals. min/max are
     // compared as their VARCHAR canonical forms (q34's convention).

@@ -866,6 +866,40 @@ object PipelineQueries {
     Retrieval.booleanSearch(docs(spark, dir), col("text"),
       col("doc_id"), boolQueries)
 
+  /** c08: schema-evolution boundary — the COLUMN version of the
+    * events.ts lesson (round 10: input files arrive with whatever
+    * writer produced them): two parquet "drops" of the corpus written
+    * with DIFFERENT schemas (drop 1 pre-dates the `lang` column) are
+    * read as one dataset via Spark's `mergeSchema` (missing columns
+    * null-filled per file, the schema union — no reader code change
+    * when a producer adds a field), and the per-version coverage
+    * report that a gate thresholds on: row count, non-null count and
+    * ndv of the evolved column per drop. A drop whose `lang` coverage
+    * is 0 is visibly pre-migration instead of silently poisoning
+    * downstream groupBys with nulls.
+    *
+    * At 100 TB: mergeSchema costs one footer read per file at
+    * planning; the report is one scan with map-side partials. The
+    * alternative — a pinned reader schema — is exactly what corrupted
+    * 7 queries in round 10. */
+  def schemaMergeReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_schema_merge").toString
+    d.filter(col("doc_id") % 5 =!= 0)
+      .select(lit(1L).as("ver"), col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$out/drop1")
+    d.filter(col("doc_id") % 7 =!= 0)
+      .select(lit(2L).as("ver"), col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").parquet(s"$out/drop2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/drop1", s"$out/drop2")
+      .groupBy(col("ver"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("lang")).as("lang_nonnull"),
+        countDistinct(col("lang")).as("lang_ndv"))
+  }
+
   /** d23: incremental near-dup via the stored LSH index — the corpus
     * is banded ONCE into a parquet artifact; arrivals (ids ≡ 7 mod 10,
     * the s26 carving) probe the stored bands and the exact verify

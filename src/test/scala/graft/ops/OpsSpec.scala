@@ -1085,6 +1085,25 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(probed === full.filter(kv => Set(2L, 3L)(kv._1)))
   }
 
+  test("schema merge: the evolved column unions in, pre-migration rows " +
+      "null-fill, coverage report separates the drops (c08)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_c08_spec").toString
+    Seq((1L, "a")).toDF("id", "t").withColumn("ver", lit(1L))
+      .write.parquet(s"$dir/d1")
+    Seq((2L, "b", "en")).toDF("id", "t", "lang")
+      .withColumn("ver", lit(2L)).write.parquet(s"$dir/d2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/d1", s"$dir/d2")
+    assert(merged.columns.contains("lang"),
+      "schema union must surface the evolved column")
+    val byVer = merged.collect()
+      .map(r => r.getLong(r.fieldIndex("ver")) ->
+        Option(r.getAs[String]("lang"))).toMap
+    assert(byVer(1L).isEmpty && byVer(2L).contains("en"))
+  }
+
   test("probe-then-append: a later batch matches an earlier batch's " +
       "arrival through the appended bands (st31's cross-batch arm)") {
     import spark.implicits._
