@@ -88,6 +88,23 @@ class KernelRandomParitySpec extends AnyFunSuite with SparkFixture {
     assert(declarative.forall { case (id, s) => native(id) == s })
   }
 
+  test("graft_phash ≡ declarative block-mean stages, incl. multi-byte " +
+      "code points and sub-48-char docs") {
+    val kernel = df.filter(length(col("text")) > 0)
+      .select(col("id").cast("long").as("mid"),
+        call_function("graft_phash", col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // empty docs excluded on BOTH sides: production (phashPairs)
+    // filters them, and the declarative's sequence(1, 0) descends in
+    // Spark, making it divide by zero on a zero-length doc
+    val decl = graft.ops.Multimodal
+      .phashDeclarative(df.filter(length(col("text")) > 0),
+        col("text"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kernel === decl)
+    assert(kernel.nonEmpty)
+  }
+
   test("graft_idot ≡ declarative zip_with/aggregate fold, incl. null semantics") {
     val spark0 = spark
     import spark0.implicits._
