@@ -154,6 +154,7 @@ object SparkEntry {
     "c06_profile_drift" -> (PipelineQueries.profileDrift _),
     "c07_dataset_seal" -> (PipelineQueries.datasetSeal _),
     "c08_schema_merge" -> (PipelineQueries.schemaMergeReport _),
+    "c09_corrupt_ingest" -> (PipelineQueries.corruptIngest _),
     "t25_mask_corrupt" -> (PipelineQueries.maskCorrupt _),
     "t01_langid" -> (PipelineQueries.langId _),
     "t02_quality" -> (PipelineQueries.quality _),
@@ -2619,6 +2620,16 @@ object SparkEntry {
                    % 100 AS b
                FROM documents)
          GROUP BY 1""",
+    // c09: the corruption rule is deterministic (ids ≡ 0 mod 13
+    // truncated), so the salvage accounting is stated directly.
+    "c09_corrupt_ingest" ->
+      """SELECT
+           count(CASE WHEN doc_id % 13 <> 0 THEN 1 END) AS n_good,
+           count(CASE WHEN doc_id % 13 = 0 THEN 1 END) AS n_quarantined,
+           CAST(coalesce(sum(CASE WHEN doc_id % 13 <> 0
+             THEN len(string_split(text, ' ')) END), 0) AS BIGINT)
+             AS tokens_salvaged
+         FROM documents""",
     // c08: mergeSchema null-fills the pre-migration drop's missing
     // column; the oracle states that contract directly.
     "c08_schema_merge" ->

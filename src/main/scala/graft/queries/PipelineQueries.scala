@@ -900,6 +900,46 @@ object PipelineQueries {
         countDistinct(col("lang")).as("lang_ndv"))
   }
 
+  /** c09: corrupt-input ingest — PERMISSIVE-mode salvage accounting,
+    * the third leg of the input-boundary story (c08 = schema drift,
+    * fixture fingerprint = type drift, this = BROKEN RECORDS): a JSON
+    * drop where ids ≡ 0 mod 13 are deterministically truncated
+    * mid-record is read with `mode=PERMISSIVE` + a corrupt-record
+    * column, so bad lines become accountable rows instead of a dead
+    * job (FAILFAST) or silent loss (DROPMALFORMED). The report —
+    * salvaged count, quarantined count, and the token volume that
+    * survived — is what an ingest gate thresholds on before promoting
+    * the drop; the quarantined raw lines stay queryable for repair,
+    * the st28 dead-letter idea at the parse boundary.
+    *
+    * At 100 TB: permissive parse is per-line work on the scan, no
+    * extra pass; the corrupt column materializes only for bad rows. */
+  def corruptIngest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val d = docs(spark, dir)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_corrupt_ingest").toString
+    d.select(
+        when(col("doc_id") % 13 === 0,
+          concat(lit("{\"doc_id\": "), col("doc_id"),
+            lit(", \"text\": \"truncated")))
+          .otherwise(to_json(struct(col("doc_id"), col("text"))))
+          .as("value"))
+      .write.mode("overwrite").text(s"$out/drop")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("_bad", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(s"$out/drop")
+      .agg(count(when(col("_bad").isNull, 1)).as("n_good"),
+        count(col("_bad")).as("n_quarantined"),
+        coalesce(sum(when(col("_bad").isNull,
+          size(split(col("text"), " ")))), lit(0))
+          .cast("long").as("tokens_salvaged"))
+  }
+
   /** d23: incremental near-dup via the stored LSH index — the corpus
     * is banded ONCE into a parquet artifact; arrivals (ids ≡ 7 mod 10,
     * the s26 carving) probe the stored bands and the exact verify

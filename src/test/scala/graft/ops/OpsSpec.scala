@@ -1085,6 +1085,33 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(probed === full.filter(kv => Set(2L, 3L)(kv._1)))
   }
 
+  test("permissive ingest: corrupt lines quarantine with their raw " +
+      "payload, good lines round-trip exactly (c09)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_c09_spec").toString
+    Seq(
+      """{"doc_id": 1, "text": "hello \"quoted\" world"}""",
+      """{"doc_id": 2, "text": "truncated""",
+      """{"doc_id": 3, "text": "fine"}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/drop")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("_bad", StringType)))
+    val r = spark.read.schema(schema).option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(s"$dir/drop").collect()
+    val good = r.filter(_.isNullAt(2))
+    val bad = r.filter(!_.isNullAt(2))
+    assert(good.map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(good.find(_.getLong(0) == 1L).get.getString(1)
+      == "hello \"quoted\" world") // JSON escaping round-trips
+    assert(bad.length == 1 &&
+      bad.head.getString(2).startsWith("""{"doc_id": 2"""),
+      "the quarantined raw line stays queryable for repair")
+  }
+
   test("schema merge: the evolved column unions in, pre-migration rows " +
       "null-fill, coverage report separates the drops (c08)") {
     import spark.implicits._
