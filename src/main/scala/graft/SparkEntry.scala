@@ -36,6 +36,7 @@ object SparkEntry {
     "g16_chained" -> (GokaQueries.chained _),
     "g17_json_relational" -> (GokaQueries.jsonRelational _),
     "g18_compact_changelog" -> (GokaQueries.compactChangelog _),
+    "g19_messaging_app" -> (GokaQueries.messagingApp _),
     "q01_pricing_summary" -> (Relational.pricingSummary _),
     "q02_revenue_forecast" -> (Relational.revenueForecast _),
     "q03_join_topk" -> (Relational.joinTopK _),
@@ -246,6 +247,29 @@ object SparkEntry {
            FROM events)
          SELECT CAST(user_id AS VARCHAR) AS key, event_type AS last_event
          FROM ordered WHERE rn = 1 AND event_type <> 'purchase'""",
+    // g19: the whole 3-messaging app end to end — blocked = senders
+    // with >= 60 messages (the monotone replay rule), kept messages
+    // word-translated, last-5 feed per receiver in (ts, event_id)
+    // order.
+    "g19_messaging_app" ->
+      """WITH m AS (SELECT CAST(user_id AS VARCHAR) AS f,
+             CAST((user_id + 1 + event_id % 7) % 1000 AS VARCHAR) AS t,
+             event_type AS c, epoch_us(ts) AS us, event_id
+           FROM events),
+         blocked AS (SELECT f FROM m GROUP BY f HAVING count(*) >= 60),
+         kept AS (SELECT m.* FROM m
+                  LEFT JOIN blocked b ON b.f = m.f WHERE b.f IS NULL),
+         tr AS (SELECT f, t,
+                  CASE c WHEN 'view' THEN 'seen' WHEN 'click' THEN 'tap'
+                       WHEN 'purchase' THEN 'buy' ELSE c END AS c,
+                  us, event_id
+                FROM kept),
+         feed AS (SELECT t AS user,
+                    list(f || ':' || c ORDER BY us, event_id) AS l
+                  FROM tr GROUP BY t)
+         SELECT user, CAST(least(len(l), 5) AS BIGINT) AS n_feed,
+           array_to_string(l[greatest(len(l) - 4, 1):], '|') AS feed
+         FROM feed""",
     "g08_emit_headers" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, event_id,
                 event_type AS val, 'events' AS hdr_src

@@ -20,6 +20,11 @@ import graft.sources.Sources
   * reference's UserClicks struct codec (`examples/2-clicks/main.go:41-59`). */
 final case class UserStats(cnt: Long, lastType: String)
 
+/** Detector counters for [[GokaQueries.messagingApp]] — the
+  * reference's `Counters{Sent, Received}`
+  * (`examples/3-messaging/detector/detector.go:21-24`). */
+final case class MsgCounters(sent: Long, received: Long)
+
 object GokaQueries {
 
   private def countGraph(cbTopic: String = "events"): GroupGraph =
@@ -362,6 +367,114 @@ object GokaQueries {
       .runBatch(Map("blocks" -> stage1.outputs("blocks")))
     stage2.table.map(r => (r.key, Int64Codec.decode(r.value)))
       .toDF("key", "n_blocks")
+  }
+
+  /** g19: the reference's FLAGSHIP composite — the whole 3-messaging
+    * app (`examples/3-messaging/README.md`) replayed through the
+    * engine as four chained processor groups exercising every
+    * composition mechanism at once: **detector** (per-user
+    * Sent/Received counters via Input + Loopback-to-receiver, block
+    * events emitted past the threshold), **blocker** (folds block
+    * events into the Blocked table), **filter** (Input of the same
+    * sent stream, ctx.JOIN of blocker's table — one group's table
+    * topic as another's Join edge — drop-if-blocked, word translation
+    * via a replicated ctx.LOOKUP table, forward re-keyed to the
+    * receiver), **collector** (last-5 feed per receiver, the g11 list
+    * fold). Messages derive deterministically from events (from =
+    * user_id, to = (user_id+1+event_id mod 7) mod 1000, content =
+    * event_type).
+    *
+    * One deliberate divergence, documented: the reference blocks on a
+    * sent-RATE rule evaluated mid-stream
+    * (`detector.go:43-49`) — order-dependent under batch-fold
+    * iteration order (all originals fold before loop deliveries, so a
+    * mid-fold rate is not the online rate). The replay blocks on the
+    * MONOTONE `sent >= 60` rule: once true it stays true, so WHEN the
+    * block emits cannot change the blocker's folded flag and the whole
+    * app is deterministic, oracle-checkable end to end. */
+  def messagingApp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val countersCodec = Codecs.twoLongs[MsgCounters](
+      c => (c.sent, c.received))(MsgCounters.apply)
+    val ev = Sources.table(spark, dir, "events")
+    val toCol = ((col("user_id") + lit(1) + col("event_id") % 7) % 1000)
+      .cast("string")
+    val sentMsgs = Sources.messages(ev, "sent", col("user_id"),
+      concat(toCol, lit(":"), col("event_type")), col("ts"),
+      col("event_id"))
+
+    val detector = GroupGraph.define("msg-detector")(
+      Input("sent", StringCodec, ProcessCallback { (ctx, msg) =>
+        val c = ctx.value match {
+          case null => MsgCounters(0L, 0L)
+          case s: MsgCounters => s
+        }
+        val next = c.copy(sent = c.sent + 1L)
+        ctx.setValue(next)
+        if (next.sent >= 60L) ctx.emit("blocks", ctx.key, "B")
+        ctx.loopback(msg.asInstanceOf[String].split(':')(0), "r")
+      }),
+      Loop(StringCodec, ProcessCallback { (ctx, _) =>
+        val c = ctx.value match {
+          case null => MsgCounters(0L, 0L)
+          case s: MsgCounters => s
+        }
+        ctx.setValue(c.copy(received = c.received + 1L))
+      }),
+      Output("blocks", StringCodec),
+      Persist(countersCodec))
+
+    val blocker = GroupGraph.define("msg-blocker")(
+      Input("blocks", StringCodec, ProcessCallback { (ctx, _) =>
+        ctx.setValue("B") // no unblock events in the replay
+      }),
+      Persist(StringCodec))
+
+    val filter = GroupGraph.define("msg-filter")(
+      Input("sent", StringCodec, ProcessCallback { (ctx, msg) =>
+        if (ctx.join("blocker") == null) {
+          val Array(to, word) = msg.asInstanceOf[String].split(':')
+          val tw = ctx.lookup("translator", word) match {
+            case null => word
+            case t => t.toString
+          }
+          ctx.emit("received", to, s"${ctx.key}:$tw")
+        }
+      }),
+      Join("blocker", StringCodec),
+      Lookup("translator", StringCodec),
+      Output("received", StringCodec))
+
+    val collector = GroupGraph.define("msg-collector")(
+      Input("received", StringCodec, ProcessCallback { (ctx, msg) =>
+        val cur = ctx.value match {
+          case null => Array.empty[String]
+          case s: String => s.split('|')
+        }
+        ctx.setValue((cur :+ msg.asInstanceOf[String])
+          .takeRight(5).mkString("|"))
+      }),
+      Persist(StringCodec))
+
+    val translator = spark.createDataset(Seq(
+      TableRow("view", StringCodec.encode("seen")),
+      TableRow("click", StringCodec.encode("tap")),
+      TableRow("purchase", StringCodec.encode("buy"))))
+
+    val s1 = graft.Processor(spark, detector)
+      .runBatch(Map("sent" -> sentMsgs))
+    val s2 = graft.Processor(spark, blocker)
+      .runBatch(Map("blocks" -> s1.outputs("blocks")))
+    val s3 = graft.Processor(spark, filter).runBatch(
+      Map("sent" -> sentMsgs),
+      joinTables = Map("blocker" -> s2.table),
+      lookupTables = Map("translator" -> translator))
+    val s4 = graft.Processor(spark, collector)
+      .runBatch(Map("received" -> s3.outputs("received")))
+    s4.table.map { r =>
+      val feed = StringCodec.decode(r.value)
+      (r.key, feed.split('|').length.toLong, feed)
+    }.toDF("user", "n_feed", "feed")
   }
 
   private def countTable(spark: SparkSession, dir: String) =
