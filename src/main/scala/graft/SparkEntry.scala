@@ -68,6 +68,7 @@ object SparkEntry {
     "q36_heavy_hitters" -> (Relational.heavyHitters _),
     "q37_cep_match" -> (Relational.cepMatch _),
     "q38_histogram" -> (Relational.histogram _),
+    "q39_capped_session" -> (Relational.cappedSession _),
     "q22_pivot" -> (Relational.pivotAgg _),
     "q23_unpivot" -> (Relational.unpivotAgg _),
     "q24_bucketed_join" -> (Relational.bucketedJoin _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "st29_stream_heavy_hitters" -> (StreamingQueries.streamHeavyHitters _),
     "st30_stream_cep" -> (StreamingQueries.streamCep _),
     "st31_stream_neardup_probe" -> (StreamingQueries.streamNearDupProbe _),
+    "st32_stream_capped_session" -> (StreamingQueries.streamCappedSession _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -142,6 +144,7 @@ object SparkEntry {
     "d21_snapshot_diff" -> (PipelineQueries.snapshotDiff _),
     "d22_medoid_keep" -> (PipelineQueries.medoidKeep _),
     "d23_incremental_neardup" -> (PipelineQueries.incrementalNearDup _),
+    "d24_boilerplate" -> (PipelineQueries.boilerplate _),
     "d17_dedup_agreement" -> (PipelineQueries.dedupAgreement _),
     "d18_keep_best" -> (PipelineQueries.clusterKeepBest _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
@@ -157,6 +160,8 @@ object SparkEntry {
     "c08_schema_merge" -> (PipelineQueries.schemaMergeReport _),
     "c09_corrupt_ingest" -> (PipelineQueries.corruptIngest _),
     "t25_mask_corrupt" -> (PipelineQueries.maskCorrupt _),
+    "t26_quota_mix" -> (PipelineQueries.quotaMix _),
+    "t27_pps_sample" -> (PipelineQueries.ppsSample _),
     "t01_langid" -> (PipelineQueries.langId _),
     "t02_quality" -> (PipelineQueries.quality _),
     "t03_token_stats" -> (PipelineQueries.tokenStats _),
@@ -176,6 +181,7 @@ object SparkEntry {
     "m03_frame_sample" -> (PipelineQueries.frameSample _),
     "m04_phash_pairs" -> (PipelineQueries.phashPairs _),
     "m05_clip_filter" -> (PipelineQueries.clipFilter _),
+    "m06_audio_segments" -> (PipelineQueries.audioSegments _),
     "st01_stream_count" -> (StreamingQueries.streamCount _),
     "st02_stream_tumble" -> (StreamingQueries.streamTumble _),
     "st03_stream_loopback" -> (StreamingQueries.streamLoopback _),
@@ -662,6 +668,26 @@ object SparkEntry {
            coalesce(a.n_matches, 0) > 0 AS is_dup
          FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id % 10 = 7) d
          LEFT JOIN agg a ON a.aid = d.doc_id""",
+    // d24: fixed 10-word segments; a segment appearing in >= 2 distinct
+    // docs is boilerplate, excised everywhere; survivors reassemble in
+    // seg_id order (string_agg skips the removed-NULL arm).
+    "d24_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         t AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+                 unnest(toks) AS w
+               FROM w),
+         seg AS (SELECT doc_id, pos // 10 AS seg_id,
+                   string_agg(w, ' ' ORDER BY pos) AS seg
+                 FROM t GROUP BY doc_id, pos // 10),
+         dfq AS (SELECT seg, count(DISTINCT doc_id) AS docfreq
+                 FROM seg GROUP BY seg)
+         SELECT s.doc_id, count(*) AS n_segs,
+           count(CASE WHEN d.docfreq >= 2 THEN 1 END) AS n_removed,
+           coalesce(string_agg(CASE WHEN d.docfreq < 2 THEN s.seg END,
+             ' ' ORDER BY s.seg_id), '') AS clean_text
+         FROM seg s JOIN dfq d ON d.seg = s.seg
+         GROUP BY s.doc_id""",
     // st31: probe-then-append ingest — a doc matches everything
     // strictly BEFORE it (base=0, batch1=1, batch2=2; ord_b < ord_a),
     // never its own batch.
@@ -1895,6 +1921,44 @@ object SparkEntry {
              / (sqrt(CAST(mn.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
              >= 0.0 AS keep
          FROM mn JOIN pre c ON c.vec_id = mn.doc_id""",
+    // m06: 64-codepoint frames, energy = codepoint sum, voiced iff
+    // frame mean >= blob mean (integer cross-multiply), segments =
+    // runs of >= 2 voiced frames (lag-flag islands).
+    "m06_audio_segments" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS n
+                       FROM documents WHERE length(text) > 0),
+         t AS (SELECT doc_id, (i - 1) // 64 AS f,
+                 ascii(substr(text, CAST(i AS INT), 1)) AS v
+               FROM (SELECT doc_id, text, unnest(generate_series(1, n)) AS i
+                     FROM base)),
+         fr AS (SELECT doc_id, f, CAST(sum(v) AS BIGINT) AS e,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM t GROUP BY doc_id, f),
+         tot AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS ts,
+                   CAST(sum(c) AS BIGINT) AS tn
+                 FROM fr GROUP BY doc_id),
+         vo AS (SELECT fr.doc_id, fr.f,
+                  (fr.e * tot.tn >= tot.ts * fr.c) AS voiced
+                FROM fr JOIN tot ON tot.doc_id = fr.doc_id),
+         fl AS (SELECT doc_id, f, voiced,
+                  CASE WHEN voiced AND NOT coalesce(lag(voiced)
+                    OVER (PARTITION BY doc_id ORDER BY f), FALSE)
+                  THEN 1 ELSE 0 END AS st
+                FROM vo),
+         gr AS (SELECT doc_id, f, voiced,
+                  sum(st) OVER (PARTITION BY doc_id ORDER BY f) AS g
+                FROM fl),
+         seg AS (SELECT doc_id, g, min(f) AS start_frame,
+                   max(f) AS end_frame, count(*) AS n_frames
+                 FROM gr WHERE voiced GROUP BY doc_id, g
+                 HAVING count(*) >= 2)
+         SELECT doc_id AS id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY start_frame) AS BIGINT) AS seg_id,
+           CAST(start_frame AS BIGINT) AS start_frame,
+           CAST(end_frame AS BIGINT) AS end_frame,
+           CAST(n_frames AS BIGINT) AS n_frames
+         FROM seg""",
     "m04_phash_pairs" ->
       """WITH cp AS (SELECT doc_id AS mid, length(text) AS n,
              unnest(generate_series(1, length(text))) - 1 AS p0,
@@ -2630,6 +2694,33 @@ object SparkEntry {
            COALESCE(array_to_string(list_transform(m, i -> w[i]), ' '), '')
              AS target_text
          FROM f""",
+    // t26: fair-share quota mix — per-source rank (n_chars desc, id)
+    // capped at 15, survivors re-ranked round-robin (srank first) under
+    // the global budget of 200.
+    "t26_quota_mix" ->
+      """WITH s AS (SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS srank
+           FROM documents),
+         g AS (SELECT doc_id, source, CAST(srank AS BIGINT) AS srank,
+             row_number() OVER (ORDER BY srank, n_chars DESC, doc_id)
+               AS grank
+           FROM s WHERE srank <= 15)
+         SELECT doc_id, source, srank, CAST(grank AS BIGINT) AS grank
+         FROM g WHERE grank <= 200""",
+    // t27: Madow systematic PPS — doc drawn iff its cumulative-weight
+    // interval contains a multiple of step = total // 50; pure integer
+    // arithmetic on both engines.
+    "t27_pps_sample" ->
+      """WITH c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             CAST(sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM documents),
+         t AS (SELECT CAST(sum(n_chars) AS BIGINT) // 50 AS step
+               FROM documents)
+         SELECT doc_id, w AS weight, cum
+         FROM c, t WHERE cum // step > (cum - w) // step""",
     // c07: per-split counts + the commutative bit_xor digest — any
     // engine, any partitioning, same three numbers per split.
     "c07_dataset_seal" ->
@@ -3027,6 +3118,10 @@ object SparkEntry {
     // the recursive CTE steps the same machine, and since every
     // transition is non-decreasing, max(acc) is the final state.
     "q37_cep_match" -> cepOracleSql,
+    // q39: the identical capped-session recurrence — (anchor, prev,
+    // nsess, ncap) stepped over each user's sorted event micros; both
+    // counters are monotone, so max() reads the final state.
+    "q39_capped_session" -> cappedSessionOracleSql,
     // q38: discrete rank-selected quartile boundaries + exact
     // value-range bucket populations — tie-order-independent.
     "q38_histogram" ->
@@ -3057,6 +3152,10 @@ object SparkEntry {
     // st30 runs the same machine in keyed state at ingest; monotone acc
     // + time-split replay land it on the identical batch answer.
     "st30_stream_cep" -> cepOracleSql,
+    // st32 runs q39's capped-session recurrence in keyed state at
+    // ingest; time-split replay preserves per-user order and both
+    // counters are monotone, so the batch oracle is shared verbatim.
+    "st32_stream_capped_session" -> cappedSessionOracleSql,
     // q36/st29: in the Misra-Gries exact regime (capacity never
     // exceeded — the exact flag pins it) the summary merge IS the
     // exact count map, batch and online alike: one oracle for both.
@@ -3596,6 +3695,40 @@ object SparkEntry {
            FROM r JOIN l ON l.user_id = r.user_id
            WHERE r.i < len(l.codes))
          SELECT user_id, max(acc) // 10 AS n_matches
+         FROM r GROUP BY user_id"""
+
+  /** q39 + st32: the duration-capped sessionization recurrence — an
+    * event OPENS a session when it is the user's first or follows a
+    * > 24 h gap; otherwise it CAP-SPLITS when it sits > 48 h past the
+    * running session's anchor; otherwise it extends. The recursive CTE
+    * steps the same 4-long state the Spark fold carries; nsess/ncap
+    * only grow, so max() is the final state. */
+  private def cappedSessionOracleSql: String =
+    """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+           FROM events),
+         l AS (SELECT user_id, list(us ORDER BY us, event_id) AS tl
+               FROM e GROUP BY user_id),
+         r AS (
+           SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS anchor,
+             CAST(0 AS BIGINT) AS prev, CAST(0 AS BIGINT) AS nsess,
+             CAST(0 AS BIGINT) AS ncap
+           FROM l
+           UNION ALL
+           SELECT r.user_id, r.i + 1,
+             CASE WHEN r.nsess = 0 OR l.tl[r.i + 1] - r.prev > 86400000000
+                    OR l.tl[r.i + 1] - r.anchor > 172800000000
+                  THEN l.tl[r.i + 1] ELSE r.anchor END,
+             l.tl[r.i + 1],
+             CASE WHEN r.nsess = 0 OR l.tl[r.i + 1] - r.prev > 86400000000
+                    OR l.tl[r.i + 1] - r.anchor > 172800000000
+                  THEN r.nsess + 1 ELSE r.nsess END,
+             CASE WHEN r.nsess > 0
+                    AND l.tl[r.i + 1] - r.prev <= 86400000000
+                    AND l.tl[r.i + 1] - r.anchor > 172800000000
+                  THEN r.ncap + 1 ELSE r.ncap END
+           FROM r JOIN l ON l.user_id = r.user_id
+           WHERE r.i < len(l.tl))
+         SELECT user_id, max(nsess) AS n_sessions, max(ncap) AS n_cap_splits
          FROM r GROUP BY user_id"""
 
   /** q36 + st29: exact top-20 users by event count, (cnt desc, key)

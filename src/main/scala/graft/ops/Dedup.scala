@@ -743,4 +743,42 @@ object Dedup {
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
+
+  /** Corpus-frequency boilerplate removal — the C4/CCNet/RefinedWeb
+    * line-dedup stage: a SEGMENT (here a fixed `segWords`-word window,
+    * the no-newline corpus's analogue of a line) that appears verbatim
+    * in >= `minDf` distinct documents is boilerplate (headers, footers,
+    * cookie banners) and is excised from EVERY document; the survivors
+    * are reassembled in order. Differs from [[dupSpans]]/`removeDupSpans`
+    * (pairwise positional matching between candidate pairs) in being
+    * driven by global corpus frequency — no pairing at all.
+    *
+    * Scale shape: segmentation is map-only (HOF over the token array,
+    * no posexplode shuffle); segments shuffle by their 16-hex md5
+    * fingerprint, never raw text; document frequency is a two-phase
+    * `countDistinct` groupBy (map-side partial dedup of (fp, doc)
+    * pairs — deliberately NOT a `collect_set` window, which would
+    * materialize every doc id of a hot boilerplate segment in one
+    * task), then one shuffle back on doc_id to reassemble. Hot
+    * segments (the interesting ones — a banner in millions of docs)
+    * stay safe: they contribute partial counts, never a row list. */
+  def boilerplateRemoval(df: DataFrame, text: Column, id: Column,
+      segWords: Int = 10, minDf: Int = 2): DataFrame = {
+    val segs = df.select(id.as("doc_id"), split(text, " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(toks)-1) div $segWords), " +
+          s"i -> array_join(slice(toks, i*$segWords+1, $segWords), ' '))"))
+        .as(Seq("seg_id", "seg")))
+      .withColumn("fp", substring(md5(col("seg")), 1, 16))
+    val dfreq = segs.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("docfreq"))
+    segs.join(dfreq, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        count(when(col("docfreq") >= minDf, 1)).as("n_removed"),
+        array_join(transform(sort_array(collect_list(
+          when(col("docfreq") < minDf,
+            struct(col("seg_id"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"))
+  }
 }

@@ -252,6 +252,74 @@ object Multimodal {
       .withColumn("keep", col("clip_score") >= lit(minScore))
   }
 
+  /** m06: voice-activity-style segmentation of audio blobs — the
+    * speech-curation step that cuts a recording into voiced segments
+    * before transcription/alignment (WebRTC-VAD / Silero class). The
+    * blob is framed (`frameChars` codepoints ≈ a 10 ms PCM frame), each
+    * frame gets an ENERGY (sum of codepoint values — the deterministic
+    * stand-in for mean-square amplitude; a real decoder emits true
+    * frame energies through the [[BatchMediaDecoder]] plug-point and
+    * feeds the identical segmentation), a frame is VOICED iff its mean
+    * energy >= the blob's global mean (exact integer cross-multiply,
+    * the m04 discipline — no float division), and maximal runs of >=
+    * `minFrames` consecutive voiced frames become segments.
+    *
+    * The whole operator is MAP-ONLY: framing, energies, and the
+    * island-finding run as HOFs over per-row arrays (the run fold is
+    * one linear `aggregate` with a (segments, open-run) accumulator),
+    * then segments explode. Nothing shuffles at any corpus size; each
+    * blob's work is linear in its length.
+    *
+    * Output: one row per segment — (id, seg_id, start_frame,
+    * end_frame, n_frames). Blobs with no qualifying run emit nothing. */
+  def audioSegments(df: DataFrame, text: Column, id: Column,
+      frameChars: Int = 64, minFrames: Int = 2): DataFrame = {
+    val segType = "array<struct<s:bigint,e:bigint>>"
+    df.select(id.cast("long").as("id"), text.as("t"))
+      .filter(length(col("t")) > 0)
+      .withColumn("cps", expr(
+        "transform(sequence(1, length(t)), " +
+          "i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))"))
+      .withColumn("es", expr(
+        s"transform(sequence(0, (length(t)-1) div $frameChars), " +
+          s"f -> aggregate(slice(cps, f*$frameChars+1, $frameChars), " +
+          "CAST(0 AS BIGINT), (a, c) -> a + c))"))
+      .withColumn("cs", expr(
+        s"transform(sequence(0, (length(t)-1) div $frameChars), " +
+          s"f -> CAST(size(slice(cps, f*$frameChars+1, $frameChars)) " +
+          "AS BIGINT))"))
+      .withColumn("ts", expr("aggregate(es, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("tn", length(col("t")).cast("long"))
+      .withColumn("vo", expr(
+        "transform(sequence(0, size(es)-1), " +
+          "f -> element_at(es, f+1) * tn >= ts * element_at(cs, f+1))"))
+      .withColumn("segs", expr(
+        s"""aggregate(
+           sequence(0, size(vo)-1),
+           named_struct('segs', CAST(array() AS $segType),
+                        'cur', CAST(-1 AS BIGINT)),
+           (acc, f) -> IF(element_at(vo, f+1),
+             named_struct('segs', acc.segs,
+               'cur', IF(acc.cur < 0, CAST(f AS BIGINT), acc.cur)),
+             named_struct('segs',
+               IF(acc.cur >= 0,
+                 concat(acc.segs,
+                   array(named_struct('s', acc.cur,
+                     'e', CAST(f-1 AS BIGINT)))),
+                 acc.segs),
+               'cur', CAST(-1 AS BIGINT))),
+           acc -> IF(acc.cur >= 0,
+             concat(acc.segs, array(named_struct('s', acc.cur,
+               'e', CAST(size(vo)-1 AS BIGINT)))),
+             acc.segs))"""))
+      .select(col("id"), posexplode(expr(
+        s"filter(segs, x -> x.e - x.s + 1 >= $minFrames)"))
+        .as(Seq("p", "sg")))
+      .select(col("id"), (col("p") + 1).cast("long").as("seg_id"),
+        col("sg.s").as("start_frame"), col("sg.e").as("end_frame"),
+        (col("sg.e") - col("sg.s") + lit(1L)).as("n_frames"))
+  }
+
   /** Decode a binary column in distributed batches: one decoder instance
     * per partition (decoders are usually expensive to initialize —
     * mirror of the Pandas-UDF batch pattern), rows streamed through it.

@@ -839,4 +839,61 @@ object TextAnalysis {
         (col("topk_tokens").cast("double")
           / col("total_tokens").cast("double")).as("topk_mass"))
   }
+
+  /** Fair-share quota mix — the per-domain cap + global budget
+    * allocation of crawl curation (Common Crawl pipelines cap documents
+    * per registrable domain BEFORE applying the corpus budget, so one
+    * giant domain cannot eat the mix). Two deterministic ranks:
+    * within-source rank by (quality desc, id) capped at `perSource`,
+    * then the survivors ranked ROUND-ROBIN — by (srank, quality desc,
+    * id) — so every source places its best doc before any source
+    * places its second, and the global `budget` cuts across sources
+    * fairly. Output: the admitted docs with both ranks.
+    *
+    * Scale shape: one shuffle on source for the per-source window
+    * (domains are many → fine-grained partitions; a pathological
+    * mega-domain is bounded by the cap itself), then a single-partition
+    * rank over ONLY the <= #sources * perSource survivors — the cap,
+    * not the corpus, bounds the narrow stage. */
+  def quotaMix(df: DataFrame, id: Column, source: Column,
+      quality: Column, perSource: Int, budget: Int): DataFrame = {
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("id"))
+    val wAll = Window.orderBy(col("srank"), col("q").desc, col("id"))
+    df.select(id.as("id"), source.as("source"), quality.as("q"))
+      .withColumn("srank", row_number().over(wSrc))
+      .filter(col("srank") <= perSource)
+      .withColumn("grank", row_number().over(wAll))
+      .filter(col("grank") <= budget)
+      .select(col("id").as("doc_id"), col("source"),
+        col("srank").cast("long").as("srank"),
+        col("grank").cast("long").as("grank"))
+  }
+
+  /** Systematic probability-proportional-to-size sampling — the
+    * integer-exact weighted sampler (Madow's systematic PPS): docs in
+    * id order, cumulative weight W_i, step = total // n; doc i is
+    * drawn iff the cumulative interval (W_{i-1}, W_i] contains a
+    * multiple of the step, i.e. W_i // step > W_{i-1} // step. Every
+    * arithmetic step is integer, so the draw is bit-deterministic in
+    * any engine — no float u^(1/w) priorities, no RNG. With weights
+    * below the step (true here: max n_chars 553 vs step ~2.5k) this
+    * is the classic without-replacement PPS draw of ~n docs.
+    *
+    * Scale shape: one global cumulative-sum window. At 100 TB this
+    * runs as the two-pass range-partitioned prefix sum (per-partition
+    * subtotals broadcast back — the q09 running-total discipline);
+    * the fixture-size single window keeps the oracle shape identical. */
+  def ppsSample(df: DataFrame, id: Column, weight: Column, n: Int)
+      : DataFrame = {
+    val wCum = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = df.select(sum(weight.cast("long")).as("t"))
+    df.select(id.as("id"), weight.cast("long").as("w"))
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .withColumn("step", expr(s"t div $n"))
+      .filter(expr("(cum div step) > ((cum - w) div step)"))
+      .select(col("id").as("doc_id"), col("w").as("weight"), col("cum"))
+  }
 }

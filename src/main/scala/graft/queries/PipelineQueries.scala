@@ -997,4 +997,29 @@ object PipelineQueries {
     graft.ops.Profiling.profileDrift(old, nw,
       Seq("doc_id", "text", "lang", "source", "n_chars"))
   }
+
+  /** d24: corpus-frequency boilerplate excision — 10-word segments
+    * appearing verbatim in >= 2 distinct documents are removed from
+    * every document (the C4/RefinedWeb line-dedup stage; segments play
+    * the role of lines in this newline-free corpus). */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateRemoval(docs(spark, dir), col("text"), col("doc_id"),
+      segWords = 10, minDf = 2)
+
+  /** t26: fair-share quota mix — per-source cap 15 (quality =
+    * n_chars desc), then a round-robin global budget of 200. */
+  def quotaMix(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quotaMix(docs(spark, dir), col("doc_id"), col("source"),
+      col("n_chars"), perSource = 15, budget = 200)
+
+  /** t27: systematic PPS sampling — ~50 docs drawn with probability
+    * proportional to n_chars, integer-exact (no RNG). */
+  def ppsSample(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ppsSample(docs(spark, dir), col("doc_id"),
+      col("n_chars"), n = 50)
+
+  /** m06: VAD-style segmentation of audio blobs (text codepoints stand
+    * in for PCM frames; 64-codepoint frames, >= 2 voiced in a row). */
+  def audioSegments(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioSegments(docs(spark, dir), col("text"), col("doc_id"))
 }

@@ -794,4 +794,56 @@ object Relational {
       table(spark, dir, "events"), col("user_id"), m = 131072)
     graft.ops.Profiling.heavyHittersTopK(p, k = 20)
   }
+
+  /** q39: duration-capped sessionization — sessions split at a 24 h
+    * inactivity gap OR when admitting an event would stretch the
+    * session past a 48 h duration cap. The cap is the arm Spark's
+    * `session_window` (and SQL's lag/sum islands trick) cannot
+    * express: whether an event opens a new session depends on the
+    * RUNNING session's anchor, which resets on every split — an
+    * inherently sequential per-key recurrence, so it runs as the q37
+    * fold discipline: one exchange on user_id, then a linear
+    * struct-accumulator fold over that user's (ts, event_id)-sorted
+    * micros. Both arms carry real weight on the fixture (gap-only
+    * sessions: 1214; cap splits: 500+). Output per user: total
+    * sessions and how many of the splits were cap-forced.
+    *
+    * Scale shape: identical to q37/q26 — one shuffle keyed by user,
+    * per-user work linear in that user's events, one output row per
+    * user. The fold state is 4 longs regardless of history length. */
+  def cappedSession(spark: SparkSession, dir: String): DataFrame =
+    cappedSessionOver(table(spark, dir, "events"),
+      gapUs = 24L * 3600 * 1000000, capUs = 48L * 3600 * 1000000)
+
+  /** The q39 operator over any (user_id, event_id, ts) relation — split
+    * out so the spec can drive hand-built timelines through the exact
+    * production fold. */
+  def cappedSessionOver(events: DataFrame, gapUs: Long, capUs: Long)
+      : DataFrame = {
+    val zero = struct(lit(0L).as("anchor"), lit(0L).as("prev"),
+      lit(0L).as("nsess"), lit(0L).as("ncap"))
+    events
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id")).as("ev"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .select(col("user_id"),
+        aggregate(transform(col("evs"), e => e.getField("us")), zero,
+          (acc, t) => {
+            val opens = acc.getField("nsess") === 0L ||
+              t - acc.getField("prev") > gapUs
+            val caps = t - acc.getField("anchor") > capUs
+            when(opens, struct(t.as("anchor"), t.as("prev"),
+              (acc.getField("nsess") + 1L).as("nsess"),
+              acc.getField("ncap").as("ncap")))
+              .when(caps, struct(t.as("anchor"), t.as("prev"),
+                (acc.getField("nsess") + 1L).as("nsess"),
+                (acc.getField("ncap") + 1L).as("ncap")))
+              .otherwise(struct(acc.getField("anchor").as("anchor"),
+                t.as("prev"), acc.getField("nsess").as("nsess"),
+                acc.getField("ncap").as("ncap")))
+          }).as("st"))
+      .select(col("user_id"), col("st.nsess").as("n_sessions"),
+        col("st.ncap").as("n_cap_splits"))
+  }
 }

@@ -2214,4 +2214,53 @@ object StreamingQueries {
         .select(col("user_id").cast("long").as("user_id"),
           col("n_matches"))
     }
+
+  /** st32: q39's duration-capped sessionization maintained AT INGEST —
+    * the sequential per-user recurrence (anchor resets on every split,
+    * so no window/`session_window` form exists) becomes a per-user
+    * keyed fold: state is the same 4 longs the batch fold carries
+    * (anchor, prev, nsess, ncap), each event advances it in O(1), and
+    * the session count is live as events arrive. Time-split staging
+    * preserves global per-user event order across micro-batches, so
+    * the final state equals the batch fold's; both counters are
+    * monotone, so the update-mode changelog's max per key is that
+    * final state and q39's oracle is shared verbatim. */
+  def streamCappedSession(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val gapUs = 24L * 3600 * 1000000
+      val capUs = 48L * 3600 * 1000000
+      val graph = GroupGraph.define("stream-capped-session")(
+        Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+          val t = graft.operators.BatchExecutor.tsMicros(ctx.timestamp)
+          val (anchor, prev, nsess, ncap) = ctx.value match {
+            case null => (0L, 0L, 0L, 0L)
+            case s: String =>
+              val p = s.split(',')
+              (p(0).toLong, p(1).toLong, p(2).toLong, p(3).toLong)
+          }
+          val next =
+            if (nsess == 0L || t - prev > gapUs) (t, t, nsess + 1, ncap)
+            else if (t - anchor > capUs) (t, t, nsess + 1, ncap + 1)
+            else (anchor, t, nsess, ncap)
+          ctx.setValue(s"${next._1},${next._2},${next._3},${next._4}")
+        }),
+        Persist(StringCodec))
+      val staging = stagedEventsSplit(spark, dir)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("user_id", "st")
+      runToTable(spark, table)
+        .select(col("user_id").cast("long").as("user_id"),
+          split(col("st"), ",").as("p"))
+        .groupBy(col("user_id"))
+        .agg(max(element_at(col("p"), 3).cast("long")).as("n_sessions"),
+          max(element_at(col("p"), 4).cast("long")).as("n_cap_splits"))
+    }
 }
