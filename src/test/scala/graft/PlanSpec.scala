@@ -628,4 +628,41 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("partial_bit_xor") || p.contains("HashAggregate"),
       s"the digest must combine map-side\n$p")
   }
+
+  test("q39: capped sessions = ONE user_id exchange, no join") {
+    val p = plan("q39_capped_session")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges\n$p")
+    assert(!p.contains("Join"), s"the recurrence folds, it never joins\n$p")
+  }
+
+  test("d24: boilerplate df is two-phase countDistinct, never a window list") {
+    val p = plan("d24_boilerplate")
+    assert(!p.contains("collect_set"),
+      s"hot segments must not materialize doc-id lists in one task\n$p")
+    assert(!p.contains("Window"),
+      s"document frequency is a groupBy, not a window — a per-fp window" +
+        s" would single-task every hot boilerplate segment\n$p")
+    // Two passes over documents is the op's canonical shape (C4's
+    // count pass + filter pass): the frequency side re-derives the
+    // segments rather than materializing them. A window form would be
+    // one scan but skew-fatal; a checkpoint would trade a full
+    // segment-table materialization for the second scan.
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected the 2-pass shape, got $scans scans\n$p")
+  }
+
+  test("t27: PPS sampling broadcasts the 1-row total, never shuffles a join") {
+    val p = plan("t27_pps_sample")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the scalar total must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("m06: VAD segmentation is map-only — no shuffle at any corpus size") {
+    val p = plan("m06_audio_segments")
+    assert(!p.contains("Exchange"),
+      s"framing/energies/islands are per-row HOFs\n$p")
+  }
 }
