@@ -162,6 +162,7 @@ object SparkEntry {
     "t25_mask_corrupt" -> (PipelineQueries.maskCorrupt _),
     "t26_quota_mix" -> (PipelineQueries.quotaMix _),
     "t27_pps_sample" -> (PipelineQueries.ppsSample _),
+    "t28_bpe_merges" -> (PipelineQueries.bpeMerges _),
     "t01_langid" -> (PipelineQueries.langId _),
     "t02_quality" -> (PipelineQueries.quality _),
     "t03_token_stats" -> (PipelineQueries.tokenStats _),
@@ -2721,6 +2722,9 @@ object SparkEntry {
                FROM documents)
          SELECT doc_id, w AS weight, cum
          FROM c, t WHERE cum // step > (cum - w) // step""",
+    // t28: distributed BPE merge induction — the corpus word-frequency
+    // stage plus 4 argmax+merge rounds, unrolled in SQL.
+    "t28_bpe_merges" -> bpeOracleSql,
     // c07: per-split counts + the commutative bit_xor digest — any
     // engine, any partitioning, same three numbers per split.
     "c07_dataset_seal" ->
@@ -3730,6 +3734,46 @@ object SparkEntry {
            WHERE r.i < len(l.tl))
          SELECT user_id, max(nsess) AS n_sessions, max(ncap) AS n_cap_splits
          FROM r GROUP BY user_id"""
+
+  /** t28: the identical BPE induction unrolled — per round, a pair
+    * count over the running vocabulary, the same (count desc, lhs,
+    * rhs) argmax, and the left-to-right greedy merge replayed as a
+    * recursive CTE whose state is the output symbol list (the q37/q39
+    * recurrence discipline applied to a list accumulator). */
+  private def bpeOracleSql: String = {
+    val k = 4
+    val rounds = (1 to k).map { n =>
+      val prev = s"v${n - 1}"
+      s"""p$n AS (SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+             CAST(sum(cnt) AS BIGINT) AS c
+           FROM $prev, unnest(generate_series(1, len(syms) - 1)) t(i)
+           GROUP BY syms[i], syms[i + 1]),
+         m$n AS (SELECT lhs, rhs, c FROM p$n
+                 ORDER BY c DESC, lhs, rhs LIMIT 1),
+         r$n AS (
+           SELECT syms, cnt, 0 AS i, CAST([] AS VARCHAR[]) AS out
+           FROM $prev
+           UNION ALL
+           SELECT s.syms, s.cnt, s.i + 1,
+             CASE WHEN len(s.out) > 0 AND s.out[-1] = m.lhs
+                    AND s.syms[s.i + 1] = m.rhs
+                  THEN list_append(s.out[1:len(s.out) - 1], m.lhs || m.rhs)
+                  ELSE list_append(s.out, s.syms[s.i + 1]) END
+           FROM r$n s, m$n m WHERE s.i < len(s.syms)),
+         v$n AS (SELECT out AS syms, cnt FROM r$n WHERE i = len(syms))"""
+    }.mkString(",\n")
+    val finalSel = (1 to k).map(n =>
+      s"SELECT CAST($n AS BIGINT) AS step, lhs, rhs, lhs || rhs AS merged, c AS cnt FROM m$n")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE v0 AS (
+         SELECT list_transform(generate_series(1, length(w)),
+             i -> substr(w, i, 1)) AS syms,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE length(w) > 0 GROUP BY w),
+       $rounds
+       $finalSel"""
+  }
 
   /** q36 + st29: exact top-20 users by event count, (cnt desc, key)
     * tiebreak; `exact` TRUE because m = 2^17 keeps every partition's

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed tokenizer training: byte-pair-encoding merge induction
+  * (Sennrich et al. 2016, public) over a corpus — the step that turns
+  * raw training text into a tokenizer vocabulary before any model
+  * training can start.
+  *
+  * Classic BPE alternates two phases; their scale profiles differ and
+  * the implementation splits accordingly:
+  *  - the WORD-FREQUENCY table (corpus-scale: one groupBy over every
+  *    token occurrence — at 100 TB this is the dominant shuffle, with
+  *    map-side partial counts) is built ONCE and checkpointed; every
+  *    later phase touches only the vocabulary (distinct words), which
+  *    is orders of magnitude smaller than the corpus;
+  *  - each merge round counts ADJACENT SYMBOL PAIRS weighted by word
+  *    frequency (vocabulary-sized explode + groupBy), picks the argmax
+  *    pair (count desc, then lexicographic (lhs, rhs) — a deterministic
+  *    1-row collect, the documented scalar-collect tier), and applies
+  *    the merge to every word's symbol array as a LEFT-TO-RIGHT greedy
+  *    fold (one `aggregate` HOF — map-only over vocabulary rows;
+  *    "a a a" under merge (a,a) correctly yields [aa, a] because the
+  *    merged symbol no longer equals the pair's left element).
+  *
+  * Per-round `localCheckpoint` truncates the growing lineage, exactly
+  * as the connected-components loop does. Output: one row per merge
+  * step — (step, lhs, rhs, merged, cnt).
+  */
+object Tokenizer {
+
+  def bpeMerges(df: DataFrame, text: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = df
+      .select(explode(split(text, " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
+      .select(col("cnt"), col("syms"))
+      .localCheckpoint()
+
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val top = vocab
+        // single-symbol words have no pairs — and Spark's sequence(1, 0)
+        // DESCENDS instead of returning empty, so they must not reach
+        // the pair expression at all
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, " +
+            "element_at(syms, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step.toLong, l, r, l + r, c))
+        val lLit = lit(l)
+        val rLit = lit(r)
+        vocab = vocab
+          .withColumn("syms",
+            aggregate(col("syms"),
+              array().cast("array<string>"),
+              (out, s) =>
+                when(size(out) > 0 &&
+                  element_at(out, -1) === lLit && s === rLit,
+                  concat(slice(out, lit(1), size(out) - 1),
+                    array(concat(lLit, rLit))))
+                  .otherwise(concat(out, array(s)))))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.result()
+      .toDF("step", "lhs", "rhs", "merged", "cnt")
+  }
+}

@@ -1022,4 +1022,9 @@ object PipelineQueries {
     * in for PCM frames; 64-codepoint frames, >= 2 voiced in a row). */
   def audioSegments(spark: SparkSession, dir: String): DataFrame =
     Multimodal.audioSegments(docs(spark, dir), col("text"), col("doc_id"))
+
+  /** t28: the first 4 BPE merges induced from the corpus — distributed
+    * tokenizer training ([[graft.ops.Tokenizer.bpeMerges]]). */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Tokenizer.bpeMerges(docs(spark, dir), col("text"), k = 4)
 }

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** BPE merge induction on hand-built corpora: frequency-weighted argmax,
+  * deterministic tie-break, left-to-right greedy application, and the
+  * composition of merged symbols across rounds. */
+class TokenizerSpec extends AnyFunSuite with SparkFixture {
+
+  private def run(k: Int, texts: String*):
+      Seq[(Long, String, String, String, Long)] = {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Tokenizer.bpeMerges(df, col("text"), k)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .toSeq.sortBy(_._1)
+  }
+
+  test("most frequent pair wins, weighted by word frequency") {
+    // "ab" x3, "cd" x1 -> (a,b) with count 3 first.
+    val m = run(1, "ab ab ab cd")
+    assert(m == Seq((1L, "a", "b", "ab", 3L)))
+  }
+
+  test("ties break lexicographically on (lhs, rhs)") {
+    // "ab" and "cd" once each: both pairs count 1 -> (a,b) first.
+    assert(run(1, "ab cd").head == ((1L, "a", "b", "ab", 1L)))
+    // equal counts at the same lhs: (a,b) beats (a,c).
+    assert(run(1, "ac ab").head == ((1L, "a", "b", "ab", 1L)))
+  }
+
+  test("left-to-right greedy: 'aaa' under (a,a) yields [aa, a]") {
+    // word "aaa" x2: round 1 pair (a,a) has count 4 (two per word).
+    // After the merge each word is [aa, a], so round 2's top pair is
+    // (aa, a) with count 2 — which is only right if the greedy fold
+    // did NOT re-merge the trailing 'a' into the new 'aa' symbol.
+    val m = run(2, "aaa aaa")
+    assert(m(0) == ((1L, "a", "a", "aa", 4L)))
+    assert(m(1) == ((2L, "aa", "a", "aaa", 2L)))
+  }
+
+  test("merged symbols compose across rounds") {
+    // "abab": round 1 (a,b) count 2 -> [ab, ab]; round 2 (ab, ab).
+    val m = run(2, "abab")
+    assert(m(0) == ((1L, "a", "b", "ab", 2L)))
+    assert(m(1) == ((2L, "ab", "ab", "abab", 1L)))
+  }
+
+  test("induction stops early when no pairs remain") {
+    // single-char words only: no adjacent pairs at all.
+    assert(run(3, "a b a").isEmpty)
+  }
+}
