@@ -69,6 +69,7 @@ object SparkEntry {
     "q37_cep_match" -> (Relational.cepMatch _),
     "q38_histogram" -> (Relational.histogram _),
     "q39_capped_session" -> (Relational.cappedSession _),
+    "q40_ohlc_bars" -> (Relational.ohlcBars _),
     "q22_pivot" -> (Relational.pivotAgg _),
     "q23_unpivot" -> (Relational.unpivotAgg _),
     "q24_bucketed_join" -> (Relational.bucketedJoin _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "st30_stream_cep" -> (StreamingQueries.streamCep _),
     "st31_stream_neardup_probe" -> (StreamingQueries.streamNearDupProbe _),
     "st32_stream_capped_session" -> (StreamingQueries.streamCappedSession _),
+    "st33_stream_admission" -> (StreamingQueries.streamAdmission _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -3126,6 +3128,24 @@ object SparkEntry {
     // nsess, ncap) stepped over each user's sorted event micros; both
     // counters are monotone, so max() reads the final state.
     "q39_capped_session" -> cappedSessionOracleSql,
+    // q40: open/close via rank-1 selection under the same composite
+    // (ts, event_id) order the min_by/max_by keys use; raw doubles
+    // pass through both engines bit-identically.
+    "q40_ohlc_bars" ->
+      """WITH e AS (SELECT date_trunc('day', ts) AS day, event_type,
+             value, ts, event_id FROM events),
+         r AS (SELECT day, event_type, value,
+             row_number() OVER (PARTITION BY day, event_type
+               ORDER BY ts, event_id) AS rk_a,
+             row_number() OVER (PARTITION BY day, event_type
+               ORDER BY ts DESC, event_id DESC) AS rk_d
+           FROM e)
+         SELECT day, event_type,
+           max(CASE WHEN rk_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rk_d = 1 THEN value END) AS close,
+           count(*) AS n_events
+         FROM r GROUP BY day, event_type""",
     // q38: discrete rank-selected quartile boundaries + exact
     // value-range bucket populations — tie-order-independent.
     "q38_histogram" ->
@@ -3160,6 +3180,22 @@ object SparkEntry {
     // ingest; time-split replay preserves per-user order and both
     // counters are monotone, so the batch oracle is shared verbatim.
     "st32_stream_capped_session" -> cappedSessionOracleSql,
+    // st33: first-300-per-type admission in (ts, event_id) arrival
+    // order; the boundary event id pins the ORDER, not just counts.
+    "st33_stream_admission" ->
+      """WITH r AS (SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY ts, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type,
+           CAST(count(CASE WHEN rk <= 300 THEN 1 END) AS BIGINT)
+             AS admitted,
+           CAST(count(CASE WHEN rk > 300 THEN 1 END) AS BIGINT)
+             AS rejected,
+           CAST(max(CASE WHEN rk = least(n, 300) THEN event_id END)
+             AS BIGINT) AS last_admitted
+         FROM r GROUP BY event_type""",
     // q36/st29: in the Misra-Gries exact regime (capacity never
     // exceeded — the exact flag pins it) the summary merge IS the
     // exact count map, batch and online alike: one oracle for both.

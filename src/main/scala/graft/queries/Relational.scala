@@ -815,6 +815,27 @@ object Relational {
     cappedSessionOver(table(spark, dir, "events"),
       gapUs = 24L * 3600 * 1000000, capUs = 48L * 3600 * 1000000)
 
+  /** q40: OHLC bars — per (day, event_type) open/high/low/close, the
+    * ordered-aggregation class (first/last BY TIME, not by value) that
+    * plain min/max cannot express. `min_by`/`max_by` with a composite
+    * (ts, event_id) ordering key run as ONE hash aggregate with
+    * map-side partials — no window, no sort, no per-group row ranking;
+    * high/low/count ride in the same aggregate. The raw double values
+    * pass through untouched (no arithmetic), so the result is
+    * bit-exact against any engine reading the same parquet.
+    *
+    * Scale shape: one exchange on the group key; state per group is
+    * five scalars regardless of group size. */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"))
+
   /** The q39 operator over any (user_id, event_id, ts) relation — split
     * out so the spec can drive hand-built timelines through the exact
     * production fold. */

@@ -2263,4 +2263,62 @@ object StreamingQueries {
         .agg(max(element_at(col("p"), 3).cast("long")).as("n_sessions"),
           max(element_at(col("p"), 4).cast("long")).as("n_cap_splits"))
     }
+
+  /** st33: streaming admission control — a per-key arrival-order quota
+    * enforced AT INGEST (the rate-cap every production intake runs so
+    * one runaway producer cannot flood a topic): per event type, the
+    * first 300 arrivals in event-time order are admitted, the rest
+    * counted as rejected, with the LAST ADMITTED event id carried in
+    * state. That last-admitted column is what makes the oracle pin the
+    * GLOBAL per-key arrival order, not just the counts — any
+    * mis-ordering across micro-batches would surface as a different
+    * boundary event. State is 3 longs per key; O(keys), never O(events).
+    * Differs from t26's quota mix (quality-ranked batch allocation):
+    * this is the online arrival-order form. */
+  def streamAdmission(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val cap = 300L
+      val graph = GroupGraph.define("stream-admission")(
+        Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+          val (adm, rej, last) = ctx.value match {
+            case null => (0L, 0L, -1L)
+            case s: String =>
+              val p = s.split(',')
+              (p(0).toLong, p(1).toLong, p(2).toLong)
+          }
+          val eid = msg.asInstanceOf[String].toLong
+          val next =
+            if (adm < cap) (adm + 1, rej, eid) else (adm, rej + 1, last)
+          ctx.setValue(s"${next._1},${next._2},${next._3}")
+        }),
+        Persist(StringCodec))
+      val staging = tempDir("graft_admission_split")
+      stageTwoBatches(spark,
+        Sources.messages(Sources.table(spark, dir, "events"), "events",
+          col("event_type"), col("event_id"), col("ts"), col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("event_type", "st")
+      // last_admitted is NOT monotone (ids arrive in ts order), so the
+      // changelog's final row is selected by the version adm+rej —
+      // which increments on every message — not by per-column max.
+      runToTable(spark, table)
+        .select(col("event_type"), split(col("st"), ",").as("p"))
+        .withColumn("ver", element_at(col("p"), 1).cast("long") +
+          element_at(col("p"), 2).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(max_by(col("p"), col("ver")).as("p"))
+        .select(col("event_type"),
+          element_at(col("p"), 1).cast("long").as("admitted"),
+          element_at(col("p"), 2).cast("long").as("rejected"),
+          element_at(col("p"), 3).cast("long").as("last_admitted"))
+    }
 }

@@ -660,6 +660,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q40: OHLC is one hash aggregate — no window, no sort, no join") {
+    val p = plan("q40_ohlc_bars")
+    assert(!p.contains("Window"),
+      s"open/close must come from min_by/max_by, not rank windows\n$p")
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges\n$p")
+    assert(p.contains("partial_min_by") || p.contains("HashAggregate"),
+      s"ordered aggregates must combine map-side\n$p")
+  }
+
   test("m06: VAD segmentation is map-only — no shuffle at any corpus size") {
     val p = plan("m06_audio_segments")
     assert(!p.contains("Exchange"),
