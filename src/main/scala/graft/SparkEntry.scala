@@ -70,6 +70,7 @@ object SparkEntry {
     "q38_histogram" -> (Relational.histogram _),
     "q39_capped_session" -> (Relational.cappedSession _),
     "q40_ohlc_bars" -> (Relational.ohlcBars _),
+    "q41_daily_anomaly" -> (Relational.dailyAnomaly _),
     "q22_pivot" -> (Relational.pivotAgg _),
     "q23_unpivot" -> (Relational.unpivotAgg _),
     "q24_bucketed_join" -> (Relational.bucketedJoin _),
@@ -98,6 +99,7 @@ object SparkEntry {
     "st31_stream_neardup_probe" -> (StreamingQueries.streamNearDupProbe _),
     "st32_stream_capped_session" -> (StreamingQueries.streamCappedSession _),
     "st33_stream_admission" -> (StreamingQueries.streamAdmission _),
+    "st34_stream_ohlc" -> (StreamingQueries.streamOhlc _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -147,6 +149,7 @@ object SparkEntry {
     "d22_medoid_keep" -> (PipelineQueries.medoidKeep _),
     "d23_incremental_neardup" -> (PipelineQueries.incrementalNearDup _),
     "d24_boilerplate" -> (PipelineQueries.boilerplate _),
+    "d25_source_overlap" -> (PipelineQueries.sourceOverlap _),
     "d17_dedup_agreement" -> (PipelineQueries.dedupAgreement _),
     "d18_keep_best" -> (PipelineQueries.clusterKeepBest _),
     "d12_semdedup" -> (PipelineQueries.semDedup _),
@@ -691,6 +694,27 @@ object SparkEntry {
              ' ' ORDER BY s.seg_id), '') AS clean_text
          FROM seg s JOIN dfq d ON d.seg = s.seg
          GROUP BY s.doc_id""",
+    // d25: distinct (source, 3-gram) sets; pair counts from the
+    // shared-shingle equi-join, Jaccard from the two set sizes.
+    "d25_source_overlap" ->
+      """WITH sh AS (SELECT DISTINCT source,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT source, string_split(text, ' ') AS w
+                 FROM documents)),
+         sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                   FROM sh GROUP BY source),
+         p AS (SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(count(*) AS BIGINT) AS shared_shingles
+               FROM sh a JOIN sh b
+                 ON b.s = a.s AND a.source < b.source
+               GROUP BY 1, 2)
+         SELECT p.src_a, p.src_b, p.shared_shingles,
+           CAST(p.shared_shingles AS DOUBLE)
+             / (sa.n + sb.n - p.shared_shingles) AS jaccard
+         FROM p
+         JOIN sizes sa ON sa.source = p.src_a
+         JOIN sizes sb ON sb.source = p.src_b""",
     // st31: probe-then-append ingest — a doc matches everything
     // strictly BEFORE it (base=0, batch1=1, batch2=2; ord_b < ord_a),
     // never its own batch.
@@ -3131,21 +3155,28 @@ object SparkEntry {
     // q40: open/close via rank-1 selection under the same composite
     // (ts, event_id) order the min_by/max_by keys use; raw doubles
     // pass through both engines bit-identically.
-    "q40_ohlc_bars" ->
-      """WITH e AS (SELECT date_trunc('day', ts) AS day, event_type,
-             value, ts, event_id FROM events),
-         r AS (SELECT day, event_type, value,
-             row_number() OVER (PARTITION BY day, event_type
-               ORDER BY ts, event_id) AS rk_a,
-             row_number() OVER (PARTITION BY day, event_type
-               ORDER BY ts DESC, event_id DESC) AS rk_d
-           FROM e)
-         SELECT day, event_type,
-           max(CASE WHEN rk_a = 1 THEN value END) AS open,
-           max(value) AS high, min(value) AS low,
-           max(CASE WHEN rk_d = 1 THEN value END) AS close,
-           count(*) AS n_events
-         FROM r GROUP BY day, event_type""",
+    "q40_ohlc_bars" -> ohlcOracleSql,
+    // st34 maintains the same bars in keyed state at ingest; per-key
+    // event-time order makes open/close well-defined, so the batch
+    // oracle is shared verbatim.
+    "st34_stream_ohlc" -> ohlcOracleSql,
+    // q41: the identical cross-multiplied z-test over the trailing
+    // 7-day (n, Σx, Σx²) excluding the current day.
+    "q41_daily_anomaly" ->
+      """WITH dcount AS (SELECT date_trunc('day', ts) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT day, event_type, cnt,
+             CAST(count(cnt) OVER wd AS BIGINT) AS n,
+             CAST(coalesce(sum(cnt) OVER wd, 0) AS BIGINT) AS s,
+             CAST(coalesce(sum(cnt*cnt) OVER wd, 0) AS BIGINT) AS q
+           FROM dcount
+           WINDOW wd AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT day, event_type, cnt,
+           n >= 3 AND (n*cnt - s)*(n*cnt - s) > 4*(n*q - s*s)
+             AS is_anomaly
+         FROM w""",
     // q38: discrete rank-selected quartile boundaries + exact
     // value-range bucket populations — tie-order-independent.
     "q38_histogram" ->
@@ -3810,6 +3841,24 @@ object SparkEntry {
        $rounds
        $finalSel"""
   }
+
+  /** q40 + st34: OHLC bars — open/close selected at rank 1 under the
+    * composite (ts, event_id) order, high/low/count plain aggregates. */
+  private def ohlcOracleSql: String =
+    """WITH e AS (SELECT date_trunc('day', ts) AS day, event_type,
+           value, ts, event_id FROM events),
+       r AS (SELECT day, event_type, value,
+           row_number() OVER (PARTITION BY day, event_type
+             ORDER BY ts, event_id) AS rk_a,
+           row_number() OVER (PARTITION BY day, event_type
+             ORDER BY ts DESC, event_id DESC) AS rk_d
+         FROM e)
+       SELECT day, event_type,
+         max(CASE WHEN rk_a = 1 THEN value END) AS open,
+         max(value) AS high, min(value) AS low,
+         max(CASE WHEN rk_d = 1 THEN value END) AS close,
+         count(*) AS n_events
+       FROM r GROUP BY day, event_type"""
 
   /** q36 + st29: exact top-20 users by event count, (cnt desc, key)
     * tiebreak; `exact` TRUE because m = 2^17 keeps every partition's

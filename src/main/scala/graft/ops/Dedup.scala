@@ -744,6 +744,38 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
 
+  /** Cross-source contamination matrix — for every source pair, how
+    * many distinct word 3-grams they share, plus the shingle-set
+    * Jaccard: the "who overlaps whom" report run before mixing crawl
+    * dumps or licensing corpora (a high off-diagonal means one source
+    * republishes another and the mix double-counts it).
+    *
+    * Scale shape: distinct (source, shingle) pairs shuffle once on the
+    * shingle; a shingle held by k sources emits k(k-1)/2 pair
+    * increments — bounded by #sources², never by corpus size — and the
+    * pair counts combine map-side. Output is #source-pair rows. */
+  def sourceOverlap(df: DataFrame, text: Column, source: Column,
+      n: Int = 3): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val sh = df.select(source.as("source"),
+        explode(call_function("graft_shingles", text, lit(n))).as("s"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("nsh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+    pairs
+      .join(sizes.select(col("source").as("src_a"), col("nsh").as("na")),
+        Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("nsh").as("nb")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_shingles"),
+        (col("shared_shingles").cast("double") /
+          (col("na") + col("nb") - col("shared_shingles")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Corpus-frequency boilerplate removal — the C4/CCNet/RefinedWeb
     * line-dedup stage: a SEGMENT (here a fixed `segWords`-word window,
     * the no-newline corpus's analogue of a line) that appears verbatim

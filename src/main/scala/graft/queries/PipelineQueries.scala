@@ -1027,4 +1027,8 @@ object PipelineQueries {
     * tokenizer training ([[graft.ops.Tokenizer.bpeMerges]]). */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     Tokenizer.bpeMerges(docs(spark, dir), col("text"), k = 4)
+
+  /** d25: cross-source shingle-overlap contamination matrix. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(docs(spark, dir), col("text"), col("source"))
 }

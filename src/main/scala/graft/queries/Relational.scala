@@ -836,6 +836,41 @@ object Relational {
         max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("n_events"))
 
+  /** q41: rolling z-score anomaly detection over the daily event
+    * series — the monitoring query every ingest pipeline runs (did
+    * today's volume deviate from the trailing week?). The z-test is
+    * INTEGER-EXACT: against the trailing window's (n, Σx, Σx²) the
+    * condition |x − μ| > 2σ is evaluated as the cross-multiplied
+    * (n·x − s)² > 4·(n·q − s²) — no float mean/stddev, so the flag is
+    * bit-deterministic in any engine. Squares are computed in
+    * DECIMAL(38,0) so the form survives daily counts up to ~10¹⁸
+    * (int64 would overflow at ~10⁹ events/day/key). Window excludes
+    * the current day (compare to history, not to itself) and needs
+    * >= 3 history days before it may flag.
+    *
+    * Scale shape: the heavy stage is the daily pre-aggregation (one
+    * exchange, map-side partials); the rolling window then runs over
+    * #days × #types rows — negligible at any corpus size. */
+  def dailyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    val d19 = (c: Column) => c.cast(DecimalType(19, 0))
+    daily
+      .withColumn("n", count(col("cnt")).over(w))
+      .withColumn("s", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("q",
+        coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))
+      .select(col("day"), col("event_type"), col("cnt"),
+        (col("n") >= 3 &&
+          d19(col("n") * col("cnt") - col("s")) *
+            d19(col("n") * col("cnt") - col("s")) >
+          lit(4) * (d19(col("n")) * d19(col("q")) -
+            d19(col("s")) * d19(col("s")))).as("is_anomaly"))
+  }
+
   /** The q39 operator over any (user_id, event_id, ts) relation — split
     * out so the spec can drive hand-built timelines through the exact
     * production fold. */

@@ -2321,4 +2321,66 @@ object StreamingQueries {
           element_at(col("p"), 2).cast("long").as("rejected"),
           element_at(col("p"), 3).cast("long").as("last_admitted"))
     }
+
+  /** st34: OHLC bars maintained ONLINE — q40's ordered aggregation as
+    * live per-(day, type) keyed state: open fixes on the first arrival,
+    * high/low fold monotonically, close tracks the latest, all O(1)
+    * per event and 4 doubles + a counter per bar. Per-key event-time
+    * order (batch sort by (ts, offset) + time-split staging) makes
+    * open/close well-defined across micro-batches; the bar count n
+    * increments every message, so the changelog's final row is
+    * `max_by(state, n)`. Doubles ride through state via
+    * `Double.toString`, which round-trips bit-exactly, so the shared
+    * q40 oracle hash-matches. */
+  def streamOhlc(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val dayUs = 86400L * 1000000L
+      val graph = GroupGraph.define("stream-ohlc")(
+        Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+          val v = msg.asInstanceOf[String].toDouble
+          val next = ctx.value match {
+            case null => (v, v, v, v, 1L)
+            case s: String =>
+              val p = s.split(',')
+              (p(0).toDouble, math.max(p(1).toDouble, v),
+                math.min(p(2).toDouble, v), v, p(4).toLong + 1L)
+          }
+          ctx.setValue(
+            s"${next._1},${next._2},${next._3},${next._4},${next._5}")
+        }),
+        Persist(StringCodec))
+      val staging = tempDir("graft_ohlc_split")
+      val ev = Sources.table(spark, dir, "events")
+      stageTwoBatches(spark,
+        Sources.messages(ev, "events",
+          concat(expr(s"unix_micros(ts) div $dayUs"),
+            lit("|"), col("event_type")),
+          col("value"), col("ts"), col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("k", "st")
+      runToTable(spark, table)
+        .select(split(col("k"), "\\|").as("kk"),
+          split(col("st"), ",").as("p"))
+        .withColumn("n", element_at(col("p"), 5).cast("long"))
+        .groupBy(col("kk"))
+        .agg(max_by(col("p"), col("n")).as("p"))
+        .select(
+          timestamp_micros(element_at(col("kk"), 1).cast("long") * dayUs)
+            .as("day"),
+          element_at(col("kk"), 2).as("event_type"),
+          element_at(col("p"), 1).cast("double").as("open"),
+          element_at(col("p"), 2).cast("double").as("high"),
+          element_at(col("p"), 3).cast("double").as("low"),
+          element_at(col("p"), 4).cast("double").as("close"),
+          element_at(col("p"), 5).cast("long").as("n_events"))
+    }
 }
