@@ -143,6 +143,7 @@ object SparkEntry {
     "s25_ann_index_store" -> (PipelineQueries.annIvfPersisted _),
     "s26_ann_index_add" -> (PipelineQueries.annIndexAdd _),
     "s27_graph_ann" -> (PipelineQueries.graphAnn _),
+    "s28_knn_classify" -> (PipelineQueries.knnClassify _),
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
     "d20_fuzzy_decontam" -> (PipelineQueries.fuzzyDecontaminate _),
     "d21_snapshot_diff" -> (PipelineQueries.snapshotDiff _),
@@ -164,6 +165,7 @@ object SparkEntry {
     "c07_dataset_seal" -> (PipelineQueries.datasetSeal _),
     "c08_schema_merge" -> (PipelineQueries.schemaMergeReport _),
     "c09_corrupt_ingest" -> (PipelineQueries.corruptIngest _),
+    "c10_curriculum" -> (PipelineQueries.curriculum _),
     "t25_mask_corrupt" -> (PipelineQueries.maskCorrupt _),
     "t26_quota_mix" -> (PipelineQueries.quotaMix _),
     "t27_pps_sample" -> (PipelineQueries.ppsSample _),
@@ -694,6 +696,52 @@ object SparkEntry {
              ' ' ORDER BY s.seg_id), '') AS clean_text
          FROM seg s JOIN dfq d ON d.seg = s.seg
          GROUP BY s.doc_id""",
+    // c10: docs ordered (n_chars, doc_id); phase = starting token
+    // offset // ceil(total/4) — integer end-to-end.
+    "c10_curriculum" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             n_chars
+           FROM documents),
+         w AS (SELECT doc_id, n_tokens,
+             CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+               AS BIGINT) AS seq,
+             CAST(sum(n_tokens) OVER (ORDER BY n_chars, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM d),
+         t AS (SELECT (CAST(sum(n_tokens) AS BIGINT) + 3) // 4 AS budget
+               FROM d)
+         SELECT doc_id, seq, n_tokens, (cum - n_tokens) // budget AS phase
+         FROM w, t""",
+    // s28: majority label of the 10 exact cosine neighbors (votes
+    // desc, label asc tie-break) vs the query's own label.
+    "s28_knn_classify" ->
+      s"""WITH pre AS ($embPreSql),
+         lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl
+                 FROM embeddings),
+         s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 CAST((SELECT sum(x*y)
+                       FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS DOUBLE)
+                   / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+                   AS cos
+               FROM pre q JOIN pre c ON c.vec_id <> q.vec_id
+               WHERE q.vec_id < 50),
+         r AS (SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS rk
+               FROM s),
+         v AS (SELECT r.qid, l.lbl, CAST(count(*) AS BIGINT) AS votes
+               FROM r JOIN lab l ON l.vec_id = r.nid
+               WHERE r.rk <= 10 GROUP BY 1, 2),
+         p AS (SELECT qid, lbl AS pred FROM (
+                 SELECT qid, lbl,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY votes DESC, lbl) AS rr
+                 FROM v) WHERE rr = 1)
+         SELECT p.qid AS vec_id, lq.lbl AS label, p.pred,
+           lq.lbl = p.pred AS correct
+         FROM p JOIN lab lq ON lq.vec_id = p.qid""",
     // d25: distinct (source, 3-gram) sets; pair counts from the
     // shared-shingle equi-join, Jaccard from the two set sizes.
     "d25_source_overlap" ->

@@ -870,6 +870,33 @@ object TextAnalysis {
         col("grank").cast("long").as("grank"))
   }
 
+  /** Curriculum construction — order the corpus by a difficulty proxy
+    * and cut it into token-budgeted phases (curriculum learning,
+    * Bengio et al. 2009, public; in LLM pipelines: easy/short docs
+    * first, the mix hardening per phase). Docs sort by (difficulty,
+    * id); each doc's phase is its STARTING token offset divided by the
+    * per-phase budget ceil(total/nPhases) — integer arithmetic
+    * end-to-end, so the assignment is engine-exact and a doc never
+    * straddles phases by rounding.
+    *
+    * Scale shape: same as [[ppsSample]] — one global cumulative-sum
+    * window (range-partitioned two-pass prefix sum at corpus scale)
+    * plus a broadcast 1-row total. */
+  def curriculumPhases(df: DataFrame, id: Column, difficulty: Column,
+      tokens: Column, nPhases: Int): DataFrame = {
+    val w = Window.orderBy(col("diff"), col("id"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = df.select(sum(tokens.cast("long")).as("t"))
+    df.select(id.as("id"), difficulty.as("diff"),
+        tokens.cast("long").as("n_tokens"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"(t + ${nPhases - 1}) div $nPhases"))
+      .select(col("id").as("doc_id"), col("seq"), col("n_tokens"),
+        expr("(cum - n_tokens) div budget").as("phase"))
+  }
+
   /** Systematic probability-proportional-to-size sampling — the
     * integer-exact weighted sampler (Madow's systematic PPS): docs in
     * id order, cumulative weight W_i, step = total // n; doc i is

@@ -1331,4 +1331,38 @@ object Vectors {
       .groupBy(col("dim").cast("long").as("dim"))
       .agg(count(lit(1)).as("cnt"),
         min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** kNN classifier evaluation — the supervised quality gate on an
+    * embedding space (Fix & Hodges' k-nearest-neighbor rule; in
+    * pipelines: "do these embeddings separate my labels?" asked before
+    * anyone trains on them). Each query vector is classified by the
+    * MAJORITY LABEL of its k exact cosine neighbors (self excluded;
+    * ties broken (votes desc, label asc) so the verdict is
+    * deterministic), then scored against its own label. Output per
+    * query: (vec_id, label, pred, correct).
+    *
+    * Scale shape: scoring reuses [[annTopK]]'s exact baseline (at
+    * corpus scale the IVF/LSH ladder drops in — the vote stage only
+    * sees the k-sized neighbor lists either way); the label attach is
+    * a plain equi-join on neighbor id; voting aggregates k rows per
+    * query. */
+  def knnClassify(corpus: DataFrame, id: Column, emb: Column,
+      label: Column, nQueries: Int = 50, k: Int = 10): DataFrame = {
+    val labels = corpus.select(id.as("lid"), label.cast("long").as("lbl"))
+    val queries = corpus.filter(id < nQueries)
+    val topk = annTopK(corpus, queries, id, emb, k)
+    val votes = topk.join(labels, col("nid") === col("lid"))
+      .groupBy(col("qid"), col("lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("lbl"))
+    val pred = votes.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("qid"), col("lbl").as("pred"))
+    pred
+      .join(labels.select(col("lid").as("qid"), col("lbl").as("label")),
+        Seq("qid"))
+      .select(col("qid").as("vec_id"), col("label"), col("pred"),
+        (col("label") === col("pred")).as("correct"))
+  }
 }

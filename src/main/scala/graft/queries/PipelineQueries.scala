@@ -1031,4 +1031,18 @@ object PipelineQueries {
   /** d25: cross-source shingle-overlap contamination matrix. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     Dedup.sourceOverlap(docs(spark, dir), col("text"), col("source"))
+
+  /** c10: curriculum phases — short docs first (n_chars as the
+    * difficulty proxy), 4 token-budgeted phases. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextAnalysis.curriculumPhases(d, col("doc_id"), col("n_chars"),
+      size(split(col("text"), " ")), nPhases = 4)
+  }
+
+  /** s28: kNN classifier evaluation over the embedding fixture — 50
+    * query vectors, 10 exact neighbors, majority label vs own label. */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vectors.knnClassify(embs(spark, dir), col("vec_id"),
+      col("embedding"), col("label"))
 }
