@@ -166,6 +166,8 @@ object SparkEntry {
     "c08_schema_merge" -> (PipelineQueries.schemaMergeReport _),
     "c09_corrupt_ingest" -> (PipelineQueries.corruptIngest _),
     "c10_curriculum" -> (PipelineQueries.curriculum _),
+    "c11_kanon_report" -> (PipelineQueries.kanonReport _),
+    "c12_mix_alloc" -> (PipelineQueries.mixAlloc _),
     "t25_mask_corrupt" -> (PipelineQueries.maskCorrupt _),
     "t26_quota_mix" -> (PipelineQueries.quotaMix _),
     "t27_pps_sample" -> (PipelineQueries.ppsSample _),
@@ -714,6 +716,36 @@ object SparkEntry {
                FROM d)
          SELECT doc_id, seq, n_tokens, (cum - n_tokens) // budget AS phase
          FROM w, t""",
+    // c11: QI equivalence classes (source, n_chars div 200) rolled up
+    // per language; risky = class size < 3.
+    "c11_kanon_report" ->
+      """WITH c AS (SELECT lang, source, n_chars // 200 AS b,
+             CAST(count(*) AS BIGINT) AS sz
+           FROM documents GROUP BY 1, 2, 3)
+         SELECT lang AS unit, CAST(sum(sz) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(sz) AS BIGINT) AS min_k,
+           CAST(count(CASE WHEN sz < 3 THEN 1 END) AS BIGINT)
+             AS risky_classes,
+           CAST(coalesce(sum(CASE WHEN sz < 3 THEN sz END), 0) AS BIGINT)
+             AS risky_rows
+         FROM c GROUP BY lang""",
+    // c12: Hamilton apportionment — integer quotas + one unit each to
+    // the largest remainders; sum(alloc) == budget exactly.
+    "c12_mix_alloc" ->
+      """WITH s AS (SELECT source AS domain,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w
+           FROM documents GROUP BY source),
+         t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM s),
+         q AS (SELECT domain, w, (10000 * w) // tw AS quota,
+                 (10000 * w) % tw AS rem
+               FROM s, t),
+         l AS (SELECT 10000 - CAST(sum(quota) AS BIGINT) AS d FROM q)
+         SELECT domain, w AS supply,
+           CAST(quota + CASE WHEN row_number()
+               OVER (ORDER BY rem DESC, domain) <= d
+             THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         FROM q, l""",
     // s28: majority label of the 10 exact cosine neighbors (votes
     // desc, label asc tie-break) vs the query's own label.
     "s28_knn_classify" ->

@@ -296,4 +296,62 @@ object Profiling {
         est(col("a_sample")
           - coalesce(col("inter_sample"), lit(0L))).as("est_diff_ab"))
   }
+
+  /** k-anonymity risk report (Sweeney 2002, public) — the privacy
+    * audit run before a corpus release: rows are grouped into
+    * EQUIVALENCE CLASSES by their quasi-identifier tuple, and a class
+    * smaller than k re-identifies its members. Reported per release
+    * unit (here: per language): row count, class count, the smallest
+    * class, and how many classes/rows sit below the k threshold — the
+    * "suppress or generalize these" worklist.
+    *
+    * Scale shape: two chained aggregations (QI-class counts with
+    * map-side partials, then the per-unit rollup over class-count
+    * rows). Nothing besides group counts ever shuffles. */
+  def kAnonymityReport(df: DataFrame, unit: Column, quasiIds: Seq[Column],
+      k: Int): DataFrame = {
+    val classes = df
+      .groupBy((unit.as("unit") +: quasiIds.zipWithIndex.map {
+        case (c, i) => c.as(s"qi$i")
+      }): _*)
+      .agg(count(lit(1)).as("sz"))
+    classes.groupBy(col("unit"))
+      .agg(sum(col("sz")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("sz")).as("min_k"),
+        count(when(col("sz") < k, 1)).as("risky_classes"),
+        coalesce(sum(when(col("sz") < k, col("sz"))), lit(0L))
+          .as("risky_rows"))
+  }
+
+  /** Largest-remainder (Hamilton) apportionment — exact integer
+    * allocation of a token budget across domains proportional to their
+    * supply: quota_i = B·w_i div W, then the leftover B − Σquota units
+    * go one each to the largest remainders (B·w_i mod W; ties by
+    * domain asc). Σalloc == B EXACTLY — the property float-rate
+    * mixture scaling (t19's temperature sampling) cannot give — and
+    * every step is integer, so any engine lands on the same
+    * allocation.
+    *
+    * Scale shape: the supply aggregation is the only corpus-scale
+    * stage; apportionment itself runs over #domains rows (one
+    * broadcast 1-row total + one tiny rank window). */
+  def largestRemainderAlloc(df: DataFrame, domain: Column,
+      weight: Column, budget: Long): DataFrame = {
+    val supply = df.groupBy(domain.as("domain"))
+      .agg(sum(weight.cast("long")).as("w"))
+    // two-pass: quotas need the total first, the leftover needs Σquota
+    val wTot = supply.select(sum(col("w")).as("tw"))
+    val quotas = supply.crossJoin(broadcast(wTot))
+      .withColumn("quota", expr(s"$budget * w div tw"))
+      .withColumn("rem", expr(s"($budget * w) % tw"))
+    val leftover = quotas.select(
+      (lit(budget) - sum(col("quota"))).as("d"))
+    quotas.crossJoin(broadcast(leftover))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("domain"))).cast("long"))
+      .select(col("domain"), col("w").as("supply"),
+        (col("quota") + when(col("rr") <= col("d"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
 }

@@ -1045,4 +1045,16 @@ object PipelineQueries {
   def knnClassify(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Vectors.knnClassify(embs(spark, dir), col("vec_id"),
       col("embedding"), col("label"))
+
+  /** c11: k-anonymity risk report per language — quasi-identifiers
+    * (source, n_chars div 200), k = 3. */
+  def kanonReport(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.kAnonymityReport(docs(spark, dir), col("lang"),
+      Seq(col("source"), expr("n_chars div 200")), k = 3)
+
+  /** c12: largest-remainder apportionment of a 10k-token training
+    * budget across sources, proportional to token supply. */
+  def mixAlloc(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.largestRemainderAlloc(docs(spark, dir),
+      col("source"), size(split(col("text"), " ")), budget = 10000L)
 }
