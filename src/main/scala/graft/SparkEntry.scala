@@ -192,6 +192,7 @@ object SparkEntry {
     "m04_phash_pairs" -> (PipelineQueries.phashPairs _),
     "m05_clip_filter" -> (PipelineQueries.clipFilter _),
     "m06_audio_segments" -> (PipelineQueries.audioSegments _),
+    "m07_shot_boundaries" -> (PipelineQueries.shotBoundaries _),
     "st01_stream_count" -> (StreamingQueries.streamCount _),
     "st02_stream_tumble" -> (StreamingQueries.streamTumble _),
     "st03_stream_loopback" -> (StreamingQueries.streamLoopback _),
@@ -2028,6 +2029,31 @@ object SparkEntry {
              / (sqrt(CAST(mn.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
              >= 0.0 AS keep
          FROM mn JOIN pre c ON c.vec_id = mn.doc_id""",
+    // m07: cut at frame f iff |mean_f - mean_{f-1}| > 1/16 of the blob
+    // mean — the identical cross-multiplied integer compare.
+    "m07_shot_boundaries" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS n
+                       FROM documents WHERE length(text) > 0),
+         t AS (SELECT doc_id, (i - 1) // 64 AS f,
+                 ascii(substr(text, CAST(i AS INT), 1)) AS v
+               FROM (SELECT doc_id, text, unnest(generate_series(1, n)) AS i
+                     FROM base)),
+         fr AS (SELECT doc_id, f, CAST(sum(v) AS BIGINT) AS e,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM t GROUP BY doc_id, f),
+         tot AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS ts,
+                   CAST(sum(c) AS BIGINT) AS tn
+                 FROM fr GROUP BY doc_id),
+         d AS (SELECT fr.doc_id, fr.f, fr.e, fr.c,
+                 lag(fr.e) OVER (PARTITION BY fr.doc_id ORDER BY fr.f)
+                   AS pe,
+                 lag(fr.c) OVER (PARTITION BY fr.doc_id ORDER BY fr.f)
+                   AS pc
+               FROM fr)
+         SELECT d.doc_id AS id, CAST(d.f AS BIGINT) AS frame_idx
+         FROM d JOIN tot ON tot.doc_id = d.doc_id
+         WHERE pe IS NOT NULL
+           AND abs(d.e*pc - pe*d.c) * tn * 16 > ts * d.c * pc""",
     // m06: 64-codepoint frames, energy = codepoint sum, voiced iff
     // frame mean >= blob mean (integer cross-multiply), segments =
     // runs of >= 2 voiced frames (lag-flag islands).

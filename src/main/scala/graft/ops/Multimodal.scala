@@ -272,9 +272,12 @@ object Multimodal {
     *
     * Output: one row per segment — (id, seg_id, start_frame,
     * end_frame, n_frames). Blobs with no qualifying run emit nothing. */
-  def audioSegments(df: DataFrame, text: Column, id: Column,
-      frameChars: Int = 64, minFrames: Int = 2): DataFrame = {
-    val segType = "array<struct<s:bigint,e:bigint>>"
+  /** Shared map-only frame prelude for [[audioSegments]] and
+    * [[shotBoundaries]]: per-row arrays of frame energies (codepoint
+    * sums — the deterministic decoder stand-in) and frame sizes, plus
+    * the blob totals. Everything is a per-row HOF; nothing shuffles. */
+  private def framed(df: DataFrame, text: Column, id: Column,
+      frameChars: Int): DataFrame =
     df.select(id.cast("long").as("id"), text.as("t"))
       .filter(length(col("t")) > 0)
       .withColumn("cps", expr(
@@ -290,6 +293,11 @@ object Multimodal {
           "AS BIGINT))"))
       .withColumn("ts", expr("aggregate(es, CAST(0 AS BIGINT), (a, x) -> a + x)"))
       .withColumn("tn", length(col("t")).cast("long"))
+
+  def audioSegments(df: DataFrame, text: Column, id: Column,
+      frameChars: Int = 64, minFrames: Int = 2): DataFrame = {
+    val segType = "array<struct<s:bigint,e:bigint>>"
+    framed(df, text, id, frameChars)
       .withColumn("vo", expr(
         "transform(sequence(0, size(es)-1), " +
           "f -> element_at(es, f+1) * tn >= ts * element_at(cs, f+1))"))
@@ -319,6 +327,37 @@ object Multimodal {
         col("sg.s").as("start_frame"), col("sg.e").as("end_frame"),
         (col("sg.e") - col("sg.s") + lit(1L)).as("n_frames"))
   }
+
+  /** m07: shot-boundary detection — the scene-cut segmentation video
+    * curation runs before keyframe sampling (a cut = an abrupt
+    * inter-frame change; the fixed-stride sampling of [[frameSample]]
+    * oversamples static shots and misses short ones). Frame f starts a
+    * new shot iff its mean differs from frame f-1's mean by more than
+    * 1/`denom` of the blob's global mean — evaluated as the fully
+    * cross-multiplied |e_f·c_{f-1} − e_{f-1}·c_f| · tn · denom >
+    * ts · c_f · c_{f-1}, so the cut decision is pure int64 arithmetic
+    * (no float means) and engine-exact. CHANGE detection, where
+    * [[audioSegments]] is LEVEL detection: a loud-to-louder transition
+    * cuts here but never changes VAD state.
+    *
+    * Map-only like m06: the frame prelude and the boundary filter are
+    * per-row HOFs; boundaries explode. Output: (id, frame_idx) per
+    * cut, frame_idx >= 1. */
+  def shotBoundaries(df: DataFrame, text: Column, id: Column,
+      frameChars: Int = 64, denom: Int = 16): DataFrame =
+    framed(df, text, id, frameChars)
+      .select(col("id"), explode(expr(
+        s"""IF(size(es) >= 2,
+           filter(sequence(CAST(1 AS BIGINT), CAST(size(es)-1 AS BIGINT)),
+             f -> abs(element_at(es, CAST(f+1 AS INT)) *
+                      element_at(cs, CAST(f AS INT)) -
+                      element_at(es, CAST(f AS INT)) *
+                      element_at(cs, CAST(f+1 AS INT)))
+                    * tn * $denom >
+                  ts * element_at(cs, CAST(f+1 AS INT)) *
+                       element_at(cs, CAST(f AS INT))),
+           CAST(array() AS array<bigint>))"""))
+        .as("frame_idx"))
 
   /** Decode a binary column in distributed batches: one decoder instance
     * per partition (decoders are usually expensive to initialize —

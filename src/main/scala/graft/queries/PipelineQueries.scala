@@ -1046,6 +1046,11 @@ object PipelineQueries {
     graft.ops.Vectors.knnClassify(embs(spark, dir), col("vec_id"),
       col("embedding"), col("label"))
 
+  /** m07: shot-boundary detection over media blobs — cuts where a
+    * frame's mean jumps > 1/16 of the blob mean vs its predecessor. */
+  def shotBoundaries(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.shotBoundaries(docs(spark, dir), col("text"), col("doc_id"))
+
   /** c11: k-anonymity risk report per language — quasi-identifiers
     * (source, n_chars div 200), k = 3. */
   def kanonReport(spark: SparkSession, dir: String): DataFrame =

@@ -676,4 +676,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Exchange"),
       s"framing/energies/islands are per-row HOFs\n$p")
   }
+
+  test("m07: shot-boundary detection is map-only") {
+    val p = plan("m07_shot_boundaries")
+    assert(!p.contains("Exchange"),
+      s"inter-frame deltas are per-row HOFs, never a lag window\n$p")
+    assert(!p.contains("Window"), p)
+  }
 }

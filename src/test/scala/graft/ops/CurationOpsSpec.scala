@@ -100,6 +100,26 @@ class CurationOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq == Seq((1L, 0L, 2L, 3L)))
   }
 
+  test("shot boundaries: change detection, not level detection") {
+    import spark.implicits._
+    // frames (4 chars): aaaa aaaa zzzz zzzz -> one cut at frame 2;
+    // the steady frames on both sides never cut. A uniform blob has
+    // no cuts at all (deltas are zero).
+    val df = Seq((1L, "aaaa" + "aaaa" + "zzzz" + "zzzz"),
+      (2L, "zzzzzzzzzzzz")).toDF("doc_id", "text")
+    val out = Multimodal.shotBoundaries(df, col("text"), col("doc_id"),
+      frameChars = 4, denom = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("shot boundaries: single-frame blobs cannot cut") {
+    import spark.implicits._
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    assert(Multimodal.shotBoundaries(df, col("text"), col("doc_id"),
+      frameChars = 4).collect().isEmpty)
+  }
+
   test("vad: empty and all-quiet-tail blobs emit nothing unqualifying") {
     import spark.implicits._
     // 'a'-heavy blob where only one frame is loud -> no >= 2 run.
