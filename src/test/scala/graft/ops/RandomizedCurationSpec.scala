@@ -1,0 +1,157 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Seeded randomized sweeps for the late-round-11 curation operators:
+  * each distributed implementation is checked against a brute-force
+  * single-threaded reference on inputs the operator's author did not
+  * pick. */
+class RandomizedCurationSpec extends AnyFunSuite with SparkFixture {
+
+  private val rnd = new scala.util.Random(20260814L)
+
+  test("capped sessions: random timelines match a plain sequential fold") {
+    import spark.implicits._
+    val gapUs = 24L * 3600 * 1000000
+    val capUs = 48L * 3600 * 1000000
+    for (_ <- 1 to 3) {
+      val timelines = (1L to 25L).map { u =>
+        u -> (0 until rnd.nextInt(40))
+          .map(_ => rnd.nextInt(500) * 3600L * 1000000L).sorted
+      }.toMap
+      val rows = timelines.toSeq.flatMap { case (u, ts) =>
+        ts.zipWithIndex.map { case (t, i) =>
+          (u, u * 10000 + i, new Timestamp(t / 1000))
+        }
+      }
+      val got = graft.queries.Relational.cappedSessionOver(
+        rows.toDF("user_id", "event_id", "ts"), gapUs, capUs)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      timelines.foreach { case (u, ts) =>
+        if (ts.nonEmpty) {
+          var (anchor, prev, nsess, ncap) = (0L, 0L, 0L, 0L)
+          ts.foreach { t =>
+            if (nsess == 0 || t - prev > gapUs) { anchor = t; nsess += 1 }
+            else if (t - anchor > capUs) { anchor = t; nsess += 1; ncap += 1 }
+            prev = t
+          }
+          assert(got(u) == ((nsess, ncap)), s"user $u ts=$ts")
+        }
+      }
+    }
+  }
+
+  /** Reference BPE: pair counts weighted by word frequency, argmax by
+    * (count desc, lhs asc, rhs asc), left-to-right greedy merge. */
+  private def refBpe(words: Map[String, Long], k: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    var vocab: Map[Seq[String], Long] =
+      words.map { case (w, c) => w.map(_.toString).toSeq -> c }
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var step = 1
+    var stop = false
+    while (step <= k && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }.head
+        out += ((step.toLong, l, r, l + r, c))
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          syms.foldLeft(Seq.empty[String]) { (acc, s) =>
+            if (acc.nonEmpty && acc.last == l && s == r)
+              acc.init :+ (l + r)
+            else acc :+ s
+          }
+        }(_._2)(_ + _)
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  test("BPE merges: random corpora match the reference implementation") {
+    import spark.implicits._
+    val alphabet = "abcd"
+    for (_ <- 1 to 3) {
+      val words = (0 until 40).map { _ =>
+        (0 until 1 + rnd.nextInt(6))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val text = words.mkString(" ")
+      val expected = refBpe(
+        words.groupBy(identity).map { case (w, g) => w -> g.size.toLong },
+        k = 3)
+      val got = Tokenizer.bpeMerges(
+        Seq((1L, text)).toDF("doc_id", "text"), col("text"), k = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq.sortBy(_._1)
+      assert(got == expected, s"words=$words")
+    }
+  }
+
+  test("PPS sampling: random weights match the cumulative-interval rule") {
+    import spark.implicits._
+    for (_ <- 1 to 3) {
+      val weights = (1L to 60L).map(i => i -> (1L + rnd.nextInt(200))).toMap
+      val n = 8
+      val total = weights.values.sum
+      val step = total / n
+      var cum = 0L
+      val expected = (1L to 60L).flatMap { i =>
+        val prev = cum; cum += weights(i)
+        if (cum / step > prev / step) Some(i) else None
+      }.toSet
+      val got = TextAnalysis.ppsSample(
+        weights.toSeq.toDF("doc_id", "n_chars"), col("doc_id"),
+        col("n_chars"), n)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expected)
+      // every doc at least step-heavy is always drawn
+      weights.filter(_._2 >= step).keys
+        .foreach(i => assert(got.contains(i), s"heavy doc $i missed"))
+    }
+  }
+
+  test("boilerplate: conservation and cross-doc removal invariants") {
+    import spark.implicits._
+    val vocabW = Seq("aa", "bb", "cc", "dd", "ee")
+    for (_ <- 1 to 2) {
+      val docs = (1L to 20L).map { i =>
+        i -> (0 until 4 + rnd.nextInt(12))
+          .map(_ => vocabW(rnd.nextInt(vocabW.length))).mkString(" ")
+      }
+      val segWords = 3
+      // reference segment table
+      val segs = docs.flatMap { case (id, t) =>
+        t.split(" ").grouped(segWords).zipWithIndex
+          .map { case (g, si) => (id, si, g.mkString(" ")) }
+      }
+      val dfreq = segs.groupBy(_._3)
+        .map { case (s, g) => s -> g.map(_._1).distinct.size }
+      val out = Dedup.boilerplateRemoval(
+        docs.toDF("doc_id", "text"), col("text"), col("doc_id"),
+        segWords, minDf = 2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      docs.foreach { case (id, _) =>
+        val mySegs = segs.filter(_._1 == id)
+        val removed = mySegs.count(s => dfreq(s._3) >= 2)
+        val (nSegs, nRemoved, clean) = out(id)
+        assert(nSegs == mySegs.size && nRemoved == removed)
+        val expectClean = mySegs.sortBy(_._2)
+          .filter(s => dfreq(s._3) < 2).map(_._3).mkString(" ")
+        assert(clean == expectClean, s"doc $id")
+      }
+    }
+  }
+}
