@@ -144,6 +144,8 @@ object SparkEntry {
     "s26_ann_index_add" -> (PipelineQueries.annIndexAdd _),
     "s27_graph_ann" -> (PipelineQueries.graphAnn _),
     "s28_knn_classify" -> (PipelineQueries.knnClassify _),
+    "s29_retrieval_mrr" -> (PipelineQueries.retrievalMrr _),
+    "s30_graph_pagerank" -> (PipelineQueries.graphPageRank _),
     "d16_bloom_decontam" -> (PipelineQueries.bloomDecontaminate _),
     "d20_fuzzy_decontam" -> (PipelineQueries.fuzzyDecontaminate _),
     "d21_snapshot_diff" -> (PipelineQueries.snapshotDiff _),
@@ -717,6 +719,34 @@ object SparkEntry {
                FROM d)
          SELECT doc_id, seq, n_tokens, (cum - n_tokens) // budget AS phase
          FROM w, t""",
+    // s30: integer fixed-point PageRank over the exact kNN graph.
+    "s30_graph_pagerank" -> pageRankOracleSql,
+    // s29: rank of the first same-label item under (cos desc, id asc)
+    // via a full window rank; rr = exact 1/rank.
+    "s29_retrieval_mrr" ->
+      s"""WITH pre AS ($embPreSql),
+         lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl
+                 FROM embeddings),
+         s AS (SELECT q.vec_id AS qid, ql.lbl AS qlbl, c.vec_id AS nid,
+                 cl.lbl AS nlbl,
+                 CAST((SELECT sum(x*y)
+                       FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS DOUBLE)
+                   / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+                   AS cos
+               FROM pre q
+               JOIN lab ql ON ql.vec_id = q.vec_id
+               JOIN pre c ON c.vec_id <> q.vec_id
+               JOIN lab cl ON cl.vec_id = c.vec_id
+               WHERE q.vec_id < 50),
+         r AS (SELECT qid, qlbl, nlbl,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS rk
+               FROM s)
+         SELECT qid AS vec_id, qlbl AS label,
+           CAST(min(CASE WHEN nlbl = qlbl THEN rk END) AS BIGINT)
+             AS first_rel_rank,
+           1.0 / min(CASE WHEN nlbl = qlbl THEN rk END) AS rr
+         FROM r GROUP BY qid, qlbl""",
     // c11: QI equivalence classes (source, n_chars div 200) rolled up
     // per language; risky = class size < 3.
     "c11_kanon_report" ->
@@ -3946,6 +3976,41 @@ object SparkEntry {
          WHERE length(w) > 0 GROUP BY w),
        $rounds
        $finalSel"""
+  }
+
+  /** s30: the identical graph build (exact degree-8 kNN) and 5 unrolled
+    * integer PageRank rounds — r'(v) = 150000 + 85·(Σ r(u) div 8) div
+    * 100 over incoming edges. */
+  private def pageRankOracleSql: String = {
+    val iters = 5
+    val rounds = (1 to iters).map { n =>
+      s"""r$n AS (
+         SELECT nd.v,
+           150000 + (85 * coalesce(s.inr, 0)) // 100 AS r
+         FROM nd
+         LEFT JOIN (SELECT g.dst AS v, CAST(sum(p.r // 8) AS BIGINT) AS inr
+                    FROM graph g JOIN r${n - 1} p ON p.v = g.src
+                    GROUP BY g.dst) s ON s.v = nd.v)"""
+    }.mkString(",\n")
+    s"""WITH pre AS ($embPreSql),
+       sims AS (
+         SELECT a.vec_id AS src, b.vec_id AS dst,
+           CAST((SELECT sum(x*y)
+                 FROM (SELECT unnest(a.v) x, unnest(b.v) y)) AS DOUBLE)
+             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+             AS cos
+         FROM pre a JOIN pre b ON a.vec_id <> b.vec_id),
+       graph AS (
+         SELECT src, dst FROM (
+           SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst)
+               AS rr
+           FROM sims) WHERE rr <= 8),
+       nd AS (SELECT vec_id AS v FROM embeddings),
+       r0 AS (SELECT vec_id AS v, CAST(1000000 AS BIGINT) AS r
+              FROM embeddings),
+       $rounds
+       SELECT v AS vec_id, CAST(r AS BIGINT) AS "rank" FROM r$iters"""
   }
 
   /** q40 + st34: OHLC bars — open/close selected at rank 1 under the

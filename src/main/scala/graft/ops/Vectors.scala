@@ -1346,6 +1346,90 @@ object Vectors {
     * sees the k-sized neighbor lists either way); the label attach is
     * a plain equi-join on neighbor id; voting aggregates k rows per
     * query. */
+  /** PageRank over the kNN similarity graph — graph-centrality data
+    * selection (the "most representative documents" signal used to
+    * weight or subset corpora; Page et al. 1999, public). The rank is
+    * FIXED-POINT INTEGER: scores scale at 10^6, each round is
+    * r'(v) = 150000 + 85·(Σ_{u→v} r(u) div 8) div 100 — the 0.85
+    * damping as integer arithmetic, out-degree exactly `degree` by
+    * construction of the kNN graph — so the result is bit-identical
+    * in any engine and insensitive to summation order (integer sums
+    * commute; float PageRank is neither).
+    *
+    * Scale shape: the graph build is the one expensive stage (the s27
+    * blocked kernel at fixture scale; the s17→s19 LSH + NN-descent
+    * path at corpus scale); each of the `iters` rounds is one
+    * edges⋈ranks equi-join + a group sum with map-side partials —
+    * the standard distributed PageRank round, lineage truncated per
+    * round like the connected-components loop. */
+  def graphPageRank(corpus: DataFrame, id: Column, emb: Column,
+      degree: Int = 8, iters: Int = 5): DataFrame = {
+    val edges = knnGraphEdgesBlocked(corpus, id, emb, degree)
+      .localCheckpoint()
+    val nodes = corpus.select(id.cast("long").as("v")).localCheckpoint()
+    var ranks = nodes.select(col("v"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(ranks, col("src") === col("v"))
+        .select(col("dst"), expr(s"r div $degree").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inr"))
+      ranks = nodes.join(contrib, col("v") === col("dst"), "left")
+        .select(col("v"),
+          (lit(150000L) +
+            expr("85 * coalesce(inr, CAST(0 AS BIGINT)) div 100"))
+            .as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("v").as("vec_id"), col("r").as("rank"))
+  }
+
+  /** Ranked-retrieval evaluation by mean reciprocal rank — the IR
+    * metric every retrieval stack reports (Voorhees' MRR, public):
+    * for each query, the rank of its FIRST relevant corpus item
+    * (relevant = same label, self excluded) under the (cosine desc,
+    * id asc) ranking, and rr = 1/rank. Every arithmetic step is
+    * exact: cosines are the int64-dot doubles, the rank is a COUNT,
+    * and 1/rank is one IEEE division — no log-discounted gain (NDCG's
+    * transcendentals) needed for a deterministic oracle.
+    *
+    * Computed WITHOUT materializing a global ranking: pass 1 finds
+    * the best relevant neighbor through a label equi-join (s22's
+    * pre-filter shape — each query only meets its own label's corpus
+    * partition); pass 2 counts how many corpus items outrank it
+    * (cos >, or cos == with smaller id). rank = count + 1. Both
+    * passes are join+aggregate — no sort of the corpus anywhere. */
+  def retrievalMrr(corpus: DataFrame, id: Column, emb: Column,
+      label: Column, nQueries: Int = 50): DataFrame = {
+    val lab = corpus.select(id.as("lid"), label.cast("long").as("lbl"))
+    val c = prepared(corpus, id, emb).join(lab, col("vid") === col("lid"))
+      .select(col("vid"), col("iv"), col("n2"), col("lbl"))
+    val q = c.filter(col("vid") < nQueries)
+      .select(col("vid").as("qid"), col("iv").as("qiv"),
+        col("n2").as("qn2"), col("lbl").as("qlbl"))
+    val best = q.join(c,
+        col("lbl") === col("qlbl") && col("vid") =!= col("qid"))
+      .select(col("qid"), col("qlbl"), col("vid").as("nid"),
+        cosineFromInts(idot(col("qiv"), col("iv")), col("qn2"), col("n2"))
+          .as("cos"))
+      .groupBy(col("qid"), col("qlbl"))
+      .agg(max(struct(col("cos"), (-col("nid")).as("negid"))).as("b"))
+      .select(col("qid"), col("qlbl"), col("b.cos").as("bcos"),
+        (-col("b.negid")).as("bnid"))
+    best
+      .join(q.select(col("qid"), col("qiv"), col("qn2")), Seq("qid"))
+      .join(c, col("vid") =!= col("qid"))
+      .select(col("qid"), col("qlbl"), col("bcos"), col("bnid"),
+        col("vid").as("nid"),
+        cosineFromInts(idot(col("qiv"), col("iv")), col("qn2"), col("n2"))
+          .as("cos"))
+      .groupBy(col("qid"), col("qlbl"), col("bcos"), col("bnid"))
+      .agg((count(when(col("cos") > col("bcos") ||
+        (col("cos") === col("bcos") && col("nid") < col("bnid")), 1)) + 1L)
+        .as("first_rel_rank"))
+      .select(col("qid").as("vec_id"), col("qlbl").as("label"),
+        col("first_rel_rank"),
+        (lit(1.0) / col("first_rel_rank").cast("double")).as("rr"))
+  }
+
   def knnClassify(corpus: DataFrame, id: Column, emb: Column,
       label: Column, nQueries: Int = 50, k: Int = 10): DataFrame = {
     val labels = corpus.select(id.as("lid"), label.cast("long").as("lbl"))

@@ -1051,6 +1051,17 @@ object PipelineQueries {
   def shotBoundaries(spark: SparkSession, dir: String): DataFrame =
     Multimodal.shotBoundaries(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** s30: integer fixed-point PageRank over the exact degree-8 kNN
+    * graph — 5 rounds. */
+  def graphPageRank(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vectors.graphPageRank(embs(spark, dir), col("vec_id"),
+      col("embedding"))
+
+  /** s29: ranked-retrieval MRR over the labeled embedding fixture. */
+  def retrievalMrr(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vectors.retrievalMrr(embs(spark, dir), col("vec_id"),
+      col("embedding"), col("label"))
+
   /** c11: k-anonymity risk report per language — quasi-identifiers
     * (source, n_chars div 200), k = 3. */
   def kanonReport(spark: SparkSession, dir: String): DataFrame =
