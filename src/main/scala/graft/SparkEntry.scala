@@ -174,6 +174,7 @@ object SparkEntry {
     "t26_quota_mix" -> (PipelineQueries.quotaMix _),
     "t27_pps_sample" -> (PipelineQueries.ppsSample _),
     "t28_bpe_merges" -> (PipelineQueries.bpeMerges _),
+    "t30_langid_confusion" -> (PipelineQueries.langIdConfusion _),
     "t01_langid" -> (PipelineQueries.langId _),
     "t02_quality" -> (PipelineQueries.quality _),
     "t03_token_stats" -> (PipelineQueries.tokenStats _),
@@ -1954,6 +1955,24 @@ object SparkEntry {
            ${langScoreSql("zh")} AS s_zh
            FROM (SELECT doc_id, lang, string_split(lower(text),' ') AS w
                  FROM documents))""",
+    // t30: t01's detector grouped into the declared × predicted
+    // confusion matrix.
+    "t30_langid_confusion" ->
+      s"""SELECT lang, pred, CAST(count(*) AS BIGINT) AS cnt FROM (
+           SELECT lang, CASE
+             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+               AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh' END AS pred
+           FROM (SELECT lang,
+             ${langScoreSql("en")} AS s_en, ${langScoreSql("es")} AS s_es,
+             ${langScoreSql("de")} AS s_de, ${langScoreSql("fr")} AS s_fr,
+             ${langScoreSql("zh")} AS s_zh
+             FROM (SELECT lang, string_split(lower(text),' ') AS w
+                   FROM documents)))
+         GROUP BY lang, pred""",
     "t02_quality" ->
       s"""SELECT doc_id, n_chars, n_words, avg_word_len, stopword_ratio,
            digit_ratio, punct_ratio,

@@ -1051,6 +1051,16 @@ object PipelineQueries {
   def shotBoundaries(spark: SparkSession, dir: String): DataFrame =
     Multimodal.shotBoundaries(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** t30: language-ID confusion matrix — the classifier-evaluation
+    * audit for t01's detector: declared lang × predicted lang counts
+    * (the off-diagonal shows which languages the stopword heuristic
+    * confuses). One scan + one map-side-combined groupBy. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** s30: integer fixed-point PageRank over the exact degree-8 kNN
     * graph — 5 rounds. */
   def graphPageRank(spark: SparkSession, dir: String): DataFrame =

@@ -122,6 +122,65 @@ class RandomizedCurationSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  /** Scala reference for the m06/m07 frame model: codepoint energies
+    * over `frameChars`-codepoint frames. */
+  private def refFrames(t: String, fc: Int): (Seq[Long], Seq[Long]) = {
+    val cps = t.codePoints().toArray.map(_.toLong).toSeq
+    val es = cps.grouped(fc).map(_.sum).toSeq
+    val cs = cps.grouped(fc).map(_.length.toLong).toSeq
+    (es, cs)
+  }
+
+  test("vad + shot boundaries: random blobs incl. multibyte match the " +
+      "frame-model reference") {
+    import spark.implicits._
+    val alphabet = "az Z9éü漢"
+    for (trial <- 1 to 3) {
+      val docs = (1L to 15L).map { i =>
+        i -> (0 until rnd.nextInt(40))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.filter(_._2.nonEmpty)
+      val fc = 4
+      val df = docs.toDF("doc_id", "text")
+
+      // reference VAD segments
+      val expSegs = docs.flatMap { case (id, t) =>
+        val (es, cs) = refFrames(t, fc)
+        val ts = es.sum; val tn = cs.sum
+        val vo = es.indices.map(f => es(f) * tn >= ts * cs(f))
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var cur = -1
+        vo.indices.foreach { f =>
+          if (vo(f)) { if (cur < 0) cur = f }
+          else if (cur >= 0) { runs += ((cur.toLong, (f - 1).toLong)); cur = -1 }
+        }
+        if (cur >= 0) runs += ((cur.toLong, (vo.length - 1).toLong))
+        runs.filter(r => r._2 - r._1 + 1 >= 2).zipWithIndex.map {
+          case ((s, e), i) => (id, (i + 1).toLong, s, e, e - s + 1)
+        }
+      }.toSet
+      val gotSegs = Multimodal.audioSegments(df, col("text"),
+        col("doc_id"), frameChars = fc, minFrames = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(gotSegs == expSegs, s"trial $trial vad")
+
+      // reference shot boundaries
+      val expCuts = docs.flatMap { case (id, t) =>
+        val (es, cs) = refFrames(t, fc)
+        val ts = es.sum; val tn = cs.sum
+        (1 until es.length).filter { f =>
+          math.abs(es(f) * cs(f - 1) - es(f - 1) * cs(f)) * tn * 16 >
+            ts * cs(f) * cs(f - 1)
+        }.map(f => (id, f.toLong))
+      }.toSet
+      val gotCuts = Multimodal.shotBoundaries(df, col("text"),
+        col("doc_id"), frameChars = fc, denom = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotCuts == expCuts, s"trial $trial cuts")
+    }
+  }
+
   test("boilerplate: conservation and cross-doc removal invariants") {
     import spark.implicits._
     val vocabW = Seq("aa", "bb", "cc", "dd", "ee")
