@@ -100,6 +100,7 @@ object SparkEntry {
     "st32_stream_capped_session" -> (StreamingQueries.streamCappedSession _),
     "st33_stream_admission" -> (StreamingQueries.streamAdmission _),
     "st34_stream_ohlc" -> (StreamingQueries.streamOhlc _),
+    "st35_stream_outer_join" -> (StreamingQueries.streamOuterJoin _),
     "d01_dedup_exact" -> (PipelineQueries.dedupExact _),
     "d02_minhash_lsh" -> (PipelineQueries.minhashLsh _),
     "d03_simhash" -> (PipelineQueries.simhash _),
@@ -175,6 +176,7 @@ object SparkEntry {
     "t27_pps_sample" -> (PipelineQueries.ppsSample _),
     "t28_bpe_merges" -> (PipelineQueries.bpeMerges _),
     "t30_langid_confusion" -> (PipelineQueries.langIdConfusion _),
+    "t31_bpe_apply" -> (PipelineQueries.bpeApply _),
     "t01_langid" -> (PipelineQueries.langId _),
     "t02_quality" -> (PipelineQueries.quality _),
     "t03_token_stats" -> (PipelineQueries.tokenStats _),
@@ -2906,6 +2908,9 @@ object SparkEntry {
     // t28: distributed BPE merge induction — the corpus word-frequency
     // stage plus 4 argmax+merge rounds, unrolled in SQL.
     "t28_bpe_merges" -> bpeOracleSql,
+    // t31: the same chain's final vocabulary applied to every word
+    // occurrence — tokenization as a broadcast lookup.
+    "t31_bpe_apply" -> bpeApplyOracleSql,
     // c07: per-split counts + the commutative bit_xor digest — any
     // engine, any partitioning, same three numbers per split.
     "c07_dataset_seal" ->
@@ -3366,6 +3371,18 @@ object SparkEntry {
     // ingest; time-split replay preserves per-user order and both
     // counters are monotone, so the batch oracle is shared verbatim.
     "st32_stream_capped_session" -> cappedSessionOracleSql,
+    // st35: every view row survives the left join; unmatched side
+    // coalesced to -1 on both engines.
+    "st35_stream_outer_join" ->
+      """SELECT v.user_id, v.event_id AS view_id,
+           coalesce(p.event_id, -1) AS purchase_id,
+           coalesce(epoch_us(p.ts) - epoch_us(v.ts), -1) AS lag_us
+         FROM (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view') v
+         LEFT JOIN (SELECT user_id, event_id, ts FROM events
+                    WHERE event_type = 'purchase') p
+           ON p.user_id = v.user_id AND p.ts > v.ts
+             AND p.ts <= v.ts + INTERVAL 1 HOUR""",
     // st33: first-300-per-type admission in (ts, event_id) arrival
     // order; the boundary event id pins the ORDER, not just counts.
     "st33_stream_admission" ->
@@ -3962,8 +3979,9 @@ object SparkEntry {
     * rhs) argmax, and the left-to-right greedy merge replayed as a
     * recursive CTE whose state is the output symbol list (the q37/q39
     * recurrence discipline applied to a list accumulator). */
-  private def bpeOracleSql: String = {
-    val k = 4
+  /** The shared k-round BPE chain (v0..vk carry the word through, so
+    * the apply oracle can join the final segmentation back to docs). */
+  private def bpeChainSql(k: Int): String = {
     val rounds = (1 to k).map { n =>
       val prev = s"v${n - 1}"
       s"""p$n AS (SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
@@ -3973,29 +3991,47 @@ object SparkEntry {
          m$n AS (SELECT lhs, rhs, c FROM p$n
                  ORDER BY c DESC, lhs, rhs LIMIT 1),
          r$n AS (
-           SELECT syms, cnt, 0 AS i, CAST([] AS VARCHAR[]) AS out
+           SELECT w, syms, cnt, 0 AS i, CAST([] AS VARCHAR[]) AS out
            FROM $prev
            UNION ALL
-           SELECT s.syms, s.cnt, s.i + 1,
+           SELECT s.w, s.syms, s.cnt, s.i + 1,
              CASE WHEN len(s.out) > 0 AND s.out[-1] = m.lhs
                     AND s.syms[s.i + 1] = m.rhs
                   THEN list_append(s.out[1:len(s.out) - 1], m.lhs || m.rhs)
                   ELSE list_append(s.out, s.syms[s.i + 1]) END
            FROM r$n s, m$n m WHERE s.i < len(s.syms)),
-         v$n AS (SELECT out AS syms, cnt FROM r$n WHERE i = len(syms))"""
+         v$n AS (SELECT w, out AS syms, cnt FROM r$n
+                 WHERE i = len(syms))"""
     }.mkString(",\n")
-    val finalSel = (1 to k).map(n =>
-      s"SELECT CAST($n AS BIGINT) AS step, lhs, rhs, lhs || rhs AS merged, c AS cnt FROM m$n")
-      .mkString(" UNION ALL ")
     s"""WITH RECURSIVE v0 AS (
-         SELECT list_transform(generate_series(1, length(w)),
+         SELECT w, list_transform(generate_series(1, length(w)),
              i -> substr(w, i, 1)) AS syms,
            CAST(count(*) AS BIGINT) AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
          WHERE length(w) > 0 GROUP BY w),
-       $rounds
+       $rounds"""
+  }
+
+  private def bpeOracleSql: String = {
+    val k = 4
+    val finalSel = (1 to k).map(n =>
+      s"SELECT CAST($n AS BIGINT) AS step, lhs, rhs, lhs || rhs AS merged, c AS cnt FROM m$n")
+      .mkString(" UNION ALL ")
+    s"""${bpeChainSql(k)}
        $finalSel"""
   }
+
+  /** t31: the final segmentation joined back to every word occurrence;
+    * n_tokens = Σ symbols per word after the k merges. */
+  private def bpeApplyOracleSql: String =
+    s"""${bpeChainSql(4)}
+       SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len(v.syms)) AS BIGINT) AS n_tokens
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents) d
+       JOIN v4 v ON v.w = d.w
+       WHERE length(d.w) > 0
+       GROUP BY d.doc_id"""
 
   /** s30: the identical graph build (exact degree-8 kNN) and 5 unrolled
     * integer PageRank rounds — r'(v) = 150000 + 85·(Σ r(u) div 8) div

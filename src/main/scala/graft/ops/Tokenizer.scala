@@ -30,7 +30,14 @@ import org.apache.spark.sql.functions._
   */
 object Tokenizer {
 
-  def bpeMerges(df: DataFrame, text: Column, k: Int): DataFrame = {
+  def bpeMerges(df: DataFrame, text: Column, k: Int): DataFrame =
+    bpeTrain(df, text, k)._1
+
+  /** Full training result: the merge table AND the final segmented
+    * vocabulary (word → symbol array) — the artifact [[bpeTokenCounts]]
+    * applies corpus-wide. */
+  def bpeTrain(df: DataFrame, text: Column, k: Int)
+      : (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     var vocab = df
@@ -39,7 +46,7 @@ object Tokenizer {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .withColumn("syms",
         expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
-      .select(col("cnt"), col("syms"))
+      .select(col("w"), col("cnt"), col("syms"))
       .localCheckpoint()
 
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
@@ -81,7 +88,27 @@ object Tokenizer {
         step += 1
       }
     }
-    merges.result()
-      .toDF("step", "lhs", "rhs", "merged", "cnt")
+    (merges.result()
+      .toDF("step", "lhs", "rhs", "merged", "cnt"), vocab)
+  }
+
+  /** BPE APPLY — the other half of the tokenizer lifecycle: the
+    * trained segmentation is applied corpus-wide to report per-doc
+    * token counts after the merges. The segmented vocabulary is
+    * BROADCAST (a tokenizer's vocab is model-sized — exactly the
+    * lookup-table tier), so tokenization is a map-side hash join per
+    * word occurrence + one groupBy on the doc id; the training cost is
+    * paid once regardless of how many corpora the tokenizer is then
+    * applied to. Output: (doc_id, n_words, n_tokens). */
+  def bpeTokenCounts(df: DataFrame, text: Column, id: Column, k: Int)
+      : DataFrame = {
+    val (_, vocab) = bpeTrain(df, text, k)
+    val vseg = vocab.select(col("w"),
+      size(col("syms")).cast("long").as("ntok"))
+    df.select(id.as("doc_id"), explode(split(text, " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(vseg), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
   }
 }

@@ -1028,6 +1028,12 @@ object PipelineQueries {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     Tokenizer.bpeMerges(docs(spark, dir), col("text"), k = 4)
 
+  /** t31: the trained BPE segmentation applied corpus-wide — per-doc
+    * token counts after the 4 merges (broadcast vocab lookup). */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame =
+    Tokenizer.bpeTokenCounts(docs(spark, dir), col("text"),
+      col("doc_id"), k = 4)
+
   /** d25: cross-source shingle-overlap contamination matrix. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     Dedup.sourceOverlap(docs(spark, dir), col("text"), col("source"))

@@ -2322,6 +2322,63 @@ object StreamingQueries {
           element_at(col("p"), 3).cast("long").as("last_admitted"))
     }
 
+  /** st35: LEFT OUTER stream-stream interval join — the semantics st20
+    * (inner) cannot give: a view with NO purchase in its hour window
+    * must still emit, and in a streaming join that emission can only
+    * happen once the WATERMARK has passed the view's window (until
+    * then a matching purchase could still arrive). The replay appends
+    * one sentinel message per side at max-ts + 30 days (key −1,
+    * filtered from the result): it advances both inputs' watermarks
+    * past every real window, so Spark's no-data micro-batch evicts and
+    * emits every unmatched view — without it the tail of the stream
+    * would sit in state forever and the batch oracle could not match.
+    * Null join columns are coalesced to −1 so the result schema is
+    * non-nullable on both engines.
+    *
+    * At 100 TB: state is bounded by the watermark horizon per key —
+    * exactly the production outer-join deployment shape; the sentinel
+    * corresponds to the real world's steadily advancing event time. */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      val ev = Sources.table(spark, dir, "events")
+      val maxUs = ev.agg(unix_micros(max(col("ts"))).as("m"))
+        .head().getLong(0)
+      val sentinels = spark.range(2).select(
+        lit(-1L).as("user_id"),
+        when(col("id") === 0, "view").otherwise("purchase")
+          .as("event_type"),
+        timestamp_micros(lit(maxUs + 30L * 86400000000L)).as("ts"),
+        (-col("id") - 1L).as("event_id"))
+      val msgs = Sources.messages(
+        ev.select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id")).unionByName(sentinels),
+        "events", col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      val staging = tempDir("graft_outer_join")
+      stageTwoBatches(spark, msgs, staging)
+      val src = spark.readStream.schema(msgs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging))
+      val views = src.filter(col("value").cast("string") === "view")
+        .select(col("key").cast("long").as("user_id"),
+          col("offset").as("view_id"), col("timestamp").as("ts_v"))
+        .withWatermark("ts_v", "1 hour")
+      val purchases = src.filter(col("value").cast("string") === "purchase")
+        .select(col("key").cast("long").as("p_user"),
+          col("offset").as("purchase_id"), col("timestamp").as("ts_p"))
+        .withWatermark("ts_p", "1 hour")
+      val joined = views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("ts_p") > col("ts_v") &&
+          col("ts_p") <= col("ts_v") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      runToTable(spark, joined.select(col("user_id"), col("view_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          coalesce(unix_micros(col("ts_p")) - unix_micros(col("ts_v")),
+            lit(-1L)).as("lag_us")), mode = "append")
+        .filter(col("user_id") >= 0)
+    }
+
   /** st34: OHLC bars maintained ONLINE — q40's ordered aggregation as
     * live per-(day, type) keyed state: open fixes on the first arrival,
     * high/low fold monotonically, close tracks the latest, all O(1)

@@ -683,4 +683,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"inter-frame deltas are per-row HOFs, never a lag window\n$p")
     assert(!p.contains("Window"), p)
   }
+
+  test("t31: BPE apply broadcasts the trained vocab — tokenization " +
+      "never shuffle-joins the corpus") {
+    val p = plan("t31_bpe_apply")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the segmented vocabulary is model-sized and must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join defeats the apply tier\n$p")
+  }
 }

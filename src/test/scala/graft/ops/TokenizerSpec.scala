@@ -55,4 +55,36 @@ class TokenizerSpec extends AnyFunSuite with SparkFixture {
     // single-char words only: no adjacent pairs at all.
     assert(run(3, "a b a").isEmpty)
   }
+
+  private def counts(k: Int, texts: String*): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Tokenizer.bpeTokenCounts(df, col("text"), col("doc_id"), k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+  }
+
+  test("apply: token counts reflect the trained merges per word") {
+    // k=1 trains (a,b) [count 4 from two 'abab' words]. 'abab' then
+    // segments to [ab, ab] (2 tokens); 'cd' is untouched ([c, d], 2).
+    val m = counts(1, "abab cd", "abab")
+    assert(m(0L) == ((2L, 4L)))   // 2 words, 2 + 2 tokens
+    assert(m(1L) == ((1L, 2L)))   // 1 word, 2 tokens
+  }
+
+  test("apply: untrained continuation — merges compose, greedy holds") {
+    // k=2 on 'aaa aaa': round 1 (a,a) -> [aa, a]; round 2 (aa, a) ->
+    // [aaa]. Every 'aaa' occurrence is then ONE token.
+    val m = counts(2, "aaa aaa aaa")
+    assert(m(0L) == ((3L, 3L)))
+  }
+
+  test("apply: empty words dropped, counts are per-doc") {
+    val m = counts(1, "ab  ab", "", "ab")
+    assert(m.get(0L).contains((2L, 2L)))   // double space -> no empty word
+    assert(!m.contains(1L))                // empty doc emits nothing
+    assert(m.get(2L).contains((1L, 1L)))
+  }
 }
