@@ -143,6 +143,7 @@ object SparkEntry {
     "s24_hybrid_rrf" -> (PipelineQueries.hybridRrf _),
     "s25_ann_index_store" -> (PipelineQueries.annIvfPersisted _),
     "s26_ann_index_add" -> (PipelineQueries.annIndexAdd _),
+    "s31_ann_index_delete" -> (PipelineQueries.annIndexDelete _),
     "s27_graph_ann" -> (PipelineQueries.graphAnn _),
     "s28_knn_classify" -> (PipelineQueries.knnClassify _),
     "s29_retrieval_mrr" -> (PipelineQueries.retrievalMrr _),
@@ -171,6 +172,8 @@ object SparkEntry {
     "c10_curriculum" -> (PipelineQueries.curriculum _),
     "c11_kanon_report" -> (PipelineQueries.kanonReport _),
     "c12_mix_alloc" -> (PipelineQueries.mixAlloc _),
+    "c13_partitioned_lake" -> (PipelineQueries.partitionedLake _),
+    "c14_forget_user" -> (PipelineQueries.forgetUser _),
     "t25_mask_corrupt" -> (PipelineQueries.maskCorrupt _),
     "t26_quota_mix" -> (PipelineQueries.quotaMix _),
     "t27_pps_sample" -> (PipelineQueries.ppsSample _),
@@ -764,6 +767,40 @@ object SparkEntry {
            CAST(coalesce(sum(CASE WHEN sz < 3 THEN sz END), 0) AS BIGINT)
              AS risky_rows
          FROM c GROUP BY lang""",
+    // c13: the partitioned-lake serving aggregate over the raw fixture
+    // — layout must never change answers.
+    "c13_partitioned_lake" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events
+         WHERE CAST(ts AS DATE)
+           BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+         GROUP BY 1, 2""",
+    // c14: the RTBF audit — before/after/erased per artifact, shards
+    // touched = distinct shard of erased keys, residual pinned 0.
+    "c14_forget_user" ->
+      """WITH er AS (SELECT DISTINCT user_id FROM events
+                     WHERE user_id % 7 = 3),
+         sh AS (SELECT CAST(count(DISTINCT user_id % 8) AS BIGINT) AS s
+                FROM er),
+         e AS (SELECT CAST(count(*) AS BIGINT) AS b FROM events),
+         ea AS (SELECT CAST(count(*) AS BIGINT) AS a FROM events
+                WHERE user_id % 7 <> 3),
+         p AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS b
+               FROM events),
+         pa AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS a
+                FROM events WHERE user_id % 7 <> 3)
+         SELECT 'events' AS artifact, e.b AS rows_before,
+           ea.a AS rows_after, e.b - ea.a AS rows_erased,
+           sh.s AS shards_rewritten, CAST(0 AS BIGINT) AS residual
+         FROM e, ea, sh
+         UNION ALL
+         SELECT 'user_profile', p.b, pa.a, p.b - pa.a, sh.s,
+           CAST(0 AS BIGINT)
+         FROM p, pa, sh""",
     // c12: Hamilton apportionment — integer quotas + one unit each to
     // the largest remainders; sum(alloc) == budget exactly.
     "c12_mix_alloc" ->
@@ -2558,6 +2595,10 @@ object SparkEntry {
     // s26: append ≡ rebuild — training restricted to the base slice,
     // serving assignment over the full corpus with the frozen model.
     "s26_ann_index_add" -> ivfTrainedOracleSqlOver("vec_id % 10 <> 7"),
+    // s31: delete ≡ rebuild — full-corpus training, tombstoned ids
+    // (≡ 3 mod 10) excluded from the returnable candidates only.
+    "s31_ann_index_delete" ->
+      ivfTrainedOracleSqlOver("TRUE", "ca.vec_id % 10 <> 3"),
     // s27: fixed-depth beam search over the exact degree-8 kNN graph —
     // entry = min corpus id, hop 1 = its adjacency, beam-4 by exact
     // cosine (ties by node id), hop 2 = the beam's adjacency, exact
@@ -3622,8 +3663,12 @@ object SparkEntry {
   /** The two-round-Lloyd + assign + cell-probe top-k oracle chain, with
     * TRAINING restricted to `baseWhere` (the serving assignment and the
     * query scan always cover the full corpus). `TRUE` = s10/s25/st24's
-    * everything-trains form; s26 trains on the base slice only. */
-  private def ivfTrainedOracleSqlOver(baseWhere: String): String =
+    * everything-trains form; s26 trains on the base slice only.
+    * `candWhere` (over `ca.vec_id`) additionally restricts the
+    * RETURNABLE candidates — s31's tombstone-delete serving, where
+    * deleted vectors may query but never appear as neighbors. */
+  private def ivfTrainedOracleSqlOver(baseWhere: String,
+      candWhere: String = "TRUE"): String =
     s"""WITH pre AS ($embPreSql),
          cents0 AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
                     FROM pre WHERE $baseWhere ORDER BY vec_id LIMIT 16),
@@ -3679,7 +3724,7 @@ object SparkEntry {
              ON qa.cid = ca.cid AND ca.vec_id <> qa.vec_id
              JOIN pre qp ON qp.vec_id = qa.vec_id
              JOIN pre cp ON cp.vec_id = ca.vec_id
-           WHERE qa.vec_id < 10)
+           WHERE qa.vec_id < 10 AND ($candWhere))
          SELECT qid, nid, cos, rank FROM (
            SELECT qid, nid, cos,
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank

@@ -940,6 +940,102 @@ object PipelineQueries {
           .cast("long").as("tokens_salvaged"))
   }
 
+  /** c13: hive-partitioned lake layout + partition-pruned serving —
+    * the storage-layout leg of the input-boundary story: events are
+    * laid out as one directory per event DATE, and the 7-day serving
+    * query then prunes 23 of the 30 partitions at the directory level
+    * (`PartitionFilters` in the scan, PlanSpec-pinned) before a single
+    * data file is opened. The oracle runs the same aggregation over
+    * the unpartitioned fixture, proving layout never changes answers.
+    *
+    * At 100 TB this is the difference between a scan bounded by the
+    * queried date range and a scan of the whole lake: date-partitioned
+    * ingest is the first thing a production events lake does. */
+  def partitionedLake(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_lake").toString
+    ev.withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date")
+      .parquet(s"$out/events")
+    spark.read.parquet(s"$out/events")
+      .filter(col("event_date")
+        .between(lit("2024-01-10"), lit("2024-01-16")))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("id_sum"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("event_date", col("event_date").cast("string"))
+  }
+
+  /** c14: right-to-be-forgotten propagation — the erasure request
+    * (users ≡ 3 mod 7, the deterministic stand-in for an RTBF batch)
+    * applied across BOTH lake artifacts derived from events (the raw
+    * event lake and the per-user profile rollup), with the audit a
+    * compliance gate records: rows before/after, shards rewritten,
+    * residual erased-key rows remaining (pinned 0 by the oracle).
+    * Both artifacts are hash-sharded on user_id, so the rewrite
+    * touches only the shards containing erased keys
+    * ([[graft.ops.Lake.eraseKeys]] — dynamic partition overwrite);
+    * every other shard keeps its original files bit-for-bit
+    * (spec-verified). The goka tombstone (g07) applied to the storage
+    * layout: deletion as a targeted, audited, partition-local rewrite,
+    * not a full-lake rewrite. */
+  def forgetUser(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 8
+    val ev = table(spark, dir, "events")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_forget").toString
+    val lakeDir = s"$out/events"
+    val profDir = s"$out/profile"
+    Lake.writeSharded(ev, col("user_id"), lakeDir, nShards)
+    Lake.writeSharded(
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum")),
+      col("user_id"), profDir, nShards)
+    val erase = ev.select(col("user_id")).distinct()
+      .filter(col("user_id") % 7 === 3)
+    val audit = Seq("events" -> lakeDir, "user_profile" -> profDir).map {
+      case (name, path) =>
+        val a = Lake.eraseKeys(spark, path, "user_id", erase, nShards)
+        (name, a.rowsBefore, a.rowsAfter, a.rowsBefore - a.rowsAfter,
+          a.shardsRewritten, a.residual)
+    }
+    import spark.implicits._
+    audit.toDF("artifact", "rows_before", "rows_after", "rows_erased",
+      "shards_rewritten", "residual")
+  }
+
+  /** s31: ANN index DELETE — the FAISS remove_ids lifecycle completing
+    * the s25 (store) / s26 (add) maintenance set: tombstoned vectors
+    * (ids ≡ 3 mod 10) are dropped from the STORED inverted lists by a
+    * broadcast anti-join (erase lists are request-sized), and serving
+    * runs over the live lists with centroids untouched. The oracle
+    * rebuilds the same-centroid index over the corpus minus the
+    * deleted ids — hash-equality proves delete ≡ rebuild, which holds
+    * because per-vector assignment depends only on the frozen
+    * centroids. Deleted vectors may still QUERY (search-by-example);
+    * they can never be returned. */
+  def annIndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val (cents, _) = Vectors.kmeansFit(e, col("vec_id"), col("embedding"),
+      k = 16, iters = 2)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_del").toString
+    cents.write.mode("overwrite").parquet(s"$idxDir/centroids")
+    Vectors.ivfInvertedLists(e, col("vec_id"), col("embedding"), cents)
+      .write.mode("overwrite").parquet(s"$idxDir/lists")
+    val storedCents = spark.read.parquet(s"$idxDir/centroids")
+    val tombstones = e.select(col("vec_id").as("vid"))
+      .filter(col("vid") % 10 === 3)
+    val live = spark.read.parquet(s"$idxDir/lists")
+      .join(broadcast(tombstones), Seq("vid"), "left_anti")
+    Vectors.ivfServeTopK(live, storedCents,
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 10)
+  }
+
   /** d23: incremental near-dup via the stored LSH index — the corpus
     * is banded ONCE into a parquet artifact; arrivals (ids ≡ 7 mod 10,
     * the s26 carving) probe the stored bands and the exact verify

@@ -684,6 +684,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Window"), p)
   }
 
+  test("c13: the date-range filter prunes lake PARTITIONS — directory-" +
+      "level, before any data file opens") {
+    val p = plan("c13_partitioned_lake")
+    assert("PartitionFilters: \\[[^\\]]*event_date".r
+      .findFirstIn(p).isDefined,
+      s"the date filter must be a partition filter\n$p")
+    assert(p.contains("PushedFilters: []"),
+      s"no data-level filter should remain — the predicate is fully " +
+        s"partition-pruning\n$p")
+  }
+
+  test("s31: tombstone delete is a broadcast anti-join on the stored " +
+      "lists — erase lists are request-sized") {
+    val p = plan("s31_ann_index_delete")
+    assert("BroadcastHashJoin [^\\n]*LeftAnti".r.findFirstIn(p).isDefined,
+      s"tombstones must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-scale shuffle join in the serving plan\n$p")
+  }
+
   test("t31: BPE apply broadcasts the trained vocab — tokenization " +
       "never shuffle-joins the corpus") {
     val p = plan("t31_bpe_apply")

@@ -1,0 +1,63 @@
+package graft.ops
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Targeted key-erasure over a shard-partitioned lake: the audit
+  * numbers, the zero-residual guarantee, and — the point of the
+  * layout — that shards NOT containing an erased key keep their
+  * original files physically untouched. */
+class LakeSpec extends AnyFunSuite with SparkFixture {
+
+  private def snapshot(dir: Path): Map[String, (Long, Long)] =
+    Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_"))
+      .map(p => dir.relativize(p).toString ->
+        ((Files.size(p), Files.getLastModifiedTime(p).toMillis)))
+      .toMap
+
+  test("eraseKeys rewrites only affected shards; audit is exact") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_lake_spec")
+    val path = out.resolve("t").toString
+    // keys 0..9 into 4 shards; two rows for key 3 so rowsErased = 2.
+    val df = ((0L to 9L).map(k => (k, s"v$k")) :+ ((3L, "v3b")))
+      .toDF("user_id", "payload")
+    Lake.writeSharded(df, col("user_id"), path, nShards = 4)
+    val before = snapshot(out)
+
+    val erase = Seq(3L).toDF("user_id")
+    val audit = Lake.eraseKeys(spark, path, "user_id", erase, nShards = 4)
+    assert(audit == Lake.EraseAudit(11L, 9L, 1L, 0L))
+
+    val after = snapshot(out)
+    // shard=3 (keys 3, 7) was rewritten; every other shard's files are
+    // byte- and mtime-identical.
+    val untouched = before.filter(!_._1.contains("shard=3"))
+    untouched.foreach { case (f, sig) =>
+      assert(after.get(f).contains(sig), s"$f was rewritten")
+    }
+    assert(after.keys.exists(_.contains("shard=3")))
+    // the surviving key in the rewritten shard is intact
+    val rows = spark.read.parquet(path)
+      .select("user_id", "payload").as[(Long, String)].collect().toSet
+    assert(!rows.exists(_._1 == 3L))
+    assert(rows.contains((7L, "v7")))
+    assert(rows.size == 9)
+  }
+
+  test("erasing a key present in no shard rewrites its hash shard only") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_lake_spec2")
+    val path = out.resolve("t").toString
+    Lake.writeSharded((0L to 3L).map(k => (k, k * 10))
+      .toDF("user_id", "x"), col("user_id"), path, nShards = 2)
+    val audit = Lake.eraseKeys(spark, path, "user_id",
+      Seq(8L).toDF("user_id"), nShards = 2)
+    assert(audit == Lake.EraseAudit(4L, 4L, 1L, 0L))
+  }
+}
