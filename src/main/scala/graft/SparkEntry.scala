@@ -174,6 +174,10 @@ object SparkEntry {
     "c12_mix_alloc" -> (PipelineQueries.mixAlloc _),
     "c13_partitioned_lake" -> (PipelineQueries.partitionedLake _),
     "c14_forget_user" -> (PipelineQueries.forgetUser _),
+    "c15_compact_lake" -> (PipelineQueries.compactLake _),
+    "q42_correlated_subquery" -> (Relational.correlatedSubquery _),
+    "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
+    "st36_stream_forget" -> (StreamingQueries.streamForget _),
     "t25_mask_corrupt" -> (PipelineQueries.maskCorrupt _),
     "t26_quota_mix" -> (PipelineQueries.quotaMix _),
     "t27_pps_sample" -> (PipelineQueries.ppsSample _),
@@ -801,6 +805,40 @@ object SparkEntry {
          SELECT 'user_profile', p.b, pa.a, p.b - pa.a, sh.s,
            CAST(0 AS BIGINT)
          FROM p, pa, sh""",
+    // c15: compaction is pure layout — both phases must equal the
+    // fixture's row count and order-independent content digest.
+    "c15_compact_lake" ->
+      """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars,
+             bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS digest
+           FROM documents)
+         SELECT 'before' AS phase, n_docs, chars, digest FROM s
+         UNION ALL
+         SELECT 'after', n_docs, chars, digest FROM s""",
+    // q42: the correlated form decorrelates to the same aggregate —
+    // DuckDB runs the identical SQL text.
+    "q42_correlated_subquery" ->
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_small,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+         FROM lineitem l1
+         WHERE 5 * CAST(l_quantity AS BIGINT)
+               * (SELECT count(*) FROM lineitem l2
+                  WHERE l2.l_partkey = l1.l_partkey)
+             < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
+                WHERE l2.l_partkey = l1.l_partkey)
+         GROUP BY l_partkey""",
+    // st36: erasure control at 2024-01-16T00; erased users end at
+    // count 0 with post-erasure arrivals audited as dropped.
+    "st36_stream_forget" ->
+      """SELECT user_id,
+           CAST(CASE WHEN user_id % 7 = 3 THEN 0
+                     ELSE count(*) END AS BIGINT) AS n_events,
+           (user_id % 7 = 3) AS erased,
+           CAST(CASE WHEN user_id % 7 = 3 THEN
+               count(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                          THEN 1 END)
+             ELSE 0 END AS BIGINT) AS n_dropped
+         FROM events GROUP BY user_id""",
     // c12: Hamilton apportionment — integer quotas + one unit each to
     // the largest remainders; sum(alloc) == budget exactly.
     "c12_mix_alloc" ->
@@ -1289,27 +1327,19 @@ object SparkEntry {
     // closure: walk(x, l) = "l reaches x"; cluster = min reachable id.
     // Docs in no pair keep their own id (singleton clusters).
     "d07_dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
-           SELECT DISTINCT doc_id,
-             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-         h AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS hw FROM sh),
-         mh AS (SELECT doc_id, j, min(((2*j+1)*hw + j*12345) % 4294967311) AS mv
-                FROM h, generate_series(0,15) t(j) GROUP BY doc_id, j),
-         bands AS (SELECT doc_id, j//4 AS band,
-                     string_agg(mv, ',' ORDER BY j) AS sig
-                   FROM mh GROUP BY doc_id, j//4),
-         pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-                   FROM bands a JOIN bands b
-                     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         edges AS (SELECT da AS src, db AS dst FROM pairs
-                   UNION ALL SELECT db, da FROM pairs),
-         walk(id, lbl) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src)
+      s"""$clusterChainSql
          SELECT id AS doc_id, min(lbl) AS cluster FROM walk GROUP BY id""",
+    // t32: d07's cluster table rolled up by split = cluster % 10 —
+    // near-dups can never straddle a split by construction.
+    "t32_cluster_split" ->
+      s"""$clusterChainSql,
+         clus AS (SELECT id AS doc_id, min(lbl) AS cluster
+                  FROM walk GROUP BY id)
+         SELECT cluster % 10 AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM clus GROUP BY 1""",
     // Streaming twin of the LSH bucket-membership verdict: owner of a
     // bucket = min(doc_id) (first-seen in doc_id-timestamped order);
     // a doc is a near-dup candidate iff any of its 4 band buckets has
@@ -3902,6 +3932,32 @@ object SparkEntry {
                 WHEN sc.lm_score <= b.b2 THEN 'middle'
                 ELSE 'head' END AS bucket
          FROM sc JOIN bounds b ON sc.lang = b.lang"""
+
+  /** d02's MinHash-LSH candidate pairs closed transitively into
+    * components: walk(x, l) = "l reaches x"; cluster = min reachable
+    * id, singletons keep their own id. Shared by d07 (the cluster
+    * table itself) and t32 (the leakage-free split keyed on it). */
+  private def clusterChainSql: String =
+    """WITH RECURSIVE sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         h AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS hw FROM sh),
+         mh AS (SELECT doc_id, j, min(((2*j+1)*hw + j*12345) % 4294967311) AS mv
+                FROM h, generate_series(0,15) t(j) GROUP BY doc_id, j),
+         bands AS (SELECT doc_id, j//4 AS band,
+                     string_agg(mv, ',' ORDER BY j) AS sig
+                   FROM mh GROUP BY doc_id, j//4),
+         pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         edges AS (SELECT da AS src, db AS dst FROM pairs
+                   UNION ALL SELECT db, da FROM pairs),
+         walk(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src)"""
 
   /** The d14 two-round Lloyd chain: sampled seeds → assign → exact
     * floor-mean update ×2 → final assignment `assignT (vec_id, cid)`.

@@ -940,6 +940,58 @@ object PipelineQueries {
           .cast("long").as("tokens_salvaged"))
   }
 
+  /** t32: leakage-free train/val/test split — the PREVENTIVE twin of
+    * c03's after-the-fact leakage audit: splitting is done per
+    * NEAR-DUP CLUSTER (d07's connected components over MinHash-LSH
+    * candidates), never per document, so two near-duplicates can never
+    * straddle a split boundary (the GroupShuffleSplit discipline
+    * applied to web-scale dedup clusters). Assignment is
+    * `cluster % 10` — deterministic, engine-free; the report pins
+    * per-split doc counts, cluster counts and the exact membership
+    * digest (id_sum). Cluster-id is the component's min doc_id, so the
+    * split is stable under re-clustering of unchanged data. */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashCandidates(d, col("text"), col("doc_id")),
+      d, col("doc_id"))
+    clusters
+      .withColumn("split", pmod(col("cluster"), lit(10L)))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        sum(col("doc_id")).as("id_sum"))
+  }
+
+  /** c15: small-file compaction — the lake-maintenance pass every
+    * streaming/incremental ingest eventually owes: a fragmented drop
+    * (64 splinter files here; micro-batch ingest at 100 TB produces
+    * millions) is rewritten into target-sized files, and the report
+    * proves compaction is a pure LAYOUT change — row count and the
+    * order-independent content digest (bit_xor of per-row md5, c07's
+    * seal arithmetic) are bit-identical before and after. The file
+    * counts themselves are spec-pinned (64 → 2); the oracle pins that
+    * content never changes, which is the invariant that makes
+    * compaction safe to run concurrently with readers. */
+  def compactLake(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashes.h60
+    val d = docs(spark, dir)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    d.repartition(64).write.mode("overwrite").parquet(s"$out/raw")
+    val raw = spark.read.parquet(s"$out/raw")
+    raw.coalesce(2).write.mode("overwrite").parquet(s"$out/compact")
+    val compact = spark.read.parquet(s"$out/compact")
+    def seal(df: DataFrame, phase: String): DataFrame =
+      df.select(h60(col("text")).as("d0"), col("n_chars"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          expr("bit_xor(d0)").as("digest"))
+        .select(lit(phase).as("phase"), col("n_docs"), col("chars"),
+          col("digest"))
+    seal(raw, "before").unionByName(seal(compact, "after"))
+  }
+
   /** c13: hive-partitioned lake layout + partition-pruned serving —
     * the storage-layout leg of the input-boundary story: events are
     * laid out as one directory per event DATE, and the 7-day serving

@@ -902,4 +902,32 @@ object Relational {
       .select(col("user_id"), col("st.nsess").as("n_sessions"),
         col("st.ncap").as("n_cap_splits"))
   }
+
+  /** q42: correlated scalar subqueries — the TPC-H Q17 shape
+    * ("lineitems below 20% of their part's average quantity"),
+    * deliberately written on the declarative SQL surface so CATALYST
+    * performs the decorrelation: the two per-row correlated aggregates
+    * (count and sum over the same correlation key) are rewritten into
+    * ONE shuffled aggregate joined back to the probe side — never a
+    * per-row re-scan of lineitem (PlanSpec pins no scalar-subquery
+    * node survives and the table is scanned at most twice). The
+    * avg-fraction predicate is cross-multiplied (5·qty·cnt < sum) so
+    * both engines compare exact integers, never a rounded average.
+    *
+    * At 100 TB: decorrelation is the difference between O(n) with one
+    * shuffle and an accidental O(n²); writing the natural correlated
+    * form and TRUSTING the rewrite is the Spark-first idiom. */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q42")
+    spark.sql(
+      """SELECT l_partkey, count(*) AS n_small,
+           sum(CAST(l_quantity AS BIGINT)) AS qty_sum
+         FROM lineitem_q42 l1
+         WHERE 5 * CAST(l_quantity AS BIGINT)
+               * (SELECT count(*) FROM lineitem_q42 l2
+                  WHERE l2.l_partkey = l1.l_partkey)
+             < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem_q42 l2
+                WHERE l2.l_partkey = l1.l_partkey)
+         GROUP BY l_partkey""")
+  }
 }

@@ -2379,6 +2379,73 @@ object StreamingQueries {
         .filter(col("user_id") >= 0)
     }
 
+  /** st36: streaming right-to-be-forgotten — c14's erasure lifecycle
+    * applied ONLINE, the way a deployment actually receives GDPR
+    * requests: a control topic ("erasures") interleaves with the event
+    * stream in event-time order, and the processor's per-key state
+    * machine answers both message kinds — an erasure CLEARS the user's
+    * accumulated state and pins a tombstone flag (the goka ctx.Delete
+    * discipline, g07, kept as a marker so the deletion is durable
+    * against later arrivals); subsequent events for an erased user are
+    * counted as dropped, never processed. The final table therefore
+    * shows non-erased users with full counts and erased users with
+    * count 0 plus the audit of post-erasure drops — exactly what a
+    * compliance check reads. State is one 4-long tuple per user; the
+    * changelog's final row is selected by the every-message `seen`
+    * counter (the count column RESETS at erasure, so per-column max
+    * would resurrect pre-erasure state — st33's version-counter
+    * lesson). */
+  def streamForget(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-forget")(
+        Inputs(Seq("events", "erasures"), StringCodec,
+          ProcessCallback { (ctx, _) =>
+            val (cnt, erased, dropped, seen) = ctx.value match {
+              case null => (0L, 0L, 0L, 0L)
+              case s: String =>
+                val p = s.split(',')
+                (p(0).toLong, p(1).toLong, p(2).toLong, p(3).toLong)
+            }
+            val next =
+              if (ctx.topic == "erasures") (0L, 1L, dropped, seen + 1)
+              else if (erased == 1L) (cnt, 1L, dropped + 1, seen + 1)
+              else (cnt + 1, 0L, 0L, seen + 1)
+            ctx.setValue(s"${next._1},${next._2},${next._3},${next._4}")
+          }),
+        Persist(StringCodec))
+      val ev = Sources.table(spark, dir, "events")
+      val controls = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 7 === 3)
+        .select(col("user_id"), lit("erase").as("v"),
+          to_timestamp(lit("2024-01-16 00:00:00")).as("ts"),
+          (-col("user_id") - 1L).as("event_id"))
+      val msgs = Sources.messages(ev, "events", col("user_id"),
+          col("event_type"), col("ts"), col("event_id"))
+        .unionByName(Sources.messages(controls, "erasures",
+          col("user_id"), col("v"), col("ts"), col("event_id")))
+      val staging = tempDir("graft_forget_stream")
+      stageTwoBatches(spark, msgs, staging)
+      val stream = spark.readStream
+        .schema(msgs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("user_id", "st")
+      runToTable(spark, table)
+        .select(col("user_id"), split(col("st"), ",").as("p"))
+        .withColumn("seen", element_at(col("p"), 4).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(max_by(col("p"), col("seen")).as("p"))
+        .select(col("user_id").cast("long").as("user_id"),
+          element_at(col("p"), 1).cast("long").as("n_events"),
+          (element_at(col("p"), 2).cast("long") === 1L).as("erased"),
+          element_at(col("p"), 3).cast("long").as("n_dropped"))
+    }
+
   /** st34: OHLC bars maintained ONLINE — q40's ordered aggregation as
     * live per-(day, type) keyed state: open fixes on the first arrival,
     * high/low fold monotonically, close tracks the latest, all O(1)

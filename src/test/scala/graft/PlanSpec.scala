@@ -704,6 +704,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"no corpus-scale shuffle join in the serving plan\n$p")
   }
 
+  test("q42: correlated scalar subqueries decorrelate — one aggregate " +
+      "joined back, never a per-row re-scan") {
+    val p = plan("q42_correlated_subquery")
+    assert(!p.contains("CartesianProduct"), p)
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans <= 3,
+      s"expected the decorrelated shape (probe + merged aggregate), " +
+        s"got $scans scans\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("t31: BPE apply broadcasts the trained vocab — tokenization " +
       "never shuffle-joins the corpus") {
     val p = plan("t31_bpe_apply")

@@ -50,6 +50,24 @@ class LakeSpec extends AnyFunSuite with SparkFixture {
     assert(rows.size == 9)
   }
 
+  test("compaction changes file count, never rows or content digest") {
+    import spark.implicits._
+    import graft.functions.Hashes.h60
+    val out = Files.createTempDirectory("graft_compact_spec")
+    val df = (0L to 99L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    df.repartition(8).write.parquet(s"$out/raw")
+    def files(p: String) = Files.list(java.nio.file.Paths.get(p))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    val raw = spark.read.parquet(s"$out/raw")
+    raw.coalesce(2).write.parquet(s"$out/compact")
+    assert(files(s"$out/raw") == 8)
+    assert(files(s"$out/compact") == 2)
+    def sealOf(p: String) = spark.read.parquet(p)
+      .select(h60(col("text")).as("d0"))
+      .agg(count(lit(1)).cast("long"), expr("bit_xor(d0)")).head()
+    assert(sealOf(s"$out/raw") == sealOf(s"$out/compact"))
+  }
+
   test("erasing a key present in no shard rewrites its hash shard only") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_lake_spec2")
