@@ -144,6 +144,7 @@ object SparkEntry {
     "s25_ann_index_store" -> (PipelineQueries.annIvfPersisted _),
     "s26_ann_index_add" -> (PipelineQueries.annIndexAdd _),
     "s31_ann_index_delete" -> (PipelineQueries.annIndexDelete _),
+    "s32_hard_negatives" -> (PipelineQueries.hardNegatives _),
     "s27_graph_ann" -> (PipelineQueries.graphAnn _),
     "s28_knn_classify" -> (PipelineQueries.knnClassify _),
     "s29_retrieval_mrr" -> (PipelineQueries.retrievalMrr _),
@@ -883,6 +884,34 @@ object SparkEntry {
          SELECT p.qid AS vec_id, lq.lbl AS label, p.pred,
            lq.lbl = p.pred AS correct
          FROM p JOIN lab lq ON lq.vec_id = p.qid""",
+    // s32: one scored pass, two argmax windows — hard negative =
+    // max-cos different-label, hard positive = min-cos same-label.
+    "s32_hard_negatives" ->
+      s"""WITH pre AS ($embPreSql),
+         lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl
+                 FROM embeddings),
+         s AS (SELECT q.vec_id AS qid, ql.lbl, c.vec_id AS nid,
+                 cl.lbl AS nlbl,
+                 CAST((SELECT sum(x*y)
+                       FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS DOUBLE)
+                   / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+                   AS cos
+               FROM pre q JOIN lab ql ON ql.vec_id = q.vec_id
+                 JOIN pre c ON c.vec_id <> q.vec_id
+                 JOIN lab cl ON cl.vec_id = c.vec_id
+               WHERE q.vec_id < 50),
+         neg AS (SELECT qid, nid, cos FROM (
+                   SELECT qid, nid, cos, row_number() OVER (
+                     PARTITION BY qid ORDER BY cos DESC, nid) AS r
+                   FROM s WHERE nlbl <> lbl) WHERE r = 1),
+         pos AS (SELECT qid, nid, cos FROM (
+                   SELECT qid, nid, cos, row_number() OVER (
+                     PARTITION BY qid ORDER BY cos ASC, nid) AS r
+                   FROM s WHERE nlbl = lbl) WHERE r = 1)
+         SELECT n.qid, n.nid AS hard_neg, n.cos AS neg_cos,
+           p.nid AS hard_pos, p.cos AS pos_cos,
+           p.cos - n.cos AS margin
+         FROM neg n JOIN pos p ON p.qid = n.qid""",
     // d25: distinct (source, 3-gram) sets; pair counts from the
     // shared-shingle equi-join, Jaccard from the two set sizes.
     "d25_source_overlap" ->

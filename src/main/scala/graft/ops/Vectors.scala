@@ -1430,6 +1430,48 @@ object Vectors {
         (lit(1.0) / col("first_rel_rank").cast("double")).as("rr"))
   }
 
+  /** s32: contrastive-pair mining — the training-data construction for
+    * embedding models (triplet/InfoNCE): per anchor, the HARD NEGATIVE
+    * is the highest-cosine neighbor with a DIFFERENT label (the
+    * near-miss that teaches the margin) and the HARD POSITIVE is the
+    * lowest-cosine neighbor with the SAME label (the far-apart pair
+    * that must be pulled together); margin = pos_cos − neg_cos, the
+    * quantity a triplet loss drives positive. One scored pass feeds
+    * both argmax windows — no second join. Exact by the s01 brute
+    * pass here (the mining ORACLE tier); at corpus scale the candidate
+    * set comes from the ANN ladder (s02+) exactly as FAISS-mined
+    * negatives do, with this as the per-candidate rerank. */
+  def contrastivePairs(corpus: DataFrame, id: Column, emb: Column,
+      label: Column, nQueries: Int = 50): DataFrame = {
+    def prep(df: DataFrame) =
+      df.select(id.as("vid"), label.cast("long").as("lbl"),
+          intScale(emb).as("iv"))
+        .withColumn("n2", idot(col("iv"), col("iv")))
+    val c = prep(corpus).as("c")
+    val q = prep(corpus.filter(id < nQueries)).as("q")
+    val sims = q.join(c, col("q.vid") =!= col("c.vid"))
+      .select(col("q.vid").as("qid"), col("q.lbl").as("lbl"),
+        col("c.vid").as("nid"), col("c.lbl").as("nlbl"),
+        cosineFromInts(idot(col("q.iv"), col("c.iv")),
+          col("q.n2"), col("c.n2")).as("cos"))
+    val negW = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val posW = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").asc, col("nid"))
+    val neg = sims.filter(col("nlbl") =!= col("lbl"))
+      .withColumn("r", row_number().over(negW)).filter(col("r") === 1)
+      .select(col("qid"), col("nid").as("hard_neg"),
+        col("cos").as("neg_cos"))
+    val pos = sims.filter(col("nlbl") === col("lbl"))
+      .withColumn("r", row_number().over(posW)).filter(col("r") === 1)
+      .select(col("qid"), col("nid").as("hard_pos"),
+        col("cos").as("pos_cos"))
+    neg.join(pos, Seq("qid"))
+      .select(col("qid"), col("hard_neg"), col("neg_cos"),
+        col("hard_pos"), col("pos_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+  }
+
   def knnClassify(corpus: DataFrame, id: Column, emb: Column,
       label: Column, nQueries: Int = 50, k: Int = 10): DataFrame = {
     val labels = corpus.select(id.as("lid"), label.cast("long").as("lbl"))

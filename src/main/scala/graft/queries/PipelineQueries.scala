@@ -1088,6 +1088,13 @@ object PipelineQueries {
       k = 10)
   }
 
+  /** s32: contrastive-pair mining over the embedding corpus — per
+    * anchor the hard negative (max-cos, different label) and hard
+    * positive (min-cos, same label), [[graft.ops.Vectors.contrastivePairs]]. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Vectors.contrastivePairs(embs(spark, dir), col("vec_id"),
+      col("embedding"), col("label"))
+
   /** d23: incremental near-dup via the stored LSH index — the corpus
     * is banded ONCE into a parquet artifact; arrivals (ids ≡ 7 mod 10,
     * the s26 carving) probe the stored bands and the exact verify
