@@ -176,9 +176,12 @@ object SparkEntry {
     "c13_partitioned_lake" -> (PipelineQueries.partitionedLake _),
     "c14_forget_user" -> (PipelineQueries.forgetUser _),
     "c15_compact_lake" -> (PipelineQueries.compactLake _),
+    "c16_idempotent_ingest" -> (PipelineQueries.idempotentIngest _),
     "q42_correlated_subquery" -> (Relational.correlatedSubquery _),
+    "q43_not_in_null_aware" -> (Relational.notInNullAware _),
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
     "st36_stream_forget" -> (StreamingQueries.streamForget _),
+    "st37_stream_lake_ingest" -> (StreamingQueries.streamLakeIngest _),
     "t25_mask_corrupt" -> (PipelineQueries.maskCorrupt _),
     "t26_quota_mix" -> (PipelineQueries.quotaMix _),
     "t27_pps_sample" -> (PipelineQueries.ppsSample _),
@@ -774,16 +777,10 @@ object SparkEntry {
          FROM c GROUP BY lang""",
     // c13: the partitioned-lake serving aggregate over the raw fixture
     // — layout must never change answers.
-    "c13_partitioned_lake" ->
-      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(event_id) AS BIGINT) AS id_sum,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-         FROM events
-         WHERE CAST(ts AS DATE)
-           BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
-         GROUP BY 1, 2""",
+    "c13_partitioned_lake" -> lakeServeOracleSql,
+    // st37: the SAME serving aggregate over the stream-ingested lake —
+    // the streaming landing path must produce identical layout+content.
+    "st37_stream_lake_ingest" -> lakeServeOracleSql,
     // c14: the RTBF audit — before/after/erased per artifact, shards
     // touched = distinct shard of erased keys, residual pinned 0.
     "c14_forget_user" ->
@@ -816,6 +813,24 @@ object SparkEntry {
          SELECT 'before' AS phase, n_docs, chars, digest FROM s
          UNION ALL
          SELECT 'after', n_docs, chars, digest FROM s""",
+    // c16: apply 1 lands everything, apply 2 lands nothing — the
+    // oracle-checkable definition of idempotent ingest.
+    "c16_idempotent_ingest" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c
+                    FROM documents WHERE doc_id % 4 = 1)
+         SELECT CAST(1 AS BIGINT) AS apply_no, c AS n_arrivals,
+           c AS n_new, c AS n_total FROM n
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), c, CAST(0 AS BIGINT), c FROM n""",
+    // q43: identical SQL text both engines; the fixture set is
+    // null-free so the result is the witnessed complement (the
+    // any-NULL -> empty arm is spec-forced).
+    "q43_not_in_null_aware" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust
+         FROM customer
+         WHERE c_nationkey NOT IN
+           (SELECT s_nationkey FROM supplier WHERE s_nationkey < 10)
+         GROUP BY c_nationkey""",
     // q42: the correlated form decorrelates to the same aggregate —
     // DuckDB runs the identical SQL text.
     "q42_correlated_subquery" ->
@@ -3961,6 +3976,20 @@ object SparkEntry {
                 WHEN sc.lm_score <= b.b2 THEN 'middle'
                 ELSE 'head' END AS bucket
          FROM sc JOIN bounds b ON sc.lang = b.lang"""
+
+  /** c13 + st37: the 7-day partition-pruned serving aggregate, stated
+    * over the unpartitioned fixture — layout (and the batch-vs-stream
+    * ingest path that produced it) must never change answers. */
+  private def lakeServeOracleSql: String =
+    """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events
+         WHERE CAST(ts AS DATE)
+           BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+         GROUP BY 1, 2"""
 
   /** d02's MinHash-LSH candidate pairs closed transitively into
     * components: walk(x, l) = "l reaches x"; cluster = min reachable

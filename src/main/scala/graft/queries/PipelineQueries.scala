@@ -992,6 +992,47 @@ object PipelineQueries {
     seal(raw, "before").unionByName(seal(compact, "after"))
   }
 
+  /** c16: idempotent ingest — the exactly-once discipline a lake needs
+    * when the SAME drop can arrive twice (retried uploads, replayed
+    * queues — the at-least-once reality goka answers with redelivery
+    * semantics): every applied row's content fingerprint is recorded
+    * in a LEDGER artifact, and an arriving batch is anti-joined
+    * against the ledger before append, so re-applying an identical
+    * drop lands ZERO new rows and the table is bit-stable. The audit
+    * (per apply: arrivals, newly applied, table total) pins the second
+    * apply at n_new = 0 — the oracle-checkable definition of
+    * idempotency. At 100 TB the ledger is fingerprints only (16
+    * bytes/row, never bodies) and the gate is one broadcast-or-shuffle
+    * anti-join per drop — the c05/d23 incremental economics applied to
+    * ingest itself. */
+  def idempotentIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashes.h60
+    val drop = docs(spark, dir).filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("text"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_idem").toString
+    val tableDir = s"$out/table"
+    val ledgerDir = s"$out/ledger"
+    def applyOnce(applyNo: Long): (Long, Long, Long, Long) = {
+      val arrivals = drop.withColumn("fp",
+        h60(concat(col("doc_id").cast("string"), lit(":"), col("text"))))
+      val ledger =
+        if (new java.io.File(ledgerDir).exists)
+          spark.read.parquet(ledgerDir)
+        else arrivals.select(col("fp")).limit(0)
+      val fresh = arrivals.join(ledger, Seq("fp"), "left_anti")
+        .localCheckpoint()
+      fresh.select(col("doc_id"), col("text"))
+        .write.mode("append").parquet(tableDir)
+      fresh.select(col("fp")).write.mode("append").parquet(ledgerDir)
+      (applyNo, arrivals.count(), fresh.count(),
+        spark.read.parquet(tableDir).count())
+    }
+    val audit = Seq(applyOnce(1L), applyOnce(2L))
+    import spark.implicits._
+    audit.toDF("apply_no", "n_arrivals", "n_new", "n_total")
+  }
+
   /** c13: hive-partitioned lake layout + partition-pruned serving —
     * the storage-layout leg of the input-boundary story: events are
     * laid out as one directory per event DATE, and the 7-day serving

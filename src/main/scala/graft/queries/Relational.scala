@@ -903,6 +903,29 @@ object Relational {
         col("st.ncap").as("n_cap_splits"))
   }
 
+  /** q43: NOT IN over a nullable subquery — the NULL-AWARE anti-join,
+    * the three-valued-logic trap q05's plain anti-join never faces:
+    * `x NOT IN (set)` is UNKNOWN (not TRUE) for every x the moment the
+    * set contains one NULL, so a LeftAnti rewrite is WRONG in general
+    * and the engine must plan the dedicated null-aware form. The
+    * subquery column is nullable by parquet schema, so Catalyst cannot
+    * prove the set null-free and plans its optimized single-column
+    * NAAJ — a broadcast hash join, not the naive O(n·m) nested loop
+    * (PlanSpec-pinned). The fixture set happens to be null-free, which
+    * keeps the witnessed result non-degenerate; the any-NULL → empty
+    * semantics is spec-forced on synthetic data (RelationalEdgeSpec).
+    * Both engines run the identical SQL text. */
+  def notInNullAware(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "supplier").createOrReplaceTempView("supplier_q43")
+    table(spark, dir, "customer").createOrReplaceTempView("customer_q43")
+    spark.sql(
+      """SELECT c_nationkey, count(*) AS n_cust
+         FROM customer_q43
+         WHERE c_nationkey NOT IN
+           (SELECT s_nationkey FROM supplier_q43 WHERE s_nationkey < 10)
+         GROUP BY c_nationkey""")
+  }
+
   /** q42: correlated scalar subqueries — the TPC-H Q17 shape
     * ("lineitems below 20% of their part's average quantity"),
     * deliberately written on the declarative SQL surface so CATALYST

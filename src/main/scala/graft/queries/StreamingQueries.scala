@@ -2379,6 +2379,54 @@ object StreamingQueries {
         .filter(col("user_id") >= 0)
     }
 
+  /** st37: streaming ingest INTO the partitioned lake — the c13 layout
+    * produced by the streaming path, which is how a production events
+    * lake actually comes to exist: micro-batches append date-partitioned
+    * parquet through the exactly-once file sink (the `_spark_metadata`
+    * commit log makes a half-written batch invisible to readers), and
+    * the serving query over the resulting lake is c13's
+    * directory-pruned aggregate, hash-matching the same oracle — the
+    * full stream→lake→pruned-serving loop in one operator. Partition
+    * columns are derived IN the stream (to_date over event time), so
+    * arrival order never affects layout.
+    *
+    * At 100 TB: this sink shape is the standard landing zone; the one
+    * operational cost it leaves behind is small files per
+    * (micro-batch × partition) — exactly the debt c15's compaction
+    * pass retires. */
+  def streamLakeIngest(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      val ev = Sources.table(spark, dir, "events")
+      val msgs = Sources.messages(ev, "events", col("user_id"),
+        col("event_type"), col("ts"), col("event_id"))
+      val staging = tempDir("graft_lake_ingest_src")
+      stageTwoBatches(spark, msgs, staging)
+      val lake = tempDir("graft_lake_ingest_lake")
+      val ckpt = tempDir("graft_lake_ingest_ckpt")
+      val src = spark.readStream.schema(msgs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging))
+      val q = src.select(
+          col("key").cast("long").as("user_id"),
+          col("value").cast("string").as("event_type"),
+          col("offset").as("event_id"),
+          to_date(col("timestamp")).as("event_date"))
+        .writeStream.format("parquet")
+        .option("path", lake)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("event_date")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(lake)
+        .filter(col("event_date")
+          .between(lit("2024-01-10"), lit("2024-01-16")))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .withColumn("event_date", col("event_date").cast("string"))
+    }
+
   /** st36: streaming right-to-be-forgotten — c14's erasure lifecycle
     * applied ONLINE, the way a deployment actually receives GDPR
     * requests: a control topic ("erasures") interleaves with the event

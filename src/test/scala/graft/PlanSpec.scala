@@ -715,6 +715,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q43: NOT IN plans the optimized null-aware anti-join — " +
+      "broadcast hash, not a nested loop") {
+    val p = plan("q43_not_in_null_aware")
+    assert("BroadcastHashJoin [^\\n]*LeftAnti, BuildRight, true".r
+      .findFirstIn(p).isDefined,
+      s"single-column NOT IN must take the NAAJ fast path\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the naive O(n*m) null-aware form must not appear\n$p")
+  }
+
   test("t31: BPE apply broadcasts the trained vocab — tokenization " +
       "never shuffle-joins the corpus") {
     val p = plan("t31_bpe_apply")
