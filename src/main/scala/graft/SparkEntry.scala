@@ -145,6 +145,7 @@ object SparkEntry {
     "s26_ann_index_add" -> (PipelineQueries.annIndexAdd _),
     "s31_ann_index_delete" -> (PipelineQueries.annIndexDelete _),
     "s32_hard_negatives" -> (PipelineQueries.hardNegatives _),
+    "s33_index_drift" -> (PipelineQueries.indexDrift _),
     "s27_graph_ann" -> (PipelineQueries.graphAnn _),
     "s28_knn_classify" -> (PipelineQueries.knnClassify _),
     "s29_retrieval_mrr" -> (PipelineQueries.retrievalMrr _),
@@ -2673,6 +2674,9 @@ object SparkEntry {
     // (≡ 3 mod 10) excluded from the returnable candidates only.
     "s31_ann_index_delete" ->
       ivfTrainedOracleSqlOver("TRUE", "ca.vec_id % 10 <> 3"),
+    // s33: exact per-cell quantization error, base members vs adds,
+    // under the base-trained frozen model.
+    "s33_index_drift" -> indexDriftOracleSql,
     // s27: fixed-depth beam search over the exact degree-8 kNN graph —
     // entry = min corpus id, hop 1 = its adjacency, beam-4 by exact
     // cosine (ties by node id), hop 2 = the beam's adjacency, exact
@@ -3734,15 +3738,11 @@ object SparkEntry {
     * trained-IVF result table. */
   private def ivfTrainedOracleSql: String = ivfTrainedOracleSqlOver("TRUE")
 
-  /** The two-round-Lloyd + assign + cell-probe top-k oracle chain, with
-    * TRAINING restricted to `baseWhere` (the serving assignment and the
-    * query scan always cover the full corpus). `TRUE` = s10/s25/st24's
-    * everything-trains form; s26 trains on the base slice only.
-    * `candWhere` (over `ca.vec_id`) additionally restricts the
-    * RETURNABLE candidates — s31's tombstone-delete serving, where
-    * deleted vectors may query but never appear as neighbors. */
-  private def ivfTrainedOracleSqlOver(baseWhere: String,
-      candWhere: String = "TRUE"): String =
+  /** The two-round-Lloyd training + full-corpus assignment chain
+    * (`pre` … `cents2` … `assignT`), TRAINING restricted to
+    * `baseWhere`. Shared by the IVF serving oracles and s33's
+    * quantization-error rollup. */
+  private def ivfAssignChainSql(baseWhere: String): String =
     s"""WITH pre AS ($embPreSql),
          cents0 AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
                     FROM pre WHERE $baseWhere ORDER BY vec_id LIMIT 16),
@@ -3789,7 +3789,16 @@ object SparkEntry {
                  CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
                    / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
                  c.cid) AS rn
-             FROM pre p, cents2 c) WHERE rn = 1),
+             FROM pre p, cents2 c) WHERE rn = 1)"""
+
+  /** The chain + cell-probe top-k serving select. `TRUE` =
+    * s10/s25/st24's everything-trains form; s26 trains on the base
+    * slice only. `candWhere` (over `ca.vec_id`) additionally restricts
+    * the RETURNABLE candidates — s31's tombstone-delete serving, where
+    * deleted vectors may query but never appear as neighbors. */
+  private def ivfTrainedOracleSqlOver(baseWhere: String,
+      candWhere: String = "TRUE"): String =
+    s"""${ivfAssignChainSql(baseWhere)},
          sims AS (
            SELECT qa.vec_id AS qid, ca.vec_id AS nid,
              CAST((SELECT sum(x*y) FROM (SELECT unnest(qp.v) x, unnest(cp.v) y)) AS DOUBLE)
@@ -3804,6 +3813,24 @@ object SparkEntry {
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
            FROM sims)
          WHERE rank <= 10"""
+
+  /** s33: per-(cell, scope) exact quantization error under the
+    * base-trained model — d22's integer Σ‖v−c‖² arithmetic against the
+    * ASSIGNED centroid. */
+  private def indexDriftOracleSql: String =
+    s"""${ivfAssignChainSql("vec_id % 10 <> 7")},
+         sqd AS (
+           SELECT a.cid, a.vec_id,
+             CAST((SELECT sum((x - y) * (x - y))
+                   FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS BIGINT)
+               AS d2
+           FROM assignT a JOIN pre p ON p.vec_id = a.vec_id
+                          JOIN cents2 c ON c.cid = a.cid)
+         SELECT cid AS cell,
+           CASE WHEN vec_id % 10 = 7 THEN 'add' ELSE 'base' END AS scope,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(d2) AS BIGINT) AS sum_sqd
+         FROM sqd GROUP BY 1, 2"""
 
   /** Shared by q32 (batch gaps-and-islands) and st22 (streaming keyed
     * CDC apply): both must land on this SCD2 version table. */

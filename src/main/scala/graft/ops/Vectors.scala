@@ -1430,6 +1430,26 @@ object Vectors {
         (lit(1.0) / col("first_rel_rank").cast("double")).as("rr"))
   }
 
+  /** s33: per-cell quantization error under a FROZEN model — the
+    * drift measurement behind the "when to retrain" decision the s26
+    * add-path defers: every corpus vector's exact int64 squared
+    * distance to its assigned centroid, rolled up per (cell, scope)
+    * where `scope` separates the training-time members from
+    * post-training arrivals. Rising arrival error relative to base
+    * error IS quantizer drift; the numbers are exact integers, so the
+    * gate is reproducible on any engine. Cost: one assignment pass +
+    * one broadcast join — the same shape as serving. */
+  def quantizationError(corpus: DataFrame, id: Column, emb: Column,
+      cents: DataFrame, scope: Column): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    ivfInvertedLists(corpus, id, emb, cents)
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("cid").as("cell"), scope.as("scope"),
+        call_function("graft_isqdist", col("iv"), col("civ")).as("d2"))
+      .groupBy(col("cell"), col("scope"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("d2")).as("sum_sqd"))
+  }
+
   /** s32: contrastive-pair mining — the training-data construction for
     * embedding models (triplet/InfoNCE): per anchor, the HARD NEGATIVE
     * is the highest-cosine neighbor with a DIFFERENT label (the

@@ -1136,6 +1136,20 @@ object PipelineQueries {
     Vectors.contrastivePairs(embs(spark, dir), col("vec_id"),
       col("embedding"), col("label"))
 
+  /** s33: quantizer drift after adds — s26 trains on the base slice
+    * and appends arrivals against the frozen model; this reports the
+    * exact per-cell quantization error split base-members vs arrivals
+    * ([[graft.ops.Vectors.quantizationError]]) — the measured input to
+    * the periodic-retrain decision the s26 scaladoc defers to. */
+  def indexDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val base = e.filter(col("vec_id") % 10 =!= 7)
+    val (cents, _) = Vectors.kmeansFit(base, col("vec_id"),
+      col("embedding"), k = 16, iters = 2)
+    Vectors.quantizationError(e, col("vec_id"), col("embedding"), cents,
+      when(col("vid") % 10 === 7, "add").otherwise("base"))
+  }
+
   /** d23: incremental near-dup via the stored LSH index — the corpus
     * is banded ONCE into a parquet artifact; arrivals (ids ≡ 7 mod 10,
     * the s26 carving) probe the stored bands and the exact verify
