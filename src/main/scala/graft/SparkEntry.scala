@@ -178,6 +178,7 @@ object SparkEntry {
     "c14_forget_user" -> (PipelineQueries.forgetUser _),
     "c15_compact_lake" -> (PipelineQueries.compactLake _),
     "c16_idempotent_ingest" -> (PipelineQueries.idempotentIngest _),
+    "c17_retention_sweep" -> (PipelineQueries.retentionSweep _),
     "q42_correlated_subquery" -> (Relational.correlatedSubquery _),
     "q43_not_in_null_aware" -> (Relational.notInNullAware _),
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
@@ -823,6 +824,21 @@ object SparkEntry {
            c AS n_new, c AS n_total FROM n
          UNION ALL
          SELECT CAST(2 AS BIGINT), c, CAST(0 AS BIGINT), c FROM n""",
+    // c17: surviving content after the directory-level sweep + the
+    // sweep's shape (30 daily partitions, 14 expired before the 15th).
+    "c17_retention_sweep" ->
+      """SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS first_date,
+           (SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+            FROM events) AS parts_before,
+           (SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+            FROM events
+            WHERE CAST(ts AS DATE) < DATE '2024-01-15') AS parts_dropped
+         FROM events
+         WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+         GROUP BY event_type""",
     // q43: identical SQL text both engines; the fixture set is
     // null-free so the result is the witnessed complement (the
     // any-NULL -> empty arm is spec-forced).

@@ -1033,6 +1033,40 @@ object PipelineQueries {
     audit.toDF("apply_no", "n_arrivals", "n_new", "n_total")
   }
 
+  /** c17: retention sweep — the data-lifecycle pass every regulated or
+    * cost-bounded lake runs: partitions older than the retention
+    * cutoff are dropped at the DIRECTORY level (O(expired partitions),
+    * zero data scanned or rewritten — the payoff of c13's
+    * date-partitioned layout; a row-level retention delete would scan
+    * and rewrite the whole lake), and the serving aggregate over the
+    * swept lake proves surviving data is byte-untouched. The report
+    * carries the sweep audit (partitions before/dropped) inline so the
+    * oracle pins both the surviving CONTENT and the sweep's SHAPE. */
+  def retentionSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_retention").toString
+    val lake = s"$out/events"
+    ev.withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(lake)
+    val cutoff = "2024-01-15"
+    val dirs = new java.io.File(lake).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+    val expired = dirs.filter(_.getName.stripPrefix("event_date=") < cutoff)
+    expired.foreach { d =>
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    val audit = spark.range(1).select(
+      lit(dirs.length.toLong).as("parts_before"),
+      lit(expired.length.toLong).as("parts_dropped"))
+    spark.read.parquet(lake)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("id_sum"),
+        min(col("event_date").cast("string")).as("first_date"))
+      .crossJoin(audit)
+  }
+
   /** c13: hive-partitioned lake layout + partition-pruned serving —
     * the storage-layout leg of the input-boundary story: events are
     * laid out as one directory per event DATE, and the 7-day serving
