@@ -179,6 +179,7 @@ object SparkEntry {
     "c15_compact_lake" -> (PipelineQueries.compactLake _),
     "c16_idempotent_ingest" -> (PipelineQueries.idempotentIngest _),
     "c17_retention_sweep" -> (PipelineQueries.retentionSweep _),
+    "c18_clustered_lake" -> (PipelineQueries.clusteredLake _),
     "q42_correlated_subquery" -> (Relational.correlatedSubquery _),
     "q43_not_in_null_aware" -> (Relational.notInNullAware _),
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
@@ -838,6 +839,16 @@ object SparkEntry {
             WHERE CAST(ts AS DATE) < DATE '2024-01-15') AS parts_dropped
          FROM events
          WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+         GROUP BY event_type""",
+    // c18: clustering is pure layout — the point-user aggregate over
+    // the raw fixture must match the clustered lake's.
+    "c18_clustered_lake" ->
+      """SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           epoch_us(min(ts)) AS first_us,
+           epoch_us(max(ts)) AS last_us
+         FROM events WHERE user_id = 7
          GROUP BY event_type""",
     // q43: identical SQL text both engines; the fixture set is
     // null-free so the result is the witnessed complement (the

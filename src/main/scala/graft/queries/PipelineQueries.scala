@@ -1033,6 +1033,28 @@ object PipelineQueries {
     audit.toDF("apply_no", "n_arrivals", "n_new", "n_total")
   }
 
+  /** c18: clustered lake layout — the second physical-layout axis next
+    * to c13's partitioning: the lake is range-repartitioned and sorted
+    * on user_id ([[graft.ops.Lake.writeClustered]]), so every file
+    * covers a disjoint user range and the point-user serving query
+    * reaches the parquet reader as a pushed `EqualTo` that skips every
+    * non-matching file via row-group statistics (PlanSpec pins the
+    * pushdown; LakeSpec pins the disjoint-ranges layout property).
+    * The oracle proves clustering never changes answers. */
+  def clusteredLake(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_clustered").toString
+    Lake.writeClustered(ev, col("user_id"), s"$out/events", nFiles = 8)
+    spark.read.parquet(s"$out/events")
+      .filter(col("user_id") === 7)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("id_sum"),
+        unix_micros(min(col("ts"))).as("first_us"),
+        unix_micros(max(col("ts"))).as("last_us"))
+  }
+
   /** c17: retention sweep — the data-lifecycle pass every regulated or
     * cost-bounded lake runs: partitions older than the retention
     * cutoff are dropped at the DIRECTORY level (O(expired partitions),

@@ -715,6 +715,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("c18: the point-user predicate is pushed to the parquet reader " +
+      "— row-group stats can skip non-matching files") {
+    val p = plan("c18_clustered_lake")
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]"),
+      s"the filter must reach the scan for stats-based skipping\n$p")
+  }
+
   test("q43: NOT IN plans the optimized null-aware anti-join — " +
       "broadcast hash, not a nested loop") {
     val p = plan("q43_not_in_null_aware")

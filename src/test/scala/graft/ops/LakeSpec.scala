@@ -68,6 +68,33 @@ class LakeSpec extends AnyFunSuite with SparkFixture {
     assert(sealOf(s"$out/raw") == sealOf(s"$out/compact"))
   }
 
+  test("clustered write yields disjoint per-file key ranges — the " +
+      "property that makes row-group skipping surgical") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_clustered_spec")
+    val path = out.resolve("t").toString
+    // deliberately shuffled input: clustering must impose the order
+    val df = scala.util.Random.shuffle((0L to 999L).toList)
+      .toDF("user_id").withColumn("payload", col("user_id") * 3)
+    Lake.writeClustered(df, col("user_id"), path, nFiles = 4)
+    val files = Files.list(java.nio.file.Paths.get(path))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.size == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("user_id")), max(col("user_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi < lo, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    // all rows survive the layout change
+    assert(spark.read.parquet(path).count() == 1000L)
+  }
+
   test("erasing a key present in no shard rewrites its hash shard only") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_lake_spec2")
