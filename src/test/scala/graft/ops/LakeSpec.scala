@@ -95,6 +95,36 @@ class LakeSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(path).count() == 1000L)
   }
 
+  test("randomized parity: eraseKeys audit matches brute-force on " +
+      "seeded random data, negative keys included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (round <- 1 to 3) {
+      val n = 50 + rnd.nextInt(150)
+      val nShards = 2 + rnd.nextInt(6)
+      // keys may be negative and may repeat — pmod must keep shard
+      // assignment total and non-negative either way
+      val rows = (1 to n).map(i => (rnd.nextInt(60).toLong - 20L, i.toLong))
+      val eraseKeys = (1 to 8).map(_ => rnd.nextInt(70).toLong - 25L)
+        .distinct
+      val out = Files.createTempDirectory(s"graft_lake_rand$round")
+      val path = out.resolve("t").toString
+      Lake.writeSharded(rows.toDF("k", "v"), col("k"), path, nShards)
+      val audit = Lake.eraseKeys(spark, path, "k",
+        eraseKeys.toDF("k"), nShards)
+      val eSet = eraseKeys.toSet
+      val expectAfter = rows.count(r => !eSet.contains(r._1)).toLong
+      val expectShards = eraseKeys
+        .map(k => ((k % nShards) + nShards) % nShards).distinct.size.toLong
+      assert(audit == Lake.EraseAudit(n.toLong, expectAfter,
+        expectShards, 0L), s"round $round n=$n shards=$nShards")
+      val survived = spark.read.parquet(path)
+        .select("k", "v").as[(Long, Long)].collect().toSet
+      assert(survived == rows.filter(r => !eSet.contains(r._1)).toSet,
+        s"round $round content mismatch")
+    }
+  }
+
   test("erasing a key present in no shard rewrites its hash shard only") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_lake_spec2")
