@@ -182,6 +182,8 @@ object SparkEntry {
     "c18_clustered_lake" -> (PipelineQueries.clusteredLake _),
     "q42_correlated_subquery" -> (Relational.correlatedSubquery _),
     "q43_not_in_null_aware" -> (Relational.notInNullAware _),
+    "q44_forward_fill" -> (Relational.forwardFill _),
+    "q45_peak_concurrency" -> (Relational.peakConcurrency _),
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
     "st36_stream_forget" -> (StreamingQueries.streamForget _),
     "st37_stream_lake_ingest" -> (StreamingQueries.streamLakeIngest _),
@@ -871,6 +873,44 @@ object SparkEntry {
              < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
                 WHERE l2.l_partkey = l1.l_partkey)
          GROUP BY l_partkey""",
+    // q44: last_value IGNORE NULLS — the fill value is one row's
+    // untouched parquet double, bit-exact cross-engine.
+    "q44_forward_fill" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+         FROM events WHERE user_id % 5 = 2""",
+    // q45: sweep-line peak concurrency — same +1/-1 boundary-point
+    // construction (midnight-crossing intervals clipped per day),
+    // all-integer us math; -1 sorts before +1 at a tie instant
+    // (half-open intervals).
+    "q45_peak_concurrency" ->
+      """WITH iv AS (SELECT epoch_us(ts) AS s,
+                            epoch_us(ts) + 1800000000 AS e FROM events),
+         points AS (
+           SELECT s // 86400000000 AS day, s AS t, 1 AS delta FROM iv
+           UNION ALL
+           SELECT s // 86400000000,
+                  LEAST(e, (s // 86400000000 + 1) * 86400000000), -1 FROM iv
+           UNION ALL
+           SELECT e // 86400000000, (e // 86400000000) * 86400000000, 1
+             FROM iv
+             WHERE e // 86400000000 > s // 86400000000
+               AND e % 86400000000 > 0
+           UNION ALL
+           SELECT e // 86400000000, e, -1 FROM iv
+             WHERE e // 86400000000 > s // 86400000000
+               AND e % 86400000000 > 0)
+         SELECT strftime(DATE '1970-01-01' + CAST(day AS INTEGER),
+                         '%Y-%m-%d') AS day,
+                CAST(max(run) AS BIGINT) AS peak_concurrent
+         FROM (SELECT day, sum(delta) OVER (PARTITION BY day
+                 ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS run
+               FROM points)
+         GROUP BY day""",
     // st36: erasure control at 2024-01-16T00; erased users end at
     // count 0 with post-erasure arrivals audited as dropped.
     "st36_stream_forget" ->

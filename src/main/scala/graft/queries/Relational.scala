@@ -953,4 +953,85 @@ object Relational {
                 WHERE l2.l_partkey = l1.l_partkey)
          GROUP BY l_partkey""")
   }
+
+  /** q44: forward-fill / gap-fill — attach to every event the most
+    * recent purchase VALUE observed for that user (`LAST_VALUE ...
+    * IGNORE NULLS` over the per-user event-time order). The canonical
+    * "carry the last observation forward" operator every feature
+    * pipeline needs (state-of-the-world joins, sensor gap-fill,
+    * last-touch attribution); the reference expresses the same thing
+    * imperatively as a per-key state read in `ProcessCallback`
+    * (`/root/reference/processor.go:290-320`) — here it is ONE window
+    * function, no state machine.
+    *
+    * Scale notes: the window partitions by `user_id`, so the plan is
+    * one hash exchange on the natural key — per-user timelines sort
+    * independently, no global order. The `user_id % 5 = 2` slice is
+    * pushed below the window (partition-key predicate), so 4/5 of the
+    * table never reaches the sort. The fill value is a single row's
+    * untouched parquet double (never arithmetic on doubles), so the
+    * result is bit-exact cross-engine. */
+  def forwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "events")
+      .filter(col("user_id") % 5 === 2)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w).as("last_purchase_value"))
+  }
+
+  /** q45: interval-overlap peak concurrency — the sweep-line
+    * ("theater problem") aggregate: each event opens a 30-minute
+    * half-open interval `[ts, ts+30m)`; report the PEAK number of
+    * simultaneously-open intervals per day. Session/range joins can't
+    * express this (it is a property of an instant, not a pair), and
+    * the naive formulation is an O(n²) self-join; the sweep is O(n)
+    * points.
+    *
+    * Shape: ONE pruned scan of `events.ts` fans out map-side into
+    * +1/−1 boundary points via an array-literal explode (an interval
+    * crossing midnight contributes a clipped segment per day — at most
+    * 2 for a 30-min span), then one hash exchange on `day` runs the
+    * per-day running sum. The DAY is the parallel unit: each day's
+    * sweep is an independent sorted fold, so 100 TB of events
+    * parallelizes over the date range; finer granularity (hour
+    * buckets) is the same construction with a smaller modulus.
+    * Within a tie instant the −1s sort first (half-open semantics:
+    * an interval ending at t does not overlap one starting at t), and
+    * the peak of the running sum is tie-order-independent because the
+    * sum is monotone within each (t, delta) group. All-integer µs
+    * math — exact cross-engine. */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val s = unix_micros(col("ts"))
+    val e = s + 1800000000L
+    val d1 = s.divide(lit(dayUs)).cast("long")
+    val d2 = e.divide(lit(dayUs)).cast("long")
+    val crosses = (d2 > d1) && (e % dayUs > 0L)
+    def pt(day: Column, t: Column, delta: Int): Column =
+      struct(day.as("day"), t.as("t"), lit(delta).as("delta"))
+    val nullPt = lit(null).cast(
+      "struct<day:bigint,t:bigint,delta:int>")
+    table(spark, dir, "events")
+      .select(explode(filter(array(
+        pt(d1, s, 1),
+        pt(d1, least(e, (d1 + 1L) * dayUs), -1),
+        when(crosses, pt(d2, d2 * dayUs, 1)).otherwise(nullPt),
+        when(crosses, pt(d2, e, -1)).otherwise(nullPt)),
+        p => p.isNotNull)).as("p"))
+      .select(col("p.day"), col("p.t"), col("p.delta"))
+      .select(col("day"),
+        sum(col("delta")).over(Window.partitionBy(col("day"))
+          .orderBy(col("t"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("run"))
+      .groupBy(col("day"))
+      .agg(max(col("run")).as("peak_concurrent"))
+      .select(date_format(date_add(lit("1970-01-01").cast("date"),
+        col("day").cast("int")), "yyyy-MM-dd").as("day"),
+        col("peak_concurrent"))
+  }
 }
