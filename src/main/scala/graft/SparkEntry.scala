@@ -184,6 +184,7 @@ object SparkEntry {
     "q43_not_in_null_aware" -> (Relational.notInNullAware _),
     "q44_forward_fill" -> (Relational.forwardFill _),
     "q45_peak_concurrency" -> (Relational.peakConcurrency _),
+    "q46_hierarchy_flatten" -> (Relational.hierarchyFlatten _),
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
     "st36_stream_forget" -> (StreamingQueries.streamForget _),
     "st37_stream_lake_ingest" -> (StreamingQueries.streamLakeIngest _),
@@ -911,6 +912,21 @@ object SparkEntry {
                  ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS run
                FROM points)
          GROUP BY day""",
+    // q46: the oracle IS the declarative recursive form — top-down
+    // from the roots (keys < 16), one level per iteration; the engine
+    // side reaches the same closure by pointer jumping.
+    "q46_hierarchy_flatten" ->
+      """WITH RECURSIVE walk(node, root, depth) AS (
+           SELECT p_partkey, p_partkey, CAST(0 AS BIGINT)
+             FROM part WHERE p_partkey < 16
+           UNION ALL
+           SELECT p.p_partkey, w.root, w.depth + 1
+             FROM part p JOIN walk w
+               ON p.p_partkey // 2 = w.node AND p.p_partkey >= 16)
+         SELECT root, CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(max(depth) AS BIGINT) AS max_depth,
+                CAST(sum(node) AS BIGINT) AS key_sum
+         FROM walk GROUP BY root""",
     // st36: erasure control at 2024-01-16T00; erased users end at
     // count 0 with post-erasure arrivals audited as dropped.
     "st36_stream_forget" ->

@@ -983,6 +983,28 @@ object Relational {
           ignoreNulls = true).over(w).as("last_purchase_value"))
   }
 
+  /** q46: hierarchy flattening / transitive closure — resolve every
+    * part to its root in a synthetic forest (parent = ⌊key/2⌋, keys
+    * below 16 are roots) and report per-root subtree stats. The
+    * recursive-query canon (BOM explosion, org charts, category
+    * trees): the ORACLE runs DuckDB's `WITH RECURSIVE`; Spark 4.1 can
+    * run the identical declarative form (UnionLoop — HierarchySpec
+    * proves it agrees), but that plan joins the edge table once per
+    * LEVEL. This query instead uses `ops.Hierarchy.flattenForest` —
+    * pointer jumping, ⌈log₂ depth⌉ equi-join rounds — because at
+    * 100 TB a deep hierarchy under level-by-level recursion is a
+    * thousand shuffles where doubling needs ten. */
+  def hierarchyFlatten(spark: SparkSession, dir: String): DataFrame = {
+    val edges = table(spark, dir, "part").select(
+      col("p_partkey").as("node"),
+      when(col("p_partkey") >= 16L, floor(col("p_partkey") / 2))
+        .otherwise(lit(null)).cast("long").as("parent"))
+    graft.ops.Hierarchy.flattenForest(edges)
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_parts"), max(col("depth")).as("max_depth"),
+        sum(col("node")).as("key_sum"))
+  }
+
   /** q45: interval-overlap peak concurrency — the sweep-line
     * ("theater problem") aggregate: each event opens a 30-minute
     * half-open interval `[ts, ts+30m)`; report the PEAK number of
