@@ -180,6 +180,8 @@ object SparkEntry {
     "c16_idempotent_ingest" -> (PipelineQueries.idempotentIngest _),
     "c17_retention_sweep" -> (PipelineQueries.retentionSweep _),
     "c18_clustered_lake" -> (PipelineQueries.clusteredLake _),
+    "c19_lake_merge" -> (PipelineQueries.lakeMerge _),
+    "c20_time_travel" -> (PipelineQueries.timeTravel _),
     "q42_correlated_subquery" -> (Relational.correlatedSubquery _),
     "q43_not_in_null_aware" -> (Relational.notInNullAware _),
     "q44_forward_fill" -> (Relational.forwardFill _),
@@ -874,6 +876,34 @@ object SparkEntry {
              < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
                 WHERE l2.l_partkey = l1.l_partkey)
          GROUP BY l_partkey""",
+    // c19: merge ≡ recompute — post-cutoff-active users carry
+    // full-range totals (erasure-requested ones deleted), everyone
+    // else keeps the pre-cutoff snapshot row.
+    "c19_lake_merge" ->
+      """WITH pre AS (SELECT user_id, count(*) AS n_events,
+                sum(CAST(value AS DECIMAL(12,2))) AS vs
+              FROM events WHERE ts < TIMESTAMP '2024-01-16'
+              GROUP BY user_id),
+         tot AS (SELECT user_id, count(*) AS n_events,
+                sum(CAST(value AS DECIMAL(12,2))) AS vs
+              FROM events GROUP BY user_id),
+         post AS (SELECT DISTINCT user_id FROM events
+              WHERE ts >= TIMESTAMP '2024-01-16')
+         SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+                CAST(vs AS DOUBLE) AS val_sum
+         FROM (SELECT p.* FROM pre p
+                 WHERE p.user_id NOT IN (SELECT user_id FROM post)
+               UNION ALL
+               SELECT t.* FROM tot t
+                 JOIN post po ON t.user_id = po.user_id
+                 WHERE t.user_id % 7 <> 3)""",
+    // c20: time travel — v1 read back AFTER v2 committed must equal
+    // the pre-cutoff recompute.
+    "c20_time_travel" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS val_sum
+         FROM events WHERE ts < TIMESTAMP '2024-01-16'
+         GROUP BY user_id""",
     // q44: last_value IGNORE NULLS — the fill value is one row's
     // untouched parquet double, bit-exact cross-engine.
     "q44_forward_fill" ->

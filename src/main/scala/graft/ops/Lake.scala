@@ -88,4 +88,168 @@ object Lake {
       .count()
     EraseAudit(before, after.count(), affected.length.toLong, residual)
   }
+
+  // ------------------------------------------------------------------ //
+  //  Snapshot-versioned lake: copy-on-write MERGE + time travel.       //
+  // ------------------------------------------------------------------ //
+  //
+  // Layout:
+  //   <path>/files/v<N>/shard=<k>/part-*.parquet   (immutable once written)
+  //   <path>/_manifests/v<N>.manifest              (one line per shard:
+  //                                                 "<k>\t<relative dir>",
+  //                                                 "-" = shard empty)
+  //
+  // A MERGE writes new files ONLY for the shards its change set
+  // touches; every other shard is inherited by manifest reference —
+  // the Iceberg/Delta snapshot idea reduced to its load-bearing core.
+  // Old versions stay byte-identical and readable forever (time
+  // travel), because no commit ever mutates or deletes a data file.
+  // At 100 TB this is what makes both the merge (touched-shard IO
+  // only) and the audit trail (replayable snapshots) affordable; a
+  // `retentionSweep`-style expiry of manifests older than N plus a
+  // reachability sweep of unreferenced version dirs is the vacuum
+  // story, deliberately out of scope here.
+
+  /** Audit row returned by [[mergeVersioned]]. */
+  final case class MergeAudit(version: Long, shardsRewritten: Long,
+      shardsInherited: Long, rowsBefore: Long, rowsAfter: Long,
+      upserts: Long, deletes: Long)
+
+  private def manifestDir(path: String) =
+    java.nio.file.Paths.get(path, "_manifests")
+
+  /** Largest committed version at `path`, or 0 if none. */
+  def latestVersion(path: String): Int = {
+    val d = manifestDir(path)
+    if (!java.nio.file.Files.isDirectory(d)) 0
+    else {
+      val vs = java.nio.file.Files.list(d).iterator()
+      var best = 0
+      while (vs.hasNext) {
+        val n = vs.next().getFileName.toString
+        if (n.startsWith("v") && n.endsWith(".manifest"))
+          best = math.max(best, n.stripPrefix("v")
+            .stripSuffix(".manifest").toInt)
+      }
+      best
+    }
+  }
+
+  /** shard → relative data dir ("-" = empty shard) for `version`. */
+  def readManifest(path: String, version: Int): Map[Int, String] = {
+    val f = manifestDir(path).resolve(s"v$version.manifest")
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(f)).asScala
+      .filter(_.nonEmpty).map { line =>
+        val Array(k, d) = line.split("\t", 2)
+        k.toInt -> d
+      }.toMap
+  }
+
+  private def writeManifest(path: String, version: Int,
+      entries: Map[Int, String]): Unit = {
+    val d = manifestDir(path)
+    java.nio.file.Files.createDirectories(d)
+    val body = entries.toSeq.sortBy(_._1)
+      .map { case (k, dir) => s"$k\t$dir" }.mkString("\n")
+    java.nio.file.Files.write(d.resolve(s"v$version.manifest"),
+      body.getBytes("UTF-8"))
+  }
+
+  /** Which shards under `versionRel` actually received files (a
+    * partitionBy write materializes only the partitions present in
+    * the frame). */
+  private def writtenShards(path: String, versionRel: String): Set[Int] = {
+    val d = java.nio.file.Paths.get(path, versionRel)
+    if (!java.nio.file.Files.isDirectory(d)) Set.empty
+    else {
+      val it = java.nio.file.Files.list(d).iterator()
+      var out = Set.empty[Int]
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("shard=")) out += n.stripPrefix("shard=").toInt
+      }
+      out
+    }
+  }
+
+  /** Commit `df` as version 1 of a snapshot-versioned artifact,
+    * hash-sharded on `keyName` into `nShards`. */
+  def writeVersioned(df: DataFrame, keyName: String, path: String,
+      nShards: Int): Int = {
+    require(latestVersion(path) == 0, s"$path already has versions")
+    val rel = "files/v1"
+    df.withColumn("shard", pmod(col(keyName), lit(nShards.toLong)))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/$rel")
+    val present = writtenShards(path, rel)
+    writeManifest(path, 1, (0 until nShards).map(k =>
+      k -> (if (present(k)) rel else "-")).toMap)
+    1
+  }
+
+  /** Read snapshot `version` (default: latest). Returns data columns
+    * only (the shard is derivable from the key). The read plans as one
+    * parquet scan over the per-shard leaf directories the manifest
+    * names — files from several version dirs compose one snapshot. */
+  def readVersioned(spark: SparkSession, path: String,
+      version: Int = -1): DataFrame = {
+    val v = if (version < 0) latestVersion(path) else version
+    val dirs = readManifest(path, v).collect {
+      case (k, rel) if rel != "-" => s"$path/$rel/shard=$k"
+    }.toSeq.sorted
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** MERGE `changes` into the latest snapshot, committing a new
+    * version copy-on-write. `changes` carries the base schema plus an
+    * `op` column: `"upsert"` rows REPLACE the base row with the same
+    * key (or insert if absent — full-row payload, so matched-update
+    * and not-matched-insert collapse into one arm); `"delete"` rows
+    * remove the key (payload columns ignored). Only shards containing
+    * a changed key are rewritten: the changed-shard list is a
+    * request-batch-bounded collect, base rows are read ONLY from
+    * those shards' directories (directory-level pruning — the
+    * unchanged 100 TB is never opened), and unchanged shards are
+    * inherited into the new manifest by reference. */
+  def mergeVersioned(spark: SparkSession, path: String, keyName: String,
+      changes: DataFrame, nShards: Int): MergeAudit = {
+    val v = latestVersion(path)
+    require(v > 0, s"$path has no committed version to merge into")
+    val next = v + 1
+    val rel = s"files/v$next"
+    val manifest = readManifest(path, v)
+    val keyed = changes.withColumn("shard",
+      pmod(col(keyName), lit(nShards.toLong))).localCheckpoint()
+    val changedShards = keyed.select(col("shard")).distinct()
+      .collect().map(_.getLong(0).toInt).toSet
+    val baseDirs = changedShards.toSeq.sorted.collect {
+      case k if manifest(k) != "-" => s"$path/${manifest(k)}/shard=$k"
+    }
+    val base =
+      if (baseDirs.isEmpty) None else Some(spark.read.parquet(baseDirs: _*))
+    val rowsBefore = base.map(_.count()).getOrElse(0L)
+    val changeKeys = keyed.select(col(keyName)).distinct()
+    val survivors = base.map(
+      _.join(broadcast(changeKeys), Seq(keyName), "left_anti"))
+    val upserts = keyed.filter(col("op") === "upsert")
+      .drop("op", "shard")
+    val merged = survivors match {
+      case Some(s) => s.unionByName(upserts)
+      case None    => upserts
+    }
+    merged.withColumn("shard", pmod(col(keyName), lit(nShards.toLong)))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/$rel")
+    val present = writtenShards(path, rel)
+    writeManifest(path, next, manifest.map { case (k, old) =>
+      k -> (if (changedShards(k)) { if (present(k)) rel else "-" } else old)
+    })
+    MergeAudit(next.toLong, changedShards.size.toLong,
+      (nShards - changedShards.size).toLong, rowsBefore,
+      readVersioned(spark, path, next)
+        .withColumn("shard", pmod(col(keyName), lit(nShards.toLong)))
+        .filter(col("shard").isin(changedShards.toSeq.map(_.toLong): _*))
+        .count(),
+      keyed.filter(col("op") === "upsert").count(),
+      keyed.filter(col("op") === "delete").count())
+  }
 }

@@ -1156,6 +1156,61 @@ object PipelineQueries {
       "shards_rewritten", "residual")
   }
 
+  /** The shared build for c19/c20: a snapshot-versioned per-user
+    * profile lake. v1 = pre-cutoff aggregates; v2 = a MERGE of the
+    * post-cutoff change batch — full-range re-aggregates UPSERTed for
+    * users active after the cutoff (matched-update and
+    * not-matched-insert are one arm: the payload is the full row),
+    * erasure-requested users (id ≡ 3 mod 7 among them) DELETEd. */
+  private def buildVersionedProfiles(spark: SparkSession, dir: String)
+      : String = {
+    val nShards = 8
+    val cutoff = lit("2024-01-16").cast("timestamp")
+    val ev = table(spark, dir, "events")
+    def profiles(d: DataFrame) = d.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("val_sum"))
+    val lakeDir = java.nio.file.Files
+      .createTempDirectory("graft_versioned").toString + "/profiles"
+    Lake.writeVersioned(profiles(ev.filter(col("ts") < cutoff)),
+      "user_id", lakeDir, nShards)
+    val postUsers = ev.filter(col("ts") >= cutoff)
+      .select(col("user_id")).distinct()
+    val dels = postUsers.filter(col("user_id") % 7 === 3)
+      .select(col("user_id"), lit(null).cast("long").as("n_events"),
+        lit(null).cast("decimal(22,2)").as("val_sum"),
+        lit("delete").as("op"))
+    val ups = profiles(ev)
+      .join(postUsers.filter(col("user_id") % 7 =!= 3), Seq("user_id"))
+      .withColumn("op", lit("upsert"))
+    Lake.mergeVersioned(spark, lakeDir, "user_id",
+      ups.unionByName(dels), nShards)
+    lakeDir
+  }
+
+  /** c19: MERGE INTO a snapshot-versioned lake (upsert + delete,
+    * copy-on-write). The served result is the post-merge snapshot;
+    * the oracle recomputes the same state from the raw events, so
+    * hash-equality proves merge ≡ recompute while the merge itself
+    * only read and rewrote the shards the change batch touched
+    * (directory-pruned base read, manifest-inherited cold shards —
+    * LakeSpec pins the file-level behavior). */
+  def lakeMerge(spark: SparkSession, dir: String): DataFrame =
+    Lake.readVersioned(spark, buildVersionedProfiles(spark, dir))
+      .select(col("user_id"), col("n_events"),
+        col("val_sum").cast("double").as("val_sum"))
+
+  /** c20: TIME TRAVEL — after c19's merge commits v2, reading v1
+    * must return the pre-merge snapshot bit-for-bit: commits never
+    * mutate or delete data files, a snapshot is its manifest. The
+    * oracle recomputes the pre-cutoff state from raw events; c19's
+    * oracle proves v2, this one proves v1 SURVIVED v2. */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame =
+    Lake.readVersioned(spark, buildVersionedProfiles(spark, dir),
+      version = 1)
+      .select(col("user_id"), col("n_events"),
+        col("val_sum").cast("double").as("val_sum"))
+
   /** s31: ANN index DELETE — the FAISS remove_ids lifecycle completing
     * the s25 (store) / s26 (add) maintenance set: tombstoned vectors
     * (ids ≡ 3 mod 10) are dropped from the STORED inverted lists by a

@@ -135,4 +135,61 @@ class LakeSpec extends AnyFunSuite with SparkFixture {
       Seq(8L).toDF("user_id"), nShards = 2)
     assert(audit == Lake.EraseAudit(4L, 4L, 1L, 0L))
   }
+
+  test("versioned merge: copy-on-write commit — v1 files untouched, " +
+      "cold shards inherited by reference, time travel exact") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_lake_ver")
+    val path = out.resolve("t").toString
+    // keys 0..7 across 4 shards (key % 4).
+    val v1rows = (0L to 7L).map(k => (k, k * 100))
+    assert(Lake.writeVersioned(v1rows.toDF("k", "v"), "k", path, 4) == 1)
+    val before = snapshot(out)
+
+    // change batch touches shards 1 (keys 1, 5) and 2 (key 2):
+    // update k=1, insert k=9 (shard 1), delete k=2.
+    val changes = Seq(
+      (1L, 111L, "upsert"), (9L, 999L, "upsert"),
+      (2L, 0L, "delete")).toDF("k", "v", "op")
+    val audit = Lake.mergeVersioned(spark, path, "k", changes, 4)
+    assert(audit.version == 2 && audit.shardsRewritten == 2 &&
+      audit.shardsInherited == 2 && audit.upserts == 2 &&
+      audit.deletes == 1, audit.toString)
+
+    // every v1 data file is byte- and mtime-identical post-merge.
+    val after = snapshot(out)
+    before.foreach { case (f, sig) =>
+      assert(after.get(f).contains(sig), s"v1 file $f was touched")
+    }
+    // the v2 manifest inherits shards 0 and 3 from v1's directory.
+    val m2 = Lake.readManifest(path, 2)
+    assert(m2(0) == "files/v1" && m2(3) == "files/v1" &&
+      m2(1) == "files/v2" && m2(2) == "files/v2", m2.toString)
+
+    // snapshot contents: v2 = applied changes, v1 = original (time travel).
+    def read(ver: Int) = Lake.readVersioned(spark, path, ver)
+      .as[(Long, Long)].collect().toSet
+    assert(read(2) == Set((0L, 0L), (1L, 111L), (3L, 300L), (4L, 400L),
+      (5L, 500L), (6L, 600L), (7L, 700L), (9L, 999L)))
+    assert(read(1) == v1rows.toSet)
+    assert(Lake.latestVersion(path) == 2)
+  }
+
+  test("versioned merge: deleting a shard's every row marks it empty " +
+      "and a further merge can repopulate it") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_lake_ver2")
+    val path = out.resolve("t").toString
+    Lake.writeVersioned(Seq((0L, 1L), (1L, 2L)).toDF("k", "v"), "k",
+      path, 2)
+    Lake.mergeVersioned(spark, path, "k",
+      Seq((1L, 0L, "delete")).toDF("k", "v", "op"), 2)
+    assert(Lake.readManifest(path, 2)(1) == "-")
+    assert(Lake.readVersioned(spark, path, 2)
+      .as[(Long, Long)].collect().toSet == Set((0L, 1L)))
+    Lake.mergeVersioned(spark, path, "k",
+      Seq((3L, 30L, "upsert")).toDF("k", "v", "op"), 2)
+    assert(Lake.readVersioned(spark, path, 3)
+      .as[(Long, Long)].collect().toSet == Set((0L, 1L), (3L, 30L)))
+  }
 }
