@@ -190,6 +190,7 @@ object SparkEntry {
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
     "st36_stream_forget" -> (StreamingQueries.streamForget _),
     "st37_stream_lake_ingest" -> (StreamingQueries.streamLakeIngest _),
+    "st38_stream_forward_fill" -> (StreamingQueries.streamForwardFill _),
     "t25_mask_corrupt" -> (PipelineQueries.maskCorrupt _),
     "t26_quota_mix" -> (PipelineQueries.quotaMix _),
     "t27_pps_sample" -> (PipelineQueries.ppsSample _),
@@ -907,6 +908,16 @@ object SparkEntry {
     // q44: last_value IGNORE NULLS — the fill value is one row's
     // untouched parquet double, bit-exact cross-engine.
     "q44_forward_fill" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+         FROM events WHERE user_id % 5 = 2""",
+    // st38: q44's fill maintained online — shared oracle; the state
+    // update precedes the emit, matching the CURRENT ROW bound.
+    "st38_stream_forward_fill" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            last_value(CASE WHEN event_type = 'purchase' THEN value END
                       IGNORE NULLS)

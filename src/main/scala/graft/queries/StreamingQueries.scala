@@ -2494,6 +2494,61 @@ object StreamingQueries {
           element_at(col("p"), 3).cast("long").as("n_dropped"))
     }
 
+  /** st38: forward-fill maintained ONLINE — q44's `LAST_VALUE IGNORE
+    * NULLS` as live per-user keyed state: the state is the latest
+    * purchase value seen (one string), updated BEFORE the emit so a
+    * purchase fills itself exactly like the batch window's
+    * CURRENT ROW bound; every event emits its filled row at ingest.
+    * Per-key event-time order across micro-batches comes from the
+    * executor's in-batch (ts, offset) sort + time-split staging —
+    * the same contract as st13/st34. State is O(1) per user; the
+    * emitted stream is the enriched event stream a feature pipeline
+    * would sink to its store. The double rides through state and
+    * emission as its shortest-round-trip string, so the shared q44
+    * oracle hash-matches bit-for-bit. */
+  def streamForwardFill(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      val graph = GroupGraph.define("stream-forward-fill")(
+        Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+          // value = "<event_id>|<ts_us>|<event_type>|<value>"
+          val p = msg.asInstanceOf[String].split('|')
+          if (p(2) == "purchase") ctx.setValue(p(3))
+          val filled = ctx.value match {
+            case null => ""
+            case s: String => s
+          }
+          ctx.emit("filled", p(0), s"${ctx.key}|${p(1)}|$filled")
+        }),
+        Persist(StringCodec), Output("filled", StringCodec))
+      val staging = tempDir("graft_fill_split")
+      val ev = Sources.table(spark, dir, "events")
+        .filter(col("user_id") % 5 === 2)
+      stageTwoBatches(spark,
+        Sources.messages(ev, "events", col("user_id"),
+          concat_ws("|", col("event_id"), unix_micros(col("ts")),
+            col("event_type"), col("value")),
+          col("ts"), col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val filled = out.filter(_.sink == "filled")
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("event_id", "row")
+      runToTable(spark, filled)
+        .select(col("event_id").cast("long").as("event_id"),
+          split(col("row"), "\\|").as("p"))
+        .select(element_at(col("p"), 1).cast("long").as("user_id"),
+          col("event_id"),
+          element_at(col("p"), 2).cast("long").as("ts_us"),
+          when(element_at(col("p"), 3) === "", lit(null).cast("double"))
+            .otherwise(element_at(col("p"), 3).cast("double"))
+            .as("last_purchase_value"))
+    }
+
   /** st34: OHLC bars maintained ONLINE — q40's ordered aggregation as
     * live per-(day, type) keyed state: open fixes on the first arrival,
     * high/low fold monotonically, close tracks the latest, all O(1)
