@@ -188,6 +188,7 @@ object SparkEntry {
     "q45_peak_concurrency" -> (Relational.peakConcurrency _),
     "q46_hierarchy_flatten" -> (Relational.hierarchyFlatten _),
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
+    "t33_readability" -> (PipelineQueries.readabilityGrades _),
     "st36_stream_forget" -> (StreamingQueries.streamForget _),
     "st37_stream_lake_ingest" -> (StreamingQueries.streamLakeIngest _),
     "st38_stream_forward_fill" -> (StreamingQueries.streamForwardFill _),
@@ -877,6 +878,26 @@ object SparkEntry {
              < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
                 WHERE l2.l_partkey = l1.l_partkey)
          GROUP BY l_partkey""",
+    // t33: cross-multiplied integer Flesch — no division anywhere,
+    // so both engines grade identically.
+    "t33_readability" ->
+      """WITH c AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+               AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+               AS n_syllables
+           FROM documents),
+         s AS (SELECT *, GREATEST(1, (n_words + 19) // 20) AS n_sentences
+               FROM c)
+         SELECT doc_id, n_words, n_syllables, n_sentences,
+           CASE WHEN 206835*n_sentences*n_words - 1015*n_words*n_words
+                     - 84600*n_sentences*n_syllables
+                     >= 70000*n_sentences*n_words THEN 'easy'
+                WHEN 206835*n_sentences*n_words - 1015*n_words*n_words
+                     - 84600*n_sentences*n_syllables
+                     >= 50000*n_sentences*n_words THEN 'standard'
+                ELSE 'hard' END AS grade
+         FROM s""",
     // c19: merge ≡ recompute — post-cutoff-active users carry
     // full-range totals (erasure-requested ones deleted), everyone
     // else keeps the pre-cutoff snapshot row.

@@ -923,4 +923,38 @@ object TextAnalysis {
       .filter(expr("(cum div step) > ((cum - w) div step)"))
       .select(col("id").as("doc_id"), col("w").as("weight"), col("cum"))
   }
+
+  /** t33: Flesch-style readability grading, integer-exact. The three
+    * per-doc counts are regex-derived (words `[A-Za-z0-9]+`, syllable
+    * proxy = vowel GROUPS `[aeiou]+` case-insensitive — the standard
+    * heuristic when no dictionary is available); unpunctuated corpora
+    * (this fixture) get the documented 20-words-per-sentence
+    * convention: `n_sentences = max(1, ceil(words/20))`. The Flesch
+    * comparison `206.835 − 1.015·(w/s) − 84.6·(y/w) ≥ T` is
+    * CROSS-MULTIPLIED by `s·w·1000` so grading involves only int64
+    * products — no division, no floats, bit-identical in any engine
+    * (the counts bound the products far below overflow: a 1 M-word
+    * doc is ~2·10¹⁶ < 2⁶³). Map-only: one scan stage, no shuffle. */
+  def readability(df: DataFrame, text: Column, id: Column,
+      wordsPerSentence: Int = 20): DataFrame = {
+    val w = size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0)))
+      .cast("long")
+    val y = size(regexp_extract_all(lower(text), lit("[aeiou]+"), lit(0)))
+      .cast("long")
+    // F >= T  <=>  206835·s·w − 1015·w² − 84600·s·y >= 1000·T·s·w
+    def atLeast(t: Long, sw: Column, ww: Column, sy: Column) =
+      lit(206835L) * sw - lit(1015L) * ww - lit(84600L) * sy >=
+        lit(1000L * t) * sw
+    df.select(id.as("doc_id"), w.as("n_words"), y.as("n_syllables"))
+      .withColumn("n_sentences", greatest(lit(1L),
+        expr(s"(n_words + ${wordsPerSentence - 1}) div $wordsPerSentence")))
+      .withColumn("grade",
+        when(atLeast(70, col("n_sentences") * col("n_words"),
+          col("n_words") * col("n_words"),
+          col("n_sentences") * col("n_syllables")), "easy")
+        .when(atLeast(50, col("n_sentences") * col("n_words"),
+          col("n_words") * col("n_words"),
+          col("n_sentences") * col("n_syllables")), "standard")
+        .otherwise("hard"))
+  }
 }

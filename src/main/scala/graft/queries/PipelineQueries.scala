@@ -1156,6 +1156,11 @@ object PipelineQueries {
       "shards_rewritten", "residual")
   }
 
+  /** t33: integer-exact Flesch readability grading
+    * ([[TextAnalysis.readability]]) — map-only scan stage. */
+  def readabilityGrades(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(docs(spark, dir), col("text"), col("doc_id"))
+
   /** The shared build for c19/c20: a snapshot-versioned per-user
     * profile lake. v1 = pre-cutoff aggregates; v2 = a MERGE of the
     * post-cutoff change batch — full-range re-aggregates UPSERTed for

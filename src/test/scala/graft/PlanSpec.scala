@@ -740,4 +740,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"),
       s"corpus-side shuffle join defeats the apply tier\n$p")
   }
+
+  test("q44: the user-slice filter sits BELOW the window — 4/5 of the " +
+      "table never reaches the per-user sort") {
+    val p = plan("q44_forward_fill")
+    assert(p.contains("Window"), p)
+    // top-down print: Window first, then the Filter it sits above
+    assert(p.indexOf("Window") < p.indexOf("Filter"),
+      s"partition-key predicate must be pushed under the window\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 events scan, got $scans\n$p")
+  }
+
+  test("q45: sweep-line builds from ONE pruned ts scan — boundary " +
+      "points fan out map-side, no join anywhere") {
+    val p = plan("q45_peak_concurrency")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 events scan, got $scans\n$p")
+    assert(p.contains("ReadSchema: struct<ts:timestamp"),
+      s"scan must read only the ts column\n$p")
+    assert(!p.contains("Join"), s"the sweep replaces any self-join\n$p")
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("t33: readability grading is map-only — no exchange in the plan") {
+    val p = plan("t33_readability")
+    assert(!p.contains("Exchange"), s"readability must not shuffle\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
+  }
 }
