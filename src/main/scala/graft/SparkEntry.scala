@@ -187,8 +187,10 @@ object SparkEntry {
     "q44_forward_fill" -> (Relational.forwardFill _),
     "q45_peak_concurrency" -> (Relational.peakConcurrency _),
     "q46_hierarchy_flatten" -> (Relational.hierarchyFlatten _),
+    "q47_longest_gap" -> (Relational.longestGap _),
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
     "t33_readability" -> (PipelineQueries.readabilityGrades _),
+    "d26_cdc_chunks" -> (PipelineQueries.cdcChunks _),
     "st36_stream_forget" -> (StreamingQueries.streamForget _),
     "st37_stream_lake_ingest" -> (StreamingQueries.streamLakeIngest _),
     "st38_stream_forward_fill" -> (StreamingQueries.streamForwardFill _),
@@ -878,6 +880,36 @@ object SparkEntry {
              < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
                 WHERE l2.l_partkey = l1.l_partkey)
          GROUP BY l_partkey""",
+    // d26: identical chunking replicated — low-md5-byte boundaries,
+    // running-sum chunk ids, scalar (doc, idx) ordinal ownership.
+    "d26_cdc_chunks" ->
+      """WITH words AS (
+           SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+             SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+               i -> struct_pack(pos := i, w := ws[i]))) AS u
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents))
+           WHERE u.w <> ''),
+         idx AS (
+           SELECT doc_id, pos, w,
+             COALESCE(SUM(CASE WHEN CAST('0x' || substr(md5(w),1,2) AS BIGINT)
+                               % 8 = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_idx
+           FROM words),
+         chunks AS (
+           SELECT doc_id, chunk_idx,
+                  md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+           FROM idx GROUP BY doc_id, chunk_idx),
+         owned AS (
+           SELECT doc_id, chunk_idx,
+             min(doc_id * 1000000 + chunk_idx) OVER (PARTITION BY fp) AS own
+           FROM chunks)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN own < doc_id * 1000000 + chunk_idx
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+         FROM owned GROUP BY doc_id""",
     // t33: cross-multiplied integer Flesch — no division anywhere,
     // so both engines grade identically.
     "t33_readability" ->
@@ -974,6 +1006,15 @@ object SparkEntry {
                  ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS run
                FROM points)
          GROUP BY day""",
+    // q47: gaps-and-islands lag form; single-day users report 0.
+    "q47_longest_gap" ->
+      """WITH active AS (SELECT DISTINCT user_id,
+                epoch_us(ts) // 86400000000 AS d FROM events),
+         gaps AS (SELECT user_id, d - lag(d) OVER (PARTITION BY user_id
+                ORDER BY d) AS gap FROM active)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_active_days,
+                CAST(coalesce(max(gap), 0) AS BIGINT) AS longest_gap_days
+         FROM gaps GROUP BY user_id""",
     // q46: the oracle IS the declarative recursive form — top-down
     // from the roots (keys < 16), one level per iteration; the engine
     // side reaches the same closure by pointer jumping.

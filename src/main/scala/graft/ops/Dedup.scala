@@ -813,4 +813,56 @@ object Dedup {
             struct(col("seg_id"), col("seg"))))),
           x => x.getField("seg")), " ").as("clean_text"))
   }
+
+  /** d26: content-defined chunking (CDC) dedup stats — the
+    * rsync/LBFS boundary idea applied to corpus dedup: a chunk break
+    * falls AFTER any word whose hash ≡ 0 (mod `modulus`), so chunk
+    * boundaries are a function of CONTENT, not position — insert one
+    * word into a doc and every chunk except the one containing the
+    * edit keeps its identity, where d10's fixed positional windows
+    * all shift. Expected chunk length = `modulus` words.
+    *
+    * The boundary hash is the low byte of md5(word) — engine-portable
+    * (the oracle reproduces it in SQL) and deterministic. Chunk
+    * identity = md5 of the space-joined chunk; an instance is a
+    * DUPLICATE iff an identical chunk exists at a strictly smaller
+    * (doc_id, chunk_idx) — first-writer-keeps, within-doc repeats
+    * counted (d10's tie-break extended to chunk granularity).
+    *
+    * Shape: one scan → posexplode → per-doc running-sum window
+    * assigns chunk ids → per-(doc, chunk) rebuild → one fingerprint
+    * window for ownership. No self-join; the fingerprint exchange
+    * carries 16-byte keys. Per-doc windows are doc-length-bounded;
+    * the fp window has near-unique keys (hot boilerplate chunks are
+    * the d24 df-cap story). */
+  def cdcChunkStats(df: DataFrame, text: Column, id: Column,
+      modulus: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isBrk = conv(substring(md5(col("w")), 1, 2), 16, 10)
+      .cast("long") % modulus === 0L
+    val words = df.select(id.as("doc_id"),
+        posexplode(split(text, " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    // chunk index = number of breaks strictly BEFORE this word
+    val chunkIdx = sum(when(isBrk, 1L).otherwise(0L))
+      .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val chunks = words
+      .select(col("doc_id"), col("pos"), col("w"),
+        coalesce(chunkIdx, lit(0L)).as("chunk_idx"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(md5(array_join(transform(sort_array(collect_list(
+        struct(col("pos"), col("w")))), x => x.getField("w")), " "))
+        .as("fp"))
+    // scalar instance ordinal (portable to the oracle's integer min):
+    // chunk_idx is word-count-bounded, far below the 10^6 stride
+    val ord = col("doc_id") * lit(1000000L) + col("chunk_idx")
+    val owner = min(ord).over(Window.partitionBy(col("fp")))
+    chunks.withColumn("own", owner)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("own") <
+          col("doc_id") * lit(1000000L) + col("chunk_idx"), 1L)
+          .otherwise(0L)).as("n_dup_chunks"))
+  }
 }

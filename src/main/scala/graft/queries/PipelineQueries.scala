@@ -1156,6 +1156,11 @@ object PipelineQueries {
       "shards_rewritten", "residual")
   }
 
+  /** d26: content-defined chunking dedup ([[Dedup.cdcChunkStats]]) —
+    * boundary-hash chunks, first-writer-keeps ownership. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunkStats(docs(spark, dir), col("text"), col("doc_id"))
+
   /** t33: integer-exact Flesch readability grading
     * ([[TextAnalysis.readability]]) — map-only scan stage. */
   def readabilityGrades(spark: SparkSession, dir: String): DataFrame =

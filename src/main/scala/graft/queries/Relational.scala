@@ -1005,6 +1005,26 @@ object Relational {
         sum(col("node")).as("key_sum"))
   }
 
+  /** q47: longest inactivity gap — per user, the maximum day-distance
+    * between consecutive ACTIVE days (the churn-risk signal; the dual
+    * of q27's retention view). Gaps-and-islands reduced to its lag
+    * form: distinct active days per user, one `lag` window, `max`.
+    * One exchange on user_id serves both the distinct and the window
+    * (same key), single-day users report gap 0. All-integer day
+    * ordinals. */
+  def longestGap(spark: SparkSession, dir: String): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000")
+    val active = table(spark, dir, "events")
+      .select(col("user_id"), day.as("d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    active
+      .select(col("user_id"), col("d"),
+        (col("d") - lag(col("d"), 1).over(w)).as("gap"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_active_days"),
+        coalesce(max(col("gap")), lit(0L)).as("longest_gap_days"))
+  }
+
   /** q45: interval-overlap peak concurrency — the sweep-line
     * ("theater problem") aggregate: each event opens a 30-minute
     * half-open interval `[ts, ts+30m)`; report the PEAK number of

@@ -129,4 +129,43 @@ class CurationOpsSpec extends AnyFunSuite with SparkFixture {
       frameChars = 4, minFrames = 2).collect()
     assert(out.isEmpty)
   }
+
+  test("cdc chunking: one inserted word disturbs at most 2 chunks — " +
+      "the content-defined property positional windows lack") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 64 distinct tokens: with boundary probability 1/8 per word the
+    // vocabulary is essentially guaranteed to contain breaks (and the
+    // assertion below would fail loudly if a hash change ever removed
+    // them all, rather than silently passing)
+    val vocab = Vector.tabulate(64)(i => s"tok$i")
+    val base = Vector.fill(400)(vocab(rnd.nextInt(vocab.size)))
+    // insert one word mid-doc; every chunk except the edited one (and
+    // at most one split neighbor) must re-identify as a duplicate
+    val edited = (base.take(200) :+ "INSERTED") ++ base.drop(200)
+    val df = Seq((1L, base.mkString(" ")), (2L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcChunkStats(df, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val (n2, dup2) = out(2L)
+    assert(n2 - dup2 <= 2, s"edit blast radius too wide: $n2 vs $dup2 dup")
+    assert(dup2 > 0, "sanity: shared chunks must be detected")
+    // doc 1 owns everything it has (within-doc repeats aside, the
+    // random 400-word draw over a 10-word vocab can repeat chunks —
+    // only assert it never points at doc 2)
+    val (n1, dup1) = out(1L)
+    assert(n1 > 10 && dup1 < n1)
+  }
+
+  test("cdc chunking: chunk count ~ words/modulus and empty docs vanish") {
+    import spark.implicits._
+    val df = Seq((1L, ("w " * 799).trim), (2L, "")).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkStats(df, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical words -> identical per-word hash: either every word
+    // breaks (800 chunks) or none does (1 chunk)
+    assert(out(1L) == 1L || out(1L) == 799L)
+    assert(!out.contains(2L))
+  }
 }
