@@ -182,6 +182,7 @@ object SparkEntry {
     "c18_clustered_lake" -> (PipelineQueries.clusteredLake _),
     "c19_lake_merge" -> (PipelineQueries.lakeMerge _),
     "c20_time_travel" -> (PipelineQueries.timeTravel _),
+    "c21_lake_vacuum" -> (PipelineQueries.lakeVacuum _),
     "q42_correlated_subquery" -> (Relational.correlatedSubquery _),
     "q43_not_in_null_aware" -> (Relational.notInNullAware _),
     "q44_forward_fill" -> (Relational.forwardFill _),
@@ -934,6 +935,25 @@ object SparkEntry {
     // full-range totals (erasure-requested ones deleted), everyone
     // else keeps the pre-cutoff snapshot row.
     "c19_lake_merge" ->
+      """WITH pre AS (SELECT user_id, count(*) AS n_events,
+                sum(CAST(value AS DECIMAL(12,2))) AS vs
+              FROM events WHERE ts < TIMESTAMP '2024-01-16'
+              GROUP BY user_id),
+         tot AS (SELECT user_id, count(*) AS n_events,
+                sum(CAST(value AS DECIMAL(12,2))) AS vs
+              FROM events GROUP BY user_id),
+         post AS (SELECT DISTINCT user_id FROM events
+              WHERE ts >= TIMESTAMP '2024-01-16')
+         SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+                CAST(vs AS DOUBLE) AS val_sum
+         FROM (SELECT p.* FROM pre p
+                 WHERE p.user_id NOT IN (SELECT user_id FROM post)
+               UNION ALL
+               SELECT t.* FROM tot t
+                 JOIN post po ON t.user_id = po.user_id
+                 WHERE t.user_id % 7 <> 3)""",
+    // c21: vacuum never changes the surviving snapshot — c19's oracle.
+    "c21_lake_vacuum" ->
       """WITH pre AS (SELECT user_id, count(*) AS n_events,
                 sum(CAST(value AS DECIMAL(12,2))) AS vs
               FROM events WHERE ts < TIMESTAMP '2024-01-16'

@@ -252,4 +252,64 @@ object Lake {
       keyed.filter(col("op") === "upsert").count(),
       keyed.filter(col("op") === "delete").count())
   }
+
+  /** Audit row returned by [[vacuum]]. */
+  final case class VacuumAudit(droppedManifests: Long, keptManifests: Long,
+      deletedShardDirs: Long, keptShardDirs: Long)
+
+  /** Expire snapshots older than `keepFrom` and sweep the data they
+    * exclusively own: manifests `< keepFrom` are dropped, then every
+    * `files/vN/shard=K` directory NOT referenced by a surviving
+    * manifest is deleted. Reachability is computed from manifests, so
+    * a v1 shard dir that v2 INHERITED survives a vacuum of v1 — only
+    * the superseded copies of rewritten shards go. This is the
+    * Iceberg `expire_snapshots` + `remove_orphan_files` pair in one
+    * pass; after it, time travel to an expired version fails loudly
+    * (its manifest is gone), and every surviving snapshot reads
+    * byte-identically (spec-pinned). Driver-side filesystem walk —
+    * metadata-sized, never touches file contents. */
+  def vacuum(path: String, keepFrom: Int): VacuumAudit = {
+    val latest = latestVersion(path)
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"keepFrom $keepFrom outside committed range 1..$latest")
+    // .toSeq first: collect on a Map producing (dir, shard) pairs would
+    // rebuild a MAP keyed by dir and collapse same-dir entries
+    val referenced: Set[(String, Int)] =
+      (keepFrom to latest).flatMap(v => readManifest(path, v).toSeq.collect {
+        case (k, rel) if rel != "-" => (rel, k)
+      }).toSet
+    var dropped = 0L
+    (1 until keepFrom).foreach { v =>
+      val m = manifestDir(path).resolve(s"v$v.manifest")
+      if (java.nio.file.Files.deleteIfExists(m)) dropped += 1
+    }
+    val filesRoot = java.nio.file.Paths.get(path, "files")
+    var deleted = 0L; var keptDirs = 0L
+    if (java.nio.file.Files.isDirectory(filesRoot)) {
+      val vDirs = java.nio.file.Files.list(filesRoot).iterator()
+      while (vDirs.hasNext) {
+        val vDir = vDirs.next()
+        val rel = s"files/${vDir.getFileName}"
+        val shards = java.nio.file.Files.list(vDir).iterator()
+        while (shards.hasNext) {
+          val sDir = shards.next()
+          val n = sDir.getFileName.toString
+          if (n.startsWith("shard=")) {
+            if (referenced((rel, n.stripPrefix("shard=").toInt)))
+              keptDirs += 1
+            else { rmTree(sDir); deleted += 1 }
+          }
+        }
+        if (!java.nio.file.Files.list(vDir).iterator().hasNext)
+          java.nio.file.Files.delete(vDir)
+      }
+    }
+    VacuumAudit(dropped, (latest - keepFrom + 1).toLong, deleted, keptDirs)
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    val it = java.nio.file.Files.walk(p).sorted(
+      java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
+    while (it.hasNext) java.nio.file.Files.delete(it.next())
+  }
 }

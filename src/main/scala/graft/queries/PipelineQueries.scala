@@ -1221,6 +1221,20 @@ object PipelineQueries {
       .select(col("user_id"), col("n_events"),
         col("val_sum").cast("double").as("val_sum"))
 
+  /** c21: VACUUM — c19's lake with v1 expired after the merge. The
+    * serving read (latest snapshot) must be unaffected: the sweep
+    * deletes only the superseded copies of rewritten shards, keeping
+    * every v1 directory v2 still references. Shares c19's oracle;
+    * LakeSpec pins the file-level reachability behavior and that
+    * time travel to the expired version now fails loudly. */
+  def lakeVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val lakeDir = buildVersionedProfiles(spark, dir)
+    Lake.vacuum(lakeDir, keepFrom = 2)
+    Lake.readVersioned(spark, lakeDir)
+      .select(col("user_id"), col("n_events"),
+        col("val_sum").cast("double").as("val_sum"))
+  }
+
   /** s31: ANN index DELETE — the FAISS remove_ids lifecycle completing
     * the s25 (store) / s26 (add) maintenance set: tombstoned vectors
     * (ids ≡ 3 mod 10) are dropped from the STORED inverted lists by a

@@ -192,4 +192,40 @@ class LakeSpec extends AnyFunSuite with SparkFixture {
     assert(Lake.readVersioned(spark, path, 3)
       .as[(Long, Long)].collect().toSet == Set((0L, 1L), (3L, 30L)))
   }
+
+  test("vacuum: expired versions' superseded shard copies deleted, " +
+      "inherited dirs survive, surviving snapshot byte-identical") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_lake_vac")
+    val path = out.resolve("t").toString
+    Lake.writeVersioned((0L to 7L).map(k => (k, k * 100))
+      .toDF("k", "v"), "k", path, 4)
+    // touch shards 1 and 2 -> their v1 copies become superseded
+    Lake.mergeVersioned(spark, path, "k", Seq(
+      (1L, 111L, "upsert"), (2L, 0L, "delete")).toDF("k", "v", "op"), 4)
+    val v2Before = Lake.readVersioned(spark, path, 2)
+      .as[(Long, Long)].collect().toSet
+    val keptFilesBefore = snapshot(out).filter(f =>
+      f._1.contains("files/v2") ||
+        (f._1.contains("files/v1") &&
+          (f._1.contains("shard=0") || f._1.contains("shard=3"))))
+
+    val audit = Lake.vacuum(path, keepFrom = 2)
+    // kept: v1 shards 0/3 (inherited) + v2 shards 1/2 = 4 dirs
+    assert(audit == Lake.VacuumAudit(1L, 1L, 2L, 4L), audit.toString)
+
+    // superseded v1 copies of shards 1/2 are gone; inherited 0/3 intact
+    val after = snapshot(out)
+    assert(!after.keys.exists(f => f.contains("files/v1") &&
+      (f.contains("shard=1") || f.contains("shard=2"))), after.keys.toString)
+    keptFilesBefore.foreach { case (f, sig) =>
+      assert(after.get(f).contains(sig), s"reachable file $f was touched")
+    }
+    // surviving snapshot identical; expired version fails loudly
+    assert(Lake.readVersioned(spark, path, 2)
+      .as[(Long, Long)].collect().toSet == v2Before)
+    intercept[java.nio.file.NoSuchFileException] {
+      Lake.readVersioned(spark, path, 1).collect()
+    }
+  }
 }
