@@ -195,6 +195,8 @@ object SparkEntry {
     "st36_stream_forget" -> (StreamingQueries.streamForget _),
     "st37_stream_lake_ingest" -> (StreamingQueries.streamLakeIngest _),
     "st38_stream_forward_fill" -> (StreamingQueries.streamForwardFill _),
+    "st39_stream_peak_concurrency" ->
+      (StreamingQueries.streamPeakConcurrency _),
     "t25_mask_corrupt" -> (PipelineQueries.maskCorrupt _),
     "t26_quota_mix" -> (PipelineQueries.quotaMix _),
     "t27_pps_sample" -> (PipelineQueries.ppsSample _),
@@ -1050,6 +1052,32 @@ object SparkEntry {
                 CAST(max(depth) AS BIGINT) AS max_depth,
                 CAST(sum(node) AS BIGINT) AS key_sum
          FROM walk GROUP BY root""",
+    // st39: q45's sweep maintained online — shared construction and
+    // oracle; the staged stream is the boundary-point stream.
+    "st39_stream_peak_concurrency" ->
+      """WITH iv AS (SELECT epoch_us(ts) AS s,
+                            epoch_us(ts) + 1800000000 AS e FROM events),
+         points AS (
+           SELECT s // 86400000000 AS day, s AS t, 1 AS delta FROM iv
+           UNION ALL
+           SELECT s // 86400000000,
+                  LEAST(e, (s // 86400000000 + 1) * 86400000000), -1 FROM iv
+           UNION ALL
+           SELECT e // 86400000000, (e // 86400000000) * 86400000000, 1
+             FROM iv
+             WHERE e // 86400000000 > s // 86400000000
+               AND e % 86400000000 > 0
+           UNION ALL
+           SELECT e // 86400000000, e, -1 FROM iv
+             WHERE e // 86400000000 > s // 86400000000
+               AND e % 86400000000 > 0)
+         SELECT strftime(DATE '1970-01-01' + CAST(day AS INTEGER),
+                         '%Y-%m-%d') AS day,
+                CAST(max(run) AS BIGINT) AS peak_concurrent
+         FROM (SELECT day, sum(delta) OVER (PARTITION BY day
+                 ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS run
+               FROM points)
+         GROUP BY day""",
     // st36: erasure control at 2024-01-16T00; erased users end at
     // count 0 with post-erasure arrivals audited as dropped.
     "st36_stream_forget" ->

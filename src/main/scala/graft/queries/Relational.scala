@@ -1046,7 +1046,11 @@ object Relational {
     * the peak of the running sum is tie-order-independent because the
     * sum is monotone within each (t, delta) group. All-integer µs
     * math — exact cross-engine. */
-  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+  /** The q45/st39 boundary-point construction: each event's 30-min
+    * half-open interval fans out map-side into per-day-clipped
+    * (day, t, ±1) sweep points — 2 per interval, 4 when it crosses
+    * midnight. */
+  def concurrencyPoints(events: DataFrame): DataFrame = {
     val dayUs = 86400000000L
     val s = unix_micros(col("ts"))
     val e = s + 1800000000L
@@ -1057,14 +1061,18 @@ object Relational {
       struct(day.as("day"), t.as("t"), lit(delta).as("delta"))
     val nullPt = lit(null).cast(
       "struct<day:bigint,t:bigint,delta:int>")
-    table(spark, dir, "events")
-      .select(explode(filter(array(
+    events
+      .select(col("event_id"), explode(filter(array(
         pt(d1, s, 1),
         pt(d1, least(e, (d1 + 1L) * dayUs), -1),
         when(crosses, pt(d2, d2 * dayUs, 1)).otherwise(nullPt),
         when(crosses, pt(d2, e, -1)).otherwise(nullPt)),
         p => p.isNotNull)).as("p"))
-      .select(col("p.day"), col("p.t"), col("p.delta"))
+      .select(col("event_id"), col("p.day"), col("p.t"), col("p.delta"))
+  }
+
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    concurrencyPoints(table(spark, dir, "events"))
       .select(col("day"),
         sum(col("delta")).over(Window.partitionBy(col("day"))
           .orderBy(col("t"), col("delta"))

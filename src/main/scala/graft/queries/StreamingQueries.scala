@@ -2549,6 +2549,61 @@ object StreamingQueries {
             .as("last_purchase_value"))
     }
 
+  /** st39: sweep-line peak concurrency maintained ONLINE — q45 as
+    * live keyed state. The ingested stream IS the boundary-point
+    * stream (each event's day-clipped ±1 points, derived at staging —
+    * the shape a CDC feed of interval opens/closes would arrive in);
+    * per-day state is 3 longs: current depth, running peak, points
+    * applied. Event-time order per day comes from a SYNTHETIC µs
+    * ordinal `2t + (delta=+1)`, which makes −1 sort before +1 at a
+    * tie instant (half-open intervals) — and within equal ordinals
+    * the fold is order-free (same-sign deltas commute through
+    * cur/peak). The changelog's final row per day is `max_by` the
+    * monotone applied-count; the shared q45 oracle hash-matches. */
+  def streamPeakConcurrency(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-peak-concurrency")(
+        Input("points", StringCodec, ProcessCallback { (ctx, msg) =>
+          val delta = msg.asInstanceOf[String].toLong
+          val (cur, peak, n) = ctx.value match {
+            case null => (0L, 0L, 0L)
+            case s: String =>
+              val p = s.split(',')
+              (p(0).toLong, p(1).toLong, p(2).toLong)
+          }
+          val c2 = cur + delta
+          ctx.setValue(s"$c2,${math.max(peak, c2)},${n + 1L}")
+        }),
+        Persist(StringCodec))
+      val pts = graft.queries.Relational.concurrencyPoints(
+        Sources.table(spark, dir, "events"))
+      val staging = tempDir("graft_peak_split")
+      stageTwoBatches(spark,
+        Sources.messages(pts, "points", col("day"), col("delta"),
+          timestamp_micros(col("t") * 2 +
+            when(col("delta") === 1, 1L).otherwise(0L)),
+          col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("k", "st")
+      runToTable(spark, table)
+        .select(col("k"), split(col("st"), ",").as("p"))
+        .withColumn("n", element_at(col("p"), 3).cast("long"))
+        .groupBy(col("k"))
+        .agg(max_by(col("p"), col("n")).as("p"))
+        .select(date_format(date_add(lit("1970-01-01").cast("date"),
+          col("k").cast("int")), "yyyy-MM-dd").as("day"),
+          element_at(col("p"), 2).cast("long").as("peak_concurrent"))
+    }
+
   /** st34: OHLC bars maintained ONLINE — q40's ordered aggregation as
     * live per-(day, type) keyed state: open fixes on the first arrival,
     * high/low fold monotonically, close tracks the latest, all O(1)
