@@ -183,6 +183,7 @@ object SparkEntry {
     "c19_lake_merge" -> (PipelineQueries.lakeMerge _),
     "c20_time_travel" -> (PipelineQueries.timeTravel _),
     "c21_lake_vacuum" -> (PipelineQueries.lakeVacuum _),
+    "c22_expectations" -> (PipelineQueries.expectations _),
     "q42_correlated_subquery" -> (Relational.correlatedSubquery _),
     "q43_not_in_null_aware" -> (Relational.notInNullAware _),
     "q44_forward_fill" -> (Relational.forwardFill _),
@@ -954,6 +955,34 @@ object SparkEntry {
                SELECT t.* FROM tot t
                  JOIN post po ON t.user_id = po.user_id
                  WHERE t.user_id % 7 <> 3)""",
+    // c22: each rule recomputed as a filtered count; pass = 0.
+    "c22_expectations" ->
+      """SELECT 'price_le_400k' AS rule,
+           CAST(count(*) FILTER (o_totalprice > 400000.0) AS BIGINT)
+             AS violations,
+           count(*) FILTER (o_totalprice > 400000.0) = 0 AS pass
+         FROM orders
+         UNION ALL
+         SELECT 'status_known',
+           CAST(count(*) FILTER (o_orderstatus NOT IN ('O','F')) AS BIGINT),
+           count(*) FILTER (o_orderstatus NOT IN ('O','F')) = 0
+         FROM orders
+         UNION ALL
+         SELECT 'date_before_2000',
+           CAST(count(*) FILTER (o_orderdate >= TIMESTAMP '2000-01-01')
+                AS BIGINT),
+           count(*) FILTER (o_orderdate >= TIMESTAMP '2000-01-01') = 0
+         FROM orders
+         UNION ALL
+         SELECT 'custkey_not_null',
+           CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT),
+           count(*) FILTER (o_custkey IS NULL) = 0
+         FROM orders
+         UNION ALL
+         SELECT 'orderkey_unique',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+           count(*) = count(DISTINCT o_orderkey)
+         FROM orders""",
     // c21: vacuum never changes the surviving snapshot — c19's oracle.
     "c21_lake_vacuum" ->
       """WITH pre AS (SELECT user_id, count(*) AS n_events,

@@ -354,4 +354,30 @@ object Profiling {
         (col("quota") + when(col("rr") <= col("d"), 1L).otherwise(0L))
           .as("alloc"))
   }
+
+  /** c22: data-quality EXPECTATIONS gate (the Deequ/Great-Expectations
+    * contract check c06's drift report complements): named rules, each
+    * a violation predicate, evaluated in ONE aggregate pass over the
+    * table — every rule is a conditional sum riding the same scan, the
+    * optional uniqueness rule is the one `count − count_distinct` the
+    * q34 two-phase lesson allows (a single distinct never plans the
+    * Expand that multiple would). The single agg row unpivots map-side
+    * into the (rule, violations, pass) report; a CI gate keys off
+    * `pass`. At 100 TB the cost is exactly one table scan regardless
+    * of rule count. */
+  def expectationsGate(df: DataFrame, rules: Seq[(String, Column)],
+      uniqueKey: Option[(String, Column)] = None): DataFrame = {
+    val aggs = rules.map { case (n, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"v_$n")
+    } ++ uniqueKey.map { case (n, c) =>
+      (count(lit(1)) - count_distinct(c)).as(s"v_$n")
+    }
+    val names = rules.map(_._1) ++ uniqueKey.map(_._1)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(names.map(n => struct(lit(n).as("rule"),
+        col(s"v_$n").as("violations"))): _*)).as("r"))
+      .select(col("r.rule").as("rule"),
+        col("r.violations").as("violations"),
+        (col("r.violations") === 0L).as("pass"))
+  }
 }

@@ -1156,6 +1156,23 @@ object PipelineQueries {
       "shards_rewritten", "residual")
   }
 
+  /** c22: data-quality expectations gate over `orders`
+    * ([[graft.ops.Profiling.expectationsGate]]) — a five-rule
+    * contract (range, domain, date horizon, non-null, key
+    * uniqueness) checked in one scan; thresholds chosen so the
+    * report witnesses BOTH arms (the price/date/status rules have
+    * real violations in the fixture, null/uniqueness have none). */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+    graft.ops.Profiling.expectationsGate(orders,
+      Seq(
+        "price_le_400k" -> (col("o_totalprice") > 400000.0),
+        "status_known" -> !col("o_orderstatus").isin("O", "F"),
+        "date_before_2000" -> (col("o_orderdate") >= lit("2000-01-01")),
+        "custkey_not_null" -> col("o_custkey").isNull),
+      uniqueKey = Some("orderkey_unique" -> col("o_orderkey")))
+  }
+
   /** d26: content-defined chunking dedup ([[Dedup.cdcChunkStats]]) —
     * boundary-hash chunks, first-writer-keeps ownership. */
   def cdcChunks(spark: SparkSession, dir: String): DataFrame =

@@ -763,6 +763,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("c22: five expectation rules ride ONE scan — no Expand, one " +
+      "aggregate pass") {
+    val p = plan("c22_expectations")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 orders scan, got $scans\n$p")
+    assert(!p.contains("Expand"),
+      s"a single count_distinct must not plan the Expand\n$p")
+  }
+
   test("t33: readability grading is map-only — no exchange in the plan") {
     val p = plan("t33_readability")
     assert(!p.contains("Exchange"), s"readability must not shuffle\n$p")
