@@ -190,6 +190,8 @@ object SparkEntry {
     "q45_peak_concurrency" -> (Relational.peakConcurrency _),
     "q46_hierarchy_flatten" -> (Relational.hierarchyFlatten _),
     "q47_longest_gap" -> (Relational.longestGap _),
+    "q48_ewma" -> (Relational.ewmaDaily _),
+    "st40_stream_ewma" -> (StreamingQueries.streamEwma _),
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
     "t33_readability" -> (PipelineQueries.readabilityGrades _),
     "d26_cdc_chunks" -> (PipelineQueries.cdcChunks _),
@@ -1057,6 +1059,41 @@ object SparkEntry {
                  ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS run
                FROM points)
          GROUP BY day""",
+    // q48/st40: the fixed-point recurrence as a recursive CTE — both
+    // engines floor non-negative division (>> 3 vs // 8), so the fold
+    // is bit-identical.
+    "q48_ewma" ->
+      """WITH RECURSIVE daily AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS d, count(*) AS x
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT user_id, x,
+                 row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+               FROM daily),
+         ew AS (
+           SELECT user_id, rn, x * 64 AS s FROM b WHERE rn = 1
+           UNION ALL
+           SELECT b2.user_id, b2.rn, (b2.x * 64 + 7 * ew.s) // 8
+           FROM b b2 JOIN ew ON b2.user_id = ew.user_id
+                            AND b2.rn = ew.rn + 1)
+         SELECT user_id, CAST(max(rn) AS BIGINT) AS n_days,
+                CAST(arg_max(s, rn) AS BIGINT) AS ewma_x64
+         FROM ew GROUP BY user_id""",
+    "st40_stream_ewma" ->
+      """WITH RECURSIVE daily AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS d, count(*) AS x
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT user_id, x,
+                 row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+               FROM daily),
+         ew AS (
+           SELECT user_id, rn, x * 64 AS s FROM b WHERE rn = 1
+           UNION ALL
+           SELECT b2.user_id, b2.rn, (b2.x * 64 + 7 * ew.s) // 8
+           FROM b b2 JOIN ew ON b2.user_id = ew.user_id
+                            AND b2.rn = ew.rn + 1)
+         SELECT user_id, CAST(max(rn) AS BIGINT) AS n_days,
+                CAST(arg_max(s, rn) AS BIGINT) AS ewma_x64
+         FROM ew GROUP BY user_id""",
     // q47: gaps-and-islands lag form; single-day users report 0.
     "q47_longest_gap" ->
       """WITH active AS (SELECT DISTINCT user_id,

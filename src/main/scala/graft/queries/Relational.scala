@@ -1005,6 +1005,31 @@ object Relational {
         sum(col("node")).as("key_sum"))
   }
 
+  /** q48: EWMA smoothing in integer fixed point — per user, the
+    * exponentially-weighted moving average of the daily event count,
+    * α = 1/8, carried in 1/64 units: `s₁ = 64·x₁`,
+    * `sᵢ = (64·xᵢ + 7·sᵢ₋₁) >> 3`. The metrics-pipeline recurrence
+    * (load smoothing, anomaly baselines) that floats make
+    * order-fragile and engines make non-portable — in fixed point the
+    * fold is exact integers, so any engine that applies the same
+    * ordered recurrence lands on identical bits (the oracle runs it
+    * as a recursive CTE). Shift-right IS the division: both sides
+    * floor non-negative values. One exchange on user_id (daily
+    * rollup), then a per-user sorted in-row fold — O(active days)
+    * per row, no window, no second shuffle. */
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("xs"))
+      .select(col("user_id"), size(col("xs")).cast("long").as("n_days"),
+        aggregate(transform(col("xs"), e => e.getField("x")), lit(-1L),
+          (s, x) => when(s < 0L, x * 64L)
+            .otherwise(shiftright(x * 64L + s * 7L, 3)))
+          .as("ewma_x64"))
+  }
+
   /** q47: longest inactivity gap — per user, the maximum day-distance
     * between consecutive ACTIVE days (the churn-risk signal; the dual
     * of q27's retention view). Gaps-and-islands reduced to its lag

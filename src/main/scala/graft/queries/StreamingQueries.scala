@@ -2604,6 +2604,73 @@ object StreamingQueries {
           element_at(col("p"), 2).cast("long").as("peak_concurrent"))
     }
 
+  /** st40: EWMA maintained ONLINE — q48's fixed-point recurrence as
+    * live keyed state: 5 longs per user (open day, its running count,
+    * smoothed value over CLOSED days with −1 as the "none yet"
+    * sentinel, closed-day count, message counter for the changelog
+    * collapse). A day closes when the first event of a LATER day
+    * arrives — the same trigger a tumbling-window close would use —
+    * folding its count into `s` by the identical shift-right
+    * recurrence; the still-open final day is folded at READ time by
+    * the same two-case expression, so the result matches the batch
+    * fold bit-for-bit (shared recursive-CTE oracle). Per-key
+    * event-time order across micro-batches: executor in-batch
+    * (ts, offset) sort + time-split staging, as st13/st34. */
+  def streamEwma(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val dayUs = 86400000000L
+      val graph = GroupGraph.define("stream-ewma")(
+        Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+          val d = graft.operators.BatchExecutor
+            .tsMicros(ctx.timestamp) / dayUs
+          val (day, cnt, s, n, m) = ctx.value match {
+            case null => (d, 0L, -1L, 0L, 0L)
+            case st: String =>
+              val p = st.split(',')
+              (p(0).toLong, p(1).toLong, p(2).toLong, p(3).toLong,
+                p(4).toLong)
+          }
+          val next =
+            if (d == day) (day, cnt + 1L, s, n, m + 1L)
+            else {
+              // close the open day, start d
+              val s2 = if (s < 0L) cnt * 64L else (cnt * 64L + 7L * s) >> 3
+              require(d > day, s"out-of-order day $d after $day for " +
+                s"user ${ctx.key} — the staged replay must be time-ordered")
+              (d, 1L, s2, n + 1L, m + 1L)
+            }
+          ctx.setValue(
+            s"${next._1},${next._2},${next._3},${next._4},${next._5}")
+        }),
+        Persist(StringCodec))
+      val staging = stagedEventsSplit(spark, dir)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("k", "st")
+      runToTable(spark, table)
+        .select(col("k").cast("long").as("user_id"),
+          split(col("st"), ",").as("p"))
+        .withColumn("m", element_at(col("p"), 5).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(max_by(col("p"), col("m")).as("p"))
+        .select(col("user_id"),
+          (element_at(col("p"), 4).cast("long") + 1L).as("n_days"),
+          {
+            val cnt = element_at(col("p"), 2).cast("long")
+            val s = element_at(col("p"), 3).cast("long")
+            when(s < 0L, cnt * 64L)
+              .otherwise(shiftright(cnt * 64L + s * 7L, 3))
+              .as("ewma_x64")
+          })
+    }
+
   /** st34: OHLC bars maintained ONLINE — q40's ordered aggregation as
     * live per-(day, type) keyed state: open fixes on the first arrival,
     * high/low fold monotonically, close tracks the latest, all O(1)
