@@ -146,6 +146,7 @@ object SparkEntry {
     "s31_ann_index_delete" -> (PipelineQueries.annIndexDelete _),
     "s32_hard_negatives" -> (PipelineQueries.hardNegatives _),
     "s33_index_drift" -> (PipelineQueries.indexDrift _),
+    "s34_retrain_response" -> (PipelineQueries.retrainResponse _),
     "s27_graph_ann" -> (PipelineQueries.graphAnn _),
     "s28_knn_classify" -> (PipelineQueries.knnClassify _),
     "s29_retrieval_mrr" -> (PipelineQueries.retrievalMrr _),
@@ -2977,6 +2978,7 @@ object SparkEntry {
     // s33: exact per-cell quantization error, base members vs adds,
     // under the base-trained frozen model.
     "s33_index_drift" -> indexDriftOracleSql,
+    "s34_retrain_response" -> retrainResponseOracleSql,
     // s27: fixed-depth beam search over the exact degree-8 kNN graph —
     // entry = min corpus id, hop 1 = its adjacency, beam-4 by exact
     // cosine (ties by node id), hop 2 = the beam's adjacency, exact
@@ -4131,6 +4133,35 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_vectors,
            CAST(sum(d2) AS BIGINT) AS sum_sqd
          FROM sqd GROUP BY 1, 2"""
+
+  /** s34: the Lloyd chain replayed TWICE — frozen (base-trained) and
+    * retrained (all-trained) — with the chain's CTE names suffixed so
+    * both live in one WITH; per (cell, model) exact error rollup. */
+  private def retrainResponseOracleSql: String = {
+    val names = Seq("pre", "cents0", "asg1", "cd1", "cents1", "asg2",
+      "cd2", "cents2", "assignT")
+    def chain(baseWhere: String, sfx: String): String =
+      names.foldLeft(ivfAssignChainSql(baseWhere).stripPrefix("WITH "))(
+        (s, n) => s.replaceAll("\\b" + n + "\\b", n + sfx))
+    def err(sfx: String, label: String): String =
+      s"""sqd$sfx AS (
+           SELECT a.cid, a.vec_id,
+             CAST((SELECT sum((x - y) * (x - y))
+                   FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS BIGINT)
+               AS d2
+           FROM assignT$sfx a JOIN pre$sfx p ON p.vec_id = a.vec_id
+                          JOIN cents2$sfx c ON c.cid = a.cid),
+         err$sfx AS (
+           SELECT cid AS cell, '$label' AS scope,
+             CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(sum(d2) AS BIGINT) AS sum_sqd
+           FROM sqd$sfx GROUP BY 1, 2)"""
+    s"""WITH ${chain("vec_id % 10 <> 7", "_f")},
+         ${chain("TRUE", "_r")},
+         ${err("_f", "frozen")},
+         ${err("_r", "retrained")}
+         SELECT * FROM err_f UNION ALL SELECT * FROM err_r"""
+  }
 
   /** Shared by q32 (batch gaps-and-islands) and st22 (streaming keyed
     * CDC apply): both must land on this SCD2 version table. */

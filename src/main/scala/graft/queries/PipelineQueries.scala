@@ -1302,6 +1302,29 @@ object PipelineQueries {
       when(col("vid") % 10 === 7, "add").otherwise("base"))
   }
 
+  /** s34: drift RESPONSE — the retrain s33's gate exists to trigger,
+    * with the improvement MEASURED rather than assumed: the same
+    * 16-cell/2-iter Lloyd recipe retrained over base+arrivals, then
+    * the full corpus assigned under BOTH models and the exact int64
+    * Σ‖v−c‖² reported per (cell, model). The before/after pair is the
+    * retrain decision's cost-benefit evidence; at 100 TB both
+    * assignment passes are one broadcast-model scan each, and the
+    * retrain itself is the s08 training cost — nothing quadratic
+    * appears. Oracle: the two Lloyd chains replayed with the training
+    * filter as the only difference. */
+  def retrainResponse(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val base = e.filter(col("vec_id") % 10 =!= 7)
+    val (frozen, _) = Vectors.kmeansFit(base, col("vec_id"),
+      col("embedding"), k = 16, iters = 2)
+    val (retrained, _) = Vectors.kmeansFit(e, col("vec_id"),
+      col("embedding"), k = 16, iters = 2)
+    Vectors.quantizationError(e, col("vec_id"), col("embedding"),
+        frozen, lit("frozen"))
+      .unionByName(Vectors.quantizationError(e, col("vec_id"),
+        col("embedding"), retrained, lit("retrained")))
+  }
+
   /** d23: incremental near-dup via the stored LSH index — the corpus
     * is banded ONCE into a parquet artifact; arrivals (ids ≡ 7 mod 10,
     * the s26 carving) probe the stored bands and the exact verify
