@@ -192,6 +192,8 @@ object SparkEntry {
     "q46_hierarchy_flatten" -> (Relational.hierarchyFlatten _),
     "q47_longest_gap" -> (Relational.longestGap _),
     "q48_ewma" -> (Relational.ewmaDaily _),
+    "q49_time_weighted_avg" -> (Relational.timeWeightedAvg _),
+    "q50_point_in_time_join" -> (Relational.pointInTimeJoin _),
     "st40_stream_ewma" -> (StreamingQueries.streamEwma _),
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
     "t33_readability" -> (PipelineQueries.readabilityGrades _),
@@ -1095,6 +1097,41 @@ object SparkEntry {
          SELECT user_id, CAST(max(rn) AS BIGINT) AS n_days,
                 CAST(arg_max(s, rn) AS BIGINT) AS ewma_x64
          FROM ew GROUP BY user_id""",
+    // q49: holding durations from lead(); numerator/denominator as
+    // exact integers, the division is the caller's.
+    "q49_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS vc,
+               epoch_us(ts) // 86400000000 AS day FROM events),
+         w AS (SELECT user_id, day, vc, t,
+                 COALESCE(lead(t) OVER (PARTITION BY user_id, day
+                     ORDER BY t, event_id),
+                   (day + 1) * 86400000000) AS tnext
+               FROM e)
+         SELECT user_id,
+           strftime(DATE '1970-01-01' + CAST(day AS INTEGER),
+                    '%Y-%m-%d') AS day,
+           CAST(sum(vc * (tnext - t)) AS BIGINT) AS weighted_sum,
+           CAST(sum(tnext - t) AS BIGINT) AS dur_us,
+           CAST(count(*) AS BIGINT) AS n_obs
+         FROM w GROUP BY user_id, day""",
+    // q50: the oracle runs the INTERVAL-join form the engine avoids —
+    // equality proves union+forward-fill ≡ point-in-time join.
+    "q50_point_in_time_join" ->
+      """WITH dim AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+               CAST(floor(value / 100) AS BIGINT) AS tier
+             FROM events WHERE event_type = 'purchase'),
+         f AS (SELECT user_id, epoch_us(ts) AS t, event_id
+               FROM events WHERE event_type = 'click'),
+         j AS (SELECT f.user_id, f.event_id,
+                 (SELECT d.tier FROM dim d
+                  WHERE d.user_id = f.user_id AND d.t <= f.t
+                  ORDER BY d.t DESC, d.event_id DESC LIMIT 1) AS tier
+               FROM f)
+         SELECT COALESCE(tier, -1) AS tier,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM j GROUP BY 1""",
     // q47: gaps-and-islands lag form; single-day users report 0.
     "q47_longest_gap" ->
       """WITH active AS (SELECT DISTINCT user_id,

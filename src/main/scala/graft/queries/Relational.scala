@@ -1005,6 +1005,73 @@ object Relational {
         sum(col("node")).as("key_sum"))
   }
 
+  /** q49: time-weighted average (metering/billing): per (user, day),
+    * each observation's value is HELD until the next observation that
+    * day (the last until midnight), and the day's average weights
+    * each value by its holding duration — the semantics meters,
+    * spot-price billing and utilization SLAs need, where a plain AVG
+    * over-counts bursts of samples. Emitted as exact integers
+    * (`Σ value_c·dur_µs`, `Σ dur_µs`, cents-scaled values): the
+    * division is the caller's, so the engine result is bit-exact.
+    * One (user, day) exchange serves the lead window and the rollup;
+    * products stay < 2⁶³ by construction (value ≤ 10⁶ cents × day in
+    * µs ≈ 8.6·10¹⁶). */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"),
+        floor(col("value") * 100.0d).cast("long").as("vc"))
+      .withColumn("day", expr("t div 86400000000"))
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("t"), col("event_id"))
+    e.withColumn("tnext",
+        coalesce(lead(col("t"), 1).over(w), (col("day") + 1L) * dayUs))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("vc") * (col("tnext") - col("t"))).as("weighted_sum"),
+        sum(col("tnext") - col("t")).as("dur_us"),
+        count(lit(1)).as("n_obs"))
+      .select(col("user_id"),
+        date_format(date_add(lit("1970-01-01").cast("date"),
+          col("day").cast("int")), "yyyy-MM-dd").as("day"),
+        col("weighted_sum"), col("dur_us"), col("n_obs"))
+  }
+
+  /** q50: POINT-IN-TIME dimension join (feature-store "time travel
+    * correctness"): every click is enriched with the user's tier AS
+    * OF the click instant — the tier set by the latest purchase at or
+    * before it (same-instant purchase counts; later ones must not
+    * leak backward). The textbook plan is an inequality join against
+    * the SCD2 version table (the ORACLE does exactly that, correlated
+    * `ORDER BY t DESC LIMIT 1`) — O(facts·versions) pairs at scale.
+    * This plan instead UNIONS dim and fact rows on the shared
+    * (user, time) order and forward-fills the tier (q44's machinery):
+    * ONE user_id exchange, no join node at all (PlanSpec-pinned), and
+    * the oracle equality proves union+fill ≡ interval join. Dim rows
+    * sort before facts at a tie instant; among same-instant purchases
+    * the fill keeps the highest event_id, matching the oracle's
+    * DESC LIMIT 1. */
+  def pointInTimeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val dim = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        lit(0).as("kind"), col("event_id"),
+        floor(col("value") / 100.0d).cast("long").as("tier"))
+    val facts = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        lit(1).as("kind"), col("event_id"),
+        lit(null).cast("long").as("tier"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(facts)
+      .withColumn("cur_tier", last(col("tier"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .groupBy(coalesce(col("cur_tier"), lit(-1L)).as("tier"))
+      .agg(count(lit(1)).as("n_clicks"),
+        count_distinct(col("user_id")).as("n_users"))
+  }
+
   /** q48: EWMA smoothing in integer fixed point — per user, the
     * exponentially-weighted moving average of the daily event count,
     * α = 1/8, carried in 1/64 units: `s₁ = 64·x₁`,

@@ -772,6 +772,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"a single count_distinct must not plan the Expand\n$p")
   }
 
+  test("q50: point-in-time dimension join plans with NO join node — " +
+      "union + forward-fill replaces the interval join") {
+    val p = plan("q50_point_in_time_join")
+    assert(!p.contains("Join"),
+      s"the union+fill plan must not contain any join\n$p")
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
+
   test("t33: readability grading is map-only — no exchange in the plan") {
     val p = plan("t33_readability")
     assert(!p.contains("Exchange"), s"readability must not shuffle\n$p")
