@@ -185,6 +185,7 @@ object SparkEntry {
     "c20_time_travel" -> (PipelineQueries.timeTravel _),
     "c21_lake_vacuum" -> (PipelineQueries.lakeVacuum _),
     "c22_expectations" -> (PipelineQueries.expectations _),
+    "m08_media_integrity" -> (PipelineQueries.mediaIntegrity _),
     "q42_correlated_subquery" -> (Relational.correlatedSubquery _),
     "q43_not_in_null_aware" -> (Relational.notInNullAware _),
     "q44_forward_fill" -> (Relational.forwardFill _),
@@ -960,6 +961,26 @@ object SparkEntry {
                SELECT t.* FROM tot t
                  JOIN post po ON t.user_id = po.user_id
                  WHERE t.user_id % 7 <> 3)""",
+    // m08: the same synthesized damage replayed — truncation takes
+    // precedence over checksum, as in the engine's when-chain.
+    "m08_media_integrity" ->
+      """WITH d AS (SELECT doc_id, source, text,
+               length(text) AS dl, md5(text) AS dm FROM documents),
+         p AS (SELECT doc_id, source, dl, dm,
+               CASE WHEN doc_id % 13 = 4 THEN substr(text, 1, dl // 2)
+                    WHEN doc_id % 17 = 5
+                      THEN 'X' || substr(text, 2, dl)
+                    ELSE text END AS payload
+               FROM d),
+         s AS (SELECT source,
+               CASE WHEN length(payload) < dl THEN 'truncated'
+                    WHEN md5(payload) <> dm THEN 'corrupted'
+                    ELSE 'ok' END AS status,
+               dl - length(payload) AS lost
+               FROM p)
+         SELECT source, status, CAST(count(*) AS BIGINT) AS n_blobs,
+                CAST(sum(lost) AS BIGINT) AS chars_lost
+         FROM s GROUP BY source, status""",
     // c22: each rule recomputed as a filtered count; pass = 0.
     "c22_expectations" ->
       """SELECT 'price_le_400k' AS rule,

@@ -404,4 +404,29 @@ object Multimodal {
       }(enc)
       .toDF("id", "format", "n_bytes", "width", "height", "feat0")
   }
+
+  /** m08: media INTEGRITY gate — the transfer-damage triage every
+    * multimodal ingest runs before wasting decoder cycles: each
+    * payload arrives with origin-declared metadata (length +
+    * checksum), and the gate classifies `truncated` (payload shorter
+    * than declared — the partial-download signature), `corrupted`
+    * (length intact, checksum mismatch — bit-rot / re-encode), or
+    * `ok`, rolled up per source with the byte-loss total. Map-only:
+    * length and md5 are per-row Catalyst expressions, the rollup is
+    * one source-sized exchange. Character-length semantics here (the
+    * fixture payload rides a string column); a byte-domain deployment
+    * swaps `length` for `octet_length` on the binary column — same
+    * plan. */
+  def integrityGate(df: DataFrame, payload: Column, declaredLen: Column,
+      declaredMd5: Column, source: Column): DataFrame =
+    df.select(source.as("source"),
+        declaredLen.as("dl"), length(payload).as("al"),
+        (md5(payload) === declaredMd5).as("sumOk"))
+      .withColumn("status",
+        when(col("al") < col("dl"), "truncated")
+          .when(!col("sumOk"), "corrupted")
+          .otherwise("ok"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("dl") - col("al")).as("chars_lost"))
 }

@@ -1156,6 +1156,27 @@ object PipelineQueries {
       "shards_rewritten", "residual")
   }
 
+  /** m08: media integrity gate ([[Multimodal.integrityGate]]) over a
+    * synthesized damaged transfer: origin metadata (declared length +
+    * md5) comes from the intact text; payloads arrive truncated to
+    * half for ids ≡ 4 mod 13 (partial download) and with the first
+    * char flipped for ids ≡ 5 mod 17 (bit-rot — length intact,
+    * checksum broken). The gate must classify all three arms per
+    * source; the oracle replays the same damage in SQL. */
+  def mediaIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).as("dl"), md5(col("text")).as("dm"))
+      .withColumn("payload",
+        when(col("doc_id") % 13 === 4,
+          col("text").substr(lit(1), expr("dl div 2").cast("int")))
+          .when(col("doc_id") % 17 === 5,
+            concat(lit("X"), col("text").substr(lit(2), col("dl"))))
+          .otherwise(col("text")))
+    Multimodal.integrityGate(d, col("payload"), col("dl"), col("dm"),
+      col("source"))
+  }
+
   /** c22: data-quality expectations gate over `orders`
     * ([[graft.ops.Profiling.expectationsGate]]) — a five-rule
     * contract (range, domain, date horizon, non-null, key
