@@ -196,6 +196,7 @@ object SparkEntry {
     "q49_time_weighted_avg" -> (Relational.timeWeightedAvg _),
     "q50_point_in_time_join" -> (Relational.pointInTimeJoin _),
     "st40_stream_ewma" -> (StreamingQueries.streamEwma _),
+    "st41_stream_metering" -> (StreamingQueries.streamMetering _),
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
     "t33_readability" -> (PipelineQueries.readabilityGrades _),
     "d26_cdc_chunks" -> (PipelineQueries.cdcChunks _),
@@ -1121,6 +1122,24 @@ object SparkEntry {
     // q49: holding durations from lead(); numerator/denominator as
     // exact integers, the division is the caller's.
     "q49_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS vc,
+               epoch_us(ts) // 86400000000 AS day FROM events),
+         w AS (SELECT user_id, day, vc, t,
+                 COALESCE(lead(t) OVER (PARTITION BY user_id, day
+                     ORDER BY t, event_id),
+                   (day + 1) * 86400000000) AS tnext
+               FROM e)
+         SELECT user_id,
+           strftime(DATE '1970-01-01' + CAST(day AS INTEGER),
+                    '%Y-%m-%d') AS day,
+           CAST(sum(vc * (tnext - t)) AS BIGINT) AS weighted_sum,
+           CAST(sum(tnext - t) AS BIGINT) AS dur_us,
+           CAST(count(*) AS BIGINT) AS n_obs
+         FROM w GROUP BY user_id, day""",
+    // st41: q49's meter maintained online — shared oracle; the open
+    // tail (last value to midnight) folds at read time.
+    "st41_stream_metering" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
                CAST(floor(value * 100) AS BIGINT) AS vc,
                epoch_us(ts) // 86400000000 AS day FROM events),

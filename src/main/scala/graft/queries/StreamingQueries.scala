@@ -2604,6 +2604,76 @@ object StreamingQueries {
           element_at(col("p"), 2).cast("long").as("peak_concurrent"))
     }
 
+  /** st41: usage metering maintained ONLINE — q49's time-weighted
+    * accumulation as live keyed state per (user, day): each arrival
+    * closes the previous observation's holding interval and adds its
+    * exact `value_c · dur_µs` term; the still-open tail (last value
+    * held to midnight) is folded at READ time, mirroring st40's
+    * open-day treatment. 4 longs per key, meter-read semantics at any
+    * instant; shares q49's oracle bit-for-bit. */
+  def streamMetering(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val dayUs = 86400000000L
+      val graph = GroupGraph.define("stream-metering")(
+        Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+          val t = graft.operators.BatchExecutor.tsMicros(ctx.timestamp)
+          val vc = msg.asInstanceOf[String].toLong
+          // state = (t_first, t_last, vc_last, acc, n)
+          val next = ctx.value match {
+            case null => (t, t, vc, 0L, 1L)
+            case s: String =>
+              val p = s.split(',')
+              val (t0, pt, pvc, acc, n) = (p(0).toLong, p(1).toLong,
+                p(2).toLong, p(3).toLong, p(4).toLong)
+              (t0, t, vc, acc + pvc * (t - pt), n + 1L)
+          }
+          ctx.setValue(
+            s"${next._1},${next._2},${next._3},${next._4},${next._5}")
+        }),
+        Persist(StringCodec))
+      val staging = tempDir("graft_meter_split")
+      val ev = Sources.table(spark, dir, "events")
+      stageTwoBatches(spark,
+        Sources.messages(ev, "events",
+          concat_ws("|", col("user_id"),
+            expr("unix_micros(ts) div 86400000000")),
+          floor(col("value") * 100.0d).cast("long"),
+          col("ts"), col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("k", "st")
+      runToTable(spark, table)
+        .select(split(col("k"), "\\|").as("kk"),
+          split(col("st"), ",").as("p"))
+        .select(
+          element_at(col("kk"), 1).cast("long").as("user_id"),
+          element_at(col("kk"), 2).cast("long").as("day"),
+          element_at(col("p"), 1).cast("long").as("t0"),
+          element_at(col("p"), 2).cast("long").as("t"),
+          element_at(col("p"), 3).cast("long").as("vc"),
+          element_at(col("p"), 4).cast("long").as("acc"),
+          element_at(col("p"), 5).cast("long").as("n"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(max_by(struct(col("t0"), col("t"), col("vc"), col("acc")),
+          col("n")).as("s"), max(col("n")).as("n_obs"))
+        .select(col("user_id"),
+          date_format(date_add(lit("1970-01-01").cast("date"),
+            col("day").cast("int")), "yyyy-MM-dd").as("day"),
+          (col("s.acc") +
+            col("s.vc") * ((col("day") + 1L) * dayUs - col("s.t")))
+            .as("weighted_sum"),
+          ((col("day") + 1L) * dayUs - col("s.t0")).as("dur_us"),
+          col("n_obs"))
+    }
+
   /** st40: EWMA maintained ONLINE — q48's fixed-point recurrence as
     * live keyed state: 5 longs per user (open day, its running count,
     * smoothed value over CLOSED days with −1 as the "none yet"
