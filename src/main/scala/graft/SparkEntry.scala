@@ -186,6 +186,7 @@ object SparkEntry {
     "c21_lake_vacuum" -> (PipelineQueries.lakeVacuum _),
     "c22_expectations" -> (PipelineQueries.expectations _),
     "m08_media_integrity" -> (PipelineQueries.mediaIntegrity _),
+    "c23_media_card" -> (PipelineQueries.mediaCard _),
     "q42_correlated_subquery" -> (Relational.correlatedSubquery _),
     "q43_not_in_null_aware" -> (Relational.notInNullAware _),
     "q44_forward_fill" -> (Relational.forwardFill _),
@@ -194,6 +195,7 @@ object SparkEntry {
     "q47_longest_gap" -> (Relational.longestGap _),
     "q48_ewma" -> (Relational.ewmaDaily _),
     "q49_time_weighted_avg" -> (Relational.timeWeightedAvg _),
+    "q51_frequent_sequences" -> (Relational.frequentSequences _),
     "q50_point_in_time_join" -> (Relational.pointInTimeJoin _),
     "st40_stream_ewma" -> (StreamingQueries.streamEwma _),
     "st41_stream_metering" -> (StreamingQueries.streamMetering _),
@@ -962,6 +964,35 @@ object SparkEntry {
                SELECT t.* FROM tot t
                  JOIN post po ON t.user_id = po.user_id
                  WHERE t.user_id % 7 <> 3)""",
+    // c23: m08's triage + the m01 stub-dimension formula rolled into
+    // the per-source ingest card.
+    "c23_media_card" ->
+      """WITH d AS (SELECT doc_id, source, text,
+               length(text) AS dl, md5(text) AS dm FROM documents),
+         p AS (SELECT doc_id, source, dl, dm,
+               CASE WHEN doc_id % 13 = 4 THEN substr(text, 1, dl // 2)
+                    WHEN doc_id % 17 = 5
+                      THEN 'X' || substr(text, 2, dl)
+                    ELSE text END AS payload
+               FROM d),
+         s AS (SELECT source, length(payload) AS al,
+               CASE WHEN length(payload) < dl THEN 'truncated'
+                    WHEN md5(payload) <> dm THEN 'corrupted'
+                    ELSE 'ok' END AS status
+               FROM p)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_blobs,
+           CAST(sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ok,
+           CAST(sum(CASE WHEN status = 'truncated' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_truncated,
+           CAST(sum(CASE WHEN status = 'corrupted' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_corrupted,
+           CAST(sum(CASE WHEN status = 'ok' THEN al ELSE 0 END) AS BIGINT)
+             AS ok_chars,
+           CAST(sum(CASE WHEN status = 'ok'
+                    THEN (al % 640) * (al % 480) ELSE 0 END) AS BIGINT)
+             AS ok_stub_px
+         FROM s GROUP BY source""",
     // m08: the same synthesized damage replayed — truncation takes
     // precedence over checksum, as in the engine's when-chain.
     "m08_media_integrity" ->
@@ -1119,6 +1150,18 @@ object SparkEntry {
          SELECT user_id, CAST(max(rn) AS BIGINT) AS n_days,
                 CAST(arg_max(s, rn) AS BIGINT) AS ewma_x64
          FROM ew GROUP BY user_id""",
+    // q51: identical lag construction; top-10 with full tie-break.
+    "q51_frequent_sequences" ->
+      """WITH t AS (SELECT user_id, event_type AS e3,
+               lag(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS e2,
+               lag(event_type, 2) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS e1
+             FROM events)
+         SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+         FROM t WHERE e1 IS NOT NULL
+         GROUP BY e1, e2, e3
+         ORDER BY n DESC, e1, e2, e3 LIMIT 10""",
     // q49: holding durations from lead(); numerator/denominator as
     // exact integers, the division is the caller's.
     "q49_time_weighted_avg" ->

@@ -1177,6 +1177,42 @@ object PipelineQueries {
       col("source"))
   }
 
+  /** c23: media INGEST CARD — the c04 dataset-card idea for the
+    * multimodal path, as ONE Catalyst plan over one scan: m08's
+    * integrity triage feeds a per-source card of admitted/quarantined
+    * counts, admitted byte volume, and the admitted blobs' stub-decode
+    * pixel total (the m01 dimension formula as Catalyst arithmetic —
+    * the card needs the numbers, not the decoder trait). The report a
+    * media ingest publishes alongside the lake commit. */
+  def mediaCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).as("dl"), md5(col("text")).as("dm"))
+      .withColumn("payload",
+        when(col("doc_id") % 13 === 4,
+          col("text").substr(lit(1), expr("dl div 2").cast("int")))
+          .when(col("doc_id") % 17 === 5,
+            concat(lit("X"), col("text").substr(lit(2), col("dl"))))
+          .otherwise(col("text")))
+      .withColumn("al", length(col("payload")))
+      .withColumn("status",
+        when(col("al") < col("dl"), "truncated")
+          .when(md5(col("payload")) =!= col("dm"), "corrupted")
+          .otherwise("ok"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("status") === "truncated", 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(when(col("status") === "corrupted", 1L).otherwise(0L))
+          .as("n_corrupted"),
+        sum(when(col("status") === "ok", col("al")).otherwise(0L))
+          .cast("long").as("ok_chars"),
+        sum(when(col("status") === "ok",
+          (col("al") % 640) * (col("al") % 480)).otherwise(0L))
+          .cast("long").as("ok_stub_px"))
+  }
+
   /** c22: data-quality expectations gate over `orders`
     * ([[graft.ops.Profiling.expectationsGate]]) — a five-rule
     * contract (range, domain, date horizon, non-null, key

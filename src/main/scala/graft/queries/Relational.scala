@@ -1005,6 +1005,28 @@ object Relational {
         sum(col("node")).as("key_sum"))
   }
 
+  /** q51: frequent-sequence mining (lite): the top-10 most common
+    * 3-step event-type TRANSITIONS across all per-user timelines —
+    * the "what do users do next" table a product-analytics canon
+    * (and the CEP-rule discovery input: q37 matches a known pattern,
+    * this finds the patterns worth matching). Two lags over the
+    * per-user order, one global trigram count, TakeOrdered top-10
+    * with the trigram as the deterministic tie-break. */
+  def frequentSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e3"))
+      .withColumn("e2", lag(col("e3"), 1).over(w))
+      .withColumn("e1", lag(col("e3"), 2).over(w))
+      .filter(col("e1").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(10)
+  }
+
   /** q49: time-weighted average (metering/billing): per (user, day),
     * each observation's value is HELD until the next observation that
     * day (the last until midnight), and the day's average weights
