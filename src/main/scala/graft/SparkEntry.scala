@@ -196,9 +196,12 @@ object SparkEntry {
     "q48_ewma" -> (Relational.ewmaDaily _),
     "q49_time_weighted_avg" -> (Relational.timeWeightedAvg _),
     "q51_frequent_sequences" -> (Relational.frequentSequences _),
+    "q52_basket_lift" -> (Relational.basketLift _),
     "q50_point_in_time_join" -> (Relational.pointInTimeJoin _),
     "st40_stream_ewma" -> (StreamingQueries.streamEwma _),
     "st41_stream_metering" -> (StreamingQueries.streamMetering _),
+    "st42_stream_sequences" ->
+      (StreamingQueries.streamFrequentSequences _),
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
     "t33_readability" -> (PipelineQueries.readabilityGrades _),
     "d26_cdc_chunks" -> (PipelineQueries.cdcChunks _),
@@ -1150,6 +1153,27 @@ object SparkEntry {
          SELECT user_id, CAST(max(rn) AS BIGINT) AS n_days,
                 CAST(arg_max(s, rn) AS BIGINT) AS ewma_x64
          FROM ew GROUP BY user_id""",
+    // q52: raw association-rule integers — lift/confidence are the
+    // caller's ratios, the engine result stays exact.
+    "q52_basket_lift" ->
+      """WITH baskets AS (SELECT DISTINCT user_id,
+               epoch_us(ts) // 86400000000 AS day, event_type
+             FROM events),
+         pairs AS (SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(count(*) AS BIGINT) AS n_ab
+             FROM baskets a JOIN baskets b
+               ON a.user_id = b.user_id AND a.day = b.day
+              AND a.event_type < b.event_type
+             GROUP BY 1, 2),
+         sup AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                 FROM baskets GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets
+                 FROM (SELECT DISTINCT user_id, day FROM baskets))
+         SELECT p.ta, p.tb, sa.n AS n_a, sb.n AS n_b, p.n_ab,
+                t.n_baskets
+         FROM pairs p JOIN sup sa ON sa.event_type = p.ta
+                      JOIN sup sb ON sb.event_type = p.tb
+                      CROSS JOIN tot t""",
     // q51: identical lag construction; top-10 with full tie-break.
     "q51_frequent_sequences" ->
       """WITH t AS (SELECT user_id, event_type AS e3,
@@ -1180,6 +1204,19 @@ object SparkEntry {
            CAST(sum(tnext - t) AS BIGINT) AS dur_us,
            CAST(count(*) AS BIGINT) AS n_obs
          FROM w GROUP BY user_id, day""",
+    // st42: q51's mining maintained online — shared oracle; per-user
+    // order makes each arrival emit exactly the batch window's trigram.
+    "st42_stream_sequences" ->
+      """WITH t AS (SELECT user_id, event_type AS e3,
+               lag(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS e2,
+               lag(event_type, 2) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS e1
+             FROM events)
+         SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+         FROM t WHERE e1 IS NOT NULL
+         GROUP BY e1, e2, e3
+         ORDER BY n DESC, e1, e2, e3 LIMIT 10""",
     // st41: q49's meter maintained online — shared oracle; the open
     // tail (last value to midnight) folds at read time.
     "st41_stream_metering" ->

@@ -1027,6 +1027,43 @@ object Relational {
       .limit(10)
   }
 
+  /** q52: association mining (market-basket lift): the "basket" is a
+    * user-day's set of distinct event types; for every unordered type
+    * pair, the co-occurrence count plus both supports and the basket
+    * total — the four integers lift/confidence are ratios of,
+    * emitted raw so the result stays exact. Pair generation is a
+    * basket-local self-join: with t types per basket it fans out
+    * t(t−1)/2 pairs, bounded by the TYPE DOMAIN, never by corpus
+    * size; supports and the total ride the same distinct-basket
+    * frame, and the pair↔support joins are broadcast (domain-sized).
+    * The a<b canonical order dedupes pairs without a distinct. */
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = table(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000")
+        .as("day"), col("event_type"))
+      .distinct()
+      .localCheckpoint() // three consumers: pairs, supports, total
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_ab"))
+    val support = baskets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val total = baskets.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    pairs
+      .join(broadcast(support.select(col("event_type").as("ta"),
+        col("n").as("n_a"))), Seq("ta"))
+      .join(broadcast(support.select(col("event_type").as("tb"),
+        col("n").as("n_b"))), Seq("tb"))
+      .crossJoin(broadcast(total))
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+        col("n_ab"), col("n_baskets"))
+  }
+
   /** q49: time-weighted average (metering/billing): per (user, day),
     * each observation's value is HELD until the next observation that
     * day (the last until midnight), and the day's average weights

@@ -2674,6 +2674,73 @@ object StreamingQueries {
           col("n_obs"))
     }
 
+  /** st42: frequent-sequence mining maintained ONLINE — q51's
+    * trigram discovery as two chained live stages: stage 1 keeps each
+    * user's last TWO event types (one string) and emits the completed
+    * trigram per arrival; stage 2 is the plain count-per-trigram
+    * keyed fold on the relay. The changelog's final counts equal the
+    * batch lag construction because per-user order is preserved
+    * (in-batch sort + time-split staging) and each arrival emits
+    * exactly the trigram the batch window would. Top-10 selection
+    * happens at read; state is 2 small strings per user + one counter
+    * per observed trigram (≤ |type-domain|³). */
+  def streamFrequentSequences(spark: SparkSession, dir: String)
+      : DataFrame = withStateShards(spark) {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val lastTwo = GroupGraph.define("seq-last-two")(
+      Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+        val cur = msg.asInstanceOf[String]
+        ctx.value match {
+          case null => ctx.setValue(cur)
+          case s: String =>
+            val p = s.split('|')
+            if (p.length == 2) ctx.emit("trigrams",
+              s"${p(0)}|${p(1)}|$cur", 1L)
+            ctx.setValue(s"${p(p.length - 1)}|$cur")
+        }
+      }),
+      Persist(StringCodec), Output("trigrams", Int64Codec))
+    val counter = GroupGraph.define("seq-count")(
+      Input("trigrams", Int64Codec, ProcessCallback { (ctx, _) =>
+        ctx.value match {
+          case null => ctx.setValue(1L)
+          case n: Long => ctx.setValue(n + 1L)
+        }
+      }),
+      Persist(Int64Codec))
+    val staging = stagedEventsSplit(spark, dir)
+    val relay = tempDir("graft_seq_relay")
+    val msgSchema = org.apache.spark.sql.Encoders.product[Message].schema
+    val stream1 = spark.readStream.schema(msgSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
+    val q1 = StreamSinks.routeOutputs(
+      new StreamExecutor(lastTwo).run(spark, stream1),
+      Map("trigrams" -> relay))
+    val stream2 = spark.readStream.schema(msgSchema)
+      .parquet(relay).as[Message]
+    val table = new StreamExecutor(counter).run(spark, stream2)
+      .filter(_.sink == SinkTable)
+      .map(e => (e.key, Int64Codec.decode(e.value)))
+      .toDF("trigram", "n")
+    val name = s"stream_result_${nameSeq.incrementAndGet()}"
+    val q2 = table.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    spark.table(name)
+      .groupBy(col("trigram")).agg(max(col("n")).as("n"))
+      .select(split(col("trigram"), "\\|").as("p"), col("n"))
+      .select(element_at(col("p"), 1).as("e1"),
+        element_at(col("p"), 2).as("e2"),
+        element_at(col("p"), 3).as("e3"), col("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(10)
+  }
+
   /** st40: EWMA maintained ONLINE — q48's fixed-point recurrence as
     * live keyed state: 5 longs per user (open day, its running count,
     * smoothed value over CLOSED days with −1 as the "none yet"
