@@ -147,6 +147,7 @@ object SparkEntry {
     "s32_hard_negatives" -> (PipelineQueries.hardNegatives _),
     "s33_index_drift" -> (PipelineQueries.indexDrift _),
     "s34_retrain_response" -> (PipelineQueries.retrainResponse _),
+    "s35_matryoshka_recall" -> (PipelineQueries.matryoshkaRecall _),
     "s27_graph_ann" -> (PipelineQueries.graphAnn _),
     "s28_knn_classify" -> (PipelineQueries.knnClassify _),
     "s29_retrieval_mrr" -> (PipelineQueries.retrievalMrr _),
@@ -3136,6 +3137,47 @@ object SparkEntry {
     // under the base-trained frozen model.
     "s33_index_drift" -> indexDriftOracleSql,
     "s34_retrain_response" -> retrainResponseOracleSql,
+    // s35: per-dim brute force over list_slice prefixes, intersected
+    // with the full-dim exact top-10.
+    "s35_matryoshka_recall" ->
+      """WITH pre AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+           FROM embeddings),
+         pv AS (SELECT vec_id, v,
+             (SELECT sum(e*e) FROM unnest(v) t(e)) AS n2 FROM pre),
+         exact AS (SELECT qid, nid FROM (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               CAST((SELECT sum(x*y)
+                     FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS DOUBLE)
+                 / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+                 DESC, c.vec_id) AS rn
+           FROM pv q, pv c
+           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) WHERE rn <= 10),
+         dims AS (SELECT unnest([8, 16, 32]) AS kd),
+         tvn AS (SELECT d.kd, p.vec_id, list_slice(p.v, 1, d.kd) AS v,
+             (SELECT sum(e*e)
+              FROM unnest(list_slice(p.v, 1, d.kd)) t(e)) AS n2
+           FROM pv p, dims d),
+         tk AS (SELECT kd, qid, nid FROM (
+           SELECT q.kd, q.vec_id AS qid, c.vec_id AS nid,
+             row_number() OVER (PARTITION BY q.kd, q.vec_id ORDER BY
+               CAST((SELECT sum(x*y)
+                     FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS DOUBLE)
+                 / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+                 DESC, c.vec_id) AS rn
+           FROM tvn q JOIN tvn c ON c.kd = q.kd AND c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10) WHERE rn <= 10),
+         qs AS (SELECT kd, vec_id AS qid FROM dims,
+                (SELECT DISTINCT vec_id FROM pv WHERE vec_id < 10)),
+         hits AS (SELECT t.kd, t.qid, count(*) AS nh
+                  FROM tk t JOIN exact e
+                    ON e.qid = t.qid AND e.nid = t.nid
+                  GROUP BY 1, 2)
+         SELECT CAST(q.kd AS BIGINT) AS dim, q.qid,
+                CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hits
+         FROM qs q LEFT JOIN hits h ON h.kd = q.kd AND h.qid = q.qid""",
     // s27: fixed-depth beam search over the exact degree-8 kNN graph —
     // entry = min corpus id, hop 1 = its adjacency, beam-4 by exact
     // cosine (ties by node id), hop 2 = the beam's adjacency, exact

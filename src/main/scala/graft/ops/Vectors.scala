@@ -1450,6 +1450,48 @@ object Vectors {
       .agg(count(lit(1)).as("n_vectors"), sum(col("d2")).as("sum_sqd"))
   }
 
+  /** s35: matryoshka (dimension-truncation) recall audit — the MRL
+    * serving dial measured, not assumed: for each prefix length kd,
+    * brute-force top-k over vectors truncated to their first kd dims
+    * is intersected with the full-dimension top-k, per query. The
+    * cost/recall curve this emits is what decides how many dims the
+    * serving tier stores (truncating 64→16 quarters memory and
+    * bandwidth; this table says what it costs in recall). Same
+    * integer-exact arithmetic as s01; every per-dim pass is the
+    * brute oracle tier — at corpus scale each becomes an ANN-ladder
+    * pass over the truncated vectors, with this as its audit. */
+  def truncationRecall(corpus: DataFrame, id: Column, emb: Column,
+      dims: Seq[Int] = Seq(8, 16, 32), nQueries: Int = 10,
+      k: Int = 10): DataFrame = {
+    def topk(pr: DataFrame): DataFrame = {
+      val c = pr.as("c")
+      val q = pr.filter(col("vid") < nQueries).as("q")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      q.join(c, col("q.vid") =!= col("c.vid"))
+        .select(col("q.vid").as("qid"), col("c.vid").as("nid"),
+          cosineFromInts(idot(col("q.iv"), col("c.iv")),
+            col("q.n2"), col("c.n2")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("nid"))
+    }
+    val full = prepared(corpus, id, emb).localCheckpoint()
+    val exact = topk(full).localCheckpoint()
+    val qids = full.filter(col("vid") < nQueries)
+      .select(col("vid").as("qid"))
+    dims.map { kd =>
+      val trunc = full.select(col("vid"),
+          slice(col("iv"), 1, kd).as("iv"))
+        .withColumn("n2", idot(col("iv"), col("iv")))
+      val hits = topk(trunc).join(exact, Seq("qid", "nid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("nh"))
+      qids.join(hits, Seq("qid"), "left_outer")
+        .select(lit(kd.toLong).as("dim"), col("qid"),
+          coalesce(col("nh"), lit(0L)).as("n_hits"))
+    }.reduce(_ unionByName _)
+  }
+
   /** s32: contrastive-pair mining — the training-data construction for
     * embedding models (triplet/InfoNCE): per anchor, the HARD NEGATIVE
     * is the highest-cosine neighbor with a DIFFERENT label (the

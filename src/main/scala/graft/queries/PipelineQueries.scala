@@ -1382,6 +1382,14 @@ object PipelineQueries {
         col("embedding"), retrained, lit("retrained")))
   }
 
+  /** s35: matryoshka truncation recall
+    * ([[Vectors.truncationRecall]]) — recall@10 of prefix-truncated
+    * vectors (8/16/32 of 64 dims) vs the full-dimension exact top-10,
+    * per query. */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame =
+    Vectors.truncationRecall(embs(spark, dir), col("vec_id"),
+      col("embedding"))
+
   /** d23: incremental near-dup via the stored LSH index — the corpus
     * is banded ONCE into a parquet artifact; arrivals (ids ≡ 7 mod 10,
     * the s26 carving) probe the stored bands and the exact verify
