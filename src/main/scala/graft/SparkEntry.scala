@@ -203,6 +203,7 @@ object SparkEntry {
     "st41_stream_metering" -> (StreamingQueries.streamMetering _),
     "st42_stream_sequences" ->
       (StreamingQueries.streamFrequentSequences _),
+    "st43_stream_basket_lift" -> (StreamingQueries.streamBasketLift _),
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
     "t33_readability" -> (PipelineQueries.readabilityGrades _),
     "d26_cdc_chunks" -> (PipelineQueries.cdcChunks _),
@@ -1205,6 +1206,28 @@ object SparkEntry {
            CAST(sum(tnext - t) AS BIGINT) AS dur_us,
            CAST(count(*) AS BIGINT) AS n_obs
          FROM w GROUP BY user_id, day""",
+    // st43: q52's association table maintained online — shared
+    // oracle; first-arrival-only emission reproduces the distinct
+    // basket semantics exactly.
+    "st43_stream_basket_lift" ->
+      """WITH baskets AS (SELECT DISTINCT user_id,
+               epoch_us(ts) // 86400000000 AS day, event_type
+             FROM events),
+         pairs AS (SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(count(*) AS BIGINT) AS n_ab
+             FROM baskets a JOIN baskets b
+               ON a.user_id = b.user_id AND a.day = b.day
+              AND a.event_type < b.event_type
+             GROUP BY 1, 2),
+         sup AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                 FROM baskets GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets
+                 FROM (SELECT DISTINCT user_id, day FROM baskets))
+         SELECT p.ta, p.tb, sa.n AS n_a, sb.n AS n_b, p.n_ab,
+                t.n_baskets
+         FROM pairs p JOIN sup sa ON sa.event_type = p.ta
+                      JOIN sup sb ON sb.event_type = p.tb
+                      CROSS JOIN tot t""",
     // st42: q51's mining maintained online — shared oracle; per-user
     // order makes each arrival emit exactly the batch window's trigram.
     "st42_stream_sequences" ->

@@ -2674,6 +2674,104 @@ object StreamingQueries {
           col("n_obs"))
     }
 
+  /** st43: association mining maintained ONLINE — q52's basket lift
+    * as live state: stage 1 keys by (user, day) and keeps the basket's
+    * seen-type BITMASK (one long; the type domain indexes the bits).
+    * A type's FIRST arrival in a basket emits one support increment,
+    * one basket increment if the basket was empty, and one pair
+    * increment per type already present (canonical a<b order) —
+    * bounded by the domain, exactly the distinct-pair set q52's
+    * self-join produces. Stage 2 is the count fold per emitted key;
+    * the read assembles pairs × supports × total into q52's exact
+    * integer table (domain-sized joins, broadcast). Repeats emit
+    * nothing, so out-of-order repeats are harmless; shared oracle. */
+  def streamBasketLift(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val idxOf = types.zipWithIndex.toMap
+      val stage1 = GroupGraph.define("basket-bits")(
+        Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+          val t = msg.asInstanceOf[String]
+          val i = idxOf(t)
+          val mask = ctx.value match {
+            case null => 0L
+            case m: Long => m
+          }
+          if ((mask & (1L << i)) == 0L) {
+            if (mask == 0L) ctx.emit("incr", "tot", 1L)
+            ctx.emit("incr", s"sup|$t", 1L)
+            types.foreach { o =>
+              val j = idxOf(o)
+              if ((mask & (1L << j)) != 0L) {
+                val (a, b) = if (o < t) (o, t) else (t, o)
+                ctx.emit("incr", s"pair|$a|$b", 1L)
+              }
+            }
+            ctx.setValue(mask | (1L << i))
+          }
+        }),
+        Persist(Int64Codec), Output("incr", Int64Codec))
+      val counter = GroupGraph.define("basket-counts")(
+        Input("incr", Int64Codec, ProcessCallback { (ctx, _) =>
+          ctx.value match {
+            case null => ctx.setValue(1L)
+            case n: Long => ctx.setValue(n + 1L)
+          }
+        }),
+        Persist(Int64Codec))
+      val staging = tempDir("graft_basket_split")
+      val ev = Sources.table(spark, dir, "events")
+      stageTwoBatches(spark,
+        Sources.messages(ev, "events",
+          concat_ws("|", col("user_id"),
+            expr("unix_micros(ts) div 86400000000")),
+          col("event_type"), col("ts"), col("event_id")),
+        staging)
+      val relay = tempDir("graft_basket_relay")
+      val msgSchema = org.apache.spark.sql.Encoders.product[Message].schema
+      val stream1 = spark.readStream.schema(msgSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val q1 = StreamSinks.routeOutputs(
+        new StreamExecutor(stage1).run(spark, stream1),
+        Map("incr" -> relay))
+      val stream2 = spark.readStream.schema(msgSchema)
+        .parquet(relay).as[Message]
+      val table = new StreamExecutor(counter).run(spark, stream2)
+        .filter(_.sink == SinkTable)
+        .map(e => (e.key, Int64Codec.decode(e.value)))
+        .toDF("k", "n")
+      val name = s"stream_result_${nameSeq.incrementAndGet()}"
+      val q2 = table.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+      } finally { q1.stop(); q2.stop() }
+      val counts = spark.table(name)
+        .groupBy(col("k")).agg(max(col("n")).as("n"))
+        .localCheckpoint()
+      val pairs = counts.filter(col("k").startsWith("pair|"))
+        .select(split(col("k"), "\\|").as("p"), col("n").as("n_ab"))
+        .select(element_at(col("p"), 2).as("ta"),
+          element_at(col("p"), 3).as("tb"), col("n_ab"))
+      val sup = counts.filter(col("k").startsWith("sup|"))
+        .select(substring_index(col("k"), "|", -1).as("t"),
+          col("n").as("ns"))
+      val tot = counts.filter(col("k") === "tot")
+        .select(col("n").as("n_baskets"))
+      pairs
+        .join(broadcast(sup.select(col("t").as("ta"), col("ns").as("n_a"))),
+          Seq("ta"))
+        .join(broadcast(sup.select(col("t").as("tb"), col("ns").as("n_b"))),
+          Seq("tb"))
+        .crossJoin(broadcast(tot))
+        .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+          col("n_ab"), col("n_baskets"))
+    }
+
   /** st42: frequent-sequence mining maintained ONLINE — q51's
     * trigram discovery as two chained live stages: stage 1 keeps each
     * user's last TWO event types (one string) and emits the completed
