@@ -198,6 +198,7 @@ object SparkEntry {
     "q49_time_weighted_avg" -> (Relational.timeWeightedAvg _),
     "q51_frequent_sequences" -> (Relational.frequentSequences _),
     "q52_basket_lift" -> (Relational.basketLift _),
+    "q53_funnel_latency" -> (Relational.funnelLatency _),
     "q50_point_in_time_join" -> (Relational.pointInTimeJoin _),
     "st40_stream_ewma" -> (StreamingQueries.streamEwma _),
     "st41_stream_metering" -> (StreamingQueries.streamMetering _),
@@ -1155,6 +1156,27 @@ object SparkEntry {
          SELECT user_id, CAST(max(rn) AS BIGINT) AS n_days,
                 CAST(arg_max(s, rn) AS BIGINT) AS ewma_x64
          FROM ew GROUP BY user_id""",
+    // q53: q26's stepped chain + q21's quantile_cont parity.
+    "q53_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+             FROM events),
+         s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e
+                JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+                GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e
+                JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+                GROUP BY 1),
+         conv AS (SELECT s3.t3 - s1.t1 AS dur
+                  FROM s3 JOIN s1 USING (user_id))
+         SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                quantile_cont(dur, 0.25) AS p25_us,
+                quantile_cont(dur, 0.5) AS p50_us,
+                quantile_cont(dur, 0.75) AS p75_us
+         FROM conv""",
     // q52: raw association-rule integers — lift/confidence are the
     // caller's ratios, the engine result stays exact.
     "q52_basket_lift" ->

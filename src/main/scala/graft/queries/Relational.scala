@@ -1027,6 +1027,39 @@ object Relational {
       .limit(10)
   }
 
+  /** q53: funnel LATENCY — how long conversion takes, not just how
+    * many convert: for users completing q26's ordered
+    * view→click→purchase chain, the view→purchase duration's exact
+    * quartiles (linear interpolation over µs longs — q21's
+    * bit-parity discipline; its bounded-domain scale note applies,
+    * with q29's sketch as the unbounded-scale path). Same one-
+    * exchange stepped-window construction as q26; converting users
+    * are one row each before the final scalar aggregate. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val byUser = Window.partitionBy(col("user_id"))
+    val stepped = e
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts_us"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" &&
+          col("ts_us") > col("t1"), col("ts_us"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("t2"), col("ts_us"))).over(byUser))
+    stepped
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t3")).as("t3"))
+      .filter(col("t3").isNotNull)
+      .select((col("t3") - col("t1")).as("dur"))
+      .agg(count(lit(1)).as("n_converted"),
+        percentile(col("dur"), lit(0.25)).as("p25_us"),
+        percentile(col("dur"), lit(0.5)).as("p50_us"),
+        percentile(col("dur"), lit(0.75)).as("p75_us"))
+  }
+
   /** q52: association mining (market-basket lift): the "basket" is a
     * user-day's set of distinct event types; for every unordered type
     * pair, the co-occurrence count plus both supports and the basket
