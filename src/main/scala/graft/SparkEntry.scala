@@ -188,6 +188,7 @@ object SparkEntry {
     "c22_expectations" -> (PipelineQueries.expectations _),
     "m08_media_integrity" -> (PipelineQueries.mediaIntegrity _),
     "c23_media_card" -> (PipelineQueries.mediaCard _),
+    "c24_ref_integrity" -> (PipelineQueries.refIntegrity _),
     "q42_correlated_subquery" -> (Relational.correlatedSubquery _),
     "q43_not_in_null_aware" -> (Relational.notInNullAware _),
     "q44_forward_fill" -> (Relational.forwardFill _),
@@ -970,6 +971,43 @@ object SparkEntry {
                SELECT t.* FROM tot t
                  JOIN post po ON t.user_id = po.user_id
                  WHERE t.user_id % 7 <> 3)""",
+    // c24: each edge recomputed as two NOT-IN/anti counts.
+    "c24_ref_integrity" ->
+      """SELECT 'orders.o_custkey->customer' AS fk_edge,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child_rows,
+           CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             AS BIGINT) AS n_orphans,
+           CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+             AS BIGINT) AS n_unreferenced
+         UNION ALL
+         SELECT 'lineitem.l_orderkey->orders',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS BIGINT),
+           CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+             AS BIGINT)
+         UNION ALL
+         SELECT 'lineitem.l_partkey->part',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+             AS BIGINT),
+           CAST((SELECT count(*) FROM part p WHERE NOT EXISTS
+             (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+             AS BIGINT)
+         UNION ALL
+         SELECT 'lineitem.l_suppkey->supplier',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+             AS BIGINT),
+           CAST((SELECT count(*) FROM supplier s WHERE NOT EXISTS
+             (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey))
+             AS BIGINT)""",
     // c23: m08's triage + the m01 stub-dimension formula rolled into
     // the per-source ingest card.
     "c23_media_card" ->

@@ -1177,6 +1177,53 @@ object PipelineQueries {
       col("source"))
   }
 
+  /** c24: referential-integrity audit — the cross-TABLE half of the
+    * DQ contract c22 checks single-table: for every declared FK edge,
+    * the child row count, the ORPHAN count (FK values with no parent
+    * — broken ingest), and the UNREFERENCED parent count (dimension
+    * rows no fact touches — the candidate-prune / miskey signal;
+    * nonzero on this fixture, so both arms are witnessed). Each edge
+    * is two anti-join counts; parents are dimension-sized and
+    * broadcast, so the audit costs one pass over each fact table
+    * regardless of edge count per parent. */
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+    val lineitem = table(spark, dir, "lineitem")
+    val customer = table(spark, dir, "customer")
+    val part = table(spark, dir, "part")
+    val supplier = table(spark, dir, "supplier")
+    // One LAZY plan: per edge, a probe pass over the child (count +
+    // orphan sum in one aggregate; true dimensions broadcast, the
+    // fact-parent orders edge left to Catalyst's stats) crossed with
+    // the unreferenced-parent anti count; the 4 one-row plans union.
+    // A single action executes the whole audit.
+    def edge(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+      val p = parent.select(col(pk).as(fk), lit(1).as("hit"))
+      val probe = child.select(col(fk))
+        .join(if (bcast) broadcast(p) else p, Seq(fk), "left_outer")
+        .agg(count(lit(1)).as("n_child_rows"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      val unref = parent
+        .join(child.select(col(fk).as(pk)).distinct(), Seq(pk),
+          "left_anti")
+        .agg(count(lit(1)).as("n_unreferenced"))
+      probe.crossJoin(unref)
+        .select(lit(name).as("fk_edge"), col("n_child_rows"),
+          col("n_orphans"), col("n_unreferenced"))
+    }
+    Seq(
+      edge("orders.o_custkey->customer", orders, "o_custkey",
+        customer, "c_custkey", bcast = true),
+      edge("lineitem.l_orderkey->orders", lineitem, "l_orderkey",
+        orders, "o_orderkey", bcast = false),
+      edge("lineitem.l_partkey->part", lineitem, "l_partkey",
+        part, "p_partkey", bcast = true),
+      edge("lineitem.l_suppkey->supplier", lineitem, "l_suppkey",
+        supplier, "s_suppkey", bcast = true))
+      .reduce(_ unionByName _)
+  }
+
   /** c23: media INGEST CARD — the c04 dataset-card idea for the
     * multimodal path, as ONE Catalyst plan over one scan: m08's
     * integrity triage feeds a per-source card of admitted/quarantined
