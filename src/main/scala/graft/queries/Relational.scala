@@ -1108,13 +1108,18 @@ object Relational {
     * One (user, day) exchange serves the lead window and the rollup;
     * products stay < 2⁶³ by construction (value ≤ 10⁶ cents × day in
     * µs ≈ 8.6·10¹⁶). */
-  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
-    val dayUs = 86400000000L
-    val e = table(spark, dir, "events")
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame =
+    twaOver(table(spark, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("t"),
         col("event_id"),
-        floor(col("value") * 100.0d).cast("long").as("vc"))
-      .withColumn("day", expr("t div 86400000000"))
+        floor(col("value") * 100.0d).cast("long").as("vc")))
+
+  /** The q49 holding-interval rollup over any
+    * (user_id, t, event_id, vc) relation — split out for the
+    * randomized parity spec. */
+  def twaOver(e0: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val e = e0.withColumn("day", expr("t div 86400000000"))
     val w = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("t"), col("event_id"))
     e.withColumn("tnext",
@@ -1176,10 +1181,16 @@ object Relational {
     * floor non-negative values. One exchange on user_id (daily
     * rollup), then a per-user sorted in-row fold — O(active days)
     * per row, no window, no second shuffle. */
-  def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
-    val daily = table(spark, dir, "events")
-      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
-      .agg(count(lit(1)).as("x"))
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame =
+    ewmaOver(table(spark, dir, "events")
+      .groupBy(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x")))
+
+  /** The q48 fold over any (user_id, d, x) series — split out so the
+    * randomized parity spec drives hand-built series through the
+    * exact production fold. */
+  def ewmaOver(daily: DataFrame): DataFrame =
     daily.groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("xs"))
       .select(col("user_id"), size(col("xs")).cast("long").as("n_days"),
@@ -1187,7 +1198,6 @@ object Relational {
           (s, x) => when(s < 0L, x * 64L)
             .otherwise(shiftright(x * 64L + s * 7L, 3)))
           .as("ewma_x64"))
-  }
 
   /** q47: longest inactivity gap — per user, the maximum day-distance
     * between consecutive ACTIVE days (the churn-risk signal; the dual
@@ -1255,8 +1265,13 @@ object Relational {
       .select(col("event_id"), col("p.day"), col("p.t"), col("p.delta"))
   }
 
-  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
-    concurrencyPoints(table(spark, dir, "events"))
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame =
+    peakOver(table(spark, dir, "events"))
+
+  /** The q45/st39 sweep over any (event_id, ts) relation — split out
+    * for the randomized parity spec. */
+  def peakOver(events: DataFrame): DataFrame = {
+    concurrencyPoints(events)
       .select(col("day"),
         sum(col("delta")).over(Window.partitionBy(col("day"))
           .orderBy(col("t"), col("delta"))

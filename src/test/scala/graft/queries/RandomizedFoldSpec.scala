@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Randomized parity for the session's ordered-fold operators: seeded
+  * random timelines driven through the PRODUCTION folds (q48 EWMA,
+  * q49 TWA, q45 sweep-line) and compared against independent
+  * brute-force Scala references. The references share no code with
+  * the implementations — the EWMA reference is a plain loop, the TWA
+  * reference sorts and sums, the concurrency reference scans every
+  * boundary instant and counts open intervals directly. */
+class RandomizedFoldSpec extends AnyFunSuite with SparkFixture {
+
+  private val dayUs = 86400000000L
+
+  test("q48 ewma fold == loop reference on random daily series") {
+    import spark.implicits._
+    for (seed <- Seq(3, 17, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = for {
+        u <- 0L until 20L
+        d <- (0L until 40L).filter(_ => rnd.nextInt(3) > 0)
+      } yield (u, d, rnd.nextInt(1000).toLong + 1L)
+      val got = Relational.ewmaOver(rows.toDF("user_id", "d", "x"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (u, rs) =>
+        val xs = rs.sortBy(_._2).map(_._3)
+        var s = -1L
+        xs.foreach(x => s = if (s < 0) x * 64 else (x * 64 + 7 * s) >> 3)
+        u -> ((xs.length.toLong, s))
+      }
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("q49 twa rollup == brute reference on random in-day timelines") {
+    import spark.implicits._
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0L until 400L).map { i =>
+        val u = rnd.nextInt(10).toLong
+        val day = rnd.nextInt(3).toLong
+        val t = day * dayUs + rnd.nextLong(dayUs)
+        (u, t, i, rnd.nextInt(10000).toLong)
+      }
+      val got = Relational.twaOver(rows.toDF("user_id", "t", "event_id", "vc"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val want = rows.groupBy(r => (r._1, r._2 / dayUs)).map {
+        case ((u, day), rs) =>
+          val ordered = rs.sortBy(r => (r._2, r._3))
+          val dayEnd = (day + 1) * dayUs
+          val durs = ordered.zip(
+            ordered.drop(1).map(_._2) :+ dayEnd).map {
+            case ((_, t, _, vc), tn) => (vc, tn - t)
+          }
+          val dstr = java.time.LocalDate.ofEpochDay(day).toString
+          (u, dstr) -> ((durs.map { case (vc, d) => vc * d }.sum,
+            durs.map(_._2).sum, ordered.length.toLong))
+      }
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("q45 sweep == instant-scan reference on random bursts " +
+      "(midnight-crossing included)") {
+    import spark.implicits._
+    for (seed <- Seq(7, 41)) {
+      val rnd = new scala.util.Random(seed)
+      // cluster starts so overlaps are dense; push some starts near
+      // midnight so the day-clip branches execute
+      val starts = (0L until 300L).map { i =>
+        val day = rnd.nextInt(4).toLong
+        val base = if (rnd.nextInt(5) == 0) dayUs - 1800000000L / 2
+                   else rnd.nextLong(dayUs - 1)
+        (i, day * dayUs + base)
+      }
+      val df = starts.map { case (i, t) =>
+        (i, java.sql.Timestamp.from(java.time.Instant.EPOCH
+          .plus(java.time.Duration.ofNanos(t * 1000))))
+      }.toDF("event_id", "ts")
+      val got = Relational.peakOver(df)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // reference: at every interval-start instant, count open
+      // intervals [s, s+30m) containing it; per-day max over the
+      // day's instants (the maximum is always attained at a start —
+      // and for a day entered only by carried-over intervals, at the
+      // clipped day-start boundary point, which the construction adds)
+      val iv = starts.map { case (_, s) => (s, s + 1800000000L) }
+      val instants = iv.map(_._1) ++
+        iv.map { case (s, e) => (s / dayUs + 1) * dayUs }
+          .filter(t => iv.exists { case (s, e) => s < t && t < e })
+      val want = instants.map { t =>
+        (t / dayUs, iv.count { case (s, e) => s <= t && t < e })
+      }.groupBy(_._1).map { case (d, xs) =>
+        java.time.LocalDate.ofEpochDay(d).toString -> xs.map(_._2).max.toLong
+      }
+      assert(got == want, s"seed=$seed")
+    }
+  }
+}
