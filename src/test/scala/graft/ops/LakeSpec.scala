@@ -193,6 +193,53 @@ class LakeSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long)].collect().toSet == Set((0L, 1L), (3L, 30L)))
   }
 
+  test("randomized parity: merge chain == Map-apply reference; every " +
+      "historical snapshot stays readable and exact; vacuum keeps " +
+      "the survivors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    for (round <- 1 to 3) {
+      val out = Files.createTempDirectory(s"graft_lake_rand$round")
+      val path = out.resolve("t").toString
+      val nShards = 1 + rnd.nextInt(6)
+      var state = (0L until (5 + rnd.nextInt(40)))
+        .map(k => k -> rnd.nextLong(1000)).toMap
+      Lake.writeVersioned(state.toSeq.toDF("k", "v"), "k", path, nShards)
+      var snapshots = List(state)
+      for (_ <- 1 to 3) {
+        // random batch: upserts (some new keys), deletes (some absent)
+        val ups = (0 until (1 + rnd.nextInt(8))).map(_ =>
+          (rnd.nextLong(60), rnd.nextLong(1000), "upsert"))
+        val dels = (0 until rnd.nextInt(5)).map(_ =>
+          (rnd.nextLong(60), 0L, "delete"))
+        // within one batch a key must appear once (the merge applies a
+        // SET of changes) — last wins when building the batch
+        val batch = (ups ++ dels).groupBy(_._1).map(_._2.last).toSeq
+        Lake.mergeVersioned(spark, path, "k",
+          batch.toDF("k", "v", "op"), nShards)
+        batch.foreach {
+          case (k, v, "upsert") => state += (k -> v)
+          case (k, _, _)        => state -= k
+        }
+        snapshots ::= state
+        assert(Lake.readVersioned(spark, path)
+          .as[(Long, Long)].collect().toMap == state,
+          s"round $round latest mismatch")
+      }
+      // time travel: every historical version byte-exact
+      snapshots.reverse.zipWithIndex.foreach { case (snap, i) =>
+        assert(Lake.readVersioned(spark, path, i + 1)
+          .as[(Long, Long)].collect().toMap == snap,
+          s"round $round version ${i + 1} mismatch")
+      }
+      // vacuum to the latest: it must still read exactly
+      Lake.vacuum(path, keepFrom = 4)
+      assert(Lake.readVersioned(spark, path, 4)
+        .as[(Long, Long)].collect().toMap == state,
+        s"round $round post-vacuum mismatch")
+    }
+  }
+
   test("vacuum: expired versions' superseded shard copies deleted, " +
       "inherited dirs survive, surviving snapshot byte-identical") {
     import spark.implicits._
