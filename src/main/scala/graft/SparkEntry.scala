@@ -200,6 +200,8 @@ object SparkEntry {
     "q51_frequent_sequences" -> (Relational.frequentSequences _),
     "q52_basket_lift" -> (Relational.basketLift _),
     "q53_funnel_latency" -> (Relational.funnelLatency _),
+    "q54_session_paths" -> (Relational.sessionPaths _),
+    "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
     "q50_point_in_time_join" -> (Relational.pointInTimeJoin _),
     "st40_stream_ewma" -> (StreamingQueries.streamEwma _),
     "st41_stream_metering" -> (StreamingQueries.streamMetering _),
@@ -1194,6 +1196,34 @@ object SparkEntry {
          SELECT user_id, CAST(max(rn) AS BIGINT) AS n_days,
                 CAST(arg_max(s, rn) AS BIGINT) AS ewma_x64
          FROM ew GROUP BY user_id""",
+    // q54: gaps-and-islands sessionization in the oracle (DuckDB has
+    // no session_window) — identical 30-min-gap semantics.
+    "q54_session_paths" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+               event_type FROM events),
+         g AS (SELECT *, CASE WHEN t - lag(t) OVER
+                 (PARTITION BY user_id ORDER BY t, event_id)
+                 > 1800000000 THEN 1 ELSE 0 END AS brk
+               FROM e),
+         s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                 ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g),
+         p AS (SELECT user_id, sid,
+                 array_to_string(list_slice(
+                   list(event_type ORDER BY t, event_id), 1, 5), '>')
+                   AS path
+               FROM s GROUP BY user_id, sid)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM p GROUP BY path
+         ORDER BY n_sessions DESC, path LIMIT 10""",
+    // c25: one pushdown-filtered scan + rollup per requesting user.
+    "c25_subject_access" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_kinds,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS val_sum
+         FROM events WHERE user_id % 7 = 3
+         GROUP BY user_id""",
     // q53: q26's stepped chain + q21's quantile_cont parity.
     "q53_funnel_latency" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us

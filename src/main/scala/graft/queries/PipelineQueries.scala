@@ -1177,6 +1177,25 @@ object PipelineQueries {
       col("source"))
   }
 
+  /** c25: subject-access report (the GDPR/CCPA "what do you hold
+    * about me" read-side completing the privacy set: c14/st36 erase,
+    * c11 re-identification risk, this one DISCLOSES): for each
+    * requesting user (the ≡3 mod 7 cohort, as the erasure queries),
+    * every fact held — event count, first/last event times, the
+    * distinct activity kinds, exact value total. One pushdown-
+    * filtered scan + one user rollup; request batches are
+    * human-sized so the report is too. */
+  def subjectAccessReport(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .filter(col("user_id") % 7 === 3)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("first_us"),
+        unix_micros(max(col("ts"))).as("last_us"),
+        count_distinct(col("event_type")).as("n_kinds"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("val_sum"))
+
   /** c24: referential-integrity audit — the cross-TABLE half of the
     * DQ contract c22 checks single-table: for every declared FK edge,
     * the child row count, the ORPHAN count (FK values with no parent

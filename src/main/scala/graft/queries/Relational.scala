@@ -1027,6 +1027,28 @@ object Relational {
       .limit(10)
   }
 
+  /** q54: session PATH analysis — the top-10 most-travelled session
+    * journeys: sessions cut at a 30-minute inactivity gap (q17's
+    * `session_window`), each session's path = its first 5 event
+    * types in time order joined with `>`, counted globally. The
+    * navigation-pattern report next to q51's unwindowed trigrams.
+    * One (user) exchange for the session grouping; the per-session
+    * ordered fold is in-row (`sort_array` on session-bounded lists);
+    * paths then count on a path-keyed exchange with TakeOrdered
+    * top-10. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(array_join(slice(transform(sort_array(collect_list(struct(
+        col("ts"), col("event_id"), col("event_type")))),
+        e => e.getField("event_type")), 1, 5), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+  }
+
   /** q53: funnel LATENCY — how long conversion takes, not just how
     * many convert: for users completing q26's ordered
     * view→click→purchase chain, the view→purchase duration's exact
