@@ -208,6 +208,8 @@ object SparkEntry {
     "st42_stream_sequences" ->
       (StreamingQueries.streamFrequentSequences _),
     "st43_stream_basket_lift" -> (StreamingQueries.streamBasketLift _),
+    "st44_stream_session_paths" ->
+      (StreamingQueries.streamSessionPaths _),
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
     "t33_readability" -> (PipelineQueries.readabilityGrades _),
     "d26_cdc_chunks" -> (PipelineQueries.cdcChunks _),
@@ -1296,6 +1298,26 @@ object SparkEntry {
            CAST(sum(tnext - t) AS BIGINT) AS dur_us,
            CAST(count(*) AS BIGINT) AS n_obs
          FROM w GROUP BY user_id, day""",
+    // st44: q54's journeys maintained online — gap-close emission +
+    // open sessions from final state; shared sessionization oracle.
+    "st44_stream_session_paths" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+               event_type FROM events),
+         g AS (SELECT *, CASE WHEN t - lag(t) OVER
+                 (PARTITION BY user_id ORDER BY t, event_id)
+                 > 1800000000 THEN 1 ELSE 0 END AS brk
+               FROM e),
+         s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                 ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g),
+         p AS (SELECT user_id, sid,
+                 array_to_string(list_slice(
+                   list(event_type ORDER BY t, event_id), 1, 5), '>')
+                   AS path
+               FROM s GROUP BY user_id, sid)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM p GROUP BY path
+         ORDER BY n_sessions DESC, path LIMIT 10""",
     // st43: q52's association table maintained online — shared
     // oracle; first-arrival-only emission reproduces the distinct
     // basket semantics exactly.

@@ -2674,6 +2674,88 @@ object StreamingQueries {
           col("n_obs"))
     }
 
+  /** st44: session-path analysis maintained ONLINE — q54's journey
+    * table live at ingest: per-user state carries the OPEN session
+    * (last event time, a monotone message counter for the changelog
+    * collapse, the session's event count, and its first-≤5-type path
+    * string); a 30-minute gap CLOSES the session, emitting its path
+    * into the chained count fold — the same trigger a session-window
+    * close uses. Sessions still open when the stream drains exist
+    * only in state; the read unions the per-user final open path with
+    * the completed-path counts, so the total equals the batch
+    * sessionization exactly (shared q54-semantics oracle). */
+  def streamSessionPaths(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val gapUs = 1800000000L
+      val stage1 = GroupGraph.define("session-path")(
+        Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+          val t = graft.operators.BatchExecutor.tsMicros(ctx.timestamp)
+          val typ = msg.asInstanceOf[String]
+          ctx.value match {
+            case null =>
+              ctx.setValue(s"$t,1,1,$typ")
+            case s: String =>
+              val Array(lastTs, m, n, path) = s.split(",", 4)
+              if (t - lastTs.toLong > gapUs) {
+                ctx.emit("paths", path, 1L)
+                ctx.setValue(s"$t,${m.toLong + 1},1,$typ")
+              } else {
+                val n2 = n.toLong + 1
+                val p2 = if (n2 <= 5) s"$path>$typ" else path
+                ctx.setValue(s"$t,${m.toLong + 1},$n2,$p2")
+              }
+          }
+        }),
+        Persist(StringCodec), Output("paths", Int64Codec))
+      val counter = GroupGraph.define("path-counts")(
+        Input("paths", Int64Codec, ProcessCallback { (ctx, _) =>
+          ctx.value match {
+            case null => ctx.setValue(1L)
+            case n: Long => ctx.setValue(n + 1L)
+          }
+        }),
+        Persist(Int64Codec))
+      val staging = stagedEventsSplit(spark, dir)
+      val relay = tempDir("graft_path_relay")
+      val msgSchema = org.apache.spark.sql.Encoders.product[Message].schema
+      val stream1 = spark.readStream.schema(msgSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val tableDir = tempDir("graft_path_table")
+      val q1 = StreamSinks.routeOutputs(
+        new StreamExecutor(stage1).run(spark, stream1),
+        Map("paths" -> relay), tableDir = Some(tableDir))
+      val stream2 = spark.readStream.schema(msgSchema)
+        .parquet(relay).as[Message]
+      val closedTable = new StreamExecutor(counter).run(spark, stream2)
+        .filter(_.sink == SinkTable)
+        .map(e => (e.key, Int64Codec.decode(e.value)))
+        .toDF("path", "n")
+      val closedName = s"stream_result_${nameSeq.incrementAndGet()}"
+      val qClosed = closedTable.writeStream.format("memory")
+        .queryName(closedName).outputMode("update").start()
+      try {
+        q1.processAllAvailable()
+        qClosed.processAllAvailable()
+      } finally { q1.stop(); qClosed.stop() }
+      val open = spark.read.parquet(tableDir)
+        .select(col("key").as("user"),
+          split(col("value").cast("string"), ",", 4).as("p"))
+        .withColumn("m", element_at(col("p"), 2).cast("long"))
+        .groupBy(col("user"))
+        .agg(max_by(element_at(col("p"), 4), col("m")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      val closed = spark.table(closedName)
+        .groupBy(col("path")).agg(max(col("n")).as("n"))
+      closed.unionByName(open)
+        .groupBy(col("path"))
+        .agg(sum(col("n")).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(10)
+    }
+
   /** st43: association mining maintained ONLINE — q52's basket lift
     * as live state: stage 1 keys by (user, day) and keeps the basket's
     * seen-type BITMASK (one long; the type domain indexes the bits).
