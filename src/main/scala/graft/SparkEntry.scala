@@ -201,6 +201,7 @@ object SparkEntry {
     "q52_basket_lift" -> (Relational.basketLift _),
     "q53_funnel_latency" -> (Relational.funnelLatency _),
     "q54_session_paths" -> (Relational.sessionPaths _),
+    "q55_spatial_join" -> (Relational.spatialJoin _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
     "q50_point_in_time_join" -> (Relational.pointInTimeJoin _),
     "st40_stream_ewma" -> (StreamingQueries.streamEwma _),
@@ -1198,6 +1199,31 @@ object SparkEntry {
          SELECT user_id, CAST(max(rn) AS BIGINT) AS n_days,
                 CAST(arg_max(s, rn) AS BIGINT) AS ewma_x64
          FROM ew GROUP BY user_id""",
+    // q55: the same lossless grid construction — 3x3 neighbor
+    // explosion, home-cell equi-join, exact integer verify.
+    "q55_spatial_join" ->
+      """WITH pts AS (SELECT event_id,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 100000 AS x,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 9, 8)
+                    AS BIGINT) % 100000 AS y
+             FROM events),
+         c AS (SELECT event_id, x, y, x // 10000 AS cx, y // 10000 AS cy
+               FROM pts),
+         probe AS (SELECT event_id AS a_id, x AS ax, y AS ay,
+                 cx + dx.g AS cx, cy + dy.g AS cy
+               FROM c, generate_series(-1, 1) dx(g),
+                    generate_series(-1, 1) dy(g)),
+         pairs AS (SELECT (p.ax - b.x) * (p.ax - b.x)
+                        + (p.ay - b.y) * (p.ay - b.y) AS d2
+               FROM probe p JOIN c b
+                 ON p.cx = b.cx AND p.cy = b.cy AND p.a_id < b.event_id
+               WHERE (p.ax - b.x) * (p.ax - b.x)
+                   + (p.ay - b.y) * (p.ay - b.y) < 25000000)
+         SELECT CAST(count(*) AS BIGINT) AS n_close_pairs,
+                CAST(min(d2) AS BIGINT) AS min_d2,
+                CAST(sum(d2) AS BIGINT) AS d2_sum
+         FROM pairs""",
     // q54: gaps-and-islands sessionization in the oracle (DuckDB has
     // no session_window) — identical 30-min-gap semantics.
     "q54_session_paths" ->

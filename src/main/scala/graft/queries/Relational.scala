@@ -1027,6 +1027,59 @@ object Relational {
       .limit(10)
   }
 
+  /** q55: SPATIAL self-join via grid bucketing — the geohash/H3
+    * pattern: points bucket into cells of side C ≥ radius, one side
+    * map-side EXPLODES to its 3×3 neighbor cells, and the equi-join
+    * on cell id meets every pair within the radius EXACTLY ONCE
+    * (each pair is found in the second point's unique home cell, and
+    * dist < r ≤ C bounds the cell offset to ±1 — so no distinct is
+    * needed and no pair is missed: the bucketing is lossless, not a
+    * candidate heuristic). Exact integer distance verify on
+    * candidates only. This is how "points within 1 km of each other"
+    * runs at 100 TB — an equi-join carrying a 9× fan-out instead of
+    * the O(n²) theta-join a naive distance predicate plans.
+    * Coordinates are md5-derived integers (deterministic,
+    * oracle-replicable); output: the close-pair count plus exact
+    * min/sum of squared distances as the checksum. */
+  def spatialJoin(spark: SparkSession, dir: String): DataFrame =
+    closePairStats(table(spark, dir, "events")
+      .select(col("event_id").as("id"),
+        (graft.functions.Hashes.h32(col("event_id").cast("string"))
+          % 100000L).as("x"),
+        (conv(substring(md5(col("event_id").cast("string")), 9, 8), 16, 10)
+          .cast("long") % 100000L).as("y")),
+      cellSide = 10000L, r2 = 25000000L)
+
+  /** The q55 grid join over any (id, x, y) relation — split out so
+    * the randomized spec proves losslessness against brute force.
+    * Requires r ≤ cellSide (the ±1-cell bound). */
+  def closePairStats(pts0: DataFrame, cellSide: Long, r2: Long)
+      : DataFrame = {
+    require(r2 <= cellSide * cellSide,
+      s"radius^2 $r2 exceeds cellSide^2 — the 3x3 probe would miss pairs")
+    val pts = pts0
+      .withColumn("cx", expr(s"x div $cellSide"))
+      .withColumn("cy", expr(s"y div $cellSide"))
+    val neighbors = pts.select(col("id").as("a_id"),
+      col("x").as("ax"), col("y").as("ay"),
+      explode(expr(
+        "flatten(transform(sequence(-1, 1), dx -> " +
+          "transform(sequence(-1, 1), dy -> " +
+          "struct(cx + dx AS nx, cy + dy AS ny))))")).as("nc"))
+      .select(col("a_id"), col("ax"), col("ay"),
+        col("nc.nx").as("cx"), col("nc.ny").as("cy"))
+    neighbors.join(pts.select(col("id").as("b_id"),
+        col("x").as("bx"), col("y").as("by"), col("cx"), col("cy")),
+        Seq("cx", "cy"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("d2",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+      .filter(col("d2") < r2)
+      .agg(count(lit(1)).as("n_close_pairs"),
+        min(col("d2")).as("min_d2"), sum(col("d2")).as("d2_sum"))
+  }
+
   /** q54: session PATH analysis — the top-10 most-travelled session
     * journeys: sessions cut at a 30-minute inactivity gap (q17's
     * `session_window`), each session's path = its first 5 event

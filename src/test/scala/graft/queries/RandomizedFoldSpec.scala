@@ -65,6 +65,33 @@ class RandomizedFoldSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q55 grid join is LOSSLESS — == brute-force all-pairs on " +
+      "random clustered points (cell-boundary pairs included)") {
+    import spark.implicits._
+    for (seed <- Seq(13, 77)) {
+      val rnd = new scala.util.Random(seed)
+      // cluster around cell boundaries so cross-cell pairs are common
+      val pts = (0L until 250L).map { i =>
+        val bx = rnd.nextInt(5) * 1000L
+        (i, bx + rnd.nextInt(400) - 200L + 2000L,
+          rnd.nextInt(5) * 1000L + rnd.nextInt(400) - 200L + 2000L)
+      }
+      val r2 = 900L * 900L
+      val got = Relational.closePairStats(
+        pts.toDF("id", "x", "y"), cellSide = 1000L, r2 = r2)
+        .collect().head
+      val brute = for {
+        (i, xi, yi) <- pts; (j, xj, yj) <- pts
+        if i < j
+        d2 = (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj)
+        if d2 < r2
+      } yield d2
+      assert(got.getLong(0) == brute.length.toLong, s"seed=$seed count")
+      assert(got.getLong(1) == brute.min, s"seed=$seed min")
+      assert(got.getLong(2) == brute.sum, s"seed=$seed sum")
+    }
+  }
+
   test("q45 sweep == instant-scan reference on random bursts " +
       "(midnight-crossing included)") {
     import spark.implicits._
