@@ -148,6 +148,7 @@ object SparkEntry {
     "s33_index_drift" -> (PipelineQueries.indexDrift _),
     "s34_retrain_response" -> (PipelineQueries.retrainResponse _),
     "s35_matryoshka_recall" -> (PipelineQueries.matryoshkaRecall _),
+    "s36_opq_lite" -> (PipelineQueries.opqLite _),
     "s27_graph_ann" -> (PipelineQueries.graphAnn _),
     "s28_knn_classify" -> (PipelineQueries.knnClassify _),
     "s29_retrieval_mrr" -> (PipelineQueries.retrievalMrr _),
@@ -3298,6 +3299,7 @@ object SparkEntry {
     // under the base-trained frozen model.
     "s33_index_drift" -> indexDriftOracleSql,
     "s34_retrain_response" -> retrainResponseOracleSql,
+    "s36_opq_lite" -> opqLiteOracleSql,
     // s35: per-dim brute force over list_slice prefixes, intersected
     // with the full-dim exact top-10.
     "s35_matryoshka_recall" ->
@@ -4521,6 +4523,46 @@ object SparkEntry {
          ${err("_f", "frozen")},
          ${err("_r", "retrained")}
          SELECT * FROM err_f UNION ALL SELECT * FROM err_r"""
+  }
+
+  /** s36: the s06 codebook recipe run twice — natural dims and the
+    * balanced-energy permutation (1-based list indexing here, 0-based
+    * in the engine; same ordering, same permutation). */
+  private def opqLiteOracleSql: String = {
+    def chain(src: String, sfx: String): String =
+      s"""cents$sfx AS (SELECT vec_id AS cid, iv FROM $src
+             ORDER BY vec_id LIMIT 16),
+         csub$sfx AS (SELECT s.s AS sub, cid,
+               iv[s.s*16+1 : s.s*16+16] AS civ
+             FROM cents$sfx, generate_series(0,3) s(s)),
+         vsub$sfx AS (SELECT vec_id, s.s AS sub,
+               iv[s.s*16+1 : s.s*16+16] AS sv
+             FROM $src, generate_series(0,3) s(s)),
+         d$sfx AS (SELECT vec_id, v.sub,
+               (SELECT sum((x-y)*(x-y))
+                FROM (SELECT unnest(sv) AS x, unnest(civ) AS y)) AS dist
+             FROM vsub$sfx v JOIN csub$sfx c ON v.sub = c.sub),
+         err$sfx AS (SELECT CAST(sum(md) AS BIGINT) AS err2_total FROM
+             (SELECT vec_id, sub, min(dist) AS md FROM d$sfx
+              GROUP BY 1, 2))"""
+    s"""WITH iv AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS iv
+           FROM embeddings),
+         en AS (SELECT d.d AS d, sum(iv[d.d] * iv[d.d]) AS en
+                FROM iv, generate_series(1, 64) d(d) GROUP BY 1),
+         rk AS (SELECT d, row_number() OVER (ORDER BY en DESC, d) - 1
+                  AS i FROM en),
+         perm AS (SELECT list(d ORDER BY i % 4, i // 4) AS p FROM rk),
+         pv AS (SELECT vec_id, list_transform(generate_series(1, 64),
+                  j -> iv[p[j]]) AS iv FROM iv, perm),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM iv),
+         ${chain("iv", "N")},
+         ${chain("pv", "P")}
+         SELECT 'natural' AS variant, n.n_vectors, errN.err2_total
+           FROM n, errN
+         UNION ALL
+         SELECT 'opq', n.n_vectors, errP.err2_total FROM n, errP"""
   }
 
   /** Shared by q32 (batch gaps-and-islands) and st22 (streaming keyed

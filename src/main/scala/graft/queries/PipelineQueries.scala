@@ -1456,6 +1456,42 @@ object PipelineQueries {
     Vectors.truncationRecall(embs(spark, dir), col("vec_id"),
       col("embedding"))
 
+  /** s36: OPQ-lite — PQ with a BALANCED-ENERGY dimension permutation:
+    * dims ranked by exact integer energy (Σv² per dim) and dealt
+    * round-robin into the m=4 subspaces, so no subspace hoards the
+    * high-variance dims (the OPQ rotation's goal, reached by
+    * permutation only — exact and oracle-replicable where a learned
+    * rotation is not). Both the natural and permuted codings run the
+    * SAME s06 codebook recipe; the output is the measured total
+    * quantization error per variant — the evidence the permutation
+    * step pays (or doesn't) on this corpus. The permutation is a
+    * 64-entry model (driver-sized by construction, like any broadcast
+    * codebook). */
+  def opqLite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embs(spark, dir)
+    val energies = e
+      .select(posexplode(Vectors.intScale(col("embedding")))
+        .as(Seq("d", "v")))
+      .groupBy(col("d")).agg(sum(col("v") * col("v")).as("en"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val ranked = energies.sortBy { case (d, en) => (-en, d) }.map(_._1)
+    val perm: Seq[Int] =
+      (0 until 4).flatMap(s => ranked.zipWithIndex.collect {
+        case (d, i) if i % 4 == s => d
+      })
+    val permuted = e.withColumn("p_emb",
+      array(perm.map(i => col("embedding").getItem(i)): _*))
+    def total(codes: DataFrame, variant: String) =
+      codes.agg(count(lit(1)).as("n_vectors"),
+        sum(col("err2")).as("err2_total"))
+        .select(lit(variant).as("variant"), col("n_vectors"),
+          col("err2_total"))
+    total(Vectors.pqEncode(e, col("vec_id"), col("embedding")), "natural")
+      .unionByName(total(
+        Vectors.pqEncode(permuted, col("vec_id"), col("p_emb")), "opq"))
+  }
+
   /** d23: incremental near-dup via the stored LSH index — the corpus
     * is banded ONCE into a parquet artifact; arrivals (ids ≡ 7 mod 10,
     * the s26 carving) probe the stored bands and the exact verify
