@@ -203,6 +203,8 @@ object SparkEntry {
     "q53_funnel_latency" -> (Relational.funnelLatency _),
     "q54_session_paths" -> (Relational.sessionPaths _),
     "q55_spatial_join" -> (Relational.spatialJoin _),
+    "q56_copurchase" -> (Relational.copurchase _),
+    "q57_bom_rollup" -> (Relational.bomRollup _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
     "q50_point_in_time_join" -> (Relational.pointInTimeJoin _),
     "st40_stream_ewma" -> (StreamingQueries.streamEwma _),
@@ -212,6 +214,7 @@ object SparkEntry {
     "st43_stream_basket_lift" -> (StreamingQueries.streamBasketLift _),
     "st44_stream_session_paths" ->
       (StreamingQueries.streamSessionPaths _),
+    "st45_stream_anomaly" -> (StreamingQueries.streamAnomaly _),
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
     "t33_readability" -> (PipelineQueries.readabilityGrades _),
     "d26_cdc_chunks" -> (PipelineQueries.cdcChunks _),
@@ -1225,6 +1228,33 @@ object SparkEntry {
                 CAST(min(d2) AS BIGINT) AS min_d2,
                 CAST(sum(d2) AS BIGINT) AS d2_sum
          FROM pairs""",
+    // q56: the same basket-local self-join — DISTINCT brand set per
+    // order, canonical a<b pairs, full tie-break on the top-20.
+    "q56_copurchase" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+             FROM lineitem JOIN part ON l_partkey = p_partkey)
+         SELECT a.b AS b1, b.b AS b2,
+                CAST(count(*) AS BIGINT) AS n_orders
+         FROM ob a JOIN ob b ON a.ok = b.ok AND a.b < b.b
+         GROUP BY 1, 2
+         ORDER BY n_orders DESC, b1, b2 LIMIT 20""",
+    // q57: the oracle IS the canonical level-by-level BOM explosion —
+    // per-edge qty = key mod 3 + 1 multiplied down the path; the
+    // engine reaches the same closure in log-rounds.
+    "q57_bom_rollup" ->
+      """WITH RECURSIVE bom(node, root, depth, qty) AS (
+           SELECT p_partkey, p_partkey, CAST(0 AS BIGINT),
+                  CAST(1 AS BIGINT)
+             FROM part WHERE p_partkey < 16
+           UNION ALL
+           SELECT p.p_partkey, b.root, b.depth + 1,
+                  b.qty * (p.p_partkey % 3 + 1)
+             FROM part p JOIN bom b
+               ON p.p_partkey // 2 = b.node AND p.p_partkey >= 16)
+         SELECT root, CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(sum(qty) AS BIGINT) AS total_units,
+                CAST(max(depth) AS BIGINT) AS max_depth
+         FROM bom GROUP BY root""",
     // q54: gaps-and-islands sessionization in the oracle (DuckDB has
     // no session_window) — identical 30-min-gap semantics.
     "q54_session_paths" ->
@@ -4105,21 +4135,10 @@ object SparkEntry {
     "st34_stream_ohlc" -> ohlcOracleSql,
     // q41: the identical cross-multiplied z-test over the trailing
     // 7-day (n, Σx, Σx²) excluding the current day.
-    "q41_daily_anomaly" ->
-      """WITH dcount AS (SELECT date_trunc('day', ts) AS day, event_type,
-             CAST(count(*) AS BIGINT) AS cnt
-           FROM events GROUP BY 1, 2),
-         w AS (SELECT day, event_type, cnt,
-             CAST(count(cnt) OVER wd AS BIGINT) AS n,
-             CAST(coalesce(sum(cnt) OVER wd, 0) AS BIGINT) AS s,
-             CAST(coalesce(sum(cnt*cnt) OVER wd, 0) AS BIGINT) AS q
-           FROM dcount
-           WINDOW wd AS (PARTITION BY event_type ORDER BY day
-             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
-         SELECT day, event_type, cnt,
-           n >= 3 AND (n*cnt - s)*(n*cnt - s) > 4*(n*q - s*s)
-             AS is_anomaly
-         FROM w""",
+    "q41_daily_anomaly" -> dailyAnomalyOracleSql,
+    // st45: q41's flags maintained online — ring state + gap-close
+    // emission; shared oracle.
+    "st45_stream_anomaly" -> dailyAnomalyOracleSql,
     // q38: discrete rank-selected quartile boundaries + exact
     // value-range bucket populations — tie-order-independent.
     "q38_histogram" ->
@@ -4324,6 +4343,24 @@ object SparkEntry {
              FROM vsub v JOIN csub c ON v.sub = c.sub)"""
 
   /** Int-scaled embedding preprocessing shared by the vector oracles. */
+  /** Shared by q41 (batch trailing-7-row window) and st45 (streaming
+    * ring state): both must produce the identical per-day flag row. */
+  private def dailyAnomalyOracleSql: String =
+    """WITH dcount AS (SELECT date_trunc('day', ts) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1, 2),
+       w AS (SELECT day, event_type, cnt,
+           CAST(count(cnt) OVER wd AS BIGINT) AS n,
+           CAST(coalesce(sum(cnt) OVER wd, 0) AS BIGINT) AS s,
+           CAST(coalesce(sum(cnt*cnt) OVER wd, 0) AS BIGINT) AS q
+         FROM dcount
+         WINDOW wd AS (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+       SELECT day, event_type, cnt,
+         n >= 3 AND (n*cnt - s)*(n*cnt - s) > 4*(n*q - s*s)
+           AS is_anomaly
+       FROM w"""
+
   /** Shared by q28 (batch RANGE frame) and st15 (streaming deque):
     * both must produce the identical per-event trailing-hour row. */
   private def slidingOracleSql: String =

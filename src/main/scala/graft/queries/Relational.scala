@@ -1358,4 +1358,58 @@ object Relational {
         col("day").cast("int")), "yyyy-MM-dd").as("day"),
         col("peak_concurrent"))
   }
+
+  /** q56: co-purchase affinity — the item-item co-occurrence matrix
+    * of collaborative filtering ("customers who bought X also bought
+    * Y"), at the BRAND grain so counts are dense: per order the
+    * DISTINCT brand set (dimension resolved by a broadcast join to
+    * `part`), then a basket-local self-join on the order key emits
+    * each unordered brand pair once (`a < b` canonical order — no
+    * distinct pass). The fan-out is bounded by the per-order basket
+    * size (≤ items per order, squared), NEVER by corpus size — the
+    * same lossless-bucketing argument as q55: at 100 TB this is an
+    * equi-join whose expansion rides the basket-size distribution,
+    * not an all-pairs product. Top-20 with full deterministic
+    * tie-break. */
+  def copurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ob = table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .join(broadcast(table(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("ok"), col("p_brand").as("b"))
+      .distinct()
+    ob.as("a").join(ob.as("b"),
+        col("a.ok") === col("b.ok") && col("a.b") < col("b.b"))
+      .groupBy(col("a.b").as("b1"), col("b.b").as("b2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("b1"), col("b2"))
+      .limit(20)
+  }
+
+  /** q57: BOM rollup — the weighted transitive closure q46's
+    * unweighted flattening cannot express: each edge carries a
+    * quantity multiplier (units of the child per unit of its parent),
+    * a node's `path_qty` is the PRODUCT of multipliers down from its
+    * root, and the per-root rollup answers "how many units of
+    * everything does one finished assembly pull in" — the classic
+    * bill-of-materials explosion. Pointer jumping composes the
+    * product in the same ⌈log₂ depth⌉ rounds as q46 (path morphism:
+    * qty ← qty · qty(anc)); the ORACLE is DuckDB's level-by-level
+    * `WITH RECURSIVE`, so the hash match proves the log-round rewrite
+    * equals the canonical recursion. Same md5-free synthetic forest
+    * as q46 (parent = key div 2, roots below 16), per-edge qty =
+    * key mod 3 + 1 ∈ {1,2,3}. */
+  def bomRollup(spark: SparkSession, dir: String): DataFrame = {
+    val edges = table(spark, dir, "part").select(
+      col("p_partkey").as("node"),
+      when(col("p_partkey") >= 16L, floor(col("p_partkey") / 2))
+        .otherwise(lit(null)).cast("long").as("parent"),
+      (col("p_partkey") % 3L + 1L).as("qty"))
+    graft.ops.Hierarchy.flattenForestWeighted(edges)
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("path_qty")).as("total_units"),
+        max(col("depth")).as("max_depth"))
+  }
 }

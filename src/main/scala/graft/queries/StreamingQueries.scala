@@ -3049,4 +3049,128 @@ object StreamingQueries {
           element_at(col("p"), 4).cast("double").as("close"),
           element_at(col("p"), 5).cast("long").as("n_events"))
     }
+
+  /** st45: daily anomaly flags maintained ONLINE — q41's trailing-
+    * 7-day z-test as live keyed state per event_type. State is O(1):
+    * the open day's count plus a ring of the last ≤7 CLOSED day
+    * counts (the exact frame of q41's `ROWS BETWEEN 7 PRECEDING AND
+    * 1 PRECEDING`). The first event of a LATER day closes the open
+    * day: the flag is decided from the ring by the identical exact
+    * integer test (BigInt here, DECIMAL(19) in the batch plan,
+    * BIGINT in the oracle — all exact, so all agree), the closed row
+    * is emitted into a keyed stage-2 table, and the ring advances.
+    * The final still-open day per type exists only in state and is
+    * folded at READ time by the same test rendered as Spark
+    * expressions over the parsed ring. Per-key event-time order
+    * (in-batch (ts, offset) sort + time-split staging) makes
+    * day-close well-defined, and st40's loud out-of-order `require`
+    * guards the assumption. Shares q41's oracle bit-for-bit. */
+  def streamAnomaly(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val dayUs = 86400000000L
+      val stage1 = GroupGraph.define("stream-anomaly")(
+        Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+          val d = graft.operators.BatchExecutor
+            .tsMicros(ctx.timestamp) / dayUs
+          ctx.value match {
+            case null => ctx.setValue(s"$d,1,1,")
+            case st: String =>
+              val Array(day0, cnt0, m0, ring0) = st.split(",", 4)
+              val (day, cnt, m) = (day0.toLong, cnt0.toLong, m0.toLong)
+              if (d == day) ctx.setValue(s"$day,${cnt + 1},${m + 1},$ring0")
+              else {
+                require(d > day, s"out-of-order day $d after $day for " +
+                  s"type ${ctx.key} — the staged replay must be time-ordered")
+                val ring = if (ring0.isEmpty) Vector.empty[Long]
+                  else ring0.split(';').toVector
+                    .map(_.split(':')(1).toLong)
+                val n = ring.size
+                val s = ring.sum
+                val q = ring.map(c => c * c).sum
+                val flag = n >= 3 &&
+                  (BigInt(n) * cnt - s).pow(2) >
+                    4 * (BigInt(n) * q - BigInt(s) * BigInt(s))
+                ctx.emit("days", s"$day|${ctx.key}",
+                  s"$cnt,${if (flag) 1 else 0}")
+                val ring2 = ((if (ring0.isEmpty) Vector.empty[String]
+                  else ring0.split(';').toVector) :+ s"$day:$cnt")
+                  .takeRight(7)
+                ctx.setValue(s"$d,1,${m + 1},${ring2.mkString(";")}")
+              }
+          }
+        }),
+        Persist(StringCodec), Output("days", StringCodec))
+      val stage2 = GroupGraph.define("anomaly-days")(
+        Input("days", StringCodec, ProcessCallback { (ctx, msg) =>
+          ctx.setValue(msg.asInstanceOf[String])
+        }),
+        Persist(StringCodec))
+      val staging = tempDir("graft_anomaly_split")
+      stageTwoBatches(spark,
+        Sources.messages(Sources.table(spark, dir, "events"), "events",
+          col("event_type"), lit(1L), col("ts"), col("event_id")),
+        staging)
+      val relay = tempDir("graft_anomaly_relay")
+      val msgSchema = org.apache.spark.sql.Encoders.product[Message].schema
+      val stream1 = spark.readStream.schema(msgSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val tableDir = tempDir("graft_anomaly_table")
+      val q1 = StreamSinks.routeOutputs(
+        new StreamExecutor(stage1).run(spark, stream1),
+        Map("days" -> relay), tableDir = Some(tableDir))
+      val stream2 = spark.readStream.schema(msgSchema)
+        .parquet(relay).as[Message]
+      val closedTable = new StreamExecutor(stage2).run(spark, stream2)
+        .filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("k", "v")
+      val closedName = s"stream_result_${nameSeq.incrementAndGet()}"
+      val qClosed = closedTable.writeStream.format("memory")
+        .queryName(closedName).outputMode("update").start()
+      try {
+        q1.processAllAvailable()
+        qClosed.processAllAvailable()
+      } finally { q1.stop(); qClosed.stop() }
+      val closed = spark.table(closedName)
+        .groupBy(col("k")).agg(max(col("v")).as("v"))
+        .select(split(col("k"), "\\|").as("kk"),
+          split(col("v"), ",").as("p"))
+        .select(
+          timestamp_micros(element_at(col("kk"), 1).cast("long") * dayUs)
+            .as("day"),
+          element_at(col("kk"), 2).as("event_type"),
+          element_at(col("p"), 1).cast("long").as("cnt"),
+          (element_at(col("p"), 2) === "1").as("is_anomaly"))
+      // The still-open last day per type: q41's test over the parsed
+      // ring, in exact DECIMAL(19) like the batch plan.
+      val d19 = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
+      val open = spark.read.parquet(tableDir)
+        .select(col("key").as("event_type"),
+          split(col("value").cast("string"), ",", 4).as("p"))
+        .withColumn("m", element_at(col("p"), 3).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(max_by(col("p"), col("m")).as("p"))
+        .select(col("event_type"),
+          element_at(col("p"), 1).cast("long").as("day"),
+          element_at(col("p"), 2).cast("long").as("cnt"),
+          transform(
+            filter(split(element_at(col("p"), 4), ";"), x => x =!= ""),
+            x => split_part(x, lit(":"), lit(2)).cast("long")).as("ring"))
+        .withColumn("n", size(col("ring")).cast("long"))
+        .withColumn("s", aggregate(col("ring"), lit(0L), (a, x) => a + x))
+        .withColumn("q",
+          aggregate(col("ring"), lit(0L), (a, x) => a + x * x))
+        .select(timestamp_micros(col("day") * dayUs).as("day"),
+          col("event_type"), col("cnt"),
+          (col("n") >= 3L &&
+            d19(col("n") * col("cnt") - col("s")) *
+              d19(col("n") * col("cnt") - col("s")) >
+            lit(4) * (d19(col("n")) * d19(col("q")) -
+              d19(col("s")) * d19(col("s")))).as("is_anomaly"))
+      closed.unionByName(open)
+    }
 }

@@ -55,6 +55,54 @@ class HierarchySpec extends AnyFunSuite with SparkFixture {
     assert(got == edges.map { case (i, _) => (i, 0L, i) }.toSet)
   }
 
+  private def viaRecursiveCteWeighted(
+      edges: Seq[(Long, Option[Long], Long)]) = {
+    import spark.implicits._
+    edges.toDF("node", "parent", "qty").createOrReplaceTempView("hw_edges")
+    spark.sql(
+      """WITH RECURSIVE walk(node, root, depth, pq) AS (
+           SELECT node, node, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+             FROM hw_edges WHERE parent IS NULL
+           UNION ALL
+           SELECT e.node, w.root, w.depth + 1, w.pq * e.qty
+             FROM hw_edges e JOIN walk w ON e.parent = w.node)
+         SELECT node, root, depth, pq FROM walk""")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("weighted random forests: qty-product doubling == recursive CTE") {
+    import spark.implicits._
+    for (seed <- Seq(3, 11, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200
+      val edges = (0L until n).map { i =>
+        if (i < 3 || rnd.nextInt(10) == 0)
+          (i, None: Option[Long], rnd.nextInt(3) + 1L)
+        else (i, Some(rnd.nextInt(i.toInt).toLong), rnd.nextInt(3) + 1L)
+      }
+      val got = Hierarchy
+        .flattenForestWeighted(edges.toDF("node", "parent", "qty"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == viaRecursiveCteWeighted(edges), s"seed=$seed")
+    }
+  }
+
+  test("weighted roots carry path_qty 1 regardless of their edge qty") {
+    import spark.implicits._
+    val edges = Seq((0L, None: Option[Long], 3L),
+      (1L, Some(0L), 2L), (2L, Some(1L), 3L))
+    val got = Hierarchy
+      .flattenForestWeighted(edges.toDF("node", "parent", "qty"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((0L, 0L, 0L, 1L), (1L, 0L, 1L, 2L), (2L, 0L, 2L, 6L)))
+  }
+
   test("a cycle fails loudly instead of looping forever") {
     val edges = Seq((0L, Some(1L)), (1L, Some(0L)), (2L, None: Option[Long]))
     val e = intercept[IllegalStateException] {
