@@ -217,6 +217,7 @@ object SparkEntry {
     "st45_stream_anomaly" -> (StreamingQueries.streamAnomaly _),
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
     "t33_readability" -> (PipelineQueries.readabilityGrades _),
+    "t34_perplexity" -> (PipelineQueries.perplexityGate _),
     "d26_cdc_chunks" -> (PipelineQueries.cdcChunks _),
     "st36_stream_forget" -> (StreamingQueries.streamForget _),
     "st37_stream_lake_ingest" -> (StreamingQueries.streamLakeIngest _),
@@ -4095,6 +4096,39 @@ object SparkEntry {
            list_reduce(list_prepend(0.0, l), (acc, x) -> acc + x)
              / CAST(len(l) AS DOUBLE) AS lm_score
          FROM lst""",
+    // t34: t13's model chain, scored as cross-entropy in exact
+    // 16-fraction-bit integer log2 — the identical ladder + squaring
+    // stages the Spark plan evaluates (PortableMath generates both),
+    // then plain integer SUM / integer compare: no double fold at all.
+    "t34_perplexity" -> {
+      import graft.functions.PortableMath
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                   i -> w[i] || ' ' || w[i+1])) AS g
+               FROM w),
+         cb AS (SELECT g, count(*) AS cb FROM g GROUP BY g),
+         c1 AS (SELECT split_part(g, ' ', 1) AS w1, sum(cb) AS c1
+                FROM cb GROUP BY 1),
+         v AS (SELECT count(*) AS v FROM c1),
+         mdl AS (SELECT cb.g AS g,
+                 CAST(c1.c1 + v.v AS DOUBLE) / CAST(cb.cb + 1 AS DOUBLE)
+                   AS odds
+               FROM cb JOIN c1 ON split_part(cb.g, ' ', 1) = c1.w1, v),
+         ${PortableMath.log2FixedSqlStages("mdl", "odds", "lfx", "l2s")},
+         agg AS (SELECT g.doc_id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(s.lfx) AS BIGINT) AS score_fx
+                 FROM g JOIN l2sout s ON g.g = s.g
+                 GROUP BY g.doc_id)
+         SELECT doc_id, n_bigrams, score_fx,
+                CAST(score_fx AS DOUBLE)
+                  / CAST(n_bigrams * 65536 AS DOUBLE) AS h_bits,
+                score_fx < ${PipelineQueries.perplexityKeepBitsFx}
+                  * n_bigrams AS keep
+         FROM agg"""
+    },
     // t13's LM score chain + per-language discrete terciles
     // (rank-selected boundary values, q29's machinery) + map-side
     // CASE bucketing. head = top tercile (lm_score rises with

@@ -105,4 +105,75 @@ object PortableMath {
   /** Exact power-of-two double literal; Double.toString round-trips so
     * both engines parse identical bits. */
   private def lit2(e: Int): String = math.pow(2.0, e).toString
+
+  // ---- fixed-point log2: the FMA-proof alternative ---------------------
+  //
+  // withLn's parity contract assumes both engines round every `a*b + c`
+  // as two operations. Measured on this host, DuckDB 1.0.0 evaluates
+  // the recombination's mul-add shape differently by one ulp depending
+  // on the surrounding query shape (observed on ln(582.0) inside the
+  // t34 model chain vs the identical expression over a parquet-fed
+  // row) — i.e. somewhere in its stack the multiply-add is CONTRACTED.
+  // A score that must hash-match cross-engine therefore cannot ride
+  // any mul+add of data-dependent doubles. This primitive computes
+  // floor(log2(x) · 2^fracBits) as an exact INTEGER using only
+  // operations no compiler may legally contract or reorder:
+  //   - the kLadder/mLadder range reduction (comparisons + divisions
+  //     by exact powers of two),
+  //   - then `fracBits` rounds of the classic bit-by-bit log:
+  //     m ← m²; if m ≥ 2 emit bit 1 and halve, else emit bit 0.
+  // Each round is one correctly-rounded multiply feeding a COMPARISON
+  // and a division by 2 (exponent-only, exact) — there is no add for
+  // an FMA to fuse into. The integer result sums/compares exactly, so
+  // downstream aggregation needs no ordered-fold discipline at all.
+  // The squaring round-off keeps the result within ~1 ulp of the true
+  // fixed-point log2 — and bit-identical across engines regardless,
+  // which is the property that matters.
+
+  /** Append `out` = floor(log2(x)·2^fracBits) (LongType) to `df` via
+    * named single-use projections. Domain: kLadder's [2^-20, 2^40]. */
+  def withLog2Fixed(df: DataFrame, x: Column, out: String,
+      fracBits: Int = 16): DataFrame = {
+    require(fracBits >= 1 && fracBits <= 40, s"fracBits $fracBits")
+    var d = df.withColumn("__l2_k", kLadder(x))
+      .withColumn("__l2_m", mLadder(x))
+      .withColumn("__l2_f", lit(0L))
+    for (_ <- 1 to fracBits) {
+      d = d.withColumn("__l2_m2", col("__l2_m") * col("__l2_m"))
+        .withColumn("__l2_f", col("__l2_f") * lit(2L) +
+          when(col("__l2_m2") >= lit(2.0), lit(1L)).otherwise(lit(0L)))
+        .withColumn("__l2_m",
+          when(col("__l2_m2") >= lit(2.0), col("__l2_m2") / lit(2.0))
+            .otherwise(col("__l2_m2")))
+        .drop("__l2_m2")
+    }
+    d.withColumn(out,
+        col("__l2_k").cast("long") * lit(1L << fracBits) + col("__l2_f"))
+      .drop("__l2_k", "__l2_m", "__l2_f")
+  }
+
+  /** SQL rendering of [[withLog2Fixed]] as chained CTE stages — the
+    * identical op sequence, one named stage per squaring round.
+    * Returns the CTE-body fragment `<p>0 AS (...), ..., <p>N AS (...)`;
+    * the final stage exposes every input column plus `outCol`.
+    * `src` is the relation to read; `xCol` the input expression. */
+  def log2FixedSqlStages(src: String, xCol: String, outCol: String,
+      prefix: String, fracBits: Int = 16): String = {
+    require(fracBits >= 1 && fracBits <= 40, s"fracBits $fracBits")
+    val s0 =
+      s"""${prefix}0 AS (SELECT *, ${kLadderSql(xCol)} AS l2k,
+         ${mLadderSql(xCol)} AS l2m, CAST(0 AS BIGINT) AS l2f FROM $src)"""
+    val rounds = (1 to fracBits).map { i =>
+      s"""$prefix$i AS (SELECT * EXCLUDE (l2m, l2f),
+           CASE WHEN l2m * l2m >= 2.0 THEN l2m * l2m / 2.0
+                ELSE l2m * l2m END AS l2m,
+           l2f * 2 + CASE WHEN l2m * l2m >= 2.0 THEN 1 ELSE 0 END AS l2f
+         FROM $prefix${i - 1})"""
+    }
+    val fin =
+      s"""${prefix}out AS (SELECT * EXCLUDE (l2k, l2m, l2f),
+           CAST(l2k AS BIGINT) * ${1L << fracBits} + l2f AS $outCol
+         FROM $prefix$fracBits)"""
+    (s0 +: rounds :+ fin).mkString(",\n")
+  }
 }

@@ -639,22 +639,23 @@ object TextAnalysis {
 
   /** t34: the CCNet PERPLEXITY gate (Wenzek et al. 2020 §3.3 — the
     * actual filter CCNet runs, where t13/t20 rank by mean raw
-    * probability): per-doc cross-entropy under the frozen bigram LM,
-    * H = mean −ln p over the doc's bigram occurrences, plus the keep
-    * flag at a fixed nats threshold. Engine-portable by construction:
-    * p's reciprocal odds = (c1 + V)/(cb + 1) is a division of exact
-    * integers (identical bits in any IEEE engine), its ln is the
-    * [[graft.functions.PortableMath]] pinned expression tree, and the
-    * per-doc mean folds in sorted-bigram order — so the score
-    * hash-matches the SQL oracle bit-for-bit. ln(odds) with odds ≥ 1
-    * (never ln p, p ↓ 1/(c1+V)) keeps the argument inside the
-    * ladder's [2^-20, 2^40] domain at ANY corpus size. Scale shape:
-    * the 61-way CASE ladder evaluates on the MODEL table only
-    * (one row per distinct bigram), and scoring is the same
-    * broadcast-guarded model join as t13 — map-only over the corpus,
-    * the frozen-model slice-union property included. */
+    * probability): per-doc cross-entropy in BITS under the frozen
+    * bigram LM, plus the keep flag. The per-bigram information
+    * content −log2 p = log2 odds, odds = (c1 + V)/(cb + 1), is
+    * computed as [[graft.functions.PortableMath.withLog2Fixed]]
+    * 16-fraction-bit INTEGERS, so the per-doc score is an exact
+    * integer SUM (order-free, no double-fold discipline) and the
+    * keep decision `score < τ·n` is an exact integer comparison —
+    * immune to the engine-dependent mul-add contraction that makes
+    * transcendental double folds fragile (see PortableMath's fixed-
+    * point rationale). odds ≥ 1 always (c1 ≥ cb, V ≥ 1), inside the
+    * ladder domain at ANY corpus size. Scale shape: the ladder +
+    * 16 squarings evaluate on the MODEL table only (one row per
+    * distinct bigram); scoring is the same broadcast-guarded model
+    * join as t13 — map-only over the corpus, the frozen-model
+    * slice-union property included. */
   def perplexityGate(df: DataFrame, text: Column, id: Column,
-      keepBelowNats: Double,
+      keepBelowBitsFx: Long,
       minCount: Long = 1L,
       maxBroadcastBigrams: Long = 10_000_000L): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
@@ -665,26 +666,27 @@ object TextAnalysis {
     val c1 = cb.groupBy(split_part(col("g"), lit(" "), lit(1)).as("w1"))
       .agg(sum(col("cb")).as("c1"))
     val vocab = c1.agg(count(lit(1)).as("v"))
-    // ln over the MODEL rows only; with minCount=1 every corpus bigram
-    // is in the model, so the inner scoring join drops nothing.
-    val scoredModel = graft.functions.PortableMath.withLn(
+    // log2 over the MODEL rows only; with minCount=1 every corpus
+    // bigram is in the model, so the inner scoring join drops nothing.
+    val scoredModel = graft.functions.PortableMath.withLog2Fixed(
       cb.join(c1, split_part(col("g"), lit(" "), lit(1)) === col("w1"))
         .crossJoin(broadcast(vocab))
         .select(col("g"),
           ((col("c1") + col("v")).cast("double") /
             (col("cb") + lit(1L)).cast("double")).as("odds")),
-      col("odds"), "lno").select(col("g"), col("lno"))
+      col("odds"), "lfx").select(col("g"), col("lfx"))
     val modelSide =
       if (cb.count() <= maxBroadcastBigrams) broadcast(scoredModel)
       else scoredModel
     grams.join(modelSide, Seq("g"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("g"), col("lno")))).as("lst"))
-      .select(col("doc_id"),
-        size(col("lst")).cast("long").as("n_bigrams"),
-        (aggregate(col("lst"), lit(0.0), (acc, x) => acc + x("lno"))
-          / size(col("lst")).cast("double")).as("h_nats"))
-      .withColumn("keep", col("h_nats") < lit(keepBelowNats))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lfx")).as("score_fx"))
+      .select(col("doc_id"), col("n_bigrams"), col("score_fx"),
+        (col("score_fx").cast("double") /
+          (col("n_bigrams") * lit(65536L)).cast("double")).as("h_bits"),
+        (col("score_fx") < lit(keepBelowBitsFx) * col("n_bigrams"))
+          .as("keep"))
   }
 
   /** CCNet-style per-language quality bucketing (Wenzek et al. 2020,

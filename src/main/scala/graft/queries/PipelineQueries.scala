@@ -775,6 +775,15 @@ object PipelineQueries {
   def bigramLm(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLmScore(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** t34: the CCNet perplexity gate — per-doc cross-entropy under the
+    * frozen t13 bigram LM as exact 16-fraction-bit integers; keep
+    * below [[perplexityKeepBitsFx]] (≈ 4.889 bits ≈ 3.389 nats, the
+    * corpus median, so the gate genuinely splits). */
+  val perplexityKeepBitsFx = 320400L
+  def perplexityGate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityGate(docs(spark, dir), col("text"),
+      col("doc_id"), keepBelowBitsFx = perplexityKeepBitsFx)
+
   /** Deterministic global shuffle into 8 training shards. */
   def shuffleShard(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.shuffleShard(docs(spark, dir), col("doc_id"))

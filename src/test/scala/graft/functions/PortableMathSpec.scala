@@ -32,4 +32,34 @@ class PortableMathSpec extends AnyFunSuite with SparkFixture {
         s"2^$e")
     }
   }
+
+  test("fixed-point log2 tracks log2 to within 2 grid steps, exact at 2^e") {
+    import spark.implicits._
+    val xs = ((1 to 1000).map(i => (100000.0 - i + 0.5) / (i + 0.5)) ++
+      (-20 to 40).map(e => math.pow(2.0, e)) ++
+      Seq(1.5, 3.0, 582.0 / 1.0, 30.040955631399317)).distinct
+    val got = PortableMath.withLog2Fixed(xs.toDF("x"), col("x"), "fx")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    got.foreach { case (x, fx) =>
+      val want = math.log(x) / math.log(2.0) * 65536.0
+      assert(math.abs(fx - want) <= 2.0,
+        s"log2fx($x) = $fx, expected ~$want")
+    }
+    // exact powers of two: k·2^16 exactly, all fraction bits zero
+    val byX = got.toMap
+    (-20 to 40).foreach { e =>
+      assert(byX(math.pow(2.0, e)) == e.toLong * 65536L, s"2^$e")
+    }
+  }
+
+  test("fixed-point log2 is monotone over a dense ratio sweep") {
+    import spark.implicits._
+    val xs = (1 to 4000).map(i => 1.0 + i / 700.0)
+    val got = PortableMath.withLog2Fixed(xs.toDF("x"), col("x"), "fx")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(_._1)
+    got.sliding(2).foreach { case Array((x1, f1), (x2, f2)) =>
+      assert(f1 <= f2, s"non-monotone: $x1->$f1 vs $x2->$f2")
+    }
+  }
 }
