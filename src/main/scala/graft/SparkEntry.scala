@@ -183,6 +183,7 @@ object SparkEntry {
     "c16_idempotent_ingest" -> (PipelineQueries.idempotentIngest _),
     "c17_retention_sweep" -> (PipelineQueries.retentionSweep _),
     "c18_clustered_lake" -> (PipelineQueries.clusteredLake _),
+    "c26_zorder_lake" -> (PipelineQueries.zorderLake _),
     "c19_lake_merge" -> (PipelineQueries.lakeMerge _),
     "c20_time_travel" -> (PipelineQueries.timeTravel _),
     "c21_lake_vacuum" -> (PipelineQueries.lakeVacuum _),
@@ -888,6 +889,18 @@ object SparkEntry {
            epoch_us(min(ts)) AS first_us,
            epoch_us(max(ts)) AS last_us
          FROM events WHERE user_id = 7
+         GROUP BY event_type""",
+    // c26: z-ordering is pure layout — both serving slices over the
+    // raw fixture must match the z-ordered lake's.
+    "c26_zorder_lake" ->
+      """SELECT 'user_7' AS slice, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+         FROM events WHERE user_id = 7 GROUP BY event_type
+         UNION ALL
+         SELECT 'day_2024-01-20', event_type,
+           CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT)
+         FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-20'
          GROUP BY event_type""",
     // q43: identical SQL text both engines; the fixture set is
     // null-free so the result is the witnessed complement (the

@@ -47,6 +47,49 @@ object Lake {
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(path)
 
+  /** Morton z-value of two bucketed dimensions: interleave the low
+    * `bits` bits of `a` (even positions) and `b` (odd positions).
+    * Inputs must already be scaled into [0, 2^bits) — see
+    * [[writeZOrdered]] for the rank scaling. Pure bit arithmetic
+    * (shifts + masks), exact on longs. */
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)),
+          2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Write `df` Z-ORDERED on two dimensions — the second clustering
+    * axis [[writeClustered]] cannot give: both columns are scaled to
+    * `bits`-bit buckets by their data range (the min/max scan is one
+    * tiny aggregate; Delta's OPTIMIZE ZORDER ranks the same way),
+    * bit-interleaved into a Morton z-value, and the lake is
+    * range-split + sorted on z. Every output file then covers a
+    * compact RECTANGLE of the (k1, k2) space, so parquet min/max
+    * stats are tight on BOTH columns and a point/range predicate on
+    * EITHER dimension skips most files — where a 1-D clustered
+    * layout leaves the second dimension's per-file range at full
+    * width (LakeSpec pins exactly this contrast). The z column is
+    * derived and not persisted. */
+  def writeZOrdered(df: DataFrame, k1: Column, k2: Column, path: String,
+      nFiles: Int, bits: Int = 8): Unit = {
+    val Array(mn1, mx1, mn2, mx2) = df.agg(
+      min(k1.cast("long")), max(k1.cast("long")),
+      min(k2.cast("long")), max(k2.cast("long")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val n = 1L << bits
+    def bucket(c: Column, mn: Long, mx: Long): Column =
+      if (mx == mn) lit(0L)
+      else least(lit(n - 1),
+        (c.cast("long") - lit(mn)) * lit(n) / lit(mx - mn + 1L))
+    df.withColumn("__z",
+        zValue(bucket(k1, mn1, mx1), bucket(k2, mn2, mx2), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Erase all rows whose `keyName` appears in `erase` from the
     * sharded artifact at `path`, rewriting ONLY the shards that
     * contain an erased key: the erase list (human-sized — an RTBF

@@ -1064,6 +1064,40 @@ object PipelineQueries {
         unix_micros(max(col("ts"))).as("last_us"))
   }
 
+  /** c26: Z-ORDERED lake — the two-dimensional physical-layout axis
+    * c13 (directory partitioning) and c18 (1-D range clustering)
+    * cannot give: events are Morton-interleaved on (user_id, day)
+    * ([[graft.ops.Lake.writeZOrdered]]), so every file covers a
+    * compact rectangle of the key space and BOTH the point-user
+    * serving slice and the point-day serving slice skip most files
+    * via parquet min/max stats — the layout a lake needs when two
+    * independent access paths (per-user compliance reads, per-day
+    * batch reads) hit the same 100 TB artifact. LakeSpec pins the
+    * rectangle property against the 1-D layout's full-width second
+    * dimension; the oracle proves layout never changes answers for
+    * either slice. */
+  def zorderLake(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_zorder").toString
+    Lake.writeZOrdered(ev, col("user_id"),
+      expr("unix_micros(ts) div 86400000000"), s"$out/events",
+      nFiles = 16)
+    val lake = spark.read.parquet(s"$out/events")
+    def slice(named: String,
+        pred: org.apache.spark.sql.Column): DataFrame = lake
+      .filter(pred)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("id_sum"))
+      .select(lit(named).as("slice"), col("event_type"),
+        col("n_events"), col("id_sum"))
+    slice("user_7", col("user_id") === 7L)
+      .unionByName(slice("day_2024-01-20",
+        col("event_date") === lit("2024-01-20").cast("date")))
+  }
+
   /** c17: retention sweep — the data-lifecycle pass every regulated or
     * cost-bounded lake runs: partitions older than the retention
     * cutoff are dropped at the DIRECTORY level (O(expired partitions),

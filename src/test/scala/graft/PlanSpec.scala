@@ -722,6 +722,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"the filter must reach the scan for stats-based skipping\n$p")
   }
 
+  test("c26: both slice predicates are pushed to the parquet reader " +
+      "— the z-order layout makes stats skipping work on either dim") {
+    val p = plan("c26_zorder_lake")
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]"),
+      s"the user slice's filter must reach the scan\n$p")
+    assert(p.contains("EqualTo(event_date,2024-01-20)"),
+      s"the day slice's filter must reach the scan\n$p")
+  }
+
   test("q43: NOT IN plans the optimized null-aware anti-join — " +
       "broadcast hash, not a nested loop") {
     val p = plan("q43_not_in_null_aware")

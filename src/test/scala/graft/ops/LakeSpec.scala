@@ -95,6 +95,57 @@ class LakeSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(path).count() == 1000L)
   }
 
+  test("zValue interleaves bits exactly (known patterns)") {
+    import spark.implicits._
+    // b's bits land at odd positions; 5=101, 3=011 ->
+    // z = a0 + 2*b0 + 4*a1 + 8*b1 + 16*a2 = 1+2+0+8+16 = 27
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+      (255L, 0L), (0L, 255L), (255L, 255L), (5L, 3L))
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Lake.zValue(col("a"), col("b"), 8).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got((0L, 0L)) == 0L && got((1L, 0L)) == 1L &&
+      got((0L, 1L)) == 2L && got((1L, 1L)) == 3L)
+    assert(got((255L, 0L)) == 0x5555L && got((0L, 255L)) == 0xAAAAL &&
+      got((255L, 255L)) == 0xFFFFL)
+    assert(got((5L, 3L)) == 27L)
+  }
+
+  test("z-ordered write bounds per-file ranges on BOTH dimensions " +
+      "where 1-D clustering leaves the second at full width") {
+    import spark.implicits._
+    // full 64x64 grid, deliberately shuffled
+    val rows = scala.util.Random.shuffle(
+      (for (u <- 0L until 64L; d <- 0L until 64L) yield (u, d)).toList)
+    val df = rows.toDF("u", "d")
+    val out = Files.createTempDirectory("graft_zorder_spec")
+    val zPath = out.resolve("z").toString
+    val cPath = out.resolve("c").toString
+    Lake.writeZOrdered(df, col("u"), col("d"), zPath, nFiles = 16)
+    Lake.writeClustered(df, col("u"), cPath, nFiles = 16)
+    def ranges(path: String) = Files.list(java.nio.file.Paths.get(path))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSeq
+      .map { f =>
+        val r = spark.read.parquet(f).agg(
+          min(col("u")), max(col("u")), min(col("d")), max(col("d")))
+          .head()
+        (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2))
+      }
+    val zr = ranges(zPath)
+    assert(zr.size == 16)
+    // every z file covers at most half the span on BOTH dims
+    zr.foreach { case (uw, dw) =>
+      assert(uw <= 32L && dw <= 32L, s"z file spans ($uw, $dw)")
+    }
+    // the 1-D layout's second dimension is full-width in every file
+    ranges(cPath).foreach { case (_, dw) => assert(dw == 63L) }
+    // layout is pure: all rows survive
+    assert(spark.read.parquet(zPath).count() == 64L * 64L)
+  }
+
   test("randomized parity: eraseKeys audit matches brute-force on " +
       "seeded random data, negative keys included") {
     import spark.implicits._
