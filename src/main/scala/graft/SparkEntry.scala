@@ -206,6 +206,7 @@ object SparkEntry {
     "q55_spatial_join" -> (Relational.spatialJoin _),
     "q56_copurchase" -> (Relational.copurchase _),
     "q57_bom_rollup" -> (Relational.bomRollup _),
+    "q58_mad_outliers" -> (Relational.madOutliers _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
     "q50_point_in_time_join" -> (Relational.pointInTimeJoin _),
     "st40_stream_ewma" -> (StreamingQueries.streamEwma _),
@@ -1269,6 +1270,24 @@ object SparkEntry {
                 CAST(sum(qty) AS BIGINT) AS total_units,
                 CAST(max(depth) AS BIGINT) AS max_depth
          FROM bom GROUP BY root""",
+    // q58: cents longs, quantile_cont == percentile interpolation
+    // (q21 parity), deviations and 3*MAD as identically-rounded doubles.
+    "q58_mad_outliers" ->
+      """WITH e AS (SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         m AS (SELECT event_type, quantile_cont(v, 0.5) AS median_c
+               FROM e GROUP BY 1),
+         d AS (SELECT e.event_type, v, median_c,
+                 abs(CAST(v AS DOUBLE) - median_c) AS dev
+               FROM e JOIN m USING (event_type)),
+         md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad_c
+                FROM d GROUP BY 1)
+         SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+           max(d.median_c) AS median_c, max(md.mad_c) AS mad_c,
+           CAST(sum(CASE WHEN dev > mad_c * 3.0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+         FROM d JOIN md USING (event_type)
+         GROUP BY d.event_type""",
     // q54: gaps-and-islands sessionization in the oracle (DuckDB has
     // no session_window) — identical 30-min-gap semantics.
     "q54_session_paths" ->

@@ -1387,6 +1387,38 @@ object Relational {
       .limit(20)
   }
 
+  /** q58: MAD robust outliers — the median-absolute-deviation screen
+    * (Hampel/robust-statistics canon) next to q41's mean/variance
+    * z-test: per event_type the median of cents-scaled values, the
+    * median absolute deviation from it, and the count beyond 3·MAD.
+    * MAD is the estimator that survives the contamination it is
+    * hunting (a z-test's mean/std are dragged by the very outliers);
+    * this is the robust twin the anomaly family needs. Exactness:
+    * cents longs, `percentile` linear interpolation (q21's bit-parity
+    * discipline — and its bounded-domain scale note: cents values,
+    * q29's sketch is the unbounded path), deviations as exact doubles,
+    * and the 3·MAD compare is one multiply both engines round
+    * identically. Two exchanges; the per-type medians re-join the
+    * scan broadcast (domain-sized). */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100.0d).cast("long").as("v"))
+    val m = e.groupBy(col("event_type"))
+      .agg(expr("percentile(v, 0.5)").as("median_c"))
+    val d = e.join(broadcast(m), Seq("event_type"))
+      .withColumn("dev", abs(col("v").cast("double") - col("median_c")))
+    val md = d.groupBy(col("event_type"))
+      .agg(expr("percentile(dev, 0.5)").as("mad_c"))
+    d.join(broadcast(md), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("median_c")).as("median_c"),
+        max(col("mad_c")).as("mad_c"),
+        sum(when(col("dev") > col("mad_c") * lit(3.0), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** q57: BOM rollup — the weighted transitive closure q46's
     * unweighted flattening cannot express: each edge carries a
     * quantity multiplier (units of the child per unit of its parent),
