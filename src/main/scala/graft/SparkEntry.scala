@@ -148,6 +148,7 @@ object SparkEntry {
     "s33_index_drift" -> (PipelineQueries.indexDrift _),
     "s34_retrain_response" -> (PipelineQueries.retrainResponse _),
     "s35_matryoshka_recall" -> (PipelineQueries.matryoshkaRecall _),
+    "s37_probe_recall" -> (PipelineQueries.probeRecallCurve _),
     "s36_opq_lite" -> (PipelineQueries.opqLite _),
     "s27_graph_ann" -> (PipelineQueries.graphAnn _),
     "s28_knn_classify" -> (PipelineQueries.knnClassify _),
@@ -2623,6 +2624,9 @@ object SparkEntry {
              row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
            FROM sims)
          WHERE rank <= 10""",
+    // s37: the same s13 probe chain replayed per probe width against
+    // the s09 exact baseline; branches generated from one probes list.
+    "s37_probe_recall" -> probeRecallOracleSql,
     "s13_ann_ivf_probe" ->
       s"""WITH pre AS ($embPreSql),
          cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
@@ -4409,6 +4413,62 @@ object SparkEntry {
              FROM vsub v JOIN csub c ON v.sub = c.sub)"""
 
   /** Int-scaled embedding preprocessing shared by the vector oracles. */
+  /** s37's oracle: the s13 IVF probe chain replayed once per probe
+    * width against the s09 exact baseline, hit counts as exact
+    * integers — all branches generated from the same probes list the
+    * Spark plan uses. */
+  private def probeRecallOracleSql: String = {
+    val probes = Seq(1, 2, 4, 8)
+    val perProbe = probes.map { p =>
+      s"""qprobe_$p AS (SELECT vec_id, cid FROM scored
+                    WHERE rn <= $p AND vec_id < 10),
+         sims_$p AS (
+           SELECT qa.vec_id AS qid, ca.vec_id AS nid,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(qp.v) x, unnest(cp.v) y)) AS DOUBLE)
+               / (sqrt(CAST(qp.n2 AS DOUBLE)) * sqrt(CAST(cp.n2 AS DOUBLE))) AS cos
+           FROM qprobe_$p qa JOIN assign ca
+             ON qa.cid = ca.cid AND ca.vec_id <> qa.vec_id
+             JOIN pre qp ON qp.vec_id = qa.vec_id
+             JOIN pre cp ON cp.vec_id = ca.vec_id),
+         topk_$p AS (SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM sims_$p) WHERE rank <= 10)"""
+    }.mkString(",\n")
+    val branches = probes.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS n_probe,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(t.nid) AS BIGINT) AS n_hits,
+           CAST(count(t.nid) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS recall
+         FROM exact e LEFT JOIN topk_$p t
+           ON e.qid = t.qid AND e.nid = t.nid"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pre AS ($embPreSql),
+       cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
+                 FROM pre ORDER BY vec_id LIMIT 16),
+       scored AS (
+         SELECT p.vec_id, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
+               / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+             c.cid) AS rn
+         FROM pre p, cents c),
+       assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+       exact AS (SELECT qid, nid FROM (
+           SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           FROM (
+             SELECT q.vec_id AS qid, c.vec_id AS nid,
+               CAST((SELECT sum(x*y) FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS DOUBLE)
+                 / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+             FROM pre q JOIN pre c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id < 10))
+         WHERE rank <= 10),
+       $perProbe
+       $branches"""
+  }
+
   /** Shared by q41 (batch trailing-7-row window) and st45 (streaming
     * ring state): both must produce the identical per-day flag row. */
   private def dailyAnomalyOracleSql: String =

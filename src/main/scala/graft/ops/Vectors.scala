@@ -1051,6 +1051,35 @@ object Vectors {
         (col("ivf_hits").cast("double") / lit(k.toDouble)).as("ivf_recall"))
   }
 
+  /** s37: the IVF serving dial MEASURED — recall@k as a function of
+    * nProbe. Every IVF deployment tunes exactly this curve (probe 1
+    * cell: fastest, lossiest; probe all: exact but pointless), and the
+    * operational artifact is the table this emits: one row per probe
+    * width with exact integer hit counts against the brute-force
+    * baseline. The exact top-k computes ONCE (`localCheckpoint`, the
+    * probe branches re-join it); each branch is the veteran
+    * [[annIvfTopKProbed]] plan — candidates via cell equi-join, exact
+    * int64 rerank — so the curve measures the serving path as
+    * deployed, not a simplified copy. Queries are a broadcast-sized
+    * set; corpus cost is one assignment pass per branch over the
+    * shared `cents`. */
+  def probeRecallCurve(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, k: Int, cents: DataFrame, probes: Seq[Int])
+      : DataFrame = {
+    val exact = annTopK(corpus, queries, id, emb, k)
+      .select(col("qid"), col("nid")).localCheckpoint()
+    probes.map { p =>
+      val pr = annIvfTopKProbed(corpus, queries, id, emb, k, cents, p)
+        .select(col("qid"), col("nid"), lit(1L).as("hit"))
+      exact.join(pr, Seq("qid", "nid"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(p.toLong).as("n_probe"), col("n_exact"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Recall@k audit of the QUANTIZED search paths — [[annSq8TopK]]
     * (8-bit codes) and [[annHammingTopK]] (1-bit signatures) measured
     * against the exact [[annTopK]] baseline, per query. The

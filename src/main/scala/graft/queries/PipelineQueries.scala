@@ -209,6 +209,18 @@ object PipelineQueries {
       col("embedding"), k = 10, cents, nProbe = 2)
   }
 
+  /** s37: recall@10 per nProbe ∈ {1,2,4,8} over the s13 IVF index —
+    * the measured serving-dial curve ([[Vectors.probeRecallCurve]]). */
+  def probeRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val p = Vectors.prepared(e, col("vec_id"), col("embedding"))
+    val cents = p.orderBy(col("vid")).limit(16)
+      .select(col("vid").as("cid"), col("iv").as("civ"),
+        col("n2").as("cn2"))
+    Vectors.probeRecallCurve(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 10, cents, Seq(1, 2, 4, 8))
+  }
+
   /** Symmetric int8 quantization of the embedding corpus — the ANN
     * index compression step, with exact-integer code digests. */
   def quantize(spark: SparkSession, dir: String): DataFrame =
