@@ -112,6 +112,7 @@ object SparkEntry {
     "d09_decontaminate" -> (PipelineQueries.decontaminate _),
     "d10_window_dedup" -> (PipelineQueries.windowDup _),
     "d11_lsh_verify" -> (PipelineQueries.lshVerify _),
+    "d27_band_tuning" -> (PipelineQueries.bandTuning _),
     "d15_dup_spans" -> (PipelineQueries.dupSpans _),
     "d19_span_removal" -> (PipelineQueries.removeDupSpans _),
     "s01_ann_topk" -> (PipelineQueries.annTopK _),
@@ -4031,6 +4032,9 @@ object SparkEntry {
     // count. LEFT JOIN keeps a (theoretical) zero-intersection h32
     // collision pair as jaccard 0 / dup false, matching the Spark
     // array_intersect path.
+    // d27: per-banding precision/recall, truth = exact Jaccard >= 0.5
+    // inside the finest banding's candidate universe.
+    "d27_band_tuning" -> bandTuningOracleSql,
     "d11_lsh_verify" ->
       """WITH sh AS (
            SELECT DISTINCT doc_id,
@@ -4413,6 +4417,65 @@ object SparkEntry {
              FROM vsub v JOIN csub c ON v.sub = c.sub)"""
 
   /** Int-scaled embedding preprocessing shared by the vector oracles. */
+  /** d27's oracle: d02's minhash chain banded once per configuration,
+    * exact-Jaccard truth on the finest config's candidate universe
+    * (coarser configs are subsets — contiguous banding), counts as
+    * exact integers. Branches generated from the same configs list
+    * the Spark plan uses. */
+  private def bandTuningOracleSql: String = {
+    val k = 16
+    val configs = Seq(8, 4, 2)
+    val finest = configs.max
+    val perCfg = configs.map { b =>
+      val rows = k / b
+      s"""bands_$b AS (SELECT doc_id, j // $rows AS band,
+             string_agg(mv, ',' ORDER BY j) AS sig
+           FROM mh GROUP BY doc_id, j // $rows),
+         cand_$b AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM bands_$b a JOIN bands_$b b
+             ON a.band = b.band AND a.sig = b.sig
+               AND a.doc_id < b.doc_id)"""
+    }.mkString(",\n")
+    val branches = configs.map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS bands,
+           CAST(${k / b} AS BIGINT) AS rows_per_band,
+           nc.n_candidates, nt.n_true, nh.n_hits,
+           CASE WHEN nc.n_candidates > 0 THEN
+             CAST(nh.n_hits AS DOUBLE) / CAST(nc.n_candidates AS DOUBLE)
+             ELSE NULL END AS precision,
+           CASE WHEN nt.n_true > 0 THEN
+             CAST(nh.n_hits AS DOUBLE) / CAST(nt.n_true AS DOUBLE)
+             ELSE NULL END AS recall
+         FROM (SELECT CAST(count(*) AS BIGINT) AS n_candidates
+               FROM cand_$b) nc,
+              (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth) nt,
+              (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM cand_$b c
+               JOIN truth u ON c.da = u.da AND c.db = u.db) nh"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       h AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS hw FROM sh),
+       mh AS (SELECT doc_id, j, min(((2*j+1)*hw + j*12345) % 4294967311) AS mv
+              FROM h, generate_series(0,${k - 1}) t(j) GROUP BY doc_id, j),
+       $perCfg,
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT c.da, c.db, count(*) AS c
+                 FROM cand_$finest c JOIN sh a ON a.doc_id = c.da
+                             JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+                 GROUP BY c.da, c.db),
+       truth AS (SELECT c.da, c.db
+                 FROM cand_$finest c
+                 LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+                 JOIN sizes sa ON sa.doc_id = c.da
+                 JOIN sizes sb ON sb.doc_id = c.db
+                 WHERE CAST(coalesce(i.c, 0) AS DOUBLE)
+                   / (sa.n + sb.n - coalesce(i.c, 0)) >= 0.5)
+       $branches"""
+  }
+
   /** s37's oracle: the s13 IVF probe chain replayed once per probe
     * width against the s09 exact baseline, hit counts as exact
     * integers — all branches generated from the same probes list the

@@ -384,6 +384,62 @@ object Dedup {
       .withColumn("dup", col("jaccard") >= threshold)
   }
 
+  /** d27: the (bands × rows) TUNING TABLE for MinHash-LSH — the s37
+    * "dial measured" idea on the dedup side: every banding of the same
+    * k=16 signatures trades recall for candidate volume (more bands of
+    * fewer rows ⇒ more collisions ⇒ higher recall, lower precision),
+    * and this emits the measured table per configuration: candidate
+    * count, true-pair hits, precision, recall — the numbers one
+    * consults before committing a 100 TB dedup to a banding, instead
+    * of the 1−(1−s^r)^b folklore curve.
+    *
+    * Ground truth = exact-Jaccard-verified pairs within the FINEST
+    * config's candidate universe: contiguous banding makes an
+    * r·2-row band collision exactly the conjunction of its two r-row
+    * halves, so every coarser config's candidate set is a SUBSET of
+    * the finest's — the universe covers all configs and recall is
+    * measured against all true pairs any of them could surface.
+    * Signatures and shingle sets come from the one-pass kernels
+    * (checkpointed, corpus scanned once); each config costs one banded
+    * equi-join; the verify is candidate-sized. */
+  def bandTuningTable(df: DataFrame, text: Column, id: Column,
+      shingleN: Int = 3, k: Int = 16, bandConfigs: Seq[Int] = Seq(8, 4, 2),
+      threshold: Double = 0.5): DataFrame = {
+    require(bandConfigs.forall(b => k % b == 0), s"bands must divide $k")
+    val perDoc = sigAndShingles(df, text, id, shingleN, k)
+    val sigOnly = perDoc.select(col("doc_id"), col("sig"))
+    val cands = bandConfigs.map(b =>
+      b -> candidatesOf(bandsOf(sigOnly, k, b)).localCheckpoint()).toMap
+    val truth = cands(bandConfigs.max)
+      .join(perDoc.select(col("doc_id").as("da"), col("sa").as("seta")),
+        Seq("da"))
+      .join(perDoc.select(col("doc_id").as("db"), col("sa").as("setb")),
+        Seq("db"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("seta"), col("setb"))).as("c"),
+        size(col("seta")).as("na"), size(col("setb")).as("nb"))
+      .filter(col("c").cast("double") /
+        (col("na") + col("nb") - col("c")) >= threshold)
+      .select(col("da"), col("db"))
+      .localCheckpoint()
+    bandConfigs.map { b =>
+      val c = cands(b)
+      c.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .crossJoin(c.join(truth, Seq("da", "db"))
+          .agg(count(lit(1)).as("n_hits")))
+        .select(lit(b.toLong).as("bands"),
+          lit((k / b).toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_true"), col("n_hits"),
+          when(col("n_candidates") > 0L,
+            col("n_hits").cast("double") /
+              col("n_candidates").cast("double")).as("precision"),
+          when(col("n_true") > 0L,
+            col("n_hits").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** MinHash-estimator audit over the LSH candidate pairs — the
     * tuning-loop observability for a banded dedup: per candidate pair,
     * the signature-agreement estimate of Jaccard (`n_eq/k`, the

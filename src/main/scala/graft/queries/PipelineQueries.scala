@@ -79,6 +79,12 @@ object PipelineQueries {
   def lshVerify(spark: SparkSession, dir: String): DataFrame =
     Dedup.lshVerifiedPairs(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** d27: the measured precision/recall table per LSH banding
+    * ([[Dedup.bandTuningTable]]) — 16 minhashes banded as 8×2, 4×4,
+    * 2×8 against exact Jaccard ≥ 0.5 truth. */
+  def bandTuning(spark: SparkSession, dir: String): DataFrame =
+    Dedup.bandTuningTable(docs(spark, dir), col("text"), col("doc_id"))
+
   /** Benchmark decontamination: docs from source 'src0' stand in for the
     * held-out eval suite; every other doc is scored by 3-gram overlap
     * against it. The bench shingle set is broadcast (eval suites are
