@@ -255,6 +255,7 @@ object SparkEntry {
     "m05_clip_filter" -> (PipelineQueries.clipFilter _),
     "m06_audio_segments" -> (PipelineQueries.audioSegments _),
     "m07_shot_boundaries" -> (PipelineQueries.shotBoundaries _),
+    "m09_container_dedup" -> (PipelineQueries.containerDedup _),
     "st01_stream_count" -> (StreamingQueries.streamCount _),
     "st02_stream_tumble" -> (StreamingQueries.streamTumble _),
     "st03_stream_loopback" -> (StreamingQueries.streamLoopback _),
@@ -4035,6 +4036,29 @@ object SparkEntry {
     // d27: per-banding precision/recall, truth = exact Jaccard >= 0.5
     // inside the finest banding's candidate universe.
     "d27_band_tuning" -> bandTuningOracleSql,
+    // m09: identical synthetic re-encode derivation; payload hashed
+    // past the 4-byte container header, groups with >= 2 copies.
+    "m09_container_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+         w AS (SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 2 THEN doc_id - 2
+                      ELSE doc_id END AS src_id
+               FROM d),
+         p AS (SELECT w.doc_id, s.text AS payload
+               FROM w JOIN d s ON s.doc_id = w.src_id),
+         b AS (SELECT doc_id,
+                 (CASE doc_id % 3 WHEN 0 THEN 'RIFF' WHEN 1 THEN 'FTYP'
+                       ELSE 'MKV$' END) || payload AS blob
+               FROM p),
+         f AS (SELECT doc_id, md5(blob) AS file_fp,
+                 md5(substr(blob, 5)) AS payload_fp,
+                 substr(blob, 1, 4) AS hdr
+               FROM b)
+         SELECT payload_fp, CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT file_fp) AS BIGINT) AS n_distinct_files,
+           CAST(count(DISTINCT hdr) AS BIGINT) AS n_containers,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+         FROM f GROUP BY payload_fp HAVING count(*) >= 2""",
     "d11_lsh_verify" ->
       """WITH sh AS (
            SELECT DISTINCT doc_id,

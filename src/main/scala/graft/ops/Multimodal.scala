@@ -429,4 +429,31 @@ object Multimodal {
       .groupBy(col("source"), col("status"))
       .agg(count(lit(1)).as("n_blobs"),
         sum(col("dl") - col("al")).as("chars_lost"))
+
+  /** m09: CONTAINER-INVARIANT media dedup — the re-encode case whole-
+    * file hashing cannot catch: the same payload re-wrapped in a
+    * different container (RIFF→MP4 remux, EXIF rewrite) changes every
+    * byte-level file hash while the media content is identical. The
+    * operator fingerprints the PAYLOAD REGION (bytes after the
+    * `headerLen`-byte container header) separately from the whole
+    * file, and reports each multi-copy payload group: copy count,
+    * distinct whole-file hashes (== copy count exactly when every
+    * copy is a distinct re-encode — the "file dedup finds nothing
+    * here" evidence), distinct containers, and the canonical keeper.
+    * Map-only per blob (substr + two hashes), one payload-keyed
+    * exchange — d01's exact-dedup shape moved inside the container
+    * boundary. */
+  def payloadDedup(media: DataFrame, id: Column, blob: Column,
+      headerLen: Int): DataFrame =
+    media.select(id.cast("long").as("id"),
+        md5(blob).as("file_fp"),
+        md5(blob.substr(lit(headerLen + 1),
+          length(blob) - lit(headerLen))).as("payload_fp"),
+        blob.substr(lit(1), lit(headerLen)).cast("string").as("hdr"))
+      .groupBy(col("payload_fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("file_fp")).as("n_distinct_files"),
+        countDistinct(col("hdr")).as("n_containers"),
+        min(col("id")).as("keep_id"))
+      .filter(col("n_copies") >= 2L)
 }

@@ -1238,6 +1238,28 @@ object PipelineQueries {
       col("source"))
   }
 
+  /** m09: container-invariant dedup over synthetic re-encodes — every
+    * doc_id ≡ 2 (mod 7) carries the PAYLOAD of its ≡ 0 (mod 7) canon
+    * inside a container chosen by doc_id mod 3, so payload-equal
+    * groups exist at every SF while whole-file hashes all differ
+    * ([[Multimodal.payloadDedup]] reports exactly that gap). */
+  def containerDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val withSrc = d.withColumn("src_id",
+      when(col("doc_id") % 7 === 2, col("doc_id") - 2)
+        .otherwise(col("doc_id")))
+    val payloads = withSrc.join(
+      d.select(col("doc_id").as("src_id"), col("text").as("payload")),
+      Seq("src_id"))
+    val tagged = payloads.select(col("doc_id"),
+      concat(element_at(
+          array(lit("RIFF"), lit("FTYP"), lit("MKV$")),
+          (col("doc_id") % 3 + 1).cast("int")),
+        col("payload")).cast("binary").as("blob"))
+    Multimodal.payloadDedup(tagged, col("doc_id"), col("blob"),
+      headerLen = 4)
+  }
+
   /** c25: subject-access report (the GDPR/CCPA "what do you hold
     * about me" read-side completing the privacy set: c14/st36 erase,
     * c11 re-identification risk, this one DISCLOSES): for each
