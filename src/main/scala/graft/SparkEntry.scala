@@ -209,6 +209,7 @@ object SparkEntry {
     "q56_copurchase" -> (Relational.copurchase _),
     "q57_bom_rollup" -> (Relational.bomRollup _),
     "q58_mad_outliers" -> (Relational.madOutliers _),
+    "q59_interval_coverage" -> (Relational.intervalCoverage _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
     "q50_point_in_time_join" -> (Relational.pointInTimeJoin _),
     "st40_stream_ewma" -> (StreamingQueries.streamEwma _),
@@ -219,6 +220,7 @@ object SparkEntry {
     "st44_stream_session_paths" ->
       (StreamingQueries.streamSessionPaths _),
     "st45_stream_anomaly" -> (StreamingQueries.streamAnomaly _),
+    "st46_stream_spatial" -> (StreamingQueries.streamSpatialJoin _),
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
     "t33_readability" -> (PipelineQueries.readabilityGrades _),
     "t34_perplexity" -> (PipelineQueries.perplexityGate _),
@@ -1273,6 +1275,23 @@ object SparkEntry {
                 CAST(sum(qty) AS BIGINT) AS total_units,
                 CAST(max(depth) AS BIGINT) AS max_depth
          FROM bom GROUP BY root""",
+    // q59: identical running-max sweep — union length and block count
+    // from one ordered window pass, exact integers.
+    "q59_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+               epoch_us(ts) + 1800000000 AS e, event_id FROM events),
+         x AS (SELECT user_id, s, e,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pm
+               FROM iv)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN pm IS NULL THEN 1800000000
+                     ELSE greatest(0, e - greatest(s, pm)) END)
+             AS BIGINT) AS covered_us,
+           CAST(sum(CASE WHEN pm IS NULL OR pm < s THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_blocks
+         FROM x GROUP BY user_id""",
     // q58: cents longs, quantile_cont == percentile interpolation
     // (q21 parity), deviations and 3*MAD as identically-rounded doubles.
     "q58_mad_outliers" ->
@@ -1291,6 +1310,31 @@ object SparkEntry {
              AS BIGINT) AS n_outliers
          FROM d JOIN md USING (event_type)
          GROUP BY d.event_type""",
+    // st46: q55's grid protocol over the every-10th-event subsample —
+    // the streaming state find the identical pair set.
+    "st46_stream_spatial" ->
+      """WITH pts AS (SELECT event_id,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 100000 AS x,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 9, 8)
+                    AS BIGINT) % 100000 AS y
+             FROM events WHERE event_id % 20 = 0),
+         c AS (SELECT event_id, x, y, x // 10000 AS cx, y // 10000 AS cy
+               FROM pts),
+         probe AS (SELECT event_id AS a_id, x AS ax, y AS ay,
+                 cx + dx.g AS cx, cy + dy.g AS cy
+               FROM c, generate_series(-1, 1) dx(g),
+                    generate_series(-1, 1) dy(g)),
+         pairs AS (SELECT (p.ax - b.x) * (p.ax - b.x)
+                        + (p.ay - b.y) * (p.ay - b.y) AS d2
+               FROM probe p JOIN c b
+                 ON p.cx = b.cx AND p.cy = b.cy AND p.a_id < b.event_id
+               WHERE (p.ax - b.x) * (p.ax - b.x)
+                   + (p.ay - b.y) * (p.ay - b.y) < 25000000)
+         SELECT CAST(count(*) AS BIGINT) AS n_close_pairs,
+                CAST(min(d2) AS BIGINT) AS min_d2,
+                CAST(sum(d2) AS BIGINT) AS d2_sum
+         FROM pairs""",
     // q54: gaps-and-islands sessionization in the oracle (DuckDB has
     // no session_window) — identical 30-min-gap semantics.
     "q54_session_paths" ->

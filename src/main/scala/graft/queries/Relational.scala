@@ -1042,13 +1042,18 @@ object Relational {
     * oracle-replicable); output: the close-pair count plus exact
     * min/sum of squared distances as the checksum. */
   def spatialJoin(spark: SparkSession, dir: String): DataFrame =
-    closePairStats(table(spark, dir, "events")
-      .select(col("event_id").as("id"),
-        (graft.functions.Hashes.h32(col("event_id").cast("string"))
-          % 100000L).as("x"),
-        (conv(substring(md5(col("event_id").cast("string")), 9, 8), 16, 10)
-          .cast("long") % 100000L).as("y")),
+    closePairStats(spatialPoints(table(spark, dir, "events")),
       cellSide = 10000L, r2 = 25000000L)
+
+  /** The md5-derived synthetic coordinates shared by q55 and st46:
+    * (id, ts, x, y) with x/y in [0, 100000). Deterministic and
+    * oracle-replicable. */
+  def spatialPoints(events: DataFrame): DataFrame =
+    events.select(col("event_id").as("id"), col("ts"),
+      (graft.functions.Hashes.h32(col("event_id").cast("string"))
+        % 100000L).as("x"),
+      (conv(substring(md5(col("event_id").cast("string")), 9, 8), 16, 10)
+        .cast("long") % 100000L).as("y"))
 
   /** The q55 grid join over any (id, x, y) relation — split out so
     * the randomized spec proves losslessness against brute force.
@@ -1385,6 +1390,36 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("b1"), col("b2"))
       .limit(20)
+  }
+
+  /** q59: interval-union COVERAGE — how much wall-clock each user was
+    * actually active, with overlaps merged: each event opens a
+    * 30-minute activity interval (q45's window), and the union length
+    * is the classic running-max sweep — an interval contributes
+    * `e − max(s, max(previous ends))` clamped at 0, a new block opens
+    * where the running max falls short of `s`. The uptime/SLA/billing
+    * primitive q45 (peak) and q47 (gaps) don't give. One user-keyed
+    * exchange, exact µs integers, no self-join — the O(n²) overlap
+    * join a naive formulation plans is replaced by one ordered window
+    * pass. */
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 1800000000L
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("s"),
+        col("event_id"))
+      .withColumn("e", col("s") + lit(winUs))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("pm", max(col("e")).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("pm").isNull, lit(winUs))
+          .otherwise(greatest(lit(0L),
+            col("e") - greatest(col("s"), col("pm")))))
+          .as("covered_us"),
+        sum(when(col("pm").isNull || col("pm") < col("s"), 1L)
+          .otherwise(0L)).as("n_blocks"))
   }
 
   /** q58: MAD robust outliers — the median-absolute-deviation screen

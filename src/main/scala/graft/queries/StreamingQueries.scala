@@ -3050,6 +3050,115 @@ object StreamingQueries {
           element_at(col("p"), 5).cast("long").as("n_events"))
     }
 
+  /** st46: the SPATIAL close-pair join maintained ONLINE — q55's
+    * lossless grid protocol as live keyed state: each arriving point
+    * fans out to its 3×3 neighbor cells (9 messages, map-side — the
+    * same lossless ±1-cell bound, r ≤ cellSide), the CELL is the state
+    * key holding the points homed there, a probe pairs the arrival
+    * against every stored point in that cell, and the home message
+    * (center cell) also appends the arrival to state — so each close
+    * pair is found EXACTLY ONCE, when its later-ordered member probes
+    * the earlier member's home cell (executor per-key (ts, offset)
+    * order; offsets are event_id·9+cellIdx, so equal-timestamp points
+    * resolve consistently by id in every cell). Each cell folds ITS
+    * OWN (count, Σd², min d²) partial alongside its point list — the
+    * per-cell partials are DISJOINT (a pair is found in exactly one
+    * cell), so the read is a commutative merge across cell states:
+    * no relay topic, no global-key funnel serializing every pair
+    * through one state partition. State is O(points per cell) — the
+    * grid's density bound, exactly the per-bucket skew story of
+    * st10's owner state; the demo subsamples to every 20th event so
+    * the per-message Scala pairing stays proportionate (production:
+    * per-cell list state + finer grid). Oracle: q55's SQL over the
+    * same subsample. */
+  def streamSpatialJoin(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val cellSide = 10000L
+      val r2 = 25000000L
+      val stage1 = GroupGraph.define("stream-spatial")(
+        Input("cells", StringCodec, ProcessCallback { (ctx, msg) =>
+          val Array(idS, xS, yS, hS) =
+            msg.asInstanceOf[String].split(",", 4)
+          val (pid, x, y) = (idS.toLong, xS.toLong, yS.toLong)
+          // state = "n,sum,min|id:x:y;id:x:y;..."
+          val (n0, sum0, min0, stored) = ctx.value match {
+            case null => (0L, 0L, Long.MaxValue, Vector.empty[String])
+            case s: String =>
+              val Array(st, pts) = s.split("\\|", 2)
+              val p = st.split(',')
+              (p(0).toLong, p(1).toLong, p(2).toLong,
+                if (pts.isEmpty) Vector.empty[String]
+                else pts.split(';').toVector)
+          }
+          var (n, sum, mn) = (n0, sum0, min0)
+          stored.foreach { q =>
+            val p = q.split(':')
+            val (qid, qx, qy) = (p(0).toLong, p(1).toLong, p(2).toLong)
+            if (qid != pid) {
+              val d2 = (x - qx) * (x - qx) + (y - qy) * (y - qy)
+              if (d2 < r2) { n += 1; sum += d2; mn = math.min(mn, d2) }
+            }
+          }
+          val pts2 = if (hS == "1") stored :+ s"$pid:$x:$y" else stored
+          ctx.setValue(s"$n,$sum,$mn|${pts2.mkString(";")}")
+        }),
+        Persist(StringCodec))
+      val pts = graft.queries.Relational.spatialPoints(
+        Sources.table(spark, dir, "events"))
+        .filter(col("id") % 20L === 0L)
+        .withColumn("cx", expr(s"x div $cellSide"))
+        .withColumn("cy", expr(s"y div $cellSide"))
+      val fanned = pts.select(col("id"), col("ts"), col("x"), col("y"),
+          col("cx"), col("cy"),
+          explode(expr(
+            "flatten(transform(sequence(-1, 1), dx -> " +
+              "transform(sequence(-1, 1), dy -> " +
+              "struct(dx AS dx, dy AS dy))))")).as("nb"))
+        .select(col("id"), col("ts"), col("x"), col("y"),
+          (col("cx") + col("nb.dx")).as("nx"),
+          (col("cy") + col("nb.dy")).as("ny"),
+          (col("nb.dx") === 0 && col("nb.dy") === 0)
+            .cast("int").as("h"),
+          ((col("nb.dx") + 1) * 3 + col("nb.dy") + 1).as("idx"))
+      val staging = tempDir("graft_spatial_split")
+      stageTwoBatches(spark,
+        Sources.messages(fanned, "cells",
+          concat_ws("|", col("nx"), col("ny")),
+          concat_ws(",", col("id"), col("x"), col("y"), col("h")),
+          col("ts"), col("id") * 9L + col("idx")),
+        staging)
+      val msgSchema = org.apache.spark.sql.Encoders.product[Message].schema
+      val stream1 = spark.readStream.schema(msgSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val table = new StreamExecutor(stage1).run(spark, stream1)
+        .filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("k", "st")
+      // changelog collapse: the partial (n,sum,min) is monotone in n
+      // per cell, so the final row per cell is max_by n; the cross-
+      // cell merge is commutative (disjoint pair sets).
+      runToTable(spark, table)
+        .select(col("k"),
+          split(split(col("st"), "\\|").getItem(0), ",").as("p"))
+        .select(col("k"),
+          element_at(col("p"), 1).cast("long").as("n"),
+          element_at(col("p"), 2).cast("long").as("s"),
+          element_at(col("p"), 3).cast("long").as("m"))
+        .groupBy(col("k"))
+        .agg(max_by(struct(col("n"), col("s"), col("m")), col("n"))
+          .as("c"))
+        .agg(sum(col("c.n")).as("n_close_pairs"),
+          sum(col("c.s")).as("sum0"),
+          min(when(col("c.n") > 0L, col("c.m"))).as("min_d2"))
+        .select(coalesce(col("n_close_pairs"), lit(0L))
+            .as("n_close_pairs"),
+          col("min_d2"),
+          when(col("n_close_pairs") > 0L, col("sum0")).as("d2_sum"))
+    }
+
   /** st45: daily anomaly flags maintained ONLINE — q41's trailing-
     * 7-day z-test as live keyed state per event_type. State is O(1):
     * the open day's count plus a ring of the last ≤7 CLOSED day
