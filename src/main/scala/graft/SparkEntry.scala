@@ -224,6 +224,7 @@ object SparkEntry {
     "t32_cluster_split" -> (PipelineQueries.clusterSplit _),
     "t33_readability" -> (PipelineQueries.readabilityGrades _),
     "t34_perplexity" -> (PipelineQueries.perplexityGate _),
+    "t35_js_drift" -> (PipelineQueries.jsDrift _),
     "d26_cdc_chunks" -> (PipelineQueries.cdcChunks _),
     "st36_stream_forget" -> (StreamingQueries.streamForget _),
     "st37_stream_lake_ingest" -> (StreamingQueries.streamLakeIngest _),
@@ -4236,6 +4237,52 @@ object SparkEntry {
                 score_fx < ${PipelineQueries.perplexityKeepBitsFx}
                   * n_bigrams AS keep
          FROM agg"""
+    },
+    // t35: identical integer-product odds per (source, word), the same
+    // generated fixed-point log2 stages, integer KL sums, one final
+    // double expression.
+    "t35_js_drift" -> {
+      import graft.functions.PortableMath
+      s"""WITH tok AS (SELECT source AS src, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+         tok2 AS (SELECT src, w FROM tok WHERE w <> ''),
+         c AS (SELECT src, w, CAST(count(*) AS BIGINT) AS cp
+               FROM tok2 GROUP BY 1, 2),
+         g AS (SELECT w, sum(cp) AS gw FROM c GROUP BY 1),
+         tpf AS (SELECT src, sum(cp) AS tp FROM c GROUP BY 1),
+         grid AS (SELECT tpf.src, tpf.tp, g.w, g.gw,
+                    coalesce(c.cp, 0) AS cp,
+                    g.gw - coalesce(c.cp, 0) AS cq,
+                    (SELECT sum(gw) FROM g) - tpf.tp AS tq
+                  FROM tpf CROSS JOIN g
+                  LEFT JOIN c ON c.src = tpf.src AND c.w = g.w),
+         pin AS (SELECT src, cp,
+                   CAST(2 * cp * tq AS DOUBLE)
+                     / CAST(cp * tq + cq * tp AS DOUBLE) AS odds
+                 FROM grid WHERE cp > 0),
+         ${PortableMath.log2FixedSqlStages("pin", "odds", "lfx", "l2p")},
+         psum AS (SELECT src, CAST(sum(cp * lfx) AS BIGINT) AS sp_fx,
+                    CAST(count(*) AS BIGINT) AS n_words_p
+                  FROM l2pout GROUP BY 1),
+         qin AS (SELECT src, cq,
+                   CAST(2 * cq * tp AS DOUBLE)
+                     / CAST(cp * tq + cq * tp AS DOUBLE) AS odds
+                 FROM grid WHERE cq > 0),
+         ${PortableMath.log2FixedSqlStages("qin", "odds", "lfx", "l2q")},
+         qsum AS (SELECT src, CAST(sum(cq * lfx) AS BIGINT) AS sq_fx,
+                    CAST(count(*) AS BIGINT) AS n_words_q
+                  FROM l2qout GROUP BY 1),
+         base AS (SELECT src, tp, (SELECT sum(gw) FROM g) - tp AS tq
+                  FROM tpf)
+         SELECT base.src AS source, CAST(base.tp AS BIGINT) AS tp,
+           CAST(base.tq AS BIGINT) AS tq,
+           psum.n_words_p, qsum.n_words_q, psum.sp_fx, qsum.sq_fx,
+           0.5 * (CAST(psum.sp_fx AS DOUBLE)
+                    / CAST(base.tp * 65536 AS DOUBLE)
+                + CAST(qsum.sq_fx AS DOUBLE)
+                    / CAST(base.tq * 65536 AS DOUBLE)) AS js_bits
+         FROM base JOIN psum ON psum.src = base.src
+                   JOIN qsum ON qsum.src = base.src"""
     },
     // t13's LM score chain + per-language discrete terciles
     // (rank-selected boundary values, q29's machinery) + map-side

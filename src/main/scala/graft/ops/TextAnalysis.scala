@@ -1009,4 +1009,59 @@ object TextAnalysis {
           col("n_sentences") * col("n_syllables")), "standard")
         .otherwise("hard"))
   }
+
+  /** t35: per-source CORPUS DRIFT as Jensen-Shannon divergence in
+    * exact fixed point — the "did this source's language shift away
+    * from the mix" monitor a training-data pipeline runs per ingest
+    * source (the t17 DSIR / t19 temperature machinery weighs sources;
+    * this measures how far each one's unigram distribution sits from
+    * everyone else's). JS(P‖Q) = ½·KL(P‖M) + ½·KL(Q‖M), M = ½(P+Q);
+    * per word the log argument p/m = 2·cp·tq / (cp·tq + cq·tp) is a
+    * ratio of exact integer products, its log2 is the FMA-proof
+    * [[graft.functions.PortableMath.withLog2Fixed]] integer, and each
+    * KL numerator is a plain integer SUM Σ cp·lfx — no double fold
+    * anywhere; the only doubles are the final two divisions and one
+    * 0.5·(a+b) (identically rounded everywhere). Scale shape: counts
+    * are one (source, word) exchange; the scored grid is
+    * sources × vocabulary — model-sized, like every t-series
+    * artifact — and the corpus is scanned once. */
+  def jsDrift(df: DataFrame, text: Column, src: Column): DataFrame = {
+    import graft.functions.PortableMath
+    val tok = df.select(src.as("src"), explode(split(text, " ")).as("w"))
+      .filter(col("w") =!= "")
+    val c = tok.groupBy(col("src"), col("w"))
+      .agg(count(lit(1)).as("cp")).localCheckpoint()
+    val g = c.groupBy(col("w")).agg(sum(col("cp")).as("gw"))
+    val tpf = c.groupBy(col("src")).agg(sum(col("cp")).as("tp"))
+    val tot = g.agg(sum(col("gw")).as("tt"))
+    val grid = tpf.crossJoin(broadcast(g))
+      .join(c, Seq("src", "w"), "left")
+      .withColumn("cp", coalesce(col("cp"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("cq", col("gw") - col("cp"))
+      .withColumn("tq", col("tt") - col("tp"))
+    def klSum(cnt: String, num: Column, out: String, nOut: String) =
+      PortableMath.withLog2Fixed(
+        grid.filter(col(cnt) > 0L)
+          .withColumn("odds", num.cast("double") /
+            (col("cp") * col("tq") + col("cq") * col("tp"))
+              .cast("double")),
+        col("odds"), "lfx")
+        .groupBy(col("src"))
+        .agg(sum(col(cnt) * col("lfx")).as(out),
+          count(lit(1)).as(nOut))
+    val p = klSum("cp", lit(2L) * col("cp") * col("tq"), "sp_fx",
+      "n_words_p")
+    val q = klSum("cq", lit(2L) * col("cq") * col("tp"), "sq_fx",
+      "n_words_q")
+    tpf.crossJoin(broadcast(tot))
+      .withColumn("tq", col("tt") - col("tp"))
+      .join(p, Seq("src")).join(q, Seq("src"))
+      .select(col("src").as("source"), col("tp"), col("tq"),
+        col("n_words_p"), col("n_words_q"), col("sp_fx"), col("sq_fx"),
+        (lit(0.5) * (col("sp_fx").cast("double") /
+            (col("tp") * lit(65536L)).cast("double") +
+          col("sq_fx").cast("double") /
+            (col("tq") * lit(65536L)).cast("double"))).as("js_bits"))
+  }
 }

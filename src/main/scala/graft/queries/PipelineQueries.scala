@@ -1238,6 +1238,11 @@ object PipelineQueries {
       col("source"))
   }
 
+  /** t35: per-source unigram JS divergence vs the rest of the corpus
+    * in exact fixed point ([[TextAnalysis.jsDrift]]). */
+  def jsDrift(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.jsDrift(docs(spark, dir), col("text"), col("source"))
+
   /** m09: container-invariant dedup over synthetic re-encodes — every
     * doc_id ≡ 2 (mod 7) carries the PAYLOAD of its ≡ 0 (mod 7) canon
     * inside a container chosen by doc_id mod 3, so payload-equal
