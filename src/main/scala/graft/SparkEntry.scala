@@ -150,6 +150,9 @@ object SparkEntry {
     "s34_retrain_response" -> (PipelineQueries.retrainResponse _),
     "s35_matryoshka_recall" -> (PipelineQueries.matryoshkaRecall _),
     "s37_probe_recall" -> (PipelineQueries.probeRecallCurve _),
+    "s38_cell_imbalance" -> (PipelineQueries.cellImbalance _),
+    "st47_stream_coverage" ->
+      (StreamingQueries.streamIntervalCoverage _),
     "s36_opq_lite" -> (PipelineQueries.opqLite _),
     "s27_graph_ann" -> (PipelineQueries.graphAnn _),
     "s28_knn_classify" -> (PipelineQueries.knnClassify _),
@@ -1278,21 +1281,10 @@ object SparkEntry {
          FROM bom GROUP BY root""",
     // q59: identical running-max sweep — union length and block count
     // from one ordered window pass, exact integers.
-    "q59_interval_coverage" ->
-      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
-               epoch_us(ts) + 1800000000 AS e, event_id FROM events),
-         x AS (SELECT user_id, s, e,
-                 max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                   AS pm
-               FROM iv)
-         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CASE WHEN pm IS NULL THEN 1800000000
-                     ELSE greatest(0, e - greatest(s, pm)) END)
-             AS BIGINT) AS covered_us,
-           CAST(sum(CASE WHEN pm IS NULL OR pm < s THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_blocks
-         FROM x GROUP BY user_id""",
+    "q59_interval_coverage" -> intervalCoverageOracleSql,
+    // st47: q59's sweep maintained online as 4 longs of keyed state;
+    // shared oracle.
+    "st47_stream_coverage" -> intervalCoverageOracleSql,
     // q58: cents longs, quantile_cont == percentile interpolation
     // (q21 parity), deviations and 3*MAD as identically-rounded doubles.
     "q58_mad_outliers" ->
@@ -2674,6 +2666,33 @@ object SparkEntry {
     // s37: the same s13 probe chain replayed per probe width against
     // the s09 exact baseline; branches generated from one probes list.
     "s37_probe_recall" -> probeRecallOracleSql,
+    // s38: the s13 assignment chain + a k-sized rollup into FAISS's
+    // imbalance factor, exact integer numerator/denominator.
+    "s38_cell_imbalance" ->
+      s"""WITH pre AS ($embPreSql),
+         cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
+                   FROM pre ORDER BY vec_id LIMIT 16),
+         scored AS (
+           SELECT p.vec_id, c.cid,
+             row_number() OVER (PARTITION BY p.vec_id ORDER BY
+               CAST((SELECT sum(x*y) FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS DOUBLE)
+                 / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+               c.cid) AS rn
+           FROM pre p, cents c),
+         assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+         sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz
+                FROM assign GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_cells_occupied,
+           CAST((SELECT count(*) FROM cents) AS BIGINT) AS n_cells_total,
+           CAST(sum(sz) AS BIGINT) AS n_vectors,
+           CAST(min(sz) AS BIGINT) AS min_cell,
+           CAST(max(sz) AS BIGINT) AS max_cell,
+           CAST((SELECT count(*) FROM cents) * sum(sz * sz) AS BIGINT)
+             AS imb_num,
+           CAST(sum(sz) * sum(sz) AS BIGINT) AS imb_den,
+           CAST((SELECT count(*) FROM cents) * sum(sz * sz) AS DOUBLE)
+             / CAST(sum(sz) * sum(sz) AS DOUBLE) AS imbalance
+         FROM sz""",
     "s13_ann_ivf_probe" ->
       s"""WITH pre AS ($embPreSql),
          cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2
@@ -4646,6 +4665,25 @@ object SparkEntry {
        $perProbe
        $branches"""
   }
+
+  /** Shared by q59 (batch running-max window) and st47 (streaming
+    * 4-long keyed state): both must produce the identical per-user
+    * coverage row. */
+  private def intervalCoverageOracleSql: String =
+    """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 1800000000 AS e, event_id FROM events),
+       x AS (SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pm
+             FROM iv)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN pm IS NULL THEN 1800000000
+                   ELSE greatest(0, e - greatest(s, pm)) END)
+           AS BIGINT) AS covered_us,
+         CAST(sum(CASE WHEN pm IS NULL OR pm < s THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_blocks
+       FROM x GROUP BY user_id"""
 
   /** Shared by q41 (batch trailing-7-row window) and st45 (streaming
     * ring state): both must produce the identical per-day flag row. */

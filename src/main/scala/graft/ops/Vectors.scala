@@ -1051,6 +1051,34 @@ object Vectors {
         (col("ivf_hits").cast("double") / lit(k.toDouble)).as("ivf_recall"))
   }
 
+  /** s38: IVF cell-IMBALANCE report — the index-health metric next to
+    * s37's recall curve: per-cell list sizes rolled into FAISS's
+    * imbalance factor λ = k·Σs²/(Σs)² (λ = 1 ⇔ perfectly balanced;
+    * probing a cell costs ∝ its size, so expected probe work scales
+    * with λ — at 100 TB a hot cell IS the straggler task). Emitted as
+    * exact integer numerator/denominator plus the double ratio;
+    * min/max cell sizes identify the offenders. One assignment pass
+    * ([[ivfInvertedLists]]) + a k-sized aggregation. Occupied-cell
+    * count rides along (empty cells have no list rows); λ uses the
+    * TOTAL k, FAISS's convention. */
+  def cellImbalance(corpus: DataFrame, id: Column, emb: Column,
+      cents: DataFrame): DataFrame = {
+    val k = cents.count()
+    val sz = ivfInvertedLists(corpus, id, emb, cents)
+      .groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+    sz.agg(count(lit(1)).as("n_cells_occupied"),
+        sum(col("sz")).as("n_vectors"),
+        min(col("sz")).as("min_cell"), max(col("sz")).as("max_cell"),
+        sum(col("sz") * col("sz")).as("sq_sum"))
+      .select(col("n_cells_occupied"), lit(k).as("n_cells_total"),
+        col("n_vectors"), col("min_cell"), col("max_cell"),
+        (lit(k) * col("sq_sum")).as("imb_num"),
+        (col("n_vectors") * col("n_vectors")).as("imb_den"),
+        ((lit(k) * col("sq_sum")).cast("double") /
+          (col("n_vectors") * col("n_vectors")).cast("double"))
+          .as("imbalance"))
+  }
+
   /** s37: the IVF serving dial MEASURED — recall@k as a function of
     * nProbe. Every IVF deployment tunes exactly this curve (probe 1
     * cell: fastest, lossiest; probe all: exact but pointless), and the

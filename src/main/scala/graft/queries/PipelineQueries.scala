@@ -215,6 +215,17 @@ object PipelineQueries {
       col("embedding"), k = 10, cents, nProbe = 2)
   }
 
+  /** s38: the s13 index's cell-imbalance report
+    * ([[Vectors.cellImbalance]]) — λ as exact integers + ratio. */
+  def cellImbalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val p = Vectors.prepared(e, col("vec_id"), col("embedding"))
+    val cents = p.orderBy(col("vid")).limit(16)
+      .select(col("vid").as("cid"), col("iv").as("civ"),
+        col("n2").as("cn2"))
+    Vectors.cellImbalance(e, col("vec_id"), col("embedding"), cents)
+  }
+
   /** s37: recall@10 per nProbe ∈ {1,2,4,8} over the s13 IVF index —
     * the measured serving-dial curve ([[Vectors.probeRecallCurve]]). */
   def probeRecallCurve(spark: SparkSession, dir: String): DataFrame = {

@@ -3050,6 +3050,58 @@ object StreamingQueries {
           element_at(col("p"), 5).cast("long").as("n_events"))
     }
 
+  /** st47: interval-union COVERAGE maintained ONLINE — q59's
+    * running-max sweep as live keyed state: 4 longs per user (running
+    * max end, covered µs, block count, message counter). Each arrival
+    * opens its 30-minute interval, contributes
+    * `max(0, e − max(s, endMax))` and opens a block when the running
+    * max falls short of `s` — the same two expressions the batch
+    * window evaluates, so the shared q59 oracle hash-matches. Per-key
+    * event-time order as st40; equal-timestamp arrivals contribute 0
+    * in either order (identical intervals), matching the batch
+    * tie-break exactly. */
+  def streamIntervalCoverage(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val winUs = 1800000000L
+      val graph = GroupGraph.define("stream-coverage")(
+        Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+          val s = graft.operators.BatchExecutor.tsMicros(ctx.timestamp)
+          val e = s + winUs
+          ctx.value match {
+            case null => ctx.setValue(s"$e,$winUs,1,1")
+            case st: String =>
+              val p = st.split(',')
+              val (em, cov, blk, n) = (p(0).toLong, p(1).toLong,
+                p(2).toLong, p(3).toLong)
+              val contrib = math.max(0L, e - math.max(s, em))
+              val blk2 = if (em < s) blk + 1 else blk
+              ctx.setValue(
+                s"${math.max(em, e)},${cov + contrib},$blk2,${n + 1}")
+          }
+        }),
+        Persist(StringCodec))
+      val staging = stagedEventsSplit(spark, dir)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("k", "st")
+      runToTable(spark, table)
+        .select(col("k").cast("long").as("user_id"),
+          split(col("st"), ",").as("p"))
+        .withColumn("n", element_at(col("p"), 4).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(max_by(col("p"), col("n")).as("p"), max(col("n")).as("n"))
+        .select(col("user_id"), col("n").as("n_events"),
+          element_at(col("p"), 2).cast("long").as("covered_us"),
+          element_at(col("p"), 3).cast("long").as("n_blocks"))
+    }
+
   /** st46: the SPATIAL close-pair join maintained ONLINE — q55's
     * lossless grid protocol as live keyed state: each arriving point
     * fans out to its 3×3 neighbor cells (9 messages, map-side — the

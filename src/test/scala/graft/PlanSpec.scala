@@ -722,6 +722,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"the filter must reach the scan for stats-based skipping\n$p")
   }
 
+  test("q56: the brand dimension resolves via broadcast; the pair " +
+      "fan-out is the basket-local equi-join, never a cartesian") {
+    val p = plan("q56_copurchase")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part is dimension-sized and must broadcast\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair join must ride the order-key equi-join\n$p")
+  }
+
   test("c26: both slice predicates are pushed to the parquet reader " +
       "— the z-order layout makes stats skipping work on either dim") {
     val p = plan("c26_zorder_lake")
