@@ -213,6 +213,7 @@ object SparkEntry {
     "q57_bom_rollup" -> (Relational.bomRollup _),
     "q58_mad_outliers" -> (Relational.madOutliers _),
     "q59_interval_coverage" -> (Relational.intervalCoverage _),
+    "q60_windowed_funnel" -> (Relational.windowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
     "q50_point_in_time_join" -> (Relational.pointInTimeJoin _),
     "st40_stream_ewma" -> (StreamingQueries.streamEwma _),
@@ -1236,7 +1237,7 @@ object SparkEntry {
                CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 9, 8)
                     AS BIGINT) % 100000 AS y
              FROM events),
-         c AS (SELECT event_id, x, y, x // 10000 AS cx, y // 10000 AS cy
+         c AS (SELECT event_id, x, y, x // 1000 AS cx, y // 1000 AS cy
                FROM pts),
          probe AS (SELECT event_id AS a_id, x AS ax, y AS ay,
                  cx + dx.g AS cx, cy + dy.g AS cy
@@ -1247,7 +1248,7 @@ object SparkEntry {
                FROM probe p JOIN c b
                  ON p.cx = b.cx AND p.cy = b.cy AND p.a_id < b.event_id
                WHERE (p.ax - b.x) * (p.ax - b.x)
-                   + (p.ay - b.y) * (p.ay - b.y) < 25000000)
+                   + (p.ay - b.y) * (p.ay - b.y) < 1000000)
          SELECT CAST(count(*) AS BIGINT) AS n_close_pairs,
                 CAST(min(d2) AS BIGINT) AS min_d2,
                 CAST(sum(d2) AS BIGINT) AS d2_sum
@@ -1285,6 +1286,24 @@ object SparkEntry {
     // st47: q59's sweep maintained online as 4 longs of keyed state;
     // shared oracle.
     "st47_stream_coverage" -> intervalCoverageOracleSql,
+    // q60: q26's chain with attribution bounds — identical stepped
+    // mins, extra window predicates, exact us integers.
+    "q60_windowed_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+             FROM events),
+         s1 AS (SELECT user_id, min(us) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(us) AS t2 FROM e
+                JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND us > t1
+                  AND us <= t1 + 86400000000 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(us) AS t3 FROM e
+                JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND us > t2
+                  AND us <= t2 + 259200000000 GROUP BY 1)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_viewed,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_clicked_1d,
+           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchased_3d""",
     // q58: cents longs, quantile_cont == percentile interpolation
     // (q21 parity), deviations and 3*MAD as identically-rounded doubles.
     "q58_mad_outliers" ->
@@ -1312,7 +1331,7 @@ object SparkEntry {
                CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 9, 8)
                     AS BIGINT) % 100000 AS y
              FROM events WHERE event_id % 20 = 0),
-         c AS (SELECT event_id, x, y, x // 10000 AS cx, y // 10000 AS cy
+         c AS (SELECT event_id, x, y, x // 1000 AS cx, y // 1000 AS cy
                FROM pts),
          probe AS (SELECT event_id AS a_id, x AS ax, y AS ay,
                  cx + dx.g AS cx, cy + dy.g AS cy
@@ -1323,7 +1342,7 @@ object SparkEntry {
                FROM probe p JOIN c b
                  ON p.cx = b.cx AND p.cy = b.cy AND p.a_id < b.event_id
                WHERE (p.ax - b.x) * (p.ax - b.x)
-                   + (p.ay - b.y) * (p.ay - b.y) < 25000000)
+                   + (p.ay - b.y) * (p.ay - b.y) < 1000000)
          SELECT CAST(count(*) AS BIGINT) AS n_close_pairs,
                 CAST(min(d2) AS BIGINT) AS min_d2,
                 CAST(sum(d2) AS BIGINT) AS d2_sum

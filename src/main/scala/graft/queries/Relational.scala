@@ -1043,7 +1043,7 @@ object Relational {
     * min/sum of squared distances as the checksum. */
   def spatialJoin(spark: SparkSession, dir: String): DataFrame =
     closePairStats(spatialPoints(table(spark, dir, "events")),
-      cellSide = 10000L, r2 = 25000000L)
+      cellSide = 1000L, r2 = 1000000L)
 
   /** The md5-derived synthetic coordinates shared by q55 and st46:
     * (id, ts, x, y) with x/y in [0, 100000). Deterministic and
@@ -1390,6 +1390,38 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("b1"), col("b2"))
       .limit(20)
+  }
+
+  /** q60: WINDOWED funnel — q26's ordered chain with attribution
+    * bounds, the form real funnel analysis runs (an unbounded chain
+    * credits a purchase months after the view): click must follow the
+    * first view within 1 day, purchase must follow that click within
+    * 3 days. Same one-exchange stepped-window construction as
+    * q26/q53; the bounds are extra predicates inside the conditional
+    * mins, exact µs integers. */
+  def windowedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val byUser = Window.partitionBy(col("user_id"))
+    e.withColumn("t1",
+        min(when(col("event_type") === "view", col("us"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" &&
+          col("us") > col("t1") &&
+          col("us") <= col("t1") + lit(dayUs), col("us"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+          col("us") > col("t2") &&
+          col("us") <= col("t2") + lit(3L * dayUs), col("us")))
+          .over(byUser))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+        min(col("t3")).as("t3"))
+      .agg(count(col("t1")).as("n_viewed"),
+        count(col("t2")).as("n_clicked_1d"),
+        count(col("t3")).as("n_purchased_3d"))
   }
 
   /** q59: interval-union COVERAGE — how much wall-clock each user was

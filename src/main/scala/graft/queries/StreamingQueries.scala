@@ -3127,8 +3127,8 @@ object StreamingQueries {
     withStateShards(spark) {
       import spark.implicits._
       import graft.operators.BatchExecutor.SinkTable
-      val cellSide = 10000L
-      val r2 = 25000000L
+      val cellSide = 1000L
+      val r2 = 1000000L
       val stage1 = GroupGraph.define("stream-spatial")(
         Input("cells", StringCodec, ProcessCallback { (ctx, msg) =>
           val Array(idS, xS, yS, hS) =
