@@ -189,6 +189,7 @@ object SparkEntry {
     "c17_retention_sweep" -> (PipelineQueries.retentionSweep _),
     "c18_clustered_lake" -> (PipelineQueries.clusteredLake _),
     "c26_zorder_lake" -> (PipelineQueries.zorderLake _),
+    "c27_branch_merge" -> (PipelineQueries.lakeBranchMerge _),
     "c19_lake_merge" -> (PipelineQueries.lakeMerge _),
     "c20_time_travel" -> (PipelineQueries.timeTravel _),
     "c21_lake_vacuum" -> (PipelineQueries.lakeVacuum _),
@@ -913,6 +914,48 @@ object SparkEntry {
            CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT)
          FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-20'
          GROUP BY event_type""",
+    // c27: branch states derived relationally (branches only touch
+    // base keys, so the full-outer merge reduces to left joins);
+    // identical null-safe three-way CASE, ours-wins, c07-style digest.
+    "c27_branch_merge" ->
+      """WITH d AS (SELECT doc_id AS k, text FROM documents),
+         a AS (SELECT k, CASE WHEN k % 7 = 1 THEN 'A:' || text
+                              ELSE text END AS v
+               FROM d WHERE NOT (k % 13 = 2 AND k % 7 <> 1)),
+         b AS (SELECT k, CASE WHEN k % 7 = 3 THEN 'B:' || text
+                              WHEN k % 7 = 1 AND k % 5 = 0
+                                THEN 'B2:' || text
+                              ELSE text END AS v
+               FROM d WHERE NOT (k % 11 = 5 AND k % 7 <> 3
+                 AND NOT (k % 7 = 1 AND k % 5 = 0))),
+         j AS (SELECT d.k, d.text AS vb, a.v AS va, b.v AS vv
+               FROM d LEFT JOIN a ON a.k = d.k LEFT JOIN b ON b.k = d.k),
+         m AS (SELECT k, vb, va, vv,
+                 (va IS DISTINCT FROM vb) AS ca,
+                 (vv IS DISTINCT FROM vb) AS cb,
+                 ((va IS DISTINCT FROM vb) AND (vv IS DISTINCT FROM vb)
+                   AND (va IS DISTINCT FROM vv)) AS conflict,
+                 CASE WHEN va IS NOT DISTINCT FROM vb
+                       AND vv IS NOT DISTINCT FROM vb THEN vb
+                      WHEN va IS DISTINCT FROM vb
+                       AND vv IS NOT DISTINCT FROM vb THEN va
+                      WHEN vv IS DISTINCT FROM vb
+                       AND va IS NOT DISTINCT FROM vb THEN vv
+                      ELSE va END AS merged
+               FROM j)
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN merged IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_merged,
+           CAST(sum(CASE WHEN ca THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed_a,
+           CAST(sum(CASE WHEN cb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed_b,
+           CAST(sum(CASE WHEN conflict THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_conflicts,
+           CAST(bit_xor(CASE WHEN merged IS NOT NULL THEN
+             ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || merged),
+               1, 15))::BIGINT ELSE 0 END) AS BIGINT) AS digest
+         FROM m""",
     // q43: identical SQL text both engines; the fixture set is
     // null-free so the result is the witnessed complement (the
     // any-NULL -> empty arm is spec-forced).

@@ -296,6 +296,40 @@ object Lake {
       keyed.filter(col("op") === "delete").count())
   }
 
+  /** c27: THREE-WAY MERGE of two branch snapshots against their
+    * common base — the git model applied to a keyed lake: each key's
+    * branch value is compared to the base (null = absent, so inserts,
+    * updates and deletes all ride one null-safe comparison), a key
+    * changed on one side takes that side's state, a key changed
+    * identically on both takes it once, and a key changed DIFFERENTLY
+    * on both is a CONFLICT — resolved "ours" (branch A) but flagged
+    * per row, so the caller audits instead of silently losing a
+    * branch's write. This is the promotion/merge step a multi-team
+    * lake needs (dev→main, backfill-branch→serving); at 100 TB it is
+    * two key-sharded full-outer joins, no file rewritten outside the
+    * merge commit itself. Rows with `present = false` are merged
+    * deletes (kept so the audit can count them; filter for content). */
+  def threeWayMerge(base: DataFrame, a: DataFrame, b: DataFrame,
+      keyName: String, payloadName: String): DataFrame = {
+    val kb = base.select(col(keyName).as("k"), col(payloadName).as("vb"))
+    val ka = a.select(col(keyName).as("k"), col(payloadName).as("va"))
+    val kc = b.select(col(keyName).as("k"), col(payloadName).as("vv"))
+    kb.join(ka, Seq("k"), "full_outer")
+      .join(kc, Seq("k"), "full_outer")
+      .withColumn("changed_a", !(col("va") <=> col("vb")))
+      .withColumn("changed_b", !(col("vv") <=> col("vb")))
+      .withColumn("conflict", col("changed_a") && col("changed_b") &&
+        !(col("va") <=> col("vv")))
+      .withColumn("merged",
+        when(!col("changed_a") && !col("changed_b"), col("vb"))
+          .when(col("changed_a") && !col("changed_b"), col("va"))
+          .when(col("changed_b") && !col("changed_a"), col("vv"))
+          .otherwise(col("va")))
+      .select(col("k").as(keyName), col("merged").as(payloadName),
+        col("changed_a"), col("changed_b"), col("conflict"),
+        col("merged").isNotNull.as("present"))
+  }
+
   /** Audit row returned by [[vacuum]]. */
   final case class VacuumAudit(droppedManifests: Long, keptManifests: Long,
       deletedShardDirs: Long, keptShardDirs: Long)

@@ -1093,6 +1093,60 @@ object PipelineQueries {
         unix_micros(max(col("ts"))).as("last_us"))
   }
 
+  /** c27: lake BRANCH + three-way merge — the git model on the c19
+    * versioned lake: the base snapshot forks into two branch lakes
+    * (each its own copy-on-write chain), each branch applies its own
+    * change set through the real `mergeVersioned` commit path, and
+    * [[Lake.threeWayMerge]] reconciles the two against the base with
+    * per-key conflict detection (changed-differently-on-both),
+    * resolved ours-wins but AUDITED. Change sets are disjoint-keyed
+    * within each branch, overlapping across branches by construction
+    * (a doc modified on both sides, and a delete racing an update) so
+    * every conflict class is exercised; the report is counts + the
+    * c07-style commutative digest of the merged content. */
+  def lakeBranchMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashes.h60
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_branch").toString
+    Lake.writeVersioned(d, "doc_id", s"$out/base", nShards = 8)
+    val base = Lake.readVersioned(spark, s"$out/base")
+    Lake.writeVersioned(base, "doc_id", s"$out/brA", nShards = 8)
+    Lake.writeVersioned(base, "doc_id", s"$out/brB", nShards = 8)
+    val k = col("doc_id")
+    val chA = d.filter(k % 7 === 1)
+      .select(k.as("doc_id"), concat(lit("A:"), col("text")).as("text"))
+      .withColumn("op", lit("upsert"))
+      .unionByName(d.filter(k % 13 === 2 && k % 7 =!= 1)
+        .withColumn("op", lit("delete")))
+    val chB = d.filter(k % 7 === 3)
+      .select(k.as("doc_id"), concat(lit("B:"), col("text")).as("text"))
+      .withColumn("op", lit("upsert"))
+      .unionByName(d.filter(k % 7 === 1 && k % 5 === 0)
+        .select(k.as("doc_id"),
+          concat(lit("B2:"), col("text")).as("text"))
+        .withColumn("op", lit("upsert")))
+      .unionByName(d.filter(k % 11 === 5 && k % 7 =!= 3 &&
+          !(k % 7 === 1 && k % 5 === 0))
+        .withColumn("op", lit("delete")))
+    Lake.mergeVersioned(spark, s"$out/brA", "doc_id", chA, nShards = 8)
+    Lake.mergeVersioned(spark, s"$out/brB", "doc_id", chB, nShards = 8)
+    val merged = Lake.threeWayMerge(
+      Lake.readVersioned(spark, s"$out/base"),
+      Lake.readVersioned(spark, s"$out/brA"),
+      Lake.readVersioned(spark, s"$out/brB"), "doc_id", "text")
+    merged
+      .withColumn("dg", when(col("present"),
+        h60(concat(col("doc_id").cast("string"), lit(":"), col("text"))))
+        .otherwise(lit(0L)))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("present"), 1L).otherwise(0L)).as("n_merged"),
+        sum(when(col("changed_a"), 1L).otherwise(0L)).as("n_changed_a"),
+        sum(when(col("changed_b"), 1L).otherwise(0L)).as("n_changed_b"),
+        sum(when(col("conflict"), 1L).otherwise(0L)).as("n_conflicts"),
+        expr("bit_xor(dg)").as("digest"))
+  }
+
   /** c26: Z-ORDERED lake — the two-dimensional physical-layout axis
     * c13 (directory partitioning) and c18 (1-D range clustering)
     * cannot give: events are Morton-interleaved on (user_id, day)

@@ -95,6 +95,32 @@ class LakeSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(path).count() == 1000L)
   }
 
+  test("threeWayMerge: every conflict class resolves ours-wins and " +
+      "is flagged; clean changes merge from either side") {
+    import spark.implicits._
+    // base keys 1..8; A: upd 1, del 2, upd 5 (same as B), del 6 (same)
+    //               B: upd 3, del 4, upd 5 (same), del 6 (same),
+    //                  upd 1 differently (CONFLICT), del 7 while A
+    //                  updates it? -> A updates 7, B deletes 7 (CONFLICT)
+    val base = Seq((1L, "b1"), (2L, "b2"), (3L, "b3"), (4L, "b4"),
+      (5L, "b5"), (6L, "b6"), (7L, "b7"), (8L, "b8")).toDF("k", "v")
+    val a = Seq((1L, "a1"), (3L, "b3"), (4L, "b4"), (5L, "x5"),
+      (7L, "a7"), (8L, "b8")).toDF("k", "v") // del 2, del 6
+    val b = Seq((1L, "c1"), (2L, "b2"), (3L, "c3"), (5L, "x5"),
+      (8L, "b8")).toDF("k", "v") // del 4, del 6, del 7
+    val m = Lake.threeWayMerge(base, a, b, "k", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getBoolean(4)))).toMap
+    assert(m(1) == ((Some("a1"), true)))   // both changed differently
+    assert(m(2) == ((None, false)))        // A-only delete
+    assert(m(3) == ((Some("c3"), false)))  // B-only update
+    assert(m(4) == ((None, false)))        // B-only delete
+    assert(m(5) == ((Some("x5"), false)))  // both changed identically
+    assert(m(6) == ((None, false)))        // both deleted — no conflict
+    assert(m(7) == ((Some("a7"), true)))   // update vs delete: conflict
+    assert(m(8) == ((Some("b8"), false)))  // untouched
+  }
+
   test("zValue interleaves bits exactly (known patterns)") {
     import spark.implicits._
     // b's bits land at odd positions; 5=101, 3=011 ->
