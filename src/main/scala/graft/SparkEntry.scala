@@ -215,6 +215,8 @@ object SparkEntry {
     "q58_mad_outliers" -> (Relational.madOutliers _),
     "q59_interval_coverage" -> (Relational.intervalCoverage _),
     "q60_windowed_funnel" -> (Relational.windowedFunnel _),
+    "st48_stream_windowed_funnel" ->
+      (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
     "q50_point_in_time_join" -> (Relational.pointInTimeJoin _),
     "st40_stream_ewma" -> (StreamingQueries.streamEwma _),
@@ -1331,22 +1333,10 @@ object SparkEntry {
     "st47_stream_coverage" -> intervalCoverageOracleSql,
     // q60: q26's chain with attribution bounds — identical stepped
     // mins, extra window predicates, exact us integers.
-    "q60_windowed_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
-             FROM events),
-         s1 AS (SELECT user_id, min(us) AS t1 FROM e
-                WHERE event_type = 'view' GROUP BY 1),
-         s2 AS (SELECT e.user_id, min(us) AS t2 FROM e
-                JOIN s1 USING (user_id)
-                WHERE event_type = 'click' AND us > t1
-                  AND us <= t1 + 86400000000 GROUP BY 1),
-         s3 AS (SELECT e.user_id, min(us) AS t3 FROM e
-                JOIN s2 USING (user_id)
-                WHERE event_type = 'purchase' AND us > t2
-                  AND us <= t2 + 259200000000 GROUP BY 1)
-         SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_viewed,
-           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_clicked_1d,
-           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchased_3d""",
+    "q60_windowed_funnel" -> windowedFunnelOracleSql,
+    // st48: q60's bounded chain as live keyed state (first qualifying
+    // arrival == the batch conditional min); shared oracle.
+    "st48_stream_windowed_funnel" -> windowedFunnelOracleSql,
     // q58: cents longs, quantile_cont == percentile interpolation
     // (q21 parity), deviations and 3*MAD as identically-rounded doubles.
     "q58_mad_outliers" ->
@@ -4727,6 +4717,26 @@ object SparkEntry {
        $perProbe
        $branches"""
   }
+
+  /** Shared by q60 (batch conditional mins) and st48 (streaming
+    * first-qualifying-arrival state): both must produce the identical
+    * bounded-funnel counts. */
+  private def windowedFunnelOracleSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+       s1 AS (SELECT user_id, min(us) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY 1),
+       s2 AS (SELECT e.user_id, min(us) AS t2 FROM e
+              JOIN s1 USING (user_id)
+              WHERE event_type = 'click' AND us > t1
+                AND us <= t1 + 86400000000 GROUP BY 1),
+       s3 AS (SELECT e.user_id, min(us) AS t3 FROM e
+              JOIN s2 USING (user_id)
+              WHERE event_type = 'purchase' AND us > t2
+                AND us <= t2 + 259200000000 GROUP BY 1)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_viewed,
+         (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_clicked_1d,
+         (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchased_3d"""
 
   /** Shared by q59 (batch running-max window) and st47 (streaming
     * 4-long keyed state): both must produce the identical per-user

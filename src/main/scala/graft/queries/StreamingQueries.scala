@@ -3050,6 +3050,65 @@ object StreamingQueries {
           element_at(col("p"), 5).cast("long").as("n_events"))
     }
 
+  /** st48: the attribution-WINDOWED funnel maintained ONLINE — q60's
+    * bounded chain as live keyed state: 3 step timestamps + a counter
+    * per user. A step locks at its FIRST qualifying arrival, which
+    * under per-key event-time order is exactly the batch plan's
+    * `min(us WHERE bound)` — a click qualifies only inside
+    * (t1, t1+1d], a purchase only inside (t2, t2+3d], and an arrival
+    * before its predecessor step simply doesn't match, the same
+    * three-valued outcome the batch conditional mins produce. The
+    * read collapses the changelog and counts locked steps; shares
+    * q60's oracle. */
+  def streamWindowedFunnel(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val dayUs = 86400000000L
+      val graph = GroupGraph.define("stream-wfunnel")(
+        Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+          val t = graft.operators.BatchExecutor.tsMicros(ctx.timestamp)
+          val typ = msg.asInstanceOf[String]
+          val (t1, t2, t3, n) = ctx.value match {
+            case null => (0L, 0L, 0L, 0L)
+            case s: String =>
+              val p = s.split(',')
+              (p(0).toLong, p(1).toLong, p(2).toLong, p(3).toLong)
+          }
+          val next = typ match {
+            case "view" if t1 == 0L => (t, t2, t3, n + 1)
+            case "click" if t1 > 0L && t2 == 0L &&
+              t > t1 && t <= t1 + dayUs => (t1, t, t3, n + 1)
+            case "purchase" if t2 > 0L && t3 == 0L &&
+              t > t2 && t <= t2 + 3L * dayUs => (t1, t2, t, n + 1)
+            case _ => (t1, t2, t3, n + 1)
+          }
+          ctx.setValue(s"${next._1},${next._2},${next._3},${next._4}")
+        }),
+        Persist(StringCodec))
+      val staging = stagedEventsSplit(spark, dir)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("k", "st")
+      runToTable(spark, table)
+        .select(col("k"), split(col("st"), ",").as("p"))
+        .withColumn("n", element_at(col("p"), 4).cast("long"))
+        .groupBy(col("k"))
+        .agg(max_by(col("p"), col("n")).as("p"))
+        .select(element_at(col("p"), 1).cast("long").as("t1"),
+          element_at(col("p"), 2).cast("long").as("t2"),
+          element_at(col("p"), 3).cast("long").as("t3"))
+        .agg(sum(when(col("t1") > 0L, 1L).otherwise(0L)).as("n_viewed"),
+          sum(when(col("t2") > 0L, 1L).otherwise(0L)).as("n_clicked_1d"),
+          sum(when(col("t3") > 0L, 1L).otherwise(0L))
+            .as("n_purchased_3d"))
+    }
+
   /** st47: interval-union COVERAGE maintained ONLINE — q59's
     * running-max sweep as live keyed state: 4 longs per user (running
     * max end, covered µs, block count, message counter). Each arrival

@@ -722,6 +722,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"the filter must reach the scan for stats-based skipping\n$p")
   }
 
+  test("q59: interval coverage is one window pass — no self-join, " +
+      "no cartesian") {
+    val p = plan("q59_interval_coverage")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"the union-length sweep must not plan any join\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"the running-max window must appear\n$p")
+  }
+
+  test("t35: the drift grid joins broadcast — the corpus is scanned " +
+      "once and never shuffle-joined") {
+    val p = plan("t35_js_drift")
+    assert(!p.contains("CartesianProduct"),
+      s"sources x vocab must ride broadcast joins\n$p")
+  }
+
   test("q56: the brand dimension resolves via broadcast; the pair " +
       "fan-out is the basket-local equi-join, never a cartesian") {
     val p = plan("q56_copurchase")
