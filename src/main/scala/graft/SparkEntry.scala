@@ -113,6 +113,7 @@ object SparkEntry {
     "d10_window_dedup" -> (PipelineQueries.windowDup _),
     "d11_lsh_verify" -> (PipelineQueries.lshVerify _),
     "d27_band_tuning" -> (PipelineQueries.bandTuning _),
+    "d28_prefix_join" -> (PipelineQueries.prefixJoin _),
     "d15_dup_spans" -> (PipelineQueries.dupSpans _),
     "d19_span_removal" -> (PipelineQueries.removeDupSpans _),
     "s01_ann_topk" -> (PipelineQueries.annTopK _),
@@ -4152,6 +4153,27 @@ object SparkEntry {
     // d27: per-banding precision/recall, truth = exact Jaccard >= 0.5
     // inside the finest banding's candidate universe.
     "d27_band_tuning" -> bandTuningOracleSql,
+    // d28: the oracle is the NAIVE capped inverted-list join at the
+    // same theta — the hash match proves prefix filtering lossless.
+    // Capped-set Jaccard (sizes from the df<=100-filtered sets).
+    "d28_prefix_join" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+         shf AS (SELECT sh.doc_id, sh.s FROM sh
+                 JOIN df ON sh.s = df.s WHERE df.c <= 100),
+         sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                   FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+         SELECT da, db, jaccard FROM (
+           SELECT da, db, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard
+           FROM inter JOIN sizes sa ON da = sa.doc_id
+                      JOIN sizes sb ON db = sb.doc_id)
+         WHERE jaccard >= 0.5""",
     // m09: identical synthetic re-encode derivation; payload hashed
     // past the 4-byte container header, groups with >= 2 copies.
     "m09_container_dedup" ->

@@ -384,6 +384,66 @@ object Dedup {
       .withColumn("dup", col("jaccard") >= threshold)
   }
 
+  /** d28: EXACT set-similarity join via PREFIX FILTERING (Chaudhuri
+    * et al. 2006 SSJoin / Xiao et al. PPJoin, public) — the exact
+    * complement to d02's approximate LSH: every pair with capped-set
+    * Jaccard ≥ θ is found, none missed, WITHOUT the all-pairs join.
+    * Tokens get one global order (ascending document frequency, ties
+    * by token — rarest first); a doc of n tokens indexes only its
+    * first n − ⌈θ·n⌉ + 1 tokens in that order, because a qualifying
+    * pair must share ≥ ⌈θ·n⌉ tokens and therefore cannot hide its
+    * entire overlap in either doc's suffix — so the candidate join
+    * runs on the PREFIX inverted lists only, and rare-first ordering
+    * makes those lists the shortest ones. The oracle is the NAIVE
+    * inverted-list join at the same θ: the hash match IS the
+    * losslessness proof. Same df cap (and capped-set Jaccard
+    * semantics) as d04's skew story; the rank table is vocab-sized
+    * and broadcast; the exact verify touches candidates only. */
+  def prefixJaccardJoin(df: DataFrame, text: Column, id: Column,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Int = 100): DataFrame = {
+    require(threshold == 0.5,
+      "prefix length below is derived for theta = 0.5 (t = ceil(n/2))")
+    val sh = df
+      .select(id.as("doc_id"), nativeShingles(df, text, shingleN).as("sa"))
+      .select(col("doc_id"), explode(col("sa")).as("s"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxDocFreq)
+    // global order over the surviving vocabulary — vocab-sized sort
+    val ranked = dfreq.select(col("s"), col("c"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c"), col("s"))).as("rk"))
+    val capped = sh.join(broadcast(ranked.select(col("s"), col("rk"))),
+      Seq("s"))
+    val nc = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val positioned = capped.join(nc, Seq("doc_id"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("rk"))))
+      // theta = 0.5: t = ceil(n/2) = (n+1) div 2; prefix = n - t + 1
+      .filter(col("pos").cast("long") <= expr("n - (n + 1) div 2 + 1"))
+      .select(col("doc_id"), col("s"))
+    val cand = positioned.as("a")
+      .join(positioned.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val inter = cand
+      .join(capped.select(col("doc_id").as("da"), col("s")), Seq("da"))
+      .join(capped.select(col("doc_id").as("db"), col("s")),
+        Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+    inter
+      .join(nc.select(col("doc_id").as("da"), col("n").as("na")),
+        Seq("da"))
+      .join(nc.select(col("doc_id").as("db"), col("n").as("nb")),
+        Seq("db"))
+      .select(col("da"), col("db"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** d27: the (bands × rows) TUNING TABLE for MinHash-LSH — the s37
     * "dial measured" idea on the dedup side: every banding of the same
     * k=16 signatures trades recall for candidate volume (more bands of

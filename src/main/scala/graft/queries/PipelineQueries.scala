@@ -79,6 +79,13 @@ object PipelineQueries {
   def lshVerify(spark: SparkSession, dir: String): DataFrame =
     Dedup.lshVerifiedPairs(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** d28: EXACT set-similarity join via prefix filtering
+    * ([[Dedup.prefixJaccardJoin]]) — Jaccard ≥ 0.5 pairs with no
+    * all-pairs join and no hashing loss; the oracle is the naive
+    * inverted-list join, so the hash match proves losslessness. */
+  def prefixJoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardJoin(docs(spark, dir), col("text"), col("doc_id"))
+
   /** d27: the measured precision/recall table per LSH banding
     * ([[Dedup.bandTuningTable]]) — 16 minhashes banded as 8×2, 4×4,
     * 2×8 against exact Jaccard ≥ 0.5 truth. */
