@@ -216,6 +216,12 @@ object SparkEntry {
     "q58_mad_outliers" -> (Relational.madOutliers _),
     "q59_interval_coverage" -> (Relational.intervalCoverage _),
     "q60_windowed_funnel" -> (Relational.windowedFunnel _),
+    "q61_gini" -> (Relational.giniConcentration _),
+    "q62_abc" -> (Relational.abcAnalysis _),
+    "q63_triangles" -> (Relational.triangleCount _),
+    "q64_cusum" -> (Relational.cusumChangepoint _),
+    "q65_benford" -> (Relational.benfordAudit _),
+    "q66_ab_test" -> (Relational.abTestReadout _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1335,6 +1341,134 @@ object SparkEntry {
     // q60: q26's chain with attribution bounds — identical stepped
     // mins, extra window predicates, exact us integers.
     "q60_windowed_funnel" -> windowedFunnelOracleSql,
+    // q61: the ranked-sum Gini identity over cents longs; the oracle's
+    // single-partition row_number is exactly what Ranks.rankedCumsum
+    // replaces at scale — the hash match proves the bucketed rank.
+    "q61_gini" ->
+      """WITH r AS (SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+             FROM orders GROUP BY 1),
+         k AS (SELECT cents,
+                 row_number() OVER (ORDER BY cents, o_custkey) AS rnk
+               FROM r),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
+                 CAST(sum(cents) AS BIGINT) AS total_cents,
+                 CAST(2 * sum(CAST(rnk AS HUGEINT) * cents)
+                   - (count(*) + 1) * sum(cents) AS BIGINT) AS gini_num,
+                 CAST(count(*) * sum(cents) AS BIGINT) AS gini_den
+               FROM k)
+         SELECT *, CAST(gini_num AS DOUBLE) / CAST(gini_den AS DOUBLE)
+           AS gini FROM a""",
+    // q62: descending rank + running share, integer cross-multiplied
+    // class thresholds — identical tie-break (cents DESC, partkey).
+    "q62_abc" ->
+      """WITH r AS (SELECT l_partkey,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+             FROM lineitem GROUP BY 1),
+         k AS (SELECT cents,
+                 row_number() OVER (ORDER BY cents DESC, l_partkey)
+                   AS rnk,
+                 sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 (SELECT sum(cents) FROM r) AS tot
+               FROM r)
+         SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                     WHEN cum * 20 <= tot * 19 THEN 'B'
+                     ELSE 'C' END AS cls,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS class_cents,
+           CAST(min(rnk) AS BIGINT) AS first_rank,
+           CAST(max(rnk) AS BIGINT) AS last_rank
+         FROM k GROUP BY 1""",
+    // q63: the canonical a<b<c triple self-join — the degree-ordered
+    // orientation must find exactly these triangles.
+    "q63_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+               FROM lineitem),
+         e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+               FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         n AS (SELECT count(DISTINCT node) AS n_nodes FROM
+                 (SELECT a AS node FROM e
+                  UNION ALL SELECT b AS node FROM e)),
+         t AS (SELECT count(*) AS n_tri
+               FROM e e1 JOIN e e2 ON e2.a = e1.b
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT CAST(n.n_nodes AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(t.n_tri AS BIGINT) AS n_triangles
+         FROM n, t""",
+    // q64: the same closed form — running sum + running min replace
+    // the sequential recurrence; all-integer slack/threshold units.
+    "q64_cusum" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS x
+             FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, sum(x) AS s, count(*) AS nd
+                 FROM daily GROUP BY 1),
+         d AS (SELECT daily.event_type, daily.day, tot.s,
+                 20 * tot.nd * daily.x - 21 * tot.s AS dd
+               FROM daily JOIN tot USING (event_type)),
+         c AS (SELECT *, sum(dd) OVER (PARTITION BY event_type
+                 ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+               FROM d),
+         s2 AS (SELECT *, cum - least(CAST(0 AS BIGINT),
+                 min(cum) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)) AS cusum
+               FROM c)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(cusum) AS BIGINT) AS max_cusum,
+           CAST(sum(CASE WHEN cusum > 10 * s THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_flagged,
+           min(CASE WHEN cusum > 10 * s THEN day END) AS first_flag_day
+         FROM s2 GROUP BY 1""",
+    // q65: identical integer leading-digit extraction and floored ppm
+    // division; Benford shares are shared pinned literals.
+    "q65_benford" ->
+      """WITH v AS (SELECT CAST(substr(CAST(CAST(floor(value * 100)
+                 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+             FROM events WHERE CAST(floor(value * 100) AS BIGINT) > 0),
+         t AS (SELECT count(*) AS tot FROM v),
+         g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+               FROM v GROUP BY 1)
+         SELECT digit, n, obs_ppm, benford_ppm,
+           CAST(abs(obs_ppm - benford_ppm) AS BIGINT) AS dev_ppm
+         FROM (SELECT g.digit, g.n,
+                 CAST(g.n * 1000000 // t.tot AS BIGINT) AS obs_ppm,
+                 CAST(CASE g.digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                   WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+                   WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                   ELSE 45757 END AS BIGINT) AS benford_ppm
+               FROM g, t)""",
+    // q66: the cross-multiplied two-proportion z-test in HUGEINT —
+    // flag parity is exact; truncating integer division matches
+    // Spark's long division for signed lift.
+    "q66_ab_test" ->
+      """WITH e AS (SELECT event_type, user_id, user_id % 2 AS arm
+             FROM events),
+         u AS (SELECT DISTINCT user_id, arm FROM e),
+         a AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS na,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS nb FROM u),
+         cv AS (SELECT event_type,
+                 CAST(count(DISTINCT CASE WHEN arm = 0 THEN user_id END)
+                   AS BIGINT) AS ca,
+                 CAST(count(DISTINCT CASE WHEN arm = 1 THEN user_id END)
+                   AS BIGINT) AS cb
+               FROM e GROUP BY 1)
+         SELECT cv.event_type, a.na, a.nb, cv.ca, cv.cb,
+           CAST(CASE WHEN cv.ca * a.nb = 0 THEN NULL ELSE
+             (cv.cb * a.na - cv.ca * a.nb) * 1000000 // (cv.ca * a.nb)
+             END AS BIGINT) AS lift_ppm,
+           CAST(cv.ca * a.nb - cv.cb * a.na AS HUGEINT)
+             * CAST(cv.ca * a.nb - cv.cb * a.na AS HUGEINT)
+             * (a.na + a.nb)
+             > 4 * CAST(cv.ca + cv.cb AS HUGEINT)
+               * ((a.na + a.nb) - (cv.ca + cv.cb)) * a.na * a.nb
+             AS significant
+         FROM cv, a""",
     // st48: q60's bounded chain as live keyed state (first qualifying
     // arrival == the batch conditional min); shared oracle.
     "st48_stream_windowed_funnel" -> windowedFunnelOracleSql,

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global rank + running sum — the order-statistics
+  * primitive a single-partition `Window.orderBy(...)` cannot provide
+  * at scale (Spark funnels an unpartitioned window through ONE task;
+  * at 100 TB that is the whole job).
+  *
+  * The classic two-exchange sort-rank instead:
+  *   1. bucket rows by VALUE RANGE — boundaries come from
+  *      `approxQuantile` (a distributed sketch; its accuracy affects
+  *      only bucket balance, never correctness, because bucketing by
+  *      value keeps the buckets order-aligned and all ties of one
+  *      value inside one bucket);
+  *   2. per-bucket `(count, Σweight)` — a tiny aggregate — turns into
+  *      cumulative OFFSETS on the driver (≤ nBuckets rows);
+  *   3. a window WITHIN each bucket (parallel across buckets) finishes
+  *      `rank = offset + row_number` and
+  *      `cum = offset + running Σweight`.
+  *
+  * The result is the exact global `row_number()`/prefix-sum over
+  * `ORDER BY value, tie` with maximum parallelism min(nBuckets,
+  * cores). The reference has no ordered analytics at all (its state
+  * is a per-key KV table, `/root/reference/storage/storage.go`); this
+  * is the Spark-side primitive that unlocks Gini/Pareto/quantile-rank
+  * queries over it. */
+object Ranks {
+
+  /** Append `rankCol` (1-based global rank by (value, tie) ascending,
+    * ties broken by `tie` — pass a unique column for determinism) and
+    * `cumCol` (inclusive running Σ `weight` in that order) to `df`.
+    * `value` and `weight` must be non-null; `value` must be numeric
+    * (it is ranked via its monotone cast to double for bucketing, but
+    * compared exactly within buckets). */
+  def rankedCumsum(df: DataFrame, value: Column, tie: Column,
+      weight: Column, rankCol: String = "rank", cumCol: String = "cum",
+      nBuckets: Int = 64): DataFrame = {
+    val base = df.withColumn("__rk_v", value)
+      .withColumn("__rk_t", tie).withColumn("__rk_w", weight)
+    // Order-aligned range bucketing: long→double is monotone, so
+    // comparing against fixed double cut points can never invert the
+    // value order, and equal values always share a bucket.
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val cuts = base.select(col("__rk_v").cast("double").as("__rk_d"))
+      .stat.approxQuantile("__rk_d", probs, 0.001)
+      .distinct.sorted
+    val bucket =
+      if (cuts.isEmpty) lit(0)
+      else size(filter(array(cuts.map(lit(_)): _*),
+        b => col("__rk_v").cast("double") >= b))
+    val withB = base.withColumn("__rk_b", bucket)
+    // Tiny per-bucket totals → cumulative offsets, broadcast back.
+    val perBucket = withB.groupBy(col("__rk_b"))
+      .agg(count(lit(1)).as("__rk_n"), sum(col("__rk_w")).as("__rk_s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.get(2).asInstanceOf[Number].longValue())).sortBy(_._1)
+    var (rOff, cOff) = (0L, 0L)
+    val offsets = perBucket.map { case (b, n, s) =>
+      val row = (b, rOff, cOff); rOff += n; cOff += s; row
+    }
+    val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("__rk_b", "__rk_roff", "__rk_coff")
+    val w = Window.partitionBy(col("__rk_b"))
+      .orderBy(col("__rk_v"), col("__rk_t"))
+    withB.join(broadcast(offDf), Seq("__rk_b"))
+      .withColumn(rankCol, col("__rk_roff") + row_number().over(w))
+      .withColumn(cumCol, col("__rk_coff") +
+        sum(col("__rk_w")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__rk_v", "__rk_t", "__rk_w", "__rk_b", "__rk_roff", "__rk_coff")
+  }
+}

@@ -1511,4 +1511,213 @@ object Relational {
         sum(col("path_qty")).as("total_units"),
         max(col("depth")).as("max_depth"))
   }
+
+  /** q61: Gini coefficient of revenue concentration over customers —
+    * the inequality audit (who holds the revenue?) every marketplace
+    * and data-curation pipeline runs. Gini needs every row's GLOBAL
+    * rank in revenue order; a naive `Window.orderBy` without
+    * partitioning is a single-task funnel, so the rank comes from
+    * [[graft.ops.Ranks.rankedCumsum]]'s two-exchange bucketed
+    * sort-rank instead. Exactness: cents longs, the ranked-sum
+    * identity G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with sums in
+    * DECIMAL(38,0), num/den emitted as exact longs, the ratio one
+    * final double division both engines round identically. */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val rev = table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0d).cast("long"))
+        .as("cents"))
+    graft.ops.Ranks.rankedCumsum(rev, col("cents"), col("o_custkey"),
+        col("cents"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("tot"),
+        sum(d38(col("rank")) * d38(col("cents"))).as("rs"))
+      .select(col("n").as("n_customers"), col("tot").as("total_cents"),
+        (lit(2) * col("rs") - d38(col("n") + 1) * d38(col("tot")))
+          .cast("long").as("gini_num"),
+        (d38(col("n")) * d38(col("tot"))).cast("long").as("gini_den"))
+      .withColumn("gini", col("gini_num").cast("double") /
+        col("gini_den").cast("double"))
+  }
+
+  /** q62: ABC / Pareto classification — parts ranked by revenue
+    * descending, classified by cumulative share (A ≤ 80%, B ≤ 95%,
+    * C rest), the inventory-management canon. The global descending
+    * rank + running revenue again ride [[graft.ops.Ranks]] (value =
+    * negated cents keeps one ascending primitive); the share
+    * thresholds are integer cross-multiplications (cum·5 ≤ tot·4,
+    * cum·20 ≤ tot·19), so class assignment is bit-deterministic —
+    * no float shares anywhere. */
+  def abcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val rev = table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100.0d).cast("long"))
+        .as("cents"))
+    val ranked = graft.ops.Ranks.rankedCumsum(
+      rev.withColumn("neg", -col("cents")),
+      col("neg"), col("l_partkey"), col("cents"))
+    val tot = rev.agg(sum(col("cents")).as("tot"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cum") * 5 <= col("tot") * 4, "A")
+          .when(col("cum") * 20 <= col("tot") * 19, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("cents")).as("class_cents"),
+        min(col("rank")).as("first_rank"),
+        max(col("rank")).as("last_rank"))
+  }
+
+  /** q63: triangle count on the co-purchase graph — the graph-shape
+    * audit (clustering) over "parts bought together". Edges are
+    * distinct part pairs sharing an order (fan-out bounded by order
+    * size, as q52/q56). Counting uses the degree-ordered orientation
+    * (the MapReduce triangle-counting canon, Suri–Vassilvitskii):
+    * each edge points from its lower endpoint by (degree, id) to the
+    * higher, wedges are generated only from OUT-neighbors — bounding
+    * wedge fan-out by O(m^1.5) total instead of Σdeg² (a hub node
+    * generates no wedges from its huge in-list) — and a wedge is a
+    * triangle iff its closing directed edge exists (one equi-join).
+    * Every count is an exact integer; the oracle is the canonical
+    * a<b<c triple self-join. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") &&
+        col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // Orient: src = lower endpoint by (deg, id) — a total order.
+    val withDeg = edges
+      .join(deg.withColumnRenamed("node", "a")
+        .withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("node", "b")
+        .withColumnRenamed("deg", "db"), Seq("b"))
+    val directed = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("src"), col("b").as("dst"),
+          col("da").as("dsrc"), col("db").as("ddst")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+          col("db").as("dsrc"), col("da").as("ddst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dsrc").as("dsrc"), col("e.ddst").as("ddst"))
+    val wedges = directed.as("p").join(directed.as("q"),
+        col("p.src") === col("q.src") &&
+          struct(col("p.ddst"), col("p.dst")) <
+            struct(col("q.ddst"), col("q.dst")))
+      .select(col("p.dst").as("v"), col("q.dst").as("w"))
+    val tri = wedges.join(directed,
+        col("v") === col("src") && col("w") === col("dst"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    nNodes.crossJoin(nEdges)
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  /** q64: CUSUM change-point detection on the daily event-volume
+    * series — the drift monitor that catches a sustained small shift
+    * the per-day z-test (q41) is blind to. The recurrence
+    * s_i = max(0, s_{i−1} + x_i − ref) looks inherently sequential;
+    * the classic closed form s_i = cum_i − min(0, min_{j≤i} cum_j)
+    * turns it into one running sum + one running min — two ordinary
+    * windows over the tiny per-(type, day) aggregate, partitioned by
+    * event_type (never a single-partition window; the day-grain frame
+    * is negligible at any corpus size). Integer-exact throughout:
+    * with per-type totals (S days-sum, N days), the slack-adjusted
+    * deviation is d_i = 20N·xᵢ − 21S (reference = 1.05·mean, scaled
+    * by 20N), and the alarm threshold H = 10S (half a mean day) in
+    * the same units. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val totals = daily.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.join(broadcast(totals), Seq("event_type"))
+      .withColumn("d", lit(20) * col("nd") * col("x") - lit(21) * col("s"))
+      .withColumn("cum", sum(col("d")).over(w))
+      .withColumn("cusum",
+        col("cum") - least(lit(0L), min(col("cum")).over(w)))
+      .withColumn("flagged", col("cusum") > lit(10) * col("s"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("cusum")).as("max_cusum"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        min(when(col("flagged"), col("day"))).as("first_flag_day"))
+  }
+
+  /** q65: Benford leading-digit audit of the money column — the
+    * fraud/shape screen auditors run on any value distribution that
+    * spans magnitudes. Leading digit via the decimal string of the
+    * cents long (pure integer→string, identical in every engine);
+    * observed shares in exact ppm (floored integer division);
+    * Benford's expected log₁₀(1+1/d) shares are pinned ppm LITERALS
+    * (constants of mathematics, not runtime floats), so deviation is
+    * integer subtraction. Map-only + one 9-group aggregate. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exp = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+      8 -> 51153L, 9 -> 45757L)
+    val expCol = exp.foldLeft(lit(0L)) { case (acc, (d, p)) =>
+      when(col("digit") === d, lit(p)).otherwise(acc) }
+    val v = table(spark, dir, "events")
+      .select(floor(col("value") * 100.0d).cast("long").as("c"))
+      .filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+    val tot = v.agg(count(lit(1)).as("tot"))
+    v.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_ppm", expr("n * 1000000L div tot"))
+      .withColumn("benford_ppm", expCol)
+      .select(col("digit"), col("n"), col("obs_ppm"), col("benford_ppm"),
+        abs(col("obs_ppm") - col("benford_ppm")).as("dev_ppm"))
+  }
+
+  /** q66: A/B experiment readout with an exact integer significance
+    * test — users assigned to arms by id parity, per event_type the
+    * conversion rate (did the user emit ≥1 such event) compared by a
+    * two-proportion z-test at z=2. The test
+    * (p̂_a−p̂_b)² > z²·p̂(1−p̂)(1/n_a+1/n_b) is cross-multiplied into
+    * (c_a·n_b − c_b·n_a)²·N > 4·C·(N−C)·n_a·n_b — all DECIMAL(38,0)
+    * integer arithmetic, so the significance flag is bit-deterministic
+    * in any engine (a float p-value would not be). Heavy work is two
+    * distinct-aggregates; the readout joins broadcast one-row arms. */
+  def abTestReadout(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val e = table(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        (col("user_id") % 2).as("arm"))
+    val arms = e.select(col("user_id"), col("arm")).distinct()
+      .groupBy().pivot("arm", Seq(0, 1)).count()
+      .select(col("0").as("na"), col("1").as("nb"))
+    val conv = e.select(col("event_type"), col("user_id"), col("arm"))
+      .distinct()
+      .groupBy(col("event_type")).pivot("arm", Seq(0, 1)).count()
+      .select(col("event_type"), coalesce(col("0"), lit(0L)).as("ca"),
+        coalesce(col("1"), lit(0L)).as("cb"))
+    conv.crossJoin(broadcast(arms))
+      .withColumn("nn", col("na") + col("nb"))
+      .withColumn("cc", col("ca") + col("cb"))
+      .withColumn("significant",
+        d38(col("ca") * col("nb") - col("cb") * col("na")) *
+          d38(col("ca") * col("nb") - col("cb") * col("na")) *
+          d38(col("nn")) >
+        lit(4) * d38(col("cc")) * d38(col("nn") - col("cc")) *
+          d38(col("na")) * d38(col("nb")))
+      .select(col("event_type"), col("na"), col("nb"), col("ca"),
+        col("cb"),
+        expr("CASE WHEN ca * nb = 0 THEN NULL ELSE " +
+          "(cb * na - ca * nb) * 1000000L div (ca * nb) END")
+          .as("lift_ppm"),
+        col("significant"))
+  }
 }
