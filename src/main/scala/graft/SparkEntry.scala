@@ -222,6 +222,8 @@ object SparkEntry {
     "q64_cusum" -> (Relational.cusumChangepoint _),
     "q65_benford" -> (Relational.benfordAudit _),
     "q66_ab_test" -> (Relational.abTestReadout _),
+    "st49_stream_cusum" -> (StreamingQueries.streamCusum _),
+    "st50_stream_ab_test" -> (StreamingQueries.streamAbTest _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1444,31 +1446,39 @@ object SparkEntry {
     // q66: the cross-multiplied two-proportion z-test in HUGEINT —
     // flag parity is exact; truncating integer division matches
     // Spark's long division for signed lift.
-    "q66_ab_test" ->
-      """WITH e AS (SELECT event_type, user_id, user_id % 2 AS arm
-             FROM events),
-         u AS (SELECT DISTINCT user_id, arm FROM e),
-         a AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
-                 AS BIGINT) AS na,
-               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
-                 AS BIGINT) AS nb FROM u),
-         cv AS (SELECT event_type,
-                 CAST(count(DISTINCT CASE WHEN arm = 0 THEN user_id END)
-                   AS BIGINT) AS ca,
-                 CAST(count(DISTINCT CASE WHEN arm = 1 THEN user_id END)
-                   AS BIGINT) AS cb
-               FROM e GROUP BY 1)
-         SELECT cv.event_type, a.na, a.nb, cv.ca, cv.cb,
-           CAST(CASE WHEN cv.ca * a.nb = 0 THEN NULL ELSE
-             (cv.cb * a.na - cv.ca * a.nb) * 1000000 // (cv.ca * a.nb)
-             END AS BIGINT) AS lift_ppm,
-           CAST(cv.ca * a.nb - cv.cb * a.na AS HUGEINT)
-             * CAST(cv.ca * a.nb - cv.cb * a.na AS HUGEINT)
-             * (a.na + a.nb)
-             > 4 * CAST(cv.ca + cv.cb AS HUGEINT)
-               * ((a.na + a.nb) - (cv.ca + cv.cb)) * a.na * a.nb
-             AS significant
-         FROM cv, a""",
+    "q66_ab_test" -> abTestOracleSql,
+    // st50: q66's distinct-user counts maintained as first-seen keyed
+    // state — set semantics, so the live fold shares q66's oracle.
+    "st50_stream_ab_test" -> abTestOracleSql,
+    // st49: prefix-trained CUSUM — the oracle computes the closed form
+    // (running sum − running min) over monitoring days; the stream
+    // runs the literal recurrence, proven equal in GraphStatsSpec.
+    "st49_stream_cusum" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS x
+             FROM events GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY day) AS rn FROM daily),
+         t AS (SELECT event_type,
+                 CAST(sum(CASE WHEN rn <= 7 THEN x ELSE 0 END)
+                   AS BIGINT) AS tt
+               FROM r GROUP BY 1),
+         m AS (SELECT r.event_type, r.day, t.tt,
+                 140 * r.x - 21 * t.tt AS dd
+               FROM r JOIN t USING (event_type) WHERE r.rn > 7),
+         c AS (SELECT *, sum(dd) OVER (PARTITION BY event_type
+                 ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum FROM m),
+         s2 AS (SELECT *, cum - least(CAST(0 AS BIGINT),
+                 min(cum) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)) AS cusum FROM c)
+         SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_monitor_days,
+           CAST(max(tt) AS BIGINT) AS t_train,
+           CAST(max(cusum) AS BIGINT) AS max_cusum,
+           CAST(sum(CASE WHEN cusum > 10 * tt THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_flagged,
+           min(CASE WHEN cusum > 10 * tt THEN day END) AS first_flag_day
+         FROM s2 GROUP BY 1""",
     // st48: q60's bounded chain as live keyed state (first qualifying
     // arrival == the batch conditional min); shared oracle.
     "st48_stream_windowed_funnel" -> windowedFunnelOracleSql,
@@ -4877,6 +4887,35 @@ object SparkEntry {
   /** Shared by q60 (batch conditional mins) and st48 (streaming
     * first-qualifying-arrival state): both must produce the identical
     * bounded-funnel counts. */
+  /** q66/st50 shared oracle: distinct-user conversion per arm + the
+    * cross-multiplied two-proportion z-test in HUGEINT; `//` truncates
+    * toward zero exactly like Spark's `div` for the signed lift. */
+  private def abTestOracleSql: String =
+    """WITH e AS (SELECT event_type, user_id, user_id % 2 AS arm
+           FROM events),
+       u AS (SELECT DISTINCT user_id, arm FROM e),
+       a AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS na,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS nb FROM u),
+       cv AS (SELECT event_type,
+               CAST(count(DISTINCT CASE WHEN arm = 0 THEN user_id END)
+                 AS BIGINT) AS ca,
+               CAST(count(DISTINCT CASE WHEN arm = 1 THEN user_id END)
+                 AS BIGINT) AS cb
+             FROM e GROUP BY 1)
+       SELECT cv.event_type, a.na, a.nb, cv.ca, cv.cb,
+         CAST(CASE WHEN cv.ca * a.nb = 0 THEN NULL ELSE
+           (cv.cb * a.na - cv.ca * a.nb) * 1000000 // (cv.ca * a.nb)
+           END AS BIGINT) AS lift_ppm,
+         CAST(cv.ca * a.nb - cv.cb * a.na AS HUGEINT)
+           * CAST(cv.ca * a.nb - cv.cb * a.na AS HUGEINT)
+           * (a.na + a.nb)
+           > 4 * CAST(cv.ca + cv.cb AS HUGEINT)
+             * ((a.na + a.nb) - (cv.ca + cv.cb)) * a.na * a.nb
+           AS significant
+       FROM cv, a"""
+
   private def windowedFunnelOracleSql: String =
     """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
            FROM events),

@@ -3393,4 +3393,212 @@ object StreamingQueries {
               d19(col("s")) * d19(col("s")))).as("is_anomaly"))
       closed.unionByName(open)
     }
+
+  /** st49: CUSUM drift detection LIVE — q64's alarm with the
+    * production twist an online monitor forces: the reference level
+    * locks from a 7-day TRAINING PREFIX (a stream cannot normalize
+    * against the whole series' mean the way batch q64 does, so this
+    * query has its own oracle with the same prefix rule). State per
+    * event_type is O(1): the open day's count, the training
+    * accumulator T (sum of the first 7 closed days), and the running
+    * recurrence (s, max_s, n_flagged, first_flag_day). Day-close
+    * applies s ← max(0, s + 140·x − 21·T) in exact longs (reference
+    * = 1.05·mean, everything scaled by 140 to stay integral) and
+    * flags when s > 10·T (half a mean day of excess). The online
+    * recurrence IS the sequential CUSUM; GraphStatsSpec proves it
+    * equal to the closed form the oracle's windows compute. The
+    * still-open last day folds at read time by the same rule. */
+  def streamCusum(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val dayUs = 86400000000L
+      val graph = GroupGraph.define("stream-cusum")(
+        Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+          val d = graft.operators.BatchExecutor
+            .tsMicros(ctx.timestamp) / dayUs
+          ctx.value match {
+            case null => ctx.setValue(s"$d,1,0,0,0,0,0,-1,1")
+            case st: String =>
+              val p = st.split(',')
+              val (day, cnt, ncl, t, s, mx, nf, ff, m) =
+                (p(0).toLong, p(1).toLong, p(2).toLong, p(3).toLong,
+                  p(4).toLong, p(5).toLong, p(6).toLong, p(7).toLong,
+                  p(8).toLong)
+              if (d == day)
+                ctx.setValue(s"$day,${cnt + 1},$ncl,$t,$s,$mx,$nf,$ff,${m + 1}")
+              else {
+                require(d > day, s"out-of-order day $d after $day for " +
+                  s"type ${ctx.key} — the staged replay must be time-ordered")
+                if (ncl < 7)
+                  ctx.setValue(
+                    s"$d,1,${ncl + 1},${t + cnt},$s,$mx,$nf,$ff,${m + 1}")
+                else {
+                  val s2 = math.max(0L, s + 140L * cnt - 21L * t)
+                  val flag = s2 > 10L * t
+                  val nf2 = nf + (if (flag) 1L else 0L)
+                  val ff2 = if (ff >= 0L) ff else if (flag) day else -1L
+                  ctx.setValue(s"$d,1,${ncl + 1},$t," +
+                    s"$s2,${math.max(mx, s2)},$nf2,$ff2,${m + 1}")
+                }
+              }
+          }
+        }),
+        Persist(StringCodec))
+      val staging = tempDir("graft_cusum_split")
+      stageTwoBatches(spark,
+        Sources.messages(Sources.table(spark, dir, "events"), "events",
+          col("event_type"), lit(1L), col("ts"), col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("k", "st")
+      val fin = runToTable(spark, table)
+        .select(col("k").as("event_type"), split(col("st"), ",").as("p"))
+        .withColumn("m", element_at(col("p"), 9).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(max_by(col("p"), col("m")).as("p"))
+        .select(col("event_type"),
+          element_at(col("p"), 1).cast("long").as("day"),
+          element_at(col("p"), 2).cast("long").as("cnt"),
+          element_at(col("p"), 3).cast("long").as("ncl"),
+          element_at(col("p"), 4).cast("long").as("t"),
+          element_at(col("p"), 5).cast("long").as("s"),
+          element_at(col("p"), 6).cast("long").as("mx"),
+          element_at(col("p"), 7).cast("long").as("nf"),
+          element_at(col("p"), 8).cast("long").as("ff"))
+        // Fold the still-open day by the identical close rule; only
+        // types whose series reaches past the 7-day prefix emit.
+        .filter(col("ncl") >= 7)
+        .withColumn("s2",
+          greatest(lit(0L), col("s") + lit(140L) * col("cnt") -
+            lit(21L) * col("t")))
+        .withColumn("flag2", col("s2") > lit(10L) * col("t"))
+      fin.select(col("event_type"),
+        (col("ncl") + 1L - 7L).as("n_monitor_days"),
+        col("t").as("t_train"),
+        greatest(col("mx"), col("s2")).as("max_cusum"),
+        (col("nf") + when(col("flag2"), 1L).otherwise(0L)).as("n_flagged"),
+        timestamp_micros(
+          when(col("ff") >= 0L, col("ff"))
+            .when(col("flag2"), col("day")) * lit(dayUs))
+          .as("first_flag_day"))
+    }
+
+  /** st50: the A/B experiment readout LIVE — q66's distinct-user
+    * conversion counts maintained as first-seen state, the exact
+    * integer z-test applied to the folded counts (shared q66
+    * oracle). Two staged topics carry the two grains: `ev_tu`
+    * (key = type|user) marks conversion first-arrivals, `ev_u`
+    * (key = user) marks exposure first-arrivals — set semantics, so
+    * the result is arrival-order independent. Each first arrival
+    * emits ONE message into the stage-2 count fold (keys
+    * `type|arm` / `arm`); state is O(distinct keys), the st43
+    * first-arrival-locking pattern. The tiny folded table then takes
+    * the same cross-multiplied DECIMAL(38,0) significance test as
+    * the batch plan. */
+  def streamAbTest(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val stage1 = GroupGraph.define("stream-ab")(
+        Inputs(Seq("ev_tu", "ev_u"), StringCodec, ProcessCallback {
+          (ctx, _) =>
+            if (ctx.value == null) {
+              ctx.setValue("1")
+              if (ctx.topic == "ev_tu") {
+                val i = ctx.key.lastIndexOf('|')
+                val (t, u) = (ctx.key.substring(0, i),
+                  ctx.key.substring(i + 1).toLong)
+                ctx.emit("conv", s"$t|${u % 2}", "1")
+              } else ctx.emit("expo", (ctx.key.toLong % 2).toString, "1")
+            }
+        }),
+        Persist(StringCodec), Output("conv", StringCodec),
+        Output("expo", StringCodec))
+      val stage2 = GroupGraph.define("ab-counts")(
+        Inputs(Seq("conv", "expo"), StringCodec, ProcessCallback {
+          (ctx, _) =>
+            val n = ctx.value match {
+              case null => 0L
+              case s: String => s.toLong
+            }
+            ctx.setValue((n + 1L).toString)
+        }),
+        Persist(StringCodec))
+      val ev = Sources.table(spark, dir, "events")
+      val stagingTU = tempDir("graft_ab_tu")
+      val stagingU = tempDir("graft_ab_u")
+      stageTwoBatches(spark, Sources.messages(ev, "ev_tu",
+        concat(col("event_type"), lit("|"), col("user_id")),
+        lit(1L), col("ts"), col("event_id")), stagingTU)
+      stageTwoBatches(spark, Sources.messages(ev, "ev_u",
+        col("user_id"), lit(1L), col("ts"), col("event_id")), stagingU)
+      val msgSchema = org.apache.spark.sql.Encoders.product[Message].schema
+      val s1 = spark.readStream.schema(msgSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, stagingTU)).as[Message]
+      val s2 = spark.readStream.schema(msgSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stagingU).as[Message]
+      val relayC = tempDir("graft_ab_conv")
+      val relayE = tempDir("graft_ab_expo")
+      val q1 = StreamSinks.routeOutputs(
+        new StreamExecutor(stage1).run(spark, s1.unionByName(s2)),
+        Map("conv" -> relayC, "expo" -> relayE))
+      val c1 = spark.readStream.schema(msgSchema).parquet(relayC)
+        .as[Message]
+      val c2 = spark.readStream.schema(msgSchema).parquet(relayE)
+        .as[Message]
+      val countsTable = new StreamExecutor(stage2)
+        .run(spark, c1.unionByName(c2))
+        .filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("k", "v")
+      val countsName = s"stream_result_${nameSeq.incrementAndGet()}"
+      val qCounts = countsTable.writeStream.format("memory")
+        .queryName(countsName).outputMode("update").start()
+      try {
+        q1.processAllAvailable()
+        qCounts.processAllAvailable()
+      } finally { q1.stop(); qCounts.stop() }
+      val counts = spark.table(countsName)
+        .groupBy(col("k")).agg(max(col("v").cast("long")).as("n"))
+      val conv = counts.filter(col("k").contains("|"))
+        .select(split_part(col("k"), lit("|"), lit(1)).as("event_type"),
+          split_part(col("k"), lit("|"), lit(2)).cast("int").as("arm"),
+          col("n"))
+        .groupBy(col("event_type"))
+        .agg(coalesce(sum(when(col("arm") === 0, col("n"))), lit(0L))
+          .as("ca"),
+          coalesce(sum(when(col("arm") === 1, col("n"))), lit(0L))
+            .as("cb"))
+      val expo = counts.filter(!col("k").contains("|"))
+        .agg(coalesce(sum(when(col("k") === "0", col("n"))), lit(0L))
+          .as("na"),
+          coalesce(sum(when(col("k") === "1", col("n"))), lit(0L))
+            .as("nb"))
+      val d38 = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      conv.crossJoin(broadcast(expo))
+        .withColumn("nn", col("na") + col("nb"))
+        .withColumn("cc", col("ca") + col("cb"))
+        .withColumn("significant",
+          d38(col("ca") * col("nb") - col("cb") * col("na")) *
+            d38(col("ca") * col("nb") - col("cb") * col("na")) *
+            d38(col("nn")) >
+          lit(4) * d38(col("cc")) * d38(col("nn") - col("cc")) *
+            d38(col("na")) * d38(col("nb")))
+        .select(col("event_type"), col("na"), col("nb"), col("ca"),
+          col("cb"),
+          expr("CASE WHEN ca * nb = 0 THEN NULL ELSE " +
+            "(cb * na - ca * nb) * 1000000L div (ca * nb) END")
+            .as("lift_ppm"),
+          col("significant"))
+    }
 }
