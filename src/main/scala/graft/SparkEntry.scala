@@ -224,6 +224,8 @@ object SparkEntry {
     "q66_ab_test" -> (Relational.abTestReadout _),
     "st49_stream_cusum" -> (StreamingQueries.streamCusum _),
     "st50_stream_ab_test" -> (StreamingQueries.streamAbTest _),
+    "t36_heaps_law" -> (PipelineQueries.heapsLaw _),
+    "t37_pmi" -> (PipelineQueries.pmiCollocations _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1479,6 +1481,59 @@ object SparkEntry {
              AS BIGINT) AS n_flagged,
            min(CASE WHEN cusum > 10 * tt THEN day END) AS first_flag_day
          FROM s2 GROUP BY 1""",
+    // t36: first-occurrence identity — vocab(D) = tokens whose first
+    // doc position <= D; identical ceil-division checkpoint grid.
+    "t36_heaps_law" ->
+      """WITH w AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             FROM documents),
+         pd AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS ntok FROM w),
+         r AS (SELECT doc_id, ntok,
+                 row_number() OVER (ORDER BY doc_id) AS rnk,
+                 sum(ntok) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+               FROM pd),
+         n AS (SELECT count(*) AS n FROM pd),
+         cp AS (SELECT CAST(f.g AS BIGINT) AS checkpoint,
+                  (f.g * n.n + 9) // 10 AS d
+                FROM generate_series(1, 10) f(g), n),
+         tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+         fd AS (SELECT w, min(doc_id) AS did FROM tok GROUP BY 1),
+         fr AS (SELECT fd.w, r.rnk AS fr FROM fd
+                JOIN r ON fd.did = r.doc_id),
+         v AS (SELECT cp.checkpoint, CAST(count(*) AS BIGINT)
+                 AS vocab_cum
+               FROM fr, cp WHERE fr.fr <= cp.d GROUP BY 1)
+         SELECT cp.checkpoint, CAST(cp.d AS BIGINT) AS n_docs_cum,
+           CAST(r.cum AS BIGINT) AS tokens_cum, v.vocab_cum
+         FROM cp JOIN r ON r.rnk = cp.d JOIN v USING (checkpoint)""",
+    // t37: identical integer-valued-double odds and the generated
+    // fixed-point log2 stages; deterministic (pmi_fp, bigram) top-20.
+    "t37_pmi" -> {
+      import graft.functions.PortableMath
+      s"""WITH w AS (SELECT list_filter(string_split(text, ' '),
+               x -> x <> '') AS ws FROM documents),
+         tok AS (SELECT unnest(ws) AS w FROM w),
+         uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+                 FROM tok GROUP BY 1),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM tok),
+         bi AS (SELECT unnest(list_transform(
+                  generate_series(1, greatest(len(ws) - 1, 0)),
+                  i -> ws[i] || ' ' || ws[i + 1])) AS g FROM w),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bi),
+         p0 AS (SELECT g, CAST(count(*) AS BIGINT) AS cb FROM bi
+                GROUP BY 1 HAVING count(*) >= 5),
+         p1 AS (SELECT p0.g, p0.cb, u1.cu AS c1, u2.cu AS c2,
+                  CAST(p0.cb * nt.nt * nt.nt AS DOUBLE)
+                    / CAST(nb.nb * u1.cu * u2.cu AS DOUBLE) AS odds
+                FROM p0 JOIN uni u1 ON split_part(p0.g, ' ', 1) = u1.w
+                        JOIN uni u2 ON split_part(p0.g, ' ', 2) = u2.w,
+                     nt, nb),
+         ${PortableMath.log2FixedSqlStages("p1", "odds", "pmi_fp", "l2c")}
+         SELECT g AS bigram, cb AS n_pair, c1 AS n_w1, c2 AS n_w2,
+           pmi_fp, CAST(pmi_fp AS DOUBLE) / 65536.0 AS pmi_bits
+         FROM l2cout ORDER BY pmi_fp DESC, bigram LIMIT 20"""
+    },
     // st48: q60's bounded chain as live keyed state (first qualifying
     // arrival == the batch conditional min); shared oracle.
     "st48_stream_windowed_funnel" -> windowedFunnelOracleSql,

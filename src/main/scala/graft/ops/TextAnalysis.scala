@@ -1064,4 +1064,84 @@ object TextAnalysis {
           col("sq_fx").cast("double") /
             (col("tq") * lit(65536L)).cast("double"))).as("js_bits"))
   }
+
+  /** t36: Heaps'-law vocabulary-growth curve — cumulative distinct
+    * tokens vs cumulative token count at `steps` corpus checkpoints
+    * (does vocabulary keep growing, i.e. is more data still bringing
+    * new words?). The naive formulation (cumulative COUNT DISTINCT
+    * per prefix) is quadratic; this one is two shuffles total via the
+    * first-occurrence identity: vocab(D) = #tokens whose FIRST doc
+    * has position ≤ D. Doc positions come from
+    * [[graft.ops.Ranks.rankedCumsum]] (which also yields the
+    * cumulative token counts); first docs from one token-keyed
+    * min-aggregate; the checkpoint grid is 10 broadcast rows. All
+    * counts exact longs. */
+  def heapsLaw(df: DataFrame, text: Column, id: Column,
+      steps: Int = 10): DataFrame = {
+    val ws = filter(split(text, " "), w => w =!= "")
+    val perDoc = df.select(id.as("did"), size(ws).cast("long").as("ntok"))
+    val ranked = Ranks.rankedCumsum(perDoc, col("did"), col("did"),
+      col("ntok"))
+    val n = ranked.count()
+    val spark = df.sparkSession
+    val cpDf = broadcast(spark.createDataFrame(
+      (1 to steps).map(f => (f.toLong, (f * n + steps - 1) / steps)))
+      .toDF("checkpoint", "d"))
+    val tokCum = ranked.join(cpDf, col("rank") === col("d"))
+      .select(col("checkpoint"), col("d"), col("cum"))
+    val firstDoc = df.select(id.as("did"), explode(ws).as("w"))
+      .groupBy(col("w")).agg(min(col("did")).as("did"))
+    val vocab = firstDoc.join(ranked.select(col("did"), col("rank")),
+        Seq("did"))
+      .crossJoin(cpDf)
+      .filter(col("rank") <= col("d"))
+      .groupBy(col("checkpoint")).agg(count(lit(1)).as("vocab_cum"))
+    tokCum.join(vocab, Seq("checkpoint"))
+      .select(col("checkpoint"), col("d").as("n_docs_cum"),
+        col("cum").as("tokens_cum"), col("vocab_cum"))
+  }
+
+  /** t37: PMI collocations — the pointwise-mutual-information ranking
+    * of word pairs (Church–Hanks), the collocation-mining canon. PMI
+    * needs a log, and a cross-engine-checkable log means
+    * [[graft.functions.PortableMath.withLog2Fixed]]: the odds
+    * p(ab)/(p(a)p(b)) = (c_ab·N_tok²)/(N_bi·c_a·c_b) is one exact
+    * double division of integer-valued doubles (both products
+    * < 2^53), and the fixed-point log2 is bit-identical in any
+    * engine, so the top-k ORDER is exact. Bigram/unigram counts are
+    * two shuffles; the ladder evaluates only on the support-filtered
+    * pair table (t34's already-aggregated-frames discipline). */
+  def pmiCollocations(df: DataFrame, text: Column,
+      minCount: Long = 5L, k: Int = 20): DataFrame = {
+    import graft.functions.PortableMath
+    val ws = filter(split(text, " "), w => w =!= "")
+    val toks = df.select(explode(ws).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val nTok = toks.agg(count(lit(1)).as("nt"))
+    val bi = df.select(ws.as("ws"))
+      .select(explode(when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1))))
+        .otherwise(array())).as("g"))
+    val nBi = bi.agg(count(lit(1)).as("nb"))
+    val pairs = bi.groupBy(col("g")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+      .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
+      .withColumn("w2", split_part(col("g"), lit(" "), lit(2)))
+      .join(broadcast(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("cu", "c1")), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("cu", "c2")), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .withColumn("odds",
+        (col("cb") * col("nt") * col("nt")).cast("double") /
+          (col("nb") * col("c1") * col("c2")).cast("double"))
+    PortableMath.withLog2Fixed(pairs, col("odds"), "pmi_fp")
+      .select(col("g").as("bigram"), col("cb").as("n_pair"),
+        col("c1").as("n_w1"), col("c2").as("n_w2"), col("pmi_fp"),
+        (col("pmi_fp").cast("double") / lit(65536.0)).as("pmi_bits"))
+      .orderBy(col("pmi_fp").desc, col("bigram"))
+      .limit(k)
+  }
 }

@@ -820,6 +820,14 @@ object PipelineQueries {
     TextAnalysis.perplexityGate(docs(spark, dir), col("text"),
       col("doc_id"), keepBelowBitsFx = perplexityKeepBitsFx)
 
+  /** t36: Heaps'-law vocabulary growth at 10 corpus checkpoints. */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heapsLaw(docs(spark, dir), col("text"), col("doc_id"))
+
+  /** t37: top-20 PMI collocations (support ≥ 5), fixed-point log2. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(docs(spark, dir), col("text"))
+
   /** Deterministic global shuffle into 8 training shards. */
   def shuffleShard(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.shuffleShard(docs(spark, dir), col("doc_id"))
