@@ -226,6 +226,7 @@ object SparkEntry {
     "st50_stream_ab_test" -> (StreamingQueries.streamAbTest _),
     "t36_heaps_law" -> (PipelineQueries.heapsLaw _),
     "t37_pmi" -> (PipelineQueries.pmiCollocations _),
+    "s39_sq_ladder" -> (PipelineQueries.sqLadder _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1534,6 +1535,9 @@ object SparkEntry {
            pmi_fp, CAST(pmi_fp AS DOUBLE) / 65536.0 AS pmi_bits
          FROM l2cout ORDER BY pmi_fp DESC, bigram LIMIT 20"""
     },
+    // s39: generated per-width CTEs — identical code construction,
+    // pre-scaled integer error sums, global recall join.
+    "s39_sq_ladder" -> sqLadderOracleSql,
     // st48: q60's bounded chain as live keyed state (first qualifying
     // arrival == the batch conditional min); shared oracle.
     "st48_stream_windowed_funnel" -> windowedFunnelOracleSql,
@@ -5755,6 +5759,76 @@ object SparkEntry {
     s"""SELECT v.col_name, v.n_nonnull, v.ndv, v.min_val, v.max_val,
        p.n_rows FROM ($branches) v,
        (SELECT count(*) AS n_rows FROM $rel) p"""
+  }
+
+  /** s39 oracle: the exact baseline once, then per bit-width the s15
+    * code construction, the pre-scaled integer error sums, and the
+    * global recall join — generated per width so the four CTis cannot
+    * drift from each other. */
+  private def sqLadderOracleSql: String = {
+    val ex =
+      s"""WITH pre AS ($embPreSql),
+         exd AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             CAST((SELECT sum(x*y) FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS DOUBLE)
+               / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+           FROM pre q JOIN pre c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         ex AS (SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+             FROM exd) WHERE rk <= 10)"""
+    val widths = Seq((2, 1L), (4, 7L), (6, 31L), (8, 127L))
+    val per = widths.map { case (b, l) =>
+      s"""qt$b AS (SELECT vec_id, v, n2,
+               (SELECT max(abs(e)) FROM unnest(v) t(e)) AS amax
+             FROM pre),
+         qq$b AS (SELECT vec_id, v, n2, amax,
+               CASE WHEN amax > 0 THEN list_transform(v,
+                   x -> CAST(floor(CAST(x*$l AS DOUBLE)
+                          / CAST(amax AS DOUBLE)) AS BIGINT))
+                 ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+             FROM qt$b),
+         qn$b AS (SELECT vec_id, v, n2, amax, q,
+               CAST((SELECT sum(e*e) FROM unnest(q) t(e)) AS BIGINT) AS qn2
+             FROM qq$b),
+         er$b AS (SELECT CAST(count(*) AS BIGINT) AS nv,
+               CAST(sum(e2 // 1000) AS BIGINT) AS enk,
+               CAST(sum(($l * $l * n2) // 1000000) AS BIGINT) AS edm
+             FROM (SELECT n2,
+                 (SELECT sum((x*$l - y*amax)*(x*$l - y*amax))
+                  FROM (SELECT unnest(v) x, unnest(q) y)) AS e2
+               FROM qn$b)),
+         sd$b AS (
+           SELECT a.vec_id AS qid, b.vec_id AS nid,
+             CAST((SELECT sum(x*y)
+                   FROM (SELECT unnest(a.q) x, unnest(b.q) y)) AS DOUBLE)
+               / (sqrt(CAST(a.qn2 AS DOUBLE)) * sqrt(CAST(b.qn2 AS DOUBLE)))
+               AS cos
+           FROM qn$b a JOIN qn$b b ON b.vec_id <> a.vec_id
+           WHERE a.vec_id < 10),
+         sk$b AS (SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+             FROM sd$b) WHERE rk <= 10),
+         rc$b AS (SELECT CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(sum(CASE WHEN s.nid IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hits
+             FROM ex LEFT JOIN sk$b s
+               ON ex.qid = s.qid AND ex.nid = s.nid),
+         row$b AS (SELECT CAST($b AS BIGINT) AS bits,
+               CAST($l AS BIGINT) AS level, e.nv AS n_vectors,
+               e.enk AS err_num_k, e.edm AS err_den_m,
+               (CAST(e.enk AS DOUBLE) / CAST(e.edm AS DOUBLE)) / 1000.0
+                 AS rel_err,
+               r.n_exact, r.hits,
+               CAST(r.hits AS DOUBLE) / CAST(r.n_exact AS DOUBLE)
+                 AS recall
+             FROM er$b e, rc$b r)"""
+    }
+    val union = widths.map { case (b, _) => s"SELECT * FROM row$b" }
+      .mkString(" UNION ALL ")
+    (ex +: per).mkString(",\n") + "\n" + union
   }
 
   private def embPreSql: String =

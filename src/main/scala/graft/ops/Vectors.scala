@@ -1138,6 +1138,75 @@ object Vectors {
         (col("ham_hits").cast("double") / lit(k.toDouble)).as("ham_recall"))
   }
 
+  /** s39: the scalar-quantization BIT-WIDTH ladder measured — one row
+    * per width (2/4/6/8 bits ↔ levels 1/7/31/127), each with its
+    * corpus-wide quantization error AND its recall@k against the
+    * exact baseline. This is the serving-memory dial (FAISS
+    * `SQ4`/`SQ8`, int4 weight quant): halving bits halves scan bytes,
+    * and this table says what it costs in geometry and in recall —
+    * measured, not assumed (s18's discipline, widened to the whole
+    * ladder). Exactness: codes q_i = floor(iv_i·L / amax) as in
+    * [[quantizeInt8]]; per-vector squared error Σ(iv·L − q·amax)² is
+    * an exact long, pre-scaled by integer division (÷10³ for the
+    * numerator, ÷10⁶ for the L²·‖iv‖² denominator) so the corpus
+    * SUMS stay < 2⁵³ and the relative-error ratio divides exactly
+    * representable doubles — bit-identical in any engine. The exact
+    * baseline and the per-width codes are each computed once
+    * (localCheckpoint) and reused across the ladder. */
+  def sqLadderAudit(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, k: Int = 10,
+      widths: Seq[(Int, Long)] = Seq((2, 1L), (4, 7L), (6, 31L), (8, 127L)))
+      : DataFrame = {
+    val exact = annTopK(corpus, queries, id, emb, k)
+      .select(col("qid"), col("nid")).localCheckpoint()
+    val prepC = prepared(corpus, id, emb).localCheckpoint()
+    val prepQ = prepared(queries, id, emb)
+    widths.map { case (bits, level) =>
+      def coded(p: DataFrame): DataFrame = p
+        .withColumn("amax",
+          aggregate(col("iv"), lit(0L), (a, x) => greatest(a, abs(x))))
+        .withColumn("q", when(col("amax") > 0,
+          transform(col("iv"), x =>
+            floor((x * lit(level)).cast("double") /
+              col("amax").cast("double")).cast("long")))
+          .otherwise(transform(col("iv"), _ => lit(0L))))
+        .withColumn("qn2", idot(col("q"), col("q")))
+      val cc = coded(prepC)
+      val errs = cc
+        .withColumn("e2", aggregate(zip_with(col("iv"), col("q"),
+          (x, y) => (x * lit(level) - y * col("amax")) *
+            (x * lit(level) - y * col("amax"))),
+          lit(0L), (a, v) => a + v))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(expr("e2 div 1000")).as("err_num_k"),
+          sum(expr(s"($level * $level * n2) div 1000000"))
+            .as("err_den_m"))
+      val cq = broadcast(coded(prepQ)).as("q")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      val topk = cq.join(cc.as("c"), col("q.vid") =!= col("c.vid"))
+        .select(col("q.vid").as("qid"), col("c.vid").as("nid"),
+          cosineFromInts(idot(col("q.q"), col("c.q")),
+            col("q.qn2"), col("c.qn2")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+      val recall = exact
+        .join(topk.select(col("qid"), col("nid"), lit(1L).as("hit")),
+          Seq("qid", "nid"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      errs.crossJoin(recall)
+        .select(lit(bits.toLong).as("bits"), lit(level).as("level"),
+          col("n_vectors"), col("err_num_k"), col("err_den_m"),
+          ((col("err_num_k").cast("double") /
+            col("err_den_m").cast("double")) / lit(1000.0))
+            .as("rel_err"),
+          col("n_exact"), col("hits"),
+          (col("hits").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** One NN-descent refinement round (Dong et al. 2011, "Efficient
     * k-nearest neighbor graph construction for generic similarity
     * measures"): each node's candidate set is its current neighbors

@@ -313,6 +313,14 @@ object PipelineQueries {
         (col("refined_hits").cast("double") / lit(5.0)).as("refined_recall"))
   }
 
+  /** s39: the SQ bit-width ladder (2/4/6/8 bits) — corpus-wide
+    * quantization error + recall@10 per width, one measured table. */
+  def sqLadder(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.sqLadderAudit(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 10)
+  }
+
   /** SQ8 quantized brute-force ANN — search over the int8 codes; the
     * per-vector scale cancels in the reconstructed cosine. s15. */
   def annSq8(spark: SparkSession, dir: String): DataFrame = {
