@@ -227,6 +227,7 @@ object SparkEntry {
     "t36_heaps_law" -> (PipelineQueries.heapsLaw _),
     "t37_pmi" -> (PipelineQueries.pmiCollocations _),
     "s39_sq_ladder" -> (PipelineQueries.sqLadder _),
+    "m10_ar_buckets" -> (PipelineQueries.arBuckets _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1538,6 +1539,29 @@ object SparkEntry {
     // s39: generated per-width CTEs — identical code construction,
     // pre-scaled integer error sums, global recall join.
     "s39_sq_ladder" -> sqLadderOracleSql,
+    // m10: identical stub dims, nearest-ladder snap (ties to the
+    // smaller ratio), id-ordered `div 8` packing.
+    "m10_ar_buckets" ->
+      """WITH m AS (SELECT doc_id AS id,
+               CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+               CAST(octet_length(encode(text)) % 480 AS INT) AS height
+             FROM documents),
+         d AS (SELECT id, CAST((width * 1000) // height AS BIGINT) AS ar
+               FROM m WHERE width > 0 AND height > 0),
+         lad AS (SELECT unnest([250, 500, 750, 1000, 1333, 1500,
+                  2000, 3000]) AS b),
+         pick AS (SELECT id, ar, b, row_number() OVER (PARTITION BY id
+                  ORDER BY abs(ar - b), b) AS rk FROM d, lad),
+         bkt AS (SELECT id, ar, CAST(b AS BIGINT) AS bucket_milli
+                 FROM pick WHERE rk = 1),
+         pack AS (SELECT *, (row_number() OVER (PARTITION BY
+                  bucket_milli ORDER BY id) - 1) // 8 AS batch_id
+                  FROM bkt)
+         SELECT bucket_milli, CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_in_batch,
+           CAST(min(ar) AS BIGINT) AS ar_min,
+           CAST(max(ar) AS BIGINT) AS ar_max
+         FROM pack GROUP BY 1, 2""",
     // st48: q60's bounded chain as live keyed state (first qualifying
     // arrival == the batch conditional min); shared oracle.
     "st48_stream_windowed_funnel" -> windowedFunnelOracleSql,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads ride through
@@ -456,4 +457,36 @@ object Multimodal {
         countDistinct(col("hdr")).as("n_containers"),
         min(col("id")).as("keep_id"))
       .filter(col("n_copies") >= 2L)
+
+  /** m10: ASPECT-RATIO bucketing + fixed-size batch packing — the
+    * SDXL-style training-batch layout: images batch only with
+    * same-shaped images (mixed ratios in one batch force destructive
+    * square crops), so each decoded item snaps to the NEAREST of a
+    * pinned ratio ladder (thousandths; ties to the smaller ratio —
+    * exact integer |ar − b| compare via struct-ordered array_min) and
+    * packs into deterministic `batchSize` batches in id order within
+    * its bucket. Output is one row per packed batch with its fill and
+    * ratio spread — the fill of each bucket's LAST batch is the
+    * padding waste a bucket-ladder designer tunes against. Degenerate
+    * dims drop (m02's rule). Scale: one bucket-keyed exchange; the
+    * per-bucket window parallelizes across buckets (swap in
+    * [[graft.ops.Ranks.rankedCumsum]] per bucket if a single ratio
+    * dominates a trillion-image corpus). */
+  def arBuckets(decoded: DataFrame, batchSize: Int = 8,
+      ladderMilli: Seq[Long] =
+        Seq(250L, 500L, 750L, 1000L, 1333L, 1500L, 2000L, 3000L))
+      : DataFrame = {
+    val d = decoded.filter(col("width") > 0 && col("height") > 0)
+      .withColumn("ar", expr("(width * 1000) div height").cast("long"))
+      .withColumn("bucket_milli",
+        array_min(array(ladderMilli.map(b =>
+          struct(abs(col("ar") - lit(b)).as("d"), lit(b).as("b"))): _*))
+          .getField("b"))
+    val w = Window.partitionBy(col("bucket_milli")).orderBy(col("id"))
+    d.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("batch_id", expr(s"(rn - 1) div $batchSize"))
+      .groupBy(col("bucket_milli"), col("batch_id"))
+      .agg(count(lit(1)).as("n_in_batch"),
+        min(col("ar")).as("ar_min"), max(col("ar")).as("ar_max"))
+  }
 }

@@ -883,6 +883,11 @@ object PipelineQueries {
       docs(spark, dir).withColumn("blob", col("text").cast("binary")),
       col("doc_id"), col("blob"))
 
+  /** m10: aspect-ratio bucketing + batch packing over the stub-decoded
+    * dims — one row per packed training batch. */
+  def arBuckets(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.arBuckets(multimodal(spark, dir), batchSize = 8)
+
   /** m04: block-mean perceptual-hash near-dup media pairs. */
   def phashPairs(spark: SparkSession, dir: String): DataFrame =
     Multimodal.phashPairs(docs(spark, dir), col("text"), col("doc_id"))
