@@ -228,6 +228,7 @@ object SparkEntry {
     "t37_pmi" -> (PipelineQueries.pmiCollocations _),
     "s39_sq_ladder" -> (PipelineQueries.sqLadder _),
     "m10_ar_buckets" -> (PipelineQueries.arBuckets _),
+    "c28_bloom_index" -> (PipelineQueries.bloomIndexedLake _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1539,6 +1540,13 @@ object SparkEntry {
     // s39: generated per-width CTEs — identical code construction,
     // pre-scaled integer error sums, global recall join.
     "s39_sq_ladder" -> sqLadderOracleSql,
+    // c28: the oracle is the FULL-SCAN answer — the hash match proves
+    // the bloom-pruned read lost nothing (no false negatives);
+    // file-level skipping is pinned in LakeSpec.
+    "c28_bloom_index" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+         FROM events WHERE event_id % 997 = 0""",
     // m10: identical stub dims, nearest-ladder snap (ties to the
     // smaller ratio), id-ordered `div 8` packing.
     "m10_ar_buckets" ->

@@ -389,4 +389,59 @@ object Lake {
       java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
     while (it.hasNext) java.nio.file.Files.delete(it.next())
   }
+
+  // ---- per-file Bloom sidecar index (c28) -----------------------------
+  //
+  // Point lookups on a NON-clustering key are the layout's blind spot:
+  // parquet min/max stats are tight only on the sort key, so a lookup
+  // on any other column scans every file. The lakehouse answer
+  // (Delta/Iceberg bloom filter indexes, Parquet's own bloom pages) is
+  // a tiny per-file Bloom sidecar: k hash bits per key, OR-folded per
+  // file, consulted before the scan — files whose filter misses ANY of
+  // a probe's k bits provably do not contain it (no false negatives;
+  // false positives only cost an extra file read). The sidecar here is
+  // a DataFrame (file, word, bits) — mBits/64 longs per file, built by
+  // one distributed pass and small enough to collect/broadcast at any
+  // corpus size (it scales with FILE COUNT, not rows).
+
+  /** Bit position of hash function `i` for key column `k` —
+    * md5-derived, deterministic in any engine. */
+  private def bloomPos(k: Column, i: Int, mBits: Int): Column =
+    pmod(graft.functions.Hashes.h60(
+      concat(lit(s"bf${i}_"), k.cast("string"))), lit(mBits.toLong))
+
+  /** Build the per-file Bloom sidecar over `keyName` for the parquet
+    * lake at `path`: one distributed scan, `kHashes` positions per
+    * key, OR-folded into (file, word, bits) rows. */
+  def buildBloomIndex(spark: SparkSession, path: String, keyName: String,
+      mBits: Int = 4096, kHashes: Int = 5): DataFrame = {
+    val base = spark.read.parquet(path)
+      .select(input_file_name().as("file"),
+        col(keyName).cast("long").as("k"))
+    base.select(col("file"), explode(array((0 until kHashes).map(i =>
+        bloomPos(col("k"), i, mBits)): _*)).as("pos"))
+      .groupBy(col("file"), expr("pos div 64").as("word"))
+      .agg(bit_or(expr("shiftleft(1L, cast(pos % 64 as int))")).as("bits"))
+  }
+
+  /** The files that MAY contain each probe key: a probe survives for a
+    * file iff all `kHashes` of its bits are set there. Returns
+    * (k, file) candidate pairs — provably a superset of the true
+    * locations. */
+  def bloomCandidates(index: DataFrame, probes: DataFrame, keyName: String,
+      mBits: Int = 4096, kHashes: Int = 5): DataFrame = {
+    val need = probes.select(col(keyName).cast("long").as("k"))
+      .select(col("k"), explode(array((0 until kHashes).map(i =>
+        bloomPos(col("k"), i, mBits)): _*)).as("pos"))
+      .select(col("k"), expr("pos div 64").as("word"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("mask"))
+    val nNeeded = need.select(col("k"), col("word"), col("mask")).distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("n_need"))
+    broadcast(need.distinct()).join(index, Seq("word"))
+      .filter((col("bits").bitwiseAND(col("mask"))) =!= 0L)
+      .groupBy(col("k"), col("file")).agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(nNeeded), Seq("k"))
+      .filter(col("n_hit") === col("n_need"))
+      .select(col("k"), col("file"))
+  }
 }

@@ -1121,6 +1121,37 @@ object PipelineQueries {
         unix_micros(max(col("ts"))).as("last_us"))
   }
 
+  /** c28: Bloom-sidecar secondary index on the lake — point lookups on
+    * a NON-clustering key. The lake clusters by user_id (c18's
+    * layout), so min/max stats are blind to event_id; the per-file
+    * Bloom sidecar ([[Lake.buildBloomIndex]]) restores file skipping
+    * for exactly that case: the serve path consults the index, reads
+    * ONLY the candidate files (provably a superset — Bloom filters
+    * have no false negatives), and re-applies the exact predicate.
+    * The oracle proves the indexed read returns precisely the
+    * full-scan answer; LakeSpec pins the file-level behavior (true
+    * locations always candidates; most files skipped). */
+  def bloomIndexedLake(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_bloomlake").toString
+    Lake.writeClustered(ev, col("user_id"), s"$out/events", nFiles = 8)
+    val idx = Lake.buildBloomIndex(spark, s"$out/events", "event_id")
+      .localCheckpoint()
+    val probes = spark.read.parquet(s"$out/events")
+      .filter(col("event_id") % 997 === 0).select(col("event_id"))
+    val candFiles = Lake.bloomCandidates(idx, probes, "event_id")
+      .select(col("file")).distinct().collect().map(_.getString(0))
+    val pruned =
+      if (candFiles.isEmpty) spark.read.parquet(s"$out/events")
+        .filter(lit(false))
+      else spark.read.parquet(candFiles.toIndexedSeq: _*)
+    pruned.filter(col("event_id") % 997 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100.0d).cast("long").as("cents"))
+  }
+
   /** c27: lake BRANCH + three-way merge — the git model on the c19
     * versioned lake: the base snapshot forks into two branch lakes
     * (each its own copy-on-write chain), each branch applies its own

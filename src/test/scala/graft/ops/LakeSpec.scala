@@ -352,4 +352,38 @@ class LakeSpec extends AnyFunSuite with SparkFixture {
       Lake.readVersioned(spark, path, 1).collect()
     }
   }
+
+  test("bloom sidecar: no false negatives, and most files skipped " +
+    "for point probes on the non-clustering key") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_bloom_spec")
+    val path = out.resolve("t").toString
+    // cluster by gid — event_id point lookups get NO min/max help.
+    val df = (0L until 2000L).map(k => (k, k % 37, s"p$k"))
+      .toDF("event_id", "gid", "payload")
+    Lake.writeClustered(df, col("gid"), path, nFiles = 8)
+    val idx = Lake.buildBloomIndex(spark, path, "event_id")
+      .localCheckpoint()
+    val nFiles = spark.read.parquet(path)
+      .select(input_file_name()).distinct().count()
+    assert(nFiles == 8L)
+    val probes = (0L until 2000L by 97L).toDF("event_id")
+    val cand = Lake.bloomCandidates(idx, probes, "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // ground truth location of every probe key
+    val truth = spark.read.parquet(path)
+      .filter(col("event_id") % 97 === 0)
+      .select(col("event_id"), input_file_name().as("file"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(truth.subsetOf(cand), "bloom false negative")
+    // skipping is real: candidates are far fewer than probes x files
+    val nProbes = probes.count()
+    assert(cand.size < nProbes * nFiles / 2,
+      s"bloom not selective: ${cand.size} candidates for " +
+        s"$nProbes probes over $nFiles files")
+    // an absent key should (with these parameters) hit few files
+    val ghost = Lake.bloomCandidates(idx, Seq(999999L).toDF("event_id"),
+      "event_id").count()
+    assert(ghost <= 4L, s"ghost key matched $ghost files")
+  }
 }
