@@ -822,4 +822,49 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val scans = "FileScan parquet".r.findAllIn(p).length
     assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
   }
+
+  /** Every Window node in `p` must be PARTITIONED (the executed-plan
+    * string renders the partition spec as the second bracket list;
+    * an unpartitioned window funnels the whole input to one task —
+    * the final one-row scalar aggregate's SinglePartition gather of
+    * already-reduced partials is fine and NOT flagged here). */
+  private def assertWindowsPartitioned(p: String, key: String): Unit =
+    p.split("\n").filter(_.contains("+- Window")).foreach { l =>
+      assert(l.contains(key),
+        s"window not partitioned by $key: $l")
+    }
+
+  test("q61: the global rank is bucket-partitioned — no single-partition " +
+    "window anywhere in the Gini plan") {
+    val p = plan("q61_gini")
+    assert(p.contains("Window"), p)
+    assertWindowsPartitioned(p, "__rk_b")
+  }
+
+  test("q62: ABC classes — bucketed rank, broadcast total, no " +
+    "single-partition window") {
+    val p = plan("q62_abc")
+    assertWindowsPartitioned(p, "__rk_b")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q63: triangle counting is all equi-joins — no cartesian " +
+    "product, no broadcast of the edge set") {
+    val p = plan("q63_triangles")
+    assert(!p.contains("CartesianProduct"),
+      s"wedge join must be an equi-join on the pivot node\n$p")
+  }
+
+  test("q65: Benford audit is one pruned scan + one 9-group aggregate") {
+    val p = plan("q65_benford")
+    assert(p.contains("ReadSchema: struct<value:double>"),
+      s"digit audit must read only the value column\n$p")
+  }
+
+  test("q64: CUSUM windows are partitioned by event_type — the " +
+    "day-grain series never funnels to one task") {
+    val p = plan("q64_cusum")
+    assert(!p.contains("SinglePartition"),
+      s"CUSUM must stay partitioned by type\n$p")
+  }
 }
