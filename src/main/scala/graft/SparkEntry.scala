@@ -229,6 +229,9 @@ object SparkEntry {
     "s39_sq_ladder" -> (PipelineQueries.sqLadder _),
     "m10_ar_buckets" -> (PipelineQueries.arBuckets _),
     "c28_bloom_index" -> (PipelineQueries.bloomIndexedLake _),
+    "q67_exact_quantiles" -> (Relational.exactQuantiles _),
+    "t38_weighted_sample" -> (PipelineQueries.weightedSample _),
+    "st51_stream_bloom_index" -> (StreamingQueries.streamBloomIndex _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1540,6 +1543,52 @@ object SparkEntry {
     // s39: generated per-width CTEs — identical code construction,
     // pre-scaled integer error sums, global recall join.
     "s39_sq_ladder" -> sqLadderOracleSql,
+    // q67: global row_number + the same explicit integer milli
+    // interpolation — the oracle spells the interpolation out rather
+    // than calling quantile_cont, so there is no float percentile
+    // semantics to match.
+    "q67_exact_quantiles" ->
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT)
+               AS v FROM lineitem),
+         r AS (SELECT v, row_number() OVER (ORDER BY v) AS rnk FROM c),
+         n AS (SELECT count(*) AS n FROM c),
+         qs AS (SELECT unnest([250, 500, 750, 900, 990]) AS qm),
+         hf AS (SELECT CAST(qm AS BIGINT) AS quantile_milli,
+                  (1000 + qm * (n.n - 1)) // 1000 AS h,
+                  (1000 + qm * (n.n - 1)) % 1000 AS f,
+                  n.n AS n_rows
+                FROM qs, n),
+         lo AS (SELECT hf.quantile_milli, hf.f, hf.n_rows, r.v AS v_lo
+                FROM hf JOIN r ON r.rnk = hf.h),
+         hi AS (SELECT hf.quantile_milli, r.v AS v_hi
+                FROM hf JOIN r ON r.rnk =
+                  hf.h + CASE WHEN hf.f > 0 THEN 1 ELSE 0 END)
+         SELECT lo.quantile_milli, CAST(lo.n_rows AS BIGINT) AS n_rows,
+           lo.v_lo, hi.v_hi,
+           CAST(lo.v_lo * (1000 - lo.f) + hi.v_hi * lo.f AS BIGINT)
+             AS value_milli_cents
+         FROM lo JOIN hi USING (quantile_milli)""",
+    // t38: identical md5 uniform grid, generated fixed-point log2
+    // stages, identical truncating integer division — the sample set
+    // itself hash-matches.
+    "t38_weighted_sample" -> {
+      import graft.functions.PortableMath
+      s"""WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+               CAST((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                 1, 15) AS BIGINT) % 1048576 + 1) AS DOUBLE) / 1048576.0
+                 AS u
+             FROM documents WHERE n_chars > 0),
+         ${PortableMath.log2FixedSqlStages("b", "u", "lfx", "l2w")}
+         SELECT doc_id, w, lfx, (lfx * 1024) // w AS s_fp
+         FROM l2wout
+         ORDER BY s_fp DESC, doc_id LIMIT 50"""
+    },
+    // st51: the incrementally-maintained sidecar must serve the same
+    // full-scan answer — shared c28-style oracle.
+    "st51_stream_bloom_index" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+         FROM events WHERE event_id % 997 = 0""",
     // c28: the oracle is the FULL-SCAN answer — the hash match proves
     // the bloom-pruned read lost nothing (no false negatives);
     // file-level skipping is pinned in LakeSpec.

@@ -1101,6 +1101,33 @@ object TextAnalysis {
         col("cum").as("tokens_cum"), col("vocab_cum"))
   }
 
+  /** t38: weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    * A-ES, the reservoir canon (each item keyed u^(1/w), top-k keys
+    * win; inclusion probability ∝ weight, no replacement by
+    * construction). Sampling must be REPRODUCIBLE in a pipeline, so u
+    * is an md5-derived uniform on a 2^20 grid (exact double, inside
+    * the fixed-point-log ladder's domain) and the ranking key is
+    * log-transformed: maximizing u^(1/w) == maximizing log2(u)/w,
+    * computed as the exact integer (log2fx(u)·1024) div w — both
+    * engines truncate identically, so the SAMPLE ITSELF is
+    * bit-reproducible anywhere (t27's PPS is systematic/with-
+    * replacement; this is the without-replacement estimator).
+    * Map-only scoring + one top-k. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+      k: Int = 50): DataFrame = {
+    import graft.functions.PortableMath
+    val base = df.select(id.as("sid"), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("u",
+        (pmod(graft.functions.Hashes.h60(col("sid").cast("string")),
+          lit(1048576L)) + lit(1L)).cast("double") / lit(1048576.0))
+    PortableMath.withLog2Fixed(base, col("u"), "lfx")
+      .withColumn("s_fp", expr("(lfx * 1024L) div w"))
+      .orderBy(col("s_fp").desc, col("sid"))
+      .limit(k)
+      .select(col("sid").as("doc_id"), col("w"), col("lfx"), col("s_fp"))
+  }
+
   /** t37: PMI collocations — the pointwise-mutual-information ranking
     * of word pairs (Church–Hanks), the collocation-mining canon. PMI
     * needs a log, and a cross-engine-checkable log means

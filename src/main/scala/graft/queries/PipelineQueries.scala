@@ -836,6 +836,11 @@ object PipelineQueries {
   def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiCollocations(docs(spark, dir), col("text"))
 
+  /** t38: A-ES weighted sample (k=50, weight = n_chars). */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.weightedSample(docs(spark, dir), col("doc_id"),
+      col("n_chars"))
+
   /** Deterministic global shuffle into 8 training shards. */
   def shuffleShard(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.shuffleShard(docs(spark, dir), col("doc_id"))

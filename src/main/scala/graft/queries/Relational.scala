@@ -1682,6 +1682,43 @@ object Relational {
         abs(col("obs_ppm") - col("benford_ppm")).as("dev_ppm"))
   }
 
+  /** q67: EXACT quantiles on an unbounded value domain — the scale
+    * answer to q21's documented caveat (its per-group `percentile`
+    * holds the value DOMAIN per group; fine for TPC-H's 50 discrete
+    * quantities, wrong for a revenue column with millions of distinct
+    * cents). Here the classic distributed order-statistic: global
+    * ranks from [[graft.ops.Ranks.rankedCumsum]] (two exchanges, no
+    * value-domain state anywhere), then each requested quantile reads
+    * exactly TWO ranked rows and interpolates **in integer milli
+    * units** — value·(1000−f) + value·f on cents longs — so the
+    * result is exact and engine-identical with no float percentile
+    * semantics to match (the oracle runs the same explicit
+    * interpolation, not quantile_cont). The only driver-side values
+    * are n (one count) and the 5-row quantile spec. */
+  def exactQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val cents = table(spark, dir, "lineitem")
+      .select(floor(col("l_extendedprice") * 100.0d).cast("long").as("v"))
+    val ranked = graft.ops.Ranks.rankedCumsum(cents, col("v"), col("v"),
+      lit(1L)).select(col("rank"), col("v"))
+    val n = cents.count()
+    val spec = spark.createDataFrame(
+      Seq(250L, 500L, 750L, 900L, 990L).map { qm =>
+        val pm = 1000L + qm * (n - 1)
+        val h = pm / 1000L
+        val f = pm % 1000L
+        (qm, h, if (f > 0) h + 1 else h, f)
+      }).toDF("quantile_milli", "h", "h2", "f")
+    val lo = ranked.join(broadcast(spec), col("rank") === col("h"))
+      .select(col("quantile_milli"), col("f"), col("v").as("v_lo"))
+    val hi = ranked.join(broadcast(spec), col("rank") === col("h2"))
+      .select(col("quantile_milli"), col("v").as("v_hi"))
+    lo.join(hi, Seq("quantile_milli"))
+      .select(col("quantile_milli"), lit(n).as("n_rows"),
+        col("v_lo"), col("v_hi"),
+        (col("v_lo") * (lit(1000L) - col("f")) + col("v_hi") * col("f"))
+          .as("value_milli_cents"))
+  }
+
   /** q66: A/B experiment readout with an exact integer significance
     * test — users assigned to arms by id parity, per event_type the
     * conversion rate (did the user emit ≥1 such event) compared by a

@@ -3490,6 +3490,59 @@ object StreamingQueries {
           .as("first_flag_day"))
     }
 
+  /** st51: the c28 Bloom sidecar maintained ONLINE during streaming
+    * lake ingest — each micro-batch lands as an immutable file batch
+    * under `batch=<id>/` and appends ITS OWN sidecar rows in the same
+    * foreachBatch transaction, so index freshness equals data
+    * freshness (the reference's changelog-follows-table discipline,
+    * applied to an index artifact instead of a state table). Serving
+    * afterwards is exactly c28's path — bloom candidates → pruned
+    * file read → exact predicate — and shares c28's full-scan oracle:
+    * the hash match proves the incrementally-built index lost
+    * nothing. */
+  def streamBloomIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Lake
+    val ev = Sources.table(spark, dir, "events")
+    val staging = tempDir("graft_sbloom_src")
+    val midRow = ev.agg(min(col("event_id")).as("mn"),
+      max(col("event_id")).as("mx"))
+      .select(expr("(mn + mx) div 2")).head().getLong(0)
+    val now = System.currentTimeMillis()
+    stageFile(ev.filter(col("event_id") <= midRow), staging,
+      "b1.parquet", now - 120000)
+    stageFile(ev.filter(col("event_id") > midRow), staging,
+      "b2.parquet", now - 60000)
+    val lake = tempDir("graft_sbloom_lake")
+    val idxDir = tempDir("graft_sbloom_idx")
+    val ckpt = tempDir("graft_sbloom_ckpt")
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staging)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            bid: Long) =>
+          val sub = s"$lake/batch=$bid"
+          b.write.mode("overwrite").parquet(sub)
+          Lake.buildBloomIndex(spark, sub, "event_id")
+            .write.mode("append").parquet(idxDir)
+          ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val idx = spark.read.parquet(idxDir)
+    val probes = spark.read.parquet(lake)
+      .filter(col("event_id") % 997 === 0).select(col("event_id"))
+    val candFiles = Lake.bloomCandidates(idx, probes, "event_id")
+      .select(col("file")).distinct().collect().map(_.getString(0))
+    val pruned =
+      if (candFiles.isEmpty) spark.read.parquet(lake).filter(lit(false))
+      else spark.read.parquet(candFiles.toIndexedSeq: _*)
+    pruned.filter(col("event_id") % 997 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100.0d).cast("long").as("cents"))
+  }
+
   /** st50: the A/B experiment readout LIVE — q66's distinct-user
     * conversion counts maintained as first-seen state, the exact
     * integer z-test applied to the folded counts (shared q66
