@@ -232,6 +232,8 @@ object SparkEntry {
     "q67_exact_quantiles" -> (Relational.exactQuantiles _),
     "t38_weighted_sample" -> (PipelineQueries.weightedSample _),
     "st51_stream_bloom_index" -> (StreamingQueries.streamBloomIndex _),
+    "q68_skyline" -> (Relational.skyline _),
+    "q69_grouped_quantiles" -> (Relational.groupedQuantiles _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1583,6 +1585,45 @@ object SparkEntry {
          FROM l2wout
          ORDER BY s_fp DESC, doc_id LIMIT 50"""
     },
+    // q68: the oracle is the QUADRATIC canon — NOT EXISTS dominance
+    // self-join; the hash match proves the prefix-min sweep rewrite.
+    "q68_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+               CAST(floor(p_retailprice * 100) AS BIGINT) AS pc,
+               CAST(p_size AS BIGINT) AS sz
+             FROM part)
+         SELECT a.p_partkey, a.pc AS price_cents, a.sz AS size
+         FROM p a WHERE NOT EXISTS (
+           SELECT 1 FROM p b
+           WHERE b.pc <= a.pc AND b.sz <= a.sz
+             AND (b.pc < a.pc OR b.sz < a.sz))""",
+    // q69: group-partitioned row_number/count + the same explicit
+    // integer milli interpolation as q67.
+    "q69_grouped_quantiles" ->
+      """WITH e AS (SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         r AS (SELECT event_type, v,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY v) AS BIGINT) AS rnk,
+                 CAST(count(*) OVER (PARTITION BY event_type)
+                   AS BIGINT) AS n
+               FROM e),
+         qs AS (SELECT CAST(unnest([500, 900]) AS BIGINT) AS qm),
+         g AS (SELECT r.*, qs.qm, 1000 + qs.qm * (r.n - 1) AS pm
+               FROM r, qs),
+         h AS (SELECT *, pm // 1000 AS h,
+                 pm % 1000 AS f,
+                 CASE WHEN pm % 1000 > 0 THEN pm // 1000 + 1
+                      ELSE pm // 1000 END AS h2
+               FROM g)
+         SELECT event_type, qm AS quantile_milli,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           max(CASE WHEN rnk = h THEN v END) AS v_lo,
+           max(CASE WHEN rnk = h2 THEN v END) AS v_hi,
+           CAST(max(CASE WHEN rnk = h THEN v END) * (1000 - max(f))
+             + max(CASE WHEN rnk = h2 THEN v END) * max(f) AS BIGINT)
+             AS value_milli_cents
+         FROM h GROUP BY 1, 2""",
     // st51: the incrementally-maintained sidecar must serve the same
     // full-scan answer — shared c28-style oracle.
     "st51_stream_bloom_index" ->

@@ -71,4 +71,53 @@ object Ranks {
         sum(col("__rk_w")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("__rk_v", "__rk_t", "__rk_w", "__rk_b", "__rk_roff", "__rk_coff")
   }
+
+  /** Append `outCol` = running MIN of `of` over all STRICTLY-preceding
+    * rows in global (value, tie) order — null for the global first
+    * row(s' prefix). Same two-exchange bucketed construction as
+    * [[rankedCumsum]]: per-bucket minima become broadcast prefix
+    * offsets, a within-bucket window covers the local strict prefix,
+    * and `least` (null-skipping) combines the two. The primitive
+    * behind frontier/skyline sweeps that would otherwise need an
+    * unpartitioned window. `of` must be a non-null long. */
+  def prefixMin(df: DataFrame, value: Column, tie: Column, of: Column,
+      outCol: String, nBuckets: Int = 64): DataFrame = {
+    val base = df.withColumn("__rk_v", value)
+      .withColumn("__rk_t", tie).withColumn("__rk_o", of)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val cuts = base.select(col("__rk_v").cast("double").as("__rk_d"))
+      .stat.approxQuantile("__rk_d", probs, 0.001)
+      .distinct.sorted
+    val bucket =
+      if (cuts.isEmpty) lit(0)
+      else size(filter(array(cuts.map(lit(_)): _*),
+        b => col("__rk_v").cast("double") >= b))
+    val withB = base.withColumn("__rk_b", bucket)
+    val perBucket = withB.groupBy(col("__rk_b"))
+      .agg(min(col("__rk_o")).as("__rk_m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var run = Option.empty[Long]
+    val offsets = perBucket.map { case (b, m) =>
+      val row = (b, run.map(java.lang.Long.valueOf).orNull)
+      run = Some(run.fold(m)(math.min(_, m)))
+      row
+    }
+    val spark = df.sparkSession
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq.map {
+        case (b, m) => org.apache.spark.sql.Row(b, m)
+      }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__rk_b",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__rk_poff",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    val w = Window.partitionBy(col("__rk_b"))
+      .orderBy(col("__rk_v"), col("__rk_t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(broadcast(offDf), Seq("__rk_b"))
+      .withColumn(outCol,
+        least(min(col("__rk_o")).over(w), col("__rk_poff")))
+      .drop("__rk_v", "__rk_t", "__rk_o", "__rk_b", "__rk_poff")
+  }
 }

@@ -1719,6 +1719,69 @@ object Relational {
           .as("value_milli_cents"))
   }
 
+  /** q68: SKYLINE (Pareto frontier) of parts on (price, size) — the
+    * multi-criteria "no strictly better option" operator (Börzsönyi's
+    * SKYLINE OF canon). The naive form is the O(n²) NOT-EXISTS
+    * self-join the ORACLE runs; the engine instead uses the 2-D
+    * sweep identity — a point survives iff its size equals its
+    * price-group minimum AND beats the running minimum of all
+    * strictly-cheaper prices — so the plan is one per-price
+    * aggregate + [[graft.ops.Ranks.prefixMin]]'s bucketed prefix
+    * sweep + one join back: two exchanges, no self-join, and the
+    * hash match against the quadratic form proves the rewrite.
+    * Ties kept per skyline semantics: incomparable equal points all
+    * survive. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part")
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 100.0d).cast("long").as("pc"),
+        col("p_size").cast("long").as("sz"))
+    val perPrice = p.groupBy(col("pc")).agg(min(col("sz")).as("m"))
+    val withPm = graft.ops.Ranks.prefixMin(perPrice, col("pc"),
+      col("pc"), col("m"), "pm")
+    p.join(withPm, Seq("pc"))
+      .filter(col("sz") === col("m") &&
+        (col("pm").isNull || col("pm") > col("sz")))
+      .select(col("p_partkey"), col("pc").as("price_cents"),
+        col("sz").as("size"))
+  }
+
+  /** q69: per-GROUP exact quantiles on an unbounded domain — q67's
+    * integer-milli interpolation, grouped: ranks and group sizes come
+    * from group-partitioned windows (parallel across groups, no
+    * value-domain state — the q21 caveat's per-group fix), each
+    * (group, quantile) then folds its two boundary rows out of one
+    * conditional aggregate. */
+  def groupedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100.0d).cast("long").as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val wn = Window.partitionBy(col("event_type"))
+    val qs = Seq(500L, 900L)
+    val ranked = e
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+    ranked
+      .crossJoin(broadcast(
+        spark.createDataFrame(qs.map(Tuple1(_))).toDF("qm")))
+      .withColumn("pm", lit(1000L) + col("qm") * (col("n") - 1))
+      .withColumn("h", expr("pm div 1000"))
+      .withColumn("f", col("pm") % 1000)
+      .withColumn("h2",
+        when(col("f") > 0, col("h") + 1).otherwise(col("h")))
+      .groupBy(col("event_type"), col("qm"))
+      .agg(max(col("n")).as("n_rows"),
+        max(col("f")).as("f"),
+        max(when(col("rnk") === col("h"), col("v"))).as("v_lo"),
+        max(when(col("rnk") === col("h2"), col("v"))).as("v_hi"))
+      .select(col("event_type"), col("qm").as("quantile_milli"),
+        col("n_rows"),
+        col("v_lo"), col("v_hi"),
+        (col("v_lo") * (lit(1000L) - col("f")) + col("v_hi") * col("f"))
+          .as("value_milli_cents"))
+  }
+
   /** q66: A/B experiment readout with an exact integer significance
     * test — users assigned to arms by id parity, per event_type the
     * conversion rate (did the user emit ≥1 such event) compared by a

@@ -43,6 +43,30 @@ class RanksSpec extends AnyFunSuite with SparkFixture {
       id == i && r == i + 1 && c == 2L * (i + 1) })
   }
 
+  test("prefixMin == brute strict-prefix minimum on tie-heavy random data") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    for (seed <- Seq(9, 53)) {
+      val rnd = new scala.util.Random(seed)
+      // unique (v) keys with random payloads; boundaries land on values
+      val rows = rnd.shuffle((0L until 300L).toVector)
+        .map(v => (v, rnd.nextInt(500).toLong))
+      val got = Ranks.prefixMin(rows.toDF("v", "o"), col("v"), col("v"),
+          col("o"), "pm", nBuckets = 8)
+        .select(col("v"), col("pm")).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val sorted = rows.sortBy(_._1)
+      var run = Option.empty[Long]
+      val want = sorted.map { case (v, o) =>
+        val r = v -> run
+        run = Some(run.fold(o)(math.min(_, o)))
+        r
+      }.toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("rankedCumsum descending via negated value (q62's form)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
