@@ -234,6 +234,7 @@ object SparkEntry {
     "st51_stream_bloom_index" -> (StreamingQueries.streamBloomIndex _),
     "q68_skyline" -> (Relational.skyline _),
     "q69_grouped_quantiles" -> (Relational.groupedQuantiles _),
+    "q70_type_correlation" -> (Relational.typeCorrelation _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1585,6 +1586,38 @@ object SparkEntry {
          FROM l2wout
          ORDER BY s_fp DESC, doc_id LIMIT 50"""
     },
+    // q70: identical integer moments; the only floats are correctly-
+    // rounded sqrt/divide, so even the double corr hash-matches.
+    "q70_type_correlation" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS x
+             FROM events GROUP BY 1, 2),
+         grid AS (SELECT d.day, t.event_type,
+                 coalesce(daily.x, 0) AS x
+               FROM (SELECT DISTINCT day FROM daily) d
+               CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+               LEFT JOIN daily ON daily.day = d.day
+                 AND daily.event_type = t.event_type),
+         pairs AS (SELECT a.event_type AS type_a,
+                 b.event_type AS type_b, a.x AS xa, b.x AS xb
+               FROM grid a JOIN grid b ON a.day = b.day
+                 AND a.event_type < b.event_type),
+         m AS (SELECT type_a, type_b,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(xa) AS BIGINT) AS sx,
+                 CAST(sum(xb) AS BIGINT) AS sy,
+                 CAST(sum(xa * xa) AS BIGINT) AS sxx,
+                 CAST(sum(xb * xb) AS BIGINT) AS syy,
+                 CAST(sum(xa * xb) AS BIGINT) AS sxy
+               FROM pairs GROUP BY 1, 2)
+         SELECT type_a, type_b, n_days,
+           CAST(n_days * sxy - sx * sy AS BIGINT) AS cov_num,
+           CAST(n_days * sxx - sx * sx AS BIGINT) AS var_a_num,
+           CAST(n_days * syy - sy * sy AS BIGINT) AS var_b_num,
+           CAST(n_days * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))) AS corr
+         FROM m""",
     // q68: the oracle is the QUADRATIC canon — NOT EXISTS dominance
     // self-join; the hash match proves the prefix-min sweep rewrite.
     "q68_skyline" ->

@@ -1782,6 +1782,50 @@ object Relational {
           .as("value_milli_cents"))
   }
 
+  /** q70: cross-series Pearson correlation matrix — do the daily
+    * volumes of the event types move together? The estimator is
+    * decomposed into EXACT integer moments (n·Σxy − Σx·Σy and the two
+    * variance terms, all longs over the day-grain aggregate) so the
+    * only floating point is the final sqrt/divide — and IEEE sqrt and
+    * divide are correctly rounded everywhere, so even the double
+    * correlation hash-matches. Day-aligned pairs come from one
+    * self-join of the tiny daily table on day (a < b kills the
+    * mirror); missing days pair as 0 via a dense day×type grid from
+    * the same aggregate (exactly how the oracle builds it). */
+  def typeCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val days = daily.select(col("day")).distinct()
+    val types = daily.select(col("event_type")).distinct()
+    val grid = days.crossJoin(broadcast(types))
+      .join(daily, Seq("day", "event_type"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val pairs = grid.as("a").join(grid.as("b"),
+        col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("a.x").as("xa"), col("b.x").as("xb"))
+    pairs.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"),
+        sum(col("xa") * col("xb")).as("sxy"))
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .as("cov_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx"))
+          .as("var_a_num"),
+        (col("n_days") * col("syy") - col("sy") * col("sy"))
+          .as("var_b_num"))
+      .withColumn("corr",
+        col("cov_num").cast("double") /
+          (sqrt(col("var_a_num").cast("double")) *
+            sqrt(col("var_b_num").cast("double"))))
+  }
+
   /** q66: A/B experiment readout with an exact integer significance
     * test — users assigned to arms by id parity, per event_type the
     * conversion rate (did the user emit ≥1 such event) compared by a
