@@ -1533,8 +1533,9 @@ object SparkEntry {
          p0 AS (SELECT g, CAST(count(*) AS BIGINT) AS cb FROM bi
                 GROUP BY 1 HAVING count(*) >= 5),
          p1 AS (SELECT p0.g, p0.cb, u1.cu AS c1, u2.cu AS c2,
-                  CAST(p0.cb * nt.nt * nt.nt AS DOUBLE)
-                    / CAST(nb.nb * u1.cu * u2.cu AS DOUBLE) AS odds
+                  CAST(CAST(p0.cb AS HUGEINT) * nt.nt * nt.nt AS DOUBLE)
+                    / CAST(CAST(nb.nb AS HUGEINT) * u1.cu * u2.cu
+                        AS DOUBLE) AS odds
                 FROM p0 JOIN uni u1 ON split_part(p0.g, ' ', 1) = u1.w
                         JOIN uni u2 ON split_part(p0.g, ' ', 2) = u2.w,
                      nt, nb),
@@ -4712,7 +4713,8 @@ object SparkEntry {
                      / CAST(cp * tq + cq * tp AS DOUBLE) AS odds
                  FROM grid WHERE cp > 0),
          ${PortableMath.log2FixedSqlStages("pin", "odds", "lfx", "l2p")},
-         psum AS (SELECT src, CAST(sum(cp * lfx) AS BIGINT) AS sp_fx,
+         psum AS (SELECT src,
+                    CAST(sum(CAST(cp AS HUGEINT) * lfx) AS BIGINT) AS sp_fx,
                     CAST(count(*) AS BIGINT) AS n_words_p
                   FROM l2pout GROUP BY 1),
          qin AS (SELECT src, cq,
@@ -4720,7 +4722,8 @@ object SparkEntry {
                      / CAST(cp * tq + cq * tp AS DOUBLE) AS odds
                  FROM grid WHERE cq > 0),
          ${PortableMath.log2FixedSqlStages("qin", "odds", "lfx", "l2q")},
-         qsum AS (SELECT src, CAST(sum(cq * lfx) AS BIGINT) AS sq_fx,
+         qsum AS (SELECT src,
+                    CAST(sum(CAST(cq AS HUGEINT) * lfx) AS BIGINT) AS sq_fx,
                     CAST(count(*) AS BIGINT) AS n_words_q
                   FROM l2qout GROUP BY 1),
          base AS (SELECT src, tp, (SELECT sum(gw) FROM g) - tp AS tq

@@ -152,6 +152,18 @@ object PortableMath {
       .drop("__l2_k", "__l2_m", "__l2_f")
   }
 
+  /** Exact DECIMAL(38,0)→BIGINT cast that FAILS LOUDLY on overflow —
+    * Spark's non-ANSI cast silently nulls a decimal that exceeds the
+    * long range, while the DuckDB oracle errors; a silent null is a
+    * corrupted result that still "passes" any rows>0 smoke check.
+    * This guard matches the oracle's behavior: in range → the exact
+    * long, out of range → a raised error naming the column. */
+  def exactLong(c: Column, what: String): Column =
+    when(c >= lit(Long.MinValue) && c <= lit(Long.MaxValue),
+        c.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"$what overflows BIGINT: "), c.cast("string"))).cast("long"))
+
   /** SQL rendering of [[withLog2Fixed]] as chained CTE stages — the
     * identical op sequence, one named stage per squaring round.
     * Returns the CTE-body fragment `<p>0 AS (...), ..., <p>N AS (...)`;

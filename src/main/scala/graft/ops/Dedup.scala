@@ -397,8 +397,11 @@ object Dedup {
     * makes those lists the shortest ones. The oracle is the NAIVE
     * inverted-list join at the same θ: the hash match IS the
     * losslessness proof. Same df cap (and capped-set Jaccard
-    * semantics) as d04's skew story; the rank table is vocab-sized
-    * and broadcast; the exact verify touches candidates only. */
+    * semantics) as d04's skew story; the vocab rank comes from
+    * [[graft.ops.Ranks.rankedCumsum]] (bucket-partitioned, never a
+    * single-task window) and attaches via a shuffle equi-join (the
+    * vocab grows with the corpus — never broadcast it); the exact
+    * verify touches candidates only. */
   def prefixJaccardJoin(df: DataFrame, text: Column, id: Column,
       shingleN: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Int = 100): DataFrame = {
@@ -409,12 +412,17 @@ object Dedup {
       .select(col("doc_id"), explode(col("sa")).as("s"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
       .filter(col("c") <= maxDocFreq)
-    // global order over the surviving vocabulary — vocab-sized sort
-    val ranked = dfreq.select(col("s"), col("c"),
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("c"), col("s"))).as("rk"))
-    val capped = sh.join(broadcast(ranked.select(col("s"), col("rk"))),
-      Seq("s"))
+    // Global rarity order over the surviving vocabulary: the vocab
+    // scales near-linearly with the corpus (distinct 3-gram shingles),
+    // so neither a single-task `row_number().over(orderBy)` nor a
+    // broadcast of the ranked table survives 100×. Rank with the
+    // bucketed two-exchange primitive and attach ranks by a plain
+    // vocab-keyed shuffle equi-join instead — same (c, s) order,
+    // identical ranks, maximum parallelism.
+    val ranked = graft.ops.Ranks.rankedCumsum(dfreq, col("c"), col("s"),
+        lit(1L), rankCol = "rk")
+      .select(col("s"), col("rk"))
+    val capped = sh.join(ranked, Seq("s"))
     val nc = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val positioned = capped.join(nc, Seq("doc_id"))
       .withColumn("pos", row_number().over(

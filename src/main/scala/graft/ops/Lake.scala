@@ -430,6 +430,15 @@ object Lake {
     * locations. */
   def bloomCandidates(index: DataFrame, probes: DataFrame, keyName: String,
       mBits: Int = 4096, kHashes: Int = 5): DataFrame = {
+    // Fold the index to ONE row per (file, word) before probing: the
+    // n_hit === n_need test below counts join rows, so a duplicate
+    // (file, word) row — e.g. a retried ingest micro-batch re-appending
+    // its sidecar — would push n_hit past n_need and silently EXCLUDE a
+    // true candidate (a false negative, the one error class a Bloom
+    // filter must never make). bit_or is idempotent, so folding is
+    // correct for both exact duplicates and genuine re-adds.
+    val idx = index.groupBy(col("file"), col("word"))
+      .agg(bit_or(col("bits")).as("bits"))
     val need = probes.select(col(keyName).cast("long").as("k"))
       .select(col("k"), explode(array((0 until kHashes).map(i =>
         bloomPos(col("k"), i, mBits)): _*)).as("pos"))
@@ -437,7 +446,7 @@ object Lake {
         expr("shiftleft(1L, cast(pos % 64 as int))").as("mask"))
     val nNeeded = need.select(col("k"), col("word"), col("mask")).distinct()
       .groupBy(col("k")).agg(count(lit(1)).as("n_need"))
-    broadcast(need.distinct()).join(index, Seq("word"))
+    broadcast(need.distinct()).join(idx, Seq("word"))
       .filter((col("bits").bitwiseAND(col("mask"))) =!= 0L)
       .groupBy(col("k"), col("file")).agg(count(lit(1)).as("n_hit"))
       .join(broadcast(nNeeded), Seq("k"))

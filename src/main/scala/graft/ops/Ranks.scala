@@ -34,19 +34,45 @@ object Ranks {
     * `cumCol` (inclusive running Σ `weight` in that order) to `df`.
     * `value` and `weight` must be non-null; `value` must be numeric
     * (it is ranked via its monotone cast to double for bucketing, but
-    * compared exactly within buckets). */
+    * compared exactly within buckets). `weight` must be INTEGRAL — it
+    * is cast to long up front so the in-bucket running sums and the
+    * driver-folded bucket offsets use the same arithmetic (a
+    * fractional weight would otherwise truncate only on the offset
+    * side and the two would disagree). */
   def rankedCumsum(df: DataFrame, value: Column, tie: Column,
       weight: Column, rankCol: String = "rank", cumCol: String = "cum",
-      nBuckets: Int = 64): DataFrame = {
+      nBuckets: Int = 64): DataFrame =
+    rankedCumsumTotals(df, value, tie, weight, rankCol, cumCol,
+      nBuckets)._1
+
+  /** As [[rankedCumsum]], but also returns the global `(n, Σweight)` —
+    * both already known from the two driver folds the primitive runs
+    * anyway, so a caller that needs the total (a quantile spec, a
+    * share denominator) pays ZERO extra passes. The whole primitive
+    * costs exactly two actions before the final plan executes: one
+    * fused `(count, Σweight, bucket-boundary sketch)` aggregate and
+    * one ≤nBuckets-row offsets fold. */
+  def rankedCumsumTotals(df: DataFrame, value: Column, tie: Column,
+      weight: Column, rankCol: String = "rank", cumCol: String = "cum",
+      nBuckets: Int = 64): (DataFrame, Long, Long) = {
     val base = df.withColumn("__rk_v", value)
-      .withColumn("__rk_t", tie).withColumn("__rk_w", weight)
+      .withColumn("__rk_t", tie).withColumn("__rk_w", weight.cast("long"))
     // Order-aligned range bucketing: long→double is monotone, so
     // comparing against fixed double cut points can never invert the
-    // value order, and equal values always share a bucket.
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val cuts = base.select(col("__rk_v").cast("double").as("__rk_d"))
-      .stat.approxQuantile("__rk_d", probs, 0.001)
-      .distinct.sorted
+    // value order, and equal values always share a bucket. The sketch
+    // (ApproximatePercentile) affects only bucket BALANCE, never
+    // correctness — any cut set yields the same global order — and is
+    // fused with the count/Σweight into ONE pass.
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val head = base.select(count(lit(1)), sum(col("__rk_w")),
+        percentile_approx(col("__rk_v").cast("double"),
+          array(probs.map(lit(_)): _*), lit(10000)))
+      .head()
+    val n = head.getLong(0)
+    val totalW = if (head.isNullAt(1)) 0L else head.getLong(1)
+    val cuts =
+      if (head.isNullAt(2)) Array.empty[Double]
+      else head.getSeq[Double](2).toArray.distinct.sorted
     val bucket =
       if (cuts.isEmpty) lit(0)
       else size(filter(array(cuts.map(lit(_)): _*),
@@ -55,21 +81,22 @@ object Ranks {
     // Tiny per-bucket totals → cumulative offsets, broadcast back.
     val perBucket = withB.groupBy(col("__rk_b"))
       .agg(count(lit(1)).as("__rk_n"), sum(col("__rk_w")).as("__rk_s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1),
-        r.get(2).asInstanceOf[Number].longValue())).sortBy(_._1)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
     var (rOff, cOff) = (0L, 0L)
-    val offsets = perBucket.map { case (b, n, s) =>
-      val row = (b, rOff, cOff); rOff += n; cOff += s; row
+    val offsets = perBucket.map { case (b, bn, bs) =>
+      val row = (b, rOff, cOff); rOff += bn; cOff += bs; row
     }
     val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
       .toDF("__rk_b", "__rk_roff", "__rk_coff")
     val w = Window.partitionBy(col("__rk_b"))
       .orderBy(col("__rk_v"), col("__rk_t"))
-    withB.join(broadcast(offDf), Seq("__rk_b"))
+    val out = withB.join(broadcast(offDf), Seq("__rk_b"))
       .withColumn(rankCol, col("__rk_roff") + row_number().over(w))
       .withColumn(cumCol, col("__rk_coff") +
         sum(col("__rk_w")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("__rk_v", "__rk_t", "__rk_w", "__rk_b", "__rk_roff", "__rk_coff")
+    (out, n, totalW)
   }
 
   /** Append `outCol` = running MIN of `of` over all STRICTLY-preceding
@@ -83,7 +110,7 @@ object Ranks {
   def prefixMin(df: DataFrame, value: Column, tie: Column, of: Column,
       outCol: String, nBuckets: Int = 64): DataFrame = {
     val base = df.withColumn("__rk_v", value)
-      .withColumn("__rk_t", tie).withColumn("__rk_o", of)
+      .withColumn("__rk_t", tie).withColumn("__rk_o", of.cast("long"))
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val cuts = base.select(col("__rk_v").cast("double").as("__rk_d"))
       .stat.approxQuantile("__rk_d", probs, 0.001)

@@ -1017,7 +1017,8 @@ object TextAnalysis {
     * this measures how far each one's unigram distribution sits from
     * everyone else's). JS(P‖Q) = ½·KL(P‖M) + ½·KL(Q‖M), M = ½(P+Q);
     * per word the log argument p/m = 2·cp·tq / (cp·tq + cq·tp) is a
-    * ratio of exact integer products, its log2 is the FMA-proof
+    * ratio of exact integer products — held in DECIMAL(38,0), exact
+    * to 10^38, matching the oracle's HUGEINT — its log2 is the FMA-proof
     * [[graft.functions.PortableMath.withLog2Fixed]] integer, and each
     * KL numerator is a plain integer SUM Σ cp·lfx — no double fold
     * anywhere; the only doubles are the final two divisions and one
@@ -1040,19 +1041,28 @@ object TextAnalysis {
       .crossJoin(broadcast(tot))
       .withColumn("cq", col("gw") - col("cp"))
       .withColumn("tq", col("tt") - col("tp"))
+    // Products in DECIMAL(38,0): cp·tq terms are (count × corpus-total)
+    // products that pass 2^63 long before any real 100 TB corpus does;
+    // the oracle's sums are HUGEINT already, so decimal is what ALIGNS
+    // the engines (both round the same exact integer to double). The
+    // emitted KL sums stay BIGINT through exactLong — loud on overflow,
+    // like the oracle's HUGEINT→BIGINT cast, never a silent wrap.
+    val d38 = (c: Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     def klSum(cnt: String, num: Column, out: String, nOut: String) =
       PortableMath.withLog2Fixed(
         grid.filter(col(cnt) > 0L)
           .withColumn("odds", num.cast("double") /
-            (col("cp") * col("tq") + col("cq") * col("tp"))
+            (d38(col("cp")) * col("tq") + d38(col("cq")) * col("tp"))
               .cast("double")),
         col("odds"), "lfx")
         .groupBy(col("src"))
-        .agg(sum(col(cnt) * col("lfx")).as(out),
+        .agg(PortableMath.exactLong(
+            sum(d38(col(cnt)) * col("lfx")), out).as(out),
           count(lit(1)).as(nOut))
-    val p = klSum("cp", lit(2L) * col("cp") * col("tq"), "sp_fx",
+    val p = klSum("cp", lit(2L) * d38(col("cp")) * col("tq"), "sp_fx",
       "n_words_p")
-    val q = klSum("cq", lit(2L) * col("cq") * col("tp"), "sq_fx",
+    val q = klSum("cq", lit(2L) * d38(col("cq")) * col("tp"), "sq_fx",
       "n_words_q")
     tpf.crossJoin(broadcast(tot))
       .withColumn("tq", col("tt") - col("tp"))
@@ -1132,12 +1142,15 @@ object TextAnalysis {
     * of word pairs (Church–Hanks), the collocation-mining canon. PMI
     * needs a log, and a cross-engine-checkable log means
     * [[graft.functions.PortableMath.withLog2Fixed]]: the odds
-    * p(ab)/(p(a)p(b)) = (c_ab·N_tok²)/(N_bi·c_a·c_b) is one exact
-    * double division of integer-valued doubles (both products
-    * < 2^53), and the fixed-point log2 is bit-identical in any
+    * p(ab)/(p(a)p(b)) = (c_ab·N_tok²)/(N_bi·c_a·c_b) is one double
+    * division of DECIMAL(38,0) products (exact to 10^38 — any corpus;
+    * both engines round the same decimal→double conversion
+    * identically), and the fixed-point log2 is bit-identical in any
     * engine, so the top-k ORDER is exact. Bigram/unigram counts are
     * two shuffles; the ladder evaluates only on the support-filtered
-    * pair table (t34's already-aggregated-frames discipline). */
+    * pair table (t34's already-aggregated-frames discipline), and the
+    * broadcast unigram side is semi-joined down to the words of the
+    * surviving pairs — pair-bounded, never vocabulary-bounded. */
   def pmiCollocations(df: DataFrame, text: Column,
       minCount: Long = 5L, k: Int = 20): DataFrame = {
     import graft.functions.PortableMath
@@ -1152,18 +1165,34 @@ object TextAnalysis {
             element_at(col("ws"), i + 1))))
         .otherwise(array())).as("g"))
     val nBi = bi.agg(count(lit(1)).as("nb"))
-    val pairs = bi.groupBy(col("g")).agg(count(lit(1)).as("cb"))
+    // The support filter bounds the pair table; materialize it once so
+    // the word semi-join below does not re-run the bigram count. The
+    // UNIGRAM table is corpus-vocabulary-sized — never broadcast it
+    // whole; shrink it to the words that actually appear in surviving
+    // pairs (pair-bounded, ≤ 2·|pairs| words) first.
+    val pairs0 = bi.groupBy(col("g")).agg(count(lit(1)).as("cb"))
       .filter(col("cb") >= minCount)
       .withColumn("w1", split_part(col("g"), lit(" "), lit(1)))
       .withColumn("w2", split_part(col("g"), lit(" "), lit(2)))
-      .join(broadcast(uni.withColumnRenamed("w", "w1")
+      .localCheckpoint()
+    val pairWords = pairs0.select(col("w1").as("w"))
+      .union(pairs0.select(col("w2").as("w"))).distinct()
+    val uniP = uni.join(pairWords, Seq("w"), "left_semi")
+    // Odds in DECIMAL(38,0): the integer products stay exact far past
+    // the 2^53 double range (supported up to 10^38 — beyond any real
+    // corpus; the oracle widens identically via HUGEINT), and the one
+    // decimal→double conversion is correctly rounded in both engines.
+    val d38 = (c: Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val pairs = pairs0
+      .join(broadcast(uniP.withColumnRenamed("w", "w1")
         .withColumnRenamed("cu", "c1")), Seq("w1"))
-      .join(broadcast(uni.withColumnRenamed("w", "w2")
+      .join(broadcast(uniP.withColumnRenamed("w", "w2")
         .withColumnRenamed("cu", "c2")), Seq("w2"))
       .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
       .withColumn("odds",
-        (col("cb") * col("nt") * col("nt")).cast("double") /
-          (col("nb") * col("c1") * col("c2")).cast("double"))
+        (d38(col("cb")) * col("nt") * col("nt")).cast("double") /
+          (d38(col("nb")) * col("c1") * col("c2")).cast("double"))
     PortableMath.withLog2Fixed(pairs, col("odds"), "pmi_fp")
       .select(col("g").as("bigram"), col("cb").as("n_pair"),
         col("c1").as("n_w1"), col("c2").as("n_w2"), col("pmi_fp"),

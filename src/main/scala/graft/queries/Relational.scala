@@ -1520,8 +1520,11 @@ object Relational {
     * [[graft.ops.Ranks.rankedCumsum]]'s two-exchange bucketed
     * sort-rank instead. Exactness: cents longs, the ranked-sum
     * identity G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with sums in
-    * DECIMAL(38,0), num/den emitted as exact longs, the ratio one
-    * final double division both engines round identically. */
+    * DECIMAL(38,0), num/den emitted as exact longs — through
+    * [[graft.functions.PortableMath.exactLong]], so a corpus where
+    * n·Σcents exceeds the BIGINT range fails LOUDLY exactly like the
+    * oracle's HUGEINT→BIGINT cast, never as a silent null — the
+    * ratio one final double division both engines round identically. */
   def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
     val d38 = (c: Column) => c.cast(DecimalType(38, 0))
     val rev = table(spark, dir, "orders")
@@ -1534,9 +1537,11 @@ object Relational {
         sum(col("cents")).as("tot"),
         sum(d38(col("rank")) * d38(col("cents"))).as("rs"))
       .select(col("n").as("n_customers"), col("tot").as("total_cents"),
-        (lit(2) * col("rs") - d38(col("n") + 1) * d38(col("tot")))
-          .cast("long").as("gini_num"),
-        (d38(col("n")) * d38(col("tot"))).cast("long").as("gini_den"))
+        graft.functions.PortableMath.exactLong(
+          lit(2) * col("rs") - d38(col("n") + 1) * d38(col("tot")),
+          "gini_num").as("gini_num"),
+        graft.functions.PortableMath.exactLong(
+          d38(col("n")) * d38(col("tot")), "gini_den").as("gini_den"))
       .withColumn("gini", col("gini_num").cast("double") /
         col("gini_den").cast("double"))
   }
@@ -1693,14 +1698,20 @@ object Relational {
     * units** — value·(1000−f) + value·f on cents longs — so the
     * result is exact and engine-identical with no float percentile
     * semantics to match (the oracle runs the same explicit
-    * interpolation, not quantile_cont). The only driver-side values
-    * are n (one count) and the 5-row quantile spec. */
+    * interpolation, not quantile_cont). Cost structure: n comes out
+    * of [[graft.ops.Ranks.rankedCumsumTotals]]'s own driver folds
+    * (zero extra passes), and both boundary rows of every quantile
+    * fold out of a SINGLE conditional aggregate (q69's pattern) over
+    * the ONE consumption of the ranked frame — the whole query is
+    * the primitive's two tiny actions plus one final plan execution,
+    * never a re-run of the bucket+window pipeline. The only
+    * driver-side values are n and the 5-row quantile spec. */
   def exactQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val cents = table(spark, dir, "lineitem")
       .select(floor(col("l_extendedprice") * 100.0d).cast("long").as("v"))
-    val ranked = graft.ops.Ranks.rankedCumsum(cents, col("v"), col("v"),
-      lit(1L)).select(col("rank"), col("v"))
-    val n = cents.count()
+    val (ranked0, n, _) = graft.ops.Ranks.rankedCumsumTotals(cents,
+      col("v"), col("v"), lit(1L))
+    val ranked = ranked0.select(col("rank"), col("v"))
     val spec = spark.createDataFrame(
       Seq(250L, 500L, 750L, 900L, 990L).map { qm =>
         val pm = 1000L + qm * (n - 1)
@@ -1708,11 +1719,13 @@ object Relational {
         val f = pm % 1000L
         (qm, h, if (f > 0) h + 1 else h, f)
       }).toDF("quantile_milli", "h", "h2", "f")
-    val lo = ranked.join(broadcast(spec), col("rank") === col("h"))
-      .select(col("quantile_milli"), col("f"), col("v").as("v_lo"))
-    val hi = ranked.join(broadcast(spec), col("rank") === col("h2"))
-      .select(col("quantile_milli"), col("v").as("v_hi"))
-    lo.join(hi, Seq("quantile_milli"))
+    ranked
+      .join(broadcast(spec),
+        col("rank") === col("h") || col("rank") === col("h2"))
+      .groupBy(col("quantile_milli"))
+      .agg(max(col("f")).as("f"),
+        max(when(col("rank") === col("h"), col("v"))).as("v_lo"),
+        max(when(col("rank") === col("h2"), col("v"))).as("v_hi"))
       .select(col("quantile_milli"), lit(n).as("n_rows"),
         col("v_lo"), col("v_hi"),
         (col("v_lo") * (lit(1000L) - col("f")) + col("v_hi") * col("f"))

@@ -3492,8 +3492,10 @@ object StreamingQueries {
 
   /** st51: the c28 Bloom sidecar maintained ONLINE during streaming
     * lake ingest — each micro-batch lands as an immutable file batch
-    * under `batch=<id>/` and appends ITS OWN sidecar rows in the same
-    * foreachBatch transaction, so index freshness equals data
+    * under `batch=<id>/` and writes ITS OWN sidecar rows under the
+    * matching `batch=<id>/` index partition in the same foreachBatch —
+    * an overwrite, so a retried micro-batch replaces rather than
+    * duplicates its rows — and index freshness equals data
     * freshness (the reference's changelog-follows-table discipline,
     * applied to an index artifact instead of a state table). Serving
     * afterwards is exactly c28's path — bloom candidates → pruned
@@ -3524,8 +3526,13 @@ object StreamingQueries {
             bid: Long) =>
           val sub = s"$lake/batch=$bid"
           b.write.mode("overwrite").parquet(sub)
+          // Sidecar lands IDEMPOTENTLY under its own batch=<id> dir,
+          // mirroring the data write: a retried/restarted micro-batch
+          // overwrites its own rows instead of re-appending them
+          // (duplicate (file, word) rows would break bloomCandidates'
+          // all-bits-present count — see Lake.bloomCandidates).
           Lake.buildBloomIndex(spark, sub, "event_id")
-            .write.mode("append").parquet(idxDir)
+            .write.mode("overwrite").parquet(s"$idxDir/batch=$bid")
           ()
       }.start()
     try q.processAllAvailable() finally q.stop()

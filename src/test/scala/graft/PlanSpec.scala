@@ -867,4 +867,48 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SinglePartition"),
       s"CUSUM must stay partitioned by type\n$p")
   }
+
+  test("q67: one lineitem scan, one bucket-partitioned window — the " +
+    "single conditional-aggregate boundary read never duplicates the " +
+    "rank pipeline") {
+    val p = plan("q67_exact_quantiles")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"expected exactly 1 lineitem scan (no rank-pipeline re-run), " +
+        s"got $scans\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"global rank must stay bucket-partitioned\n$p")
+    assertWindowsPartitioned(p, "__rk_b")
+  }
+
+  test("d28: vocab rank is bucket-partitioned, and the only broadcast " +
+    "HINTS are the ≤64-row bucket-offset frames — the vocabulary " +
+    "itself attaches by shuffle equi-join") {
+    val df = SparkEntry.queries("d28_prefix_join")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"no stage of the prefix join may funnel to one task\n$p")
+    p.split("\n").filter(_.contains("+- Window")).foreach { l =>
+      assert(l.contains("__rk_b") || l.contains("doc_id"),
+        s"unpartitioned window in the prefix-join plan: $l")
+    }
+    // Explicit hints survive into the optimized logical plan as join
+    // hints; planner-chosen broadcasts (stats-driven, scale-safe) do
+    // not carry one. Every hint must be on the __rk_b offset frame.
+    df.queryExecution.optimizedPlan.toString.split("\n")
+      .filter(_.contains("strategy=broadcast")).foreach { l =>
+        assert(l.contains("__rk_b"),
+          s"broadcast hint on a corpus-sized frame (vocab must " +
+            s"shuffle): $l")
+      }
+  }
+
+  test("t37: the broadcast unigram side is pair-bounded — semi-joined " +
+    "to the surviving pairs' words before the hint, never the whole " +
+    "vocabulary") {
+    val lp = SparkEntry.queries("t37_pmi")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert("Join LeftSemi".r.findAllIn(lp).length >= 2,
+      s"both unigram joins must build on the semi-joined table\n$lp")
+  }
 }

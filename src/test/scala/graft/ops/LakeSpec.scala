@@ -385,5 +385,14 @@ class LakeSpec extends AnyFunSuite with SparkFixture {
     val ghost = Lake.bloomCandidates(idx, Seq(999999L).toDF("event_id"),
       "event_id").count()
     assert(ghost <= 4L, s"ghost key matched $ghost files")
+    // Regression: a duplicated sidecar (retried ingest micro-batch
+    // re-landing its (file, word) rows) must NOT create false
+    // negatives — bloomCandidates folds the index per (file, word)
+    // before counting hits, so n_hit can never exceed n_need.
+    val dupCand = Lake.bloomCandidates(idx.union(idx), probes,
+      "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(dupCand == cand,
+      "duplicated index rows changed the candidate set")
   }
 }

@@ -67,6 +67,26 @@ class RanksSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("rankedCumsum casts the weight to long up front — a fractional " +
+    "weight truncates IDENTICALLY in the in-bucket sums and the " +
+    "driver-folded offsets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 300L).map(i =>
+      (i, rnd.nextInt(50).toLong, rnd.nextInt(5) + 0.9d))
+    val df = rows.toDF("id", "v", "w")
+    val got = Ranks.rankedCumsum(df, col("v"), col("id"), col("w"),
+        nBuckets = 8)
+      .select(col("id"), col("cum")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cum = 0L
+    val want = rows.sortBy(r => (r._2, r._1)).map { case (id, _, w) =>
+      cum += w.toLong
+      id -> cum
+    }.toMap
+    assert(got == want)
+  }
+
   test("rankedCumsum descending via negated value (q62's form)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
