@@ -235,6 +235,10 @@ object SparkEntry {
     "q68_skyline" -> (Relational.skyline _),
     "q69_grouped_quantiles" -> (Relational.groupedQuantiles _),
     "q70_type_correlation" -> (Relational.typeCorrelation _),
+    "q71_equidepth_hist" -> (Relational.equidepthHistogram _),
+    "t39_zipf_slope" -> (PipelineQueries.zipfSlope _),
+    "s40_mips_norm_prune" -> (PipelineQueries.mipsNormPrune _),
+    "c29_lake_version_diff" -> (PipelineQueries.lakeVersionDiff _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1619,6 +1623,102 @@ object SparkEntry {
              / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
                * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))) AS corr
          FROM m""",
+    // q71: global row_number + identical integer bucket arithmetic;
+    // count/lo/hi/NDV depend only on rank RANGES, so tied values
+    // straddling a boundary cannot desync the engines.
+    "q71_equidepth_hist" ->
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT)
+               AS v FROM lineitem),
+         n AS (SELECT count(*) AS n FROM c),
+         r AS (SELECT v, row_number() OVER (ORDER BY v) AS rnk FROM c),
+         b AS (SELECT v, ((rnk - 1) * 16) // greatest(n.n, 1) AS bucket
+               FROM r, n)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           min(v) AS lo, max(v) AS hi,
+           CAST(count(DISTINCT v) AS BIGINT) AS ndv
+         FROM b GROUP BY 1""",
+    // t39: identical rank order (freq DESC, word), two generated
+    // fixed-point log2 chains, HUGEINT sums mirroring DECIMAL(38,0),
+    // the same two decimal->double conversions and one division.
+    "t39_zipf_slope" -> {
+      import graft.functions.PortableMath
+      s"""WITH w AS (SELECT list_filter(string_split(text, ' '),
+               x -> x <> '') AS ws FROM documents),
+         tok AS (SELECT unnest(ws) AS w FROM w),
+         uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+                 FROM tok GROUP BY 1),
+         rk AS (SELECT cu, CAST(cu AS DOUBLE) AS cud,
+                  CAST(row_number() OVER (ORDER BY cu DESC, w)
+                    AS DOUBLE) AS rd
+                FROM uni),
+         ${PortableMath.log2FixedSqlStages("rk", "rd", "xfx", "l2x")},
+         ${PortableMath.log2FixedSqlStages("l2xout", "cud", "yfx", "l2y")},
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+                 sum(CAST(xfx AS HUGEINT)) AS sx,
+                 sum(CAST(yfx AS HUGEINT)) AS sy,
+                 sum(CAST(xfx AS HUGEINT) * yfx) AS sxy,
+                 sum(CAST(xfx AS HUGEINT) * xfx) AS sxx
+               FROM l2yout)
+         SELECT n_vocab,
+           CAST(n_vocab * sxy - sx * sy AS DOUBLE) AS num,
+           CAST(n_vocab * sxx - sx * sx AS DOUBLE) AS den,
+           CAST(n_vocab * sxy - sx * sy AS DOUBLE)
+             / CAST(n_vocab * sxx - sx * sx AS DOUBLE) AS slope
+         FROM a"""
+    },
+    // s40: the oracle is BRUTE-FORCE MIPS — the hash match proves the
+    // norm-bound prune lossless (returned the exact top-k).
+    "s40_mips_norm_prune" ->
+      s"""WITH pre AS ($embPreSql),
+         sims AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             CAST((SELECT sum(x*y)
+               FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS BIGINT)
+               AS dot
+           FROM pre q JOIN pre c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 8)
+         SELECT qid, nid, dot, rank FROM (
+           SELECT qid, nid, dot,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY dot DESC, nid) AS rank
+           FROM sims)
+         WHERE rank <= 10""",
+    // c29: the delta reconstructed from raw events — pre-cutoff state
+    // vs final state per user. Updates always differ (the user has
+    // post-cutoff events, so n_events strictly grows), deletes only
+    // hit pre-existing keys, inserts are post-only users; unchanged
+    // keys (even when their shard was rewritten) must NOT appear.
+    "c29_lake_version_diff" ->
+      """WITH pre AS (SELECT user_id, count(*) AS n,
+               sum(CAST(value AS DECIMAL(12,2))) AS vs
+             FROM events WHERE ts < TIMESTAMP '2024-01-16'
+             GROUP BY user_id),
+         tot AS (SELECT user_id, count(*) AS n,
+               sum(CAST(value AS DECIMAL(12,2))) AS vs
+             FROM events GROUP BY user_id),
+         post AS (SELECT DISTINCT user_id FROM events
+             WHERE ts >= TIMESTAMP '2024-01-16')
+         SELECT p.user_id, 'delete' AS change,
+           CAST(p.n AS BIGINT) AS n_events_old,
+           CAST(NULL AS BIGINT) AS n_events_new,
+           CAST(p.vs AS DOUBLE) AS val_sum_old,
+           CAST(NULL AS DOUBLE) AS val_sum_new
+         FROM pre p JOIN post po ON po.user_id = p.user_id
+         WHERE p.user_id % 7 = 3
+         UNION ALL
+         SELECT t.user_id, 'update',
+           CAST(p.n AS BIGINT), CAST(t.n AS BIGINT),
+           CAST(p.vs AS DOUBLE), CAST(t.vs AS DOUBLE)
+         FROM tot t JOIN post po ON po.user_id = t.user_id
+              JOIN pre p ON p.user_id = t.user_id
+         WHERE t.user_id % 7 <> 3
+         UNION ALL
+         SELECT t.user_id, 'insert',
+           CAST(NULL AS BIGINT), CAST(t.n AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(t.vs AS DOUBLE)
+         FROM tot t JOIN post po ON po.user_id = t.user_id
+              LEFT JOIN pre p ON p.user_id = t.user_id
+         WHERE t.user_id % 7 <> 3 AND p.user_id IS NULL""",
     // q68: the oracle is the QUADRATIC canon — NOT EXISTS dominance
     // self-join; the hash match proves the prefix-min sweep rewrite.
     "q68_skyline" ->

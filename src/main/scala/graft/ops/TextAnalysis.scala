@@ -1200,4 +1200,45 @@ object TextAnalysis {
       .orderBy(col("pmi_fp").desc, col("bigram"))
       .limit(k)
   }
+
+  /** t39: Zipf rank-frequency slope — the power-law exponent of the
+    * corpus vocabulary (Zipf's law: freq ∝ rank^s, s ≈ −1 for natural
+    * language), the companion diagnostic to t36's Heaps' law: a
+    * machine-generated or template-heavy corpus bends the slope, so
+    * the fit is a one-row corpus-quality gate. Least squares over
+    * (log2 rank, log2 freq) with BOTH logs in
+    * [[graft.functions.PortableMath.withLog2Fixed]] integer fixed
+    * point — the sums Σx, Σy, Σxy, Σx² are exact DECIMAL(38,0)
+    * integers (the oracle's HUGEINT), num/den of the closed-form
+    * slope are exact integer expressions, and the only floating point
+    * is the two final correctly-rounded decimal→double conversions
+    * and one division — bit-identical in any engine. The global
+    * frequency rank comes from [[Ranks.rankedCumsum]] (vocab-scaled,
+    * bucket-partitioned — never a single-task window); everything
+    * after the rank is one map + one scalar aggregate. */
+  def zipfSlope(df: DataFrame, text: Column): DataFrame = {
+    import graft.functions.PortableMath
+    val d38 = (c: Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val ws = filter(split(text, " "), w => w =!= "")
+    val uni = df.select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val ranked = Ranks.rankedCumsum(uni, -col("cu"), col("w"), lit(1L))
+      .select(col("cu"), col("rank"))
+    val withX = PortableMath.withLog2Fixed(ranked,
+      col("rank").cast("double"), "xfx")
+    val withXY = PortableMath.withLog2Fixed(withX,
+      col("cu").cast("double"), "yfx")
+    withXY
+      .agg(count(lit(1)).as("k"),
+        sum(d38(col("xfx"))).as("sx"), sum(d38(col("yfx"))).as("sy"),
+        sum(d38(col("xfx")) * col("yfx")).as("sxy"),
+        sum(d38(col("xfx")) * col("xfx")).as("sxx"))
+      .select(col("k").as("n_vocab"),
+        (d38(col("k")) * col("sxy") - col("sx") * col("sy"))
+          .cast("double").as("num"),
+        (d38(col("k")) * col("sxx") - col("sx") * col("sx"))
+          .cast("double").as("den"))
+      .withColumn("slope", col("num") / col("den"))
+  }
 }

@@ -490,6 +490,59 @@ object Vectors {
       .filter(col("rank") <= k)
   }
 
+  /** s40: EXACT MIPS with Cauchy–Schwarz norm-bound pruning — the
+    * TA/Fagin-style "bound then verify" serving path (branch-and-bound
+    * MIPS, Ram & Gray KDD'12 canon) that returns the EXACT top-k while
+    * opening only a norm-qualified slice of the corpus:
+    *   1. seed: the `seedM` highest-norm vectors (one TakeOrdered —
+    *      per-partition top-m fold, never a full sort) score exactly
+    *      against every query; the per-query k-th seed dot `dk` is a
+    *      LOWER bound on the true k-th best (seed ⊆ corpus);
+    *   2. prune: dot(q,x) ≤ ‖q‖·‖x‖, so any x with ‖q‖²·‖x‖² < dk²
+    *      (dk ≥ 0) provably cannot enter the top-k — the filter is an
+    *      exact DECIMAL(38,0) compare of integer squares, no sqrt, no
+    *      float; a negative dk prunes nothing (the bound is ≥ 0);
+    *   3. verify: exact int64 dots on survivors only, one global
+    *      per-query top-k.
+    * Lossless by construction — the oracle is the BRUTE-FORCE MIPS,
+    * and the hash match is the proof. At 100 TB the corpus pass in
+    * step 2 reads only (vid, n2) — two columns — and step 3's dot
+    * kernel touches the pruned slice; the query set rides broadcast
+    * (request-bounded), the corpus never moves. Pruning power scales
+    * with norm spread (documented: unit-normalized corpora degrade to
+    * brute force, which is why the report spec measures the survivor
+    * fraction on real fixtures). */
+  def mipsNormPruneTopK(corpus: DataFrame, queries: DataFrame,
+      id: Column, emb: Column, k: Int, seedM: Int = 64): DataFrame = {
+    val d38 = (c: Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val c = prepared(corpus, id, emb)
+    val q = prepared(queries, id, emb)
+      .select(col("vid").as("qid"), col("iv").as("qiv"),
+        col("n2").as("qn2"))
+    val seed = c.orderBy(col("n2").desc, col("vid")).limit(seedM)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("nid"))
+    val bounds = q.crossJoin(broadcast(seed))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("nid"),
+        idot(col("qiv"), col("iv")).as("dot"))
+      .withColumn("r", row_number().over(wq))
+      .filter(col("r") === k)
+      .select(col("qid"), col("dot").as("dk"))
+    // A query with < k seed dots (tiny corpus) gets dk = -1: prune
+    // nothing for it rather than dropping it from the result.
+    val qb = broadcast(q.join(bounds, Seq("qid"), "left")
+      .withColumn("dk", coalesce(col("dk"), lit(-1L))))
+    c.join(qb, col("vid") =!= col("qid"))
+      .filter(col("dk") < 0L ||
+        d38(col("qn2")) * col("n2") >= d38(col("dk")) * col("dk"))
+      .select(col("qid"), col("vid").as("nid"),
+        idot(col("qiv"), col("iv")).as("dot"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+  }
+
   /** MIPS at scale via the Neyshabur–Srebro reduction (Neyshabur &
     * Srebro, "On Symmetric and Asymmetric LSHs for Inner Product
     * Search", ICML 2015 — public): append one coordinate

@@ -166,6 +166,18 @@ object PipelineQueries {
     Retrieval.rrfFuse(sparse, dense, k = 10)
   }
 
+  /** s40: exact MIPS through the Cauchy–Schwarz norm-bound prune —
+    * [[Vectors.mipsNormPruneTopK]]'s bound-then-verify serving path,
+    * proven lossless against the brute-force oracle (identical hash =
+    * the pruned pass returned the exact top-k). VectorServeSpec
+    * measures the survivor fraction on the fixture and pins parity
+    * with [[Vectors.mipsTopK]] on randomized corpora. */
+  def mipsNormPrune(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.mipsNormPruneTopK(e, e.filter(col("vec_id") < 8),
+      col("vec_id"), col("embedding"), k = 10)
+  }
+
   /** s23: late-interaction MaxSim — labels are multi-vector "documents",
     * vec_id < 5 is the query bag; integer MaxSim, exact ranking. */
   def maxSim(spark: SparkSession, dir: String): DataFrame = {
@@ -831,6 +843,11 @@ object PipelineQueries {
   /** t36: Heaps'-law vocabulary growth at 10 corpus checkpoints. */
   def heapsLaw(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.heapsLaw(docs(spark, dir), col("text"), col("doc_id"))
+
+  /** t39: Zipf slope over the documents vocabulary — see
+    * [[TextAnalysis.zipfSlope]]. */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfSlope(docs(spark, dir), col("text"))
 
   /** t37: top-20 PMI collocations (support ≥ 5), fixed-point log2. */
   def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
@@ -1591,6 +1608,24 @@ object PipelineQueries {
       .select(col("user_id"), col("n_events"),
         col("val_sum").cast("double").as("val_sum"))
   }
+
+  /** c29: CHANGE DATA FEED between the two committed snapshots of the
+    * c19 lake — the merge's effect read back as a keyed delta without
+    * re-scanning either snapshot: manifest-identical shards are
+    * provably unchanged and are never opened ([[Lake.versionDiff]];
+    * LakeSpec pins the input-file set to the touched shards). The
+    * oracle reconstructs the same delta from raw events (pre-cutoff
+    * state vs final state per user), so the hash match proves the
+    * diff reports exactly the merge's inserts/updates/deletes —
+    * survivor rows copied into rewritten shards are suppressed by
+    * the null-safe whole-row compare, never mis-reported. */
+  def lakeVersionDiff(spark: SparkSession, dir: String): DataFrame =
+    Lake.versionDiff(spark, buildVersionedProfiles(spark, dir),
+        "user_id", 1, 2)
+      .select(col("user_id"), col("change"),
+        col("n_events_old"), col("n_events_new"),
+        col("val_sum_old").cast("double").as("val_sum_old"),
+        col("val_sum_new").cast("double").as("val_sum_new"))
 
   /** s31: ANN index DELETE — the FAISS remove_ids lifecycle completing
     * the s25 (store) / s26 (add) maintenance set: tombstoned vectors

@@ -903,6 +903,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       }
   }
 
+  test("q71: the histogram's global rank is bucket-partitioned — one " +
+    "lineitem scan path, no single-partition stage anywhere") {
+    val p = plan("q71_equidepth_hist")
+    assert(!p.contains("SinglePartition"),
+      s"equi-depth stats must never funnel to one task\n$p")
+    assertWindowsPartitioned(p, "__rk_b")
+  }
+
+  test("t39: the vocabulary rank behind the Zipf fit is " +
+    "bucket-partitioned — never a single-task window") {
+    val p = plan("t39_zipf_slope")
+    assertWindowsPartitioned(p, "__rk_b")
+  }
+
   test("t37: the broadcast unigram side is pair-bounded — semi-joined " +
     "to the surviving pairs' words before the hint, never the whole " +
     "vocabulary") {

@@ -252,6 +252,32 @@ class LakeSpec extends AnyFunSuite with SparkFixture {
     assert(Lake.latestVersion(path) == 2)
   }
 
+  test("versionDiff: classifies insert/update/delete, suppresses " +
+      "identical survivors, and opens ONLY manifest-differing shards") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_lake_diff")
+    val path = out.resolve("t").toString
+    // same lake as the merge test: v2 touches shards 1 and 2 only
+    Lake.writeVersioned((0L to 7L).map(k => (k, k * 100)).toDF("k", "v"),
+      "k", path, 4)
+    Lake.mergeVersioned(spark, path, "k", Seq(
+      (1L, 111L, "upsert"), (9L, 999L, "upsert"),
+      (2L, 0L, "delete")).toDF("k", "v", "op"), 4)
+    val diff = Lake.versionDiff(spark, path, "k", 1, 2)
+    val got = diff.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.get(2)), Option(r.get(3)))).toSet
+    // k=5 lives in rewritten shard 1 but is UNCHANGED -> suppressed.
+    assert(got == Set(
+      (1L, "update", Some(100L), Some(111L)),
+      (9L, "insert", None, Some(999L)),
+      (2L, "delete", Some(200L), None)), got.toString)
+    // manifest pruning: the diff never opened shards 0 and 3.
+    val opened = diff.inputFiles.toSet
+    assert(opened.nonEmpty)
+    assert(opened.forall(f => f.contains("shard=1") ||
+      f.contains("shard=2")), opened.mkString("\n"))
+  }
+
   test("versioned merge: deleting a shard's every row marks it empty " +
       "and a further merge can repopulate it") {
     import spark.implicits._

@@ -67,6 +67,27 @@ class RanksSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("rankedCumsumTotals returns the exact global (n, sum-weight) " +
+    "alongside the identical ranked frame — zero extra passes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = (0L until 250L).map(i =>
+      (i, rnd.nextInt(30).toLong, rnd.nextInt(9).toLong + 1L))
+    val df = rows.toDF("id", "v", "w")
+    val (ranked, n, tw) = Ranks.rankedCumsumTotals(df, col("v"),
+      col("id"), col("w"), nBuckets = 8)
+    assert(n == 250L)
+    assert(tw == rows.map(_._3).sum)
+    val viaPlain = Ranks.rankedCumsum(df, col("v"), col("id"), col("w"),
+        nBuckets = 8)
+      .select(col("id"), col("rank"), col("cum")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaTotals = ranked
+      .select(col("id"), col("rank"), col("cum")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaTotals == viaPlain)
+  }
+
   test("rankedCumsum casts the weight to long up front — a fractional " +
     "weight truncates IDENTICALLY in the in-bucket sums and the " +
     "driver-folded offsets") {

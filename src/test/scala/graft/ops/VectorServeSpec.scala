@@ -122,6 +122,56 @@ class VectorServeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("s40: norm-bound pruned MIPS == brute MIPS on randomized " +
+      "corpora (lossless bound), and the prune actually bites when " +
+      "norms spread") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // Norm spread is the point: scale each vector by a random factor
+    // so the Cauchy-Schwarz bound separates candidates.
+    val df = (0L until 120L).map { i =>
+      val s = 0.2f + rnd.nextFloat() * 3f
+      (i, Array.fill(8)((rnd.nextFloat() - 0.5f) * s))
+    }.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 5)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getInt(3))).toSet
+    val brute = key(Vectors.mipsTopK(df, q, col("vec_id"),
+      col("embedding"), k = 6))
+    for (seedM <- Seq(8, 32, 200)) {
+      val pruned = key(Vectors.mipsNormPruneTopK(df, q, col("vec_id"),
+        col("embedding"), k = 6, seedM = seedM))
+      assert(pruned === brute, s"seedM=$seedM")
+    }
+    // Survivor fraction — replicate the bound filter inline and count
+    // the verified pairs: on a norm-spread corpus the bound must
+    // strictly prune vs the 5·(N−1) brute pair count.
+    val c = Vectors.prepared(df, col("vec_id"), col("embedding"))
+    val nCorpus = c.count()
+    val qp = Vectors.prepared(q, col("vec_id"), col("embedding"))
+      .select(col("vid").as("qid"), col("iv").as("qiv"),
+        col("n2").as("qn2"))
+    val seed = c.orderBy(col("n2").desc, col("vid")).limit(32)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))
+    val dks = qp.crossJoin(broadcast(seed))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("qn2"), col("vid").as("nid"),
+        Vectors.idot(col("qiv"), col("iv")).as("dot"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 6)
+      .select(col("qid"), col("qn2"), col("dot").as("dk"))
+    val d38 = (x: org.apache.spark.sql.Column) =>
+      x.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val survivors = c.crossJoin(broadcast(dks))
+      .filter(col("vid") =!= col("qid"))
+      .filter(col("dk") < 0L ||
+        d38(col("qn2")) * col("n2") >= d38(col("dk")) * col("dk"))
+      .count()
+    assert(survivors < 5L * (nCorpus - 1),
+      s"norm bound never pruned: $survivors pairs")
+  }
+
   test("graph ANN: narrow search visits only entry + adjacency + " +
       "beam-expansion nodes (s27's bounded-cost invariant)") {
     val g = Vectors.knnGraphEdges(vecs, col("vec_id"), col("embedding"),
