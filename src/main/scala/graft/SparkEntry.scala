@@ -239,6 +239,9 @@ object SparkEntry {
     "t39_zipf_slope" -> (PipelineQueries.zipfSlope _),
     "s40_mips_norm_prune" -> (PipelineQueries.mipsNormPrune _),
     "c29_lake_version_diff" -> (PipelineQueries.lakeVersionDiff _),
+    "t40_tfidf_keywords" -> (PipelineQueries.tfidfKeywords _),
+    "st52_stream_incremental_cdc" ->
+      (StreamingQueries.streamIncrementalCdc _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1688,37 +1691,37 @@ object SparkEntry {
     // post-cutoff events, so n_events strictly grows), deletes only
     // hit pre-existing keys, inserts are post-only users; unchanged
     // keys (even when their shard was rewritten) must NOT appear.
-    "c29_lake_version_diff" ->
-      """WITH pre AS (SELECT user_id, count(*) AS n,
-               sum(CAST(value AS DECIMAL(12,2))) AS vs
-             FROM events WHERE ts < TIMESTAMP '2024-01-16'
-             GROUP BY user_id),
-         tot AS (SELECT user_id, count(*) AS n,
-               sum(CAST(value AS DECIMAL(12,2))) AS vs
-             FROM events GROUP BY user_id),
-         post AS (SELECT DISTINCT user_id FROM events
-             WHERE ts >= TIMESTAMP '2024-01-16')
-         SELECT p.user_id, 'delete' AS change,
-           CAST(p.n AS BIGINT) AS n_events_old,
-           CAST(NULL AS BIGINT) AS n_events_new,
-           CAST(p.vs AS DOUBLE) AS val_sum_old,
-           CAST(NULL AS DOUBLE) AS val_sum_new
-         FROM pre p JOIN post po ON po.user_id = p.user_id
-         WHERE p.user_id % 7 = 3
-         UNION ALL
-         SELECT t.user_id, 'update',
-           CAST(p.n AS BIGINT), CAST(t.n AS BIGINT),
-           CAST(p.vs AS DOUBLE), CAST(t.vs AS DOUBLE)
-         FROM tot t JOIN post po ON po.user_id = t.user_id
-              JOIN pre p ON p.user_id = t.user_id
-         WHERE t.user_id % 7 <> 3
-         UNION ALL
-         SELECT t.user_id, 'insert',
-           CAST(NULL AS BIGINT), CAST(t.n AS BIGINT),
-           CAST(NULL AS DOUBLE), CAST(t.vs AS DOUBLE)
-         FROM tot t JOIN post po ON po.user_id = t.user_id
-              LEFT JOIN pre p ON p.user_id = t.user_id
-         WHERE t.user_id % 7 <> 3 AND p.user_id IS NULL""",
+    "c29_lake_version_diff" -> lakeCdcOracleSql,
+    // st52: the same NET delta — the parity-split commit chain must
+    // land on the single-merge state, and diffing across the chain
+    // (v1 -> v3) must report exactly the one-merge change feed.
+    "st52_stream_incremental_cdc" -> lakeCdcOracleSql,
+    // t40: identical tf/df longs, one correctly-rounded N/df double
+    // division, the generated fixed-point log2 chain, identical
+    // (score DESC, term) per-doc top-3.
+    "t40_tfidf_keywords" -> {
+      import graft.functions.PortableMath
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '),
+               x -> x <> '') AS ws FROM documents),
+         tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+         tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY 1, 2),
+         dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+                 FROM tf GROUP BY 1),
+         n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+               FROM tok),
+         sc AS (SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
+                  CAST(n.n AS DOUBLE) / CAST(dfq.df AS DOUBLE) AS ratio
+                FROM tf JOIN dfq ON dfq.w = tf.w, n),
+         ${PortableMath.log2FixedSqlStages("sc", "ratio", "idf_fp",
+            "l2t")},
+         r AS (SELECT doc_id, w, tf, df, tf * idf_fp AS score_fp,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tf * idf_fp DESC, w) AS rank
+               FROM l2tout)
+         SELECT doc_id, rank, w AS term, tf, df, score_fp
+         FROM r WHERE rank <= 3"""
+    },
     // q68: the oracle is the QUADRATIC canon — NOT EXISTS dominance
     // self-join; the hash match proves the prefix-min sweep rewrite.
     "q68_skyline" ->
@@ -6088,6 +6091,43 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     (ex +: per).mkString(",\n") + "\n" + union
   }
+
+  /** c29/st52: the versioned-profile lake's net change feed,
+    * reconstructed from raw events (pre-cutoff state vs final state
+    * per user). Shared by the single-merge diff (c29) and the
+    * streaming commit-chain diff (st52) — key-disjoint batches with
+    * full-payload upserts compose to the same final state. */
+  private def lakeCdcOracleSql: String =
+    """WITH pre AS (SELECT user_id, count(*) AS n,
+           sum(CAST(value AS DECIMAL(12,2))) AS vs
+         FROM events WHERE ts < TIMESTAMP '2024-01-16'
+         GROUP BY user_id),
+       tot AS (SELECT user_id, count(*) AS n,
+           sum(CAST(value AS DECIMAL(12,2))) AS vs
+         FROM events GROUP BY user_id),
+       post AS (SELECT DISTINCT user_id FROM events
+           WHERE ts >= TIMESTAMP '2024-01-16')
+       SELECT p.user_id, 'delete' AS change,
+         CAST(p.n AS BIGINT) AS n_events_old,
+         CAST(NULL AS BIGINT) AS n_events_new,
+         CAST(p.vs AS DOUBLE) AS val_sum_old,
+         CAST(NULL AS DOUBLE) AS val_sum_new
+       FROM pre p JOIN post po ON po.user_id = p.user_id
+       WHERE p.user_id % 7 = 3
+       UNION ALL
+       SELECT t.user_id, 'update',
+         CAST(p.n AS BIGINT), CAST(t.n AS BIGINT),
+         CAST(p.vs AS DOUBLE), CAST(t.vs AS DOUBLE)
+       FROM tot t JOIN post po ON po.user_id = t.user_id
+            JOIN pre p ON p.user_id = t.user_id
+       WHERE t.user_id % 7 <> 3
+       UNION ALL
+       SELECT t.user_id, 'insert',
+         CAST(NULL AS BIGINT), CAST(t.n AS BIGINT),
+         CAST(NULL AS DOUBLE), CAST(t.vs AS DOUBLE)
+       FROM tot t JOIN post po ON po.user_id = t.user_id
+            LEFT JOIN pre p ON p.user_id = t.user_id
+       WHERE t.user_id % 7 <> 3 AND p.user_id IS NULL"""
 
   private def embPreSql: String =
     """SELECT vec_id,

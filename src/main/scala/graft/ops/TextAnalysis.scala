@@ -1201,6 +1201,43 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** t40: TF-IDF top-k keyword extraction per document — the corpus-
+    * wide tagging op (t22's BM25 scores ad-hoc QUERIES against docs;
+    * this scores every document's own terms against the corpus, the
+    * label a curation pipeline attaches to each record). Exactness:
+    * tf and df are exact longs, idf = log2(N/df) is ONE correctly-
+    * rounded double division (both operands integer-valued, < 2^53)
+    * fed to [[graft.functions.PortableMath.withLog2Fixed]] — the
+    * fixed-point integer score tf·idf_fp sums/ranks exactly, so the
+    * per-doc top-k ORDER is bit-deterministic in any engine. Scale
+    * shape: one (doc, term) exchange for tf, one vocab exchange for
+    * df, ranks attach by a vocab-keyed SHUFFLE equi-join (document
+    * frequencies grow with the corpus — never broadcast), the log2
+    * chain is map-only codegen, and the per-doc top-k window is
+    * doc-partitioned. N rides a one-row broadcast. */
+  def tfidfKeywords(df: DataFrame, text: Column, id: Column,
+      k: Int = 3): DataFrame = {
+    import graft.functions.PortableMath
+    val ws = filter(split(text, " "), w => w =!= "")
+    val toks = df.select(id.as("doc_id"), explode(ws).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = toks.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, Seq("w")).crossJoin(broadcast(n))
+      .withColumn("ratio",
+        col("n").cast("double") / col("df").cast("double"))
+    PortableMath.withLog2Fixed(scored, col("ratio"), "idf_fp")
+      .withColumn("score_fp", col("tf") * col("idf_fp"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score_fp").desc, col("w"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("w").as("term"),
+        col("tf"), col("df"), col("score_fp"))
+  }
+
   /** t39: Zipf rank-frequency slope — the power-law exponent of the
     * corpus vocabulary (Zipf's law: freq ∝ rank^s, s ≈ −1 for natural
     * language), the companion diagnostic to t36's Heaps' law: a

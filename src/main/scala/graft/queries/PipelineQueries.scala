@@ -849,6 +849,12 @@ object PipelineQueries {
   def zipfSlope(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.zipfSlope(docs(spark, dir), col("text"))
 
+  /** t40: TF-IDF top-3 keywords per document — see
+    * [[TextAnalysis.tfidfKeywords]]. */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfKeywords(docs(spark, dir), col("text"),
+      col("doc_id"))
+
   /** t37: top-20 PMI collocations (support ≥ 5), fixed-point log2. */
   def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiCollocations(docs(spark, dir), col("text"))

@@ -3550,6 +3550,68 @@ object StreamingQueries {
         floor(col("value") * 100.0d).cast("long").as("cents"))
   }
 
+  /** st52: STREAMING INCREMENTAL COMMITS + NET CHANGE DATA FEED — the
+    * c19/c29 lifecycle driven by a stream: the change set arrives as
+    * micro-batches (split by key parity — disjoint, so commit order
+    * cannot matter), each foreachBatch commits its OWN copy-on-write
+    * version via [[graft.ops.Lake.mergeVersioned]], and the result is
+    * [[graft.ops.Lake.versionDiff]] across the WHOLE chain (v1 →
+    * latest). Because the per-batch key sets are disjoint and upserts
+    * carry full final payloads, the composed commits land on exactly
+    * the single-merge state — so the net diff shares c29's oracle,
+    * and the hash match proves two things at once: the manifest
+    * chain composes correctly across streaming commits, and the
+    * diff's manifest pruning stays lossless when the two versions
+    * are several commits apart. */
+  def streamIncrementalCdc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Lake
+    val ev = Sources.table(spark, dir, "events")
+    val cutoff = lit("2024-01-16").cast("timestamp")
+    def profiles(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(12,2)")).as("val_sum"))
+    val lakeDir = tempDir("graft_scdc") + "/profiles"
+    Lake.writeVersioned(profiles(ev.filter(col("ts") < cutoff)),
+      "user_id", lakeDir, 8)
+    val postUsers = ev.filter(col("ts") >= cutoff)
+      .select(col("user_id")).distinct()
+    val dels = postUsers.filter(col("user_id") % 7 === 3)
+      .select(col("user_id"), lit(null).cast("long").as("n_events"),
+        lit(null).cast("decimal(22,2)").as("val_sum"),
+        lit("delete").as("op"))
+    val changes = profiles(ev)
+      .join(postUsers.filter(col("user_id") % 7 =!= 3), Seq("user_id"))
+      .withColumn("op", lit("upsert"))
+      .unionByName(dels)
+    val staging = tempDir("graft_scdc_src")
+    val now = System.currentTimeMillis()
+    stageFile(changes.filter(col("user_id") % 2 === 0), staging,
+      "b1.parquet", now - 120000)
+    stageFile(changes.filter(col("user_id") % 2 === 1), staging,
+      "b2.parquet", now - 60000)
+    val ckpt = tempDir("graft_scdc_ckpt")
+    val q = spark.readStream
+      .schema(changes.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staging)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          if (!b.isEmpty)
+            Lake.mergeVersioned(spark, lakeDir, "user_id", b, 8)
+          ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    Lake.versionDiff(spark, lakeDir, "user_id", 1,
+        Lake.latestVersion(lakeDir))
+      .select(col("user_id"), col("change"),
+        col("n_events_old"), col("n_events_new"),
+        col("val_sum_old").cast("double").as("val_sum_old"),
+        col("val_sum_new").cast("double").as("val_sum_new"))
+  }
+
   /** st50: the A/B experiment readout LIVE — q66's distinct-user
     * conversion counts maintained as first-seen state, the exact
     * integer z-test applied to the folded counts (shared q66

@@ -917,6 +917,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assertWindowsPartitioned(p, "__rk_b")
   }
 
+  test("t40: document frequencies attach by SHUFFLE equi-join (the " +
+    "vocab grows with the corpus), only the one-row N rides broadcast, " +
+    "and the top-k window is doc-partitioned") {
+    val df = SparkEntry.queries("t40_tfidf_keywords")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assertWindowsPartitioned(p, "doc_id")
+    df.queryExecution.optimizedPlan.toString.split("\n")
+      .filter(_.contains("strategy=broadcast")).foreach { l =>
+        assert(l.contains("Join Cross"),
+          s"broadcast hint on a keyed join (df must shuffle): $l")
+      }
+  }
+
   test("t37: the broadcast unigram side is pair-bounded — semi-joined " +
     "to the surviving pairs' words before the hint, never the whole " +
     "vocabulary") {

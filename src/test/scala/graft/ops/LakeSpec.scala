@@ -278,6 +278,28 @@ class LakeSpec extends AnyFunSuite with SparkFixture {
       f.contains("shard=2")), opened.mkString("\n"))
   }
 
+  test("versionDiff across a multi-commit chain: per-shard manifest " +
+      "entries from DIFFERENT versions compose into one correct diff") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_lake_diff_chain")
+    val path = out.resolve("t").toString
+    Lake.writeVersioned((0L to 7L).map(k => (k, k * 100)).toDF("k", "v"),
+      "k", path, 4)
+    // v2 touches shard 1 (update k=1); v3 touches shard 2 (delete k=2)
+    Lake.mergeVersioned(spark, path, "k",
+      Seq((1L, 111L, "upsert")).toDF("k", "v", "op"), 4)
+    Lake.mergeVersioned(spark, path, "k",
+      Seq((2L, 0L, "delete")).toDF("k", "v", "op"), 4)
+    val m3 = Lake.readManifest(path, 3)
+    assert(m3(1) == "files/v2" && m3(2) == "files/v3", m3.toString)
+    val got = Lake.versionDiff(spark, path, "k", 1, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(got == Set(
+      (1L, "update", Some(100L), Some(111L)),
+      (2L, "delete", Some(200L), None)), got.toString)
+  }
+
   test("versioned merge: deleting a shard's every row marks it empty " +
       "and a further merge can repopulate it") {
     import spark.implicits._
