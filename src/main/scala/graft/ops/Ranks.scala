@@ -29,6 +29,22 @@ import org.apache.spark.sql.functions._
   * queries over it. */
 object Ranks {
 
+  /** Bucket id of `v` under sorted cut points = count of cuts ≤ v, as
+    * a chained `when` comparison ladder. NOT `size(filter(array(...)))`:
+    * the lambda HOF evaluates interpreted and allocates a boxed
+    * 63-element array PER ROW — at 600k rows that allocation storm
+    * measured intermittent 8-13 s GC convoys in warm 32-thread
+    * sessions (bench runs), while this branch ladder is pure
+    * whole-stage-codegen compare/select with zero allocation. */
+  private def bucketExpr(cuts: Array[Double], v: Column): Column =
+    if (cuts.isEmpty) lit(0)
+    else {
+      val vd = v.cast("double")
+      cuts.zipWithIndex.foldLeft(lit(0)) { case (acc, (c, i)) =>
+        when(vd >= lit(c), lit(i + 1)).otherwise(acc)
+      }
+    }
+
   /** Append `rankCol` (1-based global rank by (value, tie) ascending,
     * ties broken by `tie` — pass a unique column for determinism) and
     * `cumCol` (inclusive running Σ `weight` in that order) to `df`.
@@ -73,11 +89,7 @@ object Ranks {
     val cuts =
       if (head.isNullAt(2)) Array.empty[Double]
       else head.getSeq[Double](2).toArray.distinct.sorted
-    val bucket =
-      if (cuts.isEmpty) lit(0)
-      else size(filter(array(cuts.map(lit(_)): _*),
-        b => col("__rk_v").cast("double") >= b))
-    val withB = base.withColumn("__rk_b", bucket)
+    val withB = base.withColumn("__rk_b", bucketExpr(cuts, col("__rk_v")))
     // Tiny per-bucket totals → cumulative offsets, broadcast back.
     val perBucket = withB.groupBy(col("__rk_b"))
       .agg(count(lit(1)).as("__rk_n"), sum(col("__rk_w")).as("__rk_s"))
@@ -115,11 +127,7 @@ object Ranks {
     val cuts = base.select(col("__rk_v").cast("double").as("__rk_d"))
       .stat.approxQuantile("__rk_d", probs, 0.001)
       .distinct.sorted
-    val bucket =
-      if (cuts.isEmpty) lit(0)
-      else size(filter(array(cuts.map(lit(_)): _*),
-        b => col("__rk_v").cast("double") >= b))
-    val withB = base.withColumn("__rk_b", bucket)
+    val withB = base.withColumn("__rk_b", bucketExpr(cuts, col("__rk_v")))
     val perBucket = withB.groupBy(col("__rk_b"))
       .agg(min(col("__rk_o")).as("__rk_m"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

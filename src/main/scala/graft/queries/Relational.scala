@@ -1728,9 +1728,13 @@ object Relational {
         val f = pm % 1000L
         (qm, h, if (f > 0) h + 1 else h, f)
       }).toDF("quantile_milli", "h", "h2", "f")
+    // crossJoin + conditional aggregate, NOT a filter-join: q69's
+    // shape — one whole-stage-codegen pass, no join-algorithm choice
+    // for the planner to get wrong (a BroadcastNestedLoopJoin with an
+    // OR-equality here measured wildly variable, 4-47 s on identical
+    // data; the 5x-row expand through a partial agg is stable cents).
     ranked
-      .join(broadcast(spec),
-        col("rank") === col("h") || col("rank") === col("h2"))
+      .crossJoin(broadcast(spec))
       .groupBy(col("quantile_milli"))
       .agg(max(col("f")).as("f"),
         max(when(col("rank") === col("h"), col("v"))).as("v_lo"),
