@@ -242,6 +242,11 @@ object SparkEntry {
     "t40_tfidf_keywords" -> (PipelineQueries.tfidfKeywords _),
     "st52_stream_incremental_cdc" ->
       (StreamingQueries.streamIncrementalCdc _),
+    "q72_chi2_independence" -> (Relational.chi2Independence _),
+    "q73_weighted_quantiles" -> (Relational.weightedQuantiles _),
+    "t41_lexical_diversity" -> (PipelineQueries.lexicalDiversity _),
+    "t42_token_entropy" -> (PipelineQueries.tokenEntropy _),
+    "d29_containment_join" -> (PipelineQueries.containmentJoin _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1640,6 +1645,114 @@ object SparkEntry {
            min(v) AS lo, max(v) AS hi,
            CAST(count(DISTINCT v) AS BIGINT) AS ndv
          FROM b GROUP BY 1""",
+    // q72: identical contingency integers; dev and N·r·c are exact
+    // INT128/DECIMAL(38,0) on both sides, then the same two
+    // correctly-rounded double conversions, one multiply, one divide.
+    // No cross-row double sum is emitted, so hash order is moot.
+    "q72_chi2_independence" ->
+      """WITH cells AS (SELECT o_orderstatus AS status,
+               o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS o
+             FROM orders GROUP BY 1, 2),
+         r AS (SELECT status, CAST(sum(o) AS BIGINT) AS r
+               FROM cells GROUP BY 1),
+         c AS (SELECT priority, CAST(sum(o) AS BIGINT) AS c
+               FROM cells GROUP BY 1),
+         n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+         SELECT cells.status, cells.priority, cells.o, r.r, c.c, n.n,
+           CAST(CAST(n.n AS HUGEINT) * cells.o
+               - CAST(r.r AS HUGEINT) * c.c AS DOUBLE)
+             * CAST(CAST(n.n AS HUGEINT) * cells.o
+               - CAST(r.r AS HUGEINT) * c.c AS DOUBLE)
+             / CAST(CAST(n.n AS HUGEINT) * r.r * c.c AS DOUBLE)
+             AS contrib
+         FROM cells JOIN r ON r.status = cells.status
+           JOIN c ON c.priority = cells.priority, n""",
+    // q73: same tie-collapsed (flag, v) pre-aggregate, same integer
+    // cross-multiplied threshold (k·cum vs p·W) — the selected v is
+    // invariant to tie order because ties were collapsed first.
+    "q73_weighted_quantiles" ->
+      """WITH bv AS (SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                 AS wv,
+               CAST(count(*) AS BIGINT) AS nv
+             FROM lineitem GROUP BY 1, 2),
+         cw AS (SELECT flag, v, wv, nv,
+             CAST(sum(wv) OVER (PARTITION BY flag ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(wv) OVER (PARTITION BY flag) AS BIGINT) AS tw,
+             CAST(sum(nv) OVER (PARTITION BY flag) AS BIGINT) AS n
+           FROM bv)
+         SELECT flag, max(n) AS n_rows, max(tw) AS total_w,
+           min(CASE WHEN cum * 4 >= tw THEN v END) AS p25_cents,
+           min(CASE WHEN cum * 2 >= tw THEN v END) AS median_cents,
+           min(CASE WHEN cum * 4 >= tw * 3 THEN v END) AS p75_cents
+         FROM cw GROUP BY 1""",
+    // t41: identical tokenization, all-integer counts and ppm
+    // divisions (Spark div == DuckDB // — both truncate toward zero).
+    "t41_lexical_diversity" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '),
+               x -> x <> '') AS ws FROM documents),
+         tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+         tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax,
+           CAST(count(*) AS BIGINT) * 1000000 // CAST(sum(tf) AS BIGINT)
+             AS ttr_ppm,
+           CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(count(*) AS BIGINT) AS hapax_ppm
+         FROM tf GROUP BY 1""",
+    // t42: the same two fixed-point log2 chains (per-tf, then per-n);
+    // the entropy numerator is an exact BIGINT on both sides and the
+    // one closing divide is correctly-rounded IEEE.
+    "t42_token_entropy" -> {
+      import graft.functions.PortableMath
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '),
+               x -> x <> '') AS ws FROM documents),
+         tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+         tf0 AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                 FROM tok GROUP BY 1, 2),
+         tfd AS (SELECT doc_id, tf, CAST(tf AS DOUBLE) AS tfx FROM tf0),
+         ${PortableMath.log2FixedSqlStages("tfd", "tfx", "l2tf", "ea")},
+         agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(tf * l2tf) AS BIGINT) AS sum_tlog_fp,
+             CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS nx
+           FROM eaout GROUP BY doc_id),
+         ${PortableMath.log2FixedSqlStages("agg", "nx", "log2n_fp", "eb")}
+         SELECT doc_id, n_tokens, n_types, sum_tlog_fp, log2n_fp,
+           CAST(log2n_fp * n_tokens - sum_tlog_fp AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * 65536.0) AS entropy
+         FROM ebout"""
+    },
+    // d29: the oracle is the NAIVE inverted-list containment join over
+    // the same df<=100 vocabulary — the hash match proves the
+    // prefix-vs-full candidate generation lossless. The threshold is
+    // the integer cross-multiplication on both sides.
+    "d29_containment_join" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+         shf AS (SELECT sh.doc_id, sh.s FROM sh
+                 JOIN df ON sh.s = df.s WHERE df.c <= 100),
+         sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                   FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+         SELECT da, db,
+           CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+             AS overlap
+         FROM inter JOIN sizes sa ON da = sa.doc_id
+                    JOIN sizes sb ON db = sb.doc_id
+         WHERE c * 5 >= least(sa.n, sb.n) * 4""",
     // t39: identical rank order (freq DESC, word), two generated
     // fixed-point log2 chains, HUGEINT sums mirroring DECIMAL(38,0),
     // the same two decimal->double conversions and one division.

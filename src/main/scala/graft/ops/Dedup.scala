@@ -452,6 +452,71 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** d29: EXACT containment join (overlap coefficient ≥ θ) — the
+    * quote/subset detector Jaccard structurally misses: a short doc
+    * fully embedded in a long one has overlap |A∩B|/min(|A|,|B|) = 1
+    * but Jaccard ≈ |A|/|B| ≈ 0, so d28 never surfaces it — and
+    * embedded duplication (quoted tweets, syndicated ledes, license
+    * headers) is exactly what inflates a training corpus.
+    *
+    * Same SSJoin prefix-filter scheme as [[prefixJaccardJoin]], with
+    * the containment-specific bound: if |A∩B| ≥ θ·min(|A|,|B|) and A
+    * is the smaller side, then A's first ⌊(1−θ)·|A|⌋+1 rarest
+    * shingles must hit B's FULL set — so candidates come from one
+    * prefix-vs-full equi-join (both directions covered by joining
+    * every doc's prefix against every full posting, pair normalized
+    * to (min,max)). Verify is candidate-sized; the final test
+    * 5·c ≥ 4·min(na,nb) is integer cross-multiplied. Rarity ranks via
+    * the bucketed [[graft.ops.Ranks]] primitive + shuffle equi-join —
+    * the same no-single-task-window, no-vocab-broadcast discipline
+    * d28 adopted for 100×. The metric is defined over the
+    * df ≤ maxDocFreq surviving vocabulary, as in d28 (stopword-grade
+    * shingles carry no dedup signal and cap the posting skew). */
+  def overlapContainmentJoin(df: DataFrame, text: Column, id: Column,
+      shingleN: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Int = 100): DataFrame = {
+    require(threshold == 0.8,
+      "prefix length below is derived for theta = 0.8 (5c >= 4*min)")
+    val sh = df
+      .select(id.as("doc_id"), nativeShingles(df, text, shingleN).as("sa"))
+      .select(col("doc_id"), explode(col("sa")).as("s"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxDocFreq)
+    val ranked = graft.ops.Ranks.rankedCumsum(dfreq, col("c"), col("s"),
+        lit(1L), rankCol = "rk")
+      .select(col("s"), col("rk"))
+    val capped = sh.join(ranked, Seq("s"))
+    val nc = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val prefix = capped.join(nc, Seq("doc_id"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("rk"))))
+      // theta = 0.8: t = ceil(4n/5); prefix = n - t + 1
+      .filter(col("pos").cast("long") <=
+        expr("n - (4 * n + 4) div 5 + 1"))
+      .select(col("doc_id"), col("s"))
+    val cand = prefix.as("a")
+      .join(capped.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+      .distinct()
+    val inter = cand
+      .join(capped.select(col("doc_id").as("da"), col("s")), Seq("da"))
+      .join(capped.select(col("doc_id").as("db"), col("s")),
+        Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+    inter
+      .join(nc.select(col("doc_id").as("da"), col("n").as("na")),
+        Seq("da"))
+      .join(nc.select(col("doc_id").as("db"), col("n").as("nb")),
+        Seq("db"))
+      .filter(col("c") * 5 >= least(col("na"), col("nb")) * 4)
+      .select(col("da"), col("db"),
+        (col("c").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("overlap"))
+  }
+
   /** d27: the (bands × rows) TUNING TABLE for MinHash-LSH — the s37
     * "dial measured" idea on the dedup side: every banding of the same
     * k=16 signatures trades recall for candidate volume (more bands of

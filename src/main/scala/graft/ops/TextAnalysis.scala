@@ -1278,4 +1278,56 @@ object TextAnalysis {
           .cast("double").as("den"))
       .withColumn("slope", col("num") / col("den"))
   }
+
+  /** t41: per-document lexical diversity — type-token ratio and hapax
+    * share, the cheap proxy for "template spam vs real prose" that
+    * corpus reports run next to the Gopher gates (a doc whose TTR
+    * collapses is boilerplate even when its char-class mix looks
+    * clean). All-integer outputs: counts are longs, ratios are ppm by
+    * integer division — no float anywhere, so the hash is trivially
+    * engine-identical. Scale: one (doc, word) aggregate then one
+    * per-doc aggregate — both keyed shuffles that parallelize with
+    * the corpus; nothing global, nothing collected. */
+  def lexicalDiversity(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val ws = filter(split(text, " "), w => w =!= "")
+    val tf = df.select(id.as("doc_id"), explode(ws).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("hapax"),
+        expr("n_types * 1000000L div n_tokens").as("ttr_ppm"),
+        expr("hapax * 1000000L div n_types").as("hapax_ppm"))
+  }
+
+  /** t42: per-document Shannon entropy of the token distribution —
+    * the information-density gate (near-zero entropy = one token
+    * repeated = degenerate text; the metric CCNet-style pipelines
+    * bucket on next to perplexity). Exactness: H = log2(n) −
+    * (Σ tf·log2 tf)/n is assembled from [[PortableMath.withLog2Fixed]]
+    * integers — the numerator log2n_fp·n − Σ tf·l2tf is an EXACT long
+    * (tf and l2tf are per-doc bounded: a 10⁶-token doc keeps the
+    * product under 2⁴⁰ — documented bound, far above any training
+    * document), and the single closing divide is correctly-rounded
+    * IEEE on both engines. Same two keyed aggregates as
+    * [[lexicalDiversity]] plus the 16-round log ladder per distinct
+    * (doc, token) — map-side work that scales with the corpus. */
+  def tokenEntropy(df: DataFrame, text: Column, id: Column): DataFrame = {
+    import graft.functions.PortableMath
+    val ws = filter(split(text, " "), w => w =!= "")
+    val tf = df.select(id.as("doc_id"), explode(ws).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val withL = PortableMath.withLog2Fixed(tf, col("tf").cast("double"),
+      "l2tf")
+    val perDoc = withL.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("tf") * col("l2tf")).as("sum_tlog_fp"))
+    PortableMath.withLog2Fixed(perDoc, col("n_tokens").cast("double"),
+        "log2n_fp")
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("sum_tlog_fp"), col("log2n_fp"),
+        ((col("log2n_fp") * col("n_tokens") - col("sum_tlog_fp"))
+            .cast("double") /
+          (col("n_tokens").cast("double") * lit(65536.0d))).as("entropy"))
+  }
 }

@@ -86,6 +86,12 @@ object PipelineQueries {
   def prefixJoin(spark: SparkSession, dir: String): DataFrame =
     Dedup.prefixJaccardJoin(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** d29: overlap-coefficient containment join, θ = 0.8
+    * ([[Dedup.overlapContainmentJoin]]). */
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.overlapContainmentJoin(docs(spark, dir), col("text"),
+      col("doc_id"))
+
   /** d27: the measured precision/recall table per LSH banding
     * ([[Dedup.bandTuningTable]]) — 16 minhashes banded as 8×2, 4×4,
     * 2×8 against exact Jaccard ≥ 0.5 truth. */
@@ -858,6 +864,16 @@ object PipelineQueries {
   /** t37: top-20 PMI collocations (support ≥ 5), fixed-point log2. */
   def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiCollocations(docs(spark, dir), col("text"))
+
+  /** t41: per-doc type-token ratio + hapax share (ppm integers). */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexicalDiversity(docs(spark, dir), col("text"),
+      col("doc_id"))
+
+  /** t42: per-doc token-distribution Shannon entropy, fixed-point. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(docs(spark, dir), col("text"),
+      col("doc_id"))
 
   /** t38: A-ES weighted sample (k=50, weight = n_chars). */
   def weightedSample(spark: SparkSession, dir: String): DataFrame =

@@ -1915,4 +1915,69 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"),
         max(col("v")).as("hi"), countDistinct(col("v")).as("ndv"))
   }
+
+  /** q72: χ² test of independence between two categorical columns
+    * (order status × priority) — the "are these features correlated"
+    * screen every dataset card runs before trusting a stratification
+    * key. One contingency aggregate; row totals, column totals and N
+    * are tiny re-aggregations of the 15-cell table that the planner
+    * broadcasts (AQE reuses the cells exchange — no extra scans). The
+    * per-cell contribution (N·o − r·c)² / (N·r·c) is formed from EXACT
+    * DECIMAL(38,0) integers (N·o ≤ 10²⁴ and N·r·c ≤ 10³⁶ at a
+    * trillion rows — in range) and only then converted: one
+    * correctly-rounded double multiply + divide, bit-identical in any
+    * IEEE engine. No cross-row double sum is emitted — each cell is a
+    * row, so the hash compare never depends on summation order; the
+    * scalar χ² is the reader's one exact-integer-backed fold away. */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val cells = table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("status")).agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy(col("priority")).agg(sum(col("o")).as("c"))
+    val n = cells.groupBy().agg(sum(col("o")).as("n"))
+    cells.join(rows, Seq("status")).join(cols, Seq("priority"))
+      .crossJoin(n)
+      .withColumn("dev", d38(col("n")) * d38(col("o")) -
+        d38(col("r")) * d38(col("c")))
+      .select(col("status"), col("priority"), col("o"), col("r"),
+        col("c"), col("n"),
+        (col("dev").cast("double") * col("dev").cast("double") /
+          (d38(col("n")) * d38(col("r")) * d38(col("c"))).cast("double"))
+          .as("contrib"))
+  }
+
+  /** q73: EXACT weighted quantiles (p25/median/p75 of price weighted
+    * by quantity) per group — the "token-weighted median document
+    * length" shape of a corpus report, where every row counts by its
+    * mass, not once. Scale design: ties are collapsed FIRST by a
+    * (group, value) pre-aggregate, so the running-sum window runs over
+    * the DOMAIN-bounded distinct-value frame (price cents), not the
+    * corpus — at 100 TB the window input is unchanged while a raw
+    * per-row window would funnel the whole table through 3 partitions.
+    * The boundary read is one conditional aggregate (q69's shape):
+    * the smallest v whose cumulative weight reaches p·W — integer
+    * cross-multiplied (4·cum ≥ k·W), no float thresholds. */
+  def weightedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val byValue = table(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") * 100.0d).cast("long").as("v"),
+        floor(col("l_quantity")).cast("long").as("w"))
+      .groupBy(col("flag"), col("v"))
+      .agg(sum(col("w")).as("wv"), count(lit(1)).as("nv"))
+    val ord = Window.partitionBy(col("flag")).orderBy(col("v"))
+    val all = Window.partitionBy(col("flag"))
+    byValue
+      .withColumn("cum",
+        sum(col("wv")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tw", sum(col("wv")).over(all))
+      .withColumn("n", sum(col("nv")).over(all))
+      .groupBy(col("flag"))
+      .agg(max(col("n")).as("n_rows"), max(col("tw")).as("total_w"),
+        min(when(col("cum") * 4 >= col("tw"), col("v"))).as("p25_cents"),
+        min(when(col("cum") * 2 >= col("tw"), col("v"))).as("median_cents"),
+        min(when(col("cum") * 4 >= col("tw") * 3, col("v"))).as("p75_cents"))
+  }
 }

@@ -903,6 +903,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       }
   }
 
+  test("d29: containment join keeps d28's scale discipline — no " +
+    "single-partition stage, windows bucket- or doc-partitioned, " +
+    "broadcast hints only on the ≤64-row bucket-offset frames") {
+    val df = SparkEntry.queries("d29_containment_join")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"no stage of the containment join may funnel to one task\n$p")
+    p.split("\n").filter(_.contains("+- Window")).foreach { l =>
+      assert(l.contains("__rk_b") || l.contains("doc_id"),
+        s"unpartitioned window in the containment-join plan: $l")
+    }
+    df.queryExecution.optimizedPlan.toString.split("\n")
+      .filter(_.contains("strategy=broadcast")).foreach { l =>
+        assert(l.contains("__rk_b"),
+          s"broadcast hint on a corpus-sized frame (vocab must " +
+            s"shuffle): $l")
+      }
+  }
+
+  test("q73: weighted quantiles window over the tie-collapsed " +
+    "(flag, value) frame only — partitioned by flag, never " +
+    "single-partition") {
+    val p = plan("q73_weighted_quantiles")
+    assert(!p.contains("SinglePartition"),
+      s"weighted quantiles must never funnel to one task\n$p")
+    assertWindowsPartitioned(p, "flag")
+  }
+
   test("q71: the histogram's global rank is bucket-partitioned — one " +
     "lineitem scan path, no single-partition stage anywhere") {
     val p = plan("q71_equidepth_hist")
