@@ -247,6 +247,9 @@ object SparkEntry {
     "t41_lexical_diversity" -> (PipelineQueries.lexicalDiversity _),
     "t42_token_entropy" -> (PipelineQueries.tokenEntropy _),
     "d29_containment_join" -> (PipelineQueries.containmentJoin _),
+    "c30_zonemap_lake" -> (PipelineQueries.zoneMapLake _),
+    "st53_stream_zonemap" -> (StreamingQueries.streamZoneMap _),
+    "s41_ood_scan" -> (PipelineQueries.oodScan _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1753,6 +1756,28 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON da = sa.doc_id
                     JOIN sizes sb ON db = sb.doc_id
          WHERE c * 5 >= least(sa.n, sb.n) * 4""",
+    // c30/st53: the oracle is the UNPRUNED range aggregate — the hash
+    // match proves the zone-map file prune lossless (c30 batch-built,
+    // st53 maintained per streaming micro-batch).
+    "c30_zonemap_lake" -> zoneRangeOracleSql,
+    "st53_stream_zonemap" -> zoneRangeOracleSql,
+    // s41: the s08/s33 Lloyd chain (train on everything, assign vs
+    // the final model), exact int64 L2^2 to the assigned centroid,
+    // global top-50 by (d2 DESC, vec_id).
+    "s41_ood_scan" ->
+      s"""${ivfAssignChainSql("TRUE")},
+         sqd AS (
+           SELECT a.cid, a.vec_id,
+             CAST((SELECT sum((x - y) * (x - y))
+                   FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS BIGINT)
+               AS d2
+           FROM assignT a JOIN pre p ON p.vec_id = a.vec_id
+                          JOIN cents2 c ON c.cid = a.cid)
+         SELECT vec_id, cell, d2, rank FROM (
+           SELECT vec_id, cid AS cell, d2,
+             row_number() OVER (ORDER BY d2 DESC, vec_id) AS rank
+           FROM sqd)
+         WHERE rank <= 50""",
     // t39: identical rank order (freq DESC, word), two generated
     // fixed-point log2 chains, HUGEINT sums mirroring DECIMAL(38,0),
     // the same two decimal->double conversions and one division.
@@ -6204,6 +6229,18 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     (ex +: per).mkString(",\n") + "\n" + union
   }
+
+  /** c30/st53: the unpruned user-range aggregate the zone-map-pruned
+    * read must reproduce exactly. */
+  private def zoneRangeOracleSql: String =
+    """WITH b AS (SELECT max(user_id) * 10 // 100 AS lo,
+           max(user_id) * 25 // 100 AS hi FROM events)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents_sum
+       FROM events, b WHERE user_id BETWEEN b.lo AND b.hi
+       GROUP BY 1"""
 
   /** c29/st52: the versioned-profile lake's net change feed,
     * reconstructed from raw events (pre-cutoff state vs final state

@@ -511,4 +511,38 @@ object Lake {
       .filter(col("n_hit") === col("n_need"))
       .select(col("k"), col("file"))
   }
+
+  // ---- per-file zone-map sidecar (c30/st53) ---------------------------
+  //
+  // The RANGE-predicate twin of the Bloom sidecar: per-file min/max
+  // (+ null/row counts) on any column, collected once and consulted
+  // before the scan. Parquet keeps these stats per row-group, but only
+  // the file listing's own reader sees them file-by-file during
+  // planning — an external sidecar makes the prune a driver-side list
+  // operation over FILE COUNT rows (Iceberg's manifest stats,
+  // Delta's per-file stats in the transaction log). A file whose
+  // [mn, mx] misses the predicate interval provably contains no
+  // matching row (nulls tracked separately); overlap is a candidate,
+  // so the prune is lossless by construction.
+
+  /** Build the per-file zone map over `colName` for the parquet lake
+    * at `path`: one distributed scan → (file, mn, mx, n_null, n_rows).
+    * Scales with file count, not rows. */
+  def buildZoneMap(spark: SparkSession, path: String,
+      colName: String): DataFrame =
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), col(colName).cast("long").as("v"))
+      .groupBy(col("file"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        count(lit(1)).as("n_rows"))
+
+  /** The files that MAY contain a row with `colName` in [lo, hi]:
+    * interval overlap on the sidecar (min/max ignore nulls, so an
+    * all-null file has mn/mx null and is excluded — it cannot match a
+    * range predicate). Returns the candidate file list — a provable
+    * superset of the true locations. */
+  def zoneCandidates(zmap: DataFrame, lo: Long, hi: Long): DataFrame =
+    zmap.filter(col("mx") >= lit(lo) && col("mn") <= lit(hi))
+      .select(col("file"))
 }

@@ -404,6 +404,33 @@ object PipelineQueries {
   def kmeans(spark: SparkSession, dir: String): DataFrame =
     Vectors.kmeansCells(embs(spark, dir), col("vec_id"), col("embedding"))
 
+  /** s41: OUT-OF-DISTRIBUTION scan — the top-50 vectors farthest
+    * (exact int64 L2²) from their assigned trained centroid: the
+    * embedding-space junk detector a curation pipeline runs after
+    * clustering (mislabeled scrapes, encoder failures and genuinely
+    * novel content all surface as far-from-every-centroid points —
+    * the review queue before they contaminate a cell's statistics).
+    * Reuses [[graft.ops.Vectors.kmeansFit]]'s s08 model verbatim —
+    * training leaks nothing new into this plan — and scores each
+    * member against its own centroid via the native sqdist kernel
+    * (one broadcast join, map-side). Global top-k is TakeOrdered
+    * (per-partition prune, k-row merge); the closing row_number runs
+    * over the 50-row survivors only. */
+  def oodScan(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val (cents, _) = Vectors.kmeansFit(e, col("vec_id"),
+      col("embedding"), k = 16, iters = 2)
+    val scored = Vectors.ivfInvertedLists(e, col("vec_id"),
+        col("embedding"), cents)
+      .join(broadcast(cents), Seq("cid"))
+      .withColumn("d2", Vectors.sqDist(col("iv"), col("civ")))
+      .select(col("vid").as("vec_id"), col("cid").as("cell"), col("d2"))
+    val top = scored.orderBy(col("d2").desc, col("vec_id")).limit(50)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("d2").desc, col("vec_id"))))
+  }
+
   /** IVF search over the TRAINED k-means centroids — the end-to-end
     * train-then-search pipeline (s08's model consumed by s03's
     * machinery), proving trained centroids plug into the identical
@@ -1194,6 +1221,38 @@ object PipelineQueries {
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"),
         floor(col("value") * 100.0d).cast("long").as("cents"))
+  }
+
+  /** c30: ZONE-MAP sidecar index + range-pruned read — the
+    * range-predicate twin of c28's Bloom point lookup: the lake is
+    * clustered on user_id, [[Lake.buildZoneMap]] collects per-file
+    * min/max once, and a user-range report reads ONLY the files whose
+    * [mn, mx] overlaps the predicate (driver-side prune over file-count
+    * rows — exactly Iceberg/Delta manifest-stats pruning). The oracle
+    * is the plain unpruned range aggregate over events: the hash match
+    * proves the prune LOSSLESS; LakeSpec pins that it actually prunes
+    * (candidates < total files on the clustered layout). */
+  def zoneMapLake(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_zonelake").toString
+    Lake.writeClustered(ev, col("user_id"), s"$out/events", nFiles = 8)
+    // data-derived range (10%..25% of the key domain) so the predicate
+    // is meaningful at every SF — one tiny agg, mirrored by the oracle
+    val mx = ev.agg(max(col("user_id"))).head().getLong(0)
+    val (lo, hi) = (mx * 10 / 100, mx * 25 / 100)
+    val candFiles = Lake.zoneCandidates(
+        Lake.buildZoneMap(spark, s"$out/events", "user_id"), lo, hi)
+      .collect().map(_.getString(0))
+    val pruned =
+      if (candFiles.isEmpty) spark.read.parquet(s"$out/events")
+        .filter(lit(false))
+      else spark.read.parquet(candFiles.toIndexedSeq: _*)
+    pruned.filter(col("user_id").between(lo, hi))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(floor(col("value") * 100.0d).cast("long")).as("cents_sum"))
   }
 
   /** c27: lake BRANCH + three-way merge — the git model on the c19

@@ -3550,6 +3550,61 @@ object StreamingQueries {
         floor(col("value") * 100.0d).cast("long").as("cents"))
   }
 
+  /** st53: STREAMING ZONE-MAP MAINTENANCE — c30's range-prune sidecar
+    * kept fresh by the ingest stream itself: each micro-batch lands
+    * CLUSTERED on user_id under its own `batch=<id>` dir (so per-file
+    * ranges stay tight even though arrival order is uncorrelated) and
+    * its [[graft.ops.Lake.buildZoneMap]] rows overwrite the matching
+    * sidecar partition — idempotent under micro-batch retry exactly
+    * like st51's Bloom sidecar (min/max re-derived from the re-written
+    * files can only repeat, never accumulate). The closing range read
+    * prunes across ALL batches' files through the composed sidecar;
+    * the oracle is the plain unpruned aggregate (c30's), so the hash
+    * match proves sidecar freshness ≡ data freshness per batch. */
+  def streamZoneMap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Lake
+    val ev = Sources.table(spark, dir, "events")
+    val staging = tempDir("graft_szone_src")
+    val midRow = ev.agg(min(col("event_id")).as("mn"),
+      max(col("event_id")).as("mx"))
+      .select(expr("(mn + mx) div 2")).head().getLong(0)
+    val now = System.currentTimeMillis()
+    stageFile(ev.filter(col("event_id") <= midRow), staging,
+      "b1.parquet", now - 120000)
+    stageFile(ev.filter(col("event_id") > midRow), staging,
+      "b2.parquet", now - 60000)
+    val lake = tempDir("graft_szone_lake")
+    val zmDir = tempDir("graft_szone_zm")
+    val ckpt = tempDir("graft_szone_ckpt")
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staging)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            bid: Long) =>
+          val sub = s"$lake/batch=$bid"
+          Lake.writeClustered(b.toDF(), col("user_id"), sub, nFiles = 4)
+          Lake.buildZoneMap(spark, sub, "user_id")
+            .write.mode("overwrite").parquet(s"$zmDir/batch=$bid")
+          ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val mx = ev.agg(max(col("user_id"))).head().getLong(0)
+    val (lo, hi) = (mx * 10 / 100, mx * 25 / 100)
+    val candFiles = Lake.zoneCandidates(
+        spark.read.parquet(zmDir), lo, hi)
+      .collect().map(_.getString(0))
+    val pruned =
+      if (candFiles.isEmpty) spark.read.parquet(lake).filter(lit(false))
+      else spark.read.parquet(candFiles.toIndexedSeq: _*)
+    pruned.filter(col("user_id").between(lo, hi))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(floor(col("value") * 100.0d).cast("long")).as("cents_sum"))
+  }
+
   /** st52: STREAMING INCREMENTAL COMMITS + NET CHANGE DATA FEED — the
     * c19/c29 lifecycle driven by a stream: the change set arrives as
     * micro-batches (split by key parity — disjoint, so commit order

@@ -95,6 +95,35 @@ class LakeSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(path).count() == 1000L)
   }
 
+  test("zone map prunes a clustered layout losslessly: candidates " +
+      "cover every matching row and skip non-overlapping files") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_zonemap_spec")
+    val path = out.resolve("t").toString
+    val df = scala.util.Random.shuffle((0L to 999L).toList)
+      .toDF("user_id").withColumn("payload", col("user_id") * 3)
+    Lake.writeClustered(df, col("user_id"), path, nFiles = 8)
+    val zm = Lake.buildZoneMap(spark, path, "user_id")
+    assert(zm.count() == 8)
+    val (lo, hi) = (100L, 250L)
+    val cand = Lake.zoneCandidates(zm, lo, hi)
+      .collect().map(_.getString(0))
+    // prunes: a 15% range over 8 disjoint-range files must skip most
+    assert(cand.nonEmpty && cand.length < 8,
+      s"zone map failed to prune: ${cand.length} of 8 files")
+    // lossless: the pruned read finds every matching row
+    val prunedCount = spark.read.parquet(cand.toIndexedSeq: _*)
+      .filter(col("user_id").between(lo, hi)).count()
+    assert(prunedCount == (hi - lo + 1))
+    // all-null stats exclusion: a file of nulls never matches a range
+    val nulls = Seq.empty[Option[Long]].toDF("user_id")
+    assert(Lake.zoneCandidates(
+      nulls.agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx"),
+        lit(0L).as("n_null"), lit(0L).as("n_rows"))
+        .withColumn("file", lit("f0")),
+      lo, hi).count() == 0)
+  }
+
   test("threeWayMerge: every conflict class resolves ours-wins and " +
       "is flagged; clean changes merge from either side") {
     import spark.implicits._
