@@ -250,6 +250,10 @@ object SparkEntry {
     "c30_zonemap_lake" -> (PipelineQueries.zoneMapLake _),
     "st53_stream_zonemap" -> (StreamingQueries.streamZoneMap _),
     "s41_ood_scan" -> (PipelineQueries.oodScan _),
+    "q74_group_trend" -> (Relational.groupTrend _),
+    "t43_code_detect" -> (PipelineQueries.codeDetect _),
+    "c31_repartition_migrate" -> (PipelineQueries.repartitionMigrate _),
+    "st54_stream_group_trend" -> (StreamingQueries.streamGroupTrend _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1778,6 +1782,45 @@ object SparkEntry {
              row_number() OVER (ORDER BY d2 DESC, vec_id) AS rank
            FROM sqd)
          WHERE rank <= 50""",
+    // q74/st54: identical day-grain counts and exact long OLS
+    // moments; the slope is one correctly-rounded divide. The
+    // streaming variant must land on the same aggregate (counts are
+    // additive across micro-batches).
+    "q74_group_trend" -> groupTrendOracleSql,
+    "st54_stream_group_trend" -> groupTrendOracleSql,
+    // t43: the same length-difference punctuation count, the same
+    // non-overlapping keyword regex, all-integer ppm score.
+    "t43_code_detect" ->
+      """SELECT doc_id, n_chars, code_punct, n_keywords,
+           (code_punct * 10 + n_keywords * 200) * 1000000 // n_chars
+             AS score_ppm,
+           (code_punct * 10 + n_keywords * 200) * 1000000 // n_chars
+             >= 30000 AS is_code
+         FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text,
+               '[{}\[\]();=<>]', '', 'g')) AS BIGINT) AS code_punct,
+             CAST(len(regexp_extract_all(text,
+               '\b(def|return|import|class|const|void|int|function|var)\b'))
+               AS BIGINT) AS n_keywords
+           FROM documents)
+         WHERE n_chars > 0""",
+    // c31: the seal (count, exact cents sum, commutative bit_xor
+    // digest) computed ONCE from the raw table and stated for both
+    // layouts — each side of the migration is checked against the
+    // source of truth.
+    "c31_repartition_migrate" ->
+      """WITH base AS (SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS ts_us,
+             CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents,
+             bit_xor(('0x' || substr(md5(event_id || '|' || user_id ||
+               '|' || event_type || '|' || ts_us || '|' || cents),
+               1, 15))::BIGINT) AS digest
+           FROM base)
+         SELECT n AS n_old, cents AS cents_old, digest AS digest_old,
+           n AS n_new, cents AS cents_new, digest AS digest_new
+         FROM s""",
     // t39: identical rank order (freq DESC, word), two generated
     // fixed-point log2 chains, HUGEINT sums mirroring DECIMAL(38,0),
     // the same two decimal->double conversions and one division.
@@ -6229,6 +6272,28 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     (ex +: per).mkString(",\n") + "\n" + union
   }
+
+  /** q74/st54: per-type daily-volume OLS trend from exact integer
+    * moments over the observed-day grain. */
+  private def groupTrendOracleSql: String =
+    """WITH daily AS (SELECT event_type,
+           CAST(date_diff('day', DATE '2024-01-01',
+             CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS y
+         FROM events GROUP BY 1, 2),
+       m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+         FROM daily GROUP BY 1)
+       SELECT event_type, n_days,
+         n_days * sxy - sx * sy AS num,
+         n_days * sxx - sx * sx AS den,
+         CASE WHEN n_days * sxx - sx * sx <> 0 THEN
+           CAST(n_days * sxy - sx * sy AS DOUBLE)
+             / CAST(n_days * sxx - sx * sx AS DOUBLE) END
+           AS slope_per_day
+       FROM m"""
 
   /** c30/st53: the unpruned user-range aggregate the zone-map-pruned
     * read must reproduce exactly. */

@@ -1312,6 +1312,32 @@ object TextAnalysis {
     * IEEE on both engines. Same two keyed aggregates as
     * [[lexicalDiversity]] plus the 16-round log ladder per distinct
     * (doc, token) — map-side work that scales with the corpus. */
+  /** t43: code-vs-prose detector — the curation gate that routes
+    * source code out of (or into) a text corpus: natural-language
+    * quality filters (t02/t15) misscore code catastrophically, so the
+    * split must happen FIRST. Pure heuristic over character classes
+    * and keyword hits: code-punctuation density (braces, brackets,
+    * semicolons, operators) and reserved-word count, combined into an
+    * integer score in ppm of document length. Everything is counts
+    * and integer division — map-only, codegen-friendly, and trivially
+    * engine-identical; both engines count via the same
+    * length-difference trick and the same non-overlapping regex. */
+  def codeDetect(df: DataFrame, text: Column, id: Column,
+      thresholdPpm: Long = 30000L): DataFrame = {
+    val nChars = length(text).cast("long")
+    val codePunct = (length(text) -
+      length(regexp_replace(text, "[{}\\[\\]();=<>]", ""))).cast("long")
+    val kw = regexp_count(text,
+      lit("\\b(def|return|import|class|const|void|int|function|var)\\b"))
+      .cast("long")
+    df.select(id.as("doc_id"), nChars.as("n_chars"),
+        codePunct.as("code_punct"), kw.as("n_keywords"))
+      .filter(col("n_chars") > 0)
+      .withColumn("score_ppm",
+        expr("(code_punct * 10 + n_keywords * 200) * 1000000L div n_chars"))
+      .withColumn("is_code", col("score_ppm") >= lit(thresholdPpm))
+  }
+
   def tokenEntropy(df: DataFrame, text: Column, id: Column): DataFrame = {
     import graft.functions.PortableMath
     val ws = filter(split(text, " "), w => w =!= "")

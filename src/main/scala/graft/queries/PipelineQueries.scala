@@ -902,6 +902,11 @@ object PipelineQueries {
     TextAnalysis.tokenEntropy(docs(spark, dir), col("text"),
       col("doc_id"))
 
+  /** t43: code-vs-prose routing gate (integer ppm score). */
+  def codeDetect(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.codeDetect(docs(spark, dir), col("text"),
+      col("doc_id"))
+
   /** t38: A-ES weighted sample (k=50, weight = n_chars). */
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.weightedSample(docs(spark, dir), col("doc_id"),
@@ -1253,6 +1258,42 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
         sum(floor(col("value") * 100.0d).cast("long")).as("cents_sum"))
+  }
+
+  /** c31: LAYOUT MIGRATION with a content seal — re-partition a lake
+    * from hash-sharded-by-user to time-clustered IN FULL (the
+    * migration every lake eventually runs when the query pattern
+    * shifts from point-lookup to range-scan) and prove content
+    * preservation against the ORIGINAL layout with c07's commutative
+    * digest: row count, exact cents sum, and bit_xor of a per-row
+    * content hash — order-independent, so the two layouts' completely
+    * different file orders hash identically iff no row was lost,
+    * duplicated or altered. The oracle computes the seal once from
+    * the raw table and states it for BOTH sides: each layout is
+    * independently checked against the source of truth, not merely
+    * against each other. Scale: the migration is one
+    * repartitionByRange pass; each seal is one scan folding to a
+    * 1-row aggregate. */
+  def repartitionMigrate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashes.h60
+    val ev = table(spark, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      floor(col("value") * 100.0d).cast("long").as("cents"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_migrate").toString
+    Lake.writeSharded(ev, col("user_id"), s"$out/by_user", nShards = 8)
+    val old = spark.read.parquet(s"$out/by_user").drop("shard")
+    Lake.writeClustered(old, col("ts_us"), s"$out/by_time", nFiles = 8)
+    def seal(df: org.apache.spark.sql.DataFrame, pfx: String) =
+      df.select(h60(concat_ws("|", col("event_id"), col("user_id"),
+          col("event_type"), col("ts_us"), col("cents"))).as("d0"),
+          col("cents"))
+        .agg(count(lit(1)).as(s"n_$pfx"),
+          sum(col("cents")).as(s"cents_$pfx"),
+          expr("bit_xor(d0)").as(s"digest_$pfx"))
+    seal(spark.read.parquet(s"$out/by_user").drop("shard"), "old")
+      .crossJoin(seal(spark.read.parquet(s"$out/by_time"), "new"))
   }
 
   /** c27: lake BRANCH + three-way merge — the git model on the c19

@@ -1916,6 +1916,36 @@ object Relational {
         max(col("v")).as("hi"), countDistinct(col("v")).as("ndv"))
   }
 
+  /** q74: per-group OLS trend — the daily-volume slope per event type,
+    * the "is this source growing or dying" number a corpus monitor
+    * plots per source. q70's exact-integer-moment discipline applied
+    * per group: x = day index (datediff from a fixed epoch — small
+    * exact ints), y = daily count; the five moments (n, Σx, Σy, Σxy,
+    * Σx²) are exact longs out of ONE day-grain aggregate + one
+    * per-type aggregate, and slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) is a
+    * single correctly-rounded divide of two exact-long numerators.
+    * Observed days only (a missing day is absence, not a zero — the
+    * dense-grid variant is q70's construction if wanted). Scale: the
+    * shuffle carries day-grain partials, never events. */
+  def groupTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(date_trunc("day", col("ts")),
+          lit("2024-01-01").cast("date")).cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .withColumn("slope_per_day",
+        when(col("den") =!= 0L,
+          col("num").cast("double") / col("den").cast("double")))
+  }
+
   /** q72: χ² test of independence between two categorical columns
     * (order status × priority) — the "are these features correlated"
     * screen every dataset card runs before trusting a stratification

@@ -3605,6 +3605,60 @@ object StreamingQueries {
         sum(floor(col("value") * 100.0d).cast("long")).as("cents_sum"))
   }
 
+  /** st54: STREAMING PER-GROUP TREND — q74's per-type daily-volume
+    * OLS slope maintained from the stream: the keyed state is the
+    * (event_type, day) counter (goka's simplest fold, sharded by the
+    * composite key across the cluster), and the five OLS moments fold
+    * over the FINAL counter table — a day-grain frame, corpus-free —
+    * after the replay. Counts are additive across micro-batches, so
+    * the two-batch time-split replay must land on exactly the batch
+    * aggregate; the hash match against q74's oracle proves it. The
+    * monitor shape this serves: slope-per-source updated continuously
+    * without ever re-scanning history. */
+  def streamGroupTrend(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-trend")(
+        Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+          val cur = ctx.value match { case null => 0L; case n: Long => n }
+          ctx.setValue(cur + 1L)
+        }),
+        Persist(Int64Codec))
+      val ev = Sources.table(spark, dir, "events")
+      val staging = tempDir("graft_strend_split")
+      stageTwoBatches(spark,
+        Sources.messages(ev, "events",
+          concat(col("event_type"), lit("|"),
+            datediff(date_trunc("day", col("ts")),
+              lit("2024-01-01").cast("date")).cast("string")),
+          col("event_type"), col("ts"), col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "cnt")
+      val daily = runToTable(spark, table)
+        .groupBy(col("key")).agg(max(col("cnt")).as("y"))
+        .select(split(col("key"), "\\|").as("kk"), col("y"))
+        .select(element_at(col("kk"), 1).as("event_type"),
+          element_at(col("kk"), 2).cast("long").as("x"), col("y"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n_days"),
+          (col("n_days") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).as("den"))
+        .withColumn("slope_per_day",
+          when(col("den") =!= 0L,
+            col("num").cast("double") / col("den").cast("double")))
+    }
+
   /** st52: STREAMING INCREMENTAL COMMITS + NET CHANGE DATA FEED — the
     * c19/c29 lifecycle driven by a stream: the change set arrives as
     * micro-batches (split by key parity — disjoint, so commit order
