@@ -254,6 +254,9 @@ object SparkEntry {
     "t43_code_detect" -> (PipelineQueries.codeDetect _),
     "c31_repartition_migrate" -> (PipelineQueries.repartitionMigrate _),
     "st54_stream_group_trend" -> (StreamingQueries.streamGroupTrend _),
+    "q75_grouped_mode" -> (Relational.groupedMode _),
+    "st55_stream_ood_gate" -> (StreamingQueries.streamOodGate _),
+    "c32_composite_prune" -> (PipelineQueries.compositePrune _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1821,6 +1824,53 @@ object SparkEntry {
          SELECT n AS n_old, cents AS cents_old, digest AS digest_old,
            n AS n_new, cents AS cents_new, digest AS digest_new
          FROM s""",
+    // q75: identical value-grain counts; the tie rule (max count,
+    // then smallest value) is stated as the window order on both
+    // sides, so the mode is bit-deterministic.
+    "q75_grouped_mode" ->
+      """WITH bv AS (SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, v, c,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY c DESC, v) AS rn
+           FROM bv)
+         SELECT r.event_type, r.v AS mode_cents, r.c AS n_mode,
+           t.n_distinct, t.n_rows
+         FROM r JOIN (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c) AS BIGINT) AS n_rows
+           FROM bv GROUP BY 1) t ON t.event_type = r.event_type
+         WHERE r.rn = 1""",
+    // st55: the s33 frozen-model chain; the threshold is the exact
+    // p95 of base distances (min d2 with 20*rank >= 19*n, ranked by
+    // (d2, vec_id)); arrivals flagged strictly-greater.
+    "st55_stream_ood_gate" ->
+      s"""${ivfAssignChainSql("vec_id % 10 <> 7")},
+         sqd AS (
+           SELECT a.vec_id, a.cid,
+             CAST((SELECT sum((x - y) * (x - y))
+                   FROM (SELECT unnest(p.v) x, unnest(c.cv) y)) AS BIGINT)
+               AS d2
+           FROM assignT a JOIN pre p ON p.vec_id = a.vec_id
+                          JOIN cents2 c ON c.cid = a.cid),
+         basek AS (SELECT d2,
+             row_number() OVER (ORDER BY d2, vec_id) AS rn,
+             count(*) OVER () AS n
+           FROM sqd WHERE vec_id % 10 <> 7),
+         th AS (SELECT min(d2) AS th FROM basek WHERE 20 * rn >= 19 * n)
+         SELECT vec_id, cid AS cell, d2, d2 > th.th AS is_ood
+         FROM sqd, th WHERE vec_id % 10 = 7""",
+    // c32: the oracle is the UNPRUNED two-predicate query — the hash
+    // match proves the intersected Bloom+zone-map prune lossless.
+    "c32_composite_prune" ->
+      """WITH b AS (SELECT max(user_id) * 10 // 100 AS lo,
+           max(user_id) * 25 // 100 AS hi FROM events)
+         SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+         FROM events, b
+         WHERE event_id % 97 = 0 AND user_id BETWEEN b.lo AND b.hi""",
     // t39: identical rank order (freq DESC, word), two generated
     // fixed-point log2 chains, HUGEINT sums mirroring DECIMAL(38,0),
     // the same two decimal->double conversions and one division.

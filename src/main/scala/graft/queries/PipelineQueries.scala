@@ -1260,6 +1260,45 @@ object PipelineQueries {
         sum(floor(col("value") * 100.0d).cast("long")).as("cents_sum"))
   }
 
+  /** c32: COMPOSITE sidecar pruning — the Bloom point-key index (c28)
+    * and the zone-map range index (c30) consulted TOGETHER on one
+    * query (point-set predicate on event_id AND range predicate on
+    * the clustering key): each sidecar independently yields a provable
+    * candidate superset, so their INTERSECTION is still a superset —
+    * the multi-index planning step every lakehouse runs when a query
+    * carries predicates on differently-indexed columns. Both prunes
+    * are driver-side folds over file-count rows; the oracle is the
+    * unpruned query, so the hash match proves the composed prune
+    * lossless. */
+  def compositePrune(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_composite").toString
+    Lake.writeClustered(ev, col("user_id"), s"$out/events", nFiles = 8)
+    val mx = ev.agg(max(col("user_id"))).head().getLong(0)
+    val (lo, hi) = (mx * 10 / 100, mx * 25 / 100)
+    val zFiles = Lake.zoneCandidates(
+        Lake.buildZoneMap(spark, s"$out/events", "user_id"), lo, hi)
+      .collect().map(_.getString(0)).toSet
+    val probes = ev.filter(col("event_id") % 97 === 0)
+      .select(col("event_id"))
+    val bFiles = Lake.bloomCandidates(
+        Lake.buildBloomIndex(spark, s"$out/events", "event_id"),
+        probes, "event_id")
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val candFiles = (zFiles intersect bFiles).toIndexedSeq
+    val pruned =
+      if (candFiles.isEmpty) spark.read.parquet(s"$out/events")
+        .filter(lit(false))
+      else spark.read.parquet(candFiles: _*)
+    pruned.filter(col("event_id") % 97 === 0 &&
+        col("user_id").between(lo, hi))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100.0d).cast("long").as("cents"))
+  }
+
   /** c31: LAYOUT MIGRATION with a content seal — re-partition a lake
     * from hash-sharded-by-user to time-clustered IN FULL (the
     * migration every lake eventually runs when the query pattern

@@ -1916,6 +1916,28 @@ object Relational {
         max(col("v")).as("hi"), countDistinct(col("v")).as("ndv"))
   }
 
+  /** q75: EXACT per-group mode with a deterministic tie rule — the
+    * most frequent value (cents) per event type, ties to the smallest
+    * value. Spark ships `mode()` but leaves ties implementation-
+    * defined, which is useless for a reproducible report; this is the
+    * two-aggregate construction (value-grain counts, then one max_by
+    * on the (count, −value) struct) that makes the answer
+    * bit-deterministic in any engine. Scale: the first aggregate
+    * collapses to the value domain, the second to groups — the
+    * classic count-then-argmax, no window, no sort. */
+  def groupedMode(spark: SparkSession, dir: String): DataFrame = {
+    val byValue = table(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100.0d).cast("long").as("v"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    byValue.groupBy(col("event_type"))
+      .agg(max_by(col("v"), struct(col("c"), -col("v"))).as("mode_cents"),
+        max(col("c")).as("n_mode"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c")).as("n_rows"))
+  }
+
   /** q74: per-group OLS trend — the daily-volume slope per event type,
     * the "is this source growing or dying" number a corpus monitor
     * plots per source. q70's exact-integer-moment discipline applied

@@ -3605,6 +3605,61 @@ object StreamingQueries {
         sum(floor(col("value") * 100.0d).cast("long")).as("cents_sum"))
   }
 
+  /** st55: STREAMING OOD ADMISSION GATE — s41 turned into the ingest
+    * guard it exists for: the model (s33's base-trained frozen
+    * centroids) and the decision threshold (EXACT p95 of the base
+    * corpus' distance-to-assigned-centroid, via the bucketed
+    * [[graft.ops.Ranks]] rank — never a single-task sort) are fixed
+    * up front; arrivals then stream in and each micro-batch is scored
+    * against the frozen model map-side (broadcast centroids, native
+    * int64 sqdist) and flagged `is_ood` on the way in — the drift
+    * quarantine a 100 TB embedding ingest runs BEFORE arrivals
+    * contaminate cell statistics. Scoring depends only on the frozen
+    * model, so the two-batch replay must equal the batch computation;
+    * the oracle replays the Lloyd chain + the same 20·rank ≥ 19·n
+    * threshold selection. */
+  def streamOodGate(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import graft.ops.Vectors
+      val e = Sources.table(spark, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 10 =!= 7)
+      val arrivals = e.filter(col("vec_id") % 10 === 7)
+      val (cents, _) = Vectors.kmeansFit(base, col("vec_id"),
+        col("embedding"), k = 16, iters = 2)
+      def score(df: org.apache.spark.sql.DataFrame) =
+        Vectors.ivfInvertedLists(df, col("vec_id"), col("embedding"),
+            cents)
+          .join(broadcast(cents), Seq("cid"))
+          .withColumn("d2", Vectors.sqDist(col("iv"), col("civ")))
+          .select(col("vid").as("vec_id"), col("cid").as("cell"),
+            col("d2"))
+      val (ranked, n, _) = graft.ops.Ranks.rankedCumsumTotals(
+        score(base), col("d2"), col("vec_id"), lit(1L))
+      val th = ranked.filter(col("rank") * 20 >= lit(19L * n))
+        .agg(min(col("d2")).as("th")).localCheckpoint()
+      val staging = tempDir("graft_ood_src")
+      val now = System.currentTimeMillis()
+      stageFile(arrivals.filter(col("vec_id") % 20 === 7), staging,
+        "b1.parquet", now - 120000)
+      stageFile(arrivals.filter(col("vec_id") % 20 === 17), staging,
+        "b2.parquet", now - 60000)
+      val resultDir = tempDir("graft_ood_out") + "/scored"
+      val sq = spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging))
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            score(batch.toDF()).write.mode("append").parquet(resultDir)
+            ()
+        }.start()
+      try sq.processAllAvailable() finally sq.stop()
+      spark.read.parquet(resultDir)
+        .crossJoin(broadcast(th))
+        .select(col("vec_id"), col("cell"), col("d2"),
+          (col("d2") > col("th")).as("is_ood"))
+    }
+
   /** st54: STREAMING PER-GROUP TREND — q74's per-type daily-volume
     * OLS slope maintained from the stream: the keyed state is the
     * (event_type, day) counter (goka's simplest fold, sharded by the
