@@ -257,6 +257,9 @@ object SparkEntry {
     "q75_grouped_mode" -> (Relational.groupedMode _),
     "st55_stream_ood_gate" -> (StreamingQueries.streamOodGate _),
     "c32_composite_prune" -> (PipelineQueries.compositePrune _),
+    "m11_clip_dedup" -> (PipelineQueries.clipDedup _),
+    "t44_effective_tokens" -> (PipelineQueries.effectiveTokens _),
+    "st56_stream_leaderboard" -> (StreamingQueries.streamLeaderboard _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1871,6 +1874,70 @@ object SparkEntry {
            CAST(floor(value * 100) AS BIGINT) AS cents
          FROM events, b
          WHERE event_id % 97 = 0 AND user_id BETWEEN b.lo AND b.hi""",
+    // m11: identical re-broadcast derivation (2-frame slate + donor
+    // payload), identical frame fingerprints (the m03 hex-substr
+    // construction), the same distinct match points and
+    // gaps-and-islands run arithmetic.
+    "m11_clip_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+         w AS (SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 2 THEN doc_id - 2
+                      ELSE doc_id END AS src_id
+               FROM d),
+         p AS (SELECT w.doc_id,
+                 CASE WHEN w.doc_id % 7 = 2 THEN repeat('X', 128) || s.text
+                      ELSE s.text END AS blob
+               FROM w JOIN d s ON s.doc_id = w.src_id),
+         base AS (SELECT doc_id, hex(encode(blob)) AS hx,
+                    octet_length(encode(blob)) AS nb FROM p),
+         fr AS (SELECT doc_id AS id, frame_idx,
+                  md5(substr(hx, CAST(frame_idx*128+1 AS INT), 128))
+                    AS frame_fp
+                FROM (SELECT doc_id, hx,
+                        unnest(range(0, nb//64, 2)) AS frame_idx
+                      FROM base WHERE nb >= 64)),
+         m AS (SELECT DISTINCT a.id AS da, b.id AS db,
+                 a.frame_idx AS ia, b.frame_idx AS ib
+               FROM fr a JOIN fr b
+                 ON a.frame_fp = b.frame_fp AND a.id < b.id),
+         runs AS (SELECT da, db, off, isl,
+                    CAST(count(*) AS BIGINT) AS run
+                  FROM (SELECT da, db, ia - ib AS off, ia,
+                          ia // 2 - row_number() OVER (
+                            PARTITION BY da, db, ia - ib ORDER BY ia)
+                            AS isl
+                        FROM m)
+                  GROUP BY 1, 2, 3, 4)
+         SELECT da, db, CAST(sum(run) AS BIGINT) AS n_matches,
+           CAST(max(run) AS BIGINT) AS longest_run
+         FROM runs GROUP BY 1, 2 HAVING max(run) >= 3""",
+    // t44: t04's normalized content fingerprint, t03's whitespace
+    // token count, all-integer micro-token division.
+    "t44_effective_tokens" ->
+      """WITH base AS (SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         dup AS (SELECT fp, CAST(count(*) AS BIGINT) AS c
+                 FROM base GROUP BY 1)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS raw_tokens,
+           CAST(sum(toks * 1000000 // c) AS BIGINT) AS eff_tokens_micro,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs
+         FROM base JOIN dup USING (fp) GROUP BY 1""",
+    // st56: the exact per-(type, user) cents sums are additive across
+    // micro-batches; rank (cents DESC, user_id) top-10 per type.
+    "st56_stream_leaderboard" ->
+      """WITH s AS (SELECT event_type, user_id,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, user_id, cents, rank FROM (
+           SELECT event_type, user_id, cents,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY cents DESC, user_id) AS rank
+           FROM s) WHERE rank <= 10""",
     // t39: identical rank order (freq DESC, word), two generated
     // fixed-point log2 chains, HUGEINT sums mirroring DECIMAL(38,0),
     // the same two decimal->double conversions and one division.

@@ -121,6 +121,66 @@ object Multimodal {
     * md5 over the frame's hex image, computable bit-identically by the
     * oracle, which cannot slice raw blobs). Pure Catalyst: sequence +
     * explode + substring, no UDF. */
+  /** m11: CROSS-VIDEO DUPLICATE-CLIP detection — the segment-level
+    * dedup a video corpus needs that whole-file hashing (m09) and
+    * whole-image pHash (m04) both miss: a clip re-broadcast inside a
+    * longer video (syndicated footage, intro slates, reaction
+    * re-uploads) shares a RUN of frames at a constant time offset
+    * while the containers, lengths and surrounding content all
+    * differ.
+    *
+    * Detection over [[frameSample]]'s per-frame fingerprints:
+    * fingerprint-equal frames across two videos become match points
+    * (one equi-join on frame_fp — never all-pairs), and within each
+    * (pair, index-offset) group the classic gaps-and-islands
+    * construction (idx/stride − row_number) finds maximal runs of
+    * CONSECUTIVE sampled frames — a shared clip is a long island at
+    * one offset, while incidental frame collisions scatter. Emitted:
+    * video pairs with their total match count and longest aligned
+    * run, gated at `minRun` (a 3-frame aligned run at stride 2 spans
+    * 6 frame slots — far past coincidence).
+    *
+    * The fixture corpus re-broadcasts deterministically (ids ≡ 2
+    * mod 7 embed their neighbor's full payload behind a 2-frame
+    * slate, i.e. a time-shifted clip at offset +2), mirroring m09's
+    * re-encode derivation; the oracle re-derives the same corpus.
+    * Scale: frames explode map-side, the join is fp-keyed, islands
+    * windows partition by (pair, offset) — nothing quadratic in the
+    * corpus, only in per-fingerprint collision fan-out. */
+  def clipDedup(df: DataFrame, text: Column, id: Column,
+      frameSize: Int = 64, stride: Int = 2, minRun: Int = 3): DataFrame = {
+    val d = df.select(id.as("doc_id"), text.as("t"))
+    val src = d.select(col("doc_id").as("src_id"), col("t").as("pay"))
+    val blobs = d
+      .withColumn("src_id", when(col("doc_id") % 7 === 2,
+        col("doc_id") - 2).otherwise(col("doc_id")))
+      .join(src, Seq("src_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 2,
+          concat(lit("X" * (2 * frameSize)), col("pay")))
+          .otherwise(col("pay")).cast("binary").as("blob"))
+    val frames = frameSample(blobs, col("doc_id"), col("blob"),
+      frameSize, stride)
+    val m = frames.as("a").join(frames.as("b"),
+        col("a.frame_fp") === col("b.frame_fp") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"),
+        col("a.frame_idx").as("ia"), col("b.frame_idx").as("ib"))
+      .distinct()
+      .withColumn("off", col("ia") - col("ib"))
+    val wIsl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("da"), col("db"), col("off")).orderBy(col("ia"))
+    val runs = m
+      .withColumn("isl", expr(s"ia div $stride") -
+        row_number().over(wIsl))
+      .groupBy(col("da"), col("db"), col("off"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+    runs.groupBy(col("da"), col("db"))
+      .agg(sum(col("run")).as("n_matches"),
+        max(col("run")).as("longest_run"))
+      .filter(col("longest_run") >= minRun)
+  }
+
   def frameSample(df: DataFrame, id: Column, blob: Column,
       frameSize: Int = 64, stride: Int = 2): DataFrame = {
     val nFrames = (length(blob) / frameSize).cast("long")

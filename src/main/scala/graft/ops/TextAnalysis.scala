@@ -1312,6 +1312,32 @@ object TextAnalysis {
     * IEEE on both engines. Same two keyed aggregates as
     * [[lexicalDiversity]] plus the 16-round log ladder per distinct
     * (doc, token) — map-side work that scales with the corpus. */
+  /** t44: dedup-weighted token accounting — the honest corpus size:
+    * raw token counts over-state a corpus exactly by its duplication,
+    * so the number that predicts training value is the EFFECTIVE
+    * count where each exact-duplicate cluster contributes its tokens
+    * once (equivalently: every copy weighted 1/cluster-size). Emitted
+    * per source in exact micro-tokens (toks·10⁶ div c — integer
+    * division, engine-identical), next to the raw count and the
+    * duplicated-doc tally: the three numbers a data card quotes when
+    * it says "500 GB, 320 GB effective". Clusters come from t04's
+    * whitespace-normalized content fingerprint; one fp-grain
+    * aggregate + one fp-keyed join + one source-grain aggregate —
+    * every shuffle is keyed, nothing global. */
+  def effectiveTokens(df: DataFrame, text: Column, id: Column,
+      source: Column): DataFrame = {
+    val fp = md5(regexp_replace(lower(text), "\\s+", " "))
+    val base = df.select(id.as("doc_id"), source.as("source"),
+      size(split(text, " ")).cast("long").as("toks"), fp.as("fp"))
+    val dup = base.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+    base.join(dup, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("raw_tokens"),
+        sum(expr("toks * 1000000L div c")).as("eff_tokens_micro"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+  }
+
   /** t43: code-vs-prose detector — the curation gate that routes
     * source code out of (or into) a text corpus: natural-language
     * quality filters (t02/t15) misscore code catastrophically, so the

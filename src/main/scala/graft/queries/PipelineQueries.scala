@@ -907,6 +907,11 @@ object PipelineQueries {
     TextAnalysis.codeDetect(docs(spark, dir), col("text"),
       col("doc_id"))
 
+  /** t44: dedup-weighted effective token accounting per source. */
+  def effectiveTokens(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.effectiveTokens(docs(spark, dir), col("text"),
+      col("doc_id"), col("source"))
+
   /** t38: A-ES weighted sample (k=50, weight = n_chars). */
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.weightedSample(docs(spark, dir), col("doc_id"),
@@ -967,6 +972,11 @@ object PipelineQueries {
   /** m04: block-mean perceptual-hash near-dup media pairs. */
   def phashPairs(spark: SparkSession, dir: String): DataFrame =
     Multimodal.phashPairs(docs(spark, dir), col("text"), col("doc_id"))
+
+  /** m11: cross-video duplicate-clip detection — aligned frame-run
+    * islands over the frame-fingerprint join. */
+  def clipDedup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.clipDedup(docs(spark, dir), col("text"), col("doc_id"))
 
   /** m05: CLIP-score cross-modal filtering — media blobs paired with
     * their caption embeddings (the embedding id space IS the doc id

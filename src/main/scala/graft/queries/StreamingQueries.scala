@@ -3605,6 +3605,58 @@ object StreamingQueries {
         sum(floor(col("value") * 100.0d).cast("long")).as("cents_sum"))
   }
 
+  /** st56: STREAMING EXACT LEADERBOARD — continuous top-10 users by
+    * exact cents spend per event type: the keyed state is the
+    * (type, user) cents accumulator (additive across micro-batches,
+    * sharded by the composite key), and the top-k rank folds over the
+    * FINAL state table — a (types × users)-grain frame, not the
+    * event stream. The contrast with st29 matters: SpaceSaving (st29)
+    * is the bounded-memory approximation for unbounded key domains;
+    * this is the exact answer when per-key state is affordable — a
+    * leaderboard over users IS per-key state, so maintaining it costs
+    * nothing extra and the rank is exact. Ties break to the smaller
+    * user_id; per-type rank windows partition by type. */
+  def streamLeaderboard(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-leaderboard")(
+        Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+          val cents = msg.asInstanceOf[String].toLong
+          val cur = ctx.value match { case null => 0L; case n: Long => n }
+          ctx.setValue(cur + cents)
+        }),
+        Persist(Int64Codec))
+      val ev = Sources.table(spark, dir, "events")
+      val staging = tempDir("graft_slead_split")
+      stageTwoBatches(spark,
+        Sources.messages(ev, "events",
+          concat(col("event_type"), lit("|"), col("user_id")),
+          floor(col("value") * 100.0d).cast("long").cast("string"),
+          col("ts"), col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, Int64Codec.decode(e.value))).toDF("key", "cents")
+      // update-mode upserts: the accumulator only grows per key, so
+      // the last upsert == max
+      val sums = runToTable(spark, table)
+        .groupBy(col("key")).agg(max(col("cents")).as("cents"))
+        .select(split(col("key"), "\\|").as("kk"), col("cents"))
+        .select(element_at(col("kk"), 1).as("event_type"),
+          element_at(col("kk"), 2).cast("long").as("user_id"),
+          col("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("cents").desc, col("user_id"))
+      sums.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+    }
+
   /** st55: STREAMING OOD ADMISSION GATE — s41 turned into the ingest
     * guard it exists for: the model (s33's base-trained frozen
     * centroids) and the decision threshold (EXACT p95 of the base
