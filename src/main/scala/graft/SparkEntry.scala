@@ -260,6 +260,8 @@ object SparkEntry {
     "m11_clip_dedup" -> (PipelineQueries.clipDedup _),
     "t44_effective_tokens" -> (PipelineQueries.effectiveTokens _),
     "st56_stream_leaderboard" -> (StreamingQueries.streamLeaderboard _),
+    "c33_csv_ingest" -> (PipelineQueries.csvIngest _),
+    "c34_orc_roundtrip" -> (PipelineQueries.orcRoundtrip _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1938,6 +1940,34 @@ object SparkEntry {
              row_number() OVER (PARTITION BY event_type
                ORDER BY cents DESC, user_id) AS rank
            FROM s) WHERE rank <= 10""",
+    // c33: the clean-row accounting derived from the canonical table;
+    // the reject count is the deterministic inject (2 malformed
+    // lines). A parser that silently drops or mangles a clean row
+    // breaks n_clean/cents_sum; one that admits a malformed row
+    // breaks n_rejected.
+    "c33_csv_ingest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_clean,
+           CAST(2 AS BIGINT) AS n_rejected,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents_sum
+         FROM events""",
+    // c34: c31's seal discipline — the count/cents/digest triple
+    // computed once from the raw table, stated for both the parquet
+    // source and the ORC copy.
+    "c34_orc_roundtrip" ->
+      """WITH base AS (SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS ts_us,
+             CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents,
+             bit_xor(('0x' || substr(md5(event_id || '|' || user_id ||
+               '|' || event_type || '|' || ts_us || '|' || cents),
+               1, 15))::BIGINT) AS digest
+           FROM base)
+         SELECT n AS n_old, cents AS cents_old, digest AS digest_old,
+           n AS n_new, cents AS cents_new, digest AS digest_new
+         FROM s""",
     // t39: identical rank order (freq DESC, word), two generated
     // fixed-point log2 chains, HUGEINT sums mirroring DECIMAL(38,0),
     // the same two decimal->double conversions and one division.

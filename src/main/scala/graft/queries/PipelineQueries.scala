@@ -1309,6 +1309,81 @@ object PipelineQueries {
         floor(col("value") * 100.0d).cast("long").as("cents"))
   }
 
+  /** c33: CSV INGEST with corrupt-record accounting — the messy-file
+    * path of a real data-drop: the canonical events (integer
+    * projection — CSV is lossless for longs and strings, so the
+    * round-trip is exact by construction) are exported to a CSV lake,
+    * two malformed lines are injected, and the PERMISSIVE read with a
+    * `_corrupt_record` column lands clean rows while ACCOUNTING for
+    * the rejects — c09's salvage discipline on the text-format
+    * surface. The audit states parsed/rejected counts and the exact
+    * cents sum of the clean rows; the oracle derives all three from
+    * the canonical table (+ the deterministic inject count), so a
+    * parser that silently dropped or mangled a row breaks the hash. */
+  def csvIngest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = table(spark, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      floor(col("value") * 100.0d).cast("long").as("cents"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_csv").toString
+    ev.write.option("header", "true").mode("overwrite")
+      .csv(s"$out/drop")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/drop/zz_corrupt.csv"),
+      ("event_id,user_id,event_type,ts_us,cents\n" +
+        "not_a_number,5,click,oops,12\n" +
+        "17,xx,view,1700000000000000,not_cents\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("ts_us", LongType), StructField("cents", LongType),
+      StructField("_bad", StringType)))
+    // Spark refuses to filter on ONLY the corrupt-record column of a
+    // raw CSV scan (the parser may prune it away); materializing the
+    // parse first is the documented contract.
+    val parsed = spark.read.option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .schema(schema).csv(s"$out/drop")
+      .localCheckpoint()
+    parsed.filter(col("_bad").isNull)
+      .agg(count(lit(1)).as("n_clean"),
+        sum(col("cents")).as("cents_sum"),
+        countDistinct(col("event_id")).as("n_ids"))
+      .crossJoin(parsed.filter(col("_bad").isNotNull)
+        .agg(count(lit(1)).as("n_rejected")))
+      .select(col("n_clean"), col("n_rejected"), col("n_ids"),
+        col("cents_sum"))
+  }
+
+  /** c34: ORC ROUND-TRIP with a content seal — the second columnar
+    * sink format: the integer events projection lands as ORC, reads
+    * back, and both the ORC copy and the parquet source are sealed
+    * with the c31 order-independent (count, cents, bit_xor-digest)
+    * triple against the oracle's from-the-raw-table values — format
+    * breadth proven by content identity, not by "it didn't throw". */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashes.h60
+    val ev = table(spark, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      floor(col("value") * 100.0d).cast("long").as("cents"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_orc").toString
+    ev.write.mode("overwrite").orc(s"$out/events_orc")
+    def seal(df: org.apache.spark.sql.DataFrame, pfx: String) =
+      df.select(h60(concat_ws("|", col("event_id"), col("user_id"),
+          col("event_type"), col("ts_us"), col("cents"))).as("d0"),
+          col("cents"))
+        .agg(count(lit(1)).as(s"n_$pfx"),
+          sum(col("cents")).as(s"cents_$pfx"),
+          expr("bit_xor(d0)").as(s"digest_$pfx"))
+    seal(ev, "old").crossJoin(
+      seal(spark.read.orc(s"$out/events_orc"), "new"))
+  }
+
   /** c31: LAYOUT MIGRATION with a content seal — re-partition a lake
     * from hash-sharded-by-user to time-clustered IN FULL (the
     * migration every lake eventually runs when the query pattern
