@@ -262,6 +262,11 @@ object SparkEntry {
     "st56_stream_leaderboard" -> (StreamingQueries.streamLeaderboard _),
     "c33_csv_ingest" -> (PipelineQueries.csvIngest _),
     "c34_orc_roundtrip" -> (PipelineQueries.orcRoundtrip _),
+    "q76_lateral_topk" -> (Relational.lateralTopK _),
+    "t45_skipgram_cooc" -> (PipelineQueries.skipgramCooc _),
+    "c35_dp_counts" -> (PipelineQueries.dpNoisyCounts _),
+    "q77_recursive_cte" -> (Relational.recursiveCte _),
+    "q78_variant_extract" -> (Relational.variantExtract _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1968,6 +1973,82 @@ object SparkEntry {
          SELECT n AS n_old, cents AS cents_old, digest AS digest_old,
            n AS n_new, cents AS cents_new, digest AS digest_new
          FROM s""",
+    // q76: the LATERAL correlation restated as the equivalent
+    // partitioned rank — same top-3, same (bal DESC, custkey) ties.
+    "q76_lateral_topk" ->
+      """SELECT nation, custkey, bal_cents FROM (
+           SELECT n.n_name AS nation, c.c_custkey AS custkey,
+             CAST(floor(c.c_acctbal * 100) AS BIGINT) AS bal_cents,
+             row_number() OVER (PARTITION BY n.n_nationkey
+               ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+           FROM nation n JOIN customer c
+             ON c.c_nationkey = n.n_nationkey)
+         WHERE rn <= 3""",
+    // t45: identical positions (only distances matter, so 0- vs
+    // 1-based indexing cancels), canonicalized pairs, integer counts.
+    "t45_skipgram_cooc" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '),
+               x -> x <> '') AS ws FROM documents),
+         pos AS (SELECT doc_id, i, ws[i] AS w FROM w,
+                 LATERAL (SELECT unnest(generate_series(1, len(ws)))
+                          AS i) t),
+         pr AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+                FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+                  AND b.i > a.i AND b.i <= a.i + 2),
+         cc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+                FROM pr GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT w1, w2, c, rank FROM (
+           SELECT w1, w2, c,
+             row_number() OVER (ORDER BY c DESC, w1, w2) AS rank
+           FROM cc)
+         WHERE rank <= 20""",
+    // c35: the same md5-seeded u, the same fixed-point base-2 log
+    // chain, the same truncating integer division — the released
+    // milli-count is an exact integer on both engines.
+    "c35_dp_counts" -> {
+      import graft.functions.PortableMath
+      s"""WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+             FROM events GROUP BY 1),
+         s AS (SELECT event_type, c,
+             ('0x' || substr(md5('dp_' || event_type), 1, 15))::BIGINT
+               % 1000000 AS u0
+           FROM g),
+         s2 AS (SELECT event_type, c,
+             greatest(1000000 - abs(u0 * 2 - 1000000), 1) AS t_ppm,
+             CASE WHEN u0 >= 500000 THEN 1 ELSE -1 END AS sgn
+           FROM s),
+         s3 AS (SELECT *, CAST(t_ppm AS DOUBLE) AS tx FROM s2),
+         ${PortableMath.log2FixedSqlStages("s3", "tx", "l2t", "ca")},
+         s4 AS (SELECT *, CAST(1000000.0 AS DOUBLE) AS ex FROM caout),
+         ${PortableMath.log2FixedSqlStages("s4", "ex", "l2e6", "cb")}
+         SELECT event_type, CAST(2000 AS BIGINT) AS b_milli,
+           c * 1000 + (sgn * (2000 * (l2e6 - l2t))) // 65536
+             AS noisy_count_milli
+         FROM cbout"""
+    },
+    // q77: the identical WITH RECURSIVE walk — DuckDB runs the same
+    // declarative recursion Spark's UnionLoop executes.
+    "q77_recursive_cte" ->
+      """WITH RECURSIVE walk(node, root, depth) AS (
+           SELECT p_partkey, p_partkey, CAST(0 AS BIGINT)
+             FROM part WHERE p_partkey < 16
+           UNION ALL
+           SELECT p.p_partkey, w.root, w.depth + 1
+             FROM part p JOIN walk w
+               ON p.p_partkey // 2 = w.node AND p.p_partkey >= 16)
+         SELECT node, root, depth FROM walk""",
+    // q78: the same typed path extraction over the JSON props.
+    "q78_variant_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+             AS BIGINT) AS k_sum,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT))
+             AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+             AS BIGINT) AS k_max,
+           CAST(count(DISTINCT CAST(json_extract(props, '$.k')
+             AS BIGINT)) AS BIGINT) AS k_ndv
+         FROM events GROUP BY 1""",
     // t39: identical rank order (freq DESC, word), two generated
     // fixed-point log2 chains, HUGEINT sums mirroring DECIMAL(38,0),
     // the same two decimal->double conversions and one division.

@@ -152,6 +152,29 @@ object PortableMath {
       .drop("__l2_k", "__l2_m", "__l2_f")
   }
 
+  /** Driver-side constant evaluation of [[withLog2Fixed]] — the
+    * IDENTICAL op sequence (exponent ladder = repeated exact
+    * halvings/doublings, then the squaring rounds) in plain Scala
+    * doubles, so the result is bit-equal to what the Column chain
+    * would produce for the same input. Use this for LITERAL inputs:
+    * feeding a foldable expression into the 16-round column ladder
+    * lets projection collapse inline every round into the next
+    * (3^rounds tree growth) and hangs the optimizer — a constant
+    * belongs in a `lit`, not a ladder. */
+  def log2FixedLong(x: Double, fracBits: Int = 16): Long = {
+    require(x > 0.0 && fracBits >= 1 && fracBits <= 40, s"log2Fixed($x)")
+    var k = 0L
+    var m = x
+    while (m >= 2.0) { m /= 2.0; k += 1 }
+    while (m < 1.0) { m *= 2.0; k -= 1 }
+    var f = 0L
+    for (_ <- 1 to fracBits) {
+      m = m * m
+      if (m >= 2.0) { f = f * 2 + 1; m /= 2.0 } else f = f * 2
+    }
+    k * (1L << fracBits) + f
+  }
+
   /** Exact DECIMAL(38,0)→BIGINT cast that FAILS LOUDLY on overflow —
     * Spark's non-ANSI cast silently nulls a decimal that exceeds the
     * long range, while the DuckDB oracle errors; a silent null is a

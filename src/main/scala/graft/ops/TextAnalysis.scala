@@ -1312,6 +1312,34 @@ object TextAnalysis {
     * IEEE on both engines. Same two keyed aggregates as
     * [[lexicalDiversity]] plus the 16-round log ladder per distinct
     * (doc, token) — map-side work that scales with the corpus. */
+  /** t45: skip-gram window co-occurrence — the word2vec/GloVe
+    * preprocessing artifact t37's adjacent bigrams cannot provide:
+    * unordered word pairs co-occurring within a ±`window` token
+    * distance, counted over the corpus, top-k by count. Pairs are
+    * canonicalized (lexicographic least/greatest) so (a,b) and (b,a)
+    * accumulate together. The position self-join is doc-keyed with a
+    * bounded distance predicate — per-doc work scales with doc length
+    * × window, the shuffle carries (pair, partial count), and the
+    * closing top-k is TakeOrdered + a k-row rank window. All counts
+    * are longs; no floats anywhere. */
+  def skipgramCooc(df: DataFrame, text: Column, id: Column,
+      window: Int = 2, minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val ws = filter(split(text, " "), w => w =!= "")
+    val pos = df.select(id.as("doc_id"), posexplode(ws).as(Seq("i", "w")))
+    val pairs = pos.as("a").join(pos.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.i") > col("a.i") &&
+          col("b.i") <= col("a.i") + window)
+      .select(least(col("a.w"), col("b.w")).as("w1"),
+        greatest(col("a.w"), col("b.w")).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val top = pairs.orderBy(col("c").desc, col("w1"), col("w2")).limit(k)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("w1"), col("w2"))))
+  }
+
   /** t44: dedup-weighted token accounting — the honest corpus size:
     * raw token counts over-state a corpus exactly by its duplication,
     * so the number that predicts training value is the EFFECTIVE

@@ -912,6 +912,11 @@ object PipelineQueries {
     TextAnalysis.effectiveTokens(docs(spark, dir), col("text"),
       col("doc_id"), col("source"))
 
+  /** t45: ±2-window skip-gram co-occurrence, top-20 (support ≥ 5). */
+  def skipgramCooc(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.skipgramCooc(docs(spark, dir), col("text"),
+      col("doc_id"))
+
   /** t38: A-ES weighted sample (k=50, weight = n_chars). */
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.weightedSample(docs(spark, dir), col("doc_id"),
@@ -1307,6 +1312,56 @@ object PipelineQueries {
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"),
         floor(col("value") * 100.0d).cast("long").as("cents"))
+  }
+
+  /** c35: NOISY-COUNT RELEASE (Laplace mechanism, seeded) — the
+    * privacy-style dataset-card release next to c11's k-anonymity
+    * report: per-group counts published with additive Laplace noise
+    * via the standard inverse-CDF construction
+    * noise = −b·sgn(u−½)·ln(1−2|u−½|). Determinism (the oracle
+    * requirement) comes from seeding u per group from the content-free
+    * md5 fraction — a keyed PRNG, exactly how a reproducible release
+    * pipeline seeds its noise — and EXACTNESS from doing the log in
+    * [[graft.functions.PortableMath]] fixed-point base-2 (the ln is a
+    * base-2 log times ln 2, absorbed into the scale parameter), so
+    * the released value is an exact integer in milli-counts on any
+    * engine. Note the seeding makes this a REPRODUCIBLE noise
+    * artifact, not a formal DP guarantee (a true ε-DP release draws
+    * fresh randomness); the mechanism, scale arithmetic and release
+    * shape are the production ones. Map-side everything: one
+    * aggregate, then per-row (≤ #groups) integer chains. */
+  def dpNoisyCounts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Hashes, PortableMath}
+    val bMilli = 2000L // noise scale: b = 2.0 counts (base-2 log units)
+    // The seed columns are md5-derived EXPRESSIONS; feeding them
+    // straight into the 16-round log ladder lets projection collapse
+    // inline the whole subtree into every squaring round — an
+    // exponential optimizer blow-up. localCheckpoint the ≤#groups-row
+    // frame so the ladder starts from plain attributes.
+    val counts = table(spark, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      .withColumn("u_ppm",
+        pmod(Hashes.h60(concat(lit("dp_"), col("event_type"))),
+          lit(1000000L)))
+      .withColumn("t_ppm",
+        greatest(lit(1000000L) - abs(col("u_ppm") * 2 - 1000000L),
+          lit(1L)))
+      .withColumn("sgn",
+        when(col("u_ppm") >= 500000L, lit(1L)).otherwise(lit(-1L)))
+      .localCheckpoint()
+    val withT = PortableMath.withLog2Fixed(counts,
+      col("t_ppm").cast("double"), "l2t")
+    // log2fp(10^6) is a CONSTANT — evaluated once on the driver with
+    // the bit-identical Scala mirror (a literal in the column ladder
+    // would collapse into every squaring round and hang the
+    // optimizer; the oracle runs its chain on the constant, which is
+    // sequential CTE stages and safe there).
+    val l2e6 = PortableMath.log2FixedLong(1000000.0d)
+    withT.select(col("event_type"),
+        lit(bMilli).as("b_milli"),
+        (col("c") * 1000L + expr(
+          s"sgn * ($bMilli * ($l2e6 - l2t)) div 65536"))
+          .as("noisy_count_milli"))
   }
 
   /** c33: CSV INGEST with corrupt-record accounting — the messy-file

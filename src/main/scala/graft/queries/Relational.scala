@@ -1916,6 +1916,68 @@ object Relational {
         max(col("v")).as("hi"), countDistinct(col("v")).as("ndv"))
   }
 
+  /** q76: LATERAL correlated top-k — the per-nation top-3 customers
+    * by balance, declared in ANSI SQL through `spark.sql` with a
+    * correlated LATERAL subquery (ORDER BY + LIMIT inside the
+    * correlation). The point is surface coverage: the engine's SQL
+    * front door must accept the idiom analysts actually write;
+    * Catalyst rewrites it to the same partitioned-window/limit
+    * physical shape the DataFrame q03 formulation gets, which is the
+    * scale story — the correlation never executes per-row. Cents
+    * discipline on the balance keeps the output all-integer. */
+  def lateralTopK(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "nation").createOrReplaceTempView("g_nation")
+    table(spark, dir, "customer").createOrReplaceTempView("g_customer")
+    spark.sql(
+      """SELECT n.n_name AS nation, t.c_custkey AS custkey,
+           t.bal_cents
+         FROM g_nation n,
+           LATERAL (SELECT c.c_custkey,
+               CAST(floor(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+             FROM g_customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c.c_acctbal DESC, c.c_custkey
+             LIMIT 3) t""")
+  }
+
+  /** q77: RECURSIVE CTE through Spark's own SQL front door — the q46
+    * forest walk declared as `WITH RECURSIVE` and executed by
+    * Catalyst's UnionLoop (new in Spark 4), emitting the full
+    * (node, root, depth) closure. q46 proved the pointer-jumping
+    * formulation (⌈log₂ depth⌉ rounds — the shape to hand-pick when
+    * the recursion depth is large); this proves the DECLARATIVE
+    * recursion a SQL user writes runs natively too. Iteration count =
+    * tree depth (~log₂ of the part count), each step one keyed join
+    * of the frontier against the edge table — no driver loop. */
+  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "part").createOrReplaceTempView("g_part")
+    spark.sql(
+      """WITH RECURSIVE walk(node, root, depth) AS (
+           SELECT p_partkey, p_partkey, CAST(0 AS BIGINT)
+             FROM g_part WHERE p_partkey < 16
+           UNION ALL
+           SELECT p.p_partkey, w.root, w.depth + 1
+             FROM g_part p JOIN walk w
+               ON p.p_partkey div 2 = w.node AND p.p_partkey >= 16)
+         SELECT node, root, depth FROM walk""")
+  }
+
+  /** q78: VARIANT semi-structured extraction — the events' JSON props
+    * parsed into Spark 4's VARIANT type (`parse_json`) and read back
+    * with typed `variant_get` paths, then aggregated: the modern
+    * open-lakehouse answer to schemaless columns (shredded binary
+    * encoding, typed access without a schema pass), exercised through
+    * the public function surface rather than string get_json_object.
+    * Extraction is map-side; the aggregate carries 5 groups. */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+        countDistinct(col("k")).as("k_ndv"))
+
   /** q75: EXACT per-group mode with a deterministic tie rule — the
     * most frequent value (cents) per event type, ties to the smallest
     * value. Spark ships `mode()` but leaves ties implementation-

@@ -52,6 +52,20 @@ class PortableMathSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("log2FixedLong (driver constant mirror) is bit-equal to the " +
+      "column ladder across the domain") {
+    import spark.implicits._
+    val xs = ((1 to 500).map(i => (100000.0 - i + 0.5) / (i + 0.5)) ++
+      (-20 to 40).map(e => math.pow(2.0, e)) ++
+      Seq(1.5, 3.0, 582.0, 1000000.0, 999999.0, 1.0e-6)).distinct
+    val ladder = PortableMath.withLog2Fixed(xs.toDF("x"), col("x"), "fx")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    xs.foreach { x =>
+      assert(PortableMath.log2FixedLong(x) == ladder(x),
+        s"driver mirror diverges from ladder at $x")
+    }
+  }
+
   test("fixed-point log2 is monotone over a dense ratio sweep") {
     import spark.implicits._
     val xs = (1 to 4000).map(i => 1.0 + i / 700.0)
