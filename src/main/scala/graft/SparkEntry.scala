@@ -267,6 +267,7 @@ object SparkEntry {
     "c35_dp_counts" -> (PipelineQueries.dpNoisyCounts _),
     "q77_recursive_cte" -> (Relational.recursiveCte _),
     "q78_variant_extract" -> (Relational.variantExtract _),
+    "t46_kmv_native" -> (PipelineQueries.kmvTokensNative _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -716,6 +717,8 @@ object SparkEntry {
     // md5 hashes per language; estimate (k-1)*2^32/x_k, exact below
     // capacity; the true distinct count rides along as the audit.
     "t14_kmv_distinct" -> kmvOracleSql,
+    // t46: the native sketch aggregate must land on t14's exact table
+    "t46_kmv_native" -> kmvOracleSql,
     // st18 maintains the SAME sketch online (first-seen word / hash
     // folds + an O(k) minima array) — one oracle for both.
     "st18_stream_kmv" -> kmvOracleSql,

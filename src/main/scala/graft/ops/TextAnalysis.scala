@@ -451,6 +451,36 @@ object TextAnalysis {
           .otherwise(col("n_exact").cast("double")).as("est_distinct"))
   }
 
+  /** t46: [[kmvDistinct]] on the NATIVE sketch aggregate
+    * ([[graft.functions.KmvSketchAgg]]) — the throughput path: ONE
+    * keyed aggregate whose map-side partials carry ≤ k longs per
+    * (stratum, task), replacing the declarative version's distinct +
+    * two salted window passes (kept above as the parity reference,
+    * the [[graft.ops.Vectors.sqDistDeclarative]] pattern). The two
+    * exact-count audit columns still need their distinct aggregates —
+    * they are the AUDIT; a production run keeps only the sketch. Same
+    * output contract and oracle as t14: the hash match proves the
+    * imperative buffer (bounded TreeSet, O(k) merges) computes
+    * exactly the k-th smallest distinct hash. */
+  def kmvDistinctNative(df: DataFrame, text: Column, stratum: Column,
+      k: Int = 16): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val tok = df.select(stratum.as("stratum"),
+        explode(array_distinct(split(text, " "))).as("w"))
+      .filter(col("w") =!= "")
+    tok.groupBy(col("stratum"))
+      .agg(call_function("graft_kmv", h32(col("w")), lit(k)).as("mins"),
+        countDistinct(col("w")).as("n_exact"),
+        countDistinct(h32(col("w"))).as("n_hashes"))
+      .select(col("stratum"), col("n_exact"), col("n_hashes"),
+        when(size(col("mins")) >= k, element_at(col("mins"), k))
+          .as("kth_hash"),
+        when(size(col("mins")) >= k,
+          lit((k - 1L) * 4294967296L).cast("double")
+            / element_at(col("mins"), k).cast("double"))
+          .otherwise(col("n_exact").cast("double")).as("est_distinct"))
+  }
+
   /** Per-document novel n-gram ratio — the share of a doc's distinct
     * n-grams whose GLOBAL first occurrence (min doc_id = ingest order)
     * is this doc. The memorization/novelty dial of a training corpus:

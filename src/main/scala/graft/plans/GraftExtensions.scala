@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{IDot, ISqDist, MinHashSig, PHash48, RollingHash, ShingleArray, SimHash60}
+import graft.functions.{IDot, ISqDist, KmvSketchAgg, MinHashSig, PHash48, RollingHash, ShingleArray, SimHash60}
 
 /** Engine SQL surface: registers graft's native expressions so plain
   * `spark.sql("SELECT graft_rolling_hash(text) ...")` works.
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.idotDescriptor)
     ext.injectFunction(GraftExtensions.isqdistDescriptor)
     ext.injectFunction(GraftExtensions.phashDescriptor)
+    ext.injectFunction(GraftExtensions.kmvDescriptor)
   }
 }
 
@@ -72,6 +73,13 @@ object GraftExtensions {
     new ExpressionInfo(classOf[PHash48].getName, "graft_phash"),
     (exprs: Seq[Expression]) => PHash48(exprs.head))
 
+  private val kmvDescriptor = (
+    FunctionIdentifier("graft_kmv"),
+    new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
+    (exprs: Seq[Expression]) =>
+      KmvSketchAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()))
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -88,5 +96,7 @@ object GraftExtensions {
       "graft_isqdist", isqdistDescriptor._3, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_phash", phashDescriptor._3, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv", kmvDescriptor._3, "built-in")
   }
 }

@@ -917,6 +917,12 @@ object PipelineQueries {
     TextAnalysis.skipgramCooc(docs(spark, dir), col("text"),
       col("doc_id"))
 
+  /** t46: t14's KMV table via the native TypedImperativeAggregate
+    * sketch — same contract, one-pass throughput path. */
+  def kmvTokensNative(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.kmvDistinctNative(docs(spark, dir), col("text"),
+      col("lang"), k = 16)
+
   /** t38: A-ES weighted sample (k=50, weight = n_chars). */
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.weightedSample(docs(spark, dir), col("doc_id"),
