@@ -196,6 +196,7 @@ object Bench {
       // the write-heavy state stores (metrics-only effect; Verify and
       // the test fixture keep it on to exercise numRowsTotal).
       .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

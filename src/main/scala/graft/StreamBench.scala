@@ -50,6 +50,7 @@ object StreamBench {
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       // Same production knob as Bench: row accounting off in the hot path.
       .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

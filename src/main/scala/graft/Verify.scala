@@ -24,6 +24,7 @@ object Verify {
       // checkpoints in cluster deployments, where the cost spreads
       // across executors.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
     // Ad-hoc conf overrides for local experiments, e.g.
     // GRAFT_SPARK_EXTRA="spark.x=1;spark.y=2".

@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.isqdistDescriptor)
     ext.injectFunction(GraftExtensions.phashDescriptor)
     ext.injectFunction(GraftExtensions.kmvDescriptor)
+    ext.injectOptimizerRule(PlanGuardRule)
   }
 }
 

@@ -29,6 +29,7 @@ object SparkFixture {
     // checkpoints in cluster deployments, where the cost spreads
     // across executors.
     .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-    .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
