@@ -268,6 +268,8 @@ object SparkEntry {
     "q77_recursive_cte" -> (Relational.recursiveCte _),
     "q78_variant_extract" -> (Relational.variantExtract _),
     "t46_kmv_native" -> (PipelineQueries.kmvTokensNative _),
+    "q79_attribution" -> (Relational.attribution _),
+    "st57_stream_attribution" -> (StreamingQueries.streamAttribution _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -719,6 +721,10 @@ object SparkEntry {
     "t14_kmv_distinct" -> kmvOracleSql,
     // t46: the native sketch aggregate must land on t14's exact table
     "t46_kmv_native" -> kmvOracleSql,
+    // q79/st57: one window computation, one state machine — same
+    // per-user attribution rollup, exact microsecond lags.
+    "q79_attribution" -> attributionOracleSql,
+    "st57_stream_attribution" -> attributionOracleSql,
     // st18 maintains the SAME sketch online (first-seen word / hash
     // folds + an O(k) minima array) — one oracle for both.
     "st18_stream_kmv" -> kmvOracleSql,
@@ -6503,6 +6509,30 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     (ex +: per).mkString(",\n") + "\n" + union
   }
+
+  /** q79/st57: per-user first/last-touch attribution with exact
+    * microsecond last-touch lags; strictly-preceding (ts, event_id)
+    * frame on both engines. */
+  private def attributionOracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS ts_us FROM events),
+       x AS (SELECT user_id, event_type, ts_us,
+           min(CASE WHEN event_type = 'click' THEN ts_us END)
+             OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS first_click,
+           max(CASE WHEN event_type = 'click' THEN ts_us END)
+             OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS last_click
+         FROM e)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(sum(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_attributed,
+         CAST(sum(CASE WHEN last_click IS NOT NULL
+           THEN ts_us - last_click ELSE 0 END) AS BIGINT)
+           AS last_touch_lag_us
+       FROM x WHERE event_type = 'purchase' GROUP BY 1"""
 
   /** q74/st54: per-type daily-volume OLS trend from exact integer
     * moments over the observed-day grain. */

@@ -1940,6 +1940,36 @@ object Relational {
              LIMIT 3) t""")
   }
 
+  /** q79: FIRST/LAST-TOUCH ATTRIBUTION — the marketing-analytics
+    * canon query: each purchase credits the first and the most recent
+    * preceding click of the same user, rolled up per user into
+    * purchase count, attributed count, and the exact summed
+    * last-touch lag. One pass: two conditional running aggregates
+    * (min/max of click time) over the per-user (ts, event_id) order
+    * with a strictly-preceding frame — windows partition by user, so
+    * parallelism scales with users; all outputs are exact long
+    * microseconds. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("first_click",
+        min(when(col("event_type") === "click", col("ts_us"))).over(w))
+      .withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("first_click").isNotNull, 1L).otherwise(0L))
+          .as("n_attributed"),
+        sum(when(col("last_click").isNotNull,
+          col("ts_us") - col("last_click")).otherwise(0L))
+          .as("last_touch_lag_us"))
+  }
+
   /** q77: RECURSIVE CTE through Spark's own SQL front door — the q46
     * forest walk declared as `WITH RECURSIVE` and executed by
     * Catalyst's UnionLoop (new in Spark 4), emitting the full

@@ -3605,6 +3605,71 @@ object StreamingQueries {
         sum(floor(col("value") * 100.0d).cast("long")).as("cents_sum"))
   }
 
+  /** st57: STREAMING FIRST/LAST-TOUCH ATTRIBUTION — q79's marketing
+    * rollup as a per-user state machine: the keyed state carries
+    * (first_click, last_click, n_purchases, n_attributed, lag_sum),
+    * clicks advance the touch marks, purchases credit themselves
+    * against the CURRENT marks on arrival — attribution happens at
+    * ingest, no history re-scan ever. Within-batch application is
+    * (ts, offset)-ordered and the split is a time split, so the
+    * composed state must equal the batch window computation; the
+    * hash match against q79's oracle proves it. A message counter
+    * rides in the state so the memory sink's last upsert per user is
+    * identified exactly (counts alone can tie when trailing clicks
+    * touch the state after the final purchase). */
+  def streamAttribution(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-attribution")(
+        Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+          val parts = msg.asInstanceOf[String].split(',')
+          val (typ, tsUs) = (parts(0), parts(1).toLong)
+          val st = ctx.value match {
+            case null => Array(-1L, -1L, 0L, 0L, 0L, 0L)
+            case s: String => s.split(',').map(_.toLong)
+          }
+          typ match {
+            case "click" =>
+              if (st(0) < 0) st(0) = tsUs
+              st(1) = tsUs
+            case "purchase" =>
+              st(2) += 1
+              if (st(1) >= 0) { st(3) += 1; st(4) += tsUs - st(1) }
+            case _ => ()
+          }
+          st(5) += 1
+          ctx.setValue(st.mkString(","))
+        }),
+        Persist(StringCodec))
+      val ev = Sources.table(spark, dir, "events")
+      val staging = tempDir("graft_sattr_split")
+      stageTwoBatches(spark,
+        Sources.messages(ev, "events", col("user_id").cast("string"),
+          concat(col("event_type"), lit(","),
+            unix_micros(col("ts")).cast("string")),
+          col("ts"), col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("key", "st")
+      runToTable(spark, table)
+        .select(col("key"), split(col("st"), ",").as("p"))
+        .withColumn("nmsgs", element_at(col("p"), 6).cast("long"))
+        .groupBy(col("key"))
+        .agg(max_by(col("p"), col("nmsgs")).as("p"))
+        .select(col("key").cast("long").as("user_id"),
+          element_at(col("p"), 3).cast("long").as("n_purchases"),
+          element_at(col("p"), 4).cast("long").as("n_attributed"),
+          element_at(col("p"), 5).cast("long").as("last_touch_lag_us"))
+        .filter(col("n_purchases") > 0)
+    }
+
   /** st56: STREAMING EXACT LEADERBOARD — continuous top-10 users by
     * exact cents spend per event type: the keyed state is the
     * (type, user) cents accumulator (additive across micro-batches,
