@@ -247,6 +247,7 @@ object SparkEntry {
     "t41_lexical_diversity" -> (PipelineQueries.lexicalDiversity _),
     "t42_token_entropy" -> (PipelineQueries.tokenEntropy _),
     "d29_containment_join" -> (PipelineQueries.containmentJoin _),
+    "d30_edit_distance_join" -> (PipelineQueries.editDistanceJoin _),
     "c30_zonemap_lake" -> (PipelineQueries.zoneMapLake _),
     "st53_stream_zonemap" -> (StreamingQueries.streamZoneMap _),
     "s41_ood_scan" -> (PipelineQueries.oodScan _),
@@ -270,6 +271,9 @@ object SparkEntry {
     "t46_kmv_native" -> (PipelineQueries.kmvTokensNative _),
     "q79_attribution" -> (Relational.attribution _),
     "st57_stream_attribution" -> (StreamingQueries.streamAttribution _),
+    "q80_transition_matrix" -> (Relational.transitionMatrix _),
+    "st58_stream_transitions" -> (StreamingQueries.streamTransitions _),
+    "s42_mmr_rerank" -> (PipelineQueries.mmrRerank _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -725,6 +729,15 @@ object SparkEntry {
     // per-user attribution rollup, exact microsecond lags.
     "q79_attribution" -> attributionOracleSql,
     "st57_stream_attribution" -> attributionOracleSql,
+    // q80 computes transitions by a per-user lead window; st58
+    // maintains the same counts in per-user keyed state — one oracle
+    // proves batch ≡ streaming ≡ the declarative SQL.
+    "q80_transition_matrix" -> transitionOracleSql,
+    "st58_stream_transitions" -> transitionOracleSql,
+    // s42: the greedy MMR rounds unrolled as CTEs — identical
+    // relevance/sim cosines, identical 0.7/0.3 literals, identical
+    // (score DESC, nid) argmax per round.
+    "s42_mmr_rerank" -> mmrOracleSql,
     // st18 maintains the SAME sketch online (first-seen word / hash
     // folds + an O(k) minima array) — one oracle for both.
     "st18_stream_kmv" -> kmvOracleSql,
@@ -1782,6 +1795,21 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON da = sa.doc_id
                     JOIN sizes sb ON db = sb.doc_id
          WHERE c * 5 >= least(sa.n, sb.n) * 4""",
+    // d30: the oracle is the NAIVE within-language all-pairs
+    // Levenshtein on the same 32-char key — the hash match proves the
+    // Ed-Join q-gram prefix filter lossless (one edit kills ≤ q grams,
+    // so ed ≤ k pairs must share one of their k·q+1 rarest grams).
+    // The Δlen predicate is implied by ed ≤ k; it is in the oracle
+    // only to keep the naive join cheap.
+    "d30_edit_distance_join" ->
+      """WITH s AS (SELECT doc_id, lang, substr(text, 1, 32) AS t
+                    FROM documents WHERE length(text) >= 12)
+         SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS ed
+         FROM s a JOIN s b
+           ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE abs(length(a.t) - length(b.t)) <= 2
+           AND levenshtein(a.t, b.t) <= 2""",
     // c30/st53: the oracle is the UNPRUNED range aggregate — the hash
     // match proves the zone-map file prune lossless (c30 batch-built,
     // st53 maintained per streaming micro-batch).
@@ -6509,6 +6537,76 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     (ex +: per).mkString(",\n") + "\n" + union
   }
+
+  /** s42: MMR re-ranking unrolled — round r scores the not-yet-picked
+    * candidates against the union of rounds 1..r−1. */
+  private def mmrOracleSql: String = {
+    val rounds = (2 to 5).map { r =>
+      val prev = (1 until r).map(i => s"SELECT qid, nid FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""sel${r - 1} AS ($prev),
+         r$r AS (
+           SELECT c.qid, c.nid, c.rel, max(p.sim) AS msim
+           FROM cand c
+           JOIN pair p ON p.qid = c.qid AND p.ca = c.nid
+           JOIN sel${r - 1} s ON s.qid = p.qid AND s.nid = p.cb
+           WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2
+             WHERE s2.qid = c.qid AND s2.nid = c.nid)
+           GROUP BY c.qid, c.nid, c.rel),
+         s$r AS (SELECT qid, nid, CAST($r AS INT) AS pick FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY 0.7 * rel - 0.3 * msim DESC, nid) AS rn
+             FROM r$r) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH pre AS ($embPreSql),
+       sims AS (
+         SELECT q.vec_id AS qid, c.vec_id AS nid,
+           CAST((SELECT sum(x*y) FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS DOUBLE)
+             / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+             AS cos
+         FROM pre q JOIN pre c ON c.vec_id <> q.vec_id
+         WHERE q.vec_id < 5),
+       cand AS (SELECT qid, nid, cos AS rel FROM (
+           SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, nid) AS rank
+           FROM sims) WHERE rank <= 10),
+       pair AS (SELECT a.qid, a.nid AS ca, b.nid AS cb,
+           CAST((SELECT sum(x*y) FROM (SELECT unnest(pa.v) x, unnest(pb.v) y)) AS DOUBLE)
+             / (sqrt(CAST(pa.n2 AS DOUBLE)) * sqrt(CAST(pb.n2 AS DOUBLE)))
+             AS sim
+         FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid
+         JOIN pre pa ON pa.vec_id = a.nid
+         JOIN pre pb ON pb.vec_id = b.nid),
+       s1 AS (SELECT qid, nid, CAST(1 AS INT) AS pick FROM (
+           SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY rel DESC, nid) AS rn
+           FROM cand) WHERE rn = 1),
+       $rounds
+       SELECT u.qid, u.nid, u.pick, c.rel
+       FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+             UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+             UNION ALL SELECT * FROM s5) u
+       JOIN cand c ON c.qid = u.qid AND c.nid = u.nid"""
+  }
+
+  /** q80/st58: first-order Markov transition matrix over per-user
+    * (ts, event_id)-ordered timelines; p = one double division of two
+    * exact longs on both engines. */
+  private def transitionOracleSql: String =
+    """WITH seq AS (
+         SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS dst
+         FROM events),
+       tr AS (SELECT src, dst, count(*) AS cnt FROM seq
+              WHERE dst IS NOT NULL GROUP BY src, dst)
+       SELECT src, dst, cnt,
+         CAST(cnt AS DOUBLE)
+           / CAST(sum(cnt) OVER (PARTITION BY src) AS DOUBLE) AS p
+       FROM tr"""
 
   /** q79/st57: per-user first/last-touch attribution with exact
     * microsecond last-touch lags; strictly-preceding (ts, event_id)

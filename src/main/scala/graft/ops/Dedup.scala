@@ -517,6 +517,73 @@ object Dedup {
           least(col("na"), col("nb")).cast("double")).as("overlap"))
   }
 
+  /** d30: EXACT edit-distance self-join (Levenshtein ≤ k on a fixed
+    * comparison key) via Ed-Join q-gram prefix filtering (Xiao, Wang
+    * & Lin, VLDB 2008) — the typo/OCR-noise near-dup detector that
+    * set-similarity structurally misses: transposed characters shift
+    * every downstream shingle, so two strings one swap apart can share
+    * almost no 3-grams yet have edit distance 1.
+    *
+    * Completeness argument (why the oracle can be the NAIVE all-pairs
+    * Levenshtein and still hash-match): one edit changes at most `q`
+    * of a string's positional q-grams, so ed(a,b) ≤ k ⟹ the gram
+    * multisets overlap in ≥ |Gₐ| − k·q occurrences — and by the SSJoin
+    * prefix lemma two such multisets, each sorted by one global order,
+    * must share a gram VALUE within their first k·q+1 occurrences.
+    * Candidates therefore come from an equi-join on the k·q+1 RAREST
+    * grams per string; the exact Levenshtein verify (both engines'
+    * builtin) touches candidates only. False positives die in verify;
+    * false negatives are impossible, which the randomized-mutation
+    * parity spec re-proves against the in-Spark naive join.
+    *
+    * Scale shape: the rarity order is (global count, gram) attached by
+    * a vocab-keyed shuffle equi-join — no rank table, no broadcast, no
+    * single-task window (the only window is per-doc). Prefix filtering
+    * keeps hot grams out of the inverted lists by construction (a
+    * frequent gram is almost never among a string's k·q+1 rarest), so
+    * the candidate join carries no skew. Pairing is within `lang` —
+    * the partition a cross-language corpus dedups inside anyway.
+    * Comparison key = first `prefixLen` chars: edit-distance dedup at
+    * corpus scale is a short-key operation (titles, URLs, ledes);
+    * banding full documents is d02/d28's job. */
+  def editDistanceJoin(df: DataFrame, text: Column, id: Column,
+      lang: Column, prefixLen: Int = 32, k: Int = 2,
+      q: Int = 4): DataFrame = {
+    val minLen = k * q + q  // gram count ≥ kq+1 ⟹ count filter non-vacuous
+    val s = df.filter(length(text) >= minLen)
+      .select(id.as("doc_id"), lang.as("lang"),
+        substring(text, 1, prefixLen).as("t"))
+    // positional q-grams of the comparison key
+    val grams = s.select(col("doc_id"), col("lang"),
+        posexplode(expr(
+          s"transform(sequence(1, length(t) - ${q - 1}), " +
+            s"i -> substring(t, i, $q))")).as(Seq("pos", "g")))
+    val cnt = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    // k·q+1 rarest occurrences per string, order (c, g) global + pos tiebreak
+    val prefix = grams.join(cnt, Seq("g"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("c"), col("g"), col("pos"))))
+      .filter(col("rn") <= k * q + 1)
+      .select(col("doc_id"), col("lang"), col("g"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    // Banded verify: the 3-arg levenshtein computes the k-banded DP
+    // (O(k·n) per pair, -1 when the distance exceeds k) — the exact
+    // distance whenever it is ≤ k, which is the only case kept.
+    cand
+      .join(s.select(col("doc_id").as("da"), col("t").as("ta")), Seq("da"))
+      .join(s.select(col("doc_id").as("db"), col("t").as("tb")), Seq("db"))
+      .select(col("da"), col("db"),
+        levenshtein(col("ta"), col("tb"), k).cast("long").as("ed"))
+      .filter(col("ed") >= 0)
+  }
+
   /** d27: the (bands × rows) TUNING TABLE for MinHash-LSH — the s37
     * "dial measured" idea on the dedup side: every banding of the same
     * k=16 signatures trades recall for candidate volume (more bands of

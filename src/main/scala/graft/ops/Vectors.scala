@@ -160,6 +160,68 @@ object Vectors {
       .filter(col("rank") <= k)
   }
 
+  /** s42: MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell &
+    * Goldstein 1998) — the diversity pass every RAG serving stack
+    * runs between retrieval and the prompt: from each query's top
+    * `kCand` candidates, greedily select `kOut` maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), so near-duplicate hits
+    * (which embedding corpora are full of — that is what the d/s
+    * dedup suite measures) don't crowd out coverage.
+    *
+    * The greedy loop is inherently sequential in k, so it is
+    * UNROLLED: `kOut` rounds, each one candidate-sized join + one
+    * per-query argmax — never a driver loop over rows, and every
+    * frame is (queries × kCand)-bounded, which at serving scale is
+    * the index's output, not the corpus. Candidate relevance and all
+    * pairwise candidate sims are exact int64-dot cosines
+    * (precomputed once, `kCand²` per query); ties break (score,
+    * −nid) like the whole s-suite. λ is built from the two decimal
+    * literals 0.7/0.3 on BOTH engines — never 1−λ at runtime — so
+    * the scores are bit-identical. */
+  def mmrRerank(df: DataFrame, id: Column, emb: Column,
+      nQueries: Int = 5, kCand: Int = 10, kOut: Int = 5): DataFrame = {
+    val q = df.filter(id < nQueries)
+    val cand = annTopK(df, q, id, emb, kCand)
+      .select(col("qid"), col("nid"), col("cos").as("rel"))
+      .localCheckpoint()
+    val p = prepared(df, id, emb)
+    val pair = cand.as("a")
+      .join(cand.select(col("qid"), col("nid").as("cb")), Seq("qid"))
+      .filter(col("nid") =!= col("cb"))
+      .select(col("qid"), col("nid").as("ca"), col("cb"))
+      .join(p.select(col("vid").as("ca"), col("iv").as("iva"),
+        col("n2").as("n2a")), Seq("ca"))
+      .join(p.select(col("vid").as("cb"), col("iv").as("ivb"),
+        col("n2").as("n2b")), Seq("cb"))
+      .select(col("qid"), col("ca"), col("cb"),
+        cosineFromInts(idot(col("iva"), col("ivb")),
+          col("n2a"), col("n2b")).as("sim"))
+      .localCheckpoint()
+    var selected = cand
+      .groupBy(col("qid"))
+      .agg(max_by(col("nid"), struct(col("rel"), -col("nid"))).as("nid"))
+      .withColumn("pick", lit(1))
+      .localCheckpoint()
+    for (r <- 2 to kOut) {
+      val selSet = selected.select(col("qid"), col("nid"))
+      val remaining = cand.join(selSet, Seq("qid", "nid"), "left_anti")
+      val ms = pair.join(selSet.withColumnRenamed("nid", "cb"),
+          Seq("qid", "cb"))
+        .groupBy(col("qid"), col("ca")).agg(max(col("sim")).as("msim"))
+        .withColumnRenamed("ca", "nid")
+      val pick = remaining.join(ms, Seq("qid", "nid"))
+        .withColumn("score",
+          lit(0.7d) * col("rel") - lit(0.3d) * col("msim"))
+        .groupBy(col("qid"))
+        .agg(max_by(col("nid"), struct(col("score"), -col("nid")))
+          .as("nid"))
+        .withColumn("pick", lit(r))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.join(cand, Seq("qid", "nid"))
+      .select(col("qid"), col("nid"), col("pick"), col("rel"))
+  }
+
   /** Attribute-filtered exact kNN: top-k cosine neighbors restricted
     * to corpus vectors sharing the query's `label` — the metadata-
     * filtered search mode of every serving stack (FAISS `IDSelector`,

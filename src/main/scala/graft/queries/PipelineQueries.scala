@@ -92,6 +92,13 @@ object PipelineQueries {
     Dedup.overlapContainmentJoin(docs(spark, dir), col("text"),
       col("doc_id"))
 
+  /** d30: exact Levenshtein ≤ 2 self-join on the 32-char lede, within
+    * language, via Ed-Join prefix filtering
+    * ([[Dedup.editDistanceJoin]]). */
+  def editDistanceJoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceJoin(docs(spark, dir), col("text"), col("doc_id"),
+      col("lang"))
+
   /** d27: the measured precision/recall table per LSH banding
     * ([[Dedup.bandTuningTable]]) — 16 minhashes banded as 8×2, 4×4,
     * 2×8 against exact Jaccard ≥ 0.5 truth. */
@@ -922,6 +929,11 @@ object PipelineQueries {
   def kmvTokensNative(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.kmvDistinctNative(docs(spark, dir), col("text"),
       col("lang"), k = 16)
+
+  /** s42: MMR diversity re-ranking — greedy λ=0.7 selection of 5
+    * from each query's top-10 ([[Vectors.mmrRerank]]). */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame =
+    Vectors.mmrRerank(embs(spark, dir), col("vec_id"), col("embedding"))
 
   /** t38: A-ES weighted sample (k=50, weight = n_chars). */
   def weightedSample(spark: SparkSession, dir: String): DataFrame =

@@ -1970,6 +1970,33 @@ object Relational {
           .as("last_touch_lag_us"))
   }
 
+  /** q80: FIRST-ORDER MARKOV TRANSITION MATRIX over per-user event
+    * timelines — the session model behind next-event prediction,
+    * clickstream simulation and funnel-drop diagnosis: for every
+    * (src → dst) adjacent pair in a user's (ts, event_id)-ordered
+    * timeline, the global count and the row-normalized probability
+    * P(dst | src). Differs from q51 (which MINES frequent k-step
+    * sequences) by emitting the complete normalized model.
+    *
+    * Scale shape: one window partitioned by user_id (the natural
+    * shard; never global), then one groupBy on (src, dst) — the
+    * result is |types|² rows, so the normalizing per-src window runs
+    * on an aggregate frame, not the event stream. p is one double
+    * division of two exact longs — bit-identical cross-engine. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+    tr.withColumn("p", col("cnt").cast("double") /
+        sum(col("cnt")).over(Window.partitionBy(col("src")))
+          .cast("double"))
+  }
+
   /** q77: RECURSIVE CTE through Spark's own SQL front door — the q46
     * forest walk declared as `WITH RECURSIVE` and executed by
     * Catalyst's UnionLoop (new in Spark 4), emitting the full

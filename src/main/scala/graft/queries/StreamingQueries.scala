@@ -3670,6 +3670,73 @@ object StreamingQueries {
         .filter(col("n_purchases") > 0)
     }
 
+  /** st58: STREAMING MARKOV TRANSITION MATRIX — q80's model
+    * maintained online: the keyed state is (msg counter, last event
+    * type, per-user src|dst counts), each event increments exactly
+    * the one transition it completes — no timeline re-scan, state is
+    * O(|types|²) per user. The final fold explodes the per-user count
+    * maps, sums globally and row-normalizes — identical to the batch
+    * window + aggregate, which the shared q80 oracle hash proves.
+    * The leading message counter identifies the last upsert per user
+    * exactly (the first event adds no transition, so the transition
+    * total alone could not distinguish the first two upserts). */
+  def streamTransitions(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-transitions")(
+        Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+          val typ = msg.asInstanceOf[String]
+          ctx.value match {
+            case null => ctx.setValue(s"1;$typ")
+            case s: String =>
+              val parts = s.split(";", -1)
+              val n = parts(0).toLong + 1
+              val last = parts(1)
+              val key = s"$last|$typ"
+              val counts = scala.collection.mutable.LinkedHashMap(
+                parts.drop(2).map { e =>
+                  val i = e.lastIndexOf(':')
+                  e.substring(0, i) -> e.substring(i + 1).toLong
+                }.toIndexedSeq: _*)
+              counts(key) = counts.getOrElse(key, 0L) + 1L
+              val body = counts.map { case (k, c) => s"$k:$c" }
+                .mkString(";")
+              ctx.setValue(s"$n;$typ;$body")
+          }
+        }),
+        Persist(StringCodec))
+      val ev = Sources.table(spark, dir, "events")
+      val staging = tempDir("graft_strans_split")
+      stageTwoBatches(spark,
+        Sources.messages(ev, "events", col("user_id").cast("string"),
+          col("event_type"), col("ts"), col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("key", "st")
+      val tr = runToTable(spark, table)
+        .select(col("key"), split(col("st"), ";").as("p"))
+        .withColumn("nmsgs", element_at(col("p"), 1).cast("long"))
+        .groupBy(col("key"))
+        .agg(max_by(col("p"), col("nmsgs")).as("p"))
+        .select(explode(slice(col("p"), 3, 1000000)).as("e"))
+        .filter(col("e") =!= "")
+        .select(split(col("e"), "[|:]").as("kk"))
+        .select(element_at(col("kk"), 1).as("src"),
+          element_at(col("kk"), 2).as("dst"),
+          element_at(col("kk"), 3).cast("long").as("c"))
+        .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("cnt"))
+      tr.withColumn("p", col("cnt").cast("double") /
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))).cast("double"))
+    }
+
   /** st56: STREAMING EXACT LEADERBOARD — continuous top-10 users by
     * exact cents spend per event type: the keyed state is the
     * (type, user) cents accumulator (additive across micro-batches,

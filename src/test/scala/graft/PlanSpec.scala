@@ -922,6 +922,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       }
   }
 
+  test("d30: Ed-Join keeps the dedup-suite scale discipline — no " +
+    "single-partition stage, the only window is per-doc, no " +
+    "broadcast hint anywhere (gram counts attach by shuffle join)") {
+    val df = SparkEntry.queries("d30_edit_distance_join")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"no stage of the edit-distance join may funnel to one task\n$p")
+    p.split("\n").filter(_.contains("+- Window")).foreach { l =>
+      assert(l.contains("doc_id"),
+        s"non-doc-partitioned window in the Ed-Join plan: $l")
+    }
+    df.queryExecution.optimizedPlan.toString.split("\n")
+      .filter(_.contains("strategy=broadcast")).foreach { l =>
+        assert(false,
+          s"broadcast hint in the Ed-Join plan (the gram vocabulary " +
+            s"scales with the corpus): $l")
+      }
+  }
+
   test("q73: weighted quantiles window over the tie-collapsed " +
     "(flag, value) frame only — partitioned by flag, never " +
     "single-partition") {

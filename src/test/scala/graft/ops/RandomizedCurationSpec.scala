@@ -213,4 +213,66 @@ class RandomizedCurationSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  /** Reference Levenshtein (full DP), for the Ed-Join parity check. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0); d(0) = j
+      for (i <- 1 to a.length) {
+        val t = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = t
+      }
+    }
+    d(a.length)
+  }
+
+  test("Ed-Join prefix filter: no false negatives on mutated strings") {
+    import spark.implicits._
+    // Small alphabet + targeted mutations (sub/ins/del/transpose) so
+    // many pairs land exactly AT the k=2 boundary, where a prefix-
+    // length off-by-one would lose candidates.
+    val alpha = "abcd"
+    for (round <- 1 to 3) {
+      val base = (0 until 60).map { _ =>
+        val n = 12 + rnd.nextInt(26)
+        (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val mutated = base.flatMap { s =>
+        (0 until rnd.nextInt(3)).map { _ =>
+          var t = s
+          (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+            val p = rnd.nextInt(t.length)
+            rnd.nextInt(4) match {
+              case 0 => t = t.updated(p, alpha(rnd.nextInt(alpha.length)))
+              case 1 => t = t.take(p) +
+                alpha(rnd.nextInt(alpha.length)) + t.drop(p)
+              case 2 if t.length > 12 => t = t.take(p) + t.drop(p + 1)
+              case _ if p + 1 < t.length =>
+                t = t.take(p) + t(p + 1) + t(p) + t.drop(p + 2)
+              case _ => ()
+            }
+          }
+          t
+        }
+      }
+      val rows = (base ++ mutated).zipWithIndex
+        .map { case (s, i) => (i.toLong, s, "xx") }
+      val df = rows.toDF("doc_id", "text", "lang")
+      val got = Dedup.editDistanceJoin(df, col("text"), col("doc_id"),
+          col("lang"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val keyed = rows.map { case (i, s, _) => (i, s.take(32)) }
+      val want = (for {
+        (ia, ta) <- keyed; (ib, tb) <- keyed if ia < ib
+        e = lev(ta, tb) if e <= 2
+      } yield (ia, ib, e.toLong)).toSet
+      assert(got == want,
+        s"round=$round missing=${(want -- got).take(3)} " +
+          s"extra=${(got -- want).take(3)}")
+    }
+  }
 }
