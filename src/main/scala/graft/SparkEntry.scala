@@ -274,6 +274,7 @@ object SparkEntry {
     "q80_transition_matrix" -> (Relational.transitionMatrix _),
     "st58_stream_transitions" -> (StreamingQueries.streamTransitions _),
     "s42_mmr_rerank" -> (PipelineQueries.mmrRerank _),
+    "s43_jl_recall" -> (PipelineQueries.jlRecall _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -738,6 +739,9 @@ object SparkEntry {
     // relevance/sim cosines, identical 0.7/0.3 literals, identical
     // (score DESC, nid) argmax per round.
     "s42_mmr_rerank" -> mmrOracleSql,
+    // s43: identical md5 sign planes, one 32-dim projection, each
+    // rung reads its j < m prefix; all coordinates exact int64.
+    "s43_jl_recall" -> jlRecallOracleSql,
     // st18 maintains the SAME sketch online (first-seen word / hash
     // folds + an O(k) minima array) — one oracle for both.
     "st18_stream_kmv" -> kmvOracleSql,
@@ -6590,6 +6594,63 @@ object SparkEntry {
              UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
              UNION ALL SELECT * FROM s5) u
        JOIN cand c ON c.qid = u.qid AND c.nid = u.nid"""
+  }
+
+  /** s43: the JL ladder unrolled — one 32-plane ±1 sign projection
+    * (same md5 scheme as the LSH planes), per-rung prefix j < m,
+    * exact-int64 projected cosine ranks vs the exact baseline. */
+  private def jlRecallOracleSql: String = {
+    val ms = Seq(4, 8, 16, 32)
+    val perM = ms.map { m =>
+      s"""n2_$m AS (SELECT vec_id, sum(pj * pj) AS n2 FROM proj
+                 WHERE j < $m GROUP BY vec_id),
+         sims_$m AS (
+           SELECT qa.vec_id AS qid, ca.vec_id AS nid,
+             CAST(sum(qa.pj * ca.pj) AS DOUBLE)
+               / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
+               AS cos
+           FROM proj qa JOIN proj ca
+             ON ca.j = qa.j AND qa.j < $m AND ca.vec_id <> qa.vec_id
+           JOIN n2_$m qn ON qn.vec_id = qa.vec_id
+           JOIN n2_$m cn ON cn.vec_id = ca.vec_id
+           WHERE qa.vec_id < 10
+           GROUP BY qa.vec_id, ca.vec_id, qn.n2, cn.n2),
+         topk_$m AS (SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, nid) AS rank
+             FROM sims_$m) WHERE rank <= 10)"""
+    }.mkString(",\n")
+    val branches = ms.map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS m_dims,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(t.nid) AS BIGINT) AS n_hits,
+           CAST(count(t.nid) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS recall
+         FROM exact e LEFT JOIN topk_$m t
+           ON e.qid = t.qid AND e.nid = t.nid"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pre AS ($embPreSql),
+       signsq AS (
+         SELECT j, d,
+           CASE WHEN ('0x' || substr(md5(j::VARCHAR || '_' || d::VARCHAR),1,8))::BIGINT
+                  - 2147483648 >= 0 THEN 1 ELSE -1 END AS sg
+         FROM generate_series(0,31) tj(j), generate_series(0,63) td(d)),
+       proj AS (
+         SELECT p.vec_id, s.j, sum(s.sg * p.v[s.d + 1]) AS pj
+         FROM pre p, signsq s GROUP BY p.vec_id, s.j),
+       exact AS (SELECT qid, nid FROM (
+           SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           FROM (
+             SELECT q.vec_id AS qid, c.vec_id AS nid,
+               CAST((SELECT sum(x*y) FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS DOUBLE)
+                 / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+             FROM pre q JOIN pre c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id < 10))
+         WHERE rank <= 10),
+       $perM
+       $branches"""
   }
 
   /** q80/st58: first-order Markov transition matrix over per-user

@@ -1223,6 +1223,70 @@ object Vectors {
     }.reduce(_ unionByName _)
   }
 
+  /** s43: the Johnson–Lindenstrauss DIMENSION dial measured — recall@k
+    * of exact search run in an m-dim random-sign projection of the
+    * corpus, one row per m. This is the remaining cell of the
+    * compression matrix the s-suite audits: SQ (s18/s39) shrinks bits
+    * PER dimension, Hamming (s16) keeps one bit per plane, JL drops
+    * DIMENSIONS while preserving pairwise geometry (Achlioptas 2003:
+    * ±1 signs suffice — no Gaussians needed). The table answers the
+    * deployment question directly: how few dimensions can the first-
+    * pass index hold before recall pays.
+    *
+    * The ladder exploits the sketch's PREFIX property: coefficient
+    * signs depend on (plane, dim) only, so the m-dim projection is the
+    * first m coordinates of the widest one — ONE map-only projection
+    * pass serves every rung (the sketch a serving stack would actually
+    * store). All projected coordinates are exact int64 (±1 · int-scaled
+    * values; |pj| ≤ 64·maxscale ≈ 2²⁵ here, dots ≤ 2^54 — inside
+    * int64), so ranks are bit-identical cross-engine; signs come from
+    * the same md5 scheme as [[planeCoef]]. Queries are a tiny fixed
+    * set; the corpus side is one narrow projection + the per-query
+    * top-k window, never an all-pairs beyond the query×corpus rank
+    * every exact-search rung costs by definition. */
+  def jlRecallLadder(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, k: Int = 10, ms: Seq[Int] = Seq(4, 8, 16, 32),
+      dims: Int = -1): DataFrame = {
+    val d0 = if (dims > 0) dims else corpus.select(size(emb)).head().getInt(0)
+    val mMax = ms.max
+    val exact = annTopK(corpus, queries, id, emb, k)
+      .select(col("qid"), col("nid")).localCheckpoint()
+    def projected(df: DataFrame): DataFrame = {
+      val iv = intScale(emb)
+      val proj = array((0 until mMax).map { j =>
+        idot(iv, typedLit((0 until d0).map(d =>
+          if (planeCoef(j, d) >= 0) 1L else -1L)))
+      }: _*)
+      df.select(id.as("vid"), proj.as("pv"))
+    }
+    val c0 = projected(corpus).localCheckpoint()
+    val q0 = projected(queries)
+    ms.map { m =>
+      def sliced(df: DataFrame): DataFrame = df
+        .withColumn("sv", slice(col("pv"), 1, m))
+        .withColumn("sn2", idot(col("sv"), col("sv")))
+        .select(col("vid"), col("sv"), col("sn2"))
+      val c = sliced(c0).as("c")
+      val q = sliced(q0).as("q")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      val pk = q.join(c, col("q.vid") =!= col("c.vid"))
+        .select(col("q.vid").as("qid"), col("c.vid").as("nid"),
+          cosineFromInts(idot(col("q.sv"), col("c.sv")),
+            col("q.sn2"), col("c.sn2")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("nid"), lit(1L).as("hit"))
+      exact.join(pk, Seq("qid", "nid"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(m.toLong).as("m_dims"), col("n_exact"),
+          col("n_hits"),
+          (col("n_hits").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Recall@k audit of the QUANTIZED search paths — [[annSq8TopK]]
     * (8-bit codes) and [[annHammingTopK]] (1-bit signatures) measured
     * against the exact [[annTopK]] baseline, per query. The

@@ -270,6 +270,14 @@ object PipelineQueries {
       col("vec_id"), col("embedding"), k = 10, cents, Seq(1, 2, 4, 8))
   }
 
+  /** s43: JL random-sign projection recall ladder, m ∈ {4,8,16,32}
+    * ([[Vectors.jlRecallLadder]]). */
+  def jlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.jlRecallLadder(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"))
+  }
+
   /** Symmetric int8 quantization of the embedding corpus — the ANN
     * index compression step, with exact-integer code digests. */
   def quantize(spark: SparkSession, dir: String): DataFrame =
