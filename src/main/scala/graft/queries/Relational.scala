@@ -1970,6 +1970,65 @@ object Relational {
           .as("last_touch_lag_us"))
   }
 
+  /** q81: MANN–WHITNEY U — the nonparametric two-sample test, per
+    * event type, between the q66 A/B arms (user_id parity): does arm
+    * B's `value` distribution stochastically dominate arm A's? This
+    * is the test a metrics platform reaches for when t-tests (q66's
+    * z-proportions) are invalid — heavy-tailed spend, bounded scores,
+    * ordinal labels.
+    *
+    * Everything that decides the test is an EXACT integer: doubled
+    * midranks (2·mid = 2·cum − cnt + 1 over the tie-collapsed value
+    * frame), the doubled rank sum r2_a, the doubled statistic
+    * u2_a = r2_a − n_a(n_a+1), the tie correction Σ(t³−t), and the
+    * two-sided z ≥ 1.96 decision cross-multiplied in DECIMAL(38,0)
+    * (10⁴·3·num²·N(N−1) ≥ 38416·n_a·n_b·((N+1)N(N−1) − Σ(t³−t)),
+    * num = u2_a − n_a·n_b) — no float enters until nothing is left
+    * to decide. ANSI decimal overflow is LOUD (the q61/q66
+    * discipline), and products stay < 10³⁰ up to ~10⁹ rows per type.
+    *
+    * Scale: ranks live on the tie-collapsed (type, value) frame with
+    * the per-type window the q69/q73 plans established; the bucketed
+    * [[graft.ops.Ranks]] primitive is the documented swap-in when
+    * per-type distinct values outgrow a task. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitneyOver(table(spark, dir, "events")
+      .select(col("event_type"), col("value"),
+        pmod(col("user_id"), lit(2)).as("arm")))
+
+  /** [[mannWhitney]] over any (event_type, value, arm) frame — the
+    * randomized pair-counting parity spec drives this directly. */
+  def mannWhitneyOver(ev: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val g = ev
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+      .withColumn("cnt", col("ca") + col("cb"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = g.withColumn("cum", sum(col("cnt")).over(w))
+      .groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(d38(col("ca")) *
+          (lit(2L) * d38(col("cum")) - col("cnt") + 1L)).as("r2_a"),
+        sum(d38(col("cnt")) * col("cnt") * col("cnt") - col("cnt"))
+          .as("tie_cubes"))
+      .withColumn("u2_a",
+        col("r2_a") - d38(col("n_a")) * (col("n_a") + 1L))
+      .withColumn("nn", col("n_a") + col("n_b"))
+    s.select(col("event_type"), col("n_a"), col("n_b"),
+      col("u2_a").cast("long").as("u2_a"),
+      col("tie_cubes").cast("long").as("tie_cubes"),
+      when(lit(30000L) *
+          (col("u2_a") - d38(col("n_a")) * col("n_b")) *
+          (col("u2_a") - d38(col("n_a")) * col("n_b")) *
+          col("nn") * (col("nn") - 1L) >=
+        lit(38416L) * d38(col("n_a")) * col("n_b") *
+          (d38(col("nn") + 1L) * col("nn") * (col("nn") - 1L) -
+            col("tie_cubes")), 1L).otherwise(0L).as("significant"))
+  }
+
   /** q80: FIRST-ORDER MARKOV TRANSITION MATRIX over per-user event
     * timelines — the session model behind next-event prediction,
     * clickstream simulation and funnel-drop diagnosis: for every

@@ -15,6 +15,36 @@ class RandomizedFoldSpec extends AnyFunSuite with SparkFixture {
 
   private val dayUs = 86400000000L
 
+  test("q81 mann-whitney == direct pair counting on tie-heavy " +
+      "random samples") {
+    import spark.implicits._
+    for (seed <- Seq(5, 23, 77)) {
+      val rnd = new scala.util.Random(seed)
+      // few distinct values → heavy ties, the hard case for midranks
+      val rows = (0 until 400).map { _ =>
+        (s"t${rnd.nextInt(3)}", rnd.nextInt(12).toDouble,
+          rnd.nextInt(2).toLong)
+      }
+      val got = Relational.mannWhitneyOver(
+        rows.toDF("event_type", "value", "arm"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      rows.groupBy(_._1).foreach { case (t, g) =>
+        val a = g.filter(_._3 == 0L).map(_._2)
+        val b = g.filter(_._3 == 1L).map(_._2)
+        // 2U_a = 2·#{x∈a, y∈b: x > y} + #{x = y}
+        val u2 = a.map(x =>
+          2L * b.count(x > _) + b.count(x == _).toLong).sum
+        val tc = g.map(_._2).groupBy(identity).values
+          .map(v => v.size.toLong).map(c => c * c * c - c).sum
+        assert(got(t) == ((a.size.toLong, b.size.toLong, u2, tc)),
+          s"seed=$seed type=$t got=${got(t)} " +
+            s"want=(${a.size},${b.size},$u2,$tc)")
+      }
+    }
+  }
+
   test("q48 ewma fold == loop reference on random daily series") {
     import spark.implicits._
     for (seed <- Seq(3, 17, 99)) {
