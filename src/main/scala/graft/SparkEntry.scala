@@ -273,6 +273,8 @@ object SparkEntry {
     "st57_stream_attribution" -> (StreamingQueries.streamAttribution _),
     "q80_transition_matrix" -> (Relational.transitionMatrix _),
     "q81_mann_whitney" -> (Relational.mannWhitney _),
+    "st59_stream_mann_whitney" ->
+      (StreamingQueries.streamMannWhitney _),
     "st58_stream_transitions" -> (StreamingQueries.streamTransitions _),
     "s42_mmr_rerank" -> (PipelineQueries.mmrRerank _),
     "s43_jl_recall" -> (PipelineQueries.jlRecall _),
@@ -738,38 +740,11 @@ object SparkEntry {
     "st58_stream_transitions" -> transitionOracleSql,
     // q81: doubled midranks over the tie-collapsed (type, value)
     // frame; the z>=1.96 decision cross-multiplied in exact integers
-    // (DECIMAL(38,0) on Spark, HUGEINT in DuckDB).
-    "q81_mann_whitney" ->
-      """WITH g AS (
-           SELECT event_type, value,
-             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
-             sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb,
-             count(*) AS cnt
-           FROM events GROUP BY event_type, value),
-         r AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type
-                 ORDER BY value
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS cum FROM g),
-         s AS (SELECT event_type,
-                 sum(ca) AS n_a, sum(cb) AS n_b,
-                 sum(ca * (2 * cum - cnt + 1)) AS r2_a,
-                 sum(cnt * cnt * cnt - cnt) AS tie_cubes
-               FROM r GROUP BY event_type),
-         t AS (SELECT event_type, n_a, n_b, tie_cubes,
-                 r2_a - n_a * (n_a + 1) AS u2_a,
-                 n_a + n_b AS nn
-               FROM s)
-         SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
-           CAST(n_b AS BIGINT) AS n_b,
-           CAST(u2_a AS BIGINT) AS u2_a,
-           CAST(tie_cubes AS BIGINT) AS tie_cubes,
-           CAST(CASE WHEN
-               30000 * (u2_a - n_a * n_b) * (u2_a - n_a * n_b)
-                 * nn * (nn - 1)
-               >= 38416 * n_a * n_b
-                 * ((nn + 1) * nn * (nn - 1) - tie_cubes)
-             THEN 1 ELSE 0 END AS BIGINT) AS significant
-         FROM t""",
+    // (DECIMAL(38,0) on Spark, HUGEINT in DuckDB). st59 maintains the
+    // collapsed counts as streaming keyed state and runs the SAME
+    // statistic fold — one oracle proves both.
+    "q81_mann_whitney" -> mannWhitneyOracleSql,
+    "st59_stream_mann_whitney" -> mannWhitneyOracleSql,
     // s42: the greedy MMR rounds unrolled as CTEs — identical
     // relevance/sim cosines, identical 0.7/0.3 literals, identical
     // (score DESC, nid) argmax per round.
@@ -6687,6 +6662,40 @@ object SparkEntry {
        $perM
        $branches"""
   }
+
+  /** q81/st59: Mann–Whitney U with tie-corrected z decision, all in
+    * exact integers (HUGEINT here, DECIMAL(38,0) on the Spark side). */
+  private def mannWhitneyOracleSql: String =
+    """WITH g AS (
+         SELECT event_type, value,
+           sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb,
+           count(*) AS cnt
+         FROM events GROUP BY event_type, value),
+       r AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum FROM g),
+       s AS (SELECT event_type,
+               sum(ca) AS n_a, sum(cb) AS n_b,
+               sum(ca * (2 * cum - cnt + 1)) AS r2_a,
+               sum(cnt * cnt * cnt - cnt) AS tie_cubes
+             FROM r GROUP BY event_type),
+       t AS (SELECT event_type, n_a, n_b, tie_cubes,
+               r2_a - n_a * (n_a + 1) AS u2_a,
+               n_a + n_b AS nn
+             FROM s)
+       SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+         CAST(n_b AS BIGINT) AS n_b,
+         CAST(u2_a AS BIGINT) AS u2_a,
+         CAST(tie_cubes AS BIGINT) AS tie_cubes,
+         CAST(CASE WHEN
+             30000 * (u2_a - n_a * n_b) * (u2_a - n_a * n_b)
+               * nn * (nn - 1)
+             >= 38416 * n_a * n_b
+               * ((nn + 1) * nn * (nn - 1) - tie_cubes)
+           THEN 1 ELSE 0 END AS BIGINT) AS significant
+       FROM t"""
 
   /** q80/st58: first-order Markov transition matrix over per-user
     * (ts, event_id)-ordered timelines; p = one double division of two

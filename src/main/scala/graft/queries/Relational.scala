@@ -1998,13 +1998,19 @@ object Relational {
 
   /** [[mannWhitney]] over any (event_type, value, arm) frame — the
     * randomized pair-counting parity spec drives this directly. */
-  def mannWhitneyOver(ev: DataFrame): DataFrame = {
-    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
-    val g = ev
+  def mannWhitneyOver(ev: DataFrame): DataFrame =
+    mannWhitneyCollapsed(ev
       .groupBy(col("event_type"), col("value"))
       .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
-        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
-      .withColumn("cnt", col("ca") + col("cb"))
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb")))
+
+  /** The test statistic fold over an ALREADY tie-collapsed
+    * (event_type, value, ca, cb) frame — st59 maintains exactly this
+    * frame as streaming keyed state, so batch and streaming share the
+    * statistic from here down. */
+  def mannWhitneyCollapsed(counts: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val g = counts.withColumn("cnt", col("ca") + col("cb"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val s = g.withColumn("cum", sum(col("cnt")).over(w))

@@ -3737,6 +3737,74 @@ object StreamingQueries {
           .partitionBy(col("src"))).cast("double"))
     }
 
+  /** st59: STREAMING MANN–WHITNEY — the q81 rank test maintained
+    * online, the real-time experimentation readout: keyed state is
+    * the tie-collapsed (event_type, value) arm-count pair — the exact
+    * sufficient statistic for the test, additive across micro-batches
+    * and bounded by the VALUE cardinality, not the event count (the
+    * same state economics as st56's (type, user) grain). The final
+    * fold is [[graft.queries.Relational.mannWhitneyCollapsed]] — the
+    * literal batch statistic code over the state table — so the
+    * shared q81 oracle hash proves online state ≡ batch ranks,
+    * midranks, tie correction and decision. Keys round-trip the
+    * double through its shortest string form (exact both ways).
+    *
+    * State-size caveat for continuous metrics: distinct-value
+    * cardinality can approach the event count (it does on this
+    * corpus), making this the suite's worst-case-state streaming
+    * query by design. A production deployment quantizes the metric
+    * to a fixed grid first (cents, score buckets) — the state is
+    * then bounded by the grid size and the test is exact on the
+    * quantized metric. */
+  def streamMannWhitney(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-mannwhitney")(
+        Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+          val arm = msg.asInstanceOf[String]
+          val (ca, cb) = ctx.value match {
+            case null => (0L, 0L)
+            case s: String =>
+              val p = s.split(','); (p(0).toLong, p(1).toLong)
+          }
+          val nxt = if (arm == "0") (ca + 1, cb) else (ca, cb + 1)
+          ctx.setValue(s"${nxt._1},${nxt._2}")
+        }),
+        Persist(StringCodec))
+      val ev = Sources.table(spark, dir, "events")
+      val staging = tempDir("graft_smw_split")
+      stageTwoBatches(spark,
+        Sources.messages(ev, "events",
+          concat(col("event_type"), lit("|"),
+            col("value").cast("string")),
+          pmod(col("user_id"), lit(2)).cast("string"),
+          col("ts"), col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("key", "st")
+      // counts only grow, so the max (ca+cb) upsert is the last one
+      val counts = runToTable(spark, table)
+        .select(col("key"), split(col("st"), ",").as("p"))
+        .select(col("key"),
+          element_at(col("p"), 1).cast("long").as("ca"),
+          element_at(col("p"), 2).cast("long").as("cb"))
+        .groupBy(col("key"))
+        .agg(max_by(struct(col("ca"), col("cb")), col("ca") + col("cb"))
+          .as("s"))
+        .select(substring_index(col("key"), "|", 1).as("event_type"),
+          substring_index(col("key"), "|", -1).cast("double")
+            .as("value"),
+          col("s.ca").as("ca"), col("s.cb").as("cb"))
+      graft.queries.Relational.mannWhitneyCollapsed(counts)
+    }
+
   /** st56: STREAMING EXACT LEADERBOARD — continuous top-10 users by
     * exact cents spend per event type: the keyed state is the
     * (type, user) cents accumulator (additive across micro-batches,
