@@ -248,6 +248,7 @@ object SparkEntry {
     "t42_token_entropy" -> (PipelineQueries.tokenEntropy _),
     "d29_containment_join" -> (PipelineQueries.containmentJoin _),
     "d30_edit_distance_join" -> (PipelineQueries.editDistanceJoin _),
+    "c36_typo_canonical" -> (PipelineQueries.typoCanonical _),
     "c30_zonemap_lake" -> (PipelineQueries.zoneMapLake _),
     "st53_stream_zonemap" -> (StreamingQueries.streamZoneMap _),
     "s41_ood_scan" -> (PipelineQueries.oodScan _),
@@ -1824,6 +1825,36 @@ object SparkEntry {
            ON a.lang = b.lang AND a.doc_id < b.doc_id
          WHERE abs(length(a.t) - length(b.t)) <= 2
            AND levenshtein(a.t, b.t) <= 2""",
+    // c36: d30's pair graph transitively closed by a recursive CTE,
+    // canonical = (n_chars DESC, doc_id) argmax per cluster; the hash
+    // proves the whole Ed-Join -> CC -> keep-policy chain.
+    "c36_typo_canonical" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, lang, substr(text, 1, 32) AS t, n_chars
+           FROM documents WHERE length(text) >= 12),
+         pairs AS (
+           SELECT a.doc_id AS da, b.doc_id AS db
+           FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE abs(length(a.t) - length(b.t)) <= 2
+             AND levenshtein(a.t, b.t) <= 2),
+         edges AS (SELECT da AS src, db AS dst FROM pairs
+                   UNION ALL SELECT db, da FROM pairs),
+         walk(id, lbl) AS (
+           SELECT doc_id, doc_id FROM s
+           UNION
+           SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src),
+         clus AS (SELECT id AS doc_id, min(lbl) AS cluster
+                  FROM walk GROUP BY id),
+         canon AS (SELECT cluster, csize, doc_id AS canonical_id FROM (
+             SELECT c.cluster, c.doc_id, d.n_chars,
+               count(*) OVER (PARTITION BY c.cluster) AS csize,
+               row_number() OVER (PARTITION BY c.cluster
+                 ORDER BY d.n_chars DESC, c.doc_id) AS rn
+             FROM clus c JOIN s d USING (doc_id)) WHERE rn = 1)
+         SELECT c.doc_id, k.canonical_id, c.cluster,
+           CAST(k.csize AS BIGINT) AS csize
+         FROM clus c JOIN canon k ON k.cluster = c.cluster
+         WHERE k.csize >= 2""",
     // c30/st53: the oracle is the UNPRUNED range aggregate — the hash
     // match proves the zone-map file prune lossless (c30 batch-built,
     // st53 maintained per streaming micro-batch).

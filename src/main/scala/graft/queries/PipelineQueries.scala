@@ -43,6 +43,34 @@ object PipelineQueries {
       d, col("doc_id"))
   }
 
+  /** c36: TYPO-CLUSTER CANONICALIZATION — the d30 edit-distance pairs
+    * closed into transitive clusters ([[Dedup.connectedComponents]])
+    * and resolved to a REMAP TABLE (doc → canonical member, longest
+    * text wins, ties to the smaller id): the artifact an ingest
+    * pipeline joins against to collapse OCR/typo variants to one
+    * canonical record. Only multi-member clusters are emitted — the
+    * actionable rows. The full chain (Ed-Join candidates → banded
+    * verify → min-label propagation → per-cluster argmax) is
+    * oracle-proven end-to-end against the naive pair join + recursive
+    * CTE + window in DuckDB. */
+  def typoCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = Dedup.editDistanceJoin(d, col("text"), col("doc_id"),
+      col("lang"))
+    val ids = d.filter(length(col("text")) >= 12)
+    val cc = Dedup.connectedComponents(pairs, ids, col("doc_id"))
+    val sized = cc.join(
+      d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val canon = sized.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csize"),
+        max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+          .as("canonical_id"))
+    cc.join(canon, Seq("cluster"))
+      .filter(col("csize") >= 2)
+      .select(col("doc_id"), col("canonical_id"), col("cluster"),
+        col("csize"))
+  }
+
   /** d18: cluster-representative selection — the keep policy that runs
     * AFTER near-dup clustering (CCNet/RefinedWeb keep the best member,
     * not the first seen): per d07 connected component, keep the
