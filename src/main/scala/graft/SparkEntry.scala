@@ -274,6 +274,7 @@ object SparkEntry {
     "st57_stream_attribution" -> (StreamingQueries.streamAttribution _),
     "q80_transition_matrix" -> (Relational.transitionMatrix _),
     "q81_mann_whitney" -> (Relational.mannWhitney _),
+    "q82_skew_audit" -> (Relational.skewAudit _),
     "st59_stream_mann_whitney" ->
       (StreamingQueries.streamMannWhitney _),
     "st58_stream_transitions" -> (StreamingQueries.streamTransitions _),
@@ -746,6 +747,46 @@ object SparkEntry {
     // statistic fold — one oracle proves both.
     "q81_mann_whitney" -> mannWhitneyOracleSql,
     "st59_stream_mann_whitney" -> mannWhitneyOracleSql,
+    // q82: per-key count distributions over three join keys; exact
+    // nearest-rank p99 (cum >= ceil(.99n) cross-multiplied), ceil-div
+    // salt, 4x-mean skew flag — all integers.
+    "q82_skew_audit" ->
+      """WITH k AS (
+           SELECT 'events.user_id' AS rel, user_id AS key,
+             count(*) AS cnt FROM events GROUP BY 1, 2
+           UNION ALL
+           SELECT 'lineitem.l_orderkey', l_orderkey, count(*)
+           FROM lineitem GROUP BY 1, 2
+           UNION ALL
+           SELECT 'orders.o_custkey', o_custkey, count(*)
+           FROM orders GROUP BY 1, 2),
+         s AS (SELECT rel, count(*) AS n_keys, sum(cnt) AS n_rows,
+                 max(cnt) AS max_cnt
+               FROM k GROUP BY rel),
+         hot AS (SELECT rel, key AS hot_key FROM (
+             SELECT rel, key,
+               row_number() OVER (PARTITION BY rel
+                 ORDER BY cnt DESC, key) AS rn
+             FROM k) WHERE rn = 1),
+         cf AS (SELECT rel, cnt, count(*) AS freq FROM k
+                GROUP BY rel, cnt),
+         cum AS (SELECT rel, cnt, sum(freq) OVER (PARTITION BY rel
+                   ORDER BY cnt ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cum FROM cf),
+         p99 AS (SELECT c.rel, min(c.cnt) AS p99_cnt
+                 FROM cum c JOIN s ON s.rel = c.rel
+                 WHERE 100 * c.cum >= 99 * s.n_keys GROUP BY c.rel)
+         SELECT s.rel, CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(max_cnt AS BIGINT) AS max_cnt,
+           CAST(hot_key AS BIGINT) AS hot_key,
+           CAST(p99_cnt AS BIGINT) AS p99_cnt,
+           CAST((max_cnt * n_keys + n_rows - 1) // n_rows AS BIGINT)
+             AS salt,
+           CAST(CASE WHEN max_cnt * n_keys > 4 * n_rows
+             THEN 1 ELSE 0 END AS BIGINT) AS skewed
+         FROM s JOIN hot ON hot.rel = s.rel
+                JOIN p99 ON p99.rel = s.rel""",
     // s42: the greedy MMR rounds unrolled as CTEs — identical
     // relevance/sim cosines, identical 0.7/0.3 literals, identical
     // (score DESC, nid) argmax per round.

@@ -1970,6 +1970,49 @@ object Relational {
           .as("last_touch_lag_us"))
   }
 
+  /** q82: JOIN-SKEW AUDIT — the pre-flight a 100 TB join runs before
+    * choosing its strategy: per candidate join key, the per-key count
+    * distribution (key count, row count, hottest key and its count,
+    * exact p99 count) plus the two numbers the plan decision needs —
+    * `salt` = ⌈max/mean⌉, the salting factor that levels the hottest
+    * key to the average task, and `skewed` = (max > 4·mean), the
+    * AQE-skew-threshold-style flag. Everything is exact integer
+    * arithmetic (cross-multiplied nearest-rank p99, ceil-division
+    * salt); the count-frequency window is partitioned per audited
+    * relation over the COLLAPSED (cnt → freq) frame, whose size is
+    * the number of distinct per-key counts, not keys. */
+  def skewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val k = Seq(
+      ("events.user_id", "events", "user_id"),
+      ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      ("orders.o_custkey", "orders", "o_custkey"))
+      .map { case (rel, tbl, keyCol) =>
+        table(spark, dir, tbl)
+          .groupBy(col(keyCol).cast("long").as("key"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit(rel).as("rel"), col("key"), col("cnt"))
+      }.reduce(_ unionByName _)
+    val s = k.groupBy(col("rel"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"),
+        max_by(col("key"), struct(col("cnt"), -col("key")))
+          .as("hot_key"))
+    val w = Window.partitionBy(col("rel")).orderBy(col("cnt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p99 = k.groupBy(col("rel"), col("cnt"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("cum", sum(col("freq")).over(w))
+      .join(s.select(col("rel"), col("n_keys")), Seq("rel"))
+      .filter(col("cum") * 100L >= col("n_keys") * 99L)
+      .groupBy(col("rel")).agg(min(col("cnt")).as("p99_cnt"))
+    s.join(p99, Seq("rel"))
+      .select(col("rel"), col("n_keys"), col("n_rows"), col("max_cnt"),
+        col("hot_key"), col("p99_cnt"),
+        expr("(max_cnt * n_keys + n_rows - 1) div n_rows").as("salt"),
+        when(col("max_cnt") * col("n_keys") > lit(4L) * col("n_rows"),
+          1L).otherwise(0L).as("skewed"))
+  }
+
   /** q81: MANN–WHITNEY U — the nonparametric two-sample test, per
     * event type, between the q66 A/B arms (user_id parity): does arm
     * B's `value` distribution stochastically dominate arm A's? This
