@@ -275,6 +275,9 @@ object SparkEntry {
     "q80_transition_matrix" -> (Relational.transitionMatrix _),
     "q81_mann_whitney" -> (Relational.mannWhitney _),
     "q82_skew_audit" -> (Relational.skewAudit _),
+    "q83_floored_balance" -> (Relational.flooredBalance _),
+    "st60_stream_floored_balance" ->
+      (StreamingQueries.streamFlooredBalance _),
     "st59_stream_mann_whitney" ->
       (StreamingQueries.streamMannWhitney _),
     "st58_stream_transitions" -> (StreamingQueries.streamTransitions _),
@@ -747,6 +750,9 @@ object SparkEntry {
     // statistic fold — one oracle proves both.
     "q81_mann_whitney" -> mannWhitneyOracleSql,
     "st59_stream_mann_whitney" -> mannWhitneyOracleSql,
+    // q83/st60: one oracle for the closed form and the state fold.
+    "q83_floored_balance" -> flooredBalanceOracleSql,
+    "st60_stream_floored_balance" -> flooredBalanceOracleSql,
     // q82: per-key count distributions over three join keys; exact
     // nearest-rank p99 (cum >= ceil(.99n) cross-multiplied), ceil-div
     // salt, 4x-mean skew flag — all integers.
@@ -6734,6 +6740,36 @@ object SparkEntry {
        $perM
        $branches"""
   }
+
+  /** q83/st60: reflected running balance — the batch side computes
+    * the Lindley closed form (S_t − min(0, min prefix S)), the
+    * streaming side folds h ← max(0, h + Δ) directly; this oracle
+    * replays the closed form so the shared hash proves the rewrite. */
+  private def flooredBalanceOracleSql: String =
+    """WITH e AS (
+         SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase'
+             THEN CAST(floor(value * 100) AS BIGINT)
+             ELSE -CAST(floor(value * 100) AS BIGINT) END AS delta
+         FROM events),
+       r AS (SELECT user_id, ts, event_id,
+               sum(delta) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+             FROM e),
+       r2 AS (SELECT user_id, ts, event_id, s,
+                least(0, min(s) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                  AS m
+              FROM r),
+       h AS (SELECT user_id, ts, event_id, s - m AS h FROM r2),
+       o AS (SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn FROM h)
+       SELECT user_id,
+         CAST(max(CASE WHEN rn = 1 THEN h END) AS BIGINT) AS final_cents,
+         CAST(max(h) AS BIGINT) AS peak_cents
+       FROM o GROUP BY user_id"""
 
   /** q81/st59: Mann–Whitney U with tie-corrected z decision, all in
     * exact integers (HUGEINT here, DECIMAL(38,0) on the Spark side). */

@@ -1970,6 +1970,41 @@ object Relational {
           .as("last_touch_lag_us"))
   }
 
+  /** q83: REFLECTED RUNNING BALANCE (Lindley recurrence) — per-user
+    * stock/credit balance h_t = max(0, h_{t−1} + x_t), the
+    * floor-at-zero fold behind inventory levels, prepaid-credit
+    * metering and queue backlogs. The recurrence is nonlinear, but it
+    * has the classic closed form h_t = S_t − min(0, min_{j≤t} S_j)
+    * (the reflected random walk), so the whole timeline computes as
+    * TWO per-user windows — running sum and running min — instead of
+    * a sequential fold; the randomized spec proves the identity
+    * against a plain loop. Deltas are exact cents: purchases credit,
+    * every other event type debits. Emits per user the final and the
+    * peak balance. */
+  def flooredBalance(spark: SparkSession, dir: String): DataFrame =
+    flooredBalanceOver(table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase",
+          floor(col("value") * 100.0d).cast("long"))
+          .otherwise(-floor(col("value") * 100.0d).cast("long"))
+          .as("delta")))
+
+  /** [[flooredBalance]] over any (user_id, ts, event_id, delta)
+    * frame — the randomized Lindley parity spec drives this. */
+  def flooredBalanceOver(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("s", sum(col("delta")).over(w))
+      .withColumn("m", least(lit(0L), min(col("s")).over(w)))
+      .withColumn("h", col("s") - col("m"))
+      .groupBy(col("user_id"))
+      .agg(max_by(col("h"), struct(col("ts"), col("event_id")))
+          .as("final_cents"),
+        max(col("h")).as("peak_cents"))
+  }
+
   /** q82: JOIN-SKEW AUDIT — the pre-flight a 100 TB join runs before
     * choosing its strategy: per candidate join key, the per-key count
     * distribution (key count, row count, hottest key and its count,

@@ -3737,6 +3737,60 @@ object StreamingQueries {
           .partitionBy(col("src"))).cast("double"))
     }
 
+  /** st60: STREAMING REFLECTED BALANCE — q83's Lindley fold run as
+    * the per-user state machine it literally is: state = (balance,
+    * peak, msg counter), each event applies h ← max(0, h + Δ)
+    * directly. The batch side computes the same timeline through the
+    * closed form (running sum − floored running min); the shared
+    * oracle hash is the proof that the algebraic rewrite and the
+    * sequential fold agree on every user — the strongest kind of
+    * parity the suite has for nonlinear recurrences (st32/q39 set
+    * the pattern). O(1) state per user. */
+  def streamFlooredBalance(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-floored-balance")(
+        Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+          val delta = msg.asInstanceOf[String].toLong
+          val (bal, peak, n) = ctx.value match {
+            case null => (0L, 0L, 0L)
+            case s: String =>
+              val p = s.split(',')
+              (p(0).toLong, p(1).toLong, p(2).toLong)
+          }
+          val nb = math.max(0L, bal + delta)
+          ctx.setValue(s"$nb,${math.max(peak, nb)},${n + 1}")
+        }),
+        Persist(StringCodec))
+      val ev = Sources.table(spark, dir, "events")
+      val staging = tempDir("graft_sfbal_split")
+      stageTwoBatches(spark,
+        Sources.messages(ev, "events", col("user_id").cast("string"),
+          when(col("event_type") === "purchase",
+            floor(col("value") * 100.0d).cast("long"))
+            .otherwise(-floor(col("value") * 100.0d).cast("long"))
+            .cast("string"),
+          col("ts"), col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("key", "st")
+      runToTable(spark, table)
+        .select(col("key"), split(col("st"), ",").as("p"))
+        .withColumn("nmsgs", element_at(col("p"), 3).cast("long"))
+        .groupBy(col("key"))
+        .agg(max_by(col("p"), col("nmsgs")).as("p"))
+        .select(col("key").cast("long").as("user_id"),
+          element_at(col("p"), 1).cast("long").as("final_cents"),
+          element_at(col("p"), 2).cast("long").as("peak_cents"))
+    }
+
   /** st59: STREAMING MANN–WHITNEY — the q81 rank test maintained
     * online, the real-time experimentation readout: keyed state is
     * the tie-collapsed (event_type, value) arm-count pair — the exact

@@ -15,6 +15,36 @@ class RandomizedFoldSpec extends AnyFunSuite with SparkFixture {
 
   private val dayUs = 86400000000L
 
+  test("q83 lindley closed form == sequential max(0, h+x) fold on " +
+      "random signed timelines") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    for (seed <- Seq(11, 61, 2024)) {
+      val rnd = new scala.util.Random(seed)
+      val timelines = (1L to 30L).map { u =>
+        u -> (0 until rnd.nextInt(50)).map(_ =>
+          rnd.nextInt(200).toLong - 100L)
+      }.toMap
+      val rows = timelines.toSeq.flatMap { case (u, ds) =>
+        ds.zipWithIndex.map { case (d, i) =>
+          (u, new Timestamp(i * 1000L), u * 1000 + i, d)
+        }
+      }
+      val got = Relational.flooredBalanceOver(
+        rows.toDF("user_id", "ts", "event_id", "delta"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      timelines.foreach { case (u, ds) =>
+        if (ds.nonEmpty) {
+          var h = 0L; var peak = 0L
+          ds.foreach { d => h = math.max(0L, h + d)
+            peak = math.max(peak, h) }
+          assert(got(u) == ((h, peak)), s"seed=$seed user=$u")
+        }
+      }
+    }
+  }
+
   test("q81 mann-whitney == direct pair counting on tie-heavy " +
       "random samples") {
     import spark.implicits._
