@@ -249,6 +249,7 @@ object SparkEntry {
     "d29_containment_join" -> (PipelineQueries.containmentJoin _),
     "d30_edit_distance_join" -> (PipelineQueries.editDistanceJoin _),
     "c36_typo_canonical" -> (PipelineQueries.typoCanonical _),
+    "c37_rag_context" -> (PipelineQueries.ragContext _),
     "c30_zonemap_lake" -> (PipelineQueries.zoneMapLake _),
     "st53_stream_zonemap" -> (StreamingQueries.streamZoneMap _),
     "s41_ood_scan" -> (PipelineQueries.oodScan _),
@@ -797,6 +798,22 @@ object SparkEntry {
     // relevance/sim cosines, identical 0.7/0.3 literals, identical
     // (score DESC, nid) argmax per round.
     "s42_mmr_rerank" -> mmrOracleSql,
+    // c37: the s42 MMR chain nested as a CTE, then token counts and
+    // the windowed 150-token cutoff in pick order.
+    "c37_rag_context" ->
+      s"""WITH sel AS ($mmrOracleSql),
+         tok AS (SELECT doc_id AS nid,
+                   CAST(len(string_split(text, ' ')) AS BIGINT)
+                     AS n_tokens
+                 FROM documents),
+         j AS (SELECT s.qid, s.pick, s.nid, t.n_tokens,
+                 sum(t.n_tokens) OVER (PARTITION BY s.qid
+                   ORDER BY s.pick ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cum_tokens
+               FROM sel s JOIN tok t ON t.nid = s.nid)
+         SELECT qid, pick, nid AS doc_id, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+         FROM j WHERE cum_tokens <= 150""",
     // s43: identical md5 sign planes, one 32-dim projection, each
     // rung reads its j < m prefix; all coordinates exact int64.
     "s43_jl_recall" -> jlRecallOracleSql,

@@ -966,6 +966,32 @@ object PipelineQueries {
     TextAnalysis.kmvDistinctNative(docs(spark, dir), col("text"),
       col("lang"), k = 16)
 
+  /** c37: RAG CONTEXT PACKING — the serving step after s42's MMR
+    * re-rank: join each query's diversity-ranked picks to their
+    * documents, count tokens, and keep picks in rank order while the
+    * running total fits the context budget (150 tokens). The cutoff
+    * is a plain per-query running sum over ≤5 rows — the greedy
+    * skip-none packing every RAG stack runs between retrieval and the
+    * prompt (t12's bin packing is the corpus-side cousin; this is the
+    * query-side one). Oracle = the unrolled MMR chain + the same
+    * windowed cutoff. */
+  def ragContext(spark: SparkSession, dir: String): DataFrame = {
+    val sel = Vectors.mmrRerank(embs(spark, dir), col("vec_id"),
+      col("embedding"))
+    val toks = docs(spark, dir).select(col("doc_id").as("nid"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("pick"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    sel.join(toks, Seq("nid"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 150L)
+      .select(col("qid"), col("pick"), col("nid").as("doc_id"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
   /** s42: MMR diversity re-ranking — greedy λ=0.7 selection of 5
     * from each query's top-10 ([[Vectors.mmrRerank]]). */
   def mmrRerank(spark: SparkSession, dir: String): DataFrame =
