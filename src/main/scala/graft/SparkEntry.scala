@@ -277,6 +277,7 @@ object SparkEntry {
     "q81_mann_whitney" -> (Relational.mannWhitney _),
     "q82_skew_audit" -> (Relational.skewAudit _),
     "q83_floored_balance" -> (Relational.flooredBalance _),
+    "q84_gains_table" -> (Relational.gainsTable _),
     "st60_stream_floored_balance" ->
       (StreamingQueries.streamFlooredBalance _),
     "st59_stream_mann_whitney" ->
@@ -751,6 +752,27 @@ object SparkEntry {
     // statistic fold — one oracle proves both.
     "q81_mann_whitney" -> mannWhitneyOracleSql,
     "st59_stream_mann_whitney" -> mannWhitneyOracleSql,
+    // q84: one global (score DESC, event_id) rank + running positive
+    // count; decile cut and both counters exact integers.
+    "q84_gains_table" ->
+      """WITH e AS (SELECT event_id, value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lbl
+           FROM events),
+         r AS (SELECT *,
+             row_number() OVER (ORDER BY score DESC, event_id) AS rank,
+             sum(lbl) OVER (ORDER BY score DESC, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM e),
+         t AS (SELECT count(*) AS n, sum(lbl) AS tot FROM e)
+         SELECT ((rank - 1) * 10) // t.n AS decile,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(lbl) AS BIGINT) AS n_pos,
+           CAST(sum(lbl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS pos_rate,
+           CAST(max(cum) AS BIGINT) AS cum_pos,
+           CAST(max(cum) AS DOUBLE) / CAST(max(t.tot) AS DOUBLE)
+             AS gain
+         FROM r, t GROUP BY 1""",
     // q83/st60: one oracle for the closed form and the state fold.
     "q83_floored_balance" -> flooredBalanceOracleSql,
     "st60_stream_floored_balance" -> flooredBalanceOracleSql,

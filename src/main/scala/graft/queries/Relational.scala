@@ -1970,6 +1970,38 @@ object Relational {
           .as("last_touch_lag_us"))
   }
 
+  /** q84: GAINS / LIFT TABLE — the model-eval artifact for a score
+    * column: rank the population by score descending, cut into
+    * deciles, and report per decile the positive count, rate, and
+    * cumulative capture (the gains curve a targeting or quality-
+    * filter model is judged by; here score = event value, positive =
+    * purchase). The global descending rank AND the cumulative
+    * positive count both ride ONE [[graft.ops.Ranks]] pass — the
+    * label is the rank weight, so `cum` IS the gains numerator; no
+    * second scan, no global window. Decile = ((rank−1)·10) div n,
+    * exact integers; the only doubles are the final two ratios of
+    * exact longs. */
+  def gainsTable(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("event_id"), col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("lbl"))
+    val (ranked, n, totPos) = graft.ops.Ranks.rankedCumsumTotals(
+      e.withColumn("neg", -col("score")),
+      col("neg"), col("event_id"), col("lbl"))
+    ranked
+      .withColumn("decile", expr(s"((rank - 1) * 10) div ${n}L"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("lbl")).as("n_pos"),
+        max(col("cum")).as("cum_pos"))
+      .select(col("decile"), col("n_rows"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n_rows").cast("double"))
+          .as("pos_rate"),
+        col("cum_pos"),
+        (col("cum_pos").cast("double") / lit(totPos.toDouble))
+          .as("gain"))
+  }
+
   /** q83: REFLECTED RUNNING BALANCE (Lindley recurrence) — per-user
     * stock/credit balance h_t = max(0, h_{t−1} + x_t), the
     * floor-at-zero fold behind inventory levels, prepaid-credit

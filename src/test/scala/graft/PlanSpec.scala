@@ -848,6 +848,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("q84: gains table — the rank AND the cumulative positives ride " +
+    "one bucketed pass; no single-partition window") {
+    val p = plan("q84_gains_table")
+    assert(p.contains("Window"), p)
+    assertWindowsPartitioned(p, "__rk_b")
+  }
+
   test("q63: triangle counting is all equi-joins — no cartesian " +
     "product, no broadcast of the edge set") {
     val p = plan("q63_triangles")
