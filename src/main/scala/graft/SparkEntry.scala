@@ -278,6 +278,7 @@ object SparkEntry {
     "q82_skew_audit" -> (Relational.skewAudit _),
     "q83_floored_balance" -> (Relational.flooredBalance _),
     "q84_gains_table" -> (Relational.gainsTable _),
+    "q85_interpolate" -> (Relational.interpolateDaily _),
     "st60_stream_floored_balance" ->
       (StreamingQueries.streamFlooredBalance _),
     "st59_stream_mann_whitney" ->
@@ -752,6 +753,48 @@ object SparkEntry {
     // statistic fold — one oracle proves both.
     "q81_mann_whitney" -> mannWhitneyOracleSql,
     "st59_stream_mann_whitney" -> mannWhitneyOracleSql,
+    // q85: dense per-type day grid; missing days = exact integer
+    // linear interpolation (both engines truncate toward zero).
+    "q85_interpolate" ->
+      """WITH daily AS (
+           SELECT event_type, user_id,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+           FROM events WHERE user_id < 40 GROUP BY 1, 2, 3),
+         grid AS (
+           SELECT event_type, user_id,
+             unnest(generate_series(d0 - 2, d1 + 2)) AS day
+           FROM (SELECT event_type, user_id,
+                   min(day) AS d0, max(day) AS d1
+                 FROM daily GROUP BY event_type, user_id)),
+         j AS (
+           SELECT g.event_type, g.user_id, g.day, d.cents,
+             last_value(d.cents IGNORE NULLS) OVER
+               (PARTITION BY g.event_type, g.user_id ORDER BY g.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN d.cents IS NOT NULL THEN g.day END
+               IGNORE NULLS) OVER
+               (PARTITION BY g.event_type, g.user_id ORDER BY g.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(d.cents IGNORE NULLS) OVER
+               (PARTITION BY g.event_type, g.user_id ORDER BY g.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN d.cents IS NOT NULL THEN g.day END
+               IGNORE NULLS) OVER
+               (PARTITION BY g.event_type, g.user_id ORDER BY g.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+           FROM grid g LEFT JOIN daily d
+             ON d.event_type = g.event_type AND d.user_id = g.user_id
+             AND d.day = g.day)
+         SELECT event_type, user_id, day,
+           CAST(CASE WHEN cents IS NOT NULL THEN cents
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (day - pd) // (nd - pd)
+             ELSE coalesce(pv, nv) END AS BIGINT) AS cents,
+           CASE WHEN cents IS NOT NULL THEN 'actual'
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+             ELSE 'edge' END AS src
+         FROM j""",
     // q84: one global (score DESC, event_id) rank + running positive
     // count; decile cut and both counters exact integers.
     "q84_gains_table" ->

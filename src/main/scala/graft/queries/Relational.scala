@@ -1970,6 +1970,64 @@ object Relational {
           .as("last_touch_lag_us"))
   }
 
+  /** q85: TIME-SERIES GAP FILL with exact linear interpolation — the
+    * resampling step before any per-day model/anomaly pass (q41/q64
+    * assume a dense grid; this BUILDS it): each event type's daily
+    * cents series is expanded to its full [min_day, max_day] grid,
+    * missing days interpolate linearly between the nearest present
+    * neighbors, edge gaps clamp to the nearest known value. The
+    * interpolation is exact integer arithmetic — v0 + (v1−v0)·Δt div
+    * span — both engines truncating toward zero, so even the filled
+    * values hash-match. q44's forward-fill is the step-function
+    * variant; this is the continuous one.
+    *
+    * Scale: the grid explodes per type from one (min, max) aggregate
+    * row (days, not events); neighbor resolution is two per-type
+    * windows over the daily grain. */
+  def interpolateDaily(spark: SparkSession, dir: String): DataFrame = {
+    // (type, user) grain: per-user daily series actually have gaps
+    // (the per-type rollup is dense at every SF), so the interp and
+    // edge branches are exercised and oracle-proven. user_id < 40
+    // bounds the emitted frame; the plan is grain-agnostic.
+    val daily = table(spark, dir, "events")
+      .filter(col("user_id") < 40)
+      .groupBy(col("event_type"), col("user_id"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("day"))
+      .agg(sum(floor(col("value") * 100.0d).cast("long")).as("cents"))
+    val grid = daily.groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      // ±2 days of padding: the grid a downstream lag/lead model
+      // wants, and it makes the edge-clamp branch real (the span
+      // between min and max present day always starts/ends present).
+      .select(col("event_type"), col("user_id"),
+        explode(sequence(col("d0") - 2L, col("d1") + 2L)).as("day"))
+    val wPrev = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(daily, Seq("event_type", "user_id", "day"), "left")
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd",
+        last(when(col("cents").isNotNull, col("day")), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wNext))
+      .withColumn("nd",
+        first(when(col("cents").isNotNull, col("day")), ignoreNulls = true)
+          .over(wNext))
+      .select(col("event_type"), col("user_id"), col("day"),
+        when(col("cents").isNotNull, col("cents"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") + expr(
+              "(nv - pv) * (day - pd) div (nd - pd)"))
+          .otherwise(coalesce(col("pv"), col("nv"))).as("cents"),
+        when(col("cents").isNotNull, "actual")
+          .when(col("pv").isNotNull && col("nv").isNotNull, "interp")
+          .otherwise("edge").as("src"))
+  }
+
   /** q84: GAINS / LIFT TABLE — the model-eval artifact for a score
     * column: rank the population by score descending, cut into
     * deciles, and report per decile the positive count, rate, and
