@@ -271,6 +271,7 @@ object SparkEntry {
     "q77_recursive_cte" -> (Relational.recursiveCte _),
     "q78_variant_extract" -> (Relational.variantExtract _),
     "t46_kmv_native" -> (PipelineQueries.kmvTokensNative _),
+    "t47_vocab_coverage" -> (PipelineQueries.vocabCoverage _),
     "q79_attribution" -> (Relational.attribution _),
     "st57_stream_attribution" -> (StreamingQueries.streamAttribution _),
     "q80_transition_matrix" -> (Relational.transitionMatrix _),
@@ -737,6 +738,27 @@ object SparkEntry {
     "t14_kmv_distinct" -> kmvOracleSql,
     // t46: the native sketch aggregate must land on t14's exact table
     "t46_kmv_native" -> kmvOracleSql,
+    // t47: one (cnt DESC, word) rank with count-weighted cumsum; each
+    // budget reads its boundary row, ranks past n clamp to n.
+    "t47_vocab_coverage" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+         c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+         r AS (SELECT *,
+             row_number() OVER (ORDER BY cnt DESC, word) AS rank,
+             sum(cnt) OVER (ORDER BY cnt DESC, word
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM c),
+         t AS (SELECT count(*) AS n, sum(cnt) AS tot FROM c),
+         ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+         SELECT CAST(k AS BIGINT) AS k,
+           CAST(least(k, t.n) AS BIGINT) AS vocab_size,
+           CAST((SELECT r.cum FROM r WHERE r.rank = least(k, t.n))
+             AS BIGINT) AS covered_tokens,
+           CAST(t.tot AS BIGINT) AS total_tokens,
+           CAST((SELECT r.cum FROM r WHERE r.rank = least(k, t.n))
+             AS DOUBLE) / CAST(t.tot AS DOUBLE) AS coverage
+         FROM ks, t""",
     // q79/st57: one window computation, one state machine — same
     // per-user attribution rollup, exact microsecond lags.
     "q79_attribution" -> attributionOracleSql,

@@ -1116,6 +1116,43 @@ object TextAnalysis {
     * cumulative token counts); first docs from one token-keyed
     * min-aggregate; the checkpoint grid is 10 broadcast rows. All
     * counts exact longs. */
+  /** t47: VOCABULARY COVERAGE CURVE — for each candidate vocabulary
+    * budget k, the share of all corpus token OCCURRENCES covered by
+    * the k most frequent words: the table a tokenizer/vocab design
+    * consults before fixing its size (Zipf makes the head huge —
+    * t35's slope says how fast; this says exactly how much a budget
+    * buys). Complements t36 (Heaps: how vocabulary GROWS with corpus)
+    * with the dual: how coverage grows with vocabulary.
+    *
+    * The frequency-descending rank and the running covered-token sum
+    * ride ONE bucketed [[graft.ops.Ranks]] pass over the collapsed
+    * word-count table (weight = count, so `cum` IS covered tokens);
+    * each budget then reads a single boundary row — a ≤|ks|-row
+    * driver collect, the sanctioned bounded pattern. */
+  def vocabCoverage(df: DataFrame, text: Column,
+      ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    val spark = df.sparkSession
+    val c = df
+      .select(explode(split(text, " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val (ranked, n, tot) = graft.ops.Ranks.rankedCumsumTotals(
+      c.withColumn("neg", -col("cnt")),
+      col("neg"), col("word"), col("cnt"))
+    val bounds = ks.map(k => math.min(k.toLong, n)).distinct
+    val cumAt = ranked.filter(col("rank").isin(bounds: _*))
+      .select(col("rank"), col("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = ks.map { k =>
+      val vs = math.min(k.toLong, n)
+      val covered = cumAt(vs)
+      (k.toLong, vs, covered, tot,
+        covered.toDouble / tot.toDouble)
+    }
+    import spark.implicits._
+    rows.toDF("k", "vocab_size", "covered_tokens", "total_tokens",
+      "coverage")
+  }
+
   def heapsLaw(df: DataFrame, text: Column, id: Column,
       steps: Int = 10): DataFrame = {
     val ws = filter(split(text, " "), w => w =!= "")

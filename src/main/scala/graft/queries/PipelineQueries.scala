@@ -917,6 +917,11 @@ object PipelineQueries {
       col("doc_id"), keepBelowBitsFx = perplexityKeepBitsFx)
 
   /** t36: Heaps'-law vocabulary growth at 10 corpus checkpoints. */
+  /** t47: coverage of the k most frequent words, k ∈ {100, 1k, 10k}
+    * ([[TextAnalysis.vocabCoverage]]). */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(docs(spark, dir), col("text"))
+
   def heapsLaw(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.heapsLaw(docs(spark, dir), col("text"), col("doc_id"))
 
