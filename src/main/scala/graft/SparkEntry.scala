@@ -280,6 +280,7 @@ object SparkEntry {
     "q83_floored_balance" -> (Relational.flooredBalance _),
     "q84_gains_table" -> (Relational.gainsTable _),
     "q85_interpolate" -> (Relational.interpolateDaily _),
+    "q86_kruskal_wallis" -> (Relational.kruskalWallis _),
     "st60_stream_floored_balance" ->
       (StreamingQueries.streamFlooredBalance _),
     "st59_stream_mann_whitney" ->
@@ -775,6 +776,50 @@ object SparkEntry {
     // statistic fold — one oracle proves both.
     "q81_mann_whitney" -> mannWhitneyOracleSql,
     "st59_stream_mann_whitney" -> mannWhitneyOracleSql,
+    // q86: q81's midrank machinery at 4 arms; S and Π are plain
+    // expressions over pivoted arm columns (no float summation
+    // order), decision cross-multiplied in HUGEINT.
+    "q86_kruskal_wallis" ->
+      """WITH g AS (
+           SELECT event_type, value,
+             sum(CASE WHEN user_id % 4 = 0 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN user_id % 4 = 1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN user_id % 4 = 2 THEN 1 ELSE 0 END) AS c2,
+             sum(CASE WHEN user_id % 4 = 3 THEN 1 ELSE 0 END) AS c3,
+             count(*) AS cnt
+           FROM events GROUP BY event_type, value),
+         r AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type
+                 ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cum FROM g),
+         m AS (SELECT *, 2 * cum - cnt + 1 AS tmid FROM r),
+         s AS (SELECT event_type,
+                 sum(c0) AS n0, sum(c1) AS n1,
+                 sum(c2) AS n2, sum(c3) AS n3,
+                 sum(c0 * tmid) AS r2_0, sum(c1 * tmid) AS r2_1,
+                 sum(c2 * tmid) AS r2_2, sum(c3 * tmid) AS r2_3,
+                 sum(cnt * cnt * cnt - cnt) AS t
+               FROM m GROUP BY event_type),
+         x AS (SELECT event_type, n0, n1, n2, n3, t,
+                 n0 + n1 + n2 + n3 AS nn,
+                 n0 * n1 * n2 * n3 AS pi,
+                 r2_0 * r2_0 * n1 * n2 * n3
+                   + r2_1 * r2_1 * n0 * n2 * n3
+                   + r2_2 * r2_2 * n0 * n1 * n3
+                   + r2_3 * r2_3 * n0 * n1 * n2 AS s_big
+               FROM s),
+         y AS (SELECT *,
+                 s_big - (nn + 1) * (nn + 1) * nn * pi AS lhs_core,
+                 pi * (nn * nn * nn - nn - t) AS denom
+               FROM x)
+         SELECT event_type,
+           CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2, CAST(n3 AS BIGINT) AS n3,
+           CAST(t AS BIGINT) AS tie_cubes,
+           CAST(3 * (nn - 1) * lhs_core AS DOUBLE)
+             / CAST(denom AS DOUBLE) AS h_prime,
+           CAST(CASE WHEN 3000 * (nn - 1) * lhs_core >= 7815 * denom
+             THEN 1 ELSE 0 END AS BIGINT) AS significant
+         FROM y""",
     // q85: dense per-type day grid; missing days = exact integer
     // linear interpolation (both engines truncate toward zero).
     "q85_interpolate" ->

@@ -2095,6 +2095,69 @@ object Relational {
         max(col("h")).as("peak_cents"))
   }
 
+  /** q86: KRUSKAL–WALLIS H — the k-sample extension of q81's rank
+    * test (4 experiment arms = user_id mod 4, per event type): are
+    * ANY of the arms' value distributions shifted? The one-way
+    * nonparametric ANOVA an experimentation platform runs before
+    * pairwise drill-downs.
+    *
+    * Same exactness discipline as q81, one level up: doubled midrank
+    * sums r2ᵢ per arm from the tie-collapsed frame, then with
+    * Π = Πnᵢ and S = Σ r2ᵢ²·Π_{j≠i} nⱼ the tie-corrected statistic is
+    * H' = 3(N−1)·[S − (N+1)²·N·Π] / [Π·(N³−N−T)], and the decision
+    * H' ≥ 7.815 (χ²₃, α=.05) cross-multiplies to
+    * 3000(N−1)[S−(N+1)²NΠ] ≥ 7815·Π·(N³−N−T) — every term an exact
+    * DECIMAL(38,0) (loud on overflow; products stay <10³⁷ to ~10⁵
+    * rows/type at 4 arms — the q81 scaladoc bound discipline). The
+    * four arms pivot to columns, so S and Π are plain expressions —
+    * no float summation order anywhere; the emitted h_prime is ONE
+    * double division of the two exact decimals. */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    kruskalWallisOver(table(spark, dir, "events")
+      .select(col("event_type"), col("value"),
+        pmod(col("user_id"), lit(4)).as("arm")))
+
+  /** [[kruskalWallis]] over any (event_type, value, arm∈0..3) frame —
+    * the from-definition parity spec drives this directly. */
+  def kruskalWallisOver(ev: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val armCnt = (i: Int) =>
+      sum(when(col("arm") === i, 1L).otherwise(0L))
+    val g = ev
+      .groupBy(col("event_type"), col("value"))
+      .agg(armCnt(0).as("c0"), armCnt(1).as("c1"),
+        armCnt(2).as("c2"), armCnt(3).as("c3"))
+      .withColumn("cnt",
+        col("c0") + col("c1") + col("c2") + col("c3"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mid = g.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("tmid", lit(2L) * col("cum") - col("cnt") + 1L)
+    val aggs = (0 to 3).map(i => sum(col(s"c$i")).as(s"n$i")) ++
+      (0 to 3).map(i =>
+        sum(d38(col(s"c$i")) * col("tmid")).as(s"r2_$i")) ++
+      Seq(sum(d38(col("cnt")) * col("cnt") * col("cnt") - col("cnt"))
+        .as("tie_cubes"))
+    val s = mid.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+    val nn = col("n0") + col("n1") + col("n2") + col("n3")
+    val pi = d38(col("n0")) * col("n1") * col("n2") * col("n3")
+    val bigS =
+      col("r2_0") * col("r2_0") * col("n1") * col("n2") * col("n3") +
+      col("r2_1") * col("r2_1") * col("n0") * col("n2") * col("n3") +
+      col("r2_2") * col("r2_2") * col("n0") * col("n1") * col("n3") +
+      col("r2_3") * col("r2_3") * col("n0") * col("n1") * col("n2")
+    // r2 = 2R makes Σ R²/n = S/(4Π); H's 12/4 folds into the 3.
+    val lhsCore = bigS - d38(nn + 1L) * (nn + 1L) * nn * pi
+    val denom = pi * (d38(nn) * nn * nn - nn - col("tie_cubes"))
+    s.select(col("event_type"),
+      col("n0"), col("n1"), col("n2"), col("n3"),
+      col("tie_cubes").cast("long").as("tie_cubes"),
+      (lit(3L) * d38(nn - 1L) * lhsCore).cast("double")
+        ./(denom.cast("double")).as("h_prime"),
+      when(lit(3000L) * d38(nn - 1L) * lhsCore >=
+        lit(7815L) * denom, 1L).otherwise(0L).as("significant"))
+  }
+
   /** q82: JOIN-SKEW AUDIT — the pre-flight a 100 TB join runs before
     * choosing its strategy: per candidate join key, the per-key count
     * distribution (key count, row count, hottest key and its count,

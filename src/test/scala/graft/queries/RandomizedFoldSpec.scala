@@ -45,6 +45,41 @@ class RandomizedFoldSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q86 kruskal-wallis h' == from-definition midrank reference " +
+      "on tie-heavy random samples") {
+    import spark.implicits._
+    for (seed <- Seq(13, 47, 901)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 500).map { _ =>
+        (s"t${rnd.nextInt(3)}", rnd.nextInt(15).toDouble,
+          rnd.nextInt(4).toLong)
+      }
+      val got = Relational.kruskalWallisOver(
+        rows.toDF("event_type", "value", "arm"))
+        .collect().map(r => r.getString(0) -> r.getDouble(6)).toMap
+      rows.groupBy(_._1).foreach { case (t, grp) =>
+        // textbook definition: average ranks of the pooled sample
+        val sorted = grp.map(_._2).sorted
+        val midrank = sorted.distinct.map { v =>
+          val lo = sorted.indexOf(v) + 1
+          val hi = sorted.lastIndexOf(v) + 1
+          v -> (lo + hi) / 2.0
+        }.toMap
+        val n = grp.size.toDouble
+        val hRaw = 12.0 / (n * (n + 1)) * (0 to 3).map { a =>
+          val arm = grp.filter(_._3 == a)
+          val rsum = arm.map(e => midrank(e._2)).sum
+          rsum * rsum / arm.size
+        }.sum - 3 * (n + 1)
+        val ties = grp.map(_._2).groupBy(identity).values
+          .map(_.size.toDouble).map(c => c * c * c - c).sum
+        val want = hRaw / (1.0 - ties / (n * n * n - n))
+        assert(math.abs(got(t) - want) < 1e-9 * math.max(1.0, want.abs),
+          s"seed=$seed type=$t got=${got(t)} want=$want")
+      }
+    }
+  }
+
   test("q81 mann-whitney == direct pair counting on tie-heavy " +
       "random samples") {
     import spark.implicits._
