@@ -288,6 +288,7 @@ object SparkEntry {
     "st58_stream_transitions" -> (StreamingQueries.streamTransitions _),
     "s42_mmr_rerank" -> (PipelineQueries.mmrRerank _),
     "s43_jl_recall" -> (PipelineQueries.jlRecall _),
+    "s44_rrf_fusion" -> (PipelineQueries.rrfFusion _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -946,6 +947,41 @@ object SparkEntry {
          SELECT qid, pick, nid AS doc_id, n_tokens,
            CAST(cum_tokens AS BIGINT) AS cum_tokens
          FROM j WHERE cum_tokens <= 150""",
+    // s44: t22's BM25 list (nested verbatim) fused with the exact
+    // cosine top-10 of each query's paired embedding; RRF score is
+    // the same two-term double sum on both engines.
+    "s44_rrf_fusion" ->
+      s"""WITH bm AS ($bm25OracleSql),
+         lex AS (SELECT qid, doc_id, rank AS ra FROM bm),
+         pre AS ($embPreSql),
+         sem0 AS (SELECT qv, nid, rank FROM (
+             SELECT q.vec_id AS qv, c.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 CAST((SELECT sum(x*y) FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS DOUBLE)
+                   / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) DESC,
+                 c.vec_id) AS rank
+             FROM pre q JOIN pre c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id IN (1, 2, 3)) WHERE rank <= 10),
+         qmap(qid, qv) AS (VALUES ('b1', 1), ('b2', 2), ('b3', 3)),
+         sem AS (SELECT m.qid, s.nid AS doc_id, s.rank AS rb
+                 FROM sem0 s JOIN qmap m ON m.qv = s.qv),
+         u AS (SELECT coalesce(l.qid, s.qid) AS qid,
+                 coalesce(l.doc_id, s.doc_id) AS doc_id, l.ra, s.rb
+               FROM lex l FULL OUTER JOIN sem s
+                 ON l.qid = s.qid AND l.doc_id = s.doc_id),
+         sc AS (SELECT qid, doc_id,
+                 CAST(coalesce(ra, 0) AS BIGINT) AS ra,
+                 CAST(coalesce(rb, 0) AS BIGINT) AS rb,
+                 coalesce(CAST(1 AS DOUBLE) / CAST(60 + ra AS DOUBLE),
+                     CAST(0 AS DOUBLE))
+                   + coalesce(CAST(1 AS DOUBLE) / CAST(60 + rb AS DOUBLE),
+                     CAST(0 AS DOUBLE)) AS score
+               FROM u)
+         SELECT qid, doc_id, ra, rb, score,
+           CAST(fr AS BIGINT) AS fused_rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, doc_id) AS fr FROM sc)
+         WHERE fr <= 5""",
     // s43: identical md5 sign planes, one 32-dim projection, each
     // rung reads its j < m prefix; all coordinates exact int64.
     "s43_jl_recall" -> jlRecallOracleSql,

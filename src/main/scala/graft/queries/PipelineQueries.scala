@@ -1102,6 +1102,47 @@ object PipelineQueries {
     Retrieval.bm25(docs(spark, dir), col("text"), col("doc_id"),
       bm25Queries)
 
+  /** s44: RECIPROCAL RANK FUSION — the hybrid-search combiner every
+    * production retrieval stack ships (Cormack et al. 2009; Elastic/
+    * OpenSearch/Vespa all default to it): fuse the LEXICAL ranking
+    * (t22's BM25 lists) with a SEMANTIC ranking (exact-cosine top-10
+    * for each query's paired embedding) by
+    * score = Σ 1/(60 + rankᵢ), absent list contributes 0. The two
+    * rankings keep their own proven plans; fusion is one full-outer
+    * join on (query, doc) + a per-query top-5 — candidates-sized.
+    * The score is an explicit TWO-TERM double sum of reciprocals of
+    * exact integers, identical expression both engines. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lex = Retrieval.bm25(docs(spark, dir), col("text"),
+      col("doc_id"), bm25Queries)
+      .select(col("qid"), col("doc_id"), col("rank").as("ra"))
+    val e = embs(spark, dir)
+    val qmap = Seq(("b1", 1L), ("b2", 2L), ("b3", 3L))
+      .toDF("qid", "qv")
+    val sem = Vectors.annTopK(e,
+      e.filter(col("vec_id").isin(1L, 2L, 3L)),
+      col("vec_id"), col("embedding"), k = 10)
+      .select(col("qid").as("qv"), col("nid").as("doc_id"),
+        col("rank").as("rb"))
+      .join(qmap, Seq("qv")).select(col("qid"), col("doc_id"), col("rb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("score",
+        coalesce(lit(1.0d) / (lit(60.0d) + col("ra").cast("double")),
+          lit(0.0d)) +
+        coalesce(lit(1.0d) / (lit(60.0d) + col("rb").cast("double")),
+          lit(0.0d)))
+      .withColumn("ra", coalesce(col("ra"), lit(0L)))
+      .withColumn("rb", coalesce(col("rb"), lit(0L)))
+      .withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= 5)
+      .select(col("qid"), col("doc_id"), col("ra"), col("rb"),
+        col("score"), col("fused_rank"))
+  }
+
   /** t23: conjunctive boolean search over the lazily-built inverted
     * index. */
   def boolSearch(spark: SparkSession, dir: String): DataFrame =
