@@ -250,6 +250,7 @@ object SparkEntry {
     "d30_edit_distance_join" -> (PipelineQueries.editDistanceJoin _),
     "c36_typo_canonical" -> (PipelineQueries.typoCanonical _),
     "c37_rag_context" -> (PipelineQueries.ragContext _),
+    "c38_fk_audit" -> (PipelineQueries.fkAudit _),
     "c30_zonemap_lake" -> (PipelineQueries.zoneMapLake _),
     "st53_stream_zonemap" -> (StreamingQueries.streamZoneMap _),
     "s41_ood_scan" -> (PipelineQueries.oodScan _),
@@ -338,6 +339,7 @@ object SparkEntry {
     "m04_phash_pairs" -> (PipelineQueries.phashPairs _),
     "m05_clip_filter" -> (PipelineQueries.clipFilter _),
     "m06_audio_segments" -> (PipelineQueries.audioSegments _),
+    "m12_loudness_gain" -> (PipelineQueries.loudnessGain _),
     "m07_shot_boundaries" -> (PipelineQueries.shotBoundaries _),
     "m09_container_dedup" -> (PipelineQueries.containerDedup _),
     "st01_stream_count" -> (StreamingQueries.streamCount _),
@@ -2057,6 +2059,9 @@ object SparkEntry {
            ON a.lang = b.lang AND a.doc_id < b.doc_id
          WHERE abs(length(a.t) - length(b.t)) <= 2
            AND levenshtein(a.t, b.t) <= 2""",
+    // c38: one distinct-project + one anti-join per FK edge; missing
+    // parents surface as (count, smallest orphan key).
+    "c38_fk_audit" -> fkAuditOracleSql,
     // c36: d30's pair graph transitively closed by a recursive CTE,
     // canonical = (n_chars DESC, doc_id) argmax per cluster; the hash
     // proves the whole Ed-Join -> CC -> keep-policy chain.
@@ -4212,6 +4217,22 @@ object SparkEntry {
     // m06: 64-codepoint frames, energy = codepoint sum, voiced iff
     // frame mean >= blob mean (integer cross-multiply), segments =
     // runs of >= 2 voiced frames (lag-flag islands).
+    // m12: codepoint-sum energies, corpus-mean target, one
+    // cross-multiplied integer division per clip.
+    "m12_loudness_gain" ->
+      """WITH t AS (SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS v
+               FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, length(text))) AS i
+                     FROM documents WHERE length(text) > 0)),
+         per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cp,
+                   CAST(sum(v) AS BIGINT) AS energy
+                 FROM t GROUP BY doc_id),
+         tot AS (SELECT CAST(sum(n_cp) AS BIGINT) AS nn,
+                   CAST(sum(energy) AS BIGINT) AS ee FROM per)
+         SELECT doc_id, n_cp, energy,
+           CAST((ee * n_cp * 1000) // (nn * energy) AS BIGINT)
+             AS gain_milli
+         FROM per, tot""",
     "m06_audio_segments" ->
       """WITH base AS (SELECT doc_id, text, length(text) AS n
                        FROM documents WHERE length(text) > 0),
@@ -6924,6 +6945,38 @@ object SparkEntry {
          WHERE rank <= 10),
        $perM
        $branches"""
+  }
+
+  /** c38: per-FK-edge orphan audit; each branch is the same
+    * distinct + anti-join the Spark side runs. */
+  private def fkAuditOracleSql: String = {
+    val edges = Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      ("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      ("events.user_id->customer", "events", "user_id",
+        "customer", "c_custkey"))
+    edges.map { case (edge, child, ck, parent, pk) =>
+      s"""SELECT '$edge' AS edge,
+           (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_rows,
+           (SELECT CAST(count(DISTINCT $ck) AS BIGINT) FROM $child)
+             AS n_keys,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+             (SELECT DISTINCT CAST($ck AS BIGINT) AS k FROM $child)
+             WHERE k NOT IN (SELECT CAST($pk AS BIGINT) FROM $parent))
+             AS n_orphans,
+           coalesce((SELECT CAST(min(k) AS BIGINT) FROM
+             (SELECT DISTINCT CAST($ck AS BIGINT) AS k FROM $child)
+             WHERE k NOT IN (SELECT CAST($pk AS BIGINT) FROM $parent)),
+             -1) AS min_orphan"""
+    }.mkString("\nUNION ALL\n")
   }
 
   /** q83/st60: reflected running balance — the batch side computes

@@ -355,6 +355,33 @@ object Multimodal {
       .withColumn("ts", expr("aggregate(es, CAST(0 AS BIGINT), (a, x) -> a + x)"))
       .withColumn("tn", length(col("t")).cast("long"))
 
+  /** m12: LOUDNESS NORMALIZATION GAIN — the per-clip gain table audio
+    * preprocessing writes before mixing corpora recorded at different
+    * levels: normalize every clip's mean energy to the CORPUS mean.
+    * gain = (corpus mean energy per sample) / (clip mean energy per
+    * sample) = (E·n_clip)/(N·e_clip), emitted in exact milli units by
+    * one cross-multiplied integer division — no float loudness
+    * anywhere, so the table is engine-exact. The decoder stand-in is
+    * the suite's frame model (energy = codepoint sum); per-clip sums
+    * are one map-only HOF pass, corpus totals one aggregate,
+    * DECIMAL(38,0) keeps the cross product exact at any corpus size
+    * (loud on overflow past 10³⁸). */
+  def loudnessGain(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val per = df.select(id.cast("long").as("doc_id"), text.as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("doc_id"), length(col("t")).cast("long").as("n_cp"),
+        expr("aggregate(transform(sequence(1, length(t)), " +
+          "i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (a, c) -> a + c)").as("energy"))
+    val tot = per.agg(sum(col("n_cp")).as("nn"),
+      sum(col("energy")).as("ee"))
+    per.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_cp"), col("energy"),
+        expr("CAST((CAST(ee AS DECIMAL(38,0)) * n_cp * 1000) div " +
+          "(CAST(nn AS DECIMAL(38,0)) * energy) AS BIGINT)")
+          .as("gain_milli"))
+  }
+
   def audioSegments(df: DataFrame, text: Column, id: Column,
       frameChars: Int = 64, minFrames: Int = 2): DataFrame = {
     val segType = "array<struct<s:bigint,e:bigint>>"

@@ -43,6 +43,54 @@ object PipelineQueries {
       d, col("doc_id"))
   }
 
+  /** c38: REFERENTIAL-INTEGRITY AUDIT — the FK orphan scan a lake
+    * runs after every ingest: for each declared child→parent edge,
+    * the child row count, distinct key count, orphan key count
+    * (distinct child keys with no parent) and the smallest orphan as
+    * the repro handle. Each edge is one distinct-project + one
+    * left-anti equi-join — the join keys are the tables' natural
+    * hash keys, so at scale every edge is a co-partitionable
+    * shuffle, and a clean edge costs one scan of each side. */
+  def fkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = (n: String) => table(spark, dir, n)
+    val edges = Seq(
+      ("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey",
+        t("orders"), "o_orderkey"),
+      ("lineitem.l_partkey->part", t("lineitem"), "l_partkey",
+        t("part"), "p_partkey"),
+      ("lineitem.l_suppkey->supplier", t("lineitem"), "l_suppkey",
+        t("supplier"), "s_suppkey"),
+      ("orders.o_custkey->customer", t("orders"), "o_custkey",
+        t("customer"), "c_custkey"),
+      ("customer.c_nationkey->nation", t("customer"), "c_nationkey",
+        t("nation"), "n_nationkey"),
+      ("events.user_id->customer", t("events"), "user_id",
+        t("customer"), "c_custkey"))
+    edges.map { case (edge, child, ck, parent, pk) =>
+      fkEdgeAudit(edge, child, col(ck), parent, col(pk))
+    }.reduce(_ unionByName _)
+  }
+
+  /** One FK edge of [[fkAudit]] — the spec drives this with synthetic
+    * orphans (the shipped fixture is referentially clean on all six
+    * edges, so the orphan branch needs its own exercise). */
+  def fkEdgeAudit(edge: String, child: DataFrame,
+      ck: org.apache.spark.sql.Column, parent: DataFrame,
+      pk: org.apache.spark.sql.Column): DataFrame = {
+    val rows = child.agg(count(lit(1)).as("n_rows"))
+    val keys = child.select(ck.cast("long").as("k")).distinct()
+    val orphans = keys.join(
+      parent.select(pk.cast("long").as("k")).distinct(),
+      Seq("k"), "left_anti")
+    keys.agg(count(lit(1)).as("n_keys")).crossJoin(rows)
+      .crossJoin(orphans.agg(
+        count(lit(1)).as("n_orphans"),
+        min(col("k")).as("min_orphan")))
+      .select(lit(edge).as("edge"), col("n_rows"), col("n_keys"),
+        col("n_orphans"), coalesce(col("min_orphan"), lit(-1L))
+          .as("min_orphan"))
+  }
+
   /** c36: TYPO-CLUSTER CANONICALIZATION — the d30 edit-distance pairs
     * closed into transitive clusters ([[Dedup.connectedComponents]])
     * and resolved to a REMAP TABLE (doc → canonical member, longest
@@ -2253,6 +2301,11 @@ object PipelineQueries {
     * in for PCM frames; 64-codepoint frames, >= 2 voiced in a row). */
   def audioSegments(spark: SparkSession, dir: String): DataFrame =
     Multimodal.audioSegments(docs(spark, dir), col("text"), col("doc_id"))
+
+  /** m12: per-clip loudness gain to the corpus mean, exact millis
+    * ([[Multimodal.loudnessGain]]). */
+  def loudnessGain(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.loudnessGain(docs(spark, dir), col("text"), col("doc_id"))
 
   /** t28: the first 4 BPE merges induced from the corpus — distributed
     * tokenizer training ([[graft.ops.Tokenizer.bpeMerges]]). */

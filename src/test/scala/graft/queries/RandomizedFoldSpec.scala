@@ -45,6 +45,21 @@ class RandomizedFoldSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("c38 fk edge audit: synthetic orphans are counted and the " +
+      "smallest one is the repro handle") {
+    import spark.implicits._
+    val child = Seq(1L, 2L, 2L, 7L, 9L, 9L, 9L).toDF("k0")
+    val parent = Seq(1L, 2L, 3L).toDF("p0")
+    val got = graft.queries.PipelineQueries.fkEdgeAudit(
+      "t", child, col("k0"), parent, col("p0")).head()
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == ((7L, 4L, 2L, 7L)))
+    // clean edge → zero orphans, -1 handle
+    val clean = graft.queries.PipelineQueries.fkEdgeAudit(
+      "t", parent, col("p0"), parent, col("p0")).head()
+    assert(clean.getLong(3) == 0L && clean.getLong(4) == -1L)
+  }
+
   test("q86 kruskal-wallis h' == from-definition midrank reference " +
       "on tie-heavy random samples") {
     import spark.implicits._
