@@ -282,6 +282,7 @@ object SparkEntry {
     "q84_gains_table" -> (Relational.gainsTable _),
     "q85_interpolate" -> (Relational.interpolateDaily _),
     "q86_kruskal_wallis" -> (Relational.kruskalWallis _),
+    "q87_wilson_rank" -> (Relational.wilsonRank _),
     "st60_stream_floored_balance" ->
       (StreamingQueries.streamFlooredBalance _),
     "st59_stream_mann_whitney" ->
@@ -779,6 +780,23 @@ object SparkEntry {
     // statistic fold — one oracle proves both.
     "q81_mann_whitney" -> mannWhitneyOracleSql,
     "st59_stream_mann_whitney" -> mannWhitneyOracleSql,
+    // q87: identical n-scaled Wilson expression tree over exact
+    // counts; top-20 by (lb DESC, partkey).
+    "q87_wilson_rank" ->
+      """WITH per AS (
+           SELECT l_partkey, count(*) AS n,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+           FROM lineitem GROUP BY l_partkey)
+         SELECT l_partkey, CAST(n AS BIGINT) AS n,
+           CAST(pos AS BIGINT) AS pos,
+           CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS naive_rate,
+           (CAST(pos AS DOUBLE) + 1.9208 - 1.96 * sqrt(
+              CAST(pos * (n - pos) AS DOUBLE) / CAST(n AS DOUBLE)
+                + 0.9604))
+             / (CAST(n AS DOUBLE) + 3.8416) AS wilson_lb
+         FROM per
+         ORDER BY wilson_lb DESC, l_partkey
+         LIMIT 20""",
     // q86: q81's midrank machinery at 4 arms; S and Π are plain
     // expressions over pivoted arm columns (no float summation
     // order), decision cross-multiplied in HUGEINT.

@@ -2095,6 +2095,35 @@ object Relational {
         max(col("h")).as("peak_cents"))
   }
 
+  /** q87: WILSON LOWER-BOUND RANKING — "how not to sort by average
+    * rating": parts ranked by the 95% Wilson score lower bound of
+    * their return rate, the estimator that won't put a 1-return/
+    * 1-order part above a 30/400 one. The n-scaled form avoids the
+    * 1/n² terms: lb = (pos + z²/2 − z·√(pos(n−pos)/n + z²/4))
+    * / (n + z²). Counts are exact integers; the bound is ONE
+    * identical expression tree of those integers on both engines
+    * (IEEE sqrt/divide are correctly rounded, q70's discipline), so
+    * even the float ranking key hash-matches. Top-20 via
+    * orderBy+limit — per-partition top-k then a 20-row merge, never
+    * a global sort. */
+  def wilsonRank(spark: SparkSession, dir: String): DataFrame = {
+    val per = table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("pos"))
+    val nD = col("n").cast("double")
+    val lb = (col("pos").cast("double") + lit(1.9208d) -
+      lit(1.96d) * sqrt(
+        (col("pos") * (col("n") - col("pos"))).cast("double") / nD +
+          lit(0.9604d))) / (nD + lit(3.8416d))
+    per.select(col("l_partkey"), col("n"), col("pos"),
+        (col("pos").cast("double") / nD).as("naive_rate"),
+        lb.as("wilson_lb"))
+      .orderBy(col("wilson_lb").desc, col("l_partkey"))
+      .limit(20)
+  }
+
   /** q86: KRUSKAL–WALLIS H — the k-sample extension of q81's rank
     * test (4 experiment arms = user_id mod 4, per event type): are
     * ANY of the arms' value distributions shifted? The one-way
