@@ -283,6 +283,7 @@ object SparkEntry {
     "q85_interpolate" -> (Relational.interpolateDaily _),
     "q86_kruskal_wallis" -> (Relational.kruskalWallis _),
     "q87_wilson_rank" -> (Relational.wilsonRank _),
+    "q88_rolling_slope" -> (Relational.rollingSlope _),
     "st60_stream_floored_balance" ->
       (StreamingQueries.streamFlooredBalance _),
     "st59_stream_mann_whitney" ->
@@ -780,6 +781,31 @@ object SparkEntry {
     // statistic fold — one oracle proves both.
     "q81_mann_whitney" -> mannWhitneyOracleSql,
     "st59_stream_mann_whitney" -> mannWhitneyOracleSql,
+    // q88: exact rolling moments over the per-type daily frame; the
+    // null slope on a zero denominator (single-observation window of
+    // a constant x) matches Spark's when-otherwise null.
+    "q88_rolling_slope" ->
+      """WITH daily AS (
+           SELECT event_type,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, day, cents,
+             count(*) OVER w AS n,
+             sum(day) OVER w AS sx, sum(cents) OVER w AS sy,
+             sum(day * cents) OVER w AS sxy,
+             sum(day * day) OVER w AS sxx
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, CAST(cents AS BIGINT) AS cents,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+         FROM r""",
     // q87: identical n-scaled Wilson expression tree over exact
     // counts; top-20 by (lb DESC, partkey).
     "q87_wilson_rank" ->

@@ -2095,6 +2095,44 @@ object Relational {
         max(col("h")).as("peak_cents"))
   }
 
+  /** q88: ROLLING REGRESSION SLOPE — per event type, the OLS slope of
+    * daily revenue over the trailing 7 OBSERVATIONS (q74 fits one
+    * trend per group; this emits the rolling local trend each day —
+    * the drift feature anomaly monitors and forecasting baselines
+    * consume). All four moment sums (n, Σx, Σy, Σxy, Σxx) are exact
+    * longs inside one set of rolling windows over the per-type DAILY
+    * aggregate (a days-sized frame, partitioned by type); the slope
+    * numerator n·Σxy − Σx·Σy and denominator n·Σxx − (Σx)² are
+    * emitted exactly, the double slope is their single division. */
+  def rollingSlope(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("day"))
+      .agg(sum(floor(col("value") * 100.0d).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("day")).over(w))
+      .withColumn("sy", sum(col("cents")).over(w))
+      .withColumn("sxy", sum(col("day") * col("cents")).over(w))
+      .withColumn("sxx", sum(col("day") * col("day")).over(w))
+      .select(col("event_type"), col("day"), col("cents"), col("n"),
+        // d38 products: n·Σxy and Σx·Σy pass 2^63 once daily cents
+        // reach ~1e13 — the q61 overflow-loud discipline.
+        (col("n").cast(DecimalType(38, 0)) * col("sxy") -
+          col("sx").cast(DecimalType(38, 0)) * col("sy"))
+          .cast("long").as("slope_num"),
+        (col("n").cast(DecimalType(38, 0)) * col("sxx") -
+          col("sx").cast(DecimalType(38, 0)) * col("sx"))
+          .cast("long").as("slope_den"))
+      .withColumn("slope",
+        when(col("slope_den") =!= 0L,
+          col("slope_num").cast("double") /
+            col("slope_den").cast("double")))
+  }
+
   /** q87: WILSON LOWER-BOUND RANKING — "how not to sort by average
     * rating": parts ranked by the 95% Wilson score lower bound of
     * their return rate, the estimator that won't put a 1-return/
