@@ -834,6 +834,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         s"window not partitioned by $key: $l")
     }
 
+  test("r12 window queries: every window is partitioned by its natural " +
+    "shard key — user, type, series, or rank bucket") {
+    Seq(
+      "q80_transition_matrix" -> Seq("user_id", "src"),
+      "q81_mann_whitney" -> Seq("event_type"),
+      "q83_floored_balance" -> Seq("user_id"),
+      "q85_interpolate" -> Seq("event_type"),
+      "q86_kruskal_wallis" -> Seq("event_type"),
+      "q88_rolling_slope" -> Seq("event_type")
+    ).foreach { case (q, keys) =>
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q: expected a window\n$p")
+      p.split("\n").filter(_.contains("+- Window")).foreach { l =>
+        assert(keys.exists(l.contains),
+          s"$q: window not partitioned by any of $keys: $l")
+      }
+    }
+  }
+
   test("q61: the global rank is bucket-partitioned — no single-partition " +
     "window anywhere in the Gini plan") {
     val p = plan("q61_gini")
