@@ -251,6 +251,8 @@ object SparkEntry {
     "c36_typo_canonical" -> (PipelineQueries.typoCanonical _),
     "c37_rag_context" -> (PipelineQueries.ragContext _),
     "c38_fk_audit" -> (PipelineQueries.fkAudit _),
+    "c39_consistent_snapshot" ->
+      (PipelineQueries.consistentSnapshot _),
     "c30_zonemap_lake" -> (PipelineQueries.zoneMapLake _),
     "st53_stream_zonemap" -> (StreamingQueries.streamZoneMap _),
     "s41_ood_scan" -> (PipelineQueries.oodScan _),
@@ -2103,6 +2105,43 @@ object SparkEntry {
            ON a.lang = b.lang AND a.doc_id < b.doc_id
          WHERE abs(length(a.t) - length(b.t)) <= 2
            AND levenshtein(a.t, b.t) <= 2""",
+    // c39: each snapshot's logical content reconstructed from the
+    // base tables; the hash proves lake version isolation per table,
+    // per version, and jointly under the aligned/torn joins.
+    "c39_consistent_snapshot" ->
+      """WITH reads(rd, vo, vc) AS (VALUES
+           ('aligned', 1, 1), ('aligned', 2, 2), ('aligned', 3, 3),
+           ('torn', 1, 3)),
+         o AS (SELECT r.rd, r.vo, r.vc, x.o_orderkey, x.o_custkey
+               FROM reads r JOIN orders x ON
+                 CASE r.vo
+                   WHEN 1 THEN x.o_orderkey % 3 = 0
+                   WHEN 2 THEN x.o_orderkey % 3 <= 1
+                     AND x.o_custkey % 10 <> 0
+                   ELSE x.o_custkey % 10 NOT IN (0, 1) END),
+         c AS (SELECT r.rd, r.vo, r.vc, x.c_custkey
+               FROM reads r JOIN customer x ON
+                 CASE r.vc
+                   WHEN 1 THEN TRUE
+                   WHEN 2 THEN x.c_custkey % 10 <> 0
+                   ELSE x.c_custkey % 10 NOT IN (0, 1) END),
+         j AS (SELECT o.rd, o.vo, o.vc, count(*) AS n_join
+               FROM o JOIN c ON c.rd = o.rd AND c.vo = o.vo
+                 AND c.vc = o.vc AND c.c_custkey = o.o_custkey
+               GROUP BY o.rd, o.vo, o.vc),
+         oc AS (SELECT rd, vo, vc, count(*) AS n_orders FROM o
+                GROUP BY rd, vo, vc),
+         cc AS (SELECT rd, vo, vc, count(*) AS n_cust FROM c
+                GROUP BY rd, vo, vc)
+         SELECT oc.rd AS read, CAST(oc.vo AS BIGINT) AS v_orders,
+           CAST(oc.vc AS BIGINT) AS v_cust,
+           CAST(oc.n_orders AS BIGINT) AS n_orders,
+           CAST(cc.n_cust AS BIGINT) AS n_cust,
+           CAST(j.n_join AS BIGINT) AS n_join,
+           CAST(oc.n_orders - j.n_join AS BIGINT) AS n_orphans
+         FROM oc JOIN cc ON cc.rd = oc.rd AND cc.vo = oc.vo
+             AND cc.vc = oc.vc
+           JOIN j ON j.rd = oc.rd AND j.vo = oc.vo AND j.vc = oc.vc""",
     // c38: one distinct-project + one anti-join per FK edge; missing
     // parents surface as (count, smallest orphan key).
     "c38_fk_audit" -> fkAuditOracleSql,

@@ -43,6 +43,71 @@ object PipelineQueries {
       d, col("doc_id"))
   }
 
+  /** c39: MULTI-TABLE CONSISTENT SNAPSHOT — the lakehouse isolation
+    * property single-table time travel (c20) cannot give: two
+    * versioned tables evolve through ALIGNED transactional commits
+    * (each commit deletes customers and their orders together), and
+    * the audit proves every aligned read (orders@v ⋈ customers@v) is
+    * referentially clean while a TORN read (orders@1 ⋈ customers@3)
+    * exposes the orphans cross-version mixing fabricates. Each read
+    * is the manifest-pruned [[Lake.readVersioned]] scan; the oracle
+    * reconstructs each snapshot's logical content from the base
+    * tables, so the hash proves version isolation returns exactly
+    * the committed state — per table, per version, and jointly. */
+  def consistentSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 8
+    val ord = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap").toString
+    val (oDir, cDir) = (s"$root/orders", s"$root/customer")
+    val m3 = pmod(col("o_orderkey"), lit(3L))
+    val cm = pmod(col("o_custkey"), lit(10L))
+    val km = pmod(col("c_custkey"), lit(10L))
+    Lake.writeVersioned(ord.filter(m3 === 0), "o_orderkey", oDir, nShards)
+    Lake.writeVersioned(cust, "c_custkey", cDir, nShards)
+    def delOrders(f: org.apache.spark.sql.Column) = ord.filter(f)
+      .select(col("o_orderkey"), lit(null).cast("long").as("o_custkey"),
+        lit("delete").as("op"))
+    def addOrders(f: org.apache.spark.sql.Column) = ord.filter(f)
+      .withColumn("op", lit("upsert"))
+    def delCust(f: org.apache.spark.sql.Column) = cust.filter(f)
+      .select(col("c_custkey"),
+        lit(null).cast("long").as("c_nationkey"),
+        lit("delete").as("op"))
+    // v2: one transaction — customers %10=0 leave, their orders too,
+    // new orders arrive only for surviving customers.
+    Lake.mergeVersioned(spark, oDir, "o_orderkey",
+      addOrders(m3 === 1 && cm =!= 0)
+        .unionByName(delOrders(m3 === 0 && cm === 0)), nShards)
+    Lake.mergeVersioned(spark, cDir, "c_custkey", delCust(km === 0),
+      nShards)
+    // v3: customers %10=1 leave with their orders.
+    Lake.mergeVersioned(spark, oDir, "o_orderkey",
+      addOrders(m3 === 2 && cm =!= 0 && cm =!= 1)
+        .unionByName(delOrders(m3 <= 1 && cm === 1)), nShards)
+    Lake.mergeVersioned(spark, cDir, "c_custkey", delCust(km === 1),
+      nShards)
+    def audit(label: String, vo: Int, vc: Int): DataFrame = {
+      val o = Lake.readVersioned(spark, oDir, vo)
+      val c = Lake.readVersioned(spark, cDir, vc)
+      o.agg(count(lit(1)).as("n_orders"))
+        .crossJoin(c.agg(count(lit(1)).as("n_cust")))
+        .crossJoin(o.join(c, col("o_custkey") === col("c_custkey"))
+          .agg(count(lit(1)).as("n_join")))
+        .select(lit(label).as("read"),
+          lit(vo.toLong).as("v_orders"), lit(vc.toLong).as("v_cust"),
+          col("n_orders"), col("n_cust"), col("n_join"),
+          (col("n_orders") - col("n_join")).as("n_orphans"))
+    }
+    audit("aligned", 1, 1)
+      .unionByName(audit("aligned", 2, 2))
+      .unionByName(audit("aligned", 3, 3))
+      .unionByName(audit("torn", 1, 3))
+  }
+
   /** c38: REFERENTIAL-INTEGRITY AUDIT — the FK orphan scan a lake
     * runs after every ingest: for each declared child→parent edge,
     * the child row count, distinct key count, orphan key count
