@@ -286,6 +286,7 @@ object SparkEntry {
     "q86_kruskal_wallis" -> (Relational.kruskalWallis _),
     "q87_wilson_rank" -> (Relational.wilsonRank _),
     "q88_rolling_slope" -> (Relational.rollingSlope _),
+    "q89_weekday_index" -> (Relational.weekdayIndex _),
     "st60_stream_floored_balance" ->
       (StreamingQueries.streamFlooredBalance _),
     "st59_stream_mann_whitney" ->
@@ -783,6 +784,24 @@ object SparkEntry {
     // statistic fold — one oracle proves both.
     "q81_mann_whitney" -> mannWhitneyOracleSql,
     "st59_stream_mann_whitney" -> mannWhitneyOracleSql,
+    // q89: weekday = epoch-day mod 7 (locale-free both engines);
+    // index = one cross-multiplied HUGEINT division in millis.
+    "q89_weekday_index" ->
+      """WITH e AS (SELECT event_type,
+             (epoch_us(ts) // 86400000000) % 7 AS weekday,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events),
+         wd AS (SELECT event_type, weekday,
+                  CAST(count(*) AS BIGINT) AS n_wd,
+                  CAST(sum(cents) AS BIGINT) AS cents_wd
+                FROM e GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t,
+                   CAST(sum(cents) AS BIGINT) AS cents_t
+                 FROM e GROUP BY 1)
+         SELECT wd.event_type, wd.weekday, wd.n_wd, wd.cents_wd,
+           CAST((1000 * wd.cents_wd * tot.n_t)
+             // (wd.n_wd * tot.cents_t) AS BIGINT) AS index_milli
+         FROM wd JOIN tot ON tot.event_type = wd.event_type""",
     // q88: exact rolling moments over the per-type daily frame; the
     // null slope on a zero denominator (single-observation window of
     // a constant x) matches Spark's when-otherwise null.

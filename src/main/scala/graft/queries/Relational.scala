@@ -2095,6 +2095,32 @@ object Relational {
         max(col("h")).as("peak_cents"))
   }
 
+  /** q89: WEEKDAY SEASONALITY INDEX — per (event type, weekday), the
+    * revenue-per-event index against the type's overall rate: the
+    * multiplicative seasonal profile a forecaster divides out before
+    * trend fitting (q88's slope assumes it; this measures it).
+    * Weekday = epoch-day mod 7 — identical arithmetic on both
+    * engines, no locale-dependent dayofweek anywhere. The index is
+    * one cross-multiplied exact integer division in milli units:
+    * 1000·cents_wd·n_type div (n_wd·cents_type), DECIMAL(38,0)
+    * through the cross product. */
+  def weekdayIndex(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("weekday"),
+        floor(col("value") * 100.0d).cast("long").as("cents"))
+    val wd = e.groupBy(col("event_type"), col("weekday"))
+      .agg(count(lit(1)).as("n_wd"), sum(col("cents")).as("cents_wd"))
+    val tot = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"), sum(col("cents")).as("cents_t"))
+    wd.join(tot, Seq("event_type"))
+      .select(col("event_type"), col("weekday"), col("n_wd"),
+        col("cents_wd"),
+        expr("CAST((1000 * CAST(cents_wd AS DECIMAL(38,0)) * n_t) div "
+          + "(CAST(n_wd AS DECIMAL(38,0)) * cents_t) AS BIGINT)")
+          .as("index_milli"))
+  }
+
   /** q88: ROLLING REGRESSION SLOPE — per event type, the OLS slope of
     * daily revenue over the trailing 7 OBSERVATIONS (q74 fits one
     * trend per group; this emits the rolling local trend each day —
