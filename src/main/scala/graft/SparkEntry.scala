@@ -248,6 +248,7 @@ object SparkEntry {
     "t42_token_entropy" -> (PipelineQueries.tokenEntropy _),
     "d29_containment_join" -> (PipelineQueries.containmentJoin _),
     "d30_edit_distance_join" -> (PipelineQueries.editDistanceJoin _),
+    "d31_dedup_pressure" -> (PipelineQueries.dedupPressure _),
     "c36_typo_canonical" -> (PipelineQueries.typoCanonical _),
     "c37_rag_context" -> (PipelineQueries.ragContext _),
     "c38_fk_audit" -> (PipelineQueries.fkAudit _),
@@ -2109,6 +2110,41 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON da = sa.doc_id
                     JOIN sizes sb ON db = sb.doc_id
          WHERE c * 5 >= least(sa.n, sb.n) * 4""",
+    // d31: d04's exact inverted-list pairs held pre-division, rungs
+    // assigned by integer cross-multiplication, first-seen-wins
+    // removal = distinct later ids.
+    "d31_dedup_pressure" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents)),
+         df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+         shf AS (SELECT sh.doc_id, sh.s FROM sh
+                 JOIN df ON sh.s = df.s WHERE df.c <= 100),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                   FROM shf a JOIN shf b
+                     ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+         p AS (SELECT da, db, c, sa.n AS na, sb.n AS nb
+               FROM inter JOIN sizes sa ON da = sa.doc_id
+                          JOIN sizes sb ON db = sb.doc_id),
+         th AS (SELECT unnest([500, 600, 700, 800]) AS theta_milli),
+         hit AS (SELECT t.theta_milli, p.da, p.db FROM p, th t
+                 WHERE 1000 * p.c >= t.theta_milli * (p.na + p.nb - p.c)),
+         agg AS (SELECT theta_milli, count(*) AS n_pairs,
+                   count(DISTINCT db) AS n_removed
+                 FROM hit GROUP BY theta_milli),
+         nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+         SELECT CAST(t.theta_milli AS BIGINT) AS theta_milli,
+           CAST(coalesce(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(agg.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(nd.n - coalesce(agg.n_removed, 0) AS BIGINT) AS n_kept,
+           CAST(nd.n - coalesce(agg.n_removed, 0) AS DOUBLE)
+             / CAST(nd.n AS DOUBLE) AS kept_share
+         FROM th t LEFT JOIN agg ON agg.theta_milli = t.theta_milli, nd""",
     // d30: the oracle is the NAIVE within-language all-pairs
     // Levenshtein on the same 32-char key — the hash match proves the
     // Ed-Join q-gram prefix filter lossless (one edit kills ≤ q grams,

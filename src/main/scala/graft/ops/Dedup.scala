@@ -584,6 +584,60 @@ object Dedup {
       .filter(col("ed") >= 0)
   }
 
+  /** d31: DEDUP PRESSURE CURVE — corpus survival as a function of the
+    * Jaccard threshold: for each candidate θ, how many exact-verified
+    * near-dup pairs fire, how many documents the first-seen-wins keep
+    * policy removes (distinct later-id members of a ≥θ pair — d02/
+    * st10's policy), and what share of the corpus survives. This is
+    * the OTHER axis of d27's tuning table: d27 fixes θ and tunes the
+    * LSH banding; this fixes nothing and answers "what does each
+    * notch of dedup aggressiveness COST in corpus size" — the number
+    * a data-mix owner signs off on before a 100 TB dedup run.
+    *
+    * One exact pair materialization (d04's capped inverted-list
+    * shape, integer (c, na, nb) kept pre-division) serves every rung;
+    * the threshold test is the integer cross-multiplication
+    * 1000·c ≥ θ·(na+nb−c), so rows land in rungs bit-exactly. */
+  def dedupPressure(df: DataFrame, text: Column, id: Column,
+      shingleN: Int = 3,
+      thetasMilli: Seq[Int] = Seq(500, 600, 700, 800),
+      maxDocFreq: Int = 100): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = df
+      .select(id.as("doc_id"), nativeShingles(df, text, shingleN).as("sa"))
+      .select(col("doc_id"), size(col("sa")).as("n"),
+        explode(col("sa")).as("s"))
+    val shf = sh
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("s"))))
+      .filter(col("df") <= maxDocFreq)
+    val grouped = shf.groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
+    val pairs = grouped
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"),
+        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+    val nDocs = df.select(id).distinct().count()
+    val th = thetasMilli.map(_.toLong).toDF("theta_milli")
+    val agg = pairs.crossJoin(broadcast(th))
+      .filter(col("c") * 1000L >=
+        col("theta_milli") * (col("na") + col("nb") - col("c")))
+      .groupBy(col("theta_milli"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("db")).as("n_removed"))
+    th.join(agg, Seq("theta_milli"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_removed"))
+      .select(col("theta_milli"), col("n_pairs"), col("n_removed"),
+        (lit(nDocs) - col("n_removed")).as("n_kept"),
+        ((lit(nDocs) - col("n_removed")).cast("double") /
+          lit(nDocs.toDouble)).as("kept_share"))
+  }
+
   /** d27: the (bands × rows) TUNING TABLE for MinHash-LSH — the s37
     * "dial measured" idea on the dedup side: every banding of the same
     * k=16 signatures trades recall for candidate volume (more bands of

@@ -240,6 +240,11 @@ object PipelineQueries {
     Dedup.editDistanceJoin(docs(spark, dir), col("text"), col("doc_id"),
       col("lang"))
 
+  /** d31: corpus survival per Jaccard threshold
+    * ([[Dedup.dedupPressure]]). */
+  def dedupPressure(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupPressure(docs(spark, dir), col("text"), col("doc_id"))
+
   /** d27: the measured precision/recall table per LSH banding
     * ([[Dedup.bandTuningTable]]) — 16 minhashes banded as 8×2, 4×4,
     * 2×8 against exact Jaccard ≥ 0.5 truth. */
