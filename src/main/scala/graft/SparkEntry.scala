@@ -254,6 +254,7 @@ object SparkEntry {
     "c38_fk_audit" -> (PipelineQueries.fkAudit _),
     "c39_consistent_snapshot" ->
       (PipelineQueries.consistentSnapshot _),
+    "c40_provenance_chain" -> (PipelineQueries.provenanceChain _),
     "c30_zonemap_lake" -> (PipelineQueries.zoneMapLake _),
     "st53_stream_zonemap" -> (StreamingQueries.streamZoneMap _),
     "s41_ood_scan" -> (PipelineQueries.oodScan _),
@@ -2160,6 +2161,28 @@ object SparkEntry {
            ON a.lang = b.lang AND a.doc_id < b.doc_id
          WHERE abs(length(a.t) - length(b.t)) <= 2
            AND levenshtein(a.t, b.t) <= 2""",
+    // c40: each stage's (n, xor-of-row-hashes) recomputed from the
+    // raw table — hash equality IS the provenance verification.
+    "c40_provenance_chain" ->
+      """WITH s1 AS (
+           SELECT doc_id, text,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':' || md5(text)),
+               1, 15))::BIGINT AS h
+           FROM documents WHERE n_chars >= 50),
+         keep AS (SELECT min(doc_id) AS doc_id FROM s1
+                  GROUP BY md5(text)),
+         s2 AS (SELECT s1.* FROM s1 JOIN keep USING (doc_id)),
+         s3 AS (SELECT * FROM s2 WHERE
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10
+             < 8)
+         SELECT '1_gate' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS content_hash FROM s1
+         UNION ALL
+         SELECT '2_dedup', CAST(count(*) AS BIGINT),
+           CAST(bit_xor(h) AS BIGINT) FROM s2
+         UNION ALL
+         SELECT '3_train', CAST(count(*) AS BIGINT),
+           CAST(bit_xor(h) AS BIGINT) FROM s3""",
     // c39: each snapshot's logical content reconstructed from the
     // base tables; the hash proves lake version isolation per table,
     // per version, and jointly under the aligned/torn joins.

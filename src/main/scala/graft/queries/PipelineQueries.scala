@@ -43,6 +43,39 @@ object PipelineQueries {
       d, col("doc_id"))
   }
 
+  /** c40: PROVENANCE CHAIN — a content seal per pipeline stage (gate
+    * → exact-dedup → train-split), each stage identified by its row
+    * count and an ORDER-INDEPENDENT content hash (bit_xor of md5-
+    * derived per-row longs — commutative, so partitioning and
+    * arrival order can't perturb it; c07's seal idea lifted from one
+    * artifact to the whole chain). A consumer re-derives any stage
+    * and compares (n, hash) to prove it holds exactly the bytes the
+    * pipeline card claims — the oracle does precisely that from the
+    * raw table, so the hash match IS a provenance verification.
+    * Every stage is one filter + one aggregate; nothing beyond the
+    * gate's groupBy shuffles. */
+  def provenanceChain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashes.h60
+    val rowHash = (d: DataFrame) => d.select(col("doc_id"),
+      h60(concat(col("doc_id").cast("string"), lit(":"),
+        md5(col("text")))).as("h"),
+      col("text"))
+    val s1 = rowHash(docs(spark, dir).filter(col("n_chars") >= 50))
+    val keep = s1.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s2 = s1.join(keep, Seq("doc_id"))
+    val s3 = s2.filter(pmod(h60(col("doc_id").cast("string")),
+      lit(10L)) < 8L)
+    Seq(("1_gate", s1), ("2_dedup", s2), ("3_train", s3)).map {
+      case (stage, d) =>
+        d.agg(count(lit(1)).as("n_rows"),
+          bit_xor(col("h")).as("content_hash"))
+          .select(lit(stage).as("stage"), col("n_rows"),
+            col("content_hash"))
+    }.reduce(_ unionByName _)
+  }
+
   /** c39: MULTI-TABLE CONSISTENT SNAPSHOT — the lakehouse isolation
     * property single-table time travel (c20) cannot give: two
     * versioned tables evolve through ALIGNED transactional commits
