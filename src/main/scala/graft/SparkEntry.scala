@@ -293,6 +293,7 @@ object SparkEntry {
       (StreamingQueries.streamFlooredBalance _),
     "st59_stream_mann_whitney" ->
       (StreamingQueries.streamMannWhitney _),
+    "st61_stream_seal" -> (StreamingQueries.streamContentSeal _),
     "st58_stream_transitions" -> (StreamingQueries.streamTransitions _),
     "s42_mmr_rerank" -> (PipelineQueries.mmrRerank _),
     "s43_jl_recall" -> (PipelineQueries.jlRecall _),
@@ -2161,6 +2162,13 @@ object SparkEntry {
            ON a.lang = b.lang AND a.doc_id < b.doc_id
          WHERE abs(length(a.t) - length(b.t)) <= 2
            AND levenshtein(a.t, b.t) <= 2""",
+    // st61: the same gate-stage seal maintained online per shard;
+    // xor's commutativity makes the online and batch seals equal.
+    "st61_stream_seal" ->
+      """SELECT '1_gate' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+             md5(text)), 1, 15))::BIGINT) AS BIGINT) AS content_hash
+         FROM documents WHERE n_chars >= 50""",
     // c40: each stage's (n, xor-of-row-hashes) recomputed from the
     // raw table — hash equality IS the provenance verification.
     "c40_provenance_chain" ->

@@ -3737,6 +3737,61 @@ object StreamingQueries {
           .partitionBy(col("src"))).cast("double"))
     }
 
+  /** st61: STREAMING CONTENT SEAL — c40's gate-stage provenance seal
+    * maintained at ingest: the per-row hash is folded into per-shard
+    * (count, xor) state as documents arrive, and the closing fold
+    * xors the 32 shards together. xor is commutative AND
+    * self-inverse, so the online seal is invariant to batch
+    * boundaries, arrival order and shard assignment — the shared
+    * oracle recomputes the seal from the raw table and the hash
+    * match proves the stream never dropped, duplicated or mutated a
+    * row (any of the three flips the seal). O(1) state per shard. */
+  def streamContentSeal(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-seal")(
+        Input("docs", StringCodec, ProcessCallback { (ctx, msg) =>
+          val h = msg.asInstanceOf[String].toLong
+          val (n, x) = ctx.value match {
+            case null => (0L, 0L)
+            case s: String =>
+              val p = s.split(','); (p(0).toLong, p(1).toLong)
+          }
+          ctx.setValue(s"${n + 1},${x ^ h}")
+        }),
+        Persist(StringCodec))
+      val d = Sources.table(spark, dir, "documents")
+        .filter(col("n_chars") >= 50)
+      val staging = tempDir("graft_sseal_split")
+      stageTwoBatches(spark,
+        Sources.messages(d, "docs",
+          pmod(col("doc_id"), lit(32L)).cast("string"),
+          graft.functions.Hashes.h60(
+            concat(col("doc_id").cast("string"), lit(":"),
+              md5(col("text")))).cast("string"),
+          expr("timestamp_micros(doc_id)"), col("doc_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("key", "st")
+      runToTable(spark, table)
+        .select(col("key"), split(col("st"), ",").as("p"))
+        .withColumn("n", element_at(col("p"), 1).cast("long"))
+        .withColumn("x", element_at(col("p"), 2).cast("long"))
+        .groupBy(col("key"))
+        .agg(max_by(col("x"), col("n")).as("x"), max(col("n")).as("n"))
+        .agg(sum(col("n")).as("n_rows"),
+          expr("bit_xor(x)").as("content_hash"))
+        .select(lit("1_gate").as("stage"), col("n_rows"),
+          col("content_hash"))
+    }
+
   /** st60: STREAMING REFLECTED BALANCE — q83's Lindley fold run as
     * the per-user state machine it literally is: state = (balance,
     * peak, msg counter), each event applies h ← max(0, h + Δ)
