@@ -249,6 +249,7 @@ object SparkEntry {
     "d29_containment_join" -> (PipelineQueries.containmentJoin _),
     "d30_edit_distance_join" -> (PipelineQueries.editDistanceJoin _),
     "d31_dedup_pressure" -> (PipelineQueries.dedupPressure _),
+    "d32_minhash_fidelity" -> (PipelineQueries.minhashFidelity _),
     "c36_typo_canonical" -> (PipelineQueries.typoCanonical _),
     "c37_rag_context" -> (PipelineQueries.ragContext _),
     "c38_fk_audit" -> (PipelineQueries.fkAudit _),
@@ -2112,6 +2113,55 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON da = sa.doc_id
                     JOIN sizes sb ON db = sb.doc_id
          WHERE c * 5 >= least(sa.n, sb.n) * 4""",
+    // d32: same md5 minhash perms and banding as st10/d02; per-group
+    // Jaccard is the ratio of integer sums (micro-average), never a
+    // float mean.
+    "d32_minhash_fidelity" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents)),
+         h AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS hw
+               FROM sh),
+         mh AS (SELECT doc_id, j,
+                  min(((2*j+1)*hw + j*12345) % 4294967311) AS mv
+                FROM h, generate_series(0,15) t(j) GROUP BY doc_id, j),
+         bands AS (SELECT doc_id, j//4 AS band,
+                     string_agg(mv, ',' ORDER BY j) AS sig
+                   FROM mh GROUP BY doc_id, j//4),
+         pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.sig = b.sig
+                     AND a.doc_id < b.doc_id),
+         mm AS (SELECT p.da, p.db,
+                  sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END)
+                    AS mh_matches
+                FROM pairs p JOIN mh a ON a.doc_id = p.da
+                  JOIN mh b ON b.doc_id = p.db AND b.j = a.j
+                GROUP BY p.da, p.db),
+         dfq AS (SELECT s FROM (SELECT s, count(*) AS c FROM sh
+                  GROUP BY s) WHERE c <= 100),
+         shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh
+                   GROUP BY doc_id),
+         inter AS (SELECT p.da, p.db, count(*) AS c
+                   FROM pairs p JOIN shf a ON a.doc_id = p.da
+                     JOIN shf b ON b.doc_id = p.db AND b.s = a.s
+                   GROUP BY p.da, p.db)
+         SELECT CAST(mm.mh_matches AS BIGINT) AS mh_matches,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(coalesce(i.c, 0)) AS BIGINT) AS inter_sum,
+           CAST(sum(sa.n + sb.n - coalesce(i.c, 0)) AS BIGINT)
+             AS union_sum,
+           CAST(sum(coalesce(i.c, 0)) AS DOUBLE)
+             / CAST(sum(sa.n + sb.n - coalesce(i.c, 0)) AS DOUBLE)
+             AS micro_jaccard
+         FROM mm LEFT JOIN inter i ON i.da = mm.da AND i.db = mm.db
+           JOIN sizes sa ON sa.doc_id = mm.da
+           JOIN sizes sb ON sb.doc_id = mm.db
+         GROUP BY mm.mh_matches""",
     // d31: d04's exact inverted-list pairs held pre-division, rungs
     // assigned by integer cross-multiplication, first-seen-wins
     // removal = distinct later ids.

@@ -584,6 +584,57 @@ object Dedup {
       .filter(col("ed") >= 0)
   }
 
+  /** d32: MINHASH FIDELITY TABLE — the sketch-accuracy audit for the
+    * d02 pipeline: over the LSH candidate pairs, group by the number
+    * of agreeing minhash positions (the estimator's numerator, 0..16)
+    * and report the MICRO-AVERAGED exact Jaccard per group — ratio of
+    * integer sums Σ|A∩B| / Σ|A∪B|, never a float mean (unordered
+    * float summation is engine-nondeterministic; integer sums are
+    * exact). One row per agreement level turns "E[matches/k] =
+    * Jaccard" from folklore into a measured calibration curve — what
+    * you consult before trusting a k=16 sketch to steer a 100 TB
+    * dedup. Candidates and signatures come from the proven d02
+    * kernels; the exact verify is candidate-sized (d04's capped
+    * intersection semantics). */
+  def minhashFidelity(df: DataFrame, text: Column, id: Column,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      maxDocFreq: Int = 100): DataFrame = {
+    val cand = minhashCandidates(df, text, id, shingleN, k, bands)
+    val sig = minhashSignaturesNative(df, text, id, shingleN, k)
+    val withSigs = cand
+      .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")),
+        Seq("da"))
+      .join(sig.select(col("doc_id").as("db"), col("sig").as("sigb")),
+        Seq("db"))
+      .withColumn("mh_matches", expr(
+        "aggregate(zip_with(siga, sigb, (x, y) -> " +
+          "IF(x = y, 1L, 0L)), 0L, (a, v) -> a + v)"))
+    val sh = shingles(df, text, id, shingleN)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxDocFreq).select(col("s"))
+    val shf = sh.join(dfreq, Seq("s"))
+    val inter = cand
+      .join(shf.select(col("doc_id").as("da"), col("s")), Seq("da"))
+      .join(shf.select(col("doc_id").as("db"), col("s")),
+        Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+    withSigs
+      .join(inter, Seq("da", "db"), "left").na.fill(0L, Seq("c"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")),
+        Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")),
+        Seq("db"))
+      .groupBy(col("mh_matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c")).as("inter_sum"),
+        sum(col("na") + col("nb") - col("c")).as("union_sum"))
+      .select(col("mh_matches"), col("n_pairs"), col("inter_sum"),
+        col("union_sum"),
+        (col("inter_sum").cast("double") /
+          col("union_sum").cast("double")).as("micro_jaccard"))
+  }
+
   /** d31: DEDUP PRESSURE CURVE — corpus survival as a function of the
     * Jaccard threshold: for each candidate θ, how many exact-verified
     * near-dup pairs fire, how many documents the first-seen-wins keep

@@ -273,6 +273,11 @@ object PipelineQueries {
     Dedup.editDistanceJoin(docs(spark, dir), col("text"), col("doc_id"),
       col("lang"))
 
+  /** d32: minhash estimator calibration — micro-averaged exact
+    * Jaccard per agreement level ([[Dedup.minhashFidelity]]). */
+  def minhashFidelity(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashFidelity(docs(spark, dir), col("text"), col("doc_id"))
+
   /** d31: corpus survival per Jaccard threshold
     * ([[Dedup.dedupPressure]]). */
   def dedupPressure(spark: SparkSession, dir: String): DataFrame =
