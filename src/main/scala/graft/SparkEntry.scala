@@ -299,6 +299,7 @@ object SparkEntry {
     "s42_mmr_rerank" -> (PipelineQueries.mmrRerank _),
     "s43_jl_recall" -> (PipelineQueries.jlRecall _),
     "s44_rrf_fusion" -> (PipelineQueries.rrfFusion _),
+    "s45_metric_agreement" -> (PipelineQueries.metricAgreement _),
     "st48_stream_windowed_funnel" ->
       (StreamingQueries.streamWindowedFunnel _),
     "c25_subject_access" -> (PipelineQueries.subjectAccessReport _),
@@ -1018,6 +1019,55 @@ object SparkEntry {
          SELECT qid, pick, nid AS doc_id, n_tokens,
            CAST(cum_tokens AS BIGINT) AS cum_tokens
          FROM j WHERE cum_tokens <= 150""",
+    // s45: three exact-int rankings, integer overlap sums, one
+    // division per metric pair.
+    "s45_metric_agreement" ->
+      s"""WITH pre AS ($embPreSql),
+         sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+             (SELECT sum(x*y) FROM (SELECT unnest(q.v) x, unnest(c.v) y))
+               AS dot,
+             (SELECT sum((x-y)*(x-y))
+                FROM (SELECT unnest(q.v) x, unnest(c.v) y)) AS d2,
+             q.n2 AS qn2, c.n2 AS cn2
+           FROM pre q JOIN pre c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         cosr AS (SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (PARTITION BY qid
+               ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE))
+                 * sqrt(CAST(cn2 AS DOUBLE))) DESC, nid) AS r
+             FROM sc) WHERE r <= 10),
+         dotr AS (SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (PARTITION BY qid
+               ORDER BY dot DESC, nid) AS r FROM sc) WHERE r <= 10),
+         l2r AS (SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (PARTITION BY qid
+               ORDER BY d2, nid) AS r FROM sc) WHERE r <= 10),
+         nq AS (SELECT count(*) AS n FROM pre WHERE vec_id < 10)
+         SELECT 'cos_vs_dot' AS metric_pair,
+           CAST(nq.n AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM cosr a JOIN dotr b
+             ON b.qid = a.qid AND b.nid = a.nid) AS BIGINT)
+             AS overlap_sum,
+           CAST((SELECT count(*) FROM cosr a JOIN dotr b
+             ON b.qid = a.qid AND b.nid = a.nid) AS DOUBLE)
+             / CAST(nq.n * 10 AS DOUBLE) AS mean_overlap
+         FROM nq
+         UNION ALL
+         SELECT 'cos_vs_l2', CAST(nq.n AS BIGINT), CAST(10 AS BIGINT),
+           CAST((SELECT count(*) FROM cosr a JOIN l2r b
+             ON b.qid = a.qid AND b.nid = a.nid) AS BIGINT),
+           CAST((SELECT count(*) FROM cosr a JOIN l2r b
+             ON b.qid = a.qid AND b.nid = a.nid) AS DOUBLE)
+             / CAST(nq.n * 10 AS DOUBLE)
+         FROM nq
+         UNION ALL
+         SELECT 'dot_vs_l2', CAST(nq.n AS BIGINT), CAST(10 AS BIGINT),
+           CAST((SELECT count(*) FROM dotr a JOIN l2r b
+             ON b.qid = a.qid AND b.nid = a.nid) AS BIGINT),
+           CAST((SELECT count(*) FROM dotr a JOIN l2r b
+             ON b.qid = a.qid AND b.nid = a.nid) AS DOUBLE)
+             / CAST(nq.n * 10 AS DOUBLE)
+         FROM nq""",
     // s44: t22's BM25 list (nested verbatim) fused with the exact
     // cosine top-10 of each query's paired embedding; RRF score is
     // the same two-term double sum on both engines.

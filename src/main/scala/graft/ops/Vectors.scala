@@ -1287,6 +1287,51 @@ object Vectors {
     }.reduce(_ unionByName _)
   }
 
+  /** s45: METRIC AGREEMENT TABLE — do cosine, raw dot (MIPS) and L2
+    * rank the same neighbors? The metric choice is the first design
+    * decision of any vector deployment, usually made by folklore
+    * ("normalize and they're the same" — only true for unit norms);
+    * this measures it: per metric pair, the mean top-k overlap across
+    * the query set. All three rankings are exact-int64 scores
+    * (cosine's int dot, raw [[idot]], [[sqDist]]) with (score, id)
+    * ties, so every ranking — and therefore the table — is
+    * bit-deterministic. Overlaps are integer sums; the mean is one
+    * division. */
+  def metricAgreement(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, k: Int = 10): DataFrame = {
+    val c = prepared(corpus, id, emb).localCheckpoint()
+    val q = prepared(queries, id, emb)
+    def topBy(score: Column, asc: Boolean): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(
+        (if (asc) score.asc else score.desc), col("nid"))
+      q.as("q").join(c.as("c"), col("q.vid") =!= col("c.vid"))
+        .select(col("q.vid").as("qid"), col("c.vid").as("nid"),
+          idot(col("q.iv"), col("c.iv")).as("dot"),
+          sqDist(col("q.iv"), col("c.iv")).as("d2"),
+          col("q.n2").as("qn2"), col("c.n2").as("cn2"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("nid"))
+    }
+    val cosTop = topBy(
+      cosineFromInts(col("dot"), col("qn2"), col("cn2")), asc = false)
+      .localCheckpoint()
+    val dotTop = topBy(col("dot"), asc = false).localCheckpoint()
+    val l2Top = topBy(col("d2"), asc = true).localCheckpoint()
+    val nQ = queries.count()
+    def overlap(name: String, a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, Seq("qid", "nid"))
+        .agg(count(lit(1)).as("overlap_sum"))
+        .select(lit(name).as("metric_pair"),
+          lit(nQ).as("n_queries"), lit(k.toLong).as("k"),
+          col("overlap_sum"),
+          (col("overlap_sum").cast("double") /
+            lit((nQ * k).toDouble)).as("mean_overlap"))
+    overlap("cos_vs_dot", cosTop, dotTop)
+      .unionByName(overlap("cos_vs_l2", cosTop, l2Top))
+      .unionByName(overlap("dot_vs_l2", dotTop, l2Top))
+  }
+
   /** Recall@k audit of the QUANTIZED search paths — [[annSq8TopK]]
     * (8-bit codes) and [[annHammingTopK]] (1-bit signatures) measured
     * against the exact [[annTopK]] baseline, per query. The

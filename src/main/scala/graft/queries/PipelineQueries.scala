@@ -1153,6 +1153,14 @@ object PipelineQueries {
         col("n_tokens"), col("cum_tokens"))
   }
 
+  /** s45: top-10 agreement between cosine, dot and L2 rankings
+    * ([[Vectors.metricAgreement]]). */
+  def metricAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Vectors.metricAgreement(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"))
+  }
+
   /** s42: MMR diversity re-ranking — greedy λ=0.7 selection of 5
     * from each query's top-10 ([[Vectors.mmrRerank]]). */
   def mmrRerank(spark: SparkSession, dir: String): DataFrame =
