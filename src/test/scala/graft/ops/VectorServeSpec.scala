@@ -189,4 +189,51 @@ class VectorServeSpec extends AnyFunSuite with SparkFixture {
     assert(res.subsetOf(reachable - 7L))
     assert(res.nonEmpty)
   }
+
+  test("s42 mmr: distributed greedy == sequential greedy reference " +
+      "on random corpora") {
+    import spark.implicits._
+    for (seed <- Seq(19, 83, 407)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0L until 40L).map { i =>
+        (i, Array.fill(6)((rnd.nextInt(2000) - 1000) / 997f))
+      }
+      val got = Vectors.mmrRerank(rows.toDF("vec_id", "embedding"),
+          col("vec_id"), col("embedding"),
+          nQueries = 3, kCand = 6, kOut = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(2).toLong) -> r.getLong(1))
+        .toMap
+      // reference: same int-scale, same cosine, same greedy tie rule
+      val iv = rows.map { case (i, a) =>
+        i -> a.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+      }.toMap
+      def cos(a: Long, b: Long): Double = {
+        val (va, vb) = (iv(a), iv(b))
+        val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+        val n2 = (v: Array[Long]) => v.map(x => x * x).sum
+        dot.toDouble /
+          (math.sqrt(n2(va).toDouble) * math.sqrt(n2(vb).toDouble))
+      }
+      (0L until 3L).foreach { q =>
+        val cand = (0L until 40L).filter(_ != q)
+          .map(n => n -> cos(q, n))
+          .sortBy { case (n, c) => (-c, n) }.take(6)
+        var selected = Vector(cand.maxBy { case (n, c) => (c, -n) }._1)
+        (2 to 4).foreach { r =>
+          val rest = cand.filterNot(c => selected.contains(c._1))
+          val pick = rest.map { case (n, rel) =>
+            val msim = selected.map(s => cos(n, s)).max
+            (n, 0.7d * rel - 0.3d * msim)
+          }.maxBy { case (n, s) => (s, -n) }._1
+          selected :+= pick
+        }
+        selected.zipWithIndex.foreach { case (n, i) =>
+          assert(got((q, i + 1L)) == n,
+            s"seed=$seed q=$q pick=${i + 1} got=${got((q, i + 1L))} " +
+              s"want=$n")
+        }
+      }
+    }
+  }
 }
