@@ -250,6 +250,7 @@ object SparkEntry {
     "d30_edit_distance_join" -> (PipelineQueries.editDistanceJoin _),
     "d31_dedup_pressure" -> (PipelineQueries.dedupPressure _),
     "d32_minhash_fidelity" -> (PipelineQueries.minhashFidelity _),
+    "d33_cluster_sizes" -> (PipelineQueries.clusterSizeHistogram _),
     "c36_typo_canonical" -> (PipelineQueries.typoCanonical _),
     "c37_rag_context" -> (PipelineQueries.ragContext _),
     "c38_fk_audit" -> (PipelineQueries.fkAudit _),
@@ -2163,6 +2164,18 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON da = sa.doc_id
                     JOIN sizes sb ON db = sb.doc_id
          WHERE c * 5 >= least(sa.n, sb.n) * 4""",
+    // d33: d07's recursive-CTE components rolled to a size histogram.
+    "d33_cluster_sizes" ->
+      s"""$clusterChainSql,
+         clus AS (SELECT id AS doc_id, min(lbl) AS cluster
+                  FROM walk GROUP BY id),
+         sz AS (SELECT cluster, count(*) AS csize FROM clus
+                GROUP BY cluster)
+         SELECT CAST(csize AS BIGINT) AS csize,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(csize * count(*) AS BIGINT) AS n_docs,
+           CAST((csize - 1) * count(*) AS BIGINT) AS n_removed
+         FROM sz GROUP BY csize""",
     // d32: same md5 minhash perms and banding as st10/d02; per-group
     // Jaccard is the ratio of integer sums (micro-average), never a
     // float mean.

@@ -273,6 +273,28 @@ object PipelineQueries {
     Dedup.editDistanceJoin(docs(spark, dir), col("text"), col("doc_id"),
       col("lang"))
 
+  /** d33: DEDUP CLUSTER-SIZE HISTOGRAM — the one-page report a dedup
+    * run is judged by: per cluster size, how many clusters, how many
+    * documents they hold, and how many would be removed under
+    * keep-one (size − 1 each). Sizes come from d07's proven
+    * connected components over the LSH pair graph; the histogram is
+    * two cheap aggregations on the (doc → cluster) table. Singleton
+    * clusters are included (size 1, removes 0) — the report's
+    * denominator. */
+  def clusterSizeHistogram(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val d = docs(spark, dir)
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashCandidates(d, col("text"), col("doc_id")),
+      d, col("doc_id"))
+    cc.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("csize"), col("n_clusters"),
+        (col("csize") * col("n_clusters")).as("n_docs"),
+        ((col("csize") - 1L) * col("n_clusters")).as("n_removed"))
+  }
+
   /** d32: minhash estimator calibration — micro-averaged exact
     * Jaccard per agreement level ([[Dedup.minhashFidelity]]). */
   def minhashFidelity(spark: SparkSession, dir: String): DataFrame =
