@@ -279,6 +279,7 @@ object SparkEntry {
     "q78_variant_extract" -> (Relational.variantExtract _),
     "t46_kmv_native" -> (PipelineQueries.kmvTokensNative _),
     "t47_vocab_coverage" -> (PipelineQueries.vocabCoverage _),
+    "t48_bpe_fertility" -> (PipelineQueries.bpeFertility _),
     "q79_attribution" -> (Relational.attribution _),
     "st57_stream_attribution" -> (StreamingQueries.streamAttribution _),
     "q80_transition_matrix" -> (Relational.transitionMatrix _),
@@ -753,6 +754,19 @@ object SparkEntry {
     "t14_kmv_distinct" -> kmvOracleSql,
     // t46: the native sketch aggregate must land on t14's exact table
     "t46_kmv_native" -> kmvOracleSql,
+    // t48: t31's trained segmentation rolled up per language; the
+    // fertility ratio is one exact milli division.
+    "t48_bpe_fertility" ->
+      s"""${bpeChainSql(4)}
+         SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(v.syms)) AS BIGINT) AS n_tokens,
+           CAST((1000 * sum(len(v.syms))) // count(*) AS BIGINT)
+             AS fertility_milli
+         FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+               FROM documents) d
+         JOIN v4 v ON v.w = d.w
+         WHERE length(d.w) > 0
+         GROUP BY d.lang""",
     // t47: one (cnt DESC, word) rank with count-weighted cumsum; each
     // budget reads its boundary row, ranks past n clamp to n.
     "t47_vocab_coverage" ->

@@ -100,6 +100,27 @@ object Tokenizer {
     * word occurrence + one groupBy on the doc id; the training cost is
     * paid once regardless of how many corpora the tokenizer is then
     * applied to. Output: (doc_id, n_words, n_tokens). */
+  /** t48: TOKENIZER FERTILITY per language — tokens-per-word of the
+    * trained BPE, the number a multilingual vocab design is judged by
+    * (a language with fertility 2× pays 2× the context window; the
+    * standard fix is budget reallocation before retraining). Same
+    * trained vocab and broadcast-segmentation join as
+    * [[bpeTokenCounts]] (t31), rolled up per language with the exact
+    * milli ratio 1000·n_tokens div n_words. */
+  def bpeFertility(df: DataFrame, text: Column, lang: Column, k: Int)
+      : DataFrame = {
+    val (_, vocab) = bpeTrain(df, text, k)
+    val vseg = vocab.select(col("w"),
+      size(col("syms")).cast("long").as("ntok"))
+    df.select(lang.as("lang"), explode(split(text, " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(vseg), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        expr("(1000 * n_tokens) div n_words").as("fertility_milli"))
+  }
+
   def bpeTokenCounts(df: DataFrame, text: Column, id: Column, k: Int)
       : DataFrame = {
     val (_, vocab) = bpeTrain(df, text, k)

@@ -2456,6 +2456,12 @@ object PipelineQueries {
     Tokenizer.bpeTokenCounts(docs(spark, dir), col("text"),
       col("doc_id"), k = 4)
 
+  /** t48: per-language tokenizer fertility of the trained BPE
+    * ([[graft.ops.Tokenizer.bpeFertility]]). */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame =
+    Tokenizer.bpeFertility(docs(spark, dir), col("text"), col("lang"),
+      k = 4)
+
   /** d25: cross-source shingle-overlap contamination matrix. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     Dedup.sourceOverlap(docs(spark, dir), col("text"), col("source"))
