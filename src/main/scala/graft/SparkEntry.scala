@@ -352,6 +352,7 @@ object SparkEntry {
     "m05_clip_filter" -> (PipelineQueries.clipFilter _),
     "m06_audio_segments" -> (PipelineQueries.audioSegments _),
     "m12_loudness_gain" -> (PipelineQueries.loudnessGain _),
+    "m13_sample_coverage" -> (PipelineQueries.sampleCoverage _),
     "m07_shot_boundaries" -> (PipelineQueries.shotBoundaries _),
     "m09_container_dedup" -> (PipelineQueries.containerDedup _),
     "st01_stream_count" -> (StreamingQueries.streamCount _),
@@ -4513,6 +4514,50 @@ object SparkEntry {
     // m06: 64-codepoint frames, energy = codepoint sum, voiced iff
     // frame mean >= blob mean (integer cross-multiply), segments =
     // runs of >= 2 voiced frames (lag-flag islands).
+    // m13: m07's cuts -> shots via one lead window; coverage of
+    // [a,b] under stride s is the integer test b//s >= ceil(a/s).
+    "m13_sample_coverage" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS n
+                       FROM documents WHERE length(text) > 0),
+         t AS (SELECT doc_id, (i - 1) // 64 AS f,
+                 ascii(substr(text, CAST(i AS INT), 1)) AS v
+               FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, n)) AS i
+                     FROM base)),
+         fr AS (SELECT doc_id, f, CAST(sum(v) AS BIGINT) AS e,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM t GROUP BY doc_id, f),
+         tot AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS ts,
+                   CAST(sum(c) AS BIGINT) AS tn
+                 FROM fr GROUP BY doc_id),
+         d AS (SELECT fr.doc_id, fr.f, fr.e, fr.c,
+                 lag(fr.e) OVER (PARTITION BY fr.doc_id ORDER BY fr.f)
+                   AS pe,
+                 lag(fr.c) OVER (PARTITION BY fr.doc_id ORDER BY fr.f)
+                   AS pc
+               FROM fr),
+         cuts AS (SELECT d.doc_id, d.f
+                  FROM d JOIN tot ON tot.doc_id = d.doc_id
+                  WHERE pe IS NOT NULL
+                    AND abs(d.e*pc - pe*d.c) * tn * 16
+                      > ts * d.c * pc),
+         nf AS (SELECT doc_id, (n - 1) // 64 + 1 AS nf FROM base),
+         starts AS (SELECT doc_id, CAST(0 AS BIGINT) AS a FROM base
+                    UNION ALL SELECT doc_id, f FROM cuts),
+         shots AS (SELECT s.doc_id, s.a,
+                     coalesce(lead(s.a) OVER (PARTITION BY s.doc_id
+                       ORDER BY s.a) - 1, nf.nf - 1) AS b
+                   FROM starts s JOIN nf ON nf.doc_id = s.doc_id),
+         th AS (SELECT unnest([2, 4, 8]) AS stride)
+         SELECT CAST(stride AS BIGINT) AS stride,
+           CAST(count(*) AS BIGINT) AS n_shots,
+           CAST(sum(CASE WHEN (b // stride)
+               >= ((a + stride - 1) // stride) THEN 1 ELSE 0 END)
+             AS BIGINT) AS covered,
+           CAST(sum(CASE WHEN (b // stride)
+               >= ((a + stride - 1) // stride) THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+         FROM shots, th GROUP BY stride""",
     // m12: codepoint-sum energies, corpus-mean target, one
     // cross-multiplied integer division per clip.
     "m12_loudness_gain" ->

@@ -447,6 +447,43 @@ object Multimodal {
            CAST(array() AS array<bigint>))"""))
         .as("frame_idx"))
 
+  /** m13: FRAME-SAMPLING COVERAGE — does fixed-stride keyframe
+    * sampling (m04's policy) actually see every shot (m07's
+    * segmentation)? Per stride, the fraction of shots containing at
+    * least one sampled frame — the measured answer to "is stride
+    * sampling missing short shots", which static-stride pipelines
+    * assume away. Coverage of shot [a, b] under stride s is the pure
+    * integer test ⌊b/s⌋ ≥ ⌈a/s⌉ — no frame explosion, no per-frame
+    * join; shots come from the proven cut detector plus one per-doc
+    * lead window. */
+  def sampleCoverage(df: DataFrame, text: Column, id: Column,
+      frameChars: Int = 64, denom: Int = 16,
+      strides: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cuts = shotBoundaries(df, text, id, frameChars, denom)
+    val nf = df.select(id.cast("long").as("id"), text.as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("id"),
+        (expr(s"(length(t) - 1) div $frameChars") + 1L).as("nf"))
+    val starts = nf.select(col("id"), lit(0L).as("a"))
+      .unionByName(cuts.select(col("id"), col("frame_idx").as("a")))
+    val w = Window.partitionBy(col("id")).orderBy(col("a"))
+    val shots = starts.join(nf, Seq("id"))
+      .withColumn("b",
+        coalesce(lead(col("a"), 1).over(w) - 1L, col("nf") - 1L))
+    shots.crossJoin(broadcast(
+        strides.map(_.toLong).toDF("stride")))
+      .groupBy(col("stride"))
+      .agg(count(lit(1)).as("n_shots"),
+        sum(when(expr("b div stride") >=
+          expr("(a + stride - 1) div stride"), 1L).otherwise(0L))
+          .as("covered"))
+      .select(col("stride"), col("n_shots"), col("covered"),
+        (col("covered").cast("double") / col("n_shots").cast("double"))
+          .as("coverage"))
+  }
+
   /** Decode a binary column in distributed batches: one decoder instance
     * per partition (decoders are usually expensive to initialize —
     * mirror of the Pandas-UDF batch pattern), rows streamed through it.

@@ -2445,6 +2445,12 @@ object PipelineQueries {
   def loudnessGain(spark: SparkSession, dir: String): DataFrame =
     Multimodal.loudnessGain(docs(spark, dir), col("text"), col("doc_id"))
 
+  /** m13: shot coverage per sampling stride
+    * ([[Multimodal.sampleCoverage]]). */
+  def sampleCoverage(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleCoverage(docs(spark, dir), col("text"),
+      col("doc_id"))
+
   /** t28: the first 4 BPE merges induced from the corpus — distributed
     * tokenizer training ([[graft.ops.Tokenizer.bpeMerges]]). */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
