@@ -292,6 +292,7 @@ object SparkEntry {
     "q87_wilson_rank" -> (Relational.wilsonRank _),
     "q88_rolling_slope" -> (Relational.rollingSlope _),
     "q89_weekday_index" -> (Relational.weekdayIndex _),
+    "q90_order_inversions" -> (Relational.orderInversions _),
     "st60_stream_floored_balance" ->
       (StreamingQueries.streamFlooredBalance _),
     "st59_stream_mann_whitney" ->
@@ -805,6 +806,27 @@ object SparkEntry {
     // statistic fold — one oracle proves both.
     "q81_mann_whitney" -> mannWhitneyOracleSql,
     "st59_stream_mann_whitney" -> mannWhitneyOracleSql,
+    // q90: per-user discordant (arrival, event-time) pairs; integer
+    // division n(n-1)/2 is exact (consecutive integers).
+    "q90_order_inversions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t
+                    FROM events),
+         inv AS (SELECT a.user_id, count(*) AS inversions,
+                   max(a.t - b.t) AS max_late_us
+                 FROM e a JOIN e b ON b.user_id = a.user_id
+                   AND a.event_id < b.event_id AND a.t > b.t
+                 GROUP BY a.user_id),
+         n AS (SELECT user_id, count(*) AS n_events FROM e
+               GROUP BY user_id)
+         SELECT n.user_id, CAST(n.n_events AS BIGINT) AS n_events,
+           CAST(n.n_events * (n.n_events - 1) / 2 AS BIGINT) AS n_pairs,
+           CAST(coalesce(inv.inversions, 0) AS BIGINT) AS inversions,
+           CAST(coalesce(inv.max_late_us, 0) AS BIGINT) AS max_late_us,
+           CASE WHEN n.n_events > 1 THEN
+             CAST(coalesce(inv.inversions, 0) AS DOUBLE)
+               / CAST(n.n_events * (n.n_events - 1) / 2 AS DOUBLE)
+             ELSE 0.0 END AS disorder
+         FROM n LEFT JOIN inv ON inv.user_id = n.user_id""",
     // q89: weekday = epoch-day mod 7 (locale-free both engines);
     // index = one cross-multiplied HUGEINT division in millis.
     "q89_weekday_index" ->

@@ -2095,6 +2095,42 @@ object Relational {
         max(col("h")).as("peak_cents"))
   }
 
+  /** q90: OUT-OF-ORDER INVERSION AUDIT — per user, the number of
+    * event pairs whose arrival order (event_id) contradicts their
+    * event time: the Kendall-distance disorder measure that SIZES a
+    * streaming deployment's watermark (zero inversions ⇒ no late
+    * data; the p99 late-gap of the inverted pairs is the delay to
+    * configure). Emits per user the exact discordant-pair count, the
+    * pair denominator n(n−1)/2, the disorder ratio, and the MAX
+    * observed lateness (µs) among inverted pairs — the watermark
+    * bound itself.
+    *
+    * The pair stage is a per-user self-join, bounded by per-user
+    * activity exactly like q52/q63's basket/degree arguments — never
+    * a cross-user product; the per-user grain is the shuffle key. */
+  def orderInversions(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"))
+    val inv = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          col("a.t") > col("b.t"))
+      .groupBy(col("a.user_id").as("user_id"))
+      .agg(count(lit(1)).as("inversions"),
+        max(col("a.t") - col("b.t")).as("max_late_us"))
+    e.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .join(inv, Seq("user_id"), "left")
+      .na.fill(0L, Seq("inversions", "max_late_us"))
+      .select(col("user_id"), col("n_events"),
+        expr("n_events * (n_events - 1) div 2").as("n_pairs"),
+        col("inversions"), col("max_late_us"),
+        when(col("n_events") > 1L,
+          col("inversions").cast("double") /
+            expr("n_events * (n_events - 1) div 2").cast("double"))
+          .otherwise(0.0d).as("disorder"))
+  }
+
   /** q89: WEEKDAY SEASONALITY INDEX — per (event type, weekday), the
     * revenue-per-event index against the type's overall rate: the
     * multiplicative seasonal profile a forecaster divides out before
