@@ -298,6 +298,7 @@ object SparkEntry {
     "st59_stream_mann_whitney" ->
       (StreamingQueries.streamMannWhitney _),
     "st61_stream_seal" -> (StreamingQueries.streamContentSeal _),
+    "st62_stream_lateness" -> (StreamingQueries.streamLateness _),
     "st58_stream_transitions" -> (StreamingQueries.streamTransitions _),
     "s42_mmr_rerank" -> (PipelineQueries.mmrRerank _),
     "s43_jl_recall" -> (PipelineQueries.jlRecall _),
@@ -806,6 +807,23 @@ object SparkEntry {
     // statistic fold — one oracle proves both.
     "q81_mann_whitney" -> mannWhitneyOracleSql,
     "st59_stream_mann_whitney" -> mannWhitneyOracleSql,
+    // st62: late iff below the strict-prefix running max in arrival
+    // (event_id) order — the watermark's own test, replayed by one
+    // window in the oracle.
+    "st62_stream_lateness" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t
+                    FROM events),
+         r AS (SELECT user_id, event_id, t,
+                 max(t) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pmax
+               FROM e)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN pmax IS NOT NULL AND t < pmax
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(coalesce(max(CASE WHEN pmax IS NOT NULL AND t < pmax
+             THEN pmax - t END), 0) AS BIGINT) AS max_late_us
+         FROM r GROUP BY user_id""",
     // q90: per-user discordant (arrival, event-time) pairs; integer
     // division n(n-1)/2 is exact (consecutive integers).
     "q90_order_inversions" ->

@@ -3737,6 +3737,61 @@ object StreamingQueries {
           .partitionBy(col("src"))).cast("double"))
     }
 
+  /** st62: STREAMING LATENESS MONITOR — q90's operational companion
+    * measured the way a running pipeline actually sees disorder: per
+    * user, an event is LATE iff an earlier-arriving event carried a
+    * later timestamp (the running-max test a watermark performs).
+    * Keyed state is (n, running max ts, n_late, max observed
+    * lateness) — four longs; the oracle replays the same prefix-max
+    * comparison with one arrival-ordered window, so the hash proves
+    * the online fold ≡ the declarative definition. Alongside q90's
+    * pair-exact Kendall disorder this is the cheap O(1)-state dial a
+    * deployment leaves on permanently. */
+  def streamLateness(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-lateness")(
+        Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+          val t = msg.asInstanceOf[String].toLong
+          val (n, mx, nl, ml) = ctx.value match {
+            case null => (0L, Long.MinValue, 0L, 0L)
+            case s: String =>
+              val p = s.split(',')
+              (p(0).toLong, p(1).toLong, p(2).toLong, p(3).toLong)
+          }
+          val late = mx != Long.MinValue && t < mx
+          ctx.setValue(Seq(n + 1, math.max(mx, t),
+            if (late) nl + 1 else nl,
+            if (late) math.max(ml, mx - t) else ml).mkString(","))
+        }),
+        Persist(StringCodec))
+      val ev = Sources.table(spark, dir, "events")
+      val staging = tempDir("graft_slate_split")
+      stageTwoBatches(spark,
+        Sources.messages(ev, "events", col("user_id").cast("string"),
+          unix_micros(col("ts")).cast("string"),
+          expr("timestamp_micros(event_id)"), col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("key", "st")
+      runToTable(spark, table)
+        .select(col("key"), split(col("st"), ",").as("p"))
+        .withColumn("n", element_at(col("p"), 1).cast("long"))
+        .groupBy(col("key"))
+        .agg(max_by(col("p"), col("n")).as("p"))
+        .select(col("key").cast("long").as("user_id"),
+          element_at(col("p"), 1).cast("long").as("n_events"),
+          element_at(col("p"), 3).cast("long").as("n_late"),
+          element_at(col("p"), 4).cast("long").as("max_late_us"))
+    }
+
   /** st61: STREAMING CONTENT SEAL — c40's gate-stage provenance seal
     * maintained at ingest: the per-row hash is folded into per-shard
     * (count, xor) state as documents arrive, and the closing fold
