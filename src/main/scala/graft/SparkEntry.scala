@@ -280,6 +280,7 @@ object SparkEntry {
     "t46_kmv_native" -> (PipelineQueries.kmvTokensNative _),
     "t47_vocab_coverage" -> (PipelineQueries.vocabCoverage _),
     "t48_bpe_fertility" -> (PipelineQueries.bpeFertility _),
+    "t49_length_histogram" -> (PipelineQueries.lengthHistogram _),
     "q79_attribution" -> (Relational.attribution _),
     "st57_stream_attribution" -> (StreamingQueries.streamAttribution _),
     "q80_transition_matrix" -> (Relational.transitionMatrix _),
@@ -757,6 +758,16 @@ object SparkEntry {
     "t14_kmv_distinct" -> kmvOracleSql,
     // t46: the native sketch aggregate must land on t14's exact table
     "t46_kmv_native" -> kmvOracleSql,
+    // t49: bucket = integer bit-length − 1 (Spark bin ≡ DuckDB bin),
+    // no float log.
+    "t49_length_histogram" ->
+      """SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT)
+             AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             AS n_tokens
+         FROM documents WHERE n_chars > 0
+         GROUP BY 1""",
     // t48: t31's trained segmentation rolled up per language; the
     // fertility ratio is one exact milli division.
     "t48_bpe_fertility" ->

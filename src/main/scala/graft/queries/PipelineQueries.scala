@@ -2462,6 +2462,20 @@ object PipelineQueries {
     Tokenizer.bpeTokenCounts(docs(spark, dir), col("text"),
       col("doc_id"), k = 4)
 
+  /** t49: LOG₂ LENGTH HISTOGRAM — documents bucketed by
+    * ⌊log₂ n_chars⌋, with token mass per bucket: the sequence-length
+    * planning table behind max-length/packing choices (t12 packs
+    * against a budget; this says where the mass IS). The bucket is
+    * computed as length(bin(n)) − 1 — exact integer bit-length on
+    * both engines, no float log anywhere. */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).filter(col("n_chars") > 0)
+      .select(expr("length(bin(n_chars)) - 1").cast("long")
+          .as("log2_bucket"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("log2_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+
   /** t48: per-language tokenizer fertility of the trained BPE
     * ([[graft.ops.Tokenizer.bpeFertility]]). */
   def bpeFertility(spark: SparkSession, dir: String): DataFrame =
