@@ -197,6 +197,9 @@ object Bench {
       // the test fixture keep it on to exercise numRowsTotal).
       .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Same strict no-global-window gate as Verify: a benchmark run
+      // must never time a plan the scale guard would reject.
+      .config("spark.graft.strictGlobalWindows", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -251,11 +254,18 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // The durable lossless artifact; the stdout line is a convenience
+    // that log interleaving may truncate, so the "full" pointer rides
+    // in the headline tail (the last-2000-chars window) and names
+    // where every per-query entry always lives.
+    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
+      .toAbsolutePath.toString
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","failed":$failedJson,"metric":"total","unit":"sec","value":${f2(total)}}"""
+      s"""{"queries":$qs,"sf":"$sfDir","failed":$failedJson,"full":"$fullPath","metric":"total","unit":"sec","value":${f2(total)}}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+      java.nio.file.Paths.get(fullPath), line + "\n")
     catch { case _: Throwable => () }
+    System.err.println(s"[bench] full per-query record: $fullPath")
     println(line)
   }
 }

@@ -294,6 +294,13 @@ object SparkEntry {
     "q88_rolling_slope" -> (Relational.rollingSlope _),
     "q89_weekday_index" -> (Relational.weekdayIndex _),
     "q90_order_inversions" -> (Relational.orderInversions _),
+    "q91_ks_test" -> (Relational.ksTest _),
+    "q92_spearman" -> (Relational.spearman _),
+    "q93_autocorr" -> (Relational.autocorrLag1 _),
+    "q94_trimmed_mean" -> (Relational.trimmedMean _),
+    "c41_split_balance" -> (PipelineQueries.splitBalance _),
+    "m14_keyframes" -> (PipelineQueries.keyframes _),
+    "st63_stream_ks" -> (StreamingQueries.streamKs _),
     "st60_stream_floored_balance" ->
       (StreamingQueries.streamFlooredBalance _),
     "st59_stream_mann_whitney" ->
@@ -856,6 +863,133 @@ object SparkEntry {
                / CAST(n.n_events * (n.n_events - 1) / 2 AS DOUBLE)
              ELSE 0.0 END AS disorder
          FROM n LEFT JOIN inv ON inv.user_id = n.user_id""",
+    // q91/st63: KS D as the exact integer d_num = max|cumA·n_b −
+    // cumB·n_a|; rejection cross-multiplied with c=1.36 (18496/10⁴).
+    "q91_ks_test" -> ksOracleSql,
+    "st63_stream_ks" -> ksOracleSql,
+    // q92: Pearson on doubled midranks, centered by the exact mean
+    // n+1; moments < 2⁵³ so the BIGINT→DOUBLE casts are exact.
+    "q92_spearman" ->
+      """WITH base AS (SELECT l_returnflag AS flag, l_quantity AS x,
+                l_extendedprice AS y FROM lineitem),
+         gx AS (SELECT flag, x, count(*) AS cnt FROM base GROUP BY 1, 2),
+         rx AS (SELECT flag, x,
+                  2 * sum(cnt) OVER (PARTITION BY flag ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - cnt + 1 AS rx2
+                FROM gx),
+         gy AS (SELECT flag, y, count(*) AS cnt FROM base GROUP BY 1, 2),
+         ry AS (SELECT flag, y,
+                  2 * sum(cnt) OVER (PARTITION BY flag ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - cnt + 1 AS ry2
+                FROM gy),
+         nn AS (SELECT flag, count(*) AS n FROM base GROUP BY flag),
+         u AS (SELECT b.flag, nn.n,
+                 rx.rx2 - nn.n - 1 AS ux, ry.ry2 - nn.n - 1 AS uy
+               FROM base b
+               JOIN rx ON rx.flag = b.flag AND rx.x = b.x
+               JOIN ry ON ry.flag = b.flag AND ry.y = b.y
+               JOIN nn ON nn.flag = b.flag),
+         m AS (SELECT flag, n, sum(ux * uy) AS suv,
+                 sum(ux * ux) AS suu, sum(uy * uy) AS svv
+               FROM u GROUP BY flag, n)
+         SELECT flag, CAST(n AS BIGINT) AS n,
+           CAST(suv AS BIGINT) AS suv, CAST(suu AS BIGINT) AS suu,
+           CAST(svv AS BIGINT) AS svv,
+           CAST(CAST(suv AS BIGINT) AS DOUBLE) /
+             (sqrt(CAST(CAST(suu AS BIGINT) AS DOUBLE)) *
+              sqrt(CAST(CAST(svv AS BIGINT) AS DOUBLE))) AS rho
+         FROM m""",
+    // q93: lag-1 pairs per type timeline; centi fixed point; moment
+    // products routed through BIGINT so the DOUBLE casts are the
+    // exact hardware conversion on both engines.
+    "q93_autocorr" ->
+      """WITH e AS (SELECT event_type, ts, event_id,
+                CAST(floor(value * 100) AS BIGINT) AS a FROM events),
+         p AS (SELECT event_type, a,
+                 lead(a) OVER (PARTITION BY event_type
+                   ORDER BY ts, event_id) AS b
+               FROM e),
+         m AS (SELECT event_type, count(*) AS n_pairs,
+                 sum(a) AS sa, sum(b) AS sb, sum(a * a) AS saa,
+                 sum(b * b) AS sbb, sum(a * b) AS sab
+               FROM p WHERE b IS NOT NULL GROUP BY event_type)
+         SELECT event_type, n_pairs, CAST(sab AS BIGINT) AS sab,
+           CAST(CAST(n_pairs * sab - sa * sb AS BIGINT) AS DOUBLE) /
+             (sqrt(CAST(CAST(n_pairs * saa - sa * sa AS BIGINT)
+                AS DOUBLE)) *
+              sqrt(CAST(CAST(n_pairs * sbb - sb * sb AS BIGINT)
+                AS DOUBLE))) AS r1
+         FROM m""",
+    // q94: k = n div 10 trimmed per side, ranks by (value, event_id),
+    // survivors summed at exact milli fixed point.
+    "q94_trimmed_mean" ->
+      """WITH r AS (SELECT event_type, value,
+                CAST(floor(value * 1000) AS BIGINT) AS vfx,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value, event_id) AS rnk,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS kept,
+           CAST(sum(vfx) AS BIGINT) AS sum_milli,
+           CAST(CAST(sum(vfx) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1000.0 AS trimmed_mean
+         FROM r
+         WHERE rnk > n // 10 AND rnk <= n - n // 10
+         GROUP BY event_type""",
+    // c41: t07's md5 split buckets; ±1% relative source-share
+    // deviation cross-multiplied in HUGEINT.
+    "c41_split_balance" ->
+      """WITH b AS (SELECT
+                CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                    1, 4))::BIGINT % 100 < 90 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                    1, 4))::BIGINT % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+                source, len(string_split(text, ' ')) AS toks
+              FROM documents),
+         g AS (SELECT split, source, count(*) AS n_docs,
+                 sum(toks) AS n_tokens
+               FROM b GROUP BY split, source),
+         sp AS (SELECT split, sum(n_docs) AS n_split FROM g
+                GROUP BY split),
+         sr AS (SELECT source, sum(n_docs) AS n_src FROM g
+                GROUP BY source),
+         tt AS (SELECT sum(n_docs) AS n_all FROM g)
+         SELECT g.split, g.source, CAST(g.n_docs AS BIGINT) AS n_docs,
+           CAST(g.n_tokens AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN 100 * abs(g.n_docs * tt.n_all -
+               sp.n_split * sr.n_src) > sp.n_split * sr.n_src
+             THEN 1 ELSE 0 END AS BIGINT) AS skewed
+         FROM g, tt
+         JOIN sp ON sp.split = g.split
+         JOIN sr ON sr.source = g.source""",
+    // m14: per-video argmax of the frame-size-weighted cross-
+    // multiplied mean delta; ties to the earliest frame.
+    "m14_keyframes" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS n
+                       FROM documents WHERE length(text) > 0),
+         t AS (SELECT doc_id, (i - 1) // 64 AS f,
+                 ascii(substr(text, CAST(i AS INT), 1)) AS v
+               FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, n)) AS i
+                     FROM base)),
+         fr AS (SELECT doc_id, f, CAST(sum(v) AS BIGINT) AS e,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM t GROUP BY doc_id, f),
+         d AS (SELECT doc_id, f, e, c,
+                 lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS pe,
+                 lag(c) OVER (PARTITION BY doc_id ORDER BY f) AS pc
+               FROM fr),
+         s AS (SELECT doc_id, f, abs(e * pc - pe * c) AS score
+               FROM d WHERE pe IS NOT NULL)
+         SELECT doc_id AS id, CAST(f AS BIGINT) AS keyframe_idx,
+           CAST(score AS BIGINT) AS score
+         FROM s
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+           ORDER BY score DESC, f) = 1""",
     // q89: weekday = epoch-day mod 7 (locale-free both engines);
     // index = one cross-multiplied HUGEINT division in millis.
     "q89_weekday_index" ->
@@ -7400,6 +7534,36 @@ object SparkEntry {
          CAST(max(CASE WHEN rn = 1 THEN h END) AS BIGINT) AS final_cents,
          CAST(max(h) AS BIGINT) AS peak_cents
        FROM o GROUP BY user_id"""
+
+  /** q91/st63: two-sample Kolmogorov–Smirnov, all in exact integers:
+    * d_num = max|cumA·n_b − cumB·n_a| over the tie-collapsed value
+    * frame, rejection cross-multiplied with c = 1.36 (18496/10⁴). */
+  private def ksOracleSql: String =
+    """WITH g AS (
+         SELECT event_type, value,
+           sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+         FROM events GROUP BY event_type, value),
+       r AS (SELECT event_type,
+               sum(ca) OVER (PARTITION BY event_type ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cuma,
+               sum(cb) OVER (PARTITION BY event_type ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumb,
+               sum(ca) OVER (PARTITION BY event_type) AS n_a,
+               sum(cb) OVER (PARTITION BY event_type) AS n_b
+             FROM g),
+       s AS (SELECT event_type, n_a, n_b,
+               max(abs(cuma * n_b - cumb * n_a)) AS d_num
+             FROM r GROUP BY event_type, n_a, n_b)
+       SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+         CAST(n_b AS BIGINT) AS n_b,
+         CAST(d_num AS BIGINT) AS d_num,
+         CAST(CASE WHEN 10000 * d_num * d_num >=
+             18496 * (n_a + n_b) * n_a * n_b
+           THEN 1 ELSE 0 END AS BIGINT) AS significant
+       FROM s"""
 
   /** q81/st59: Mann–Whitney U with tie-corrected z decision, all in
     * exact integers (HUGEINT here, DECIMAL(38,0) on the Spark side). */

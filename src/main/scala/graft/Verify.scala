@@ -25,6 +25,12 @@ object Verify {
       // across executors.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // The builder's own scale guard, turned on itself: every
+      // declared query plan must pass PlanGuardRule (no unpartitioned
+      // window over an unbounded input) at plan time — the no-funnel
+      // discipline enforced across the whole suite by construction,
+      // not by per-query PlanSpec coverage.
+      .config("spark.graft.strictGlobalWindows", "true")
       .config("spark.ui.enabled", "false")
     // Ad-hoc conf overrides for local experiments, e.g.
     // GRAFT_SPARK_EXTRA="spark.x=1;spark.y=2".

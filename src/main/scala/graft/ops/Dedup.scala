@@ -550,6 +550,14 @@ object Dedup {
       lang: Column, prefixLen: Int = 32, k: Int = 2,
       q: Int = 4): DataFrame = {
     val minLen = k * q + q  // gram count ≥ kq+1 ⟹ count filter non-vacuous
+    // The no-false-negative guarantee needs the COMPARISON KEY (the
+    // prefixLen-char substring, not the full text) to carry at least
+    // k·q+1 grams, i.e. prefixLen ≥ k·q+q; a shorter key would
+    // silently void completeness for long texts that pass minLen.
+    require(prefixLen >= minLen,
+      s"editDistanceJoin: prefixLen=$prefixLen < k*q+q=$minLen — the " +
+        "comparison key could carry fewer than k*q+1 q-grams and the " +
+        "rarest-gram prefix filter would no longer be complete")
     val s = df.filter(length(text) >= minLen)
       .select(id.as("doc_id"), lang.as("lang"),
         substring(text, 1, prefixLen).as("t"))

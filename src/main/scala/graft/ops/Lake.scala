@@ -178,23 +178,41 @@ object Lake {
     }
   }
 
-  /** shard → relative data dir ("-" = empty shard) for `version`. */
+  /** shard → relative data dir ("-" = empty shard) for `version`.
+    * Header lines (`#key\tvalue`) carry table metadata — see
+    * [[readNShards]]. */
   def readManifest(path: String, version: Int): Map[Int, String] = {
     val f = manifestDir(path).resolve(s"v$version.manifest")
     scala.jdk.CollectionConverters.ListHasAsScala(
       java.nio.file.Files.readAllLines(f)).asScala
-      .filter(_.nonEmpty).map { line =>
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val Array(k, d) = line.split("\t", 2)
         k.toInt -> d
       }.toMap
   }
 
-  private def writeManifest(path: String, version: Int,
+  /** The shard count the table was committed with, persisted in every
+    * manifest header — the layout invariant [[mergeVersioned]] and
+    * [[versionDiff]] validate instead of trusting each caller to
+    * repeat the same `nShards` (a merge with a different count would
+    * move keys across shards, making the manifest-level pruning and
+    * the diff silently wrong). */
+  def readNShards(path: String, version: Int): Int = {
+    val f = manifestDir(path).resolve(s"v$version.manifest")
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(f)).asScala
+      .collectFirst { case l if l.startsWith("#nshards\t") =>
+        l.stripPrefix("#nshards\t").toInt }
+      .getOrElse(throw new IllegalStateException(
+        s"$path v$version manifest has no #nshards header"))
+  }
+
+  private def writeManifest(path: String, version: Int, nShards: Int,
       entries: Map[Int, String]): Unit = {
     val d = manifestDir(path)
     java.nio.file.Files.createDirectories(d)
-    val body = entries.toSeq.sortBy(_._1)
-      .map { case (k, dir) => s"$k\t$dir" }.mkString("\n")
+    val body = (s"#nshards\t$nShards" +: entries.toSeq.sortBy(_._1)
+      .map { case (k, dir) => s"$k\t$dir" }).mkString("\n")
     java.nio.file.Files.write(d.resolve(s"v$version.manifest"),
       body.getBytes("UTF-8"))
   }
@@ -225,7 +243,7 @@ object Lake {
     df.withColumn("shard", pmod(col(keyName), lit(nShards.toLong)))
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/$rel")
     val present = writtenShards(path, rel)
-    writeManifest(path, 1, (0 until nShards).map(k =>
+    writeManifest(path, 1, nShards, (0 until nShards).map(k =>
       k -> (if (present(k)) rel else "-")).toMap)
     1
   }
@@ -258,6 +276,11 @@ object Lake {
       changes: DataFrame, nShards: Int): MergeAudit = {
     val v = latestVersion(path)
     require(v > 0, s"$path has no committed version to merge into")
+    val committed = readNShards(path, v)
+    require(nShards == committed,
+      s"mergeVersioned: nShards=$nShards but $path was committed with " +
+        s"$committed shards — a different count would move keys across " +
+        "shards and silently break manifest pruning and versionDiff")
     val next = v + 1
     val rel = s"files/v$next"
     val manifest = readManifest(path, v)
@@ -283,7 +306,7 @@ object Lake {
     merged.withColumn("shard", pmod(col(keyName), lit(nShards.toLong)))
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/$rel")
     val present = writtenShards(path, rel)
-    writeManifest(path, next, manifest.map { case (k, old) =>
+    writeManifest(path, next, nShards, manifest.map { case (k, old) =>
       k -> (if (changedShards(k)) { if (present(k)) rel else "-" } else old)
     })
     MergeAudit(next.toLong, changedShards.size.toLong,
@@ -314,6 +337,10 @@ object Lake {
     * immutable snapshots instead of tailing a topic). */
   def versionDiff(spark: SparkSession, path: String, keyName: String,
       vOld: Int, vNew: Int): DataFrame = {
+    require(readNShards(path, vOld) == readNShards(path, vNew),
+      s"versionDiff: v$vOld and v$vNew of $path were committed with " +
+        "different shard counts — shard-level manifest pruning is " +
+        "invalid across a re-shard")
     val mo = readManifest(path, vOld)
     val mn = readManifest(path, vNew)
     val touched = (mo.keySet ++ mn.keySet).toSeq.sorted.filter(k =>

@@ -140,27 +140,19 @@ object Multimodal {
     * run, gated at `minRun` (a 3-frame aligned run at stride 2 spans
     * 6 frame slots — far past coincidence).
     *
-    * The fixture corpus re-broadcasts deterministically (ids ≡ 2
-    * mod 7 embed their neighbor's full payload behind a 2-frame
-    * slate, i.e. a time-shifted clip at offset +2), mirroring m09's
-    * re-encode derivation; the oracle re-derives the same corpus.
-    * Scale: frames explode map-side, the join is fp-keyed, islands
-    * windows partition by (pair, offset) — nothing quadratic in the
-    * corpus, only in per-fingerprint collision fan-out. */
-  def clipDedup(df: DataFrame, text: Column, id: Column,
+    * The operator is PURE — it examines only the blobs it is given
+    * (the test-corpus re-broadcast derivation lives in
+    * [[graft.queries.PipelineQueries.clipDedup]], exactly as m09
+    * keeps [[payloadDedup]] pure and derives its containers in
+    * `PipelineQueries.containerDedup`). Scale: frames explode
+    * map-side, the join is fp-keyed, islands windows partition by
+    * (pair, offset) — nothing quadratic in the corpus, only in
+    * per-fingerprint collision fan-out. */
+  def clipDedup(df: DataFrame, id: Column, blob: Column,
       frameSize: Int = 64, stride: Int = 2, minRun: Int = 3): DataFrame = {
-    val d = df.select(id.as("doc_id"), text.as("t"))
-    val src = d.select(col("doc_id").as("src_id"), col("t").as("pay"))
-    val blobs = d
-      .withColumn("src_id", when(col("doc_id") % 7 === 2,
-        col("doc_id") - 2).otherwise(col("doc_id")))
-      .join(src, Seq("src_id"))
-      .select(col("doc_id"),
-        when(col("doc_id") % 7 === 2,
-          concat(lit("X" * (2 * frameSize)), col("pay")))
-          .otherwise(col("pay")).cast("binary").as("blob"))
-    val frames = frameSample(blobs, col("doc_id"), col("blob"),
-      frameSize, stride)
+    val frames = frameSample(df.select(id.as("doc_id"),
+        blob.cast("binary").as("blob")),
+      col("doc_id"), col("blob"), frameSize, stride)
     val m = frames.as("a").join(frames.as("b"),
         col("a.frame_fp") === col("b.frame_fp") &&
           col("a.id") < col("b.id"))
@@ -446,6 +438,40 @@ object Multimodal {
                        element_at(cs, CAST(f AS INT))),
            CAST(array() AS array<bigint>))"""))
         .as("frame_idx"))
+
+  /** m14: KEYFRAME SELECTION — per video, the single most
+    * representative "thumbnail" frame: the frame with the LARGEST
+    * change from its predecessor (the standard max-inter-frame-delta
+    * heuristic; a static video's frame 1 wins by convention since all
+    * deltas tie at 0 and ties break earliest). The score is the
+    * frame-size-weighted cross-multiplied mean delta
+    * |e_f·c_{f−1} − e_{f−1}·c_f| (= |mean_f − mean_{f−1}|·c_f·c_{f−1},
+    * a pure int64 — no float means, engine-exact; interior frames all
+    * share c = frameChars so the weighting only affects the final
+    * short frame). The argmax folds INSIDE the row as a HOF
+    * `aggregate` over the per-frame arrays — map-only, zero shuffle,
+    * no per-frame explosion (the m06/m07 discipline); single-frame
+    * videos are skipped (no delta exists). */
+  def keyframes(df: DataFrame, text: Column, id: Column,
+      frameChars: Int = 64): DataFrame =
+    framed(df, text, id, frameChars)
+      .filter(size(col("es")) >= 2)
+      .withColumn("best", expr(
+        """aggregate(sequence(1, size(es) - 1),
+             named_struct('f', CAST(0 AS BIGINT), 's', CAST(-1 AS BIGINT)),
+             (acc, f) -> IF(
+               abs(element_at(es, CAST(f+1 AS INT)) *
+                     element_at(cs, CAST(f AS INT)) -
+                   element_at(es, CAST(f AS INT)) *
+                     element_at(cs, CAST(f+1 AS INT))) > acc.s,
+               named_struct('f', CAST(f AS BIGINT),
+                 's', abs(element_at(es, CAST(f+1 AS INT)) *
+                            element_at(cs, CAST(f AS INT)) -
+                          element_at(es, CAST(f AS INT)) *
+                            element_at(cs, CAST(f+1 AS INT)))),
+               acc))"""))
+      .select(col("id"), col("best.f").as("keyframe_idx"),
+        col("best.s").as("score"))
 
   /** m13: FRAME-SAMPLING COVERAGE — does fixed-stride keyframe
     * sampling (m04's policy) actually see every shot (m07's

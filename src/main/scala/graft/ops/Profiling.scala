@@ -162,17 +162,22 @@ object Profiling {
     * counts add per key, ranked by (count desc, key). `exact` is the
     * GLOBAL AND of every partial's flag — a decrement in ANY partition
     * can have evicted counts of any key, so exactness is a whole-run
-    * property, not per-key. The rank window sees only the
-    * ≤ m·#partitions summary keys, never the corpus. */
-  def heavyHittersTopK(partials: DataFrame, k: Int): DataFrame =
-    partials.groupBy(col("k"))
+    * property, not per-key. The merged summary (≤ m·#partitions keys)
+    * is localCheckpoint-pinned, then ranked by the bucketed
+    * [[Ranks]] pass — no unpartitioned window anywhere, so the plan
+    * passes the strict scale guard even when m·#partitions is large. */
+  def heavyHittersTopK(partials: DataFrame, k: Int): DataFrame = {
+    val merged = partials.groupBy(col("k"))
       .agg(sum(col("cnt")).as("cnt"))
       .crossJoin(broadcast(
         partials.agg(coalesce(min(col("exact")), lit(true)).as("exact"))))
-      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
-        .Window.orderBy(col("cnt").desc, col("k"))))
-      .filter(col("rank") <= k)
-      .select(col("k"), col("cnt"), col("exact"), col("rank"))
+      .localCheckpoint()
+    Ranks.rankedCumsum(merged, -col("cnt"), col("k"), lit(1L),
+        rankCol = "__hh_rank", cumCol = "__hh_cum")
+      .filter(col("__hh_rank") <= k)
+      .select(col("k"), col("cnt"), col("exact"),
+        col("__hh_rank").cast("int").as("rank"))
+  }
 
   /** Profile DRIFT between two snapshots of the same table — the
     * data-quality regression gate (the Deequ / Great-Expectations
@@ -334,8 +339,10 @@ object Profiling {
     * allocation.
     *
     * Scale shape: the supply aggregation is the only corpus-scale
-    * stage; apportionment itself runs over #domains rows (one
-    * broadcast 1-row total + one tiny rank window). */
+    * stage; apportionment itself runs over #domains rows
+    * (localCheckpoint-pinned so the corpus is scanned once), with the
+    * remainder rank via the bucketed [[Ranks]] pass — no unpartitioned
+    * window even when the domain count is itself large. */
   def largestRemainderAlloc(df: DataFrame, domain: Column,
       weight: Column, budget: Long): DataFrame = {
     val supply = df.groupBy(domain.as("domain"))
@@ -345,11 +352,12 @@ object Profiling {
     val quotas = supply.crossJoin(broadcast(wTot))
       .withColumn("quota", expr(s"$budget * w div tw"))
       .withColumn("rem", expr(s"($budget * w) % tw"))
+      .localCheckpoint()
     val leftover = quotas.select(
       (lit(budget) - sum(col("quota"))).as("d"))
-    quotas.crossJoin(broadcast(leftover))
-      .withColumn("rr", row_number().over(
-        Window.orderBy(col("rem").desc, col("domain"))).cast("long"))
+    Ranks.rankedCumsum(quotas, -col("rem"), col("domain"), lit(1L),
+        rankCol = "rr", cumCol = "__lr_cum")
+      .crossJoin(broadcast(leftover))
       .select(col("domain"), col("w").as("supply"),
         (col("quota") + when(col("rr") <= col("d"), 1L).otherwise(0L))
           .as("alloc"))

@@ -70,9 +70,24 @@ object Ranks {
     * one ≤nBuckets-row offsets fold. */
   def rankedCumsumTotals(df: DataFrame, value: Column, tie: Column,
       weight: Column, rankCol: String = "rank", cumCol: String = "cum",
-      nBuckets: Int = 64): (DataFrame, Long, Long) = {
-    val base = df.withColumn("__rk_v", value)
-      .withColumn("__rk_t", tie).withColumn("__rk_w", weight.cast("long"))
+      nBuckets: Int = 64): (DataFrame, Long, Long) =
+    rankedCumsumTotalsTies(df, value, Seq(tie), weight, rankCol, cumCol,
+      nBuckets)
+
+  /** As [[rankedCumsumTotals]] with a MULTI-COLUMN tiebreak: global
+    * order is (value, ties...) ascending — callers negate numeric tie
+    * columns for descending legs. The bucketing still keys on `value`
+    * alone (ties only order within equal values, which always share a
+    * bucket), so the two-exchange shape is unchanged. */
+  def rankedCumsumTotalsTies(df: DataFrame, value: Column,
+      ties: Seq[Column], weight: Column, rankCol: String = "rank",
+      cumCol: String = "cum", nBuckets: Int = 64)
+      : (DataFrame, Long, Long) = {
+    require(ties.nonEmpty, "at least one tie column required")
+    val tieNames = ties.indices.map(i => s"__rk_t$i")
+    val base = ties.zip(tieNames).foldLeft(df.withColumn("__rk_v", value)) {
+      case (d, (t, n)) => d.withColumn(n, t)
+    }.withColumn("__rk_w", weight.cast("long"))
     // Order-aligned range bucketing: long→double is monotone, so
     // comparing against fixed double cut points can never invert the
     // value order, and equal values always share a bucket. The sketch
@@ -102,12 +117,13 @@ object Ranks {
     val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
       .toDF("__rk_b", "__rk_roff", "__rk_coff")
     val w = Window.partitionBy(col("__rk_b"))
-      .orderBy(col("__rk_v"), col("__rk_t"))
+      .orderBy(col("__rk_v") +: tieNames.map(col): _*)
     val out = withB.join(broadcast(offDf), Seq("__rk_b"))
       .withColumn(rankCol, col("__rk_roff") + row_number().over(w))
       .withColumn(cumCol, col("__rk_coff") +
         sum(col("__rk_w")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .drop("__rk_v", "__rk_t", "__rk_w", "__rk_b", "__rk_roff", "__rk_coff")
+      .drop("__rk_v" +: "__rk_w" +: "__rk_b" +: "__rk_roff" +:
+        "__rk_coff" +: tieNames: _*)
     (out, n, totalW)
   }
 

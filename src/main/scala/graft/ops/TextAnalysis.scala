@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.Hashes._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -798,6 +799,46 @@ object TextAnalysis {
     (bucket, split)
   }
 
+  /** c41: SPLIT-BALANCE AUDIT — is the [[hashSplit]] assignment
+    * actually iid with respect to source composition? Per
+    * (split, source): doc and token counts, plus the exact
+    * cross-multiplied deviation test
+    * 100·|nd_ss·N − N_split·nd_src| > N_split·nd_src
+    * (±1% relative deviation of the split's source share from the
+    * corpus share) — the check that catches a content-correlated id
+    * scheme silently skewing val/test before anyone trains on it.
+    * All counts are exact longs; the deviation products ride
+    * DECIMAL(38,0) so the audit is engine-exact at any corpus size.
+    *
+    * Scale shape: one corpus scan into a (split, source) aggregate;
+    * the three marginals are tiny re-aggregations of THAT frame
+    * (splits·sources rows) joined back broadcast — the corpus is
+    * never rescanned or reshuffled. */
+  def splitBalance(df: DataFrame, id: Column, source: Column,
+      tokens: Column, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val (_, split) = splitCols(id, trainPct, valPct)
+    val g = df.select(split.as("split"), source.as("source"),
+        tokens.cast("long").as("toks"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .localCheckpoint()
+    val bySplit = g.groupBy(col("split"))
+      .agg(sum(col("n_docs")).as("n_split"))
+    val bySrc = g.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_src"))
+    val total = g.select(sum(col("n_docs")).as("n_all"))
+    g.join(broadcast(bySplit), Seq("split"))
+      .join(broadcast(bySrc), Seq("source"))
+      .crossJoin(broadcast(total))
+      .select(col("split"), col("source"), col("n_docs"),
+        col("n_tokens"),
+        when(lit(100L) * abs(d38(col("n_docs")) * col("n_all") -
+              d38(col("n_split")) * col("n_src")) >
+            d38(col("n_split")) * col("n_src"), 1L)
+          .otherwise(0L).as("skewed"))
+  }
+
   /** t25: deterministic mask corruption — the denoising-objective
     * construction step (BERT's masked-LM / the per-token limit of
     * T5-style span corruption, Devlin et al. 2018 / Raffel et al.
@@ -934,19 +975,24 @@ object TextAnalysis {
     *
     * Scale shape: one shuffle on source for the per-source window
     * (domains are many → fine-grained partitions; a pathological
-    * mega-domain is bounded by the cap itself), then a single-partition
-    * rank over ONLY the <= #sources * perSource survivors — the cap,
-    * not the corpus, bounds the narrow stage. */
+    * mega-domain is bounded by the cap itself); the survivors
+    * (≤ #sources · perSource rows, localCheckpoint-pinned so the
+    * corpus window runs once) are then round-robin-ranked by the
+    * bucketed [[graft.ops.Ranks]] pass — bounded OR NOT, no stage
+    * ever ranks through a single task. */
   def quotaMix(df: DataFrame, id: Column, source: Column,
       quality: Column, perSource: Int, budget: Int): DataFrame = {
     val wSrc = Window.partitionBy(col("source"))
       .orderBy(col("q").desc, col("id"))
-    val wAll = Window.orderBy(col("srank"), col("q").desc, col("id"))
-    df.select(id.as("id"), source.as("source"), quality.as("q"))
+    val survivors = df
+      .select(id.as("id"), source.as("source"), quality.as("q"))
       .withColumn("srank", row_number().over(wSrc))
       .filter(col("srank") <= perSource)
-      .withColumn("grank", row_number().over(wAll))
-      .filter(col("grank") <= budget)
+      .localCheckpoint()
+    val (ranked, _, _) = Ranks.rankedCumsumTotalsTies(survivors,
+      col("srank"), Seq(-col("q"), col("id")), lit(1L),
+      rankCol = "grank", cumCol = "__qm_cum")
+    ranked.filter(col("grank") <= budget)
       .select(col("id").as("doc_id"), col("source"),
         col("srank").cast("long").as("srank"),
         col("grank").cast("long").as("grank"))
@@ -961,22 +1007,23 @@ object TextAnalysis {
     * end-to-end, so the assignment is engine-exact and a doc never
     * straddles phases by rounding.
     *
-    * Scale shape: same as [[ppsSample]] — one global cumulative-sum
-    * window (range-partitioned two-pass prefix sum at corpus scale)
-    * plus a broadcast 1-row total. */
+    * Scale shape: same as [[ppsSample]] — the global (difficulty, id)
+    * rank and the running token sum ride ONE bucketed
+    * [[graft.ops.Ranks.rankedCumsumTotals]] pass (two tiny driver
+    * folds + per-bucket windows, parallel across buckets — never an
+    * unpartitioned window), and the corpus token total falls out of
+    * the same pass for free, so the phase budget is a plan-time
+    * literal instead of a broadcast 1-row join. */
   def curriculumPhases(df: DataFrame, id: Column, difficulty: Column,
       tokens: Column, nPhases: Int): DataFrame = {
-    val w = Window.orderBy(col("diff"), col("id"))
-    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = df.select(sum(tokens.cast("long")).as("t"))
-    df.select(id.as("id"), difficulty.as("diff"),
-        tokens.cast("long").as("n_tokens"))
-      .withColumn("seq", row_number().over(w).cast("long"))
-      .withColumn("cum", sum(col("n_tokens")).over(wCum))
-      .crossJoin(broadcast(tot))
-      .withColumn("budget", expr(s"(t + ${nPhases - 1}) div $nPhases"))
-      .select(col("id").as("doc_id"), col("seq"), col("n_tokens"),
-        expr("(cum - n_tokens) div budget").as("phase"))
+    val base = df.select(id.as("id"), difficulty.as("diff"),
+      tokens.cast("long").as("n_tokens"))
+    val (ranked, _, tot) = Ranks.rankedCumsumTotals(
+      base, col("diff"), col("id"), col("n_tokens"),
+      rankCol = "seq", cumCol = "cum")
+    val budget = (tot + nPhases - 1) / nPhases
+    ranked.select(col("id").as("doc_id"), col("seq"), col("n_tokens"),
+      expr(s"(cum - n_tokens) div $budget").as("phase"))
   }
 
   /** Systematic probability-proportional-to-size sampling — the
@@ -989,20 +1036,22 @@ object TextAnalysis {
     * below the step (true here: max n_chars 553 vs step ~2.5k) this
     * is the classic without-replacement PPS draw of ~n docs.
     *
-    * Scale shape: one global cumulative-sum window. At 100 TB this
-    * runs as the two-pass range-partitioned prefix sum (per-partition
-    * subtotals broadcast back — the q09 running-total discipline);
-    * the fixture-size single window keeps the oracle shape identical. */
+    * Scale shape: the cumulative sum in id order is ONE bucketed
+    * [[graft.ops.Ranks.rankedCumsumTotals]] pass — per-bucket windows
+    * parallel across buckets, never an unpartitioned window — and the
+    * weight total (hence the sampling step) falls out of the same
+    * pass's driver folds, so the draw filter is pure codegen'd
+    * integer arithmetic against a literal step. */
   def ppsSample(df: DataFrame, id: Column, weight: Column, n: Int)
       : DataFrame = {
-    val wCum = Window.orderBy(col("id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = df.select(sum(weight.cast("long")).as("t"))
-    df.select(id.as("id"), weight.cast("long").as("w"))
-      .withColumn("cum", sum(col("w")).over(wCum))
-      .crossJoin(broadcast(tot))
-      .withColumn("step", expr(s"t div $n"))
-      .filter(expr("(cum div step) > ((cum - w) div step)"))
+    val base = df.select(id.as("id"), weight.cast("long").as("w"))
+    val (ranked, _, tot) = Ranks.rankedCumsumTotals(
+      base, col("id"), col("id"), col("w"),
+      rankCol = "__pps_rank", cumCol = "cum")
+    val step = tot / n
+    require(step > 0,
+      s"ppsSample: total weight $tot < n=$n — step would be 0")
+    ranked.filter(expr(s"(cum div $step) > ((cum - w) div $step)"))
       .select(col("id").as("doc_id"), col("w").as("weight"), col("cum"))
   }
 
@@ -1142,11 +1191,13 @@ object TextAnalysis {
     val cumAt = ranked.filter(col("rank").isin(bounds: _*))
       .select(col("rank"), col("cum"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Empty corpus: every budget covers 0 of 0 tokens (coverage 0.0)
+    // rather than crashing on cumAt(0) / dividing by tot = 0.
     val rows = ks.map { k =>
       val vs = math.min(k.toLong, n)
-      val covered = cumAt(vs)
+      val covered = if (vs == 0) 0L else cumAt(vs)
       (k.toLong, vs, covered, tot,
-        covered.toDouble / tot.toDouble)
+        if (tot == 0) 0.0 else covered.toDouble / tot.toDouble)
     }
     import spark.implicits._
     rows.toDF("k", "vocab_size", "covered_tokens", "total_tokens",

@@ -276,19 +276,32 @@ object Vectors {
     * Scale shape: the query bag is broadcast (a ColBERT query is ≤ 32
     * vectors); the corpus is scanned ONCE with per-partition partial
     * max into (doc, qvec) cells — the only shuffle carries |docs|·|Q|
-    * aggregated cells, never corpus vectors; the final top-k is a
-    * window over doc scores, WindowGroupLimit-pruned. */
+    * aggregated cells, never corpus vectors. The per-doc scores are
+    * localCheckpoint-pinned (one corpus scan total) and the top-k
+    * rides the bucketed [[graft.ops.Ranks]] pass, so no stage ranks an
+    * unbounded frame through one task even at web-corpus doc counts. */
   def maxSimTopK(corpus: DataFrame, queries: DataFrame, id: Column,
       emb: Column, group: Column, k: Int): DataFrame = {
+    val scores = maxSimScores(corpus, queries, id, emb, group)
+      .localCheckpoint()
+    graft.ops.Ranks.rankedCumsum(scores, -col("score"), col("lbl"),
+        lit(1L), rankCol = "__ms_rank", cumCol = "__ms_cum")
+      .filter(col("__ms_rank") <= k)
+      .select(col("lbl"), col("score"),
+        col("__ms_rank").cast("int").as("rank"))
+  }
+
+  /** The scoring stage of [[maxSimTopK]], exposed unpinned: per-doc
+    * integer MaxSim scores (`lbl`, `score`). The query bag broadcasts;
+    * the per-(doc, qvec) max folds map-side. */
+  def maxSimScores(corpus: DataFrame, queries: DataFrame, id: Column,
+      emb: Column, group: Column): DataFrame = {
     val c = corpus.select(group.as("lbl"), intScale(emb).as("civ"))
     val q = queries.select(id.as("qid"), intScale(emb).as("qiv"))
-    val w = Window.orderBy(col("score").desc, col("lbl"))
     c.join(broadcast(q))
       .select(col("lbl"), col("qid"), idot(col("qiv"), col("civ")).as("dot"))
       .groupBy(col("lbl"), col("qid")).agg(max(col("dot")).as("best"))
       .groupBy(col("lbl")).agg(sum(col("best")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
   }
 
   /** md5-derived integer hyperplane coefficient for (plane, dim):

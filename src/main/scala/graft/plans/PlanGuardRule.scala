@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalLimit, LogicalPlan, Union, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer-injected SCALE GUARD — the PlanSpec discipline promoted
@@ -27,10 +28,26 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * [[GraftExtensions]]'s `injectOptimizerRule`. */
 case class PlanGuardRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  /** Is `p`'s output cardinality bounded by construction? Multi-child
+    * nodes are handled by how they PROPAGATE a bound, not by
+    * `exists` — a join of limit(k) with an unbounded table, or a
+    * union with one limited leg, must NOT count as bounded:
+    *   - semi/anti join: output ≤ left, so the left bound suffices;
+    *   - every other join type can fan out per match (or emit the
+    *     unbounded side's unmatched rows), so BOTH sides must bound;
+    *   - union: output = Σ children, so ALL legs must bound;
+    *   - single-child pass-throughs (Project/Filter/...) inherit. */
   private def bounded(p: LogicalPlan): Boolean = p match {
     case _: GlobalLimit | _: LocalLimit => true
     case a: Aggregate if a.groupingExpressions.isEmpty => true
-    case other => other.children.exists(bounded)
+    case j: Join => j.joinType match {
+      case LeftSemi | LeftAnti => bounded(j.left)
+      case _ => bounded(j.left) && bounded(j.right)
+    }
+    case u: Union => u.children.forall(bounded)
+    case other if other.children.size == 1 => bounded(other.children.head)
+    case other =>
+      other.children.nonEmpty && other.children.forall(bounded)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

@@ -1251,8 +1251,25 @@ object PipelineQueries {
 
   /** m11: cross-video duplicate-clip detection — aligned frame-run
     * islands over the frame-fingerprint join. */
-  def clipDedup(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.clipDedup(docs(spark, dir), col("text"), col("doc_id"))
+  def clipDedup(spark: SparkSession, dir: String): DataFrame = {
+    // Synthetic re-broadcast corpus (the m09 derivation discipline):
+    // every doc_id ≡ 2 (mod 7) carries its ≡ 0 (mod 7) neighbor's
+    // full payload behind a 2-frame slate — a time-shifted clip at
+    // offset +2 that whole-file hashing misses. The operator itself
+    // ([[Multimodal.clipDedup]]) sees only (id, blob).
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val withSrc = d.withColumn("src_id",
+      when(col("doc_id") % 7 === 2, col("doc_id") - 2)
+        .otherwise(col("doc_id")))
+    val blobs = withSrc
+      .join(d.select(col("doc_id").as("src_id"), col("text").as("pay")),
+        Seq("src_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 2,
+          concat(lit("X" * 128), col("pay")))
+          .otherwise(col("pay")).cast("binary").as("blob"))
+    Multimodal.clipDedup(blobs, col("doc_id"), col("blob"))
+  }
 
   /** m05: CLIP-score cross-modal filtering — media blobs paired with
     * their caption embeddings (the embedding id space IS the doc id
@@ -2537,4 +2554,16 @@ object PipelineQueries {
   def mixAlloc(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Profiling.largestRemainderAlloc(docs(spark, dir),
       col("source"), size(split(col("text"), " ")), budget = 10000L)
+
+  /** c41: split-balance audit of the t07 hash split — per
+    * (split, source) composition with the ±1% cross-multiplied
+    * deviation flag ([[TextAnalysis.splitBalance]]). */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.splitBalance(docs(spark, dir), col("doc_id"),
+      col("source"), size(split(col("text"), " ")))
+
+  /** m14: per-video keyframe selection — the max-inter-frame-delta
+    * thumbnail frame ([[Multimodal.keyframes]]). */
+  def keyframes(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.keyframes(docs(spark, dir), col("text"), col("doc_id"))
 }

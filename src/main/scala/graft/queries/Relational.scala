@@ -2576,4 +2576,180 @@ object Relational {
         min(when(col("cum") * 2 >= col("tw"), col("v"))).as("median_cents"),
         min(when(col("cum") * 4 >= col("tw") * 3, col("v"))).as("p75_cents"))
   }
+
+  /** q91: two-sample KOLMOGOROV–SMIRNOV test per event type, between
+    * the q66/q81 A/B arms (user_id parity) — the distribution-shape
+    * complement of q81's Mann–Whitney (U detects location shift; KS
+    * detects ANY distributional difference, including pure variance
+    * or tail changes a rank-sum test misses). The statistic is
+    * D = max_v |F̂_a(v) − F̂_b(v)|, held entirely in integers:
+    * d_num = max |cumA·n_b − cumB·n_a| (D = d_num / (n_a·n_b)), and
+    * the α = 0.05 rejection D ≥ c·√((n_a+n_b)/(n_a·n_b)) with
+    * c = 1.36 (the standard asymptotic table value) cross-multiplied
+    * into 10⁴·d_num² ≥ 18496·(n_a+n_b)·n_a·n_b — DECIMAL(38,0)
+    * products, exact up to ~10⁸ rows per type (past that, widen the
+    * decision or drop constant digits; overflow is LOUD under ANSI).
+    *
+    * Scale shape: q81's exactly — ECDFs live on the tie-collapsed
+    * (type, value) frame with per-type windows; both cumulative
+    * sums and both totals ride the SAME window spec, so the whole
+    * statistic is one shuffle on event_type plus a per-type max. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame =
+    ksCollapsed(table(spark, dir, "events")
+      .select(col("event_type"), col("value"),
+        pmod(col("user_id"), lit(2)).as("arm"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb")))
+
+  /** The KS statistic fold over an ALREADY tie-collapsed
+    * (event_type, value, ca, cb) frame — st63 maintains exactly this
+    * frame as streaming keyed state (st59's state table), so batch
+    * and streaming share the statistic from here down. */
+  def ksCollapsed(counts: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("event_type"))
+    counts
+      .withColumn("cuma", sum(col("ca")).over(ord))
+      .withColumn("cumb", sum(col("cb")).over(ord))
+      .withColumn("n_a", sum(col("ca")).over(all))
+      .withColumn("n_b", sum(col("cb")).over(all))
+      .groupBy(col("event_type"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
+        .as("d_num"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("d_num"),
+        when(lit(10000L) * d38(col("d_num")) * col("d_num") >=
+            lit(18496L) * d38(col("n_a") + col("n_b")) *
+              col("n_a") * col("n_b"), 1L)
+          .otherwise(0L).as("significant"))
+  }
+
+  /** q92: SPEARMAN RANK CORRELATION (tie-corrected) per return flag
+    * between order quantity and extended price — the monotone-
+    * association readout that survives the heavy-tailed prices a
+    * Pearson (q70) gets dragged around by. Implemented as Pearson on
+    * DOUBLED MIDRANKS (q81's tie device: 2·mid = 2·cum − cnt + 1 on
+    * the tie-collapsed value frame, joined back to rows by value), so
+    * every moment is an exact integer. The doubled ranks' mean is
+    * exactly n+1, so centering u = 2·mid − (n+1) is integer too and
+    * rho = Σuv / √(Σu²·Σv²) needs no n·Σ cross terms. The three
+    * moments aggregate in DECIMAL(38,0) (exact to ~10¹² rows/group;
+    * the BIGINT output casts hold to ~2·10⁶ — the fixture regime,
+    * loud past it) and the only float is the final IEEE
+    * divide-by-sqrt, correctly rounded everywhere (q70 discipline).
+    *
+    * Scale shape: two tie-collapse aggregates + per-flag windows on
+    * the collapsed frames (domain-bounded), two keyed join-backs on
+    * (flag, value) — never a global window, never a broadcast of a
+    * row-scale frame. */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val base = table(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    def midranks(valCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("flag")).orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col("flag"), col(valCol))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn(out,
+          lit(2L) * sum(col("cnt")).over(w) - col("cnt") + 1L)
+        .drop("cnt")
+    }
+    val n = base.groupBy(col("flag")).agg(count(lit(1)).as("n"))
+    base
+      .join(midranks("x", "rx2"), Seq("flag", "x"))
+      .join(midranks("y", "ry2"), Seq("flag", "y"))
+      .join(n, Seq("flag"))
+      .select(col("flag"), col("n"),
+        (col("rx2") - col("n") - 1L).as("ux"),
+        (col("ry2") - col("n") - 1L).as("uy"))
+      .groupBy(col("flag"), col("n"))
+      .agg(sum(d38(col("ux")) * col("uy")).as("suv"),
+        sum(d38(col("ux")) * col("ux")).as("suu"),
+        sum(d38(col("uy")) * col("uy")).as("svv"))
+      .select(col("flag"), col("n"),
+        col("suv").cast("long").as("suv"),
+        col("suu").cast("long").as("suu"),
+        col("svv").cast("long").as("svv"),
+        (col("suv").cast("long").cast("double") /
+          (sqrt(col("suu").cast("long").cast("double")) *
+            sqrt(col("svv").cast("long").cast("double")))).as("rho"))
+  }
+
+  /** q93: LAG-1 AUTOCORRELATION of event values per type — the serial-
+    * dependence monitor behind "are these measurements independent"
+    * (batch effects, sensor stickiness, session momentum). Adjacent
+    * pairs come from one lead() over the per-type (ts, event_id)
+    * timeline (q80's window — partitioned, never global); values are
+    * fixed-pointed at centi grain (⌊value·100⌋ — floor of the same
+    * IEEE product is engine-exact) so all five moments are exact
+    * integers in DECIMAL(38,0), and the only float is the final
+    * correctly-rounded divide-by-sqrt (q70 discipline).
+    *
+    * Double-exactness constraint (measured, not assumed): DuckDB's
+    * HUGEINT→DOUBLE conversion is NOT correctly rounded past 2⁶³, so
+    * every quantity that feeds the final float MUST route through
+    * BIGINT, where the hardware int64→double conversion is exact on
+    * both engines — hence the explicit long casts on the moment
+    * products, loud (ANSI) past ~10⁵ rows/type at value ≤ 10³. At
+    * larger scale the readout emits the DECIMAL moments and the
+    * consumer divides. */
+  def autocorrLag1(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * 100.0d).cast("long").as("a"))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(d38(col("a")) * col("a")).as("saa"),
+        sum(d38(col("b")) * col("b")).as("sbb"),
+        sum(d38(col("a")) * col("b")).as("sab"))
+      .select(col("event_type"), col("n_pairs"),
+        col("sab").cast("long").as("sab"),
+        ((d38(col("n_pairs")) * col("sab") -
+            d38(col("sa")) * col("sb")).cast("long").cast("double") /
+          (sqrt((d38(col("n_pairs")) * col("saa") -
+              d38(col("sa")) * col("sa")).cast("long").cast("double")) *
+            sqrt((d38(col("n_pairs")) * col("sbb") -
+              d38(col("sb")) * col("sb")).cast("long").cast("double"))))
+          .as("r1"))
+  }
+
+  /** q94: 10% TWO-SIDED TRIMMED MEAN of value per event type — the
+    * robust location estimate a metrics platform quotes when means
+    * are outlier-dragged and medians (q69) discard too much. Trim
+    * count k = n div 10 per side, ranks by (value, event_id) within
+    * type (deterministic under ties), survivors' values summed at
+    * exact milli fixed point — never a float sum — and the mean is
+    * one final double division. Scale shape: one per-type window for
+    * the rank (the q69/q73 partitioned shape) over the event frame;
+    * totals ride the same partition via an unbounded-frame count. */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val all = Window.partitionBy(col("event_type"))
+    table(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        col("value"), floor(col("value") * 1000.0d).cast("long").as("vfx"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("k", expr("n div 10"))
+      .filter(col("rnk") > col("k") && col("rnk") <= col("n") - col("k"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).cast("long").as("n_rows"),
+        count(lit(1)).as("kept"),
+        sum(col("vfx")).as("sum_milli"))
+      .withColumn("trimmed_mean",
+        col("sum_milli").cast("double") /
+          col("kept").cast("double") / 1000.0d)
+  }
 }

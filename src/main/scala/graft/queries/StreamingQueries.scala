@@ -3922,9 +3922,34 @@ object StreamingQueries {
     * quantized metric. */
   def streamMannWhitney(spark: SparkSession, dir: String): DataFrame =
     withStateShards(spark) {
+      graft.queries.Relational.mannWhitneyCollapsed(
+        streamedArmCounts(spark, dir, "stream-mannwhitney",
+          "graft_smw_split"))
+    }
+
+  /** st63: STREAMING KOLMOGOROV–SMIRNOV — q91's distribution-shape
+    * test maintained online over the SAME keyed state as st59 (the
+    * tie-collapsed (event_type, value) arm-count pair is the exact
+    * sufficient statistic for BOTH tests — one state table funds a
+    * whole family of readouts, which is the point of keeping the
+    * sufficient statistic rather than the decision as state). The
+    * final fold is [[graft.queries.Relational.ksCollapsed]], the
+    * literal batch statistic code, so the shared q91 oracle hash
+    * proves online state ≡ batch ECDFs, D statistic and decision. */
+  def streamKs(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      graft.queries.Relational.ksCollapsed(
+        streamedArmCounts(spark, dir, "stream-ks", "graft_sks_split"))
+    }
+
+  /** The shared st59/st63 state pipeline: per (event_type, value) key,
+    * streaming arm counts (ca, cb) by user parity — the tie-collapsed
+    * sufficient statistic both rank tests fold over. */
+  private def streamedArmCounts(spark: SparkSession, dir: String,
+      group: String, stagePrefix: String): DataFrame = {
       import spark.implicits._
       import graft.operators.BatchExecutor.SinkTable
-      val graph = GroupGraph.define("stream-mannwhitney")(
+      val graph = GroupGraph.define(group)(
         Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
           val arm = msg.asInstanceOf[String]
           val (ca, cb) = ctx.value match {
@@ -3937,7 +3962,7 @@ object StreamingQueries {
         }),
         Persist(StringCodec))
       val ev = Sources.table(spark, dir, "events")
-      val staging = tempDir("graft_smw_split")
+      val staging = tempDir(stagePrefix)
       stageTwoBatches(spark,
         Sources.messages(ev, "events",
           concat(col("event_type"), lit("|"),
@@ -3954,7 +3979,7 @@ object StreamingQueries {
         .map(e => (e.key, StringCodec.decode(e.value)))
         .toDF("key", "st")
       // counts only grow, so the max (ca+cb) upsert is the last one
-      val counts = runToTable(spark, table)
+      runToTable(spark, table)
         .select(col("key"), split(col("st"), ",").as("p"))
         .select(col("key"),
           element_at(col("p"), 1).cast("long").as("ca"),
@@ -3966,8 +3991,7 @@ object StreamingQueries {
           substring_index(col("key"), "|", -1).cast("double")
             .as("value"),
           col("s.ca").as("ca"), col("s.cb").as("cb"))
-      graft.queries.Relational.mannWhitneyCollapsed(counts)
-    }
+  }
 
   /** st56: STREAMING EXACT LEADERBOARD — continuous top-10 users by
     * exact cents spend per event type: the keyed state is the

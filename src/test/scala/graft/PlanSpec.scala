@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-quality regression guards: the properties the engine is designed
@@ -419,16 +420,32 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"no in-plan (checkpointed) training model may leak into serving\n$p")
   }
 
-  test("s23: maxsim — query bag broadcast, partial max map-side, top-k pruned") {
+  test("s23: maxsim — scores pinned once (one corpus scan), ranking " +
+      "bucket-partitioned, no single-task stage") {
     val p = plan("s23_maxsim")
+    // the per-doc scores are consumed from their localCheckpoint (the
+    // corpus join/partial-max ran exactly once, at pin time) …
+    assert(p.contains("Scan ExistingRDD"),
+      s"scores must be consumed from the localCheckpoint\n$p")
+    // … and the global top-k rides the bucketed Ranks pass
+    assert(!p.contains("SinglePartition"),
+      s"no stage of the maxsim rank may funnel to one task\n$p")
+    assertWindowsPartitioned(p, "__rk_b")
+  }
+
+  test("s23/ops: the maxsim scoring stage broadcasts the query bag " +
+      "and folds a map-side partial max — the corpus never shuffles " +
+      "raw vectors") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.ops.Vectors.maxSimScores(e,
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        col("label"))
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"),
       s"the query bag must broadcast — the corpus never shuffles raw\n$p")
     assert(p.contains("partial_max"),
       s"per-partition partial max expected before the exchange\n$p")
-    assert(p.contains("TakeOrderedAndProject") ||
-      p.contains("WindowGroupLimit"),
-      s"final top-k must be limit-pruned, not a full sort\n$p")
   }
 
   test("s19: knn refinement — checkpointed seed consumed, equi-join expansion, no cartesian") {
@@ -580,12 +597,24 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q36: heavy hitters never shuffle raw keys — only kernel summaries") {
+    // The final plan consumes the pinned summary and ranks it with
+    // the bucketed Ranks pass — no single-task stage anywhere.
     val p = plan("q36_heavy_hitters")
-    // events scan reads only the key column; no groupBy of raw user_id
-    assert(p.contains("ReadSchema: struct<user_id:bigint>"),
-      s"summary pass must prune to the key column\n$p")
-    assert(p.contains("mapPartitions") || p.contains("MapPartitions"),
-      s"the Misra-Gries fold must run as the partition kernel\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the merged summary must be consumed from its localCheckpoint\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"the top-k rank must stay bucket-partitioned\n$p")
+    assertWindowsPartitioned(p, "__rk_b")
+    // The summary pass itself (pre-pin) prunes to the key column and
+    // folds the Misra-Gries kernel per partition.
+    val pp = graft.ops.Profiling.heavyHittersPartial(
+        spark.read.parquet(s"$dir/events.parquet"), col("user_id"),
+        m = 131072)
+      .queryExecution.executedPlan.toString
+    assert(pp.contains("ReadSchema: struct<user_id:bigint>"),
+      s"summary pass must prune to the key column\n$pp")
+    assert(pp.contains("mapPartitions") || pp.contains("MapPartitions"),
+      s"the Misra-Gries fold must run as the partition kernel\n$pp")
   }
 
   test("q37: CEP = ONE user_id exchange, no join") {
@@ -1010,5 +1039,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       .queryExecution.optimizedPlan.toString
     assert("Join LeftSemi".r.findAllIn(lp).length >= 2,
       s"both unigram joins must build on the semi-joined table\n$lp")
+  }
+
+  test("t27: PPS sampling's cumulative sum rides the bucketed Ranks " +
+    "pass — no single-partition stage, every window bucket-partitioned") {
+    val p = plan("t27_pps_sample")
+    assert(!p.contains("SinglePartition"),
+      s"the corpus-wide prefix sum must never funnel to one task\n$p")
+    assertWindowsPartitioned(p, "__rk_b")
+  }
+
+  test("c10: curriculum phases' global rank + token cumsum ride the " +
+    "bucketed Ranks pass — no single-partition stage, windows " +
+    "bucket-partitioned") {
+    val p = plan("c10_curriculum")
+    assert(!p.contains("SinglePartition"),
+      s"the corpus-wide rank/cumsum must never funnel to one task\n$p")
+    assertWindowsPartitioned(p, "__rk_b")
   }
 }
