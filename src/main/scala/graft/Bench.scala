@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import scala.jdk.CollectionConverters._
 
 /** Benchmark main. Prints ONE JSON line with per-query seconds.
@@ -174,33 +173,15 @@ object Bench {
       failed: scala.collection.mutable.Buffer[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Shared driver-session contract (incl. the strict plan guard —
+    // a benchmark run must never time a plan the guard would reject),
+    // plus the bench-only knobs: AQE on, and the production
+    // throughput dial that skips per-commit row accounting in the
+    // write-heavy state stores (metrics-only effect; Verify and the
+    // test fixture keep it on to exercise numRowsTotal).
+    val spark = GraftSessions.builder(cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-      // Checkpoint-file checksums (new in Spark 4.1, default on) convoy
-      // in one-JVM local mode: every state-store commit's zip close
-      // awaits a checksum future, measured +2.2 s on st01 at sf0.1/32
-      // partitions (thread dumps: 32 tasks parked in
-      // ChecksumCancellableFSDataOutputStream.close). Checkpoints here
-      // are ephemeral local-fs dirs; re-enable for durable object-store
-      // checkpoints in cluster deployments, where the cost spreads
-      // across executors.
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-      // Production throughput knob: skip per-commit row accounting in
-      // the write-heavy state stores (metrics-only effect; Verify and
-      // the test fixture keep it on to exercise numRowsTotal).
       .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // Same strict no-global-window gate as Verify: a benchmark run
-      // must never time a plan the scale guard would reject.
-      .config("spark.graft.strictGlobalWindows", "true")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JIT/codegen + page cache so the first measured query isn't

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -7,31 +6,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Seq(sfDir, outDir, only @ _*) = args.toSeq: @unchecked
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-      // Checkpoint-file checksums (new in Spark 4.1, default on) convoy
-      // in one-JVM local mode: every state-store commit's zip close
-      // awaits a checksum future, measured +2.2 s on st01 at sf0.1/32
-      // partitions (thread dumps: 32 tasks parked in
-      // ChecksumCancellableFSDataOutputStream.close). Checkpoints here
-      // are ephemeral local-fs dirs; re-enable for durable object-store
-      // checkpoints in cluster deployments, where the cost spreads
-      // across executors.
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // The builder's own scale guard, turned on itself: every
-      // declared query plan must pass PlanGuardRule (no unpartitioned
-      // window over an unbounded input) at plan time — the no-funnel
-      // discipline enforced across the whole suite by construction,
-      // not by per-query PlanSpec coverage.
-      .config("spark.graft.strictGlobalWindows", "true")
-      .config("spark.ui.enabled", "false")
+    // Shared driver-session contract (incl. the strict plan guard —
+    // see GraftSessions.common, pinned by PlanGuardSpec).
+    val builder = GraftSessions.builder(cpus)
     // Ad-hoc conf overrides for local experiments, e.g.
     // GRAFT_SPARK_EXTRA="spark.x=1;spark.y=2".
     sys.env.get("GRAFT_SPARK_EXTRA").foreach(_.split(";").filter(_.nonEmpty)

@@ -38,6 +38,17 @@ class PlanGuardSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("the driver-session contract pins the guard ON: every Verify " +
+      "and Bench session plans under strictGlobalWindows=true") {
+    assert(graft.GraftSessions.common
+      .contains("spark.graft.strictGlobalWindows" -> "true"),
+      "GraftSessions.common must carry the strict guard — Verify and " +
+        "Bench both build from it")
+    assert(graft.GraftSessions.common
+      .contains("spark.sql.extensions" -> "graft.plans.GraftExtensions"),
+      "the guard rule only fires if GraftExtensions is injected")
+  }
+
   test("guard is off by default and rewrites nothing") {
     import spark.implicits._
     val df = (1 to 100).toDF("x")
