@@ -453,25 +453,35 @@ object Multimodal {
     * no per-frame explosion (the m06/m07 discipline); single-frame
     * videos are skipped (no delta exists). */
   def keyframes(df: DataFrame, text: Column, id: Column,
-      frameChars: Int = 64): DataFrame =
+      frameChars: Int = 64): DataFrame = {
+    // The per-frame (energy, count) pairs explode from ONE arrays_zip
+    // reference, so the per-codepoint frame chain evaluates once per
+    // doc — lambda-side argmax variants (element_at inside transform /
+    // fold, or array_max + array_position) measured 3-4x slower
+    // because every array reference re-evaluates the inlined chain
+    // per iteration (the q67 expression-duplication lesson). The lag
+    // window partitions per doc (never global) and the argmax is a
+    // codegen'd max_by over struct ordering — (score, −f) max picks
+    // the highest delta, earliest frame on ties — with map-side
+    // partial max, so the shuffle carries one row per (doc,
+    // partition).
+    val wd = Window.partitionBy(col("id")).orderBy(col("f"))
     framed(df, text, id, frameChars)
       .filter(size(col("es")) >= 2)
-      .withColumn("best", expr(
-        """aggregate(sequence(1, size(es) - 1),
-             named_struct('f', CAST(0 AS BIGINT), 's', CAST(-1 AS BIGINT)),
-             (acc, f) -> IF(
-               abs(element_at(es, CAST(f+1 AS INT)) *
-                     element_at(cs, CAST(f AS INT)) -
-                   element_at(es, CAST(f AS INT)) *
-                     element_at(cs, CAST(f+1 AS INT))) > acc.s,
-               named_struct('f', CAST(f AS BIGINT),
-                 's', abs(element_at(es, CAST(f+1 AS INT)) *
-                            element_at(cs, CAST(f AS INT)) -
-                          element_at(es, CAST(f AS INT)) *
-                            element_at(cs, CAST(f+1 AS INT)))),
-               acc))"""))
-      .select(col("id"), col("best.f").as("keyframe_idx"),
-        col("best.s").as("score"))
+      .select(col("id"),
+        posexplode(arrays_zip(col("es"), col("cs"))).as(Seq("f", "fc")))
+      .select(col("id"), col("f").cast("long").as("f"),
+        col("fc.es").as("e"), col("fc.cs").as("c"))
+      .withColumn("pe", lag(col("e"), 1).over(wd))
+      .withColumn("pc", lag(col("c"), 1).over(wd))
+      .filter(col("pe").isNotNull)
+      .select(col("id"), col("f"),
+        abs(col("e") * col("pc") - col("pe") * col("c")).as("s"))
+      .groupBy(col("id"))
+      .agg(max_by(col("f"), struct(col("s").as("s"),
+          (-col("f")).as("nf"))).as("keyframe_idx"),
+        max(col("s")).as("score"))
+  }
 
   /** m13: FRAME-SAMPLING COVERAGE — does fixed-stride keyframe
     * sampling (m04's policy) actually see every shot (m07's

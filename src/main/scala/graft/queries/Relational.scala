@@ -2645,11 +2645,15 @@ object Relational {
     * the collapsed frames (domain-bounded), two keyed join-backs on
     * (flag, value) — never a global window, never a broadcast of a
     * row-scale frame. */
-  def spearman(spark: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
-    val base = table(spark, dir, "lineitem")
+  def spearman(spark: SparkSession, dir: String): DataFrame =
+    spearmanOver(table(spark, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
-        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+        col("l_quantity").as("x"), col("l_extendedprice").as("y")))
+
+  /** [[spearman]] over any (flag, x, y) frame — the randomized
+    * tie-averaged-rank parity spec drives this directly. */
+  def spearmanOver(base: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
     def midranks(valCol: String, out: String): DataFrame = {
       val w = Window.partitionBy(col("flag")).orderBy(col(valCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
