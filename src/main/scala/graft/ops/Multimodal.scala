@@ -329,6 +329,17 @@ object Multimodal {
     * [[shotBoundaries]]: per-row arrays of frame energies (codepoint
     * sums — the deterministic decoder stand-in) and frame sizes, plus
     * the blob totals. Everything is a per-row HOF; nothing shuffles. */
+  /** Per-doc frame prelude: codepoint energies folded into per-frame
+    * (energy, count) arrays plus blob totals. The final
+    * explode(array(struct(…))) is a deliberate PROJECTION BARRIER: a
+    * Generate node cannot be collapsed into downstream projections,
+    * so `es`/`cs`/`ts`/`tn` become real attributes evaluated ONCE per
+    * row. Without it, CollapseProject inlines the whole per-codepoint
+    * transform chain into EVERY downstream array reference, and HOF
+    * lambdas evaluate interpreted with no common-subexpression
+    * elimination — each element_at re-scanned the blob per iteration
+    * (measured 4-10× on m07/m14). Still map-only: explode of a
+    * 1-element array is row-preserving, no shuffle. */
   private def framed(df: DataFrame, text: Column, id: Column,
       frameChars: Int): DataFrame =
     df.select(id.cast("long").as("id"), text.as("t"))
@@ -346,6 +357,12 @@ object Multimodal {
           "AS BIGINT))"))
       .withColumn("ts", expr("aggregate(es, CAST(0 AS BIGINT), (a, x) -> a + x)"))
       .withColumn("tn", length(col("t")).cast("long"))
+      .select(col("id"), col("t"),
+        explode(array(struct(col("es"), col("cs"), col("ts"), col("tn"))))
+          .as("__m"))
+      .select(col("id"), col("t"), col("__m.es").as("es"),
+        col("__m.cs").as("cs"), col("__m.ts").as("ts"),
+        col("__m.tn").as("tn"))
 
   /** m12: LOUDNESS NORMALIZATION GAIN — the per-clip gain table audio
     * preprocessing writes before mixing corpora recorded at different
