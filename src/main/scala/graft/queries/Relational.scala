@@ -1607,24 +1607,29 @@ object Relational {
     val deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // Orient: src = lower endpoint by (deg, id) — a total order.
+    // Orient: src = lower endpoint by (deg, id) — a total order. The
+    // (deg, id) lexicographic compares are SCALAR predicates, not
+    // struct(...) < struct(...): struct ordering allocates an
+    // InternalRow per evaluation, and the wedge join evaluates its
+    // condition per CANDIDATE PAIR (41M at sf0.1) — the q67
+    // allocation-storm lesson; the convoy made q63 swing 12-92 s run
+    // to run and GC-victimized its q-group neighbors.
     val withDeg = edges
       .join(deg.withColumnRenamed("node", "a")
         .withColumnRenamed("deg", "da"), Seq("a"))
       .join(deg.withColumnRenamed("node", "b")
         .withColumnRenamed("deg", "db"), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
     val directed = withDeg.select(
-      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-        struct(col("a").as("src"), col("b").as("dst"),
-          col("da").as("dsrc"), col("db").as("ddst")))
-        .otherwise(struct(col("b").as("src"), col("a").as("dst"),
-          col("db").as("dsrc"), col("da").as("ddst"))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"),
-        col("e.dsrc").as("dsrc"), col("e.ddst").as("ddst"))
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
     val wedges = directed.as("p").join(directed.as("q"),
         col("p.src") === col("q.src") &&
-          struct(col("p.ddst"), col("p.dst")) <
-            struct(col("q.ddst"), col("q.dst")))
+          (col("p.ddst") < col("q.ddst") ||
+            (col("p.ddst") === col("q.ddst") &&
+              col("p.dst") < col("q.dst"))))
       .select(col("p.dst").as("v"), col("q.dst").as("w"))
     val tri = wedges.join(directed,
         col("v") === col("src") && col("w") === col("dst"), "left_semi")
