@@ -1018,12 +1018,17 @@ object TextAnalysis {
       tokens: Column, nPhases: Int): DataFrame = {
     val base = df.select(id.as("id"), difficulty.as("diff"),
       tokens.cast("long").as("n_tokens"))
-    val (ranked, _, tot) = Ranks.rankedCumsumTotals(
+    val (ranked, n, tot) = Ranks.rankedCumsumTotals(
       base, col("diff"), col("id"), col("n_tokens"),
       rankCol = "seq", cumCol = "cum")
     val budget = (tot + nPhases - 1) / nPhases
+    // Empty corpus → empty phase table; a NON-empty corpus with zero
+    // total tokens would divide by a zero budget — fail loudly.
+    require(n == 0 || budget > 0,
+      s"curriculumPhases: corpus token total $tot yields a zero " +
+        s"per-phase budget for $nPhases phases")
     ranked.select(col("id").as("doc_id"), col("seq"), col("n_tokens"),
-      expr(s"(cum - n_tokens) div $budget").as("phase"))
+      expr(s"(cum - n_tokens) div ${math.max(budget, 1L)}").as("phase"))
   }
 
   /** Systematic probability-proportional-to-size sampling — the

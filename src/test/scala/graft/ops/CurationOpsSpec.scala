@@ -168,4 +168,26 @@ class CurationOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1L) == 1L || out(1L) == 799L)
     assert(!out.contains(2L))
   }
+
+  test("degenerate-input guards: vocabCoverage on an empty corpus " +
+      "emits zero-coverage rows; curriculumPhases returns an empty " +
+      "table; ppsSample and editDistanceJoin fail loudly") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val cov = TextAnalysis.vocabCoverage(empty, col("text"), Seq(10, 100))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+    assert(cov.toSeq == Seq((10L, 0L, 0L, 0L, 0.0), (100L, 0L, 0L, 0L, 0.0)))
+    assert(TextAnalysis.curriculumPhases(empty, col("doc_id"),
+      col("text"), length(col("text")), nPhases = 4).count() == 0)
+    val e1 = intercept[IllegalArgumentException](
+      TextAnalysis.ppsSample(empty, col("doc_id"), length(col("text")),
+        n = 5))
+    assert(e1.getMessage.contains("step would be 0"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.editDistanceJoin(empty, col("text"), col("doc_id"),
+        lit("en"), prefixLen = 8, k = 2, q = 4))
+    assert(e2.getMessage.contains("prefix filter"), e2.getMessage)
+  }
 }

@@ -472,4 +472,21 @@ class LakeSpec extends AnyFunSuite with SparkFixture {
     assert(dupCand == cand,
       "duplicated index rows changed the candidate set")
   }
+
+  test("manifests persist the shard count; a merge with a different " +
+      "nShards is refused loudly instead of silently moving keys " +
+      "across shards") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_lake_nshards")
+    val path = out.resolve("t").toString
+    Lake.writeVersioned((0L to 7L).map(k => (k, k)).toDF("k", "v"),
+      "k", path, 4)
+    assert(Lake.readNShards(path, 1) == 4)
+    val changes = Seq((1L, 11L, "upsert")).toDF("k", "v", "op")
+    val e = intercept[IllegalArgumentException](
+      Lake.mergeVersioned(spark, path, "k", changes, 8))
+    assert(e.getMessage.contains("committed with 4 shards"), e.getMessage)
+    // the matching count still merges fine
+    assert(Lake.mergeVersioned(spark, path, "k", changes, 4).version == 2)
+  }
 }
