@@ -1057,4 +1057,30 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"the corpus-wide rank/cumsum must never funnel to one task\n$p")
     assertWindowsPartitioned(p, "__rk_b")
   }
+
+  test("r13 stats queries: events scan pruned to used columns, every " +
+      "window partitioned by event_type") {
+    Seq("q91_ks_test" -> Seq("event_type", "user_id", "value"),
+      "q93_autocorr" -> Seq("event_type", "ts", "event_id", "value"),
+      "q94_trimmed_mean" -> Seq("event_type", "event_id", "value"))
+      .foreach { case (q, cols) =>
+        val p = plan(q)
+        val read = "ReadSchema: struct<([^>]*)>".r
+          .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+        val got = read.split(",").map(_.split(":")(0)).toSet
+        assert(got == cols.toSet,
+          s"$q must scan exactly $cols, got $got\n$p")
+        assertWindowsPartitioned(p, "event_type")
+      }
+  }
+
+  test("m14: keyframes — one documents scan, argmax partials fold " +
+      "map-side (no raw frame rows reach the final exchange unreduced)") {
+    val p = plan("m14_keyframes")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
+    assert(p.contains("partial_max_by") || p.contains("partial_max"),
+      s"per-partition partial argmax expected before the exchange\n$p")
+    assertWindowsPartitioned(p, "id")
+  }
 }
