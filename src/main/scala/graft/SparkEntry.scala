@@ -901,14 +901,15 @@ object SparkEntry {
              (sqrt(CAST(CAST(suu AS BIGINT) AS DOUBLE)) *
               sqrt(CAST(CAST(svv AS BIGINT) AS DOUBLE))) AS rho
          FROM m""",
-    // q93: lag-1 pairs per type timeline; centi fixed point; moment
-    // products routed through BIGINT so the DOUBLE casts are the
-    // exact hardware conversion on both engines.
+    // q93: lag-1 pairs within (type, day) timelines; centi fixed
+    // point; moment products routed through BIGINT so the DOUBLE
+    // casts are the exact hardware conversion on both engines.
     "q93_autocorr" ->
       """WITH e AS (SELECT event_type, ts, event_id,
+                date_trunc('day', ts) AS day,
                 CAST(floor(value * 100) AS BIGINT) AS a FROM events),
          p AS (SELECT event_type, a,
-                 lead(a) OVER (PARTITION BY event_type
+                 lead(a) OVER (PARTITION BY event_type, day
                    ORDER BY ts, event_id) AS b
                FROM e),
          m AS (SELECT event_type, count(*) AS n_pairs,

@@ -2692,8 +2692,10 @@ object Relational {
   /** q93: LAG-1 AUTOCORRELATION of event values per type — the serial-
     * dependence monitor behind "are these measurements independent"
     * (batch effects, sensor stickiness, session momentum). Adjacent
-    * pairs come from one lead() over the per-type (ts, event_id)
-    * timeline (q80's window — partitioned, never global); values are
+    * pairs come from one lead() over the (type, day)-partitioned
+    * (ts, event_id) timeline — day-grain partitions grow with the
+    * data where a per-type-only window would funnel, and an
+    * overnight gap is not adjacency anyway; values are
     * fixed-pointed at centi grain (⌊value·100⌋ — floor of the same
     * IEEE product is engine-exact) so all five moments are exact
     * integers in DECIMAL(38,0), and the only float is the final
@@ -2709,10 +2711,15 @@ object Relational {
     * consumer divides. */
   def autocorrLag1(spark: SparkSession, dir: String): DataFrame = {
     val d38 = (c: Column) => c.cast(DecimalType(38, 0))
-    val w = Window.partitionBy(col("event_type"))
+    // Pairs form WITHIN (type, day): overnight gaps are not
+    // adjacency, and — the scale point — a per-type-only window
+    // would funnel a whole type through one task, while (type, day)
+    // partitions grow with the data.
+    val w = Window.partitionBy(col("event_type"), col("day"))
       .orderBy(col("ts"), col("event_id"))
     table(spark, dir, "events")
       .select(col("event_type"), col("ts"), col("event_id"),
+        date_trunc("day", col("ts")).as("day"),
         floor(col("value") * 100.0d).cast("long").as("a"))
       .withColumn("b", lead(col("a"), 1).over(w))
       .filter(col("b").isNotNull)
@@ -2736,27 +2743,40 @@ object Relational {
   /** q94: 10% TWO-SIDED TRIMMED MEAN of value per event type — the
     * robust location estimate a metrics platform quotes when means
     * are outlier-dragged and medians (q69) discard too much. Trim
-    * count k = n div 10 per side, ranks by (value, event_id) within
-    * type (deterministic under ties), survivors' values summed at
-    * exact milli fixed point — never a float sum — and the mean is
-    * one final double division. Scale shape: one per-type window for
-    * the rank (the q69/q73 partitioned shape) over the event frame;
-    * totals ride the same partition via an unbounded-frame count. */
+    * count k = n div 10 per side at exact milli fixed point — never a
+    * float sum — with one final double division.
+    *
+    * Scale shape: the q69/q73/q81 tie-collapse discipline — a raw
+    * per-row rank window partitioned only by event_type would funnel
+    * a whole type (20 TB at corpus scale) through one task, so the
+    * trim is computed on the COLLAPSED (type, milli-value) frame
+    * instead: each value group keeps
+    * max(0, min(cum, n−k) − max(cum−cnt, k)) of its rows — the
+    * overlap of its cumulative span with the kept band — which is
+    * provably the same multiset of kept milli values as the row-wise
+    * rank formulation (trimming depends only on value order; floor
+    * is monotone), and the ORACLE deliberately keeps the row-wise
+    * formulation, so the hash match proves the equivalence. */
   def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
+    val byValue = table(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 1000.0d).cast("long").as("vfx"))
+      .groupBy(col("event_type"), col("vfx"))
+      .agg(count(lit(1)).as("cnt"))
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("vfx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(col("event_type"))
-    table(spark, dir, "events")
-      .select(col("event_type"), col("event_id"),
-        col("value"), floor(col("value") * 1000.0d).cast("long").as("vfx"))
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(all))
+    byValue
+      .withColumn("cum", sum(col("cnt")).over(ord))
+      .withColumn("n", sum(col("cnt")).over(all))
       .withColumn("k", expr("n div 10"))
-      .filter(col("rnk") > col("k") && col("rnk") <= col("n") - col("k"))
+      .withColumn("kept_in",
+        greatest(lit(0L), least(col("cum"), col("n") - col("k")) -
+          greatest(col("cum") - col("cnt"), col("k"))))
       .groupBy(col("event_type"))
       .agg(max(col("n")).cast("long").as("n_rows"),
-        count(lit(1)).as("kept"),
-        sum(col("vfx")).as("sum_milli"))
+        sum(col("kept_in")).as("kept"),
+        sum(col("vfx") * col("kept_in")).as("sum_milli"))
       .withColumn("trimmed_mean",
         col("sum_milli").cast("double") /
           col("kept").cast("double") / 1000.0d)

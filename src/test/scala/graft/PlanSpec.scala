@@ -1062,7 +1062,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "window partitioned by event_type") {
     Seq("q91_ks_test" -> Seq("event_type", "user_id", "value"),
       "q93_autocorr" -> Seq("event_type", "ts", "event_id", "value"),
-      "q94_trimmed_mean" -> Seq("event_type", "event_id", "value"))
+      "q94_trimmed_mean" -> Seq("event_type", "value"))
       .foreach { case (q, cols) =>
         val p = plan(q)
         val read = "ReadSchema: struct<([^>]*)>".r
