@@ -1600,10 +1600,17 @@ object Relational {
     val li = table(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+    // The edge list is consumed FIVE times (both wedge-join sides,
+    // the closing semi-join's right side, and the node/edge counts);
+    // without the pin each consumer re-runs the lineitem self-join +
+    // distinct. localCheckpoint bounds that to one execution — the
+    // edge list is m rows of two longs, executor-local storage the
+    // way any multi-pass graph algorithm holds its edges.
     val edges = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") &&
         col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("a"), col("y.pk").as("b"))
       .distinct()
+      .localCheckpoint()
     val deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -1621,10 +1628,13 @@ object Relational {
         .withColumnRenamed("deg", "db"), Seq("b"))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
+    // Pinned for the same reason: three consumers (two wedge-join
+    // sides, the closing semi-join) — m oriented rows of three longs.
     val directed = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"),
       when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
+      .localCheckpoint()
     val wedges = directed.as("p").join(directed.as("q"),
         col("p.src") === col("q.src") &&
           (col("p.ddst") < col("q.ddst") ||
