@@ -419,11 +419,18 @@ object Dedup {
     // bucketed two-exchange primitive and attach ranks by a plain
     // vocab-keyed shuffle equi-join instead — same (c, s) order,
     // identical ranks, maximum parallelism.
-    val ranked = graft.ops.Ranks.rankedCumsum(dfreq, col("c"), col("s"),
-        lit(1L), rankCol = "rk")
+    val ranked = graft.ops.Ranks.rankedCumsum(dfreq.localCheckpoint(),
+        col("c"), col("s"), lit(1L), rankCol = "rk")
       .select(col("s"), col("rk"))
-    val capped = sh.join(ranked, Seq("s"))
+    // Pin the rank-attached occurrence table and its per-doc sizes:
+    // capped is consumed FOUR times (sizes, prefix, both verify-join
+    // sides) and nc three — without the pins each consumer re-runs
+    // the shingle explode + vocab join (the multi-pass SSJoin's
+    // inverted lists, materialized once like any real implementation
+    // holds them; same argument as q63's pinned edge list).
+    val capped = sh.join(ranked, Seq("s")).localCheckpoint()
     val nc = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val positioned = capped.join(nc, Seq("doc_id"))
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -431,6 +438,7 @@ object Dedup {
       // theta = 0.5: t = ceil(n/2) = (n+1) div 2; prefix = n - t + 1
       .filter(col("pos").cast("long") <= expr("n - (n + 1) div 2 + 1"))
       .select(col("doc_id"), col("s"))
+      .localCheckpoint()
     val cand = positioned.as("a")
       .join(positioned.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -482,11 +490,15 @@ object Dedup {
       .select(col("doc_id"), explode(col("sa")).as("s"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
       .filter(col("c") <= maxDocFreq)
-    val ranked = graft.ops.Ranks.rankedCumsum(dfreq, col("c"), col("s"),
-        lit(1L), rankCol = "rk")
+    val ranked = graft.ops.Ranks.rankedCumsum(dfreq.localCheckpoint(),
+        col("c"), col("s"), lit(1L), rankCol = "rk")
       .select(col("s"), col("rk"))
-    val capped = sh.join(ranked, Seq("s"))
+    // Same pin rationale as [[prefixJaccardJoin]]: capped feeds the
+    // prefix, the candidate join's full side and both verify sides;
+    // nc feeds the prefix filter and both size lookups.
+    val capped = sh.join(ranked, Seq("s")).localCheckpoint()
     val nc = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val prefix = capped.join(nc, Seq("doc_id"))
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window
