@@ -70,24 +70,31 @@ object Ranks {
     * one ≤nBuckets-row offsets fold. */
   def rankedCumsumTotals(df: DataFrame, value: Column, tie: Column,
       weight: Column, rankCol: String = "rank", cumCol: String = "cum",
-      nBuckets: Int = 64): (DataFrame, Long, Long) =
+      nBuckets: Int = 64, pin: Boolean = false): (DataFrame, Long, Long) =
     rankedCumsumTotalsTies(df, value, Seq(tie), weight, rankCol, cumCol,
-      nBuckets)
+      nBuckets, pin)
 
   /** As [[rankedCumsumTotals]] with a MULTI-COLUMN tiebreak: global
     * order is (value, ties...) ascending — callers negate numeric tie
     * columns for descending legs. The bucketing still keys on `value`
     * alone (ties only order within equal values, which always share a
     * bucket), so the two-exchange shape is unchanged. */
+  /** `pin = true` localCheckpoints the prepared input before the
+    * folds: the primitive scans its input THREE times (the fused
+    * count/Σweight/sketch fold, the per-bucket offsets fold, the
+    * final plan), so a caller feeding a RAW corpus-scale frame should
+    * pin to pay the scan once; callers feeding small aggregates keep
+    * the default (a pin is an eager job and executor storage). */
   def rankedCumsumTotalsTies(df: DataFrame, value: Column,
       ties: Seq[Column], weight: Column, rankCol: String = "rank",
-      cumCol: String = "cum", nBuckets: Int = 64)
+      cumCol: String = "cum", nBuckets: Int = 64, pin: Boolean = false)
       : (DataFrame, Long, Long) = {
     require(ties.nonEmpty, "at least one tie column required")
     val tieNames = ties.indices.map(i => s"__rk_t$i")
-    val base = ties.zip(tieNames).foldLeft(df.withColumn("__rk_v", value)) {
+    val base0 = ties.zip(tieNames).foldLeft(df.withColumn("__rk_v", value)) {
       case (d, (t, n)) => d.withColumn(n, t)
     }.withColumn("__rk_w", weight.cast("long"))
+    val base = if (pin) base0.localCheckpoint() else base0
     // Order-aligned range bucketing: long→double is monotone, so
     // comparing against fixed double cut points can never invert the
     // value order, and equal values always share a bucket. The sketch

@@ -1020,7 +1020,7 @@ object TextAnalysis {
       tokens.cast("long").as("n_tokens"))
     val (ranked, n, tot) = Ranks.rankedCumsumTotals(
       base, col("diff"), col("id"), col("n_tokens"),
-      rankCol = "seq", cumCol = "cum")
+      rankCol = "seq", cumCol = "cum", pin = true)
     val budget = (tot + nPhases - 1) / nPhases
     // Empty corpus → empty phase table; a NON-empty corpus with zero
     // total tokens would divide by a zero budget — fail loudly.
@@ -1052,7 +1052,7 @@ object TextAnalysis {
     val base = df.select(id.as("id"), weight.cast("long").as("w"))
     val (ranked, _, tot) = Ranks.rankedCumsumTotals(
       base, col("id"), col("id"), col("w"),
-      rankCol = "__pps_rank", cumCol = "cum")
+      rankCol = "__pps_rank", cumCol = "cum", pin = true)
     val step = tot / n
     require(step > 0,
       s"ppsSample: total weight $tot < n=$n — step would be 0")

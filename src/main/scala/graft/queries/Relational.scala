@@ -1734,7 +1734,7 @@ object Relational {
     val cents = table(spark, dir, "lineitem")
       .select(floor(col("l_extendedprice") * 100.0d).cast("long").as("v"))
     val (ranked0, n, _) = graft.ops.Ranks.rankedCumsumTotals(cents,
-      col("v"), col("v"), lit(1L))
+      col("v"), col("v"), lit(1L), pin = true)
     val ranked = ranked0.select(col("rank"), col("v"))
     val spec = spark.createDataFrame(
       Seq(250L, 500L, 750L, 900L, 990L).map { qm =>
@@ -2061,7 +2061,7 @@ object Relational {
           .as("lbl"))
     val (ranked, n, totPos) = graft.ops.Ranks.rankedCumsumTotals(
       e.withColumn("neg", -col("score")),
-      col("neg"), col("event_id"), col("lbl"))
+      col("neg"), col("event_id"), col("lbl"), pin = true)
     ranked
       .withColumn("decile", expr(s"((rank - 1) * 10) div ${n}L"))
       .groupBy(col("decile"))

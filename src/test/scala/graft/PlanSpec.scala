@@ -923,14 +923,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"CUSUM must stay partitioned by type\n$p")
   }
 
-  test("q67: one lineitem scan, one bucket-partitioned window — the " +
-    "single conditional-aggregate boundary read never duplicates the " +
-    "rank pipeline") {
+  test("q67: the rank input is pinned (zero lineitem re-scans in the " +
+    "final plan), one bucket-partitioned window — the conditional-" +
+    "aggregate boundary read never duplicates the rank pipeline") {
     val p = plan("q67_exact_quantiles")
+    // Ranks runs pin=true here: the 600k-row cents frame scans the
+    // parquet ONCE at pin time and every fold (and this final plan)
+    // consumes the checkpoint — so the executed plan must show the
+    // ExistingRDD scan and NO parquet re-scan.
     val scans = "FileScan parquet".r.findAllIn(p).length
-    assert(scans == 1,
-      s"expected exactly 1 lineitem scan (no rank-pipeline re-run), " +
-        s"got $scans\n$p")
+    assert(scans == 0,
+      s"expected 0 lineitem re-scans (pinned rank input), got $scans\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the rank input must be consumed from its localCheckpoint\n$p")
     assert(!p.contains("SinglePartition"),
       s"global rank must stay bucket-partitioned\n$p")
     assertWindowsPartitioned(p, "__rk_b")
