@@ -225,6 +225,12 @@ object Bench {
   private def f2(v: Double): String =
     "%.2f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** JSON string escape for interpolated paths — a working directory
+    * containing a quote or backslash must not break the stdout
+    * contract line. */
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   /** Final single-line contract (headline fields LAST — the launching
     * harness tail-captures only 2000 chars); full copy to
     * BENCH_FULL.json as the durable artifact.
@@ -242,11 +248,18 @@ object Bench {
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
       .toAbsolutePath.toString
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","failed":$failedJson,"full":"$fullPath","metric":"total","unit":"sec","value":${f2(total)}}"""
+      s"""{"queries":$qs,"sf":"${esc(sfDir)}","failed":$failedJson,"full":"${esc(fullPath)}","metric":"total","unit":"sec","value":${f2(total)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullPath), line + "\n")
     catch { case _: Throwable => () }
     System.err.println(s"[bench] full per-query record: $fullPath")
     println(line)
+    // The ~9 KB full line overflows the launching harness's stdout
+    // tail buffer (BENCH_r12/r13 recorded `parsed: null` — the head
+    // truncates mid-dict). The LAST stdout line is therefore a SHORT
+    // summary that always fits and always parses; every per-query
+    // entry lives in BENCH_FULL.json, named by "full".
+    println(
+      s"""{"metric":"total","unit":"sec","value":${f2(total)},"n":${results.size},"failed":$failedJson,"sf":"${esc(sfDir)}","full":"${esc(fullPath)}"}""")
   }
 }

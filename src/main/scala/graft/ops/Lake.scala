@@ -196,15 +196,21 @@ object Lake {
     * [[versionDiff]] validate instead of trusting each caller to
     * repeat the same `nShards` (a merge with a different count would
     * move keys across shards, making the manifest-level pruning and
-    * the diff silently wrong). */
+    * the diff silently wrong).
+    *
+    * Manifests written before the header existed have none; for those
+    * the entry count IS the shard count — [[writeManifest]] has always
+    * emitted exactly one line per shard 0..nShards-1 — so fall back to
+    * it rather than stranding pre-header tables with no migration
+    * path. */
   def readNShards(path: String, version: Int): Int = {
     val f = manifestDir(path).resolve(s"v$version.manifest")
-    scala.jdk.CollectionConverters.ListHasAsScala(
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
       java.nio.file.Files.readAllLines(f)).asScala
+    lines
       .collectFirst { case l if l.startsWith("#nshards\t") =>
         l.stripPrefix("#nshards\t").toInt }
-      .getOrElse(throw new IllegalStateException(
-        s"$path v$version manifest has no #nshards header"))
+      .getOrElse(lines.count(l => l.nonEmpty && !l.startsWith("#")))
   }
 
   private def writeManifest(path: String, version: Int, nShards: Int,

@@ -305,32 +305,10 @@ object Multimodal {
       .withColumn("keep", col("clip_score") >= lit(minScore))
   }
 
-  /** m06: voice-activity-style segmentation of audio blobs — the
-    * speech-curation step that cuts a recording into voiced segments
-    * before transcription/alignment (WebRTC-VAD / Silero class). The
-    * blob is framed (`frameChars` codepoints ≈ a 10 ms PCM frame), each
-    * frame gets an ENERGY (sum of codepoint values — the deterministic
-    * stand-in for mean-square amplitude; a real decoder emits true
-    * frame energies through the [[BatchMediaDecoder]] plug-point and
-    * feeds the identical segmentation), a frame is VOICED iff its mean
-    * energy >= the blob's global mean (exact integer cross-multiply,
-    * the m04 discipline — no float division), and maximal runs of >=
-    * `minFrames` consecutive voiced frames become segments.
-    *
-    * The whole operator is MAP-ONLY: framing, energies, and the
-    * island-finding run as HOFs over per-row arrays (the run fold is
-    * one linear `aggregate` with a (segments, open-run) accumulator),
-    * then segments explode. Nothing shuffles at any corpus size; each
-    * blob's work is linear in its length.
-    *
-    * Output: one row per segment — (id, seg_id, start_frame,
-    * end_frame, n_frames). Blobs with no qualifying run emit nothing. */
-  /** Shared map-only frame prelude for [[audioSegments]] and
-    * [[shotBoundaries]]: per-row arrays of frame energies (codepoint
-    * sums — the deterministic decoder stand-in) and frame sizes, plus
-    * the blob totals. Everything is a per-row HOF; nothing shuffles. */
-  /** Per-doc frame prelude: codepoint energies folded into per-frame
-    * (energy, count) arrays plus blob totals. The final
+  /** Shared per-doc frame prelude for [[audioSegments]] and
+    * [[shotBoundaries]]: codepoint energies (the deterministic decoder
+    * stand-in) folded into per-frame (energy, count) arrays plus blob
+    * totals — every step a per-row HOF, nothing shuffles. The final
     * explode(array(struct(…))) is a deliberate PROJECTION BARRIER: a
     * Generate node cannot be collapsed into downstream projections,
     * so `es`/`cs`/`ts`/`tn` become real attributes evaluated ONCE per
@@ -391,6 +369,26 @@ object Multimodal {
           .as("gain_milli"))
   }
 
+  /** m06: voice-activity-style segmentation of audio blobs — the
+    * speech-curation step that cuts a recording into voiced segments
+    * before transcription/alignment (WebRTC-VAD / Silero class). The
+    * blob is framed (`frameChars` codepoints ≈ a 10 ms PCM frame), each
+    * frame gets an ENERGY (sum of codepoint values — the deterministic
+    * stand-in for mean-square amplitude; a real decoder emits true
+    * frame energies through the [[BatchMediaDecoder]] plug-point and
+    * feeds the identical segmentation), a frame is VOICED iff its mean
+    * energy >= the blob's global mean (exact integer cross-multiply,
+    * the m04 discipline — no float division), and maximal runs of >=
+    * `minFrames` consecutive voiced frames become segments.
+    *
+    * The whole operator is MAP-ONLY: framing, energies, and the
+    * island-finding run as HOFs over per-row arrays (the run fold is
+    * one linear `aggregate` with a (segments, open-run) accumulator),
+    * then segments explode. Nothing shuffles at any corpus size; each
+    * blob's work is linear in its length.
+    *
+    * Output: one row per segment — (id, seg_id, start_frame,
+    * end_frame, n_frames). Blobs with no qualifying run emit nothing. */
   def audioSegments(df: DataFrame, text: Column, id: Column,
       frameChars: Int = 64, minFrames: Int = 2): DataFrame = {
     val segType = "array<struct<s:bigint,e:bigint>>"
