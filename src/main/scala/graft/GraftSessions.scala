@@ -22,10 +22,12 @@ object GraftSessions {
     *     ChecksumCancellableFSDataOutputStream.close). Checkpoints
     *     here are ephemeral local-fs dirs; re-enable for durable
     *     object-store checkpoints in cluster deployments.
-    *   - strictGlobalWindows: the builder's own PlanGuardRule applied
-    *     to itself — any plan that funnels an unbounded input through
-    *     an unpartitioned window fails at PLAN time, in every Verify
-    *     and Bench run, forever. */
+    *   - strictGlobalWindows + strictCartesian: the builder's own
+    *     PlanGuardRule applied to itself — any plan that funnels an
+    *     unbounded input through an unpartitioned window, or joins
+    *     two unbounded inputs with no equi-key and no broadcast /
+    *     explicit shuffle_replicate_nl opt-in, fails at PLAN time, in
+    *     every Verify and Bench run, forever. */
   val common: Seq[(String, String)] = Seq(
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
@@ -35,6 +37,7 @@ object GraftSessions {
     "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
     "spark.sql.extensions" -> "graft.plans.GraftExtensions",
     "spark.graft.strictGlobalWindows" -> "true",
+    "spark.graft.strictCartesian" -> "true",
     "spark.ui.enabled" -> "false")
 
   /** A local[cpus] builder carrying [[common]] and the matching

@@ -260,8 +260,10 @@ object Profiling {
         col("a.e") === col("b.e") && col("a.s") < col("b.s"))
       .groupBy(col("a.s").as("sa"), col("b.s").as("sb"))
       .agg(count(lit(1)).as("inter_exact"))
+    // per-segment 1-row metadata: segments number in the thousands at
+    // any corpus size, so the pair frame builds off a broadcast
     val pairs = meta.as("ma")
-      .join(meta.as("mb"), col("ma.s") < col("mb.s"))
+      .join(broadcast(meta).as("mb"), col("ma.s") < col("mb.s"))
       .select(col("ma.s").as("sa"), col("mb.s").as("sb"),
         least(col("ma.theta"), col("mb.theta")).as("theta"))
     def sideSample(side: String, out: String) = pairs

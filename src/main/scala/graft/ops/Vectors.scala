@@ -150,7 +150,9 @@ object Vectors {
   def annTopK(corpus: DataFrame, queries: DataFrame, id: Column,
       emb: Column, k: Int): DataFrame = {
     val c = prepared(corpus, id, emb).as("c")
-    val q = prepared(queries, id, emb).as("q")
+    // the query set is the small side by contract — broadcast it
+    // explicitly so the corpus streams regardless of stats
+    val q = broadcast(prepared(queries, id, emb)).as("q")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     q.join(c, col("q.vid") =!= col("c.vid"))
       .select(col("q.vid").as("qid"), col("c.vid").as("nid"),
@@ -556,7 +558,8 @@ object Vectors {
   def mipsTopK(corpus: DataFrame, queries: DataFrame, id: Column,
       emb: Column, k: Int): DataFrame = {
     val c = prepared(corpus, id, emb).as("c")
-    val q = prepared(queries, id, emb).as("q")
+    // broadcast the small-by-contract query frame (annTopK discipline)
+    val q = broadcast(prepared(queries, id, emb)).as("q")
     val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))
     q.join(c, col("q.vid") =!= col("c.vid"))
       .select(col("q.vid").as("qid"), col("c.vid").as("nid"),
@@ -1280,7 +1283,8 @@ object Vectors {
         .withColumn("sn2", idot(col("sv"), col("sv")))
         .select(col("vid"), col("sv"), col("sn2"))
       val c = sliced(c0).as("c")
-      val q = sliced(q0).as("q")
+      // small-by-contract query frame: broadcast (annTopK discipline)
+      val q = broadcast(sliced(q0)).as("q")
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("nid"))
       val pk = q.join(c, col("q.vid") =!= col("c.vid"))
@@ -1313,7 +1317,8 @@ object Vectors {
   def metricAgreement(corpus: DataFrame, queries: DataFrame, id: Column,
       emb: Column, k: Int = 10): DataFrame = {
     val c = prepared(corpus, id, emb).localCheckpoint()
-    val q = prepared(queries, id, emb)
+    // small-by-contract query frame: broadcast (annTopK discipline)
+    val q = broadcast(prepared(queries, id, emb))
     def topBy(score: Column, asc: Boolean): DataFrame = {
       val w = Window.partitionBy(col("qid")).orderBy(
         (if (asc) score.asc else score.desc), col("nid"))
@@ -1777,8 +1782,10 @@ object Vectors {
       .agg(max(struct(col("cos"), (-col("nid")).as("negid"))).as("b"))
       .select(col("qid"), col("qlbl"), col("b.cos").as("bcos"),
         (-col("b.negid")).as("bnid"))
-    best
-      .join(q.select(col("qid"), col("qiv"), col("qn2")), Seq("qid"))
+    // pass 2's left side is nQueries rows (one per query) — broadcast
+    // it so the corpus streams through the outrank count map-side
+    broadcast(best
+      .join(q.select(col("qid"), col("qiv"), col("qn2")), Seq("qid")))
       .join(c, col("vid") =!= col("qid"))
       .select(col("qid"), col("qlbl"), col("bcos"), col("bnid"),
         col("vid").as("nid"),
@@ -1828,7 +1835,8 @@ object Vectors {
       k: Int = 10): DataFrame = {
     def topk(pr: DataFrame): DataFrame = {
       val c = pr.as("c")
-      val q = pr.filter(col("vid") < nQueries).as("q")
+      // small-by-contract query frame: broadcast (annTopK discipline)
+      val q = broadcast(pr.filter(col("vid") < nQueries)).as("q")
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("nid"))
       q.join(c, col("q.vid") =!= col("c.vid"))
@@ -1873,7 +1881,9 @@ object Vectors {
           intScale(emb).as("iv"))
         .withColumn("n2", idot(col("iv"), col("iv")))
     val c = prep(corpus).as("c")
-    val q = prep(corpus.filter(id < nQueries)).as("q")
+    // anchors are the small-by-contract side: broadcast them so the
+    // corpus streams once through the scoring pass
+    val q = broadcast(prep(corpus.filter(id < nQueries))).as("q")
     val sims = q.join(c, col("q.vid") =!= col("c.vid"))
       .select(col("q.vid").as("qid"), col("q.lbl").as("lbl"),
         col("c.vid").as("nid"), col("c.lbl").as("nlbl"),
