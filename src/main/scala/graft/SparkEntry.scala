@@ -298,6 +298,13 @@ object SparkEntry {
     "q92_spearman" -> (Relational.spearman _),
     "q93_autocorr" -> (Relational.autocorrLag1 _),
     "q94_trimmed_mean" -> (Relational.trimmedMean _),
+    "q95_gini" -> (Relational.gini _),
+    "q96_chi_squared" -> (Relational.chiSquared _),
+    "q97_benford" -> (Relational.benford _),
+    "t50_ngram_novelty" -> (PipelineQueries.ngramNovelty _),
+    "d34_soft_dedup" -> (PipelineQueries.softDedup _),
+    "c42_legacy_manifest" -> (PipelineQueries.legacyManifestMerge _),
+    "st64_stream_chisq" -> (StreamingQueries.streamChiSquared _),
     "c41_split_balance" -> (PipelineQueries.splitBalance _),
     "m14_keyframes" -> (PipelineQueries.keyframes _),
     "st63_stream_ks" -> (StreamingQueries.streamKs _),
@@ -867,6 +874,105 @@ object SparkEntry {
     // cumB·n_a|; rejection cross-multiplied with c=1.36 (18496/10⁴).
     "q91_ks_test" -> ksOracleSql,
     "st63_stream_ks" -> ksOracleSql,
+    // q96/st64: weekday is pure day-arithmetic from a fixed epoch;
+    // every cell contribution is one HUGEINT floor-division at micro
+    // grain, so the per-type statistic is an exact integer sum.
+    "q96_chi_squared" -> chisqOracleSql,
+    "st64_stream_chisq" -> chisqOracleSql,
+    // q95: row-wise sorted-index Gini at centi fixed point; the Spark
+    // side computes the same sum on the tie-collapsed frame, so the
+    // hash proves tie-order invariance.
+    "q95_gini" ->
+      """WITH r AS (SELECT l_returnflag AS flag,
+                CAST(floor(l_extendedprice * 100) AS BIGINT) AS x
+              FROM lineitem),
+         i AS (SELECT flag, x,
+                 row_number() OVER (PARTITION BY flag ORDER BY x) AS rn
+               FROM r),
+         m AS (SELECT flag, count(*) AS n,
+                 sum(CAST(rn AS HUGEINT) * x) AS six,
+                 sum(CAST(x AS HUGEINT)) AS sx
+               FROM i GROUP BY flag)
+         SELECT flag, CAST(n AS BIGINT) AS n,
+           CAST(2 * six - (n + 1) * sx AS BIGINT) AS gini_num,
+           CAST(n * sx AS BIGINT) AS gini_den,
+           CAST(CAST(2 * six - (n + 1) * sx AS BIGINT) AS DOUBLE)
+             / CAST(CAST(n * sx AS BIGINT) AS DOUBLE) AS gini
+         FROM m""",
+    // q97: Benford leading digits from the milli fixed point's decimal
+    // string; expectations are hardcoded micro literals (the only way
+    // to share an irrational constant); zero-observed digits kept.
+    "q97_benford" ->
+      """WITH v AS (SELECT event_type,
+                CAST(substr(CAST(CAST(floor(value * 1000) AS BIGINT)
+                  AS VARCHAR), 1, 1) AS BIGINT) AS digit
+              FROM events WHERE value > 0),
+         v2 AS (SELECT * FROM v WHERE digit >= 1),
+         n AS (SELECT event_type, count(*) AS n FROM v2
+               GROUP BY event_type),
+         em AS (SELECT * FROM (VALUES (1, 301029), (2, 176091),
+                 (3, 124938), (4, 96910), (5, 79181), (6, 66946),
+                 (7, 57991), (8, 51152), (9, 45757))
+                 AS t(digit, e_micro)),
+         o AS (SELECT event_type, digit, count(*) AS o FROM v2
+               GROUP BY event_type, digit),
+         f AS (SELECT n.event_type, em.digit, n.n,
+                 coalesce(o.o, 0) AS o, em.e_micro
+               FROM n CROSS JOIN em
+               LEFT JOIN o ON o.event_type = n.event_type
+                 AND o.digit = em.digit),
+         k AS (SELECT event_type, CAST(digit AS BIGINT) AS digit, n,
+                 CAST(o AS BIGINT) AS o,
+                 CAST((CAST(n AS HUGEINT) * e_micro) // 1000
+                   AS BIGINT) AS exp_milli,
+                 CAST(((CAST(o AS HUGEINT) * 1000000
+                     - CAST(n AS HUGEINT) * e_micro)
+                   * (CAST(o AS HUGEINT) * 1000000
+                     - CAST(n AS HUGEINT) * e_micro))
+                   // (CAST(n AS HUGEINT) * e_micro) AS BIGINT)
+                   AS contrib_micro
+               FROM f),
+         st AS (SELECT event_type, sum(contrib_micro) AS b FROM k
+                GROUP BY event_type)
+         SELECT k.event_type, k.digit, k.n, k.o, k.exp_milli,
+           k.contrib_micro, CAST(st.b AS BIGINT) AS benford_micro_type
+         FROM k JOIN st ON k.event_type = st.event_type""",
+    // t50: first-owner novelty over the d28 shingle derivation.
+    "t50_ngram_novelty" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents)),
+         f AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+         SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0
+             END) AS BIGINT) AS n_novel,
+           CAST(CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1
+               ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS novelty_rate
+         FROM sh JOIN f ON sh.s = f.s
+         GROUP BY sh.doc_id""",
+    // d34: exact-fingerprint multiplicity, micro-grain floor weight.
+    "d34_soft_dedup" ->
+      """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         c AS (SELECT fp, count(*) AS n_copies FROM fp GROUP BY fp)
+         SELECT fp.doc_id, fp.fp, CAST(c.n_copies AS BIGINT) AS n_copies,
+           CAST(1000000 // c.n_copies AS BIGINT) AS weight_micro
+         FROM fp JOIN c ON fp.fp = c.fp""",
+    // c42: merge-over-legacy-manifest final state recomputed from raw
+    // events; the inferred shard count is the committed literal.
+    "c42_legacy_manifest" ->
+      """WITH p AS (SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                  AS BIGINT) AS val_cents
+              FROM events GROUP BY user_id)
+         SELECT user_id,
+           CAST(CASE WHEN user_id % 9 = 5 THEN n_events + 1000
+             ELSE n_events END AS BIGINT) AS n_events,
+           val_cents, CAST(8 AS BIGINT) AS nshards_inferred
+         FROM p WHERE user_id % 9 <> 4""",
     // q92: Pearson on doubled midranks, centered by the exact mean
     // n+1; moments < 2⁵³ so the BIGINT→DOUBLE casts are exact.
     "q92_spearman" ->
@@ -7539,6 +7645,42 @@ object SparkEntry {
   /** q91/st63: two-sample Kolmogorov–Smirnov, all in exact integers:
     * d_num = max|cumA·n_b − cumB·n_a| over the tie-collapsed value
     * frame, rejection cross-multiplied with c = 1.36 (18496/10⁴). */
+  private def chisqOracleSql: String =
+    """WITH e AS (SELECT event_type,
+             ((CAST(ts AS DATE) - DATE '2024-01-01') % 7 + 7) % 7
+               AS weekday
+           FROM events),
+       cells AS (SELECT event_type, CAST(weekday AS BIGINT) AS weekday,
+               count(*) AS o
+             FROM e GROUP BY event_type, weekday),
+       r AS (SELECT event_type, sum(o) AS r FROM cells
+             GROUP BY event_type),
+       c AS (SELECT weekday, sum(o) AS c FROM cells GROUP BY weekday),
+       t AS (SELECT sum(o) AS nn,
+               (count(DISTINCT event_type) - 1)
+                 * (count(DISTINCT weekday) - 1) AS dof
+             FROM cells),
+       k AS (SELECT cells.event_type, cells.weekday, cells.o,
+               CAST((CAST(r.r AS HUGEINT) * c.c * 1000) // t.nn
+                 AS BIGINT) AS e_milli,
+               CAST(((CAST(cells.o AS HUGEINT) * t.nn
+                   - CAST(r.r AS HUGEINT) * c.c)
+                 * (CAST(cells.o AS HUGEINT) * t.nn
+                   - CAST(r.r AS HUGEINT) * c.c)
+                 * 1000000) // (CAST(t.nn AS HUGEINT) * r.r * c.c)
+                 AS BIGINT) AS contrib_micro,
+               CAST(t.dof AS BIGINT) AS dof
+             FROM cells
+             JOIN r ON cells.event_type = r.event_type
+             JOIN c ON cells.weekday = c.weekday
+             CROSS JOIN t),
+       s AS (SELECT event_type, sum(contrib_micro) AS chi2 FROM k
+             GROUP BY event_type)
+       SELECT k.event_type, k.weekday, CAST(k.o AS BIGINT) AS o,
+         k.e_milli, k.contrib_micro,
+         CAST(s.chi2 AS BIGINT) AS chi2_micro_type, k.dof
+       FROM k JOIN s ON k.event_type = s.event_type"""
+
   private def ksOracleSql: String =
     """WITH g AS (
          SELECT event_type, value,

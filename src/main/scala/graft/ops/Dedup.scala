@@ -1246,4 +1246,24 @@ object Dedup {
           col("doc_id") * lit(1000000L) + col("chunk_idx"), 1L)
           .otherwise(0L)).as("n_dup_chunks"))
   }
+
+  /** d34: SOFT DEDUP — per-document sampling weight 1/multiplicity of
+    * its exact fingerprint, the modern alternative to dropping exact
+    * duplicates outright (train-time downweighting preserves the
+    * distribution's support while removing the duplication bias; the
+    * SoftDeDup idea applied at the exact tier). Weight is emitted at
+    * MICRO grain by integer floor-division, so the whole table is
+    * engine-exact — the only arithmetic is one count and one div.
+    * One fingerprint aggregate + one keyed join back: the d01 shape,
+    * keyed shuffles only.
+    *
+    * Reference basis: goka has no dedup ops; documents-suite
+    * extension (SURVEY section 2.5). */
+  def softDedupWeights(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val fp = df.select(id.as("doc_id"), md5(text).as("fp"))
+    val counts = fp.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    fp.join(counts, Seq("fp"))
+      .select(col("doc_id"), col("fp"), col("n_copies"),
+        expr("1000000 div n_copies").as("weight_micro"))
+  }
 }

@@ -1533,4 +1533,31 @@ object TextAnalysis {
             .cast("double") /
           (col("n_tokens").cast("double") * lit(65536.0d))).as("entropy"))
   }
+
+  /** t50: N-GRAM NOVELTY RATE per document — how much of each doc's
+    * distinct 3-gram vocabulary appears in NO earlier document (by
+    * doc_id order). The diversity-contribution measure a curation
+    * pipeline uses to rank sources ("which feed still adds new
+    * content") and to early-stop crawls whose novelty rate decays to
+    * the template floor; the per-doc complement of d31's corpus-level
+    * survival curve. First ownership is min(doc_id) per shingle — one
+    * keyed aggregate over the exploded shingles (the d28 vocabulary
+    * shuffle shape) and one keyed join back; no window, no broadcast
+    * of anything row-scale. Docs with no 3-gram (< 3 words) emit
+    * nothing, matching the oracle.
+    *
+    * Reference basis: goka has no text ops; this extends the
+    * documents-table suite (SURVEY section 2.5). */
+  def ngramNovelty(df: DataFrame, text: Column, id: Column,
+      n: Int = 3): DataFrame = {
+    val sh = graft.ops.Dedup.shingles(df, text, id, n)
+    val first = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_rate", col("n_novel").cast("double") /
+        col("n_shingles").cast("double"))
+  }
 }

@@ -1923,7 +1923,7 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_events"),
         sum(col("event_id")).as("id_sum"),
         min(col("event_date").cast("string")).as("first_date"))
-      .crossJoin(audit)
+      .crossJoin(broadcast(audit))
   }
 
   /** c13: hive-partitioned lake layout + partition-pruned serving —
@@ -2566,4 +2566,57 @@ object PipelineQueries {
     * thumbnail frame ([[Multimodal.keyframes]]). */
   def keyframes(spark: SparkSession, dir: String): DataFrame =
     Multimodal.keyframes(docs(spark, dir), col("text"), col("doc_id"))
+
+  /** t50: per-document 3-gram novelty rate over documents
+    * ([[TextAnalysis.ngramNovelty]]). */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramNovelty(docs(spark, dir), col("text"), col("doc_id"))
+
+  /** d34: exact-fingerprint soft-dedup weights over documents
+    * ([[Dedup.softDedupWeights]]). */
+  def softDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.softDedupWeights(docs(spark, dir), col("text"), col("doc_id"))
+
+  /** c42: LEGACY-MANIFEST MIGRATION — a versioned lake committed
+    * BEFORE manifests carried the #nshards header must keep merging:
+    * the table here is committed normally, its manifest then stripped
+    * of header lines (the literal on-disk state of any pre-header
+    * table), and the merge still runs because
+    * [[Lake.readNShards]] falls back to the manifest's entry count —
+    * writeManifest has always emitted exactly one line per shard. The
+    * served result is the post-merge snapshot with the inferred shard
+    * count riding along; the oracle recomputes the same final state
+    * from raw events, so the hash proves the fallback infers the
+    * SAME layout the table was committed with (a wrong count would
+    * route change keys to wrong shards and corrupt the merge). */
+  def legacyManifestMerge(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 8
+    val ev = table(spark, dir, "events")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_legacy").toString
+    val lakeDir = s"$out/events"
+    val profiles = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100.0d).cast("long")).as("val_cents"))
+    Lake.writeVersioned(profiles, "user_id", lakeDir, nShards)
+    // Simulate the pre-header era: strip every header line from the
+    // committed manifest, leaving only the shard->dir entries.
+    val mf = java.nio.file.Paths.get(lakeDir, "_manifests", "v1.manifest")
+    val legacy = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(mf)).asScala
+      .filterNot(_.startsWith("#")).mkString("\n")
+    java.nio.file.Files.write(mf, legacy.getBytes("UTF-8"))
+    val inferred = Lake.readNShards(lakeDir, 1)
+    val dels = profiles.filter(col("user_id") % 9 === 4)
+      .select(col("user_id"), lit(null).cast("long").as("n_events"),
+        lit(null).cast("long").as("val_cents"), lit("delete").as("op"))
+    val ups = profiles.filter(col("user_id") % 9 === 5)
+      .select(col("user_id"), (col("n_events") + 1000L).as("n_events"),
+        col("val_cents"), lit("upsert").as("op"))
+    Lake.mergeVersioned(spark, lakeDir, "user_id",
+      ups.unionByName(dels), inferred)
+    Lake.readVersioned(spark, lakeDir)
+      .select(col("user_id"), col("n_events"), col("val_cents"),
+        lit(inferred.toLong).as("nshards_inferred"))
+  }
 }

@@ -2791,4 +2791,167 @@ object Relational {
         col("sum_milli").cast("double") /
           col("kept").cast("double") / 1000.0d)
   }
+
+  /** q95: GINI COEFFICIENT of extended price per return flag — the
+    * inequality/concentration measure a data platform quotes for "is
+    * this spend/traffic/token distribution dominated by a few keys"
+    * (and, in a curation pipeline, whether a source's doc-length or
+    * dup-cluster mass is pathologically concentrated). Computed from
+    * the sorted-index identity G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) at
+    * centi fixed point, on the TIE-COLLAPSED (flag, value) frame: a
+    * value group with count c and cumulative count m occupies sorted
+    * indices m−c+1..m, whose index sum is c·m − c·(c−1)/2 — so
+    * Σi·xᵢ = Σ_v x_v·(c_v·m_v − c_v(c_v−1)/2) exactly, independent
+    * of tie order (equal x's commute under any index assignment; the
+    * ORACLE keeps the row-wise row_number() form, so the hash match
+    * proves the equivalence). All moments are exact integers in
+    * DECIMAL(38,0); the BIGINT casts on the final numerator and
+    * denominator hold to ~10⁶ rows/flag at centi price ≤ 10⁷ (the
+    * fixture regime ×15, loud past it in ANSI mode — emit the
+    * DECIMAL moments at larger scale); the only float is one
+    * correctly-rounded divide (q70 discipline).
+    *
+    * Scale shape: one tie-collapse aggregate, one domain-bounded
+    * cumulative window on the collapsed frame (q94's shape), one
+    * per-flag rollup — never a per-row rank window, never a sort of
+    * the raw table. */
+  def gini(spark: SparkSession, dir: String): DataFrame =
+    giniOver(table(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") * 100.0d).cast("long").as("x")))
+
+  /** [[gini]] over any (flag, x: long) frame — the randomized
+    * sorted-index parity spec drives this directly. */
+  def giniOver(base: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val byValue = base
+      .groupBy(col("flag"), col("x"))
+      .agg(count(lit(1)).as("cnt"))
+    val ord = Window.partitionBy(col("flag")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byValue
+      .withColumn("cum", sum(col("cnt")).over(ord))
+      .groupBy(col("flag"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(d38(col("x")) * col("cnt")).as("sx"),
+        // index sum of the tie group: c*m - c*(c-1)/2 (always even
+        // product, so the integer div is exact)
+        sum(d38(col("x")) * (d38(col("cnt")) * col("cum") -
+          expr("(CAST(cnt AS DECIMAL(38,0)) * (cnt - 1)) div 2")))
+          .as("six"))
+      .select(col("flag"), col("n").cast("long").as("n"),
+        (lit(2) * col("six") - (d38(col("n")) + 1) * col("sx"))
+          .cast("long").as("gini_num"),
+        (d38(col("n")) * col("sx")).cast("long").as("gini_den"))
+      .withColumn("gini", col("gini_num").cast("double") /
+        col("gini_den").cast("double"))
+  }
+
+  /** q96: CHI-SQUARED INDEPENDENCE TEST of event type × weekday — the
+    * contingency audit behind "does traffic mix shift by day" (and,
+    * for a training corpus, "is source mix independent of time" —
+    * the confound check before attributing drift). Weekday is pure
+    * integer day-arithmetic from a fixed epoch (identical in both
+    * engines — never the engines' differing dayofweek conventions).
+    * Each cell's contribution (O−E)²/E with E = r·c/N is the exact
+    * rational (O·N − r·c)²/(N·r·c); it is emitted at MICRO grain by
+    * one DECIMAL(38,0) integer floor-division per cell, so the
+    * per-type statistic is an exact BIGINT SUM of cell contributions
+    * — never a float accumulation whose order could differ between
+    * engines. Row totals, the 7-row weekday totals and the grand
+    * total attach by broadcast; the cell frame is |types|·7 rows.
+    * DECIMAL bounds: (O·N)² ≤ 10³⁸ holds to ~10¹⁹ events. */
+  def chiSquared(spark: SparkSession, dir: String): DataFrame =
+    chiSquaredCells(
+      table(spark, dir, "events")
+        .select(col("event_type"),
+          pmod(datediff(col("ts").cast("date"),
+            to_date(lit("2024-01-01"))), lit(7)).cast("long").as("weekday"))
+        .groupBy(col("event_type"), col("weekday"))
+        .agg(count(lit(1)).as("o")))
+
+  /** [[chiSquared]]'s fold over any (event_type, weekday, o) cell
+    * frame — st64 folds it over streamed state, so the shared q96
+    * oracle hash proves online counts ≡ the batch contingency table. */
+  def chiSquaredCells(cells: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val rows = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val cols7 = cells.groupBy(col("weekday")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("nn"),
+      ((countDistinct(col("event_type")) - 1L) *
+        (countDistinct(col("weekday")) - 1L)).as("dof"))
+    val contrib = cells
+      .join(broadcast(rows), Seq("event_type"))
+      .join(broadcast(cols7), Seq("weekday"))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("weekday"), col("o"),
+        expr("CAST((CAST(r AS DECIMAL(38,0)) * c * 1000) div nn AS BIGINT)")
+          .as("e_milli"),
+        expr("CAST(((CAST(o AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * c)" +
+          " * (CAST(o AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * c)" +
+          " * 1000000) div (CAST(nn AS DECIMAL(38,0)) * r * c) AS BIGINT)")
+          .as("contrib_micro"),
+        col("dof"))
+    val chi2 = contrib.groupBy(col("event_type").as("et2"))
+      .agg(sum(col("contrib_micro")).as("chi2_micro_type"))
+    contrib.join(broadcast(chi2), col("event_type") === col("et2"))
+      .select(col("event_type"), col("weekday"), col("o"),
+        col("e_milli"), col("contrib_micro"), col("chi2_micro_type"),
+        col("dof"))
+  }
+
+  /** q97: BENFORD'S-LAW AUDIT of event values per type — the
+    * synthetic/fabricated-numbers detector (fraud screens, generated-
+    * data leakage into a training corpus): organically-grown
+    * magnitudes follow P(d) = log₁₀(1+1/d); invented ones don't. The
+    * leading digit comes from the MILLI fixed point of the value
+    * (floor is monotone and engine-exact; the first character of an
+    * integer's decimal string is deterministic in both engines —
+    * never float formatting). Expected probabilities are hardcoded
+    * micro-grain literals (the only honest way to share an
+    * irrational constant between engines), the digit domain 1–9 is
+    * generated per type so ZERO-observed digits still contribute
+    * n·p_d (a Benford test without them understates divergence), and
+    * each digit's (O−n·p)²/(n·p) lands as one exact DECIMAL floor-
+    * division at micro grain — the per-type statistic is again an
+    * exact integer SUM. */
+  def benford(spark: SparkSession, dir: String): DataFrame =
+    benfordOver(table(spark, dir, "events"))
+
+  /** [[benford]] over any (event_type, value: double) frame. */
+  def benfordOver(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    // floor(log10(1 + 1/d) * 1e6), d = 1..9
+    val eMicro = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val ev = events
+      .filter(col("value") > 0.0d)
+      .select(col("event_type"),
+        substring(floor(col("value") * 1000.0d).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+      .filter(col("digit") >= 1L)
+    val obs = ev.groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("o"))
+    val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    import spark.implicits._
+    val digits = (1 to 9).map(d => (d.toLong, eMicro(d - 1)))
+      .toDF("digit", "e_micro")
+    val full = broadcast(n).crossJoin(broadcast(digits))
+      .join(obs, Seq("event_type", "digit"), "left")
+      .select(col("event_type"), col("digit"), col("n"),
+        coalesce(col("o"), lit(0L)).as("o"), col("e_micro"))
+    val contrib = full.select(col("event_type"), col("digit"),
+      col("n"), col("o"),
+      expr("CAST((CAST(n AS DECIMAL(38,0)) * e_micro) div 1000 AS BIGINT)")
+        .as("exp_milli"),
+      expr("CAST(((CAST(o AS DECIMAL(38,0)) * 1000000 - CAST(n AS DECIMAL(38,0)) * e_micro)" +
+        " * (CAST(o AS DECIMAL(38,0)) * 1000000 - CAST(n AS DECIMAL(38,0)) * e_micro))" +
+        " div (CAST(n AS DECIMAL(38,0)) * e_micro) AS BIGINT)")
+        .as("contrib_micro"))
+    val stat = contrib.groupBy(col("event_type").as("et2"))
+      .agg(sum(col("contrib_micro")).as("benford_micro_type"))
+    contrib.join(broadcast(stat), col("event_type") === col("et2"))
+      .select(col("event_type"), col("digit"), col("n"), col("o"),
+        col("exp_milli"), col("contrib_micro"), col("benford_micro_type"))
+  }
 }

@@ -3993,6 +3993,56 @@ object StreamingQueries {
           col("s.ca").as("ca"), col("s.cb").as("cb"))
   }
 
+  /** st64: STREAMING CHI-SQUARED INDEPENDENCE — q96's type-by-weekday
+    * contingency test maintained online: the keyed state is one count
+    * per (event_type, weekday) cell — the exact sufficient statistic
+    * of the test, additive across micro-batches and sharded by the
+    * composite key — and the readout folds the LITERAL batch
+    * statistic code ([[graft.queries.Relational.chiSquaredCells]])
+    * over it, so the shared q96 oracle hash proves online cell counts
+    * produce the identical contingency table, expected counts and
+    * micro-grain statistic. The st63 discipline: keep the sufficient
+    * statistic as state, not the decision. */
+  def streamChiSquared(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-chisq")(
+        Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+          val n = ctx.value match {
+            case null => 0L
+            case s: String => s.toLong
+          }
+          ctx.setValue((n + 1L).toString)
+        }),
+        Persist(StringCodec))
+      val ev = Sources.table(spark, dir, "events")
+      val staging = tempDir("graft_schisq")
+      stageTwoBatches(spark,
+        Sources.messages(ev, "events",
+          concat(col("event_type"), lit("|"),
+            pmod(datediff(col("ts").cast("date"),
+              to_date(lit("2024-01-01"))), lit(7)).cast("string")),
+          lit("1"), col("ts"), col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val tableRows = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("key", "st")
+      val cells = runToTable(spark, tableRows)
+        .select(col("key"), col("st").cast("long").as("o"))
+        // counts only grow, so the max upsert per key is the final one
+        .groupBy(col("key")).agg(max(col("o")).as("o"))
+        .select(substring_index(col("key"), "|", 1).as("event_type"),
+          substring_index(col("key"), "|", -1).cast("long").as("weekday"),
+          col("o"))
+      graft.queries.Relational.chiSquaredCells(cells)
+    }
+
   /** st56: STREAMING EXACT LEADERBOARD — continuous top-10 users by
     * exact cents spend per event type: the keyed state is the
     * (type, user) cents accumulator (additive across micro-batches,

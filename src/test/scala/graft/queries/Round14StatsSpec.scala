@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Seeded randomized from-definition checks for the round-14 additions
+  * (q95 Gini, q96/st64 chi-squared, q97 Benford, t50 novelty, d34
+  * soft-dedup, c42 legacy-manifest fallback): the distributed
+  * tie-collapsed / integer-division implementations are compared
+  * against brute-force single-threaded references on inputs the
+  * implementations' author did not pick — heavy ties included, the
+  * case the collapse machinery exists for. */
+class Round14StatsSpec extends AnyFunSuite with SparkFixture {
+
+  private val rnd = new scala.util.Random(20260814L)
+
+  test("q95 Gini: random tied data matches the row-wise sorted-index " +
+      "formula computed by brute force (exact num/den integers)") {
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      // small value domain → heavy ties, the collapse case
+      val rows = (1 to 500).map { _ =>
+        ("F" + rnd.nextInt(3), (rnd.nextInt(40) + 1).toLong * 7L)
+      }
+      val got = Relational.giniOver(rows.toDF("flag", "x")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      rows.groupBy(_._1).foreach { case (f, g) =>
+        val xs = g.map(_._2).sorted
+        val n = xs.length.toLong
+        val six = xs.zipWithIndex
+          .map { case (x, i) => BigInt(i + 1) * x }.sum
+        val sx = xs.map(BigInt(_)).sum
+        val num = (2 * six - BigInt(n + 1) * sx).toLong
+        val den = (BigInt(n) * sx).toLong
+        assert(got(f) == ((num, den)), s"round $round flag $f")
+      }
+    }
+  }
+
+  test("q96 chi-squared: random contingency cells match the exact " +
+      "rational (O*N - r*c)^2 / (N*r*c) per cell and the per-type " +
+      "integer-sum statistic") {
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      val cells = (for {
+        t <- 0 until 4; w <- 0 until 7
+        o = rnd.nextInt(200) + 1
+      } yield ("t" + t, w.toLong, o.toLong))
+        .filter(_ => rnd.nextInt(10) > 0) // some absent cells
+      val got = Relational.chiSquaredCells(
+        cells.toDF("event_type", "weekday", "o")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      val nn = BigInt(cells.map(_._3).sum)
+      val rT = cells.groupBy(_._1).view.mapValues(g =>
+        BigInt(g.map(_._3).sum)).toMap
+      val cT = cells.groupBy(_._2).view.mapValues(g =>
+        BigInt(g.map(_._3).sum)).toMap
+      val dof = (cells.map(_._1).distinct.size - 1).toLong *
+        (cells.map(_._2).distinct.size - 1)
+      val contribs = cells.map { case (t, w, o) =>
+        val d = BigInt(o) * nn - rT(t) * cT(w)
+        (t, w) -> (d * d * 1000000 / (nn * rT(t) * cT(w))).toLong
+      }.toMap
+      val chi2 = contribs.toSeq.groupBy(_._1._1).view
+        .mapValues(_.map(_._2).sum).toMap
+      cells.foreach { case (t, w, _) =>
+        assert(got((t, w)) == ((contribs((t, w)), chi2(t), dof)),
+          s"round $round cell ($t,$w)")
+      }
+    }
+  }
+
+  test("q97 Benford: zero-observed digits still contribute n*p, and " +
+      "contributions match the brute rational at micro grain") {
+    import spark.implicits._
+    val eMicro = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    // values constructed so digit 9 never appears for type t0 — the
+    // zero-observed branch must still contribute n*p
+    val rows = (1 to 300).map { _ =>
+      val t = "t" + rnd.nextInt(2)
+      val lead = if (t == "t0") rnd.nextInt(8) + 1 else rnd.nextInt(9) + 1
+      (t, lead.toDouble + rnd.nextInt(900) / 1000.0)
+    }
+    val df = rows.toDF("event_type", "value")
+    val got = Relational.benfordOver(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    val byDigit = rows
+      .map { case (t, v) =>
+        (t, (math.floor(v * 1000.0).toLong).toString.take(1).toLong)
+      }
+      .filter(_._2 >= 1)
+    val nT = byDigit.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    for (t <- byDigit.map(_._1).distinct; d <- 1 to 9) {
+      val o = byDigit.count(p => p._1 == t && p._2 == d).toLong
+      val n = nT(t)
+      val diff = BigInt(o) * 1000000 - BigInt(n) * eMicro(d - 1)
+      val contrib = (diff * diff / (BigInt(n) * eMicro(d - 1))).toLong
+      assert(got((t, d.toLong)) == ((n, o, contrib)), s"type $t digit $d")
+      assert(got.contains((t, 9L)), "digit domain must include 9")
+    }
+  }
+
+  test("t50 novelty: first-owner attribution matches brute force on " +
+      "random small docs") {
+    import spark.implicits._
+    val words = Vector("a", "b", "c", "d", "e")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (1 to (3 + rnd.nextInt(6)))
+        .map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val got = graft.ops.TextAnalysis.ngramNovelty(
+      docs.toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val firstOwner = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_._1).foreach { case (id, t) =>
+      shingles(t).foreach(s =>
+        if (!firstOwner.contains(s)) firstOwner(s) = id)
+    }
+    docs.foreach { case (id, t) =>
+      val sh = shingles(t)
+      if (sh.nonEmpty) {
+        val novel = sh.count(s => firstOwner(s) == id).toLong
+        assert(got(id) == ((sh.size.toLong, novel)), s"doc $id")
+      } else assert(!got.contains(id), s"doc $id must emit nothing")
+    }
+  }
+
+  test("d34 soft-dedup: weight_micro = 1000000 div multiplicity, " +
+      "weights of a fingerprint group sum to ~1") {
+    import spark.implicits._
+    val docs = (0 until 30).map(i => (i.toLong, "text" + (i % 7)))
+    val got = graft.ops.Dedup.softDedupWeights(
+      docs.toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    docs.foreach { case (id, t) =>
+      val m = docs.count(_._2 == t).toLong
+      assert(got(id) == ((m, 1000000L / m)), s"doc $id")
+    }
+  }
+
+  test("c42 foundation: readNShards falls back to the manifest entry " +
+      "count on a legacy (pre-header) manifest, and mergeVersioned " +
+      "accepts the inferred count") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_legacy_spec").toString
+    val base = (0L until 40L).map(k => (k, k * 10L))
+      .toDF("user_id", "v")
+    graft.ops.Lake.writeVersioned(base, "user_id", out, nShards = 8)
+    val mf = java.nio.file.Paths.get(out, "_manifests", "v1.manifest")
+    val legacy = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(mf)).asScala
+      .filterNot(_.startsWith("#")).mkString("\n")
+    java.nio.file.Files.write(mf, legacy.getBytes("UTF-8"))
+    assert(graft.ops.Lake.readNShards(out, 1) == 8,
+      "entry-count fallback must recover the committed shard count")
+    val ch = Seq((3L, 999L, "upsert"), (4L, 0L, "delete"))
+      .toDF("user_id", "v", "op")
+    graft.ops.Lake.mergeVersioned(spark, out, "user_id", ch, 8)
+    val m = graft.ops.Lake.readVersioned(spark, out).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(3L) == 999L && !m.contains(4L) && m(5L) == 50L)
+  }
+}
