@@ -32,9 +32,18 @@ object Bench {
   private def groupOf(name: String): String = name.takeWhile(!_.isDigit)
 
   def main(args: Array[String]): Unit =
-    sys.env.get("SPARK_GRAFT_GROUP") match {
-      case Some(g) => runChild(g)
-      case None    => orchestrate()
+    sys.env.get("SPARK_GRAFT_ONLY") match {
+      // Matched-calibration probe: run an explicit comma-separated
+      // query list (e.g. q69 + the suspects) in ONE JVM under the
+      // bench-child session config — the rig BASELINE.md's
+      // methodology prescribes for adjudicating a drifted reading,
+      // aligned with how the driver's bench times queries.
+      case Some(list) => runNames(list.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq)
+      case None => sys.env.get("SPARK_GRAFT_GROUP") match {
+        case Some(g) => runChild(g)
+        case None    => orchestrate()
+      }
     }
 
   // ---------------------------------------------------------------- //
@@ -146,6 +155,17 @@ object Bench {
   //  Child: run one group in-process, write the partial, exit.        //
   // ---------------------------------------------------------------- //
 
+  private def runNames(names: Seq[String]): Unit = {
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.Buffer.empty[String]
+    runInProcess(names, merged, failed)
+    println(merged.map { case (k, v) => s""""$k":${f2(v)}""" }
+      .mkString("{", ",", "}") +
+      (if (failed.nonEmpty) s""" failed:${failed.mkString(",")}""" else ""))
+  }
+
   private def runChild(group: String): Unit = {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => groupOf(n) == group)
@@ -214,9 +234,16 @@ object Bench {
       // Measurements must be independent: drop blocks a query pinned
       // (localCheckpoint RDDs, cached relations) so a lexically-later
       // query never pays an earlier query's storage-memory pressure.
+      // BLOCKING, plus an explicit GC: with 25+ checkpoint-heavy
+      // queries in one group child, async unpersist left block
+      // cleanup draining INTO the next query's timed window — the
+      // round-14 finding that inflated d29/d32 2-3x in-bench while
+      // the same plans ran at record speed isolated. The cleanup cost
+      // lands between measurements, which no query is charged for.
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(
-        _.unpersist(blocking = false))
+        _.unpersist(blocking = true))
+      System.gc()
       merged(name) = dt
     }
     spark.stop()
