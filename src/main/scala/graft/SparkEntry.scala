@@ -305,6 +305,9 @@ object SparkEntry {
     "d34_soft_dedup" -> (PipelineQueries.softDedup _),
     "c42_legacy_manifest" -> (PipelineQueries.legacyManifestMerge _),
     "st64_stream_chisq" -> (StreamingQueries.streamChiSquared _),
+    "q98_salted_join" -> (Relational.saltedSkewJoin _),
+    "st65_stream_benford" -> (StreamingQueries.streamBenford _),
+    "m15_transcript_align" -> (PipelineQueries.transcriptAlign _),
     "c41_split_balance" -> (PipelineQueries.splitBalance _),
     "m14_keyframes" -> (PipelineQueries.keyframes _),
     "st63_stream_ks" -> (StreamingQueries.streamKs _),
@@ -879,6 +882,48 @@ object SparkEntry {
     // grain, so the per-type statistic is an exact integer sum.
     "q96_chi_squared" -> chisqOracleSql,
     "st64_stream_chisq" -> chisqOracleSql,
+    // q97/st65: shared Benford derivation (the st63/st64 discipline —
+    // streamed sufficient statistic, literal batch fold, one oracle).
+    "q97_benford" -> benfordOracleSql,
+    "st65_stream_benford" -> benfordOracleSql,
+    // q98: the oracle runs the PLAIN join — hash match proves the
+    // salted scatter/replicate join is row-for-row identical.
+    "q98_salted_join" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 10 < 5 THEN 1
+                  ELSE user_id % 1000 + 2 END AS k,
+                CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events),
+         d AS (SELECT CASE WHEN o_custkey % 10 < 5 THEN 1
+                  ELSE o_custkey % 1000 + 2 END AS k,
+                 count(*) AS n_orders,
+                 CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS price_cents
+               FROM orders GROUP BY 1)
+         SELECT CAST(e.k % 7 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(e.cents) AS BIGINT) AS cents_sum,
+           CAST(sum(d.n_orders) AS BIGINT) AS orders_sum
+         FROM e JOIN d ON e.k = d.k
+         GROUP BY e.k % 7""",
+    // m15: word start offsets are exact prefix sums of len+1; frame =
+    // start div 64 on the framed() grid.
+    "m15_transcript_align" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+         w AS (SELECT doc_id,
+                 unnest(generate_series(1, len(ws))) AS i,
+                 unnest(list_transform(generate_series(1, len(ws)),
+                   j -> len(ws[j]))) AS wl
+               FROM base),
+         st AS (SELECT doc_id, i - 1 AS pos,
+                 coalesce(sum(wl + 1) OVER (PARTITION BY doc_id
+                   ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS strt
+               FROM w)
+         SELECT doc_id, CAST(strt // 64 AS BIGINT) AS frame,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(min(pos) AS BIGINT) AS first_word_pos
+         FROM st GROUP BY doc_id, strt // 64""",
     // q95: row-wise sorted-index Gini at centi fixed point; the Spark
     // side computes the same sum on the tie-collapsed frame, so the
     // hash proves tie-order invariance.
@@ -899,44 +944,6 @@ object SparkEntry {
            CAST(CAST(2 * six - (n + 1) * sx AS BIGINT) AS DOUBLE)
              / CAST(CAST(n * sx AS BIGINT) AS DOUBLE) AS gini
          FROM m""",
-    // q97: Benford leading digits from the milli fixed point's decimal
-    // string; expectations are hardcoded micro literals (the only way
-    // to share an irrational constant); zero-observed digits kept.
-    "q97_benford" ->
-      """WITH v AS (SELECT event_type,
-                CAST(substr(CAST(CAST(floor(value * 1000) AS BIGINT)
-                  AS VARCHAR), 1, 1) AS BIGINT) AS digit
-              FROM events WHERE value > 0),
-         v2 AS (SELECT * FROM v WHERE digit >= 1),
-         n AS (SELECT event_type, count(*) AS n FROM v2
-               GROUP BY event_type),
-         em AS (SELECT * FROM (VALUES (1, 301029), (2, 176091),
-                 (3, 124938), (4, 96910), (5, 79181), (6, 66946),
-                 (7, 57991), (8, 51152), (9, 45757))
-                 AS t(digit, e_micro)),
-         o AS (SELECT event_type, digit, count(*) AS o FROM v2
-               GROUP BY event_type, digit),
-         f AS (SELECT n.event_type, em.digit, n.n,
-                 coalesce(o.o, 0) AS o, em.e_micro
-               FROM n CROSS JOIN em
-               LEFT JOIN o ON o.event_type = n.event_type
-                 AND o.digit = em.digit),
-         k AS (SELECT event_type, CAST(digit AS BIGINT) AS digit, n,
-                 CAST(o AS BIGINT) AS o,
-                 CAST((CAST(n AS HUGEINT) * e_micro) // 1000
-                   AS BIGINT) AS exp_milli,
-                 CAST(((CAST(o AS HUGEINT) * 1000000
-                     - CAST(n AS HUGEINT) * e_micro)
-                   * (CAST(o AS HUGEINT) * 1000000
-                     - CAST(n AS HUGEINT) * e_micro))
-                   // (CAST(n AS HUGEINT) * e_micro) AS BIGINT)
-                   AS contrib_micro
-               FROM f),
-         st AS (SELECT event_type, sum(contrib_micro) AS b FROM k
-                GROUP BY event_type)
-         SELECT k.event_type, k.digit, k.n, k.o, k.exp_milli,
-           k.contrib_micro, CAST(st.b AS BIGINT) AS benford_micro_type
-         FROM k JOIN st ON k.event_type = st.event_type""",
     // t50: first-owner novelty over the d28 shingle derivation.
     "t50_ngram_novelty" ->
       """WITH sh AS (
@@ -7645,6 +7652,42 @@ object SparkEntry {
   /** q91/st63: two-sample Kolmogorov–Smirnov, all in exact integers:
     * d_num = max|cumA·n_b − cumB·n_a| over the tie-collapsed value
     * frame, rejection cross-multiplied with c = 1.36 (18496/10⁴). */
+  private def benfordOracleSql: String =
+    """WITH v AS (SELECT event_type,
+                CAST(substr(CAST(CAST(floor(value * 1000) AS BIGINT)
+                  AS VARCHAR), 1, 1) AS BIGINT) AS digit
+              FROM events WHERE value > 0),
+         v2 AS (SELECT * FROM v WHERE digit >= 1),
+         n AS (SELECT event_type, count(*) AS n FROM v2
+               GROUP BY event_type),
+         em AS (SELECT * FROM (VALUES (1, 301029), (2, 176091),
+                 (3, 124938), (4, 96910), (5, 79181), (6, 66946),
+                 (7, 57991), (8, 51152), (9, 45757))
+                 AS t(digit, e_micro)),
+         o AS (SELECT event_type, digit, count(*) AS o FROM v2
+               GROUP BY event_type, digit),
+         f AS (SELECT n.event_type, em.digit, n.n,
+                 coalesce(o.o, 0) AS o, em.e_micro
+               FROM n CROSS JOIN em
+               LEFT JOIN o ON o.event_type = n.event_type
+                 AND o.digit = em.digit),
+         k AS (SELECT event_type, CAST(digit AS BIGINT) AS digit, n,
+                 CAST(o AS BIGINT) AS o,
+                 CAST((CAST(n AS HUGEINT) * e_micro) // 1000
+                   AS BIGINT) AS exp_milli,
+                 CAST(((CAST(o AS HUGEINT) * 1000000
+                     - CAST(n AS HUGEINT) * e_micro)
+                   * (CAST(o AS HUGEINT) * 1000000
+                     - CAST(n AS HUGEINT) * e_micro))
+                   // (CAST(n AS HUGEINT) * e_micro) AS BIGINT)
+                   AS contrib_micro
+               FROM f),
+         st AS (SELECT event_type, sum(contrib_micro) AS b FROM k
+                GROUP BY event_type)
+         SELECT k.event_type, k.digit, k.n, k.o, k.exp_milli,
+           k.contrib_micro, CAST(st.b AS BIGINT) AS benford_micro_type
+         FROM k JOIN st ON k.event_type = st.event_type"""
+
   private def chisqOracleSql: String =
     """WITH e AS (SELECT event_type,
              ((CAST(ts AS DATE) - DATE '2024-01-01') % 7 + 7) % 7

@@ -664,4 +664,33 @@ object Multimodal {
       .agg(count(lit(1)).as("n_in_batch"),
         min(col("ar")).as("ar_min"), max(col("ar")).as("ar_max"))
   }
+
+  /** m15: TRANSCRIPT-TO-FRAME ALIGNMENT — map each word of a blob's
+    * transcript to the frame (the [[framed]] grid: `frameChars`
+    * codepoints per frame) containing its first codepoint: the
+    * forced-alignment stand-in that produces subtitle spans /
+    * training pairs (frame clip, words) from a (media, transcript)
+    * row, with a real aligner slotting in through the same
+    * [[BatchMediaDecoder]] plug-point the other m-ops defer to. A
+    * word's start offset is the exact prefix sum of the preceding
+    * words' lengths + the joining single spaces — pure integers, so
+    * the table is engine-exact. Per-doc window only (doc-bounded,
+    * the m14 shape); one groupBy (doc, frame) rollup. */
+  def transcriptFrames(df: DataFrame, text: Column, id: Column,
+      frameChars: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    df.select(id.cast("long").as("doc_id"),
+        posexplode(split(text, " ")).as(Seq("pos", "w")))
+      .withColumn("start",
+        coalesce(sum(length(col("w")).cast("long") + 1L).over(w),
+          lit(0L)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr(s"start div $frameChars").as("frame"))
+      .groupBy(col("doc_id"), col("frame"))
+      .agg(count(lit(1)).as("n_words"),
+        min(col("pos")).cast("long").as("first_word_pos"))
+  }
 }

@@ -2619,4 +2619,10 @@ object PipelineQueries {
       .select(col("user_id"), col("n_events"), col("val_cents"),
         lit(inferred.toLong).as("nshards_inferred"))
   }
+
+  /** m15: transcript-to-frame alignment over documents
+    * ([[Multimodal.transcriptFrames]]). */
+  def transcriptAlign(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.transcriptFrames(docs(spark, dir), col("text"),
+      col("doc_id"))
 }

@@ -2919,20 +2919,25 @@ object Relational {
     benfordOver(table(spark, dir, "events"))
 
   /** [[benford]] over any (event_type, value: double) frame. */
-  def benfordOver(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    // floor(log10(1 + 1/d) * 1e6), d = 1..9
-    val eMicro = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
-      66946L, 57991L, 51152L, 45757L)
-    val ev = events
+  def benfordOver(events: DataFrame): DataFrame =
+    benfordCells(events
       .filter(col("value") > 0.0d)
       .select(col("event_type"),
         substring(floor(col("value") * 1000.0d).cast("long")
           .cast("string"), 1, 1).cast("long").as("digit"))
       .filter(col("digit") >= 1L)
-    val obs = ev.groupBy(col("event_type"), col("digit"))
-      .agg(count(lit(1)).as("o"))
-    val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("o")))
+
+  /** [[benford]]'s fold over any (event_type, digit, o) observed-count
+    * frame — n is the digit-count sum, so st65 can fold it over
+    * streamed per-(type, digit) state and share q97's oracle hash. */
+  def benfordCells(obs: DataFrame): DataFrame = {
+    val spark = obs.sparkSession
+    // floor(log10(1 + 1/d) * 1e6), d = 1..9
+    val eMicro = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val n = obs.groupBy(col("event_type")).agg(sum(col("o")).as("n"))
     import spark.implicits._
     val digits = (1 to 9).map(d => (d.toLong, eMicro(d - 1)))
       .toDF("digit", "e_micro")
@@ -2953,5 +2958,33 @@ object Relational {
     contrib.join(broadcast(stat), col("event_type") === col("et2"))
       .select(col("event_type"), col("digit"), col("n"), col("o"),
         col("exp_milli"), col("contrib_micro"), col("benford_micro_type"))
+  }
+
+  /** q98: SALTED SKEW JOIN — [[graft.ops.Skew.saltedJoin]] driven over
+    * a deliberately hot-keyed frame: HALF the events collapse onto one
+    * key (the power-law reality of user/document keys), which an
+    * un-salted shuffle would funnel through ONE reducer task. The
+    * skewed side scatters over 16 salts by event_id hash, the per-key
+    * build side (an orders rollup) replicates 16x, and the exchange
+    * hashes on (k, salt) — SkewSpec pins that plan shape. The oracle
+    * runs the PLAIN join, so the hash match proves salted == unsalted
+    * row-for-row. Post-join rollup keeps the output bucket-sized. */
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(when(col("user_id") % 10 < 5, 1L)
+          .otherwise(pmod(col("user_id"), lit(1000L)) + 2L).as("k"),
+        col("event_id"),
+        floor(col("value") * 100.0d).cast("long").as("cents"))
+    val dim = table(spark, dir, "orders")
+      .select(when(col("o_custkey") % 10 < 5, 1L)
+          .otherwise(pmod(col("o_custkey"), lit(1000L)) + 2L).as("k"),
+        floor(col("o_totalprice") * 100.0d).cast("long").as("pc"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("pc")).as("price_cents"))
+    graft.ops.Skew.saltedJoin(ev, dim, "k", col("event_id"), salts = 16)
+      .groupBy((col("k") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("cents_sum"),
+        sum(col("n_orders")).as("orders_sum"))
   }
 }

@@ -4043,6 +4043,56 @@ object StreamingQueries {
       graft.queries.Relational.chiSquaredCells(cells)
     }
 
+  /** st65: STREAMING BENFORD AUDIT — q97's leading-digit test
+    * maintained online: keyed state is one count per (event_type,
+    * leading digit) — nine cells per type, the sufficient statistic —
+    * and the readout folds the literal q97 code
+    * ([[graft.queries.Relational.benfordCells]]), sharing its oracle
+    * hash. The digit comes from the same milli-fixed-point string
+    * derivation, computed in the message-key expression so the state
+    * key IS the cell. */
+  def streamBenford(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-benford")(
+        Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+          val n = ctx.value match {
+            case null => 0L
+            case s: String => s.toLong
+          }
+          ctx.setValue((n + 1L).toString)
+        }),
+        Persist(StringCodec))
+      val ev = Sources.table(spark, dir, "events")
+        .filter(col("value") > 0.0d)
+        .withColumn("digit",
+          substring(floor(col("value") * 1000.0d).cast("long")
+            .cast("string"), 1, 1).cast("long"))
+        .filter(col("digit") >= 1L)
+      val staging = tempDir("graft_sbenford")
+      stageTwoBatches(spark,
+        Sources.messages(ev, "events",
+          concat(col("event_type"), lit("|"), col("digit").cast("string")),
+          lit("1"), col("ts"), col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val tableRows = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("key", "st")
+      val obs = runToTable(spark, tableRows)
+        .select(col("key"), col("st").cast("long").as("o"))
+        .groupBy(col("key")).agg(max(col("o")).as("o"))
+        .select(substring_index(col("key"), "|", 1).as("event_type"),
+          substring_index(col("key"), "|", -1).cast("long").as("digit"),
+          col("o"))
+      graft.queries.Relational.benfordCells(obs)
+    }
+
   /** st56: STREAMING EXACT LEADERBOARD — continuous top-10 users by
     * exact cents spend per event type: the keyed state is the
     * (type, user) cents accumulator (additive across micro-batches,
