@@ -308,6 +308,9 @@ object SparkEntry {
     "q98_salted_join" -> (Relational.saltedSkewJoin _),
     "st65_stream_benford" -> (StreamingQueries.streamBenford _),
     "m15_transcript_align" -> (PipelineQueries.transcriptAlign _),
+    "q99_weighted_median" -> (Relational.weightedMedian _),
+    "t51_repetition_gate" -> (PipelineQueries.repetitionGate _),
+    "d35_cluster_keeper" -> (PipelineQueries.clusterKeeper _),
     "c41_split_balance" -> (PipelineQueries.splitBalance _),
     "m14_keyframes" -> (PipelineQueries.keyframes _),
     "st63_stream_ks" -> (StreamingQueries.streamKs _),
@@ -886,6 +889,59 @@ object SparkEntry {
     // streamed sufficient statistic, literal batch fold, one oracle).
     "q97_benford" -> benfordOracleSql,
     "st65_stream_benford" -> benfordOracleSql,
+    // q99: lower weighted median on the tie-collapsed frame — pure
+    // order statistic, integer comparisons end to end.
+    "q99_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag AS flag,
+                CAST(floor(l_extendedprice * 100) AS BIGINT) AS x,
+                CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                  AS wv
+              FROM lineitem GROUP BY 1, 2),
+         c AS (SELECT flag, x, wv,
+                 sum(wv) OVER (PARTITION BY flag ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(wv) OVER (PARTITION BY flag) AS total
+               FROM g)
+         SELECT flag, CAST(max(total) AS BIGINT) AS total_w,
+           CAST(min(x) AS BIGINT) AS median_centi,
+           CAST(CAST(min(x) AS BIGINT) AS DOUBLE) / 100.0 AS median
+         FROM c WHERE cum * 2 >= total GROUP BY flag""",
+    // t51: NON-distinct 3-gram occurrences; dup/top fractions per doc.
+    "t51_repetition_gate" ->
+      """WITH sh AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents)),
+         g AS (SELECT doc_id, s, count(*) AS c FROM sh
+               GROUP BY doc_id, s)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_occ,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(c) AS BIGINT) AS top_c,
+           CAST(CAST(sum(c) - count(*) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS dup_frac,
+           CAST(CAST(max(c) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS top_frac,
+           (sum(c) - count(*)) * 1000 <= sum(c) * 200 AS keep
+         FROM g GROUP BY doc_id""",
+    // d35: d07's cluster chain + longest-wins representative.
+    "d35_cluster_keeper" ->
+      s"""$clusterChainSql,
+         clus AS (SELECT id AS doc_id, min(lbl) AS cluster
+                  FROM walk GROUP BY id),
+         j AS (SELECT c.cluster, c.doc_id, d.n_chars
+               FROM clus c JOIN documents d ON d.doc_id = c.doc_id),
+         r AS (SELECT cluster, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                 sum(n_chars) OVER (PARTITION BY cluster) AS tot,
+                 count(*) OVER (PARTITION BY cluster) AS nm
+               FROM j)
+         SELECT cluster, CAST(nm AS BIGINT) AS n_members,
+           doc_id AS keep_id, CAST(n_chars AS BIGINT) AS chars_kept,
+           CAST(tot - n_chars AS BIGINT) AS chars_dropped
+         FROM r WHERE rn = 1""",
     // q98: the oracle runs the PLAIN join — hash match proves the
     // salted scatter/replicate join is row-for-row identical.
     "q98_salted_join" ->

@@ -1560,4 +1560,36 @@ object TextAnalysis {
       .withColumn("novelty_rate", col("n_novel").cast("double") /
         col("n_shingles").cast("double"))
   }
+
+  /** t51: INTRA-DOCUMENT REPETITION GATE — Gopher's duplicate-n-gram
+    * class of rules ("Scaling Language Models", Rae et al. 2021,
+    * table A1's dup-fraction rows): the fraction of a doc's 3-gram
+    * OCCURRENCES that are repeats of an earlier occurrence in the
+    * SAME doc, plus the top-n-gram mass share — the template/boiler/
+    * looping-generation detector that cross-doc dedup (d01-d34) by
+    * definition cannot see. Occurrences come from the non-distinct
+    * shingle kernel; everything is one (doc, shingle) count and a
+    * per-doc rollup — keyed shuffles only, never corpus-global. */
+  def repetitionGate(df: DataFrame, text: Column, id: Column,
+      n: Int = 3, maxDupFrac: Double = 0.2): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val occ = df.select(id.as("doc_id"),
+        explode(call_function("graft_shingles", text, lit(n),
+          lit(false))).as("s"))
+      .groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("c"))
+    occ.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_occ"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_occ").cast("long").as("n_occ"),
+        col("n_distinct"), col("top_c").cast("long").as("top_c"),
+        ((col("n_occ") - col("n_distinct")).cast("double") /
+          col("n_occ").cast("double")).as("dup_frac"),
+        (col("top_c").cast("double") / col("n_occ").cast("double"))
+          .as("top_frac"))
+      .withColumn("keep",
+        (col("n_occ") - col("n_distinct")) * 1000L <=
+          col("n_occ") * lit((maxDupFrac * 1000).toLong))
+  }
 }

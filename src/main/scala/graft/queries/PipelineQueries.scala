@@ -2625,4 +2625,32 @@ object PipelineQueries {
   def transcriptAlign(spark: SparkSession, dir: String): DataFrame =
     Multimodal.transcriptFrames(docs(spark, dir), col("text"),
       col("doc_id"))
+
+  /** q99 lives in Relational; t51 wrapper: */
+  def repetitionGate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionGate(docs(spark, dir), col("text"),
+      col("doc_id"))
+
+  /** d35: CLUSTER REPRESENTATIVE SELECTION — which copy of a near-dup
+    * cluster survives curation: the LONGEST one (min doc_id breaks
+    * ties), not the first-crawled — truncated mirrors and snippet
+    * republications lose to the full text. Clusters are d07/d33's
+    * label-propagation components; the keeper is one max_by per
+    * cluster over (n_chars, -doc_id); singleton clusters keep
+    * themselves and report zero dropped chars. */
+  def clusterKeeper(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashCandidates(d, col("text"), col("doc_id")),
+      d, col("doc_id"))
+    cc.join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("b"),
+        sum(col("n_chars")).as("chars_total"))
+      .select(col("cluster"), col("n_members"),
+        (-col("b.nid")).as("keep_id"),
+        col("b.n_chars").as("chars_kept"),
+        (col("chars_total") - col("b.n_chars")).as("chars_dropped"))
+  }
 }

@@ -2987,4 +2987,36 @@ object Relational {
         sum(col("cents")).as("cents_sum"),
         sum(col("n_orders")).as("orders_sum"))
   }
+
+  /** q99: EXACT WEIGHTED MEDIAN of extended price per return flag,
+    * weighted by quantity — the location estimate when rows carry
+    * mass (tokens, bytes, spend): the smallest value whose cumulative
+    * weight reaches half the total (the lower weighted median — a
+    * pure order statistic, no interpolation float). The q69/q94
+    * tie-collapse discipline: weights aggregate per distinct centi
+    * value, the cumulative window runs on the COLLAPSED frame
+    * (domain-bounded, grows with the value domain, not the row
+    * count), and the median is the min value in the 2*cum >= total
+    * half — integer comparisons end to end; the only non-integer
+    * column is the final /100 display cast. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val byValue = table(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") * 100.0d).cast("long").as("x"),
+        floor(col("l_quantity")).cast("long").as("w"))
+      .groupBy(col("flag"), col("x"))
+      .agg(sum(col("w")).as("wv"))
+    val ord = Window.partitionBy(col("flag")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("flag"))
+    byValue
+      .withColumn("cum", sum(col("wv")).over(ord))
+      .withColumn("total", sum(col("wv")).over(all))
+      .filter(col("cum") * 2L >= col("total"))
+      .groupBy(col("flag"))
+      .agg(min(col("x")).as("median_centi"),
+        max(col("total")).as("total_w"))
+      .select(col("flag"), col("total_w"), col("median_centi"),
+        (col("median_centi").cast("double") / 100.0d).as("median"))
+  }
 }

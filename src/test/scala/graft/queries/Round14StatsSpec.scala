@@ -148,6 +148,91 @@ class Round14StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q99 weighted median: the collapsed-frame pick matches the " +
+      "brute row-expansion median on random tied, weighted data") {
+    import spark.implicits._
+    // drive the same collapsed pipeline weightedMedian builds, via a
+    // synthetic lineitem-shaped frame written to parquet
+    for (round <- 1 to 3) {
+      val rows = (1 to 400).map { _ =>
+        ("F" + rnd.nextInt(2), (rnd.nextInt(30) + 1).toLong,
+          (rnd.nextInt(5) + 1).toLong)
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_wm_$round").toString
+      rows.toDF("l_returnflag", "xc", "w")
+        .select(col("l_returnflag"),
+          (col("xc").cast("double") / 100.0d).as("l_extendedprice"),
+          col("w").cast("double").as("l_quantity"))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val got = Relational.weightedMedian(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      rows.groupBy(_._1).foreach { case (f, g) =>
+        // brute: expand each value w times, take the lower median
+        val expanded = g.flatMap { case (_, x, w) =>
+          Seq.fill(w.toInt)(x) }.sorted
+        val total = expanded.length
+        // lower weighted median: smallest x with 2*cumw >= total
+        val lower = expanded(
+          expanded.indices.find(i => 2 * (i + 1) >= total).get)
+        assert(got(f) == lower, s"round $round flag $f")
+      }
+    }
+  }
+
+  test("t51 repetition gate: dup/top fractions match brute per-doc " +
+      "n-gram occurrence counting") {
+    import spark.implicits._
+    val words = Vector("x", "y", "z")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (1 to (3 + rnd.nextInt(8)))
+        .map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val got = graft.ops.TextAnalysis.repetitionGate(
+      docs.toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(6))))
+      .toMap
+    docs.foreach { case (id, t) =>
+      val occ = t.split(" ").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq
+      if (occ.nonEmpty) {
+        val byS = occ.groupBy(identity).view.mapValues(_.size).toMap
+        val (nOcc, nDis, topC) =
+          (occ.size.toLong, byS.size.toLong, byS.values.max.toLong)
+        val keep = (nOcc - nDis) * 1000L <= nOcc * 200L
+        assert(got(id) == ((nOcc, nDis, topC, keep)), s"doc $id")
+      } else assert(!got.contains(id), s"doc $id must emit nothing")
+    }
+  }
+
+  test("d35 cluster keeper: longest doc (min id on ties) survives, " +
+      "char accounting balances") {
+    import spark.implicits._
+    // two exact-dup families + singletons; n_chars varies inside one
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", 35L),
+      (2L, "alpha beta gamma delta epsilon zeta", 40L),
+      (3L, "alpha beta gamma delta epsilon zeta", 40L),
+      (4L, "one two three four five six seven", 33L),
+      (5L, "totally unrelated content here now", 34L))
+      .toDF("doc_id", "text", "n_chars")
+    val cc = graft.ops.Dedup.connectedComponents(
+      graft.ops.Dedup.minhashCandidates(docs, col("text"), col("doc_id")),
+      docs, col("doc_id"))
+    val got = cc.join(docs.select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster"), col("n"), (-col("b.nid")).as("keep"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == ((3L, 2L)),
+      "docs 1-3 cluster under label 1; doc 2 wins (40 chars, id < 3)")
+    assert(got(4L) == ((1L, 4L)) && got(5L) == ((1L, 5L)))
+  }
+
   test("c42 foundation: readNShards falls back to the manifest entry " +
       "count on a legacy (pre-header) manifest, and mergeVersioned " +
       "accepts the inferred count") {
