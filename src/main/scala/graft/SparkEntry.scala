@@ -311,6 +311,7 @@ object SparkEntry {
     "q99_weighted_median" -> (Relational.weightedMedian _),
     "t51_repetition_gate" -> (PipelineQueries.repetitionGate _),
     "d35_cluster_keeper" -> (PipelineQueries.clusterKeeper _),
+    "st66_stream_median" -> (StreamingQueries.streamMedian _),
     "c41_split_balance" -> (PipelineQueries.splitBalance _),
     "m14_keyframes" -> (PipelineQueries.keyframes _),
     "st63_stream_ks" -> (StreamingQueries.streamKs _),
@@ -942,6 +943,23 @@ object SparkEntry {
            doc_id AS keep_id, CAST(n_chars AS BIGINT) AS chars_kept,
            CAST(tot - n_chars AS BIGINT) AS chars_dropped
          FROM r WHERE rn = 1""",
+    // st66: exact online median — same collapsed order statistic
+    // recomputed from raw events (weight = per-value count).
+    "st66_stream_median" ->
+      """WITH g AS (SELECT event_type,
+                CAST(floor(value * 100) AS BIGINT) AS x,
+                count(*) AS wv
+              FROM events GROUP BY 1, 2),
+         c AS (SELECT event_type, x, wv,
+                 sum(wv) OVER (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(wv) OVER (PARTITION BY event_type) AS total
+               FROM g)
+         SELECT event_type, CAST(max(total) AS BIGINT) AS total_w,
+           CAST(min(x) AS BIGINT) AS median_centi,
+           CAST(CAST(min(x) AS BIGINT) AS DOUBLE) / 100.0 AS median
+         FROM c WHERE cum * 2 >= total GROUP BY event_type""",
     // q98: the oracle runs the PLAIN join — hash match proves the
     // salted scatter/replicate join is row-for-row identical.
     "q98_salted_join" ->

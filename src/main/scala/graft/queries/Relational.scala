@@ -2999,13 +2999,18 @@ object Relational {
     * count), and the median is the min value in the 2*cum >= total
     * half — integer comparisons end to end; the only non-integer
     * column is the final /100 display cast. */
-  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
-    val byValue = table(spark, dir, "lineitem")
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame =
+    weightedMedianOver(table(spark, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
         floor(col("l_extendedprice") * 100.0d).cast("long").as("x"),
         floor(col("l_quantity")).cast("long").as("w"))
       .groupBy(col("flag"), col("x"))
-      .agg(sum(col("w")).as("wv"))
+      .agg(sum(col("w")).as("wv")))
+
+  /** [[weightedMedian]]'s fold over any collapsed (flag, x, wv) frame
+    * — st66 folds it over streamed per-(key, value) counts, the
+    * st63/st64/st65 sufficient-statistic discipline. */
+  def weightedMedianOver(byValue: DataFrame): DataFrame = {
     val ord = Window.partitionBy(col("flag")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(col("flag"))

@@ -4093,6 +4093,56 @@ object StreamingQueries {
       graft.queries.Relational.benfordCells(obs)
     }
 
+  /** st66: STREAMING EXACT MEDIAN — the per-type lower median of the
+    * centi-fixed value maintained online: keyed state is one count per
+    * (event_type, centi-value) — the tie-collapsed sufficient
+    * statistic, additive across micro-batches — and the readout folds
+    * the literal q99 pick ([[graft.queries.Relational
+    * .weightedMedianOver]], each value's count as its weight). The
+    * oracle recomputes the same order statistic from raw events, so
+    * the hash proves online value-counts reproduce the exact median —
+    * no sketch, no approximation, state bounded by the value DOMAIN
+    * (the q69 collapse argument), not the stream length. */
+  def streamMedian(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-median")(
+        Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+          val n = ctx.value match {
+            case null => 0L
+            case s: String => s.toLong
+          }
+          ctx.setValue((n + 1L).toString)
+        }),
+        Persist(StringCodec))
+      val ev = Sources.table(spark, dir, "events")
+      val staging = tempDir("graft_smedian")
+      stageTwoBatches(spark,
+        Sources.messages(ev, "events",
+          concat(col("event_type"), lit("|"),
+            floor(col("value") * 100.0d).cast("long").cast("string")),
+          lit("1"), col("ts"), col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val tableRows = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("key", "st")
+      val byValue = runToTable(spark, tableRows)
+        .select(col("key"), col("st").cast("long").as("o"))
+        .groupBy(col("key")).agg(max(col("o")).as("wv"))
+        .select(substring_index(col("key"), "|", 1).as("flag"),
+          substring_index(col("key"), "|", -1).cast("long").as("x"),
+          col("wv"))
+      graft.queries.Relational.weightedMedianOver(byValue)
+        .select(col("flag").as("event_type"), col("total_w"),
+          col("median_centi"), col("median"))
+    }
+
   /** st56: STREAMING EXACT LEADERBOARD — continuous top-10 users by
     * exact cents spend per event type: the keyed state is the
     * (type, user) cents accumulator (additive across micro-batches,
