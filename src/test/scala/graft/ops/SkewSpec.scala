@@ -45,10 +45,20 @@ class SkewSpec extends AnyFunSuite with SparkFixture {
   test("the exchange hashes on (k, __salt) — the hot key spreads " +
       "across salts reducers instead of one") {
     val (skewed, build) = frames
-    val plan = Skew.saltedJoin(skewed, build, "k", col("row_id"),
-      salts = 8).queryExecution.executedPlan.toString
-    assert(plan.contains("__salt"),
-      s"salt column must reach the physical join/exchange:\n$plan")
+    // force the shuffled regime the operator exists for (at unit scale
+    // stats would otherwise broadcast the build side and hide the
+    // exchange shape)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try Skew.saltedJoin(skewed, build, "k", col("row_id"), salts = 8)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val exchangeOnSalt = plan.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("k#") &&
+        l.contains("__salt"))
+    assert(exchangeOnSalt,
+      s"the shuffle must hash on (k, __salt), not k alone:\n$plan")
     // distribution check: the hot key's rows really scatter
     val scatter = skewed
       .withColumn("__salt", pmod(xxhash64(col("row_id")), lit(8L)))
