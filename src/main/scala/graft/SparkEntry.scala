@@ -312,6 +312,7 @@ object SparkEntry {
     "t51_repetition_gate" -> (PipelineQueries.repetitionGate _),
     "d35_cluster_keeper" -> (PipelineQueries.clusterKeeper _),
     "st66_stream_median" -> (StreamingQueries.streamMedian _),
+    "c43_source_inequality" -> (PipelineQueries.sourceInequality _),
     "c41_split_balance" -> (PipelineQueries.splitBalance _),
     "m14_keyframes" -> (PipelineQueries.keyframes _),
     "st63_stream_ks" -> (StreamingQueries.streamKs _),
@@ -943,6 +944,51 @@ object SparkEntry {
            doc_id AS keep_id, CAST(n_chars AS BIGINT) AS chars_kept,
            CAST(tot - n_chars AS BIGINT) AS chars_dropped
          FROM r WHERE rn = 1""",
+    // c43: per-source token shares + corpus Gini/Theil; Theil's ln
+    // rides the FMA-proof fixed-point log2 (t42's machinery), so
+    // theil_num is an exact integer both engines agree on.
+    "c43_source_inequality" -> {
+      import graft.functions.PortableMath
+      s"""WITH d AS (SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS toks
+           FROM documents),
+         ps AS (SELECT source, count(*) AS n_docs,
+                  CAST(sum(toks) AS BIGINT) AS tokens
+                FROM d GROUP BY source),
+         t AS (SELECT CAST(sum(tokens) AS BIGINT) AS s, count(*) AS n
+               FROM ps),
+         gi AS (SELECT tokens AS x,
+                  row_number() OVER (ORDER BY tokens) AS rn FROM ps),
+         gm AS (SELECT count(*) AS gn,
+                  sum(CAST(rn AS HUGEINT) * x) AS six,
+                  sum(CAST(x AS HUGEINT)) AS sx FROM gi),
+         g AS (SELECT CAST(2 * six - (gn + 1) * sx AS BIGINT)
+                   AS gini_num,
+                 CAST(gn * sx AS BIGINT) AS gini_den,
+                 CAST(CAST(2 * six - (gn + 1) * sx AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(gn * sx AS BIGINT) AS DOUBLE) AS gini
+               FROM gm),
+         wr AS (SELECT ps.tokens,
+                  CAST(ps.tokens * t.n AS DOUBLE) / CAST(t.s AS DOUBLE)
+                    AS r,
+                  t.s AS s
+                FROM ps, t),
+         ${PortableMath.log2FixedSqlStages("wr", "r", "l2", "lg")},
+         th AS (SELECT
+                  CAST(sum(CAST(tokens AS HUGEINT) * l2) AS BIGINT)
+                    AS theil_num,
+                  s
+                FROM lgout GROUP BY s),
+         th2 AS (SELECT theil_num,
+                   CAST(theil_num AS DOUBLE) * 0.6931471805599453
+                     / (65536.0 * CAST(s AS DOUBLE)) AS theil
+                 FROM th)
+         SELECT ps.source, ps.n_docs, ps.tokens,
+           (ps.tokens * 1000000) // t.s AS share_ppm,
+           g.gini_num, g.gini_den, g.gini, th2.theil_num, th2.theil
+         FROM ps, t, g, th2"""
+    },
     // st66: exact online median — same collapsed order statistic
     // recomputed from raw events (weight = per-value count).
     "st66_stream_median" ->

@@ -2653,4 +2653,68 @@ object PipelineQueries {
         col("b.n_chars").as("chars_kept"),
         (col("chars_total") - col("b.n_chars")).as("chars_dropped"))
   }
+
+  /** c43: SOURCE-INEQUALITY REPORT — how concentrated is the corpus's
+    * token mass across sources? The mixture-health readout a curation
+    * pipeline checks before training (one source owning most tokens
+    * means the "diverse" corpus isn't): per source its document and
+    * token counts and share (ppm, exact integer division), with the
+    * corpus-level GINI (q95's sorted-index machinery over the
+    * per-source totals — a bounded-domain frame, sources number in
+    * the dozens at any corpus size) and THEIL index attached. Theil's
+    * transcendental goes through [[graft.functions.PortableMath
+    * .withLog2Fixed]] — the FMA-proof integer fixed-point log2, so
+    * theil_num is an EXACT integer sum (T = ln2 * theil_num /
+    * (65536 * S) with one literal multiply and one divide of
+    * deterministic doubles at the end); the t42 discipline, evaluated
+    * on the per-source frame only, never per row. */
+  def sourceInequality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableMath
+    val perSource = docs(spark, dir)
+      .select(col("source"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+      .localCheckpoint() // three consumers: shares, gini, theil
+    val tot = perSource.agg(sum(col("tokens")).as("s"),
+      count(lit(1)).as("n"))
+    // Corpus-level Gini needs a GLOBAL rank — per the repo's own
+    // strict-guard discipline that goes through the bucketed Ranks
+    // primitive, never a windowed sort (giniOver's per-flag window is
+    // for genuinely partitioned frames; a literal flag constant-folds
+    // into an unpartitioned window and the plan guard rightly rejects
+    // it — it did, in this query's first draft).
+    val ranked = graft.ops.Ranks.rankedCumsum(
+      perSource.select(col("tokens").as("x"), col("source")),
+      col("x"), col("source"), lit(1L), rankCol = "rn")
+    val gini = ranked
+      .agg(count(lit(1)).as("gn"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("x").cast("decimal(38,0)") * col("rn")).as("six"))
+      .select(
+        (lit(2) * col("six") - (col("gn").cast("decimal(38,0)") + 1) *
+          col("sx")).cast("long").as("gini_num"),
+        (col("gn").cast("decimal(38,0)") * col("sx")).cast("long")
+          .as("gini_den"))
+      .withColumn("gini", col("gini_num").cast("double") /
+        col("gini_den").cast("double"))
+    val withRatio = perSource.crossJoin(broadcast(tot))
+      .withColumn("r",
+        (col("tokens") * col("n")).cast("double") /
+          col("s").cast("double"))
+    val theil = PortableMath.withLog2Fixed(withRatio, col("r"), "l2")
+      .select((col("tokens").cast("decimal(38,0)") * col("l2"))
+        .as("term"), col("s"))
+      .groupBy(col("s"))
+      .agg(sum(col("term")).cast("long").as("theil_num"))
+      .select(col("theil_num"),
+        (col("theil_num").cast("double") * lit(0.6931471805599453d) /
+          (lit(65536.0d) * col("s").cast("double"))).as("theil"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        expr("(tokens * 1000000) div s").as("share_ppm"))
+      .crossJoin(broadcast(gini))
+      .crossJoin(broadcast(theil))
+  }
 }
