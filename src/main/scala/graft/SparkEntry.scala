@@ -313,6 +313,8 @@ object SparkEntry {
     "d35_cluster_keeper" -> (PipelineQueries.clusterKeeper _),
     "st66_stream_median" -> (StreamingQueries.streamMedian _),
     "c43_source_inequality" -> (PipelineQueries.sourceInequality _),
+    "st67_stream_gini" -> (StreamingQueries.streamGini _),
+    "st68_stream_trimmed_mean" -> (StreamingQueries.streamTrimmedMean _),
     "c41_split_balance" -> (PipelineQueries.splitBalance _),
     "m14_keyframes" -> (PipelineQueries.keyframes _),
     "st63_stream_ks" -> (StreamingQueries.streamKs _),
@@ -1158,21 +1160,27 @@ object SparkEntry {
          FROM m""",
     // q94: k = n div 10 trimmed per side, ranks by (value, event_id),
     // survivors summed at exact milli fixed point.
-    "q94_trimmed_mean" ->
-      """WITH r AS (SELECT event_type, value,
-                CAST(floor(value * 1000) AS BIGINT) AS vfx,
-                row_number() OVER (PARTITION BY event_type
-                  ORDER BY value, event_id) AS rnk,
-                count(*) OVER (PARTITION BY event_type) AS n
-              FROM events)
-         SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
-           CAST(count(*) AS BIGINT) AS kept,
-           CAST(sum(vfx) AS BIGINT) AS sum_milli,
-           CAST(CAST(sum(vfx) AS BIGINT) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE) / 1000.0 AS trimmed_mean
-         FROM r
-         WHERE rnk > n // 10 AND rnk <= n - n // 10
-         GROUP BY event_type""",
+    "q94_trimmed_mean" -> trimmedMeanOracleSql,
+    "st68_stream_trimmed_mean" -> trimmedMeanOracleSql,
+    // st67: q95's sorted-index Gini over event values (milli grain),
+    // recomputed row-wise from raw events.
+    "st67_stream_gini" ->
+      """WITH r AS (SELECT event_type,
+                CAST(floor(value * 1000) AS BIGINT) AS x FROM events),
+         i AS (SELECT event_type, x,
+                 row_number() OVER (PARTITION BY event_type ORDER BY x)
+                   AS rn
+               FROM r),
+         m AS (SELECT event_type, count(*) AS n,
+                 sum(CAST(rn AS HUGEINT) * x) AS six,
+                 sum(CAST(x AS HUGEINT)) AS sx
+               FROM i GROUP BY event_type)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(2 * six - (n + 1) * sx AS BIGINT) AS gini_num,
+           CAST(n * sx AS BIGINT) AS gini_den,
+           CAST(CAST(2 * six - (n + 1) * sx AS BIGINT) AS DOUBLE)
+             / CAST(CAST(n * sx AS BIGINT) AS DOUBLE) AS gini
+         FROM m""",
     // c41: t07's md5 split buckets; ±1% relative source-share
     // deviation cross-multiplied in HUGEINT.
     "c41_split_balance" ->
@@ -7772,6 +7780,22 @@ object SparkEntry {
   /** q91/st63: two-sample Kolmogorov–Smirnov, all in exact integers:
     * d_num = max|cumA·n_b − cumB·n_a| over the tie-collapsed value
     * frame, rejection cross-multiplied with c = 1.36 (18496/10⁴). */
+  private def trimmedMeanOracleSql: String =
+    """WITH r AS (SELECT event_type, value,
+                CAST(floor(value * 1000) AS BIGINT) AS vfx,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value, event_id) AS rnk,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS kept,
+           CAST(sum(vfx) AS BIGINT) AS sum_milli,
+           CAST(CAST(sum(vfx) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1000.0 AS trimmed_mean
+         FROM r
+         WHERE rnk > n // 10 AND rnk <= n - n // 10
+         GROUP BY event_type"""
+
   private def benfordOracleSql: String =
     """WITH v AS (SELECT event_type,
                 CAST(substr(CAST(CAST(floor(value * 1000) AS BIGINT)

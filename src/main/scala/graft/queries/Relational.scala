@@ -2767,12 +2767,17 @@ object Relational {
     * rank formulation (trimming depends only on value order; floor
     * is monotone), and the ORACLE deliberately keeps the row-wise
     * formulation, so the hash match proves the equivalence. */
-  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
-    val byValue = table(spark, dir, "events")
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame =
+    trimmedMeanCollapsed(table(spark, dir, "events")
       .select(col("event_type"),
         floor(col("value") * 1000.0d).cast("long").as("vfx"))
       .groupBy(col("event_type"), col("vfx"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** [[trimmedMean]]'s fold over an already-collapsed
+    * (event_type, vfx, cnt) frame — st68 folds it over streamed
+    * per-(key, milli-value) counts, sharing q94's oracle hash. */
+  def trimmedMeanCollapsed(byValue: DataFrame): DataFrame = {
     val ord = Window.partitionBy(col("event_type")).orderBy(col("vfx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(col("event_type"))
@@ -2822,11 +2827,15 @@ object Relational {
 
   /** [[gini]] over any (flag, x: long) frame — the randomized
     * sorted-index parity spec drives this directly. */
-  def giniOver(base: DataFrame): DataFrame = {
-    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
-    val byValue = base
+  def giniOver(base: DataFrame): DataFrame =
+    giniCollapsed(base
       .groupBy(col("flag"), col("x"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** [[gini]]'s fold over an already-collapsed (flag, x, cnt) frame —
+    * st67 folds it over streamed per-(key, value) counts. */
+  def giniCollapsed(byValue: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
     val ord = Window.partitionBy(col("flag")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byValue

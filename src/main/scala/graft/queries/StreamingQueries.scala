@@ -4093,6 +4093,79 @@ object StreamingQueries {
       graft.queries.Relational.benfordCells(obs)
     }
 
+  /** The shared st66/st67/st68 state pipeline: per (event_type,
+    * fixed-point value) key, a streamed occurrence count — the
+    * tie-collapsed sufficient statistic that funds the whole
+    * order-statistic family (median, Gini, trimmed mean) from ONE
+    * state-table shape; `scale` picks the fixed-point grain (centi
+    * for st66's median, milli for st67/st68 so st68 shares q94's
+    * oracle verbatim). */
+  private def streamedValueCounts(spark: SparkSession, dir: String,
+      group: String, stagePrefix: String, scale: Double): DataFrame = {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val graph = GroupGraph.define(group)(
+      Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+        val n = ctx.value match {
+          case null => 0L
+          case s: String => s.toLong
+        }
+        ctx.setValue((n + 1L).toString)
+      }),
+      Persist(StringCodec))
+    val ev = Sources.table(spark, dir, "events")
+    val staging = tempDir(stagePrefix)
+    stageTwoBatches(spark,
+      Sources.messages(ev, "events",
+        concat(col("event_type"), lit("|"),
+          floor(col("value") * scale).cast("long").cast("string")),
+        lit("1"), col("ts"), col("event_id")),
+      staging)
+    val stream = spark.readStream
+      .schema(Sources.eventMessages(spark, dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
+    val out = new StreamExecutor(graph).run(spark, stream)
+    val tableRows = out.filter(_.sink == SinkTable)
+      .map(e => (e.key, StringCodec.decode(e.value)))
+      .toDF("key", "st")
+    runToTable(spark, tableRows)
+      .select(col("key"), col("st").cast("long").as("o"))
+      .groupBy(col("key")).agg(max(col("o")).as("cnt"))
+      .select(substring_index(col("key"), "|", 1).as("event_type"),
+        substring_index(col("key"), "|", -1).cast("long").as("x"),
+        col("cnt"))
+  }
+
+  /** st67: STREAMING GINI — q95's sorted-index inequality measure per
+    * event type, maintained online over the SAME keyed state shape as
+    * st66/st68 (per-(type, milli-value) counts); the readout folds
+    * the literal q95 code ([[graft.queries.Relational
+    * .giniCollapsed]]). The per-type cumulative window runs on the
+    * collapsed frame — domain-bounded, the q95 argument. */
+  def streamGini(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      graft.queries.Relational.giniCollapsed(
+        streamedValueCounts(spark, dir, "stream-gini", "graft_sgini",
+          1000.0)
+          .select(col("event_type").as("flag"), col("x"), col("cnt")))
+        .select(col("flag").as("event_type"), col("n"),
+          col("gini_num"), col("gini_den"), col("gini"))
+    }
+
+  /** st68: STREAMING TRIMMED MEAN — q94's robust location estimate
+    * per event type over the same state (milli grain, so the fold is
+    * [[graft.queries.Relational.trimmedMeanCollapsed]] VERBATIM and
+    * the query shares q94's oracle hash — online counts provably
+    * reproduce the batch trim). */
+  def streamTrimmedMean(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      graft.queries.Relational.trimmedMeanCollapsed(
+        streamedValueCounts(spark, dir, "stream-tmean", "graft_stmean",
+          1000.0)
+          .select(col("event_type"), col("x").as("vfx"), col("cnt")))
+    }
+
   /** st66: STREAMING EXACT MEDIAN — the per-type lower median of the
     * centi-fixed value maintained online: keyed state is one count per
     * (event_type, centi-value) — the tie-collapsed sufficient
@@ -4105,40 +4178,11 @@ object StreamingQueries {
     * (the q69 collapse argument), not the stream length. */
   def streamMedian(spark: SparkSession, dir: String): DataFrame =
     withStateShards(spark) {
-      import spark.implicits._
-      import graft.operators.BatchExecutor.SinkTable
-      val graph = GroupGraph.define("stream-median")(
-        Input("events", StringCodec, ProcessCallback { (ctx, _) =>
-          val n = ctx.value match {
-            case null => 0L
-            case s: String => s.toLong
-          }
-          ctx.setValue((n + 1L).toString)
-        }),
-        Persist(StringCodec))
-      val ev = Sources.table(spark, dir, "events")
-      val staging = tempDir("graft_smedian")
-      stageTwoBatches(spark,
-        Sources.messages(ev, "events",
-          concat(col("event_type"), lit("|"),
-            floor(col("value") * 100.0d).cast("long").cast("string")),
-          lit("1"), col("ts"), col("event_id")),
-        staging)
-      val stream = spark.readStream
-        .schema(Sources.eventMessages(spark, dir).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(bindShardsToTopic(spark, staging)).as[Message]
-      val out = new StreamExecutor(graph).run(spark, stream)
-      val tableRows = out.filter(_.sink == SinkTable)
-        .map(e => (e.key, StringCodec.decode(e.value)))
-        .toDF("key", "st")
-      val byValue = runToTable(spark, tableRows)
-        .select(col("key"), col("st").cast("long").as("o"))
-        .groupBy(col("key")).agg(max(col("o")).as("wv"))
-        .select(substring_index(col("key"), "|", 1).as("flag"),
-          substring_index(col("key"), "|", -1).cast("long").as("x"),
-          col("wv"))
-      graft.queries.Relational.weightedMedianOver(byValue)
+      graft.queries.Relational.weightedMedianOver(
+        streamedValueCounts(spark, dir, "stream-median", "graft_smedian",
+          100.0)
+          .select(col("event_type").as("flag"), col("x"),
+            col("cnt").as("wv")))
         .select(col("flag").as("event_type"), col("total_w"),
           col("median_centi"), col("median"))
     }
