@@ -315,6 +315,7 @@ object SparkEntry {
     "c43_source_inequality" -> (PipelineQueries.sourceInequality _),
     "st67_stream_gini" -> (StreamingQueries.streamGini _),
     "st68_stream_trimmed_mean" -> (StreamingQueries.streamTrimmedMean _),
+    "d36_containment_fidelity" -> (PipelineQueries.containmentFidelity _),
     "c41_split_balance" -> (PipelineQueries.splitBalance _),
     "m14_keyframes" -> (PipelineQueries.keyframes _),
     "st63_stream_ks" -> (StreamingQueries.streamKs _),
@@ -2621,6 +2622,61 @@ object SparkEntry {
     // d32: same md5 minhash perms and banding as st10/d02; per-group
     // Jaccard is the ratio of integer sums (micro-average), never a
     // float mean.
+    // d36: d32's calibration for the asymmetric containment measure —
+    // pooled exact Sum-inter/Sum-min next to the signature-implied
+    // g*Sum(na+nb) / ((16+g)*Sum-min), integer sums only.
+    "d36_containment_fidelity" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents)),
+         h AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS hw
+               FROM sh),
+         mh AS (SELECT doc_id, j,
+                  min(((2*j+1)*hw + j*12345) % 4294967311) AS mv
+                FROM h, generate_series(0,15) t(j) GROUP BY doc_id, j),
+         bands AS (SELECT doc_id, j//4 AS band,
+                     string_agg(mv, ',' ORDER BY j) AS sig
+                   FROM mh GROUP BY doc_id, j//4),
+         pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.sig = b.sig
+                     AND a.doc_id < b.doc_id),
+         mm AS (SELECT p.da, p.db,
+                  sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END)
+                    AS mh_matches
+                FROM pairs p JOIN mh a ON a.doc_id = p.da
+                  JOIN mh b ON b.doc_id = p.db AND b.j = a.j
+                GROUP BY p.da, p.db),
+         dfq AS (SELECT s FROM (SELECT s, count(*) AS c FROM sh
+                  GROUP BY s) WHERE c <= 100),
+         shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh
+                   GROUP BY doc_id),
+         inter AS (SELECT p.da, p.db, count(*) AS c
+                   FROM pairs p JOIN shf a ON a.doc_id = p.da
+                     JOIN shf b ON b.doc_id = p.db AND b.s = a.s
+                   GROUP BY p.da, p.db)
+         SELECT CAST(mm.mh_matches AS BIGINT) AS mh_matches,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(coalesce(i.c, 0)) AS BIGINT) AS inter_sum,
+           CAST(sum(least(sa.n, sb.n)) AS BIGINT) AS min_sum,
+           CAST(sum(coalesce(i.c, 0)) AS DOUBLE)
+             / CAST(sum(least(sa.n, sb.n)) AS DOUBLE)
+             AS exact_containment,
+           CAST(mm.mh_matches * sum(sa.n + sb.n) AS BIGINT) AS est_num,
+           CAST((mm.mh_matches + 16) * sum(least(sa.n, sb.n))
+             AS BIGINT) AS est_den,
+           CAST(CAST(mm.mh_matches * sum(sa.n + sb.n) AS BIGINT)
+               AS DOUBLE)
+             / CAST(CAST((mm.mh_matches + 16) * sum(least(sa.n, sb.n))
+               AS BIGINT) AS DOUBLE) AS est_containment
+         FROM mm LEFT JOIN inter i ON i.da = mm.da AND i.db = mm.db
+           JOIN sizes sa ON sa.doc_id = mm.da
+           JOIN sizes sb ON sb.doc_id = mm.db
+         GROUP BY mm.mh_matches""",
     "d32_minhash_fidelity" ->
       """WITH sh AS (
            SELECT DISTINCT doc_id,

@@ -655,6 +655,64 @@ object Dedup {
           col("union_sum").cast("double")).as("micro_jaccard"))
   }
 
+  /** d36: MINHASH-TO-CONTAINMENT calibration — d32's fidelity table
+    * for the ASYMMETRIC measure d29 serves: per signature-agreement
+    * level g (matching minhash components of k=16), the micro-averaged
+    * EXACT containment (pooled Σ|A∩B| / Σ min(|A|,|B|)) next to the
+    * containment the signatures IMPLY — from Ĵ = g/k and the identity
+    * |A∩B| = Ĵ·(|A|+|B|)/(1+Ĵ), pooled with Ĵ constant per level:
+    * est = g·Σ(|A|+|B|) / ((k+g)·Σmin) — exact integer numerator and
+    * denominator, one final divide each (the d32 discipline: integer
+    * sums, never float means). The table answers "at what band
+    * agreement can the cheap signature stand in for d29's exact
+    * containment join" — the dial for running containment screening
+    * at 100 TB from the stored d23 band index alone. Same candidate
+    * generation, signatures and exact-verify joins as d32. */
+  def containmentFidelity(df: DataFrame, text: Column, id: Column,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      maxDocFreq: Int = 100): DataFrame = {
+    val cand = minhashCandidates(df, text, id, shingleN, k, bands)
+    val sig = minhashSignaturesNative(df, text, id, shingleN, k)
+    val withSigs = cand
+      .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")),
+        Seq("da"))
+      .join(sig.select(col("doc_id").as("db"), col("sig").as("sigb")),
+        Seq("db"))
+      .withColumn("mh_matches", expr(
+        "aggregate(zip_with(siga, sigb, (x, y) -> " +
+          "IF(x = y, 1L, 0L)), 0L, (a, v) -> a + v)"))
+    val sh = shingles(df, text, id, shingleN)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxDocFreq).select(col("s"))
+    val shf = sh.join(dfreq, Seq("s"))
+    val inter = cand
+      .join(shf.select(col("doc_id").as("da"), col("s")), Seq("da"))
+      .join(shf.select(col("doc_id").as("db"), col("s")),
+        Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+    withSigs
+      .join(inter, Seq("da", "db"), "left").na.fill(0L, Seq("c"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")),
+        Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")),
+        Seq("db"))
+      .groupBy(col("mh_matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c")).as("inter_sum"),
+        sum(least(col("na"), col("nb"))).as("min_sum"),
+        sum(col("na") + col("nb")).as("size_sum"))
+      .select(col("mh_matches"), col("n_pairs"), col("inter_sum"),
+        col("min_sum"),
+        (col("inter_sum").cast("double") /
+          col("min_sum").cast("double")).as("exact_containment"),
+        (col("mh_matches") * col("size_sum")).as("est_num"),
+        ((col("mh_matches") + lit(k.toLong)) * col("min_sum"))
+          .as("est_den"))
+      .withColumn("est_containment",
+        col("est_num").cast("double") / col("est_den").cast("double"))
+  }
+
   /** d31: DEDUP PRESSURE CURVE — corpus survival as a function of the
     * Jaccard threshold: for each candidate θ, how many exact-verified
     * near-dup pairs fire, how many documents the first-seen-wins keep

@@ -2717,4 +2717,10 @@ object PipelineQueries {
       .crossJoin(broadcast(gini))
       .crossJoin(broadcast(theil))
   }
+
+  /** d36: minhash-agreement vs exact containment calibration
+    * ([[Dedup.containmentFidelity]]). */
+  def containmentFidelity(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentFidelity(docs(spark, dir), col("text"),
+      col("doc_id"))
 }
