@@ -316,6 +316,8 @@ object SparkEntry {
     "st67_stream_gini" -> (StreamingQueries.streamGini _),
     "st68_stream_trimmed_mean" -> (StreamingQueries.streamTrimmedMean _),
     "d36_containment_fidelity" -> (PipelineQueries.containmentFidelity _),
+    "q101_mad" -> (Relational.madExact _),
+    "st69_stream_mad" -> (StreamingQueries.streamMad _),
     "c41_split_balance" -> (PipelineQueries.splitBalance _),
     "m14_keyframes" -> (PipelineQueries.keyframes _),
     "st63_stream_ks" -> (StreamingQueries.streamKs _),
@@ -1162,6 +1164,10 @@ object SparkEntry {
     // q94: k = n div 10 trimmed per side, ranks by (value, event_id),
     // survivors summed at exact milli fixed point.
     "q94_trimmed_mean" -> trimmedMeanOracleSql,
+    // q101/st69: nested lower medians on tie-collapsed frames — the
+    // same shared-definition collapse as q99/st66.
+    "q101_mad" -> madOracleSql,
+    "st69_stream_mad" -> madOracleSql,
     "st68_stream_trimmed_mean" -> trimmedMeanOracleSql,
     // st67: q95's sorted-index Gini over event values (milli grain),
     // recomputed row-wise from raw events.
@@ -7836,6 +7842,36 @@ object SparkEntry {
   /** q91/st63: two-sample Kolmogorov–Smirnov, all in exact integers:
     * d_num = max|cumA·n_b − cumB·n_a| over the tie-collapsed value
     * frame, rejection cross-multiplied with c = 1.36 (18496/10⁴). */
+  private def madOracleSql: String =
+    """WITH g AS (SELECT event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS v, count(*) AS c
+           FROM events GROUP BY 1, 2),
+       c1 AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum,
+              sum(c) OVER (PARTITION BY event_type) AS total
+            FROM g),
+       med AS (SELECT event_type, CAST(min(v) AS BIGINT)
+                 AS median_milli,
+               CAST(max(total) AS BIGINT) AS n
+             FROM c1 WHERE cum * 2 >= total GROUP BY event_type),
+       d AS (SELECT g.event_type, abs(g.v - med.median_milli) AS dev,
+               sum(g.c) AS c
+             FROM g JOIN med USING (event_type) GROUP BY 1, 2),
+       c2 AS (SELECT *, sum(c) OVER (PARTITION BY event_type
+                ORDER BY dev
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum,
+              sum(c) OVER (PARTITION BY event_type) AS total
+            FROM d),
+       mad AS (SELECT event_type, CAST(min(dev) AS BIGINT)
+                 AS mad_milli
+             FROM c2 WHERE cum * 2 >= total GROUP BY event_type)
+       SELECT med.event_type, med.n, med.median_milli, mad.mad_milli,
+         CAST(med.median_milli AS DOUBLE) / 1000.0 AS median,
+         CAST(mad.mad_milli AS DOUBLE) / 1000.0 AS mad
+       FROM med JOIN mad ON med.event_type = mad.event_type"""
+
   private def trimmedMeanOracleSql: String =
     """WITH r AS (SELECT event_type, value,
                 CAST(floor(value * 1000) AS BIGINT) AS vfx,

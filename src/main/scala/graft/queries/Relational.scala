@@ -3033,4 +3033,52 @@ object Relational {
       .select(col("flag"), col("total_w"), col("median_centi"),
         (col("median_centi").cast("double") / 100.0d).as("median"))
   }
+
+  /** q101: EXACT MEDIAN ABSOLUTE DEVIATION of value per event type —
+    * the robust scale estimate next to q94's robust location (stddev
+    * is outlier-dragged exactly when the mean is): MAD = lower median
+    * of |x − median(x)|, both medians the q99 order-statistic pick on
+    * TIE-COLLAPSED frames at milli fixed point. Two collapse passes
+    * (values, then absolute deviations — the deviation domain is at
+    * most twice the value domain), two per-type cumulative windows on
+    * collapsed frames, one keyed join back — integer comparisons end
+    * to end; the only floats are the /1000 display casts. */
+  def madExact(spark: SparkSession, dir: String): DataFrame =
+    madCollapsed(table(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 1000.0d).cast("long").as("vfx"))
+      .groupBy(col("event_type"), col("vfx"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** [[madExact]]'s fold over an already-collapsed
+    * (event_type, vfx, cnt) frame — st69 folds it over the same
+    * streamed per-(type, milli-value) count state that funds
+    * st66/st67/st68. */
+  def madCollapsed(byValue: DataFrame): DataFrame = {
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val ord = Window.partitionBy(col("event_type")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(col("event_type"))
+      df.withColumn("cum", sum(col("cnt")).over(ord))
+        .withColumn("total", sum(col("cnt")).over(all))
+        .filter(col("cum") * 2L >= col("total"))
+        .groupBy(col("event_type"))
+        .agg(min(col(v)).as(out), max(col("total")).as("n"))
+    }
+    val med = lowerMedian(byValue, "vfx", "median_milli")
+    val devs = byValue
+      .join(med.select(col("event_type"), col("median_milli")),
+        Seq("event_type"))
+      .select(col("event_type"),
+        abs(col("vfx") - col("median_milli")).as("dev"), col("cnt"))
+      .groupBy(col("event_type"), col("dev"))
+      .agg(sum(col("cnt")).as("cnt"))
+    lowerMedian(devs.withColumnRenamed("dev", "vfx"), "vfx", "mad_milli")
+      .select(col("event_type"), col("mad_milli"))
+      .join(med, Seq("event_type"))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        col("median_milli"), col("mad_milli"),
+        (col("median_milli").cast("double") / 1000.0d).as("median"),
+        (col("mad_milli").cast("double") / 1000.0d).as("mad"))
+  }
 }

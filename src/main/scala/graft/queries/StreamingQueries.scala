@@ -4187,6 +4187,20 @@ object StreamingQueries {
           col("median_centi"), col("median"))
     }
 
+  /** st69: STREAMING MAD — q101's robust scale estimate online, the
+    * FOURTH readout funded by the shared per-(type, milli-value)
+    * count state (median st66, Gini st67, trimmed mean st68): the
+    * readout folds the literal q101 code
+    * ([[graft.queries.Relational.madCollapsed]]) and shares its
+    * oracle, proving online counts reproduce both nested medians. */
+  def streamMad(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      graft.queries.Relational.madCollapsed(
+        streamedValueCounts(spark, dir, "stream-mad", "graft_smad",
+          1000.0)
+          .select(col("event_type"), col("x").as("vfx"), col("cnt")))
+    }
+
   /** st56: STREAMING EXACT LEADERBOARD — continuous top-10 users by
     * exact cents spend per event type: the keyed state is the
     * (type, user) cents accumulator (additive across micro-batches,
