@@ -318,6 +318,8 @@ object SparkEntry {
     "d36_containment_fidelity" -> (PipelineQueries.containmentFidelity _),
     "q101_mad" -> (Relational.madExact _),
     "st69_stream_mad" -> (StreamingQueries.streamMad _),
+    "q102_iqr_outliers" -> (Relational.iqrOutliers _),
+    "st70_stream_iqr" -> (StreamingQueries.streamIqrOutliers _),
     "c41_split_balance" -> (PipelineQueries.splitBalance _),
     "m14_keyframes" -> (PipelineQueries.keyframes _),
     "st63_stream_ks" -> (StreamingQueries.streamKs _),
@@ -1168,6 +1170,10 @@ object SparkEntry {
     // same shared-definition collapse as q99/st66.
     "q101_mad" -> madOracleSql,
     "st69_stream_mad" -> madOracleSql,
+    // q102/st70: discrete-rank quartiles + doubled-value Tukey fences,
+    // integers end to end.
+    "q102_iqr_outliers" -> iqrOracleSql,
+    "st70_stream_iqr" -> iqrOracleSql,
     "st68_stream_trimmed_mean" -> trimmedMeanOracleSql,
     // st67: q95's sorted-index Gini over event values (milli grain),
     // recomputed row-wise from raw events.
@@ -7842,6 +7848,33 @@ object SparkEntry {
   /** q91/st63: two-sample Kolmogorov–Smirnov, all in exact integers:
     * d_num = max|cumA·n_b − cumB·n_a| over the tie-collapsed value
     * frame, rejection cross-multiplied with c = 1.36 (18496/10⁴). */
+  private def iqrOracleSql: String =
+    """WITH g AS (SELECT event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS v, count(*) AS c
+           FROM events GROUP BY 1, 2),
+       c1 AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum,
+              sum(c) OVER (PARTITION BY event_type) AS total
+            FROM g),
+       q AS (SELECT event_type, CAST(max(total) AS BIGINT) AS n,
+               CAST(min(CASE WHEN cum * 4 >= total THEN v END)
+                 AS BIGINT) AS q1_milli,
+               CAST(min(CASE WHEN cum * 4 >= total * 3 THEN v END)
+                 AS BIGINT) AS q3_milli
+             FROM c1 GROUP BY event_type),
+       q2 AS (SELECT *, q3_milli - q1_milli AS iqr_milli FROM q),
+       o AS (SELECT g.event_type,
+               CAST(sum(CASE WHEN g.v * 2 < q2.q1_milli * 2
+                     - q2.iqr_milli * 3
+                   OR g.v * 2 > q2.q3_milli * 2 + q2.iqr_milli * 3
+                   THEN g.c ELSE 0 END) AS BIGINT) AS n_outliers
+             FROM g JOIN q2 USING (event_type) GROUP BY g.event_type)
+       SELECT q2.event_type, q2.n, q2.q1_milli, q2.q3_milli,
+         q2.iqr_milli, o.n_outliers,
+         (o.n_outliers * 1000000) // q2.n AS outlier_ppm
+       FROM q2 JOIN o ON q2.event_type = o.event_type"""
+
   private def madOracleSql: String =
     """WITH g AS (SELECT event_type,
              CAST(floor(value * 1000) AS BIGINT) AS v, count(*) AS c

@@ -3081,4 +3081,47 @@ object Relational {
         (col("median_milli").cast("double") / 1000.0d).as("median"),
         (col("mad_milli").cast("double") / 1000.0d).as("mad"))
   }
+
+  /** q102: IQR OUTLIER FENCES (Tukey) per event type — the box-plot
+    * screen a metrics/quality pipeline runs before trusting a column:
+    * Q1/Q3 are the q69-style discrete rank picks (smallest value with
+    * 4*cum >= total / >= 3*total) on the tie-collapsed milli frame,
+    * and the 1.5*IQR fences are applied WITHOUT floats by comparing
+    * doubled values against integer fence numerators
+    * (2v < 2*Q1 - 3*IQR  ⇔  v < Q1 - 1.5*IQR). Output: the quartiles,
+    * the exact outlier count and its ppm share. Same collapse/window
+    * discipline as q94/q99/q101. */
+  def iqrOutliers(spark: SparkSession, dir: String): DataFrame =
+    iqrOutliersCollapsed(table(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 1000.0d).cast("long").as("vfx"))
+      .groupBy(col("event_type"), col("vfx"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** [[iqrOutliers]]'s fold over a collapsed (event_type, vfx, cnt)
+    * frame — st70's readout over the shared value-count state. */
+  def iqrOutliersCollapsed(byValue: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("vfx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("event_type"))
+    val c = byValue
+      .withColumn("cum", sum(col("cnt")).over(ord))
+      .withColumn("total", sum(col("cnt")).over(all))
+    val q = c.groupBy(col("event_type"))
+      .agg(max(col("total")).cast("long").as("n"),
+        min(when(col("cum") * 4L >= col("total"), col("vfx")))
+          .as("q1_milli"),
+        min(when(col("cum") * 4L >= col("total") * 3L, col("vfx")))
+          .as("q3_milli"))
+      .withColumn("iqr_milli", col("q3_milli") - col("q1_milli"))
+    byValue.join(q, Seq("event_type"))
+      .groupBy(col("event_type"), col("n"), col("q1_milli"),
+        col("q3_milli"), col("iqr_milli"))
+      .agg(sum(when(
+        col("vfx") * 2L < col("q1_milli") * 2L - col("iqr_milli") * 3L ||
+          col("vfx") * 2L > col("q3_milli") * 2L + col("iqr_milli") * 3L,
+        col("cnt")).otherwise(lit(0L))).as("n_outliers"))
+      .withColumn("outlier_ppm",
+        expr("(n_outliers * 1000000) div n"))
+  }
 }

@@ -4201,6 +4201,18 @@ object StreamingQueries {
           .select(col("event_type"), col("x").as("vfx"), col("cnt")))
     }
 
+  /** st70: STREAMING IQR OUTLIER SCREEN — q102's Tukey-fence counts
+    * online: the FIFTH readout funded by the shared per-(type,
+    * milli-value) count state (median/Gini/trimmed-mean/MAD/IQR),
+    * folding the literal q102 code and sharing its oracle. */
+  def streamIqrOutliers(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      graft.queries.Relational.iqrOutliersCollapsed(
+        streamedValueCounts(spark, dir, "stream-iqr", "graft_siqr",
+          1000.0)
+          .select(col("event_type"), col("x").as("vfx"), col("cnt")))
+    }
+
   /** st56: STREAMING EXACT LEADERBOARD — continuous top-10 users by
     * exact cents spend per event type: the keyed state is the
     * (type, user) cents accumulator (additive across micro-batches,
