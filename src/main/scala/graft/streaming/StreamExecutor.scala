@@ -252,14 +252,22 @@ object StreamExecutor {
       val ttlConf = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
       valueState = getHandle.getValueState[Array[Byte]](
         StateVarName, Encoders.BINARY, ttlConf)
-      joinState = getHandle.getValueState[JoinsState](
-        JoinStateVarName, Encoders.product[JoinsState], TTLConfig.NONE)
+      // Register join-catchup state ONLY for graphs that declare a Join
+      // edge: each state variable is its own RocksDB column family, and
+      // the majority of topologies are join-free — they must not pay
+      // the extra family's creation, commit and snapshot cost per
+      // micro-batch for state that can never hold a row.
+      joinState =
+        if (joinTopics.isEmpty) null
+        else getHandle.getValueState[JoinsState](
+          JoinStateVarName, Encoders.product[JoinsState], TTLConfig.NONE)
     }
 
     override def handleInitialState(
         key: String, s: KeyState, timerValues: TimerValues): Unit = {
       if (s.value != null) valueState.update(s.value)
-      if (s.joins.nonEmpty) joinState.update(JoinsState(s.joins))
+      if (s.joins.nonEmpty && joinState != null)
+        joinState.update(JoinsState(s.joins))
     }
 
     override def handleInputRows(
@@ -271,7 +279,7 @@ object StreamExecutor {
       val lookupSnap = lookups.resolve(qi.getRunId, qi.getBatchId)
       val prevValue = if (valueState.exists()) valueState.get() else null
       val prevJoins: Map[String, Array[Byte]] =
-        if (joinState.exists()) joinState.get().joins
+        if (joinState != null && joinState.exists()) joinState.get().joins
         else Map.empty[String, Array[Byte]]
       // Join values visible at batch start: static snapshot overlaid
       // by the persisted catchup state (which may hold tombstones).
@@ -314,8 +322,10 @@ object StreamExecutor {
       }
       if (newValue == null) { if (valueState.exists()) valueState.clear() }
       else valueState.update(newValue)
-      if (newJoins.isEmpty) { if (joinState.exists()) joinState.clear() }
-      else joinState.update(JoinsState(newJoins))
+      if (joinState != null) {
+        if (newJoins.isEmpty) { if (joinState.exists()) joinState.clear() }
+        else joinState.update(JoinsState(newJoins))
+      }
       out.iterator
     }
   }
