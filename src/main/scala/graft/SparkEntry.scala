@@ -320,6 +320,12 @@ object SparkEntry {
     "st69_stream_mad" -> (StreamingQueries.streamMad _),
     "q102_iqr_outliers" -> (Relational.iqrOutliers _),
     "st70_stream_iqr" -> (StreamingQueries.streamIqrOutliers _),
+    "q104_winsorized_mean" -> (Relational.winsorizedMean _),
+    "st71_stream_winsorized" -> (StreamingQueries.streamWinsorizedMean _),
+    "q105_cramers_v" -> (Relational.cramersV _),
+    "st72_stream_cramers_v" -> (StreamingQueries.streamCramersV _),
+    "q106_theil_sen" -> (Relational.theilSen _),
+    "q107_kendall_tau" -> (Relational.kendallTau _),
     "c41_split_balance" -> (PipelineQueries.splitBalance _),
     "m14_keyframes" -> (PipelineQueries.keyframes _),
     "st63_stream_ks" -> (StreamingQueries.streamKs _),
@@ -1174,6 +1180,17 @@ object SparkEntry {
     // integers end to end.
     "q102_iqr_outliers" -> iqrOracleSql,
     "st70_stream_iqr" -> iqrOracleSql,
+    // q104/st71: winsorized mean — the oracle keeps the row-wise
+    // clamp-at-rank form (like q94's oracle), the engine the collapsed
+    // kept-band + edge-pick form; the hash proves equivalence.
+    "q104_winsorized_mean" -> winsorOracleSql,
+    "st71_stream_winsorized" -> winsorOracleSql,
+    // q105/st72: Cramér's V from q96's exact integer χ² micro-sums;
+    // the only doubles are one division and one sqrt.
+    "q105_cramers_v" -> cramersOracleSql,
+    "st72_stream_cramers_v" -> cramersOracleSql,
+    "q106_theil_sen" -> theilSenOracleSql,
+    "q107_kendall_tau" -> kendallOracleSql,
     "st68_stream_trimmed_mean" -> trimmedMeanOracleSql,
     // st67: q95's sorted-index Gini over event values (milli grain),
     // recomputed row-wise from raw events.
@@ -7920,6 +7937,132 @@ object SparkEntry {
          FROM r
          WHERE rnk > n // 10 AND rnk <= n - n // 10
          GROUP BY event_type"""
+
+  private def winsorOracleSql: String =
+    """WITH r AS (SELECT event_type,
+                CAST(floor(value * 1000) AS BIGINT) AS vfx,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value, event_id) AS rnk,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+         k AS (SELECT event_type, max(n) AS n, max(n) // 10 AS k
+               FROM r GROUP BY event_type),
+         e AS (SELECT r.event_type,
+                 min(CASE WHEN rnk = k.k + 1 THEN vfx END) AS lo_milli,
+                 min(CASE WHEN rnk = k.n - k.k THEN vfx END) AS hi_milli
+               FROM r JOIN k USING (event_type) GROUP BY r.event_type),
+         s AS (SELECT r.event_type,
+                 CAST(sum(CASE WHEN rnk > k.k AND rnk <= k.n - k.k
+                   THEN vfx ELSE 0 END) AS BIGINT) AS kept_sum_milli
+               FROM r JOIN k USING (event_type) GROUP BY r.event_type)
+         SELECT k.event_type, CAST(k.n AS BIGINT) AS n,
+           CAST(k.k AS BIGINT) AS k, e.lo_milli, e.hi_milli,
+           s.kept_sum_milli,
+           s.kept_sum_milli + k.k * (e.lo_milli + e.hi_milli)
+             AS winsor_sum_milli,
+           CAST(s.kept_sum_milli + k.k * (e.lo_milli + e.hi_milli)
+               AS DOUBLE)
+             / CAST(k.n AS DOUBLE) / 1000.0 AS winsorized_mean
+         FROM k JOIN e USING (event_type) JOIN s USING (event_type)"""
+
+  private def cramersOracleSql: String =
+    """WITH e AS (SELECT event_type,
+             ((CAST(ts AS DATE) - DATE '2024-01-01') % 7 + 7) % 7
+               AS weekday
+           FROM events),
+       cells AS (SELECT event_type, CAST(weekday AS BIGINT) AS weekday,
+               count(*) AS o
+             FROM e GROUP BY event_type, weekday),
+       r AS (SELECT event_type, sum(o) AS r FROM cells
+             GROUP BY event_type),
+       c AS (SELECT weekday, sum(o) AS c FROM cells GROUP BY weekday),
+       t AS (SELECT sum(o) AS nn,
+               count(DISTINCT event_type) AS rl,
+               count(DISTINCT weekday) AS cl,
+               (count(DISTINCT event_type) - 1)
+                 * (count(DISTINCT weekday) - 1) AS dof
+             FROM cells),
+       k AS (SELECT cells.event_type, cells.weekday, cells.o,
+               CAST(((CAST(cells.o AS HUGEINT) * t.nn
+                   - CAST(r.r AS HUGEINT) * c.c)
+                 * (CAST(cells.o AS HUGEINT) * t.nn
+                   - CAST(r.r AS HUGEINT) * c.c)
+                 * 1000000) // (CAST(t.nn AS HUGEINT) * r.r * c.c)
+                 AS BIGINT) AS contrib_micro
+             FROM cells
+             JOIN r ON cells.event_type = r.event_type
+             JOIN c ON cells.weekday = c.weekday
+             CROSS JOIN t)
+       SELECT CAST(t.nn AS BIGINT) AS n,
+         CAST(t.rl AS BIGINT) AS r_levels,
+         CAST(t.cl AS BIGINT) AS c_levels,
+         CAST(t.dof AS BIGINT) AS dof,
+         CAST(sum(k.contrib_micro) AS BIGINT) AS chi2_micro,
+         sqrt(CAST(CAST(sum(k.contrib_micro) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(t.nn * least(t.rl - 1, t.cl - 1) * 1000000
+               AS BIGINT) AS DOUBLE)) AS cramers_v
+       FROM k CROSS JOIN t
+       GROUP BY t.nn, t.rl, t.cl, t.dof"""
+
+  private def dailySeriesOracleCte: String =
+    """d AS (SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             count(*) AS x,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+               AS y
+           FROM events GROUP BY event_type, 2),
+       nd AS (SELECT event_type, count(*) AS n_days FROM d
+              GROUP BY event_type)"""
+
+  private def theilSenOracleSql: String =
+    s"""WITH $dailySeriesOracleCte,
+       s AS (SELECT a.event_type,
+               CAST(b.y * a.x - a.y * b.x AS DOUBLE)
+                 / CAST(a.x * b.x * (b.d - a.d) AS DOUBLE) AS slope
+             FROM d a JOIN d b
+               ON a.event_type = b.event_type AND a.d < b.d),
+       g AS (SELECT event_type, slope, count(*) AS cnt FROM s
+             GROUP BY event_type, slope),
+       c1 AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type
+                ORDER BY slope ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cum,
+              sum(cnt) OVER (PARTITION BY event_type) AS total
+            FROM g),
+       m AS (SELECT event_type,
+               min(CASE WHEN cum * 2 >= total THEN slope END)
+                 AS ts_slope_milli_per_day,
+               CAST(max(total) AS BIGINT) AS n_pairs
+             FROM c1 GROUP BY event_type)
+       SELECT m.event_type, CAST(nd.n_days AS BIGINT) AS n_days,
+         m.n_pairs, m.ts_slope_milli_per_day
+       FROM m JOIN nd USING (event_type)"""
+
+  private def kendallOracleSql: String =
+    s"""WITH $dailySeriesOracleCte,
+       p AS (SELECT a.event_type,
+               count(*) AS n0,
+               sum(CASE WHEN (b.x > a.x AND b.y > a.y)
+                     OR (b.x < a.x AND b.y < a.y)
+                   THEN 1 ELSE 0 END) AS concordant,
+               sum(CASE WHEN (b.x > a.x AND b.y < a.y)
+                     OR (b.x < a.x AND b.y > a.y)
+                   THEN 1 ELSE 0 END) AS discordant,
+               sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS ties_x,
+               sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS ties_y
+             FROM d a JOIN d b
+               ON a.event_type = b.event_type AND a.d < b.d
+             GROUP BY a.event_type)
+       SELECT p.event_type, CAST(nd.n_days AS BIGINT) AS n_days,
+         CAST(n0 AS BIGINT) AS n0,
+         CAST(concordant AS BIGINT) AS concordant,
+         CAST(discordant AS BIGINT) AS discordant,
+         CAST(ties_x AS BIGINT) AS ties_x,
+         CAST(ties_y AS BIGINT) AS ties_y,
+         CAST(CAST(concordant AS BIGINT) - CAST(discordant AS BIGINT)
+             AS DOUBLE)
+           / sqrt(CAST(CAST((n0 - ties_x) * (n0 - ties_y) AS BIGINT)
+               AS DOUBLE)) AS tau_b
+       FROM p JOIN nd USING (event_type)"""
 
   private def benfordOracleSql: String =
     """WITH v AS (SELECT event_type,

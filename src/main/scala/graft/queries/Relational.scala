@@ -3124,4 +3124,191 @@ object Relational {
       .withColumn("outlier_ppm",
         expr("(n_outliers * 1000000) div n"))
   }
+
+  /** q104: 10% WINSORIZED MEAN per event type — q94's robust-location
+    * sibling: instead of DROPPING the k = n div 10 smallest/largest
+    * observations, CLAMP them to the kept band's edge values (the
+    * ranks k+1 and n-k), so every observation still contributes and
+    * outliers contribute a bounded amount — the standard treatment
+    * when the tail rows carry real mass that must not vanish from the
+    * estimate (metering, billing). Same tie-collapsed kept-band
+    * overlap formula as q94 plus two discrete-rank edge picks (q102's
+    * machinery); integers end to end until the final division. */
+  def winsorizedMean(spark: SparkSession, dir: String): DataFrame =
+    winsorizedMeanCollapsed(table(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 1000.0d).cast("long").as("vfx"))
+      .groupBy(col("event_type"), col("vfx"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** [[winsorizedMean]]'s fold over an already-collapsed
+    * (event_type, vfx, cnt) frame — st71 folds it over the same
+    * streamed per-(type, milli-value) count state that funds
+    * st66/st67/st68/st69/st70, sharing q104's oracle hash. */
+  def winsorizedMeanCollapsed(byValue: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("vfx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("event_type"))
+    val c = byValue
+      .withColumn("cum", sum(col("cnt")).over(ord))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .withColumn("k", expr("n div 10"))
+    // Band edges at ranks k+1 and n-k (lower-rank convention, like
+    // q102's quartile picks); the kept-band overlap is q94's formula.
+    c.groupBy(col("event_type"))
+      .agg(max(col("n")).cast("long").as("n"),
+        max(col("k")).cast("long").as("k"),
+        min(when(col("cum") >= col("k") + 1L, col("vfx")))
+          .as("lo_milli"),
+        min(when(col("cum") >= col("n") - col("k"), col("vfx")))
+          .as("hi_milli"),
+        sum(col("vfx") *
+          greatest(lit(0L), least(col("cum"), col("n") - col("k")) -
+            greatest(col("cum") - col("cnt"), col("k"))))
+          .as("kept_sum_milli"))
+      .withColumn("winsor_sum_milli",
+        col("kept_sum_milli") +
+          col("k") * (col("lo_milli") + col("hi_milli")))
+      .withColumn("winsorized_mean",
+        col("winsor_sum_milli").cast("double") /
+          col("n").cast("double") / 1000.0d)
+  }
+
+  /** q105: CRAMÉR'S V — the [0,1] effect size of the q96 contingency
+    * table (event type × weekday), the number a drift monitor reports
+    * when χ² alone is meaningless because n is huge (at 100 TB
+    * EVERYTHING is "significant"; V answers whether the association is
+    * big). V = sqrt(χ² / (n · min(r-1, c-1))) over the whole table.
+    * χ² rides q96's exact integer micro-contributions; the only
+    * floating-point ops are one division and one sqrt, both correctly
+    * rounded in IEEE 754, so the cross-engine hash is safe. */
+  def cramersV(spark: SparkSession, dir: String): DataFrame =
+    cramersVCells(table(spark, dir, "events")
+      .select(col("event_type"),
+        pmod(datediff(col("ts").cast("date"),
+          to_date(lit("2024-01-01"))), lit(7)).cast("long").as("weekday"))
+      .groupBy(col("event_type"), col("weekday"))
+      .agg(count(lit(1)).as("o")))
+
+  /** [[cramersV]]'s fold over any (event_type, weekday, o) cell frame
+    * — st72 folds it over st64's streamed contingency state, sharing
+    * q105's oracle hash. */
+  def cramersVCells(cells: DataFrame): DataFrame =
+    chiSquaredCells(cells)
+      .groupBy()
+      .agg(sum(col("o")).cast("long").as("n"),
+        countDistinct(col("event_type")).as("r_levels"),
+        countDistinct(col("weekday")).as("c_levels"),
+        max(col("dof")).cast("long").as("dof"),
+        sum(col("contrib_micro")).as("chi2_micro"))
+      .withColumn("m",
+        least(col("r_levels") - 1L, col("c_levels") - 1L))
+      .select(col("n"), col("r_levels"), col("c_levels"), col("dof"),
+        col("chi2_micro"),
+        sqrt(col("chi2_micro").cast("double") /
+          (col("n") * col("m") * lit(1000000L)).cast("double"))
+          .as("cramers_v"))
+
+  /** Per-(event_type, day) aggregate frame shared by q106/q107: day
+    * index from the fixture epoch, daily observation count and daily
+    * milli-value sum — the bounded (types × days) series that trend
+    * statistics run on. The aggregation is the only pass over the raw
+    * events; everything downstream is days²-bounded per type. */
+  def dailySeries(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), to_date(lit("2024-01-01")))
+          .cast("long").as("d"),
+        floor(col("value") * 1000.0d).cast("long").as("vfx"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("x"), sum(col("vfx")).as("y"))
+
+  /** q106: THEIL–SEN ROBUST SLOPE of the daily mean value per event
+    * type — the median of all pairwise slopes between days, the
+    * classic breakdown-resistant trend estimate (Theil 1950, Sen
+    * 1968): a corrupted day shifts the OLS slope arbitrarily but
+    * moves this one by at most one rank. Slopes stay exact rationals
+    * (cross-multiplied daily sums/counts) until ONE division each;
+    * the median is the lower-rank pick over the collapsed slope
+    * frame. Pairs are bounded by days² per type — the per-type
+    * self-join is an equi-join on event_type, never a cartesian. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSenDaily(dailySeries(spark, dir))
+
+  /** [[theilSen]]'s fold over any (event_type, d, x, y) daily frame. */
+  def theilSenDaily(daily: DataFrame): DataFrame = {
+    val a = daily.select(col("event_type"), col("d").as("d1"),
+      col("x").as("c1"), col("y").as("s1"))
+    val b = daily.select(col("event_type"), col("d").as("d2"),
+      col("x").as("c2"), col("y").as("s2"))
+    // slope of the daily MEAN between days i<j:
+    //   ((s2/c2) - (s1/c1)) / (d2 - d1)
+    //   = (s2*c1 - s1*c2) / (c1*c2*(d2-d1))   — exact integers.
+    val slopes = a.join(b, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .select(col("event_type"),
+        ((col("s2") * col("c1") - col("s1") * col("c2")).cast("double") /
+          (col("c1") * col("c2") * (col("d2") - col("d1"))).cast("double"))
+          .as("slope"))
+      .groupBy(col("event_type"), col("slope"))
+      .agg(count(lit(1)).as("cnt"))
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("slope"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("event_type"))
+    val days = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"))
+    slopes
+      .withColumn("cum", sum(col("cnt")).over(ord))
+      .withColumn("total", sum(col("cnt")).over(all))
+      .filter(col("cum") * 2L >= col("total"))
+      .groupBy(col("event_type"))
+      .agg(min(col("slope")).as("ts_slope_milli_per_day"),
+        max(col("total")).cast("long").as("n_pairs"))
+      .join(days, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("ts_slope_milli_per_day"))
+  }
+
+  /** q107: KENDALL τ-b between the daily observation count and the
+    * daily value sum per event type — rank agreement of two series
+    * ("do busier days carry more value?"), with the tie-corrected
+    * denominator. Concordant/discordant/tied pair counts are exact
+    * integers from the days²-bounded per-type pair join; τ-b's
+    * denominator is one sqrt of an exact-integer product, so the only
+    * floating-point ops are one conversion, one division and one
+    * sqrt — all correctly rounded, cross-engine-safe. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame =
+    kendallTauDaily(dailySeries(spark, dir))
+
+  /** [[kendallTau]]'s fold over any (event_type, d, x, y) daily frame. */
+  def kendallTauDaily(daily: DataFrame): DataFrame = {
+    val a = daily.select(col("event_type"), col("d").as("d1"),
+      col("x").as("x1"), col("y").as("y1"))
+    val b = daily.select(col("event_type"), col("d").as("d2"),
+      col("x").as("x2"), col("y").as("y2"))
+    val dx = col("x2") - col("x1")
+    val dy = col("y2") - col("y1")
+    // Concordance via sign agreement, never the product dx*dy — the
+    // deltas are data-scaled and a product overflows long long before
+    // the counts do.
+    a.join(b, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when((dx > 0L && dy > 0L) || (dx < 0L && dy < 0L), 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when((dx > 0L && dy < 0L) || (dx < 0L && dy > 0L), 1L)
+          .otherwise(0L)).as("discordant"),
+        sum(when(dx === 0L, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(dy === 0L, 1L).otherwise(0L)).as("ties_y"))
+      .withColumn("tau_b",
+        (col("concordant") - col("discordant")).cast("double") /
+          sqrt(((col("n0") - col("ties_x")) *
+            (col("n0") - col("ties_y"))).cast("double")))
+      .join(daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_days")), Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n0"),
+        col("concordant"), col("discordant"), col("ties_x"),
+        col("ties_y"), col("tau_b"))
+  }
 }

@@ -4005,42 +4005,77 @@ object StreamingQueries {
     * statistic as state, not the decision. */
   def streamChiSquared(spark: SparkSession, dir: String): DataFrame =
     withStateShards(spark) {
-      import spark.implicits._
-      import graft.operators.BatchExecutor.SinkTable
-      val graph = GroupGraph.define("stream-chisq")(
-        Input("events", StringCodec, ProcessCallback { (ctx, _) =>
-          val n = ctx.value match {
-            case null => 0L
-            case s: String => s.toLong
-          }
-          ctx.setValue((n + 1L).toString)
-        }),
-        Persist(StringCodec))
-      val ev = Sources.table(spark, dir, "events")
-      val staging = tempDir("graft_schisq")
-      stageTwoBatches(spark,
-        Sources.messages(ev, "events",
-          concat(col("event_type"), lit("|"),
-            pmod(datediff(col("ts").cast("date"),
-              to_date(lit("2024-01-01"))), lit(7)).cast("string")),
-          lit("1"), col("ts"), col("event_id")),
-        staging)
-      val stream = spark.readStream
-        .schema(Sources.eventMessages(spark, dir).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(bindShardsToTopic(spark, staging)).as[Message]
-      val out = new StreamExecutor(graph).run(spark, stream)
-      val tableRows = out.filter(_.sink == SinkTable)
-        .map(e => (e.key, StringCodec.decode(e.value)))
-        .toDF("key", "st")
-      val cells = runToTable(spark, tableRows)
-        .select(col("key"), col("st").cast("long").as("o"))
-        // counts only grow, so the max upsert per key is the final one
-        .groupBy(col("key")).agg(max(col("o")).as("o"))
-        .select(substring_index(col("key"), "|", 1).as("event_type"),
-          substring_index(col("key"), "|", -1).cast("long").as("weekday"),
-          col("o"))
-      graft.queries.Relational.chiSquaredCells(cells)
+      graft.queries.Relational.chiSquaredCells(
+        streamedWeekdayCells(spark, dir, "stream-chisq", "graft_schisq"))
+    }
+
+  /** The shared st64/st72 contingency state pipeline: per (event_type,
+    * weekday) key, a streamed occurrence count — the sufficient
+    * statistic for the whole χ² family (test statistic, effect size)
+    * from ONE state-table shape, exactly how [[streamedValueCounts]]
+    * funds the order-statistic family. */
+  private def streamedWeekdayCells(spark: SparkSession, dir: String,
+      group: String, stagePrefix: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val graph = GroupGraph.define(group)(
+      Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+        val n = ctx.value match {
+          case null => 0L
+          case s: String => s.toLong
+        }
+        ctx.setValue((n + 1L).toString)
+      }),
+      Persist(StringCodec))
+    val ev = Sources.table(spark, dir, "events")
+    val staging = tempDir(stagePrefix)
+    stageTwoBatches(spark,
+      Sources.messages(ev, "events",
+        concat(col("event_type"), lit("|"),
+          pmod(datediff(col("ts").cast("date"),
+            to_date(lit("2024-01-01"))), lit(7)).cast("string")),
+        lit("1"), col("ts"), col("event_id")),
+      staging)
+    val stream = spark.readStream
+      .schema(Sources.eventMessages(spark, dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
+    val out = new StreamExecutor(graph).run(spark, stream)
+    val tableRows = out.filter(_.sink == SinkTable)
+      .map(e => (e.key, StringCodec.decode(e.value)))
+      .toDF("key", "st")
+    runToTable(spark, tableRows)
+      .select(col("key"), col("st").cast("long").as("o"))
+      // counts only grow, so the max upsert per key is the final one
+      .groupBy(col("key")).agg(max(col("o")).as("o"))
+      .select(substring_index(col("key"), "|", 1).as("event_type"),
+        substring_index(col("key"), "|", -1).cast("long").as("weekday"),
+        col("o"))
+  }
+
+  /** st72: STREAMING CRAMÉR'S V — q105's association effect size
+    * maintained online over the SAME keyed contingency state shape as
+    * st64, folding the literal q105 code
+    * ([[graft.queries.Relational.cramersVCells]]) and sharing its
+    * oracle hash: the second readout funded by the streamed
+    * (type, weekday) count state. */
+  def streamCramersV(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      graft.queries.Relational.cramersVCells(
+        streamedWeekdayCells(spark, dir, "stream-cramer", "graft_scramer"))
+    }
+
+  /** st71: STREAMING WINSORIZED MEAN — q104's clamped-tail location
+    * estimate online: the SIXTH readout funded by the shared
+    * per-(type, milli-value) count state
+    * (median/Gini/trimmed-mean/MAD/IQR/winsorized), folding the
+    * literal q104 code and sharing its oracle. */
+  def streamWinsorizedMean(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      graft.queries.Relational.winsorizedMeanCollapsed(
+        streamedValueCounts(spark, dir, "stream-winsor", "graft_swinsor",
+          1000.0)
+          .select(col("event_type"), col("x").as("vfx"), col("cnt")))
     }
 
   /** st65: STREAMING BENFORD AUDIT — q97's leading-digit test

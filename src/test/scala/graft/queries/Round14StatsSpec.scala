@@ -256,4 +256,115 @@ class Round14StatsSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(3L) == 999L && !m.contains(4L) && m(5L) == 50L)
   }
+
+  test("q104 winsorized mean: random tied data matches the row-wise " +
+      "clamp-at-rank-edges definition computed by brute force") {
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      val rows = (1 to (if (round == 3) 7 else 400)).map { _ =>
+        ("W" + rnd.nextInt(3), rnd.nextInt(25).toLong) // heavy ties
+      }
+      val got = Relational.winsorizedMeanCollapsed(
+        rows.toDF("event_type", "vfx")
+          .groupBy(col("event_type"), col("vfx"))
+          .agg(count(lit(1)).as("cnt"))).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(6)))).toMap
+      rows.groupBy(_._1).foreach { case (t, g) =>
+        val xs = g.map(_._2).sorted
+        val n = xs.length
+        val k = n / 10
+        val lo = xs(k)          // rank k+1, 0-indexed
+        val hi = xs(n - k - 1)  // rank n-k
+        val ws = xs.zipWithIndex.map { case (x, i) =>
+          if (i < k) lo else if (i >= n - k) hi else x
+        }.sum
+        assert(got(t) == ((n.toLong, k.toLong, lo, hi, ws)),
+          s"round $round type $t (n=$n k=$k)")
+      }
+    }
+  }
+
+  test("q105 Cramér's V: random contingency cells match the " +
+      "sqrt(chi2/(n*min(r-1,c-1))) definition from the exact integer " +
+      "micro-sum") {
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      val cells = (for {
+        t <- 0 until (2 + rnd.nextInt(4)); w <- 0 until 7
+        o = rnd.nextInt(300) + 1
+      } yield ("t" + t, w.toLong, o.toLong))
+        .filter(_ => rnd.nextInt(8) > 0)
+      val row = Relational.cramersVCells(
+        cells.toDF("event_type", "weekday", "o")).collect().head
+      val chiRows = Relational.chiSquaredCells(
+        cells.toDF("event_type", "weekday", "o")).collect()
+      val chi2 = chiRows.map(_.getLong(4)).sum
+      val n = cells.map(_._3).sum
+      val r = cells.map(_._1).distinct.size
+      val c = cells.map(_._2).distinct.size
+      val m = math.min(r - 1, c - 1).toLong
+      assert(row.getLong(0) == n && row.getLong(4) == chi2)
+      assert(row.getDouble(5) ==
+        math.sqrt(chi2.toDouble / (n * m * 1000000L).toDouble),
+        s"round $round")
+    }
+  }
+
+  test("q106 Theil-Sen: random daily series matches the brute-force " +
+      "lower-median of exact pairwise mean slopes") {
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      val daily = (for {
+        t <- 0 until 3; d <- 0 until (5 + rnd.nextInt(25))
+      } yield ("t" + t, d.toLong,
+        (rnd.nextInt(50) + 1).toLong, rnd.nextInt(2000).toLong - 500L))
+      val got = Relational.theilSenDaily(
+        daily.toDF("event_type", "d", "x", "y")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      daily.groupBy(_._1).foreach { case (t, g) =>
+        val slopes = (for {
+          (_, d1, c1, s1) <- g; (_, d2, c2, s2) <- g
+          if d1 < d2
+        } yield (s2 * c1 - s1 * c2).toDouble /
+            (c1 * c2 * (d2 - d1)).toDouble).sorted
+        val med = slopes((slopes.length - 1) / 2)
+        assert(got(t) == ((g.size.toLong, slopes.length.toLong, med)),
+          s"round $round type $t")
+      }
+    }
+  }
+
+  test("q107 Kendall tau-b: random daily series matches brute-force " +
+      "concordant/discordant/tie counts and the tie-corrected statistic") {
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      val daily = (for {
+        t <- 0 until 3; d <- 0 until (5 + rnd.nextInt(25))
+      } yield ("t" + t, d.toLong,
+        rnd.nextInt(6).toLong, rnd.nextInt(6).toLong)) // heavy ties
+      val got = Relational.kendallTauDaily(
+        daily.toDF("event_type", "d", "x", "y")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getDouble(7)))).toMap
+      daily.groupBy(_._1).foreach { case (t, g) =>
+        val pairs = for {
+          (_, d1, x1, y1) <- g; (_, d2, x2, y2) <- g
+          if d1 < d2
+        } yield (x2 - x1, y2 - y1)
+        val cc = pairs.count(p => p._1 * p._2 > 0).toLong
+        val dd = pairs.count(p => p._1 * p._2 < 0).toLong
+        val tx = pairs.count(_._1 == 0).toLong
+        val ty = pairs.count(_._2 == 0).toLong
+        val n0 = pairs.size.toLong
+        val tau = (cc - dd).toDouble /
+          math.sqrt(((n0 - tx) * (n0 - ty)).toDouble)
+        assert(got(t) == ((n0, cc, dd, tx, ty, tau)),
+          s"round $round type $t")
+      }
+    }
+  }
 }
