@@ -320,6 +320,8 @@ object SparkEntry {
     "st69_stream_mad" -> (StreamingQueries.streamMad _),
     "q102_iqr_outliers" -> (Relational.iqrOutliers _),
     "st70_stream_iqr" -> (StreamingQueries.streamIqrOutliers _),
+    "q103_psi" -> (Relational.psi _),
+    "st73_stream_psi" -> (StreamingQueries.streamPsi _),
     "q104_winsorized_mean" -> (Relational.winsorizedMean _),
     "st71_stream_winsorized" -> (StreamingQueries.streamWinsorizedMean _),
     "q105_cramers_v" -> (Relational.cramersV _),
@@ -1180,6 +1182,12 @@ object SparkEntry {
     // integers end to end.
     "q102_iqr_outliers" -> iqrOracleSql,
     "st70_stream_iqr" -> iqrOracleSql,
+    // q103/st73: population stability index — reference-decile bins,
+    // add-one smoothing, fixed-point log2 integer numerator; the
+    // streaming twin's micro-batch boundary IS the batch query's
+    // window split, so one oracle serves both.
+    "q103_psi" -> psiOracleSql,
+    "st73_stream_psi" -> psiOracleSql,
     // q104/st71: winsorized mean — the oracle keeps the row-wise
     // clamp-at-rank form (like q94's oracle), the engine the collapsed
     // kept-band + edge-pick form; the hash proves equivalence.
@@ -7937,6 +7945,83 @@ object SparkEntry {
          FROM r
          WHERE rnk > n // 10 AND rnk <= n - n // 10
          GROUP BY event_type"""
+
+  private def psiOracleSql: String = {
+    import graft.functions.PortableMath
+    s"""WITH raw AS (SELECT event_type, epoch_us(ts) AS tsu,
+             CAST(floor(value * 1000) AS BIGINT) AS v
+           FROM events),
+       mm AS (SELECT (min(tsu) + max(tsu)) // 2 AS mid FROM raw),
+       g AS (SELECT event_type,
+               CASE WHEN tsu <= mm.mid THEN 0 ELSE 1 END AS half,
+               v, count(*) AS cnt
+             FROM raw, mm GROUP BY 1, 2, 3),
+       rc AS (SELECT event_type, v, cnt,
+                sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum,
+                sum(cnt) OVER (PARTITION BY event_type) AS total
+              FROM g WHERE half = 0),
+       e AS (SELECT event_type, CAST(max(total) AS BIGINT) AS n_ref,
+               min(CASE WHEN cum * 10 >= total * 1 THEN v END) AS e1,
+               min(CASE WHEN cum * 10 >= total * 2 THEN v END) AS e2,
+               min(CASE WHEN cum * 10 >= total * 3 THEN v END) AS e3,
+               min(CASE WHEN cum * 10 >= total * 4 THEN v END) AS e4,
+               min(CASE WHEN cum * 10 >= total * 5 THEN v END) AS e5,
+               min(CASE WHEN cum * 10 >= total * 6 THEN v END) AS e6,
+               min(CASE WHEN cum * 10 >= total * 7 THEN v END) AS e7,
+               min(CASE WHEN cum * 10 >= total * 8 THEN v END) AS e8,
+               min(CASE WHEN cum * 10 >= total * 9 THEN v END) AS e9
+             FROM rc GROUP BY event_type),
+       b AS (SELECT g.event_type, g.half, g.cnt,
+               (CASE WHEN g.v >= e.e1 THEN 1 ELSE 0 END)
+               + (CASE WHEN g.v >= e.e2 THEN 1 ELSE 0 END)
+               + (CASE WHEN g.v >= e.e3 THEN 1 ELSE 0 END)
+               + (CASE WHEN g.v >= e.e4 THEN 1 ELSE 0 END)
+               + (CASE WHEN g.v >= e.e5 THEN 1 ELSE 0 END)
+               + (CASE WHEN g.v >= e.e6 THEN 1 ELSE 0 END)
+               + (CASE WHEN g.v >= e.e7 THEN 1 ELSE 0 END)
+               + (CASE WHEN g.v >= e.e8 THEN 1 ELSE 0 END)
+               + (CASE WHEN g.v >= e.e9 THEN 1 ELSE 0 END) AS bin
+             FROM g JOIN e USING (event_type)),
+       cnts AS (SELECT event_type, CAST(bin AS BIGINT) AS bin,
+                 CAST(sum(CASE WHEN half = 0 THEN cnt ELSE 0 END)
+                   AS BIGINT) AS r,
+                 CAST(sum(CASE WHEN half = 1 THEN cnt ELSE 0 END)
+                   AS BIGINT) AS c
+               FROM b GROUP BY 1, 2),
+       sc AS (SELECT e.event_type, e.n_ref,
+                CAST(bins.range AS BIGINT) AS bin
+              FROM e CROSS JOIN range(0, 10) bins),
+       nc AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_cur
+              FROM cnts GROUP BY event_type),
+       f AS (SELECT sc.event_type, sc.bin,
+               coalesce(cnts.r, 0) AS r, coalesce(cnts.c, 0) AS c,
+               sc.n_ref, nc.n_cur,
+               (coalesce(cnts.c, 0) + 1) * (sc.n_ref + 10) AS cn,
+               (coalesce(cnts.r, 0) + 1) * (nc.n_cur + 10) AS rn,
+               CAST((coalesce(cnts.c, 0) + 1) * (sc.n_ref + 10)
+                   AS DOUBLE)
+                 / CAST((coalesce(cnts.r, 0) + 1) * (nc.n_cur + 10)
+                   AS DOUBLE) AS ratio
+             FROM sc
+             LEFT JOIN cnts ON sc.event_type = cnts.event_type
+               AND sc.bin = cnts.bin
+             JOIN nc ON sc.event_type = nc.event_type),
+       ${PortableMath.log2FixedSqlStages("f", "ratio", "l2_fx", "ps")},
+       p AS (SELECT event_type,
+               CAST(sum(CAST(cn - rn AS HUGEINT) * l2_fx) AS BIGINT)
+                 AS psi_fx,
+               (max(n_ref) + 10) * (max(n_cur) + 10) AS den
+             FROM psout GROUP BY event_type),
+       p2 AS (SELECT event_type, psi_fx,
+                CAST(psi_fx AS DOUBLE) * 0.6931471805599453
+                  / (65536.0 * CAST(den AS DOUBLE)) AS psi
+              FROM p)
+       SELECT o.event_type, o.bin, o.r AS ref_cnt, o.c AS cur_cnt,
+         o.l2_fx, o.n_ref, o.n_cur, p2.psi_fx, p2.psi
+       FROM psout o JOIN p2 USING (event_type)"""
+  }
 
   private def winsorOracleSql: String =
     """WITH r AS (SELECT event_type,

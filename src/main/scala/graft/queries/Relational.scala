@@ -3209,6 +3209,104 @@ object Relational {
           (col("n") * col("m") * lit(1000000L)).cast("double"))
           .as("cramers_v"))
 
+  /** q103: POPULATION STABILITY INDEX per event type — the standard
+    * production drift monitor: bin the value distribution by the
+    * REFERENCE window's deciles, then
+    * PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref). Windows are the
+    * two halves of the fixture's time range split at the integer
+    * µs midpoint — the IDENTICAL split the streaming harness stages
+    * micro-batches with, so st73's "batch 1 vs batch 2" state IS this
+    * query's ref/cur and the oracle is shared. Discipline:
+    *   - decile edges are discrete lower-rank picks on the collapsed
+    *     per-(type, milli-value) count frame (q102's machinery);
+    *   - add-one (Laplace) smoothing keeps empty bins finite and the
+    *     ratio strictly positive — deterministic, unlike an epsilon;
+    *   - the log rides [[graft.functions.PortableMath.withLog2Fixed]]
+    *     (exact integer, FMA-proof — the c43 lesson), so the PSI
+    *     numerator is an exact integer sum and the only doubles are
+    *     one ratio division and the final two-factor scale. ln-units
+    *     via the ln2 constant, like c43's Theil.
+    * At scale: ONE pass over the raw rows builds the collapsed halves
+    * frame (bounded by value-domain × types × 2, localCheckpoint-
+    * pinned for its two consumers); everything downstream is
+    * (types × 10 bins). The log2 ladder's domain caps the smoothed
+    * count ratio at 2^±20 — raise fracBits/kLadder for corpora past
+    * ~10^6 rows per (type, window). */
+  def psi(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val mid = ev.agg(
+      expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2")
+        .as("mid"))
+    psiCollapsed(ev.crossJoin(broadcast(mid))
+      .select(col("event_type"),
+        when(unix_micros(col("ts")) <= col("mid"), lit(0L))
+          .otherwise(lit(1L)).as("half"),
+        floor(col("value") * 1000.0d).cast("long").as("vfx"))
+      .groupBy(col("event_type"), col("half"), col("vfx"))
+      .agg(count(lit(1)).as("cnt")))
+  }
+
+  /** [[psi]]'s fold over an already-collapsed
+    * (event_type, half, vfx, cnt) frame — half 0 = reference window,
+    * half 1 = current. st73 folds it over streamed per-(type, half,
+    * milli-value) counts, sharing q103's oracle hash. */
+  def psiCollapsed(halvesIn: DataFrame): DataFrame = {
+    import graft.functions.PortableMath
+    // Bounded (types × 2 × value domain); pinned for its two
+    // consumers (edge pass + bin pass) so the upstream pipeline —
+    // for q103 a full raw scan — executes once.
+    val halves = halvesIn.localCheckpoint()
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("vfx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("event_type"))
+    val rc = halves.filter(col("half") === 0L)
+      .withColumn("cum", sum(col("cnt")).over(ord))
+      .withColumn("total", sum(col("cnt")).over(all))
+    val edges = rc.groupBy(col("event_type"))
+      .agg(max(col("total")).cast("long").as("n_ref"),
+        (1 to 9).map(k =>
+          min(when(col("cum") * 10L >= col("total") * k, col("vfx")))
+            .as(s"e$k")): _*)
+    val binned = halves.join(broadcast(edges), Seq("event_type"))
+      .withColumn("bin", (1 to 9).map(k =>
+        when(col("vfx") >= col(s"e$k"), 1L).otherwise(0L))
+        .reduce(_ + _))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("half") === 0L, col("cnt")).otherwise(0L))
+          .as("r"),
+        sum(when(col("half") === 1L, col("cnt")).otherwise(0L))
+          .as("c"))
+    val nCur = binned.groupBy(col("event_type"))
+      .agg(sum(col("c")).cast("long").as("n_cur"))
+    val scaffold = edges.select(col("event_type"), col("n_ref"),
+      explode(sequence(lit(0L), lit(9L))).as("bin"))
+    val f = scaffold
+      .join(binned, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("r", "c"))
+      .join(broadcast(nCur), Seq("event_type"))
+      .withColumn("cn", (col("c") + 1L) * (col("n_ref") + 10L))
+      .withColumn("rn", (col("r") + 1L) * (col("n_cur") + 10L))
+      .withColumn("ratio",
+        col("cn").cast("double") / col("rn").cast("double"))
+    val withL2 = PortableMath.withLog2Fixed(f, col("ratio"), "l2_fx")
+      .localCheckpoint() // tiny (types × 10); two consumers below
+    val psiT = withL2
+      .select(col("event_type"),
+        ((col("cn") - col("rn")).cast(DecimalType(38, 0)) *
+          col("l2_fx")).as("term"),
+        ((col("n_ref") + 10L) * (col("n_cur") + 10L)).as("den"))
+      .groupBy(col("event_type"), col("den"))
+      .agg(PortableMath.exactLong(sum(col("term")), "psi_fx")
+        .as("psi_fx"))
+      .select(col("event_type"), col("psi_fx"),
+        (col("psi_fx").cast("double") * lit(0.6931471805599453d) /
+          (lit(65536.0d) * col("den").cast("double"))).as("psi"))
+    withL2.select(col("event_type"), col("bin"),
+        col("r").as("ref_cnt"), col("c").as("cur_cnt"),
+        col("l2_fx"), col("n_ref"), col("n_cur"))
+      .join(broadcast(psiT), Seq("event_type"))
+  }
+
   /** Per-(event_type, day) aggregate frame shared by q106/q107: day
     * index from the fixture epoch, daily observation count and daily
     * milli-value sum — the bounded (types × days) series that trend

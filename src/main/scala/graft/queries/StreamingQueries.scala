@@ -4065,6 +4065,64 @@ object StreamingQueries {
         streamedWeekdayCells(spark, dir, "stream-cramer", "graft_scramer"))
     }
 
+  /** st73: STREAMING PSI — q103's population stability index online:
+    * the keyed state counts per (type, half, milli-value) where half
+    * is the µs-midpoint window — EXACTLY the boundary the harness
+    * splits micro-batches at, so batch 1 is the reference window and
+    * batch 2 the current one: drift-of-what-just-arrived against
+    * what-came-before, the deployment shape of a drift monitor. The
+    * readout folds the literal q103 code
+    * ([[graft.queries.Relational.psiCollapsed]]) and shares its
+    * oracle hash. */
+  def streamPsi(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-psi")(
+        Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+          val n = ctx.value match {
+            case null => 0L
+            case s: String => s.toLong
+          }
+          ctx.setValue((n + 1L).toString)
+        }),
+        Persist(StringCodec))
+      val ev = Sources.table(spark, dir, "events")
+      // The window boundary: the same integer-µs midpoint stageSplit
+      // chops micro-batches at (bounded 1-row collect).
+      val mid = ev.agg(
+        expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2"))
+        .head().getLong(0)
+      val staging = tempDir("graft_spsi")
+      stageTwoBatches(spark,
+        Sources.messages(ev, "events",
+          concat(col("event_type"), lit("|"),
+            when(unix_micros(col("ts")) <= mid, lit("0"))
+              .otherwise(lit("1")),
+            lit("|"),
+            floor(col("value") * 1000.0d).cast("long").cast("string")),
+          lit("1"), col("ts"), col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val tableRows = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("key", "st")
+      val halves = runToTable(spark, tableRows)
+        .select(col("key"), col("st").cast("long").as("o"))
+        // counts only grow, so the max upsert per key is the final one
+        .groupBy(col("key")).agg(max(col("o")).as("cnt"))
+        .select(split(col("key"), "\\|").as("kk"), col("cnt"))
+        .select(element_at(col("kk"), 1).as("event_type"),
+          element_at(col("kk"), 2).cast("long").as("half"),
+          element_at(col("kk"), 3).cast("long").as("vfx"),
+          col("cnt"))
+      graft.queries.Relational.psiCollapsed(halves)
+    }
+
   /** st71: STREAMING WINSORIZED MEAN — q104's clamped-tail location
     * estimate online: the SIXTH readout funded by the shared
     * per-(type, milli-value) count state

@@ -286,6 +286,56 @@ class Round14StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q103 PSI: random two-window value counts match the brute-force " +
+      "reference-decile + add-one + fixed-point-log2 definition") {
+    import spark.implicits._
+    import graft.functions.PortableMath
+    for (round <- 1 to 3) {
+      val halves = (for {
+        t <- 0 until 2; h <- 0 until 2
+        _ <- 1 to (20 + rnd.nextInt(30))
+      } yield ("p" + t, h.toLong, rnd.nextInt(40).toLong))
+        .groupBy(identity).map { case ((t, h, v), g) =>
+          (t, h, v, g.size.toLong) }.toSeq
+      val got = Relational.psiCollapsed(
+        halves.toDF("event_type", "half", "vfx", "cnt")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(7))))
+        .toMap
+      halves.groupBy(_._1).foreach { case (t, g) =>
+        val ref = g.filter(_._2 == 0L).flatMap(r =>
+          Seq.fill(r._4.toInt)(r._3)).sorted
+        val cur = g.filter(_._2 == 1L).flatMap(r =>
+          Seq.fill(r._4.toInt)(r._3)).sorted
+        val nRef = ref.size.toLong
+        val nCur = cur.size.toLong
+        val edges = (1 to 9).map { k =>
+          // lower-rank decile pick: min v with cum*10 >= total*k
+          ref(((nRef * k + 9) / 10 - 1).toInt)
+        }
+        def bin(v: Long): Int = edges.count(v >= _)
+        val rB = (0 to 9).map(i => ref.count(bin(_) == i).toLong)
+        val cB = (0 to 9).map(i => cur.count(bin(_) == i).toLong)
+        val l2B = (0 to 9).map { i =>
+          val cn = (cB(i) + 1) * (nRef + 10)
+          val rn = (rB(i) + 1) * (nCur + 10)
+          PortableMath.log2FixedLong(cn.toDouble / rn.toDouble)
+        }
+        val psiFx = (0 to 9).map { i =>
+          val cn = (cB(i) + 1) * (nRef + 10)
+          val rn = (rB(i) + 1) * (nCur + 10)
+          BigInt(cn - rn) * l2B(i)
+        }.sum.toLong
+        (0 to 9).foreach { i =>
+          val k = (t, i.toLong)
+          assert(got(k) == ((rB(i), cB(i), l2B(i), psiFx)),
+            s"round $round type $t bin $i: ${got(k)} vs " +
+              s"(${rB(i)}, ${cB(i)}, ${l2B(i)}, $psiFx)")
+        }
+      }
+    }
+  }
+
   test("q105 Cramér's V: random contingency cells match the " +
       "sqrt(chi2/(n*min(r-1,c-1))) definition from the exact integer " +
       "micro-sum") {
