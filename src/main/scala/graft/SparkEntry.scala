@@ -322,6 +322,10 @@ object SparkEntry {
     "st70_stream_iqr" -> (StreamingQueries.streamIqrOutliers _),
     "q103_psi" -> (Relational.psi _),
     "st73_stream_psi" -> (StreamingQueries.streamPsi _),
+    "t52_gate_kappa" -> (PipelineQueries.gateKappa _),
+    "t53_ece" -> (PipelineQueries.eceReliability _),
+    "st74_stream_ece" -> (StreamingQueries.streamEce _),
+    "c44_compaction_plan" -> (PipelineQueries.compactionPlan _),
     "q104_winsorized_mean" -> (Relational.winsorizedMean _),
     "st71_stream_winsorized" -> (StreamingQueries.streamWinsorizedMean _),
     "q105_cramers_v" -> (Relational.cramersV _),
@@ -1182,6 +1186,17 @@ object SparkEntry {
     // integers end to end.
     "q102_iqr_outliers" -> iqrOracleSql,
     "st70_stream_iqr" -> iqrOracleSql,
+    // t52: Cohen's kappa between the Gopher gate (t15's flags) and
+    // the t08 repetition gate — exact 2x2 integers, one division.
+    "t52_gate_kappa" -> kappaOracleSql,
+    // t53/st74: reliability diagram + ECE of the length prior vs the
+    // Gopher label; the streaming twin folds the same readout over
+    // keyed state, one oracle for both.
+    "t53_ece" -> eceOracleSql,
+    "st74_stream_ece" -> eceOracleSql,
+    // c44: next-fit-decreasing compaction plan over the md5-sharded
+    // synthetic file inventory — integers end to end.
+    "c44_compaction_plan" -> compactionOracleSql,
     // q103/st73: population stability index — reference-decile bins,
     // add-one smoothing, fixed-point log2 integer numerator; the
     // streaming twin's micro-batch boundary IS the batch query's
@@ -7945,6 +7960,133 @@ object SparkEntry {
          FROM r
          WHERE rnk > n // 10 AND rnk <= n - n // 10
          GROUP BY event_type"""
+
+  private def kappaOracleSql: String =
+    """WITH gm AS (SELECT doc_id, source,
+             len(string_split(text, ' ')) AS nw,
+             length(text) AS nc,
+             len(list_filter(string_split(text, ' '),
+               w -> regexp_matches(w, '[A-Za-z]'))) AS aw,
+             len(list_distinct(list_filter(string_split(lower(text), ' '),
+               w -> w IN ('the','be','to','of','and','that','have','with'))))
+               AS sh
+           FROM documents),
+       ga AS (SELECT doc_id, source,
+               ((nw >= 50 AND nw <= 100000)
+                AND (CAST(nc - nw + 1 AS DOUBLE) / CAST(nw AS DOUBLE) >= 3.0
+                  AND CAST(nc - nw + 1 AS DOUBLE) / CAST(nw AS DOUBLE) <= 10.0)
+                AND (CAST(aw AS DOUBLE) >= CAST(nw AS DOUBLE) * 0.8)
+                AND (sh >= 1)) AS a_keep
+             FROM gm),
+       w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             FROM documents),
+       wc AS (SELECT doc_id, t, count(*) AS c FROM w
+              WHERE len(t) > 0 GROUP BY doc_id, t),
+       wagg AS (SELECT doc_id, sum(c) AS n_words,
+                  count(*) AS n_distinct, max(c) AS top_word
+                FROM wc GROUP BY doc_id),
+       dd AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                x -> len(x) > 0) AS ws FROM documents),
+       bg AS (SELECT doc_id,
+                unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+                  AS b
+              FROM dd WHERE len(ws) >= 2),
+       bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+       bagg AS (SELECT doc_id, sum(c) AS n_bg, count(*) AS n_dist,
+                  max(c) AS top_bg FROM bc GROUP BY doc_id),
+       rb AS (SELECT w.doc_id,
+               (CAST(w.top_word AS DOUBLE) / CAST(w.n_words AS DOUBLE)
+                  <= 0.12
+                AND CAST(w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE)
+                  >= 0.35
+                AND (CASE WHEN b.n_bg IS NULL THEN 0.0
+                     ELSE CAST(b.n_bg - b.n_dist AS DOUBLE)
+                       / CAST(b.n_bg AS DOUBLE) END) <= 0.05) AS b_keep
+             FROM wagg w LEFT JOIN bagg b ON w.doc_id = b.doc_id),
+       cf AS (SELECT ga.source, count(*) AS n,
+               CAST(sum(CASE WHEN ga.a_keep AND rb.b_keep
+                 THEN 1 ELSE 0 END) AS BIGINT) AS both_keep,
+               CAST(sum(CASE WHEN ga.a_keep AND NOT rb.b_keep
+                 THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+               CAST(sum(CASE WHEN NOT ga.a_keep AND rb.b_keep
+                 THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+               CAST(sum(CASE WHEN NOT ga.a_keep AND NOT rb.b_keep
+                 THEN 1 ELSE 0 END) AS BIGINT) AS neither
+             FROM ga JOIN rb ON ga.doc_id = rb.doc_id
+             GROUP BY ga.source),
+       k AS (SELECT *,
+               (both_keep + a_only) * (both_keep + b_only)
+                 + (b_only + neither) * (a_only + neither) AS pe_num
+             FROM cf)
+       SELECT source, CAST(n AS BIGINT) AS n, both_keep, a_only, b_only,
+         neither, pe_num,
+         n * (both_keep + neither) - pe_num AS kappa_num,
+         n * n - pe_num AS kappa_den,
+         CAST(n * (both_keep + neither) - pe_num AS DOUBLE)
+           / CAST(n * n - pe_num AS DOUBLE) AS kappa
+       FROM k"""
+
+  private def eceOracleSql: String =
+    """WITH m AS (SELECT source,
+             len(string_split(text, ' ')) AS nw,
+             length(text) AS nc,
+             len(list_filter(string_split(text, ' '),
+               w -> regexp_matches(w, '[A-Za-z]'))) AS aw,
+             len(list_distinct(list_filter(string_split(lower(text), ' '),
+               w -> w IN ('the','be','to','of','and','that','have','with'))))
+               AS sh
+           FROM documents),
+       s AS (SELECT source,
+               least(9, least(1000, nw * 2) // 100) AS bin,
+               CASE WHEN ((nw >= 50 AND nw <= 100000)
+                 AND (CAST(nc - nw + 1 AS DOUBLE) / CAST(nw AS DOUBLE)
+                     >= 3.0
+                   AND CAST(nc - nw + 1 AS DOUBLE) / CAST(nw AS DOUBLE)
+                     <= 10.0)
+                 AND (CAST(aw AS DOUBLE) >= CAST(nw AS DOUBLE) * 0.8)
+                 AND (sh >= 1)) THEN 1 ELSE 0 END AS pos,
+               least(1000, nw * 2) AS sm
+             FROM m),
+       bins AS (SELECT source, CAST(bin AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n_b,
+                 CAST(sum(pos) AS BIGINT) AS pos,
+                 CAST(sum(sm) AS BIGINT) AS sum_milli
+               FROM s GROUP BY 1, 2),
+       per AS (SELECT source, CAST(sum(n_b) AS BIGINT) AS n,
+                 CAST(sum(abs(pos * 1000 - sum_milli)) AS BIGINT)
+                   AS ece_num
+               FROM bins GROUP BY source)
+       SELECT b.source, b.bin, b.n_b, b.pos, b.sum_milli,
+         CAST(b.pos AS DOUBLE) / CAST(b.n_b AS DOUBLE) AS accuracy,
+         CAST(b.sum_milli AS DOUBLE) / CAST(b.n_b * 1000 AS DOUBLE)
+           AS confidence,
+         per.n, per.ece_num, per.n * 1000 AS ece_den,
+         CAST(per.ece_num AS DOUBLE) / CAST(per.n * 1000 AS DOUBLE)
+           AS ece
+       FROM bins b JOIN per USING (source)"""
+
+  private def compactionOracleSql: String =
+    """WITH f AS (SELECT source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 32 AS file_id,
+             length(text) AS b
+           FROM documents),
+       fs AS (SELECT source, file_id, count(*) AS n_docs,
+               CAST(sum(b) AS BIGINT) AS bytes
+             FROM f GROUP BY 1, 2),
+       c1 AS (SELECT *, sum(bytes) OVER (PARTITION BY source
+                ORDER BY bytes DESC, file_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM fs),
+       p AS (SELECT source, (cum - bytes) // 65536 AS bin, n_docs, bytes
+             FROM c1)
+       SELECT source, CAST(bin AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+         CAST(65536 AS BIGINT) AS target_bytes,
+         (CAST(sum(bytes) AS BIGINT) > 65536) AS over_target
+       FROM p GROUP BY 1, 2"""
 
   private def psiOracleSql: String = {
     import graft.functions.PortableMath

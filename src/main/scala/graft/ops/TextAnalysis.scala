@@ -1592,4 +1592,62 @@ object TextAnalysis {
         (col("n_occ") - col("n_distinct")) * 1000L <=
           col("n_occ") * lit((maxDupFrac * 1000).toLong))
   }
+
+  /** Cohen's κ over a (source, a_keep, b_keep) flag frame — chance-
+    * corrected agreement between two raters (here: two quality gates
+    * run over the same corpus). The 2×2 confusion counts are exact
+    * integers and κ = (n·(both+neither) − pe) / (n² − pe) with
+    * pe = (a_pos·b_pos + a_neg·b_neg) stays integer until ONE final
+    * division — at curation scale the question is never "do the gates
+    * agree" (with 99% keep rates raw agreement is vacuously high) but
+    * "do they agree MORE THAN CHANCE", which is exactly what κ
+    * corrects for. One keyed aggregation; no per-pair work. */
+  def kappaAgreement(flags: DataFrame): DataFrame =
+    flags.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a_keep") && col("b_keep"), 1L).otherwise(0L))
+          .as("both_keep"),
+        sum(when(col("a_keep") && !col("b_keep"), 1L).otherwise(0L))
+          .as("a_only"),
+        sum(when(!col("a_keep") && col("b_keep"), 1L).otherwise(0L))
+          .as("b_only"),
+        sum(when(!col("a_keep") && !col("b_keep"), 1L).otherwise(0L))
+          .as("neither"))
+      .withColumn("pe_num",
+        (col("both_keep") + col("a_only")) * (col("both_keep") + col("b_only")) +
+          (col("b_only") + col("neither")) *
+            (col("a_only") + col("neither")))
+      .withColumn("kappa_num",
+        col("n") * (col("both_keep") + col("neither")) - col("pe_num"))
+      .withColumn("kappa_den", col("n") * col("n") - col("pe_num"))
+      .withColumn("kappa",
+        col("kappa_num").cast("double") / col("kappa_den").cast("double"))
+
+  /** Expected calibration error over a collapsed
+    * (source, bin, n, pos, sum_milli) reliability frame (bin = fixed-
+    * width decile of the milli-score, pos = positives, sum_milli = the
+    * bin's score mass): per bin, confidence = sum_milli/(1000·n_b) and
+    * accuracy = pos/n_b; ECE = Σ_b (n_b/n)·|acc_b − conf_b|, which
+    * collapses to the exact integer Σ_b |1000·pos_b − sum_milli_b|
+    * over 1000·n — the quality-classifier audit a curation pipeline
+    * runs before trusting a score as a sampling weight. The only
+    * doubles are the per-bin readout ratios and ONE final division. */
+  def eceCollapsed(binsIn: DataFrame): DataFrame = {
+    val bins = binsIn.groupBy(col("source"), col("bin"))
+      .agg(sum(col("n")).as("n_b"), sum(col("pos")).as("pos"),
+        sum(col("sum_milli")).as("sum_milli"))
+    val per = bins.groupBy(col("source"))
+      .agg(sum(col("n_b")).as("n"),
+        sum(abs(col("pos") * 1000L - col("sum_milli"))).as("ece_num"))
+      .withColumn("ece_den", col("n") * 1000L)
+      .withColumn("ece",
+        col("ece_num").cast("double") / col("ece_den").cast("double"))
+    bins
+      .withColumn("accuracy",
+        col("pos").cast("double") / col("n_b").cast("double"))
+      .withColumn("confidence",
+        col("sum_milli").cast("double") / (col("n_b") * 1000L)
+          .cast("double"))
+      .join(broadcast(per), Seq("source"))
+  }
 }

@@ -2723,4 +2723,83 @@ object PipelineQueries {
   def containmentFidelity(spark: SparkSession, dir: String): DataFrame =
     Dedup.containmentFidelity(docs(spark, dir), col("text"),
       col("doc_id"))
+
+  /** t52: Cohen's κ between the two independent quality gates the
+    * suite already runs — the Gopher structural gate (t15's tuned
+    * minStopHits=1) as rater A and the t08 repetition gate (top-word /
+    * distinct-ratio / dup-bigram thresholds) as rater B, per source
+    * ([[TextAnalysis.kappaAgreement]]). Rater flags join on doc_id;
+    * everything downstream is a 2×2 per source. */
+  def gateKappa(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val a = d.select(col("doc_id"), col("source"),
+      TextAnalysis.gopherKeep(col("text"), minStopHits = 1).as("a_keep"))
+    val b = TextAnalysis.repetitionMetrics(d, col("text"), col("doc_id"))
+      .select(col("doc_id"), col("keep").as("b_keep"))
+    TextAnalysis.kappaAgreement(a.join(b, Seq("doc_id")))
+  }
+
+  /** t53: reliability diagram + expected calibration error of a
+    * model-free length prior — score = min(1, n_words/500) in milli
+    * grain — as a predictor of the Gopher keep label, per source
+    * ([[TextAnalysis.eceCollapsed]]). Fixed-width deciles of the
+    * score (top edge clamped into bin 9, the standard ECE binning);
+    * st74 folds the identical readout over streamed per-(source, bin,
+    * label) state, sharing this oracle. */
+  def eceReliability(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val nw = size(split(col("text"), " "))
+    // min(1, nw/500) in milli grain = min(1000, nw*2): pure integers.
+    // Bin via floor(score/100.0): exact for score <= 1000, equal to
+    // the oracle's integer `// 100`.
+    val scoreMilli = least(lit(1000L), nw.cast("long") * 2L)
+    TextAnalysis.eceCollapsed(d.select(col("source"),
+        least(lit(9L), floor(scoreMilli / lit(100.0d)).cast("long"))
+          .as("bin"),
+        when(TextAnalysis.gopherKeep(col("text"), minStopHits = 1), 1L)
+          .otherwise(0L).as("pos"),
+        scoreMilli.as("sum_milli"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos"),
+        sum(col("sum_milli")).as("sum_milli")))
+  }
+
+  /** c44: COMPACTION PLANNER — the small-file bin-packing pass a lake
+    * runs before c15's physical rewrite: given the per-partition file
+    * inventory (here synthesized as 32 md5-sharded byte sums per
+    * source), assign files to target-sized output bins by
+    * next-fit-decreasing: sort by size descending and cut at
+    * cumulative-offset boundaries (bin = floor(cum_before / target)).
+    * NFD is the one-shuffle distributed plan (a true first-fit-
+    * decreasing is inherently sequential per partition) with the
+    * classic ≤2×-optimal bin-count bound — and at 100 TB the planner
+    * runs over file METADATA (one row per file), never data, so the
+    * whole plan is a per-partition window over a tiny frame. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashes.h32
+    compactionPlanFiles(docs(spark, dir)
+      .select(col("source"),
+        (h32(col("doc_id").cast("string")) % 32L).as("file_id"),
+        length(col("text")).cast("long").as("b"))
+      .groupBy(col("source"), col("file_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("b")).as("bytes")),
+      target = 1L << 16)
+  }
+
+  /** [[compactionPlan]]'s binning over any
+    * (source, file_id, n_docs, bytes) inventory frame. */
+  def compactionPlanFiles(files: DataFrame, target: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("source"))
+      .orderBy(col("bytes").desc, col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("cum", sum(col("bytes")).over(ord))
+      .withColumn("bin", expr(s"(cum - bytes) div ${target}L"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_docs")).as("n_docs"),
+        sum(col("bytes")).as("bin_bytes"))
+      .withColumn("target_bytes", lit(target))
+      .withColumn("over_target", col("bin_bytes") > lit(target))
+  }
 }

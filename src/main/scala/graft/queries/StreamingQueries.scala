@@ -22,6 +22,11 @@ import graft.streaming.{FileLookups, LookupFile, StreamExecutor,
   * hot-spot. */
 final case class DedupState(keep: Long, cnt: Long)
 
+/** State for [[StreamingQueries.streamEce]]: per (source, bin, label)
+  * key, the observation count and the accumulated milli-score mass —
+  * the two sufficient statistics of a reliability-diagram cell. */
+final case class EceState(n: Long, sum: Long)
+
 /** State for [[StreamingQueries.streamNearDup]]'s collector: smallest
   * bucket-owner reported for the doc + messages folded (the monotone
   * counter that makes last-upsert-wins collapse possible). Fixed-width
@@ -4121,6 +4126,70 @@ object StreamingQueries {
           element_at(col("kk"), 3).cast("long").as("vfx"),
           col("cnt"))
       graft.queries.Relational.psiCollapsed(halves)
+    }
+
+  /** st74: STREAMING ECE — t53's calibration audit online: the keyed
+    * state accumulates per (source, score-decile, label) the
+    * observation count and milli-score mass — a reliability diagram
+    * that updates as documents arrive, the monitor that catches a
+    * quality classifier drifting off-calibration mid-ingest. The
+    * readout folds the literal t53 code
+    * ([[graft.ops.TextAnalysis.eceCollapsed]]) and shares its oracle
+    * hash. */
+  def streamEce(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val codec = Codecs.twoLongs[EceState](s => (s.n, s.sum))(EceState.apply)
+      val graph = GroupGraph.define("stream-ece")(
+        Input("docs", StringCodec, ProcessCallback { (ctx, msg) =>
+          val s = msg.asInstanceOf[String].toLong
+          ctx.value match {
+            case null => ctx.setValue(EceState(1L, s))
+            case st: EceState => ctx.setValue(EceState(st.n + 1L, st.sum + s))
+          }
+        }),
+        Persist(codec))
+      val d = Sources.table(spark, dir, "documents")
+      val nw = size(split(col("text"), " "))
+      // t53's integer score/bin forms, verbatim
+      val scoreMilli = least(lit(1000L), nw.cast("long") * 2L)
+      val staging = tempDir("graft_sece")
+      stageTwoBatches(spark,
+        Sources.messages(d, "docs",
+          concat(col("source"), lit("|"),
+            least(lit(9L), floor(scoreMilli / lit(100.0d)).cast("long"))
+              .cast("string"), lit("|"),
+            when(graft.ops.TextAnalysis.gopherKeep(col("text"),
+              minStopHits = 1), "1").otherwise("0")),
+          scoreMilli.cast("string"),
+          expr("timestamp_micros(doc_id)"), col("doc_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Message].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val table = out.filter(_.sink == SinkTable)
+        .map { e => val s = codec.decode(e.value); (e.key, s.n, s.sum) }
+        .toDF("key", "n", "sum_milli")
+      // both accumulators are monotone and updated atomically, so the
+      // max-n upsert per key is the final state; sum rides max_by
+      val cells = runToTable(spark, table)
+        .groupBy(col("key"))
+        .agg(max(col("n")).as("n"),
+          max_by(col("sum_milli"), col("n")).as("sum_milli"))
+        .select(split(col("key"), "\\|").as("kk"), col("n"),
+          col("sum_milli"))
+        .select(element_at(col("kk"), 1).as("source"),
+          element_at(col("kk"), 2).cast("long").as("bin"),
+          element_at(col("kk"), 3).cast("long").as("lbl"),
+          col("n"), col("sum_milli"))
+        .select(col("source"), col("bin"),
+          col("n"),
+          when(col("lbl") === 1L, col("n")).otherwise(0L).as("pos"),
+          col("sum_milli"))
+      graft.ops.TextAnalysis.eceCollapsed(cells)
     }
 
   /** st71: STREAMING WINSORIZED MEAN — q104's clamped-tail location

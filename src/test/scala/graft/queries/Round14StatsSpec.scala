@@ -387,6 +387,92 @@ class Round14StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("t52 kappa: random rater flags match the brute-force 2x2 " +
+      "chance-corrected agreement") {
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      val flags = (1 to 600).map { _ =>
+        ("s" + rnd.nextInt(3), rnd.nextInt(4) > 0, rnd.nextInt(3) > 0)
+      }
+      val got = graft.ops.TextAnalysis.kappaAgreement(
+        flags.toDF("source", "a_keep", "b_keep")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(7), r.getLong(8)))).toMap
+      flags.groupBy(_._1).foreach { case (s, g) =>
+        val n = g.size.toLong
+        val both = g.count(x => x._2 && x._3).toLong
+        val aOnly = g.count(x => x._2 && !x._3).toLong
+        val bOnly = g.count(x => !x._2 && x._3).toLong
+        val nei = g.count(x => !x._2 && !x._3).toLong
+        val pe = (both + aOnly) * (both + bOnly) +
+          (bOnly + nei) * (aOnly + nei)
+        assert(got(s) == ((n, both, aOnly, bOnly, nei,
+          n * (both + nei) - pe, n * n - pe)), s"round $round src $s")
+      }
+    }
+  }
+
+  test("t53 ECE: random reliability cells match the brute-force " +
+      "integer |1000*pos - score_mass| fold") {
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      val cells = (1 to 300).map { _ =>
+        val n = rnd.nextInt(20) + 1L
+        val pos = rnd.nextInt(n.toInt + 1).toLong
+        ("s" + rnd.nextInt(2), rnd.nextInt(10).toLong, n, pos,
+          n * rnd.nextInt(1000).toLong)
+      }
+      val got = graft.ops.TextAnalysis.eceCollapsed(
+        cells.toDF("source", "bin", "n", "pos", "sum_milli")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(7), r.getLong(8))))
+        .toMap
+      cells.groupBy(c => (c._1, c._2)).foreach { case ((s, b), g) =>
+        val nB = g.map(_._3).sum
+        val pos = g.map(_._4).sum
+        val sm = g.map(_._5).sum
+        val perSrc = cells.filter(_._1 == s)
+          .groupBy(_._2).values.map { gg =>
+            math.abs(gg.map(_._4).sum * 1000L - gg.map(_._5).sum) }.sum
+        val nSrc = cells.filter(_._1 == s).map(_._3).sum
+        assert(got((s, b)) == ((nB, pos, nSrc, perSrc)),
+          s"round $round ($s, $b)")
+      }
+    }
+  }
+
+  test("c44 compaction plan: random inventories match the brute-force " +
+      "next-fit-decreasing binning and respect the NF overfill bound") {
+    import spark.implicits._
+    val target = 1L << 16
+    for (round <- 1 to 3) {
+      val files = for {
+        s <- Seq("a", "b"); i <- 0 until 32
+      } yield (s, i.toLong, rnd.nextInt(5) + 1L,
+        (rnd.nextInt(40000) + 100).toLong)
+      val got = PipelineQueries.compactionPlanFiles(
+        files.toDF("source", "file_id", "n_docs", "bytes"), target)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      files.groupBy(_._1).foreach { case (s, g) =>
+        var cum = 0L
+        val binned = g.sortBy { case (_, id, _, b) => (-b, id) }
+          .map { case (_, _, nd, b) =>
+            val bin = cum / target; cum += b; (bin, nd, b)
+          }
+        binned.groupBy(_._1).foreach { case (bin, bg) =>
+          val expect = (bg.size.toLong, bg.map(_._2).sum, bg.map(_._3).sum)
+          assert(got((s, bin)) == expect, s"round $round ($s, $bin)")
+          // NF bound: a bin exceeds the target only by its last file
+          assert(bg.map(_._3).sum <= target + bg.last._3,
+            s"round $round bin $bin overfilled beyond the NF bound")
+        }
+      }
+    }
+  }
+
   test("q107 Kendall tau-b: random daily series matches brute-force " +
       "concordant/discordant/tie counts and the tie-corrected statistic") {
     import spark.implicits._
