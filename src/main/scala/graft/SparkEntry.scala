@@ -326,6 +326,10 @@ object SparkEntry {
     "t53_ece" -> (PipelineQueries.eceReliability _),
     "st74_stream_ece" -> (StreamingQueries.streamEce _),
     "c44_compaction_plan" -> (PipelineQueries.compactionPlan _),
+    "q108_pagerank" -> (Relational.pagerank _),
+    "q109_hodges_lehmann" -> (Relational.hodgesLehmann _),
+    "c45_preference_pairs" -> (PipelineQueries.preferencePairs _),
+    // (count: 394 registered queries as of the round-14 continuation)
     "q104_winsorized_mean" -> (Relational.winsorizedMean _),
     "st71_stream_winsorized" -> (StreamingQueries.streamWinsorizedMean _),
     "q105_cramers_v" -> (Relational.cramersV _),
@@ -1186,6 +1190,15 @@ object SparkEntry {
     // integers end to end.
     "q102_iqr_outliers" -> iqrOracleSql,
     "st70_stream_iqr" -> iqrOracleSql,
+    // q108: 3 unrolled integer power iterations — every op an integer
+    // join/sum/div, bit-identical in any engine and summation order.
+    "q108_pagerank" -> pagerankOracleSql,
+    // q109: lower median of exact-rational Walsh averages over the
+    // bounded daily frame; one double division per pair.
+    "q109_hodges_lehmann" -> hodgesLehmannOracleSql,
+    // c45: deterministic argmax/argmin per stratum via packed
+    // (score, doc_id) ordering keys.
+    "c45_preference_pairs" -> preferencePairsOracleSql,
     // t52: Cohen's kappa between the Gopher gate (t15's flags) and
     // the t08 repetition gate — exact 2x2 integers, one division.
     "t52_gate_kappa" -> kappaOracleSql,
@@ -7960,6 +7973,78 @@ object SparkEntry {
          FROM r
          WHERE rnk > n // 10 AND rnk <= n - n // 10
          GROUP BY event_type"""
+
+  private def pagerankOracleSql: String =
+    """WITH e1 AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             't:' || event_type AS t
+           FROM events),
+       e AS (SELECT u AS src, t AS dst FROM e1
+             UNION ALL SELECT t AS src, u AS dst FROM e1),
+       dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       p0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr
+              FROM dg),
+       i1 AS (SELECT e.dst AS node,
+               CAST(150000 + (85 * sum(p0.pr // dg.deg)) // 100
+                 AS BIGINT) AS pr
+             FROM e JOIN dg ON e.src = dg.src
+             JOIN p0 ON p0.node = e.src
+             GROUP BY e.dst),
+       i2 AS (SELECT e.dst AS node,
+               CAST(150000 + (85 * sum(i1.pr // dg.deg)) // 100
+                 AS BIGINT) AS pr
+             FROM e JOIN dg ON e.src = dg.src
+             JOIN i1 ON i1.node = e.src
+             GROUP BY e.dst),
+       i3 AS (SELECT e.dst AS node,
+               CAST(150000 + (85 * sum(i2.pr // dg.deg)) // 100
+                 AS BIGINT) AS pr
+             FROM e JOIN dg ON e.src = dg.src
+             JOIN i2 ON i2.node = e.src
+             GROUP BY e.dst)
+       SELECT node, pr FROM i3"""
+
+  private def hodgesLehmannOracleSql: String =
+    s"""WITH $dailySeriesOracleCte,
+       wv AS (SELECT a.event_type,
+               CAST(a.y * b.x + b.y * a.x AS DOUBLE)
+                 / CAST(a.x * b.x * 2 AS DOUBLE) AS w
+             FROM d a JOIN d b
+               ON a.event_type = b.event_type AND a.d <= b.d),
+       g AS (SELECT event_type, w, count(*) AS cnt FROM wv
+             GROUP BY event_type, w),
+       c1 AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type
+                ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cum,
+              sum(cnt) OVER (PARTITION BY event_type) AS total
+            FROM g)
+       SELECT event_type,
+         min(CASE WHEN cum * 2 >= total THEN w END) AS hl_milli,
+         CAST(max(total) AS BIGINT) AS n_pairs
+       FROM c1 GROUP BY event_type"""
+
+  private def preferencePairsOracleSql: String =
+    """WITH m AS (SELECT source, lang, doc_id,
+             CAST(len(list_distinct(list_filter(
+                 string_split(lower(text), ' '),
+                 w -> w IN ('the','be','to','of','and','that','have',
+                   'with')))) AS BIGINT) * 1000
+               + least(1000, len(string_split(text, ' ')) * 2) AS s
+           FROM documents),
+       k AS (SELECT source, lang, doc_id, s,
+               s * 1099511627776 - doc_id AS kmax,
+               s * 1099511627776 + doc_id AS kmin
+             FROM m),
+       g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               max_by(doc_id, kmax) AS chosen_id,
+               CAST(max(s) AS BIGINT) AS chosen_score,
+               min_by(doc_id, kmin) AS rejected_id,
+               CAST(min(s) AS BIGINT) AS rejected_score
+             FROM k GROUP BY source, lang)
+       SELECT source, lang, n_docs,
+         CAST(chosen_id AS BIGINT) AS chosen_id, chosen_score,
+         CAST(rejected_id AS BIGINT) AS rejected_id, rejected_score,
+         chosen_score - rejected_score AS margin
+       FROM g WHERE chosen_score - rejected_score >= 500"""
 
   private def kappaOracleSql: String =
     """WITH gm AS (SELECT doc_id, source,

@@ -2786,6 +2786,40 @@ object PipelineQueries {
       target = 1L << 16)
   }
 
+  /** c45: PREFERENCE-PAIR MINING — the contrastive-data step of a
+    * DPO/RLHF pipeline: within each (source, lang) stratum pick the
+    * best- and worst-scoring document as a (chosen, rejected) pair
+    * with its quality margin, dropping strata whose margin is too
+    * small to teach anything. Score is an exact integer composite
+    * (distinct essential-stopword hits in thousands + the capped
+    * length prior), argmax/argmin break ties to the SMALLER doc_id via
+    * min_by on a (score, doc_id) ordering key, so the pair is
+    * deterministic under any row order — one keyed aggregation over
+    * the corpus, no joins, no pair explosion. */
+  def preferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val nw = size(split(col("text"), " "))
+    val stops = size(array_distinct(filter(split(lower(col("text")), " "),
+      w => w.isInCollection(TextAnalysis.gopherStops))))
+    val score = stops.cast("long") * 1000L +
+      least(lit(1000L), nw.cast("long") * 2L)
+    // orderable integers: (score desc, doc_id asc) packed as
+    // score * 2^40 ∓ doc_id (doc_id < 2^40 by fixture contract) —
+    // kMax picks max score / smallest id, kMin min score / smallest id
+    val kMax = score * lit(1L << 40) - col("doc_id")
+    val kMin = score * lit(1L << 40) + col("doc_id")
+    docs(spark, dir)
+      .select(col("source"), col("lang"), col("doc_id"), score.as("s"),
+        kMax.as("kmax"), kMin.as("kmin"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("doc_id"), col("kmax")).as("chosen_id"),
+        max(col("s")).as("chosen_score"),
+        min_by(col("doc_id"), col("kmin")).as("rejected_id"),
+        min(col("s")).as("rejected_score"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .filter(col("margin") >= 500L)
+  }
+
   /** [[compactionPlan]]'s binning over any
     * (source, file_id, n_docs, bytes) inventory frame. */
   def compactionPlanFiles(files: DataFrame, target: Long): DataFrame = {

@@ -3367,6 +3367,82 @@ object Relational {
         col("ts_slope_milli_per_day"))
   }
 
+  /** q108: INTEGER PAGERANK over the bipartite user ↔ event-type
+    * interaction graph (distinct edges, both directions), 3 unrolled
+    * power iterations in micro-units — the classic "who matters"
+    * score over an interaction log, in the repo's fixed-point
+    * discipline: pr₀ = 1,000,000 per node;
+    * pr' = 150,000 + (85 · Σ_in (pr_u div deg_u)) div 100.
+    * Every operation is an integer join/sum/div, so the result is
+    * order-independent and bit-identical cross-engine — the property
+    * a floating-point PageRank loses the moment two engines sum
+    * neighbor contributions in different orders. Iterations are
+    * UNROLLED (k=3), not a driver loop: each is one equi-join on src
+    * + one keyed aggregation, the per-iteration cost a real PageRank
+    * pays at any scale; deg is computed once and rides the pinned
+    * edge list. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankBipartite(table(spark, dir, "events")
+      .select(concat(lit("u:"), col("user_id").cast("string")).as("u"),
+        concat(lit("t:"), col("event_type")).as("t"))
+      .distinct())
+
+  /** [[pagerank]]'s iterations over any distinct (u, t) edge frame. */
+  def pagerankBipartite(edgesOne: DataFrame): DataFrame = {
+    // both directions; bounded by 2 · |distinct (user, type)|;
+    // pinned — consumed by deg, the node seed and all 3 iterations
+    val edges = edgesOne.select(col("u").as("src"), col("t").as("dst"))
+      .unionByName(edgesOne.select(col("t").as("src"),
+        col("u").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, Seq("src")).localCheckpoint()
+    val nodes = deg.select(col("src").as("node"))
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to 3) {
+      pr = withDeg.join(pr, withDeg("src") === pr("node"))
+        .select(col("dst"), expr("pr div deg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("(85 * s) div 100")).as("pr"))
+    }
+    pr.select(col("node"), col("pr"))
+  }
+
+  /** q109: HODGES–LEHMANN location estimate of the daily mean value
+    * per event type — the lower median of all pairwise Walsh averages
+    * (mᵢ + mⱼ)/2 over days i ≤ j: the rank-based robust center that
+    * pairs with q106's Theil–Sen slope (same bounded days² frame,
+    * same exact-rational-until-one-division discipline:
+    * walsh = (sᵢ·cⱼ + sⱼ·cᵢ) / (2·cᵢ·cⱼ)). */
+  def hodgesLehmann(spark: SparkSession, dir: String): DataFrame =
+    hodgesLehmannDaily(dailySeries(spark, dir))
+
+  /** [[hodgesLehmann]]'s fold over any (event_type, d, x, y) frame. */
+  def hodgesLehmannDaily(daily: DataFrame): DataFrame = {
+    val a = daily.select(col("event_type"), col("d").as("d1"),
+      col("x").as("c1"), col("y").as("s1"))
+    val b = daily.select(col("event_type"), col("d").as("d2"),
+      col("x").as("c2"), col("y").as("s2"))
+    val walsh = a.join(b, Seq("event_type"))
+      .filter(col("d1") <= col("d2"))
+      .select(col("event_type"),
+        ((col("s1") * col("c2") + col("s2") * col("c1")).cast("double") /
+          (col("c1") * col("c2") * 2L).cast("double")).as("w"))
+      .groupBy(col("event_type"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("event_type"))
+    walsh
+      .withColumn("cum", sum(col("cnt")).over(ord))
+      .withColumn("total", sum(col("cnt")).over(all))
+      .filter(col("cum") * 2L >= col("total"))
+      .groupBy(col("event_type"))
+      .agg(min(col("w")).as("hl_milli"),
+        max(col("total")).cast("long").as("n_pairs"))
+  }
+
   /** q107: KENDALL τ-b between the daily observation count and the
     * daily value sum per event type — rank agreement of two series
     * ("do busier days carry more value?"), with the tie-corrected

@@ -473,6 +473,58 @@ class Round14StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q108 integer PageRank: random bipartite graphs match a " +
+      "brute-force 3-iteration fixed-point reference") {
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      val edges = (1 to 120).map { _ =>
+        ("u:" + rnd.nextInt(15), "t:" + rnd.nextInt(4))
+      }.distinct
+      val got = Relational.pagerankBipartite(edges.toDF("u", "t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dir2 = edges.map { case (u, t) => (u, t) } ++
+        edges.map { case (u, t) => (t, u) }
+      val deg = dir2.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nodes = deg.keySet
+      var pr = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 3) {
+        val s = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        dir2.foreach { case (src, dst) =>
+          s(dst) += pr(src) / deg(src)
+        }
+        pr = nodes.map(n => n -> (150000L + 85L * s(n) / 100L)).toMap
+      }
+      nodes.foreach { n =>
+        assert(got(n) == pr(n), s"round $round node $n")
+      }
+    }
+  }
+
+  test("q109 Hodges-Lehmann: random daily series matches the " +
+      "brute-force lower median of pairwise Walsh averages") {
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      val daily = (for {
+        t <- 0 until 3; d <- 0 until (4 + rnd.nextInt(20))
+      } yield ("t" + t, d.toLong,
+        (rnd.nextInt(40) + 1).toLong, rnd.nextInt(3000).toLong - 800L))
+      val got = Relational.hodgesLehmannDaily(
+        daily.toDF("event_type", "d", "x", "y")).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2))))
+        .toMap
+      daily.groupBy(_._1).foreach { case (t, g) =>
+        val ws = (for {
+          (_, d1, c1, s1) <- g; (_, d2, c2, s2) <- g
+          if d1 <= d2
+        } yield (s1 * c2 + s2 * c1).toDouble /
+            (c1 * c2 * 2L).toDouble).sorted
+        val med = ws((ws.length - 1) / 2)
+        assert(got(t) == ((med, ws.length.toLong)), s"round $round $t")
+      }
+    }
+  }
+
   test("q107 Kendall tau-b: random daily series matches brute-force " +
       "concordant/discordant/tie counts and the tie-corrected statistic") {
     import spark.implicits._
