@@ -329,7 +329,10 @@ object SparkEntry {
     "q108_pagerank" -> (Relational.pagerank _),
     "q109_hodges_lehmann" -> (Relational.hodgesLehmann _),
     "c45_preference_pairs" -> (PipelineQueries.preferencePairs _),
-    // (count: 394 registered queries as of the round-14 continuation)
+    "st75_stream_pagerank" -> (StreamingQueries.streamPagerank _),
+    "t54_encoding_audit" -> (PipelineQueries.encodingAudit _),
+    "t55_score_quantiles" -> (PipelineQueries.scoreQuantiles _),
+    // (count: 397 registered queries as of the round-14 continuation)
     "q104_winsorized_mean" -> (Relational.winsorizedMean _),
     "st71_stream_winsorized" -> (StreamingQueries.streamWinsorizedMean _),
     "q105_cramers_v" -> (Relational.cramersV _),
@@ -1190,9 +1193,18 @@ object SparkEntry {
     // integers end to end.
     "q102_iqr_outliers" -> iqrOracleSql,
     "st70_stream_iqr" -> iqrOracleSql,
+    // t54: exact regexp counts of seeded mojibake (digraphs planted
+    // on doc_id % 7, a replacement char on % 11).
+    "t54_encoding_audit" -> encodingOracleSql,
+    // t55: within-source empirical-CDF rank in ppm over the
+    // tie-collapsed score frame — integers end to end.
+    "t55_score_quantiles" -> quantilesOracleSql,
     // q108: 3 unrolled integer power iterations — every op an integer
     // join/sum/div, bit-identical in any engine and summation order.
     "q108_pagerank" -> pagerankOracleSql,
+    // st75: the same iterations over an ONLINE-maintained edge set —
+    // q108's oracle proves streamed graph state ≡ the batch graph.
+    "st75_stream_pagerank" -> pagerankOracleSql,
     // q109: lower median of exact-rational Walsh averages over the
     // bounded daily frame; one double division per pair.
     "q109_hodges_lehmann" -> hodgesLehmannOracleSql,
@@ -7973,6 +7985,48 @@ object SparkEntry {
          FROM r
          WHERE rnk > n // 10 AND rnk <= n - n // 10
          GROUP BY event_type"""
+
+  private def encodingOracleSql: String =
+    """WITH seeded AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' cafÃ© rÃ©sumÃ©'
+                  WHEN doc_id % 11 = 0 THEN text || ' bad�byte'
+                  ELSE text END AS t
+           FROM documents),
+       c AS (SELECT doc_id, length(t) AS nc,
+               len(regexp_extract_all(t, '\x{FFFD}')) AS nr,
+               len(regexp_extract_all(t,
+                 '[\x{C3}\x{C2}][\x{A0}-\x{FF}]')) AS nd,
+               len(regexp_extract_all(t,
+                 '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}]')) AS nx
+             FROM seeded)
+       SELECT doc_id, CAST(nc AS BIGINT) AS n_chars,
+         CAST(nr AS BIGINT) AS n_replacement,
+         CAST(nd AS BIGINT) AS n_digraphs,
+         CAST(nx AS BIGINT) AS n_controls,
+         (nr = 0 AND nx = 0 AND nd * 1000 <= nc * 2) AS keep
+       FROM c"""
+
+  private def quantilesOracleSql: String =
+    """WITH m AS (SELECT source,
+             CAST(len(list_distinct(list_filter(
+                 string_split(lower(text), ' '),
+                 w -> w IN ('the','be','to','of','and','that','have',
+                   'with')))) AS BIGINT) * 1000
+               + least(1000, len(string_split(text, ' ')) * 2) AS score
+           FROM documents),
+       g AS (SELECT source, score, count(*) AS cnt FROM m
+             GROUP BY source, score),
+       c1 AS (SELECT *, sum(cnt) OVER (PARTITION BY source
+                ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cum,
+              sum(cnt) OVER (PARTITION BY source) AS n_source
+            FROM g)
+       SELECT source, CAST(score AS BIGINT) AS score,
+         CAST(cnt AS BIGINT) AS cnt, CAST(cum AS BIGINT) AS cum,
+         CAST(n_source AS BIGINT) AS n_source,
+         (CAST(cum AS BIGINT) * 1000000) // CAST(n_source AS BIGINT)
+           AS q_ppm
+       FROM c1"""
 
   private def pagerankOracleSql: String =
     """WITH e1 AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,

@@ -1593,6 +1593,57 @@ object TextAnalysis {
           col("n_occ") * lit((maxDupFrac * 1000).toLong))
   }
 
+  /** Encoding-health audit — the mojibake detector of a web-crawl
+    * curation stage: per doc, counts of (a) U+FFFD replacement
+    * characters (a decoder already gave up), (b) the classic
+    * UTF-8-read-as-Latin-1 double-encoding digraphs (Ã or Â followed
+    * by another non-ASCII char — how "é" becomes "Ã©"), and (c) C0
+    * control characters other than tab/newline (binary bleed). All
+    * three are exact regexp counts; `keep` is zero-tolerance on (a)
+    * and (c) and a per-kilochar budget on (b). Map-only, a pure scan
+    * stage at 100 TB — encoding damage is per-row evidence, never a
+    * join. */
+  def encodingAudit(df: DataFrame, text: Column, id: Column,
+      maxDigraphPerKiloChar: Long = 2L): DataFrame = {
+    val digraph = "[\\x{C3}\\x{C2}][\\x{A0}-\\x{FF}]"
+    val ctl = "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]"
+    df.select(
+      id.as("doc_id"),
+      length(text).cast("long").as("n_chars"),
+      regexp_count(text, lit("\uFFFD")).cast("long").as("n_replacement"),
+      regexp_count(text, lit(digraph)).cast("long").as("n_digraphs"),
+      regexp_count(text, lit(ctl)).cast("long").as("n_controls"))
+      .withColumn("keep",
+        col("n_replacement") === 0L && col("n_controls") === 0L &&
+          col("n_digraphs") * 1000L <=
+            col("n_chars") * lit(maxDigraphPerKiloChar))
+  }
+
+  /** Cross-source score quantile normalization — the harmonization
+    * step before mixing quality scores from heterogeneous sources
+    * (each source's classifier has its own scale; rank within source
+    * is the comparable signal): per doc, the score's WITHIN-SOURCE
+    * discrete quantile in ppm, `q_ppm = cum·1,000,000 div n_source`
+    * over the tie-collapsed per-(source, score) counts — ties share
+    * the quantile of their band's UPPER edge, the standard empirical-
+    * CDF convention. Integers end to end; the per-source cumulative
+    * window runs on the collapsed frame (value-domain-bounded), the
+    * repo's q94/q102 discipline. */
+  def quantileNormalize(scored: DataFrame): DataFrame = {
+    val byScore = scored.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("cnt"))
+    val ord = Window.partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("source"))
+    byScore
+      .withColumn("cum", sum(col("cnt")).over(ord))
+      .withColumn("n_source", sum(col("cnt")).over(all))
+      .select(col("source"), col("score"), col("cnt").cast("long").as("cnt"),
+        col("cum").cast("long").as("cum"),
+        col("n_source").cast("long").as("n_source"),
+        expr("(cum * 1000000) div n_source").as("q_ppm"))
+  }
+
   /** Cohen's κ over a (source, a_keep, b_keep) flag frame — chance-
     * corrected agreement between two raters (here: two quality gates
     * run over the same corpus). The 2×2 confusion counts are exact

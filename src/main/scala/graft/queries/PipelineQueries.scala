@@ -2786,6 +2786,37 @@ object PipelineQueries {
       target = 1L << 16)
   }
 
+  /** t54: encoding-health audit over deterministically seeded
+    * mojibake — docs with doc_id % 7 == 0 get classic
+    * UTF-8-as-Latin-1 digraphs appended ("café" → "cafÃ©"), docs with
+    * doc_id % 11 == 0 a U+FFFD replacement char (t16's seeding
+    * pattern: plant the hazard, prove the detector); the rest pass
+    * clean ([[TextAnalysis.encodingAudit]]). */
+  def encodingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % 7L === 0L,
+        concat(col("text"), lit(" cafÃ© rÃ©sumÃ©")))
+      .when(col("doc_id") % 11L === 0L,
+        concat(col("text"), lit(" bad�byte")))
+      .otherwise(col("text"))
+    TextAnalysis.encodingAudit(
+      docs(spark, dir).withColumn("t54_text", planted),
+      col("t54_text"), col("doc_id"))
+  }
+
+  /** t55: cross-source quantile normalization of the c45 quality
+    * score — rank-within-source in ppm as the comparable signal
+    * before mixing heterogeneous sources
+    * ([[TextAnalysis.quantileNormalize]]). */
+  def scoreQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val nw = size(split(col("text"), " "))
+    val stops = size(array_distinct(filter(split(lower(col("text")), " "),
+      w => w.isInCollection(TextAnalysis.gopherStops))))
+    val score = stops.cast("long") * 1000L +
+      least(lit(1000L), nw.cast("long") * 2L)
+    TextAnalysis.quantileNormalize(
+      docs(spark, dir).select(col("source"), score.as("score")))
+  }
+
   /** c45: PREFERENCE-PAIR MINING — the contrastive-data step of a
     * DPO/RLHF pipeline: within each (source, lang) stratum pick the
     * best- and worst-scoring document as a (chosen, rejected) pair

@@ -4070,6 +4070,52 @@ object StreamingQueries {
         streamedWeekdayCells(spark, dir, "stream-cramer", "graft_scramer"))
     }
 
+  /** st75: STREAMING PAGERANK — q108's integer power iterations folded
+    * over an ONLINE edge set: the keyed state is the distinct
+    * user ↔ event-type edge inventory (key = edge, value = its
+    * observation count — dedup-on-ingest, st08's shape applied to
+    * graph maintenance), and the readout runs the literal q108
+    * iterations ([[graft.queries.Relational.pagerankBipartite]]) over
+    * the final state table, sharing q108's oracle hash. This is how a
+    * rank actually deploys over a 100 TB interaction log: the
+    * expensive part (distinct-edge maintenance) is incremental keyed
+    * state; the bounded iterations run on demand over the maintained
+    * graph, never over the raw log. */
+  def streamPagerank(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-pagerank")(
+        Input("events", StringCodec, ProcessCallback { (ctx, _) =>
+          val n = ctx.value match {
+            case null => 0L
+            case s: String => s.toLong
+          }
+          ctx.setValue((n + 1L).toString)
+        }),
+        Persist(StringCodec))
+      val ev = Sources.table(spark, dir, "events")
+      val staging = tempDir("graft_spr")
+      stageTwoBatches(spark,
+        Sources.messages(ev, "events",
+          concat(lit("u:"), col("user_id").cast("string"), lit("|"),
+            lit("t:"), col("event_type")),
+          lit("1"), col("ts"), col("event_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(Sources.eventMessages(spark, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val tableRows = out.filter(_.sink == SinkTable)
+        .map(e => e.key).toDF("key")
+      val edges = runToTable(spark, tableRows)
+        .select(col("key")).distinct()
+        .select(substring_index(col("key"), "|", 1).as("u"),
+          substring_index(col("key"), "|", -1).as("t"))
+      graft.queries.Relational.pagerankBipartite(edges)
+    }
+
   /** st73: STREAMING PSI — q103's population stability index online:
     * the keyed state counts per (type, half, milli-value) where half
     * is the µs-midpoint window — EXACTLY the boundary the harness

@@ -79,4 +79,17 @@ class PinDisciplineSpec extends AnyFunSuite with SparkFixture {
   test("d29 containment join: same pin discipline as d28") {
     checkPinned("d29_containment_join", "documents")
   }
+
+  test("q103 PSI: the collapsed two-window frame is pinned — the " +
+      "final plan re-scans events zero times (unpinned: the raw scan " +
+      "re-executes for the edge pass, the bin pass and both ladder " +
+      "consumers)") {
+    checkPinned("q103_psi", "events")
+  }
+
+  test("q108 PageRank: the edge list is pinned — the final plan " +
+      "re-scans events zero times (unpinned: the distinct-edge build " +
+      "re-executes for deg, the seed and all three iterations)") {
+    checkPinned("q108_pagerank", "events")
+  }
 }

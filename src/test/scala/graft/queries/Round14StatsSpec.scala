@@ -473,6 +473,51 @@ class Round14StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("t54 encoding audit: planted mojibake classes are counted " +
+      "exactly and gate the keep flag") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "clean text with words"),
+      (2L, "double encoded cafÃ© twice cafÃ©"),
+      (3L, "lost byte he�e"),
+      (4L, "control\u0001char"),
+      (5L, "tab\tand\nnewline are fine"))
+    val got = graft.ops.TextAnalysis.encodingAudit(
+      rows.toDF("doc_id", "text"), col("text"), col("doc_id"),
+      maxDigraphPerKiloChar = 2L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(got(1L) == ((0L, 0L, 0L, true)))
+    assert(got(2L)._2 == 2L && !got(2L)._4) // 2 digraphs, short doc
+    assert(got(3L) == ((1L, 0L, 0L, false)))
+    assert(got(4L) == ((0L, 0L, 1L, false)))
+    assert(got(5L) == ((0L, 0L, 0L, true))) // tab/newline exempt
+  }
+
+  test("t55 quantile normalization: random tied scores match the " +
+      "brute-force within-source empirical CDF in ppm") {
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      val scored = (1 to 400).map { _ =>
+        ("s" + rnd.nextInt(3), rnd.nextInt(15).toLong * 3L)
+      }
+      val got = graft.ops.TextAnalysis.quantileNormalize(
+        scored.toDF("source", "score")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+      scored.groupBy(_._1).foreach { case (s, g) =>
+        val n = g.size.toLong
+        g.map(_._2).distinct.foreach { v =>
+          val cnt = g.count(_._2 == v).toLong
+          val cum = g.count(_._2 <= v).toLong
+          assert(got((s, v)) == ((cnt, cum, cum * 1000000L / n)),
+            s"round $round ($s, $v)")
+        }
+      }
+    }
+  }
+
   test("q108 integer PageRank: random bipartite graphs match a " +
       "brute-force 3-iteration fixed-point reference") {
     import spark.implicits._
