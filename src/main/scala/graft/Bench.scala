@@ -161,8 +161,9 @@ object Bench {
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.Buffer.empty[String]
     runInProcess(names, merged, failed)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     println(merged.map { case (k, v) => s""""$k":${f2(v)}""" }
-      .mkString("{", ",", "}") +
+      .mkString("{", ",", "}") + s""" cpus:$cpus""" +
       (if (failed.nonEmpty) s""" failed:${failed.mkString(",")}""" else ""))
   }
 
@@ -192,7 +193,14 @@ object Bench {
       merged: scala.collection.mutable.LinkedHashMap[String, Double],
       failed: scala.collection.mutable.Buffer[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default 32 = the driver's contract (BENCH_r*.json "cpus": 32).
+    // The old default of 4 silently put MANUAL probe runs on
+    // local[4]/4 shuffle partitions: small queries got faster (less
+    // task overhead), shuffle-heavy ones (d28, q63) read ~1.8× their
+    // 32-core records, and a whole afternoon of "regression" chasing
+    // was really a rig mismatch. The cpus value is echoed in the
+    // probe output line so a mis-set rig is self-evident.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shared driver-session contract (incl. the strict plan guard —
     // a benchmark run must never time a plan the guard would reject),
     // plus the bench-only knobs: AQE on, and the production

@@ -332,7 +332,10 @@ object SparkEntry {
     "st75_stream_pagerank" -> (StreamingQueries.streamPagerank _),
     "t54_encoding_audit" -> (PipelineQueries.encodingAudit _),
     "t55_score_quantiles" -> (PipelineQueries.scoreQuantiles _),
-    // (count: 397 registered queries as of the round-14 continuation)
+    "q110_mann_kendall" -> (Relational.mannKendall _),
+    "st76_stream_quantiles" -> (StreamingQueries.streamScoreQuantiles _),
+    "d37_block_dedup" -> (PipelineQueries.blockDedup _),
+    // (count: 400 registered queries as of the round-14 continuation)
     "q104_winsorized_mean" -> (Relational.winsorizedMean _),
     "st71_stream_winsorized" -> (StreamingQueries.streamWinsorizedMean _),
     "q105_cramers_v" -> (Relational.cramersV _),
@@ -1193,6 +1196,15 @@ object SparkEntry {
     // integers end to end.
     "q102_iqr_outliers" -> iqrOracleSql,
     "st70_stream_iqr" -> iqrOracleSql,
+    // q110: Mann-Kendall S and tie-corrected Var*18 as exact
+    // integers; z is two correctly-rounded double ops.
+    "q110_mann_kendall" -> mannKendallOracleSql,
+    // st76: t55's harmonization folded over streamed per-(source,
+    // score) counts — one oracle for both.
+    "st76_stream_quantiles" -> quantilesOracleSql,
+    // d37: block keeper = min packed (doc, idx); kept text
+    // fingerprint via ordered string_agg.
+    "d37_block_dedup" -> blockDedupOracleSql,
     // t54: exact regexp counts of seeded mojibake (digraphs planted
     // on doc_id % 7, a replacement char on % 11).
     "t54_encoding_audit" -> encodingOracleSql,
@@ -7985,6 +7997,58 @@ object SparkEntry {
          FROM r
          WHERE rnk > n // 10 AND rnk <= n - n // 10
          GROUP BY event_type"""
+
+  private def mannKendallOracleSql: String =
+    s"""WITH $dailySeriesOracleCte,
+       s AS (SELECT a.event_type,
+               CAST(sum(CASE WHEN b.y * a.x > a.y * b.x THEN 1
+                 ELSE 0 END)
+               - sum(CASE WHEN b.y * a.x < a.y * b.x THEN 1
+                 ELSE 0 END) AS BIGINT) AS s_stat
+             FROM d a JOIN d b
+               ON a.event_type = b.event_type AND a.d < b.d
+             GROUP BY a.event_type),
+       tg AS (SELECT event_type,
+               CAST(y AS DOUBLE) / CAST(x AS DOUBLE) AS m,
+               count(*) AS t
+             FROM d GROUP BY event_type, m),
+       tt AS (SELECT event_type,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                 AS tie_term,
+               CAST(sum(t) AS BIGINT) AS n_days
+             FROM tg GROUP BY event_type),
+       v AS (SELECT s.event_type, tt.n_days, s.s_stat, tt.tie_term,
+               tt.n_days * (tt.n_days - 1) * (2 * tt.n_days + 5)
+                 - tt.tie_term AS var18
+             FROM s JOIN tt ON s.event_type = tt.event_type)
+       SELECT event_type, n_days, s_stat, tie_term, var18,
+         (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+               WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+               ELSE 0.0 END)
+           / sqrt(CAST(var18 AS DOUBLE) / 18.0) AS z
+       FROM v"""
+
+  private def blockDedupOracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents),
+       b AS (SELECT doc_id, unnest([{bid: (i - 1) // 20,
+               block: array_to_string(ws[i:least(i + 19, len(ws))],
+                 ' ')}
+             for i in range(1, len(ws) + 1, 20)],
+             recursive := true)
+           FROM d),
+       f AS (SELECT block,
+               min(doc_id * 1048576 + bid) AS keeper
+             FROM b GROUP BY block),
+       j AS (SELECT b.doc_id, b.bid, b.block,
+               (b.doc_id * 1048576 + b.bid = f.keeper) AS keep
+             FROM b JOIN f USING (block))
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_removed,
+         md5(coalesce(string_agg(CASE WHEN keep THEN block END, ' '
+           ORDER BY bid), '')) AS kept_fp
+       FROM j GROUP BY doc_id"""
 
   private def encodingOracleSql: String =
     """WITH seeded AS (SELECT doc_id,

@@ -1324,4 +1324,43 @@ object Dedup {
       .select(col("doc_id"), col("fp"), col("n_copies"),
         expr("1000000 div n_copies").as("weight_micro"))
   }
+
+  /** Sub-document (block-level) dedup — the CCNet paragraph-dedup
+    * class (Wenzek et al. 2020 §3.1 deduplicate repeated paragraphs
+    * ACROSS documents, keeping one copy): documents are cut into
+    * non-overlapping `blockWords`-word blocks, a block's KEEPER is its
+    * globally first occurrence (smallest (doc_id, block_index)), and
+    * every other occurrence is removed. Per doc: block counts and the
+    * md5 of the surviving text — the REWRITE the whole-doc ops
+    * (d01-d36) by definition cannot express, and at 100 TB the op
+    * that reclaims boilerplate-dominated crawls whose docs are never
+    * byte-identical. Shuffles: explode to blocks, one groupBy(block)
+    * for the keeper argmin (min of a packed (doc, idx) long — no
+    * window), one equi-join back, one per-doc ordered fold. */
+  def blockDedup(df: DataFrame, text: Column, id: Column,
+      blockWords: Int = 20): DataFrame = {
+    val words = df.select(id.as("doc_id"), posexplode(split(text, " "))
+      .as(Seq("pos", "w")))
+    val blocks = words
+      .groupBy(col("doc_id"),
+        expr(s"pos div ${blockWords}L").as("bid"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")), " ").as("block"))
+    // keeper = min packed (doc_id, bid); bid < 2^20 by construction
+    // (maxWords-gated corpora), doc_id < 2^40 by fixture contract
+    val keeper = blocks.groupBy(col("block"))
+      .agg(min(col("doc_id") * lit(1L << 20) + col("bid")).as("keeper"))
+    blocks.join(keeper, Seq("block"))
+      .withColumn("keep",
+        col("doc_id") * lit(1L << 20) + col("bid") === col("keeper"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_blocks"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        md5(array_join(transform(filter(
+          array_sort(collect_list(struct(col("bid"), col("block"),
+            col("keep")))),
+          x => x.getField("keep")), x => x.getField("block")), " "))
+          .as("kept_fp"))
+  }
 }

@@ -1629,9 +1629,15 @@ object TextAnalysis {
     * CDF convention. Integers end to end; the per-source cumulative
     * window runs on the collapsed frame (value-domain-bounded), the
     * repo's q94/q102 discipline. */
-  def quantileNormalize(scored: DataFrame): DataFrame = {
-    val byScore = scored.groupBy(col("source"), col("score"))
-      .agg(count(lit(1)).as("cnt"))
+  def quantileNormalize(scored: DataFrame): DataFrame =
+    quantileNormalizeCollapsed(scored
+      .groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** [[quantileNormalize]] over an already-collapsed
+    * (source, score, cnt) frame — st76 folds it over streamed
+    * per-(source, score) counts, sharing t55's oracle hash. */
+  def quantileNormalizeCollapsed(byScore: DataFrame): DataFrame = {
     val ord = Window.partitionBy(col("source")).orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(col("source"))

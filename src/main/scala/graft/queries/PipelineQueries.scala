@@ -2817,6 +2817,12 @@ object PipelineQueries {
       docs(spark, dir).select(col("source"), score.as("score")))
   }
 
+  /** d37: CCNet-class block-level dedup — cross-document duplicated
+    * 20-word blocks removed keeping the globally-first copy
+    * ([[graft.ops.Dedup.blockDedup]]). */
+  def blockDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.blockDedup(docs(spark, dir), col("text"), col("doc_id"))
+
   /** c45: PREFERENCE-PAIR MINING — the contrastive-data step of a
     * DPO/RLHF pipeline: within each (source, lang) stratum pick the
     * best- and worst-scoring document as a (chosen, rejected) pair

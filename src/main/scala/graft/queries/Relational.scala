@@ -3443,6 +3443,60 @@ object Relational {
         max(col("total")).cast("long").as("n_pairs"))
   }
 
+  /** q110: MANN–KENDALL TREND TEST of the daily mean value per event
+    * type — the standard nonparametric "is this metric drifting"
+    * monitor (Mann 1945, Kendall 1975): S = Σ_{i<j} sign(mⱼ − mᵢ)
+    * over day pairs, variance with the tie correction
+    * Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and the
+    * continuity-corrected z = (S ∓ 1)/sqrt(Var). S and Var·18 are
+    * exact integers (mean comparisons by cross-multiplication, never
+    * division); z is two correctly-rounded double ops. Completes the
+    * q106/q107/q109 trend quartet on the same bounded daily frame. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame =
+    mannKendallDaily(dailySeries(spark, dir))
+
+  /** [[mannKendall]]'s fold over any (event_type, d, x, y) frame. */
+  def mannKendallDaily(daily: DataFrame): DataFrame = {
+    val a = daily.select(col("event_type"), col("d").as("d1"),
+      col("x").as("c1"), col("y").as("s1"))
+    val b = daily.select(col("event_type"), col("d").as("d2"),
+      col("x").as("c2"), col("y").as("s2"))
+    // sign(m2 - m1) with m = s/c, by cross-multiplication
+    val lhs = col("s2") * col("c1")
+    val rhs = col("s1") * col("c2")
+    val sStat = a.join(b, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("event_type"))
+      .agg((sum(when(lhs > rhs, 1L).otherwise(0L)) -
+        sum(when(lhs < rhs, 1L).otherwise(0L))).as("s_stat"))
+    // tie groups over the daily mean as ONE correctly-rounded double
+    // per day — equal rationals always give equal doubles, so real
+    // ties collapse; two DISTINCT rationals colliding in double would
+    // overcount a tie, but both engines round identically so the
+    // cross-engine hash is safe either way (and the collision needs
+    // means within one ulp — not a statistics-grade concern)
+    val ties = daily
+      .select(col("event_type"),
+        (col("y").cast("double") / col("x").cast("double")).as("m"))
+      .groupBy(col("event_type"), col("m"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+        .as("tie_term"),
+        sum(col("t")).cast("long").as("n_days"))
+    sStat.join(ties, Seq("event_type"))
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1L) *
+          (lit(2L) * col("n_days") + 5L) - col("tie_term"))
+      .withColumn("z",
+        when(col("s_stat") > 0L, (col("s_stat") - 1L).cast("double"))
+          .when(col("s_stat") < 0L, (col("s_stat") + 1L).cast("double"))
+          .otherwise(lit(0.0d)) /
+          sqrt(col("var18").cast("double") / lit(18.0d)))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        col("tie_term"), col("var18"), col("z"))
+  }
+
   /** q107: KENDALL τ-b between the daily observation count and the
     * daily value sum per event type — rank agreement of two series
     * ("do busier days carry more value?"), with the tie-corrected

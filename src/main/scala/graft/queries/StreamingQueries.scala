@@ -4174,6 +4174,56 @@ object StreamingQueries {
       graft.queries.Relational.psiCollapsed(halves)
     }
 
+  /** st76: STREAMING SCORE QUANTILES — t55's cross-source
+    * harmonization online: keyed state counts per (source, score);
+    * the readout folds the literal t55 code
+    * ([[graft.ops.TextAnalysis.quantileNormalize]]) over the final
+    * state — the documents-side sibling of the st66-st70 shared-state
+    * family, sharing t55's oracle hash. */
+  def streamScoreQuantiles(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-squant")(
+        Input("docs", StringCodec, ProcessCallback { (ctx, _) =>
+          val n = ctx.value match {
+            case null => 0L
+            case s: String => s.toLong
+          }
+          ctx.setValue((n + 1L).toString)
+        }),
+        Persist(StringCodec))
+      val d = Sources.table(spark, dir, "documents")
+      val nw = size(split(col("text"), " "))
+      val stops = size(array_distinct(filter(split(lower(col("text")), " "),
+        w => w.isInCollection(graft.ops.TextAnalysis.gopherStops))))
+      val score = stops.cast("long") * 1000L +
+        least(lit(1000L), nw.cast("long") * 2L)
+      val staging = tempDir("graft_squant")
+      stageTwoBatches(spark,
+        Sources.messages(d, "docs",
+          concat(col("source"), lit("|"), score.cast("string")),
+          lit("1"), expr("timestamp_micros(doc_id)"), col("doc_id")),
+        staging)
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Message].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val tableRows = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value)))
+        .toDF("key", "st")
+      val scored = runToTable(spark, tableRows)
+        .select(col("key"), col("st").cast("long").as("o"))
+        .groupBy(col("key")).agg(max(col("o")).as("cnt"))
+        .select(substring_index(col("key"), "|", 1).as("source"),
+          substring_index(col("key"), "|", -1).cast("long").as("score"),
+          col("cnt"))
+      // quantileNormalize re-collapses; feed it the expanded grain it
+      // expects by treating each (source, score) count as pre-grouped
+      graft.ops.TextAnalysis.quantileNormalizeCollapsed(scored)
+    }
+
   /** st74: STREAMING ECE — t53's calibration audit online: the keyed
     * state accumulates per (source, score-decile, label) the
     * observation count and milli-score mass — a reliability diagram

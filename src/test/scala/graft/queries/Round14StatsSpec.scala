@@ -473,6 +473,75 @@ class Round14StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q110 Mann-Kendall: random daily series match the brute-force " +
+      "S statistic and tie-corrected Var*18") {
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      val daily = (for {
+        t <- 0 until 3; d <- 0 until (5 + rnd.nextInt(20))
+      } yield ("t" + t, d.toLong,
+        (rnd.nextInt(6) + 1).toLong, rnd.nextInt(30).toLong))
+      val got = Relational.mannKendallDaily(
+        daily.toDF("event_type", "d", "x", "y")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5))))
+        .toMap
+      daily.groupBy(_._1).foreach { case (t, g) =>
+        val pairs = for {
+          (_, d1, c1, s1) <- g; (_, d2, c2, s2) <- g
+          if d1 < d2
+        } yield java.lang.Long.signum(s2 * c1 - s1 * c2).toLong
+        val s = pairs.sum
+        val n = g.size.toLong
+        val tieTerm = g.groupBy(r => r._4.toDouble / r._3.toDouble)
+          .values.map(_.size.toLong)
+          .map(tt => tt * (tt - 1) * (2 * tt + 5)).sum
+        val var18 = n * (n - 1) * (2 * n + 5) - tieTerm
+        val z = (if (s > 0) (s - 1).toDouble
+          else if (s < 0) (s + 1).toDouble else 0.0) /
+          math.sqrt(var18.toDouble / 18.0)
+        assert(got(t) == ((n, s, var18, z)), s"round $round $t")
+      }
+    }
+  }
+
+  test("d37 block dedup: cross-doc duplicated blocks are removed " +
+      "keeping the globally-first copy; kept text fingerprint matches " +
+      "brute force") {
+    import spark.implicits._
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    // 4-word blocks on tiny docs so duplicates are guaranteed
+    val docs = (0 until 25).map { i =>
+      (i.toLong, (1 to (4 + 4 * rnd.nextInt(3)))
+        .map(_ => words(rnd.nextInt(3))).mkString(" "))
+    }
+    val got = graft.ops.Dedup.blockDedup(
+      docs.toDF("doc_id", "text"), col("text"), col("doc_id"),
+      blockWords = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def blocks(t: String): Seq[String] =
+      t.split(" ").grouped(4).map(_.mkString(" ")).toSeq
+    // docs ascend by id and blocks by index, so first insertion IS the
+    // global (doc_id, block_index) minimum
+    val keeper = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    docs.sortBy(_._1).foreach { case (id, t) =>
+      blocks(t).zipWithIndex.foreach { case (b, i) =>
+        if (!keeper.contains(b)) keeper(b) = (id, i)
+      }
+    }
+    docs.foreach { case (id, t) =>
+      val bs = blocks(t)
+      val kept = bs.zipWithIndex
+        .filter { case (b, i) => keeper(b) == ((id, i)) }.map(_._1)
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(got(id) == ((bs.size.toLong,
+        (bs.size - kept.size).toLong, fp)), s"doc $id")
+    }
+  }
+
   test("t54 encoding audit: planted mojibake classes are counted " +
       "exactly and gate the keep flag") {
     import spark.implicits._
