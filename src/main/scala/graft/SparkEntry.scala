@@ -335,7 +335,11 @@ object SparkEntry {
     "q110_mann_kendall" -> (Relational.mannKendall _),
     "st76_stream_quantiles" -> (StreamingQueries.streamScoreQuantiles _),
     "d37_block_dedup" -> (PipelineQueries.blockDedup _),
-    // (count: 400 registered queries as of the round-14 continuation)
+    "q111_seasonal_anomaly" -> (Relational.seasonalAnomaly _),
+    "m16_phash_clusters" -> (PipelineQueries.phashClusters _),
+    "st77_stream_block_keepers" ->
+      (StreamingQueries.streamBlockKeepers _),
+    // (count: 403 registered queries as of the round-14 continuation)
     "q104_winsorized_mean" -> (Relational.winsorizedMean _),
     "st71_stream_winsorized" -> (StreamingQueries.streamWinsorizedMean _),
     "q105_cramers_v" -> (Relational.cramersV _),
@@ -1199,6 +1203,15 @@ object SparkEntry {
     // q110: Mann-Kendall S and tie-corrected Var*18 as exact
     // integers; z is two correctly-rounded double ops.
     "q110_mann_kendall" -> mannKendallOracleSql,
+    // q111: weekday baselines and residuals as single-division
+    // doubles; robust flag via the collapsed MAD pick.
+    "q111_seasonal_anomaly" -> seasonalOracleSql,
+    // m16: m04's banded pHash pairs closed transitively by the
+    // recursive walk; multi-member clusters only.
+    "m16_phash_clusters" -> phashClustersOracleSql,
+    // st77: d37's rewrite against the online keeper registry — the
+    // min-fold is commutative, so one oracle serves both.
+    "st77_stream_block_keepers" -> blockDedupOracleSql,
     // st76: t55's harmonization folded over streamed per-(source,
     // score) counts — one oracle for both.
     "st76_stream_quantiles" -> quantilesOracleSql,
@@ -7997,6 +8010,78 @@ object SparkEntry {
          FROM r
          WHERE rnk > n // 10 AND rnk <= n - n // 10
          GROUP BY event_type"""
+
+  private def seasonalOracleSql: String =
+    s"""WITH $dailySeriesOracleCte,
+       w AS (SELECT event_type, d AS dd, x, y,
+               CAST(d % 7 AS BIGINT) AS wd
+             FROM d),
+       bs AS (SELECT event_type, wd, CAST(sum(y) AS BIGINT) AS yw,
+               CAST(sum(x) AS BIGINT) AS xw
+             FROM w GROUP BY event_type, wd),
+       r AS (SELECT w.event_type, w.dd AS d, w.wd,
+               CAST(w.y AS DOUBLE) / CAST(w.x AS DOUBLE) AS m,
+               CAST(bs.yw AS DOUBLE) / CAST(bs.xw AS DOUBLE)
+                 AS baseline,
+               CAST(w.y AS DOUBLE) / CAST(w.x AS DOUBLE)
+                 - CAST(bs.yw AS DOUBLE) / CAST(bs.xw AS DOUBLE)
+                 AS residual
+             FROM w JOIN bs ON w.event_type = bs.event_type
+               AND w.wd = bs.wd),
+       g AS (SELECT event_type, abs(residual) AS ar, count(*) AS cnt
+             FROM r GROUP BY event_type, ar),
+       c1 AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type
+                ORDER BY ar ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cum,
+              sum(cnt) OVER (PARTITION BY event_type) AS total
+            FROM g),
+       md AS (SELECT event_type,
+               min(CASE WHEN cum * 2 >= total THEN ar END) AS res_mad
+             FROM c1 GROUP BY event_type)
+       SELECT r.event_type, r.d, r.wd, r.m, r.baseline, r.residual,
+         md.res_mad,
+         (abs(r.residual) > md.res_mad * 3.0) AS is_anomaly
+       FROM r JOIN md ON r.event_type = md.event_type"""
+
+  private def phashClustersOracleSql: String =
+    """WITH RECURSIVE cp AS (SELECT doc_id AS mid, length(text) AS n,
+             unnest(generate_series(1, length(text))) - 1 AS p0,
+             unnest(list_transform(generate_series(1, length(text)),
+               i -> ascii(substr(text, i, 1)))) AS c
+           FROM documents),
+         bs AS (SELECT mid, (p0 * 48) // n AS b,
+                  count(*) AS cnt, CAST(sum(c) AS BIGINT) AS s
+                FROM cp GROUP BY mid, (p0 * 48) // n),
+         tot AS (SELECT mid, CAST(sum(s) AS BIGINT) AS ts,
+                   CAST(sum(cnt) AS BIGINT) AS tn
+                 FROM bs GROUP BY mid),
+         ph AS (SELECT bs.mid,
+             CAST(sum(CASE WHEN bs.s * tot.tn >= tot.ts * bs.cnt
+               THEN (1::BIGINT << CAST(bs.b AS INT)) ELSE 0 END) AS BIGINT)
+               AS h
+           FROM bs JOIN tot ON bs.mid = tot.mid GROUP BY bs.mid),
+         banded AS (SELECT mid, h, band,
+             (h >> CAST(band * 6 AS INT)) & 63 AS bv
+           FROM ph, (SELECT unnest(generate_series(0, 7)) AS band)),
+         cand AS (SELECT DISTINCT a.mid AS da, b.mid AS db,
+             a.h AS ha, b.h AS hb
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bv = b.bv AND a.mid < b.mid),
+         p2 AS (SELECT da, db FROM cand
+                WHERE bit_count(xor(ha, hb)) <= 7),
+         edges AS (SELECT da AS src, db AS dst FROM p2
+                   UNION ALL SELECT db AS src, da AS dst FROM p2),
+         walk(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.id = e.src),
+         clus AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id),
+         sz AS (SELECT cluster, count(*) AS n_members FROM clus
+                GROUP BY cluster)
+       SELECT CAST(cluster AS BIGINT) AS keeper_id,
+         CAST(n_members AS BIGINT) AS n_members,
+         CAST(n_members - 1 AS BIGINT) AS n_removed
+       FROM sz WHERE n_members >= 2"""
 
   private def mannKendallOracleSql: String =
     s"""WITH $dailySeriesOracleCte,

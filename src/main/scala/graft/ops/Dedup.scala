@@ -1339,18 +1339,30 @@ object Dedup {
     * window), one equi-join back, one per-doc ordered fold. */
   def blockDedup(df: DataFrame, text: Column, id: Column,
       blockWords: Int = 20): DataFrame = {
-    val words = df.select(id.as("doc_id"), posexplode(split(text, " "))
-      .as(Seq("pos", "w")))
-    val blocks = words
+    val blocks = blocksOf(df, text, id, blockWords)
+    // keeper = min packed (doc_id, bid); bid < 2^20 by construction
+    // (maxWords-gated corpora), doc_id < 2^40 by fixture contract
+    val keeper = blocks.groupBy(col("block"))
+      .agg(min(col("doc_id") * lit(1L << 20) + col("bid")).as("keeper"))
+    rewriteWithKeepers(blocks, keeper)
+  }
+
+  /** [[blockDedup]]'s cutting stage: one (doc_id, bid, block) row per
+    * non-overlapping `blockWords`-word block. */
+  def blocksOf(df: DataFrame, text: Column, id: Column,
+      blockWords: Int): DataFrame =
+    df.select(id.as("doc_id"), posexplode(split(text, " "))
+        .as(Seq("pos", "w")))
       .groupBy(col("doc_id"),
         expr(s"pos div ${blockWords}L").as("bid"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("w")))),
         x => x.getField("w")), " ").as("block"))
-    // keeper = min packed (doc_id, bid); bid < 2^20 by construction
-    // (maxWords-gated corpora), doc_id < 2^40 by fixture contract
-    val keeper = blocks.groupBy(col("block"))
-      .agg(min(col("doc_id") * lit(1L << 20) + col("bid")).as("keeper"))
+
+  /** [[blockDedup]]'s rewrite stage over any (block, keeper) registry
+    * — st77 joins the SAME rewrite against a keeper table maintained
+    * as streaming state, sharing d37's oracle. */
+  def rewriteWithKeepers(blocks: DataFrame, keeper: DataFrame): DataFrame =
     blocks.join(keeper, Seq("block"))
       .withColumn("keep",
         col("doc_id") * lit(1L << 20) + col("bid") === col("keeper"))
@@ -1362,5 +1374,4 @@ object Dedup {
             col("keep")))),
           x => x.getField("keep")), x => x.getField("block")), " "))
           .as("kept_fp"))
-  }
 }

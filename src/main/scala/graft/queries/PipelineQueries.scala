@@ -2817,6 +2817,26 @@ object PipelineQueries {
       docs(spark, dir).select(col("source"), score.as("score")))
   }
 
+  /** m16: PERCEPTUAL-HASH NEAR-DUP CLUSTERS — m04's banded pHash
+    * pairs closed into transitive groups
+    * ([[Dedup.connectedComponents]], per-round pinned min-label
+    * propagation) with the smallest media id as keeper: the media-
+    * side analogue of d07/d33, and the op that turns "these two look
+    * alike" pairs into an actual keep/remove decision at crawl
+    * scale. Output: multi-member clusters only (keeper, size,
+    * removals). */
+  def phashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = Multimodal.phashPairs(d, col("text"), col("doc_id"))
+    Dedup.connectedComponents(pairs.select(col("da"), col("db")),
+        d.select(col("doc_id")), col("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2L)
+      .select(col("cluster").as("keeper_id"), col("n_members"),
+        (col("n_members") - 1L).as("n_removed"))
+  }
+
   /** d37: CCNet-class block-level dedup — cross-document duplicated
     * 20-word blocks removed keeping the globally-first copy
     * ([[graft.ops.Dedup.blockDedup]]). */

@@ -3443,6 +3443,50 @@ object Relational {
         max(col("total")).cast("long").as("n_pairs"))
   }
 
+  /** q111: WEEKDAY-SEASONAL ANOMALY SCREEN — the monitoring question
+    * q102's plain Tukey fences get wrong on weekly-patterned metrics
+    * ("is this Sunday low, or just Sunday?"): per (type, weekday) the
+    * pooled baseline mean, per day the residual of the daily mean
+    * against its weekday baseline, and a robust 3×MAD flag on the
+    * residuals. All means are ONE correctly-rounded division each;
+    * the residual is one subtraction of two such doubles; the MAD is
+    * the repo's collapsed lower-median pick over |residual| — so the
+    * whole screen is deterministic cross-engine without fixed-point
+    * machinery. Bounded: everything after the daily aggregation is
+    * (types × days). */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame =
+    seasonalAnomalyDaily(dailySeries(spark, dir))
+
+  /** [[seasonalAnomaly]]'s fold over any (event_type, d, x, y) frame. */
+  def seasonalAnomalyDaily(daily: DataFrame): DataFrame = {
+    val wd = daily.withColumn("wd", pmod(col("d"), lit(7L)))
+    val base = wd.groupBy(col("event_type"), col("wd"))
+      .agg(sum(col("y")).as("yw"), sum(col("x")).as("xw"))
+    val res = wd.join(base, Seq("event_type", "wd"))
+      .withColumn("m", col("y").cast("double") / col("x").cast("double"))
+      .withColumn("baseline",
+        col("yw").cast("double") / col("xw").cast("double"))
+      .withColumn("residual", col("m") - col("baseline"))
+    val absr = res.select(col("event_type"),
+        abs(col("residual")).as("ar"))
+      .groupBy(col("event_type"), col("ar"))
+      .agg(count(lit(1)).as("cnt"))
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("ar"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("event_type"))
+    val mad = absr
+      .withColumn("cum", sum(col("cnt")).over(ord))
+      .withColumn("total", sum(col("cnt")).over(all))
+      .filter(col("cum") * 2L >= col("total"))
+      .groupBy(col("event_type"))
+      .agg(min(col("ar")).as("res_mad"))
+    res.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("d"), col("wd"), col("m"),
+        col("baseline"), col("residual"), col("res_mad"),
+        (abs(col("residual")) > col("res_mad") * lit(3.0d))
+          .as("is_anomaly"))
+  }
+
   /** q110: MANN–KENDALL TREND TEST of the daily mean value per event
     * type — the standard nonparametric "is this metric drifting"
     * monitor (Mann 1945, Kendall 1975): S = Σ_{i<j} sign(mⱼ − mᵢ)

@@ -4174,6 +4174,53 @@ object StreamingQueries {
       graft.queries.Relational.psiCollapsed(halves)
     }
 
+  /** st77: STREAMING BLOCK-KEEPER REGISTRY — d37's sub-document dedup
+    * online: the keyed state holds, per 20-word block, the MINIMUM
+    * packed (doc_id, block_index) ever seen — a commutative min-fold,
+    * so arrival order across micro-batches is irrelevant — and the
+    * readout runs d37's literal rewrite
+    * ([[graft.ops.Dedup.rewriteWithKeepers]]) against the maintained
+    * registry, sharing d37's oracle hash. At 100 TB this is CCNet's
+    * paragraph-dedup as an INGEST service: the registry is keyed
+    * state sharded by block, new documents are rewritten by lookup,
+    * and no batch job ever re-scans the corpus. */
+  def streamBlockKeepers(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      import spark.implicits._
+      import graft.operators.BatchExecutor.SinkTable
+      val graph = GroupGraph.define("stream-blockkeep")(
+        Input("blocks", StringCodec, ProcessCallback { (ctx, msg) =>
+          val v = msg.asInstanceOf[String].toLong
+          ctx.value match {
+            case null => ctx.setValue(v.toString)
+            case s: String =>
+              if (v < s.toLong) ctx.setValue(v.toString)
+          }
+        }),
+        Persist(StringCodec))
+      val d = Sources.table(spark, dir, "documents")
+      val blocks = graft.ops.Dedup.blocksOf(d, col("text"),
+        col("doc_id"), blockWords = 20).localCheckpoint()
+      val staging = tempDir("graft_sblock")
+      stageTwoBatches(spark,
+        Sources.messages(blocks, "blocks", col("block"),
+          (col("doc_id") * lit(1L << 20) + col("bid")).cast("string"),
+          expr("timestamp_micros(doc_id)"), col("bid")),
+        staging)
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Message].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bindShardsToTopic(spark, staging)).as[Message]
+      val out = new StreamExecutor(graph).run(spark, stream)
+      val tableRows = out.filter(_.sink == SinkTable)
+        .map(e => (e.key, StringCodec.decode(e.value).toLong))
+        .toDF("block", "k")
+      // the packed keeper only DECREASES per key; last upsert == min
+      val keepers = runToTable(spark, tableRows)
+        .groupBy(col("block")).agg(min(col("k")).as("keeper"))
+      graft.ops.Dedup.rewriteWithKeepers(blocks, keepers)
+    }
+
   /** st76: STREAMING SCORE QUANTILES — t55's cross-source
     * harmonization online: keyed state counts per (source, score);
     * the readout folds the literal t55 code
