@@ -339,7 +339,10 @@ object SparkEntry {
     "m16_phash_clusters" -> (PipelineQueries.phashClusters _),
     "st77_stream_block_keepers" ->
       (StreamingQueries.streamBlockKeepers _),
-    // (count: 403 registered queries as of the round-14 continuation)
+    "st78_stream_mann_kendall" ->
+      (StreamingQueries.streamMannKendall _),
+    "st79_stream_theil_sen" -> (StreamingQueries.streamTheilSen _),
+    // (count: 405 registered queries as of the round-14 continuation)
     "q104_winsorized_mean" -> (Relational.winsorizedMean _),
     "st71_stream_winsorized" -> (StreamingQueries.streamWinsorizedMean _),
     "q105_cramers_v" -> (Relational.cramersV _),
@@ -1206,6 +1209,10 @@ object SparkEntry {
     // q111: weekday baselines and residuals as single-division
     // doubles; robust flag via the collapsed MAD pick.
     "q111_seasonal_anomaly" -> seasonalOracleSql,
+    // st78/st79: the trend family folded over ONE streamed
+    // per-(type, day) aggregate state — each shares its batch oracle.
+    "st78_stream_mann_kendall" -> mannKendallOracleSql,
+    "st79_stream_theil_sen" -> theilSenOracleSql,
     // m16: m04's banded pHash pairs closed transitively by the
     // recursive walk; multi-member clusters only.
     "m16_phash_clusters" -> phashClustersOracleSql,

@@ -27,6 +27,12 @@ final case class DedupState(keep: Long, cnt: Long)
   * the two sufficient statistics of a reliability-diagram cell. */
 final case class EceState(n: Long, sum: Long)
 
+/** State for [[StreamingQueries.streamedDailyAggregates]]: per
+  * (type, day) key, the observation count and milli-value sum — the
+  * sufficient statistics of the whole daily-series trend family
+  * (Mann-Kendall, Theil-Sen, Kendall τ-b, Hodges-Lehmann). */
+final case class DailyAggState(x: Long, y: Long)
+
 /** State for [[StreamingQueries.streamNearDup]]'s collector: smallest
   * bucket-owner reported for the doc + messages folded (the monotone
   * counter that makes last-upsert-wins collapse possible). Fixed-width
@@ -4172,6 +4178,77 @@ object StreamingQueries {
           element_at(col("kk"), 3).cast("long").as("vfx"),
           col("cnt"))
       graft.queries.Relational.psiCollapsed(halves)
+    }
+
+  /** The shared st78/st79 state pipeline: per (event_type, day) key,
+    * the streamed observation count and milli-value sum — ONE keyed
+    * state shape funding the whole daily-series trend family (q106
+    * Theil-Sen, q107 Kendall τ-b, q109 Hodges-Lehmann, q110
+    * Mann-Kendall all read exactly this frame), the dailySeries
+    * analogue of [[streamedValueCounts]]. */
+  private def streamedDailyAggregates(spark: SparkSession, dir: String,
+      group: String, stagePrefix: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.BatchExecutor.SinkTable
+    val codec = Codecs.twoLongs[DailyAggState](s => (s.x, s.y))(
+      DailyAggState.apply)
+    val graph = GroupGraph.define(group)(
+      Input("events", StringCodec, ProcessCallback { (ctx, msg) =>
+        val v = msg.asInstanceOf[String].toLong
+        ctx.value match {
+          case null => ctx.setValue(DailyAggState(1L, v))
+          case s: DailyAggState =>
+            ctx.setValue(DailyAggState(s.x + 1L, s.y + v))
+        }
+      }),
+      Persist(codec))
+    val ev = Sources.table(spark, dir, "events")
+    val staging = tempDir(stagePrefix)
+    stageTwoBatches(spark,
+      Sources.messages(ev, "events",
+        concat(col("event_type"), lit("|"),
+          datediff(col("ts").cast("date"), to_date(lit("2024-01-01")))
+            .cast("long").cast("string")),
+        floor(col("value") * 1000.0d).cast("long").cast("string"),
+        col("ts"), col("event_id")),
+      staging)
+    val stream = spark.readStream
+      .schema(Sources.eventMessages(spark, dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bindShardsToTopic(spark, staging)).as[Message]
+    val out = new StreamExecutor(graph).run(spark, stream)
+    val tableRows = out.filter(_.sink == SinkTable)
+      .map { e => val s = codec.decode(e.value); (e.key, s.x, s.y) }
+      .toDF("key", "x", "y")
+    // x strictly grows and (x, y) update atomically: max-x upsert is
+    // the final state, y rides max_by
+    runToTable(spark, tableRows)
+      .groupBy(col("key"))
+      .agg(max(col("x")).as("x"), max_by(col("y"), col("x")).as("y"))
+      .select(substring_index(col("key"), "|", 1).as("event_type"),
+        substring_index(col("key"), "|", -1).cast("long").as("d"),
+        col("x"), col("y"))
+  }
+
+  /** st78: STREAMING MANN-KENDALL — q110's drift monitor online over
+    * the shared per-(type, day) aggregate state, folding the literal
+    * q110 code ([[graft.queries.Relational.mannKendallDaily]]) and
+    * sharing its oracle hash: the trend test a deployment actually
+    * wants continuous, not nightly. */
+  def streamMannKendall(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      graft.queries.Relational.mannKendallDaily(
+        streamedDailyAggregates(spark, dir, "stream-mk", "graft_smk"))
+    }
+
+  /** st79: STREAMING THEIL-SEN — q106's robust slope online over the
+    * SAME per-(type, day) state shape as st78, folding
+    * [[graft.queries.Relational.theilSenDaily]] and sharing q106's
+    * oracle: the second readout funded by one streamed daily state. */
+  def streamTheilSen(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      graft.queries.Relational.theilSenDaily(
+        streamedDailyAggregates(spark, dir, "stream-ts", "graft_sts"))
     }
 
   /** st77: STREAMING BLOCK-KEEPER REGISTRY — d37's sub-document dedup
