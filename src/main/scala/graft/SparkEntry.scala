@@ -342,7 +342,9 @@ object SparkEntry {
     "st78_stream_mann_kendall" ->
       (StreamingQueries.streamMannKendall _),
     "st79_stream_theil_sen" -> (StreamingQueries.streamTheilSen _),
-    // (count: 405 registered queries as of the round-14 continuation)
+    "st80_stream_kendall" -> (StreamingQueries.streamKendallTau _),
+    "c46_ablation_ladder" -> (PipelineQueries.ablationLadder _),
+    // (count: 407 registered queries as of the round-14 continuation)
     "q104_winsorized_mean" -> (Relational.winsorizedMean _),
     "st71_stream_winsorized" -> (StreamingQueries.streamWinsorizedMean _),
     "q105_cramers_v" -> (Relational.cramersV _),
@@ -1213,6 +1215,10 @@ object SparkEntry {
     // per-(type, day) aggregate state — each shares its batch oracle.
     "st78_stream_mann_kendall" -> mannKendallOracleSql,
     "st79_stream_theil_sen" -> theilSenOracleSql,
+    "st80_stream_kendall" -> kendallOracleSql,
+    // c46: tiers keep whole tie-bands of the t55 quantile frame;
+    // integer cuts, integer sums.
+    "c46_ablation_ladder" -> ablationOracleSql,
     // m16: m04's banded pHash pairs closed transitively by the
     // recursive walk; multi-member clusters only.
     "m16_phash_clusters" -> phashClustersOracleSql,
@@ -8017,6 +8023,35 @@ object SparkEntry {
          FROM r
          WHERE rnk > n // 10 AND rnk <= n - n // 10
          GROUP BY event_type"""
+
+  private def ablationOracleSql: String =
+    """WITH m AS (SELECT source,
+             CAST(len(list_distinct(list_filter(
+                 string_split(lower(text), ' '),
+                 w -> w IN ('the','be','to','of','and','that','have',
+                   'with')))) AS BIGINT) * 1000
+               + least(1000, len(string_split(text, ' ')) * 2) AS score,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+           FROM documents),
+       g AS (SELECT source, score, count(*) AS cnt,
+               CAST(sum(toks) AS BIGINT) AS toks
+             FROM m GROUP BY source, score),
+       c1 AS (SELECT *, sum(cnt) OVER (PARTITION BY source
+                ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cum,
+              sum(cnt) OVER (PARTITION BY source) AS n_source
+            FROM g),
+       q AS (SELECT source, score, cnt, toks,
+               (CAST(cum AS BIGINT) * 1000000)
+                 // CAST(n_source AS BIGINT) AS q_ppm
+             FROM c1),
+       tiers AS (SELECT unnest([25, 50, 75, 100]) AS top_pct)
+       SELECT q.source, CAST(t.top_pct AS BIGINT) AS top_pct,
+         CAST(sum(q.cnt) AS BIGINT) AS n_docs,
+         CAST(sum(q.toks) AS BIGINT) AS n_tokens
+       FROM q CROSS JOIN tiers t
+       WHERE q.q_ppm > 1000000 - t.top_pct * 10000
+       GROUP BY q.source, t.top_pct"""
 
   private def seasonalOracleSql: String =
     s"""WITH $dailySeriesOracleCte,

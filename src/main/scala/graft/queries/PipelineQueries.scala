@@ -2817,6 +2817,40 @@ object PipelineQueries {
       docs(spark, dir).select(col("source"), score.as("score")))
   }
 
+  /** c46: QUALITY-ABLATION LADDER — the planning table behind every
+    * "train on the top X% by quality" decision: for each source and
+    * each retention tier (top 25/50/75/100% by t55's within-source
+    * score quantile), the surviving document and token counts. The
+    * cut is `q_ppm > 1,000,000 − X·10,000` on the tie-collapsed
+    * quantile frame — ties share a quantile, so a tier keeps whole
+    * score-bands and the ladder is deterministic under any row order
+    * (the same reason t26's quota machinery collapses first). One
+    * corpus aggregation + a 4-row tier scaffold join; integers end to
+    * end. */
+  def ablationLadder(spark: SparkSession, dir: String): DataFrame = {
+    val nw = size(split(col("text"), " "))
+    val stops = size(array_distinct(filter(split(lower(col("text")), " "),
+      w => w.isInCollection(TextAnalysis.gopherStops))))
+    val score = stops.cast("long") * 1000L +
+      least(lit(1000L), nw.cast("long") * 2L)
+    val scored = docs(spark, dir)
+      .select(col("source"), score.as("score"),
+        nw.cast("long").as("toks"))
+    val byScore = scored.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("cnt"), sum(col("toks")).as("toks"))
+    val q = TextAnalysis.quantileNormalizeCollapsed(
+      byScore.select(col("source"), col("score"), col("cnt")))
+      .select(col("source"), col("score"), col("q_ppm"))
+    val tiers = spark.range(1, 5)
+      .select((col("id") * 25L).as("top_pct"))
+    byScore.join(q, Seq("source", "score"))
+      .crossJoin(broadcast(tiers))
+      .filter(col("q_ppm") > lit(1000000L) - col("top_pct") * 10000L)
+      .groupBy(col("source"), col("top_pct"))
+      .agg(sum(col("cnt")).cast("long").as("n_docs"),
+        sum(col("toks")).cast("long").as("n_tokens"))
+  }
+
   /** m16: PERCEPTUAL-HASH NEAR-DUP CLUSTERS — m04's banded pHash
     * pairs closed into transitive groups
     * ([[Dedup.connectedComponents]], per-round pinned min-label

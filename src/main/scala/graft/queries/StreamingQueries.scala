@@ -4251,6 +4251,17 @@ object StreamingQueries {
         streamedDailyAggregates(spark, dir, "stream-ts", "graft_sts"))
     }
 
+  /** st80: STREAMING KENDALL τ-b — q107's rank-agreement score
+    * online: the THIRD readout funded by the shared per-(type, day)
+    * aggregate state (st78 Mann-Kendall, st79 Theil-Sen), folding
+    * [[graft.queries.Relational.kendallTauDaily]] and sharing q107's
+    * oracle. */
+  def streamKendallTau(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      graft.queries.Relational.kendallTauDaily(
+        streamedDailyAggregates(spark, dir, "stream-kt", "graft_skt"))
+    }
+
   /** st77: STREAMING BLOCK-KEEPER REGISTRY — d37's sub-document dedup
     * online: the keyed state holds, per 20-word block, the MINIMUM
     * packed (doc_id, block_index) ever seen — a commutative min-fold,
