@@ -344,7 +344,10 @@ object SparkEntry {
     "st79_stream_theil_sen" -> (StreamingQueries.streamTheilSen _),
     "st80_stream_kendall" -> (StreamingQueries.streamKendallTau _),
     "c46_ablation_ladder" -> (PipelineQueries.ablationLadder _),
-    // (count: 407 registered queries as of the round-14 continuation)
+    "q112_runs_test" -> (Relational.runsTest _),
+    "st81_stream_hodges_lehmann" ->
+      (StreamingQueries.streamHodgesLehmann _),
+    // (count: 409 registered queries as of the round-14 continuation)
     "q104_winsorized_mean" -> (Relational.winsorizedMean _),
     "st71_stream_winsorized" -> (StreamingQueries.streamWinsorizedMean _),
     "q105_cramers_v" -> (Relational.cramersV _),
@@ -1216,6 +1219,10 @@ object SparkEntry {
     "st78_stream_mann_kendall" -> mannKendallOracleSql,
     "st79_stream_theil_sen" -> theilSenOracleSql,
     "st80_stream_kendall" -> kendallOracleSql,
+    // q112: integer run/sign counts over the per-type day sequence;
+    // z composed of correctly-rounded ops only.
+    "q112_runs_test" -> runsOracleSql,
+    "st81_stream_hodges_lehmann" -> hodgesLehmannOracleSql,
     // c46: tiers keep whole tie-bands of the t55 quantile frame;
     // integer cuts, integer sums.
     "c46_ablation_ladder" -> ablationOracleSql,
@@ -8023,6 +8030,50 @@ object SparkEntry {
          FROM r
          WHERE rnk > n // 10 AND rnk <= n - n // 10
          GROUP BY event_type"""
+
+  private def runsOracleSql: String =
+    s"""WITH $dailySeriesOracleCte,
+       mm AS (SELECT event_type, d AS dd,
+               CAST(y AS DOUBLE) / CAST(x AS DOUBLE) AS m
+             FROM d),
+       g AS (SELECT event_type, m, count(*) AS cnt FROM mm
+             GROUP BY event_type, m),
+       c1 AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type
+                ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cum,
+              sum(cnt) OVER (PARTITION BY event_type) AS total
+            FROM g),
+       md AS (SELECT event_type,
+               min(CASE WHEN cum * 2 >= total THEN m END) AS med
+             FROM c1 GROUP BY event_type),
+       sg AS (SELECT mm.event_type, mm.dd,
+               CASE WHEN mm.m > md.med THEN 1 ELSE -1 END AS s
+             FROM mm JOIN md ON mm.event_type = md.event_type
+             WHERE mm.m <> md.med),
+       ch AS (SELECT event_type, s,
+               CASE WHEN lag(s) OVER (PARTITION BY event_type
+                   ORDER BY dd) IS NULL THEN 1
+                 WHEN lag(s) OVER (PARTITION BY event_type
+                   ORDER BY dd) <> s THEN 1
+                 ELSE 0 END AS chg
+             FROM sg),
+       r AS (SELECT event_type,
+               CAST(sum(chg) AS BIGINT) AS r_runs,
+               CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_above,
+               CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_below
+             FROM ch GROUP BY event_type)
+       SELECT event_type, n_above, n_below, r_runs,
+         CAST(r_runs * (n_above + n_below) - 2 * n_above * n_below
+             - (n_above + n_below) AS DOUBLE)
+           / (CAST(n_above + n_below AS DOUBLE)
+             * sqrt(CAST(2 * n_above * n_below
+                 * (2 * n_above * n_below - (n_above + n_below))
+                 AS DOUBLE)
+               / CAST((n_above + n_below) * (n_above + n_below)
+                 * (n_above + n_below - 1) AS DOUBLE))) AS z
+       FROM r"""
 
   private def ablationOracleSql: String =
     """WITH m AS (SELECT source,

@@ -3487,6 +3487,60 @@ object Relational {
           .as("is_anomaly"))
   }
 
+  /** q112: WALD–WOLFOWITZ RUNS TEST on the daily mean per event type
+    * — "are the above-/below-median days RANDOMLY ordered, or do they
+    * clump?": the randomness check that catches regime shifts and
+    * oscillation that trend tests (q110) and location tests both
+    * miss. Days equal to the median drop (the standard treatment);
+    * R = number of sign runs over the surviving day sequence
+    * (per-type lag window on the bounded daily frame); n₁/n₂/R are
+    * exact integers and z = (R·N − 2n₁n₂ − N) / (N·sqrt(Var)) with
+    * Var = 2n₁n₂(2n₁n₂−N) / (N²(N−1)) — one division inside the
+    * sqrt, one sqrt, one multiply, one division, all correctly
+    * rounded. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame =
+    runsTestDaily(dailySeries(spark, dir))
+
+  /** [[runsTest]]'s fold over any (event_type, d, x, y) frame. */
+  def runsTestDaily(daily: DataFrame): DataFrame = {
+    val m = daily.select(col("event_type"), col("d"),
+      (col("y").cast("double") / col("x").cast("double")).as("m"))
+    val byM = m.groupBy(col("event_type"), col("m"))
+      .agg(count(lit(1)).as("cnt"))
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("event_type"))
+    val med = byM
+      .withColumn("cum", sum(col("cnt")).over(ord))
+      .withColumn("total", sum(col("cnt")).over(all))
+      .filter(col("cum") * 2L >= col("total"))
+      .groupBy(col("event_type"))
+      .agg(min(col("m")).as("med"))
+    val signed = m.join(broadcast(med), Seq("event_type"))
+      .filter(col("m") =!= col("med"))
+      .withColumn("s", when(col("m") > col("med"), 1L).otherwise(-1L))
+    val seq0 = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val runs = signed
+      .withColumn("chg",
+        when(lag(col("s"), 1).over(seq0).isNull, 1L)
+          .when(lag(col("s"), 1).over(seq0) =!= col("s"), 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(col("chg")).as("r_runs"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("s") === -1L, 1L).otherwise(0L)).as("n_below"))
+    val nn = col("n_above") + col("n_below")
+    val twoAb = lit(2L) * col("n_above") * col("n_below")
+    runs
+      .withColumn("z",
+        (col("r_runs") * nn - twoAb - nn).cast("double") /
+          (nn.cast("double") *
+            sqrt((twoAb * (twoAb - nn)).cast("double") /
+              (nn * nn * (nn - 1L)).cast("double"))))
+      .select(col("event_type"), col("n_above"), col("n_below"),
+        col("r_runs"), col("z"))
+  }
+
   /** q110: MANN–KENDALL TREND TEST of the daily mean value per event
     * type — the standard nonparametric "is this metric drifting"
     * monitor (Mann 1945, Kendall 1975): S = Σ_{i<j} sign(mⱼ − mᵢ)

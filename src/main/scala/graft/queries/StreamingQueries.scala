@@ -4262,6 +4262,17 @@ object StreamingQueries {
         streamedDailyAggregates(spark, dir, "stream-kt", "graft_skt"))
     }
 
+  /** st81: STREAMING HODGES-LEHMANN — q109's robust location online:
+    * the FOURTH readout funded by the shared per-(type, day)
+    * aggregate state (st78/st79/st80), folding
+    * [[graft.queries.Relational.hodgesLehmannDaily]] and sharing
+    * q109's oracle. */
+  def streamHodgesLehmann(spark: SparkSession, dir: String): DataFrame =
+    withStateShards(spark) {
+      graft.queries.Relational.hodgesLehmannDaily(
+        streamedDailyAggregates(spark, dir, "stream-hl", "graft_shl"))
+    }
+
   /** st77: STREAMING BLOCK-KEEPER REGISTRY — d37's sub-document dedup
     * online: the keyed state holds, per 20-word block, the MINIMUM
     * packed (doc_id, block_index) ever seen — a commutative min-fold,

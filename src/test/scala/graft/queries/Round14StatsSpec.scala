@@ -542,6 +542,40 @@ class Round14StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q112 runs test: random daily series match brute-force run/" +
+      "sign counts and the z statistic") {
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      val daily = (for {
+        t <- 0 until 3; d <- 0 until (8 + rnd.nextInt(20))
+      } yield ("t" + t, d.toLong,
+        (rnd.nextInt(5) + 1).toLong, rnd.nextInt(40).toLong))
+      val got = Relational.runsTestDaily(
+        daily.toDF("event_type", "d", "x", "y")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+      daily.groupBy(_._1).foreach { case (t, g) =>
+        val ms = g.sortBy(_._2).map(r => r._4.toDouble / r._3.toDouble)
+        val sortedM = ms.sorted
+        // lower median over the collapsed frame == element at
+        // ceil(n/2) of the expanded sorted list
+        val med = sortedM((sortedM.length - 1) / 2)
+        val signs = ms.filter(_ != med).map(m => if (m > med) 1 else -1)
+        val n1 = signs.count(_ == 1).toLong
+        val n2 = signs.count(_ == -1).toLong
+        val r = (1 +: signs.sliding(2).filter(_.length == 2)
+          .map(p => if (p(0) != p(1)) 1 else 0).toSeq).sum.toLong
+        val nn = n1 + n2
+        val z = (r * nn - 2 * n1 * n2 - nn).toDouble /
+          (nn.toDouble * math.sqrt(
+            (2 * n1 * n2 * (2 * n1 * n2 - nn)).toDouble /
+              (nn * nn * (nn - 1)).toDouble))
+        assert(got(t) == ((n1, n2, r, z)), s"round $round $t")
+      }
+    }
+  }
+
   test("t54 encoding audit: planted mojibake classes are counted " +
       "exactly and gate the keep flag") {
     import spark.implicits._
