@@ -1339,7 +1339,11 @@ object Dedup {
     * window), one equi-join back, one per-doc ordered fold. */
   def blockDedup(df: DataFrame, text: Column, id: Column,
       blockWords: Int = 20): DataFrame = {
-    val blocks = blocksOf(df, text, id, blockWords)
+    // pinned: the cutting pipeline (explode + ordered per-block fold)
+    // feeds TWO consumers (keeper argmin + rewrite) and must not
+    // re-scan the corpus per consumer — the r13 pin discipline; what
+    // a real line-dedup pass materializes anyway
+    val blocks = blocksOf(df, text, id, blockWords).localCheckpoint()
     // keeper = min packed (doc_id, bid); bid < 2^20 by construction
     // (maxWords-gated corpora), doc_id < 2^40 by fixture contract
     val keeper = blocks.groupBy(col("block"))

@@ -92,4 +92,11 @@ class PinDisciplineSpec extends AnyFunSuite with SparkFixture {
       "re-executes for deg, the seed and all three iterations)") {
     checkPinned("q108_pagerank", "events")
   }
+
+  test("d37 block dedup: the block-cutting pipeline is pinned — the " +
+      "final plan re-scans documents zero times (unpinned: the " +
+      "explode + ordered fold re-executes for the keeper argmin and " +
+      "the rewrite)") {
+    checkPinned("d37_block_dedup", "documents")
+  }
 }
