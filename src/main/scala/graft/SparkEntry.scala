@@ -345,9 +345,10 @@ object SparkEntry {
     "st80_stream_kendall" -> (StreamingQueries.streamKendallTau _),
     "c46_ablation_ladder" -> (PipelineQueries.ablationLadder _),
     "q112_runs_test" -> (Relational.runsTest _),
+    "c47_jsonl_roundtrip" -> (PipelineQueries.jsonlRoundtrip _),
     "st81_stream_hodges_lehmann" ->
       (StreamingQueries.streamHodgesLehmann _),
-    // (count: 409 registered queries as of the round-14 continuation)
+    // (count: 410 registered queries as of the round-14 continuation)
     "q104_winsorized_mean" -> (Relational.winsorizedMean _),
     "st71_stream_winsorized" -> (StreamingQueries.streamWinsorizedMean _),
     "q105_cramers_v" -> (Relational.cramersV _),
@@ -1222,6 +1223,9 @@ object SparkEntry {
     // q112: integer run/sign counts over the per-type day sequence;
     // z composed of correctly-rounded ops only.
     "q112_runs_test" -> runsOracleSql,
+    // c47: identical invariants to c34 — the digest doesn't care
+    // which container carried the rows, which is the point.
+    "c47_jsonl_roundtrip" -> roundtripOracleSql,
     "st81_stream_hodges_lehmann" -> hodgesLehmannOracleSql,
     // c46: tiers keep whole tie-bands of the t55 quantile frame;
     // integer cuts, integer sums.
@@ -3181,19 +3185,7 @@ object SparkEntry {
     // c34: c31's seal discipline — the count/cents/digest triple
     // computed once from the raw table, stated for both the parquet
     // source and the ORC copy.
-    "c34_orc_roundtrip" ->
-      """WITH base AS (SELECT event_id, user_id, event_type,
-             epoch_us(ts) AS ts_us,
-             CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
-         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents) AS BIGINT) AS cents,
-             bit_xor(('0x' || substr(md5(event_id || '|' || user_id ||
-               '|' || event_type || '|' || ts_us || '|' || cents),
-               1, 15))::BIGINT) AS digest
-           FROM base)
-         SELECT n AS n_old, cents AS cents_old, digest AS digest_old,
-           n AS n_new, cents AS cents_new, digest AS digest_new
-         FROM s""",
+    "c34_orc_roundtrip" -> roundtripOracleSql,
     // q76: the LATERAL correlation restated as the equivalent
     // partitioned rank — same top-3, same (bal DESC, custkey) ties.
     "q76_lateral_topk" ->
@@ -8030,6 +8022,20 @@ object SparkEntry {
          FROM r
          WHERE rnk > n // 10 AND rnk <= n - n // 10
          GROUP BY event_type"""
+
+  private def roundtripOracleSql: String =
+    """WITH base AS (SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS ts_us,
+             CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents,
+             bit_xor(('0x' || substr(md5(event_id || '|' || user_id ||
+               '|' || event_type || '|' || ts_us || '|' || cents),
+               1, 15))::BIGINT) AS digest
+           FROM base)
+         SELECT n AS n_old, cents AS cents_old, digest AS digest_old,
+           n AS n_new, cents AS cents_new, digest AS digest_new
+         FROM s"""
 
   private def runsOracleSql: String =
     s"""WITH $dailySeriesOracleCte,

@@ -2817,6 +2817,35 @@ object PipelineQueries {
       docs(spark, dir).select(col("source"), score.as("score")))
   }
 
+  /** c47: JSON-LINES ROUNDTRIP — the remaining ingest format next to
+    * c33 (CSV) and c34 (ORC): events written as JSONL and read back
+    * with an EXPLICIT schema (schema inference costs a full extra
+    * scan — at 100 TB the schema is a contract, never a discovery),
+    * sealed with c34's order-independent content digest so the
+    * roundtrip is proven lossless. Timestamps travel as epoch-µs
+    * longs: JSON has no timestamp type, and the µs-long convention is
+    * the only representation that survives any JSON writer/parser
+    * pair bit-exactly. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashes.h60
+    val ev = table(spark, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      floor(col("value") * 100.0d).cast("long").as("cents"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_jsonl").toString
+    ev.write.mode("overwrite").json(s"$out/events_jsonl")
+    val back = spark.read.schema(ev.schema).json(s"$out/events_jsonl")
+    def seal(df: org.apache.spark.sql.DataFrame, pfx: String) =
+      df.select(h60(concat_ws("|", col("event_id"), col("user_id"),
+          col("event_type"), col("ts_us"), col("cents"))).as("d0"),
+          col("cents"))
+        .agg(count(lit(1)).as(s"n_$pfx"),
+          sum(col("cents")).as(s"cents_$pfx"),
+          expr("bit_xor(d0)").as(s"digest_$pfx"))
+    seal(ev, "old").crossJoin(seal(back, "new"))
+  }
+
   /** c46: QUALITY-ABLATION LADDER — the planning table behind every
     * "train on the top X% by quality" decision: for each source and
     * each retention tier (top 25/50/75/100% by t55's within-source
