@@ -346,9 +346,10 @@ object SparkEntry {
     "c46_ablation_ladder" -> (PipelineQueries.ablationLadder _),
     "q112_runs_test" -> (Relational.runsTest _),
     "c47_jsonl_roundtrip" -> (PipelineQueries.jsonlRoundtrip _),
+    "d38_simhash_fidelity" -> (PipelineQueries.simhashFidelity _),
     "st81_stream_hodges_lehmann" ->
       (StreamingQueries.streamHodgesLehmann _),
-    // (count: 410 registered queries as of the round-14 continuation)
+    // (count: 411 registered queries as of the round-14 continuation)
     "q104_winsorized_mean" -> (Relational.winsorizedMean _),
     "st71_stream_winsorized" -> (StreamingQueries.streamWinsorizedMean _),
     "q105_cramers_v" -> (Relational.cramersV _),
@@ -1226,6 +1227,9 @@ object SparkEntry {
     // c47: identical invariants to c34 — the digest doesn't care
     // which container carried the rows, which is the point.
     "c47_jsonl_roundtrip" -> roundtripOracleSql,
+    // d38: d06's simhash chain banded wider (6 bands, dist <= 5
+    // pigeonhole-exact), exact token-set Jaccard pooled per distance.
+    "d38_simhash_fidelity" -> simhashFidelityOracleSql,
     "st81_stream_hodges_lehmann" -> hodgesLehmannOracleSql,
     // c46: tiers keep whole tie-bands of the t55 quantile frame;
     // integer cuts, integer sums.
@@ -6728,6 +6732,50 @@ object SparkEntry {
 
   /** Banded SimHash pairing oracle: 4 bands of 15 bits, exact for
     * hamming ≤ 3 by pigeonhole — mirrors Dedup.simhashPairs. */
+  private def simhashFidelityOracleSql: String = {
+    val bitSums = (0 until 60)
+      .map(i => s"sum((hw >> $i) & 1) AS c$i").mkString(", ")
+    val simTerms = (0 until 60)
+      .map(i => s"CASE WHEN 2*c$i > n THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id,
+             unnest(string_split(text,' ')) AS w
+           FROM documents),
+       h AS (SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT AS hw
+             FROM tok),
+       agg AS (SELECT doc_id, count(*) AS n, $bitSums FROM h
+               GROUP BY doc_id),
+       sims AS (SELECT doc_id, CAST($simTerms AS BIGINT) AS simhash
+                FROM agg),
+       banded AS (
+         SELECT doc_id, simhash, b AS band,
+           (simhash >> (b*10)) & 1023 AS chunk
+         FROM sims, generate_series(0,5) t(b)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.chunk = b.chunk
+             AND a.doc_id < b.doc_id),
+       p2 AS (SELECT da, db, dist FROM pairs WHERE dist <= 5),
+       sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+       i AS (SELECT p2.da, p2.db, count(*) AS inter
+             FROM p2 JOIN tok a ON a.doc_id = p2.da
+               JOIN tok b ON b.doc_id = p2.db AND b.w = a.w
+             GROUP BY p2.da, p2.db)
+       SELECT p2.dist, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(coalesce(i.inter, 0)) AS BIGINT) AS inter_sum,
+         CAST(sum(sa.n + sb.n - coalesce(i.inter, 0)) AS BIGINT)
+           AS union_sum,
+         CAST(sum(coalesce(i.inter, 0)) AS DOUBLE)
+           / CAST(sum(sa.n + sb.n - coalesce(i.inter, 0)) AS DOUBLE)
+           AS pooled_jaccard
+       FROM p2 LEFT JOIN i ON p2.da = i.da AND p2.db = i.db
+       JOIN sz sa ON sa.doc_id = p2.da
+       JOIN sz sb ON sb.doc_id = p2.db
+       GROUP BY p2.dist"""
+  }
+
   private def simhashPairsOracleSql: String = {
     val bitSums = (0 until 60)
       .map(i => s"sum((hw >> $i) & 1) AS c$i").mkString(", ")

@@ -1325,6 +1325,43 @@ object Dedup {
         expr("1000000 div n_copies").as("weight_micro"))
   }
 
+  /** SimHash-to-Jaccard calibration table — the d32/d36 discipline
+    * applied to the third signature family: for every exact banded
+    * candidate pair at hamming distance ≤ 5 (bands=6 ⇒ pigeonhole-
+    * exact, no brute pass), the EXACT distinct-token Jaccard is
+    * pooled per distance — the table that turns "hamming ≤ k" into a
+    * defensible similarity threshold before anyone deploys d03/d06 at
+    * scale. SimHash is computed over distinct word tokens, so the
+    * truth side uses the SAME feature set (token-set Jaccard, not
+    * shingles). Integer inter/union sums; one division per row. */
+  def simhashFidelity(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val sims = simhash(df, text, id)
+    val pairs = simhashPairs(sims, maxDist = 5, bands = 6)
+      .localCheckpoint() // consumed by the inter join and the rollup
+    val tok = df.select(id.as("doc_id"),
+      explode(array_distinct(split(text, " "))).as("w")).distinct()
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(tok.select(col("doc_id").as("da"), col("w")), Seq("da"))
+      .join(tok.select(col("doc_id").as("db"), col("w")), Seq("db", "w"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("da", "db"), "left").na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")),
+        Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")),
+        Seq("db"))
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("inter")).cast("long").as("inter_sum"),
+        sum(col("na") + col("nb") - col("inter")).cast("long")
+          .as("union_sum"))
+      .withColumn("pooled_jaccard",
+        col("inter_sum").cast("double") / col("union_sum").cast("double"))
+      .select(col("dist").cast("long").as("dist"), col("n_pairs"),
+        col("inter_sum"), col("union_sum"), col("pooled_jaccard"))
+  }
+
   /** Sub-document (block-level) dedup — the CCNet paragraph-dedup
     * class (Wenzek et al. 2020 §3.1 deduplicate repeated paragraphs
     * ACROSS documents, keeping one copy): documents are cut into

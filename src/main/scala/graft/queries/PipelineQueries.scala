@@ -2900,6 +2900,11 @@ object PipelineQueries {
         (col("n_members") - 1L).as("n_removed"))
   }
 
+  /** d38: simhash-hamming vs exact token-set Jaccard calibration
+    * ([[Dedup.simhashFidelity]] — the d32/d36 family's third table). */
+  def simhashFidelity(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashFidelity(docs(spark, dir), col("text"), col("doc_id"))
+
   /** d37: CCNet-class block-level dedup — cross-document duplicated
     * 20-word blocks removed keeping the globally-first copy
     * ([[graft.ops.Dedup.blockDedup]]). */
