@@ -8155,7 +8155,7 @@ object SparkEntry {
          CAST(sum(q.cnt) AS BIGINT) AS n_docs,
          CAST(sum(q.toks) AS BIGINT) AS n_tokens
        FROM q CROSS JOIN tiers t
-       WHERE q.q_ppm > 1000000 - t.top_pct * 10000
+       WHERE q.q_ppm > 1000000 - t.top_pct * 10000 OR t.top_pct = 100
        GROUP BY q.source, t.top_pct"""
 
   private def seasonalOracleSql: String =

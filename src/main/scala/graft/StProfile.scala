@@ -45,7 +45,7 @@ object StProfile {
           val cm = so.customMetrics
           def c(k: String): Long =
             Option(cm.get(k)).map(_.longValue()).getOrElse(-1L)
-          s"""{"op":"${so.operatorName}","rows":${so.numRowsTotal},"updated":${so.numRowsUpdated},"updateMs":${so.allUpdatesTimeMs},"commitMs":${so.commitTimeMs},"rocksdbLoadMs":${c("loadedMapCacheHitCount") min -1 max c("rocksdbGetLatency")},"flushMs":${c("rocksdbCommitFlushLatency")},"ckptMs":${c("rocksdbCommitCheckpointLatency")},"fileSyncMs":${c("rocksdbCommitFileSyncLatencyMs")},"writeBatchMs":${c("rocksdbWriteBatchLatency")}}"""
+          s"""{"op":"${so.operatorName}","rows":${so.numRowsTotal},"updated":${so.numRowsUpdated},"updateMs":${so.allUpdatesTimeMs},"commitMs":${so.commitTimeMs},"cacheHits":${c("loadedMapCacheHitCount")},"getLatencyMs":${c("rocksdbGetLatency")},"flushMs":${c("rocksdbCommitFlushLatency")},"ckptMs":${c("rocksdbCommitCheckpointLatency")},"fileSyncMs":${c("rocksdbCommitFileSyncLatencyMs")},"writeBatchMs":${c("rocksdbWriteBatchLatency")}}"""
         }.mkString("[", ",", "]")
         batches.synchronized {
           batches += Batch(Option(p.name).getOrElse("?"), p.batchId,
@@ -69,16 +69,23 @@ object StProfile {
       val fn = SparkEntry.queries(name)
       (1 to reps).foreach { rep =>
         batches.synchronized(batches.clear())
+        starts.synchronized(starts.clear())
+        val t0Wall = System.currentTimeMillis()
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e6
+        // Staging latency: wall time from invoking the query fn until the
+        // stream's onQueryStarted fired (plan resolution + state-store
+        // provider creation happen in this window). -1 if no stream started.
+        val preStartMs = starts.synchronized(
+          starts.headOption.map(_._2 - t0Wall).getOrElse(-1L))
         val bs = batches.synchronized(batches.toVector)
         val perBatch = bs.map { b =>
           val d = b.durations
           f"""{"batch":${b.batchId},"rows":${b.numInputRows},"wall":${b.wallMs},"addBatch":${d.getOrElse("addBatch", -1L)},"getBatch":${d.getOrElse("getBatch", -1L)},"planning":${d.getOrElse("queryPlanning", -1L)},"walCommit":${d.getOrElse("walCommit", -1L)},"commitOffsets":${d.getOrElse("commitOffsets", -1L)},"trigger":${d.getOrElse("triggerExecution", -1L)},"state":${b.state}}"""
         }.mkString("[", ",", "]")
         val batchTotal = bs.map(_.durations.getOrElse("triggerExecution", 0L)).sum
-        println(f"""{"query":"$name","rep":$rep,"rows":$n,"wall_ms":$wall%.0f,"batches":${bs.size},"batch_exec_ms":$batchTotal,"outside_batches_ms":${wall - batchTotal}%.0f,"detail":$perBatch}""")
+        println(f"""{"query":"$name","rep":$rep,"rows":$n,"wall_ms":$wall%.0f,"pre_start_ms":$preStartMs,"batches":${bs.size},"batch_exec_ms":$batchTotal,"outside_batches_ms":${wall - batchTotal}%.0f,"detail":$perBatch}""")
       }
     }
     spark.stop()

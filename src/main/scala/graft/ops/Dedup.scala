@@ -1381,12 +1381,27 @@ object Dedup {
     // re-scan the corpus per consumer — the r13 pin discipline; what
     // a real line-dedup pass materializes anyway
     val blocks = blocksOf(df, text, id, blockWords).localCheckpoint()
-    // keeper = min packed (doc_id, bid); bid < 2^20 by construction
-    // (maxWords-gated corpora), doc_id < 2^40 by fixture contract
+    // keeper = min packed (doc_id, bid) — see [[packedBlockKey]]'s
+    // loud range guard (r14 ADVICE: the bound was comment-only)
     val keeper = blocks.groupBy(col("block"))
-      .agg(min(col("doc_id") * lit(1L << 20) + col("bid")).as("keeper"))
+      .agg(min(packedBlockKey(col("doc_id"), col("bid"))).as("keeper"))
     rewriteWithKeepers(blocks, keeper)
   }
+
+  /** (doc_id, bid) packed into one orderable BIGINT for the keeper
+    * argmin. Collision-free only while doc_id < 2^40 and bid < 2^20
+    * (a 2^20-block doc is ~20M words at the default blockWords) — a
+    * violation would silently corrupt keeper selection, so out-of-
+    * range ids FAIL LOUDLY instead, matching the exactLong house
+    * rule. The guard is a codegen'd `when`, free in the hot path. */
+  def packedBlockKey(doc: Column, bid: Column): Column =
+    when(doc >= 0L && doc < lit(1L << 40) &&
+        bid >= 0L && bid < lit(1L << 20),
+        doc * lit(1L << 20) + bid)
+      .otherwise(raise_error(concat(
+        lit("blockDedup packed key out of range: doc_id="),
+        doc.cast("string"), lit(" bid="), bid.cast("string")))
+        .cast("long"))
 
   /** [[blockDedup]]'s cutting stage: one (doc_id, bid, block) row per
     * non-overlapping `blockWords`-word block. */
@@ -1406,7 +1421,7 @@ object Dedup {
   def rewriteWithKeepers(blocks: DataFrame, keeper: DataFrame): DataFrame =
     blocks.join(keeper, Seq("block"))
       .withColumn("keep",
-        col("doc_id") * lit(1L << 20) + col("bid") === col("keeper"))
+        packedBlockKey(col("doc_id"), col("bid")) === col("keeper"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_blocks"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),

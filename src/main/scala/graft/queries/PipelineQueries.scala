@@ -2874,7 +2874,11 @@ object PipelineQueries {
       .select((col("id") * 25L).as("top_pct"))
     byScore.join(q, Seq("source", "score"))
       .crossJoin(broadcast(tiers))
-      .filter(col("q_ppm") > lit(1000000L) - col("top_pct") * 10000L)
+      // the 100% tier keeps everything unconditionally: with integer
+      // division a >1M-row source can floor its lowest band to
+      // q_ppm = 0, and `q_ppm > 0` would silently drop it (r14 ADVICE)
+      .filter(col("q_ppm") > lit(1000000L) - col("top_pct") * 10000L ||
+        col("top_pct") === 100L)
       .groupBy(col("source"), col("top_pct"))
       .agg(sum(col("cnt")).cast("long").as("n_docs"),
         sum(col("toks")).cast("long").as("n_tokens"))
