@@ -31,6 +31,30 @@ object Bench {
   /** Query group = leading letters of the name: c/d/g/m/q/s/st/t. */
   private def groupOf(name: String): String = name.takeWhile(!_.isDigit)
 
+  /** Per-run diagnostics riding BENCH_FULL.json only (never the short
+    * contract line): in-child health barometers bracketing the drifty
+    * groups, per-query GC time and post-cleanup storage residue — the
+    * r14 verdict's adjudication rig for the d-child window (d28 read
+    * 2.45× its record in the driver bench while the same plan hit the
+    * record isolated; without an in-window barometer that reading
+    * cannot be attributed to host drift vs plan regression). */
+  private final class Diag {
+    val baro = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val gcMs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val storageMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+  }
+
+  /** The two BASELINE.md health barometers: q69 is parallelism-
+    * insensitive compute, d02 is shuffle-heavy — together they
+    * separate "host/JVM degraded" from "this plan regressed". */
+  private val BarometerQueries =
+    Seq("q69_grouped_quantiles", "d02_minhash_lsh")
+
+  /** Groups whose children bracket themselves with barometers — the
+    * heavy-tail windows (d28/d29 live in d, q63 in q) the r14 driver
+    * bench read at 1.4-2.5× their records. */
+  private val BarometerGroups = Set("d", "q")
+
   def main(args: Array[String]): Unit =
     sys.env.get("SPARK_GRAFT_ONLY") match {
       // Matched-calibration probe: run an explicit comma-separated
@@ -59,6 +83,7 @@ object Bench {
     val groups = names.map(groupOf).distinct.sortBy(g => (g == "st", g))
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.Buffer.empty[String]
+    val diag = new Diag // group-prefixed merge of every child's diag
 
     val forkable = new java.io.File("target/scala-2.13/classes").isDirectory ||
       System.getProperty("java.class.path", "").contains("classes")
@@ -69,13 +94,15 @@ object Bench {
         if (!fellBack) {
           val gNames = names.filter(n => groupOf(n) == g)
           forkGroup(g) match {
-            case Some(partial) =>
-              val qs = partial._1
+            case Some((qs, pFailed, pDiag)) =>
               gNames.foreach { n =>
                 merged(n) = qs.getOrElse(n, 0.0)
-                if (!qs.contains(n) && !partial._2.contains(n)) failed += n
+                if (!qs.contains(n) && !pFailed.contains(n)) failed += n
               }
-              failed ++= partial._2
+              failed ++= pFailed
+              pDiag.baro.foreach { case (k, v) => diag.baro(s"${g}_$k") = v }
+              diag.gcMs ++= pDiag.gcMs
+              diag.storageMb ++= pDiag.storageMb
             case None =>
               // First fork failure → legacy whole-run fallback for the
               // remaining (unmeasured) queries, so the driver always
@@ -89,13 +116,13 @@ object Bench {
         }
       }
     }
-    emit(merged.toSeq, failed.distinct.toSeq)
+    emit(merged.toSeq, failed.distinct.toSeq, diag)
   }
 
   /** Fork one child JVM for `group`; returns (perQuerySeconds, failed)
     * parsed from the child's partial file, or None on exec/parse error.
     */
-  private def forkGroup(group: String): Option[(Map[String, Double], Seq[String])] =
+  private def forkGroup(group: String): Option[(Map[String, Double], Seq[String], Diag)] =
     try {
       val javaBin = new java.io.File(
         new java.io.File(System.getProperty("java.home"), "bin"), "java")
@@ -133,22 +160,34 @@ object Bench {
       None
     }
 
-  /** Parse {"queries":{"n":1.23,...},"failed":["n",...]} without a JSON
-    * lib (none on the runtime classpath by design).
+  /** Parse {"queries":{"n":1.23,...},"failed":["n",...],...} without a
+    * JSON lib (none on the runtime classpath by design).
     */
-  private def parsePartial(text: String): (Map[String, Double], Seq[String]) = {
-    val q = """"([a-z0-9_]+)":([0-9.]+)""".r
-    val inQueries = text.substring(
-      text.indexOf("{", text.indexOf("\"queries\"")),
-      text.indexOf("}", text.indexOf("\"queries\"")) + 1)
-    val qs = q.findAllMatchIn(inQueries)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  private def parsePartial(text: String): (Map[String, Double], Seq[String], Diag) = {
+    val qs = parseFlatObj(text, "queries")
     val fStart = text.indexOf("[", text.indexOf("\"failed\""))
     val fEnd = text.indexOf("]", fStart)
     val failed = """"([a-z0-9_]+)"""".r
       .findAllMatchIn(text.substring(fStart, fEnd + 1))
       .map(_.group(1)).toSeq
-    (qs, failed)
+    val diag = new Diag
+    diag.baro ++= parseFlatObj(text, "barometers")
+    diag.gcMs ++= parseFlatObj(text, "gc_ms")
+    diag.storageMb ++= parseFlatObj(text, "storage_mb")
+    (qs, failed, diag)
+  }
+
+  /** The flat {"name":num,...} object following `"key":` in `text`,
+    * empty if the key is absent (older partials). */
+  private def parseFlatObj(text: String, key: String): Map[String, Double] = {
+    val at = text.indexOf("\"" + key + "\"")
+    if (at < 0) Map.empty
+    else {
+      val body = text.substring(text.indexOf("{", at),
+        text.indexOf("}", at) + 1)
+      """"([a-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
   }
 
   // ---------------------------------------------------------------- //
@@ -172,11 +211,18 @@ object Bench {
       .filter(n => groupOf(n) == group)
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.Buffer.empty[String]
-    runInProcess(names, merged, failed)
+    val diag = new Diag
+    runInProcess(names, merged, failed, diag,
+      withBarometers = BarometerGroups(group))
     val qs = merged.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val partial = s"""{"queries":$qs,"failed":$fj}"""
+    def obj(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f2(v) }
+        .mkString("{", ",", "}")
+    val partial = s"""{"queries":$qs,"failed":$fj,""" +
+      s""""barometers":${obj(diag.baro)},"gc_ms":${obj(diag.gcMs)},""" +
+      s""""storage_mb":${obj(diag.storageMb)}}"""
     sys.env.get("SPARK_GRAFT_OUT") match {
       case Some(p) => java.nio.file.Files.writeString(
         java.nio.file.Paths.get(p), partial)
@@ -188,10 +234,17 @@ object Bench {
   //  Shared: measure a list of queries in THIS JVM.                   //
   // ---------------------------------------------------------------- //
 
+  /** Total stop-the-world GC time across all collectors, ms. */
+  private def gcTimeMs(): Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+
   private def runInProcess(
       names: Seq[String],
       merged: scala.collection.mutable.LinkedHashMap[String, Double],
-      failed: scala.collection.mutable.Buffer[String]): Unit = {
+      failed: scala.collection.mutable.Buffer[String],
+      diag: Diag = new Diag,
+      withBarometers: Boolean = false): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default 32 = the driver's contract (BENCH_r*.json "cpus": 32).
     // The old default of 4 silently put MANUAL probe runs on
@@ -228,32 +281,47 @@ object Bench {
     if (names.exists(_.startsWith("st")))
       try { SparkEntry.queries("st01_stream_count")(spark, sfDir).count(); () }
       catch { case _: Throwable => () }
-    // A broken query must NOT masquerade as a fast timing: failures are
-    // recorded by name in a separate "failed" key.
-    names.foreach { name =>
+    // One timed measurement + the between-measurements cleanup.
+    // Measurements must be independent: drop blocks a query pinned
+    // (localCheckpoint RDDs, cached relations) so a lexically-later
+    // query never pays an earlier query's storage-memory pressure.
+    // BLOCKING, plus an explicit GC: with 25+ checkpoint-heavy
+    // queries in one group child, async unpersist left block
+    // cleanup draining INTO the next query's timed window — the
+    // round-14 finding that inflated d29/d32 2-3x in-bench while
+    // the same plans ran at record speed isolated. The cleanup cost
+    // lands between measurements, which no query is charged for.
+    def timeOne(name: String, recordFailure: Boolean): Double = {
       val fn = SparkEntry.queries(name)
+      val gc0 = gcTimeMs()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
-        failed += name
+        if (recordFailure) failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Measurements must be independent: drop blocks a query pinned
-      // (localCheckpoint RDDs, cached relations) so a lexically-later
-      // query never pays an earlier query's storage-memory pressure.
-      // BLOCKING, plus an explicit GC: with 25+ checkpoint-heavy
-      // queries in one group child, async unpersist left block
-      // cleanup draining INTO the next query's timed window — the
-      // round-14 finding that inflated d29/d32 2-3x in-bench while
-      // the same plans ran at record speed isolated. The cleanup cost
-      // lands between measurements, which no query is charged for.
+      diag.gcMs(name) = (gcTimeMs() - gc0).toDouble
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(
         _.unpersist(blocking = true))
       System.gc()
-      merged(name) = dt
+      // Storage residue AFTER cleanup: nonzero means some query leaked
+      // pinned blocks past its own window — the drift suspect.
+      diag.storageMb(name) =
+        spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6
+      dt
     }
+    // A broken query must NOT masquerade as a fast timing: failures are
+    // recorded by name in a separate "failed" key. Barometer timings
+    // bracket the group inside the SAME session, so a drifted group
+    // reading can be attributed: pre≈post≈record → plan/ordering issue
+    // inside the window; post >> pre → the child itself degraded.
+    if (withBarometers) BarometerQueries.foreach { b =>
+      diag.baro(s"pre_$b") = timeOne(b, recordFailure = false) }
+    names.foreach { name => merged(name) = timeOne(name, recordFailure = true) }
+    if (withBarometers) BarometerQueries.foreach { b =>
+      diag.baro(s"post_$b") = timeOne(b, recordFailure = false) }
     spark.stop()
   }
 
@@ -270,12 +338,16 @@ object Bench {
     * harness tail-captures only 2000 chars); full copy to
     * BENCH_FULL.json as the durable artifact.
     */
-  private def emit(results: Seq[(String, Double)], failed: Seq[String]): Unit = {
+  private def emit(results: Seq[(String, Double)], failed: Seq[String],
+      diag: Diag = new Diag): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def obj(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f2(v) }
+        .mkString("{", ",", "}")
     // The durable lossless artifact; the stdout line is a convenience
     // that log interleaving may truncate, so the "full" pointer rides
     // in the headline tail (the last-2000-chars window) and names
@@ -283,7 +355,7 @@ object Bench {
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
       .toAbsolutePath.toString
     val line =
-      s"""{"queries":$qs,"sf":"${esc(sfDir)}","failed":$failedJson,"full":"${esc(fullPath)}","metric":"total","unit":"sec","value":${f2(total)}}"""
+      s"""{"queries":$qs,"barometers":${obj(diag.baro)},"gc_ms":${obj(diag.gcMs)},"storage_mb":${obj(diag.storageMb)},"sf":"${esc(sfDir)}","failed":$failedJson,"full":"${esc(fullPath)}","metric":"total","unit":"sec","value":${f2(total)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullPath), line + "\n")
     catch { case _: Throwable => () }

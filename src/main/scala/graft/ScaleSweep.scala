@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Heavy-tail scaling-exponent sweep — the r14 verdict's item 6: the
+  * one-SF bench cannot show how d28/d29/m16/d37 GROW, so this rig
+  * measures each against synthetic corpora at 1×/3×/10× the sf0.1
+  * document count and fits the cost-vs-rows exponent
+  * e = ln(t2/t1) / ln(n2/n1) between consecutive scales.
+  *
+  * Synthetic construction (replica r of the sf0.1 documents table):
+  * doc_id offset by r·10⁷ (stays far under d37's 2⁴⁰ packing bound)
+  * and every word prefixed `r<r>_` for r ≥ 1, so replicas share NO
+  * tokens/shingles/blocks: cross-replica similarity is zero BY
+  * CONSTRUCTION and the near-dup DENSITY stays constant as rows grow —
+  * a 10× corpus of the same character, not a pathological one where
+  * every doc suddenly has 10 exact copies. What the sweep therefore
+  * measures is the candidate-generation + join machinery's growth with
+  * corpus size at constant duplicate density — the design claim
+  * (banded LSH, prefix filter + doc-freq cap, bucketed ranks) is that
+  * this is ~linear, and the fitted exponent is the evidence.
+  *
+  * Bench-child discipline: one session at 32 cores, warm-up read,
+  * blocking unpersist + GC between measurements, best-of-REPS per
+  * cell. Run while nothing else is on the host (BASELINE.md rule 5).
+  *
+  * Env: SPARK_GRAFT_QUERIES (default the four heavy-tail queries),
+  * SPARK_GRAFT_SCALES (default "1,3,10"), SPARK_GRAFT_REPS (default
+  * 2), SPARK_GRAFT_SF_DIR (base fixture, default sf0.1). Prints one
+  * JSON line per (query, scale) and a final fitted-exponent line per
+  * query.
+  */
+object ScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val queries = sys.env.getOrElse("SPARK_GRAFT_QUERIES",
+      "d28_prefix_join,d29_containment_join,m16_phash_clusters,d37_block_dedup")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq.sorted
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val spark = GraftSessions.builder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dirs = scales.map(s => s -> buildSynthetic(spark, base, s)).toMap
+    val rows = scales.map(s =>
+      s -> spark.read.parquet(s"${dirs(s)}/documents.parquet").count()).toMap
+
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Int), Double]
+    for (q <- queries; s <- scales) {
+      val fn = SparkEntry.queries(q)
+      val best = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dirs(s)).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+        dt
+      }.min
+      results((q, s)) = best
+      println(f"""{"query":"$q","scale":$s,"rows":${rows(s)},"best_sec":$best%.2f}""")
+    }
+    queries.foreach { q =>
+      val fits = scales.sliding(2).collect { case Seq(a, b) =>
+        val e = math.log(results((q, b)) / results((q, a))) /
+          math.log(rows(b).toDouble / rows(a).toDouble)
+        f""""${a}x_to_${b}x":$e%.2f"""
+      }.mkString(",")
+      println(s"""{"query":"$q","fitted_exponents":{$fits}}""")
+    }
+    spark.stop()
+  }
+
+  /** Replicate the base documents table `k`× with disjoint token
+    * namespaces per replica (see object doc); returns a fixture-shaped
+    * dir containing only documents.parquet. */
+  private def buildSynthetic(spark: SparkSession, base: String,
+      k: Int): String = {
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft_sweep_${k}x").toString
+    val d = spark.read.parquet(s"$base/documents.parquet")
+    val reps = (0 until k).map { r =>
+      if (r == 0) d
+      else d.select(
+        (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(lit(s"r${r}_"), w)), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    reps.reduce(_ unionByName _).repartition(math.max(2, 2 * k))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out
+  }
+}

@@ -35,15 +35,40 @@ object Tokenizer {
 
   /** Full training result: the merge table AND the final segmented
     * vocabulary (word → symbol array) — the artifact [[bpeTokenCounts]]
-    * applies corpus-wide. */
-  def bpeTrain(df: DataFrame, text: Column, k: Int)
+    * applies corpus-wide.
+    *
+    * THE 100 TB CONTRACT (`maxTrainWords`): the corpus-scale work is
+    * exactly ONE pass — the word-frequency groupBy (map-side partial
+    * counts, the same shuffle profile as a word count). Everything
+    * after runs on the DISTINCT-WORD table, and `maxTrainWords` bounds
+    * that table to the top-N words by (frequency desc, word) — a
+    * bounded TakeOrdered, never a global sort materialization. With
+    * the cap set, each of the k merge rounds is a job over ≤N rows
+    * regardless of corpus size, so training cost is
+    * O(corpus) + O(k·N): the k driver-sequenced rounds survive 100 TB
+    * because their inputs stop scaling with the data. This is the
+    * sampled-training contract every production tokenizer ships
+    * (frequency-truncated or document-sampled corpora — BPE merge
+    * counts are dominated by head words, so the truncated tail
+    * perturbs late merges only); TokenizerSpec pins that a
+    * non-binding cap reproduces the uncapped merges exactly and that
+    * a binding cap trains on precisely the top-N table. The default
+    * (unbounded) preserves the oracle-checked t31/t48 behavior. */
+  def bpeTrain(df: DataFrame, text: Column, k: Int,
+      maxTrainWords: Int = Int.MaxValue)
       : (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
-    var vocab = df
+    val full = df
       .select(explode(split(text, " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // deterministic frequency truncation: ties at the cut broken by
+    // the word itself, so the training set is row-order independent
+    val capped =
+      if (maxTrainWords == Int.MaxValue) full
+      else full.orderBy(col("cnt").desc, col("w")).limit(maxTrainWords)
+    var vocab = capped
       .withColumn("syms",
         expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
       .select(col("w"), col("cnt"), col("syms"))

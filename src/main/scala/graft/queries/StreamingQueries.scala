@@ -4026,6 +4026,12 @@ object StreamingQueries {
     * from ONE state-table shape, exactly how [[streamedValueCounts]]
     * funds the order-statistic family. */
   private def streamedWeekdayCells(spark: SparkSession, dir: String,
+      group: String, stagePrefix: String): DataFrame =
+    sharedIngest(spark, dir, "weekdayCells") {
+      streamedWeekdayCellsIngest(spark, dir, group, stagePrefix)
+    }
+
+  private def streamedWeekdayCellsIngest(spark: SparkSession, dir: String,
       group: String, stagePrefix: String): DataFrame = {
     import spark.implicits._
     import graft.operators.BatchExecutor.SinkTable
@@ -4187,6 +4193,12 @@ object StreamingQueries {
     * Mann-Kendall all read exactly this frame), the dailySeries
     * analogue of [[streamedValueCounts]]. */
   private def streamedDailyAggregates(spark: SparkSession, dir: String,
+      group: String, stagePrefix: String): DataFrame =
+    sharedIngest(spark, dir, "dailyAggregates") {
+      streamedDailyAggregatesIngest(spark, dir, group, stagePrefix)
+    }
+
+  private def streamedDailyAggregatesIngest(spark: SparkSession, dir: String,
       group: String, stagePrefix: String): DataFrame = {
     import spark.implicits._
     import graft.operators.BatchExecutor.SinkTable
@@ -4303,7 +4315,8 @@ object StreamingQueries {
       val staging = tempDir("graft_sblock")
       stageTwoBatches(spark,
         Sources.messages(blocks, "blocks", col("block"),
-          (col("doc_id") * lit(1L << 20) + col("bid")).cast("string"),
+          graft.ops.Dedup.packedBlockKey(col("doc_id"), col("bid"))
+            .cast("string"),
           expr("timestamp_micros(doc_id)"), col("bid")),
         staging)
       val stream = spark.readStream
@@ -4497,14 +4510,40 @@ object StreamingQueries {
       graft.queries.Relational.benfordCells(obs)
     }
 
-  /** The shared st66/st67/st68 state pipeline: per (event_type,
+  /** One-ingest-many-readouts memoization: the final state table of a
+    * shared-shape ingest, cached per (session, fixture dir, state
+    * shape). This is the reference's own serving topology — ONE
+    * processor maintains the group table and every View reads it
+    * (`/root/reference/view.go:42-52`); re-running the identical
+    * ingest per readout was an artifact of the one-shot oracle
+    * harness, not a semantic requirement. The cached value is the
+    * COLLAPSED final state (a memory-sink-backed session table), so
+    * each readout still executes its own fold + oracle-checked
+    * arithmetic; only the byte-identical replay is shared. Keyed on
+    * the session identity so tests/Verify/Bench sessions never share. */
+  private val sharedIngestCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  private def sharedIngest(spark: SparkSession, dir: String, shape: String)(
+      build: => DataFrame): DataFrame =
+    sharedIngestCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, shape), build)
+
+  /** The shared st66-st71 state pipeline: per (event_type,
     * fixed-point value) key, a streamed occurrence count — the
     * tie-collapsed sufficient statistic that funds the whole
-    * order-statistic family (median, Gini, trimmed mean) from ONE
-    * state-table shape; `scale` picks the fixed-point grain (centi
-    * for st66's median, milli for st67/st68 so st68 shares q94's
-    * oracle verbatim). */
+    * order-statistic family (median, Gini, trimmed mean, MAD, IQR,
+    * winsorized mean) from ONE state-table shape; `scale` picks the
+    * fixed-point grain (centi for st66's median, milli for the rest
+    * so st68 shares q94's oracle verbatim). The ingest runs ONCE per
+    * (session, dir, grain) via [[sharedIngest]]; the five milli-grain
+    * readouts fold over the same maintained table. */
   private def streamedValueCounts(spark: SparkSession, dir: String,
+      group: String, stagePrefix: String, scale: Double): DataFrame =
+    sharedIngest(spark, dir, s"valueCounts:$scale") {
+      streamedValueCountsIngest(spark, dir, group, stagePrefix, scale)
+    }
+
+  private def streamedValueCountsIngest(spark: SparkSession, dir: String,
       group: String, stagePrefix: String, scale: Double): DataFrame = {
     import spark.implicits._
     import graft.operators.BatchExecutor.SinkTable

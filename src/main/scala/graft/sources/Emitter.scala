@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.sql.Timestamp
-import java.util.concurrent.atomic.AtomicLong
 import scala.collection.mutable
 import scala.concurrent.{Future, Promise}
 import org.apache.spark.sql.{Dataset, SparkSession}
@@ -16,21 +15,22 @@ import graft.core.{Codec, Message}
   * or write to any sink: `ds.write.parquet(topicDir)`, or
   * `.selectExpr("key","value").write.format("kafka")` in a real
   * deployment). Promises resolve on flush, mirroring the reference's
-  * async-producer ack lifecycle (`producer.go:92-118`). */
+  * async-producer ack lifecycle (`producer.go:92-118`): encoding and
+  * materialization both happen at the flush, so a failing emit fails
+  * its OWN promise there and [[finish]] surfaces the first error after
+  * draining every promise — the reference's `Finish` contract
+  * (`emitter.go:103-130` waits out in-flight emits, then returns the
+  * collected error), never a silently dropped row. */
 final class Emitter[T](val topic: String, codec: Codec[T]) {
 
-  private val buf = mutable.Buffer.empty[(Message, Promise[Unit])]
-  private val offsets = new AtomicLong(0L)
+  private val buf =
+    mutable.Buffer.empty[(String, T, Map[String, Array[Byte]], Promise[Unit])]
   @volatile private var closed = false
 
-  /** Async emit: buffered, promise resolves at [[finish]]
-    * (`emitter.go:60-89`). */
-  def emit(key: String, value: T): Future[Unit] = synchronized {
-    require(!closed, "emitter is finished")
-    val p = Promise[Unit]()
-    buf += ((message(key, value), p))
-    p.future
-  }
+  /** Async emit: buffered, promise resolves — or FAILS, on a codec
+    * error for this row — at [[finish]] (`emitter.go:60-89`). */
+  def emit(key: String, value: T): Future[Unit] =
+    emitWithHeaders(key, value, Map.empty)
 
   /** Sync emit (`emitter.go:91-117`) — immediate buffer append. */
   def emitSync(key: String, value: T): Unit = { emit(key, value); () }
@@ -39,24 +39,41 @@ final class Emitter[T](val topic: String, codec: Codec[T]) {
       headers: Map[String, Array[Byte]]): Future[Unit] = synchronized {
     require(!closed, "emitter is finished")
     val p = Promise[Unit]()
-    buf += ((message(key, value).copy(headers = headers), p))
+    buf += ((key, value, headers, p))
     p.future
   }
 
-  private def message(key: String, value: T): Message =
-    Message(key,
-      if (value == null) null else codec.encode(value),
-      topic, 0, offsets.getAndIncrement(),
-      new Timestamp(offsets.get()), Map.empty)
-
-  /** Drain: resolve all promises, return the emitted stream
-    * (`emitter.go:119-130`). The emitter is unusable afterwards. */
+  /** Drain: encode and flush every buffered emit, resolving each row's
+    * promise with ITS outcome, then return the emitted stream
+    * (`emitter.go:119-130`). A row whose encode fails fails its own
+    * promise, and after the full drain finish THROWS naming the first
+    * cause and the failure count — the reference's Finish returns the
+    * collected emit error; swallowing it would turn a corrupt producer
+    * into silent data loss. The emitter is unusable afterwards. */
   def finish(spark: SparkSession): Dataset[Message] = synchronized {
     closed = true
     import spark.implicits._
-    val msgs = buf.map(_._1).toSeq
-    buf.foreach(_._2.success(()))
+    var firstErr: Throwable = null
+    var nFailed = 0
+    val msgs = buf.zipWithIndex.flatMap { case ((k, v, h, p), i) =>
+      try {
+        // offset = emit order; timestamp follows the pre-r15 counter
+        // convention (offset + 1) so replay collapse order is stable
+        val m = Message(k, if (v == null) null else codec.encode(v),
+          topic, 0, i.toLong, new Timestamp(i.toLong + 1L), h)
+        p.success(())
+        Some(m)
+      } catch { case e: Throwable =>
+        if (firstErr == null) firstErr = e
+        nFailed += 1
+        p.failure(e)
+        None
+      }
+    }.toSeq
     buf.clear()
+    if (firstErr != null) throw new IllegalStateException(
+      s"$nFailed emit(s) failed during finish; first: ${firstErr.getMessage}",
+      firstErr)
     spark.createDataset(msgs)
   }
 }

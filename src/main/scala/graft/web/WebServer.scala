@@ -42,6 +42,15 @@ final class WebServer(port: Int = 0, bindAddress: String = "127.0.0.1") {
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
     r => { val t = new Thread(r, "graft-web"); t.setDaemon(true); t })
   server.setExecutor(pool)
+  // Landing index (`/root/reference/web/index/index.go`: the root page
+  // lists every attached component so a browser user can navigate the
+  // server without knowing its routes). Registered on "/" — the JDK
+  // server routes unmatched paths here, so exactly "/" renders the
+  // index and anything else is a JSON 404 instead of a silent match.
+  server.createContext("/", (ex: HttpExchange) =>
+    if (ex.getRequestURI.getPath == "/") respondHtml(ex)(200 -> renderIndex())
+    else respond(ex)(404 ->
+      s"""{"error":${q("no route " + ex.getRequestURI.getPath)}}"""))
   server.createContext("/query", (ex: HttpExchange) => handleQuery(ex))
   server.createContext("/actions", (ex: HttpExchange) => handleAction(ex))
   server.createContext("/metrics",
@@ -133,6 +142,32 @@ final class WebServer(port: Int = 0, bindAddress: String = "127.0.0.1") {
             }
         }
     }
+  }
+
+  /** The landing page: every attached table (linked to its /query
+    * route), every registered action, and the monitor/metrics pages —
+    * the reference's index server enumerates its registered
+    * components the same way. Evaluated per request so components
+    * attached after start() appear. */
+  private def renderIndex(): String = {
+    def esc(s: String): String = s.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
+    def li(items: Seq[String]): String =
+      if (items.isEmpty) "<p><i>none</i></p>"
+      else items.mkString("<ul>", "", "</ul>")
+    val tbls = tables.keys.toSeq.sorted.map(t =>
+      s"<li><a href='/query/${esc(t)}'>${esc(t)}</a></li>")
+    val acts = actions.keys.toSeq.sorted.map(a =>
+      s"<li>${esc(a)} <i>(POST /actions/${esc(a)})</i></li>")
+    "<!DOCTYPE html><html><head><title>graft</title></head><body>" +
+      "<h1>graft web server</h1>" +
+      "<h2>Tables</h2>" + li(tbls) +
+      "<h2>Actions</h2>" + li(acts) +
+      "<h2>Monitoring</h2><ul>" +
+      s"<li><a href='/monitor'>monitor</a>" +
+      (if (monitor.isEmpty) " <i>(no listener attached)</i>" else "") +
+      "</li><li><a href='/metrics'>metrics JSON</a></li></ul>" +
+      "</body></html>"
   }
 
   /** Latest-per-group dashboard tables (like the reference's per-page

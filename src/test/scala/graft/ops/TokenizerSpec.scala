@@ -87,4 +87,39 @@ class TokenizerSpec extends AnyFunSuite with SparkFixture {
     assert(!m.contains(1L))                // empty doc emits nothing
     assert(m.get(2L).contains((1L, 1L)))
   }
+
+  // ---- the 100 TB sampled-training contract (maxTrainWords) ---- //
+
+  private def merges(df: org.apache.spark.sql.DataFrame, k: Int,
+      cap: Int): Seq[(Long, String, String, String, Long)] =
+    Tokenizer.bpeTrain(df, col("text"), k, maxTrainWords = cap)._1
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .toSeq.sortBy(_._1)
+
+  test("sample contract: a non-binding cap reproduces uncapped merges") {
+    import spark.implicits._
+    val df = Seq("abab cd cd ef", "abab abab gh ef", "ij ij kl")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // 8 distinct words; any cap >= 8 must train identically.
+    assert(merges(df, 4, cap = 8) == merges(df, 4, cap = Int.MaxValue))
+    assert(merges(df, 4, cap = 1000) == merges(df, 4, cap = Int.MaxValue))
+  }
+
+  test("sample contract: a binding cap trains on exactly the top-N " +
+      "frequency-truncated table (ties broken by word)") {
+    import spark.implicits._
+    // frequencies: xy x3, pq x2, zz x2, rs x1 — cap 2 keeps {xy, pq}
+    // (pq beats zz at count 2 by word order), so (z,z) can never be
+    // learned and round 1 is (x,y) with the CAPPED count 3.
+    val df = Seq("xy xy xy pq pq zz zz rs")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val m = merges(df, 2, cap = 2)
+    assert(m(0) == ((1L, "x", "y", "xy", 3L)))
+    assert(m(1) == ((2L, "p", "q", "pq", 2L)))
+    assert(!m.exists(_._2 == "z"))
+  }
 }

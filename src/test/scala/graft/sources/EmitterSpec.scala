@@ -27,6 +27,32 @@ class EmitterSpec extends AnyFunSuite with SparkFixture {
     assertThrows[IllegalArgumentException](em.emitSync("u1", "d"))
   }
 
+  test("finish surfaces emit errors: failing rows fail their own " +
+      "promise, finish throws after draining (emitter.go:103-130)") {
+    val boom = new RuntimeException("no bytes for you")
+    val failing = new Codec[String] {
+      def encode(v: String): Array[Byte] =
+        if (v.startsWith("bad")) throw boom else v.getBytes("UTF-8")
+      def decode(b: Array[Byte]): String = new String(b, "UTF-8")
+    }
+    val em = new Emitter[String]("clicks", failing)
+    val ok1 = em.emit("u1", "fine")
+    val bad = em.emit("u2", "bad-row")
+    val ok2 = em.emit("u3", "also-fine")
+    // nothing resolves before the flush
+    assert(!ok1.isCompleted && !bad.isCompleted && !ok2.isCompleted)
+    val err = intercept[IllegalStateException](em.finish(spark))
+    // the finish error names the count and carries the first cause
+    assert(err.getMessage.contains("1 emit(s) failed"))
+    assert(err.getCause eq boom)
+    // every promise drained with ITS outcome — no dropped row, no
+    // dropped error
+    assert(ok1.value.exists(_.isSuccess))
+    assert(ok2.value.exists(_.isSuccess))
+    assert(bad.value.exists(_.isFailure))
+    assert(bad.value.get.failed.get eq boom)
+  }
+
   test("emitted stream drives a processor to the expected table") {
     val em = new Emitter[String]("clicks", StringCodec)
     (1 to 5).foreach(i => em.emitSync(s"u${i % 2}", s"c$i"))

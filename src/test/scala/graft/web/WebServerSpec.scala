@@ -74,6 +74,15 @@ class WebServerSpec extends AnyFunSuite with SparkFixture {
         ((200, """{"action":"scale","result":2}""")))
       assert(http("GET", s"$base/query/webcount-table/a") ==
         ((200, """{"table":"webcount-table","key":"a","value":6}""")))
+      // index page (web/index): lists all three attached components
+      val (idxCode, idx) = http("GET", s"$base/")
+      assert(idxCode == 200)
+      assert(idx.contains("webcount-table") &&
+        idx.contains("/query/webcount-table"))
+      assert(idx.contains("scale") && idx.contains("/actions/scale"))
+      assert(idx.contains("/monitor") && idx.contains("/metrics"))
+      // unmatched paths under "/" are a 404, not a silent index match
+      assert(http("GET", s"$base/nope")._1 == 404)
     } finally server.stop()
   }
 
