@@ -38,7 +38,7 @@ object Bench {
     * 2.45× its record in the driver bench while the same plan hit the
     * record isolated; without an in-window barometer that reading
     * cannot be attributed to host drift vs plan regression). */
-  private final class Diag {
+  private[graft] final class Diag {
     val baro = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val gcMs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val storageMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -163,7 +163,7 @@ object Bench {
   /** Parse {"queries":{"n":1.23,...},"failed":["n",...],...} without a
     * JSON lib (none on the runtime classpath by design).
     */
-  private def parsePartial(text: String): (Map[String, Double], Seq[String], Diag) = {
+  private[graft] def parsePartial(text: String): (Map[String, Double], Seq[String], Diag) = {
     val qs = parseFlatObj(text, "queries")
     val fStart = text.indexOf("[", text.indexOf("\"failed\""))
     val fEnd = text.indexOf("]", fStart)
@@ -179,7 +179,7 @@ object Bench {
 
   /** The flat {"name":num,...} object following `"key":` in `text`,
     * empty if the key is absent (older partials). */
-  private def parseFlatObj(text: String, key: String): Map[String, Double] = {
+  private[graft] def parseFlatObj(text: String, key: String): Map[String, Double] = {
     val at = text.indexOf("\"" + key + "\"")
     if (at < 0) Map.empty
     else {

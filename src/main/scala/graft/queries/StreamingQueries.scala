@@ -4558,9 +4558,9 @@ object StreamingQueries {
     * each readout still executes its own fold + oracle-checked
     * arithmetic; only the byte-identical replay is shared. Keyed on
     * the session identity so tests/Verify/Bench sessions never share. */
-  private val sharedIngestCache =
+  private[queries] val sharedIngestCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
-  private def sharedIngest(spark: SparkSession, dir: String, shape: String)(
+  private[queries] def sharedIngest(spark: SparkSession, dir: String, shape: String)(
       build: => DataFrame): DataFrame =
     sharedIngestCache.getOrElseUpdate(
       (System.identityHashCode(spark), dir, shape), build)

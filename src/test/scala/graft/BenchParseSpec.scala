@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench orchestrator's child-partial parse is load-bearing for
+  * the driver contract (a mis-parse silently zeroes a group's
+  * timings), and round 15 widened the partial with the diagnostic
+  * objects (barometers / gc_ms / storage_mb) — pin the round-trip. */
+class BenchParseSpec extends AnyFunSuite {
+
+  test("full r15 partial: queries, failed and all three diag objects") {
+    val partial =
+      """{"queries":{"d01_exact":1.23,"d02_minhash_lsh":2.05},""" +
+        """"failed":["d09_bad"],""" +
+        """"barometers":{"pre_q69_grouped_quantiles":1.61,""" +
+        """"post_q69_grouped_quantiles":1.75},""" +
+        """"gc_ms":{"d01_exact":42.00,"d02_minhash_lsh":0.00},""" +
+        """"storage_mb":{"d01_exact":0.00,"d02_minhash_lsh":12.50}}"""
+    val (qs, failed, diag) = Bench.parsePartial(partial)
+    assert(qs == Map("d01_exact" -> 1.23, "d02_minhash_lsh" -> 2.05))
+    assert(failed == Seq("d09_bad"))
+    assert(diag.baro.toMap == Map("pre_q69_grouped_quantiles" -> 1.61,
+      "post_q69_grouped_quantiles" -> 1.75))
+    assert(diag.gcMs.toMap ==
+      Map("d01_exact" -> 42.0, "d02_minhash_lsh" -> 0.0))
+    assert(diag.storageMb.toMap ==
+      Map("d01_exact" -> 0.0, "d02_minhash_lsh" -> 12.5))
+  }
+
+  test("pre-r15 partial (no diag objects) still parses") {
+    val legacy = """{"queries":{"q01_pricing_summary":3.10},"failed":[]}"""
+    val (qs, failed, diag) = Bench.parsePartial(legacy)
+    assert(qs == Map("q01_pricing_summary" -> 3.10))
+    assert(failed.isEmpty)
+    assert(diag.baro.isEmpty && diag.gcMs.isEmpty && diag.storageMb.isEmpty)
+  }
+
+  test("empty diag objects and empty queries parse to empty maps") {
+    val partial = """{"queries":{},"failed":[],"barometers":{},""" +
+      """"gc_ms":{},"storage_mb":{}}"""
+    val (qs, failed, diag) = Bench.parsePartial(partial)
+    assert(qs.isEmpty && failed.isEmpty && diag.baro.isEmpty)
+  }
+
+  test("parseFlatObj is bounded to its own object") {
+    // gc_ms must not leak into the barometers parse or vice versa
+    val text = """{"barometers":{"pre_d02_minhash_lsh":1.90},""" +
+      """"gc_ms":{"pre_d02_minhash_lsh":77.00}}"""
+    assert(Bench.parseFlatObj(text, "barometers") ==
+      Map("pre_d02_minhash_lsh" -> 1.9))
+    assert(Bench.parseFlatObj(text, "gc_ms") ==
+      Map("pre_d02_minhash_lsh" -> 77.0))
+    assert(Bench.parseFlatObj(text, "absent") == Map.empty)
+  }
+}

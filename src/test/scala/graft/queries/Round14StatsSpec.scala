@@ -542,6 +542,26 @@ class Round14StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("d37 packed keeper key fails loudly out of range instead of " +
+      "silently corrupting keeper selection (r14 advice)") {
+    import spark.implicits._
+    // in range: packs exactly
+    val ok = Seq((5L, 3L)).toDF("d", "b")
+      .select(graft.ops.Dedup.packedBlockKey(col("d"), col("b")))
+      .head().getLong(0)
+    assert(ok == 5L * (1L << 20) + 3L)
+    // doc_id >= 2^40 and bid >= 2^20 both raise, naming the values
+    def boom(d: Long, b: Long): String =
+      intercept[Exception] {
+        Seq((d, b)).toDF("d", "b")
+          .select(graft.ops.Dedup.packedBlockKey(col("d"), col("b")))
+          .head()
+      }.getMessage
+    assert(boom(1L << 40, 0L).contains("out of range"))
+    assert(boom(1L, 1L << 20).contains("bid"))
+    assert(boom(-1L, 0L).contains("out of range"))
+  }
+
   test("q112 runs test: random daily series match brute-force run/" +
       "sign counts and the z statistic") {
     import spark.implicits._
