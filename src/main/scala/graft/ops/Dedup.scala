@@ -1145,12 +1145,18 @@ object Dedup {
     * for EVERY id in `allIds`, cluster = min doc_id of the component;
     * singletons map to themselves.
     *
-    * Iterative min-label propagation: each round joins labels to the
-    * symmetric edge list and takes the per-node min — the standard
-    * distributed CC loop (the alternating large-star/small-star variant
-    * of Kiveris et al. drops in here for adversarially-deep graphs; dedup
-    * graphs are near-cliques from bucket co-membership, so diameter and
-    * round count stay tiny). Per-round `localCheckpoint` truncates the
+    * Iterative min-label propagation WITH pointer jumping: each round
+    * (a) joins labels to the symmetric edge list and takes the
+    * per-node min (one hop), then (b) adopts the label's own current
+    * label (label(label(v)) — the shortcut of Kiveris et al.'s
+    * star-contraction family), so a chain's surviving label distance
+    * HALVES per round and convergence is O(log diameter) rounds, not
+    * O(diameter). Dedup graphs are usually near-cliques from bucket
+    * co-membership (2-3 rounds), but long chains are exactly what
+    * templated corpora produce at scale — A≈B≈C drifting one edit per
+    * hop — and a 30× synthetic sweep drove the plain one-hop loop
+    * past its round cap (BASELINE.md round-15 sweep) while this form
+    * converges in ≤7. Per-round `localCheckpoint` truncates the
     * growing lineage; labels only decrease, so a stable checksum ==
     * fixpoint. */
   def connectedComponents(pairs: DataFrame, allIds: DataFrame,
@@ -1173,8 +1179,20 @@ object Dedup {
         s"connected components did not converge in $maxIter rounds")
       val propagated = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.select(col("id"), col("lbl")).union(propagated)
+      val hopped = labels.select(col("id"), col("lbl")).union(propagated)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      // Pointer jumping: v also adopts label(label(v)). Every label IS
+      // a node id (labels start as id→id and only move to smaller
+      // EXISTING ids via min), so the lookup always matches — inner.
+      // The jump table is rebuilt as a fresh projection (toDF) rather
+      // than a direct self-join alias: the checkpointed plan self-
+      // joined against itself trips Union constraint rewriting on
+      // LocalRelation inputs (key-not-found on the dedup'd attribute).
+      val jump = hopped.toDF("jid", "jlbl")
+      val next = hopped
+        .join(jump, col("lbl") === col("jid"))
+        .select(col("id"), least(col("lbl"), col("jlbl")).as("lbl"))
         .localCheckpoint()
       val cur = checksum(next)
       labels = next

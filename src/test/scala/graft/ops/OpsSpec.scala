@@ -478,6 +478,22 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(cc.forall(_._2 == 0L) && cc.length == 10)
   }
 
+  test("connected components: pointer jumping makes rounds logarithmic " +
+      "— a 300-node path converges inside 12 rounds (one-hop needs 299)") {
+    import spark.implicits._
+    // Templated corpora chain at scale (A≈B≈C, one edit per hop): the
+    // r15 sweep drove the plain one-hop loop past its cap at 30×.
+    // label(label(v)) halves surviving label distance per round, so
+    // diameter 299 must close in ~ceil(log2) + slack rounds.
+    val n = 300L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("da", "db")
+    val ids = (0L until n).toDF("doc_id")
+    val cc = Dedup.connectedComponents(pairs, ids, col("doc_id"),
+        maxIter = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length == n.toInt && cc.forall(_._2 == 0L))
+  }
+
   test("top terms rank by (tf desc, df asc, term asc), integer-exact") {
     import spark.implicits._
     val d = Seq(
