@@ -1189,11 +1189,17 @@ object Dedup {
       // than a direct self-join alias: the checkpointed plan self-
       // joined against itself trips Union constraint rewriting on
       // LocalRelation inputs (key-not-found on the dedup'd attribute).
-      val jump = hopped.toDF("jid", "jlbl")
-      val next = hopped
-        .join(jump, col("lbl") === col("jid"))
-        .select(col("id"), least(col("lbl"), col("jlbl")).as("lbl"))
-        .localCheckpoint()
+      // First two rounds stay hop-only: bucket-co-membership dedup
+      // graphs are near-cliques that CONVERGE there, and the jump
+      // join would be a pure extra labels-sized shuffle for them; the
+      // shortcut arms from round 3, so a chain still closes in
+      // 2 + O(log diameter) rounds while the common case pays zero.
+      val next = if (iter <= 2) hopped else {
+        val jump = hopped.toDF("jid", "jlbl")
+        hopped.join(jump, col("lbl") === col("jid"))
+          .select(col("id"), least(col("lbl"), col("jlbl")).as("lbl"))
+          .localCheckpoint() // hopped's own pin covers the hop-only path
+      }
       val cur = checksum(next)
       labels = next
       if (cur.compareTo(prev) == 0) done = true else prev = cur
