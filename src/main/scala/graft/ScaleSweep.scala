@@ -47,6 +47,18 @@ object ScaleSweep {
     spark.sparkContext.setLogLevel("WARN")
 
     val dirs = scales.map(s => s -> buildSynthetic(spark, base, s)).toMap
+    try runSweep(spark, queries, scales, reps, dirs)
+    finally {
+      // The synthetic corpora total ~14× the base parquet footprint
+      // (1×+3×+10×) — never leave them in /tmp on the shared host.
+      dirs.values.foreach(deleteRecursively)
+      spark.stop()
+    }
+  }
+
+  private def runSweep(spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[String], scales: Seq[Int], reps: Int,
+      dirs: Map[Int, String]): Unit = {
     val rows = scales.map(s =>
       s -> spark.read.parquet(s"${dirs(s)}/documents.parquet").count()).toMap
 
@@ -75,8 +87,19 @@ object ScaleSweep {
       }.mkString(",")
       println(s"""{"query":"$q","fitted_exponents":{$fits}}""")
     }
-    spark.stop()
   }
+
+  private def deleteRecursively(dir: String): Unit =
+    try {
+      import java.nio.file.{Files, Paths, Path}
+      import java.util.Comparator
+      val root = Paths.get(dir)
+      if (Files.exists(root))
+        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+    } catch { case e: Throwable =>
+      System.err.println(s"[sweep] cleanup of $dir failed: ${e.getMessage}")
+    }
 
   /** Replicate the base documents table `k`× with disjoint token
     * namespaces per replica (see object doc); returns a fixture-shaped

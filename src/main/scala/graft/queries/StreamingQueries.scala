@@ -4557,13 +4557,25 @@ object StreamingQueries {
     * COLLAPSED final state (a memory-sink-backed session table), so
     * each readout still executes its own fold + oracle-checked
     * arithmetic; only the byte-identical replay is shared. Keyed on
-    * the session identity so tests/Verify/Bench sessions never share. */
+    * a per-session UUID handed out by a WEAK-keyed registry — stable
+    * and never reused, unlike the identity hash r15 used, which a
+    * post-GC allocation could in principle collide onto a dead
+    * session's cached table — and swept of stopped-session entries on
+    * every call so a long-lived JVM (test suite, many sessions)
+    * doesn't pin dead sessions' memory-sink tables forever. */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private[queries] def sessionId(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString)
   private[queries] val sharedIngestCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
   private[queries] def sharedIngest(spark: SparkSession, dir: String, shape: String)(
-      build: => DataFrame): DataFrame =
-    sharedIngestCache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, shape), build)
+      build: => DataFrame): DataFrame = {
+    sharedIngestCache.filterInPlace { (_, df) =>
+      !df.sparkSession.sparkContext.isStopped }
+    sharedIngestCache.getOrElseUpdate((sessionId(spark), dir, shape), build)
+  }
 
   /** The shared st66-st71 state pipeline: per (event_type,
     * fixed-point value) key, a streamed occurrence count — the

@@ -54,6 +54,7 @@ final class Emitter[T](val topic: String, codec: Codec[T]) {
     closed = true
     import spark.implicits._
     var firstErr: Throwable = null
+    var firstKey: String = null
     var nFailed = 0
     val msgs = buf.zipWithIndex.flatMap { case ((k, v, h, p), i) =>
       try {
@@ -64,7 +65,7 @@ final class Emitter[T](val topic: String, codec: Codec[T]) {
         p.success(())
         Some(m)
       } catch { case e: Throwable =>
-        if (firstErr == null) firstErr = e
+        if (firstErr == null) { firstErr = e; firstKey = k }
         nFailed += 1
         p.failure(e)
         None
@@ -72,7 +73,8 @@ final class Emitter[T](val topic: String, codec: Codec[T]) {
     }.toSeq
     buf.clear()
     if (firstErr != null) throw new IllegalStateException(
-      s"$nFailed emit(s) failed during finish; first: ${firstErr.getMessage}",
+      s"$nFailed emit(s) failed during finish; first (key=$firstKey): " +
+        firstErr.getMessage,
       firstErr)
     spark.createDataset(msgs)
   }

@@ -42,6 +42,34 @@ class BenchParseSpec extends AnyFunSuite {
     assert(qs.isEmpty && failed.isEmpty && diag.baro.isEmpty)
   }
 
+  test("r16 partial: retries and warmups round-trip, sentinels survive") {
+    val partial =
+      """{"queries":{"st03_stream_loopback":6.31},"failed":[],""" +
+        """"barometers":{"pre_q69_grouped_quantiles":-1.00},""" +
+        """"gc_ms":{},"storage_mb":{},""" +
+        """"retries":{"st03_stream_loopback_first":14.20,""" +
+        """"st03_stream_loopback_retry":6.31},""" +
+        """"warmups":{"st01":2.80,"loopback":-1.00}}"""
+    val (qs, _, diag) = Bench.parsePartial(partial)
+    assert(qs == Map("st03_stream_loopback" -> 6.31))
+    // a crashed barometer records the -1.0 sentinel, never a
+    // truncated "fast" duration
+    assert(diag.baro.toMap == Map("pre_q69_grouped_quantiles" -> -1.0))
+    assert(diag.retries.toMap == Map(
+      "st03_stream_loopback_first" -> 14.2,
+      "st03_stream_loopback_retry" -> 6.31))
+    assert(diag.warmups.toMap == Map("st01" -> 2.8, "loopback" -> -1.0))
+  }
+
+  test("records table loads and covers the heavy tail") {
+    // The retry rig is inert without records; the repo file (or the
+    // embedded fallback) must pin at least the adjudication set.
+    val r = Bench.records
+    Seq("d28_prefix_join", "d29_containment_join", "q63_triangles",
+      "st03_stream_loopback", "st09_stream_visitor", "st12_stream_curate")
+      .foreach { q => assert(r.get(q).exists(_ > 0), s"no record for $q") }
+  }
+
   test("parseFlatObj is bounded to its own object") {
     // gc_ms must not leak into the barometers parse or vice versa
     val text = """{"barometers":{"pre_d02_minhash_lsh":1.90},""" +

@@ -35,12 +35,21 @@ class SharedIngestSpec extends AnyFunSuite with SparkFixture {
 
   test("cache keys carry the session identity (no cross-session reuse)") {
     import spark.implicits._
-    // the key includes identityHashCode(spark), so a different session
-    // can never observe this one's entries
+    // the key includes sessionUUID (stable, never reused — unlike the
+    // identity hash r15 keyed on, which GC can recycle), so a
+    // different session can never observe this one's entries
     StreamingQueries.sharedIngest(spark, "/fixture/D", "shapeZ")(
       Seq((1L, 1L)).toDF("k", "v"))
     val key = StreamingQueries.sharedIngestCache.keySet
       .find(k => k._2 == "/fixture/D" && k._3 == "shapeZ")
-    assert(key.exists(_._1 == System.identityHashCode(spark)))
+    assert(key.exists(_._1 == StreamingQueries.sessionId(spark)))
+    // a sibling session with its own UUID sees a miss on the same
+    // (dir, shape)
+    val sibling = spark.newSession()
+    var builds = 0
+    StreamingQueries.sharedIngest(sibling, "/fixture/D", "shapeZ") {
+      builds += 1; sibling.range(1).toDF("k")
+    }
+    assert(builds == 1)
   }
 }

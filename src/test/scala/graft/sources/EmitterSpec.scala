@@ -53,6 +53,37 @@ class EmitterSpec extends AnyFunSuite with SparkFixture {
     assert(bad.value.get.failed.get eq boom)
   }
 
+  test("mid-stream codec failure surfaces through a full graph run: " +
+      "the abort names the failing key, no partial stream is processed " +
+      "(emitter_test.go + integrationtest/processor_test.go producer-error)") {
+    val failing = new Codec[String] {
+      def encode(v: String): Array[Byte] =
+        if (v.startsWith("bad")) throw new RuntimeException("corrupt row")
+        else v.getBytes("UTF-8")
+      def decode(b: Array[Byte]): String = new String(b, "UTF-8")
+    }
+    val em = new Emitter[String]("clicks", failing)
+    em.emitSync("u1", "fine")
+    em.emitSync("u2", "bad-row") // mid-stream: good rows on both sides
+    em.emitSync("u3", "also-fine")
+    val graph = GroupGraph.define("clickcount")(
+      Input("clicks", StringCodec, ProcessCallback { (ctx, _) =>
+        val c = ctx.value match { case null => 0L; case n: Long => n }
+        ctx.setValue(c + 1L)
+      }),
+      Persist(Int64Codec))
+    // The producer error preempts the processor run entirely — the
+    // reference's Finish returns the collected emit error and the
+    // pipeline aborts; feeding the 2 good rows while dropping u2
+    // silently would be data loss.
+    val err = intercept[IllegalStateException] {
+      new BatchExecutor(graph).run(spark, Map("clicks" -> em.finish(spark)))
+    }
+    assert(err.getMessage.contains("key=u2")) // names the failing key
+    assert(err.getMessage.contains("1 emit(s) failed"))
+    assert(err.getCause.getMessage == "corrupt row")
+  }
+
   test("emitted stream drives a processor to the expected table") {
     val em = new Emitter[String]("clicks", StringCodec)
     (1 to 5).foreach(i => em.emitSync(s"u${i % 2}", s"c$i"))
