@@ -62,9 +62,16 @@ object Bench {
     * (BASELINE.md round-15 prose, now machine-checked): a pre reading
     * above its band dates the child's window as drifted, and the
     * final summary line carries the violation count so a degraded
-    * run is self-describing. */
+    * run is self-describing.
+    *
+    * Calibration: the PRE runs are now each child's FIRST Spark work
+    * after the table-count warmup, so d02 pays its own first-run
+    * codegen cold — measured 2.2-2.5 s in mild-window children (run
+    * 49), above the 1.7-2.1 s warm-probe band the r15 prose quoted;
+    * the machine band is therefore 2.6. q69's cold pre reads inside
+    * its historic 1.5-2.3 s band (healthy st child: 1.47 s). */
   private val BaroUpperBand = Map(
-    "q69_grouped_quantiles" -> 2.3, "d02_minhash_lsh" -> 2.1)
+    "q69_grouped_quantiles" -> 2.3, "d02_minhash_lsh" -> 2.6)
 
   /** Per-query healthy-window records (seconds) driving the best-of-2
     * auto-retry: any timed reading > [[RetryFactor]]× its record
@@ -98,9 +105,10 @@ object Bench {
     * scheduler noise, not a stall worth a re-run. */
   private val RetryMinSec = 2.0
   /** Per-child retry budget — bounds added wall-clock if a whole
-    * window drifts (8 retries ≈ one group's heavy tail, not the
-    * entire group re-run). */
-  private val RetryBudget = 8
+    * window drifts (12 retries ≈ one group's heavy tail, not the
+    * entire group re-run; the st child has 81 queries and run 49's
+    * drift wave pushed ~25 of them past 1.5×). */
+  private val RetryBudget = 12
 
   def main(args: Array[String]): Unit =
     sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -244,7 +252,11 @@ object Bench {
     else {
       val body = text.substring(text.indexOf("{", at),
         text.indexOf("}", at) + 1)
-      """"([a-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
+      // \s* after the colon: hand-written partials never carry one,
+      // but records files produced by json.dump do — run 49's retry
+      // rig silently fell back to the 10 embedded heavy-tail records
+      // because `"key": 1.23` didn't match the spaceless pattern.
+      """"([a-z0-9_]+)":\s*(-?[0-9.]+)""".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
   }

@@ -61,13 +61,25 @@ class BenchParseSpec extends AnyFunSuite {
     assert(diag.warmups.toMap == Map("st01" -> 2.8, "loopback" -> -1.0))
   }
 
-  test("records table loads and covers the heavy tail") {
-    // The retry rig is inert without records; the repo file (or the
-    // embedded fallback) must pin at least the adjudication set.
+  test("records table loads the FULL inventory, not just the fallback") {
+    // The retry rig is inert without records. Run 49's lesson: the
+    // 10-entry embedded fallback satisfied a heavy-tail-only
+    // assertion while the 411-record file silently failed to parse
+    // (json.dump writes `"key": 1.23` with a space; the old pattern
+    // required none) — so this spec demands full-inventory coverage,
+    // which only the file provides.
     val r = Bench.records
-    Seq("d28_prefix_join", "d29_containment_join", "q63_triangles",
-      "st03_stream_loopback", "st09_stream_visitor", "st12_stream_curate")
+    assert(r.size > 300, s"records table has only ${r.size} entries — " +
+      "tools/bench_records.json did not load")
+    Seq("d28_prefix_join", "q63_triangles", "st57_stream_attribution",
+      "st03_stream_loopback", "c01_curate_pipeline", "t01_langid")
       .foreach { q => assert(r.get(q).exists(_ > 0), s"no record for $q") }
+  }
+
+  test("parseFlatObj tolerates whitespace after the colon (json.dump style)") {
+    val text = "{\"records\":{\"a_query\": 1.25,\n\"b_query\": 0.50}}"
+    assert(Bench.parseFlatObj(text, "records") ==
+      Map("a_query" -> 1.25, "b_query" -> 0.5))
   }
 
   test("parseFlatObj is bounded to its own object") {
