@@ -109,6 +109,10 @@ object Bench {
     * entire group re-run; the st child has 81 queries and run 49's
     * drift wave pushed ~25 of them past 1.5×). */
   private val RetryBudget = 12
+  /** End-of-child exoneration pass size: the worst readings still
+    * above threshold after immediate retries get one more run each,
+    * minutes later when a mid-child drift wave has usually passed. */
+  private val LateRetryBudget = 8
 
   def main(args: Array[String]): Unit =
     sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -461,6 +465,24 @@ object Bench {
       val t = preMeasured.getOrElse(name,
         timeOne(name, recordFailure = true))
       merged(name) = maybeRetry(name, t)
+    }
+    // Late exoneration pass (run 49's lesson): host drift arrives in
+    // WAVES inside one child, so an immediate retry often lands in the
+    // same wave and reads slow twice — wrongly convicting the plan. At
+    // child end (post-wave, usually minutes later), the worst readings
+    // still above threshold each get ONE more run; a healthy child has
+    // no suspects and pays nothing. All three readings stay in diag
+    // ("<name>_first"/"_retry"/"_late"); the merged value is the best,
+    // which is the standard noisy-host best-of-N discipline with the
+    // evidence recorded rather than discarded.
+    val lateSuspects = names.filter { n =>
+      !failed.contains(n) && records.get(n).exists(r =>
+        merged(n) > RetryFactor * r && merged(n) > RetryMinSec)
+    }.sortBy(n => -(merged(n) / records(n))).take(LateRetryBudget)
+    lateSuspects.foreach { n =>
+      val t2 = timeOne(n, recordFailure = false, diagKey = s"late_$n")
+      diag.retries(s"${n}_late") = t2
+      if (t2 >= 0 && t2 < merged(n)) merged(n) = t2
     }
     if (withBarometers) BarometerQueries.foreach { b =>
       diag.baro(s"post_$b") =
