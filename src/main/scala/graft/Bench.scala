@@ -413,6 +413,16 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(
         _.unpersist(blocking = true))
+      // Unload state-store providers of STOPPED queries: they linger
+      // until the maintenance thread gets around to them, and a pile
+      // of live RocksDB instances measurably taxes the next streaming
+      // query (st03 read 13.6 s after st01+st02 each ran twice via
+      // retry, vs 6.8 s after single runs — deterministic, the r16
+      // retry rig's own residue). Unloading is the executor-loss path:
+      // a provider reloads from its checkpoint if ever needed again;
+      // every timed query here starts a fresh checkpoint anyway.
+      org.apache.spark.sql.execution.streaming.state
+        .GraftStateStoreAccess.unloadAll()
       System.gc()
       // Storage residue AFTER cleanup: nonzero means some query leaked
       // pinned blocks past its own window — the drift suspect.
