@@ -34,6 +34,14 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Same residue discipline as the bench (BASELINE.md round-16):
+      // stopped streaming queries' state-store providers linger and
+      // tax every later streaming query's micro-batches — this main
+      // runs all 81 of them in ONE JVM, the worst accumulation case.
+      // Unloading is the executor-loss path; each query starts its
+      // own fresh checkpoint, so results are unaffected.
+      org.apache.spark.sql.execution.streaming.state
+        .GraftStateStoreAccess.unloadAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
