@@ -50,6 +50,15 @@ object Bench {
     // r15 swallowed these in try/catch, so an un-warmed st child (the
     // st03 = 18.49 s suspect) left no evidence either way.
     val warmups = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Over-record readings (> RetryFactor x record) that finished the
+    // child with NO retry/late evidence — machine-visible budget
+    // exhaustion (r16 verdict: 7 st readings rode a drift wave
+    // unadjudicated and only a judge's diff against records found
+    // them). With the late pass now uncapped this is empty by
+    // construction unless a late run itself failed or a future edit
+    // re-caps the pass — either way the condition is in the artifact,
+    // not in prose.
+    val unadjudicated = scala.collection.mutable.Buffer.empty[String]
   }
 
   /** The two BASELINE.md health barometers: q69 is parallelism-
@@ -104,15 +113,29 @@ object Bench {
   /** Readings under this floor never retry: at ~1-2 s, 1.5× is
     * scheduler noise, not a stall worth a re-run. */
   private val RetryMinSec = 2.0
-  /** Per-child retry budget — bounds added wall-clock if a whole
-    * window drifts (12 retries ≈ one group's heavy tail, not the
-    * entire group re-run; the st child has 81 queries and run 49's
-    * drift wave pushed ~25 of them past 1.5×). */
-  private val RetryBudget = 12
-  /** End-of-child exoneration pass size: the worst readings still
-    * above threshold after immediate retries get one more run each,
-    * minutes later when a mid-child drift wave has usually passed. */
-  private val LateRetryBudget = 8
+  /** Per-child immediate-retry budget — bounds added wall-clock if a
+    * whole window drifts. Proportional to the child's query count
+    * (floor 12): the flat 12 of r16 saturated on the 81-query st
+    * child's drift wave and left 7 over-record readings with no
+    * immediate evidence (r16 verdict item 1). The late pass below is
+    * UNCAPPED, so immediate-budget exhaustion only delays
+    * adjudication to child end, never forfeits it. */
+  private[graft] def retryBudgetFor(queryCount: Int): Int =
+    math.max(12, (queryCount + 3) / 4)
+
+  /** The over-record suspect set: names whose merged reading exceeds
+    * [[RetryFactor]]× their record AND the retry floor, minus the
+    * excluded set (failed queries, cold-measured barometer members).
+    * Drives both the uncapped late pass and the `unadjudicated`
+    * enumeration; factored out so the budget-exhaustion semantics are
+    * spec-pinned without a Spark session (r16 verdict item 8). */
+  private[graft] def overRecord(names: Seq[String],
+      merged: String => Double, excluded: String => Boolean,
+      recs: Map[String, Double]): Seq[String] =
+    names.filter { n =>
+      !excluded(n) && recs.get(n).exists(r =>
+        merged(n) > RetryFactor * r && merged(n) > RetryMinSec)
+    }
 
   def main(args: Array[String]): Unit =
     sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -172,6 +195,7 @@ object Bench {
               pDiag.warmups.foreach { case (k, v) =>
                 diag.warmups(s"${g}_$k") = v }
               diag.retries ++= pDiag.retries
+              diag.unadjudicated ++= pDiag.unadjudicated
             case None =>
               // First fork failure → legacy whole-run fallback for the
               // remaining (unmeasured) queries, so the driver always
@@ -234,18 +258,24 @@ object Bench {
     */
   private[graft] def parsePartial(text: String): (Map[String, Double], Seq[String], Diag) = {
     val qs = parseFlatObj(text, "queries")
-    val fStart = text.indexOf("[", text.indexOf("\"failed\""))
-    val fEnd = text.indexOf("]", fStart)
-    val failed = """"([a-z0-9_]+)"""".r
-      .findAllMatchIn(text.substring(fStart, fEnd + 1))
-      .map(_.group(1)).toSeq
+    def names(key: String): Seq[String] = {
+      val at = text.indexOf("\"" + key + "\"")
+      if (at < 0) Seq.empty
+      else {
+        val s = text.indexOf("[", at)
+        val e = text.indexOf("]", s)
+        """"([a-z0-9_]+)"""".r.findAllMatchIn(text.substring(s, e + 1))
+          .map(_.group(1)).toSeq
+      }
+    }
     val diag = new Diag
     diag.baro ++= parseFlatObj(text, "barometers")
     diag.gcMs ++= parseFlatObj(text, "gc_ms")
     diag.storageMb ++= parseFlatObj(text, "storage_mb")
     diag.retries ++= parseFlatObj(text, "retries")
     diag.warmups ++= parseFlatObj(text, "warmups")
-    (qs, failed, diag)
+    diag.unadjudicated ++= names("unadjudicated")
+    (qs, names("failed"), diag)
   }
 
   /** The flat {"name":num,...} object following `"key":` in `text`,
@@ -298,10 +328,12 @@ object Bench {
     def obj(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f2(v) }
         .mkString("{", ",", "}")
+    val uj = diag.unadjudicated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val partial = s"""{"queries":$qs,"failed":$fj,""" +
       s""""barometers":${obj(diag.baro)},"gc_ms":${obj(diag.gcMs)},""" +
       s""""storage_mb":${obj(diag.storageMb)},""" +
-      s""""retries":${obj(diag.retries)},"warmups":${obj(diag.warmups)}}"""
+      s""""retries":${obj(diag.retries)},"warmups":${obj(diag.warmups)},""" +
+      s""""unadjudicated":$uj}"""
     sys.env.get("SPARK_GRAFT_OUT") match {
       case Some(p) => java.nio.file.Files.writeString(
         java.nio.file.Paths.get(p), partial)
@@ -439,10 +471,11 @@ object Bench {
     // was unattributable because barometers bracket but don't
     // interleave).
     var retriesUsed = 0
+    val retryBudget = retryBudgetFor(names.size)
     def maybeRetry(name: String, t: Double): Double =
       records.get(name) match {
         case Some(r) if t > RetryFactor * r && t > RetryMinSec &&
-            retriesUsed < RetryBudget && !failed.contains(name) =>
+            retriesUsed < retryBudget && !failed.contains(name) =>
           retriesUsed += 1
           System.err.println(f"[bench] $name read $t%.2f s > " +
             f"${RetryFactor}x record $r%.2f s - best-of-2 retry")
@@ -472,27 +505,43 @@ object Bench {
       if (member) preMeasured(b) = t
     }
     names.foreach { name =>
-      val t = preMeasured.getOrElse(name,
-        timeOne(name, recordFailure = true))
-      merged(name) = maybeRetry(name, t)
+      // A preMeasured barometer member's pre run IS its official
+      // number, and it stays COLD-comparable: no best-of-2 retry
+      // (r16 ADVICE — d02's cold pre deterministically tops 1.5x its
+      // warm record, so retrying handed it an identical-plan warm run
+      // every time and silently burned budget) and no late pass
+      // below. Its window health is judged by BaroUpperBand, which is
+      // calibrated cold, not by the warm-record retry rig.
+      merged(name) = preMeasured.getOrElse(name,
+        maybeRetry(name, timeOne(name, recordFailure = true)))
     }
     // Late exoneration pass (run 49's lesson): host drift arrives in
     // WAVES inside one child, so an immediate retry often lands in the
     // same wave and reads slow twice — wrongly convicting the plan. At
-    // child end (post-wave, usually minutes later), the worst readings
+    // child end (post-wave, usually minutes later), the readings
     // still above threshold each get ONE more run; a healthy child has
     // no suspects and pays nothing. All three readings stay in diag
     // ("<name>_first"/"_retry"/"_late"); the merged value is the best,
     // which is the standard noisy-host best-of-N discipline with the
-    // evidence recorded rather than discarded.
-    val lateSuspects = names.filter { n =>
-      !failed.contains(n) && records.get(n).exists(r =>
-        merged(n) > RetryFactor * r && merged(n) > RetryMinSec)
-    }.sortBy(n => -(merged(n) / records(n))).take(LateRetryBudget)
-    lateSuspects.foreach { n =>
+    // evidence recorded rather than discarded. UNCAPPED over ALL
+    // leftover suspects, worst excess first (r16 verdict item 1: the
+    // 8-slot cap left 7 over-record st readings with no in-file
+    // evidence when a full wave saturated both it and the immediate
+    // budget — the pass is untimed, so its cost is bounded by the
+    // wave itself and a cap buys nothing but blind spots).
+    def suspects: Seq[String] = overRecord(names, merged,
+      n => failed.contains(n) || preMeasured.contains(n), records)
+    suspects.sortBy(n => -(merged(n) / records(n))).foreach { n =>
       val t2 = timeOne(n, recordFailure = false, diagKey = s"late_$n")
       diag.retries(s"${n}_late") = t2
       if (t2 >= 0 && t2 < merged(n)) merged(n) = t2
+    }
+    // Anything STILL over record with no retry evidence at all is a
+    // coverage hole the artifact must name itself (r16 verdict item
+    // 8); see Diag.unadjudicated.
+    diag.unadjudicated ++= suspects.filter { n =>
+      !diag.retries.contains(s"${n}_first") &&
+        !diag.retries.contains(s"${n}_late")
     }
     if (withBarometers) BarometerQueries.foreach { b =>
       diag.baro(s"post_$b") =
@@ -533,15 +582,26 @@ object Bench {
     // Band check: a PRE barometer above its BASELINE.md healthy upper
     // band dates that child's window as drifted; the count (and names,
     // in the full artifact) make a degraded run self-describing
-    // instead of requiring prose adjudication after the fact.
+    // instead of requiring prose adjudication after the fact. A
+    // CRASHED pre barometer (-1.0 sentinel) also counts: the window's
+    // health is then UNKNOWN, which must never read as healthy (r16
+    // ADVICE — the old v >= 0 guard made the one maximally-uncertain
+    // case the one the summary line was silent about).
     val viol = diag.baro.collect {
-      case (k, v) if k.contains("pre_") && v >= 0 &&
+      case (k, v) if k.contains("pre_") && (v < 0 ||
           BaroUpperBand.exists { case (b, band) =>
-            k.endsWith(s"pre_$b") && v > band } => k
+            k.endsWith(s"pre_$b") && v > band }) => k
     }.toSeq
     val violJson = viol.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val unadjJson = diag.unadjudicated.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    // Count queries, not evidence keys: first+retry+late is 3 keys for
+    // one retried query, a late-only suspect is 1 (r16 ADVICE — the
+    // old size/2 misreported both).
+    val retriedCount = diag.retries.keys
+      .map(_.replaceAll("_(first|retry|late)$", "")).toSet.size
     val line =
-      s"""{"queries":$qs,"barometers":${obj(diag.baro)},"gc_ms":${obj(diag.gcMs)},"storage_mb":${obj(diag.storageMb)},"retries":${obj(diag.retries)},"warmups":${obj(diag.warmups)},"baro_viol":$violJson,"sf":"${esc(sfDir)}","failed":$failedJson,"full":"${esc(fullPath)}","metric":"total","unit":"sec","value":${f2(total)}}"""
+      s"""{"queries":$qs,"barometers":${obj(diag.baro)},"gc_ms":${obj(diag.gcMs)},"storage_mb":${obj(diag.storageMb)},"retries":${obj(diag.retries)},"warmups":${obj(diag.warmups)},"baro_viol":$violJson,"unadjudicated":$unadjJson,"sf":"${esc(sfDir)}","failed":$failedJson,"full":"${esc(fullPath)}","metric":"total","unit":"sec","value":${f2(total)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullPath), line + "\n")
     catch { case _: Throwable => () }
@@ -553,6 +613,6 @@ object Bench {
     // summary that always fits and always parses; every per-query
     // entry lives in BENCH_FULL.json, named by "full".
     println(
-      s"""{"metric":"total","unit":"sec","value":${f2(total)},"n":${results.size},"failed":$failedJson,"baro_viol":${viol.size},"retried":${diag.retries.size / 2},"sf":"${esc(sfDir)}","full":"${esc(fullPath)}"}""")
+      s"""{"metric":"total","unit":"sec","value":${f2(total)},"n":${results.size},"failed":$failedJson,"baro_viol":${viol.size},"retried":$retriedCount,"unadjudicated":${diag.unadjudicated.size},"sf":"${esc(sfDir)}","full":"${esc(fullPath)}"}""")
   }
 }

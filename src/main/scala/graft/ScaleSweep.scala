@@ -46,11 +46,16 @@ object ScaleSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dirs = scales.map(s => s -> buildSynthetic(spark, base, s)).toMap
-    try runSweep(spark, queries, scales, reps, dirs)
-    finally {
-      // The synthetic corpora total ~14× the base parquet footprint
-      // (1×+3×+10×) — never leave them in /tmp on the shared host.
+    // Built INSIDE the try: if a later scale's write throws (disk
+    // pressure is the likely failure at 100×), the scales already on
+    // disk — the very multi-× /tmp footprint the finally sweeps — must
+    // still be swept (r16 ADVICE: building before the try leaked them
+    // on exactly that path).
+    val dirs = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+    try {
+      scales.foreach(s => dirs(s) = buildSynthetic(spark, base, s))
+      runSweep(spark, queries, scales, reps, dirs.toMap)
+    } finally {
       dirs.values.foreach(deleteRecursively)
       spark.stop()
     }

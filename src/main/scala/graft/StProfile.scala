@@ -90,6 +90,12 @@ object StProfile {
         }.mkString("[", ",", "]")
         val batchTotal = bs.map(_.durations.getOrElse("triggerExecution", 0L)).sum
         println(f"""{"query":"$name","rep":$rep,"rows":$n,"wall_ms":$wall%.0f,"pre_start_ms":$preStartMs,"batches":${bs.size},"batch_exec_ms":$batchTotal,"outside_batches_ms":${wall - batchTotal}%.0f,"detail":$perBatch}""")
+        // Bench/Verify's provider-unload discipline (the r16 find):
+        // without it rep 2+ measures the previous rep's lingering
+        // RocksDB providers alongside its own work, which is exactly
+        // the residue class this profiler exists to decompose.
+        org.apache.spark.sql.execution.streaming.state
+          .GraftStateStoreAccess.unloadAll()
       }
     }
     spark.stop()

@@ -105,7 +105,19 @@ object StreamBench {
           if (ms > 0) rows * 1000.0 / ms else 0.0,
           stateRows,
           if (st.isEmpty) 0L else st.map(_.memoryUsedBytes).max)
-      } finally spark.streams.removeListener(listener)
+      } finally {
+        spark.streams.removeListener(listener)
+        // Same provider-unload discipline as Bench/Verify (the r16
+        // find): the stopped query's state-store providers linger
+        // with live RocksDB instances + maintenance work until the
+        // maintenance thread reaps them, taxing the NEXT sweep
+        // point's measured batch. Without this, every msgs/s figure
+        // after the first carries the previous cardinality's residue
+        // — the floors recorded pre-r17 did (BASELINE.md notes the
+        // comparability shift).
+        org.apache.spark.sql.execution.streaming.state
+          .GraftStateStoreAccess.unloadAll()
+      }
     }
 
     run(1, "stream_bench_warmup") // untimed: native load + codegen
