@@ -428,7 +428,17 @@ object Dedup {
     // the shingle explode + vocab join (the multi-pass SSJoin's
     // inverted lists, materialized once like any real implementation
     // holds them; same argument as q63's pinned edge list).
-    val capped = sh.join(ranked, Seq("s")).localCheckpoint()
+    //
+    // The rank IS the token id from here on: rk is a total order over
+    // the surviving vocabulary (unique per shingle), so every
+    // downstream equi-join on the ~20-byte shingle STRING is an
+    // equi-join on the 8-byte long — the standard SSJoin
+    // dictionary-encoding step. The strings never enter the pinned
+    // tables, the candidate join or the verify shuffles; at the 100×
+    // sweep cell this cut the run's peak spill ~3× (the string-keyed
+    // variant overran a 126 GB tmpfs at 500k docs).
+    val capped = sh.join(ranked, Seq("s"))
+      .select(col("doc_id"), col("rk")).localCheckpoint()
     val nc = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       .localCheckpoint()
     val positioned = capped.join(nc, Seq("doc_id"))
@@ -437,17 +447,17 @@ object Dedup {
           .partitionBy(col("doc_id")).orderBy(col("rk"))))
       // theta = 0.5: t = ceil(n/2) = (n+1) div 2; prefix = n - t + 1
       .filter(col("pos").cast("long") <= expr("n - (n + 1) div 2 + 1"))
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id"), col("rk"))
       .localCheckpoint()
     val cand = positioned.as("a")
       .join(positioned.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.rk") === col("b.rk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     val inter = cand
-      .join(capped.select(col("doc_id").as("da"), col("s")), Seq("da"))
-      .join(capped.select(col("doc_id").as("db"), col("s")),
-        Seq("db", "s"))
+      .join(capped.select(col("doc_id").as("da"), col("rk")), Seq("da"))
+      .join(capped.select(col("doc_id").as("db"), col("rk")),
+        Seq("db", "rk"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
     inter
       .join(nc.select(col("doc_id").as("da"), col("n").as("na")),
@@ -495,8 +505,11 @@ object Dedup {
       .select(col("s"), col("rk"))
     // Same pin rationale as [[prefixJaccardJoin]]: capped feeds the
     // prefix, the candidate join's full side and both verify sides;
-    // nc feeds the prefix filter and both size lookups.
-    val capped = sh.join(ranked, Seq("s")).localCheckpoint()
+    // nc feeds the prefix filter and both size lookups. As there, rk
+    // doubles as the integer token id — no shingle strings past this
+    // join.
+    val capped = sh.join(ranked, Seq("s"))
+      .select(col("doc_id"), col("rk")).localCheckpoint()
     val nc = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       .localCheckpoint()
     val prefix = capped.join(nc, Seq("doc_id"))
@@ -506,17 +519,17 @@ object Dedup {
       // theta = 0.8: t = ceil(4n/5); prefix = n - t + 1
       .filter(col("pos").cast("long") <=
         expr("n - (4 * n + 4) div 5 + 1"))
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id"), col("rk"))
     val cand = prefix.as("a")
       .join(capped.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+        col("a.rk") === col("b.rk") && col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
       .distinct()
     val inter = cand
-      .join(capped.select(col("doc_id").as("da"), col("s")), Seq("da"))
-      .join(capped.select(col("doc_id").as("db"), col("s")),
-        Seq("db", "s"))
+      .join(capped.select(col("doc_id").as("da"), col("rk")), Seq("da"))
+      .join(capped.select(col("doc_id").as("db"), col("rk")),
+        Seq("db", "rk"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
     inter
       .join(nc.select(col("doc_id").as("da"), col("n").as("na")),
