@@ -44,12 +44,17 @@ class ToolsSpec extends AnyFunSuite {
     val dir = sandbox()
     val full = write(dir, "BENCH_FULL.json",
       """{"queries":{"a_query":2.00},"failed":[],""" +
-        """"baro_viol":["st_pre_q69_grouped_quantiles"]}""")
-    val (rc, out) = runScript(dir, Seq(full.toString))
+        """"baro_viol":["st_pre_q69_grouped_quantiles"],""" +
+        """"barometers":{"st_pre_q69_grouped_quantiles":4.10}}""")
+    val (rc, out) = runScript(dir, Seq("--run-id", "run9", full.toString))
     assert(rc != 0, s"expected refusal, got: $out")
     assert(out.contains("REFUSED") && out.contains("baro_viol"))
     assert(!Files.exists(dir.resolve("bench_records.json")),
       "a refused run must not write records")
+    // …but the drifted run's barometers ARE history: the log append
+    // is not gated on health (drift is what the history documents).
+    val hist = Files.readString(dir.resolve("baro_history.json"))
+    assert(hist.contains("run9") && hist.contains("drifted"))
     val (rc2, _) = runScript(dir, Seq("--force", full.toString))
     assert(rc2 == 0)
     val forced = Files.readString(dir.resolve("bench_records.json"))

@@ -100,10 +100,16 @@ def main():
     for path in args:
         run = json.load(open(path))
         ok, reason = health(run)
+        # History is a LOG, not a ratchet: a drifted run's barometers
+        # are exactly what the history exists to document, so the
+        # append happens before (and regardless of) the health gate.
+        if run_id and "barometers" in run:
+            append_history(run_id, run)
         if not ok and not force:
             sys.exit(f"REFUSED: {path} is not barometer-healthy "
                      f"({reason}); records ratchet only from healthy "
-                     "runs (re-run with --force to override)")
+                     "runs (re-run with --force to override; its "
+                     "barometers were still logged to history)")
         qs = run.get("queries", run)  # accept a bare flat map too
         for name, sec in qs.items():
             if not isinstance(sec, (int, float)) or sec <= 0:
@@ -111,8 +117,6 @@ def main():
             records[name] = min(records.get(name, sec), sec)
         provenance.append("%s %s%s" % (os.path.basename(path), reason,
                                        " FORCED" if not ok else ""))
-        if run_id and "barometers" in run:
-            append_history(run_id, run)
 
     out = {k: round(v, 2) for k, v in sorted(records.items())}
     # Provenance value stays free of '}' and '"' so graft.Bench's
