@@ -4480,43 +4480,22 @@ object StreamingQueries {
     * key IS the cell. */
   def streamBenford(spark: SparkSession, dir: String): DataFrame =
     withStateShards(spark) {
-      import spark.implicits._
-      import graft.operators.BatchExecutor.SinkTable
-      val graph = GroupGraph.define("stream-benford")(
-        Input("events", StringCodec, ProcessCallback { (ctx, _) =>
-          val n = ctx.value match {
-            case null => 0L
-            case s: String => s.toLong
-          }
-          ctx.setValue((n + 1L).toString)
-        }),
-        Persist(StringCodec))
-      val ev = Sources.table(spark, dir, "events")
-        .filter(col("value") > 0.0d)
-        .withColumn("digit",
-          substring(floor(col("value") * 1000.0d).cast("long")
-            .cast("string"), 1, 1).cast("long"))
-        .filter(col("digit") >= 1L)
-      val staging = tempDir("graft_sbenford")
-      stageTwoBatches(spark,
-        Sources.messages(ev, "events",
-          concat(col("event_type"), lit("|"), col("digit").cast("string")),
-          lit("1"), col("ts"), col("event_id")),
-        staging)
-      val stream = spark.readStream
-        .schema(Sources.eventMessages(spark, dir).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(bindShardsToTopic(spark, staging)).as[Message]
-      val out = new StreamExecutor(graph).run(spark, stream)
-      val tableRows = out.filter(_.sink == SinkTable)
-        .map(e => (e.key, StringCodec.decode(e.value)))
-        .toDF("key", "st")
-      val obs = runToTable(spark, tableRows)
-        .select(col("key"), col("st").cast("long").as("o"))
-        .groupBy(col("key")).agg(max(col("o")).as("o"))
-        .select(substring_index(col("key"), "|", 1).as("event_type"),
-          substring_index(col("key"), "|", -1).cast("long").as("digit"),
-          col("o"))
+      // r17: the leading digit is a pure function of the shared
+      // family's milli fixed-point value for x ≥ 1 — and the original
+      // pre-staging filters (value > 0, digit ≥ 1) reduce EXACTLY to
+      // x ≥ 1 (value > 0 with floor(1000·v) = 0 was dropped as digit
+      // 0; x ≥ 1 implies value > 0) — so st65's per-(type, digit)
+      // state was a coarsening of the maintained valueCounts table
+      // and its private staging + streaming lifecycle is gone.
+      val obs = streamedValueCounts(spark, dir, "stream-benford",
+        "graft_sbenford", 1000.0)
+        .filter(col("x") >= 1L)
+        .select(col("event_type"),
+          substring(col("x").cast("string"), 1, 1).cast("long")
+            .as("digit"),
+          col("cnt"))
+        .groupBy(col("event_type"), col("digit"))
+        .agg(sum(col("cnt")).as("o"))
       graft.queries.Relational.benfordCells(obs)
     }
 
@@ -4679,6 +4658,17 @@ object StreamingQueries {
     * (the q69 collapse argument), not the stream length. */
   def streamMedian(spark: SparkSession, dir: String): DataFrame =
     withStateShards(spark) {
+      // NOTE (r17): st66 deliberately keeps its own centi-grain
+      // ingest. The nested-floor identity floor(v·100) =
+      // floor(floor(v·1000)/10) holds for exact reals but NOT for
+      // independently-rounded double products: v·100 and v·1000 are
+      // separate multiplications, and near a boundary they round to
+      // opposite sides of an integer (measured at sf0.001:
+      // v ≈ 35.62 gives v·100 = 3561.999…95 → 3561 while
+      // v·1000 = 35620.000…04 → 35620 → 3562). Deriving centi from
+      // the shared milli state shifted one median bucket and broke
+      // the oracle hash, so the coarse grain must be quantized from
+      // the raw value exactly as the oracle does it.
       graft.queries.Relational.weightedMedianOver(
         streamedValueCounts(spark, dir, "stream-median", "graft_smedian",
           100.0)
