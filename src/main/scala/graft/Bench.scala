@@ -67,20 +67,68 @@ object Bench {
   private val BarometerQueries =
     Seq("q69_grouped_quantiles", "d02_minhash_lsh")
 
-  /** Healthy-window upper bands for the PRE barometer readings
-    * (BASELINE.md round-15 prose, now machine-checked): a pre reading
-    * above its band dates the child's window as drifted, and the
-    * final summary line carries the violation count so a degraded
-    * run is self-describing.
-    *
-    * Calibration: the PRE runs are now each child's FIRST Spark work
-    * after the table-count warmup, so d02 pays its own first-run
-    * codegen cold — measured 2.2-2.5 s in mild-window children (run
-    * 49), above the 1.7-2.1 s warm-probe band the r15 prose quoted;
-    * the machine band is therefore 2.6. q69's cold pre reads inside
-    * its historic 1.5-2.3 s band (healthy st child: 1.47 s). */
-  private val BaroUpperBand = Map(
+  /** Hand-calibrated fallback upper bands for the PRE barometer
+    * readings (BASELINE.md round-15 prose; r16 recalibrated d02 to
+    * its cold figure): used when tools/baro_history.json is absent,
+    * unreadable, or too thin to derive bands from. */
+  private val FallbackBand = Map(
     "q69_grouped_quantiles" -> 2.3, "d02_minhash_lsh" -> 2.6)
+
+  /** Derive the barometer bands from a baro_history.json text: per
+    * barometer, 1.05 × the MAX healthy-run PRE reading (all children;
+    * a run is healthy iff its verdict string STARTS with "healthy" —
+    * drifted runs' prose routinely says things like "first half
+    * healthy", so substring matching over-matches). The 5% margin
+    * covers rounding; max-of-healthy is the empirical cold envelope,
+    * which is what an UPPER band is. Guards: at least
+    * [[MinBandSamples]] healthy readings per barometer (else the
+    * hand fallback), and the derived value is clamped to
+    * [0.5×, 2×] the fallback so a corrupted or regime-shifted
+    * history can never silently set an absurd band — outside that
+    * range, recalibration is a human decision again. Current
+    * history (runs 47/52/54): q69 max 2.21 → band 2.32, d02 max
+    * 2.57 → band 2.70 — within 0.1 s of the hand constants they
+    * replace (r17 verdict item 3: the constants needed a hand
+    * recalibration once already; the history file is the machine
+    * record, so compute from it). */
+  private[graft] def bandsFromHistory(text: String,
+      fallback: Map[String, Double]): Map[String, Double] = {
+    val starts = """"run\d+"\s*:""".r.findAllMatchIn(text)
+      .map(_.start).toVector
+    val segs = (starts :+ text.length).sliding(2).collect {
+      case Seq(a, b) => text.substring(a, b) }.toVector
+    val verdictRe = """"verdict"\s*:\s*"([^"]*)"""".r
+    val healthy = segs.filter(s => verdictRe.findFirstMatchIn(s)
+      .exists(_.group(1).toLowerCase.startsWith("healthy")))
+    fallback.map { case (full, fb) =>
+      val short = full.split("_")(0) // "q69_..." -> "q69"
+      val re = ("\"pre_" + short + "\"\\s*:\\s*([0-9][0-9.]*)").r
+      val vals = healthy.flatMap(s =>
+        re.findAllMatchIn(s).map(_.group(1).toDouble))
+      val band =
+        if (vals.size >= MinBandSamples)
+          math.min(math.max(1.05 * vals.max, 0.5 * fb), 2.0 * fb)
+        else fb
+      full -> math.rint(band * 100) / 100
+    }
+  }
+  private[graft] val MinBandSamples = 8
+
+  private val HistoryPath = sys.env.getOrElse(
+    "SPARK_GRAFT_BARO_HISTORY", "tools/baro_history.json")
+
+  /** The operative bands: history-derived when possible (values land
+    * in BENCH_FULL's "baro_bands" so every run names the bands it was
+    * judged against), hand fallback otherwise. */
+  private[graft] lazy val BaroUpperBand: Map[String, Double] =
+    (try {
+      val p = java.nio.file.Paths.get(HistoryPath)
+      if (java.nio.file.Files.isReadable(p))
+        bandsFromHistory(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"),
+          FallbackBand)
+      else FallbackBand
+    } catch { case _: Throwable => FallbackBand })
 
   /** Per-query healthy-window records (seconds) driving the best-of-2
     * auto-retry: any timed reading > [[RetryFactor]]× its record
@@ -136,6 +184,23 @@ object Bench {
       !excluded(n) && recs.get(n).exists(r =>
         merged(n) > RetryFactor * r && merged(n) > RetryMinSec)
     }
+
+  /** Aggregate drift mass BELOW the retry floor: readings ≤
+    * [[RetryMinSec]] that still exceed [[RetryFactor]]× their record
+    * are individually scheduler noise (why the floor exists) but
+    * collectively real — on the r17 driver window 114 such readings
+    * carried ~56 s of excess, 26% of the run's total drift, invisible
+    * to both the retry rig and `unadjudicated` by construction.
+    * Returns (count, Σ(reading − record) seconds); no retries — the
+    * point is to make the mass machine-visible in the summary, not to
+    * chase 1-second queries (r17 verdict item 2). */
+  private[graft] def subfloorExcess(results: Seq[(String, Double)],
+      recs: Map[String, Double]): (Int, Double) = {
+    val xs = results.flatMap { case (n, v) =>
+      recs.get(n).collect {
+        case r if v > RetryFactor * r && v <= RetryMinSec => v - r } }
+    (xs.size, xs.sum)
+  }
 
   def main(args: Array[String]): Unit =
     sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -536,12 +601,34 @@ object Bench {
       diag.retries(s"${n}_late") = t2
       if (t2 >= 0 && t2 < merged(n)) merged(n) = t2
     }
-    // Anything STILL over record with no retry evidence at all is a
+    // Anything STILL over record with no SUCCESSFUL re-run is a
     // coverage hole the artifact must name itself (r16 verdict item
-    // 8); see Diag.unadjudicated.
+    // 8); see Diag.unadjudicated. A crashed re-run's -1.0 sentinel is
+    // ABSENCE of evidence, not evidence: the late pass writes
+    // "<n>_late" unconditionally, so a mere key-presence check could
+    // never flag a suspect whose only "evidence" is a crashed late
+    // run (r17 ADVICE).
     diag.unadjudicated ++= suspects.filter { n =>
-      !diag.retries.contains(s"${n}_first") &&
-        !diag.retries.contains(s"${n}_late")
+      !diag.retries.get(s"${n}_retry").exists(_ >= 0) &&
+        !diag.retries.get(s"${n}_late").exists(_ >= 0)
+    }
+    // A preMeasured barometer member's cold pre is by design excluded
+    // from the warm retry rig — right in a healthy window, but when
+    // the pre itself VIOLATED its band the reading is drift-dominated,
+    // not cold-dominated, and it previously rode into the official
+    // total with no adjudication path (r17 verdict item 4: d02's
+    // violated 5.99 s cold pre vs its 0.61 s record, +5.4 s
+    // unexoneratable). On violation only, re-run once at child end
+    // and keep the min: cold-comparability on that window was already
+    // lost to the drift, and both readings stay in the evidence keys.
+    if (withBarometers) preMeasured.foreach { case (b, t) =>
+      if (!failed.contains(b) &&
+          (t < 0 || BaroUpperBand.get(b).exists(t > _))) {
+        val t2 = timeOne(b, recordFailure = false, diagKey = s"late_$b")
+        diag.retries(s"${b}_first") = t
+        diag.retries(s"${b}_late") = t2
+        if (t2 >= 0 && t2 < merged(b)) merged(b) = t2
+      }
     }
     if (withBarometers) BarometerQueries.foreach { b =>
       diag.baro(s"post_$b") =
@@ -595,13 +682,21 @@ object Bench {
     val violJson = viol.map("\"" + _ + "\"").mkString("[", ",", "]")
     val unadjJson = diag.unadjudicated.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    // The bands this run was judged against (history-derived or
+    // fallback) ride in the artifact: a violation is only as
+    // meaningful as the band that defined it (r17 verdict item 3).
+    val bandsJson = obj(BaroUpperBand)
+    // Sub-floor drift mass (r17 verdict item 2): count + excess
+    // seconds of readings too small to retry but still over 1.5×
+    // record — the drift the retry rig is blind to by construction.
+    val (sfN, sfExcess) = subfloorExcess(results, records)
     // Count queries, not evidence keys: first+retry+late is 3 keys for
     // one retried query, a late-only suspect is 1 (r16 ADVICE — the
     // old size/2 misreported both).
     val retriedCount = diag.retries.keys
       .map(_.replaceAll("_(first|retry|late)$", "")).toSet.size
     val line =
-      s"""{"queries":$qs,"barometers":${obj(diag.baro)},"gc_ms":${obj(diag.gcMs)},"storage_mb":${obj(diag.storageMb)},"retries":${obj(diag.retries)},"warmups":${obj(diag.warmups)},"baro_viol":$violJson,"unadjudicated":$unadjJson,"sf":"${esc(sfDir)}","failed":$failedJson,"full":"${esc(fullPath)}","metric":"total","unit":"sec","value":${f2(total)}}"""
+      s"""{"queries":$qs,"barometers":${obj(diag.baro)},"baro_bands":$bandsJson,"gc_ms":${obj(diag.gcMs)},"storage_mb":${obj(diag.storageMb)},"retries":${obj(diag.retries)},"warmups":${obj(diag.warmups)},"baro_viol":$violJson,"unadjudicated":$unadjJson,"subfloor_n":$sfN,"subfloor_excess_s":${f2(sfExcess)},"sf":"${esc(sfDir)}","failed":$failedJson,"full":"${esc(fullPath)}","metric":"total","unit":"sec","value":${f2(total)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullPath), line + "\n")
     catch { case _: Throwable => () }
@@ -613,6 +708,6 @@ object Bench {
     // summary that always fits and always parses; every per-query
     // entry lives in BENCH_FULL.json, named by "full".
     println(
-      s"""{"metric":"total","unit":"sec","value":${f2(total)},"n":${results.size},"failed":$failedJson,"baro_viol":${viol.size},"retried":$retriedCount,"unadjudicated":${diag.unadjudicated.size},"sf":"${esc(sfDir)}","full":"${esc(fullPath)}"}""")
+      s"""{"metric":"total","unit":"sec","value":${f2(total)},"n":${results.size},"failed":$failedJson,"baro_viol":${viol.size},"retried":$retriedCount,"unadjudicated":${diag.unadjudicated.size},"subfloor_n":$sfN,"subfloor_excess_s":${f2(sfExcess)},"sf":"${esc(sfDir)}","full":"${esc(fullPath)}"}""")
   }
 }

@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   * (banded LSH, prefix filter + doc-freq cap, bucketed ranks) is that
   * this is ~linear, and the fitted exponent is the evidence.
   *
+  * The sweep dirs also carry a scaled LINEITEM (for q63's triangle
+  * plan): replica r shifts both l_orderkey and l_partkey by r·10⁸,
+  * producing k DISJOINT copies of the co-purchase graph — degree
+  * distribution, wedge density and triangle density all preserved
+  * per copy, edge count k×. Read the fitted exponent accordingly: a
+  * disjoint-replica graph scales the wedge work ~linearly BY
+  * CONSTRUCTION (the E^1.5 worst case is a single densifying graph,
+  * which replication deliberately does not model — a real 100×
+  * retail corpus adds mostly-new orders/parts, not 100× the degree
+  * on the same parts), so the design claim under test is "cost
+  * tracks edge volume when density holds", exponent ≈ 1.
+  *
   * Bench-child discipline: one session at 32 cores, warm-up read,
   * blocking unpersist + GC between measurements, best-of-REPS per
   * cell. Run while nothing else is on the host (BASELINE.md rule 5).
@@ -53,7 +65,11 @@ object ScaleSweep {
     // on exactly that path).
     val dirs = scala.collection.mutable.LinkedHashMap.empty[Int, String]
     try {
-      scales.foreach(s => dirs(s) = buildSynthetic(spark, base, s))
+      // The dir is registered BEFORE the parquet write inside
+      // buildSynthetic (r17 ADVICE: registering on return leaked a
+      // partially-written multi-GB dir when the write itself failed
+      // at the 100× scale — the one failure the registry exists for).
+      scales.foreach(s => buildSynthetic(spark, base, s, p => dirs(s) = p))
       runSweep(spark, queries, scales, reps, dirs.toMap)
     } finally {
       dirs.values.foreach(deleteRecursively)
@@ -109,10 +125,14 @@ object ScaleSweep {
   /** Replicate the base documents table `k`× with disjoint token
     * namespaces per replica (see object doc); returns a fixture-shaped
     * dir containing only documents.parquet. */
+  /** `register` receives the temp dir path BEFORE the write starts,
+    * so the caller's cleanup registry covers a partially-written dir
+    * if the write throws (r17 ADVICE). */
   private def buildSynthetic(spark: SparkSession, base: String,
-      k: Int): String = {
+      k: Int, register: String => Unit): Unit = {
     val out = java.nio.file.Files
       .createTempDirectory(s"graft_sweep_${k}x").toString
+    register(out)
     val d = spark.read.parquet(s"$base/documents.parquet")
     val reps = (0 until k).map { r =>
       if (r == 0) d
@@ -124,6 +144,18 @@ object ScaleSweep {
     }
     reps.reduce(_ unionByName _).repartition(math.max(2, 2 * k))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    out
+    // q63's graph fixture: k disjoint copies of the co-purchase
+    // bipartite table (see the object doc for why disjoint and what
+    // the exponent then means).
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val liReps = (0 until k).map { r =>
+      if (r == 0) li
+      else li.select(
+        (col("l_orderkey") + lit(r.toLong * 100000000L)).as("l_orderkey"),
+        (col("l_partkey") + lit(r.toLong * 100000000L)).as("l_partkey"))
+    }
+    liReps.reduce(_ unionByName _).repartition(math.max(2, 2 * k))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
   }
 }

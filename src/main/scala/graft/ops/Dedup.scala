@@ -384,6 +384,68 @@ object Dedup {
       .withColumn("dup", col("jaccard") >= threshold)
   }
 
+  /** SSJoin dictionary encoding — the shared vocab-id step of
+    * d28/d29/d31/d32/d36: encode a (doc_id, s) shingle-occurrence
+    * table against its document-frequency-capped vocabulary, returning
+    * (doc_id, rk) with the shingle STRING replaced by its global
+    * rarity rank. rk is a total order over the surviving vocabulary
+    * (unique per shingle), so it IS the token id: every downstream
+    * equi-join on the ~20-byte shingle string becomes an equi-join on
+    * the 8-byte long — at d28's 100× sweep cell (500k docs) this cut
+    * the run's peak spill ~3× (the string-keyed variant overran a
+    * 126 GB tmpfs). Rarity order = ascending document frequency, ties
+    * by token.
+    *
+    * Scale shape: the vocab scales near-linearly with the corpus
+    * (distinct 3-gram shingles), so neither a single-task
+    * `row_number().over(orderBy)` nor a broadcast of the ranked table
+    * survives 100× — the rank comes from the bucketed two-exchange
+    * [[graft.ops.Ranks.rankedCumsum]] and attaches by a plain
+    * vocab-keyed shuffle equi-join (same (c, s) order, identical
+    * ranks, maximum parallelism). The result is PINNED: every caller
+    * consumes it at least twice (both sides of a verify join), and
+    * without the pin each consumer would re-run the shingle explode +
+    * vocab join. */
+  def cappedTokenIds(sh: DataFrame, maxDocFreq: Int): DataFrame = {
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxDocFreq)
+    val ranked = graft.ops.Ranks.rankedCumsum(dfreq.localCheckpoint(),
+        col("c"), col("s"), lit(1L), rankCol = "rk")
+      .select(col("s"), col("rk"))
+    sh.join(ranked, Seq("s")).select(col("doc_id"), col("rk"))
+      .localCheckpoint()
+  }
+
+  /** As [[cappedTokenIds]] but UNORDERED — for consumers that need a
+    * unique token id, not a rarity ORDER (d32/d36's intersection
+    * counting; d25's posting self-join): there the rank machinery
+    * (quantile sketch pass + per-bucket window over the vocab) is
+    * pure overhead — measured +1.0-1.8 s per query at sf0.1 when the
+    * first cut reused the ranked helper. The id is
+    * `monotonically_increasing_id()` on the PINNED vocab: unique by
+    * construction (no hash-collision caveat), and the pin freezes the
+    * ids so every consumer of the encoded table sees the same
+    * dictionary. Same shuffle count as the un-encoded plan — the
+    * occurrence⋈vocab attach replaces the old df-cap semi-join
+    * one-for-one — and everything downstream shuffles the 8-byte
+    * long, never the ~20-byte shingle string (the d28 lesson, minus
+    * the order d28 alone needs). */
+  def cappedTokenIdsUnordered(sh: DataFrame, maxDocFreq: Int): DataFrame = {
+    val vocab = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxDocFreq)
+      .select(col("s"), monotonically_increasing_id().as("rk"))
+      .localCheckpoint()
+    // No pin on the encoded occurrence table: unlike d28's multi-
+    // ACTION pipeline, these consumers are one action, so Spark's
+    // ReusedExchange serves both verify-join sides from one shuffle
+    // write — a localCheckpoint here measured as pure added
+    // materialization at sf0.1. The vocab pin above IS required:
+    // monotonically_increasing_id is only stable once materialized,
+    // and unstable ids across consumers would silently corrupt the
+    // intersection counts.
+    sh.join(vocab, Seq("s")).select(col("doc_id"), col("rk"))
+  }
+
   /** d28: EXACT set-similarity join via PREFIX FILTERING (Chaudhuri
     * et al. 2006 SSJoin / Xiao et al. PPJoin, public) — the exact
     * complement to d02's approximate LSH: every pair with capped-set
@@ -410,35 +472,13 @@ object Dedup {
     val sh = df
       .select(id.as("doc_id"), nativeShingles(df, text, shingleN).as("sa"))
       .select(col("doc_id"), explode(col("sa")).as("s"))
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
-      .filter(col("c") <= maxDocFreq)
-    // Global rarity order over the surviving vocabulary: the vocab
-    // scales near-linearly with the corpus (distinct 3-gram shingles),
-    // so neither a single-task `row_number().over(orderBy)` nor a
-    // broadcast of the ranked table survives 100×. Rank with the
-    // bucketed two-exchange primitive and attach ranks by a plain
-    // vocab-keyed shuffle equi-join instead — same (c, s) order,
-    // identical ranks, maximum parallelism.
-    val ranked = graft.ops.Ranks.rankedCumsum(dfreq.localCheckpoint(),
-        col("c"), col("s"), lit(1L), rankCol = "rk")
-      .select(col("s"), col("rk"))
-    // Pin the rank-attached occurrence table and its per-doc sizes:
-    // capped is consumed FOUR times (sizes, prefix, both verify-join
-    // sides) and nc three — without the pins each consumer re-runs
-    // the shingle explode + vocab join (the multi-pass SSJoin's
-    // inverted lists, materialized once like any real implementation
-    // holds them; same argument as q63's pinned edge list).
-    //
-    // The rank IS the token id from here on: rk is a total order over
-    // the surviving vocabulary (unique per shingle), so every
-    // downstream equi-join on the ~20-byte shingle STRING is an
-    // equi-join on the 8-byte long — the standard SSJoin
-    // dictionary-encoding step. The strings never enter the pinned
-    // tables, the candidate join or the verify shuffles; at the 100×
-    // sweep cell this cut the run's peak spill ~3× (the string-keyed
-    // variant overran a 126 GB tmpfs at 500k docs).
-    val capped = sh.join(ranked, Seq("s"))
-      .select(col("doc_id"), col("rk")).localCheckpoint()
+    // Dictionary-encoded pinned occurrence table (see
+    // [[cappedTokenIds]] for the full rationale): capped is consumed
+    // FOUR times here (sizes, prefix, both verify-join sides) and nc
+    // three — the multi-pass SSJoin's inverted lists, materialized
+    // once like any real implementation holds them; same argument as
+    // q63's pinned edge list.
+    val capped = cappedTokenIds(sh, maxDocFreq)
     val nc = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       .localCheckpoint()
     val positioned = capped.join(nc, Seq("doc_id"))
@@ -498,18 +538,12 @@ object Dedup {
     val sh = df
       .select(id.as("doc_id"), nativeShingles(df, text, shingleN).as("sa"))
       .select(col("doc_id"), explode(col("sa")).as("s"))
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
-      .filter(col("c") <= maxDocFreq)
-    val ranked = graft.ops.Ranks.rankedCumsum(dfreq.localCheckpoint(),
-        col("c"), col("s"), lit(1L), rankCol = "rk")
-      .select(col("s"), col("rk"))
     // Same pin rationale as [[prefixJaccardJoin]]: capped feeds the
     // prefix, the candidate join's full side and both verify sides;
     // nc feeds the prefix filter and both size lookups. As there, rk
-    // doubles as the integer token id — no shingle strings past this
-    // join.
-    val capped = sh.join(ranked, Seq("s"))
-      .select(col("doc_id"), col("rk")).localCheckpoint()
+    // doubles as the integer token id ([[cappedTokenIds]]) — no
+    // shingle strings past this join.
+    val capped = cappedTokenIds(sh, maxDocFreq)
     val nc = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       .localCheckpoint()
     val prefix = capped.join(nc, Seq("doc_id"))
@@ -644,13 +678,17 @@ object Dedup {
           "IF(x = y, 1L, 0L)), 0L, (a, v) -> a + v)"))
     val sh = shingles(df, text, id, shingleN)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
-      .filter(col("c") <= maxDocFreq).select(col("s"))
-    val shf = sh.join(dfreq, Seq("s"))
+    // Capped exact verify over the dictionary-encoded occurrence
+    // table ([[cappedTokenIdsUnordered]]): the candidate-sized intersection
+    // joins key on the 8-byte token id, never the ~20-byte shingle
+    // string — the d28 encoding propagated to the fidelity audits.
+    // `sizes` stays UNCAPPED (full per-doc shingle counts), exactly
+    // as before: only the intersection is df-capped.
+    val shf = cappedTokenIdsUnordered(sh, maxDocFreq)
     val inter = cand
-      .join(shf.select(col("doc_id").as("da"), col("s")), Seq("da"))
-      .join(shf.select(col("doc_id").as("db"), col("s")),
-        Seq("db", "s"))
+      .join(shf.select(col("doc_id").as("da"), col("rk")), Seq("da"))
+      .join(shf.select(col("doc_id").as("db"), col("rk")),
+        Seq("db", "rk"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
     withSigs
       .join(inter, Seq("da", "db"), "left").na.fill(0L, Seq("c"))
@@ -696,13 +734,17 @@ object Dedup {
           "IF(x = y, 1L, 0L)), 0L, (a, v) -> a + v)"))
     val sh = shingles(df, text, id, shingleN)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
-      .filter(col("c") <= maxDocFreq).select(col("s"))
-    val shf = sh.join(dfreq, Seq("s"))
+    // Capped exact verify over the dictionary-encoded occurrence
+    // table ([[cappedTokenIdsUnordered]]): the candidate-sized intersection
+    // joins key on the 8-byte token id, never the ~20-byte shingle
+    // string — the d28 encoding propagated to the fidelity audits.
+    // `sizes` stays UNCAPPED (full per-doc shingle counts), exactly
+    // as before: only the intersection is df-capped.
+    val shf = cappedTokenIdsUnordered(sh, maxDocFreq)
     val inter = cand
-      .join(shf.select(col("doc_id").as("da"), col("s")), Seq("da"))
-      .join(shf.select(col("doc_id").as("db"), col("s")),
-        Seq("db", "s"))
+      .join(shf.select(col("doc_id").as("da"), col("rk")), Seq("da"))
+      .join(shf.select(col("doc_id").as("db"), col("rk")),
+        Seq("db", "rk"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
     withSigs
       .join(inter, Seq("da", "db"), "left").na.fill(0L, Seq("c"))
@@ -1229,16 +1271,35 @@ object Dedup {
     * Scale shape: distinct (source, shingle) pairs shuffle once on the
     * shingle; a shingle held by k sources emits k(k-1)/2 pair
     * increments — bounded by #sources², never by corpus size — and the
-    * pair counts combine map-side. Output is #source-pair rows. */
+    * pair counts combine map-side. The self-join is DICTIONARY-ENCODED
+    * (the [[cappedTokenIdsUnordered]] scheme, uncapped here because
+    * the overlap metric is defined over the full vocabulary): a
+    * unique integer id per shingle from the pinned vocab, so the
+    * posting self-join and its k(k-1)/2 emitted pairs carry an 8-byte
+    * long instead of the ~20-byte shingle string — the encoding that
+    * cut d28's 100×-cell peak spill ~3×. Output is #source-pair
+    * rows. */
   def sourceOverlap(df: DataFrame, text: Column, source: Column,
       n: Int = 3): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
     val sh = df.select(source.as("source"),
         explode(call_function("graft_shingles", text, lit(n))).as("s"))
       .distinct()
-    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("nsh"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+    // Unordered dictionary (the [[cappedTokenIdsUnordered]] scheme,
+    // uncapped): ids from monotonically_increasing_id on the pinned
+    // distinct vocab. The vocab join drops no rows (every shingle is
+    // in vocab), so sizes over enc equal sizes over sh.
+    val vocab = sh.select(col("s")).distinct()
+      .select(col("s"), monotonically_increasing_id().as("rk"))
+      .localCheckpoint()
+    // enc is NOT pinned: one action, three consumers — ReusedExchange
+    // shares the shuffle; the vocab pin freezes the ids (see
+    // [[cappedTokenIdsUnordered]]).
+    val enc = sh.join(vocab, Seq("s"))
+      .select(col("source"), col("rk"))
+    val sizes = enc.groupBy(col("source")).agg(count(lit(1)).as("nsh"))
+    val pairs = enc.as("a").join(enc.as("b"),
+        col("a.rk") === col("b.rk") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("shared_shingles"))
     pairs
@@ -1408,9 +1469,11 @@ object Dedup {
     * md5 of the surviving text — the REWRITE the whole-doc ops
     * (d01-d36) by definition cannot express, and at 100 TB the op
     * that reclaims boilerplate-dominated crawls whose docs are never
-    * byte-identical. Shuffles: explode to blocks, one groupBy(block)
-    * for the keeper argmin (min of a packed (doc, idx) long — no
-    * window), one equi-join back, one per-doc ordered fold. */
+    * byte-identical. Shuffles: explode to blocks, one
+    * groupBy(fingerprint) for the keeper argmin (min of a packed
+    * (doc, idx) long — no window), one equi-join back, one per-doc
+    * ordered fold — the keeper shuffles carry the 8-byte [[blockFp]],
+    * never the ~120-byte block string. */
   def blockDedup(df: DataFrame, text: Column, id: Column,
       blockWords: Int = 20): DataFrame = {
     // pinned: the cutting pipeline (explode + ordered per-block fold)
@@ -1420,10 +1483,24 @@ object Dedup {
     val blocks = blocksOf(df, text, id, blockWords).localCheckpoint()
     // keeper = min packed (doc_id, bid) — see [[packedBlockKey]]'s
     // loud range guard (r14 ADVICE: the bound was comment-only)
-    val keeper = blocks.groupBy(col("block"))
+    val keeper = blocks.groupBy(blockFp(col("block")).as("fp"))
       .agg(min(packedBlockKey(col("doc_id"), col("bid"))).as("keeper"))
     rewriteWithKeepers(blocks, keeper)
   }
+
+  /** 64-bit block fingerprint — the keeper registry's join key:
+    * [[blockDedup]]'s argmin groupBy, [[rewriteWithKeepers]]'s
+    * registry join and st77's streaming state all key on this 8-byte
+    * long instead of the raw ~20-word (~120-byte) block string — the
+    * d28 dictionary-encoding discipline applied where no rank table
+    * is needed (blocks are never ordered, only matched). Same 64-bit
+    * width and same tradeoff as d30's 16-hex md5 segment
+    * fingerprints: a collision merges two distinct blocks and drops
+    * one as a false duplicate, at rate ~n²/2⁶⁵ — at 10¹² blocks
+    * (100 TB-scale) ~10⁻⁸ of blocks affected, the standard
+    * fingerprint-dedup tradeoff. xxhash64 is codegen'd and map-side;
+    * no hash table, no extra shuffle. */
+  def blockFp(block: Column): Column = xxhash64(block)
 
   /** (doc_id, bid) packed into one orderable BIGINT for the keeper
     * argmin. Collision-free only while doc_id < 2^40 and bid < 2^20
@@ -1452,11 +1529,14 @@ object Dedup {
         array_sort(collect_list(struct(col("pos"), col("w")))),
         x => x.getField("w")), " ").as("block"))
 
-  /** [[blockDedup]]'s rewrite stage over any (block, keeper) registry
-    * — st77 joins the SAME rewrite against a keeper table maintained
-    * as streaming state, sharing d37's oracle. */
+  /** [[blockDedup]]'s rewrite stage over any (fp, keeper) registry —
+    * keyed by [[blockFp]], so the registry join shuffles 8-byte longs,
+    * not block strings. st77 joins the SAME rewrite against a keeper
+    * table maintained as streaming state (keyed by the same fp),
+    * sharing d37's oracle. */
   def rewriteWithKeepers(blocks: DataFrame, keeper: DataFrame): DataFrame =
-    blocks.join(keeper, Seq("block"))
+    blocks.withColumn("fp", blockFp(col("block")))
+      .join(keeper, Seq("fp"))
       .withColumn("keep",
         packedBlockKey(col("doc_id"), col("bid")) === col("keeper"))
       .groupBy(col("doc_id"))

@@ -4323,8 +4323,14 @@ object StreamingQueries {
       val blocks = graft.ops.Dedup.blocksOf(d, col("text"),
         col("doc_id"), blockWords = 20).localCheckpoint()
       val staging = tempDir("graft_sblock")
+      // State is keyed by the 8-byte block FINGERPRINT
+      // ([[graft.ops.Dedup.blockFp]]), not the raw ~120-byte block
+      // string — at 100 TB the registry's keyspace (and every shard
+      // exchange) carries longs; same d28 dictionary-encoding
+      // discipline as the batch d37.
       stageTwoBatches(spark,
-        Sources.messages(blocks, "blocks", col("block"),
+        Sources.messages(blocks, "blocks",
+          graft.ops.Dedup.blockFp(col("block")),
           graft.ops.Dedup.packedBlockKey(col("doc_id"), col("bid"))
             .cast("string"),
           expr("timestamp_micros(doc_id)"), col("bid")),
@@ -4335,11 +4341,11 @@ object StreamingQueries {
         .parquet(bindShardsToTopic(spark, staging)).as[Message]
       val out = new StreamExecutor(graph).run(spark, stream)
       val tableRows = out.filter(_.sink == SinkTable)
-        .map(e => (e.key, StringCodec.decode(e.value).toLong))
-        .toDF("block", "k")
+        .map(e => (e.key.toLong, StringCodec.decode(e.value).toLong))
+        .toDF("fp", "k")
       // the packed keeper only DECREASES per key; last upsert == min
       val keepers = runToTable(spark, tableRows)
-        .groupBy(col("block")).agg(min(col("k")).as("keeper"))
+        .groupBy(col("fp")).agg(min(col("k")).as("keeper"))
       graft.ops.Dedup.rewriteWithKeepers(blocks, keepers)
     }
 

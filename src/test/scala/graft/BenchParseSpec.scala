@@ -131,6 +131,60 @@ class BenchParseSpec extends AnyFunSuite {
     assert(out == Seq("slow_q"))
   }
 
+  test("subfloorExcess: counts only over-record readings under the floor") {
+    val recs = Map("a_q" -> 1.0, "b_q" -> 0.5, "c_q" -> 1.0,
+      "d_q" -> 4.0, "e_q" -> 1.5)
+    val results = Seq(
+      "a_q" -> 1.8,   // 1.8x record, under 2 s floor -> counted, excess 0.8
+      "b_q" -> 1.0,   // 2x record, under floor       -> counted, excess 0.5
+      "c_q" -> 1.2,   // 1.2x record -> not over
+      "d_q" -> 9.0,   // over record but ABOVE floor -> retry rig's job
+      "e_q" -> 2.0,   // 1.33x -> not over (and exactly at floor)
+      "norec" -> 50.0) // no record -> invisible, as everywhere else
+    val (n, excess) = Bench.subfloorExcess(results, recs)
+    assert(n == 2)
+    assert(math.abs(excess - 1.3) < 1e-9)
+    assert(Bench.subfloorExcess(Seq.empty, recs) == ((0, 0.0)))
+  }
+
+  test("bandsFromHistory: healthy-prefix verdicts only, 1.05x max, clamps") {
+    val fb = Map("q69_grouped_quantiles" -> 2.3, "d02_minhash_lsh" -> 2.6)
+    def run(id: Int, verdict: String, q69: Double, d02: Double): String =
+      s""""run$id":{"d":{"pre_q69":$q69,"pre_d02":$d02,""" +
+        s""""post_q69":null,"post_d02":null},"verdict":"$verdict"}"""
+    // 8 healthy runs (q69 max 2.0, d02 max 2.4) + a drifted run whose
+    // PROSE mentions "first half healthy" mid-string and carries wild
+    // readings — the startsWith predicate must exclude it.
+    val healthy = (1 to 8).map(i =>
+      run(i, s"healthy ($i)", 1.5 + i * 0.0625, 1.9 + i * 0.0625))
+    val drifted = run(9, "drifted; first half healthy", 9.9, 9.9)
+    val text = (healthy :+ drifted).mkString("{", ",", "}")
+    val bands = Bench.bandsFromHistory(text, fb)
+    assert(bands("q69_grouped_quantiles") == 2.1)  // 1.05 * 2.0
+    assert(bands("d02_minhash_lsh") == 2.52)       // 1.05 * 2.4
+    // fewer than MinBandSamples healthy readings -> hand fallback
+    val thin = healthy.take(3).mkString("{", ",", "}")
+    assert(Bench.bandsFromHistory(thin, fb) == fb)
+    // a corrupted history (absurd max) clamps to 2x the fallback
+    val wild = (1 to 8).map(i =>
+      run(i, "healthy", 40.0, 40.0)).mkString("{", ",", "}")
+    assert(Bench.bandsFromHistory(wild, fb) ==
+      Map("q69_grouped_quantiles" -> 4.6, "d02_minhash_lsh" -> 5.2))
+  }
+
+  test("operative bands load from the real history within the clamp") {
+    // sbt test runs from the repo root, so tools/baro_history.json is
+    // readable here exactly as in a bench run; the derived bands must
+    // exist for both barometers and respect the clamp envelope.
+    val bands = Bench.BaroUpperBand
+    Seq("q69_grouped_quantiles" -> 2.3, "d02_minhash_lsh" -> 2.6)
+      .foreach { case (b, fb) =>
+        val v = bands(b)
+        assert(v >= 0.5 * fb && v <= 2.0 * fb,
+          s"band for $b = $v outside the clamp envelope of $fb")
+      }
+  }
+
   test("parseFlatObj is bounded to its own object") {
     // gc_ms must not leak into the barometers parse or vice versa
     val text = """{"barometers":{"pre_d02_minhash_lsh":1.90},""" +

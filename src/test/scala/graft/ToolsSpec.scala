@@ -99,6 +99,49 @@ class ToolsSpec extends AnyFunSuite {
       hist.contains("1.8"))
   }
 
+  test("--run-id with multiple inputs is refused (history overwrite)") {
+    assume(python.isDefined, "python3 not on this host")
+    val dir = sandbox()
+    val a = write(dir, "A.json",
+      """{"queries":{"a_query":2.00},"failed":[],"baro_viol":[],""" +
+        """"barometers":{"d_pre_q69_grouped_quantiles":1.80}}""")
+    val b = write(dir, "B.json",
+      """{"queries":{"a_query":2.00},"failed":[],"baro_viol":[],""" +
+        """"barometers":{"d_pre_q69_grouped_quantiles":1.90}}""")
+    // r17 ADVICE: each file's append would overwrite hist[run_id] and
+    // silently keep only the last file's barometers.
+    val (rc, out) = runScript(dir,
+      Seq("--run-id", "run5", a.toString, b.toString))
+    assert(rc != 0 && out.contains("REFUSED"), out)
+    assert(!Files.exists(dir.resolve("baro_history.json")),
+      "a refused multi-input run must not write history")
+    // without --run-id, multiple inputs still ratchet fine
+    val (rc2, out2) = runScript(dir, Seq(a.toString, b.toString))
+    assert(rc2 == 0, out2)
+  }
+
+  test("a summary line without a queries map never ratchets its keys") {
+    assume(python.isDefined, "python3 not on this host")
+    val dir = sandbox()
+    // r17 ADVICE: the bare-flat-map fallback used to ratchet the
+    // summary's own numeric keys (value/n/retried/...) into
+    // bench_records.json as bogus permanent records.
+    val summary = write(dir, "S.json",
+      """{"metric":"total","unit":"sec","value":785.78,"n":411,""" +
+        """"failed":[],"baro_viol":0,"retried":107,"unadjudicated":0}""")
+    val (rc, out) = runScript(dir, Seq(summary.toString))
+    assert(rc != 0 && out.contains("REFUSED") && out.contains("summary"),
+      out)
+    assert(!Files.exists(dir.resolve("bench_records.json")))
+    // a genuine bare flat map (no marker keys) still works
+    val bare = write(dir, "BARE.json", """{"a_query":1.50,"b_query":0.75}""")
+    val (rc2, out2) = runScript(dir, Seq(bare.toString))
+    assert(rc2 == 0, out2)
+    val recs = Files.readString(dir.resolve("bench_records.json"))
+    assert(recs.contains(""""a_query":1.5""") &&
+      recs.contains(""""b_query":0.75"""))
+  }
+
   test("history prunes to the retention window, keeps non-run keys") {
     assume(python.isDefined, "python3 not on this host")
     val dir = sandbox()

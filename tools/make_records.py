@@ -92,6 +92,13 @@ def main():
     if not args:
         sys.exit("usage: make_records.py [--run-id runNN] [--force] "
                  "BENCH_FULL.json [...]")
+    # One run id names ONE run: with multiple inputs each file's
+    # append_history call would overwrite hist[run_id] and only the
+    # last file's barometers would survive (r17 ADVICE).
+    if run_id and len(args) > 1:
+        sys.exit("REFUSED: --run-id with multiple inputs would keep "
+                 "only the last file's barometers in baro_history.json"
+                 "; pass one BENCH_FULL per run id")
 
     records, provenance = {}, []
     if os.path.exists(OUT):
@@ -110,7 +117,20 @@ def main():
                      f"({reason}); records ratchet only from healthy "
                      "runs (re-run with --force to override; its "
                      "barometers were still logged to history)")
-        qs = run.get("queries", run)  # accept a bare flat map too
+        # Accept a bare flat {"name": sec} map too — but NEVER the
+        # short summary-line form: its numeric keys (value, n,
+        # retried, ...) would ratchet into bench_records.json as bogus
+        # permanent records (r17 ADVICE). A summary line is detected
+        # by its marker keys; it carries no per-query data, so there
+        # is nothing to ratchet from it.
+        if "queries" in run:
+            qs = run["queries"]
+        elif {"metric", "value", "n"} & run.keys():
+            sys.exit(f"REFUSED: {path} looks like a summary line "
+                     "without a \"queries\" map; pass the BENCH_FULL "
+                     "artifact instead")
+        else:
+            qs = run
         for name, sec in qs.items():
             if not isinstance(sec, (int, float)) or sec <= 0:
                 continue
