@@ -125,11 +125,18 @@ object Lake {
         .write.mode("overwrite").partitionBy("shard").parquet(path)
     } finally
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    val after = spark.read.parquet(path)
-    val residual = after
-      .join(broadcast(erase.select(col(keyName)).distinct()), Seq(keyName))
-      .count()
-    EraseAudit(before, after.count(), affected.length.toLong, residual)
+    // Post-rewrite audit in ONE scan instead of two: total surviving
+    // rows + residual erased-key rows. The erase list is distinct, so
+    // the broadcast left join matches each row at most once and the
+    // row count is preserved; count(__ek) counts exactly the rows an
+    // inner join against the erase set would have (the old residual).
+    val post = spark.read.parquet(path)
+      .join(broadcast(erase.select(col(keyName).as("__ek")).distinct()),
+        col(keyName) === col("__ek"), "left")
+      .agg(count(lit(1)).as("n"), count(col("__ek")).as("residual"))
+      .head()
+    EraseAudit(before, post.getLong(0), affected.length.toLong,
+      post.getLong(1))
   }
 
   // ------------------------------------------------------------------ //
@@ -292,8 +299,18 @@ object Lake {
     val manifest = readManifest(path, v)
     val keyed = changes.withColumn("shard",
       pmod(col(keyName), lit(nShards.toLong))).localCheckpoint()
-    val changedShards = keyed.select(col("shard")).distinct()
-      .collect().map(_.getLong(0).toInt).toSet
+    // One fold for everything the audit needs from the change set:
+    // the changed-shard list plus the upsert/delete row counts. These
+    // were three separate actions (distinct-collect + two filtered
+    // counts) — three scheduler round-trips over the same pinned
+    // request batch; the audit numbers are unchanged (spec-pinned).
+    val stats = keyed.agg(
+      collect_set(col("shard")).as("sh"),
+      coalesce(sum(when(col("op") === "upsert", 1L).otherwise(0L)),
+        lit(0L)).as("ups"),
+      coalesce(sum(when(col("op") === "delete", 1L).otherwise(0L)),
+        lit(0L)).as("dels")).head()
+    val changedShards = stats.getSeq[Long](0).map(_.toInt).toSet
     val baseDirs = changedShards.toSeq.sorted.collect {
       case k if manifest(k) != "-" => s"$path/${manifest(k)}/shard=$k"
     }
@@ -321,8 +338,7 @@ object Lake {
         .withColumn("shard", pmod(col(keyName), lit(nShards.toLong)))
         .filter(col("shard").isin(changedShards.toSeq.map(_.toLong): _*))
         .count(),
-      keyed.filter(col("op") === "upsert").count(),
-      keyed.filter(col("op") === "delete").count())
+      stats.getLong(1), stats.getLong(2))
   }
 
   /** c29: CHANGE DATA FEED between two committed snapshots — "what
