@@ -1641,7 +1641,15 @@ object Relational {
             (col("p.ddst") === col("q.ddst") &&
               col("p.dst") < col("q.dst"))))
       .select(col("p.dst").as("v"), col("q.dst").as("w"))
-    val tri = wedges.join(directed,
+    // Close wedges with a SHUFFLED-HASH semi join, not sort-merge: the
+    // streamed side is the wedge explosion (~22M rows / 354 MB shuffle
+    // at sf0.1 — Σ C(outdeg, 2), always ≫ |E|), and sort-merge SORTS
+    // it (the measured 115 s-of-executor-CPU stage with the 1.7 s GC
+    // bite; q63's 12-92 s swing class). The BUILD side is only the
+    // oriented edge list — |E|/shuffle-partitions rows per task, the
+    // bounded side by construction at every scale — so hashing it
+    // streams the wedges through unsorted. Same rows out (hint only).
+    val tri = wedges.join(directed.hint("shuffle_hash"),
         col("v") === col("src") && col("w") === col("dst"), "left_semi")
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
