@@ -1073,8 +1073,14 @@ object Relational {
           "struct(cx + dx AS nx, cy + dy AS ny))))")).as("nc"))
       .select(col("a_id"), col("ax"), col("ay"),
         col("nc.nx").as("cx"), col("nc.ny").as("cy"))
+    // Shuffled-hash, not sort-merge: the streamed side is the 9×
+    // neighbor-cell explosion of the corpus, the build side the corpus
+    // itself — bounded per (cx, cy)-hash partition at every scale (cell
+    // occupancy is capped by the grid design). Sort-merge sorted the 9×
+    // side; hashing the 1× side streams it unsorted (the q63 lesson).
     neighbors.join(pts.select(col("id").as("b_id"),
-        col("x").as("bx"), col("y").as("by"), col("cx"), col("cy")),
+        col("x").as("bx"), col("y").as("by"), col("cx"), col("cy"))
+        .hint("shuffle_hash"),
         Seq("cx", "cy"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("d2",
