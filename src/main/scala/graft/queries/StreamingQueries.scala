@@ -733,8 +733,12 @@ object StreamingQueries {
           new java.sql.Timestamp(i + 1L), Map.empty[String, Array[Byte]])
       }
       msgs.repartition(2).write.mode("overwrite").parquet(staging)
-      new StreamExecutor(GokaQueries.pingpongGraph)
-        .runWithLoopback(spark, staging, results)
+      // Same shard binding as st03 itself, so the warmed machinery
+      // (per-shard store instances included) matches the timed path.
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      try new StreamExecutor(GokaQueries.pingpongGraph)
+        .runWithLoopback(spark, bindShardsToTopic(spark, staging), results)
+      finally spark.conf.set("spark.sql.shuffle.partitions", old)
     }
 
   /** Streaming loopback through a real feedback topic: the same
@@ -751,7 +755,17 @@ object StreamingQueries {
     val staging = tempDir("graft_stream_loop")
     val results = tempDir("graft_stream_loop_out")
     copyParquetFiles(stagedEvents(spark, dir), staging)
-    new StreamExecutor(graph).runWithLoopback(spark, staging, results)
+    // Shards follow the staged topic's partitions, like every other st
+    // query — this was the ONE streaming path that never bound them, so
+    // it ran one RocksDB shard per session core (32 in the bench):
+    // StProfile showed each of its 4 micro-batches paying a per-shard
+    // commit/changelog file-sync summed at 14-70 s across shards, the
+    // r15 "st01 20 s at 32 shards vs 5 s at 8" finding reproduced on
+    // the loopback path. The feedback topic inherits the source's
+    // partitioning (reference graph.go:476-483: the loop topic is
+    // group-private with the group's partition count).
+    new StreamExecutor(graph).runWithLoopback(
+      spark, bindShardsToTopic(spark, staging), results)
     // Update-mode upserts accumulate in resultDir; cnt only grows, so
     // max(cnt) == the final table row per key.
     spark.read.parquet(results)
