@@ -1244,18 +1244,12 @@ object Dedup {
       // than a direct self-join alias: the checkpointed plan self-
       // joined against itself trips Union constraint rewriting on
       // LocalRelation inputs (key-not-found on the dedup'd attribute).
-      // The jump arms from ROUND 1 (r18): the r15 choice deferred it
-      // to round 3 so near-clique dedup graphs (which converge in 2)
-      // skip the extra labels-sized shuffle — but m16's pHash graph
-      // carries long chains and ran ELEVEN rounds at sf0.1, each a
-      // fixed checkpoint+checksum orchestration cost (event-log
-      // measured: the round count, not the per-round bytes, dominated
-      // its 7.3 s). Jumping immediately closes chains in O(log
-      // diameter) rounds (m16 7.30 -> 5.86/6.25 s) while the measured
-      // near-clique price is nil (d07 3.18 -> 3.13, d33 2.95 -> 2.83,
-      // c36 within noise); all 7 CC consumers re-verified against the
-      // oracle at sf0.001 and sf0.01.
-      val next = if (iter <= 0) hopped else {
+      // First two rounds stay hop-only: bucket-co-membership dedup
+      // graphs are near-cliques that CONVERGE there, and the jump
+      // join would be a pure extra labels-sized shuffle for them; the
+      // shortcut arms from round 3, so a chain still closes in
+      // 2 + O(log diameter) rounds while the common case pays zero.
+      val next = if (iter <= 2) hopped else {
         val jump = hopped.toDF("jid", "jlbl")
         hopped.join(jump, col("lbl") === col("jid"))
           .select(col("id"), least(col("lbl"), col("jlbl")).as("lbl"))
