@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run JVM's output normally goes through sbt's logger,
+// which decorates every line with `[info] ` — breaking the driver
+// contract's "one bare JSON stdout line" (BENCH_r17/r18 recorded
+// `parsed: null` on rc-0 runs because the summary arrived as
+// `[info] {...}`). Inherit sbt's own stdout/stderr instead: run
+// output (Bench's summary lines, Verify's progress) arrives exactly
+// as printed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

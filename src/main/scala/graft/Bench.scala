@@ -650,8 +650,8 @@ object Bench {
     * harness tail-captures only 2000 chars); full copy to
     * BENCH_FULL.json as the durable artifact.
     */
-  private def emit(results: Seq[(String, Double)], failed: Seq[String],
-      diag: Diag = new Diag): Unit = {
+  private[graft] def emit(results: Seq[(String, Double)],
+      failed: Seq[String], diag: Diag = new Diag): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
@@ -664,8 +664,7 @@ object Bench {
     // that log interleaving may truncate, so the "full" pointer rides
     // in the headline tail (the last-2000-chars window) and names
     // where every per-query entry always lives.
-    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
-      .toAbsolutePath.toString
+    val fullPath = outPath("BENCH_FULL.json")
     // Band check: a PRE barometer above its BASELINE.md healthy upper
     // band dates that child's window as drifted; the count (and names,
     // in the full artifact) make a degraded run self-describing
@@ -707,7 +706,33 @@ object Bench {
     // truncates mid-dict). The LAST stdout line is therefore a SHORT
     // summary that always fits and always parses; every per-query
     // entry lives in BENCH_FULL.json, named by "full".
-    println(
-      s"""{"metric":"total","unit":"sec","value":${f2(total)},"n":${results.size},"failed":$failedJson,"baro_viol":${viol.size},"retried":$retriedCount,"unadjudicated":${diag.unadjudicated.size},"subfloor_n":$sfN,"subfloor_excess_s":${f2(sfExcess)},"sf":"${esc(sfDir)}","full":"${esc(fullPath)}"}""")
+    val shortLine =
+      s"""{"metric":"total","unit":"sec","value":${f2(total)},"n":${results.size},"failed":$failedJson,"baro_viol":${viol.size},"retried":$retriedCount,"unadjudicated":${diag.unadjudicated.size},"subfloor_n":$sfN,"subfloor_excess_s":${f2(sfExcess)},"sf":"${esc(sfDir)}","full":"${esc(fullPath)}"}"""
+    println(shortLine)
+    // Under `sbt runMain` (run / fork := true) both printlns used to
+    // surface through sbt's LoggedOutput pump as `[info] {...}` — NOT
+    // bare JSON — and sbt appends its own `[success] Total time ...`
+    // epilogue, so a launcher wanting "a bare JSON stdout line" found
+    // neither (BENCH_r17/r18: rc 0 but `parsed: null`, which left PERF
+    // per-query and scaling empty two rounds running). build.sbt now
+    // sets `run / outputStrategy := Some(StdoutOutput)` so the forked
+    // JVM inherits sbt's real stdout and these lines arrive bare. The
+    // belt to that suspender: the exact summary line at a fixed path
+    // next to BENCH_FULL.json, immune to stdout capture entirely.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(summaryPath), shortLine + "\n")
+    catch { case _: Throwable => () }
   }
+
+  /** Fixed sibling path of BENCH_FULL.json holding the exact short
+    * summary line (driver-parse fallback when stdout is decorated). */
+  private[graft] def summaryPath: String = outPath("BENCH_SUMMARY.json")
+
+  /** Artifact directory — cwd for the real bench; the
+    * `graft.bench.out.dir` property lets the spec exercise [[emit]]
+    * end-to-end without clobbering the repo-root artifacts. */
+  private def outPath(name: String): String =
+    java.nio.file.Paths.get(
+        sys.props.getOrElse("graft.bench.out.dir", "."), name)
+      .toAbsolutePath.normalize.toString
 }

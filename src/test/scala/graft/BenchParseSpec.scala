@@ -185,6 +185,41 @@ class BenchParseSpec extends AnyFunSuite {
       }
   }
 
+  test("emit writes BENCH_SUMMARY.json as one bare parseable line") {
+    // The driver-parse contract (r18 verdict item 2): besides the
+    // stdout lines (bare since run/outputStrategy := StdoutOutput),
+    // the exact short summary must land at a fixed file path so a
+    // launcher whose stdout capture is decorated or truncated can
+    // still read it. Exercised end-to-end in a temp artifact dir.
+    val dir = java.nio.file.Files.createTempDirectory("benchspec")
+    System.setProperty("graft.bench.out.dir", dir.toString)
+    try {
+      Bench.emit(Seq("q69_grouped_quantiles" -> 0.61,
+        "d02_minhash_lsh" -> 1.23), Seq("x_failed"))
+      val sum = dir.resolve("BENCH_SUMMARY.json")
+      val full = dir.resolve("BENCH_FULL.json")
+      assert(java.nio.file.Files.exists(sum), "BENCH_SUMMARY.json missing")
+      assert(java.nio.file.Files.exists(full), "BENCH_FULL.json missing")
+      val s = java.nio.file.Files.readString(sum).trim
+      // exactly one line, bare JSON object, headline keys present
+      assert(!s.contains("\n") && s.startsWith("{") && s.endsWith("}"))
+      assert(s.contains("\"metric\":\"total\"") &&
+        s.contains("\"unit\":\"sec\"") && s.contains("\"value\":1.84"))
+      assert(s.contains("\"failed\":[\"x_failed\"]"))
+      // the full line parses with the partial parser (same grammar)
+      val f = java.nio.file.Files.readString(full).trim
+      val (qs, failed, _) = Bench.parsePartial(f)
+      assert(qs == Map("q69_grouped_quantiles" -> 0.61,
+        "d02_minhash_lsh" -> 1.23))
+      assert(failed == Seq("x_failed"))
+    } finally {
+      System.clearProperty("graft.bench.out.dir")
+      java.nio.file.Files.list(dir).forEach(p =>
+        java.nio.file.Files.deleteIfExists(p))
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("parseFlatObj is bounded to its own object") {
     // gc_ms must not leak into the barometers parse or vice versa
     val text = """{"barometers":{"pre_d02_minhash_lsh":1.90},""" +
