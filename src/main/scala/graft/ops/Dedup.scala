@@ -406,14 +406,46 @@ object Dedup {
     * consumes it at least twice (both sides of a verify join), and
     * without the pin each consumer would re-run the shingle explode +
     * vocab join. */
-  def cappedTokenIds(sh: DataFrame, maxDocFreq: Int): DataFrame = {
+  def cappedTokenIds(sh: DataFrame, maxDocFreq: Int,
+      pin: Boolean = true): DataFrame = {
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
       .filter(col("c") <= maxDocFreq)
     val ranked = graft.ops.Ranks.rankedCumsum(dfreq.localCheckpoint(),
         col("c"), col("s"), lit(1L), rankCol = "rk")
       .select(col("s"), col("rk"))
-    sh.join(ranked, Seq("s")).select(col("doc_id"), col("rk"))
-      .localCheckpoint()
+    val enc = sh.join(ranked, Seq("s")).select(col("doc_id"), col("rk"))
+    // pin = false when the caller folds the encoded table into a
+    // single downstream consumer (d28/d29's sorted-adjacency build):
+    // the ranks are deterministic, so the pin there is only a wasted
+    // materialization of rows the adjacency aggregate immediately
+    // re-shuffles.
+    if (pin) enc.localCheckpoint() else enc
+  }
+
+  /** Sorted token-adjacency arrays: one row per doc, the doc's token
+    * ids ascending — the verify-side representation of the SSJoin
+    * family (r18 verdict item 1). One groupBy of the encoded
+    * occurrence table replaces, per candidate pair, the re-shuffle of
+    * that table by (doc, rk) and the pair-count aggregation: each
+    * doc's token set ships ONCE per pair as an 8-byte-element array,
+    * the intersection size comes from the codegen'd merge walk
+    * (`graft_icount`), and the set size rides along as `size(toks)` —
+    * so the (db, rk) exchange of the pair-exploded table, the
+    * (da, db) count aggregate and both size-lookup joins disappear
+    * from the plan (guide §2.3/§2.4). Ascending `sort_array` order is
+    * the rarity order when ids come from [[cappedTokenIds]], so the
+    * prefix-filter tokens are exactly the first
+    * `prefixLen(size(toks))` elements — the per-doc row_number window
+    * (a doc_id shuffle + sort) folds into a `slice`. */
+  def sortedAdjacency(encoded: DataFrame): DataFrame =
+    encoded.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("rk"))).as("toks"))
+
+  /** Merge-walk |A ∩ B| of two sorted duplicate-free ARRAY<BIGINT>
+    * columns (see [[graft.functions.SortedIntersectCount]]). */
+  def nativeIntersectCount(df: DataFrame, a: Column, b: Column): Column = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    call_function("graft_icount", a, b)
   }
 
   /** As [[cappedTokenIds]] but UNORDERED — for consumers that need a
@@ -472,38 +504,38 @@ object Dedup {
     val sh = df
       .select(id.as("doc_id"), nativeShingles(df, text, shingleN).as("sa"))
       .select(col("doc_id"), explode(col("sa")).as("s"))
-    // Dictionary-encoded pinned occurrence table (see
-    // [[cappedTokenIds]] for the full rationale): capped is consumed
-    // FOUR times here (sizes, prefix, both verify-join sides) and nc
-    // three — the multi-pass SSJoin's inverted lists, materialized
-    // once like any real implementation holds them; same argument as
-    // q63's pinned edge list.
-    val capped = cappedTokenIds(sh, maxDocFreq)
-    val nc = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // Sorted-adjacency representation (r18 verdict item 1, guide
+    // §2.3/§2.4): the encoded occurrence table collapses into ONE
+    // pinned per-doc array of ascending token ids, which then serves
+    // every role the old plan paid separate shuffles for — doc sizes
+    // (`size(toks)`, was the nc aggregate + two verify joins), the
+    // prefix tokens (`slice`, was a row_number window = doc_id
+    // shuffle + sort), and both verify sides (one array per pair via
+    // the `graft_icount` merge walk, was a (db, rk) re-shuffle of the
+    // pair-exploded occurrence table + a (da, db) count aggregate).
+    // The pin is the same multi-consumer argument as q63's edge list:
+    // adj feeds the prefix derivation and both verify-join sides.
+    val adj = sortedAdjacency(cappedTokenIds(sh, maxDocFreq, pin = false))
       .localCheckpoint()
-    val positioned = capped.join(nc, Seq("doc_id"))
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("rk"))))
-      // theta = 0.5: t = ceil(n/2) = (n+1) div 2; prefix = n - t + 1
-      .filter(col("pos").cast("long") <= expr("n - (n + 1) div 2 + 1"))
-      .select(col("doc_id"), col("rk"))
-      .localCheckpoint()
+    // theta = 0.5: t = ceil(n/2) = (n+1) div 2; prefix = n - t + 1.
+    // Ascending rk IS the rarity order, so the prefix is the head of
+    // the sorted array.
+    val positioned = adj.select(col("doc_id"),
+      explode(slice(col("toks"), lit(1),
+        expr("size(toks) - (size(toks) + 1) div 2 + 1"))).as("rk"))
     val cand = positioned.as("a")
       .join(positioned.as("b"),
         col("a.rk") === col("b.rk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val inter = cand
-      .join(capped.select(col("doc_id").as("da"), col("rk")), Seq("da"))
-      .join(capped.select(col("doc_id").as("db"), col("rk")),
-        Seq("db", "rk"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-    inter
-      .join(nc.select(col("doc_id").as("da"), col("n").as("na")),
+    cand
+      .join(adj.select(col("doc_id").as("da"), col("toks").as("ta")),
         Seq("da"))
-      .join(nc.select(col("doc_id").as("db"), col("n").as("nb")),
+      .join(adj.select(col("doc_id").as("db"), col("toks").as("tb")),
         Seq("db"))
+      .select(col("da"), col("db"),
+        nativeIntersectCount(df, col("ta"), col("tb")).as("c"),
+        size(col("ta")).as("na"), size(col("tb")).as("nb"))
       .select(col("da"), col("db"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c")))
           .as("jaccard"))
@@ -538,38 +570,35 @@ object Dedup {
     val sh = df
       .select(id.as("doc_id"), nativeShingles(df, text, shingleN).as("sa"))
       .select(col("doc_id"), explode(col("sa")).as("s"))
-    // Same pin rationale as [[prefixJaccardJoin]]: capped feeds the
-    // prefix, the candidate join's full side and both verify sides;
-    // nc feeds the prefix filter and both size lookups. As there, rk
-    // doubles as the integer token id ([[cappedTokenIds]]) — no
-    // shingle strings past this join.
-    val capped = cappedTokenIds(sh, maxDocFreq)
-    val nc = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // Same sorted-adjacency scheme as [[prefixJaccardJoin]] (r18
+    // verdict item 1): one pinned per-doc array serves the prefix
+    // (slice — the ascending ids ARE the rarity order), the candidate
+    // join's FULL posting side (explode of the whole array) and both
+    // verify sides (graft_icount merge walk + size(toks)); the nc
+    // size table, the row_number window and the pair-exploded
+    // (db, rk) re-shuffle are gone from the plan. rk stays the
+    // integer token id — no shingle strings past the encode join.
+    val adj = sortedAdjacency(cappedTokenIds(sh, maxDocFreq, pin = false))
       .localCheckpoint()
-    val prefix = capped.join(nc, Seq("doc_id"))
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("rk"))))
-      // theta = 0.8: t = ceil(4n/5); prefix = n - t + 1
-      .filter(col("pos").cast("long") <=
-        expr("n - (4 * n + 4) div 5 + 1"))
-      .select(col("doc_id"), col("rk"))
+    // theta = 0.8: t = ceil(4n/5); prefix = n - t + 1
+    val prefix = adj.select(col("doc_id"),
+      explode(slice(col("toks"), lit(1),
+        expr("size(toks) - (4 * size(toks) + 4) div 5 + 1"))).as("rk"))
+    val full = adj.select(col("doc_id"), explode(col("toks")).as("rk"))
     val cand = prefix.as("a")
-      .join(capped.as("b"),
+      .join(full.as("b"),
         col("a.rk") === col("b.rk") && col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
       .distinct()
-    val inter = cand
-      .join(capped.select(col("doc_id").as("da"), col("rk")), Seq("da"))
-      .join(capped.select(col("doc_id").as("db"), col("rk")),
-        Seq("db", "rk"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-    inter
-      .join(nc.select(col("doc_id").as("da"), col("n").as("na")),
+    cand
+      .join(adj.select(col("doc_id").as("da"), col("toks").as("ta")),
         Seq("da"))
-      .join(nc.select(col("doc_id").as("db"), col("n").as("nb")),
+      .join(adj.select(col("doc_id").as("db"), col("toks").as("tb")),
         Seq("db"))
+      .select(col("da"), col("db"),
+        nativeIntersectCount(df, col("ta"), col("tb")).as("c"),
+        size(col("ta")).as("na"), size(col("tb")).as("nb"))
       .filter(col("c") * 5 >= least(col("na"), col("nb")) * 4)
       .select(col("da"), col("db"),
         (col("c").cast("double") /

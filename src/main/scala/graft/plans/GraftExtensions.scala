@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{IDot, ISqDist, KmvSketchAgg, MinHashSig, PHash48, RollingHash, ShingleArray, SimHash60}
+import graft.functions.{IDot, ISqDist, KmvSketchAgg, MinHashSig, PHash48, RollingHash, ShingleArray, SimHash60, SortedIntersectCount}
 
 /** Engine SQL surface: registers graft's native expressions so plain
   * `spark.sql("SELECT graft_rolling_hash(text) ...")` works.
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.isqdistDescriptor)
     ext.injectFunction(GraftExtensions.phashDescriptor)
     ext.injectFunction(GraftExtensions.kmvDescriptor)
+    ext.injectFunction(GraftExtensions.icountDescriptor)
     ext.injectOptimizerRule(PlanGuardRule)
   }
 }
@@ -81,6 +82,13 @@ object GraftExtensions {
       KmvSketchAgg(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()))
 
+  private val icountDescriptor = (
+    FunctionIdentifier("graft_icount"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName,
+      "graft_icount"),
+    (exprs: Seq[Expression]) =>
+      SortedIntersectCount(exprs.head, exprs(1)))
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -99,5 +107,7 @@ object GraftExtensions {
       "graft_phash", phashDescriptor._3, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv", kmvDescriptor._3, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_icount", icountDescriptor._3, "built-in")
   }
 }

@@ -156,6 +156,33 @@ class KernelRandomParitySpec extends AnyFunSuite with SparkFixture {
       == { val d = Long.MaxValue - Long.MinValue; d * d })
   }
 
+  test("graft_icount ≡ size(array_intersect) on random sorted unique " +
+      "arrays, incl. empty and disjoint") {
+    val spark0 = spark
+    import spark0.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(0xD28L)
+    // Producer-shaped inputs: ascending-sorted, duplicate-free long
+    // arrays (sort_array over collect_list of unique token ids),
+    // lengths 0..60, values drawn from a small range so overlaps are
+    // common, plus forced edge rows.
+    def arr(): Seq[Long] =
+      rnd.shuffle((0L until 80L).toList).take(rnd.nextInt(61)).sorted
+    val rows = (0 until 300).map(i => (i, arr(), arr())) ++ Seq(
+      (300, Seq.empty[Long], Seq.empty[Long]),          // both empty
+      (301, Seq(1L, 2L, 3L), Seq.empty[Long]),          // one empty
+      (302, Seq(1L, 2L), Seq(5L, 9L)),                  // disjoint
+      (303, Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),          // identical
+      (304, Seq(Long.MinValue, 0L, Long.MaxValue),
+        Seq(Long.MinValue, Long.MaxValue)))             // extremes
+    val cmp = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        call_function("graft_icount", col("a"), col("b")).as("nat"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("dec"))
+      .filter(col("nat") =!= col("dec"))
+    assert(cmp.count() == 0, cmp.take(5).mkString("; "))
+  }
+
   test("graft_rolling_hash ≡ byte-loop reference on random docs") {
     val rows = df.select(col("id"), col("text"),
         call_function("graft_rolling_hash", col("text")).as("rfp"))
