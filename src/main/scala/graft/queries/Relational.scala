@@ -1647,6 +1647,29 @@ object Relational {
             (col("p.ddst") === col("q.ddst") &&
               col("p.dst") < col("q.dst"))))
       .select(col("p.dst").as("v"), col("q.dst").as("w"))
+    // Bloom pre-filter on the wedge stream (guide §3.2, r18 verdict
+    // item 5): most wedges do NOT close — at sf0.1 the wedge exchange
+    // carried ~22M rows / 354 MB into the semi join. A driver-built
+    // Bloom filter over xxhash64(src, dst) of the pinned edge list,
+    // probed map-side via the codegen graft_might_contain BEFORE the
+    // exchange, drops definite non-edges so only closing wedges (plus
+    // the fpp share of false positives and the rare xxhash64-collision
+    // FP) are shuffled. The exact semi join below is UNCHANGED and
+    // removes every false positive — a Bloom filter has no false
+    // negatives, so rows out are bit-identical. Cost: one extra pass
+    // over the pinned |E|-row edge list (count + filter build,
+    // ~9.6 bits/edge at fpp 1%); at very large |E| the filter's
+    // broadcast footprint grows linearly — size it from the measured
+    // edge count as here, and shard it per key range (guide §8) long
+    // before it threatens executor memory.
+    val bloom = directed
+      .select(xxhash64(col("src"), col("dst")).as("k"))
+      .stat.bloomFilter("k", math.max(1L, directed.count()), 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val wedgesF = wedges.filter(org.apache.spark.sql.GraftColumnBridge
+      .column(graft.functions.BloomMightContain(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          xxhash64(col("v"), col("w"))), bloomBc)))
     // Close wedges with a SHUFFLED-HASH semi join, not sort-merge: the
     // streamed side is the wedge explosion (~22M rows / 354 MB shuffle
     // at sf0.1 — Σ C(outdeg, 2), always ≫ |E|), and sort-merge SORTS
@@ -1655,7 +1678,14 @@ object Relational {
     // oriented edge list — |E|/shuffle-partitions rows per task, the
     // bounded side by construction at every scale — so hashing it
     // streams the wedges through unsorted. Same rows out (hint only).
-    val tri = wedges.join(directed.hint("shuffle_hash"),
+    // Assumption the hint encodes (r18 ADVICE): per-task hash builds
+    // have no sort-merge spill fallback, and the per-partition bound
+    // relies on (src, dst) hash keys not being severely skewed — true
+    // for any (deg, id)-oriented edge list (each src's fan-out is
+    // capped by its degree orientation), but a future dataset that
+    // breaks it should re-run the q63 ScaleSweep row before keeping
+    // the hint. AQE skew-split still applies to shuffled-hash joins.
+    val tri = wedgesF.join(directed.hint("shuffle_hash"),
         col("v") === col("src") && col("w") === col("dst"), "left_semi")
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
