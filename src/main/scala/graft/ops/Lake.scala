@@ -309,7 +309,19 @@ object Lake {
       coalesce(sum(when(col("op") === "upsert", 1L).otherwise(0L)),
         lit(0L)).as("ups"),
       coalesce(sum(when(col("op") === "delete", 1L).otherwise(0L)),
-        lit(0L)).as("dels")).head()
+        lit(0L)).as("dels"),
+      coalesce(sum(when(col("shard").isNull, 1L).otherwise(0L)),
+        lit(0L)).as("nullkeys")).head()
+    // collect_set silently SKIPS null shard values (null merge keys),
+    // where the pre-fold distinct().collect() failed loudly with an
+    // NPE — a null-keyed upsert would still be written (to
+    // shard=__HIVE_DEFAULT_PARTITION__) but excluded from
+    // changedShards and the manifest, becoming silently unreachable.
+    // Same single-action audit: the null count rides the same fold.
+    require(stats.getLong(3) == 0L,
+      s"mergeVersioned: ${stats.getLong(3)} change row(s) with a null " +
+        s"$keyName — null merge keys cannot be sharded and would be " +
+        "unreachable in the manifest")
     val changedShards = stats.getSeq[Long](0).map(_.toInt).toSet
     val baseDirs = changedShards.toSeq.sorted.collect {
       case k if manifest(k) != "-" => s"$path/${manifest(k)}/shard=$k"

@@ -734,11 +734,13 @@ object StreamingQueries {
       }
       msgs.repartition(2).write.mode("overwrite").parquet(staging)
       // Same shard binding as st03 itself, so the warmed machinery
-      // (per-shard store instances included) matches the timed path.
-      val old = spark.conf.get("spark.sql.shuffle.partitions")
-      try new StreamExecutor(GokaQueries.pingpongGraph)
-        .runWithLoopback(spark, bindShardsToTopic(spark, staging), results)
-      finally spark.conf.set("spark.sql.shuffle.partitions", old)
+      // (per-shard store instances included) matches the timed path;
+      // withStateShards restores the session's partition count after.
+      withStateShards(spark) {
+        new StreamExecutor(GokaQueries.pingpongGraph)
+          .runWithLoopback(spark, bindShardsToTopic(spark, staging),
+            results)
+      }
     }
 
   /** Streaming loopback through a real feedback topic: the same
