@@ -157,5 +157,49 @@ object ScaleSweep {
     }
     liReps.reduce(_ unionByName _).repartition(math.max(2, 2 * k))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // events (q103 PSI, q55 spatial, the st staging sources): replica
+    // r offsets event_id and user_id by r·10⁹ — ts/type/value/props
+    // are kept, so the per-type value distribution (q103's subject)
+    // and the event-time axis are preserved while row volume grows k×.
+    // For q55, note what that means: its md5-derived coordinates live
+    // in a FIXED 100k×100k space, so k× points is k× density — the
+    // close-pair OUTPUT grows ~k² by the query's own geometry (the
+    // single-densifying case the documents/lineitem replicas
+    // deliberately avoid); read its exponent against pair volume, not
+    // rows.
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val evReps = (0 until k).map { r =>
+      if (r == 0) ev
+      else ev.select(
+        (col("event_id") + lit(r.toLong * 1000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(r.toLong * 1000000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    evReps.reduce(_ unionByName _).repartition(math.max(2, 2 * k))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // orders + customer (c39's versioned-lake build): replica r
+    // offsets the keys by r·10⁹, preserving the %3/%10 transaction
+    // cohorts c39 derives from them (10⁹ ≡ 0 mod 10; 10⁹ ≡ 1 mod 3
+    // shifts WHICH cohort a replica row lands in, never the cohort
+    // SIZES, so merge/erase volume scales k× as intended).
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    val ordReps = (0 until k).map { r =>
+      if (r == 0) ord
+      else ord.withColumn("o_orderkey",
+          col("o_orderkey") + lit(r.toLong * 1000000000L))
+        .withColumn("o_custkey",
+          col("o_custkey") + lit(r.toLong * 1000000000L))
+    }
+    ordReps.reduce(_ unionByName _).repartition(math.max(2, 2 * k))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    val custReps = (0 until k).map { r =>
+      if (r == 0) cust
+      else cust.withColumn("c_custkey",
+        col("c_custkey") + lit(r.toLong * 1000000000L))
+    }
+    custReps.reduce(_ unionByName _).repartition(math.max(2, 2 * k))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
   }
 }
