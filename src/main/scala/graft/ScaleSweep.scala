@@ -72,7 +72,13 @@ object ScaleSweep {
       scales.foreach(s => buildSynthetic(spark, base, s, p => dirs(s) = p))
       runSweep(spark, queries, scales, reps, dirs.toMap)
     } finally {
-      dirs.values.foreach(deleteRecursively)
+      // SPARK_GRAFT_KEEP_SWEEP_DIRS=1 keeps the synthetic dirs (and
+      // prints them) for follow-up profiling of a single cell —
+      // event-log captures, plan dumps at scale. The caller owns
+      // cleanup then.
+      if (sys.env.get("SPARK_GRAFT_KEEP_SWEEP_DIRS").contains("1"))
+        dirs.foreach { case (s, p) => println(s"""{"kept_dir":"$p","scale":$s}""") }
+      else dirs.values.foreach(deleteRecursively)
       spark.stop()
     }
   }
