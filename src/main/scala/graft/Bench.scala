@@ -436,10 +436,19 @@ object Bench {
     // throughput dial that skips per-commit row accounting in the
     // write-heavy state stores (metrics-only effect; Verify and the
     // test fixture keep it on to exercise numRowsTotal).
-    val spark = GraftSessions.builder(cpus)
+    val builder = GraftSessions.builder(cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
-      .getOrCreate()
+    // Ad-hoc conf overrides for matched-calibration experiments, same
+    // contract as Verify/StProfile. NEVER set by the driver — the
+    // probe output notes it on stderr so a forgotten env var cannot
+    // silently flatter a number.
+    sys.env.get("GRAFT_SPARK_EXTRA").foreach { s =>
+      System.err.println(s"[bench] GRAFT_SPARK_EXTRA active: $s")
+      s.split(";").filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v) }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JIT/codegen + page cache so the first measured query isn't
     // charged the session's startup cost.
@@ -496,6 +505,10 @@ object Bench {
         diagKey: String = null): Double = {
       val key = if (diagKey == null) name else diagKey
       val fn = SparkEntry.queries(name)
+      // Label every job with the query that submitted it (guide §1.5)
+      // so event-log captures and the UI attribute jobs to queries —
+      // metadata only, no timing effect.
+      spark.sparkContext.setJobDescription(key)
       val gc0 = gcTimeMs()
       val t0 = System.nanoTime()
       var ok = true
@@ -506,6 +519,7 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       diag.gcMs(key) = (gcTimeMs() - gc0).toDouble
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(
