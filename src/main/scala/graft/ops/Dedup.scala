@@ -469,12 +469,12 @@ object Dedup {
       .localCheckpoint()
     // No pin on the encoded occurrence table: unlike d28's multi-
     // ACTION pipeline, these consumers are one action, so Spark's
-    // ReusedExchange serves both verify-join sides from one shuffle
-    // write — a localCheckpoint here measured as pure added
-    // materialization at sf0.1. The vocab pin above IS required:
-    // monotonically_increasing_id is only stable once materialized,
-    // and unstable ids across consumers would silently corrupt the
-    // intersection counts.
+    // ReusedExchange serves both [[sortedAdjacency]] consumers from
+    // one shuffle write — a localCheckpoint here measured as pure
+    // added materialization at sf0.1. The vocab pin above IS
+    // required: monotonically_increasing_id is only stable once
+    // materialized, and unstable ids across the two adjacency join
+    // sides would silently corrupt the intersection counts.
     sh.join(vocab, Seq("s")).select(col("doc_id"), col("rk"))
   }
 
@@ -708,19 +708,23 @@ object Dedup {
     val sh = shingles(df, text, id, shingleN)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // Capped exact verify over the dictionary-encoded occurrence
-    // table ([[cappedTokenIdsUnordered]]): the candidate-sized intersection
-    // joins key on the 8-byte token id, never the ~20-byte shingle
-    // string — the d28 encoding propagated to the fidelity audits.
-    // `sizes` stays UNCAPPED (full per-doc shingle counts), exactly
-    // as before: only the intersection is df-capped.
-    val shf = cappedTokenIdsUnordered(sh, maxDocFreq)
-    val inter = cand
-      .join(shf.select(col("doc_id").as("da"), col("rk")), Seq("da"))
-      .join(shf.select(col("doc_id").as("db"), col("rk")),
-        Seq("db", "rk"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+    // table ([[cappedTokenIdsUnordered]]), folded into sorted
+    // adjacency arrays like d28/d29 (r18 verdict item 1): each doc's
+    // capped token set ships once per candidate pair and the
+    // intersection size is the graft_icount merge walk — the
+    // (db, rk) re-shuffle of the pair-exploded table and the (da, db)
+    // count aggregate are gone. LEFT joins + coalesce keep the old
+    // left-join/fill(0) semantics for docs whose tokens were all
+    // df-capped away. `sizes` stays UNCAPPED (full per-doc shingle
+    // counts), exactly as before: only the intersection is df-capped.
+    val adjf = sortedAdjacency(cappedTokenIdsUnordered(sh, maxDocFreq))
     withSigs
-      .join(inter, Seq("da", "db"), "left").na.fill(0L, Seq("c"))
+      .join(adjf.select(col("doc_id").as("da"), col("toks").as("ta")),
+        Seq("da"), "left")
+      .join(adjf.select(col("doc_id").as("db"), col("toks").as("tb")),
+        Seq("db"), "left")
+      .withColumn("c", coalesce(
+        nativeIntersectCount(df, col("ta"), col("tb")), lit(0L)))
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")),
         Seq("da"))
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")),
@@ -763,20 +767,17 @@ object Dedup {
           "IF(x = y, 1L, 0L)), 0L, (a, v) -> a + v)"))
     val sh = shingles(df, text, id, shingleN)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // Capped exact verify over the dictionary-encoded occurrence
-    // table ([[cappedTokenIdsUnordered]]): the candidate-sized intersection
-    // joins key on the 8-byte token id, never the ~20-byte shingle
-    // string — the d28 encoding propagated to the fidelity audits.
-    // `sizes` stays UNCAPPED (full per-doc shingle counts), exactly
-    // as before: only the intersection is df-capped.
-    val shf = cappedTokenIdsUnordered(sh, maxDocFreq)
-    val inter = cand
-      .join(shf.select(col("doc_id").as("da"), col("rk")), Seq("da"))
-      .join(shf.select(col("doc_id").as("db"), col("rk")),
-        Seq("db", "rk"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+    // Sorted-adjacency capped verify, same shape (and same LEFT-join/
+    // coalesce(0) semantics) as [[minhashFidelity]] — see the comment
+    // there. `sizes` stays UNCAPPED, as before.
+    val adjf = sortedAdjacency(cappedTokenIdsUnordered(sh, maxDocFreq))
     withSigs
-      .join(inter, Seq("da", "db"), "left").na.fill(0L, Seq("c"))
+      .join(adjf.select(col("doc_id").as("da"), col("toks").as("ta")),
+        Seq("da"), "left")
+      .join(adjf.select(col("doc_id").as("db"), col("toks").as("tb")),
+        Seq("db"), "left")
+      .withColumn("c", coalesce(
+        nativeIntersectCount(df, col("ta"), col("tb")), lit(0L)))
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")),
         Seq("da"))
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")),
